@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+package object queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** Exact money arithmetic for oracle parity: sum in decimal (exact,
+    * order-independent), round, then hand back a double so Spark and the
+    * DuckDB oracle agree bit-for-bit regardless of aggregation order.
+    * Double-sum would differ in the low bits between engines because
+    * float addition is not associative.
+    */
+  def moneySum(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 2))), 2).cast("double")
+
+  /** sum(price * (1 - discount)) with both factors snapped to exact
+    * decimals before multiplying — the TPC-H revenue expression.
+    */
+  def revenueSum(price: Column, discount: Column): Column =
+    round(sum(price.cast(DecimalType(18, 2)) *
+      (lit(1.0) - discount).cast(DecimalType(8, 4))), 2).cast("double")
+
+  /** DuckDB-side twin of [[moneySum]]. */
+  def sqlMoneySum(expr: String): String =
+    s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(18,2))),2) AS DOUBLE)"
+
+  def sqlRevenueSum(price: String, discount: String): String =
+    s"CAST(ROUND(SUM(CAST($price AS DECIMAL(18,2)) * CAST(1.0 - $discount AS DECIMAL(8,4))),2) AS DOUBLE)"
+
+  /** events.ts is nanosecond-precision parquet; Spark truncates to micros
+    * while DuckDB keeps nanos — never emit it raw, always as seconds text.
+    */
+  def tsSeconds(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+  val sqlTsSeconds: String => String =
+    c => s"strftime($c, '%Y-%m-%d %H:%M:%S')"
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+}
