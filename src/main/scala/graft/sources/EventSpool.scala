@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The CDC change-event feed.
+  *
+  * The reference persists binlog events as pickled, length-prefixed
+  * records in rotating `<n>.bin` files and tails them with hand-rolled
+  * offset bookkeeping (binlog_replicator.py:47-302). Spark-first, the
+  * durable queue IS a Structured Streaming file source: events are JSON
+  * lines in a spool directory, offsets/exactly-once come from the stream
+  * checkpoint, and "seek to transaction" is the source's own offset log.
+  *
+  * Event shape (SURVEY.md §1.1 LogEvent): `seq` is the total order the
+  * binlog position gave us ((file, pos) flattened); `row` stays a raw
+  * JSON string because the schema is per-table and evolves mid-stream —
+  * each micro-batch parses it with the table's schema *as of that event*.
+  */
+object EventSpool {
+
+  val OpAdd = "ADD"       // insert, or update after-image (binlog_replicator.py:472-510)
+  val OpRemove = "REMOVE" // delete (PK payload only)
+  val OpQuery = "QUERY"   // DDL statement
+
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("db", StringType),
+    StructField("table", StringType),
+    StructField("op", StringType, nullable = false),
+    StructField("query", StringType),
+    StructField("row", StringType)))
+
+  def readStream(spark: SparkSession, spoolDir: String): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "16")
+      .json(spoolDir)
+
+  def readBatch(spark: SparkSession, spoolDir: String): DataFrame =
+    spark.read.schema(schema).json(spoolDir)
+
+  // ------------------------------------------------------- test/tool writer
+
+  private def esc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** One spool line. `row` must already be a JSON object string. */
+  def eventJson(seq: Long, db: String, table: String, op: String,
+                query: Option[String] = None,
+                row: Option[String] = None): String = {
+    val parts = Seq(
+      Some(s""""seq":$seq"""),
+      Some(s""""db":${esc(db)}"""),
+      Some(s""""table":${esc(table)}"""),
+      Some(s""""op":${esc(op)}"""),
+      query.map(q => s""""query":${esc(q)}"""),
+      row.map(r => s""""row":${esc(r)}""")).flatten
+    parts.mkString("{", ",", "}")
+  }
+
+  /** Append a file of events to the spool (one streaming source unit). */
+  def writeFile(spoolDir: String, fileName: String,
+                lines: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(spoolDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$fileName.tmp")
+    java.nio.file.Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    // atomic rename so the file source never sees partial files
+    java.nio.file.Files.move(tmp, dir.resolve(fileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftConfig
+import graft.ddl.TableSchema
+import graft.operators.{GraftTable, RecordConversion}
+
+/** Initial (snapshot) replication — the bulk scan.
+  *
+  * The reference drives this as a driver-side loop of keyset-paginated
+  * SELECTs (`WHERE (pk...) > (last...) ORDER BY pk LIMIT 50000`), with
+  * optional process fan-out sharded by `CRC32(CONCAT_WS('|', pk)) % N`
+  * (mysql_api.py:110-157; db_replicator_initial.py:168-275, 386-448).
+  *
+  * Spark-first, the pagination loop and the worker fan-out are both the
+  * *partitioning of a single distributed read*:
+  *  - JDBC sources: pass `shardPredicates` as the `predicates` array
+  *    (one partition per shard, pushed into the remote SQL), or
+  *    `partitionColumn`/bounds for integer PKs;
+  *  - file sources (the test fixtures): Spark's splittable parquet scan
+  *    already is the fan-out.
+  * Per-batch max-PK checkpointing disappears: task retry + deterministic
+  * shards give the same resume guarantee.
+  */
+object Snapshot {
+
+  /** The reference's shard predicate, as a Column (mysql_api.py:124-133).
+    * Also usable as a literal SQL string for JDBC `predicates`. */
+  def shardPredicate(pkCols: Seq[String], totalWorkers: Int,
+                     workerId: Int): Column =
+    pmod(crc32(concat_ws("|", pkCols.map(c => coalesce(col(c).cast("string"),
+      lit(""))): _*)), lit(totalWorkers)) === lit(workerId)
+
+  def shardPredicateSql(pkCols: Seq[String], totalWorkers: Int,
+                        workerId: Int): String = {
+    val concat = pkCols.map(c => s"COALESCE(CAST($c AS CHAR), '')")
+      .mkString("CONCAT_WS('|', ", ", ", ")")
+    s"CRC32($concat) % $totalWorkers = $workerId"
+  }
+
+  /** Snapshot one table: wire rows → converted rows → versioned target.
+    * `version` 0 marks snapshot rows; realtime batches stamp higher
+    * versions, so a snapshot racing the stream still converges via the
+    * FINAL view (reference runs them strictly sequenced; we don't need to).
+    */
+  def run(spark: SparkSession, source: DataFrame, schema: TableSchema,
+          warehouseDir: String, config: GraftConfig = GraftConfig(),
+          version: Long = 0L): GraftTable = {
+    val converted = RecordConversion.convert(source, schema,
+      config.mysqlTimezone)
+    val target = GraftTable(spark, s"$warehouseDir/${schema.name}",
+      schema.primaryKeys, schema.toStructType)
+    target.append(converted, version)
+    target
+  }
+}

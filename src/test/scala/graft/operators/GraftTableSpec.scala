@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ReplacingMergeTree-FINAL parity: latest version wins, deletes are
+  * physical, compaction preserves the view (oracle-diff style per
+  * SURVEY.md §5: expected DataFrame vs engine, exceptAll both ways).
+  */
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", StringType)))
+
+  private def mkTable() =
+    GraftTable(spark, tmpDir("graft-table"), Seq("id"), schema)
+
+  private def assertSame(got: org.apache.spark.sql.DataFrame,
+                         want: Seq[(Long, String)]): Unit = {
+    val w = want.toDF("id", "v")
+    assert(got.exceptAll(w).isEmpty && w.exceptAll(got).isEmpty,
+      s"got ${got.collect().mkString(",")} want $want")
+  }
+
+  test("upsert semantics: latest _version wins per key") {
+    val t = mkTable()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), version = 1)
+    t.append(Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), version = 2)
+    assertSame(t.read, Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    assert(t.maxVersion === 2)
+  }
+
+  test("delete tombstones remove keys; re-insert at higher version revives") {
+    val t = mkTable()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), version = 1)
+    t.delete(Seq(Tuple1(1L)).toDF("id"), version = 2)
+    assertSame(t.read, Seq((2L, "b")))
+    t.append(Seq((1L, "again")).toDF("id", "v"), version = 3)
+    assertSame(t.read, Seq((1L, "again"), (2L, "b")))
+  }
+
+  test("delete wins over insert at the same version (tie-break)") {
+    val t = mkTable()
+    t.append(Seq((1L, "a")).toDF("id", "v"), version = 1)
+    t.delete(Seq(Tuple1(1L)).toDF("id"), version = 1)
+    assertSame(t.read, Seq())
+  }
+
+  test("replayed batch (same version) is idempotent (W1 exactly-once)") {
+    val t = mkTable()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), version = 1)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), version = 1) // replay
+    assertSame(t.read, Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("compact preserves the FINAL view and drops dead versions") {
+    val t = mkTable()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), version = 1)
+    t.append(Seq((1L, "a2")).toDF("id", "v"), version = 2)
+    t.delete(Seq(Tuple1(2L)).toDF("id"), version = 3)
+    val before = t.read.collect().toSet
+    t.compact()
+    assert(t.read.collect().toSet === before)
+    assert(t.log.count() === 1) // only (1, a2) survives physically
+    // still writable after compaction
+    t.append(Seq((9L, "z")).toDF("id", "v"), version = 4)
+    assertSame(t.read, Seq((1L, "a2"), (9L, "z")))
+  }
+
+  test("truncate clears data, table stays usable") {
+    val t = mkTable()
+    t.append(Seq((1L, "a")).toDF("id", "v"), version = 1)
+    t.truncate()
+    assert(t.read.isEmpty)
+    t.append(Seq((2L, "b")).toDF("id", "v"), version = 2)
+    assertSame(t.read, Seq((2L, "b")))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.{GraftConfig, SparkSpec}
+import graft.ddl.SchemaRegistry
+import graft.sources.EventSpool
+import graft.sources.EventSpool.{eventJson, writeFile, OpAdd, OpQuery, OpRemove}
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end realtime replication: JSON event spool → Structured
+  * Streaming → versioned tables → FINAL view. Mirrors the reference's
+  * e2e tests (tests/test_e2e_integration.py) with the spool playing the
+  * binlog's role.
+  */
+class CdcPipelineSpec extends SparkSpec {
+
+  private def mkPipeline() = {
+    val registry = new SchemaRegistry
+    registry.applySql(
+      """CREATE TABLE users (id int NOT NULL, name varchar(50),
+        |  age int unsigned, PRIMARY KEY(id))""".stripMargin)
+    val wh = tmpDir("graft-wh")
+    (new CdcPipeline(spark, GraftConfig(), registry, wh), registry)
+  }
+
+  private def row(id: Int, name: String, age: Int): String =
+    s"""{"id":"$id","name":"$name","age":"$age"}"""
+
+  test("insert/update/delete stream converges to the MySQL end-state") {
+    val (pipeline, _) = mkPipeline()
+    val spool = tmpDir("graft-spool")
+
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30))),
+      eventJson(2, "d", "users", OpAdd, row = Some(row(2, "bob", 40))),
+      eventJson(3, "d", "users", OpAdd, row = Some(row(1, "ann2", 31))), // update = after-image
+      eventJson(4, "d", "users", OpRemove, row = Some("""{"id":"2"}"""))))
+
+    val q = pipeline.start(spool, tmpDir("graft-ckpt"),
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      q.processAllAvailable()
+      // second micro-batch: another update + a fresh insert
+      writeFile(spool, "000002.json", Seq(
+        eventJson(5, "d", "users", OpAdd, row = Some(row(3, "carl", 22))),
+        eventJson(6, "d", "users", OpAdd, row = Some(row(1, "ann3", 32)))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = pipeline.table("users").read
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1, "ann3", 32L), (3, "carl", 22L)))
+  }
+
+  test("DDL mid-stream: flush barrier + schema evolution (D3/D9 order)") {
+    val (pipeline, registry) = mkPipeline()
+    val spool = tmpDir("graft-spool2")
+
+    // one batch containing: insert → ALTER ADD COLUMN → insert with new col
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30))),
+      eventJson(2, "d", "users", OpQuery,
+        query = Some("ALTER TABLE users ADD COLUMN email varchar(100) AFTER name")),
+      eventJson(3, "d", "users", OpAdd,
+        row = Some("""{"id":"2","name":"bob","email":"b@x.io","age":"40"}"""))))
+
+    val q = pipeline.start(spool, tmpDir("graft-ckpt2"),
+      Trigger.ProcessingTime("50 milliseconds"))
+    try q.processAllAvailable() finally q.stop()
+
+    assert(registry("users").fields.map(_.name) ===
+      Vector("id", "name", "email", "age"))
+    val got = pipeline.table("users").read.orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(2))))
+    assert(got.toSeq === Seq((1, "ann", None), (2, "bob", Some("b@x.io"))))
+  }
+
+  test("LWW within a batch: later seq wins, insert-then-delete vanishes") {
+    val (pipeline, _) = mkPipeline()
+    val spool = tmpDir("graft-spool3")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(5, "x", 1))),
+      eventJson(2, "d", "users", OpAdd, row = Some(row(5, "y", 2))),
+      eventJson(3, "d", "users", OpAdd, row = Some(row(6, "gone", 9))),
+      eventJson(4, "d", "users", OpRemove, row = Some("""{"id":"6"}"""))))
+    val q = pipeline.start(spool, tmpDir("graft-ckpt3"),
+      Trigger.ProcessingTime("50 milliseconds"))
+    try q.processAllAvailable() finally q.stop()
+    val got = pipeline.table("users").read
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === Set((5, "y")))
+  }
+
+  test("db/table glob filtering (F1) drops excluded traffic") {
+    val registry = new SchemaRegistry
+    registry.applySql("CREATE TABLE t1 (id int, v int, PRIMARY KEY(id))")
+    val wh = tmpDir("graft-wh4")
+    val pipeline = new CdcPipeline(spark,
+      GraftConfig(includeDatabases = Seq("prod*"),
+        excludeTables = Seq("tmp*")), registry, wh)
+    val spool = tmpDir("graft-spool4")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "prod1", "t1", OpAdd, row = Some("""{"id":"1","v":"1"}""")),
+      eventJson(2, "staging", "t1", OpAdd, row = Some("""{"id":"2","v":"2"}""")),
+      eventJson(3, "prod2", "tmp_t1", OpAdd, row = Some("""{"id":"3","v":"3"}"""))))
+    val q = pipeline.start(spool, tmpDir("graft-ckpt4"),
+      Trigger.ProcessingTime("50 milliseconds"))
+    try q.processAllAvailable() finally q.stop()
+    val got = pipeline.table("t1").read.collect().map(_.getInt(0)).toSet
+    assert(got === Set(1))
+  }
+}
