@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns + typed metadata, processed
+  * per-partition through a pluggable decoder. The Spark-side design is
+  * the real deliverable at 100 TB:
+  *  - payloads never pass through a shuffle (decode → features happens
+  *    map-side, features are small, the binary column is dropped before
+  *    any wide stage);
+  *  - decoding is batched per partition (one decoder instance per task,
+  *    amortized init — same shape as mapInPandas batching in PySpark);
+  *  - the decoder is a trait so the container's missing image/audio libs
+  *    are STUBBED with [[DeterministicFakeDecoder]] — the schema,
+  *    partitioning and batch plumbing are real and tested, the codec is
+  *    swapped in production.
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(id: Long, kind: String, byteLen: Int,
+                                 width: Int, height: Int, nFrames: Int,
+                                 featureHash: Long)
+
+  /** Per-partition decoder: one instance per task. */
+  trait MediaDecoder extends Serializable {
+    def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures]
+  }
+
+  /** Deterministic stand-in for the real codec (image/audio libs are not
+    * in this container). Features are pure functions of the payload so
+    * tests and oracles are exact: width/height derive from byte length,
+    * frame count models a 30fps clip, featureHash is a rolling
+    * polynomial hash of the bytes (the "embedding"). */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    override def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val n = r.payload.length
+        var h = 1125899906842597L // rolling hash, deterministic
+        var i = 0
+        while (i < n) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+        MediaFeatures(r.id, r.kind, n,
+          width = 64 + (n % 448),
+          height = 64 + ((n * 7) % 448),
+          nFrames = if (r.kind == "video") 1 + n % 30 else 1,
+          featureHash = h)
+      }
+  }
+
+  /** binary+metadata → per-item features, decoder batched per partition.
+    * The partition count is the decode parallelism knob: at scale,
+    * repartition upstream so each task holds a codec-friendly batch. */
+  def extractFeatures(media: Dataset[MediaRow],
+                      decoder: MediaDecoder = DeterministicFakeDecoder)
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => decoder.decode(rows))
+  }
+
+  /** Frame sampling plan for video payloads: every `stride`-th frame —
+    * metadata-only, no decode (the planner stage of a two-pass pipeline).
+    */
+  def sampleFramePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame = {
+    import features.sparkSession.implicits._
+    features.filter(_.kind == "video").toDF()
+      .select(col("id"), col("nFrames"),
+        sequence(lit(0), col("nFrames") - 1, lit(stride)).as("frameIdx"))
+  }
+
+  /** Fixture adapter: synthesize a media table from `documents` (text
+    * bytes as payload) so the plumbing runs against the driver fixtures. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("id"),
+      // deterministic kind assignment: image/audio/video round-robin
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language ID, fingerprinting.
+  *
+  * All pure Column expressions over a `text` column — single scan, no
+  * UDFs, no shuffle except the caller's own aggregation. At 100 TB the
+  * whole module is a map-only pass that pipelines into whatever
+  * filter/dedup stage follows.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The fixtures are single-space separated; for raw
+    * corpora use `tokensRegex`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token-count estimate: whitespace words + punctuation splits,
+    * the usual `len/4` fallback blended in. Deterministic, no vocab. */
+  def tokenCountEstimate(text: Column): Column =
+    greatest(size(tokens(text)), ceil(length(text) / 4).cast("int"))
+
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    round(size(array_distinct(t)).cast("double") / size(t), 6)
+  }
+
+  /** Quality score ∈ [0,1]: length band + lexical diversity + stopword
+    * presence — the standard cheap pre-filter heuristics (C4/Gopher
+    * style) as one expression. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val lengthScore = least(nTok / 64.0, lit(1.0))
+    val diversity = size(array_distinct(t)).cast("double") / nTok
+    val stopHits = size(array_intersect(t,
+      array(stopwords.map(lit): _*))).cast("double")
+    val stopScore = least(stopHits / 4.0, lit(1.0))
+    round((lengthScore + diversity + stopScore) / 3.0, 6)
+  }
+
+  /** Stopword profiles for the language-ID heuristic. Function-word hit
+    * counting over distinct tokens — the classic cheap langid. Profiles
+    * are tiny and inlined as literals (broadcast-free). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "les", "des", "est", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "he2", "wo3", "ni3", "ta1", "men5"))
+
+  /** Predicted language: argmax of profile hits over distinct tokens;
+    * deterministic tie-break by profile order; no hits → 'und'. */
+  def langId(text: Column): Column = {
+    val distinctToks = array_distinct(tokens(text))
+    val scored = langProfiles.map { case (lang, words) =>
+      (lang, size(array_intersect(distinctToks, array(words.map(lit): _*))))
+    }
+    // fold: keep the best (score, lang) pair, earlier profile wins ties
+    val best = scored.tail.foldLeft(
+      struct(scored.head._2.as("score"), lit(scored.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    when(best.getField("score") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text — exact-dup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Prefix fingerprint: md5 of the first `n` tokens — catches documents
+    * that share a head (boilerplate, templated spam). */
+  def prefixFingerprint(text: Column, n: Int): Column =
+    md5(array_join(slice(tokens(text), 1, n), " "))
+}

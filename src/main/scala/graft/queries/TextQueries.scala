@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Training-data text operators over `documents` (SURVEY.md scope
+  * extension): token stats, quality + language ID, fingerprint dedup,
+  * exact dedup, MinHash-LSH, SimHash, n-gram Jaccard. Every query has an
+  * exact DuckDB twin (md5-based hash families, double arithmetic).
+  */
+object TextQueries {
+
+  private val enStop = TextAnalysis.langProfiles.head._2
+
+  val defs: Map[String, QueryFn] = Map(
+    "t_token_stats" -> { (s, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        TextAnalysis.tokenCountEstimate(col("text")).as("tok_est"),
+        TextAnalysis.typeTokenRatio(col("text")).as("ttr"))
+        .orderBy("doc_id")
+    },
+
+    "t_quality_langid" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), enStop).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    "t_fingerprint_dups" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TextAnalysis.prefixFingerprint(col("text"), 8).as("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1)
+        .orderBy("fp")
+    },
+
+    "d_exact_dups" -> { (s, dir) =>
+      Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp")
+    },
+
+    "d_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    "d_simhash" -> { (s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "d_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxDf = 20, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  /** Shared oracle CTE: word-3-gram distinct shingles per doc. */
+  private val shinglesCte =
+    """tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2],' ') AS s
+      |       FROM tok, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)
+      |       WHERE len(t) >= 3)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(text,' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(str_split(text,' '))) AS INT) AS n_distinct,
+        |  CAST(GREATEST(len(str_split(text,' ')), CEIL(length(text)/4)) AS INT) AS tok_est,
+        |  round(CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+        |        / len(str_split(text,' ')), 6) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_quality_langid" -> {
+      val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
+      val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+      }
+      val scoreCols = profiles.map { case (lang, arr) =>
+        s"len(list_intersect(dt, $arr)) AS s_$lang"
+      }.mkString(", ")
+      val gExpr = profiles.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
+      val predChain = profiles.map { case (lang, _) =>
+        s"WHEN s_$lang = g THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH base AS (
+         |  SELECT doc_id, str_split(text,' ') AS tk,
+         |         list_distinct(str_split(text,' ')) AS dt FROM documents),
+         |scored AS (SELECT doc_id, tk, dt, $scoreCols FROM base),
+         |g AS (SELECT *, $gExpr AS g FROM scored)
+         |SELECT doc_id,
+         |  round((LEAST(len(tk)/64.0, 1.0)
+         |    + CAST(len(dt) AS DOUBLE)/len(tk)
+         |    + LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)) / 3.0, 6)
+         |    AS quality,
+         |  CASE WHEN g = 0 THEN 'und' $predChain END AS lang_pred
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "t_fingerprint_dups" ->
+      """SELECT md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
+        |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+
+    "d_exact_dups" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+
+    "d_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |mh AS (SELECT doc_id,
+         |    min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+         |    min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+         |    min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (SELECT doc_id, md5(h0 || '|' || h1) AS b0,
+         |    md5(h2 || '|' || h3) AS b1, md5(h4 || '|' || h5) AS b2 FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
+         |   AND a.doc_id < b.doc_id),
+         |shl AS (SELECT doc_id, list(s) AS sl FROM sh GROUP BY doc_id)
+         |SELECT id_a, id_b,
+         |  round(CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(x.sl, y.sl))), 6) AS jaccard
+         |FROM cand JOIN shl x ON id_a = x.doc_id JOIN shl y ON id_b = y.doc_id
+         |WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(x.sl, y.sl))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_simhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text,' ')) AS w
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(w) AS h FROM tok),
+        |bits AS (SELECT doc_id, i,
+        |    CASE WHEN sum(CASE WHEN ascii(substr(h, CAST(i+1 AS INT), 1)) % 2 = 1
+        |                 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
+        |  FROM th, LATERAL (SELECT unnest(range(0,32)) AS i) GROUP BY doc_id, i)
+        |SELECT doc_id,
+        |  CAST(sum(b * (1::BIGINT << CAST(i AS INT))) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |rare AS (SELECT s FROM sh GROUP BY s
+         |         HAVING COUNT(*) <= 20 AND COUNT(*) > 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM (SELECT doc_id, s FROM sh JOIN rare USING (s)) a
+         |  JOIN (SELECT doc_id, s FROM sh JOIN rare USING (s)) b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id),
+         |shl AS (SELECT doc_id, list(s) AS sl FROM sh GROUP BY doc_id)
+         |SELECT id_a, id_b,
+         |  round(CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(x.sl, y.sl))), 6) AS jaccard
+         |FROM cand JOIN shl x ON id_a = x.doc_id JOIN shl y ON id_b = y.doc_id
+         |WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(x.sl, y.sl))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the training-data operators on constructed inputs
+  * (the fixture-scale behavior is covered by the oracle gate).
+  */
+class TrainingDataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup finds identical texts only") {
+    val docs = Seq(
+      (1L, "the same text"), (2L, "the same text"),
+      (3L, "the  same text"), // extra whitespace normalizes equal
+      (4L, "different")).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("canonical_id") === 1L)
+    assert(groups(0).getAs[Long]("n_dups") === 3L)
+  }
+
+  test("minhash LSH finds a planted near-dup and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x y"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs(0).getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash: identical docs share signatures, disjoint docs differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("cosine is exact on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine($"a", $"b").as("s"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by similarity with deterministic ties") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rnk").collect().map(_.getLong(1))
+    assert(got.toSeq === Seq(1L, 3L, 2L)) // tie 1 vs 3 broken by id
+  }
+
+  test("langId picks the profile with most hits; 'und' when none") {
+    val df = Seq("the cat sat on the mat for a while",
+      "el perro de la casa en un jardin",
+      "zzz qqq xxx").toDF("text")
+    val got = df.select(TextAnalysis.langId($"text").as("l"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === Seq("en", "es", "und"))
+  }
+
+  test("multimodal stub decode: deterministic features + frame plan") {
+    import graft.operators.Multimodal._
+    val media = Seq(
+      MediaRow(1L, "image", Array[Byte](1, 2, 3)),
+      MediaRow(2L, "video", Array.fill[Byte](100)(7))).toDS()
+    val feats = extractFeatures(media).collect().sortBy(_.id)
+    assert(feats(0).byteLen === 3 && feats(0).nFrames === 1)
+    assert(feats(1).kind === "video" && feats(1).nFrames === 1 + 100 % 30)
+    // decode twice → identical (idempotent, replayable at scale)
+    val again = extractFeatures(media).collect().sortBy(_.id)
+    assert(feats.toSeq === again.toSeq)
+    val plan = sampleFramePlan(extractFeatures(media), stride = 5)
+      .collect()
+    assert(plan.length === 1)
+    assert(plan(0).getSeq[Int](2).forall(_ % 5 === 0))
+  }
+
+  test("sign bucket is stable and bounded") {
+    val vecs = Seq((0L, Array(1.0f, -1.0f, 1.0f, -1.0f, 9f)))
+      .toDF("vec_id", "embedding")
+    val b = vecs.select(Similarity.signBucket($"embedding", 4).as("b"))
+      .head().getLong(0)
+    assert(b === (1 | 4)) // dims 1,3 non-negative → bits 0,2
+  }
+}
