@@ -11,6 +11,10 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new GraftExtensions)
+      // X3 charset decode needs the full JVM charset set (cp1251, gbk...),
+      // not just the six ANSI ones decode() allows by default.
+      .config("spark.sql.legacy.javaCharsets", "true")
       // Local mode: match shuffle partitions to cores; on a real cluster
       // AQE coalesces to the right number anyway.
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

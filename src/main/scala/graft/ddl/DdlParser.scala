@@ -75,10 +75,16 @@ object DdlParser {
     var explicitPks = Seq.empty[String]
     val perColumnPks = Vector.newBuilder[String]
 
-    val skipPrefixes = Seq("key", "index", "unique", "constraint",
+    // Skip keywords matched as a WHOLE first token (optionally directly
+    // followed by '('), never as a string prefix — `checksum int` /
+    // `indexed_at datetime` are columns, not constraints (the reference
+    // whole-line-prefix matches a shorter list, converter.py:1495-1513;
+    // all of these are reserved words in MySQL so whole-token is safe).
+    val skipKeywords = Set("key", "index", "unique", "constraint",
       "fulltext", "spatial", "foreign", "check")
     items.foreach { item =>
       val low = item.toLowerCase
+      val firstTok = low.takeWhile(c => !c.isWhitespace && c != '(')
       if (low.startsWith("primary key")) {
         val p = item.indexOf('(')
         require(p >= 0, s"PRIMARY KEY clause without columns: $item")
@@ -86,7 +92,7 @@ object DdlParser {
         // strip prefix lengths: `name`(10)
         explicitPks = splitTopLevel(cols).map { c =>
           unquoteIdent(c.takeWhile(_ != '(').trim) }
-      } else if (skipPrefixes.exists(low.startsWith)) {
+      } else if (skipKeywords.contains(firstTok)) {
         () // secondary indexes/constraints don't replicate
       } else {
         val (f, isPk) = parseColumnDef(item)
@@ -176,20 +182,21 @@ object DdlParser {
   // ----------------------------------------------------------------- ALTER
 
   private def parseAlter(sql: String): DdlOp = {
-    var rest = sql.substring("alter table".length).trim
-    // table name = first token
-    val toks0 = tokenize(rest)
-    val (db, table) = parseQualified(toks0.head)
-    rest = rest.substring(rest.indexOf(toks0.head) + toks0.head.length).trim
+    // qualified name consumed at character level — `db`.`t` must stay one
+    // name (ADVICE r1: tokenize splits it and the clause was silently lost)
+    val (db, table, rest0) = consumeQualified(sql.substring("alter table".length))
+    var rest = rest0.trim
 
     // ALTER TABLE t RENAME [TO|AS] x  → table-level rename
     val lowRest = rest.toLowerCase
     if (lowRest.startsWith("rename to ") || lowRest.startsWith("rename as ") ||
         (lowRest.startsWith("rename ") && !lowRest.startsWith("rename column") &&
          !lowRest.startsWith("rename index") && !lowRest.startsWith("rename key"))) {
-      val target = tokenize(rest).filterNot(t =>
-        Set("rename", "to", "as").contains(t.toLowerCase)).head
-      val (_, newName) = parseQualified(target)
+      var target = rest.substring("rename".length).trim
+      val lowT = target.toLowerCase
+      if (lowT.startsWith("to ") || lowT.startsWith("as "))
+        target = target.substring(2).trim
+      val (_, newName, _) = consumeQualified(target)
       return DdlOp.RenameTable(Seq(table -> newName))
     }
 
@@ -268,20 +275,17 @@ object DdlParser {
     if (ifExists) rest = rest.substring("if exists".length).trim
     // strip trailing RESTRICT/CASCADE/TEMPORARY noise; first name only
     val first = splitTopLevel(rest).head
-    val nameTok = tokenize(first).head
-    val (db, t) = parseQualified(nameTok)
+    val (db, t, _) = consumeQualified(first)
     DdlOp.DropTable(db, t, ifExists)
   }
 
   private def parseRename(sql: String): DdlOp = {
     val rest = sql.substring("rename table".length).trim
     val renames = splitTopLevel(rest).map { part =>
-      val toks = tokenize(part)
-      val toIdx = toks.indexWhere(_.equalsIgnoreCase("to"))
-      require(toIdx > 0 && toIdx < toks.length - 1,
-        s"bad RENAME clause: $part")
-      val (_, from) = parseQualified(toks.slice(0, toIdx).mkString)
-      val (_, to) = parseQualified(toks.slice(toIdx + 1, toks.length).mkString)
+      val (_, from, mid) = consumeQualified(part)
+      val midT = mid.trim
+      require(midT.toLowerCase.startsWith("to"), s"bad RENAME clause: $part")
+      val (_, to, _) = consumeQualified(midT.substring(2))
       from -> to
     }
     DdlOp.RenameTable(renames)
@@ -290,7 +294,7 @@ object DdlParser {
   private def parseTruncate(sql: String): DdlOp = {
     var rest = sql.substring("truncate".length).trim
     if (rest.toLowerCase.startsWith("table")) rest = rest.substring(5).trim
-    val (db, t) = parseQualified(tokenize(rest).head)
+    val (db, t, _) = consumeQualified(rest)
     DdlOp.TruncateTable(db, t)
   }
 

@@ -1,0 +1,151 @@
+package graft.ddl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.types.MySqlType
+import graft.types.MySqlType._
+
+import scala.jdk.CollectionConverters._
+
+/** JSON checkpointing of SchemaRegistry state (W6).
+  *
+  * The reference pickles its dual per-table `TableStructure` map and
+  * reloads it on restart (db_replicator.py:43, 60, 66-79) — without it, a
+  * resumed stream replays binlog events against the wrong schema. Here
+  * the state is a single small JSON file, rewritten atomically
+  * (tmp + move) after every applied DDL; schema state is per-table
+  * metadata, so the file is KBs even for thousands of tables.
+  */
+object RegistryStore {
+
+  private val mapper = new ObjectMapper()
+
+  def save(file: String, entries: Seq[((String, String), TableSchema)]): Unit = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("tables")
+    entries.foreach { case ((db, _), schema) => arr.add(tableNode(db, schema)) }
+    val path = Paths.get(file)
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    val tmp = path.resolveSibling("." + path.getFileName + ".tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def load(file: String): Seq[((String, String), TableSchema)] = {
+    val p = Paths.get(file)
+    if (!Files.exists(p)) return Nil
+    val root = mapper.readTree(Files.readAllBytes(p))
+    root.get("tables").elements().asScala.map { t =>
+      val db = t.get("db").asText()
+      val schema = tableFromNode(t)
+      ((db, schema.name), schema)
+    }.toSeq
+  }
+
+  // ------------------------------------------------------------ to JSON
+
+  private def tableNode(db: String, s: TableSchema): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("db", db)
+    n.put("name", s.name)
+    s.charset.foreach(n.put("charset", _))
+    n.put("idCounter", s.idCounter)
+    val pks = n.putArray("primaryKeys")
+    s.primaryKeys.foreach(pks.add)
+    val fs = n.putArray("fields")
+    s.fields.foreach { f =>
+      val fn = mapper.createObjectNode()
+      fn.put("id", f.id)
+      fn.put("name", f.name)
+      fn.put("sourceType", f.sourceType)
+      fn.put("nullable", f.nullable)
+      f.defaultExpr.foreach(fn.put("default", _))
+      fn.set[ObjectNode]("type", typeNode(f.tpe))
+      fs.add(fn)
+    }
+    n
+  }
+
+  private def typeNode(t: MySqlType): ObjectNode = {
+    val n = mapper.createObjectNode()
+    def tag(s: String): ObjectNode = { n.put("t", s); n }
+    t match {
+      case MInt(b, u) => tag("int").put("bytes", b).put("unsigned", u)
+      case MBool => tag("bool")
+      case MDecimal(p, s) => tag("decimal").put("p", p).put("s", s)
+      case MDecimalBare => tag("decimalBare")
+      case MFloat => tag("float")
+      case MDouble => tag("double")
+      case MDate => tag("date")
+      case MDateTime(f) => tag("datetime").put("fsp", f)
+      case MTimestamp(f) => tag("timestamp").put("fsp", f)
+      case MTime => tag("time")
+      case MYear => tag("year")
+      case MString(cs) => val x = tag("string"); cs.foreach(x.put("charset", _)); x
+      case MBinary(len) => val x = tag("binary"); len.foreach(x.put("length", _)); x
+      case MBit(b) => tag("bit").put("bits", b)
+      case MJson => tag("json")
+      case MEnum(vs) => val x = tag("enum"); val a = x.putArray("values"); vs.foreach(a.add); x
+      case MSet(vs) => val x = tag("set"); val a = x.putArray("values"); vs.foreach(a.add); x
+      case MPoint => tag("point")
+      case MPolygon => tag("polygon")
+      case MMultiPolygon => tag("multipolygon")
+      case MUuid => tag("uuid")
+    }
+  }
+
+  // ---------------------------------------------------------- from JSON
+
+  private def tableFromNode(t: JsonNode): TableSchema = {
+    val fields = t.get("fields").elements().asScala.map { f =>
+      FieldSchema(
+        name = f.get("name").asText(),
+        tpe = typeFromNode(f.get("type")),
+        sourceType = f.get("sourceType").asText(),
+        nullable = f.get("nullable").asBoolean(),
+        defaultExpr = Option(f.get("default")).map(_.asText()),
+        id = f.get("id").asInt())
+    }.toVector
+    TableSchema(
+      name = t.get("name").asText(),
+      fields = fields,
+      primaryKeys = t.get("primaryKeys").elements().asScala.map(_.asText()).toSeq,
+      charset = Option(t.get("charset")).map(_.asText()),
+      idCounter = t.get("idCounter").asInt())
+  }
+
+  private def typeFromNode(n: JsonNode): MySqlType = {
+    def values: Seq[String] =
+      n.get("values").elements().asScala.map(_.asText()).toSeq
+    n.get("t").asText() match {
+      case "int" => MInt(n.get("bytes").asInt(), n.get("unsigned").asBoolean())
+      case "bool" => MBool
+      case "decimal" => MDecimal(n.get("p").asInt(), n.get("s").asInt())
+      case "decimalBare" => MDecimalBare
+      case "float" => MFloat
+      case "double" => MDouble
+      case "date" => MDate
+      case "datetime" => MDateTime(n.get("fsp").asInt())
+      case "timestamp" => MTimestamp(n.get("fsp").asInt())
+      case "time" => MTime
+      case "year" => MYear
+      case "string" => MString(Option(n.get("charset")).map(_.asText()))
+      case "binary" => MBinary(Option(n.get("length")).map(_.asInt()))
+      case "bit" => MBit(n.get("bits").asInt())
+      case "json" => MJson
+      case "enum" => MEnum(values)
+      case "set" => MSet(values)
+      case "point" => MPoint
+      case "polygon" => MPolygon
+      case "multipolygon" => MMultiPolygon
+      case "uuid" => MUuid
+      case other => throw new IllegalArgumentException(s"unknown type tag '$other'")
+    }
+  }
+}

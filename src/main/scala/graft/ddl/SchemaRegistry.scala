@@ -2,44 +2,98 @@ package graft.ddl
 
 import scala.collection.mutable
 
-/** In-memory catalog of replicated table schemas, mutated by DDL events in
-  * offset order — the Spark-side twin of the reference's per-database
-  * `(mysql, clickhouse) TableStructure` state map
-  * (db_replicator.py:43, 60, 66-79; table mutation converter.py:851-1189).
+/** Catalog of replicated table schemas, keyed by (database, table) and
+  * mutated by DDL events in offset order — the Spark-side twin of the
+  * reference's per-database `(mysql, clickhouse) TableStructure` state
+  * map (db_replicator.py:43, 60, 66-79; table mutation
+  * converter.py:851-1189). Two source databases with a same-named table
+  * are distinct entries (the reference runs one replicator per db).
   *
-  * Deliberately driver-side and tiny: schema state is per-table metadata,
-  * not data. Executors only ever see the immutable `TableSchema`/
-  * `StructType` snapshots taken when a batch is planned.
+  * Responsibilities beyond a plain map:
+  *  - **column identity**: every field gets a stable `id` at CREATE /
+  *    ADD COLUMN time (monotone per table, never reused after DROP).
+  *    CHANGE/RENAME/MODIFY preserve the id — the storage layer maps
+  *    pre-rename files to current names through it (GraftTable
+  *    generations).
+  *  - **persistence (W6)**: with a `stateFile`, the full state is
+  *    JSON-checkpointed after every applied DDL and reloaded at
+  *    construction, so a restarted stream replays against the correct
+  *    evolved schema (reference resume: db_replicator.py:213-281).
+  *
+  * Driver-side and tiny by design: executors only see the immutable
+  * `TableSchema` snapshots taken when a batch is planned.
   */
-final class SchemaRegistry {
-  private val tables = mutable.LinkedHashMap.empty[String, TableSchema]
+final class SchemaRegistry(
+    val defaultDb: String = "default",
+    stateFile: Option[String] = None) {
 
-  def get(name: String): Option[TableSchema] = tables.get(name)
-  def apply(name: String): TableSchema =
-    tables.getOrElse(name, throw new NoSuchElementException(s"unknown table '$name'"))
-  def contains(name: String): Boolean = tables.contains(name)
-  def tableNames: Seq[String] = tables.keys.toSeq
+  private val tables = mutable.LinkedHashMap.empty[(String, String), TableSchema]
 
-  /** Apply one DDL statement; returns the affected table names. */
-  def applyDdl(op: DdlOp): Seq[String] = op match {
-    case DdlOp.CreateTable(_, schema) =>
-      if (tables.contains(schema.name) && schema.ifNotExists) Nil
-      else { tables(schema.name) = schema; Seq(schema.name) }
-    case DdlOp.CreateTableLike(_, t, _, src, ifNotExists) =>
-      if (tables.contains(t) && ifNotExists) Nil
+  stateFile.foreach(f => RegistryStore.load(f).foreach {
+    case (k, s) => tables(k) = s
+  })
+
+  def get(db: String, name: String): Option[TableSchema] = tables.get((db, name))
+  def get(name: String): Option[TableSchema] = get(defaultDb, name)
+  def apply(db: String, name: String): TableSchema =
+    tables.getOrElse((db, name),
+      throw new NoSuchElementException(s"unknown table '$db.$name'"))
+  def apply(name: String): TableSchema = apply(defaultDb, name)
+  def contains(db: String, name: String): Boolean = tables.contains((db, name))
+  def contains(name: String): Boolean = contains(defaultDb, name)
+  def tableKeys: Seq[(String, String)] = tables.keys.toSeq
+  def tableNames: Seq[String] = tables.keys.map(_._2).toSeq
+
+  private def checkpoint(): Unit =
+    stateFile.foreach(f => RegistryStore.save(f, tables.toSeq))
+
+  /** Assign fresh ids to a parser-produced schema (CREATE TABLE). */
+  private def withIds(s: TableSchema): TableSchema = {
+    val fields = s.fields.zipWithIndex.map { case (f, i) => f.copy(id = i) }
+    s.copy(fields = fields, idCounter = fields.length - 1)
+  }
+
+  /** Apply one DDL statement in database `eventDb` (ops may carry their
+    * own qualified db which wins); returns the affected table names. */
+  def applyDdl(eventDb: String, op: DdlOp): Seq[String] = {
+    val affected = applyDdl0(eventDb, op)
+    if (affected.nonEmpty) checkpoint()
+    affected
+  }
+
+  def applyDdl(op: DdlOp): Seq[String] = applyDdl(defaultDb, op)
+
+  private def applyDdl0(eventDb: String, op: DdlOp): Seq[String] = op match {
+    case DdlOp.CreateTable(d0, schema) =>
+      val db = d0.getOrElse(eventDb)
+      if (tables.contains((db, schema.name)) && schema.ifNotExists) Nil
+      else { tables((db, schema.name)) = withIds(schema); Seq(schema.name) }
+
+    case DdlOp.CreateTableLike(d0, t, srcDb0, src, ifNotExists) =>
+      val db = d0.getOrElse(eventDb)
+      val srcDb = srcDb0.getOrElse(eventDb)
+      if (tables.contains((db, t)) && ifNotExists) Nil
       else {
-        val s = apply(src)
-        tables(t) = s.copy(name = t)
+        val s = apply(srcDb, src)
+        tables((db, t)) = s.copy(name = t)
         Seq(t)
       }
-    case DdlOp.AlterTable(_, t, ops) =>
-      var schema = apply(t)
+
+    case DdlOp.AlterTable(d0, t, ops) =>
+      val db = d0.getOrElse(eventDb)
+      var schema = apply(db, t)
       ops.foreach {
-        case AlterOp.AddColumn(f, pos) => schema = schema.addColumn(f, pos)
+        case AlterOp.AddColumn(f, pos) =>
+          val id = schema.idCounter + 1
+          schema = schema.addColumn(f.copy(id = id), pos)
+            .copy(idCounter = id)
         case AlterOp.DropColumn(c) => schema = schema.dropColumn(c)
-        case AlterOp.ModifyColumn(f, pos) => schema = schema.modifyColumn(f, pos)
+        case AlterOp.ModifyColumn(f, pos) =>
+          val keep = schema.fields(schema.fieldIndex(f.name)).id
+          schema = schema.modifyColumn(f.copy(id = keep), pos)
         case AlterOp.ChangeColumn(from, f, pos) =>
-          schema = schema.changeColumn(from, f)
+          val keep = schema.fields(schema.fieldIndex(from)).id
+          schema = schema.changeColumn(from, f.copy(id = keep))
           pos.foreach { p =>
             val moved = schema.fields(schema.fieldIndex(f.name))
             schema = schema.copy(fields =
@@ -49,22 +103,29 @@ final class SchemaRegistry {
         case AlterOp.RenameColumn(from, to) => schema = schema.renameColumn(from, to)
         case AlterOp.Noop => ()
       }
-      tables(t) = schema
+      tables((db, t)) = schema
       Seq(t)
-    case DdlOp.DropTable(_, t, ifExists) =>
-      if (!tables.contains(t) && !ifExists)
-        throw new NoSuchElementException(s"DROP TABLE: unknown '$t'")
-      tables.remove(t).map(_ => t).toSeq
+
+    case DdlOp.DropTable(d0, t, ifExists) =>
+      val db = d0.getOrElse(eventDb)
+      if (!tables.contains((db, t)) && !ifExists)
+        throw new NoSuchElementException(s"DROP TABLE: unknown '$db.$t'")
+      tables.remove((db, t)).map(_ => t).toSeq
+
     case DdlOp.RenameTable(renames) =>
       renames.flatMap { case (from, to) =>
-        tables.remove(from) match {
-          case Some(s) => tables(to) = s.copy(name = to); Seq(from, to)
-          case None => throw new NoSuchElementException(s"RENAME: unknown '$from'")
+        tables.remove((eventDb, from)) match {
+          case Some(s) => tables((eventDb, to)) = s.copy(name = to); Seq(from, to)
+          case None => throw new NoSuchElementException(s"RENAME: unknown '$eventDb.$from'")
         }
       }
+
     case DdlOp.TruncateTable(_, t) => Seq(t) // data op; schema unchanged
+
     case DdlOp.Ignored => Nil
   }
 
   def applySql(sql: String): Seq[String] = applyDdl(DdlParser.parse(sql))
+  def applySql(db: String, sql: String): Seq[String] =
+    applyDdl(db, DdlParser.parse(sql))
 }

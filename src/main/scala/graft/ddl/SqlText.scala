@@ -143,6 +143,35 @@ object SqlText {
     else t
   }
 
+  /** Consume a leading qualified name — ident ['.' ident], each part
+    * optionally backticked — off the front of raw statement text.
+    * Returns (db, name, rest). The reference whitespace-splits so
+    * `` `db`.`t` `` stays one token (converter.py:681-688); our tokenizer
+    * treats '`' as a boundary, so ALTER/DROP/RENAME/TRUNCATE consume the
+    * name at character level with this instead of `tokenize(...).head`.
+    */
+  def consumeQualified(s: String): (Option[String], String, String) = {
+    val t = s.trim
+    require(t.nonEmpty, "empty name")
+    def ident(i0: Int): (String, Int) =
+      if (t(i0) == '`') {
+        val j = t.indexOf('`', i0 + 1)
+        require(j > 0, s"unterminated backtick in: $s")
+        (t.substring(i0 + 1, j), j + 1)
+      } else {
+        var j = i0
+        while (j < t.length && !t(j).isWhitespace && t(j) != '.' &&
+               t(j) != '(' && t(j) != ',' && t(j) != '`' && t(j) != ';') j += 1
+        require(j > i0, s"expected identifier at '${t.substring(i0)}'")
+        (t.substring(i0, j), j)
+      }
+    val (first, i1) = ident(0)
+    if (i1 < t.length && t(i1) == '.') {
+      val (second, i2) = ident(i1 + 1)
+      (Some(first), second, t.substring(i2))
+    } else (None, first, t.substring(i1))
+  }
+
   /** `db.table` / `` `db`.`table` `` → (Some(db), table). */
   def parseQualified(s: String): (Option[String], String) = {
     val t = s.trim

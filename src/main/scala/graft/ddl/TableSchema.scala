@@ -6,13 +6,19 @@ import org.apache.spark.sql.types._
 /** One column: the Spark-side twin of the reference's `TableField`
   * (table_structure.py:5-10) — except the type is a parsed ADT, not the
   * raw MySQL string (the string is kept for round-tripping).
+  *
+  * `id` is a stable per-table column identity assigned by the
+  * SchemaRegistry (-1 until registered, monotone, never reused). It is
+  * what lets the storage layer read files written before a CHANGE/RENAME
+  * COLUMN under the column's current name — names change, ids don't.
   */
 final case class FieldSchema(
     name: String,
     tpe: MySqlType,
     sourceType: String,
     nullable: Boolean = true,
-    defaultExpr: Option[String] = None) {
+    defaultExpr: Option[String] = None,
+    id: Int = -1) {
 
   def toStructField: StructField =
     StructField(name, MySqlType.toSpark(tpe), nullable,
@@ -24,12 +30,16 @@ final case class FieldSchema(
   * payloads are positional, and ALTER ... FIRST/AFTER must keep our order
   * in lock-step with MySQL's (SURVEY.md §7 risks).
   */
+/** `idCounter` = highest column id ever assigned in this table (maintained
+  * by the SchemaRegistry; ids are never reused after DROP so storage
+  * generations can't alias a re-added column onto dropped data). */
 final case class TableSchema(
     name: String,
     fields: Vector[FieldSchema],
     primaryKeys: Seq[String],
     charset: Option[String] = None,
-    ifNotExists: Boolean = false) {
+    ifNotExists: Boolean = false,
+    idCounter: Int = -1) {
 
   def toStructType: StructType = StructType(fields.map(_.toStructField))
 

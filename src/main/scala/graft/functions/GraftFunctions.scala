@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine-native SQL functions, registered through the public
+  * `SparkSessionExtensions.injectFunction` hook (wired by
+  * [[graft.GraftExtensions]] / `GraftSession.builder`). Registration makes
+  * the custom Catalyst expressions first-class: callable from SQL text,
+  * resolvable by `Column.fn`, visible in EXPLAIN by pretty name.
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[WkbDecode].getName, null, name, usage, "")
+
+  private def one(name: String, usage: String)(build: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(args.length == 1, s"$name expects 1 argument")
+      build(args.head)
+    })
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    one("graft_wkb_point", "decode MySQL WKB POINT bytes to struct(x,y)")(
+      WkbDecode(_, WkbKind.Point)),
+    one("graft_wkb_polygon", "decode MySQL WKB POLYGON outer ring")(
+      WkbDecode(_, WkbKind.Polygon)),
+    one("graft_wkb_multipolygon", "decode MySQL WKB MULTIPOLYGON outer rings")(
+      WkbDecode(_, WkbKind.MultiPolygon)))
+
+  def register(ext: SparkSessionExtensions): Unit =
+    all.foreach(ext.injectFunction)
+}

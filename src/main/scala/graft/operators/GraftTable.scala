@@ -1,9 +1,20 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** A column of a replicated table: `id` is the stable identity assigned
+  * by the SchemaRegistry (survives CHANGE/RENAME COLUMN), `name`/`dataType`
+  * are the *current* ones.
+  */
+final case class GraftColumn(id: Int, name: String, dataType: DataType,
+                             nullable: Boolean = true) {
+  def toStructField: StructField = StructField(name, dataType, nullable)
+}
 
 /** A replicated target table: append-only parquet + `_version` +
   * `_deleted`, read through the FINAL dedup view.
@@ -15,6 +26,27 @@ import org.apache.spark.sql.types._
   * `max_by(row, _version)` at read, with `compact()` playing the role of
   * the background merge / periodic OPTIMIZE (db_optimizer.py:57-113).
   *
+  * == Layout ==
+  * {{{
+  * root/meta/gen-N.json      // column (id,name,type) list per generation
+  * root/data/gen=N/[_bucket=K/]part-*.parquet
+  * }}}
+  *
+  * **Schema generations** make CHANGE/RENAME COLUMN a metadata-only
+  * operation (like ClickHouse `ALTER ... RENAME COLUMN`,
+  * converter.py:1098-1189) instead of a 100 TB rewrite: files stay where
+  * they are; each generation records the column names/types its files
+  * were written with, and reads map every generation to the *current*
+  * names via the stable column ids. Pure ADD COLUMN updates the current
+  * generation in place (parquet null-fills missing columns by name);
+  * rename / retype / drop start a new generation.
+  *
+  * **PK bucketing**: with a single integral primary key, files are
+  * partitioned by `_bucket = floor(pk / 4294967)` — the reference's
+  * `PARTITION BY intDiv(id, 4294967)` (clickhouse_api.py:249-251) — so
+  * point lookups and PK-range scans prune partitions instead of scanning
+  * 100 TB. `lookup()` plants the partition filter.
+  *
   * Scale design:
   *  - writes are blind appends — no read-modify-write, so ingest
   *    parallelism is unbounded and replays are idempotent (same
@@ -24,57 +56,195 @@ import org.apache.spark.sql.types._
   *    deferred merges under the hood);
   *  - the FINAL aggregate shuffles on the PK — the same partitioning a
   *    downstream PK join reuses;
-  *  - `compact()` bounds read amplification exactly like OPTIMIZE FINAL.
+  *  - `compact()` bounds read amplification and collapses generations,
+  *    exactly like OPTIMIZE FINAL merging parts.
   */
 final class GraftTable(
     spark: SparkSession,
     val root: String,
     val keys: Seq[String],
-    val payloadSchema: StructType) {
+    val columns: Seq[GraftColumn]) {
 
   private val dataDir = s"$root/data"
+  private val metaDir = s"$root/meta"
   val metaCols: Seq[String] = Seq("_version", "_deleted")
+
+  val payloadSchema: StructType = StructType(columns.map(_.toStructField))
 
   private def fs = new Path(root).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------- PK bucketing
+
+  /** Reference bucket width: intDiv(pk, 4294967), clickhouse_api.py:249. */
+  private val BucketWidth = 4294967L
+
+  private val bucketKey: Option[GraftColumn] = keys match {
+    case Seq(k) => columns.find(c => c.name == k && (c.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }))
+    case _ => None
+  }
+
+  private def bucketExpr(pk: Column): Column =
+    floor(pk.cast(LongType) / BucketWidth).cast(IntegerType)
+
+  // ---------------------------------------------------------- meta/gens
+
+  private case class Gen(n: Int, cols: Seq[GraftColumn])
+
+  private def genMetaPath(n: Int) = new Path(s"$metaDir/gen-$n.json")
+  private def genDataPath(n: Int) = s"$dataDir/gen=$n"
+
+  private def writeGenMeta(n: Int, cols: Seq[GraftColumn]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    cols.foreach { c =>
+      val o = mapper.createObjectNode()
+      o.put("id", c.id)
+      o.put("name", c.name)
+      o.put("type", c.dataType.json)
+      o.put("nullable", c.nullable)
+      arr.add(o)
+    }
+    val out = fs.create(genMetaPath(n), true)
+    try out.write(mapper.writeValueAsString(arr)
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readGenMeta(p: Path): Seq[GraftColumn] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(p)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    import scala.jdk.CollectionConverters._
+    mapper.readTree(bytes).elements().asScala.map { o =>
+      GraftColumn(o.get("id").asInt(), o.get("name").asText(),
+        DataType.fromJson(o.get("type").asText()),
+        o.get("nullable").asBoolean())
+    }.toSeq
+  }
+
+  private def listGens(): Seq[Gen] =
+    if (!fs.exists(new Path(metaDir))) Nil
+    else fs.listStatus(new Path(metaDir)).toSeq
+      .map(_.getPath)
+      .flatMap { p =>
+        val m = """gen-(\d+)\.json""".r.findFirstMatchIn(p.getName)
+        m.map(g => Gen(g.group(1).toInt, readGenMeta(p)))
+      }
+      .sortBy(_.n)
+
+  private def sameCols(a: Seq[GraftColumn], b: Seq[GraftColumn]): Boolean =
+    a.map(c => (c.id, c.name, c.dataType)).toSet ==
+      b.map(c => (c.id, c.name, c.dataType)).toSet
+
+  /** Reconcile stored generation metadata with this handle's (current)
+    * columns: no meta yet → gen 0; pure column additions → update the
+    * current generation in place; rename / retype / drop → start a new
+    * generation (old files keep their names; reads re-alias by id). */
+  private var gensCache: Seq[Gen] = null
+  private def gens: Seq[Gen] = {
+    if (gensCache == null) gensCache = reconcile()
+    gensCache
+  }
+
+  private def reconcile(): Seq[Gen] = {
+    val existing = listGens()
+    if (existing.isEmpty) {
+      writeGenMeta(0, columns)
+      Seq(Gen(0, columns))
+    } else {
+      val cur = existing.last
+      if (sameCols(cur.cols, columns)) existing
+      else {
+        val curById = cur.cols.map(c => c.id -> c).toMap
+        val changed = columns.exists(c => curById.get(c.id)
+          .exists(o => o.name != c.name || o.dataType != c.dataType))
+        val dropped = cur.cols.exists(c => !columns.exists(_.id == c.id))
+        if (changed || dropped) {
+          val n = cur.n + 1
+          writeGenMeta(n, columns)
+          existing :+ Gen(n, columns)
+        } else { // pure addition
+          writeGenMeta(cur.n, columns)
+          existing.init :+ Gen(cur.n, columns)
+        }
+      }
+    }
+  }
 
   def exists: Boolean = fs.exists(new Path(dataDir))
 
   private def align(df: DataFrame): DataFrame = {
     val present = df.columns.toSet
-    df.select(payloadSchema.fields.toIndexedSeq.map { f =>
-      (if (present.contains(f.name)) col(f.name)
-       else lit(null)).cast(f.dataType).as(f.name)
+    df.select(columns.toIndexedSeq.map { c =>
+      (if (present.contains(c.name)) col(c.name)
+       else lit(null)).cast(c.dataType).as(c.name)
     }: _*)
+  }
+
+  private def currentGen: Int = gens.last.n
+
+  private def writeBatch(df: DataFrame, version: Long,
+                         deleted: Boolean): Unit = {
+    val stamped = align(df)
+      .withColumn("_version", lit(version))
+      .withColumn("_deleted", lit(deleted))
+    val w = bucketKey match {
+      case Some(k) => stamped.withColumn("_bucket", bucketExpr(col(k.name)))
+        .write.partitionBy("_bucket")
+      case None => stamped.write
+    }
+    w.mode(SaveMode.Append).parquet(genDataPath(currentGen))
   }
 
   /** Upsert a batch of row images at `version` (reference insert +
     * `_version` stamping, clickhouse_api.py:303-366). Caller is expected
     * to have LWW-collapsed the batch to one image per key. */
   def append(df: DataFrame, version: Long): Unit =
-    align(df)
-      .withColumn("_version", lit(version))
-      .withColumn("_deleted", lit(false))
-      .write.mode(SaveMode.Append).parquet(dataDir)
+    writeBatch(df, version, deleted = false)
 
   /** Delete by key at `version`: tombstone rows with NULL payload
     * (reference erase, clickhouse_api.py:368-400). */
   def delete(keyDf: DataFrame, version: Long): Unit =
-    align(keyDf.select(keys.map(col): _*))
-      .withColumn("_version", lit(version))
-      .withColumn("_deleted", lit(true))
-      .write.mode(SaveMode.Append).parquet(dataDir)
+    writeBatch(keyDf.select(keys.map(col): _*), version, deleted = true)
 
-  /** The raw versioned log (all appends + tombstones). */
-  def log: DataFrame =
-    if (exists) spark.read.schema(fullSchema).parquet(dataDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
+  private def metaFields: Seq[StructField] = Seq(
+    StructField("_version", LongType, nullable = false),
+    StructField("_deleted", BooleanType, nullable = false))
 
-  private def fullSchema: StructType =
-    StructType(payloadSchema.fields.toIndexedSeq ++ Seq(
-      StructField("_version", LongType, nullable = false),
-      StructField("_deleted", BooleanType, nullable = false)))
+  private def emptyLog: DataFrame = {
+    val full = StructType((payloadSchema.fields ++ metaFields).toIndexedSeq)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+  }
+
+  /** The raw versioned log (all appends + tombstones), every generation
+    * re-aliased to the current column names/types via the stable ids. */
+  def log: DataFrame = {
+    val parts = gens.flatMap { g =>
+      val p = genDataPath(g.n)
+      if (!fs.exists(new Path(p))) None
+      else {
+        val genStruct = StructType((g.cols.map(_.toStructField) ++ metaFields).toIndexedSeq)
+        val raw = spark.read.schema(genStruct).parquet(p)
+        val byId = g.cols.map(c => c.id -> c).toMap
+        val sel = columns.map { c =>
+          byId.get(c.id) match {
+            case Some(o) => col(o.name).cast(c.dataType).as(c.name)
+            case None => lit(null).cast(c.dataType).as(c.name)
+          }
+        } ++ metaCols.map(col)
+        Some(raw.select(sel.toIndexedSeq: _*))
+      }
+    }
+    if (parts.isEmpty) emptyLog
+    else parts.reduce(_ unionByName _)
+  }
 
   /** FINAL view: latest version per key, tombstones dropped — what
     * `SELECT ... FINAL` returns in the reference (db_replicator.py:202-211). */
@@ -83,6 +253,46 @@ final class GraftTable(
       version = struct(col("_version"), col("_deleted")),
       isDelete = col("_deleted"))
       .select(payloadSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Point lookup through the FINAL view with partition pruning: the
+    * `_bucket` predicate is planted *under* the dedup aggregate, so only
+    * the key's bucket directory is scanned (at 100 TB: one partition, not
+    * the table). */
+  def lookup(keyValue: Any): DataFrame = {
+    val pk = keys.head
+    val pruned = bucketKey match {
+      case Some(k) =>
+        // recompute the file-side bucket from the literal
+        val b = math.floorDiv(keyValue.toString.toLong, BucketWidth).toInt
+        logPruned(b).filter(col(pk) === lit(keyValue))
+      case None => log.filter(col(pk) === lit(keyValue))
+    }
+    FinalView.finalView(pruned, keys,
+      version = struct(col("_version"), col("_deleted")),
+      isDelete = col("_deleted"))
+      .select(payloadSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Like [[log]] but reading only one `_bucket` partition per gen. */
+  private def logPruned(bucket: Int): DataFrame = {
+    val parts = gens.flatMap { g =>
+      val p = s"${genDataPath(g.n)}/_bucket=$bucket"
+      if (!fs.exists(new Path(p))) None
+      else {
+        val genStruct = StructType((g.cols.map(_.toStructField) ++ metaFields).toIndexedSeq)
+        val raw = spark.read.schema(genStruct).parquet(p)
+        val byId = g.cols.map(c => c.id -> c).toMap
+        val sel = columns.map { c =>
+          byId.get(c.id) match {
+            case Some(o) => col(o.name).cast(c.dataType).as(c.name)
+            case None => lit(null).cast(c.dataType).as(c.name)
+          }
+        } ++ metaCols.map(col)
+        Some(raw.select(sel.toIndexedSeq: _*))
+      }
+    }
+    if (parts.isEmpty) emptyLog else parts.reduce(_ unionByName _)
+  }
 
   /** Max stamped version (reference version-counter consolidation,
     * clickhouse_api.py:444-467). -1 when empty. */
@@ -94,14 +304,22 @@ final class GraftTable(
 
   /** OPTIMIZE analogue: materialize the FINAL view (keeping each
     * survivor's `_version`) and atomically swap the data directory.
-    * Bounds read amplification after long append runs. */
+    * Also collapses all generations into the current one — the same
+    * part-merge work ClickHouse's OPTIMIZE FINAL does. */
   def compact(): Unit = {
     if (!exists) return
+    val cur = currentGen
     val keep = FinalView.latestByKey(log, keys,
       struct(col("_version"), col("_deleted")))
       .filter(!col("_deleted"))
     val tmp = new Path(s"$root/.compact-${System.nanoTime()}")
-    keep.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val tmpGen = s"$tmp/gen=$cur"
+    val w = bucketKey match {
+      case Some(k) => keep.withColumn("_bucket", bucketExpr(col(k.name)))
+        .write.partitionBy("_bucket")
+      case None => keep.write
+    }
+    w.mode(SaveMode.Overwrite).parquet(tmpGen)
     val data = new Path(dataDir)
     val old = new Path(s"$root/.old-${System.nanoTime()}")
     if (!fs.rename(data, old))
@@ -111,6 +329,10 @@ final class GraftTable(
       throw new java.io.IOException(s"compact: cannot swap $dataDir")
     }
     fs.delete(old, true)
+    // drop superseded generation metadata; current gen holds everything
+    gens.filter(_.n != cur).foreach(g => fs.delete(genMetaPath(g.n), false))
+    writeGenMeta(cur, columns)
+    gensCache = null
   }
 
   /** TRUNCATE: drop all data, keep the table (db_replicator_realtime.py:268-302). */
@@ -121,7 +343,16 @@ final class GraftTable(
 }
 
 object GraftTable {
+  /** Positional ids — for tables that never rename columns (snapshots,
+    * tests, queries). CDC tables get registry-assigned ids instead. */
   def apply(spark: SparkSession, root: String, keys: Seq[String],
             payloadSchema: StructType): GraftTable =
-    new GraftTable(spark, root, keys, payloadSchema)
+    new GraftTable(spark, root, keys,
+      payloadSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        GraftColumn(i, f.name, f.dataType, f.nullable)
+      })
+
+  def apply(spark: SparkSession, root: String, keys: Seq[String],
+            columns: Seq[GraftColumn]): GraftTable =
+    new GraftTable(spark, root, keys, columns)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ddl.TableSchema
+import graft.functions.Wkb
 import graft.types.MySqlType
 import graft.types.MySqlType._
 
@@ -43,7 +44,8 @@ object RecordConversion {
     case MTimestamp(_) => lit("1970-01-01 00:00:00").cast(TimestampType)
     case MTime => lit("00:00:00")
     case MString(_) | MJson | MUuid => lit("")
-    case MBinary => lit(Array.emptyByteArray)
+    case MBinary(Some(n)) => lit(new Array[Byte](n)) // NUL-padded to n
+    case MBinary(None) => lit(Array.emptyByteArray)
     case MEnum(vs) => lit(vs.headOption.getOrElse("")) // first enum value
     case MSet(_) => lit("")
     case MPoint => struct(lit(0.0f).as("x"), lit(0.0f).as("y"))
@@ -55,14 +57,22 @@ object RecordConversion {
   /** X4 — enum wire value → label: 1-based index into the (lowercased)
     * value list; 0 = MySQL's "invalid empty" enum, mapped to '' ; string
     * wire values are lowercased and passed through
-    * (enum/converter.py:28-66). */
+    * (enum/converter.py:28-66). The reference distinguishes int vs string
+    * wire values by *type*; our spool wire is all-string, so a digit
+    * string that is itself one of the labels (enum('1','2')) is treated
+    * as the label, and only non-label digit strings as 1-based indexes
+    * (ADVICE r1). Ambiguity remains only for numeric labels that collide
+    * with valid indexes — there label wins, which matches what a SQL
+    * client literally inserted. */
   def enumDecode(c: Column, values: Seq[String]): Column = {
     val labels = array(values.map(v => lit(v.toLowerCase)): _*)
+    val asStr = lower(c.cast(StringType))
     when(c.isNull, lit(null).cast(StringType))
+      .when(array_contains(labels, asStr), asStr)
       .when(c.cast(StringType).rlike("^[0-9]+$"),
         when(c.cast(IntegerType) === 0, lit(""))
           .otherwise(element_at(labels, c.cast(IntegerType))))
-      .otherwise(lower(c.cast(StringType)))
+      .otherwise(asStr)
   }
 
   /** X5 — set wire value: bitmask → comma-joined labels in definition
@@ -116,12 +126,15 @@ object RecordConversion {
     */
   def convert(df: DataFrame, schema: TableSchema,
               mysqlTimezone: String = "UTC"): DataFrame = {
-    val present = df.columns.toSet
+    val wireTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = schema.fields.map { f =>
       val target = MySqlType.toSpark(f.tpe)
-      val base: Column =
-        if (!present.contains(f.name)) lit(null).cast(target)
-        else convertColumn(col(f.name), f.tpe, f.nullable, mysqlTimezone)
+      val base: Column = wireTypes.get(f.name) match {
+        case None => lit(null).cast(target)
+        case Some(wt) =>
+          convertColumn(col(f.name), wt, f.tpe, f.nullable, mysqlTimezone,
+            schema.charset)
+      }
       val withDefault =
         if (f.nullable) base
         else coalesce(base, defaultLiteral(f.tpe).cast(target))
@@ -131,8 +144,25 @@ object RecordConversion {
     df.select(cols: _*)
   }
 
-  private def convertColumn(c: Column, t: MySqlType, nullable: Boolean,
-                            tz: String): Column = t match {
+  /** X3 — charset decode: text bytes off the wire decode with the
+    * column (else table) charset (converter.py:643-648; CHARSET map
+    * 19-62). Only applies when the wire column is actually binary —
+    * already-decoded strings pass through. */
+  def charsetDecode(c: Column, colCharset: Option[String],
+                    tableCharset: Option[String]): Column = {
+    val cs = colCharset.orElse(tableCharset)
+      .map(graft.types.Charsets.javaName).getOrElse("UTF-8")
+    decode(c, cs)
+  }
+
+  /** binary(n): MySQL right-pads values with NUL bytes to exactly n
+    * (tests/test_data_types.py:240-259 expects the padding preserved). */
+  def binaryPad(c: Column, n: Int): Column =
+    rpad(c.cast(BinaryType), n, Array[Byte](0))
+
+  private def convertColumn(c: Column, wire: DataType, t: MySqlType,
+                            nullable: Boolean, tz: String,
+                            tableCharset: Option[String]): Column = t match {
     case MInt(b, true) => unsignedFixup(c, b)
     case MInt(_, false) => c
     case MEnum(vs) => enumDecode(c, vs)
@@ -149,6 +179,16 @@ object RecordConversion {
     case MBit(1) | MBool => c.cast(BooleanType)
     case MTime => c.cast(StringType) // X8: stringified interval
     case MJson => c.cast(StringType) // X7: canonical text passthrough
+    case MString(cs) if wire == BinaryType => charsetDecode(c, cs, tableCharset)
+    case MBinary(Some(n)) => binaryPad(c, n)
+    case MPoint => Wkb.decodePoint(toWkbBytes(c, wire))
+    case MPolygon => Wkb.decodePolygon(toWkbBytes(c, wire))
+    case MMultiPolygon => Wkb.decodeMultiPolygon(toWkbBytes(c, wire))
     case _ => c
   }
+
+  /** WKB columns arrive as raw bytes, or as hex text from JSON spools
+    * (JSON can't carry bytes; the spool hex-encodes them). */
+  private def toWkbBytes(c: Column, wire: DataType): Column =
+    if (wire == BinaryType) c else unhex(c)
 }

@@ -6,9 +6,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.GraftConfig
-import graft.ddl.{DdlOp, DdlParser, SchemaRegistry}
-import graft.operators.{FinalView, GraftTable, RecordConversion}
+import graft.ddl.{DdlOp, DdlParser, SchemaRegistry, TableSchema}
+import graft.operators.{FinalView, GraftColumn, GraftTable, RecordConversion}
 import graft.sources.EventSpool
+import graft.types.MySqlType
 
 import scala.collection.mutable
 
@@ -25,14 +26,22 @@ import scala.collection.mutable
   *
   *  1. split the micro-batch at DDL boundaries (seq order) — the
   *     reference's flush-before-DDL barrier (db_replicator_realtime.py:183-196);
-  *  2. per segment, per table: parse row JSON with the schema *as of that
-  *     segment*, LWW-collapse per PK (A1), convert (X1-X12), then append
-  *     images / tombstones stamped with a monotone version;
+  *  2. per segment, per (db, table): parse row JSON with the schema *as
+  *     of that segment*, LWW-collapse per PK (A1), convert (X1-X12), then
+  *     append images / tombstones stamped with a monotone version;
   *  3. apply the DDL to the SchemaRegistry + storage, then continue.
   *
-  * Versions are `batchId << 20 | segment` — monotone across batches and
-  * across DDL barriers within a batch; replayed batches restamp the same
-  * versions, so the FINAL view makes redelivery idempotent (W1).
+  * Versions are `(batchId + 1) << 20 | segment` — monotone across batches
+  * and across DDL barriers within a batch, and strictly above the
+  * snapshot's version 0 even for batch 0 (an update in the very first
+  * micro-batch must beat the snapshot image it follows). Replayed batches
+  * restamp the same versions, so the FINAL view makes redelivery
+  * idempotent (W1).
+  *
+  * Tables are keyed by **source** (db, table) — two databases with a
+  * same-named table never share storage or schema state; `target_databases`
+  * / `target_tables` remaps (F4, config.py:199-200, 362-364) apply to the
+  * warehouse path only, for DML and DDL alike.
   */
 final class CdcPipeline(
     spark: SparkSession,
@@ -40,16 +49,29 @@ final class CdcPipeline(
     registry: SchemaRegistry,
     warehouseDir: String) {
 
-  private val tables = mutable.Map.empty[String, GraftTable]
+  private val tables = mutable.Map.empty[(String, String), GraftTable]
 
-  def table(name: String): GraftTable = tables.getOrElseUpdate(name, {
-    val schema = registry(name)
-    GraftTable(spark, s"$warehouseDir/$name", schema.primaryKeys,
-      schema.toStructType)
-  })
+  private def graftColumns(schema: TableSchema): Seq[GraftColumn] =
+    schema.fields.map(f =>
+      GraftColumn(f.id, f.name, MySqlType.toSpark(f.tpe), f.nullable))
+
+  /** Warehouse location — target names (F4 remap) live only here. */
+  private def tablePath(db: String, tbl: String): String =
+    s"$warehouseDir/${config.targetDatabase(db)}/${config.targetTable(db, tbl)}"
+
+  def table(db: String, tbl: String): GraftTable =
+    tables.getOrElseUpdate((db, tbl), {
+      val schema = registry(db, tbl)
+      GraftTable(spark, tablePath(db, tbl), schema.primaryKeys,
+        graftColumns(schema))
+    })
+
+  /** Default-db convenience (tests / single-db deployments). */
+  def table(tbl: String): GraftTable = table(registry.defaultDb, tbl)
 
   /** Drop cached handle (schema changed / table dropped). */
-  private def invalidate(name: String): Unit = tables.remove(name)
+  private def invalidate(db: String, tbl: String): Unit =
+    tables.remove((db, tbl))
 
   def start(spoolDir: String, checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
@@ -78,7 +100,8 @@ final class CdcPipeline(
         val hi = ddl.getLong(0)
         flushSegment(dml.filter(col("seq") > lo && col("seq") < hi),
           version(batchId, segment))
-        applyDdl(ddl.getString(2))
+        applyDdl(Option(ddl.getString(1)).getOrElse(registry.defaultDb),
+          ddl.getString(2))
         lo = hi
         segment += 1
       }
@@ -86,8 +109,10 @@ final class CdcPipeline(
     } finally dml.unpersist()
   }
 
+  /** batchId+1 so batch 0 stamps above the snapshot's version 0
+    * (Snapshot.scala — ADVICE r1: a first-batch update must not tie). */
   private def version(batchId: Long, segment: Int): Long =
-    (batchId << 20) | segment.toLong
+    ((batchId + 1) << 20) | segment.toLong
 
   private def flushSegment(dml: DataFrame, version: Long): Unit = {
     // one driver-side pass to learn which tables have traffic — bounded by
@@ -98,17 +123,16 @@ final class CdcPipeline(
         config.tableMatches(r.getString(1)))
     active.foreach { r =>
       val (db, tbl) = (r.getString(0), r.getString(1))
-      val target = config.targetTable(db, tbl)
-      if (registry.contains(target))
+      if (registry.contains(db, tbl))
         flushTable(dml.filter(col("db") === db && col("table") === tbl),
-          target, version)
+          db, tbl, version)
     }
   }
 
-  private def flushTable(events: DataFrame, target: String,
+  private def flushTable(events: DataFrame, db: String, tbl: String,
                          version: Long): Unit = {
-    val schema = registry(target)
-    val tbl = table(target)
+    val schema = registry(db, tbl)
+    val target = table(db, tbl)
     // wire schema: every field as string; RecordConversion casts/decodes.
     val wire = StructType(schema.fields.map(f =>
       org.apache.spark.sql.types.StructField(f.name,
@@ -130,46 +154,83 @@ final class CdcPipeline(
       .select(schema.primaryKeys.map(col): _*)
 
     val converted = RecordConversion.convert(adds, schema, config.mysqlTimezone)
-    if (!converted.isEmpty) tbl.append(converted, version)
+    if (!converted.isEmpty) target.append(converted, version)
     if (!removes.isEmpty) {
       // REMOVE payloads carry PKs only (converter.py:575-583); convert just
       // the key columns so typed keys match the stored images.
       val keySchema = schema.copy(fields =
         schema.fields.filter(f => schema.primaryKeys.contains(f.name)))
-      tbl.delete(RecordConversion.convert(removes, keySchema,
+      target.delete(RecordConversion.convert(removes, keySchema,
         config.mysqlTimezone), version)
     }
   }
 
-  private def applyDdl(sql: String): Unit = {
+  /** Does DDL touching (db, t) replicate here? Mirrors the reference's
+    * `matches_config` early-return (converter.py:711-724,
+    * db_replicator_realtime.py:226-251) — DDL against filtered or
+    * never-created tables must not kill the stream (ADVICE r1). */
+  private def replicated(db: String, t: String): Boolean =
+    config.databaseMatches(db) && config.tableMatches(t) &&
+      registry.contains(db, t)
+
+  private def applyDdl(eventDb: String, sql: String): Unit = {
     val op = DdlParser.parse(sql, config.typesMapping)
+    def db(o: Option[String]): String = o.getOrElse(eventDb)
     op match {
-      case DdlOp.TruncateTable(_, t) =>
-        val target = resolveTarget(t)
-        if (registry.contains(target)) table(target).truncate()
-      case DdlOp.DropTable(_, t, _) =>
-        val target = resolveTarget(t)
-        if (registry.contains(target)) { table(target).drop(); invalidate(target) }
+      case DdlOp.Ignored => ()
+
+      case DdlOp.CreateTable(d0, s) =>
+        val d = db(d0)
+        if (config.databaseMatches(d) && config.tableMatches(s.name)) {
+          registry.applyDdl(eventDb, op)
+          invalidate(d, s.name)
+        }
+
+      case DdlOp.CreateTableLike(d0, t, _, _, _) =>
+        val d = db(d0)
+        if (config.databaseMatches(d) && config.tableMatches(t)) {
+          registry.applyDdl(eventDb, op)
+          invalidate(d, t)
+        }
+
+      case DdlOp.AlterTable(d0, t, _) =>
+        val d = db(d0)
+        if (replicated(d, t)) {
+          registry.applyDdl(eventDb, op)
+          // schema changed → rebuild the handle; the table reconciles its
+          // generation metadata (rename/retype → new gen) on next use
+          invalidate(d, t)
+        }
+
+      case DdlOp.TruncateTable(d0, t) =>
+        val d = db(d0)
+        if (replicated(d, t)) table(d, t).truncate()
+
+      case DdlOp.DropTable(d0, t, _) =>
+        val d = db(d0)
+        if (replicated(d, t)) {
+          table(d, t).drop()
+          registry.applyDdl(eventDb, op)
+          invalidate(d, t)
+        }
+
       case DdlOp.RenameTable(renames) =>
-        renames.foreach { case (from, to) =>
-          if (registry.contains(from)) {
+        val applicable = renames.filter { case (from, _) =>
+          replicated(eventDb, from)
+        }
+        if (applicable.nonEmpty) {
+          applicable.foreach { case (from, to) =>
             val fs = new org.apache.hadoop.fs.Path(warehouseDir)
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            fs.rename(new org.apache.hadoop.fs.Path(s"$warehouseDir/$from"),
-              new org.apache.hadoop.fs.Path(s"$warehouseDir/$to"))
-            invalidate(from)
+            val toPath = new org.apache.hadoop.fs.Path(tablePath(eventDb, to))
+            Option(toPath.getParent).foreach(fs.mkdirs)
+            fs.rename(
+              new org.apache.hadoop.fs.Path(tablePath(eventDb, from)), toPath)
+            invalidate(eventDb, from)
+            invalidate(eventDb, to)
           }
+          registry.applyDdl(eventDb, DdlOp.RenameTable(applicable))
         }
-      case _ => ()
-    }
-    registry.applyDdl(op)
-    // ALTER/CREATE change the schema → rebuild table handles lazily
-    op match {
-      case DdlOp.AlterTable(_, t, _) => invalidate(resolveTarget(t))
-      case DdlOp.CreateTable(_, s) => invalidate(s.name)
-      case _ => ()
     }
   }
-
-  private def resolveTarget(t: String): String = t
 }

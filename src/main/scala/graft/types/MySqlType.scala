@@ -38,8 +38,10 @@ object MySqlType {
   case object MYear extends MySqlType
   /** includes char/varchar/tinytext/text/mediumtext/longtext */
   final case class MString(charset: Option[String]) extends MySqlType
-  /** binary/varbinary/blob family */
-  case object MBinary extends MySqlType
+  /** binary/varbinary/blob family. `fixedLength` is set for `binary(n)`,
+    * whose values MySQL right-pads with NUL bytes to exactly n
+    * (reference keeps the padding: tests/test_data_types.py:240-259). */
+  final case class MBinary(fixedLength: Option[Int] = None) extends MySqlType
   final case class MBit(bits: Int) extends MySqlType
   case object MJson extends MySqlType
   final case class MEnum(values: Seq[String]) extends MySqlType
@@ -79,7 +81,7 @@ object MySqlType {
     case MTime          => StringType // stringified interval, converter.py:588
     case MYear          => ShortType  // clamped [1901,2155], converter.py:613
     case MString(_)     => StringType
-    case MBinary        => BinaryType
+    case MBinary(_)     => BinaryType
     case MBit(1)        => BooleanType
     case MBit(_)        => LongType
     case MJson          => StringType

@@ -78,8 +78,10 @@ object TypeParser {
     case "year" => MYear
     case "char" | "varchar" | "character varying" | "national char" |
          "national varchar" | "nchar" | "nvarchar" => MString(None)
-    case "binary" | "varbinary" => MBinary
-    case "blob" | "tinyblob" | "mediumblob" | "longblob" => MBinary
+    // binary(n) is NUL-padded to n; varbinary/blob are not
+    case "binary" => MBinary(Some(params.head.toInt))
+    case "varbinary" => MBinary(None)
+    case "blob" | "tinyblob" | "mediumblob" | "longblob" => MBinary(None)
     case "text" | "tinytext" | "mediumtext" | "longtext" => MString(None)
     case other => throw new IllegalArgumentException(s"unknown MySQL type: '$other(...)'")
   }
@@ -98,13 +100,14 @@ object TypeParser {
     case "year" => MYear
     case "char" | "varchar" | "text" | "tinytext" | "mediumtext" |
          "longtext" => MString(None)
-    case "binary" | "varbinary" | "blob" | "tinyblob" | "mediumblob" |
-         "longblob" => MBinary
+    case "binary" => MBinary(Some(1)) // bare `binary` ≡ binary(1)
+    case "varbinary" | "blob" | "tinyblob" | "mediumblob" |
+         "longblob" => MBinary(None)
     case "json" => MJson
     case "point" => MPoint
     case "polygon" => MPolygon
     case "multipolygon" => MMultiPolygon
-    case "geometry" => MBinary // opaque passthrough
+    case "geometry" => MBinary(None) // opaque passthrough
     case other => throw new IllegalArgumentException(s"unknown MySQL type: '$other'")
   }
 

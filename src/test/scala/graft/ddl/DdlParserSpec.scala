@@ -128,6 +128,32 @@ class DdlParserSpec extends AnyFunSuite {
       DdlOp.RenameTable(Seq("items" -> "_items_old", "_items_new" -> "items")))
   }
 
+  test("backtick-qualified `db`.`t` names in ALTER/DROP/RENAME/TRUNCATE (ADVICE r1)") {
+    val DdlOp.AlterTable(db, t, ops) = DdlParser.parse(
+      "ALTER TABLE `shop`.`items` ADD COLUMN price decimal(10,2)"): @unchecked
+    assert(db.contains("shop") && t === "items")
+    assert(ops === Seq(AlterOp.AddColumn(
+      FieldSchema("price", MDecimal(10, 2), "decimal(10,2)"),
+      ColumnPosition.Last)))
+    assert(DdlParser.parse("DROP TABLE `shop`.`items`") ===
+      DdlOp.DropTable(Some("shop"), "items", ifExists = false))
+    assert(DdlParser.parse("TRUNCATE TABLE `shop`.`items`") ===
+      DdlOp.TruncateTable(Some("shop"), "items"))
+    assert(DdlParser.parse("RENAME TABLE `shop`.`a` TO `shop`.`b`") ===
+      DdlOp.RenameTable(Seq("a" -> "b")))
+    assert(DdlParser.parse("ALTER TABLE `shop`.`a` RENAME TO `shop`.`b`") ===
+      DdlOp.RenameTable(Seq("a" -> "b")))
+  }
+
+  test("columns whose names start with constraint keywords are kept (ADVICE r1)") {
+    val DdlOp.CreateTable(_, s) = DdlParser.parse(
+      """CREATE TABLE t (id int, checksum int, indexed_at datetime,
+        |  keyword varchar(10), uniqueness double,
+        |  KEY `k` (`checksum`), PRIMARY KEY(id))""".stripMargin): @unchecked
+    assert(s.fields.map(_.name) ===
+      Vector("id", "checksum", "indexed_at", "keyword", "uniqueness"))
+  }
+
   test("noise statements are Ignored") {
     assert(DdlParser.parse("BEGIN") === DdlOp.Ignored)
     assert(DdlParser.parse("CREATE DATABASE d") === DdlOp.Ignored)
