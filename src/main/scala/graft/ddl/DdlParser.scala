@@ -196,8 +196,8 @@ object DdlParser {
       val lowT = target.toLowerCase
       if (lowT.startsWith("to ") || lowT.startsWith("as "))
         target = target.substring(2).trim
-      val (_, newName, _) = consumeQualified(target)
-      return DdlOp.RenameTable(Seq(table -> newName))
+      val (newDb, newName, _) = consumeQualified(target)
+      return DdlOp.RenameTable(Seq((db, table) -> (newDb.orElse(db), newName)))
     }
 
     val clauses = splitTopLevel(rest)
@@ -282,11 +282,11 @@ object DdlParser {
   private def parseRename(sql: String): DdlOp = {
     val rest = sql.substring("rename table".length).trim
     val renames = splitTopLevel(rest).map { part =>
-      val (_, from, mid) = consumeQualified(part)
+      val (fromDb, from, mid) = consumeQualified(part)
       val midT = mid.trim
       require(midT.toLowerCase.startsWith("to"), s"bad RENAME clause: $part")
-      val (_, to, _) = consumeQualified(midT.substring(2))
-      from -> to
+      val (toDb, to, _) = consumeQualified(midT.substring(2))
+      (fromDb, from) -> (toDb, to)
     }
     DdlOp.RenameTable(renames)
   }

@@ -22,12 +22,22 @@ import scala.jdk.CollectionConverters._
   */
 object RegistryStore {
 
+  /** Full checkpointed state: table schemas + the DDL replay watermark
+    * (the reference persists schema state together with the binlog
+    * position, db_replicator.py:43-60 — without the watermark a replayed
+    * ALTER re-applies against mutated state, ADVICE r2). */
+  final case class State(
+      tables: Seq[((String, String), TableSchema)],
+      lastDdlSeq: Long = Long.MinValue)
+
   private val mapper = new ObjectMapper()
 
-  def save(file: String, entries: Seq[((String, String), TableSchema)]): Unit = {
+  def save(file: String, state: State): Unit = {
     val root = mapper.createObjectNode()
+    if (state.lastDdlSeq != Long.MinValue)
+      root.put("lastDdlSeq", state.lastDdlSeq)
     val arr = root.putArray("tables")
-    entries.foreach { case ((db, _), schema) => arr.add(tableNode(db, schema)) }
+    state.tables.foreach { case ((db, _), schema) => arr.add(tableNode(db, schema)) }
     val path = Paths.get(file)
     Option(path.getParent).foreach(Files.createDirectories(_))
     val tmp = path.resolveSibling("." + path.getFileName + ".tmp")
@@ -37,15 +47,18 @@ object RegistryStore {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def load(file: String): Seq[((String, String), TableSchema)] = {
+  def load(file: String): State = {
     val p = Paths.get(file)
-    if (!Files.exists(p)) return Nil
+    if (!Files.exists(p)) return State(Nil)
     val root = mapper.readTree(Files.readAllBytes(p))
-    root.get("tables").elements().asScala.map { t =>
+    val entries = root.get("tables").elements().asScala.map { t =>
       val db = t.get("db").asText()
       val schema = tableFromNode(t)
       ((db, schema.name), schema)
     }.toSeq
+    val seq = Option(root.get("lastDdlSeq")).map(_.asLong())
+      .getOrElse(Long.MinValue)
+    State(entries, seq)
   }
 
   // ------------------------------------------------------------ to JSON

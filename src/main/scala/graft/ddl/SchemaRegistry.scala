@@ -29,9 +29,26 @@ final class SchemaRegistry(
 
   private val tables = mutable.LinkedHashMap.empty[(String, String), TableSchema]
 
-  stateFile.foreach(f => RegistryStore.load(f).foreach {
-    case (k, s) => tables(k) = s
-  })
+  /** Highest event seq whose DDL was applied (and checkpointed). The
+    * streaming sink is at-least-once: a crash between checkpoint() and the
+    * batch commit replays the batch, and re-applying an ALTER against the
+    * already-mutated state would throw (duplicate column / missing column)
+    * in a permanent crash loop (ADVICE r2). Callers that know the event's
+    * total order pass it via `applyDdl(..., seq)`; replayed DDLs at or
+    * below this watermark are skipped. Persisted with the tables. */
+  private var lastDdlSeqV: Long = Long.MinValue
+
+  stateFile.foreach { f =>
+    val st = RegistryStore.load(f)
+    st.tables.foreach { case (k, s) => tables(k) = s }
+    lastDdlSeqV = st.lastDdlSeq
+  }
+
+  def lastDdlSeq: Long = lastDdlSeqV
+
+  /** Is any table registered under `db`? (Routing: an event db with no
+    * registrations resolves to `defaultDb`, CdcPipeline.) */
+  def hasDb(db: String): Boolean = tables.keysIterator.exists(_._1 == db)
 
   def get(db: String, name: String): Option[TableSchema] = tables.get((db, name))
   def get(name: String): Option[TableSchema] = get(defaultDb, name)
@@ -45,7 +62,8 @@ final class SchemaRegistry(
   def tableNames: Seq[String] = tables.keys.map(_._2).toSeq
 
   private def checkpoint(): Unit =
-    stateFile.foreach(f => RegistryStore.save(f, tables.toSeq))
+    stateFile.foreach(f =>
+      RegistryStore.save(f, RegistryStore.State(tables.toSeq, lastDdlSeqV)))
 
   /** Assign fresh ids to a parser-produced schema (CREATE TABLE). */
   private def withIds(s: TableSchema): TableSchema = {
@@ -58,6 +76,17 @@ final class SchemaRegistry(
   def applyDdl(eventDb: String, op: DdlOp): Seq[String] = {
     val affected = applyDdl0(eventDb, op)
     if (affected.nonEmpty) checkpoint()
+    affected
+  }
+
+  /** Seq-guarded variant for at-least-once replay (see [[lastDdlSeq]]):
+    * a DDL at or below the watermark was already applied — skip it. The
+    * watermark advances even for no-op DDLs so it stays monotone. */
+  def applyDdl(eventDb: String, op: DdlOp, seq: Long): Seq[String] = {
+    if (seq <= lastDdlSeqV) return Nil
+    val affected = applyDdl0(eventDb, op)
+    lastDdlSeqV = seq
+    checkpoint()
     affected
   }
 
@@ -113,10 +142,12 @@ final class SchemaRegistry(
       tables.remove((db, t)).map(_ => t).toSeq
 
     case DdlOp.RenameTable(renames) =>
-      renames.flatMap { case (from, to) =>
-        tables.remove((eventDb, from)) match {
-          case Some(s) => tables((eventDb, to)) = s.copy(name = to); Seq(from, to)
-          case None => throw new NoSuchElementException(s"RENAME: unknown '$eventDb.$from'")
+      renames.flatMap { case ((fromDb0, from), (toDb0, to)) =>
+        val fromDb = fromDb0.getOrElse(eventDb)
+        val toDb = toDb0.getOrElse(fromDb)
+        tables.remove((fromDb, from)) match {
+          case Some(s) => tables((toDb, to)) = s.copy(name = to); Seq(from, to)
+          case None => throw new NoSuchElementException(s"RENAME: unknown '$fromDb.$from'")
         }
       }
 

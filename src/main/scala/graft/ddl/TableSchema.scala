@@ -127,7 +127,11 @@ object DdlOp {
                               ops: Seq[AlterOp]) extends DdlOp
   final case class DropTable(db: Option[String], table: String,
                              ifExists: Boolean) extends DdlOp
-  final case class RenameTable(renames: Seq[(String, String)]) extends DdlOp
+  /** RENAME TABLE [db.]a TO [db.]b[, ...] — qualifiers kept so a rename
+    * arriving from a binlog session whose default db differs still
+    * resolves (ADVICE r2); unqualified sides resolve against the event db. */
+  final case class RenameTable(
+      renames: Seq[((Option[String], String), (Option[String], String))]) extends DdlOp
   final case class TruncateTable(db: Option[String], table: String) extends DdlOp
   /** Statements the replicator ignores (CREATE INDEX, BEGIN, analyze...). */
   case object Ignored extends DdlOp

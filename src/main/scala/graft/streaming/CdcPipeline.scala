@@ -42,6 +42,16 @@ import scala.collection.mutable
   * same-named table never share storage or schema state; `target_databases`
   * / `target_tables` remaps (F4, config.py:199-200, 362-364) apply to the
   * warehouse path only, for DML and DDL alike.
+  *
+  * == Event-db resolution ==
+  * The reference binds one replicator process to one source database, so
+  * an event's db field is implicit context, never a lookup key
+  * (db_replicator.py:89-194). Here `registry.defaultDb` is that bound
+  * database: an event whose db has no explicit registration resolves to
+  * it ([[resolveTable]]), after the config globs (which always test the
+  * *source* names) admit it. Multi-db deployments register each database
+  * explicitly (`registry.applySql(db, ...)`) and resolve exactly —
+  * same-named tables in two registered dbs never collide (r1 fix).
   */
 final class CdcPipeline(
     spark: SparkSession,
@@ -100,7 +110,7 @@ final class CdcPipeline(
         val hi = ddl.getLong(0)
         flushSegment(dml.filter(col("seq") > lo && col("seq") < hi),
           version(batchId, segment))
-        applyDdl(Option(ddl.getString(1)).getOrElse(registry.defaultDb),
+        applyDdl(hi, Option(ddl.getString(1)).getOrElse(registry.defaultDb),
           ddl.getString(2))
         lo = hi
         segment += 1
@@ -108,6 +118,20 @@ final class CdcPipeline(
       flushSegment(dml.filter(col("seq") > lo), version(batchId, segment))
     } finally dml.unpersist()
   }
+
+  /** Resolve an event's (db, table) to its registry key — exact match
+    * first, then the bound default db (see class doc). None = the table
+    * is not replicated (never created / filtered at create time). */
+  private def resolveTable(eventDb: String, tbl: String): Option[(String, String)] =
+    if (registry.contains(eventDb, tbl)) Some((eventDb, tbl))
+    else if (registry.contains(registry.defaultDb, tbl))
+      Some((registry.defaultDb, tbl))
+    else None
+
+  /** Db a CREATE arriving from `eventDb` registers under: itself when
+    * already known, else the bound default db. */
+  private def resolveDb(eventDb: String): String =
+    if (registry.hasDb(eventDb)) eventDb else registry.defaultDb
 
   /** batchId+1 so batch 0 stamps above the snapshot's version 0
     * (Snapshot.scala — ADVICE r1: a first-batch update must not tie). */
@@ -121,11 +145,17 @@ final class CdcPipeline(
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .filter(r => config.databaseMatches(r.getString(0)) &&
         config.tableMatches(r.getString(1)))
-    active.foreach { r =>
-      val (db, tbl) = (r.getString(0), r.getString(1))
-      if (registry.contains(db, tbl))
-        flushTable(dml.filter(col("db") === db && col("table") === tbl),
-          db, tbl, version)
+      .flatMap { r =>
+        val (eventDb, tbl) = (r.getString(0), r.getString(1))
+        resolveTable(eventDb, tbl).map(key => key -> eventDb)
+      }
+    // several event dbs can resolve to the same bound table — one flush
+    // per resolved key so a single LWW collapse covers the whole segment
+    active.groupBy(_._1).foreach { case ((db, tbl), entries) =>
+      val eventDbs = entries.map(_._2).toSeq
+      flushTable(
+        dml.filter(col("db").isin(eventDbs: _*) && col("table") === tbl),
+        db, tbl, version)
     }
   }
 

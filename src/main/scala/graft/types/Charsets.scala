@@ -33,7 +33,7 @@ object Charsets {
     "hp8" -> "ISO-8859-1",
     "koi8r" -> "KOI8-R",
     "koi8u" -> "KOI8-U",
-    "latin1" -> "ISO-8859-1", // matches the reference's python 'latin1'
+    "latin1" -> "windows-1252", // MySQL latin1 IS cp1252 (converter.py:45)
     "latin2" -> "ISO-8859-2",
     "latin5" -> "ISO-8859-9",
     "latin7" -> "ISO-8859-13",
