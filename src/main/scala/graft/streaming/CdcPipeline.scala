@@ -195,71 +195,100 @@ final class CdcPipeline(
     }
   }
 
-  /** Does DDL touching (db, t) replicate here? Mirrors the reference's
-    * `matches_config` early-return (converter.py:711-724,
-    * db_replicator_realtime.py:226-251) — DDL against filtered or
-    * never-created tables must not kill the stream (ADVICE r1). */
-  private def replicated(db: String, t: String): Boolean =
-    config.databaseMatches(db) && config.tableMatches(t) &&
-      registry.contains(db, t)
-
-  private def applyDdl(eventDb: String, sql: String): Unit = {
+  /** Apply one DDL event (at event seq `seq`, from binlog session db
+    * `eventDb`). Mirrors the reference's `matches_config` early-returns
+    * (converter.py:711-724, db_replicator_realtime.py:226-251) — DDL
+    * against filtered or never-created tables must not kill the stream
+    * (ADVICE r1). Schema mutations go through the seq-guarded
+    * `registry.applyDdl(db, op, seq)` so an at-least-once replayed batch
+    * re-applies no ALTER (the crash-loop scenario, ADVICE r2/r3). */
+  private def applyDdl(seq: Long, eventDb: String, sql: String): Unit = {
     val op = DdlParser.parse(sql, config.typesMapping)
-    def db(o: Option[String]): String = o.getOrElse(eventDb)
+    // Explicit qualifier wins; else the db the table resolves to — the
+    // same event-db resolution DML uses (class doc): an ALTER arriving
+    // from an unregistered event db must reach the table it targets
+    // under the bound default db, not be silently dropped.
+    def resolved(d0: Option[String], t: String): String =
+      d0.getOrElse(resolveTable(eventDb, t).map(_._1).getOrElse(eventDb))
+    // Config globs test *source* names. The event db was already admitted
+    // in processBatch; an explicit qualifier is checked here.
+    def admitted(d0: Option[String], t: String): Boolean =
+      d0.forall(config.databaseMatches) && config.tableMatches(t)
+
     op match {
       case DdlOp.Ignored => ()
 
       case DdlOp.CreateTable(d0, s) =>
-        val d = db(d0)
-        if (config.databaseMatches(d) && config.tableMatches(s.name)) {
-          registry.applyDdl(eventDb, op)
+        if (admitted(d0, s.name)) {
+          val d = d0.getOrElse(resolveDb(eventDb))
+          registry.applyDdl(d, op, seq)
           invalidate(d, s.name)
         }
 
       case DdlOp.CreateTableLike(d0, t, _, _, _) =>
-        val d = db(d0)
-        if (config.databaseMatches(d) && config.tableMatches(t)) {
-          registry.applyDdl(eventDb, op)
+        if (admitted(d0, t)) {
+          val d = d0.getOrElse(resolveDb(eventDb))
+          registry.applyDdl(d, op, seq)
           invalidate(d, t)
         }
 
       case DdlOp.AlterTable(d0, t, _) =>
-        val d = db(d0)
-        if (replicated(d, t)) {
-          registry.applyDdl(eventDb, op)
+        val d = resolved(d0, t)
+        if (admitted(d0, t) && registry.contains(d, t)) {
+          registry.applyDdl(d, op, seq)
           // schema changed → rebuild the handle; the table reconciles its
           // generation metadata (rename/retype → new gen) on next use
           invalidate(d, t)
         }
 
       case DdlOp.TruncateTable(d0, t) =>
-        val d = db(d0)
-        if (replicated(d, t)) table(d, t).truncate()
+        val d = resolved(d0, t)
+        // data op, deliberately NOT seq-guarded: a replayed batch
+        // re-flushes the DML around it, so the truncate must re-run in
+        // event order too or earlier re-appended rows would survive it
+        if (admitted(d0, t) && registry.contains(d, t)) table(d, t).truncate()
 
       case DdlOp.DropTable(d0, t, _) =>
-        val d = db(d0)
-        if (replicated(d, t)) {
+        val d = resolved(d0, t)
+        if (admitted(d0, t) && registry.contains(d, t)) {
+          // storage first — the handle needs the still-registered schema;
+          // on replay `contains` is already false and the case is skipped
           table(d, t).drop()
-          registry.applyDdl(eventDb, op)
+          registry.applyDdl(d, op, seq)
           invalidate(d, t)
         }
 
       case DdlOp.RenameTable(renames) =>
-        val applicable = renames.filter { case (from, _) =>
-          replicated(eventDb, from)
+        // resolve every side up front; keep only pairs whose source is a
+        // replicated table (filtered renames pass through untouched)
+        val applicable = renames.flatMap { case ((fromDb0, from), (toDb0, to)) =>
+          val fromDb = resolved(fromDb0, from)
+          val toDb = toDb0.getOrElse(fromDb)
+          if (admitted(fromDb0, from) && registry.contains(fromDb, from))
+            Some(((fromDb, from), (toDb, to)))
+          else None
         }
         if (applicable.nonEmpty) {
-          applicable.foreach { case (from, to) =>
+          // registry first: its seq guard decides whether this is a replay
+          // (the pt-osc swap re-creates the `from` name, so a contains()
+          // check alone cannot detect redelivery) — move files only when
+          // the registry actually applied the rename
+          val applied = registry.applyDdl(eventDb,
+            DdlOp.RenameTable(applicable.map { case ((fd, f), (td, t)) =>
+              ((Option(fd), f), (Option(td), t))
+            }), seq)
+          if (applied.nonEmpty) {
             val fs = new org.apache.hadoop.fs.Path(warehouseDir)
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val toPath = new org.apache.hadoop.fs.Path(tablePath(eventDb, to))
-            Option(toPath.getParent).foreach(fs.mkdirs)
-            fs.rename(
-              new org.apache.hadoop.fs.Path(tablePath(eventDb, from)), toPath)
-            invalidate(eventDb, from)
-            invalidate(eventDb, to)
+            applicable.foreach { case ((fromDb, from), (toDb, to)) =>
+              val toPath = new org.apache.hadoop.fs.Path(tablePath(toDb, to))
+              Option(toPath.getParent).foreach(fs.mkdirs)
+              fs.rename(
+                new org.apache.hadoop.fs.Path(tablePath(fromDb, from)), toPath)
+              invalidate(fromDb, from)
+              invalidate(toDb, to)
+            }
           }
-          registry.applyDdl(eventDb, DdlOp.RenameTable(applicable))
         }
     }
   }

@@ -111,12 +111,13 @@ class DdlParserSpec extends AnyFunSuite {
     assert(DdlParser.parse("DROP TABLE IF EXISTS db.t") ===
       DdlOp.DropTable(Some("db"), "t", ifExists = true))
     assert(DdlParser.parse("RENAME TABLE a TO b, `c` TO `d`") ===
-      DdlOp.RenameTable(Seq("a" -> "b", "c" -> "d")))
+      DdlOp.RenameTable(Seq(
+        (None, "a") -> (None, "b"), (None, "c") -> (None, "d"))))
     assert(DdlParser.parse("TRUNCATE TABLE t") ===
       DdlOp.TruncateTable(None, "t"))
     assert(DdlParser.parse("TRUNCATE t") === DdlOp.TruncateTable(None, "t"))
     assert(DdlParser.parse("ALTER TABLE t RENAME TO t2") ===
-      DdlOp.RenameTable(Seq("t" -> "t2")))
+      DdlOp.RenameTable(Seq((None, "t") -> (None, "t2"))))
   }
 
   test("pt-online-schema-change dance (test_ddl_operations.py:50-126)") {
@@ -125,7 +126,9 @@ class DdlParserSpec extends AnyFunSuite {
       "CREATE TABLE `_items_new` (id int, v int, PRIMARY KEY(id))"): @unchecked
     assert(s.name === "_items_new")
     assert(DdlParser.parse("RENAME TABLE `items` TO `_items_old`, `_items_new` TO `items`") ===
-      DdlOp.RenameTable(Seq("items" -> "_items_old", "_items_new" -> "items")))
+      DdlOp.RenameTable(Seq(
+        (None, "items") -> (None, "_items_old"),
+        (None, "_items_new") -> (None, "items"))))
   }
 
   test("backtick-qualified `db`.`t` names in ALTER/DROP/RENAME/TRUNCATE (ADVICE r1)") {
@@ -140,9 +143,9 @@ class DdlParserSpec extends AnyFunSuite {
     assert(DdlParser.parse("TRUNCATE TABLE `shop`.`items`") ===
       DdlOp.TruncateTable(Some("shop"), "items"))
     assert(DdlParser.parse("RENAME TABLE `shop`.`a` TO `shop`.`b`") ===
-      DdlOp.RenameTable(Seq("a" -> "b")))
+      DdlOp.RenameTable(Seq((Some("shop"), "a") -> (Some("shop"), "b"))))
     assert(DdlParser.parse("ALTER TABLE `shop`.`a` RENAME TO `shop`.`b`") ===
-      DdlOp.RenameTable(Seq("a" -> "b")))
+      DdlOp.RenameTable(Seq((Some("shop"), "a") -> (Some("shop"), "b"))))
   }
 
   test("columns whose names start with constraint keywords are kept (ADVICE r1)") {
