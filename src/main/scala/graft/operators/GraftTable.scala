@@ -273,10 +273,19 @@ final class GraftTable(
       .select(payloadSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** Like [[log]] but reading only one `_bucket` partition per gen. */
+  /** Like [[log]] but reading only one `_bucket` partition per gen.
+    * A generation written before the PK became integral (e.g. MODIFY
+    * varchar → int) has no `_bucket=` dirs at all — those fall back to
+    * scanning the whole generation (the caller's key predicate still
+    * applies); only a *bucketed* generation missing this particular
+    * bucket dir is provably empty for the key and skipped. */
   private def logPruned(bucket: Int): DataFrame = {
     val parts = gens.flatMap { g =>
-      val p = s"${genDataPath(g.n)}/_bucket=$bucket"
+      val genDir = new Path(genDataPath(g.n))
+      val bucketed = fs.exists(genDir) &&
+        fs.listStatus(genDir).exists(_.getPath.getName.startsWith("_bucket="))
+      val p = if (bucketed) s"${genDataPath(g.n)}/_bucket=$bucket"
+              else genDataPath(g.n)
       if (!fs.exists(new Path(p))) None
       else {
         val genStruct = StructType((g.cols.map(_.toStructField) ++ metaFields).toIndexedSeq)

@@ -70,6 +70,23 @@ class GraftTableSpec extends SparkSpec {
     assertSame(t.read, Seq((1L, "a2"), (9L, "z")))
   }
 
+  test("lookup reaches generations written before the PK became integral") {
+    val root = tmpDir("graft-gen")
+    // gen 0: string PK → no _bucket= dirs on disk
+    val t1 = GraftTable(spark, root, Seq("id"), StructType(Seq(
+      StructField("id", StringType), StructField("v", StringType))))
+    t1.append(Seq(("1", "old"), ("7", "other")).toDF("id", "v"), version = 1)
+    // MODIFY id varchar → bigint: same column ids, new type → new generation
+    val t2 = GraftTable(spark, root, Seq("id"), Seq(
+      GraftColumn(0, "id", LongType), GraftColumn(1, "v", StringType)))
+    t2.append(Seq((2L, "new")).toDF("id", "v"), version = 2)
+    // pre-retype rows must come back through the pruned lookup path
+    assert(t2.lookup(1L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "old")))
+    assert(t2.lookup(2L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "new")))
+  }
+
   test("truncate clears data, table stays usable") {
     val t = mkTable()
     t.append(Seq((1L, "a")).toDF("id", "v"), version = 1)

@@ -90,6 +90,64 @@ class CdcPipelineSpec extends SparkSpec {
     assert(got === Set((5, "y")))
   }
 
+  test("at-least-once redelivery: replayed batch re-applies no DDL (W1)") {
+    val (pipeline, registry) = mkPipeline()
+    val spool = tmpDir("graft-spool5")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30))),
+      eventJson(2, "d", "users", OpQuery,
+        query = Some("ALTER TABLE users ADD COLUMN email varchar(100) AFTER name")),
+      eventJson(3, "d", "users", OpAdd,
+        row = Some("""{"id":"2","name":"bob","email":"b@x.io","age":"40"}"""))))
+    val batch = EventSpool.readBatch(spark, spool)
+    pipeline.processBatch(batch, 0)
+    // crash between registry checkpoint and stream commit → redelivery
+    pipeline.processBatch(batch, 0)
+    // the ALTER applied exactly once (seq watermark), rows collapse per key
+    assert(registry("users").fields.map(_.name) ===
+      Vector("id", "name", "email", "age"))
+    assert(registry.lastDdlSeq === 2L)
+    val got = pipeline.table("users").read.orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(2))))
+    assert(got.toSeq === Seq((1, "ann", None), (2, "bob", Some("b@x.io"))))
+  }
+
+  test("pt-osc rename dance: post-swap DML lands in the swapped table (D10)") {
+    val (pipeline, registry) = mkPipeline()
+    val spool = tmpDir("graft-spool6")
+    // percona's online-ALTER: create a shadow table, backfill it, then
+    // atomically swap (reference tests/test_ddl_operations.py:50-126)
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30))),
+      eventJson(2, "d", "users", OpQuery, query = Some(
+        """CREATE TABLE `_users_new` (id int NOT NULL, name varchar(50),
+          |  age int unsigned, email varchar(100), PRIMARY KEY(id))""".stripMargin)),
+      eventJson(3, "d", "_users_new", OpAdd,
+        row = Some("""{"id":"1","name":"ann","age":"30","email":"a@x.io"}""")),
+      eventJson(4, "d", "users", OpQuery, query = Some(
+        "RENAME TABLE `users` TO `_users_old`, `_users_new` TO `users`")),
+      eventJson(5, "d", "users", OpAdd,
+        row = Some("""{"id":"2","name":"bob","age":"40","email":"b@x.io"}"""))))
+    val batch = EventSpool.readBatch(spark, spool)
+    pipeline.processBatch(batch, 0)
+
+    assert(registry("users").fields.map(_.name) ===
+      Vector("id", "name", "age", "email"))
+    assert(registry.contains("default", "_users_old"))
+    def usersNow() = pipeline.table("users").read.orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(3))).toSeq
+    assert(usersNow() === Seq((1, "ann", "a@x.io"), (2, "bob", "b@x.io")))
+    // the pre-swap table survives under its archived name (warehouse move)
+    assert(pipeline.table("_users_old").read.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "ann")))
+
+    // redelivering the whole batch must not swap again or corrupt data
+    pipeline.processBatch(batch, 0)
+    assert(registry("users").fields.map(_.name) ===
+      Vector("id", "name", "age", "email"))
+    assert(usersNow() === Seq((1, "ann", "a@x.io"), (2, "bob", "b@x.io")))
+  }
+
   test("db/table glob filtering (F1) drops excluded traffic") {
     val registry = new SchemaRegistry
     registry.applySql("CREATE TABLE t1 (id int, v int, PRIMARY KEY(id))")
