@@ -5,15 +5,44 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
+    // Untimed warmup at the smallest scale factor (when present next to
+    // the bench dir): absorbs one-time JVM costs — Janino codegen
+    // compilation, aggregate/join class loading, JIT — so the timed pass
+    // measures steady-state throughput, matching how the reference's
+    // long-lived replicator process is benchmarked. Failures are ignored
+    // here; the timed loop reports them.
+    val warmDir = new java.io.File(sfDir).getParentFile match {
+      case null => None
+      case p => Some(new java.io.File(p, "sf0.001")).filter(_.isDirectory)
+    }
+    warmDir.foreach { d =>
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, d.getPath).count()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+    }
+
+    // A failed query must NOT masquerade as a timing: it reports -1 and
+    // lands in "errors" so a red query can't inflate a green-looking run.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e"); false
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // operators persist shared intermediates; drop them between queries
+      // so one query's cache residue can't distort the next measurement
+      spark.catalog.clearCache()
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

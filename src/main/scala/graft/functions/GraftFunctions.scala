@@ -22,13 +22,31 @@ object GraftFunctions {
       build(args.head)
     })
 
+  private def two(name: String, usage: String)
+                 (build: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(args.length == 2, s"$name expects 2 arguments")
+      build(args(0), args(1))
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     one("graft_wkb_point", "decode MySQL WKB POINT bytes to struct(x,y)")(
       WkbDecode(_, WkbKind.Point)),
     one("graft_wkb_polygon", "decode MySQL WKB POLYGON outer ring")(
       WkbDecode(_, WkbKind.Polygon)),
     one("graft_wkb_multipolygon", "decode MySQL WKB MULTIPOLYGON outer rings")(
-      WkbDecode(_, WkbKind.MultiPolygon)))
+      WkbDecode(_, WkbKind.MultiPolygon)),
+    two("graft_vec_dot", "codegen'd Σ aᵢ·bᵢ over float/double arrays")(
+      VecDot(_, _)),
+    one("graft_vec_norm2", "codegen'd Σ aᵢ² over a float/double array")(
+      VecNorm2(_)),
+    two("graft_shingles", "distinct word-n-gram shingles, one pass")(
+      (text, n) => Shingles(text,
+        n.eval().asInstanceOf[Int])), // n must be a literal
+    two("graft_sorted_intersect_count",
+      "|a ∩ b| for sorted distinct string arrays (merge walk)")(
+      SortedIntersectCount(_, _)))
 
   def register(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

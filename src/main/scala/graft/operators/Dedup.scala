@@ -23,71 +23,121 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles, distinct per doc. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      filter(
-        transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-          i => array_join(slice(toks, i, lit(n)), " ")),
-        s => length(s) > 0))
-  }
+  import Partitioning.spread
+
+  /** Word n-gram shingles, distinct per doc — the native one-pass
+    * [[graft.functions.Shingles]] expression. */
+  def shingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
 
   /** Exact duplicate groups: fingerprint → (canonical id, members). */
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    spread(docs).groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_dups"))
       .filter(col("n_dups") > 1)
+
+  /** The exploded (id, shingle) table — the shared intermediate of every
+    * shingle-based pipeline. Persisted MEMORY_AND_DISK by the pipeline
+    * entry points: candidate generation, minhashing and Jaccard
+    * verification all consume it, and recomputing the shingle expression
+    * (an interpreted higher-order transform) per consumer was the
+    * dominant cost of the dedup bench queries. */
+  private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    spread(docs).select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+
+  private def minhashAggs(k: Int): Seq[Column] =
+    (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("s")))).as(s"h$i"))
 
   /** k deterministic minhashes per doc over word-`n`-gram shingles.
     * minhash_i = min over shingles of md5(i || shingle) — md5 as the
     * hash family, min over hex strings (total order, engine-agnostic). */
   def minhashes(docs: DataFrame, idCol: String, textCol: String,
-                n: Int, k: Int): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(shingles(col(textCol), n)).as("s"))
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("s")))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+                n: Int, k: Int): DataFrame =
+    shingleTable(docs, idCol, textCol, n)
+      .groupBy(col("id").as(idCol)).agg(minhashAggs(k).head,
+        minhashAggs(k).tail: _*)
 
   /** MinHash-LSH candidate pairs: `b` bands of `r` rows; a pair is a
     * candidate if any band key matches. Returns (id_a, id_b) with a < b,
-    * distinct. */
+    * distinct.
+    *
+    * The `b` band keys are packed into ONE array and exploded, so there
+    * is a single self-join on (band, key) — one shuffle pair — instead
+    * of `b` separate joins each re-reading (and re-aggregating) the
+    * minhash input. A pair matching in several bands still emits once.
+    * Within a band bucket of m docs the C(m,2) pair fan-out is inherent
+    * to LSH output; the join distributes it across tasks, so one hot
+    * bucket (a giant dup cluster) cannot pin a single executor. */
   def lshCandidates(mh: DataFrame, idCol: String, b: Int, r: Int): DataFrame = {
-    val banded = mh.select(col(idCol) +:
-      (0 until b).map(band => md5(concat_ws("|",
-        (0 until r).map(row => col(s"h${band * r + row}")): _*)).as(s"band$band")): _*)
-    val pairs = (0 until b).map { band =>
-      val l = banded.select(col(idCol).as("id_a"), col(s"band$band").as("bk"))
-      val rgt = banded.select(col(idCol).as("id_b"), col(s"band$band").as("bk"))
-      l.join(rgt, "bk").filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-    }
-    pairs.reduce(_ unionByName _).distinct()
+    val bandKeys = array((0 until b).map(band => md5(concat_ws("|",
+      (0 until r).map(row => col(s"h${band * r + row}")): _*))): _*)
+    // persist: (id, band, key) is the smallest representation of the
+    // corpus (b rows/doc, no text) and both self-join sides read it —
+    // without it each side re-runs the whole shingle→minhash aggregation
+    val banded = mh.select(col(idCol).as("id"),
+      posexplode(bandKeys).as(Seq("band", "bk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.select(col("id").as("id_a"), col("band"), col("bk"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** [[verifyJaccard]] over a pre-built (id, s) shingle table. */
+  private def verifyJaccardSh(sh: DataFrame,
+                              candidates: DataFrame): DataFrame = {
+    // rebuild per-doc shingle arrays from the shared exploded table (one
+    // cheap shuffle on id) instead of re-running the shingle expression;
+    // sorted so the per-pair intersection is a merge walk, not a hash
+    // set. Persisted because BOTH broadcast builds below consume it, and
+    // broadcast jobs launch before the main stages populate any cache —
+    // without this each build re-runs the whole upstream pipeline.
+    val withSh = sh.groupBy("id")
+      .agg(array_sort(collect_list(col("s"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      size(col("sh")).as("na"))
+    val bb = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      size(col("sh")).as("nb"))
+    val inter = call_function("graft_sorted_intersect_count",
+      col("sh_a"), col("sh_b"))
+    // Broadcast the per-doc array side, stream the pairs: any shuffle
+    // plan here moves one ~KB shingle array per candidate pair (the
+    // dominant cost — measured 5× the intersect work), while the array
+    // relation is one row per *candidate-touched* doc and broadcasts.
+    // Catalyst's stats get this exactly backwards (it broadcasts the
+    // "small" pair set and streams the docs through one file split), so
+    // the hint is explicit. `|A∪B| = |A|+|B|−|A∩B|` (both arrays are
+    // distinct), so one merge-walk intersect per pair and no union.
+    candidates.join(broadcast(a), "id_a")
+      .join(broadcast(bb), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(inter.cast("double") / (col("na") + col("nb") - inter), 6)
+          .as("jaccard"))
   }
 
   /** Exact Jaccard over word-n-gram shingles for given candidate pairs. */
   def verifyJaccard(docs: DataFrame, candidates: DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
-    val withSh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
-    val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val bb = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    candidates.join(a, "id_a").join(bb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
-  }
+                    textCol: String, n: Int): DataFrame =
+    verifyJaccardSh(shingleTable(docs, idCol, textCol, n), candidates)
 
   /** Full MinHash-LSH near-dup pipeline: candidates → verified pairs ≥
-    * `threshold`. */
+    * `threshold`. The exploded shingle table is computed once and
+    * persisted (spilling to disk at scale) — minhashing and verification
+    * both fold over it. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 6, b: Int = 3, r: Int = 2,
                       threshold: Double = 0.5): DataFrame = {
-    val mh = minhashes(docs, idCol, textCol, n, k)
-    val cand = lshCandidates(mh, idCol, b, r)
-    verifyJaccard(docs, cand, idCol, textCol, n)
+    val sh = shingleTable(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = sh.groupBy("id").agg(minhashAggs(k).head, minhashAggs(k).tail: _*)
+    val cand = lshCandidates(mh, "id", b, r)
+    verifyJaccardSh(sh, cand)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -95,7 +145,7 @@ object Dedup {
     * (2·parity(md5(token)[i]) − 1). Near-identical docs agree on most
     * bits; grouping by the signature finds clusters in one shuffle. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
+    val tok = spread(docs).select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("w"))
       .withColumn("h", md5(col("w")))
     val bitSums = (0 until 32).map(i =>
@@ -109,24 +159,36 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** Ordered (id_a < id_b) pairs from a sorted id array — C(m,2) structs,
+    * generated array-side (no join) for m bounded by the caller. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
   /** n-gram Jaccard near-dups without minhash: candidates = pairs sharing
     * at least one shingle with document frequency ≤ `maxDf`. The df cap
     * is the scale guard (drops boilerplate shingles that would explode
-    * the join). */
+    * the join).
+    *
+    * One shuffle builds candidates: group the shingle explode by shingle,
+    * keep groups of 2..maxDf docs, and emit the ≤ C(maxDf,2) pairs
+    * array-side — the df cap that already guards the pair space also
+    * bounds the per-group array, so no self-join (and no second and third
+    * scan of the corpus shingles) is needed. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, maxDf: Int = 20,
                         threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("s"))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") > 1)
-    val candidates = sh.join(rare.select("s"), "s")
-      .select(col("id").as("id_a"), col("s"))
-      .join(sh.join(rare.select("s"), "s")
-        .select(col("id").as("id_b"), col("s")), "s")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccard(docs, candidates, idCol, textCol, n)
+    val sh = shingleTable(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingles are distinct per doc, so group size == document frequency
+    val groups = sh.groupBy("s")
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    val candidates = groups
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    verifyJaccardSh(sh, candidates)
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -22,36 +22,61 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double, sequential (deterministic) fold. */
+  import Partitioning.spread
+
+  /** Σ aᵢ·bᵢ in double, sequential (deterministic) fold — the codegen'd
+    * [[graft.functions.VecDot]], exactly equivalent to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but a primitive loop. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_vec_dot", a, b)
 
   def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) =>
-      acc + x.cast("double") * x.cast("double"))
+    call_function("graft_vec_norm2", a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
-  /** `b`-bit sign bucket from the first `b` dimensions (deterministic
-    * axis-aligned hyperplane family). */
-  def signBucket(v: Column, bits: Int): Column =
-    (0 until bits).map(i =>
-      when(element_at(v, i + 1) >= 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
+  /** Deterministic Rademacher (±1) hyperplanes from a seeded xorshift —
+    * reproducible across engines (the SQL oracle embeds the identical
+    * literals). Random-sign hyperplanes de-correlate bucket bits from
+    * individual embedding dimensions: real embeddings have correlated
+    * leading dims (often sharing sign corpus-wide), so axis-aligned
+    * buckets go hot and a hot bucket re-creates the cross product at
+    * scale; a ±1 projection mixes all `dim` dimensions into every bit. */
+  def hyperplaneSigns(bits: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] = {
+    var state = 0x9E3779B97F4A7C15L // fixed seed (golden-ratio constant)
+    def next(): Long = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17; state
+    }
+    IndexedSeq.fill(bits, dim)(if (next() >= 0) 1.0 else -1.0)
+  }
+
+  /** `bits`-bit sign bucket: bit i = sign(hᵢ · v) for the i-th seeded
+    * Rademacher hyperplane. Same sequential fold order as [[dot]], so the
+    * oracle's left-to-right sum matches bit-for-bit. */
+  def signBucket(v: Column, bits: Int, dim: Int): Column =
+    hyperplaneSigns(bits, dim).zipWithIndex.map { case (h, i) =>
+      val proj = dot(slice(v, 1, dim), array(h.map(lit): _*))
+      when(proj >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
 
   /** Exact top-k neighbors for each query vector. `queries` and `corpus`
-    * both need (idCol, vecCol); self-matches dropped. The query side is
-    * expected to be small → broadcast hash join, no shuffle of the corpus.
-    */
+    * both need (idCol, vecCol); self-matches dropped. The query side must
+    * be small — it broadcasts against every corpus vector (O(|Q|·|C|·d));
+    * never feed a large query side, use [[lshTopK]] instead. Norms are
+    * computed once per side before the join, so the per-pair work is one
+    * dot product, not three folds. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2(col(vecCol)).as("nq"))
+    val c = spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm2(col(vecCol)).as("nc"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(dot(col("qv"), col("cv")) /
+          sqrt(col("nq") * col("nc")), 4).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("int"))
@@ -60,15 +85,20 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: probe only the query's sign bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+              vecCol: String, k: Int, bits: Int = 4,
+              dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      norm2(col(vecCol)).as("nq"),
+      signBucket(col(vecCol), bits, dim).as("bucket"))
+    val c = spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm2(col(vecCol)).as("nc"),
+        signBucket(col(vecCol), bits, dim).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(dot(col("qv"), col("cv")) /
+          sqrt(col("nq") * col("nc")), 4).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("int"))
@@ -79,15 +109,20 @@ object Similarity {
     * sharing a sign bucket (cosine-LSH property: near vectors agree on
     * most sign bits). */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, bits: Int = 4): DataFrame = {
-    val v = vecs.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("bucket"))
-    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("bucket"))
+                   threshold: Double, bits: Int = 4,
+                   dim: Int = 64): DataFrame = {
+    val v = spread(vecs).select(col(idCol), col(vecCol),
+      norm2(col(vecCol)).as("nn"),
+      signBucket(col(vecCol), bits, dim).as("bucket"))
+    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("nn").as("na"), col("bucket"))
+    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("nn").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 4).as("sim"))
+        round(dot(col("va"), col("vb")) /
+          sqrt(col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

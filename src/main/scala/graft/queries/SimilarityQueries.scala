@@ -24,7 +24,7 @@ object SimilarityQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-        k = 3, bits = 4)
+        k = 3, bits = 4, dim = 64)
         .select("query_id", "neighbor_id", "sim", "rnk")
         .orderBy("query_id", "rnk")
     },
@@ -32,7 +32,7 @@ object SimilarityQueries {
     // Embedding near-dup pairs, candidate-bounded by sign bucket.
     "s_embed_neardup" -> { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, bits = 4)
+        threshold = 0.3, bits = 4, dim = 64)
         .orderBy("id_a", "id_b")
     },
 
@@ -53,14 +53,21 @@ object SimilarityQueries {
     }
   )
 
+  /** The seeded Rademacher bucket, as SQL: per bit, a left-to-right
+    * `0.0 ± v[1] ± v[2] …` sum — the exact fold order (and therefore the
+    * exact doubles) of `Similarity.signBucket`. */
+  private def bucketSqlExpr(bits: Int, dim: Int): String =
+    Similarity.hyperplaneSigns(bits, dim).zipWithIndex.map { case (h, i) =>
+      val dot = (0 until dim).map(j =>
+        s"${if (h(j) > 0) "+" else "-"} CAST(embedding[${j + 1}] AS DOUBLE)")
+        .mkString("(0.0 ", " ", ")")
+      s"(CASE WHEN $dot >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n + ", ")")
+
   /** DuckDB-side cosine over zipped unnest, all in double. */
   private def cosineSql(queryFilter: String, bucketJoin: Boolean,
                         k: Int, simThreshold: Option[Double]): String = {
-    val bucketExpr =
-      """(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-        | + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-        | + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-        | + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)""".stripMargin
+    val bucketExpr = bucketSqlExpr(bits = 4, dim = 64)
     val joinCond =
       if (bucketJoin) "q.bucket = c.bucket AND q.query_id <> c.neighbor_id"
       else "q.query_id <> c.neighbor_id"
@@ -91,11 +98,8 @@ object SimilarityQueries {
     "s_ann_lsh" -> cosineSql("vec_id < 10", bucketJoin = true, k = 3, None),
 
     "s_embed_neardup" ->
-      """WITH v AS (SELECT vec_id, embedding,
-        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      s"""WITH v AS (SELECT vec_id, embedding,
+        |    ${bucketSqlExpr(bits = 4, dim = 64)} AS bucket
         |  FROM embeddings),
         |un AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |        unnest(a.embedding) AS x, unnest(b.embedding) AS y

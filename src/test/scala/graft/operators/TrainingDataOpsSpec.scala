@@ -87,11 +87,22 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(plan(0).getSeq[Int](2).forall(_ % 5 === 0))
   }
 
-  test("sign bucket is stable and bounded") {
-    val vecs = Seq((0L, Array(1.0f, -1.0f, 1.0f, -1.0f, 9f)))
-      .toDF("vec_id", "embedding")
-    val b = vecs.select(Similarity.signBucket($"embedding", 4).as("b"))
-      .head().getLong(0)
-    assert(b === (1 | 4)) // dims 1,3 non-negative → bits 0,2
+  test("sign bucket is stable, bounded, and matches the hyperplane family") {
+    val vecs = Seq((0L, Array(1.0f, -1.0f, 1.0f, -1.0f, 9f)),
+      (1L, Array(1.0f, -1.0f, 1.0f, -1.0f, 9f)),
+      (2L, Array(-3f, 2f, 0.5f, -1f, 0f))).toDF("vec_id", "embedding")
+    val bs = vecs.orderBy("vec_id")
+      .select(Similarity.signBucket($"embedding", 4, dim = 5).as("b"))
+      .collect().map(_.getLong(0))
+    assert(bs(0) === bs(1)) // deterministic
+    assert(bs.forall(b => b >= 0 && b < 16))
+    // driver-side recomputation over the same seeded signs agrees
+    val h = Similarity.hyperplaneSigns(4, 5)
+    val v = Array(1.0, -1.0, 1.0, -1.0, 9.0)
+    val want = (0 until 4).map { i =>
+      val d = (0 until 5).foldLeft(0.0)((acc, j) => acc + v(j) * h(i)(j))
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    assert(bs(0) === want)
   }
 }
