@@ -14,7 +14,15 @@ final case class GraftConfig(
     targetDatabases: Map[String, String] = Map.empty, // db → renamed db
     targetTables: Map[String, String] = Map.empty,    // "db.table" → name
     typesMapping: Map[String, MySqlType] = Map.empty, // e.g. char(36) → MUuid
-    mysqlTimezone: String = "UTC") {
+    mysqlTimezone: String = "UTC",
+    /** Drop REMOVE events instead of tombstoning — the target accumulates
+      * every row ever seen (config.py `ignore_deletes`;
+      * tests/test_mysql_ch_replicator.py:572-641). */
+    ignoreDeletes: Boolean = false,
+    /** Start realtime replication without the initial bulk snapshot
+      * (config.py `initial_replication` / the `--initial_only=False` skip
+      * path; tests/test_mysql_ch_replicator.py:643-695). */
+    skipInitialReplication: Boolean = false) {
 
   /** fnmatch-style glob → anchored regex (config.py:261-282 uses
     * fnmatch; `*` and `?` only, everything else literal). */

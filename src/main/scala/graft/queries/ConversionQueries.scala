@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.Wkb
 import graft.operators.RecordConversion
 
 /** The scalar conversion layer (SURVEY.md §2.8, X1-X12) exercised through
@@ -33,6 +34,52 @@ object ConversionQueries {
           RecordConversion.yearClamp(col("rawyr")).cast("int").as("yr"),
           RecordConversion.uuidCanonical(col("l_returnflag")).as("uuid_canon"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // X6 WKB geometry decode — the one custom Catalyst expression family,
+    // under the oracle gate via deterministic hex fixtures (MySQL's
+    // internal SRID-prefixed layout and bare WKB, both endiannesses;
+    // holes skipped per converter.py:138-271). The oracle is the
+    // literal expected geometry.
+    "conv_wkb_decode" -> { (s, _) =>
+      import s.implicits._
+      def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+      val outer3 = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0))
+      val hole3 = Seq((1.0, 1.0), (2.0, 1.0), (1.0, 1.0))
+      val p40 = Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0))
+      val p41 = Seq((5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 5.0))
+      val h41 = Seq((5.25, 5.25), (5.5, 5.25), (5.25, 5.25))
+      val rows = Seq(
+        (1, "point", hex(Wkb.encodePoint(1.5, 2.5))), // bare little-endian
+        (2, "point", hex(Wkb.encodePoint(-3.25, 7.0, little = false,
+          srid = Some(0)))), // big-endian, MySQL SRID header
+        (3, "polygon", hex(Wkb.encodePolygon(Seq(outer3, hole3),
+          srid = Some(0)))),
+        (4, "multipolygon", hex(Wkb.encodeMultiPolygon(
+          Seq(Seq(p40), Seq(p41, h41)), srid = Some(0)))))
+      val df = rows.toDF("gid", "kind", "hexwkb")
+        .withColumn("wkb", unhex(col("hexwkb")))
+      val pts = df.filter(col("kind") === "point").select(
+        col("gid"), lit(0).as("poly"), lit(0).as("idx"),
+        Wkb.decodePoint(col("wkb")).getField("x").cast("double").as("x"),
+        Wkb.decodePoint(col("wkb")).getField("y").cast("double").as("y"))
+      val poly = df.filter(col("kind") === "polygon")
+        .select(col("gid"),
+          posexplode(Wkb.decodePolygon(col("wkb"))).as(Seq("idx", "pt")))
+        .select(col("gid"), lit(0).as("poly"), col("idx"),
+          col("pt.x").cast("double").as("x"),
+          col("pt.y").cast("double").as("y"))
+      val multi = df.filter(col("kind") === "multipolygon")
+        .select(col("gid"),
+          posexplode(Wkb.decodeMultiPolygon(col("wkb")))
+            .as(Seq("poly", "ring")))
+        .select(col("gid"), col("poly"),
+          posexplode(col("ring")).as(Seq("idx", "pt")))
+        .select(col("gid"), col("poly"), col("idx"),
+          col("pt.x").cast("double").as("x"),
+          col("pt.y").cast("double").as("y"))
+      pts.unionByName(poly).unionByName(multi)
+        .orderBy("gid", "poly", "idx")
     })
 
   val oracles: Map[String, String] = Map(
@@ -56,5 +103,20 @@ object ConversionQueries {
         |    l_suppkey % 8 AS mask,
         |    1880 + (l_partkey % 300) AS rawyr
         |  FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "conv_wkb_decode" ->
+      """SELECT CAST(c1 AS INT) AS gid, CAST(c2 AS INT) AS poly,
+        |  CAST(c3 AS INT) AS idx, CAST(c4 AS DOUBLE) AS x,
+        |  CAST(c5 AS DOUBLE) AS y
+        |FROM (VALUES
+        |  (1, 0, 0, 1.5, 2.5),
+        |  (2, 0, 0, -3.25, 7.0),
+        |  (3, 0, 0, 0.0, 0.0), (3, 0, 1, 4.0, 0.0),
+        |  (3, 0, 2, 4.0, 4.0), (3, 0, 3, 0.0, 0.0),
+        |  (4, 0, 0, 0.0, 0.0), (4, 0, 1, 1.0, 0.0),
+        |  (4, 0, 2, 1.0, 1.0), (4, 0, 3, 0.0, 0.0),
+        |  (4, 1, 0, 5.0, 5.0), (4, 1, 1, 6.0, 5.0),
+        |  (4, 1, 2, 6.0, 6.0), (4, 1, 3, 5.0, 5.0)) AS t(c1, c2, c3, c4, c5)
+        |ORDER BY gid, poly, idx""".stripMargin)
 }

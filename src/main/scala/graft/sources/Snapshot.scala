@@ -40,6 +40,30 @@ object Snapshot {
     s"CRC32($concat) % $totalWorkers = $workerId"
   }
 
+  /** One predicate per shard — disjoint and complete over the PK space
+    * (every row satisfies exactly one CRC32-mod bucket). */
+  def shardPredicates(pkCols: Seq[String], numWorkers: Int): Array[String] =
+    (0 until numWorkers)
+      .map(w => shardPredicateSql(pkCols, numWorkers, w)).toArray
+
+  /** The reference's parallel initial scan (mysql_api.py:110-157,
+    * db_replicator_initial.py:386-448) as ONE distributed JDBC read:
+    * each shard predicate becomes a Spark input partition, pushed into
+    * the remote `WHERE`, so `numWorkers` executors page the table
+    * concurrently without the driver-side keyset loop — task retry +
+    * deterministic shards replace its per-batch max-PK checkpoint.
+    * `fetchsize` keeps the MySQL wire cursor streaming (the LIMIT-paging
+    * analogue).
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           pkCols: Seq[String], numWorkers: Int,
+           props: java.util.Properties = new java.util.Properties)
+      : DataFrame = {
+    if (!props.containsKey("fetchsize"))
+      props.setProperty("fetchsize", "50000") // BATCH_SIZE analogue
+    spark.read.jdbc(url, table, shardPredicates(pkCols, numWorkers), props)
+  }
+
   /** Snapshot one table: wire rows → converted rows → versioned target.
     * `version` 0 marks snapshot rows; realtime batches stamp higher
     * versions, so a snapshot racing the stream still converges via the
@@ -47,10 +71,19 @@ object Snapshot {
     */
   def run(spark: SparkSession, source: DataFrame, schema: TableSchema,
           warehouseDir: String, config: GraftConfig = GraftConfig(),
-          version: Long = 0L): GraftTable = {
+          version: Long = 0L): GraftTable =
+    runAt(spark, source, schema, s"$warehouseDir/${schema.name}", config,
+      version)
+
+  /** [[run]] with an explicit table directory — used by the replicator
+    * orchestration to land the snapshot on the exact warehouse path the
+    * realtime pipeline will keep appending to (F4 remaps applied). */
+  def runAt(spark: SparkSession, source: DataFrame, schema: TableSchema,
+            tableDir: String, config: GraftConfig = GraftConfig(),
+            version: Long = 0L): GraftTable = {
     val converted = RecordConversion.convert(source, schema,
       config.mysqlTimezone)
-    val target = GraftTable(spark, s"$warehouseDir/${schema.name}",
+    val target = GraftTable(spark, tableDir,
       schema.primaryKeys, schema.toStructType)
     target.append(converted, version)
     target

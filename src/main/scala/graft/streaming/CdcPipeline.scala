@@ -66,7 +66,7 @@ final class CdcPipeline(
       GraftColumn(f.id, f.name, MySqlType.toSpark(f.tpe), f.nullable))
 
   /** Warehouse location — target names (F4 remap) live only here. */
-  private def tablePath(db: String, tbl: String): String =
+  private[streaming] def tablePath(db: String, tbl: String): String =
     s"$warehouseDir/${config.targetDatabase(db)}/${config.targetTable(db, tbl)}"
 
   def table(db: String, tbl: String): GraftTable =
@@ -159,8 +159,15 @@ final class CdcPipeline(
     }
   }
 
-  private def flushTable(events: DataFrame, db: String, tbl: String,
+  private def flushTable(events0: DataFrame, db: String, tbl: String,
                          version: Long): Unit = {
+    // ignore_deletes (config.py): REMOVEs are dropped BEFORE the LWW
+    // collapse — an insert-then-delete pair must keep the insert, not
+    // collapse to a dropped delete (tests/test_mysql_ch_replicator.py:572-641)
+    val events =
+      if (config.ignoreDeletes)
+        events0.filter(col("op") =!= EventSpool.OpRemove)
+      else events0
     val schema = registry(db, tbl)
     val target = table(db, tbl)
     // wire schema: every field as string; RecordConversion casts/decodes.

@@ -148,6 +148,99 @@ class CdcPipelineSpec extends SparkSpec {
     assert(usersNow() === Seq((1, "ann", "a@x.io"), (2, "bob", "b@x.io")))
   }
 
+  test("ignore_deletes mode accumulates: REMOVEs dropped pre-collapse") {
+    val registry = new SchemaRegistry
+    registry.applySql(
+      "CREATE TABLE users (id int NOT NULL, name varchar(50), age int, PRIMARY KEY(id))")
+    val pipeline = new CdcPipeline(spark,
+      GraftConfig(ignoreDeletes = true), registry, tmpDir("graft-wh-igd"))
+    val spool = tmpDir("graft-spool-igd")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30))),
+      eventJson(2, "d", "users", OpRemove, row = Some("""{"id":"1"}""")),
+      eventJson(3, "d", "users", OpAdd, row = Some(row(2, "bob", 40))),
+      // insert-then-delete inside one batch: the insert must survive
+      eventJson(4, "d", "users", OpAdd, row = Some(row(3, "carl", 22))),
+      eventJson(5, "d", "users", OpRemove, row = Some("""{"id":"3"}"""))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    val got = pipeline.table("users").read
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === Set((1, "ann"), (2, "bob"), (3, "carl")))
+  }
+
+  test("F4 remap: target_databases/target_tables move warehouse paths only") {
+    val registry = new SchemaRegistry
+    registry.applySql("CREATE TABLE users (id int NOT NULL, v int, PRIMARY KEY(id))")
+    val wh = tmpDir("graft-wh-remap")
+    val pipeline = new CdcPipeline(spark,
+      GraftConfig(targetDatabases = Map("default" -> "analytics"),
+        targetTables = Map("default.users" -> "members")), registry, wh)
+    val spool = tmpDir("graft-spool-remap")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some("""{"id":"1","v":"7"}"""))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    // data landed under the remapped path; source names still address it
+    assert(new java.io.File(s"$wh/analytics/members/data").isDirectory)
+    assert(!new java.io.File(s"$wh/default").exists)
+    assert(pipeline.table("users").read.collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((1, 7)))
+  }
+
+  test("Replicator: snapshot lands on pipeline paths; skip flag starts empty") {
+    import spark.implicits._
+    def drive(config: GraftConfig): Set[(Int, String, Long)] = {
+      val registry = new SchemaRegistry
+      registry.applySql(
+        """CREATE TABLE users (id int NOT NULL, name varchar(50),
+          |  age int unsigned, PRIMARY KEY(id))""".stripMargin)
+      val spool = tmpDir("graft-spool-rep")
+      writeFile(spool, "000001.json", Seq(
+        eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann2", 31)))))
+      val snap = Seq((1, "ann", "30"), (2, "bob", "40"))
+        .toDF("id", "name", "age")
+      val (pipeline, q) = Replicator.start(spark, config, registry,
+        tmpDir("graft-wh-rep"), spool, tmpDir("graft-ckpt-rep"),
+        snapshots = Map("users" -> snap),
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+      try q.processAllAvailable() finally q.stop()
+      pipeline.table("users").read.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    }
+    // snapshot + stream converge (stream update beats snapshot version 0)
+    assert(drive(GraftConfig()) ===
+      Set((1, "ann2", 31L), (2, "bob", 40L)))
+    // skip_initial_replication: only streamed rows exist
+    assert(drive(GraftConfig(skipInitialReplication = true)) ===
+      Set((1, "ann2", 31L)))
+  }
+
+  test("lag monitor (S12) reports batch progress for the stream") {
+    val monitor = LagMonitor.attach(spark)
+    try {
+      val (pipeline, _) = mkPipeline()
+      val spool = tmpDir("graft-spool-lag")
+      writeFile(spool, "000001.json", Seq(
+        eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30)))))
+      val q = pipeline.start(spool, tmpDir("graft-ckpt-lag"),
+        Trigger.ProcessingTime("50 milliseconds"))
+      try {
+        q.processAllAvailable()
+        // listener delivery is async — poll briefly
+        val deadline = System.currentTimeMillis() + 10000
+        var p = monitor.progress(q.id)
+        while ((p.isEmpty || p.get.numInputRows == 0) &&
+               System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          p = monitor.progress(q.id)
+        }
+        assert(p.nonEmpty, "no progress captured")
+        assert(p.get.numInputRows >= 1L)
+        assert(p.get.batchDurationMs >= 0L)
+        assert(p.get.lagSeconds() >= 0.0 && p.get.lagSeconds() < 60.0)
+      } finally q.stop()
+    } finally spark.streams.removeListener(monitor)
+  }
+
   test("db/table glob filtering (F1) drops excluded traffic") {
     val registry = new SchemaRegistry
     registry.applySql("CREATE TABLE t1 (id int, v int, PRIMARY KEY(id))")
