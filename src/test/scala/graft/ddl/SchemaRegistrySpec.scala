@@ -52,4 +52,42 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       r.applySql("ALTER TABLE t DROP COLUMN id"))
   }
+
+  test("W6: state file round-trips schemas AND the DDL replay watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg")
+    val file = dir.resolve("state.json").toString
+    val r = new SchemaRegistry("maindb", Some(file))
+    r.applySql("maindb", "CREATE TABLE t (id int, a varchar(10), PRIMARY KEY(id))")
+    r.applyDdl("maindb",
+      DdlParser.parse("ALTER TABLE t ADD COLUMN b bigint"), seq = 17L)
+    assert(r.lastDdlSeq === 17L)
+
+    // a restarted process reloads both pieces of state
+    val r2 = new SchemaRegistry("maindb", Some(file))
+    assert(r2("maindb", "t").fields.map(_.name) === Vector("id", "a", "b"))
+    assert(r2("maindb", "t").fields.map(_.id) === Vector(0, 1, 2))
+    assert(r2.lastDdlSeq === 17L)
+
+    // at-least-once redelivery after restart: same (seq, DDL) is a no-op
+    assert(r2.applyDdl("maindb",
+      DdlParser.parse("ALTER TABLE t ADD COLUMN b bigint"), seq = 17L) === Nil)
+    assert(r2("maindb", "t").fields.map(_.name) === Vector("id", "a", "b"))
+    // the next new DDL applies
+    assert(r2.applyDdl("maindb",
+      DdlParser.parse("ALTER TABLE t DROP COLUMN b"), seq = 18L) === Seq("t"))
+  }
+
+  test("db-qualified RENAME resolves each side independently (ADVICE r2)") {
+    val r = new SchemaRegistry("maindb")
+    r.applySql("maindb", "CREATE TABLE a (id int, PRIMARY KEY(id))")
+    r.applySql("archive", "CREATE TABLE old (id int, PRIMARY KEY(id))")
+    // unqualified side resolves against the event db; qualified side wins
+    r.applyDdl("maindb", DdlParser.parse("RENAME TABLE a TO archive.a_moved"))
+    assert(!r.contains("maindb", "a"))
+    assert(r.contains("archive", "a_moved"))
+    // fully qualified, applied from an unrelated event db
+    r.applyDdl("elsewhere",
+      DdlParser.parse("RENAME TABLE archive.a_moved TO archive.a_back"))
+    assert(r.contains("archive", "a_back"))
+  }
 }

@@ -47,6 +47,24 @@ class RecordConversionSpec extends SparkSpec {
     assert(got === Array(Some("a,c"), Some(""), Some("a,c"), None))
   }
 
+  test("X3: latin1 decodes as cp1252, not ISO-8859-1 (converter.py:45)") {
+    // 0x93/0x94 are curly quotes in Windows-1252 but C1 controls in true
+    // ISO-8859-1 — MySQL's 'latin1' is cp1252, so the quotes must win;
+    // 0xE9 is é in both. cp1251 maps 0xC0-0xFF to Cyrillic.
+    val df = Seq(
+      Tuple1(Array[Byte](0x93.toByte, 'h'.toByte, 'i'.toByte, 0x94.toByte,
+        0xE9.toByte))).toDF("b")
+    val got = df.select(
+      RecordConversion.charsetDecode($"b", Some("latin1"), None).as("l1"),
+      RecordConversion.charsetDecode($"b", None, Some("latin1")).as("tbl"),
+      RecordConversion.charsetDecode(
+        lit(Array[Byte](0xC4.toByte, 0xEE.toByte)), Some("cp1251"), None)
+        .as("ru")).head()
+    assert(got.getString(0) === "“hi”é")
+    assert(got.getString(1) === "“hi”é") // table charset fallback
+    assert(got.getString(2) === "До")         // cp1251 Cyrillic "До"
+  }
+
   test("X9: year clamp [1901, 2155], 0 passes (converter.py:613-623)") {
     val df = Seq(1800, 1999, 2200, 0).toDF("y")
     val got = df.select(RecordConversion.yearClamp($"y").as("v"))

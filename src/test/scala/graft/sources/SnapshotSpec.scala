@@ -39,4 +39,25 @@ class SnapshotSpec extends SparkSpec {
       .filter(col("m") === 1).count()
     assert(matchedOnce === 1000L)
   }
+
+  test("A3: keyset-resume bookkeeping is subsumed by deterministic shards") {
+    // The reference tracks the lexicographic max PK tuple per batch to
+    // resume a crashed keyset scan (db_replicator_initial.py:239-246).
+    // Here a shard IS a deterministic predicate: re-running it (Spark
+    // task retry) yields the identical row set, and re-appending it at
+    // the same snapshot version leaves the FINAL view unchanged — no
+    // driver-side max-PK cursor to persist.
+    val rows = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val shard = Snapshot.shardPredicate(Seq("id"), 4, 1)
+    val once = rows.filter(shard).collect().toSet
+    assert(rows.filter(shard).collect().toSet === once) // deterministic
+    val schema = graft.ddl.DdlParser.parse(
+      "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")
+      .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
+    val wh = tmpDir("graft-snap")
+    val t1 = Snapshot.run(spark, rows.filter(shard), schema, wh)
+    val before = t1.read.collect().toSet
+    Snapshot.run(spark, rows.filter(shard), schema, wh) // retried shard
+    assert(t1.read.collect().toSet === before)
+  }
 }

@@ -241,6 +241,48 @@ class CdcPipelineSpec extends SparkSpec {
     } finally spark.streams.removeListener(monitor)
   }
 
+  test("W6: kill and resume — checkpoint + schema state survive a restart") {
+    val stateFile = tmpDir("graft-state-res") + "/state.json"
+    val wh = tmpDir("graft-wh-res")
+    val spool = tmpDir("graft-spool-res")
+    val ckpt = tmpDir("graft-ckpt-res")
+    def mk(): (CdcPipeline, SchemaRegistry) = {
+      val registry = new SchemaRegistry("default", Some(stateFile))
+      if (!registry.contains("users"))
+        registry.applySql(
+          """CREATE TABLE users (id int NOT NULL, name varchar(50),
+            |  age int unsigned, PRIMARY KEY(id))""".stripMargin)
+      (new CdcPipeline(spark, GraftConfig(), registry, wh), registry)
+    }
+    val (p1, _) = mk()
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30))),
+      eventJson(2, "d", "users", OpQuery,
+        query = Some("ALTER TABLE users ADD COLUMN email varchar(100)")),
+      eventJson(3, "d", "users", OpAdd,
+        row = Some("""{"id":"2","name":"bob","email":"b@x.io","age":"40"}"""))))
+    val q1 = p1.start(spool, ckpt, Trigger.ProcessingTime("50 milliseconds"))
+    try q1.processAllAvailable() finally q1.stop()
+
+    // "crash": fresh pipeline, registry reloaded from the state file —
+    // it must carry the evolved schema AND the DDL watermark
+    val (p2, r2) = mk()
+    assert(r2("users").fields.map(_.name) ===
+      Vector("id", "name", "age", "email"))
+    assert(r2.lastDdlSeq === 2L)
+    writeFile(spool, "000002.json", Seq(
+      eventJson(4, "d", "users", OpAdd,
+        row = Some("""{"id":"1","name":"ann2","email":"a@x.io","age":"31"}"""))))
+    val q2 = p2.start(spool, ckpt, Trigger.ProcessingTime("50 milliseconds"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    // file 1 was not re-ingested (checkpoint), the update superseded ann
+    val got = p2.table("users").read.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(3))))
+    assert(got.toSeq ===
+      Seq((1, "ann2", Some("a@x.io")), (2, "bob", Some("b@x.io"))))
+  }
+
   test("db/table glob filtering (F1) drops excluded traffic") {
     val registry = new SchemaRegistry
     registry.applySql("CREATE TABLE t1 (id int, v int, PRIMARY KEY(id))")
