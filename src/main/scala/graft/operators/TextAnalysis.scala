@@ -22,6 +22,17 @@ object TextAnalysis {
   def tokenCountEstimate(text: Column): Column =
     greatest(size(tokens(text)), ceil(length(text) / 4).cast("int"))
 
+  /** BPE pre-tokenizer pattern: letter runs, digit runs, single other
+    * non-space — the GPT-2-style pre-split a real BPE applies before
+    * merges. Kept to constructs Java regex and RE2 agree on so the SQL
+    * oracle counts identically. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Vocab-free BPE token count: pre-split matches (each merges into ≥ 1
+    * BPE token, so this is the standard cheap lower-bound count). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpePattern)).cast("int")
+
   def typeTokenRatio(text: Column): Column = {
     val t = tokens(text)
     round(size(array_distinct(t)).cast("double") / size(t), 6)

@@ -20,6 +20,7 @@ object TextQueries {
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"),
         TextAnalysis.tokenCountEstimate(col("text")).as("tok_est"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
         TextAnalysis.typeTokenRatio(col("text")).as("ttr"))
         .orderBy("doc_id")
     },
@@ -76,6 +77,8 @@ object TextQueries {
         |  CAST(len(str_split(text,' ')) AS INT) AS n_tokens,
         |  CAST(len(list_distinct(str_split(text,' '))) AS INT) AS n_distinct,
         |  CAST(GREATEST(len(str_split(text,' ')), CEIL(length(text)/4)) AS INT) AS tok_est,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+        |    AS bpe_tokens,
         |  round(CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
         |        / len(str_split(text,' ')), 6) AS ttr
         |FROM documents ORDER BY doc_id""".stripMargin,
