@@ -51,3 +51,61 @@ final case class GraftConfig(
   def targetTable(db: String, table: String): String =
     targetTables.getOrElse(s"$db.$table", table)
 }
+
+object GraftConfig {
+
+  /** Load the reference's YAML settings file (config.py:133-238,
+    * example_config.yaml) — the data-semantics subset. Connection and
+    * process-supervision keys (`mysql:`, `clickhouse:`,
+    * `binlog_replicator:`, intervals...) are ignored: connections are
+    * Spark source/sink configuration here, supervision is the cluster
+    * manager's job. A reference user's config file loads unchanged.
+    */
+  def load(path: String): GraftConfig =
+    fromYaml(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromYaml(text: String): GraftConfig = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = mapper.readTree(text)
+    import scala.jdk.CollectionConverters._
+    // `databases`/`tables` accept a glob string OR a list (config.py:233-234)
+    def globs(key: String): Seq[String] = root.get(key) match {
+      case null => Nil
+      case n if n.isArray =>
+        n.elements().asScala.map(_.asText()).toSeq.filter(_.nonEmpty)
+      case n => Seq(n.asText()).filter(_.nonEmpty)
+    }
+    def strMap(key: String): Map[String, String] = root.get(key) match {
+      case null => Map.empty
+      case n => n.fields().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+    GraftConfig(
+      includeDatabases = globs("databases"),
+      excludeDatabases = globs("exclude_databases"),
+      // reference default tables='*' — same as our "no filter"
+      includeTables = globs("tables").filterNot(_ == "*"),
+      excludeTables = globs("exclude_tables"),
+      targetDatabases = strMap("target_databases"),
+      targetTables = strMap("target_tables"),
+      typesMapping = strMap("types_mapping").map { case (k, v) =>
+        k.toLowerCase -> parseTargetType(v)
+      },
+      mysqlTimezone = Option(root.get("mysql_timezone"))
+        .map(_.asText()).getOrElse("UTC"),
+      ignoreDeletes = Option(root.get("ignore_deletes"))
+        .exists(_.asBoolean(false)),
+      skipInitialReplication = Option(root.get("skip_initial_replication"))
+        .exists(_.asBoolean(false)))
+  }
+
+  /** types_mapping values are target type names ('UUID') or MySQL type
+    * text; both resolve to the engine's type ADT. */
+  private def parseTargetType(v: String): MySqlType = v.trim.toLowerCase match {
+    case "uuid" => MySqlType.MUuid
+    case other => graft.types.TypeParser.parse(other).tpe
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.types.MySqlType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** YAML settings parity with the reference's config.py / example_config
+  * shape: a reference user's file loads unchanged, connection keys
+  * ignored.
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  test("reference-shaped YAML loads; connection sections ignored") {
+    val c = GraftConfig.fromYaml(
+      """mysql:
+        |  host: 'localhost'
+        |  port: 8306
+        |clickhouse:
+        |  host: 'localhost'
+        |binlog_replicator:
+        |  data_dir: '/tmp/binlog/'
+        |databases: 'prod_*'
+        |tables: '*'
+        |exclude_databases: ['staging', 'tmp*']
+        |exclude_tables: 'audit_*'
+        |target_databases:
+        |  prod_main: analytics
+        |target_tables:
+        |  prod_main.users: members
+        |types_mapping:
+        |  'char(36)': 'UUID'
+        |  'bigint unsigned': 'bigint'
+        |mysql_timezone: 'Europe/Berlin'
+        |ignore_deletes: true
+        |skip_initial_replication: true
+        |""".stripMargin)
+    assert(c.databaseMatches("prod_x") && !c.databaseMatches("staging"))
+    assert(!c.databaseMatches("tmp_1") && !c.databaseMatches("other"))
+    assert(c.tableMatches("users") && !c.tableMatches("audit_log"))
+    assert(c.targetDatabase("prod_main") === "analytics")
+    assert(c.targetTable("prod_main", "users") === "members")
+    assert(c.typesMapping("char(36)") === MySqlType.MUuid)
+    assert(c.typesMapping("bigint unsigned") ===
+      MySqlType.MInt(8, unsigned = false)) // remap kills the unsigned fixup
+    assert(c.mysqlTimezone === "Europe/Berlin")
+    assert(c.ignoreDeletes && c.skipInitialReplication)
+  }
+
+  test("defaults: everything admitted, no remaps, modes off") {
+    val c = GraftConfig.fromYaml("databases: '*'\n")
+    assert(c.databaseMatches("anything") && c.tableMatches("t"))
+    assert(c.targetDatabase("d") === "d" && c.targetTable("d", "t") === "t")
+    assert(!c.ignoreDeletes && !c.skipInitialReplication)
+    assert(c.mysqlTimezone === "UTC")
+  }
+
+  test("list-form databases and glob semantics match fnmatch") {
+    val c = GraftConfig.fromYaml("databases: ['db1', 'repl_?']\n")
+    assert(c.databaseMatches("db1") && c.databaseMatches("repl_a"))
+    assert(!c.databaseMatches("repl_ab") && !c.databaseMatches("db2"))
+  }
+}
