@@ -182,24 +182,30 @@ final class CdcPipeline(
       .select(col("seq"), col("op"), from_json(col("row"), wire).as("r"))
       .select(Seq(col("seq"), col("op")) ++
         schema.fields.map(f => col(s"r.${f.name}").as(f.name)): _*)
+    // persist: the collapse feeds four consumers (two emptiness probes +
+    // the image append + the tombstone write) — without it each one
+    // re-parses and re-shuffles the whole segment
     val collapsed = FinalView.latestByKey(parsed, schema.primaryKeys,
       struct(col("seq")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val adds = collapsed.filter(col("op") === EventSpool.OpAdd)
+        .drop("seq", "op")
+      val removes = collapsed.filter(col("op") === EventSpool.OpRemove)
+        .select(schema.primaryKeys.map(col): _*)
 
-    val adds = collapsed.filter(col("op") === EventSpool.OpAdd)
-      .drop("seq", "op")
-    val removes = collapsed.filter(col("op") === EventSpool.OpRemove)
-      .select(schema.primaryKeys.map(col): _*)
-
-    val converted = RecordConversion.convert(adds, schema, config.mysqlTimezone)
-    if (!converted.isEmpty) target.append(converted, version)
-    if (!removes.isEmpty) {
-      // REMOVE payloads carry PKs only (converter.py:575-583); convert just
-      // the key columns so typed keys match the stored images.
-      val keySchema = schema.copy(fields =
-        schema.fields.filter(f => schema.primaryKeys.contains(f.name)))
-      target.delete(RecordConversion.convert(removes, keySchema,
-        config.mysqlTimezone), version)
-    }
+      val converted = RecordConversion.convert(adds, schema,
+        config.mysqlTimezone)
+      if (!converted.isEmpty) target.append(converted, version)
+      if (!removes.isEmpty) {
+        // REMOVE payloads carry PKs only (converter.py:575-583); convert
+        // just the key columns so typed keys match the stored images.
+        val keySchema = schema.copy(fields =
+          schema.fields.filter(f => schema.primaryKeys.contains(f.name)))
+        target.delete(RecordConversion.convert(removes, keySchema,
+          config.mysqlTimezone), version)
+      }
+    } finally collapsed.unpersist(blocking = false)
   }
 
   /** Apply one DDL event (at event seq `seq`, from binlog session db
