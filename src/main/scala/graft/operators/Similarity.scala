@@ -105,6 +105,37 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** [[lshTopK]] with multi-probe: each query also probes the `bits`
+    * buckets at Hamming distance 1 from its own (flip one sign bit) —
+    * the standard recall lever for sign-LSH. Cost grows by ×(bits+1) on
+    * the probe side only; the corpus is still bucketed once, so at scale
+    * this is (bits+1) bucket lookups per query, not a wider scan. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int, bits: Int = 4,
+                        dim: Int = 64): DataFrame = {
+    val masks = array((0L +: (0 until bits).map(i => 1L << i)).map(lit): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2(col(vecCol)).as("nq"),
+      signBucket(col(vecCol), bits, dim).as("b0"))
+      .select(col("query_id"), col("qv"), col("nq"),
+        explode(transform(masks, m => col("b0").bitwiseXOR(m))).as("bucket"))
+    val c = spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm2(col(vecCol)).as("nc"),
+        signBucket(col(vecCol), bits, dim).as("bucket"))
+    // a corpus vector lives in exactly one bucket and probe buckets are
+    // distinct, so no (query, neighbor) pair can appear twice
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) /
+          sqrt(col("nq") * col("nc")), 4).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Embedding near-dup pairs above `threshold`, candidate-bounded by
     * sharing a sign bucket (cosine-LSH property: near vectors agree on
     * most sign bits). */

@@ -29,6 +29,16 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Multi-probe: also search the Hamming-1 buckets — the recall lever.
+    "s_ann_lsh_probe" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 3, bits = 4, dim = 64)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+
     // Embedding near-dup pairs, candidate-bounded by sign bucket.
     "s_embed_neardup" -> { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -66,13 +76,22 @@ object SimilarityQueries {
 
   /** DuckDB-side cosine over zipped unnest, all in double. */
   private def cosineSql(queryFilter: String, bucketJoin: Boolean,
-                        k: Int, simThreshold: Option[Double]): String = {
+                        k: Int, simThreshold: Option[Double],
+                        multiProbe: Boolean = false): String = {
     val bucketExpr = bucketSqlExpr(bits = 4, dim = 64)
     val joinCond =
       if (bucketJoin) "q.bucket = c.bucket AND q.query_id <> c.neighbor_id"
       else "q.query_id <> c.neighbor_id"
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
-       |      $bucketExpr AS bucket FROM embeddings WHERE $queryFilter),
+    val qCte =
+      if (multiProbe)
+        s"""q AS (SELECT query_id, qv, xor(b0, m) AS bucket
+           |  FROM (SELECT vec_id AS query_id, embedding AS qv,
+           |          $bucketExpr AS b0 FROM embeddings WHERE $queryFilter),
+           |       (SELECT unnest([0, 1, 2, 4, 8]) AS m))""".stripMargin
+      else
+        s"""q AS (SELECT vec_id AS query_id, embedding AS qv,
+           |      $bucketExpr AS bucket FROM embeddings WHERE $queryFilter)""".stripMargin
+    s"""WITH $qCte,
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
        |      $bucketExpr AS bucket FROM embeddings),
        |un AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
@@ -96,6 +115,8 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "s_ann_topk" -> cosineSql("vec_id < 10", bucketJoin = false, k = 5, None),
     "s_ann_lsh" -> cosineSql("vec_id < 10", bucketJoin = true, k = 3, None),
+    "s_ann_lsh_probe" -> cosineSql("vec_id < 10", bucketJoin = true, k = 3,
+      None, multiProbe = true),
 
     "s_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id, embedding,
