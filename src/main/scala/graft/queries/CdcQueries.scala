@@ -133,6 +133,31 @@ object CdcQueries {
       pipeline.table("items").read.orderBy("pk")
     },
 
+    // W4: Structured Streaming tumbling-window aggregation — the events
+    // fixture replayed through readStream → window(1h) × event_type →
+    // complete-mode memory sink (bounded: hours × types rows). Money sums
+    // go through exact decimals so the streamed result is bit-equal to
+    // the batch oracle regardless of arrival order.
+    "cdc_stream_window" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source wants a directory; glob down to the table
+      val stream = s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      val sink = "cdc_stream_window_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(tsSeconds(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+
     // S1/S3: deterministic worker sharding of a snapshot scan —
     // pmod(crc32(concat_ws('|', pk)), W) = w (reference mysql_api.py:124-133).
     // Spark's crc32 has no DuckDB twin, so the oracle checks shard *sizes*
@@ -188,6 +213,12 @@ object CdcQueries {
         |            FROM lineitem)
         |      GROUP BY pk)
         |WHERE ln % 7 <> 0 ORDER BY pk""".stripMargin,
+
+    "cdc_stream_window" ->
+      s"""SELECT ${sqlTsSeconds("time_bucket(INTERVAL 1 HOUR, ts)")} AS w_start,
+         |  event_type, COUNT(*) AS n,
+         |  ${sqlMoneySum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "cdc_shard_assign" ->
       """SELECT CAST(SUM(n) AS BIGINT) AS total_rows, COUNT(*) AS n_shards
