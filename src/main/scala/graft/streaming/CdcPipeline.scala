@@ -94,16 +94,20 @@ final class CdcPipeline(
       .start()
 
   /** One flush. Public so batch tests / replays can drive it directly. */
-  def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    // DDL events are rare and tiny — driver-side is the correct altitude
-    // (they mutate driver-side schema state anyway).
-    val ddls = batch.filter(col("op") === EventSpool.OpQuery)
-      .select("seq", "db", "query").collect()
-      .filter(r => r.isNullAt(1) || config.databaseMatches(r.getString(1)))
-      .sortBy(_.getLong(0))
-
-    val dml = batch.filter(col("op") =!= EventSpool.OpQuery).cache()
+  def processBatch(batch0: DataFrame, batchId: Long): Unit = {
+    // one materialization serves both the DDL scan and every per-segment
+    // DML filter — without it the source batch is recomputed per consumer
+    val batch = batch0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // DDL events are rare and tiny — driver-side is the correct
+      // altitude (they mutate driver-side schema state anyway).
+      val ddls = batch.filter(col("op") === EventSpool.OpQuery)
+        .select("seq", "db", "query").collect()
+        .filter(r => r.isNullAt(1) || config.databaseMatches(r.getString(1)))
+        .sortBy(_.getLong(0))
+
+      val dml = batch.filter(col("op") =!= EventSpool.OpQuery)
       var lo = Long.MinValue
       var segment = 0
       ddls.foreach { ddl =>
@@ -116,7 +120,7 @@ final class CdcPipeline(
         segment += 1
       }
       flushSegment(dml.filter(col("seq") > lo), version(batchId, segment))
-    } finally dml.unpersist()
+    } finally batch.unpersist(blocking = false)
   }
 
   /** Resolve an event's (db, table) to its registry key — exact match
