@@ -285,27 +285,29 @@ final class CdcPipeline(
             Some(((fromDb, from), (toDb, to)))
           else None
         }
-        if (applicable.nonEmpty) {
-          // registry first: its seq guard decides whether this is a replay
-          // (the pt-osc swap re-creates the `from` name, so a contains()
-          // check alone cannot detect redelivery) — move files only when
-          // the registry actually applied the rename
-          val applied = registry.applyDdl(eventDb,
+        // The watermark decides whether this is a redelivery (the pt-osc
+        // swap re-creates the `from` name, so a contains() check alone
+        // cannot tell). Move files BEFORE the registry applies: a crash
+        // between the two replays with the watermark still behind, and
+        // the re-attempted moves converge — renaming an already-moved
+        // source is a no-op false, in-order pairs free their targets.
+        // The reverse order would checkpoint the watermark first and a
+        // crash before the moves would skip them forever.
+        if (applicable.nonEmpty && seq > registry.lastDdlSeq) {
+          val fs = new org.apache.hadoop.fs.Path(warehouseDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          applicable.foreach { case ((fromDb, from), (toDb, to)) =>
+            val toPath = new org.apache.hadoop.fs.Path(tablePath(toDb, to))
+            Option(toPath.getParent).foreach(fs.mkdirs)
+            fs.rename(
+              new org.apache.hadoop.fs.Path(tablePath(fromDb, from)), toPath)
+            invalidate(fromDb, from)
+            invalidate(toDb, to)
+          }
+          registry.applyDdl(eventDb,
             DdlOp.RenameTable(applicable.map { case ((fd, f), (td, t)) =>
               ((Option(fd), f), (Option(td), t))
             }), seq)
-          if (applied.nonEmpty) {
-            val fs = new org.apache.hadoop.fs.Path(warehouseDir)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            applicable.foreach { case ((fromDb, from), (toDb, to)) =>
-              val toPath = new org.apache.hadoop.fs.Path(tablePath(toDb, to))
-              Option(toPath.getParent).foreach(fs.mkdirs)
-              fs.rename(
-                new org.apache.hadoop.fs.Path(tablePath(fromDb, from)), toPath)
-              invalidate(fromDb, from)
-              invalidate(toDb, to)
-            }
-          }
         }
     }
   }
