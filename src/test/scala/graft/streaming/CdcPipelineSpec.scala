@@ -283,6 +283,47 @@ class CdcPipelineSpec extends SparkSpec {
       Seq((1, "ann2", Some("a@x.io")), (2, "bob", Some("b@x.io"))))
   }
 
+  test("IF NOT EXISTS / IF EXISTS dance (test_ddl_operations.py:11-47)") {
+    val (pipeline, registry) = mkPipeline()
+    val spool = tmpDir("graft-spool-ine")
+    // qualified + unqualified duplicate CREATEs must no-op; duplicate
+    // qualified + unqualified DROPs must not kill the stream
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "default", "t1", OpQuery, query = Some(
+        "CREATE TABLE IF NOT EXISTS `default`.`t1` (id int NOT NULL, PRIMARY KEY(id))")),
+      eventJson(2, "default", "t1", OpQuery, query = Some(
+        "CREATE TABLE IF NOT EXISTS `t1` (id int NOT NULL, PRIMARY KEY(id))")),
+      eventJson(3, "default", "t2", OpQuery, query = Some(
+        "CREATE TABLE IF NOT EXISTS `default`.t2 (id int NOT NULL, PRIMARY KEY(id))")),
+      eventJson(4, "default", "t2", OpQuery, query = Some(
+        "CREATE TABLE IF NOT EXISTS t2 (id int NOT NULL, PRIMARY KEY(id))")),
+      eventJson(5, "default", "t1", OpQuery, query = Some(
+        "DROP TABLE IF EXISTS `default`.t1")),
+      eventJson(6, "default", "t1", OpQuery, query = Some(
+        "DROP TABLE IF EXISTS t1"))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    assert(registry.contains("default", "t2"))
+    assert(!registry.contains("default", "t1"))
+    // watermark tracks the last DDL that reached the registry (seq 5,
+    // the effective DROP); the second DROP is filtered before it
+    assert(registry.lastDdlSeq === 5L)
+  }
+
+  test("row images with unregistered extra columns are tolerated (dynamic cols)") {
+    // the reference crashed on columns appearing in row data without an
+    // ALTER (test_ddl_operations.py test_dynamic_column_addition_*);
+    // parsing with the registered schema must just drop the extras
+    val (pipeline, _) = mkPipeline()
+    val spool = tmpDir("graft-spool-dyn")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd,
+        row = Some("""{"id":"1","name":"ann","age":"30","surprise":"x","extra2":"y"}"""))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    val got = pipeline.table("users").read.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, "ann", 30L)))
+  }
+
   test("db/table glob filtering (F1) drops excluded traffic") {
     val registry = new SchemaRegistry
     registry.applySql("CREATE TABLE t1 (id int, v int, PRIMARY KEY(id))")
