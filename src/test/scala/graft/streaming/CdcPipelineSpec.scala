@@ -324,6 +324,32 @@ class CdcPipelineSpec extends SparkSpec {
     assert(got === Seq((1, "ann", 30L)))
   }
 
+  test("numeric limits through the pipeline (test_data_types.py:125-180)") {
+    // the binlog decodes unsigned columns as SIGNED — near-max values
+    // arrive negative on the wire and must come back fixed up (X1)
+    val registry = new SchemaRegistry
+    registry.applySql(
+      """CREATE TABLE nums (id int unsigned NOT NULL, t1 smallint,
+        |  t2 smallint unsigned, t3 tinyint, t4 tinyint unsigned,
+        |  t5 mediumint unsigned, t6 int unsigned, t7 bigint unsigned,
+        |  t8 mediumint unsigned, PRIMARY KEY(id))""".stripMargin)
+    val pipeline = new CdcPipeline(spark, GraftConfig(), registry,
+      tmpDir("graft-wh-nums"))
+    val spool = tmpDir("graft-spool-nums")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "nums", OpAdd, row = Some(
+        """{"id":"1","t1":"-20000","t2":"-5536","t3":"-30","t4":"-6",
+          |"t5":"-16","t6":"-6","t7":"-30"}""".stripMargin.replace("\n", "")))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    val got = pipeline.table("nums").read.selectExpr(
+      "cast(id as string)", "cast(t1 as string)", "cast(t2 as string)",
+      "cast(t3 as string)", "cast(t4 as string)", "cast(t5 as string)",
+      "cast(t6 as string)", "cast(t7 as string)", "cast(t8 as string)")
+      .head().toSeq
+    assert(got === Seq("1", "-20000", "60000", "-30", "250",
+      "16777200", "4294967290", "18446744073709551586", null))
+  }
+
   test("db/table glob filtering (F1) drops excluded traffic") {
     val registry = new SchemaRegistry
     registry.applySql("CREATE TABLE t1 (id int, v int, PRIMARY KEY(id))")
