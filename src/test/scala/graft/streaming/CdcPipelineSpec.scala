@@ -350,6 +350,28 @@ class CdcPipelineSpec extends SparkSpec {
       "16777200", "4294967290", "18446744073709551586", null))
   }
 
+  test("multi-source dbs into one target db (test_multi_mysql_single_ch.py)") {
+    val registry = new SchemaRegistry("src1")
+    registry.applySql("src1", "CREATE TABLE t_a (id int NOT NULL, v int, PRIMARY KEY(id))")
+    registry.applySql("src2", "CREATE TABLE t_b (id int NOT NULL, v int, PRIMARY KEY(id))")
+    val wh = tmpDir("graft-wh-multi")
+    val pipeline = new CdcPipeline(spark,
+      GraftConfig(targetDatabases =
+        Map("src1" -> "shared", "src2" -> "shared")), registry, wh)
+    val spool = tmpDir("graft-spool-multi")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "src1", "t_a", OpAdd, row = Some("""{"id":"1","v":"10"}""")),
+      eventJson(2, "src2", "t_b", OpAdd, row = Some("""{"id":"2","v":"20"}"""))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    // both sources land under ONE target db, keyed by source upstream
+    assert(new java.io.File(s"$wh/shared/t_a/data").isDirectory)
+    assert(new java.io.File(s"$wh/shared/t_b/data").isDirectory)
+    assert(pipeline.table("src1", "t_a").read.collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((1, 10)))
+    assert(pipeline.table("src2", "t_b").read.collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((2, 20)))
+  }
+
   test("db/table glob filtering (F1) drops excluded traffic") {
     val registry = new SchemaRegistry
     registry.applySql("CREATE TABLE t1 (id int, v int, PRIMARY KEY(id))")
