@@ -22,7 +22,17 @@ final case class GraftConfig(
     /** Start realtime replication without the initial bulk snapshot
       * (config.py `initial_replication` / the `--initial_only=False` skip
       * path; tests/test_mysql_ch_replicator.py:643-695). */
-    skipInitialReplication: Boolean = false) {
+    skipInitialReplication: Boolean = false,
+    /** Source connection (config.py `mysql:` section) — consumed by the
+      * bootstrap ([[graft.Main]]) to build [[graft.sources.Snapshot.jdbc]]
+      * reads; absent in tests/file-based deployments. */
+    mysql: Option[MySqlConn] = None,
+    /** Event-spool directory (config.py `binlog_replicator.data_dir`) —
+      * where the durable change-event queue lives. */
+    spoolDir: Option[String] = None,
+    /** Snapshot read parallelism (config.py
+      * `initial_replication_threads`); 0 = one partition per core. */
+    initialReplicationThreads: Int = 0) {
 
   /** fnmatch-style glob → anchored regex (config.py:261-282 uses
     * fnmatch; `*` and `?` only, everything else literal). */
@@ -50,6 +60,18 @@ final case class GraftConfig(
 
   def targetTable(db: String, table: String): String =
     targetTables.getOrElse(s"$db.$table", table)
+}
+
+/** Source MySQL connection settings (config.py `mysql:`). */
+final case class MySqlConn(host: String, port: Int, user: String,
+                           password: String) {
+  def jdbcUrl(db: String): String = s"jdbc:mysql://$host:$port/$db"
+  def properties: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("user", user)
+    p.setProperty("password", password)
+    p
+  }
 }
 
 object GraftConfig {
@@ -99,7 +121,19 @@ object GraftConfig {
       ignoreDeletes = Option(root.get("ignore_deletes"))
         .exists(_.asBoolean(false)),
       skipInitialReplication = Option(root.get("skip_initial_replication"))
-        .exists(_.asBoolean(false)))
+        .exists(_.asBoolean(false)),
+      mysql = Option(root.get("mysql")).map { m =>
+        MySqlConn(
+          host = Option(m.get("host")).map(_.asText()).getOrElse("localhost"),
+          port = Option(m.get("port")).map(_.asInt()).getOrElse(3306),
+          user = Option(m.get("user")).map(_.asText()).getOrElse("root"),
+          password = Option(m.get("password")).map(_.asText()).getOrElse(""))
+      },
+      spoolDir = Option(root.get("binlog_replicator"))
+        .flatMap(b => Option(b.get("data_dir"))).map(_.asText()),
+      initialReplicationThreads =
+        Option(root.get("initial_replication_threads"))
+          .map(_.asInt()).getOrElse(0))
   }
 
   /** types_mapping values are target type names ('UUID') or MySQL type
