@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * k-means sibling of the sign-LSH path in [[Similarity]].
+  *
+  * Production shape at 100 TB:
+  *  - `fit` trains a coarse quantizer on a driver-side sample (the
+  *    standard IVF recipe — centroids are a few KB; training on a
+  *    bounded sample is O(sample·k·iters·d), never a corpus pass);
+  *  - `assign` plants the centroids as literal arrays in a codegen'd
+  *    expression, so partitioning the corpus into cells is one map-only
+  *    pass (`vec_dot` per centroid, argmax — no shuffle, no UDF);
+  *  - `topK` probes the query's `nProbe` nearest cells only: the
+  *    cell-key equi-join replaces the cross product, cost
+  *    O(|Q|·nProbe/k·|C|·d) expected.
+  *
+  * Determinism: init = the `k` vectors with the smallest ids, fixed
+  * iteration count, centroid components rounded to 6 decimals after
+  * every update — reproducible across runs and partitionings up to
+  * float-sum noise far below the rounding grain.
+  */
+object Ivf {
+
+  final case class Model(centroids: IndexedSeq[IndexedSeq[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  import Similarity.{dot, norm2}
+
+  /** Squared L2 distance to a literal centroid, via the codegen'd
+    * primitives: |v|² − 2·v·c + |c|² (|v|² is rank-invariant for argmin
+    * but kept so the value IS the distance). */
+  private def dist2(v: Column, c: IndexedSeq[Double]): Column = {
+    val cArr = array(c.map(lit): _*)
+    val cNorm = c.map(x => x * x).sum
+    norm2(v) - lit(2.0) * dot(v, cArr) + lit(cNorm)
+  }
+
+  /** Nearest-centroid index for a vector column (map-only, codegen'd). */
+  def assign(v: Column, model: Model): Column = {
+    val best = model.centroids.zipWithIndex.tail.foldLeft(
+      struct(dist2(v, model.centroids.head).as("d"), lit(0).as("i"))) {
+      case (acc, (c, i)) =>
+        val d = dist2(v, c)
+        when(d < acc.getField("d"), struct(d.as("d"), lit(i).as("i")))
+          .otherwise(acc)
+    }
+    best.getField("i")
+  }
+
+  /** Train the coarse quantizer on (a sample of) `vecs`. */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+          iters: Int = 5, sample: Int = 10000): Model = {
+    val sampled = vecs.orderBy(col(idCol)).limit(sample)
+      .select(col(vecCol)).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: IndexedSeq[IndexedSeq[Double]] =
+        sampled.limit(k).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
+      for (_ <- 0 until iters) {
+        val assigned = sampled.select(col(vecCol).as("v"),
+          assign(col(vecCol), Model(centroids)).as("cell"))
+        // element-wise mean per cell: explode to (cell, pos, x) → avg —
+        // k·d result rows, collected to the driver (a few KB)
+        val means = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(avg(col("x").cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cell, rows) =>
+            cell -> rows.sortBy(_.getInt(1))
+              .map(r => math.rint(r.getDouble(2) * 1e6) / 1e6).toIndexedSeq
+          }
+        // empty cells keep their previous centroid
+        centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+      }
+      Model(centroids)
+    } finally sampled.unpersist(blocking = false)
+  }
+
+  /** Approximate top-k: probe the `nProbe` cells nearest to each query. */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+           vecCol: String, model: Model, k: Int,
+           nProbe: Int = 2): DataFrame = {
+    // query → its nProbe nearest cells (tiny cross with k literal cells)
+    val cellDists = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(col(vecCol), c).as("d"), lit(i).as("cell"))
+    }
+    val probes = array_sort(array(cellDists: _*))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2(col(vecCol)).as("nq"),
+      explode(slice(probes, 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("nq"), col("p.cell").as("cell"))
+    val c = Partitioning.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm2(col(vecCol)).as("nc"),
+        assign(col(vecCol), model).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) /
+          sqrt(col("nq") * col("nc")), 4).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+}

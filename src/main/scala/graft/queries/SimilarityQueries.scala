@@ -39,6 +39,22 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF cell-probe ANN: k-means coarse quantizer trained on a sample,
+    // corpus partitioned into cells map-side, queries probe 2 cells.
+    // k-means iteration means aren't SQL-expressible → rows-only gate;
+    // exactness properties (partition recovery, brute-force recall) are
+    // asserted in IvfSpec.
+    "s_ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.Ivf.fit(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      graft.operators.Ivf.topK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        model, k = 3, nProbe = 2)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+
     // Embedding near-dup pairs, candidate-bounded by sign bucket.
     "s_embed_neardup" -> { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",

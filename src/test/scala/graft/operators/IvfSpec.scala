@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVF coarse quantizer + probe search on planted, well-separated
+  * clusters: training must recover the cluster partition and probing
+  * must find the true nearest neighbors (recall 1 when cells are
+  * separated far beyond the in-cluster spread).
+  */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 clusters of 20 vectors in R⁴, centers on scaled axes
+  private def planted() = {
+    val rows = for {
+      cl <- 0 until 3
+      j <- 0 until 20
+    } yield {
+      val base = Array.fill(4)(0.0f)
+      base(cl) = 10.0f
+      base((cl + 1) % 4) += j * 0.01f // small deterministic spread
+      (cl * 100L + j, base)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("fit recovers the planted cluster partition") {
+    val vecs = planted()
+    val model = Ivf.fit(vecs, "vec_id", "embedding", k = 3, iters = 4)
+    val cells = vecs.select(col("vec_id"),
+      Ivf.assign(col("embedding"), model).as("cell"))
+      .collect().map(r => (r.getLong(0) / 100, r.getInt(1)))
+    // cluster-mates share a cell; different clusters get different cells
+    val byCluster = cells.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byCluster.values.forall(_.size == 1), s"split cluster: $byCluster")
+    assert(byCluster.values.flatten.toSet.size === 3)
+  }
+
+  test("topK with cell probing matches brute force on separated clusters") {
+    val vecs = planted()
+    val model = Ivf.fit(vecs, "vec_id", "embedding", k = 3, iters = 4)
+    val queries = vecs.filter(col("vec_id").isin(5L, 105L, 205L))
+    val ivf = Ivf.topK(queries, vecs, "vec_id", "embedding", model,
+      k = 3, nProbe = 1)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id",
+      "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf === brute)
+  }
+}
