@@ -31,25 +31,31 @@ object Ivf {
 
   import Similarity.{dot, norm2}
 
-  /** Squared L2 distance to a literal centroid, via the codegen'd
-    * primitives: |v|² − 2·v·c + |c|² (|v|² is rank-invariant for argmin
-    * but kept so the value IS the distance). */
-  private def dist2(v: Column, c: IndexedSeq[Double]): Column = {
-    val cArr = array(c.map(lit): _*)
-    val cNorm = c.map(x => x * x).sum
-    norm2(v) - lit(2.0) * dot(v, cArr) + lit(cNorm)
+  /** The centroid matrix as ONE typed literal (k × d ArrayData constant).
+    * Inlining each component as its own literal would make every new
+    * model a distinct k·d-node expression tree — a fresh multi-second
+    * Janino compile per trained model; a single reference object keeps
+    * the generated code size independent of k and d. */
+  private def centroidLit(model: Model) =
+    typedlit[Seq[Seq[Double]]](model.centroids.map(_.toSeq))
+
+  /** Argmin-equivalent scores for all cells: score_i = |cᵢ|² − 2·v·cᵢ
+    * (the |v|² term is constant per row and dropped). */
+  private def cellScores(v: Column, model: Model): Column = {
+    val cents = centroidLit(model)
+    val norms = array(model.centroids.map(c => lit(c.map(x => x * x).sum)): _*)
+    array((0 until model.k).map(i =>
+      element_at(norms, i + 1) -
+        lit(2.0) * dot(v, element_at(cents, i + 1))): _*)
   }
 
-  /** Nearest-centroid index for a vector column (map-only, codegen'd). */
+  /** Nearest-centroid index for a vector column (map-only, codegen'd).
+    * An array of k scores + array_min/array_position — NOT a fold of
+    * `when`s, whose otherwise-branches would duplicate the accumulated
+    * expression tree exponentially in k. First index wins ties. */
   def assign(v: Column, model: Model): Column = {
-    val best = model.centroids.zipWithIndex.tail.foldLeft(
-      struct(dist2(v, model.centroids.head).as("d"), lit(0).as("i"))) {
-      case (acc, (c, i)) =>
-        val d = dist2(v, c)
-        when(d < acc.getField("d"), struct(d.as("d"), lit(i).as("i")))
-          .otherwise(acc)
-    }
-    best.getField("i")
+    val scores = cellScores(v, model)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
   /** Train the coarse quantizer on (a sample of) `vecs`. */
@@ -89,10 +95,9 @@ object Ivf {
            vecCol: String, model: Model, k: Int,
            nProbe: Int = 2): DataFrame = {
     // query → its nProbe nearest cells (tiny cross with k literal cells)
-    val cellDists = model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(col(vecCol), c).as("d"), lit(i).as("cell"))
-    }
-    val probes = array_sort(array(cellDists: _*))
+    val probes = array_sort(
+      transform(cellScores(col(vecCol), model),
+        (s, i) => struct(s.as("d"), i.cast("int").as("cell"))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm2(col(vecCol)).as("nq"),
       explode(slice(probes, 1, nProbe)).as("p"))
