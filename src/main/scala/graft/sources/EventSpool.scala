@@ -31,10 +31,19 @@ object EventSpool {
     StructField("query", StringType),
     StructField("row", StringType)))
 
-  def readStream(spark: SparkSession, spoolDir: String): DataFrame =
-    spark.readStream.schema(schema)
+  /** @param cleanSource spool retention (binlog_replicator.py:288-298
+    *                     deletes fully-consumed files after
+    *                     `binlog_retention_period`): `"delete"` removes a
+    *                     spool file once its batch commits, `"archive"`
+    *                     moves it (set `sourceArchiveDir`); default keeps
+    *                     everything (tests / replay-from-zero). */
+  def readStream(spark: SparkSession, spoolDir: String,
+                 cleanSource: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "16")
-      .json(spoolDir)
+    cleanSource.foreach(r.option("cleanSource", _))
+    r.json(spoolDir)
+  }
 
   def readBatch(spark: SparkSession, spoolDir: String): DataFrame =
     spark.read.schema(schema).json(spoolDir)

@@ -11,7 +11,6 @@ import graft.operators.{FinalView, GraftColumn, GraftTable, RecordConversion}
 import graft.sources.EventSpool
 import graft.types.MySqlType
 
-import scala.collection.mutable
 
 /** The realtime replication loop, Spark-first.
   *
@@ -59,7 +58,9 @@ final class CdcPipeline(
     registry: SchemaRegistry,
     warehouseDir: String) {
 
-  private val tables = mutable.Map.empty[(String, String), GraftTable]
+  // concurrent: per-table flushes run in parallel within a segment
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), GraftTable]
 
   private def graftColumns(schema: TableSchema): Seq[GraftColumn] =
     schema.fields.map(f =>
@@ -70,9 +71,9 @@ final class CdcPipeline(
     s"$warehouseDir/${config.targetDatabase(db)}/${config.targetTable(db, tbl)}"
 
   def table(db: String, tbl: String): GraftTable =
-    tables.getOrElseUpdate((db, tbl), {
-      val schema = registry(db, tbl)
-      GraftTable(spark, tablePath(db, tbl), schema.primaryKeys,
+    tables.computeIfAbsent((db, tbl), { case (d, t) =>
+      val schema = registry(d, t)
+      GraftTable(spark, tablePath(d, t), schema.primaryKeys,
         graftColumns(schema))
     })
 
@@ -154,12 +155,32 @@ final class CdcPipeline(
         resolveTable(eventDb, tbl).map(key => key -> eventDb)
       }
     // several event dbs can resolve to the same bound table — one flush
-    // per resolved key so a single LWW collapse covers the whole segment
-    active.groupBy(_._1).foreach { case ((db, tbl), entries) =>
-      val eventDbs = entries.map(_._2).toSeq
-      flushTable(
-        dml.filter(col("db").isin(eventDbs: _*) && col("table") === tbl),
-        db, tbl, version)
+    // per resolved key so a single LWW collapse covers the whole segment.
+    // Tables flush CONCURRENTLY (bounded pool): each flush is its own
+    // chain of Spark jobs, and with many replicated tables a sequential
+    // loop leaves the cluster idle between small per-table stages — the
+    // reference uploads tables one by one (db_replicator_realtime.py:
+    // 324-374) because each upload is one INSERT; here parallel driver
+    // threads let the scheduler interleave the per-table stages.
+    val groups = active.groupBy(_._1).toSeq
+    if (groups.size <= 1)
+      groups.foreach { case ((db, tbl), entries) =>
+        flushTable(dml.filter(col("db").isin(entries.map(_._2).toSeq: _*) &&
+          col("table") === tbl), db, tbl, version)
+      }
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(groups.size, 8))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(groups.map {
+        case ((db, tbl), entries) => Future {
+          flushTable(dml.filter(col("db").isin(entries.map(_._2).toSeq: _*) &&
+            col("table") === tbl), db, tbl, version)
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
     }
   }
 
