@@ -88,16 +88,32 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** [[verifyJaccard]] over a pre-built (id, s) shingle table. */
+  /** [[verifyJaccard]] over a pre-built (id, s) shingle table.
+    *
+    * Intermediates are persisted for the duration of the computation and
+    * stay registered with the session's cache manager afterwards (the
+    * standard Spark library pattern — the caller owns cache lifecycle;
+    * `spark.catalog.clearCache()` releases them). */
   private def verifyJaccardSh(sh: DataFrame,
-                              candidates: DataFrame): DataFrame = {
+                              candidates0: DataFrame): DataFrame = {
+    // persisted: consumed by the touched-doc semi-join below AND as the
+    // streamed join side — without it the whole candidate-generation
+    // subtree (the expensive groupBy-shingle pass) runs twice
+    val candidates = candidates0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only docs that appear in a candidate pair need their arrays — the
+    // semi-join keeps the broadcast proportional to the candidate set,
+    // not the corpus
+    val touched = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
     // rebuild per-doc shingle arrays from the shared exploded table (one
     // cheap shuffle on id) instead of re-running the shingle expression;
     // sorted so the per-pair intersection is a merge walk, not a hash
     // set. Persisted because BOTH broadcast builds below consume it, and
     // broadcast jobs launch before the main stages populate any cache —
     // without this each build re-runs the whole upstream pipeline.
-    val withSh = sh.groupBy("id")
+    val withSh = sh.join(touched, Seq("id"), "left_semi")
+      .groupBy("id")
       .agg(array_sort(collect_list(col("s"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"),
@@ -109,11 +125,11 @@ object Dedup {
     // Broadcast the per-doc array side, stream the pairs: any shuffle
     // plan here moves one ~KB shingle array per candidate pair (the
     // dominant cost — measured 5× the intersect work), while the array
-    // relation is one row per *candidate-touched* doc and broadcasts.
-    // Catalyst's stats get this exactly backwards (it broadcasts the
-    // "small" pair set and streams the docs through one file split), so
-    // the hint is explicit. `|A∪B| = |A|+|B|−|A∩B|` (both arrays are
-    // distinct), so one merge-walk intersect per pair and no union.
+    // relation is one row per candidate-touched doc (the semi-join
+    // above) and broadcasts. Catalyst's stats get this exactly backwards
+    // (it broadcasts the "small" pair set and streams the docs through
+    // one file split), so the hint is explicit. `|A∪B| = |A|+|B|−|A∩B|`
+    // (both arrays are distinct): one merge-walk intersect per pair.
     candidates.join(broadcast(a), "id_a")
       .join(broadcast(bb), "id_b")
       .select(col("id_a"), col("id_b"),

@@ -279,11 +279,30 @@ final class GraftTable(
     * scanning the whole generation (the caller's key predicate still
     * applies); only a *bucketed* generation missing this particular
     * bucket dir is provably empty for the key and skipped. */
+  /** Bucketed-ness per generation, memoized: whether a gen's data dir
+    * has `_bucket=` subdirs is immutable once files exist, and probing
+    * it per lookup would put a listing RPC on the point-read hot path.
+    * Only positive answers are cached (an absent dir may appear later). */
+  private val bucketedGen =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]
+  private def isBucketed(n: Int): Boolean = {
+    val cached = bucketedGen.get(n)
+    if (cached != null) cached.booleanValue()
+    else {
+      val genDir = new Path(genDataPath(n))
+      if (!fs.exists(genDir)) false
+      else {
+        val b = fs.listStatus(genDir)
+          .exists(_.getPath.getName.startsWith("_bucket="))
+        bucketedGen.put(n, b)
+        b
+      }
+    }
+  }
+
   private def logPruned(bucket: Int): DataFrame = {
     val parts = gens.flatMap { g =>
-      val genDir = new Path(genDataPath(g.n))
-      val bucketed = fs.exists(genDir) &&
-        fs.listStatus(genDir).exists(_.getPath.getName.startsWith("_bucket="))
+      val bucketed = isBucketed(g.n)
       val p = if (bucketed) s"${genDataPath(g.n)}/_bucket=$bucket"
               else genDataPath(g.n)
       if (!fs.exists(new Path(p))) None

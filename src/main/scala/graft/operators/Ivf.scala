@@ -18,10 +18,11 @@ import org.apache.spark.sql.expressions.Window
   *    cell-key equi-join replaces the cross product, cost
   *    O(|Q|·nProbe/k·|C|·d) expected.
   *
-  * Determinism: init = the `k` vectors with the smallest ids, fixed
-  * iteration count, centroid components rounded to 6 decimals after
-  * every update — reproducible across runs and partitionings up to
-  * float-sum noise far below the rounding grain.
+  * Determinism: init = the first `k` sampled vectors (file-source
+  * listing order is stable for a given layout), fixed iteration count,
+  * centroid components rounded to 6 decimals after every update —
+  * reproducible across runs up to float-sum noise far below the
+  * rounding grain.
   */
 object Ivf {
 
@@ -61,13 +62,17 @@ object Ivf {
   /** Train the coarse quantizer on (a sample of) `vecs`. */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
           iters: Int = 5, sample: Int = 10000): Model = {
-    val sampled = vecs.orderBy(col(idCol)).limit(sample)
+    // plain limit, not orderBy().limit(): the file source lists files in
+    // a stable order, so this is reproducible for a given layout WITHOUT
+    // the full-corpus TakeOrdered scan a sort would force at 100 TB
+    val sampled = vecs.limit(sample)
       .select(col(vecCol)).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var centroids: IndexedSeq[IndexedSeq[Double]] =
         sampled.limit(k).collect()
-          .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
+          .map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq)
+          .toIndexedSeq
       for (_ <- 0 until iters) {
         val assigned = sampled.select(col(vecCol).as("v"),
           assign(col(vecCol), Model(centroids)).as("cell"))

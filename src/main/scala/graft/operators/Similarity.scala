@@ -53,10 +53,15 @@ object Similarity {
 
   /** `bits`-bit sign bucket: bit i = sign(hᵢ · v) for the i-th seeded
     * Rademacher hyperplane. Same sequential fold order as [[dot]], so the
-    * oracle's left-to-right sum matches bit-for-bit. */
+    * oracle's left-to-right sum matches bit-for-bit. Vectors shorter than
+    * `dim` project over their available dimensions (the hyperplane is
+    * sliced to match) — a length mismatch must not silently collapse
+    * every vector into bucket 0 via a null dot product. */
   def signBucket(v: Column, bits: Int, dim: Int): Column =
     hyperplaneSigns(bits, dim).zipWithIndex.map { case (h, i) =>
-      val proj = dot(slice(v, 1, dim), array(h.map(lit): _*))
+      val hArr = array(h.map(lit): _*)
+      val proj = dot(slice(v, 1, dim),
+        slice(hArr, lit(1), least(size(v), lit(dim))))
       when(proj >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 

@@ -81,11 +81,13 @@ object SimilarityQueries {
 
   /** The seeded Rademacher bucket, as SQL: per bit, a left-to-right
     * `0.0 ± v[1] ± v[2] …` sum — the exact fold order (and therefore the
-    * exact doubles) of `Similarity.signBucket`. */
+    * exact doubles) of `Similarity.signBucket`. COALESCE mirrors the
+    * Scala side's short-vector behavior (missing dims contribute 0). */
   private def bucketSqlExpr(bits: Int, dim: Int): String =
     Similarity.hyperplaneSigns(bits, dim).zipWithIndex.map { case (h, i) =>
       val dot = (0 until dim).map(j =>
-        s"${if (h(j) > 0) "+" else "-"} CAST(embedding[${j + 1}] AS DOUBLE)")
+        s"${if (h(j) > 0) "+" else "-"} " +
+          s"COALESCE(CAST(embedding[${j + 1}] AS DOUBLE), 0.0)")
         .mkString("(0.0 ", " ", ")")
       s"(CASE WHEN $dot >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", "\n + ", ")")

@@ -59,6 +59,11 @@ object Snapshot {
            pkCols: Seq[String], numWorkers: Int,
            props: java.util.Properties = new java.util.Properties)
       : DataFrame = {
+    // Connector/J ignores a positive fetch size unless cursor fetch is
+    // on — without it each shard task materializes its whole result set
+    // in executor heap before Spark reads the first row
+    if (!props.containsKey("useCursorFetch"))
+      props.setProperty("useCursorFetch", "true")
     if (!props.containsKey("fetchsize"))
       props.setProperty("fetchsize", "50000") // BATCH_SIZE analogue
     spark.read.jdbc(url, table, shardPredicates(pkCols, numWorkers), props)

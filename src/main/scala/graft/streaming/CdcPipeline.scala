@@ -318,10 +318,19 @@ final class CdcPipeline(
           val fs = new org.apache.hadoop.fs.Path(warehouseDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           applicable.foreach { case ((fromDb, from), (toDb, to)) =>
+            val fromPath =
+              new org.apache.hadoop.fs.Path(tablePath(fromDb, from))
             val toPath = new org.apache.hadoop.fs.Path(tablePath(toDb, to))
-            Option(toPath.getParent).foreach(fs.mkdirs)
-            fs.rename(
-              new org.apache.hadoop.fs.Path(tablePath(fromDb, from)), toPath)
+            if (fs.exists(fromPath)) {
+              // a pre-existing target dir can only be a stale leftover
+              // (MySQL refuses RENAME onto an existing table) — clear it,
+              // or hadoop rename would NEST the source inside it
+              if (fs.exists(toPath)) fs.delete(toPath, true)
+              Option(toPath.getParent).foreach(fs.mkdirs)
+              if (!fs.rename(fromPath, toPath))
+                throw new java.io.IOException(
+                  s"RENAME: cannot move $fromPath to $toPath")
+            } // else: retried replay — this pair already moved
             invalidate(fromDb, from)
             invalidate(toDb, to)
           }

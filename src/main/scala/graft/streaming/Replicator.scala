@@ -30,10 +30,23 @@ object Replicator {
       : (CdcPipeline, StreamingQuery) = {
     val pipeline = new CdcPipeline(spark, config, registry, warehouseDir)
     if (!config.skipInitialReplication) {
+      val fs = new org.apache.hadoop.fs.Path(warehouseDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       snapshots.foreach { case (tbl, df) =>
-        if (config.tableMatches(tbl) && registry.contains(tbl))
+        // a completion marker makes restarts cheap and idempotent — the
+        // reference persists per-table initial-replication status the
+        // same way (db_replicator.py:213-281); without it every process
+        // restart re-scans the source table and re-appends a full
+        // version-0 image
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$warehouseDir/_state/initial_done/${registry.defaultDb}.$tbl")
+        if (config.tableMatches(tbl) && registry.contains(tbl) &&
+            !fs.exists(marker)) {
           Snapshot.runAt(spark, df, registry(tbl),
             pipeline.tablePath(registry.defaultDb, tbl), config)
+          Option(marker.getParent).foreach(fs.mkdirs)
+          fs.create(marker, true).close()
+        }
       }
     }
     (pipeline, pipeline.start(spoolDir, checkpointDir, trigger))

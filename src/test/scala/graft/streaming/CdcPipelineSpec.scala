@@ -214,6 +214,29 @@ class CdcPipelineSpec extends SparkSpec {
       Set((1, "ann2", 31L)))
   }
 
+  test("Replicator restart does not re-run the initial snapshot") {
+    import spark.implicits._
+    val registry = new SchemaRegistry
+    registry.applySql(
+      "CREATE TABLE users (id int NOT NULL, name varchar(50), PRIMARY KEY(id))")
+    val wh = tmpDir("graft-wh-rs")
+    val spool = tmpDir("graft-spool-rs")
+    val ckpt = tmpDir("graft-ckpt-rs")
+    val snap = Seq((1, "ann")).toDF("id", "name")
+    def boot() = Replicator.start(spark, GraftConfig(), registry, wh,
+      spool, ckpt, snapshots = Map("users" -> snap),
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    val (p1, q1) = boot()
+    try q1.processAllAvailable() finally q1.stop()
+    val logRows = p1.table("users").log.count()
+    // crash + restart: the completion marker must skip the re-snapshot
+    val (p2, q2) = boot()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(p2.table("users").log.count() === logRows) // no duplicate image
+    assert(p2.table("users").read.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "ann")))
+  }
+
   test("lag monitor (S12) reports batch progress for the stream") {
     val monitor = LagMonitor.attach(spark)
     try {
