@@ -1,7 +1,9 @@
 package graft.ddl
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
@@ -32,25 +34,41 @@ object RegistryStore {
 
   private val mapper = new ObjectMapper()
 
+  // Hadoop FS, not java.nio: the state file lives under the warehouse
+  // dir, which in production is an hdfs://, s3a://... URI — local-path
+  // APIs would silently write driver-local files and a restart on a
+  // different node would lose the schemas AND the replay watermark.
+  private def hfs(p: Path) = p.getFileSystem(new Configuration())
+
   def save(file: String, state: State): Unit = {
     val root = mapper.createObjectNode()
     if (state.lastDdlSeq != Long.MinValue)
       root.put("lastDdlSeq", state.lastDdlSeq)
     val arr = root.putArray("tables")
     state.tables.foreach { case ((db, _), schema) => arr.add(tableNode(db, schema)) }
-    val path = Paths.get(file)
-    Option(path.getParent).foreach(Files.createDirectories(_))
-    val tmp = path.resolveSibling("." + path.getFileName + ".tmp")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+    val path = new Path(file)
+    val fs = hfs(path)
+    Option(path.getParent).foreach(fs.mkdirs)
+    val tmp = new Path(path.getParent, "." + path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    finally out.close()
+    // atomic swap (posix + HDFS rename-with-overwrite)
+    FileContext.getFileContext(fs.makeQualified(path).toUri, new Configuration())
+      .rename(fs.makeQualified(tmp), fs.makeQualified(path),
+        Options.Rename.OVERWRITE)
   }
 
   def load(file: String): State = {
-    val p = Paths.get(file)
-    if (!Files.exists(p)) return State(Nil)
-    val root = mapper.readTree(Files.readAllBytes(p))
+    val p = new Path(file)
+    val fs = hfs(p)
+    if (!fs.exists(p)) return State(Nil)
+    val in = fs.open(p)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    val root = mapper.readTree(bytes)
     val entries = root.get("tables").elements().asScala.map { t =>
       val db = t.get("db").asText()
       val schema = tableFromNode(t)

@@ -42,8 +42,15 @@ object GraftFunctions {
     one("graft_vec_norm2", "codegen'd Σ aᵢ² over a float/double array")(
       VecNorm2(_)),
     two("graft_shingles", "distinct word-n-gram shingles, one pass")(
-      (text, n) => Shingles(text,
-        n.eval().asInstanceOf[Int])), // n must be a literal
+      (text, n) => {
+        require(n.foldable, "graft_shingles: n must be a literal")
+        val width = n.eval() match {
+          case i: java.lang.Number => i.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles: n must be an integer literal, got $other")
+        }
+        Shingles(text, width)
+      }),
     two("graft_sorted_intersect_count",
       "|a ∩ b| for sorted distinct string arrays (merge walk)")(
       SortedIntersectCount(_, _)))

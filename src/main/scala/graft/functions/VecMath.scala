@@ -28,21 +28,32 @@ trait VecElementAccess { self: Expression =>
     t.asInstanceOf[ArrayType].elementType
 
   protected def checkVec(t: DataType, side: String): TypeCheckResult = t match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType | ByteType | ShortType |
+                   IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName: $side must be array<float|double>, got ${other.sql}")
+      s"$prettyName: $side must be an array of numeric primitives, " +
+        s"got ${other.sql}")
   }
 
   protected def get(arr: ArrayData, i: Int, elem: DataType): Double =
     elem match {
       case FloatType => arr.getFloat(i).toDouble
       case DoubleType => arr.getDouble(i)
+      case ByteType => arr.getByte(i).toDouble
+      case ShortType => arr.getShort(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType => arr.getLong(i).toDouble
       case t => throw new IllegalStateException(s"unexpected element type $t")
     }
 
   protected def getCode(arr: String, i: String, elem: DataType): String =
     elem match {
       case FloatType => s"(double) $arr.getFloat($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
+      case ShortType => s"(double) $arr.getShort($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType => s"(double) $arr.getLong($i)"
       case _ => s"$arr.getDouble($i)"
     }
 }

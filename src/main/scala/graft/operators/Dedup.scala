@@ -103,9 +103,11 @@ object Dedup {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // only docs that appear in a candidate pair need their arrays — the
     // semi-join keeps the broadcast proportional to the candidate set,
-    // not the corpus
+    // not the corpus. Persisted: the size-guard count below materializes
+    // it once and the semi-join reuses the cache.
     val touched = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // rebuild per-doc shingle arrays from the shared exploded table (one
     // cheap shuffle on id) instead of re-running the shingle expression;
     // sorted so the per-pair intersection is a merge walk, not a hash
@@ -126,12 +128,20 @@ object Dedup {
     // plan here moves one ~KB shingle array per candidate pair (the
     // dominant cost — measured 5× the intersect work), while the array
     // relation is one row per candidate-touched doc (the semi-join
-    // above) and broadcasts. Catalyst's stats get this exactly backwards
-    // (it broadcasts the "small" pair set and streams the docs through
-    // one file split), so the hint is explicit. `|A∪B| = |A|+|B|−|A∩B|`
-    // (both arrays are distinct): one merge-walk intersect per pair.
-    candidates.join(broadcast(a), "id_a")
-      .join(broadcast(bb), "id_b")
+    // above) and usually broadcasts. Catalyst's stats get this exactly
+    // backwards (it broadcasts the "small" pair set and streams the docs
+    // through one file split), so the choice is explicit — with a size
+    // guard: on a duplicate-saturated corpus the touched set approaches
+    // the corpus and the forced broadcast would OOM, so past the bound
+    // fall back to shuffled hash joins (slower, never fatal).
+    // `|A∪B| = |A|+|B|−|A∩B|` (both arrays are distinct): one merge-walk
+    // intersect per pair.
+    val broadcastable = touched.count() <= 100000
+    val (aSide, bSide) =
+      if (broadcastable) (broadcast(a), broadcast(bb))
+      else (a.hint("shuffle_hash"), bb.hint("shuffle_hash"))
+    candidates.join(aSide, "id_a")
+      .join(bSide, "id_b")
       .select(col("id_a"), col("id_b"),
         round(inter.cast("double") / (col("na") + col("nb") - inter), 6)
           .as("jaccard"))

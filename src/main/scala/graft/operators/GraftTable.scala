@@ -294,7 +294,10 @@ final class GraftTable(
       else {
         val b = fs.listStatus(genDir)
           .exists(_.getPath.getName.startsWith("_bucket="))
-        bucketedGen.put(n, b)
+        // cache ONLY positive answers: a probe racing the generation's
+        // first write (dir holds just _temporary/) must not pin "not
+        // bucketed" — that would disable pruning for the handle's life
+        if (b) bucketedGen.put(n, b)
         b
       }
     }

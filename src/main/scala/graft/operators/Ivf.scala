@@ -76,6 +76,9 @@ object Ivf {
       for (_ <- 0 until iters) {
         val assigned = sampled.select(col(vecCol).as("v"),
           assign(col(vecCol), Model(centroids)).as("cell"))
+          // a ragged/null vector yields a null cell — skip it rather
+          // than NPE in the driver-side centroid update
+          .filter(col("cell").isNotNull)
         // element-wise mean per cell: explode to (cell, pos, x) → avg —
         // k·d result rows, collected to the driver (a few KB)
         val means = assigned

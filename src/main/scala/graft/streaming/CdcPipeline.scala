@@ -180,6 +180,14 @@ final class CdcPipeline(
             col("table") === tbl), db, tbl, version)
         }
       }), Duration.Inf)
+      catch { case e: Throwable =>
+        // one flush failed → the batch will be retried; interrupt the
+        // sibling flushes and WAIT for them, or orphan writers would
+        // race the retry's writes into the same table directories
+        pool.shutdownNow()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw e
+      }
       finally pool.shutdown()
     }
   }
