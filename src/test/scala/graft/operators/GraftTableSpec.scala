@@ -87,6 +87,22 @@ class GraftTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "new")))
   }
 
+  test("compact collapses mixed bucketed/unbucketed generations; lookup stays correct") {
+    val root = tmpDir("graft-cmpgen")
+    val t1 = GraftTable(spark, root, Seq("id"), StructType(Seq(
+      StructField("id", StringType), StructField("v", StringType))))
+    t1.append(Seq(("1", "old"), ("9000000", "far")).toDF("id", "v"), 1)
+    val t2 = GraftTable(spark, root, Seq("id"), Seq(
+      GraftColumn(0, "id", LongType), GraftColumn(1, "v", StringType)))
+    t2.append(Seq((2L, "new")).toDF("id", "v"), 2)
+    t2.compact()
+    // one generation left, bucketed now that the PK is integral
+    assert(t2.log.count() === 3)
+    assert(t2.lookup(1L).collect().map(_.getString(1)).toSeq === Seq("old"))
+    assert(t2.lookup(9000000L).collect().map(_.getString(1)).toSeq === Seq("far"))
+    assert(t2.lookup(2L).collect().map(_.getString(1)).toSeq === Seq("new"))
+  }
+
   test("truncate clears data, table stays usable") {
     val t = mkTable()
     t.append(Seq((1L, "a")).toDF("id", "v"), version = 1)

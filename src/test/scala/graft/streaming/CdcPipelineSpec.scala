@@ -395,6 +395,28 @@ class CdcPipelineSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((2, 20)))
   }
 
+  test("RENAME clears a stale target directory instead of nesting into it") {
+    val (pipeline, registry) = mkPipeline()
+    val spool = tmpDir("graft-spool-stale")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30)))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    // leftover directory from a previously dropped table at the target
+    // path — hadoop rename would nest users/ inside it
+    val wh = pipeline.tablePath("default", "users_v2")
+    val stale = new java.io.File(s"$wh/data/junk")
+    assert(stale.mkdirs())
+    writeFile(spool, "000002.json", Seq(
+      eventJson(2, "d", "users", OpQuery,
+        query = Some("RENAME TABLE users TO users_v2"))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool)
+      .filter(org.apache.spark.sql.functions.col("seq") === 2), 1)
+    assert(!stale.exists) // stale dir replaced, not nested into
+    assert(registry.contains("default", "users_v2"))
+    assert(pipeline.table("users_v2").read.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "ann")))
+  }
+
   test("db/table glob filtering (F1) drops excluded traffic") {
     val registry = new SchemaRegistry
     registry.applySql("CREATE TABLE t1 (id int, v int, PRIMARY KEY(id))")
