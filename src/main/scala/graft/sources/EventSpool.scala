@@ -31,6 +31,13 @@ object EventSpool {
     StructField("query", StringType),
     StructField("row", StringType)))
 
+  /** Spool encodings: JSON lines (debuggable, the test fixture format)
+    * or parquet (columnar + compressed — the reference's binary spool
+    * rotated at 100k records is ~4× smaller than JSON; at scale the
+    * spool's write+read IO is a first-order replication cost). */
+  val FormatJson = "json"
+  val FormatParquet = "parquet"
+
   /** @param cleanSource spool retention (binlog_replicator.py:288-298
     *                     deletes fully-consumed files after
     *                     `binlog_retention_period`): `"delete"` removes a
@@ -38,15 +45,43 @@ object EventSpool {
     *                     moves it (set `sourceArchiveDir`); default keeps
     *                     everything (tests / replay-from-zero). */
   def readStream(spark: SparkSession, spoolDir: String,
-                 cleanSource: Option[String] = None): DataFrame = {
+                 cleanSource: Option[String] = None,
+                 format: String = FormatJson): DataFrame = {
     val r = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "16")
     cleanSource.foreach(r.option("cleanSource", _))
-    r.json(spoolDir)
+    format match {
+      case FormatJson => r.json(spoolDir)
+      case FormatParquet => r.parquet(spoolDir)
+      case other =>
+        throw new IllegalArgumentException(s"unknown spool format '$other'")
+    }
   }
 
-  def readBatch(spark: SparkSession, spoolDir: String): DataFrame =
-    spark.read.schema(schema).json(spoolDir)
+  def readBatch(spark: SparkSession, spoolDir: String,
+                format: String = FormatJson): DataFrame = format match {
+    case FormatJson => spark.read.schema(schema).json(spoolDir)
+    case FormatParquet => spark.read.schema(schema).parquet(spoolDir)
+    case other =>
+      throw new IllegalArgumentException(s"unknown spool format '$other'")
+  }
+
+  /** Append one parquet spool file atomically: write to a staging dir,
+    * move the single part file into place (the file source must never
+    * see a partial file — same contract as [[writeFile]]). */
+  def writeParquetFile(events: DataFrame, spoolDir: String,
+                       fileName: String): Unit = {
+    val staging = java.nio.file.Files.createTempDirectory("spool-staging")
+    events.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = java.nio.file.Files.list(staging).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no part file written"))
+    val dir = java.nio.file.Paths.get(spoolDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.move(part, dir.resolve(fileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   // ------------------------------------------------------- test/tool writer
 

@@ -85,8 +85,9 @@ final class CdcPipeline(
     tables.remove((db, tbl))
 
   def start(spoolDir: String, checkpointDir: String,
-            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
-    EventSpool.readStream(spark, spoolDir).writeStream
+            trigger: Trigger = Trigger.ProcessingTime("1 second"),
+            spoolFormat: String = EventSpool.FormatJson): StreamingQuery =
+    EventSpool.readStream(spark, spoolDir, format = spoolFormat).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
