@@ -53,7 +53,9 @@ object GraftFunctions {
       }),
     two("graft_sorted_intersect_count",
       "|a ∩ b| for sorted distinct string arrays (merge walk)")(
-      SortedIntersectCount(_, _)))
+      SortedIntersectCount(_, _)),
+    one("graft_simhash", "32-bit SimHash over distinct tokens, one pass")(
+      SimHash(_)))
 
   def register(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -59,6 +61,69 @@ final case class Shingles(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(out.toArray(Array.empty[AnyRef]))
+  }
+}
+
+/** 32-bit SimHash over distinct whitespace tokens, one pass per doc.
+  *
+  * Replaces the composable formulation — explode distinct tokens, md5,
+  * 32 `sum(when(ascii(substring(h,i,1)) % 2 = 1, 1).otherwise(-1))`
+  * aggregates, repack — with a per-row loop: no token explode through
+  * the aggregate, no shuffle at all (the caller's projection is the
+  * whole plan). Bit math is identical to the SQL oracle: bit i is set
+  * when Σ over distinct tokens of ±1 (parity of hex digit i of
+  * md5(token)) is > 0. Distinctness matches `array_distinct(split)`,
+  * empty tokens included.
+  */
+final case class SimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string, got ${other.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]
+    val sums = new Array[Int](32)
+    val md = digest.get()
+    var t = 0
+    while (t < toks.length) {
+      if (seen.add(toks(t))) {
+        md.reset()
+        val h = md.digest(toks(t).getBytes(StandardCharsets.UTF_8))
+        var i = 0
+        while (i < 16) {
+          val hi = hexChars((h(i) >> 4) & 0xf)
+          val lo = hexChars(h(i) & 0xf)
+          sums(2 * i) += (if ((hi.toInt & 1) == 1) 1 else -1)
+          sums(2 * i + 1) += (if ((lo.toInt & 1) == 1) 1 else -1)
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var acc = 0L
+    var i = 0
+    while (i < 32) {
+      if (sums(i) > 0) acc |= 1L << i
+      i += 1
+    }
+    acc
   }
 }
 

@@ -169,21 +169,12 @@ object Dedup {
 
   /** 32-bit SimHash over distinct tokens: bit i = sign of Σ_tokens
     * (2·parity(md5(token)[i]) − 1). Near-identical docs agree on most
-    * bits; grouping by the signature finds clusters in one shuffle. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = spread(docs).select(col(idCol),
-      explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .withColumn("h", md5(col("w")))
-    val bitSums = (0 until 32).map(i =>
-      sum(when(ascii(substring(col("h"), i + 1, 1)) % 2 === 1, 1)
-        .otherwise(-1)).as(s"s$i"))
-    tok.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 32).map(i =>
-          when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
-          .as("simhash"))
-  }
+    * bits; grouping by the signature finds clusters in one shuffle.
+    * One map-only pass via the native [[graft.functions.SimHash]] — the
+    * composable form exploded every token through a 32-way aggregate. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(docs).select(col(idCol),
+      call_function("graft_simhash", col(textCol)).as("simhash"))
 
   /** Ordered (id_a < id_b) pairs from a sorted id array — C(m,2) structs,
     * generated array-side (no join) for m bounded by the caller. */
