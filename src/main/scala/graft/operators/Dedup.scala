@@ -202,10 +202,14 @@ object Dedup {
     val groups = sh.groupBy("s")
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
+    // pairs sharing several rare shingles appear once per shingle (~10%
+    // duplication) — dedup AFTER the threshold filter, where the set is
+    // a few hundred rows, instead of exchanging the full pair stream
     val candidates = groups
       .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .select(col("p.id_a"), col("p.id_b"))
     verifyJaccardSh(sh, candidates)
       .filter(col("jaccard") >= threshold)
+      .distinct()
   }
 }
