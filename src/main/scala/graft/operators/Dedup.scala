@@ -136,7 +136,19 @@ object Dedup {
     // fall back to shuffled hash joins (slower, never fatal).
     // `|A∪B| = |A|+|B|−|A∩B|` (both arrays are distinct): one merge-walk
     // intersect per pair.
-    val broadcastable = touched.count() <= 100000
+    // The guard is a BYTE estimate, not a row count: 100k touched docs
+    // each carrying multi-KB shingle arrays would blow the driver /
+    // executor broadcast memory that a row bound was meant to protect.
+    // One agg over the (persisted) array relation sums string payload
+    // plus per-entry overhead; the HOF is interpreted but runs once per
+    // doc, off the per-pair hot path, and warms the cache the broadcast
+    // build reuses.
+    val estBytes = withSh
+      .agg(coalesce(
+        sum(expr("aggregate(sh, 48L, (a, x) -> a + length(x) + 24L)")),
+        lit(0L)))
+      .head.getLong(0)
+    val broadcastable = estBytes <= (128L << 20)
     val (aSide, bSide) =
       if (broadcastable) (broadcast(a), broadcast(bb))
       else (a.hint("shuffle_hash"), bb.hint("shuffle_hash"))
@@ -198,10 +210,22 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // shingles are distinct per doc, so group size == document frequency
-    val groups = sh.groupBy("s")
+    // Two-pass df guard so the cap applies BEFORE any array is built:
+    // pass 1 is a count (partial-aggregated map-side — the exchange moves
+    // (shingle, partial-count) rows, a fraction of the exploded table);
+    // the semi-join keeps only 2 ≤ df ≤ maxDf shingles, so no
+    // collect_set buffer ever holds more than `maxDf` ids. Filtering
+    // after collect_set instead would build a |corpus|-sized array in ONE
+    // aggregation buffer for a boilerplate shingle (hot task / executor
+    // OOM at scale) before dropping it — and the pass-2 exchange now
+    // also skips the df=1 majority of shingles entirely.
+    // Shingles are distinct per doc, so row count == document frequency.
+    val eligible = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("s")
+    val groups = sh.join(eligible, Seq("s"), "left_semi")
+      .groupBy("s")
       .agg(array_sort(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
     // pairs sharing several rare shingles appear once per shingle (~10%
     // duplication) — dedup AFTER the threshold filter, where the set is
     // a few hundred rows, instead of exchanging the full pair stream

@@ -9,6 +9,18 @@ import graft.operators.{Multimodal, Similarity}
   */
 object SimilarityQueries {
 
+  import graft.operators.Ivf
+
+  /** The IVF model fitted by the most recent `s_ann_ivf` run. The oracle
+    * SQL must embed the fitted centroids, but `oracleSql` is a static map
+    * with no (spark, dir) arguments — so the query fn records its model
+    * here and [[oracles]] (a def, re-evaluated at dump time) freezes THAT
+    * fit into literals. Verify runs every query before dumping the
+    * oracle JSON, so the cache is always populated for the driver gate;
+    * if s_ann_ivf never ran, the key is simply omitted (rows-only check,
+    * the pre-r5 behavior). */
+  @volatile private var lastIvfModel: Option[Ivf.Model] = None
+
   val defs: Map[String, QueryFn] = Map(
     // Exact ANN baseline: 10 probe vectors × full corpus, broadcast join.
     "s_ann_topk" -> { (s, dir) =>
@@ -41,13 +53,15 @@ object SimilarityQueries {
 
     // IVF cell-probe ANN: k-means coarse quantizer trained on a sample,
     // corpus partitioned into cells map-side, queries probe 2 cells.
-    // k-means iteration means aren't SQL-expressible → rows-only gate;
-    // exactness properties (partition recovery, brute-force recall) are
-    // asserted in IvfSpec.
+    // The k-means FIT isn't SQL-expressible, but the fitted model is a
+    // constant — so the oracle freezes the centroids as literals (see
+    // ivfSql) and replays assign + probe + rank exactly, the same way
+    // bucketSqlExpr freezes the LSH hyperplanes.
     "s_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val model = graft.operators.Ivf.fit(emb, "vec_id", "embedding",
         k = 8, iters = 3)
+      lastIvfModel = Some(model)
       graft.operators.Ivf.topK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
         model, k = 3, nProbe = 2)
@@ -130,7 +144,66 @@ object SimilarityQueries {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB twin of `Ivf.assign` + `Ivf.topK` with the fitted centroids
+    * inlined as literals. Bit-exactness contract, mirroring VecDot /
+    * cellScores term for term:
+    *  - per-cell score = `normLit - 2.0 * (0.0 + CAST(v[1] AS DOUBLE)*c1
+    *    + …)` — the same left-to-right double fold as the codegen'd
+    *    VecDot loop, with `normLit` computed by the identical Scala
+    *    expression (`c.map(x => x*x).sum`) that built the Spark literal;
+    *  - corpus cell = `list_position(scores, list_min(scores)) - 1`
+    *    (first index wins ties, same as array_position/array_min);
+    *  - query probes = `list_sort` of (d, cell) structs sliced to 2 —
+    *    DuckDB sorts struct lists field-by-field exactly like Spark's
+    *    array_sort over struct(d, cell).
+    * Double literals use Double.toString, which round-trips. */
+  private def ivfSql(model: Ivf.Model, k: Int, nProbe: Int): String = {
+    require(nProbe == 2, "oracle is generated for the nProbe=2 query shape")
+    def fmt(x: Double): String = java.lang.Double.toString(x)
+    def scoreExpr(c: IndexedSeq[Double]): String = {
+      val dot = c.indices.map(j =>
+        s"CAST(embedding[${j + 1}] AS DOUBLE) * (${fmt(c(j))})")
+        .mkString("(0.0 + ", " + ", ")")
+      s"(${fmt(c.map(x => x * x).sum)} - 2.0 * $dot)"
+    }
+    val scoreList =
+      model.centroids.map(scoreExpr).mkString("[", ",\n ", "]")
+    val probeList = model.centroids.zipWithIndex
+      .map { case (c, i) => s"{'d': ${scoreExpr(c)}, 'cell': $i}" }
+      .mkString("[", ",\n ", "]")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+       |        list_sort($probeList) AS pl
+       |      FROM embeddings WHERE vec_id < 10),
+       |qp AS (SELECT query_id, qv, pl[1].cell AS cell FROM q
+       |       UNION ALL SELECT query_id, qv, pl[2].cell AS cell FROM q),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+       |        CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
+       |      FROM (SELECT vec_id, embedding, $scoreList AS sl
+       |            FROM embeddings)),
+       |un AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
+       |       FROM qp JOIN c ON qp.cell = c.cell
+       |                     AND qp.query_id <> c.neighbor_id),
+       |s AS (SELECT query_id, neighbor_id,
+       |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+       |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+       |      FROM un GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |        round(dot / sqrt(nx * ny), 4) AS sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
+       |          AS INT) AS rnk
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rnk FROM ranked
+       |WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  def oracles: Map[String, String] =
+    staticOracles ++
+      lastIvfModel.map(m => "s_ann_ivf" -> ivfSql(m, k = 3, nProbe = 2))
+
+  private val staticOracles: Map[String, String] = Map(
     "s_ann_topk" -> cosineSql("vec_id < 10", bucketJoin = false, k = 5, None),
     "s_ann_lsh" -> cosineSql("vec_id < 10", bucketJoin = true, k = 3, None),
     "s_ann_lsh_probe" -> cosineSql("vec_id < 10", bucketJoin = true, k = 3,
