@@ -19,9 +19,12 @@ final case class GraftConfig(
       * every row ever seen (config.py `ignore_deletes`;
       * tests/test_mysql_ch_replicator.py:572-641). */
     ignoreDeletes: Boolean = false,
-    /** Start realtime replication without the initial bulk snapshot
-      * (config.py `initial_replication` / the `--initial_only=False` skip
-      * path; tests/test_mysql_ch_replicator.py:643-695). */
+    /** Start realtime replication without the initial bulk snapshot.
+      * The reference accepts this BOTH as the settings-file key
+      * `skip_initial_replication` (config.py:206) and as the
+      * `--skip_initial_replication` CLI flag (main.py:192); the loader
+      * honors the file key, [[graft.Main]] callers pass the flag via
+      * config (tests/test_mysql_ch_replicator.py:643-695). */
     skipInitialReplication: Boolean = false,
     /** Source connection (config.py `mysql:` section) — consumed by the
       * bootstrap ([[graft.Main]]) to build [[graft.sources.Snapshot.jdbc]]
@@ -32,7 +35,21 @@ final case class GraftConfig(
     spoolDir: Option[String] = None,
     /** Snapshot read parallelism (config.py
       * `initial_replication_threads`); 0 = one partition per core. */
-    initialReplicationThreads: Int = 0) {
+    initialReplicationThreads: Int = 0,
+    /** Seconds between two compactions of the same table (config.py
+      * `optimize_interval`, default 86400); ≤ 0 disables the background
+      * compactor entirely. */
+    optimizeInterval: Int = 86400,
+    /** SQL commands to run against the warehouse after a database's
+      * initial replication completes, gated by db globs (config.py
+      * `post_initial_replication_commands`,
+      * db_replicator_initial.py:472-494). */
+    postInitialCommands: Seq[PostInitialCommands] = Nil) {
+
+  def postCommandsFor(db: String): Seq[String] =
+    postInitialCommands.filter(p =>
+      p.databases.isEmpty || p.databases.exists(g => db.matches(globRegex(g))))
+      .flatMap(_.commands)
 
   /** fnmatch-style glob → anchored regex (config.py:261-282 uses
     * fnmatch; `*` and `?` only, everything else literal). */
@@ -62,6 +79,12 @@ final case class GraftConfig(
     targetTables.getOrElse(s"$db.$table", table)
 }
 
+/** One `post_initial_replication_commands` entry (config.py:227-229,
+  * 330-337): db glob(s) → SQL command list to run after that database's
+  * initial replication completes. */
+final case class PostInitialCommands(databases: Seq[String],
+                                     commands: Seq[String])
+
 /** Source MySQL connection settings (config.py `mysql:`). */
 final case class MySqlConn(host: String, port: Int, user: String,
                            password: String) {
@@ -88,7 +111,28 @@ object GraftConfig {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
-  def fromYaml(text: String): GraftConfig = {
+  def fromYaml(text: String): GraftConfig = fromYaml(text, sys.env)
+
+  /** Env-var overrides after the file parse, mirroring the reference's
+    * `_apply_env_overrides` (config.py:240-259): `MYSQL_HOST` / `PORT` /
+    * `USER` / `PASSWORD` override (or, with `MYSQL_HOST` alone, create)
+    * the source connection — the container-deployment pattern where
+    * credentials live in the orchestrator, not the settings file.
+    * `env` is injectable for tests. */
+  def fromYaml(text: String, env: Map[String, String]): GraftConfig = {
+    val parsed = parseYaml(text)
+    val base = parsed.mysql.orElse(
+      if (env.contains("MYSQL_HOST"))
+        Some(MySqlConn("localhost", 3306, "root", ""))
+      else None)
+    parsed.copy(mysql = base.map(c => c.copy(
+      host = env.getOrElse("MYSQL_HOST", c.host),
+      port = env.get("MYSQL_PORT").map(_.trim.toInt).getOrElse(c.port),
+      user = env.getOrElse("MYSQL_USER", c.user),
+      password = env.getOrElse("MYSQL_PASSWORD", c.password))))
+  }
+
+  private def parseYaml(text: String): GraftConfig = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
       new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
     val root = mapper.readTree(text)
@@ -133,7 +177,20 @@ object GraftConfig {
         .flatMap(b => Option(b.get("data_dir"))).map(_.asText()),
       initialReplicationThreads =
         Option(root.get("initial_replication_threads"))
-          .map(_.asInt()).getOrElse(0))
+          .map(_.asInt()).getOrElse(0),
+      optimizeInterval = Option(root.get("optimize_interval"))
+        .map(_.asInt()).getOrElse(86400),
+      postInitialCommands =
+        Option(root.get("post_initial_replication_commands")).toSeq
+          .flatMap(_.elements().asScala).map { n =>
+            def list(key: String): Seq[String] = n.get(key) match {
+              case null => Nil
+              case d if d.isArray =>
+                d.elements().asScala.map(_.asText()).toSeq.filter(_.nonEmpty)
+              case d => Seq(d.asText()).filter(_.nonEmpty)
+            }
+            PostInitialCommands(list("databases"), list("commands"))
+          })
   }
 
   /** types_mapping values are target type names ('UUID') or MySQL type

@@ -29,8 +29,20 @@ final case class GraftColumn(id: Int, name: String, dataType: DataType,
   * == Layout ==
   * {{{
   * root/meta/gen-N.json      // column (id,name,type) list per generation
-  * root/data/gen=N/[_bucket=K/]part-*.parquet
+  * root/meta/epoch           // pointer: which data epoch is current
+  * root/data[-eE]/gen=N/[_bucket=K/]part-*.parquet
   * }}}
+  *
+  * **Data epochs** make compaction invisible to readers: `compact()`
+  * writes the collapsed table into a NEW epoch directory, then swaps the
+  * `meta/epoch` pointer (an atomic tmp-write + rename). Readers resolve
+  * the pointer at plan time, so there is never a moment with no data
+  * directory — the failure mode of swapping `data/` in place, where a
+  * reader racing the two renames observed an empty table. The previous
+  * epoch's files survive until the NEXT compaction, so any read planned
+  * before the swap keeps its files for a full compaction interval
+  * (the same grace contract as ClickHouse part GC after a merge).
+  * Epoch 0 is plain `data/` — pre-epoch layouts read unchanged.
   *
   * **Schema generations** make CHANGE/RENAME COLUMN a metadata-only
   * operation (like ClickHouse `ALTER ... RENAME COLUMN`,
@@ -65,7 +77,6 @@ final class GraftTable(
     val keys: Seq[String],
     val columns: Seq[GraftColumn]) {
 
-  private val dataDir = s"$root/data"
   private val metaDir = s"$root/meta"
   val metaCols: Seq[String] = Seq("_version", "_deleted")
 
@@ -90,12 +101,52 @@ final class GraftTable(
   private def bucketExpr(pk: Column): Column =
     floor(pk.cast(LongType) / BucketWidth).cast(IntegerType)
 
+  // ------------------------------------------------------------- epochs
+
+  private def epochPtrPath = new Path(s"$metaDir/epoch")
+  private val EpochDirRe = """data-e(\d+)""".r
+
+  private def epochDataDir(e: Int): String =
+    if (e == 0) s"$root/data" else s"$root/data-e$e"
+
+  private def listEpochs(): Seq[Int] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq.map(_.getPath.getName).collect {
+      case "data" => 0
+      case EpochDirRe(n) => n.toInt
+    }
+  }
+
+  /** Pointer read per operation (one tiny FS read, off any per-row path).
+    * Missing pointer → the highest epoch dir present: the only ways the
+    * pointer can be absent are a pre-epoch layout (only `data/`, epoch 0)
+    * and a crash inside the swap's delete+rename window, where the new
+    * epoch is already fully written — both resolve correctly. */
+  private def currentEpoch: Int =
+    if (fs.exists(epochPtrPath)) {
+      val in = fs.open(epochPtrPath)
+      (try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()).trim.toInt
+    } else listEpochs().maxOption.getOrElse(0)
+
+  private def writeEpochPtr(e: Int): Unit = {
+    val tmp = new Path(s"$metaDir/.epoch.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(e.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(epochPtrPath, false)
+    if (!fs.rename(tmp, epochPtrPath))
+      throw new java.io.IOException(s"compact: cannot publish epoch $e")
+  }
+
   // ---------------------------------------------------------- meta/gens
 
   private case class Gen(n: Int, cols: Seq[GraftColumn])
 
   private def genMetaPath(n: Int) = new Path(s"$metaDir/gen-$n.json")
-  private def genDataPath(n: Int) = s"$dataDir/gen=$n"
+  private def genDataPath(e: Int, n: Int) = s"${epochDataDir(e)}/gen=$n"
 
   private def writeGenMeta(n: Int, cols: Seq[GraftColumn]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -177,7 +228,7 @@ final class GraftTable(
     }
   }
 
-  def exists: Boolean = fs.exists(new Path(dataDir))
+  def exists: Boolean = fs.exists(new Path(epochDataDir(currentEpoch)))
 
   private def align(df: DataFrame): DataFrame = {
     val present = df.columns.toSet
@@ -199,7 +250,7 @@ final class GraftTable(
         .write.partitionBy("_bucket")
       case None => stamped.write
     }
-    w.mode(SaveMode.Append).parquet(genDataPath(currentGen))
+    w.mode(SaveMode.Append).parquet(genDataPath(currentEpoch, currentGen))
   }
 
   /** Upsert a batch of row images at `version` (reference insert +
@@ -226,8 +277,9 @@ final class GraftTable(
   /** The raw versioned log (all appends + tombstones), every generation
     * re-aliased to the current column names/types via the stable ids. */
   def log: DataFrame = {
+    val e = currentEpoch
     val parts = gens.flatMap { g =>
-      val p = genDataPath(g.n)
+      val p = genDataPath(e, g.n)
       if (!fs.exists(new Path(p))) None
       else {
         val genStruct = StructType((g.cols.map(_.toStructField) ++ metaFields).toIndexedSeq)
@@ -284,12 +336,12 @@ final class GraftTable(
     * it per lookup would put a listing RPC on the point-read hot path.
     * Only positive answers are cached (an absent dir may appear later). */
   private val bucketedGen =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]
-  private def isBucketed(n: Int): Boolean = {
-    val cached = bucketedGen.get(n)
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]
+  private def isBucketed(e: Int, n: Int): Boolean = {
+    val cached = bucketedGen.get((e, n))
     if (cached != null) cached.booleanValue()
     else {
-      val genDir = new Path(genDataPath(n))
+      val genDir = new Path(genDataPath(e, n))
       if (!fs.exists(genDir)) false
       else {
         val b = fs.listStatus(genDir)
@@ -297,17 +349,18 @@ final class GraftTable(
         // cache ONLY positive answers: a probe racing the generation's
         // first write (dir holds just _temporary/) must not pin "not
         // bucketed" — that would disable pruning for the handle's life
-        if (b) bucketedGen.put(n, b)
+        if (b) bucketedGen.put((e, n), b)
         b
       }
     }
   }
 
   private def logPruned(bucket: Int): DataFrame = {
+    val e = currentEpoch
     val parts = gens.flatMap { g =>
-      val bucketed = isBucketed(g.n)
-      val p = if (bucketed) s"${genDataPath(g.n)}/_bucket=$bucket"
-              else genDataPath(g.n)
+      val bucketed = isBucketed(e, g.n)
+      val p = if (bucketed) s"${genDataPath(e, g.n)}/_bucket=$bucket"
+              else genDataPath(e, g.n)
       if (!fs.exists(new Path(p))) None
       else {
         val genStruct = StructType((g.cols.map(_.toStructField) ++ metaFields).toIndexedSeq)
@@ -334,40 +387,57 @@ final class GraftTable(
   }
 
   /** OPTIMIZE analogue: materialize the FINAL view (keeping each
-    * survivor's `_version`) and atomically swap the data directory.
-    * Also collapses all generations into the current one — the same
-    * part-merge work ClickHouse's OPTIMIZE FINAL does. */
+    * survivor's `_version`) into a NEW data epoch, publish it by swapping
+    * the `meta/epoch` pointer, and keep the previous epoch's files for
+    * one more compaction cycle. Also collapses all generations into the
+    * current one — the same part-merge work ClickHouse's OPTIMIZE FINAL
+    * does.
+    *
+    * Crash-safe at every step: a crash before the pointer swap leaves
+    * the pointer on the old epoch (the partial new epoch is garbage-
+    * collected by the next successful compaction); a crash inside the
+    * swap's tiny delete+rename window resolves to the — fully written —
+    * new epoch via the max-epoch fallback in `currentEpoch`.
+    *
+    * Concurrency contract: single compactor, serialized with the writer
+    * (the pipeline runs `Compactor.tick()` inside the micro-batch loop,
+    * so compact-vs-append cannot race by construction); readers need no
+    * coordination at all — a plan that resolved the pointer before the
+    * swap reads the previous epoch, which outlives it by a full
+    * compaction interval. */
   def compact(): Unit = {
     if (!exists) return
+    val e = currentEpoch
     val cur = currentGen
     val keep = FinalView.latestByKey(log, keys,
       struct(col("_version"), col("_deleted")))
       .filter(!col("_deleted"))
-    val tmp = new Path(s"$root/.compact-${System.nanoTime()}")
-    val tmpGen = s"$tmp/gen=$cur"
+    // past any crashed attempt's leftovers, so SaveMode.Overwrite below
+    // can only ever clobber a partial epoch, never a published one
+    val target = (listEpochs() :+ e).max + 1
     val w = bucketKey match {
       case Some(k) => keep.withColumn("_bucket", bucketExpr(col(k.name)))
         .write.partitionBy("_bucket")
       case None => keep.write
     }
-    w.mode(SaveMode.Overwrite).parquet(tmpGen)
-    val data = new Path(dataDir)
-    val old = new Path(s"$root/.old-${System.nanoTime()}")
-    if (!fs.rename(data, old))
-      throw new java.io.IOException(s"compact: cannot stage $dataDir")
-    if (!fs.rename(tmp, data)) {
-      fs.rename(old, data) // roll back
-      throw new java.io.IOException(s"compact: cannot swap $dataDir")
-    }
-    fs.delete(old, true)
+    w.mode(SaveMode.Overwrite).parquet(genDataPath(target, cur))
+    writeEpochPtr(target)
+    // previous epoch survives one cycle for in-flight readers; anything
+    // older — including partial epochs from crashed attempts — goes now
+    listEpochs().filter(x => x != target && x != e)
+      .foreach(x => fs.delete(new Path(epochDataDir(x)), true))
     // drop superseded generation metadata; current gen holds everything
     gens.filter(_.n != cur).foreach(g => fs.delete(genMetaPath(g.n), false))
     writeGenMeta(cur, columns)
     gensCache = null
   }
 
-  /** TRUNCATE: drop all data, keep the table (db_replicator_realtime.py:268-302). */
-  def truncate(): Unit = fs.delete(new Path(dataDir), true)
+  /** TRUNCATE: drop all data — every epoch — keep the table
+    * (db_replicator_realtime.py:268-302). */
+  def truncate(): Unit = {
+    listEpochs().foreach(e => fs.delete(new Path(epochDataDir(e)), true))
+    fs.delete(epochPtrPath, false)
+  }
 
   /** DROP TABLE. */
   def drop(): Unit = fs.delete(new Path(root), true)

@@ -84,6 +84,22 @@ final class CdcPipeline(
   private def invalidate(db: String, tbl: String): Unit =
     tables.remove((db, tbl))
 
+  /** Background compaction, serialized with the writer by construction:
+    * the pipeline runs at most one [[graft.operators.Compactor.tick]]
+    * after each successfully processed micro-batch, so compaction can
+    * never race an append into the same table (the reference reaches the
+    * same end by pausing per-table uploads around OPTIMIZE,
+    * db_optimizer.py:57-113 / runner.py:162-194 — here the serialization
+    * is the micro-batch loop itself, and concurrent READERS are already
+    * safe via the epoch pointer in [[GraftTable.compact]]). The tick is
+    * interval-guarded per table, so a 1-second trigger does not compact
+    * continuously; the stream pauses for the duration of one table's
+    * compaction at most once per interval — a distributed rewrite job,
+    * the same work OPTIMIZE FINAL schedules. */
+  @volatile private var compactor: Option[graft.operators.Compactor] = None
+  def attachCompactor(c: graft.operators.Compactor): Unit =
+    compactor = Some(c)
+
   def start(spoolDir: String, checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
             spoolFormat: String = EventSpool.FormatJson): StreamingQuery =
@@ -122,6 +138,10 @@ final class CdcPipeline(
         segment += 1
       }
       flushSegment(dml.filter(col("seq") > lo), version(batchId, segment))
+      // after the batch's writes land: a tick failure fails the batch and
+      // the replay re-runs both — appends restamp the same versions and
+      // compact is idempotent, so retry is safe
+      compactor.foreach(_.tick())
     } finally batch.unpersist(blocking = false)
   }
 

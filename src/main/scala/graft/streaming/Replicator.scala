@@ -48,7 +48,45 @@ object Replicator {
           fs.create(marker, true).close()
         }
       }
+      runPostCommands(spark, config, registry, pipeline, fs, warehouseDir)
     }
+    // db_optimizer as part of the pipeline: the reference supervises a
+    // separate OPTIMIZE process (runner.py:162-194); here one tick per
+    // micro-batch, interval-guarded per table — see CdcPipeline doc for
+    // why in-loop (serialized with the writer) is the Spark-first shape
+    if (config.optimizeInterval > 0)
+      pipeline.attachCompactor(new graft.operators.Compactor(
+        () => registry.tableKeys.filter { case (d, t) =>
+          config.databaseMatches(d) && config.tableMatches(t) },
+        key => pipeline.table(key._1, key._2),
+        interval = config.optimizeInterval * 1000L))
     (pipeline, pipeline.start(spoolDir, checkpointDir, trigger))
+  }
+
+  /** `post_initial_replication_commands` (db_replicator_initial.py:
+    * 472-494): once the database's initial replication completes, run the
+    * configured SQL against the warehouse — each replicated table is
+    * exposed as a temp view of its FINAL read, commands run in order via
+    * `spark.sql`. A db-level marker written AFTER the commands mirrors
+    * the reference's state ordering (commands re-run if the process died
+    * before they all completed; never again after). */
+  private def runPostCommands(spark: SparkSession, config: GraftConfig,
+                              registry: SchemaRegistry, pipeline: CdcPipeline,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              warehouseDir: String): Unit = {
+    val db = registry.defaultDb
+    val commands = config.postCommandsFor(db)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$warehouseDir/_state/initial_done/$db._post_commands")
+    if (commands.nonEmpty && !fs.exists(marker)) {
+      registry.tableKeys.collect {
+        case (d, t) if d == db && config.tableMatches(t) =>
+          pipeline.table(d, t).read
+            .createOrReplaceTempView(config.targetTable(d, t))
+      }
+      commands.foreach(spark.sql(_).collect())
+      Option(marker.getParent).foreach(fs.mkdirs)
+      fs.create(marker, true).close()
+    }
   }
 }

@@ -9,6 +9,48 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ConfigSpec extends AnyFunSuite {
 
+  test("env-var overrides mirror _apply_env_overrides (config.py:240-259)") {
+    val yaml =
+      """mysql:
+        |  host: filehost
+        |  port: 3306
+        |  user: u
+        |  password: p
+        |""".stripMargin
+    // env wins over file values
+    val c = GraftConfig.fromYaml(yaml,
+      Map("MYSQL_HOST" -> "envhost", "MYSQL_PORT" -> "3307"))
+    assert(c.mysql.contains(MySqlConn("envhost", 3307, "u", "p")))
+    // MYSQL_HOST alone creates the section (container deployments keep
+    // credentials out of the settings file entirely)
+    val c2 = GraftConfig.fromYaml("databases: d\n",
+      Map("MYSQL_HOST" -> "h2", "MYSQL_PASSWORD" -> "s"))
+    assert(c2.mysql.contains(MySqlConn("h2", 3306, "root", "s")))
+    // no env → file values untouched
+    assert(GraftConfig.fromYaml(yaml, Map.empty).mysql
+      .contains(MySqlConn("filehost", 3306, "u", "p")))
+  }
+
+  test("optimize_interval + post_initial_replication_commands parse") {
+    val c = GraftConfig.fromYaml(
+      """optimize_interval: 60
+        |post_initial_replication_commands:
+        |  - databases: 'prod*'
+        |    commands:
+        |      - 'SELECT 1'
+        |      - 'SELECT 2'
+        |  - databases: ['a', 'b']
+        |    commands: 'SELECT 3'
+        |""".stripMargin, Map.empty)
+    assert(c.optimizeInterval === 60)
+    assert(c.postCommandsFor("production") === Seq("SELECT 1", "SELECT 2"))
+    assert(c.postCommandsFor("b") === Seq("SELECT 3"))
+    assert(c.postCommandsFor("x") === Nil)
+    // defaults: daily compaction, no commands
+    val d = GraftConfig.fromYaml("databases: d\n", Map.empty)
+    assert(d.optimizeInterval === 86400 && d.postInitialCommands.isEmpty)
+  }
+
   test("reference-shaped YAML loads; connection sections ignored") {
     val c = GraftConfig.fromYaml(
       """mysql:

@@ -103,6 +103,48 @@ class GraftTableSpec extends SparkSpec {
     assert(t2.lookup(2L).collect().map(_.getString(1)).toSeq === Seq("new"))
   }
 
+  test("reader planned before compaction survives the swap (epoch grace)") {
+    val t = mkTable()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), version = 1)
+    // the file listing resolves at construction — this plan holds the
+    // pre-compaction epoch's concrete file paths
+    val planned = t.read
+    t.compact()
+    // the swapped-out epoch survives one compaction cycle, so the
+    // pre-swap plan still reads complete data (the old in-place dir swap
+    // made this read come back EMPTY if it raced the renames)
+    assertSame(planned, Seq((1L, "a"), (2L, "b")))
+    assertSame(t.read, Seq((1L, "a"), (2L, "b")))
+    // writes after the swap land in the new epoch and read back
+    t.append(Seq((3L, "c")).toDF("id", "v"), version = 2)
+    assertSame(t.read, Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the NEXT compaction garbage-collects the old epoch
+    t.compact()
+    assertSame(t.read, Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val dirs = new java.io.File(t.root).list().toSeq
+      .filter(n => n == "data" || n.startsWith("data-e"))
+    assert(dirs.size === 2, s"expected current + one grace epoch, got $dirs")
+  }
+
+  test("point lookup reads exactly one _bucket directory (prune regression)") {
+    val t = mkTable()
+    t.append(Seq((1L, "near"), (9000000L, "far")).toDF("id", "v"), version = 1)
+    t.append(Seq((9000000L, "far2")).toDF("id", "v"), version = 2)
+    // 9000000 / 4294967 = bucket 2; the scan must list ONLY that
+    // partition dir — at 100 TB this is the difference between one
+    // partition and a full-table scan under the dedup aggregate
+    val files = t.lookup(9000000L).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("_bucket=2/")),
+      s"lookup leaked outside _bucket=2: ${files.mkString(",")}")
+    assert(t.lookup(9000000L).collect().map(_.getString(1)).toSeq
+      === Seq("far2"))
+    // pruning survives compaction (files move to a new epoch dir)
+    t.compact()
+    val files2 = t.lookup(9000000L).inputFiles
+    assert(files2.nonEmpty && files2.forall(_.contains("_bucket=2/")),
+      s"post-compact lookup leaked outside _bucket=2: ${files2.mkString(",")}")
+  }
+
   test("truncate clears data, table stays usable") {
     val t = mkTable()
     t.append(Seq((1L, "a")).toDF("id", "v"), version = 1)

@@ -186,6 +186,46 @@ class CdcPipelineSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((1, 7)))
   }
 
+  test("compaction under live appends: wired tick, FINAL view never gaps (S11)") {
+    val (pipeline, registry) = mkPipeline()
+    // injectable clock: exactly one compaction per manual bump, so the
+    // test controls when the grace epoch is garbage-collected
+    var now = 0L
+    pipeline.attachCompactor(new graft.operators.Compactor(
+      () => registry.tableKeys,
+      k => pipeline.table(k._1, k._2),
+      interval = 1000L, clock = () => now))
+    val spool = tmpDir("graft-spool-cmp")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30))),
+      eventJson(2, "d", "users", OpAdd, row = Some(row(2, "bob", 40)))))
+    val q = pipeline.start(spool, tmpDir("graft-ckpt-cmp"),
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      q.processAllAvailable() // flush + in-loop compaction #1
+      assert(pipeline.table("users").log.count() === 2) // collapsed
+      // a reader planned between batches, against the compacted epoch
+      val planned = pipeline.table("users").read
+      now = 1000L // arm one more compaction
+      writeFile(spool, "000002.json", Seq(
+        eventJson(3, "d", "users", OpAdd, row = Some(row(1, "ann2", 31))),
+        eventJson(4, "d", "users", OpAdd, row = Some(row(3, "carl", 22))),
+        eventJson(5, "d", "users", OpRemove, row = Some("""{"id":"2"}"""))))
+      q.processAllAvailable() // append + delete, then compaction #2 swaps
+      // live FINAL view is exact right through the swap
+      assert(pipeline.table("users").read.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet ===
+        Set((1, "ann2", 31L), (3, "carl", 22L)))
+      // physically collapsed again: tombstone + dead versions gone
+      assert(pipeline.table("users").log.count() === 2)
+      // the reader planned before compaction #2 still reads its complete
+      // pre-batch-2 data from the grace epoch — no gap, no empty table
+      assert(planned.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet ===
+        Set((1, "ann", 30L), (2, "bob", 40L)))
+    } finally q.stop()
+  }
+
   test("Replicator: snapshot lands on pipeline paths; skip flag starts empty") {
     import spark.implicits._
     def drive(config: GraftConfig): Set[(Int, String, Long)] = {
@@ -235,6 +275,42 @@ class CdcPipelineSpec extends SparkSpec {
     assert(p2.table("users").log.count() === logRows) // no duplicate image
     assert(p2.table("users").read.collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "ann")))
+  }
+
+  test("post_initial_replication_commands run once, db-glob gated") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS pc_out")
+    val registry = new SchemaRegistry
+    registry.applySql(
+      "CREATE TABLE users (id int NOT NULL, name varchar(50), PRIMARY KEY(id))")
+    val wh = tmpDir("graft-wh-pc")
+    val spool = tmpDir("graft-spool-pc")
+    val ckpt = tmpDir("graft-ckpt-pc")
+    val outLoc = tmpDir("graft-pc-out")
+    val config = graft.GraftConfig(postInitialCommands = Seq(
+      // matching glob: runs against the replicated tables (temp views)
+      graft.PostInitialCommands(Seq("def*"), Seq(
+        s"CREATE TABLE pc_out USING parquet LOCATION '$outLoc/t' " +
+          "AS SELECT * FROM users")),
+      // non-matching db: must be filtered out (would throw if executed)
+      graft.PostInitialCommands(Seq("other_db"),
+        Seq("SELECT * FROM does_not_exist"))))
+    val snap = Seq((1, "ann"), (2, "bob")).toDF("id", "name")
+    def boot() = Replicator.start(spark, config, registry, wh, spool, ckpt,
+      snapshots = Map("users" -> snap),
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    val (_, q1) = boot()
+    try q1.processAllAvailable() finally q1.stop()
+    // the command saw the full snapshot through the FINAL view
+    assert(spark.table("pc_out").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ===
+      Set((1, "ann"), (2, "bob")))
+    // restart: the marker skips the commands (a re-run would fail the
+    // CREATE TABLE with "already exists")
+    val (_, q2) = boot()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("pc_out").count() === 2)
+    spark.sql("DROP TABLE pc_out")
   }
 
   test("lag monitor (S12) reports batch progress for the stream") {
