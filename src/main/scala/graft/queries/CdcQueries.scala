@@ -25,6 +25,17 @@ object CdcQueries {
   // `ORDER BY ts` over DuckDB's native ns timestamps.
   private val eventVersion = struct(col("ts_ns"), col("event_id"))
 
+  /** Bench side-channel: the e2e query splits FIXTURE generation from
+    * PIPELINE work and counts the replayed events, so the headline
+    * events/s vs the reference's ~20k/s single-core realtime claim
+    * (BASELINE.md) is a first-class per-round bench number instead of
+    * being buried inside one query's wall-clock. */
+  final case class E2eStats(events: Long, fixtureSec: Double,
+                            pipelineSec: Double) {
+    def eventsPerSec: Double = if (pipelineSec > 0) events / pipelineSec else 0
+  }
+  @volatile var lastE2eStats: Option[E2eStats] = None
+
   val defs: Map[String, QueryFn] = Map(
     // A4: FINAL view — latest row per PK.
     "cdc_final_view" -> { (s, dir) =>
@@ -128,8 +139,17 @@ object CdcQueries {
       val deletes = li.filter(col("ln") % 7 === 0)
         .select(ev(col("pk") * 3 + 2, EventSpool.OpRemove,
           to_json(struct(col("pk").cast("string").as("pk")))): _*)
-      pipeline.processBatch(
-        inserts.unionByName(updates).unionByName(deletes), batchId = 0)
+      // materialize the fixture into cache FIRST, so the timed pipeline
+      // pass measures replication work, not fixture synthesis
+      val tFix0 = System.nanoTime()
+      val batch = inserts.unionByName(updates).unionByName(deletes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEvents = batch.count()
+      val fixtureSec = (System.nanoTime() - tFix0) / 1e9
+      val tPipe0 = System.nanoTime()
+      pipeline.processBatch(batch, batchId = 0)
+      lastE2eStats = Some(E2eStats(nEvents, fixtureSec,
+        (System.nanoTime() - tPipe0) / 1e9))
       pipeline.table("items").read.orderBy("pk")
     },
 

@@ -68,19 +68,31 @@ object EventSpool {
 
   /** Append one parquet spool file atomically: write to a staging dir,
     * move the single part file into place (the file source must never
-    * see a partial file — same contract as [[writeFile]]). */
+    * see a partial file — same contract as [[writeFile]]).
+    *
+    * Staging lives INSIDE the spool directory (dot-prefixed, so the file
+    * source's hidden-path filter never lists it) and everything goes
+    * through the Hadoop FileSystem API: the rename is same-filesystem by
+    * construction and the writer works on any Hadoop FS the readers do —
+    * staging in `java.nio` system temp threw
+    * AtomicMoveNotSupportedException whenever /tmp and the spool were on
+    * different filesystems, and silently restricted the parquet spool
+    * writer to local paths. */
   def writeParquetFile(events: DataFrame, spoolDir: String,
                        fileName: String): Unit = {
-    val staging = java.nio.file.Files.createTempDirectory("spool-staging")
+    val spool = new org.apache.hadoop.fs.Path(spoolDir)
+    val fs = spool.getFileSystem(
+      events.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(spool)
+    val staging = new org.apache.hadoop.fs.Path(spool, s".staging-$fileName")
     events.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    val part = java.nio.file.Files.list(staging).toArray
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .find(_.getFileName.toString.endsWith(".parquet"))
+    val part = fs.listStatus(staging).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no part file written"))
-    val dir = java.nio.file.Paths.get(spoolDir)
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.move(part, dir.resolve(fileName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val dest = new org.apache.hadoop.fs.Path(spool, fileName)
+    if (!fs.rename(part, dest))
+      throw new java.io.IOException(s"cannot publish spool file $dest")
+    fs.delete(staging, true)
   }
 
   // ------------------------------------------------------- test/tool writer

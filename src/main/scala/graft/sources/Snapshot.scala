@@ -69,6 +69,75 @@ object Snapshot {
     spark.read.jdbc(url, table, shardPredicates(pkCols, numWorkers), props)
   }
 
+  /** Predicates for resume-shard `k` of `shards`, sub-partitioned
+    * `subParts` ways for within-shard read parallelism:
+    * `crc % (shards·subParts) = k + shards·j` for j < subParts — together
+    * exactly the rows of shard k (`crc % shards = k`), split into
+    * `subParts` disjoint server-side WHERE clauses. */
+  def shardSubPredicates(pkCols: Seq[String], shards: Int, k: Int,
+                         subParts: Int): Array[String] = {
+    val concat = pkCols.map(c => s"COALESCE(CAST($c AS CHAR), '')")
+      .mkString("CONCAT_WS('|', ", ", ", ")")
+    (0 until subParts)
+      .map(j => s"CRC32($concat) % ${shards * subParts} = ${k + shards * j}")
+      .toArray
+  }
+
+  /** One resume shard as its own distributed JDBC read (the production
+    * `shardSource` for [[runSharded]]): the shard membership is pushed
+    * into the remote WHERE — the wire moves each shard's rows exactly
+    * once across the whole snapshot, matching the reference's per-worker
+    * `CRC32(...) % N = w` scans (mysql_api.py:110-157) — while `subParts`
+    * sub-predicates keep the read parallel *within* the shard. */
+  def jdbcShard(spark: SparkSession, url: String, table: String,
+                pkCols: Seq[String], shards: Int, k: Int, subParts: Int,
+                props: java.util.Properties = new java.util.Properties)
+      : DataFrame = {
+    if (!props.containsKey("useCursorFetch"))
+      props.setProperty("useCursorFetch", "true")
+    if (!props.containsKey("fetchsize"))
+      props.setProperty("fetchsize", "50000")
+    spark.read.jdbc(url, table,
+      shardSubPredicates(pkCols, shards, k, subParts), props)
+  }
+
+  /** Shard-resumable snapshot: the table is written as `shards`
+    * sequential per-shard append jobs, each committing a durable
+    * completion marker — a driver restart mid-snapshot redoes only the
+    * shards without markers, the reference's `(table, max_primary_key)`
+    * resume granularity (db_replicator_initial.py:183-192) re-expressed
+    * as deterministic shard predicates.
+    *
+    * Exactly-once storage per shard: a failed shard job commits no files
+    * (parquet's job-commit protocol), so the re-run appends its rows
+    * once. The only duplication window is a crash BETWEEN a shard's
+    * commit and its marker write — that one shard re-appends at the same
+    * snapshot version, the FINAL view collapses it immediately and the
+    * wired compactor reclaims the space: the reference accepts the same
+    * window per 50k-row batch and relies on ReplacingMergeTree collapse
+    * identically (db_replicator_initial.py:223-246).
+    */
+  def runSharded(spark: SparkSession, schema: TableSchema, tableDir: String,
+                 markerDir: String, shards: Int,
+                 shardSource: Int => DataFrame,
+                 config: GraftConfig = GraftConfig(),
+                 version: Long = 0L): GraftTable = {
+    val target = GraftTable(spark, tableDir,
+      schema.primaryKeys, schema.toStructType)
+    val dir = new org.apache.hadoop.fs.Path(markerDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    (0 until shards).foreach { k =>
+      val marker = new org.apache.hadoop.fs.Path(s"$markerDir/shard-$k")
+      if (!fs.exists(marker)) {
+        target.append(RecordConversion.convert(shardSource(k), schema,
+          config.mysqlTimezone), version)
+        fs.create(marker, true).close()
+      }
+    }
+    target
+  }
+
   /** Snapshot one table: wire rows → converted rows → versioned target.
     * `version` 0 marks snapshot rows; realtime batches stamp higher
     * versions, so a snapshot racing the stream still converges via the

@@ -337,36 +337,55 @@ final class CdcPipeline(
         }
         // The watermark decides whether this is a redelivery (the pt-osc
         // swap re-creates the `from` name, so a contains() check alone
-        // cannot tell). Move files BEFORE the registry applies: a crash
-        // between the two replays with the watermark still behind, and
-        // the re-attempted moves converge — renaming an already-moved
-        // source is a no-op false, in-order pairs free their targets.
-        // The reverse order would checkpoint the watermark first and a
-        // crash before the moves would skip them forever.
+        // cannot tell). Move files BEFORE the registry applies: the
+        // reverse order would checkpoint the watermark first and a crash
+        // before the moves would skip them forever.
+        //
+        // Per-pair journal markers make the replay of a crashed
+        // MULTI-pair statement non-destructive: in the pt-osc swap
+        // (RENAME orig TO old, new TO orig) a crash after both moves but
+        // before the watermark re-runs the statement — pair 1 then finds
+        // `orig` existing again (re-created by pair 2 of the crashed
+        // attempt) and, without the marker, would delete `old` (the real
+        // archive) as a "stale leftover" and move the NEW table onto it.
+        // A marked pair is skipped outright; the stale-target deletion
+        // below stays safe because it now only runs when OUR rename for
+        // that pair never completed, in which case a pre-existing target
+        // dir really is a leftover (MySQL refuses RENAME onto an
+        // existing table). Markers are scoped by the statement's seq and
+        // deleted once the watermark commits.
         if (applicable.nonEmpty && seq > registry.lastDdlSeq) {
           val fs = new org.apache.hadoop.fs.Path(warehouseDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          applicable.foreach { case ((fromDb, from), (toDb, to)) =>
-            val fromPath =
-              new org.apache.hadoop.fs.Path(tablePath(fromDb, from))
-            val toPath = new org.apache.hadoop.fs.Path(tablePath(toDb, to))
-            if (fs.exists(fromPath)) {
-              // a pre-existing target dir can only be a stale leftover
-              // (MySQL refuses RENAME onto an existing table) — clear it,
-              // or hadoop rename would NEST the source inside it
-              if (fs.exists(toPath)) fs.delete(toPath, true)
-              Option(toPath.getParent).foreach(fs.mkdirs)
-              if (!fs.rename(fromPath, toPath))
-                throw new java.io.IOException(
-                  s"RENAME: cannot move $fromPath to $toPath")
-            } // else: retried replay — this pair already moved
-            invalidate(fromDb, from)
-            invalidate(toDb, to)
+          val journal = new org.apache.hadoop.fs.Path(
+            s"$warehouseDir/_state/rename_journal/$seq")
+          fs.mkdirs(journal)
+          applicable.zipWithIndex.foreach {
+            case (((fromDb, from), (toDb, to)), i) =>
+              val done = new org.apache.hadoop.fs.Path(journal, s"pair-$i")
+              if (!fs.exists(done)) {
+                val fromPath =
+                  new org.apache.hadoop.fs.Path(tablePath(fromDb, from))
+                val toPath = new org.apache.hadoop.fs.Path(tablePath(toDb, to))
+                if (fs.exists(fromPath)) {
+                  if (fs.exists(toPath)) fs.delete(toPath, true)
+                  Option(toPath.getParent).foreach(fs.mkdirs)
+                  if (!fs.rename(fromPath, toPath))
+                    throw new java.io.IOException(
+                      s"RENAME: cannot move $fromPath to $toPath")
+                } // else: moved, then crashed inside this pair's tiny
+                  // rename→marker window — later pairs had not run, so
+                  // the source name cannot have been re-created
+                fs.create(done, true).close()
+              }
+              invalidate(fromDb, from)
+              invalidate(toDb, to)
           }
           registry.applyDdl(eventDb,
             DdlOp.RenameTable(applicable.map { case ((fd, f), (td, t)) =>
               ((Option(fd), f), (Option(td), t))
             }), seq)
+          fs.delete(journal, true)
         }
     }
   }

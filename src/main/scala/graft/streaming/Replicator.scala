@@ -33,19 +33,33 @@ object Replicator {
       val fs = new org.apache.hadoop.fs.Path(warehouseDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       snapshots.foreach { case (tbl, df) =>
-        // a completion marker makes restarts cheap and idempotent — the
+        // completion markers make restarts cheap and idempotent — the
         // reference persists per-table initial-replication status the
-        // same way (db_replicator.py:213-281); without it every process
-        // restart re-scans the source table and re-appends a full
-        // version-0 image
+        // same way (db_replicator.py:213-281). Granularity is per SHARD
+        // (db_replicator_initial.py:183-192's (table, max_primary_key)
+        // resume): a driver restart mid-snapshot redoes only the shards
+        // whose markers are missing, not whole tables — at 100 TB a
+        // per-table redo is a multi-hour scan. The per-table marker
+        // written after all shards collapses the bookkeeping back to one
+        // existence probe per restart.
+        val db = registry.defaultDb
         val marker = new org.apache.hadoop.fs.Path(
-          s"$warehouseDir/_state/initial_done/${registry.defaultDb}.$tbl")
+          s"$warehouseDir/_state/initial_done/$db.$tbl")
         if (config.tableMatches(tbl) && registry.contains(tbl) &&
             !fs.exists(marker)) {
-          Snapshot.runAt(spark, df, registry(tbl),
-            pipeline.tablePath(registry.defaultDb, tbl), config)
+          val shards = math.max(1, config.initialReplicationThreads)
+          val pks = registry(tbl).primaryKeys
+          val shardsDir = s"$warehouseDir/_state/initial_done/$db.$tbl.shards"
+          // fixture / pre-built frames shard by filter; JDBC deployments
+          // pass Snapshot.jdbcShard-shaped frames for server-side shards
+          Snapshot.runSharded(spark, registry(tbl),
+            pipeline.tablePath(db, tbl), shardsDir, shards,
+            k => if (shards == 1) df
+                 else df.filter(Snapshot.shardPredicate(pks, shards, k)),
+            config)
           Option(marker.getParent).foreach(fs.mkdirs)
           fs.create(marker, true).close()
+          fs.delete(new org.apache.hadoop.fs.Path(shardsDir), true)
         }
       }
       runPostCommands(spark, config, registry, pipeline, fs, warehouseDir)

@@ -40,6 +40,49 @@ class SnapshotSpec extends SparkSpec {
     assert(matchedOnce === 1000L)
   }
 
+  test("shard-level resume: restart redoes only incomplete shards, exactly once") {
+    val rows = (1 to 120).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val schema = graft.ddl.DdlParser.parse(
+      "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")
+      .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
+    val dir = tmpDir("graft-snap-sh")
+    val markers = tmpDir("graft-snap-mk")
+    val shards = 4
+    var failAt = 2 // the "driver dies while snapshotting shard 2" run
+    def src(k: Int) = {
+      if (k == failAt) throw new RuntimeException("simulated driver death")
+      rows.filter(Snapshot.shardPredicate(Seq("id"), shards, k))
+    }
+    intercept[RuntimeException] {
+      Snapshot.runSharded(spark, schema, dir, markers, shards, src)
+    }
+    // shards 0 and 1 committed + marked; 2 and 3 did not
+    val done = new java.io.File(markers).list().toSet
+      .filter(_.startsWith("shard-")) // drop local-FS .crc sidecars
+    assert(done === Set("shard-0", "shard-1"))
+    failAt = -1 // restart: source healthy
+    val redone = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val t = Snapshot.runSharded(spark, schema, dir, markers, shards,
+      k => { redone += k; src(k) })
+    assert(redone.toSeq === Seq(2, 3)) // completed shards never re-read
+    // exactly one version-0 row per source row — no duplicate images
+    assert(t.log.count() === 120)
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === (1 to 120).map(i => (i.toLong, s"v$i")).toSet)
+  }
+
+  test("shardSubPredicates: within-shard parallelism stays inside the shard") {
+    val preds = Snapshot.shardSubPredicates(Seq("id"), shards = 4, k = 1,
+      subParts = 3)
+    assert(preds.length === 3)
+    // union of sub-predicates == shard 1, pairwise disjoint
+    val rows = (1 to 500).map(i => Tuple1(i.toLong)).toDF("id")
+    val shard = rows.filter(Snapshot.shardPredicate(Seq("id"), 4, 1))
+    val subCounts = preds.map(p => rows.filter(expr(p.replace("CRC32", "crc32")
+      .replace("AS CHAR", "AS STRING"))).count())
+    assert(subCounts.sum === shard.count())
+  }
+
   test("A3: keyset-resume bookkeeping is subsumed by deterministic shards") {
     // The reference tracks the lexicographic max PK tuple per batch to
     // resume a crashed keyset scan (db_replicator_initial.py:239-246).

@@ -148,6 +148,62 @@ class CdcPipelineSpec extends SparkSpec {
     assert(usersNow() === Seq((1, "ann", "a@x.io"), (2, "bob", "b@x.io")))
   }
 
+  test("multi-pair RENAME replay after a mid-statement crash keeps the archive") {
+    // crash scenario: both pt-osc moves completed, journal markers
+    // written, but the process died BEFORE registry.applyDdl advanced
+    // the watermark — the redelivered statement must not treat the
+    // archive as a stale leftover
+    val registry = new SchemaRegistry
+    registry.applySql(
+      "CREATE TABLE users (id int NOT NULL, name varchar(50), PRIMARY KEY(id))")
+    val wh = tmpDir("graft-wh-rnj")
+    val pipeline = new CdcPipeline(spark, GraftConfig(), registry, wh)
+    val spool = tmpDir("graft-spool-rnj")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(
+        """{"id":"1","name":"ann"}""")),
+      eventJson(2, "d", "users", OpQuery, query = Some(
+        "CREATE TABLE `_users_new` (id int NOT NULL, name varchar(50), email varchar(100), PRIMARY KEY(id))")),
+      eventJson(3, "d", "_users_new", OpAdd, row = Some(
+        """{"id":"1","name":"ann","email":"a@x.io"}"""))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+
+    // hand-craft the crashed attempt's on-disk end state: both pairs of
+    // "RENAME users TO _users_old, _users_new TO users" (seq 10) moved
+    // and journaled, watermark NOT advanced
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(t: String) = new org.apache.hadoop.fs.Path(s"$wh/default/$t")
+    assert(fs.rename(p("users"), p("_users_old")))
+    assert(fs.rename(p("_users_new"), p("users")))
+    val journal = new org.apache.hadoop.fs.Path(
+      s"$wh/_state/rename_journal/10")
+    fs.mkdirs(journal)
+    fs.create(new org.apache.hadoop.fs.Path(journal, "pair-0"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(journal, "pair-1"), true).close()
+    assert(registry.lastDdlSeq < 10)
+
+    // the replayed statement (restart redelivers the batch)
+    val spool2 = tmpDir("graft-spool-rnj2")
+    writeFile(spool2, "000001.json", Seq(
+      eventJson(10, "d", "users", OpQuery, query = Some(
+        "RENAME TABLE `users` TO `_users_old`, `_users_new` TO `users`"))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool2), 1)
+
+    // the archive SURVIVED the replay (the unjournaled path deleted it
+    // as a stale target and moved the new table's dir onto it)
+    assert(pipeline.table("_users_old").read.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "ann")))
+    // the post-swap table is intact and the registry converged
+    assert(registry("users").fields.map(_.name) ===
+      Vector("id", "name", "email"))
+    assert(pipeline.table("users").read.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1, "ann", "a@x.io")))
+    // journal cleaned once the watermark committed
+    assert(!fs.exists(journal))
+  }
+
   test("ignore_deletes mode accumulates: REMOVEs dropped pre-collapse") {
     val registry = new SchemaRegistry
     registry.applySql(
