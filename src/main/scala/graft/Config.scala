@@ -40,6 +40,12 @@ final case class GraftConfig(
       * `optimize_interval`, default 86400); ≤ 0 disables the background
       * compactor entirely. */
     optimizeInterval: Int = 86400,
+    /** HTTP monitoring/control endpoint (config.py:160-161 `http_host` /
+      * `http_port`; served by [[graft.streaming.MonitorServer]]); empty
+      * host or port 0 with no host disables it, port 0 with a host binds
+      * an ephemeral port. */
+    httpHost: String = "",
+    httpPort: Int = 0,
     /** SQL commands to run against the warehouse after a database's
       * initial replication completes, gated by db globs (config.py
       * `post_initial_replication_commands`,
@@ -180,6 +186,8 @@ object GraftConfig {
           .map(_.asInt()).getOrElse(0),
       optimizeInterval = Option(root.get("optimize_interval"))
         .map(_.asInt()).getOrElse(86400),
+      httpHost = Option(root.get("http_host")).map(_.asText()).getOrElse(""),
+      httpPort = Option(root.get("http_port")).map(_.asInt()).getOrElse(0),
       postInitialCommands =
         Option(root.get("post_initial_replication_commands")).toSeq
           .flatMap(_.elements().asScala).map { n =>

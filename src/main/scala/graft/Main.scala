@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ddl.SchemaRegistry
 import graft.sources.Snapshot
-import graft.streaming.{CdcPipeline, LagMonitor, Replicator}
+import graft.streaming.{CdcPipeline, LagMonitor, MonitorServer, Replicator}
 
 /** Config-driven bootstrap — the `main.py run_all` analogue (E1).
   *
@@ -24,10 +24,16 @@ import graft.streaming.{CdcPipeline, LagMonitor, Replicator}
   */
 object Main {
 
-  /** Everything but the blocking wait — factored for tests. */
+  /** Everything but the blocking wait — factored for tests.
+    *
+    * The returned holder always points at the CURRENT streaming query:
+    * the HTTP `/restart_replication` hook (reference runner.py:89-95
+    * stops and relaunches its child processes) stops the running query
+    * and starts a fresh one on the same checkpoint, swapping it in. */
   def run(spark: SparkSession, config: GraftConfig, db: String,
           warehouseDir: String, checkpointDir: String)
-      : (CdcPipeline, StreamingQuery, LagMonitor) = {
+      : (CdcPipeline, java.util.concurrent.atomic.AtomicReference[StreamingQuery],
+         LagMonitor, Option[MonitorServer]) = {
     val registry = new SchemaRegistry(db,
       Some(s"$warehouseDir/_state/$db.json"))
     val spoolDir = config.spoolDir.getOrElse(
@@ -45,10 +51,39 @@ object Main {
         }.toMap
       case _ => Map.empty
     }
+    // with resume shards enabled, each shard is its own server-side
+    // predicated JDBC read (Snapshot.jdbcShard) — the wire moves every
+    // row exactly once across the whole snapshot, and `subParts`
+    // sub-predicates keep each shard's read distributed
+    val shardSources: Map[String, Int => DataFrame] = config.mysql match {
+      case Some(conn) if !config.skipInitialReplication &&
+          config.initialReplicationThreads > 1 =>
+        val shards = config.initialReplicationThreads
+        val subParts = math.max(1,
+          spark.sparkContext.defaultParallelism / shards)
+        registry.tableKeys.collect { case (d, t) if d == db =>
+          t -> ((k: Int) => Snapshot.jdbcShard(spark, conn.jdbcUrl(db), t,
+            registry(d, t).primaryKeys, shards, k, subParts,
+            conn.properties))
+        }.toMap
+      case _ => Map.empty
+    }
     val monitor = LagMonitor.attach(spark)
     val (pipeline, query) = Replicator.start(spark, config, registry,
-      warehouseDir, spoolDir, checkpointDir, snapshots)
-    (pipeline, query, monitor)
+      warehouseDir, spoolDir, checkpointDir, snapshots,
+      shardSources = shardSources)
+    val holder =
+      new java.util.concurrent.atomic.AtomicReference[StreamingQuery](query)
+    // http_host/http_port (config.py:160-161) enable the ops endpoint
+    val server =
+      if (config.httpHost.nonEmpty)
+        Some(new MonitorServer(monitor, config.httpHost, config.httpPort,
+          restart = Some { () =>
+            holder.get.stop()
+            holder.set(pipeline.start(spoolDir, checkpointDir))
+          }))
+      else None
+    (pipeline, holder, monitor, server)
   }
 
   def main(args: Array[String]): Unit = {
@@ -58,7 +93,18 @@ object Main {
     val config = GraftConfig.load(cfgPath)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
-    val (_, query, _) = run(spark, config, db, warehouseDir, checkpointDir)
-    query.awaitTermination()
+    val (_, holder, _, server) = run(spark, config, db, warehouseDir,
+      checkpointDir)
+    // await across /restart_replication swaps: a stopped-then-replaced
+    // query must not take the whole process down with it
+    try {
+      var q = holder.get
+      var done = false
+      while (!done) {
+        q.awaitTermination()
+        val nq = holder.get
+        if (nq eq q) done = true else q = nq
+      }
+    } finally server.foreach(_.stop())
   }
 }

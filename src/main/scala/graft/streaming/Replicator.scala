@@ -17,16 +17,26 @@ import graft.sources.Snapshot
   */
 object Replicator {
 
-  /** @param snapshots source-table name → bulk DataFrame (a
-    *                  [[Snapshot.jdbc]] read in production, a fixture in
-    *                  tests); only tables admitted by the config globs
-    *                  and already registered are snapshotted.
+  /** @param snapshots    source-table name → bulk DataFrame (a
+    *                      [[Snapshot.jdbc]] read in production, a fixture
+    *                      in tests); only tables admitted by the config
+    *                      globs and already registered are snapshotted.
+    * @param shardSources  optional per-table shard readers (shard index →
+    *                      DataFrame, e.g. [[Snapshot.jdbcShard]]): each
+    *                      resume shard becomes its own server-side
+    *                      predicated read, so the wire moves every row
+    *                      exactly once across the snapshot. Tables
+    *                      without an entry fall back to filtering the
+    *                      `snapshots` frame per shard — fine for file
+    *                      fixtures (the scan re-splits), wasteful for
+    *                      JDBC at scale.
     */
   def start(spark: SparkSession, config: GraftConfig,
             registry: SchemaRegistry, warehouseDir: String,
             spoolDir: String, checkpointDir: String,
             snapshots: Map[String, DataFrame] = Map.empty,
-            trigger: Trigger = Trigger.ProcessingTime("1 second"))
+            trigger: Trigger = Trigger.ProcessingTime("1 second"),
+            shardSources: Map[String, Int => DataFrame] = Map.empty)
       : (CdcPipeline, StreamingQuery) = {
     val pipeline = new CdcPipeline(spark, config, registry, warehouseDir)
     if (!config.skipInitialReplication) {
@@ -50,13 +60,11 @@ object Replicator {
           val shards = math.max(1, config.initialReplicationThreads)
           val pks = registry(tbl).primaryKeys
           val shardsDir = s"$warehouseDir/_state/initial_done/$db.$tbl.shards"
-          // fixture / pre-built frames shard by filter; JDBC deployments
-          // pass Snapshot.jdbcShard-shaped frames for server-side shards
-          Snapshot.runSharded(spark, registry(tbl),
-            pipeline.tablePath(db, tbl), shardsDir, shards,
+          val source: Int => DataFrame = shardSources.getOrElse(tbl,
             k => if (shards == 1) df
-                 else df.filter(Snapshot.shardPredicate(pks, shards, k)),
-            config)
+                 else df.filter(Snapshot.shardPredicate(pks, shards, k)))
+          Snapshot.runSharded(spark, registry(tbl),
+            pipeline.tablePath(db, tbl), shardsDir, shards, source, config)
           Option(marker.getParent).foreach(fs.mkdirs)
           fs.create(marker, true).close()
           fs.delete(new org.apache.hadoop.fs.Path(shardsDir), true)
