@@ -19,6 +19,15 @@ object GraftSession {
       // AQE coalesces to the right number anyway.
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Object-typed aggregations (collect_set/list, the capped set in
+      // Dedup) keep hashing up to this many groups per partition before
+      // falling back to sort-based aggregation; the 128-group default
+      // predates large heaps and forces a per-partition SORT of the
+      // whole shingle table. Buffers here are small (df-capped sets,
+      // per-doc arrays), so 256k groups ≈ tens of MB per task — and the
+      // sort-based fallback still exists past that.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "262144")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
