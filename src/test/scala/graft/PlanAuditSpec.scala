@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** Physical-plan regression pins: the properties that make these plans
+  * survive a 100× scale-up are asserted, not just claimed — a future
+  * refactor that silently drops a pushed filter, widens a scan, or
+  * de-broadcasts a dimension fails here, long before it costs hours on a
+  * real cluster. Plans are inspected node-by-node AFTER execution, so
+  * AQE's final (runtime-re-planned) shape is what's pinned.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Execute (AQE finalizes at runtime), then flatten every node,
+    * descending through adaptive wrappers and query-stage leaves. */
+  private def nodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        p +: walk(m.relation.cachedPlan) // persist() boundaries hide subtrees
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def scansOf(ns: Seq[SparkPlan], table: String) =
+    ns.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(table)) => s
+    }
+
+  test("q6: filters reach the parquet scan; projection is pruned") {
+    val ns = nodes(SparkEntry.queries("q6_forecast_revenue")(spark, dir))
+    val scan = scansOf(ns, "lineitem").head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_quantity"),
+      s"filters not pushed to parquet: $pushed")
+    // pruning: exactly the 4 referenced columns, not lineitem's 16
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"scan not pruned: ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q5: the star joins broadcast; no sort-merge degradation") {
+    val ns = nodes(SparkEntry.queries("q5_nation_revenue")(spark, dir))
+    val broadcasts = ns.count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "star join degraded to SortMergeJoin")
+  }
+
+  test("q1: map-side partial aggregation inside whole-stage codegen") {
+    val ns = nodes(SparkEntry.queries("q1_pricing_summary")(spark, dir))
+    // partial + final pair: the shuffle moves one row per group per
+    // partition, not one per lineitem row
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) >= 2,
+      "missing partial aggregation")
+    assert(ns.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      "agg pipeline fell out of codegen")
+  }
+
+  test("conversion suite: codegen, no interpreted UDFs") {
+    val ns = nodes(SparkEntry.queries("conv_scalar_suite")(spark, dir))
+    assert(ns.exists(_.isInstanceOf[WholeStageCodegenExec]), "no codegen span")
+    assert(!ns.exists(_.toString.contains("ScalaUDF")),
+      "interpreted UDF in the conversion path")
+  }
+
+  test("dedup candidate aggregation keeps its df cap in-plan") {
+    val ns = nodes(SparkEntry.queries("d_ngram_jaccard")(spark, dir))
+    // a regression to plain collect_set + post-filter would reintroduce
+    // the unbounded hot-shingle aggregation buffer
+    val capped = ns.collect { case o: ObjectHashAggregateExec => o }
+      .exists(_.aggregateExpressions.exists(
+        _.aggregateFunction.isInstanceOf[graft.functions.CappedCollectSet]))
+    assert(capped, "capped collect_set missing from the candidate plan")
+  }
+
+  test("point lookup: one bucket dir, filter pushed below the dedup agg") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val t = graft.operators.GraftTable(spark, tmpDir("plan-lookup"),
+      Seq("id"), StructType(Seq(StructField("id", LongType),
+        StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (9000000L, "far")).toDF("id", "v"), 1)
+    val ns = nodes(t.lookup(9000000L))
+    val scan = ns.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.relation.location.rootPaths.forall(
+      _.toString.contains("_bucket=2")),
+      "lookup scan lists more than the key's bucket")
+    assert(scan.metadata("PushedFilters").contains("EqualTo(id"),
+      "pk predicate not pushed below the FINAL aggregate")
+  }
+}
