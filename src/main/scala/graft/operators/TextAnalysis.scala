@@ -80,6 +80,35 @@ object TextAnalysis {
       .otherwise(best.getField("lang"))
   }
 
+  /** TF-IDF keyword extraction: the `k` highest-scoring terms per
+    * document, `score = tf · ln(N / df)` rounded to 6 decimals,
+    * deterministic tie-break by term.
+    *
+    * Plan shape at 100 TB: `N` is a parquet metadata count (no scan);
+    * the exploded token table is computed once and persisted; term
+    * frequencies partial-aggregate map-side before the (doc, term)
+    * shuffle; the document-frequency side is |vocab| rows (broadcasts
+    * under AQE when small, shuffles on term otherwise); the final top-k
+    * is a bounded per-document window. Three shuffles total — the
+    * irreducible shape of corpus-relative term weighting. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val n = docs.count().toDouble
+    val toks = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dft, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Content fingerprint: md5 of the normalized text — exact-dup key. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))

@@ -61,6 +61,15 @@ object TextQueries {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, maxDf = 20, threshold = 0.5)
         .orderBy("id_a", "id_b")
+    },
+
+    // TF-IDF keyword extraction — corpus-relative term weighting, the
+    // standard "what is this document about" signal for filtering /
+    // routing training data.
+    "t_tfidf_topterms" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+        k = 3)
+        .orderBy("doc_id", "rnk")
     }
   )
 
@@ -168,6 +177,22 @@ object TextQueries {
          |FROM cand JOIN shl x ON id_a = x.doc_id JOIN shl y ON id_b = y.doc_id
          |WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
          |      len(list_distinct(list_concat(x.sl, y.sl))) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "t_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text,' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    round(tf * ln(n.n / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin
   )
 }
