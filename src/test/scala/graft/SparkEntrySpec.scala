@@ -14,6 +14,20 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("s_ann_ivf publishes its fitted-centroid oracle after running") {
+    // Verify runs every query BEFORE dumping oracle_sql.json — the ivf
+    // query caches its fitted model and the oracle def freezes it into
+    // literal SQL; this pins that mechanism so the gate never silently
+    // regresses to rows-only
+    SparkEntry.queries("s_ann_ivf")(spark, sfDir).count()
+    val sql = SparkEntry.oracleSql.get("s_ann_ivf")
+    assert(sql.isDefined, "ivf oracle missing after the query ran")
+    assert(sql.get.contains("list_position(sl, list_min(sl))") &&
+      sql.get.contains("list_sort"),
+      "ivf oracle lost its assign/probe twin structure")
+    spark.catalog.clearCache()
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query surface smoke: $name") {
       val df = fn(spark, sfDir)
