@@ -11,15 +11,16 @@ object SimilarityQueries {
 
   import graft.operators.Ivf
 
-  /** The IVF model fitted by the most recent `s_ann_ivf` run. The oracle
-    * SQL must embed the fitted centroids, but `oracleSql` is a static map
-    * with no (spark, dir) arguments — so the query fn records its model
-    * here and [[oracles]] (a def, re-evaluated at dump time) freezes THAT
-    * fit into literals. Verify runs every query before dumping the
-    * oracle JSON, so the cache is always populated for the driver gate;
-    * if s_ann_ivf never ran, the key is simply omitted (rows-only check,
-    * the pre-r5 behavior). */
-  @volatile private var lastIvfModel: Option[Ivf.Model] = None
+  /** The IVF models fitted by the most recent run of each IVF-backed
+    * query. The oracle SQL must embed the fitted centroids, but
+    * `oracleSql` is a static map with no (spark, dir) arguments — so each
+    * query fn records its model here and [[oracles]] (a def,
+    * re-evaluated at dump time) freezes THAT fit into literals. Verify
+    * runs every query before dumping the oracle JSON, so the cache is
+    * always populated for the driver gate; a query that never ran simply
+    * omits its key (rows-only check, the pre-r5 behavior). */
+  private val ivfModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Ivf.Model]()
 
   val defs: Map[String, QueryFn] = Map(
     // Exact ANN baseline: 10 probe vectors × full corpus, broadcast join.
@@ -61,12 +62,26 @@ object SimilarityQueries {
       val emb = t(s, dir, "embeddings")
       val model = graft.operators.Ivf.fit(emb, "vec_id", "embedding",
         k = 8, iters = 3)
-      lastIvfModel = Some(model)
+      ivfModels.put("s_ann_ivf", model)
       graft.operators.Ivf.topK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
         model, k = 3, nProbe = 2)
         .select("query_id", "neighbor_id", "sim", "rnk")
         .orderBy("query_id", "rnk")
+    },
+
+    // Corpus clustering: every embedding assigned to its k-means cell —
+    // the map-only pass a topic-/source-balancing pipeline runs over the
+    // whole corpus (one codegen'd argmin per row, no shuffle until the
+    // caller aggregates). Same frozen-centroid oracle scheme as the ANN.
+    "s_cluster_assign" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.Ivf.fit(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      ivfModels.put("s_cluster_assign", model)
+      emb.select(col("vec_id"),
+        graft.operators.Ivf.assign(col("embedding"), model).as("cell"))
+        .orderBy("vec_id")
     },
 
     // Embedding near-dup pairs, candidate-bounded by sign bucket.
@@ -157,19 +172,30 @@ object SimilarityQueries {
     *    DuckDB sorts struct lists field-by-field exactly like Spark's
     *    array_sort over struct(d, cell).
     * Double literals use Double.toString, which round-trips. */
+  private def fmt(x: Double): String = java.lang.Double.toString(x)
+
+  private def ivfScoreExpr(c: IndexedSeq[Double]): String = {
+    val dot = c.indices.map(j =>
+      s"CAST(embedding[${j + 1}] AS DOUBLE) * (${fmt(c(j))})")
+      .mkString("(0.0 + ", " + ", ")")
+    s"(${fmt(c.map(x => x * x).sum)} - 2.0 * $dot)"
+  }
+
+  private def ivfScoreList(model: Ivf.Model): String =
+    model.centroids.map(ivfScoreExpr).mkString("[", ",\n ", "]")
+
+  /** DuckDB twin of the full-corpus `Ivf.assign` pass (s_cluster_assign):
+    * same frozen-centroid argmin as [[ivfSql]]'s corpus side. */
+  private def clusterSql(model: Ivf.Model): String =
+    s"""SELECT vec_id, CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
+       |FROM (SELECT vec_id, ${ivfScoreList(model)} AS sl FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+
   private def ivfSql(model: Ivf.Model, k: Int, nProbe: Int): String = {
     require(nProbe == 2, "oracle is generated for the nProbe=2 query shape")
-    def fmt(x: Double): String = java.lang.Double.toString(x)
-    def scoreExpr(c: IndexedSeq[Double]): String = {
-      val dot = c.indices.map(j =>
-        s"CAST(embedding[${j + 1}] AS DOUBLE) * (${fmt(c(j))})")
-        .mkString("(0.0 + ", " + ", ")")
-      s"(${fmt(c.map(x => x * x).sum)} - 2.0 * $dot)"
-    }
-    val scoreList =
-      model.centroids.map(scoreExpr).mkString("[", ",\n ", "]")
+    val scoreList = ivfScoreList(model)
     val probeList = model.centroids.zipWithIndex
-      .map { case (c, i) => s"{'d': ${scoreExpr(c)}, 'cell': $i}" }
+      .map { case (c, i) => s"{'d': ${ivfScoreExpr(c)}, 'cell': $i}" }
       .mkString("[", ",\n ", "]")
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
        |        list_sort($probeList) AS pl
@@ -201,7 +227,10 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] =
     staticOracles ++
-      lastIvfModel.map(m => "s_ann_ivf" -> ivfSql(m, k = 3, nProbe = 2))
+      Option(ivfModels.get("s_ann_ivf"))
+        .map(m => "s_ann_ivf" -> ivfSql(m, k = 3, nProbe = 2)) ++
+      Option(ivfModels.get("s_cluster_assign"))
+        .map(m => "s_cluster_assign" -> clusterSql(m))
 
   private val staticOracles: Map[String, String] = Map(
     "s_ann_topk" -> cosineSql("vec_id < 10", bucketJoin = false, k = 5, None),
