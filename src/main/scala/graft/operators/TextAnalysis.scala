@@ -97,9 +97,12 @@ object TextAnalysis {
     val toks = Partitioning.spread(docs)
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tf has exactly one row per (doc, term) — the df count folds over
+    // it instead of re-aggregating (and re-shuffling) the raw token
+    // table through a distinct
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dft = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dft, "term")
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
