@@ -27,6 +27,10 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
+    // the warmup populated the e2e stats from the TINY fixture — a timed
+    // run that then fails must not report the warmup's events/s under
+    // the big sf label
+    graft.queries.CdcQueries.lastE2eStats = None
 
     // A failed query must NOT masquerade as a timing: it reports -1 and
     // lands in "errors" so a red query can't inflate a green-looking run.

@@ -39,6 +39,10 @@ object GraftSession {
       // billions of keys at corpus scale — and the default HDFS-backed
       // provider holds every entry in executor heap. RocksDB spills to
       // local disk with changelog checkpointing to the checkpoint dir.
+      // UPGRADE NOTE: checkpoints written by the old HDFS provider are
+      // not readable through RocksDB — pre-existing stateful-query
+      // checkpoints must either keep the old provider (set it back on
+      // that session) or be rebuilt.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")

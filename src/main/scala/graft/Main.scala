@@ -24,16 +24,23 @@ import graft.streaming.{CdcPipeline, LagMonitor, MonitorServer, Replicator}
   */
 object Main {
 
-  /** Everything but the blocking wait — factored for tests.
-    *
-    * The returned holder always points at the CURRENT streaming query:
-    * the HTTP `/restart_replication` hook (reference runner.py:89-95
-    * stops and relaunches its child processes) stops the running query
-    * and starts a fresh one on the same checkpoint, swapping it in. */
+  /** A live deployment: `holder` always points at the CURRENT streaming
+    * query — the HTTP `/restart_replication` hook (reference
+    * runner.py:89-95 stops and relaunches its child processes) stops the
+    * running query and starts a fresh one on the same checkpoint,
+    * swapping it in. `awaitRestartSettled` blocks while a restart is in
+    * flight, so a supervisor woken by `stop()` can tell a restart from a
+    * terminal stop. */
+  final case class Running(
+      pipeline: CdcPipeline,
+      holder: java.util.concurrent.atomic.AtomicReference[StreamingQuery],
+      monitor: LagMonitor,
+      server: Option[MonitorServer],
+      awaitRestartSettled: () => Unit)
+
+  /** Everything but the blocking wait — factored for tests. */
   def run(spark: SparkSession, config: GraftConfig, db: String,
-          warehouseDir: String, checkpointDir: String)
-      : (CdcPipeline, java.util.concurrent.atomic.AtomicReference[StreamingQuery],
-         LagMonitor, Option[MonitorServer]) = {
+          warehouseDir: String, checkpointDir: String): Running = {
     val registry = new SchemaRegistry(db,
       Some(s"$warehouseDir/_state/$db.json"))
     val spoolDir = config.spoolDir.getOrElse(
@@ -74,16 +81,39 @@ object Main {
       shardSources = shardSources)
     val holder =
       new java.util.concurrent.atomic.AtomicReference[StreamingQuery](query)
-    // http_host/http_port (config.py:160-161) enable the ops endpoint
+    // Restart protocol: stop() unblocks the supervisor's awaitTermination
+    // IMMEDIATELY, while starting the replacement query takes seconds —
+    // without the lock + in-flight flag the supervisor would observe the
+    // old query still in the holder, conclude no restart happened, and
+    // exit (tearing down monitoring under the freshly started stream).
+    val restartLock = new Object
+    @volatile var restarting = false
+    def restartHook(): Unit = {
+      restartLock.synchronized { restarting = true }
+      try {
+        holder.get.stop()
+        holder.set(pipeline.start(spoolDir, checkpointDir))
+      } finally restartLock.synchronized {
+        restarting = false
+        restartLock.notifyAll()
+      }
+    }
+    def awaitRestartSettled(): Unit = restartLock.synchronized {
+      while (restarting) restartLock.wait()
+    }
+    // http_host/http_port (config.py:160-161) enable the ops endpoint.
+    // Bind failure (port taken) must not leak the already-running query.
     val server =
       if (config.httpHost.nonEmpty)
-        Some(new MonitorServer(monitor, config.httpHost, config.httpPort,
-          restart = Some { () =>
-            holder.get.stop()
-            holder.set(pipeline.start(spoolDir, checkpointDir))
-          }))
+        try Some(new MonitorServer(monitor, config.httpHost, config.httpPort,
+          restart = Some(() => restartHook())))
+        catch { case e: Throwable =>
+          query.stop()
+          spark.streams.removeListener(monitor)
+          throw e
+        }
       else None
-    (pipeline, holder, monitor, server)
+    Running(pipeline, holder, monitor, server, () => awaitRestartSettled())
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,18 +123,19 @@ object Main {
     val config = GraftConfig.load(cfgPath)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
-    val (_, holder, _, server) = run(spark, config, db, warehouseDir,
-      checkpointDir)
+    val running = run(spark, config, db, warehouseDir, checkpointDir)
     // await across /restart_replication swaps: a stopped-then-replaced
-    // query must not take the whole process down with it
+    // query must not take the whole process down with it — wait for any
+    // in-flight restart to settle before deciding the stop was terminal
     try {
-      var q = holder.get
+      var q = running.holder.get
       var done = false
       while (!done) {
         q.awaitTermination()
-        val nq = holder.get
+        running.awaitRestartSettled()
+        val nq = running.holder.get
         if (nq eq q) done = true else q = nq
       }
-    } finally server.foreach(_.stop())
+    } finally running.server.foreach(_.stop())
   }
 }

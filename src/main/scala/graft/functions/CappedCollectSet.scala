@@ -73,12 +73,14 @@ final case class CappedCollectSet(
     buffer
   }
 
+  // hoisted: eval runs once per group — millions of shingle groups —
+  // and the interpreted ordering is immutable for the expression
+  @transient private lazy val ord =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+
   override def eval(buffer: mutable.HashSet[Any]): Any =
     if (buffer.size > cap) null
-    else {
-      val ord = TypeUtils.getInterpretedOrdering(child.dataType)
-      new GenericArrayData(buffer.toArray.sortWith(ord.lt))
-    }
+    else new GenericArrayData(buffer.toArray.sortWith(ord.lt))
 
   // partial→final shipping uses UnsafeArrayData bytes (the same compact
   // scheme Spark's own Collect aggregates use) — with millions of

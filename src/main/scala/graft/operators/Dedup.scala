@@ -146,7 +146,9 @@ object Dedup {
     val estBytes = sh.join(touched, Seq("id"), "left_semi")
       .agg(coalesce(sum(length(col("s")).cast("long") + 24L), lit(0L)))
       .head.getLong(0)
-    val broadcastable = estBytes <= (128L << 20)
+    // 64 MB per SIDE: the plan broadcasts the relation twice (a and bb),
+    // so the effective budget is ~2× the bound
+    val broadcastable = estBytes <= (64L << 20)
     val (aSide, bSide) =
       if (broadcastable) (broadcast(a), broadcast(bb))
       else (a.hint("shuffle_hash"), bb.hint("shuffle_hash"))

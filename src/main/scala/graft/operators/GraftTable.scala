@@ -426,8 +426,15 @@ final class GraftTable(
     // older — including partial epochs from crashed attempts — goes now
     listEpochs().filter(x => x != target && x != e)
       .foreach(x => fs.delete(new Path(epochDataDir(x)), true))
-    // drop superseded generation metadata; current gen holds everything
-    gens.filter(_.n != cur).foreach(g => fs.delete(genMetaPath(g.n), false))
+    // Superseded generation METADATA gets the same one-cycle grace as
+    // the data dirs: a reader that resolved the pre-swap pointer still
+    // needs the old gens listed to read the grace epoch — delete a
+    // gen's meta only once no retained epoch holds its files (i.e. one
+    // compaction later). Lingering metas are harmless meanwhile: log()
+    // skips gens whose data dir is absent.
+    gens.filter(_.n != cur)
+      .filter(g => !fs.exists(new Path(genDataPath(e, g.n))))
+      .foreach(g => fs.delete(genMetaPath(g.n), false))
     writeGenMeta(cur, columns)
     gensCache = null
   }

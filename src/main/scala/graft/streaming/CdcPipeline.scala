@@ -357,8 +357,12 @@ final class CdcPipeline(
         if (applicable.nonEmpty && seq > registry.lastDdlSeq) {
           val fs = new org.apache.hadoop.fs.Path(warehouseDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // scoped by the bound db: per-db pipelines share a warehouse
+          // (layout _state/<db>.json) but their spool seq counters are
+          // independent — an unscoped seq key would let db A's leftover
+          // journal mark db B's same-seq RENAME as already-moved
           val journal = new org.apache.hadoop.fs.Path(
-            s"$warehouseDir/_state/rename_journal/$seq")
+            s"$warehouseDir/_state/rename_journal/${registry.defaultDb}/$seq")
           fs.mkdirs(journal)
           applicable.zipWithIndex.foreach {
             case (((fromDb, from), (toDb, to)), i) =>

@@ -59,7 +59,13 @@ object Replicator {
             !fs.exists(marker)) {
           val shards = math.max(1, config.initialReplicationThreads)
           val pks = registry(tbl).primaryKeys
-          val shardsDir = s"$warehouseDir/_state/initial_done/$db.$tbl.shards"
+          // the marker dir ENCODES the shard count: a crashed 8-way
+          // snapshot restarted with 4 threads must not skip "shard-0/1"
+          // of the new split (different residue sets — rows would be
+          // silently lost); a count change invalidates all markers and
+          // the redone shards collapse in the FINAL view
+          val shardsDir =
+            s"$warehouseDir/_state/initial_done/$db.$tbl.shards-$shards"
           val source: Int => DataFrame = shardSources.getOrElse(tbl,
             k => if (shards == 1) df
                  else df.filter(Snapshot.shardPredicate(pks, shards, k)))

@@ -23,12 +23,11 @@ class MainSpec extends SparkSpec {
       eventJson(2, "shop", "users", OpAdd,
         row = Some("""{"id":"1","name":"ann"}"""))))
 
-    val (pipeline, holder, monitor, server) =
-      Main.run(spark, config, "shop", wh, tmpDir("main-ckpt"))
-    val query = holder.get
-    assert(server.isEmpty) // no http_host → endpoint disabled
+    val running = Main.run(spark, config, "shop", wh, tmpDir("main-ckpt"))
+    val (pipeline, query) = (running.pipeline, running.holder.get)
+    assert(running.server.isEmpty) // no http_host → endpoint disabled
     try query.processAllAvailable() finally query.stop()
-    spark.streams.removeListener(monitor)
+    spark.streams.removeListener(running.monitor)
 
     assert(pipeline.table("shop", "users").read.collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "ann")))
@@ -55,8 +54,9 @@ class MainSpec extends SparkSpec {
       eventJson(2, "shop", "users", OpAdd,
         row = Some("""{"id":"1","name":"ann"}"""))))
 
-    val (pipeline, holder, monitor, server) =
-      Main.run(spark, config, "shop", wh, tmpDir("main-ckpt-http"))
+    val running = Main.run(spark, config, "shop", wh, tmpDir("main-ckpt-http"))
+    val (pipeline, holder, server) =
+      (running.pipeline, running.holder, running.server)
     def get(path: String): (Int, String) = {
       val url = java.net.URI
         .create(s"http://127.0.0.1:${server.get.port}$path").toURL
@@ -80,6 +80,7 @@ class MainSpec extends SparkSpec {
       val before = holder.get
       val (rc, rb) = get("/restart_replication")
       assert(rc === 200 && rb.contains("true"))
+      running.awaitRestartSettled() // supervisor protocol: settle first
       assert(holder.get ne before)
       writeFile(spool, "000002.json", Seq(
         eventJson(3, "shop", "users", OpAdd,
@@ -91,7 +92,7 @@ class MainSpec extends SparkSpec {
     } finally {
       holder.get.stop()
       server.foreach(_.stop())
-      spark.streams.removeListener(monitor)
+      spark.streams.removeListener(running.monitor)
     }
   }
 }

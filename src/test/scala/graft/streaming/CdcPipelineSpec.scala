@@ -177,7 +177,7 @@ class CdcPipelineSpec extends SparkSpec {
     assert(fs.rename(p("users"), p("_users_old")))
     assert(fs.rename(p("_users_new"), p("users")))
     val journal = new org.apache.hadoop.fs.Path(
-      s"$wh/_state/rename_journal/10")
+      s"$wh/_state/rename_journal/default/10")
     fs.mkdirs(journal)
     fs.create(new org.apache.hadoop.fs.Path(journal, "pair-0"), true).close()
     fs.create(new org.apache.hadoop.fs.Path(journal, "pair-1"), true).close()
