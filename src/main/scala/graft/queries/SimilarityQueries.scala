@@ -105,6 +105,18 @@ object SimilarityQueries {
           round(avg(col("height")), 6).as("avg_h"),
           sum(col("nFrames")).as("total_frames"))
         .orderBy("kind")
+    },
+
+    // Frame sampling: the planner stage of a two-pass video pipeline —
+    // every 5th frame index per clip, metadata-only (no payload decode,
+    // nothing binary crosses a shuffle).
+    "mm_frame_sample" -> { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      val feats = Multimodal.extractFeatures(media)
+      Multimodal.sampleFramePlan(feats, stride = 5)
+        .select(col("id").as("doc_id"), col("nFrames").as("n_frames"),
+          explode(col("frameIdx")).as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
     }
   )
 
@@ -253,6 +265,15 @@ object SimilarityQueries {
         |SELECT id_a, id_b, round(dot / sqrt(nx * ny), 4) AS sim FROM s
         |WHERE round(dot / sqrt(nx * ny), 4) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH v AS (SELECT doc_id, 1 + strlen(text) % 30 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, n_frames,
+        |        unnest(range(0, n_frames, 5)) AS frame_idx FROM v)
+        |SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+        |  CAST(frame_idx AS INT) AS frame_idx
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_decode_stats" ->
       """WITH m AS (SELECT doc_id,
