@@ -171,6 +171,106 @@ object CoreQueries {
         .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
         .orderBy("k_bucket")
+    },
+
+    // TPC-H Q4 shape: correlated EXISTS with an inequality — a semi join
+    // whose condition mixes the equi key with a non-equi residual. Spark
+    // hash-joins on the key and applies the residual as a join filter;
+    // no cartesian anywhere, both sides pruned to 3/2 columns at scan.
+    "q4_late_shipment" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q14 shape: conditional aggregation over a fact-dim join.
+    // The date filter prunes the fact scan; `part` broadcasts. The ratio
+    // divides the two already-rounded exact sums (deterministic doubles),
+    // never raw float aggregates.
+    "q14_promo_share" -> { (s, dir) =>
+      val part = t(s, dir, "part").select("p_partkey", "p_type")
+      val promoRev = revenueSum(
+        when(col("p_type") === "PROMO", col("l_extendedprice")).otherwise(0.0),
+        when(col("p_type") === "PROMO", col("l_discount")).otherwise(0.0))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(promoRev.as("promo_revenue"),
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4)
+            .as("promo_pct"))
+    },
+
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average) —
+    // decorrelated by hand into an aggregate + self-join, with the brand
+    // filter applied BEFORE both lineitem passes (broadcast semi via the
+    // tiny filtered part side) so neither aggregates the full fact table.
+    // l_quantity is integral, so the double average is order-independent
+    // (exact integer sums < 2^53) and matches DuckDB bit-for-bit.
+    "q17_small_qty_revenue" -> { (s, dir) =>
+      val brandParts = broadcast(
+        t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+          .select("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(brandParts, col("l_partkey") === col("p_partkey"))
+      val halfAvg = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((avg("l_quantity") * 0.5).as("half_avg"))
+      li.join(halfAvg, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(moneySum(col("l_extendedprice")).as("small_qty_revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q18 shape: HAVING on a fact aggregate driving a join back to
+    // the dimensions — the aggregate output (46 orders at sf0.01) is tiny,
+    // so AQE broadcasts it into orders/customer; the only wide stage is
+    // the per-order quantity sum.
+    "q18_large_orders" -> { (s, dir) =>
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      t(s, dir, "orders")
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          tsSeconds(col("o_orderdate")).as("o_orderdate_s"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q22 shape: scalar aggregate subquery (global threshold) +
+    // anti join. The 1-row threshold cross-joins in as a broadcast; the
+    // threshold itself is an exact-decimal sum divided in double so both
+    // engines derive the identical bit pattern.
+    "q22_idle_rich_customers" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("thr"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(urgent, Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          moneySum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -272,6 +372,52 @@ object CoreQueries {
     "q_json_props_bucket" ->
       s"""SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_bucket, COUNT(*) AS n,
          |  ${sqlMoneySum("value")} AS sum_value
-         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "q4_late_shipment" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""SELECT ${sqlRevenueSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0.0 END",
+            "CASE WHEN p_type = 'PROMO' THEN l_discount ELSE 0.0 END")} AS promo_revenue,
+         |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS total_revenue,
+         |  ROUND(100.0 * ${sqlRevenueSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0.0 END",
+            "CASE WHEN p_type = 'PROMO' THEN l_discount ELSE 0.0 END")} /
+         |    ${sqlRevenueSum("l_extendedprice", "l_discount")}, 4) AS promo_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      s"""SELECT ${sqlMoneySum("l_extendedprice")} AS small_qty_revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#23'
+         |  AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""SELECT c_custkey, c_name, o_orderkey,
+         |  ${sqlTsSeconds("o_orderdate")} AS o_orderdate_s,
+         |  o_totalprice, SUM(l_quantity) AS total_qty
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         |HAVING SUM(l_quantity) > 300
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q22_idle_rich_customers" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |  ${sqlMoneySum("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+         |    AS DOUBLE) / COUNT(*) FROM customer WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |    AND o_orderpriority = '1-URGENT')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

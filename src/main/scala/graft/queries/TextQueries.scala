@@ -70,6 +70,29 @@ object TextQueries {
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         k = 3)
         .orderBy("doc_id", "rnk")
+    },
+
+    // Cross-batch streaming dedup under the oracle gate: the document
+    // feed flows through flatMapGroupsWithState (state = one "seen" bit
+    // per fingerprint, partitioned by key across executors — the 100 TB
+    // shape) and emits each fingerprint's first-ever row. With the whole
+    // fixture in one micro-batch the representative is the min-doc_id row
+    // per fp, which is exactly SQL-expressible.
+    "d_stream_first_seen" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(TextAnalysis.prefixFingerprint(col("text"), 8).as("fp"),
+          col("doc_id").as("seq"))
+      val first = graft.streaming.StreamingDedup.firstSeen(stream, "fp", "seq")
+      val sink = "d_stream_first_seen_sink"
+      val q = first.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("fp"), col("seq").as("first_doc_id"))
+        .orderBy("fp")
     }
   )
 
@@ -122,6 +145,11 @@ object TextQueries {
       """SELECT md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
         |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+
+    "d_stream_first_seen" ->
+      """SELECT md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
+        |  MIN(doc_id) AS first_doc_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "d_exact_dups" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,

@@ -85,6 +85,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(capped, "capped collect_set missing from the candidate plan")
   }
 
+  test("q4: EXISTS stays a semi join on pruned scans") {
+    val ns = nodes(SparkEntry.queries("q4_late_shipment")(spark, dir))
+    // the correlated EXISTS must not decorrelate into an inner join +
+    // distinct (that shape duplicates orders before the agg)
+    val semi = ns.exists {
+      case j: BroadcastHashJoinExec => j.joinType.sql == "LEFT SEMI"
+      case j: SortMergeJoinExec => j.joinType.sql == "LEFT SEMI"
+      case _ => false
+    }
+    assert(semi, "EXISTS did not plan as a semi join")
+    assert(scansOf(ns, "lineitem").head.requiredSchema.fieldNames.toSet ===
+      Set("l_orderkey", "l_shipdate"), "lineitem scan not pruned to 2 cols")
+    assert(scansOf(ns, "orders").head.requiredSchema.fieldNames.toSet ===
+      Set("o_orderkey", "o_orderpriority", "o_orderdate"),
+      "orders scan not pruned")
+  }
+
+  test("q14/q17: dimension filters push down and the dim side broadcasts") {
+    val ns14 = nodes(SparkEntry.queries("q14_promo_share")(spark, dir))
+    assert(ns14.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "part did not broadcast in q14")
+    val li14 = scansOf(ns14, "lineitem").head
+    assert(li14.metadata("PushedFilters").contains("GreaterThanOrEqual(l_shipdate"),
+      "q14 date filter not pushed to the fact scan")
+    val ns17 = nodes(SparkEntry.queries("q17_small_qty_revenue")(spark, dir))
+    val partScan = scansOf(ns17, "part").head
+    assert(partScan.metadata("PushedFilters").contains("EqualTo(p_brand"),
+      "q17 brand filter not pushed to the part scan")
+    // both lineitem passes ride behind the broadcast part filter — no
+    // full-fact aggregation anywhere in the plan
+    assert(ns17.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "q17 lost the broadcast semi/equi pattern")
+  }
+
   test("point lookup: one bucket dir, filter pushed below the dedup agg") {
     import org.apache.spark.sql.types._
     import spark.implicits._
