@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts driver + all executor threads in ONE JVM: the whole
+  // bench surface (45 queries, streaming memory sinks, an ~900k-event
+  // CDC replay) shares this heap. 8g measurably GC-thrashes the tail of
+  // the run (cdc_e2e_replicate: 21s in-sequence vs 7s alone); 32g on
+  // the 128 GiB host keeps every query at its solo timing.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

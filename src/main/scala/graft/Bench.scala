@@ -42,8 +42,12 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // operators persist shared intermediates; drop them between queries
-      // so one query's cache residue can't distort the next measurement
+      // so one query's cache residue can't distort the next measurement.
+      // Streaming queries leave memory-sink tables behind — driver-heap
+      // residents that accumulate across the run; drop those too.
       spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
       name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -44,8 +44,9 @@ object GraftSession {
       // checkpoints must either keep the old provider (set it back on
       // that session) or be rebuilt.
       .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+        sys.env.getOrElse("SPARK_GRAFT_STATE_STORE",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"))
       // ship per-batch changelogs to the checkpoint instead of full
       // RocksDB snapshots — the difference between O(delta) and O(state)
       // commit cost once the fingerprint state is large

