@@ -178,6 +178,24 @@ object CdcQueries {
         .orderBy("w_start", "event_type")
     },
 
+    // W4 session windows: gap-based sessionization of the event feed —
+    // Spark's native session_window (start = first event, end = last
+    // event + gap, sessions merge while consecutive gaps stay under the
+    // threshold). Batch form here; the same expression drops into the
+    // streaming aggregation. Oracle = gaps-and-islands SQL on µs-cast
+    // timestamps so both engines compare identical values.
+    "cdc_session_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          tsSeconds(col("sw.start")).as("s_start"),
+          tsSeconds(col("sw.end")).as("s_end"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "s_start")
+    },
+
     // S1/S3: deterministic worker sharding of a snapshot scan —
     // pmod(crc32(concat_ws('|', pk)), W) = w (reference mysql_api.py:124-133).
     // Spark's crc32 has no DuckDB twin, so the oracle checks shard *sizes*
@@ -239,6 +257,22 @@ object CdcQueries {
          |  event_type, COUNT(*) AS n,
          |  ${sqlMoneySum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "cdc_session_window" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |  FROM events),
+         |b AS (SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0
+         |    END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+         |SELECT user_id,
+         |  ${sqlTsSeconds("MIN(ts)")} AS s_start,
+         |  ${sqlTsSeconds("MAX(ts) + INTERVAL 1 HOUR")} AS s_end,
+         |  COUNT(*) AS n, ${sqlMoneySum("value")} AS sum_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
 
     "cdc_shard_assign" ->
       """SELECT CAST(SUM(n) AS BIGINT) AS total_rows, COUNT(*) AS n_shards

@@ -252,6 +252,29 @@ object CoreQueries {
         .limit(20)
     },
 
+    // As-of join (operator Spark lacks natively — operators/AsOfJoin):
+    // every purchase enriched with the user's most recent click at or
+    // before it. One shuffle + one sort via the union-tag running
+    // window; timestamps compared on exact ns longs.
+    "q_asof_purchase_click" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_ns", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_event_id"),
+          col("ts_ns"))
+      graft.operators.AsOfJoin
+        .backward(purchases, clicks, Seq("user_id"), "ts_ns", "ts_ns")
+        .select(col("event_id"), col("user_id"),
+          tsSeconds(expr("timestamp_micros(ts_ns div 1000)")).as("p_ts_s"),
+          col("value"),
+          col("asof.click_event_id").as("click_event_id"),
+          tsSeconds(expr("timestamp_micros(asof.ts_ns div 1000)"))
+            .as("click_ts_s"),
+          expr("(ts_ns - asof.ts_ns) div 1000000000").as("gap_s"))
+        .orderBy("event_id")
+    },
+
     // TPC-H Q22 shape: scalar aggregate subquery (global threshold) +
     // anti join. The 1-row threshold cross-joins in as a broadcast; the
     // threshold itself is an exact-decimal sum divided in double so both
@@ -409,6 +432,19 @@ object CoreQueries {
          |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
          |HAVING SUM(l_quantity) > 300
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_asof_purchase_click" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id, ts FROM events
+         |  WHERE event_type = 'click')
+         |SELECT p.event_id, p.user_id,
+         |  ${sqlTsSeconds("p.ts")} AS p_ts_s, p.value,
+         |  c.event_id AS click_event_id,
+         |  ${sqlTsSeconds("c.ts")} AS click_ts_s,
+         |  (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_s
+         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         |ORDER BY p.event_id""".stripMargin,
 
     "q22_idle_rich_customers" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
