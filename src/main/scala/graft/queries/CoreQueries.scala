@@ -275,6 +275,29 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
+    // Banded range join (operators/RangeJoin): clicks in the hour
+    // before each purchase, as an EQUI join on (user, time-bucket) + an
+    // exact range filter — never the per-key cartesian a naive
+    // inequality join plans. Left join back to keep zero-click
+    // purchases at n = 0.
+    "q_range_clicks_before_purchase" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_ns")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"))
+      val hourNs = 3600L * 1000000000L
+      val counts = graft.operators.RangeJoin
+        .within(purchases, clicks, Seq("user_id"), "ts_ns", "ts_ns",
+          lowerNs = -hourNs, upperNs = -1L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+      purchases.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          tsSeconds(expr("timestamp_micros(ts_ns div 1000)")).as("p_ts_s"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy("event_id")
+    },
+
     // TPC-H Q22 shape: scalar aggregate subquery (global threshold) +
     // anti join. The 1-row threshold cross-joins in as a broadcast; the
     // threshold itself is an exact-decimal sum divided in double so both
@@ -432,6 +455,17 @@ object CoreQueries {
          |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
          |HAVING SUM(l_quantity) > 300
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_range_clicks_before_purchase" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts FROM events
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+         |SELECT p.event_id, p.user_id, ${sqlTsSeconds("p.ts")} AS p_ts_s,
+         |  COUNT(c.ts) AS n_clicks
+         |FROM p LEFT JOIN c ON p.user_id = c.user_id
+         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+         |GROUP BY p.event_id, p.user_id, p.ts
+         |ORDER BY p.event_id""".stripMargin,
 
     "q_asof_purchase_click" ->
       s"""WITH p AS (SELECT user_id, event_id, ts, value FROM events
