@@ -275,6 +275,39 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
+    // Discrete median (percentile family) with exact semantics: the
+    // lower-median element per group selected by row_number — no
+    // interpolation arithmetic, so Spark and DuckDB pick the identical
+    // stored value (cross-engine float interpolation differs in the
+    // last bit and is unhashable).
+    "q_median_acctbal_by_segment" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val n = Window.partitionBy("c_mktsegment")
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("c_mktsegment"), col("cnt").as("n_customers"),
+          col("c_acctbal").as("median_acctbal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Pivot (wide conditional aggregation): order counts per priority,
+    // one column per status — Spark's relational pivot; the oracle is
+    // the equivalent CASE-based conditional aggregation.
+    "q_pivot_status_by_priority" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    },
+
     // Banded range join (operators/RangeJoin): clicks in the hour
     // before each purchase, as an EQUI join on (user, time-bucket) + an
     // exact range filter — never the per-key cartesian a naive
@@ -455,6 +488,24 @@ object CoreQueries {
          |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
          |HAVING SUM(l_quantity) > 300
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_median_acctbal_by_segment" ->
+      """SELECT c_mktsegment, cnt AS n_customers,
+        |  c_acctbal AS median_acctbal
+        |FROM (SELECT c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer)
+        |WHERE rn = (cnt + 1) // 2 ORDER BY c_mktsegment""".stripMargin,
+
+    "q_pivot_status_by_priority" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_range_clicks_before_purchase" ->
       s"""WITH p AS (SELECT user_id, event_id, ts FROM events
