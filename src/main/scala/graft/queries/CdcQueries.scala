@@ -178,6 +178,32 @@ object CdcQueries {
         .orderBy("w_start", "event_type")
     },
 
+    // W3 watermark semantics under the oracle: append-mode tumbling
+    // windows with a 2 h watermark emit exactly the windows the final
+    // watermark (max event time − delay) has closed — late-data
+    // eviction is the assertion, not a liveness detail. The oracle
+    // recomputes the same frontier in SQL: windows whose end ≤
+    // max(ts) − 2 h.
+    "cdc_watermark_window" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "2 hours")
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      val sink = "cdc_watermark_window_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(tsSeconds(col("window.start")).as("w_start"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start")
+    },
+
     // W4 session windows: gap-based sessionization of the event feed —
     // Spark's native session_window (start = first event, end = last
     // event + gap, sessions merge while consecutive gaps stay under the
@@ -257,6 +283,16 @@ object CdcQueries {
          |  event_type, COUNT(*) AS n,
          |  ${sqlMoneySum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "cdc_watermark_window" ->
+      s"""WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+         |w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart,
+         |    COUNT(*) AS n, ${sqlMoneySum("value")} AS sum_value
+         |  FROM events GROUP BY 1)
+         |SELECT ${sqlTsSeconds("wstart")} AS w_start, n, sum_value
+         |FROM w, m
+         |WHERE wstart + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+         |ORDER BY w_start""".stripMargin,
 
     "cdc_session_window" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
