@@ -119,6 +119,18 @@ class PlanAuditSpec extends SparkSpec {
       "q17 lost the broadcast semi/equi pattern")
   }
 
+  test("range join: equi join on (key, bucket), never a nested loop") {
+    val ns = nodes(SparkEntry.queries("q_range_clicks_before_purchase")(spark, dir))
+    val nested = ns.exists(p =>
+      p.nodeName.contains("BroadcastNestedLoopJoin") ||
+        p.nodeName.contains("CartesianProduct"))
+    assert(!nested, "range join degraded to a nested-loop/cartesian plan")
+    assert(ns.exists {
+      case _: BroadcastHashJoinExec | _: SortMergeJoinExec => true
+      case p => p.nodeName.contains("ShuffledHashJoin")
+    }, "no equi join node found")
+  }
+
   test("point lookup: one bucket dir, filter pushed below the dedup agg") {
     import org.apache.spark.sql.types._
     import spark.implicits._
