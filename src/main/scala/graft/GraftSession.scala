@@ -7,8 +7,34 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
+  /** Scratch space for shuffle/broadcast spills and test warehouses.
+    * local[32] funnels every writer thread through ONE virtio-blk queue
+    * when scratch sits on the system disk — measured multi-second
+    * all-cores-in-kernel stalls (`sy` 99%) during parquet+shuffle write
+    * bursts. A real cluster node gives each executor fast node-local
+    * SSDs for `spark.local.dir`; tmpfs is the local-mode equivalent.
+    * Falls back to the system default when /dev/shm is absent. The
+    * per-JVM subdir is removed on exit. */
+  private lazy val scratchDir: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (!shm.isDirectory || !shm.canWrite) None
+    else {
+      val d = new java.io.File(shm,
+        s"graft-tmp-${ProcessHandle.current().pid()}")
+      d.mkdirs()
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
+      System.setProperty("java.io.tmpdir", d.getAbsolutePath)
+      Some(d.getAbsolutePath)
+    }
+  }
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .withExtensions(new GraftExtensions)
@@ -53,6 +79,8 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.rocksdb." +
         "changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
+    scratchDir.fold(b)(d => b.config("spark.local.dir", d))
+  }
 
   def local(cpus: Int): SparkSession = {
     val s = builder(s"local[$cpus]", math.max(cpus, 4)).getOrCreate()

@@ -158,7 +158,7 @@ object CdcQueries {
     // complete-mode memory sink (bounded: hours × types rows). Money sums
     // go through exact decimals so the streamed result is bit-equal to
     // the batch oracle regardless of arrival order.
-    "cdc_stream_window" -> { (s, dir) =>
+    "cdc_stream_window" -> { (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       // the file-stream source wants a directory; glob down to the table
@@ -176,7 +176,7 @@ object CdcQueries {
         .select(tsSeconds(col("window.start")).as("w_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("w_start", "event_type")
-    },
+    }},
 
     // W3 watermark semantics under the oracle: append-mode tumbling
     // windows with a 2 h watermark emit exactly the windows the final
@@ -184,7 +184,7 @@ object CdcQueries {
     // eviction is the assertion, not a liveness detail. The oracle
     // recomputes the same frontier in SQL: windows whose end ≤
     // max(ts) − 2 h.
-    "cdc_watermark_window" -> { (s, dir) =>
+    "cdc_watermark_window" -> { (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(raw)
@@ -202,7 +202,7 @@ object CdcQueries {
         .select(tsSeconds(col("window.start")).as("w_start"),
           col("n"), col("sum_value"))
         .orderBy("w_start")
-    },
+    }},
 
     // W4 session windows: gap-based sessionization of the event feed —
     // Spark's native session_window (start = first event, end = last

@@ -78,7 +78,7 @@ object TextQueries {
     // shape) and emits each fingerprint's first-ever row. With the whole
     // fixture in one micro-batch the representative is the min-doc_id row
     // per fp, which is exactly SQL-expressible.
-    "d_stream_first_seen" -> { (s, dir) =>
+    "d_stream_first_seen" -> { (s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val stream = s.readStream.schema(schema)
@@ -93,7 +93,7 @@ object TextQueries {
       s.table(sink)
         .select(col("fp"), col("seq").as("first_doc_id"))
         .orderBy("fp")
-    }
+    }}
   )
 
   /** Shared oracle CTE: word-3-gram distinct shingles per doc. */

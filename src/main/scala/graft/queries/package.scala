@@ -40,4 +40,18 @@ package object queries {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** Scope the session's shuffle-partition count to one query. Stateful
+    * streaming pins ONE state-store instance (a RocksDB on disk) per
+    * shuffle partition for the query's lifetime, so the stateful
+    * exchange should be sized to the STATE volume — thousands of window/
+    * fingerprint keys here — not inherited from the batch default; the
+    * input scan's parallelism comes from file splits and is unaffected.
+    * At real scale the same knob goes up, not down. */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
 }
