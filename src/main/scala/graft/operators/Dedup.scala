@@ -179,6 +179,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair graph —
+    * the step that turns pairwise dedup into "keep one canonical doc
+    * per cluster". Hash-to-min label propagation: every round each
+    * node adopts the minimum label in its closed neighborhood, so
+    * labels converge in O(graph diameter) rounds — near-dup clusters
+    * are near-cliques, 2–3 rounds in practice. Each round is ONE
+    * shuffle join + ONE aggregation over the edge list (no GraphX, no
+    * driver-side adjacency); the only driver value per round is the
+    * scalar changed-count that decides convergence. At 100 TB the edge
+    * list is the verified pair set — already a tiny fraction of the
+    * corpus — and every round re-shuffles only (node, label) longs.
+    *
+    * Returns (canonical_id = component min, n_members, members =
+    * comma-joined sorted ids — a string so engines hash identically).
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    // localCheckpoint(eager), NOT persist: persist caches rows but keeps
+    // the logical plan, and an iterative loop that references `labels`
+    // twice per round doubles the plan every iteration — Catalyst
+    // re-analysis goes exponential long before the data is the problem.
+    // Checkpointing truncates lineage so round N's plan is O(1) deep.
+    // (On a multi-executor cluster prefer a reliable checkpoint dir for
+    // fault tolerance; the loop itself is identical.)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("ncomp"))
+      val updated = labels.join(neighborMin, Seq("id"))
+        .select(col("id"), col("comp"),
+          least(col("comp"), col("ncomp")).as("next"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("next") < col("comp")).count()
+      labels = updated.select(col("id"), col("next").as("comp"))
+    }
+    labels.groupBy(col("comp").as("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("id"))), ",").as("members"))
+  }
+
   /** 32-bit SimHash over distinct tokens: bit i = sign of Σ_tokens
     * (2·parity(md5(token)[i]) − 1). Near-identical docs agree on most
     * bits; grouping by the signature finds clusters in one shuffle.

@@ -63,6 +63,15 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Near-dup CLUSTERS: connected components over the verified
+    // MinHash-LSH pair graph — the canonical-doc-per-cluster collapse a
+    // dedup pipeline actually ships. Oracle = recursive CTE closure.
+    "d_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
+      Dedup.dupClusters(pairs).orderBy("canonical_id")
+    },
+
     // TF-IDF keyword extraction — corpus-relative term weighting, the
     // standard "what is this document about" signal for filtering /
     // routing training data.
@@ -95,6 +104,31 @@ object TextQueries {
         .orderBy("fp")
     }}
   )
+
+  /** Shared oracle CTE chain: shingles → minhash → bands → candidate
+    * pairs → exact-Jaccard `verified` pairs (threshold 0.5) — the DuckDB
+    * twin of `Dedup.minhashNearDups` with d_minhash_lsh's parameters,
+    * reused by the pair query and the cluster closure. */
+  private lazy val minhashPairsCte =
+    s"""$shinglesCte,
+       |mh AS (SELECT doc_id,
+       |    min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+       |    min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+       |    min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+       |  FROM sh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, md5(h0 || '|' || h1) AS b0,
+       |    md5(h2 || '|' || h3) AS b1, md5(h4 || '|' || h5) AS b2 FROM mh),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
+       |   AND a.doc_id < b.doc_id),
+       |shl AS (SELECT doc_id, list(s) AS sl FROM sh GROUP BY doc_id),
+       |verified AS (SELECT id_a, id_b,
+       |  round(CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(x.sl, y.sl))), 6) AS jaccard
+       |FROM cand JOIN shl x ON id_a = x.doc_id JOIN shl y ON id_b = y.doc_id
+       |WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(x.sl, y.sl))) >= 0.5)""".stripMargin
 
   /** Shared oracle CTE: word-3-gram distinct shingles per doc. */
   private val shinglesCte =
@@ -157,26 +191,22 @@ object TextQueries {
         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
 
     "d_minhash_lsh" ->
-      s"""WITH $shinglesCte,
-         |mh AS (SELECT doc_id,
-         |    min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
-         |    min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
-         |    min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
-         |  FROM sh GROUP BY doc_id),
-         |banded AS (SELECT doc_id, md5(h0 || '|' || h1) AS b0,
-         |    md5(h2 || '|' || h3) AS b1, md5(h4 || '|' || h5) AS b2 FROM mh),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
-         |   AND a.doc_id < b.doc_id),
-         |shl AS (SELECT doc_id, list(s) AS sl FROM sh GROUP BY doc_id)
-         |SELECT id_a, id_b,
-         |  round(CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
-         |        len(list_distinct(list_concat(x.sl, y.sl))), 6) AS jaccard
-         |FROM cand JOIN shl x ON id_a = x.doc_id JOIN shl y ON id_b = y.doc_id
-         |WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(x.sl, y.sl))) >= 0.5
+      s"""WITH $minhashPairsCte
+         |SELECT id_a, id_b, jaccard FROM verified
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM verified
+         |  UNION ALL SELECT id_b, id_a FROM verified),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+         |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS canonical_id, COUNT(*) AS n_members,
+         |  array_to_string(list(id ORDER BY id), ',') AS members
+         |FROM comp GROUP BY comp ORDER BY canonical_id""".stripMargin,
 
     "d_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text,' ')) AS w

@@ -32,6 +32,18 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("dupClusters: transitive closure over pairs, path graph included") {
+    // Two components: a path 1-2-3-4 (tests multi-round propagation —
+    // min label must travel the diameter, not just one hop) and a
+    // disjoint pair 10-11. Canonical id = component min.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getAs[Long]("canonical_id"),
+        r.getAs[Long]("n_members"), r.getAs[String]("members"))).toSet
+    assert(got === Set((1L, 4L, "1,2,3,4"), (10L, 2L, "10,11")))
+  }
+
   test("simhash: identical docs share signatures, disjoint docs differ") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
