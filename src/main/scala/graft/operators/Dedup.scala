@@ -224,6 +224,29 @@ object Dedup {
         array_join(sort_array(collect_list(col("id"))), ",").as("members"))
   }
 
+  /** Benchmark decontamination: which training docs share at least one
+    * word-`n`-gram with an evaluation/benchmark set? The standard
+    * pre-training hygiene pass (n-gram overlap flagging, e.g. 8–13-gram
+    * matching in published LLM data pipelines).
+    *
+    * Shape for 100 TB: eval sets are thousands of docs against a corpus
+    * of billions, so the eval shingles are BROADCAST and the corpus-side
+    * scan stays map-local — no corpus shuffle at all. The only exchange
+    * is the final groupBy on train id, whose input is just the matching
+    * (train_id, eval_id, shingle) triples — proportional to the actual
+    * contamination, not the corpus.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val trainSh = shingleTable(train, idCol, textCol, n)
+    val evalSh = shingleTable(eval, idCol, textCol, n)
+      .select(col("id").as("eval_id"), col("s"))
+    trainSh.join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("id").as("train_id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("s")).as("n_shared_shingles"))
+  }
+
   /** 32-bit SimHash over distinct tokens: bit i = sign of Σ_tokens
     * (2·parity(md5(token)[i]) − 1). Near-identical docs agree on most
     * bits; grouping by the signature finds clusters in one shuffle.

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here is keyed on md5 of the row id rendered as a decimal
+  * string — fully reproducible across runs, engines and cluster sizes
+  * (no RNG state, no partition-order dependence), so splits are stable
+  * under re-runs and incremental appends: a document keeps its split
+  * forever, which is the property a train/val split actually needs.
+  * Both Spark and the DuckDB oracle lower-hex md5 the same bytes, so
+  * every operator has an exact SQL twin.
+  */
+object Sampling {
+
+  /** Engine-agnostic uniform hash of an id: lower-hex md5 of the decimal
+    * string. Lexicographic order on the hex IS uniform order on [0,1). */
+  def idHash(id: Column): Column = md5(id.cast("string").cast("binary"))
+
+  /** Stable split assignment. `cuts` are (label, upperHexBound) with
+    * ascending bounds; ids hash below the first bound get the first
+    * label, etc.; everything above the last bound gets `default`.
+    * Two hex digits give 1/256 resolution — e.g.
+    * `Seq("val" -> "1a", "test" -> "33")` ≈ 10% / 10% / 80% train.
+    * Map-only: no shuffle, no sort, no sampling pass. */
+  def hashSplit(id: Column, cuts: Seq[(String, String)],
+                default: String): Column = {
+    val h = idHash(id)
+    cuts.foldRight(lit(default)) { case ((label, bound), rest) =>
+      when(h < lit(bound), lit(label)).otherwise(rest)
+    }
+  }
+
+  /** Deterministic stratified sample: the `k` ids with the smallest
+    * [[idHash]] per group — a uniform-without-replacement sample that is
+    * reproducible and incrementally stable (a new doc only enters the
+    * sample by displacing the current max).
+    *
+    * Two-stage top-k, because `Window.partitionBy(group)` alone funnels
+    * the WHOLE corpus through |groups| reducers (a handful of languages
+    * at 100 TB = a handful of hot tasks): stage 1 takes a local top-k
+    * per (group, salt) over `salts` deterministic salt buckets — k·salts
+    * survivors per group, tiny — and only stage 2 runs the global
+    * per-group window over those survivors. Only (group, id, hash)
+    * triples ever cross the exchange, never document payloads. */
+  def stratifiedTopK(df: DataFrame, groupCol: String, idCol: String,
+                     k: Int, salts: Int = 64): DataFrame = {
+    val w1 = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy(col("_h"), col(idCol))
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(col("_h"), col(idCol))
+    df.select(col(groupCol), col(idCol), idHash(col(idCol)).as("_h"),
+        pmod(hash(col(idCol)), lit(salts)).as("_salt"))
+      .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= k)
+      .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
+      .select(col(groupCol), col(idCol), col("rnk"))
+  }
+}

@@ -91,6 +91,15 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Embedding near-dup CLUSTERS: the connected-components collapse
+    // over the verified embedding pair graph — same label-propagation
+    // operator as d_dup_clusters, composed with the cosine pair source.
+    "s_embed_clusters" -> { (s, dir) =>
+      val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3, bits = 4, dim = 64)
+      graft.operators.Dedup.dupClusters(pairs).orderBy("canonical_id")
+    },
+
     // Multimodal: binary payload → per-partition stub decode →
     // per-kind stats. Runs the real mapPartitions plumbing; the decode
     // features are deterministic functions of the payload so the SQL
@@ -244,6 +253,25 @@ object SimilarityQueries {
       Option(ivfModels.get("s_cluster_assign"))
         .map(m => "s_cluster_assign" -> clusterSql(m))
 
+  /** Shared CTE chain: sign-bucket → candidate pairs → cosine-verified
+    * `epairs` (threshold 0.3) — the DuckDB twin of
+    * `Similarity.nearDupPairs` with s_embed_neardup's parameters, reused
+    * by the pair query and the cluster closure. */
+  private def embedPairsCte: String =
+    s"""v AS (SELECT vec_id, embedding,
+       |    ${bucketSqlExpr(bits = 4, dim = 64)} AS bucket
+       |  FROM embeddings),
+       |un AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        unnest(a.embedding) AS x, unnest(b.embedding) AS y
+       |       FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |s AS (SELECT id_a, id_b,
+       |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+       |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+       |      FROM un GROUP BY 1, 2),
+       |epairs AS (SELECT id_a, id_b, round(dot / sqrt(nx * ny), 4) AS sim
+       |  FROM s WHERE round(dot / sqrt(nx * ny), 4) >= 0.3)""".stripMargin
+
   private val staticOracles: Map[String, String] = Map(
     "s_ann_topk" -> cosineSql("vec_id < 10", bucketJoin = false, k = 5, None),
     "s_ann_lsh" -> cosineSql("vec_id < 10", bucketJoin = true, k = 3, None),
@@ -251,20 +279,13 @@ object SimilarityQueries {
       None, multiProbe = true),
 
     "s_embed_neardup" ->
-      s"""WITH v AS (SELECT vec_id, embedding,
-        |    ${bucketSqlExpr(bits = 4, dim = 64)} AS bucket
-        |  FROM embeddings),
-        |un AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        unnest(a.embedding) AS x, unnest(b.embedding) AS y
-        |       FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |s AS (SELECT id_a, id_b,
-        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
-        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
-        |      FROM un GROUP BY 1, 2)
-        |SELECT id_a, id_b, round(dot / sqrt(nx * ny), 4) AS sim FROM s
-        |WHERE round(dot / sqrt(nx * ny), 4) >= 0.3
+      s"""WITH $embedPairsCte
+        |SELECT id_a, id_b, sim FROM epairs
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "s_embed_clusters" ->
+      s"""WITH RECURSIVE $embedPairsCte,
+        |${sqlComponentsOver("epairs")}""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH v AS (SELECT doc_id, 1 + strlen(text) % 30 AS n_frames

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Training-data text operators over `documents` (SURVEY.md scope
   * extension): token stats, quality + language ID, fingerprint dedup,
@@ -70,6 +70,35 @@ object TextQueries {
       val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
         "doc_id", "text", n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
       Dedup.dupClusters(pairs).orderBy("canonical_id")
+    },
+
+    // Benchmark decontamination: training docs sharing any word-4-gram
+    // with the "benchmark" subset (every 50th doc stands in for an eval
+    // set). Eval shingles broadcast; the corpus never shuffles.
+    "t_decontam_ngram" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("train_id")
+    },
+
+    // Stable train/val/test split: pure map-side hash assignment —
+    // reproducible across runs, engines, and incremental appends.
+    "t_hash_split" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Sampling.hashSplit(col("doc_id"),
+          Seq("val" -> "1a", "test" -> "33"), "train").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sample: 5 docs per language by id-hash
+    // order, via the salted two-stage top-k (no per-language hot task).
+    "t_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedTopK(t(s, dir, "documents"), "lang", "doc_id",
+        k = 5)
+        .orderBy("lang", "rnk")
     },
 
     // TF-IDF keyword extraction — corpus-relative term weighting, the
@@ -197,16 +226,31 @@ object TextQueries {
 
     "d_dup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCte,
-         |edges AS (SELECT id_a AS a, id_b AS b FROM verified
-         |  UNION ALL SELECT id_b, id_a FROM verified),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
-         |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
-         |SELECT comp AS canonical_id, COUNT(*) AS n_members,
-         |  array_to_string(list(id ORDER BY id), ',') AS members
-         |FROM comp GROUP BY comp ORDER BY canonical_id""".stripMargin,
+         |${sqlComponentsOver("verified")}""".stripMargin,
+
+    "t_decontam_ngram" ->
+      """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
+        |sh4 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3],' ') AS s
+        |       FROM tok, LATERAL (SELECT unnest(range(1, len(t)-2)) AS i)
+        |       WHERE len(t) >= 4),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh4 WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, s FROM sh4 WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id AS train_id, COUNT(DISTINCT eval_id) AS n_eval_docs,
+        |  COUNT(DISTINCT tr.s) AS n_shared_shingles
+        |FROM tr JOIN ev USING (s) GROUP BY 1 ORDER BY train_id""".stripMargin,
+
+    "t_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'val'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < '33' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_stratified_sample" ->
+      """SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+        |FROM documents QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin,
 
     "d_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text,' ')) AS w

@@ -44,6 +44,53 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(got === Set((1L, 4L, "1,2,3,4"), (10L, 2L, "10,11")))
   }
 
+  test("hashSplit: deterministic, covers all labels, respects cut order") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val split = Sampling.hashSplit(col("id"),
+      Seq("val" -> "1a", "test" -> "33"), "train")
+    val counts = ids.groupBy(split.as("s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~10.2% / ~9.8% / ~80% by hex-prefix mass; wide tolerance
+    assert(counts("val") > 100 && counts("val") < 320)
+    assert(counts("test") > 100 && counts("test") < 320)
+    assert(counts("train") > 1400)
+    // re-evaluation yields the identical assignment (no RNG state)
+    val twice = ids.select(split.as("a"), split.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(twice === 0)
+  }
+
+  test("stratifiedTopK: k smallest hashes per group, dense ranks") {
+    val df = spark.range(0, 300)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"))
+    val got = Sampling.stratifiedTopK(df, "g", "id", k = 4, salts = 8)
+      .collect()
+    assert(got.length === 12)
+    // per group: ranks are exactly 1..4 and ids are the 4 with the
+    // smallest md5(id) — check against a driver-side recomputation
+    def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes).map("%02x".format(_)).mkString
+    val byG = got.groupBy(_.getString(0))
+    for ((g, rows) <- byG) {
+      assert(rows.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3, 4))
+      val expect = (0L until 300L).filter(i => (i % 3).toString == g)
+        .sortBy(h).take(4).toSet
+      assert(rows.map(_.getLong(1)).toSet === expect)
+    }
+  }
+
+  test("contamination: flags only train docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "a b c d e f"),          // shares 4-gram "c d e f" with eval
+      (2L, "q r s t u v"),          // disjoint
+      (3L, "c d e f g h")).toDF("doc_id", "text") // shares "c d e f"
+    val eval = Seq((100L, "x y c d e f z")).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet === Set(1L, 3L))
+    assert(got(1L) === 1L)
+  }
+
   test("simhash: identical docs share signatures, disjoint docs differ") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
