@@ -18,12 +18,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ CdcQueries.defs ++ ConversionQueries.defs ++
-      TextQueries.defs ++ SimilarityQueries.defs
+    CoreQueries.defs ++ TpchShapes.defs ++ CdcQueries.defs ++
+      ConversionQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ CdcQueries.oracles ++ ConversionQueries.oracles ++
-      TextQueries.oracles ++ SimilarityQueries.oracles
+    CoreQueries.oracles ++ TpchShapes.oracles ++ CdcQueries.oracles ++
+      ConversionQueries.oracles ++ TextQueries.oracles ++
+      SimilarityQueries.oracles
 }

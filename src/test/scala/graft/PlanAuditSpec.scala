@@ -131,6 +131,54 @@ class PlanAuditSpec extends SparkSpec {
     }, "no equi join node found")
   }
 
+  test("q19: disjunctive bands are a broadcast equi join with residual") {
+    val ns = nodes(SparkEntry.queries("q19_banded_revenue")(spark, dir))
+    // the OR-of-ANDs must ride the partkey hash join as a residual — a
+    // nested-loop/cartesian here explodes quadratically at scale
+    assert(!ns.exists(p => p.nodeName.contains("BroadcastNestedLoopJoin") ||
+      p.nodeName.contains("CartesianProduct")),
+      "disjunctive join degraded to nested loop")
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "part side did not broadcast")
+    assert(scansOf(ns, "part").head.requiredSchema.fieldNames.toSet ===
+      Set("p_partkey", "p_brand", "p_size"), "part scan not pruned")
+  }
+
+  test("q7/q8: nation filters prune before the fact join; no sort-merge") {
+    // sf0.01, not sf0.001: at the smallest sf the two-nation pair has no
+    // trade rows and AQE rightly collapses the whole plan to
+    // EmptyRelation — there would be nothing to audit
+    val ns7 = nodes(SparkEntry.queries("q7_trade_volume")(spark,
+      "/root/testdata/sf0.01"))
+    // supplier/customer reach the fact join pre-filtered through tiny
+    // broadcast nation joins — the pair disjunction is a residual, so
+    // every join in the plan stays a broadcast hash join
+    assert(!ns7.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q7 degraded to SortMergeJoin")
+    assert(ns7.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3,
+      "q7 lost its broadcast star shape")
+    val ns8 = nodes(SparkEntry.queries("q8_market_share")(spark, dir))
+    val partScan = scansOf(ns8, "part").head
+    assert(partScan.metadata("PushedFilters").contains("EqualTo(p_type"),
+      "q8 part-type filter not pushed to the part scan")
+  }
+
+  test("q13: outer join keeps zero-order customers; two-stage agg") {
+    val ns = nodes(SparkEntry.queries("q13_order_distribution")(spark, dir))
+    val outer = ns.exists {
+      case j: BroadcastHashJoinExec => j.joinType.sql.contains("OUTER")
+      case j: SortMergeJoinExec => j.joinType.sql.contains("OUTER")
+      case p => p.nodeName.contains("ShuffledHashJoin") &&
+        p.toString.contains("Outer")
+      case _ => false
+    }
+    assert(outer, "q13 lost the LEFT OUTER join (zero-order customers)")
+    // distribution agg runs over one-row-per-customer input: two
+    // distinct aggregation pairs (per-customer, then per-count)
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) >= 4,
+      "q13 missing the two-stage aggregation")
+  }
+
   test("point lookup: one bucket dir, filter pushed below the dedup agg") {
     import org.apache.spark.sql.types._
     import spark.implicits._
