@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The remaining classic TPC-H query shapes, adapted to the fixture's
   * reduced schema (no partsupp table, no shipmode/commitdate columns —
@@ -154,6 +155,179 @@ object TpchShapes {
         .orderBy("s_suppkey")
     },
 
+    // TPC-H Q2 shape (no partsupp → the observed minimum unit price from
+    // lineitem stands in for ps_supplycost): cheapest EUROPE supplier per
+    // small part. The per-part minimum is a window over the already
+    // part+supplier-collapsed aggregate — tiny relative to the fact — and
+    // the min/equality arithmetic is a single IEEE division per row, so
+    // both engines derive bit-identical costs.
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val eur = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val smallParts = t(s, dir, "part")
+        .filter(col("p_size") < 10 && col("p_type") === "SMALL")
+        .select("p_partkey")
+      val cost = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+      cost.withColumn("min_cost", min("unit_cost").over(w))
+        .filter(col("unit_cost") === col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q9 shape (supply cost surrogate: 60% of the part's retail
+    // price): profit by supplier nation and year for one part color.
+    // Every term is exact decimal — extendedprice×discount minus
+    // retail×quantity×0.6 — summed exactly and rounded once, so the
+    // profit is engine-independent. The color filter broadcasts; nation
+    // joins broadcast; the only wide exchange is the final group-by.
+    "q9_color_profit" -> { (s, dir) =>
+      val redParts = t(s, dir, "part").filter(col("p_name").startsWith("red "))
+        .select("p_partkey", "p_retailprice")
+      val supN = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val amount =
+        col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(8, 4)) -
+        col("p_retailprice").cast(DecimalType(12, 2)) *
+          col("l_quantity").cast(DecimalType(7, 2)) *
+          lit(0.6).cast(DecimalType(2, 1))
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("supp_nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(amount), 2).cast("double").as("profit"))
+        .orderBy(col("supp_nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11 shape (value = shipped revenue per part for one region's
+    // suppliers): parts whose value exceeds a global-threshold scalar —
+    // the 1-row total broadcasts back over the per-part aggregate, like
+    // q22's threshold. Both value and total are exact-decimal sums.
+    "q11_important_parts" -> { (s, dir) =>
+      val afr = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AFRICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val value = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(afr), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(moneySum(col("l_extendedprice")).as("value"))
+      val total = value.agg(sum(col("value").cast(DecimalType(18, 2)))
+        .cast("double").as("grand_total"))
+      value.crossJoin(broadcast(total))
+        .filter(col("value") > col("grand_total") * 0.001)
+        .select(col("l_partkey").as("p_partkey"), col("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    },
+
+    // TPC-H Q16 shape: supplier variety per brand/size-bucket, with the
+    // "complaints" exclusion as a NOT IN → broadcast anti join on the
+    // supplier key. countDistinct rewrites to a two-phase expand +
+    // distinct aggregate — the shuffle carries (brand, bucket, supplier)
+    // triples, already deduplicated map-side.
+    "q16_supplier_variety" -> { (s, dir) =>
+      val badSup = t(s, dir, "supplier").filter(col("s_name").endsWith("7"))
+        .select(col("s_suppkey").as("l_suppkey"))
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_size")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(badSup), Seq("l_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), (col("p_size") / 10).cast("long").as("size_bucket"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("size_bucket"))
+    },
+
+    // TPC-H Q20 shape (shipped-quantity share stands in for the
+    // partsupp availability test): EUROPE suppliers who shipped more
+    // than a quarter of any red part's 1997 volume. Two stacked
+    // aggregations over the same filtered fact — the per-part total
+    // joins back per-(supplier, part) — then a distinct supplier set
+    // semi-joins the dimension. Quantity sums are integral doubles, so
+    // every comparison is exact.
+    "q20_heavy_shippers" -> { (s, dir) =>
+      val red = t(s, dir, "part").filter(col("p_name").startsWith("red "))
+        .select("p_partkey")
+      val sq = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("q"))
+      val pt = sq.groupBy(col("l_partkey").as("pt_partkey"))
+        .agg(sum("q").as("t"))
+      val heavy = sq.join(pt, col("l_partkey") === col("pt_partkey"))
+        .filter(col("q") > col("t") * 0.25)
+        .select("l_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q21 shape: the sole late supplier in multi-supplier orders —
+    // a semi join (some OTHER supplier exists in the order) stacked with
+    // an anti join (no OTHER supplier was late) over the same fact, both
+    // as non-equi residuals on the order-key hash join. At scale both
+    // sides shuffle once on the order key and reuse the exchange.
+    "q21_sole_late_supplier" -> { (s, dir) =>
+      val ordF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey",
+        "l_shipdate")
+      val late = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val others = li.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"))
+      val lateOthers = late.select(col("l_orderkey").as("o3_orderkey"),
+        col("l_suppkey").as("o3_suppkey"))
+      late
+        .join(others, col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
     // TPC-H Q19 shape: disjunctive brand/size/quantity bands — an equi
     // join on the part key whose OR-of-ANDs condition becomes a residual
     // filter on the hash join, never a cartesian. The part side carries
@@ -176,6 +350,101 @@ object TpchShapes {
   )
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT p_partkey, l_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size < 10 AND p_type = 'SMALL'
+        |  GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT p_partkey, s_acctbal, s_name, n_name, unit_cost,
+        |    MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+        |  FROM cost
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+        |FROM pc WHERE unit_cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q9_color_profit" ->
+      """SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+        |  CAST(ROUND(SUM(
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(1.0 - l_discount AS DECIMAL(8,4)) -
+        |    CAST(p_retailprice AS DECIMAL(12,2)) *
+        |      CAST(l_quantity AS DECIMAL(7,2)) * CAST(0.6 AS DECIMAL(2,1))
+        |  ), 2) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE 'red %'
+        |GROUP BY 1, 2 ORDER BY supp_nation, o_year DESC""".stripMargin,
+
+    "q11_important_parts" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey AS p_partkey,
+         |    ${sqlMoneySum("l_extendedprice")} AS value
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'AFRICA' GROUP BY 1)
+         |SELECT p_partkey, value FROM v
+         |WHERE value > 0.001 * (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2)))
+         |  AS DOUBLE) FROM v)
+         |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, CAST(p_size // 10 AS BIGINT) AS size_bucket,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, size_bucket""".stripMargin,
+
+    "q20_heavy_shippers" ->
+      """WITH sq AS (
+        |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red %'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, SUM(q) AS t FROM sq GROUP BY 1)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND EXISTS (
+        |  SELECT 1 FROM sq JOIN pt USING (l_partkey)
+        |  WHERE sq.l_suppkey = s_suppkey AND q > 0.25 * t)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_sole_late_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_suppkey, s_name, numwait FROM (
+        |  SELECT l1.l_suppkey, COUNT(*) AS numwait FROM late l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |  GROUP BY 1)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
     "q7_trade_volume" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  year(l_shipdate) AS l_year,

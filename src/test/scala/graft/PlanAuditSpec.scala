@@ -179,6 +179,31 @@ class PlanAuditSpec extends SparkSpec {
       "q13 missing the two-stage aggregation")
   }
 
+  test("q21: stacked semi + anti joins, no nested loop, pruned fact scans") {
+    val ns = nodes(SparkEntry.queries("q21_sole_late_supplier")(spark, dir))
+    // both the EXISTS (other supplier) and NOT EXISTS (other late
+    // supplier) must ride the order-key hash join with the
+    // supplier-inequality as a residual — a nested-loop here is
+    // quadratic in the order's line count at scale
+    assert(!ns.exists(p => p.nodeName.contains("BroadcastNestedLoopJoin") ||
+      p.nodeName.contains("CartesianProduct")),
+      "q21 self-join degraded to a nested loop")
+    def joinTypes(p: SparkPlan): Option[String] = p match {
+      case j: BroadcastHashJoinExec => Some(j.joinType.sql)
+      case j: SortMergeJoinExec => Some(j.joinType.sql)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        Some(j.joinType.sql)
+      case _ => None
+    }
+    val types = ns.flatMap(joinTypes)
+    assert(types.exists(_ == "LEFT SEMI"), "q21 lost the EXISTS semi join")
+    assert(types.exists(_ == "LEFT ANTI"), "q21 lost the NOT EXISTS anti join")
+    assert(scansOf(ns, "lineitem").forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(
+        Set("l_orderkey", "l_suppkey", "l_shipdate"))),
+      "q21 lineitem scans not pruned")
+  }
+
   test("point lookup: one bucket dir, filter pushed below the dedup agg") {
     import org.apache.spark.sql.types._
     import spark.implicits._
