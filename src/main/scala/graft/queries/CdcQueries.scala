@@ -204,6 +204,37 @@ object CdcQueries {
         .orderBy("w_start")
     }},
 
+    // Stream-stream interval join: purchases and clicks as two
+    // watermarked streams, joined per user with a 24 h look-back range.
+    // Spark keeps per-key state bounded by the watermark (48 h ≥ the
+    // 24 h range, so no match is evicted early); the range rides the
+    // user-id equi join as an event-time constraint, exactly the
+    // streaming twin of the banded range join. Timestamps are µs-exact
+    // in the fixture, so the streamed pairs hash-match the batch oracle.
+    "cdc_stream_join" -> { (s, dir) => withShufflePartitions(s, 8) {
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      def side(tpe: String, prefix: String) = s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_event"),
+          expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "48 hours")
+      val joined = side("purchase", "p").join(side("click", "c"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+          col("c_ts") < col("p_ts"))
+      val sink = "cdc_stream_join_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("p_event"), col("c_event"), col("p_user").as("user_id"),
+          tsSeconds(col("p_ts")).as("p_ts_s"), tsSeconds(col("c_ts")).as("c_ts_s"))
+        .orderBy("p_event", "c_event")
+    }},
+
     // W4 session windows: gap-based sessionization of the event feed —
     // Spark's native session_window (start = first event, end = last
     // event + gap, sessions merge while consecutive gaps stay under the
@@ -309,6 +340,15 @@ object CdcQueries {
          |  ${sqlTsSeconds("MAX(ts) + INTERVAL 1 HOUR")} AS s_end,
          |  COUNT(*) AS n, ${sqlMoneySum("value")} AS sum_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    "cdc_stream_join" ->
+      s"""SELECT p.event_id AS p_event, c.event_id AS c_event,
+         |  p.user_id AS user_id,
+         |  ${sqlTsSeconds("p.ts")} AS p_ts_s, ${sqlTsSeconds("c.ts")} AS c_ts_s
+         |FROM events p JOIN events c ON p.user_id = c.user_id
+         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+         |  AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+         |ORDER BY p_event, c_event""".stripMargin,
 
     "cdc_shard_assign" ->
       """SELECT CAST(SUM(n) AS BIGINT) AS total_rows, COUNT(*) AS n_shards
