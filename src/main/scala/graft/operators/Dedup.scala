@@ -48,16 +48,29 @@ object Dedup {
     spread(docs).select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
 
+  /** The k minhash lanes are carved out of ⌈k/4⌉ md5 digests — four
+    * 32-bit (8-hex-char) lanes per digest — instead of one full digest
+    * per lane: measured, the md5 evaluations per shingle instance were
+    * the dominant minhash cost, and 2 digests replace 6 for k = 6. The
+    * digests are PROJECTED below the aggregate (one md5 each per input
+    * row); the per-lane aggs only slice them. Lanes are fixed-width
+    * lowercase hex, so string min == numeric min in every engine. */
+  private def digestCols(k: Int): Seq[Column] =
+    (0 until (k + 3) / 4).map(d =>
+      md5(concat(lit(d.toString), lit("|"), col("s"))).as(s"m$d"))
+
   private def minhashAggs(k: Int): Seq[Column] =
     (0 until k).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("s")))).as(s"h$i"))
+      min(substring(col(s"m${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i"))
 
   /** k deterministic minhashes per doc over word-`n`-gram shingles.
-    * minhash_i = min over shingles of md5(i || shingle) — md5 as the
-    * hash family, min over hex strings (total order, engine-agnostic). */
+    * minhash_i = min over shingles of an 8-hex-char md5 lane — md5 as
+    * the hash family, min over hex strings (total order,
+    * engine-agnostic). */
   def minhashes(docs: DataFrame, idCol: String, textCol: String,
                 n: Int, k: Int): DataFrame =
     shingleTable(docs, idCol, textCol, n)
+      .select(col("id") +: digestCols(k): _*)
       .groupBy(col("id").as(idCol)).agg(minhashAggs(k).head,
         minhashAggs(k).tail: _*)
 
@@ -73,8 +86,10 @@ object Dedup {
     * to LSH output; the join distributes it across tasks, so one hot
     * bucket (a giant dup cluster) cannot pin a single executor. */
   def lshCandidates(mh: DataFrame, idCol: String, b: Int, r: Int): DataFrame = {
-    val bandKeys = array((0 until b).map(band => md5(concat_ws("|",
-      (0 until r).map(row => col(s"h${band * r + row}")): _*))): _*)
+    // band key = plain lane concat — the lanes are already uniform
+    // hashes, re-digesting them buys nothing
+    val bandKeys = array((0 until b).map(band => concat_ws("|",
+      (0 until r).map(row => col(s"h${band * r + row}")): _*)): _*)
     // persist: (id, band, key) is the smallest representation of the
     // corpus (b rows/doc, no text) and both self-join sides read it —
     // without it each side re-runs the whole shingle→minhash aggregation
@@ -173,7 +188,8 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = sh.groupBy("id").agg(minhashAggs(k).head, minhashAggs(k).tail: _*)
+    val mh = sh.select(col("id") +: digestCols(k): _*)
+      .groupBy("id").agg(minhashAggs(k).head, minhashAggs(k).tail: _*)
     val cand = lshCandidates(mh, "id", b, r)
     verifyJaccardSh(sh, cand)
       .filter(col("jaccard") >= threshold)

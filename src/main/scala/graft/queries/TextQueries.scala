@@ -141,12 +141,15 @@ object TextQueries {
   private lazy val minhashPairsCte =
     s"""$shinglesCte,
        |mh AS (SELECT doc_id,
-       |    min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
-       |    min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
-       |    min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+       |    min(substr(md5('0|' || s), 1, 8)) AS h0,
+       |    min(substr(md5('0|' || s), 9, 8)) AS h1,
+       |    min(substr(md5('0|' || s), 17, 8)) AS h2,
+       |    min(substr(md5('0|' || s), 25, 8)) AS h3,
+       |    min(substr(md5('1|' || s), 1, 8)) AS h4,
+       |    min(substr(md5('1|' || s), 9, 8)) AS h5
        |  FROM sh GROUP BY doc_id),
-       |banded AS (SELECT doc_id, md5(h0 || '|' || h1) AS b0,
-       |    md5(h2 || '|' || h3) AS b1, md5(h4 || '|' || h5) AS b2 FROM mh),
+       |banded AS (SELECT doc_id, h0 || '|' || h1 AS b0,
+       |    h2 || '|' || h3 AS b1, h4 || '|' || h5 AS b2 FROM mh),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b
        |    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
