@@ -112,6 +112,65 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
+  /** Non-distinct word-2-gram array — the input to repetition stats
+    * (distinct shingles would erase exactly the signal measured). */
+  def wordBigrams(text: Column): Column = {
+    val t = tokens(text)
+    transform(slice(t, lit(1), size(t) - 1),
+      (x, i) => concat_ws(" ", x, element_at(t, (i + lit(2)).cast("int"))))
+  }
+
+  /** Gopher-style intra-document repetition statistics: the duplicate
+    * and top-2-gram mass fractions that flag looped/templated text. One
+    * explode + two keyed aggregations; every ratio divides exact
+    * integer counts, so the doubles are engine-identical.
+    *
+    * Plan shape at 100 TB: the (doc, gram) partial aggregate collapses
+    * repeats map-side, so the shuffle carries one row per distinct gram
+    * per doc; the second aggregate is keyed by doc alone. */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(wordBigrams(col(textCol))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_2grams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+      .select(col("doc_id"), col("n_2grams"),
+        round(lit(1.0) - col("n_distinct") / col("n_2grams"), 6)
+          .as("dup_2gram_frac"),
+        round(col("top_c") / col("n_2grams"), 6).as("top_2gram_frac"))
+
+  /** Character-trigram fluency proxy: a document's average corpus
+    * frequency of its char 3-grams — the cheap stand-in for an n-gram
+    * LM perplexity filter (rare-trigram documents are OCR garbage,
+    * encoding noise, or wrong-alphabet text). Frequencies stay INTEGER
+    * counts end to end (sums exact below 2⁵³), so the score is
+    * engine-identical; a real pipeline would swap the self-fitted model
+    * for a frozen reference-corpus table via the same join.
+    *
+    * Plan shape at 100 TB: the model is |alphabet|³-bounded (tiny next
+    * to the corpus) — AQE broadcasts it back over the trigram stream;
+    * the only wide exchange is the per-doc aggregate. */
+  def charTrigramFluency(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val tri = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"), explode(expr(
+        s"""CASE WHEN length($textCol) >= 3
+           |THEN transform(sequence(1, length($textCol) - 2),
+           |  i -> substr($textCol, i, 3))
+           |ELSE array() END""".stripMargin)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = tri.groupBy("g").agg(count(lit(1)).as("dfc"))
+    tri.join(broadcast(model), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("dfc").as("sum_dfc"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("sum_dfc") / col("n_trigrams"), 4).as("avg_tri_df"))
+  }
+
   /** Content fingerprint: md5 of the normalized text — exact-dup key. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))

@@ -101,6 +101,23 @@ object TextQueries {
         .orderBy("lang", "rnk")
     },
 
+    // Intra-document repetition (Gopher-style): duplicate / top 2-gram
+    // mass fractions — the looped-text filter of published LLM data
+    // pipelines.
+    "t_repetition_stats" -> { (s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Char-trigram fluency: average corpus frequency of a document's
+    // character 3-grams — the n-gram-LM-perplexity stand-in quality
+    // filter, self-fitted on the corpus.
+    "t_charlm_fluency" -> { (s, dir) =>
+      TextAnalysis.charTrigramFluency(t(s, dir, "documents"), "doc_id",
+        "text")
+        .orderBy("doc_id")
+    },
+
     // TF-IDF keyword extraction — corpus-relative term weighting, the
     // standard "what is this document about" signal for filtering /
     // routing training data.
@@ -170,6 +187,29 @@ object TextQueries {
       |       WHERE len(t) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t_repetition_stats" ->
+      """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
+        |g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM tok,
+        |  LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+        |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+        |    AS dup_2gram_frac,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+        |    AS top_2gram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t_charlm_fluency" ->
+      """WITH tri AS (SELECT doc_id, substr(text, i, 3) AS g
+        |  FROM documents,
+        |  LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)),
+        |model AS (SELECT g, COUNT(*) AS dfc FROM tri GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  ROUND(CAST(SUM(dfc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+        |    AS avg_tri_df
+        |FROM tri JOIN model USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(str_split(text,' ')) AS INT) AS n_tokens,
