@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Product quantization — the code-compression half of the IVF-PQ ANN
+  * recipe, and the piece that makes billion-vector search tractable: a
+  * d-dim float vector (256 B at d=64) becomes `m` small codes (m bytes),
+  * so the scored corpus fits in a fraction of the memory and the
+  * per-candidate cost is `m` table lookups instead of a d-term dot.
+  *
+  * Production shape at 100 TB:
+  *  - [[fit]] trains an independent k-means per subspace on a bounded
+  *    sample (same driver-side recipe as [[Ivf.fit]] — the codebook is
+  *    m·ksub·dsub doubles, a few KB);
+  *  - [[encode]] is one map-only codegen'd pass (argmin per subspace
+  *    over literal centroids — no shuffle, no UDF), run once at ingest
+  *    and persisted next to the vectors;
+  *  - [[adcTopK]] scores queries against CODES only (asymmetric distance
+  *    computation): each query computes one m×ksub lookup table against
+  *    the literal codebook, broadcasts it, and every candidate costs m
+  *    array lookups + an (m−1)-add fold. The corpus-side scan never
+  *    touches a float vector.
+  *
+  * Determinism mirrors [[Ivf]]: frozen sampled init, fixed iterations,
+  * 6-decimal centroid rounding, and every dot/fold evaluated
+  * left-to-right — so the fitted codebook can be frozen into a SQL
+  * oracle that replays encode + ADC bit-for-bit.
+  */
+object Pq {
+
+  /** centroids(s)(j) = the j-th codeword of subspace `s` (dsub dims). */
+  final case class Model(dsub: Int,
+                         centroids: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) {
+    def m: Int = centroids.length
+    def ksub: Int = centroids.head.length
+  }
+
+  import Similarity.dot
+
+  /** Distance scores of a vector's subspace `s` against that subspace's
+    * codebook: score_j = |c_j|² − 2·v_s·c_j (the |v_s|² term is constant
+    * per row/subspace and drops from both argmin and ranking SUMS —
+    * constant per query across candidates). One typed literal per
+    * codebook, same Janino-size rationale as [[Ivf]].centroidLit. */
+  private def subScores(v: Column, s: Int, model: Model): Column = {
+    val cents = typedlit[Seq[Seq[Double]]](model.centroids(s).map(_.toSeq))
+    val sub = slice(v, s * model.dsub + 1, model.dsub)
+    array(model.centroids(s).indices.map(j =>
+      lit(model.centroids(s)(j).map(x => x * x).sum) -
+        lit(2.0) * dot(sub, element_at(cents, j + 1))): _*)
+  }
+
+  /** PQ code array (m small ints) for a vector column — map-only,
+    * codegen'd, first index wins ties. */
+  def encode(v: Column, model: Model): Column =
+    array((0 until model.m).map { s =>
+      val sc = subScores(v, s, model)
+      (array_position(sc, array_min(sc)) - 1).cast("int")
+    }: _*)
+
+  /** Train one k-means codebook per subspace (reuses [[Ivf.fit]] on the
+    * sliced sub-vectors — identical init/iteration/rounding contract). */
+  def fit(vecs: DataFrame, vecCol: String, m: Int, ksub: Int,
+          iters: Int = 3, sample: Int = 10000): Model = {
+    val dim = vecs.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Model(dsub, (0 until m).map { s =>
+      Ivf.fit(vecs.select(slice(col(vecCol), s * dsub + 1, dsub).as("sv")),
+        "sv", "sv", ksub, iters, sample).centroids
+    })
+  }
+
+  /** Asymmetric-distance top-k: rank candidates by Σ_s lut_s[code_s]
+    * (smaller = nearer). The per-query LUTs broadcast (m·ksub doubles
+    * per query); the candidate side carries only (id, codes), so the
+    * scan is the PQ-compressed corpus — the whole point. The join is a
+    * broadcast nested loop BY DESIGN: ADC scores every code row against
+    * every query, and the work per pair is m lookups, not a d-dot. */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, model: Model, k: Int): DataFrame = {
+    val codes = Partitioning.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), encode(col(vecCol), model).as("codes"))
+    val lutCols = (0 until model.m).map(s =>
+      subScores(col(vecCol), s, model).as(s"l$s"))
+    val q = queries.select(col(idCol).as("query_id") +: lutCols: _*)
+    // left-assoc (+) fold, mirrored term-for-term by the SQL oracle
+    val score = (0 until model.m).map(s =>
+      element_at(col(s"l$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(score, 4).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -21,6 +21,8 @@ object SimilarityQueries {
     * omits its key (rows-only check, the pre-r5 behavior). */
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[String, Ivf.Model]()
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pq.Model]()
 
   val defs: Map[String, QueryFn] = Map(
     // Exact ANN baseline: 10 probe vectors × full corpus, broadcast join.
@@ -82,6 +84,22 @@ object SimilarityQueries {
       emb.select(col("vec_id"),
         graft.operators.Ivf.assign(col("embedding"), model).as("cell"))
         .orderBy("vec_id")
+    },
+
+    // PQ asymmetric-distance ANN: the corpus compressed to m=8 4-bit-ish
+    // codes, queries ranked by LUT sums over codes only — the
+    // billion-vector memory/compute path (IVF-PQ's quantization half).
+    // Same frozen-codebook oracle scheme as the IVF queries.
+    "s_ann_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.Pq.fit(emb, "embedding", m = 8, ksub = 16,
+        iters = 2)
+      pqModels.put("s_ann_pq", model)
+      graft.operators.Pq.adcTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        model, k = 3)
+        .select("query_id", "neighbor_id", "adist", "rnk")
+        .orderBy("query_id", "rnk")
     },
 
     // Embedding near-dup pairs, candidate-bounded by sign bucket.
@@ -246,12 +264,50 @@ object SimilarityQueries {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** DuckDB twin of `Pq.encode` + `Pq.adcTopK` with the fitted codebook
+    * inlined: per subspace, the same |c|² − 2·fold(v_s·c) score list
+    * (argmin = codes, the query side = LUTs), then the left-assoc
+    * `l0[code0+1] + l1[code1+1] + …` ADC sum `Pq.adcTopK` folds. */
+  private def pqSubScoreList(s: Int, model: graft.operators.Pq.Model): String =
+    model.centroids(s).map { c =>
+      val base = s * model.dsub
+      val dot = c.indices.map(j =>
+        s"CAST(embedding[${base + j + 1}] AS DOUBLE) * (${fmt(c(j))})")
+        .mkString("(0.0 + ", " + ", ")")
+      s"(${fmt(c.map(x => x * x).sum)} - 2.0 * $dot)"
+    }.mkString("[", ",\n ", "]")
+
+  private def pqSql(model: graft.operators.Pq.Model, k: Int): String = {
+    val m = model.m
+    val slCols = (0 until m).map(s =>
+      s"${pqSubScoreList(s, model)} AS sl$s").mkString(",\n  ")
+    val codeCols = (0 until m).map(s =>
+      s"CAST(list_position(sl$s, list_min(sl$s)) - 1 AS INT) AS code$s")
+      .mkString(",\n  ")
+    val lutCols = (0 until m).map(s =>
+      s"${pqSubScoreList(s, model)} AS l$s").mkString(",\n  ")
+    val scoreSum = (0 until m).map(s => s"l$s[code$s + 1]").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS neighbor_id, $slCols FROM embeddings),
+       |cc AS (SELECT neighbor_id, $codeCols FROM c),
+       |q AS (SELECT vec_id AS query_id, $lutCols FROM embeddings
+       |      WHERE vec_id < 10),
+       |s AS (SELECT query_id, neighbor_id, round($scoreSum, 4) AS adist
+       |      FROM q JOIN cc ON query_id <> neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS INT) AS rnk FROM s)
+       |SELECT query_id, neighbor_id, adist, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   def oracles: Map[String, String] =
     staticOracles ++
       Option(ivfModels.get("s_ann_ivf"))
         .map(m => "s_ann_ivf" -> ivfSql(m, k = 3, nProbe = 2)) ++
       Option(ivfModels.get("s_cluster_assign"))
-        .map(m => "s_cluster_assign" -> clusterSql(m))
+        .map(m => "s_cluster_assign" -> clusterSql(m)) ++
+      Option(pqModels.get("s_ann_pq"))
+        .map(m => "s_ann_pq" -> pqSql(m, k = 3))
 
   /** Shared CTE chain: sign-bucket → candidate pairs → cosine-verified
     * `epairs` (threshold 0.3) — the DuckDB twin of
