@@ -306,6 +306,19 @@ final class GraftTable(
       isDelete = col("_deleted"))
       .select(payloadSchema.fieldNames.map(col).toIndexedSeq: _*)
 
+  /** Time-travel FINAL view: the table as it stood when `maxVersion`
+    * was the newest committed version. ClickHouse offers nothing like
+    * it, but the versioned log records every image anyway — the filter
+    * sits UNDER the dedup aggregate, so parquet row-group min/max stats
+    * on `_version` skip newer files instead of aggregating and
+    * discarding them (on a compacted table, history older than the last
+    * OPTIMIZE is gone — same contract as ReplacingMergeTree merges). */
+  def readAsOf(maxVersion: Long): DataFrame =
+    FinalView.finalView(log.filter(col("_version") <= maxVersion), keys,
+      version = struct(col("_version"), col("_deleted")),
+      isDelete = col("_deleted"))
+      .select(payloadSchema.fieldNames.map(col).toIndexedSeq: _*)
+
   /** Point lookup through the FINAL view with partition pruning: the
     * `_bucket` predicate is planted *under* the dedup aggregate, so only
     * the key's bucket directory is scanned (at 100 TB: one partition, not

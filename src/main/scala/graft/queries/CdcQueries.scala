@@ -204,6 +204,32 @@ object CdcQueries {
         .orderBy("w_start")
     }},
 
+    // Time travel: three versioned appends (one LWW image per user per
+    // version), then the FINAL view as of version 2 — the newest ≤ 2
+    // image per key wins, version-3 rows never reach the aggregate
+    // (min/max-skipped at the scan). The oracle replays the same
+    // construction in SQL.
+    "cdc_time_travel" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types._
+      val wh = java.nio.file.Files.createTempDirectory("graft-tt").toString
+      val table = graft.operators.GraftTable(s, s"$wh/events_tt",
+        Seq("user_id"), StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("value", DoubleType))))
+      val ev = t(s, dir, "events")
+        .select("user_id", "event_id", "value", "ts_ns")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      for (v <- 1 to 3) {
+        val batch = ev.filter(col("event_id") % 3 === v - 1)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn", "ts_ns")
+        table.append(batch, v)
+      }
+      table.readAsOf(2).orderBy("user_id")
+    },
+
     // Stream-stream interval join: purchases and clicks as two
     // watermarked streams, joined per user with a 24 h look-back range.
     // Spark keeps per-key state bounded by the watermark (48 h ≥ the
@@ -340,6 +366,18 @@ object CdcQueries {
          |  ${sqlTsSeconds("MAX(ts) + INTERVAL 1 HOUR")} AS s_end,
          |  COUNT(*) AS n, ${sqlMoneySum("value")} AS sum_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    "cdc_time_travel" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_id, value, (event_id % 3) + 1 AS v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_id % 3
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1),
+        |tt AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY v DESC) AS rv
+        |  FROM lww WHERE v <= 2)
+        |SELECT user_id, event_id, value FROM tt WHERE rv = 1
+        |ORDER BY user_id""".stripMargin,
 
     "cdc_stream_join" ->
       s"""SELECT p.event_id AS p_event, c.event_id AS c_event,
