@@ -60,17 +60,63 @@ object Pq {
       (array_position(sc, array_min(sc)) - 1).cast("int")
     }: _*)
 
-  /** Train one k-means codebook per subspace (reuses [[Ivf.fit]] on the
-    * sliced sub-vectors — identical init/iteration/rounding contract). */
+  /** Train one k-means codebook per subspace — all `m` subspaces JOINTLY,
+    * one Spark job per iteration. Running [[Ivf.fit]] per subspace is
+    * semantically identical but launches m·(iters+1) small jobs whose
+    * fixed scheduling cost dominates at any scale; here the exploded
+    * (subspace, subvector) table carries every subspace through the same
+    * assignment pass, and one (s, cell, pos) aggregation updates all
+    * codebooks (m·ksub·dsub rows to the driver — a few KB).
+    * Same determinism contract as [[Ivf.fit]]: init = subvectors of the
+    * first `ksub` sampled rows, fixed iterations, 6-decimal centroid
+    * rounding. */
   def fit(vecs: DataFrame, vecCol: String, m: Int, ksub: Int,
           iters: Int = 3, sample: Int = 10000): Model = {
     val dim = vecs.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    Model(dsub, (0 until m).map { s =>
-      Ivf.fit(vecs.select(slice(col(vecCol), s * dsub + 1, dsub).as("sv")),
-        "sv", "sv", ksub, iters, sample).centroids
-    })
+    val sub = vecs.limit(sample)
+      .select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col(vecCol), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col("e.s").as("s"), col("e.sv").as("sv"))
+      // drop ragged/null subvectors here, like Ivf.fit's null-cell skip
+      .filter(col("sv").isNotNull && size(col("sv")) === dsub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val initRows = vecs.limit(ksub).select(col(vecCol)).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq)
+      var centroids: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+        (0 until m).map(s => initRows.toIndexedSeq.map(v =>
+          v.slice(s * dsub, (s + 1) * dsub)))
+      for (_ <- 0 until iters) {
+        val cents = typedlit[Seq[Seq[Seq[Double]]]](
+          centroids.map(_.map(_.toSeq).toSeq).toSeq)
+        val norms = typedlit[Seq[Seq[Double]]](
+          centroids.map(_.map(_.map(x => x * x).sum).toSeq).toSeq)
+        val scores = array((0 until ksub).map(j =>
+          element_at(element_at(norms, col("s") + 1), j + 1) -
+            lit(2.0) * dot(col("sv"),
+              element_at(element_at(cents, col("s") + 1), j + 1))): _*)
+        val means = sub
+          .select(col("s"),
+            (array_position(scores, array_min(scores)) - 1).cast("int")
+              .as("cell"),
+            posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("s", "cell", "pos")
+          .agg(avg(col("x").cast("double")).as("mn"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (key, rows) =>
+            key -> rows.sortBy(_.getInt(2))
+              .map(r => math.rint(r.getDouble(3) * 1e6) / 1e6).toIndexedSeq
+          }
+        centroids = centroids.indices.map(s =>
+          centroids(s).indices.map(j =>
+            means.getOrElse((s, j), centroids(s)(j))))
+      }
+      Model(dsub, centroids)
+    } finally sub.unpersist(blocking = false)
   }
 
   /** Asymmetric-distance top-k: rank candidates by Σ_s lut_s[code_s]
