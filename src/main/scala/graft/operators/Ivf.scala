@@ -98,6 +98,14 @@ object Ivf {
     } finally sampled.unpersist(blocking = false)
   }
 
+  /** The `nProbe` nearest cell ids for a vector — the query-side coarse
+    * probe, shared by [[topK]] and the IVF-PQ composition. */
+  def probeCells(v: Column, model: Model, nProbe: Int): Column =
+    transform(
+      slice(array_sort(transform(cellScores(v, model),
+        (s, i) => struct(s.as("d"), i.cast("int").as("cell")))), 1, nProbe),
+      p => p("cell"))
+
   /** Approximate top-k: probe the `nProbe` cells nearest to each query. */
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
            vecCol: String, model: Model, k: Int,

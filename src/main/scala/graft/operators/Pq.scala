@@ -119,6 +119,38 @@ object Pq {
     } finally sub.unpersist(blocking = false)
   }
 
+  /** IVF-PQ: the production billion-vector composition — the coarse
+    * quantizer restricts candidates to the query's `nProbe` cells (an
+    * EQUI join on the cell id, no nested loop), and within a cell the
+    * ranking is the codes-only ADC sum. The corpus representation is
+    * (cell, m codes) per vector: both assignments are one map-only
+    * codegen'd pass at ingest. */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, coarse: Ivf.Model, model: Model, k: Int,
+                 nProbe: Int = 2): DataFrame = {
+    val codes = Partitioning.spread(corpus)
+      .select(col(idCol).as("neighbor_id"),
+        Ivf.assign(col(vecCol), coarse).as("cell"),
+        encode(col(vecCol), model).as("codes"))
+    val lutCols = (0 until model.m).map(s =>
+      subScores(col(vecCol), s, model).as(s"l$s"))
+    val q = queries
+      .select(col(idCol).as("query_id") +: col(vecCol).as("qv") +: lutCols: _*)
+      .select(col("query_id") +: (0 until model.m).map(s => col(s"l$s")) :+
+        explode(Ivf.probeCells(col("qv"), coarse, nProbe)).as("cell"): _*)
+    val score = (0 until model.m).map(s =>
+      element_at(col(s"l$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(score, 4).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Asymmetric-distance top-k: rank candidates by Σ_s lut_s[code_s]
     * (smaller = nearer). The per-query LUTs broadcast (m·ksub doubles
     * per query); the candidate side carries only (id, codes), so the

@@ -34,6 +34,31 @@ object Sampling {
     }
   }
 
+  /** Source-mixture weighted sampling — the "dataset mixing weights"
+    * pass of a training pipeline: keep each row with its source's
+    * probability, deterministically. A row survives iff the first 8 hex
+    * chars of its id hash fall below `floor(weight · 2³²)` rendered as
+    * zero-padded hex — string order on fixed-width lowercase hex IS
+    * numeric order, so the comparison needs no engine-specific hex
+    * parsing and the kept set is stable under re-runs and appends
+    * (re-weighting only moves the cut, so raising a weight strictly
+    * grows the kept set — monotone mixtures, the property schedulers
+    * rely on). Map-only: no shuffle, no RNG. */
+  def weightedSample(id: Column, sourceCol: Column,
+                     weights: Seq[(String, Double)]): Column = {
+    val h8 = substring(idHash(id), 1, 8)
+    val thr = weights.foldLeft(lit(weightHex(0.0))) { case (rest, (src, w)) =>
+      when(sourceCol === src, lit(weightHex(w))).otherwise(rest)
+    }
+    h8 < thr
+  }
+
+  /** floor(weight · 2³²) as 8 lowercase hex chars (clamped to [0,1]). */
+  def weightHex(w: Double): String = {
+    val clamped = math.max(0.0, math.min(1.0, w))
+    f"${math.floor(clamped * 4294967296.0).toLong.min(0xffffffffL)}%08x"
+  }
+
   /** Deterministic stratified sample: the `k` ids with the smallest
     * [[idHash]] per group — a uniform-without-replacement sample that is
     * reproducible and incrementally stable (a new doc only enters the

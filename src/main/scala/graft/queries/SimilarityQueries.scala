@@ -102,6 +102,23 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF-PQ: coarse cells bound the candidates (equi join on cell),
+    // PQ codes carry the ranking — the production billion-vector
+    // composition. Both frozen models feed one combined oracle.
+    "s_ann_ivfpq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+      val pq = graft.operators.Pq.fit(emb, "embedding", m = 8, ksub = 16,
+        iters = 2)
+      ivfModels.put("s_ann_ivfpq", coarse)
+      pqModels.put("s_ann_ivfpq", pq)
+      graft.operators.Pq.ivfAdcTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        coarse, pq, k = 3, nProbe = 2)
+        .select("query_id", "neighbor_id", "adist", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+
     // Embedding near-dup pairs, candidate-bounded by sign bucket.
     "s_embed_neardup" -> { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -300,6 +317,44 @@ object SimilarityQueries {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** DuckDB twin of `Pq.ivfAdcTopK`: the corpus gets its coarse cell
+    * (ivf argmin) AND its PQ codes; queries get their two probe cells
+    * AND their LUTs; the equi join on cell + the left-assoc ADC sum
+    * mirror the Spark plan clause for clause. */
+  private def ivfPqSql(coarse: Ivf.Model,
+                       model: graft.operators.Pq.Model, k: Int): String = {
+    val m = model.m
+    val slCols = (0 until m).map(s =>
+      s"${pqSubScoreList(s, model)} AS sl$s").mkString(",\n  ")
+    val codeCols = (0 until m).map(s =>
+      s"CAST(list_position(sl$s, list_min(sl$s)) - 1 AS INT) AS code$s")
+      .mkString(",\n  ")
+    val lutCols = (0 until m).map(s =>
+      s"${pqSubScoreList(s, model)} AS l$s").mkString(",\n  ")
+    val ls = (0 until m).map(s => s"l$s").mkString(", ")
+    val scoreSum = (0 until m).map(s => s"l$s[code$s + 1]").mkString(" + ")
+    val probeList = coarse.centroids.zipWithIndex
+      .map { case (c, i) => s"{'d': ${ivfScoreExpr(c)}, 'cell': $i}" }
+      .mkString("[", ",\n ", "]")
+    s"""WITH c0 AS (SELECT vec_id AS neighbor_id, ${ivfScoreList(coarse)} AS csl,
+       |  $slCols FROM embeddings),
+       |cc AS (SELECT neighbor_id,
+       |  CAST(list_position(csl, list_min(csl)) - 1 AS INT) AS cell,
+       |  $codeCols FROM c0),
+       |q0 AS (SELECT vec_id AS query_id, list_sort($probeList) AS pl,
+       |  $lutCols FROM embeddings WHERE vec_id < 10),
+       |qp AS (SELECT query_id, pl[1].cell AS cell, $ls FROM q0
+       |  UNION ALL SELECT query_id, pl[2].cell AS cell, $ls FROM q0),
+       |s AS (SELECT query_id, neighbor_id, round($scoreSum, 4) AS adist
+       |      FROM qp JOIN cc ON qp.cell = cc.cell
+       |                     AND query_id <> neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS INT) AS rnk FROM s)
+       |SELECT query_id, neighbor_id, adist, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   def oracles: Map[String, String] =
     staticOracles ++
       Option(ivfModels.get("s_ann_ivf"))
@@ -307,7 +362,11 @@ object SimilarityQueries {
       Option(ivfModels.get("s_cluster_assign"))
         .map(m => "s_cluster_assign" -> clusterSql(m)) ++
       Option(pqModels.get("s_ann_pq"))
-        .map(m => "s_ann_pq" -> pqSql(m, k = 3))
+        .map(m => "s_ann_pq" -> pqSql(m, k = 3)) ++
+      (for {
+        coarse <- Option(ivfModels.get("s_ann_ivfpq"))
+        pq <- Option(pqModels.get("s_ann_ivfpq"))
+      } yield "s_ann_ivfpq" -> ivfPqSql(coarse, pq, k = 3))
 
   /** Shared CTE chain: sign-bucket → candidate pairs → cosine-verified
     * `epairs` (threshold 0.3) — the DuckDB twin of

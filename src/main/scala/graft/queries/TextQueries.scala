@@ -12,6 +12,11 @@ object TextQueries {
 
   private val enStop = TextAnalysis.langProfiles.head._2
 
+  /** The t_weighted_sample mixture: four weight tiers cycled over the
+    * fixture's 20 sources. */
+  private val mixWeights: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> Seq(0.1, 0.35, 0.6, 0.85)(i % 4))
+
   val defs: Map[String, QueryFn] = Map(
     "t_token_stats" -> { (s, dir) =>
       val toks = TextAnalysis.tokens(col("text"))
@@ -90,6 +95,17 @@ object TextQueries {
       t(s, dir, "documents").select(col("doc_id"),
         Sampling.hashSplit(col("doc_id"),
           Seq("val" -> "1a", "test" -> "33"), "train").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Source-mixture weighted sampling: each source kept at its mixing
+    // weight, deterministically (hash-threshold, map-only) — the
+    // dataset-weighting pass of a training pipeline.
+    "t_weighted_sample" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(Sampling.weightedSample(col("doc_id"), col("source"),
+          mixWeights))
+        .select("doc_id", "source")
         .orderBy("doc_id")
     },
 
@@ -187,6 +203,18 @@ object TextQueries {
       |       WHERE len(t) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t_weighted_sample" -> {
+      val cases = mixWeights.map { case (src, w) =>
+        s"WHEN '$src' THEN '${graft.operators.Sampling.weightHex(w)}'"
+      }.mkString("\n    ")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE source
+         |    $cases
+         |    ELSE '00000000' END
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "t_repetition_stats" ->
       """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
         |g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM tok,
