@@ -153,6 +153,34 @@ object CoreQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // Cube (all 4 grouping sets in one pass — rollup's big sibling).
+    "q_cube_flag_status" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // Offset window function (lag): average days between consecutive
+    // orders per customer. Consecutive-gap sums telescope to
+    // (max − min), so the result is tie-order independent by
+    // construction; integer day arithmetic keeps it engine-exact.
+    "q_order_gaps" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), col("prev")).as("gap"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap").as("total_gap"))
+        .select(col("o_custkey").as("c_custkey"), col("n_gaps"),
+          round(col("total_gap") / col("n_gaps"), 4).as("avg_gap_days"))
+        .orderBy("c_custkey")
+    },
+
     // Distinct aggregation.
     "q_distinct_parts_per_brand" -> { (s, dir) =>
       t(s, dir, "part")
@@ -442,6 +470,23 @@ object CoreQueries {
          |  ${sqlMoneySum("l_quantity")} AS qty
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cube_flag_status" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${sqlMoneySum("l_quantity")} AS qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_order_gaps" ->
+      """SELECT o_custkey AS c_custkey, COUNT(*) AS n_gaps,
+        |  ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 4) AS avg_gap_days
+        |FROM (
+        |  SELECT o_custkey,
+        |    date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE gap IS NOT NULL
+        |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
 
     "q_distinct_parts_per_brand" ->
       """SELECT p_brand, COUNT(DISTINCT p_type) AS n_types,
