@@ -134,6 +134,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The composed cleaning pipeline — the stages a pre-training corpus
+    // actually runs, chained: quality filter → language filter → exact
+    // dedup (min-id canonical per content fingerprint) → stable split
+    // assignment. Everything upstream of the dedup window is map-only;
+    // the one shuffle keys on the content fingerprint.
+    "t_pipeline_clean" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val kept = t(s, dir, "documents")
+        .filter(TextAnalysis.qualityScore(col("text"), enStop) >= 0.5 &&
+          TextAnalysis.langId(col("text")) === "en")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+            .orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      kept.select(col("doc_id"), col("source"),
+        Sampling.hashSplit(col("doc_id"),
+          Seq("val" -> "1a", "test" -> "33"), "train").as("split"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF keyword extraction — corpus-relative term weighting, the
     // standard "what is this document about" signal for filtering /
     // routing training data.
@@ -273,6 +293,39 @@ object TextQueries {
          |    AS quality,
          |  CASE WHEN g = 0 THEN 'und' $predChain END AS lang_pred
          |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "t_pipeline_clean" -> {
+      val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
+      val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+      }
+      val scoreCols = profiles.map { case (lang, arr) =>
+        s"len(list_intersect(dt, $arr)) AS s_$lang"
+      }.mkString(", ")
+      val gExpr = profiles.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
+      val predChain = profiles.map { case (lang, _) =>
+        s"WHEN s_$lang = g THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text, str_split(text,' ') AS tk,
+         |         list_distinct(str_split(text,' ')) AS dt FROM documents),
+         |scored AS (SELECT *, $scoreCols FROM base),
+         |g AS (SELECT *, $gExpr AS g FROM scored),
+         |kept AS (SELECT doc_id, source, text FROM g
+         |  WHERE round((LEAST(len(tk)/64.0, 1.0)
+         |      + CAST(len(dt) AS DOUBLE)/len(tk)
+         |      + LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)) / 3.0, 6)
+         |    >= 0.5
+         |  AND (CASE WHEN g = 0 THEN 'und' $predChain END) = 'en'),
+         |dd AS (SELECT *, row_number() OVER (
+         |    PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+         |    ORDER BY doc_id) AS rn FROM kept)
+         |SELECT doc_id, source,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'val'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '33' THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
 
     "t_fingerprint_dups" ->
