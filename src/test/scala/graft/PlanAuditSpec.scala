@@ -204,6 +204,20 @@ class PlanAuditSpec extends SparkSpec {
       "q21 lineitem scans not pruned")
   }
 
+  test("ivf-pq: candidates ride an equi join on the cell, never a loop") {
+    val ns = nodes(SparkEntry.queries("s_ann_ivfpq")(spark, dir))
+    // the whole point of the coarse quantizer is replacing the ADC
+    // nested loop with a bounded cell join — a BNLJ here means the cell
+    // key fell out of the join condition
+    assert(!ns.exists(p => p.nodeName.contains("BroadcastNestedLoopJoin") ||
+      p.nodeName.contains("CartesianProduct")),
+      "IVF-PQ degraded to a nested loop")
+    assert(ns.exists {
+      case _: BroadcastHashJoinExec | _: SortMergeJoinExec => true
+      case p => p.nodeName.contains("ShuffledHashJoin")
+    }, "no equi join on the cell id")
+  }
+
   test("point lookup: one bucket dir, filter pushed below the dedup agg") {
     import org.apache.spark.sql.types._
     import spark.implicits._
