@@ -158,7 +158,7 @@ object CdcQueries {
     // complete-mode memory sink (bounded: hours × types rows). Money sums
     // go through exact decimals so the streamed result is bit-equal to
     // the batch oracle regardless of arrival order.
-    "cdc_stream_window" -> { (s, dir) => withShufflePartitions(s, 8) {
+    "cdc_stream_window" -> { (s, dir) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       // the file-stream source wants a directory; glob down to the table
@@ -184,7 +184,7 @@ object CdcQueries {
     // eviction is the assertion, not a liveness detail. The oracle
     // recomputes the same frontier in SQL: windows whose end ≤
     // max(ts) − 2 h.
-    "cdc_watermark_window" -> { (s, dir) => withShufflePartitions(s, 8) {
+    "cdc_watermark_window" -> { (s, dir) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(raw)
@@ -237,7 +237,7 @@ object CdcQueries {
     // user-id equi join as an event-time constraint, exactly the
     // streaming twin of the banded range join. Timestamps are µs-exact
     // in the fixture, so the streamed pairs hash-match the batch oracle.
-    "cdc_stream_join" -> { (s, dir) => withShufflePartitions(s, 8) {
+    "cdc_stream_join" -> { (s, dir) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       def side(tpe: String, prefix: String) = s.readStream.schema(raw)

@@ -169,7 +169,7 @@ object TextQueries {
     // shape) and emits each fingerprint's first-ever row. With the whole
     // fixture in one micro-batch the representative is the min-doc_id row
     // per fp, which is exactly SQL-expressible.
-    "d_stream_first_seen" -> { (s, dir) => withShufflePartitions(s, 8) {
+    "d_stream_first_seen" -> { (s, dir) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val stream = s.readStream.schema(schema)
