@@ -70,6 +70,23 @@ object Multimodal {
         sequence(lit(0), col("nFrames") - 1, lit(stride)).as("frameIdx"))
   }
 
+  /** Audio STFT window plan: frame/hop window start offsets over 16-bit
+    * PCM payloads (n_samples = byteLen / 2) — the planner stage before
+    * any spectrogram decode, metadata-only like [[sampleFramePlan]].
+    * Payloads too short for one full frame yield no rows. */
+  def audioWindowPlan(features: Dataset[MediaFeatures], frame: Int,
+                      hop: Int): DataFrame = {
+    import features.sparkSession.implicits._
+    features.filter(_.kind == "audio").toDF()
+      .select(col("id"), (col("byteLen") / 2).cast("int").as("n_samples"))
+      .filter(col("n_samples") >= frame)
+      .select(col("id"), col("n_samples"),
+        explode(sequence(lit(0),
+          floor((col("n_samples") - frame) / hop).cast("int"))).as("win_idx"))
+      .select(col("id"), col("n_samples"), col("win_idx").cast("int").as("win_idx"),
+        (col("win_idx") * hop).cast("int").as("start_sample"))
+  }
+
   /** Fixture adapter: synthesize a media table from `documents` (text
     * bytes as payload) so the plumbing runs against the driver fixtures. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

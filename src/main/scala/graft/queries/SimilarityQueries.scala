@@ -151,6 +151,18 @@ object SimilarityQueries {
         .orderBy("kind")
     },
 
+    // Audio windowing: frame/hop STFT window offsets per audio payload —
+    // the metadata-only planner before any spectrogram decode, the
+    // audio sibling of the video frame sampler.
+    "mm_audio_windows" -> { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      val feats = Multimodal.extractFeatures(media)
+      Multimodal.audioWindowPlan(feats, frame = 64, hop = 32)
+        .select(col("id").as("doc_id"), col("n_samples"), col("win_idx"),
+          col("start_sample"))
+        .orderBy("doc_id", "win_idx")
+    },
+
     // Frame sampling: the planner stage of a two-pass video pipeline —
     // every 5th frame index per clip, metadata-only (no payload decode,
     // nothing binary crosses a shuffle).
@@ -401,6 +413,17 @@ object SimilarityQueries {
     "s_embed_clusters" ->
       s"""WITH RECURSIVE $embedPairsCte,
         |${sqlComponentsOver("epairs")}""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH a AS (SELECT doc_id, strlen(text) // 2 AS n_samples
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id, n_samples,
+        |        unnest(range(0, (n_samples - 64) // 32 + 1)) AS win_idx
+        |      FROM a WHERE n_samples >= 64)
+        |SELECT doc_id, CAST(n_samples AS INT) AS n_samples,
+        |  CAST(win_idx AS INT) AS win_idx,
+        |  CAST(win_idx * 32 AS INT) AS start_sample
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH v AS (SELECT doc_id, 1 + strlen(text) % 30 AS n_frames
