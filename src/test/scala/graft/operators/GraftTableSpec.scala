@@ -25,6 +25,24 @@ class GraftTableSpec extends SparkSpec {
       s"got ${got.collect().mkString(",")} want $want")
   }
 
+  test("readAsOf: full history pre-compact; survivors only post-compact") {
+    val t = mkTable()
+    t.append(Seq((1L, "a1"), (2L, "b1")).toDF("id", "v"), version = 1)
+    t.append(Seq((1L, "a2")).toDF("id", "v"), version = 2)
+    t.delete(Seq(Tuple1(2L)).toDF("id"), version = 3)
+    // the uncompacted log replays any point in time
+    assertSame(t.readAsOf(1), Seq((1L, "a1"), (2L, "b1")))
+    assertSame(t.readAsOf(2), Seq((1L, "a2"), (2L, "b1")))
+    assertSame(t.readAsOf(3), Seq((1L, "a2")))
+    t.compact()
+    // compaction keeps each key's SURVIVING image with its original
+    // stamp and drops everything older (ReplacingMergeTree merge
+    // semantics): key 1's v1 history is gone, key 2 is gone entirely
+    assertSame(t.readAsOf(1), Seq())
+    assertSame(t.readAsOf(2), Seq((1L, "a2")))
+    assertSame(t.read, Seq((1L, "a2")))
+  }
+
   test("upsert semantics: latest _version wins per key") {
     val t = mkTable()
     t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), version = 1)
