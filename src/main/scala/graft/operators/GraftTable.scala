@@ -246,8 +246,17 @@ final class GraftTable(
       .withColumn("_version", lit(version))
       .withColumn("_deleted", lit(deleted))
     val w = bucketKey match {
-      case Some(k) => stamped.withColumn("_bucket", bucketExpr(col(k.name)))
-        .write.partitionBy("_bucket")
+      case Some(k) =>
+        // co-locate rows by (bucket, salt) before the partitioned write:
+        // without it every write task opens a file per bucket it sees —
+        // tasks × buckets small files per batch, which the FINAL scan
+        // then pays for file-by-file. The salt keeps a hot bucket from
+        // collapsing into one writer task; files per batch ≈ buckets ×
+        // salt, independent of input parallelism. The shuffle moves the
+        // already-collapsed batch once — bounded by |keys|, not |events|.
+        stamped.withColumn("_bucket", bucketExpr(col(k.name)))
+          .repartition(col("_bucket"), pmod(hash(col(k.name)), lit(4)))
+          .write.partitionBy("_bucket")
       case None => stamped.write
     }
     w.mode(SaveMode.Append).parquet(genDataPath(currentEpoch, currentGen))
