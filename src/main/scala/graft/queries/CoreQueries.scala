@@ -153,6 +153,25 @@ object CoreQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // Full outer join: daily order activity vs daily shipment activity —
+    // days live on either side alone (orders precede the first shipment;
+    // shipments trail the last order), so both null branches are
+    // exercised. Both inputs pre-aggregate to one row per day before the
+    // join, so the full-outer shuffle moves |days|, not |rows|.
+    "q_full_outer_daily" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(count(lit(1)).as("n_ships"))
+      o.join(l, Seq("day"), "full")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+        .orderBy("day_s")
+    },
+
     // Cube (all 4 grouping sets in one pass — rollup's big sibling).
     "q_cube_flag_status" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -470,6 +489,15 @@ object CoreQueries {
          |  ${sqlMoneySum("l_quantity")} AS qty
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_full_outer_daily" ->
+      """SELECT strftime(COALESCE(o.day, l.day), '%Y-%m-%d') AS day_s,
+        |  COALESCE(n_orders, 0) AS n_orders, COALESCE(n_ships, 0) AS n_ships
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+        |      FROM orders GROUP BY 1) o
+        |FULL JOIN (SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_ships
+        |      FROM lineitem GROUP BY 1) l USING (day)
+        |ORDER BY day_s""".stripMargin,
 
     "q_cube_flag_status" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
