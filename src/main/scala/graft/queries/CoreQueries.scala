@@ -153,6 +153,48 @@ object CoreQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // Running aggregate window (ROWS UNBOUNDED PRECEDING): cumulative
+    // spend along each customer's order sequence. The cumsum runs in
+    // exact decimal over a deterministic total order, so every prefix is
+    // engine-identical.
+    "q_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("run_spend",
+          round(sum(col("o_totalprice").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2))).over(w), 2)
+            .cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          tsSeconds(col("o_orderdate")).as("o_orderdate_s"), col("run_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Exact quartile vector per segment: the percentile family beyond
+    // the lower median — each quartile is the STORED value at index
+    // floor((n−1)·q)+1 in the (acctbal, custkey) order, picked by
+    // conditional aggregation over ranked rows. No interpolation
+    // arithmetic, so both engines select identical elements.
+    "q_quartiles_by_segment" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val n = Window.partitionBy("c_mktsegment")
+      def idx(q: Double) = (floor((col("cnt") - 1) * q) + 1).cast("long")
+      t(s, dir, "customer")
+        .select("c_mktsegment", "c_acctbal", "c_custkey")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .groupBy("c_mktsegment")
+        .agg(max(col("cnt")).as("n_customers"),
+          max(when(col("rn") === idx(0.25), col("c_acctbal"))).as("p25"),
+          max(when(col("rn") === idx(0.5), col("c_acctbal"))).as("p50"),
+          max(when(col("rn") === idx(0.75), col("c_acctbal"))).as("p75"))
+        .orderBy("c_mktsegment")
+    },
+
     // Full outer join: daily order activity vs daily shipment activity —
     // days live on either side alone (orders precede the first shipment;
     // shipments trail the last order), so both null branches are
@@ -489,6 +531,29 @@ object CoreQueries {
          |  ${sqlMoneySum("l_quantity")} AS qty
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_running_total" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  ${sqlTsSeconds("o_orderdate")} AS o_orderdate_s,
+         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS run_spend
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_quartiles_by_segment" ->
+      """SELECT c_mktsegment, MAX(cnt) AS n_customers,
+        |  MAX(CASE WHEN rn = FLOOR((cnt - 1) * 0.25) + 1 THEN c_acctbal END)
+        |    AS p25,
+        |  MAX(CASE WHEN rn = FLOOR((cnt - 1) * 0.5) + 1 THEN c_acctbal END)
+        |    AS p50,
+        |  MAX(CASE WHEN rn = FLOOR((cnt - 1) * 0.75) + 1 THEN c_acctbal END)
+        |    AS p75
+        |FROM (SELECT c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_full_outer_daily" ->
       """SELECT strftime(COALESCE(o.day, l.day), '%Y-%m-%d') AS day_s,
