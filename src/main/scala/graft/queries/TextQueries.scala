@@ -117,6 +117,21 @@ object TextQueries {
         .orderBy("lang", "rnk")
     },
 
+    // Vocabulary building: corpus-frequency top-k terms with ranks —
+    // the seed list a tokenizer-training pass starts from. One partial-
+    // aggregated shuffle on the term; the rank window only ever sees
+    // |vocab| rows.
+    "t_vocab_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("freq").desc, col("term"))
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 25)
+        .orderBy("rnk")
+    },
+
     // Intra-document repetition (Gopher-style): duplicate / top 2-gram
     // mass fractions — the looped-text filter of published LLM data
     // pipelines.
@@ -234,6 +249,12 @@ object TextQueries {
          |    ELSE '00000000' END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "t_vocab_topk" ->
+      """SELECT term, COUNT(*) AS freq, CAST(row_number() OVER (
+        |    ORDER BY COUNT(*) DESC, term) AS INT) AS rnk
+        |FROM (SELECT unnest(str_split(text,' ')) AS term FROM documents)
+        |GROUP BY term QUALIFY rnk <= 25 ORDER BY rnk""".stripMargin,
 
     "t_repetition_stats" ->
       """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),

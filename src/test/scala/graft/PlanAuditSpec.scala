@@ -204,6 +204,22 @@ class PlanAuditSpec extends SparkSpec {
       "q21 lineitem scans not pruned")
   }
 
+  test("readAsOf: the version ceiling reaches the parquet scan") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val t = graft.operators.GraftTable(spark, tmpDir("plan-asof"),
+      Seq("id"), StructType(Seq(StructField("id", LongType),
+        StructField("v", StringType))))
+    t.append(Seq((1L, "a")).toDF("id", "v"), 1)
+    t.append(Seq((1L, "b")).toDF("id", "v"), 2)
+    val ns = nodes(t.readAsOf(1))
+    val scan = ns.collect { case s: FileSourceScanExec => s }.head
+    // the filter must sit under the dedup aggregate so row-group
+    // min/max stats skip newer files instead of reading + discarding
+    assert(scan.metadata("PushedFilters").contains("LessThanOrEqual(_version"),
+      s"version ceiling not pushed: ${scan.metadata("PushedFilters")}")
+  }
+
   test("ivf-pq: candidates ride an equi join on the cell, never a loop") {
     val ns = nodes(SparkEntry.queries("s_ann_ivfpq")(spark, dir))
     // the whole point of the coarse quantizer is replacing the ADC
