@@ -261,6 +261,39 @@ object CdcQueries {
         .orderBy("p_event", "c_event")
     }},
 
+    // Streaming materialized view: the windowed aggregate maintained IN
+    // the versioned store — update-mode emits changed groups per
+    // micro-batch, foreachBatch upserts them at version batchId+1, and
+    // the FINAL view always shows each group's latest image. This is
+    // the piece that turns the storage engine into a live sink for any
+    // streaming aggregation, not just the CDC feed.
+    "cdc_stream_matview" -> { (s, dir) => withShufflePartitions(s, 4) {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val wh = java.nio.file.Files.createTempDirectory("graft-mv").toString
+      val table = graft.operators.GraftTable(s, s"$wh/mv",
+        Seq("w_start", "event_type"), StructType(Seq(
+          StructField("w_start", StringType),
+          StructField("event_type", StringType),
+          StructField("n", LongType),
+          StructField("sum_value", DoubleType))))
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val agg = s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .select(tsSeconds(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          table.append(batch, id + 1)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      table.read.orderBy("w_start", "event_type")
+    }},
+
     // W4 session windows: gap-based sessionization of the event feed —
     // Spark's native session_window (start = first event, end = last
     // event + gap, sessions merge while consecutive gaps stay under the
@@ -336,6 +369,14 @@ object CdcQueries {
         |WHERE ln % 7 <> 0 ORDER BY pk""".stripMargin,
 
     "cdc_stream_window" ->
+      s"""SELECT ${sqlTsSeconds("time_bucket(INTERVAL 1 HOUR, ts)")} AS w_start,
+         |  event_type, COUNT(*) AS n,
+         |  ${sqlMoneySum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // the materialized view converges to the same aggregate the batch
+    // computes — update-mode re-emissions collapse in the FINAL view
+    "cdc_stream_matview" ->
       s"""SELECT ${sqlTsSeconds("time_bucket(INTERVAL 1 HOUR, ts)")} AS w_start,
          |  event_type, COUNT(*) AS n,
          |  ${sqlMoneySum("value")} AS sum_value
