@@ -76,6 +76,8 @@ object Multimodal {
     * Payloads too short for one full frame yield no rows. */
   def audioWindowPlan(features: Dataset[MediaFeatures], frame: Int,
                       hop: Int): DataFrame = {
+    require(frame > 0 && hop > 0 && hop <= frame,
+      s"need 0 < hop <= frame, got frame=$frame hop=$hop")
     import features.sparkSession.implicits._
     features.filter(_.kind == "audio").toDF()
       .select(col("id"), (col("byteLen") / 2).cast("int").as("n_samples"))
