@@ -153,6 +153,47 @@ object CoreQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // The ranking-function family in one pass: rank / dense_rank /
+    // ntile / percent_rank over the same ordered partition.
+    // percent_rank = (rank−1)/(n−1) divides exact integers, so the
+    // double is engine-identical.
+    "q_rank_family" -> { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("prnk", round(percent_rank().over(w), 6))
+        .filter(col("rnk") <= 8)
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    },
+
+    // Dispersion under the exactness contract: variance/stddev from
+    // exact decimal Σx and Σx² (the textbook identity) instead of the
+    // engines' float accumulators, whose partition-order-dependent low
+    // bits can never hash-match. l_quantity is integral, so both sums
+    // are exact and the derived moments are bit-identical.
+    "q_dispersion_by_flag" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val q = col("l_quantity").cast(DecimalType(18, 2))
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("sx"), sum(q * q).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          // cast the EXACT decimal sums to double first (both are well
+          // under 2^53 in their fixed-point units, so the cast is
+          // lossless), then derive the moments in pure double — decimal
+          // sx·sx would overflow 38 digits and silently round
+          round(col("sx").cast("double") / col("n"), 6).as("mean_qty"),
+          round((col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+            (col("n") - 1), 6).as("var_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // Running aggregate window (ROWS UNBOUNDED PRECEDING): cumulative
     // spend along each customer's order sequence. The cumsum runs in
     // exact decimal over a deterministic total order, so every prefix is
@@ -531,6 +572,27 @@ object CoreQueries {
          |  ${sqlMoneySum("l_quantity")} AS qty
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_rank_family" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk, drnk, quartile, prnk
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile,
+        |    ROUND(percent_rank() OVER w, 6) AS prnk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rnk <= 8 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+
+    "q_dispersion_by_flag" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean_qty,
+        |  ROUND((CAST(SUM(q * q) AS DOUBLE) -
+        |      CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE) / COUNT(*)) /
+        |    (COUNT(*) - 1), 6) AS var_qty
+        |FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_running_total" ->
       s"""SELECT o_custkey, o_orderkey,
