@@ -204,6 +204,45 @@ object CdcQueries {
         .orderBy("w_start")
     }},
 
+    // Schema evolution under the oracle gate: a 2-column table takes a
+    // base load, an ALTER ADD COLUMN arrives MID-BATCH (the DDL flush
+    // barrier splits the segment), and post-DDL updates carry the new
+    // column. The FINAL read aligns the pre-DDL generation (seg = NULL)
+    // with the post-DDL one — D3 + generation re-projection, previously
+    // ScalaTest-only, now hash-matched against SQL.
+    "cdc_schema_evolve" -> { (s, dir) =>
+      import s.implicits._
+      import graft.ddl.SchemaRegistry
+      import graft.sources.EventSpool
+      import graft.streaming.CdcPipeline
+      val registry = new SchemaRegistry
+      registry.applySql(
+        "CREATE TABLE accts (pk bigint NOT NULL, qty int, PRIMARY KEY(pk))")
+      val wh = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val pipeline = new CdcPipeline(s, graft.GraftConfig(), registry, wh)
+      val cust = t(s, dir, "customer")
+      def ev(seq: org.apache.spark.sql.Column, row: org.apache.spark.sql.Column) =
+        Seq(seq.as("seq"), lit("d").as("db"), lit("accts").as("table"),
+          lit(EventSpool.OpAdd).as("op"),
+          lit(null).cast("string").as("query"), row.as("row"))
+      val base = cust.select(ev(col("c_custkey"),
+        to_json(struct(col("c_custkey").cast("string").as("pk"),
+          col("c_nationkey").cast("string").as("qty")))): _*)
+      val ddl = Seq((1000000000L, "d", "accts", EventSpool.OpQuery,
+        "ALTER TABLE accts ADD COLUMN seg varchar(16)", null: String))
+        .toDF("seq", "db", "table", "op", "query", "row")
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        // + 1: the DDL barrier is exclusive at its own seq, so the first
+        // update must sit strictly above the DDL event
+        .select(ev(lit(1000000001L) + col("c_custkey"),
+          to_json(struct(col("c_custkey").cast("string").as("pk"),
+            (col("c_nationkey") + 100).cast("string").as("qty"),
+            col("c_mktsegment").as("seg")))): _*)
+      pipeline.processBatch(base.unionByName(ddl).unionByName(updates),
+        batchId = 0)
+      pipeline.table("accts").read.orderBy("pk")
+    },
+
     // Time travel: three versioned appends (one LWW image per user per
     // version), then the FINAL view as of version 2 — the newest ≤ 2
     // image per key wins, version-3 rows never reach the aggregate
@@ -407,6 +446,13 @@ object CdcQueries {
          |  ${sqlTsSeconds("MAX(ts) + INTERVAL 1 HOUR")} AS s_end,
          |  COUNT(*) AS n, ${sqlMoneySum("value")} AS sum_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    "cdc_schema_evolve" ->
+      """SELECT c_custkey AS pk,
+        |  CAST(CASE WHEN c_custkey % 3 = 0 THEN c_nationkey + 100
+        |       ELSE c_nationkey END AS INT) AS qty,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS seg
+        |FROM customer ORDER BY pk""".stripMargin,
 
     "cdc_time_travel" ->
       """WITH lww AS (
