@@ -243,6 +243,39 @@ object CdcQueries {
       pipeline.table("accts").read.orderBy("pk")
     },
 
+    // TRUNCATE mid-batch under the oracle gate (D11): full load, a
+    // TRUNCATE at the flush barrier, then a partial reload — the FINAL
+    // view must show ONLY the reloaded keys (a truncate that merely
+    // tombstoned, or a barrier that leaked pre-truncate rows past it,
+    // both fail the hash).
+    "cdc_truncate_reload" -> { (s, dir) =>
+      import s.implicits._
+      import graft.ddl.SchemaRegistry
+      import graft.sources.EventSpool
+      import graft.streaming.CdcPipeline
+      val registry = new SchemaRegistry
+      registry.applySql(
+        "CREATE TABLE accts2 (pk bigint NOT NULL, qty int, PRIMARY KEY(pk))")
+      val wh = java.nio.file.Files.createTempDirectory("graft-trunc").toString
+      val pipeline = new CdcPipeline(s, graft.GraftConfig(), registry, wh)
+      val cust = t(s, dir, "customer")
+      def ev(seq: org.apache.spark.sql.Column) =
+        Seq(seq.as("seq"), lit("d").as("db"), lit("accts2").as("table"),
+          lit(EventSpool.OpAdd).as("op"),
+          lit(null).cast("string").as("query"),
+          to_json(struct(col("c_custkey").cast("string").as("pk"),
+            col("c_nationkey").cast("string").as("qty"))).as("row"))
+      val base = cust.select(ev(col("c_custkey")): _*)
+      val ddl = Seq((1000000000L, "d", "accts2", EventSpool.OpQuery,
+        "TRUNCATE TABLE accts2", null: String))
+        .toDF("seq", "db", "table", "op", "query", "row")
+      val reload = cust.filter(col("c_custkey") % 5 === 0)
+        .select(ev(lit(1000000001L) + col("c_custkey")): _*)
+      pipeline.processBatch(base.unionByName(ddl).unionByName(reload),
+        batchId = 0)
+      pipeline.table("accts2").read.orderBy("pk")
+    },
+
     // Time travel: three versioned appends (one LWW image per user per
     // version), then the FINAL view as of version 2 — the newest ≤ 2
     // image per key wins, version-3 rows never reach the aggregate
@@ -453,6 +486,10 @@ object CdcQueries {
         |       ELSE c_nationkey END AS INT) AS qty,
         |  CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS seg
         |FROM customer ORDER BY pk""".stripMargin,
+
+    "cdc_truncate_reload" ->
+      """SELECT c_custkey AS pk, CAST(c_nationkey AS INT) AS qty
+        |FROM customer WHERE c_custkey % 5 = 0 ORDER BY pk""".stripMargin,
 
     "cdc_time_travel" ->
       """WITH lww AS (
