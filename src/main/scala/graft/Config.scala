@@ -50,7 +50,13 @@ final case class GraftConfig(
       * initial replication completes, gated by db globs (config.py
       * `post_initial_replication_commands`,
       * db_replicator_initial.py:472-494). */
-    postInitialCommands: Seq[PostInitialCommands] = Nil) {
+    postInitialCommands: Seq[PostInitialCommands] = Nil,
+    /** Base value the per-table `_version` counter starts from
+      * (config.py:170 `version_initial_value`,
+      * clickhouse_api.py:202-205): every stamped version sits strictly
+      * above it, so a migrated deployment can stamp over an existing
+      * table whose versions already reach N. */
+    versionInitialValue: Long = 0L) {
 
   def postCommandsFor(db: String): Seq[String] =
     postInitialCommands.filter(p =>
@@ -188,6 +194,8 @@ object GraftConfig {
         .map(_.asInt()).getOrElse(86400),
       httpHost = Option(root.get("http_host")).map(_.asText()).getOrElse(""),
       httpPort = Option(root.get("http_port")).map(_.asInt()).getOrElse(0),
+      versionInitialValue = Option(root.get("version_initial_value"))
+        .map(_.asLong()).getOrElse(0L),
       postInitialCommands =
         Option(root.get("post_initial_replication_commands")).toSeq
           .flatMap(_.elements().asScala).map { n =>

@@ -159,10 +159,13 @@ final class CdcPipeline(
   private def resolveDb(eventDb: String): String =
     if (registry.hasDb(eventDb)) eventDb else registry.defaultDb
 
-  /** batchId+1 so batch 0 stamps above the snapshot's version 0
-    * (Snapshot.scala — ADVICE r1: a first-batch update must not tie). */
+  /** batchId+1 so batch 0 stamps above the snapshot's base version
+    * (Snapshot.scala — ADVICE r1: a first-batch update must not tie);
+    * everything offsets by `version_initial_value` so a migrated
+    * deployment stamps above a pre-existing table's counters
+    * (clickhouse_api.py:202-205). */
   private def version(batchId: Long, segment: Int): Long =
-    ((batchId + 1) << 20) | segment.toLong
+    config.versionInitialValue + (((batchId + 1) << 20) | segment.toLong)
 
   private def flushSegment(dml: DataFrame, version: Long): Unit = {
     // one driver-side pass to learn which tables have traffic — bounded by

@@ -70,7 +70,8 @@ object Replicator {
             k => if (shards == 1) df
                  else df.filter(Snapshot.shardPredicate(pks, shards, k)))
           Snapshot.runSharded(spark, registry(tbl),
-            pipeline.tablePath(db, tbl), shardsDir, shards, source, config)
+            pipeline.tablePath(db, tbl), shardsDir, shards, source, config,
+            version = config.versionInitialValue)
           Option(marker.getParent).foreach(fs.mkdirs)
           fs.create(marker, true).close()
           fs.delete(new org.apache.hadoop.fs.Path(shardsDir), true)

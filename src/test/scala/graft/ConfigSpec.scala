@@ -51,6 +51,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(d.optimizeInterval === 86400 && d.postInitialCommands.isEmpty)
   }
 
+  test("version_initial_value parses and offsets the stamp base") {
+    val c = GraftConfig.fromYaml("version_initial_value: 1000000\n", Map.empty)
+    assert(c.versionInitialValue === 1000000L)
+    assert(GraftConfig.fromYaml("databases: d\n", Map.empty)
+      .versionInitialValue === 0L)
+  }
+
   test("reference-shaped YAML loads; connection sections ignored") {
     val c = GraftConfig.fromYaml(
       """mysql:
