@@ -112,11 +112,19 @@ final case class MySqlConn(host: String, port: Int, user: String,
 object GraftConfig {
 
   /** Load the reference's YAML settings file (config.py:133-238,
-    * example_config.yaml) — the data-semantics subset. Connection and
-    * process-supervision keys (`mysql:`, `clickhouse:`,
-    * `binlog_replicator:`, intervals...) are ignored: connections are
-    * Spark source/sink configuration here, supervision is the cluster
-    * manager's job. A reference user's config file loads unchanged.
+    * example_config.yaml) — the data-semantics subset. Consciously
+    * ignored keys, each with a structural reason, so a reference user's
+    * config file loads unchanged:
+    *  - `clickhouse:` connection — the sink here is the Spark warehouse;
+    *  - `indexes` / `partition_bys` / `order_bys` (config.py:154-156) —
+    *    ClickHouse physical-DDL overrides; the analogues are fixed by
+    *    the engine (PK bucketing = the reference's default partition
+    *    expression, parquet row-group min/max = skip indexes, FINAL
+    *    ordering = the registry's primary keys);
+    *  - `auto_restart_interval` / `check_db_updated_interval` and other
+    *    process-supervision cadences — restarts belong to the cluster
+    *    manager / the HTTP restart hook, discovery to `Discovery.tick`'s
+    *    caller.
     */
   def load(path: String): GraftConfig =
     fromYaml(new String(
