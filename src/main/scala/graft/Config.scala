@@ -56,7 +56,13 @@ final case class GraftConfig(
       * clickhouse_api.py:202-205): every stamped version sits strictly
       * above it, so a migrated deployment can stamp over an existing
       * table whose versions already reach N. */
-    versionInitialValue: Long = 0L) {
+    versionInitialValue: Long = 0L,
+    /** Snapshot read batch size (config.py:138
+      * `initial_replication_batch_size`, default 50 000): the reference's
+      * keyset-page size maps to the JDBC streaming-cursor `fetchsize` —
+      * rows per wire round-trip, NOT a pagination unit (shard predicates
+      * already bound each read). */
+    initialReplicationBatchSize: Int = 50000) {
 
   def postCommandsFor(db: String): Seq[String] =
     postInitialCommands.filter(p =>
@@ -204,6 +210,9 @@ object GraftConfig {
       httpPort = Option(root.get("http_port")).map(_.asInt()).getOrElse(0),
       versionInitialValue = Option(root.get("version_initial_value"))
         .map(_.asLong()).getOrElse(0L),
+      initialReplicationBatchSize =
+        Option(root.get("initial_replication_batch_size"))
+          .map(_.asInt()).getOrElse(50000),
       postInitialCommands =
         Option(root.get("post_initial_replication_commands")).toSeq
           .flatMap(_.elements().asScala).map { n =>

@@ -53,8 +53,11 @@ object Main {
             config.initialReplicationThreads
           else spark.sparkContext.defaultParallelism
         registry.tableKeys.collect { case (d, t) if d == db =>
+          val props = conn.properties
+          props.setProperty("fetchsize",
+            config.initialReplicationBatchSize.toString)
           t -> Snapshot.jdbc(spark, conn.jdbcUrl(db), t,
-            registry(d, t).primaryKeys, workers, conn.properties)
+            registry(d, t).primaryKeys, workers, props)
         }.toMap
       case _ => Map.empty
     }

@@ -58,6 +58,13 @@ class ConfigSpec extends AnyFunSuite {
       .versionInitialValue === 0L)
   }
 
+  test("initial_replication_batch_size parses; reference default 50000") {
+    assert(GraftConfig.fromYaml("initial_replication_batch_size: 7000\n",
+      Map.empty).initialReplicationBatchSize === 7000)
+    assert(GraftConfig.fromYaml("databases: d\n", Map.empty)
+      .initialReplicationBatchSize === 50000)
+  }
+
   test("reference-shaped YAML loads; connection sections ignored") {
     val c = GraftConfig.fromYaml(
       """mysql:
