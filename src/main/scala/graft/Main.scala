@@ -72,9 +72,14 @@ object Main {
         val subParts = math.max(1,
           spark.sparkContext.defaultParallelism / shards)
         registry.tableKeys.collect { case (d, t) if d == db =>
+          // same cursor fetchsize as the non-sharded path — without it the
+          // resume-shard fan-out (the production path) silently falls back
+          // to jdbcShard's hardcoded default and ignores the config key
+          val props = conn.properties
+          props.setProperty("fetchsize",
+            config.initialReplicationBatchSize.toString)
           t -> ((k: Int) => Snapshot.jdbcShard(spark, conn.jdbcUrl(db), t,
-            registry(d, t).primaryKeys, shards, k, subParts,
-            conn.properties))
+            registry(d, t).primaryKeys, shards, k, subParts, props))
         }.toMap
       case _ => Map.empty
     }

@@ -18,11 +18,12 @@ import org.apache.spark.sql.expressions.Window
   *    cell-key equi-join replaces the cross product, cost
   *    O(|Q|·nProbe/k·|C|·d) expected.
   *
-  * Determinism: init = the first `k` sampled vectors (file-source
-  * listing order is stable for a given layout), fixed iteration count,
-  * centroid components rounded to 6 decimals after every update —
-  * reproducible across runs up to float-sum noise far below the
-  * rounding grain.
+  * Determinism: the training sample is an order-independent hash-prefix
+  * filter (not `limit`, see [[hashSample]]), init = greedy
+  * farthest-point seeds over the smallest-hash pool, fixed iteration
+  * count, centroid components rounded to 6 decimals after every
+  * update — reproducible across runs, cluster sizes and file layouts
+  * up to float-sum noise far below the rounding grain.
   */
 object Ivf {
 
@@ -59,20 +60,55 @@ object Ivf {
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
-  /** Train the coarse quantizer on (a sample of) `vecs`. */
+  /** Order-independent uniform training sample of ≈`target` rows: keep
+    * ids whose md5 prefix falls below target/total (the
+    * [[Sampling.weightedSample]] primitive). One column-pruned map-only
+    * pass plus a metadata-cheap count — unlike `limit(n)`, the kept set
+    * does not follow file-listing order, which at 100 TB correlates
+    * with source/time: a first-rows sample trains the codebook on ONE
+    * source's embeddings and degrades cell balance corpus-wide. */
+  private[operators] def hashSample(vecs: DataFrame, idCol: String,
+                                    vecCol: String, target: Int): DataFrame = {
+    val total = vecs.count()
+    val frac = if (total <= target) 1.0 else target.toDouble / total
+    vecs.filter(col(vecCol).isNotNull)
+      .select(Sampling.idHash(col(idCol)).as("_h"), col(vecCol))
+      .filter(col("_h") < lit(Sampling.weightHex(frac)))
+  }
+
+  /** Greedy farthest-point k-means seeds over the `poolSize`
+    * smallest-hash sample rows (collected — bounded, a few hundred
+    * vectors). Deterministic AND mode-spanning: a "first k rows" init
+    * can hand k-means several seeds inside one cluster and stunt the
+    * partition permanently (empty cells keep stale centroids). */
+  private[operators] def seedVectors(sampled: DataFrame, vecCol: String,
+                                     k: Int, poolSize: Int = 256)
+      : IndexedSeq[IndexedSeq[Double]] = {
+    val pool = sampled.orderBy(col("_h")).limit(math.max(k, poolSize))
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq)
+      .toIndexedSeq
+    if (pool.isEmpty) return IndexedSeq.empty
+    def d2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(pool.head)
+    while (seeds.size < math.min(k, pool.size))
+      seeds += pool.maxBy(v => seeds.map(d2(v, _)).min) // first max wins ties
+    seeds.toIndexedSeq
+  }
+
+  /** Train the coarse quantizer on (a hash-prefix sample of) `vecs`. */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
           iters: Int = 5, sample: Int = 10000): Model = {
-    // plain limit, not orderBy().limit(): the file source lists files in
-    // a stable order, so this is reproducible for a given layout WITHOUT
-    // the full-corpus TakeOrdered scan a sort would force at 100 TB
-    val sampled = vecs.limit(sample)
-      .select(col(vecCol)).persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled = hashSample(vecs, idCol, vecCol, sample).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var centroids: IndexedSeq[IndexedSeq[Double]] =
-        sampled.limit(k).collect()
-          .map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq)
-          .toIndexedSeq
+        seedVectors(sampled, vecCol, k)
       for (_ <- 0 until iters) {
         val assigned = sampled.select(col(vecCol).as("v"),
           assign(col(vecCol), Model(centroids)).as("cell"))

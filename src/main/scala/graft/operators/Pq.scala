@@ -67,27 +67,30 @@ object Pq {
     * (subspace, subvector) table carries every subspace through the same
     * assignment pass, and one (s, cell, pos) aggregation updates all
     * codebooks (m·ksub·dsub rows to the driver — a few KB).
-    * Same determinism contract as [[Ivf.fit]]: init = subvectors of the
-    * first `ksub` sampled rows, fixed iterations, 6-decimal centroid
-    * rounding. */
-  def fit(vecs: DataFrame, vecCol: String, m: Int, ksub: Int,
+    * Same determinism contract as [[Ivf.fit]]: hash-prefix sample
+    * ([[Ivf.hashSample]] — order-independent, unlike first-rows), init =
+    * subvectors of the farthest-point seeds over the same sample, fixed
+    * iterations, 6-decimal centroid rounding. */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int,
           iters: Int = 3, sample: Int = 10000): Model = {
     val dim = vecs.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val sub = vecs.limit(sample)
+    val sampled = Ivf.hashSample(vecs, idCol, vecCol, sample)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // derived per iteration from the cached sample — the explode is a
+    // cheap map over cached rows, not a second corpus scan
+    val sub = sampled
       .select(explode(array((0 until m).map(s =>
         struct(lit(s).as("s"),
           slice(col(vecCol), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
       .select(col("e.s").as("s"), col("e.sv").as("sv"))
       // drop ragged/null subvectors here, like Ivf.fit's null-cell skip
       .filter(col("sv").isNotNull && size(col("sv")) === dsub)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val initRows = vecs.limit(ksub).select(col(vecCol)).collect()
-        .map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq)
+      val initRows = Ivf.seedVectors(sampled, vecCol, ksub)
       var centroids: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
-        (0 until m).map(s => initRows.toIndexedSeq.map(v =>
+        (0 until m).map(s => initRows.map(v =>
           v.slice(s * dsub, (s + 1) * dsub)))
       for (_ <- 0 until iters) {
         val cents = typedlit[Seq[Seq[Seq[Double]]]](
@@ -116,7 +119,7 @@ object Pq {
             means.getOrElse((s, j), centroids(s)(j))))
       }
       Model(dsub, centroids)
-    } finally sub.unpersist(blocking = false)
+    } finally sampled.unpersist(blocking = false)
   }
 
   /** IVF-PQ: the production billion-vector composition — the coarse

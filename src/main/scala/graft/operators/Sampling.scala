@@ -53,11 +53,16 @@ object Sampling {
     h8 < thr
   }
 
-  /** floor(weight · 2³²) as 8 lowercase hex chars (clamped to [0,1]). */
-  def weightHex(w: Double): String = {
-    val clamped = math.max(0.0, math.min(1.0, w))
-    f"${math.floor(clamped * 4294967296.0).toLong.min(0xffffffffL)}%08x"
-  }
+  /** floor(weight · 2³²) as 8 lowercase hex chars (clamped to [0,1]).
+    * Weight ≥ 1.0 returns `"g"` — lexicographically above every 8-hex
+    * prefix (all hex digits sort below 'g'), so `h8 < thr` keeps EVERY
+    * row: without it, 1.0 would clamp to "ffffffff" and the strict `<`
+    * would drop ids hashing to exactly that prefix, and all weights in
+    * [1 − 2⁻³², 1.0] would collapse to one cut, breaking the
+    * strictly-monotone-mixture contract at the top edge. */
+  def weightHex(w: Double): String =
+    if (w >= 1.0) "g"
+    else f"${math.floor(math.max(0.0, w) * 4294967296.0).toLong}%08x"
 
   /** Deterministic stratified sample: the `k` ids with the smallest
     * [[idHash]] per group — a uniform-without-replacement sample that is

@@ -92,7 +92,7 @@ object SimilarityQueries {
     // Same frozen-codebook oracle scheme as the IVF queries.
     "s_ann_pq" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val model = graft.operators.Pq.fit(emb, "embedding", m = 8, ksub = 16,
+      val model = graft.operators.Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16,
         iters = 2)
       pqModels.put("s_ann_pq", model)
       graft.operators.Pq.adcTopK(
@@ -108,7 +108,7 @@ object SimilarityQueries {
     "s_ann_ivfpq" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
-      val pq = graft.operators.Pq.fit(emb, "embedding", m = 8, ksub = 16,
+      val pq = graft.operators.Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16,
         iters = 2)
       ivfModels.put("s_ann_ivfpq", coarse)
       pqModels.put("s_ann_ivfpq", pq)

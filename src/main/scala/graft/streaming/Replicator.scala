@@ -69,9 +69,16 @@ object Replicator {
           val source: Int => DataFrame = shardSources.getOrElse(tbl,
             k => if (shards == 1) df
                  else df.filter(Snapshot.shardPredicate(pks, shards, k)))
+          // +1: the config contract (Config.scala version_initial_value)
+          // and the reference (clickhouse_api.py get_last_used_version →
+          // increment-then-stamp) both promise stamps STRICTLY above the
+          // initial value — at the base itself a snapshot row would TIE
+          // with a pre-existing version-N row instead of winning the
+          // FINAL dedup. Realtime batches stamp at ≥ initial + 2^20
+          // (CdcPipeline.version), comfortably above.
           Snapshot.runSharded(spark, registry(tbl),
             pipeline.tablePath(db, tbl), shardsDir, shards, source, config,
-            version = config.versionInitialValue)
+            version = config.versionInitialValue + 1)
           Option(marker.getParent).foreach(fs.mkdirs)
           fs.create(marker, true).close()
           fs.delete(new org.apache.hadoop.fs.Path(shardsDir), true)

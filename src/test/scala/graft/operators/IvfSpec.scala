@@ -37,6 +37,30 @@ class IvfSpec extends SparkSpec {
     assert(byCluster.values.flatten.toSet.size === 3)
   }
 
+  test("fit is order-independent: shuffled/repartitioned input, same model") {
+    val vecs = planted()
+    val base = Ivf.fit(vecs, "vec_id", "embedding", k = 3, iters = 4)
+    // same rows, different physical order and partitioning — the hash
+    // sample and farthest-point seeds must not notice (a limit()-based
+    // sample would train on whatever rows happen to list first)
+    val shuffled = vecs.orderBy(col("vec_id").desc).repartition(7)
+    val again = Ivf.fit(shuffled, "vec_id", "embedding", k = 3, iters = 4)
+    assert(base.centroids === again.centroids)
+  }
+
+  test("hashSample keeps a size-targeted, id-determined subset") {
+    val vecs = planted()
+    val kept = Ivf.hashSample(vecs, "vec_id", "embedding", target = 30)
+      .select("_h").collect().map(_.getString(0)).sorted.toSeq
+    val again = Ivf.hashSample(vecs.repartition(5), "vec_id", "embedding",
+      target = 30).select("_h").collect().map(_.getString(0)).sorted.toSeq
+    assert(kept === again)
+    assert(kept.nonEmpty && kept.size < 60)
+    // target ≥ total keeps everything
+    assert(Ivf.hashSample(vecs, "vec_id", "embedding", target = 60)
+      .count() === 60)
+  }
+
   test("topK with cell probing matches brute force on separated clusters") {
     val vecs = planted()
     val model = Ivf.fit(vecs, "vec_id", "embedding", k = 3, iters = 4)

@@ -12,9 +12,8 @@ class PqSpec extends SparkSpec {
 
   // 4 clusters of 15 vectors in R⁸, centers on scaled axes — dsub = 4
   // with m = 2, so each subspace sees a 2-cluster structure it can code.
-  // INTERLEAVED order (j-major): Ivf.fit seeds centroids from the first
-  // ksub rows, which must span the clusters for k-means to separate them
-  // rather than subdividing cluster 0's tiny spread.
+  // (Order no longer matters to fit: farthest-point seeding over the
+  // hash sample spans the clusters regardless of row order.)
   private def planted() = {
     val rows = for {
       j <- 0 until 15
@@ -31,7 +30,7 @@ class PqSpec extends SparkSpec {
 
   test("encode separates clusters: no code sequence spans two clusters") {
     val vecs = planted()
-    val model = Pq.fit(vecs, "embedding", m = 2, ksub = 4, iters = 4,
+    val model = Pq.fit(vecs, "vec_id", "embedding", m = 2, ksub = 4, iters = 4,
       sample = 100)
     assert(model.m === 2 && model.dsub === 4 && model.ksub === 4)
     val codes = vecs.select(col("vec_id"),
@@ -47,7 +46,7 @@ class PqSpec extends SparkSpec {
 
   test("adcTopK ranks the query's own cluster first") {
     val vecs = planted()
-    val model = Pq.fit(vecs, "embedding", m = 2, ksub = 4, iters = 4,
+    val model = Pq.fit(vecs, "vec_id", "embedding", m = 2, ksub = 4, iters = 4,
       sample = 100)
     val queries = vecs.filter(col("vec_id").isin(5L, 105L, 305L))
     val got = Pq.adcTopK(queries, vecs, "vec_id", "embedding", model, k = 5)
@@ -58,9 +57,19 @@ class PqSpec extends SparkSpec {
       s"cross-cluster neighbor: ${got.mkString(",")}")
   }
 
+  test("fit is order-independent: shuffled/repartitioned input, same model") {
+    val vecs = planted()
+    val base = Pq.fit(vecs, "vec_id", "embedding", m = 2, ksub = 4,
+      iters = 2, sample = 100)
+    val shuffled = vecs.orderBy(col("vec_id").desc).repartition(7)
+    val again = Pq.fit(shuffled, "vec_id", "embedding", m = 2, ksub = 4,
+      iters = 2, sample = 100)
+    assert(base.centroids === again.centroids)
+  }
+
   test("encode is deterministic across evaluations") {
     val vecs = planted()
-    val model = Pq.fit(vecs, "embedding", m = 2, ksub = 4, iters = 2,
+    val model = Pq.fit(vecs, "vec_id", "embedding", m = 2, ksub = 4, iters = 2,
       sample = 100)
     val twice = vecs.select(
         Pq.encode(col("embedding"), model).as("a"),
