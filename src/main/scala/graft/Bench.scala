@@ -1,9 +1,80 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — the driver's per-round performance gate.
+  *
+  * Each query runs `SPARK_GRAFT_RUNS` times (default 3) and reports its
+  * MEDIAN (plus min/max and the raw times): a single-shot bench cannot
+  * tell an environment hiccup from a real regression — r5's
+  * `s_ann_lsh_probe` 0.73→4.53 s "regression" was unadjudicable for
+  * exactly that reason. The full result JSON is also written to a file
+  * (`SPARK_GRAFT_BENCH_OUT`, default `bench_full.json`) because the
+  * driver truncates long stdout lines; summary fields (`metric`,
+  * `value`, `events_per_sec`, `bulk_rows_per_sec`) sit at the END of
+  * the printed line so a tail-truncated capture still carries them.
+  *
+  * Beyond per-query timings it reports the two phase headlines
+  * BASELINE.md measures for the reference (tests/test_performance.py):
+  *  - `events_per_sec` — realtime CDC through the full durable
+  *    `CdcPipeline.processBatch` path (from `cdc_e2e_replicate`);
+  *  - `bulk_rows_per_sec` — initial replication through
+  *    `Snapshot.runSharded` (shard predicates → conversion → versioned
+  *    bucketed parquet) over the sf lineitem fixture;
+  * and `recall` — recall@3 of every approximate ANN query vs the exact
+  * brute-force top-k (the oracles prove the approximate plans are
+  * computed exactly; this tracks how approximate they ARE).
+  */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val ok = xs.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0
+    else if (ok.size % 2 == 1) ok(ok.size / 2)
+    else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+  }
+
+  /** Initial-replication throughput: lineitem (the biggest fixture
+    * table) pushed through the real snapshot path — CRC32 shard
+    * predicates, MySQL-shaped type conversion, versioned bucket+salt
+    * parquet writes — into a throwaway warehouse dir. */
+  private def bulkLoad(spark: SparkSession, sfDir: String,
+                       shards: Int): (Long, Double) = {
+    import graft.ddl.SchemaRegistry
+    import graft.sources.Snapshot
+    val registry = new SchemaRegistry
+    registry.applySql(
+      """CREATE TABLE lineitem (
+        |  l_orderkey bigint NOT NULL, l_partkey bigint, l_suppkey bigint,
+        |  l_linenumber int NOT NULL, l_quantity double,
+        |  l_extendedprice double, l_discount double, l_tax double,
+        |  l_returnflag varchar(1), l_linestatus varchar(1),
+        |  l_shipdate timestamp,
+        |  PRIMARY KEY (l_orderkey, l_linenumber))""".stripMargin)
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val rows = src.count() // untimed: fixture metadata, not load work
+    val wh = java.nio.file.Files.createTempDirectory("graft-bulk").toString
+    val marks = java.nio.file.Files.createTempDirectory("graft-bulk-mk")
+      .toString
+    val pks = Seq("l_orderkey", "l_linenumber")
+    val t0 = System.nanoTime()
+    Snapshot.runSharded(spark, registry("lineitem"), s"$wh/lineitem",
+      marks, shards,
+      k => if (shards == 1) src
+           else src.filter(Snapshot.shardPredicate(pks, shards, k)))
+    val sec = (System.nanoTime() - t0) / 1e9
+    // clean the scratch warehouse so repeated runs don't fill /tmp
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+    }
+    rm(new java.io.File(wh)); rm(new java.io.File(marks))
+    (rows, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -32,36 +103,89 @@ object Bench {
     // the big sf label
     graft.queries.CdcQueries.lastE2eStats = None
 
-    // A failed query must NOT masquerade as a timing: it reports -1 and
-    // lands in "errors" so a red query can't inflate a green-looking run.
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e"); false
-      }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // operators persist shared intermediates; drop them between queries
-      // so one query's cache residue can't distort the next measurement.
-      // Streaming queries leave memory-sink tables behind — driver-heap
-      // residents that accumulate across the run; drop those too.
-      spark.catalog.clearCache()
-      spark.catalog.listTables().collect()
-        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
-      name -> (if (ok) elapsed else -1.0)
+    // A failed run must NOT masquerade as a timing: it records -1 and the
+    // query lands in "errors" (median is over the successful runs only,
+    // so one flaky failure doesn't hide two good timings — but ANY
+    // failure is reported).
+    val e2eRuns =
+      scala.collection.mutable.ArrayBuffer[graft.queries.CdcQueries.E2eStats]()
+    val results: Seq[(String, Seq[Double])] = queries.toSeq.map {
+      case (name, fn) =>
+        val times = (0 until runs).map { _ =>
+          graft.queries.CdcQueries.lastE2eStats = None
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e"); false
+          }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // operators persist shared intermediates; drop them between
+          // runs so one run's cache residue can't distort the next.
+          // Streaming queries leave memory-sink tables behind —
+          // driver-heap residents that accumulate; drop those too.
+          spark.catalog.clearCache()
+          spark.catalog.listTables().collect()
+            .filter(_.isTemporary)
+            .foreach(t => spark.catalog.dropTempView(t.name))
+          graft.queries.CdcQueries.lastE2eStats.foreach(e2eRuns += _)
+          if (ok) elapsed else -1.0
+        }
+        name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // phase 2 headline: bulk load (initial replication), same medians
+    val bulkTimes = (0 until runs).map(_ => bulkLoad(spark, sfDir, shards = 4))
+    val bulkRows = bulkTimes.headOption.map(_._1).getOrElse(0L)
+    val bulkMed = median(bulkTimes.map(_._2))
+    val bulkRate = if (bulkMed > 0) bulkRows / bulkMed else 0.0
+
+    // ANN recall@3 vs the exact baseline — deterministic, computed once
+    val recall =
+      try graft.queries.SimilarityQueries.annRecall(spark, sfDir, k = 3)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] recall FAILED: $e"); Map.empty[String, Double]
+      }
+    spark.catalog.clearCache()
+
+    def fmtD(v: Double): String = {
+      val s = "%.6f".format(v)
+      if (s.contains("nan") || s.contains("inf")) "-1" else s
+    }
+    val meds = results.map { case (k, v) => k -> median(v) }
+    val qs = meds.map { case (k, v) => s"\"$k\":${fmtD(v)}" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val stats = results.map { case (k, v) =>
+      s"\"$k\":{\"med\":${fmtD(median(v))},\"min\":${fmtD(v.min)}," +
+        s"\"max\":${fmtD(v.max)},\"runs\":[${v.map(fmtD).mkString(",")}]}"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v) if v.exists(_ < 0) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    // headline vs the reference's ~20k events/s realtime claim: the e2e
-    // query reports pipeline-only time (fixture synthesis split out)
-    val e2e = graft.queries.CdcQueries.lastE2eStats.map(s =>
-      s""","events_per_sec":${math.round(s.eventsPerSec)}""" +
-        s""","e2e":{"events":${s.events},"fixture_sec":${s.fixtureSec},""" +
-        s""""pipeline_sec":${s.pipelineSec}}""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors$e2e,"sf":"$sfDir"}""")
+    val total = meds.collect { case (_, v) if v >= 0 => v }.sum
+    val recallJson = recall.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":${fmtD(v)}" }.mkString("{", ",", "}")
+    // realtime headline vs the reference's ~20k events/s claim: median
+    // pipeline-time run of cdc_e2e_replicate (fixture synthesis split out)
+    val e2e = e2eRuns.sortBy(_.pipelineSec).toSeq match {
+      case Seq() => ""
+      case rs =>
+        val s = rs(rs.size / 2)
+        s""","events_per_sec":${math.round(s.eventsPerSec)}""" +
+          s""","e2e":{"events":${s.events},"fixture_sec":${fmtD(s.fixtureSec)},""" +
+          s""""pipeline_sec":${fmtD(s.pipelineSec)},"runs":${rs.size}}"""
+    }
+    // summary fields LAST: a tail-truncated stdout capture keeps them
+    val json =
+      s"""{"queries":$qs,"query_stats":$stats,"errors":$errors,""" +
+        s""""recall":$recallJson,""" +
+        s""""bulk":{"rows":$bulkRows,"med_sec":${fmtD(bulkMed)},""" +
+        s""""runs":[${bulkTimes.map(t => fmtD(t._2)).mkString(",")}]}""" +
+        s"""$e2e,"bulk_rows_per_sec":${math.round(bulkRate)},""" +
+        s""""runs_per_query":$runs,"bench_file":"$outPath",""" +
+        s""""metric":"total","value":${fmtD(total)},"unit":"sec","sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] full JSON written to $outPath")
+    println(json)
     spark.stop()
   }
 }

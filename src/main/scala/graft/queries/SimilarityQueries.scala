@@ -367,6 +367,35 @@ object SimilarityQueries {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** recall@k of an approximate ANN result against the exact top-k:
+    * mean over queries of |approx ∩ exact| / k. Both frames carry
+    * (query_id, neighbor_id, rnk); ranking columns differ (sim vs adist)
+    * but recall only counts neighbor-set overlap. */
+  def recallAtK(exact: org.apache.spark.sql.DataFrame,
+                approx: org.apache.spark.sql.DataFrame, k: Int): Double = {
+    val e = exact.filter(col("rnk") <= k).select("query_id", "neighbor_id")
+    val a = approx.filter(col("rnk") <= k).select("query_id", "neighbor_id")
+    val nQueries = e.select("query_id").distinct().count()
+    if (nQueries == 0) 0.0
+    else e.join(a, Seq("query_id", "neighbor_id")).count().toDouble /
+      (nQueries * k)
+  }
+
+  /** recall@k of every approximate ANN query vs `s_ann_topk`'s exact
+    * result on the same fixture — the oracles prove the approximate
+    * plans compute exactly what they claim; THIS measures how
+    * approximate they are (the number a recall/latency trade-off is
+    * tuned against). Tracked by RecallSpec floors and the bench JSON. */
+  def annRecall(s: org.apache.spark.sql.SparkSession, dir: String,
+                k: Int = 3): Map[String, Double] = {
+    val exact = defs("s_ann_topk")(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Seq("s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf", "s_ann_pq",
+        "s_ann_ivfpq")
+      .map(m => m -> recallAtK(exact, defs(m)(s, dir), k)).toMap
+    finally exact.unpersist(blocking = false)
+  }
+
   def oracles: Map[String, String] =
     staticOracles ++
       Option(ivfModels.get("s_ann_ivf"))
