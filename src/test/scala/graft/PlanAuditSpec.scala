@@ -17,18 +17,28 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Execute (AQE finalizes at runtime), then flatten every node,
-    * descending through adaptive wrappers and query-stage leaves. */
+  /** Flatten every node under `p`, descending through adaptive wrappers,
+    * query-stage leaves, and persist() boundaries. Each distinct cached
+    * plan is descended ONCE (identity-tracked): a cache scanned from two
+    * places must not double-count its subtree — "exactly one join"
+    * assertions would trip on the second scan of the same cache. */
+  private def flatten(p: SparkPlan,
+      seen: java.util.Set[SparkPlan] = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]()))
+      : Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan, seen)
+    case q: QueryStageExec => p +: flatten(q.plan, seen)
+    case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      if (seen.add(m.relation.cachedPlan))
+        p +: flatten(m.relation.cachedPlan, seen)
+      else Seq(p)
+    case other => other +: other.children.flatMap(flatten(_, seen))
+  }
+
+  /** Execute (AQE finalizes at runtime), then flatten every node. */
   private def nodes(df: DataFrame): Seq[SparkPlan] = {
     df.collect()
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
-      case q: QueryStageExec => p +: walk(q.plan)
-      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        p +: walk(m.relation.cachedPlan) // persist() boundaries hide subtrees
-      case other => other +: other.children.flatMap(walk)
-    }
-    walk(df.queryExecution.executedPlan)
+    flatten(df.queryExecution.executedPlan)
   }
 
   private def scansOf(ns: Seq[SparkPlan], table: String) =
@@ -232,6 +242,62 @@ class PlanAuditSpec extends SparkSpec {
       case _: BroadcastHashJoinExec | _: SortMergeJoinExec => true
       case p => p.nodeName.contains("ShuffledHashJoin")
     }, "no equi join on the cell id")
+  }
+
+  test("minhash: ONE banded self-join, band relation cached and read twice") {
+    val ns = nodes(SparkEntry.queries("d_minhash_lsh")(spark, dir))
+    // the b band keys are packed into one array and exploded — b separate
+    // joins would re-read (and re-aggregate) the minhash input b times
+    def keysOf(p: SparkPlan): Option[Seq[String]] = p match {
+      case j: BroadcastHashJoinExec => Some(j.leftKeys.map(_.toString))
+      case j: SortMergeJoinExec => Some(j.leftKeys.map(_.toString))
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        Some(j.leftKeys.map(_.toString))
+      case _ => None
+    }
+    val bandJoins = ns.flatMap(keysOf).filter(ks =>
+      ks.exists(_.startsWith("band#")) && ks.exists(_.startsWith("bk#")))
+    assert(bandJoins.size === 1,
+      s"expected ONE (band, key) self-join, got ${bandJoins.size}")
+    // both self-join sides must read the SAME cached (id, band, bk)
+    // relation — a refactor that un-persists it silently runs the whole
+    // shingle→minhash aggregation twice
+    val bandScans = ns.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        if m.relation.cachedPlan.output.map(_.name).toSet ==
+          Set("id", "band", "bk") => m
+    }
+    assert(bandScans.size >= 2,
+      s"banded relation not read from cache twice (${bandScans.size} scans)")
+    assert(bandScans.map(m =>
+      System.identityHashCode(m.relation.cachedPlan)).distinct.size === 1,
+      "self-join sides read different caches, not one shared banded cache")
+  }
+
+  test("lsh multi-probe: explode rides the probe side; corpus bucketed once") {
+    val ns = nodes(SparkEntry.queries("s_ann_lsh_probe")(spark, dir))
+    val joins = ns.collect {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.startsWith("bucket#")) => j
+    }
+    assert(joins.size === 1,
+      s"expected ONE bucket equi join, got ${joins.size}")
+    val j = joins.head
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val (buildSide, streamSide) = j.buildSide match {
+      case BuildLeft => (j.left, j.right)
+      case BuildRight => (j.right, j.left)
+    }
+    // the ×(bits+1) Hamming-1 probe explode must multiply ONLY the tiny
+    // broadcast query side; a Generate on the corpus side means the
+    // corpus is scanned/bucketed (bits+1) times — the exact shape that
+    // does not survive a 100× corpus
+    def hasGenerate(p: SparkPlan): Boolean =
+      flatten(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(hasGenerate(buildSide),
+      "probe explode missing from the broadcast query side")
+    assert(!hasGenerate(streamSide),
+      "corpus side gained an explode — it must be bucketed once")
   }
 
   test("point lookup: one bucket dir, filter pushed below the dedup agg") {
