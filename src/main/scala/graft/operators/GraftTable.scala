@@ -138,7 +138,57 @@ final class GraftTable(
     finally out.close()
     fs.delete(epochPtrPath, false)
     if (!fs.rename(tmp, epochPtrPath))
-      throw new java.io.IOException(s"compact: cannot publish epoch $e")
+      throw new java.io.IOException(s"cannot publish epoch $e")
+  }
+
+  // ------------------------------------------------------- staged loads
+
+  /** Staged (atomic-publish) bulk loads — the epoch twin of the
+    * reference's stage-in-a-temp-database-then-RENAME initial
+    * replication (db_replicator_initial.py:149-162): shards land in an
+    * UNPUBLISHED epoch dir, readers keep resolving the pinned current
+    * epoch (empty for a fresh table, the pre-migration rows otherwise),
+    * and [[publishStagedLoad]] flips the `meta/epoch` pointer once —
+    * a mid-load reader sees nothing-or-everything, never a partial
+    * table. `meta/staging` records the staging epoch so a crashed
+    * multi-shard load resumes into the SAME dir (its completed shards'
+    * files must stay where their markers say they are). */
+  private def stagingMetaPath = new Path(s"$metaDir/staging")
+
+  /** The unpublished staging epoch of an interrupted load, if any. */
+  def pendingStagedLoad(): Option[Int] =
+    if (!fs.exists(stagingMetaPath)) None
+    else {
+      val in = fs.open(stagingMetaPath)
+      Some((try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()).trim.toInt)
+    }
+
+  /** Begin (or resume) a staged load; returns the staging epoch. */
+  def beginStagedLoad(): Int = pendingStagedLoad().getOrElse {
+    // pin the pointer FIRST: with no pointer file, `currentEpoch` falls
+    // back to the max epoch dir present — which would resolve to the
+    // half-written staging dir the moment its first file lands
+    writeEpochPtr(currentEpoch)
+    val target = (listEpochs() :+ currentEpoch).max + 1
+    val out = fs.create(stagingMetaPath, true)
+    try out.write(target.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    target
+  }
+
+  /** [[append]] into an unpublished staging epoch — invisible to every
+    * reader until [[publishStagedLoad]]. */
+  def appendStaged(df: DataFrame, version: Long, epoch: Int): Unit =
+    writeBatch(df, version, deleted = false, epoch = Some(epoch))
+
+  /** Atomically publish a staged load: one pointer swap, then readers
+    * resolve the complete staging epoch. Idempotent — a crash between
+    * the swap and the staging-meta delete just re-runs both. */
+  def publishStagedLoad(epoch: Int): Unit = {
+    writeEpochPtr(epoch)
+    fs.delete(stagingMetaPath, false)
   }
 
   // ---------------------------------------------------------- meta/gens
@@ -240,8 +290,8 @@ final class GraftTable(
 
   private def currentGen: Int = gens.last.n
 
-  private def writeBatch(df: DataFrame, version: Long,
-                         deleted: Boolean): Unit = {
+  private def writeBatch(df: DataFrame, version: Long, deleted: Boolean,
+                         epoch: Option[Int] = None): Unit = {
     val stamped = align(df)
       .withColumn("_version", lit(version))
       .withColumn("_deleted", lit(deleted))
@@ -259,7 +309,8 @@ final class GraftTable(
           .write.partitionBy("_bucket")
       case None => stamped.write
     }
-    w.mode(SaveMode.Append).parquet(genDataPath(currentEpoch, currentGen))
+    w.mode(SaveMode.Append)
+      .parquet(genDataPath(epoch.getOrElse(currentEpoch), currentGen))
   }
 
   /** Upsert a batch of row images at `version` (reference insert +
@@ -445,8 +496,13 @@ final class GraftTable(
     w.mode(SaveMode.Overwrite).parquet(genDataPath(target, cur))
     writeEpochPtr(target)
     // previous epoch survives one cycle for in-flight readers; anything
-    // older — including partial epochs from crashed attempts — goes now
-    listEpochs().filter(x => x != target && x != e)
+    // older — including partial epochs from crashed attempts — goes now.
+    // An in-progress staged load (meta/staging present) keeps its epoch:
+    // the compactor is serialized with the writer, but nothing serializes
+    // it against an operator-driven bulk load on the same table.
+    val staging = pendingStagedLoad()
+    listEpochs()
+      .filter(x => x != target && x != e && !staging.contains(x))
       .foreach(x => fs.delete(new Path(epochDataDir(x)), true))
     // Superseded generation METADATA gets the same one-cycle grace as
     // the data dirs: a reader that resolved the pre-swap pointer still

@@ -101,12 +101,18 @@ object Snapshot {
       shardSubPredicates(pkCols, shards, k, subParts), props)
   }
 
-  /** Shard-resumable snapshot: the table is written as `shards`
-    * sequential per-shard append jobs, each committing a durable
-    * completion marker — a driver restart mid-snapshot redoes only the
-    * shards without markers, the reference's `(table, max_primary_key)`
-    * resume granularity (db_replicator_initial.py:183-192) re-expressed
-    * as deterministic shard predicates.
+  /** Shard-resumable, atomically-published snapshot: the table is
+    * written as `shards` sequential per-shard append jobs into an
+    * UNPUBLISHED staging epoch ([[GraftTable.beginStagedLoad]]), each
+    * committing a durable completion marker — a driver restart
+    * mid-snapshot redoes only the shards without markers, the
+    * reference's `(table, max_primary_key)` resume granularity
+    * (db_replicator_initial.py:183-192) re-expressed as deterministic
+    * shard predicates. When the LAST shard completes, one epoch-pointer
+    * swap publishes the whole table — the reference stages initial
+    * replication in a temp database and atomically renames it into
+    * place (db_replicator_initial.py:149-162) for the same reason: a
+    * reader during the load sees empty-or-complete, never partial.
     *
     * Exactly-once storage per shard: a failed shard job commits no files
     * (parquet's job-commit protocol), so the re-run appends its rows
@@ -127,14 +133,25 @@ object Snapshot {
     val dir = new org.apache.hadoop.fs.Path(markerDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    (0 until shards).foreach { k =>
-      val marker = new org.apache.hadoop.fs.Path(s"$markerDir/shard-$k")
-      if (!fs.exists(marker)) {
-        target.append(RecordConversion.convert(shardSource(k), schema,
-          config.mysqlTimezone), version)
-        fs.create(marker, true).close()
+    val missing = (0 until shards).filterNot(k =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$markerDir/shard-$k")))
+    if (missing.nonEmpty) {
+      // resumes the SAME staging epoch after a crash (meta/staging):
+      // completed shards' files must stay where their markers claim
+      val staging = target.beginStagedLoad()
+      missing.foreach { k =>
+        target.appendStaged(RecordConversion.convert(shardSource(k), schema,
+          config.mysqlTimezone), version, staging)
+        fs.create(new org.apache.hadoop.fs.Path(s"$markerDir/shard-$k"),
+          true).close()
       }
-    }
+      target.publishStagedLoad(staging)
+    } else
+      // every marker present but the load unpublished: the process died
+      // between the last marker write and the pointer swap — finish it.
+      // (If the staging meta is gone too, the publish already happened;
+      // a fresh staged epoch here would publish EMPTY over real data.)
+      target.pendingStagedLoad().foreach(target.publishStagedLoad)
     target
   }
 

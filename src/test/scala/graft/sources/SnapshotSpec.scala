@@ -71,6 +71,61 @@ class SnapshotSpec extends SparkSpec {
       === (1 to 120).map(i => (i.toLong, s"v$i")).toSet)
   }
 
+  test("atomic publish: a reader mid-snapshot sees empty, then everything") {
+    val rows = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val schema = graft.ddl.DdlParser.parse(
+      "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")
+      .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
+    val dir = tmpDir("graft-snap-at")
+    val markers = tmpDir("graft-snap-at-mk")
+    val shards = 3
+    // an independent reader handle on the same table root — the
+    // "user querying the warehouse during initial replication"
+    val reader = graft.operators.GraftTable(spark, dir,
+      schema.primaryKeys, schema.toStructType)
+    val observed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def src(k: Int) = {
+      // invoked just before shard k loads: shards 0..k-1 are already
+      // fully committed to the staging epoch at this point
+      observed += reader.read.count()
+      rows.filter(Snapshot.shardPredicate(Seq("id"), shards, k))
+    }
+    val t = Snapshot.runSharded(spark, schema, dir, markers, shards, src)
+    assert(observed.toSeq === Seq(0L, 0L, 0L),
+      s"mid-snapshot reader saw a partial table: $observed")
+    assert(t.read.count() === 100)
+    assert(reader.read.count() === 100) // pre-existing handles flip too
+  }
+
+  test("crash between last marker and publish: restart publishes, no re-read") {
+    val rows = (1 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val schema = graft.ddl.DdlParser.parse(
+      "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")
+      .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
+    val dir = tmpDir("graft-snap-pub")
+    val markers = tmpDir("graft-snap-pub-mk")
+    // simulate the crash state directly: both shards staged + marked,
+    // process died before the pointer swap
+    val t = graft.operators.GraftTable(spark, dir,
+      schema.primaryKeys, schema.toStructType)
+    val staging = t.beginStagedLoad()
+    t.appendStaged(rows, 0L, staging)
+    (0 until 2).foreach { k =>
+      new java.io.File(markers, s"shard-$k").createNewFile()
+    }
+    assert(t.read.count() === 0) // still unpublished
+    // restart: every marker present -> no shard may be re-read, but the
+    // pending staged load must be finished
+    val t2 = Snapshot.runSharded(spark, schema, dir, markers, 2,
+      k => fail(s"completed shard $k was re-read"))
+    assert(t2.read.count() === 60)
+    // a FURTHER restart (markers present, nothing pending) is a no-op —
+    // in particular it must not publish a fresh empty epoch over the data
+    val t3 = Snapshot.runSharded(spark, schema, dir, markers, 2,
+      k => fail(s"completed shard $k was re-read"))
+    assert(t3.read.count() === 60)
+  }
+
   test("shardSubPredicates: within-shard parallelism stays inside the shard") {
     val preds = Snapshot.shardSubPredicates(Seq("id"), shards = 4, k = 1,
       subParts = 3)
