@@ -62,7 +62,24 @@ final case class GraftConfig(
       * keyset-page size maps to the JDBC streaming-cursor `fetchsize` —
       * rows per wire round-trip, NOT a pagination unit (shard predicates
       * already bound each read). */
-    initialReplicationBatchSize: Int = 50000) {
+    initialReplicationBatchSize: Int = 50000,
+    /** Spool file rotation size (config.py:113
+      * `binlog_replicator.records_per_file`, default 100 000): a
+      * producer appending via [[graft.sources.EventSpool.writeRotating]]
+      * starts a new spool file every N records. */
+    spoolRecordsPerFile: Int = 100000,
+    /** Spool retention in seconds (config.py:114
+      * `binlog_replicator.binlog_retention_period`, default 43 200 =
+      * 12 h): fully-rotated spool files older than this are swept after
+      * micro-batches (binlog_replicator.py:288-298), the newest files
+      * always preserved as the restart replay window. */
+    spoolRetentionPeriod: Int = 43200) {
+
+  // the reference validates both keys at load time (config.py:120-130)
+  require(spoolRecordsPerFile > 0,
+    "binlog_replicator records_per_file should be positive")
+  require(spoolRetentionPeriod > 0,
+    "binlog_replicator binlog_retention_period should be positive")
 
   def postCommandsFor(db: String): Seq[String] =
     postInitialCommands.filter(p =>
@@ -201,6 +218,12 @@ object GraftConfig {
       },
       spoolDir = Option(root.get("binlog_replicator"))
         .flatMap(b => Option(b.get("data_dir"))).map(_.asText()),
+      spoolRecordsPerFile = Option(root.get("binlog_replicator"))
+        .flatMap(b => Option(b.get("records_per_file")))
+        .map(_.asInt()).getOrElse(100000),
+      spoolRetentionPeriod = Option(root.get("binlog_replicator"))
+        .flatMap(b => Option(b.get("binlog_retention_period")))
+        .map(_.asInt()).getOrElse(43200),
       initialReplicationThreads =
         Option(root.get("initial_replication_threads"))
           .map(_.asInt()).getOrElse(0),

@@ -95,6 +95,59 @@ object EventSpool {
     fs.delete(staging, true)
   }
 
+  // -------------------------------------------- rotation & retention
+
+  private val SpoolFileRe = """^(\d+)\.(?:json|parquet)$""".r
+
+  /** Next rotation index: max existing spool file number + 1 (reference
+    * `get_next_file_name`, binlog_replicator.py:276-286). */
+  def nextFileIndex(spoolDir: String): Int = {
+    val names = Option(new java.io.File(spoolDir).list())
+      .getOrElse(Array.empty[String])
+    val nums = names.flatMap(n =>
+      SpoolFileRe.findFirstMatchIn(n).map(_.group(1).toInt))
+    if (nums.isEmpty) 1 else nums.max + 1
+  }
+
+  /** Rotation-aware producer append (`binlog_replicator.
+    * records_per_file`, config.py:113): `lines` split into files of at
+    * most `recordsPerFile` records, numbered on from the existing spool
+    * contents — the reference's FileWriter starts a new `<n>.bin` every
+    * N records for the same reason: bounded file sizes keep both the
+    * retention sweep and the consumer's per-file progress granular.
+    * Returns the written file names. */
+  def writeRotating(spoolDir: String, lines: Seq[String],
+                    recordsPerFile: Int): Seq[String] = {
+    require(recordsPerFile > 0,
+      "binlog_replicator records_per_file should be positive")
+    val start = nextFileIndex(spoolDir)
+    lines.grouped(recordsPerFile).zipWithIndex.map { case (chunk, i) =>
+      val name = f"${start + i}%06d.json"
+      writeFile(spoolDir, name, chunk)
+      name
+    }.toSeq
+  }
+
+  /** Retention sweep (`binlog_replicator.binlog_retention_period`,
+    * binlog_replicator.py:288-298 `remove_old_files`): delete
+    * fully-rotated spool files whose modify time fell behind the
+    * retention period. The newest `preserve` files plus the in-progress
+    * one always survive regardless of age — the replay window a
+    * restarted consumer needs (reference PRESERVE_FILES_COUNT = 5 with
+    * the same last-file exclusion). Returns the deleted count. */
+  def sweepRetention(spoolDir: String, retentionSeconds: Int,
+                     nowMs: Long = System.currentTimeMillis(),
+                     preserve: Int = 5): Int = {
+    val files = Option(new java.io.File(spoolDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => SpoolFileRe.findFirstMatchIn(f.getName)
+        .map(m => (m.group(1).toLong, f)))
+      .sortBy(_._1)
+    files.dropRight(preserve + 1).count { case (_, f) =>
+      f.lastModified() <= nowMs - retentionSeconds * 1000L && f.delete()
+    }
+  }
+
   // ------------------------------------------------------- test/tool writer
 
   private def esc(s: String): String = "\"" + s.flatMap {

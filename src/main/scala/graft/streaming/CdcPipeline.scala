@@ -100,6 +100,13 @@ final class CdcPipeline(
   def attachCompactor(c: graft.operators.Compactor): Unit =
     compactor = Some(c)
 
+  /** Post-batch spool maintenance (retention sweep) — same serialization
+    * argument as the compactor: runs between micro-batches, never racing
+    * the file source's directory listing mid-batch. The hook owns its
+    * own interval guard. */
+  @volatile private var spoolSweeper: Option[() => Unit] = None
+  def attachSpoolSweeper(f: () => Unit): Unit = spoolSweeper = Some(f)
+
   def start(spoolDir: String, checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
             spoolFormat: String = EventSpool.FormatJson): StreamingQuery =
@@ -142,6 +149,7 @@ final class CdcPipeline(
       // the replay re-runs both — appends restamp the same versions and
       // compact is idempotent, so retry is safe
       compactor.foreach(_.tick())
+      spoolSweeper.foreach(_.apply())
     } finally batch.unpersist(blocking = false)
   }
 

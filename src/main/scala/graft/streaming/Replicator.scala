@@ -96,6 +96,22 @@ object Replicator {
           config.databaseMatches(d) && config.tableMatches(t) },
         key => pipeline.table(key._1, key._2),
         interval = config.optimizeInterval * 1000L))
+    // spool retention (binlog_replicator.binlog_retention_period): sweep
+    // fully-rotated spool files past the retention window after a batch,
+    // at most once a minute — the reference's remove_old_files cadence
+    // (binlog_replicator.py:288-298) folded into the micro-batch loop
+    if (config.spoolRetentionPeriod > 0) {
+      var lastSweep = 0L
+      pipeline.attachSpoolSweeper { () =>
+        val now = System.currentTimeMillis()
+        if (now - lastSweep >= 60000L) {
+          lastSweep = now
+          graft.sources.EventSpool.sweepRetention(spoolDir,
+            config.spoolRetentionPeriod, now)
+          ()
+        }
+      }
+    }
     (pipeline, pipeline.start(spoolDir, checkpointDir, trigger))
   }
 

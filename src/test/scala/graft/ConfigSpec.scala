@@ -51,6 +51,30 @@ class ConfigSpec extends AnyFunSuite {
     assert(d.optimizeInterval === 86400 && d.postInitialCommands.isEmpty)
   }
 
+  test("binlog_replicator rotation + retention keys parse (config.py:113-114)") {
+    val c = GraftConfig.fromYaml(
+      """binlog_replicator:
+        |  data_dir: '/home/user/binlog/'
+        |  records_per_file: 100000
+        |  binlog_retention_period: 43200
+        |""".stripMargin, Map.empty)
+    assert(c.spoolDir.contains("/home/user/binlog/"))
+    assert(c.spoolRecordsPerFile === 100000)
+    assert(c.spoolRetentionPeriod === 43200)
+    // defaults mirror the reference's BinlogReplicatorSettings
+    val d = GraftConfig.fromYaml("databases: d\n", Map.empty)
+    assert(d.spoolRecordsPerFile === 100000 && d.spoolRetentionPeriod === 43200)
+    // non-positive values are rejected at load, like config.py:120-130
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromYaml(
+        "binlog_replicator:\n  records_per_file: 0\n", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromYaml(
+        "binlog_replicator:\n  binlog_retention_period: -1\n", Map.empty)
+    }
+  }
+
   test("version_initial_value parses and offsets the stamp base") {
     val c = GraftConfig.fromYaml("version_initial_value: 1000000\n", Map.empty)
     assert(c.versionInitialValue === 1000000L)
