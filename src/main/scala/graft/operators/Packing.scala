@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chunk sequence packing — the step that turns a cleaned
+  * document corpus into fixed-size training windows: documents are
+  * concatenated in a deterministic shuffled order and the token stream
+  * is cut every `capacity` tokens. Each chunk is one training sequence;
+  * a document that straddles a cut is split across two sequences — the
+  * standard GPT-style pretraining packing, which wastes zero tokens to
+  * padding (vs. bin-packing variants that trade boundary splits for
+  * padding).
+  *
+  * Spark-first shape: ONE global concat order would serialize the whole
+  * corpus through a single window task, so the corpus is first split
+  * into `groups` independent packing streams by a deterministic
+  * id-derived key — each group packs its own token stream with a
+  * per-group running sum: one shuffle, |groups|-way parallel, no global
+  * barrier. At 100 TB, `groups` is a small multiple of the executor
+  * count and each group's window is an independent sorted run.
+  *
+  * Determinism: group = `pmod(id, groups)`; order inside a group =
+  * (md5(id), id) — a stable document shuffle (packing wants decorrelated
+  * neighbors, and file order correlates with source/time), so the same
+  * corpus packs identically on any cluster size or file layout, and an
+  * append only extends group tails.
+  */
+object Packing {
+
+  /** Chunk assignment per document: `(id, pack_group, n_tokens,
+    * chunk_id, chunk_offset, spans_boundary)` — `chunk_id`/`chunk_offset`
+    * locate the document's first token inside its group's chunk stream;
+    * `spans_boundary` marks documents split across two sequences.
+    * `idCol` must be integral (the group key is `pmod(id, groups)`). */
+  def packChunks(docs: DataFrame, idCol: String, tokenCount: Column,
+                 capacity: Int, groups: Int = 64): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(groups > 0, s"groups must be positive, got $groups")
+    val w = Window.partitionBy(col("pack_group"))
+      .orderBy(col("_h"), col(idCol))
+    val start = col("cum") - col("n_tokens") // group token offset of token 0
+    docs
+      .select(col(idCol), tokenCount.as("n_tokens"),
+        pmod(col(idCol), lit(groups)).cast("int").as("pack_group"),
+        Sampling.idHash(col(idCol)).as("_h"))
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .select(col(idCol), col("pack_group"), col("n_tokens"),
+        floor(start / capacity).cast("int").as("chunk_id"),
+        (start % capacity).cast("int").as("chunk_offset"),
+        (floor((col("cum") - 1) / capacity) >
+          floor(start / capacity)).as("spans_boundary"))
+  }
+}

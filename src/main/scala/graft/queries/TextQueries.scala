@@ -169,6 +169,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Sequence packing: the corpus concatenated in a deterministic
+    // shuffled order and cut every 256 tokens across 8 parallel packing
+    // streams — the concat-and-chunk step that turns cleaned documents
+    // into fixed-width pretraining sequences with zero padding waste.
+    "t_pack_chunks" -> { (s, dir) =>
+      graft.operators.Packing.packChunks(t(s, dir, "documents"), "doc_id",
+        size(TextAnalysis.tokens(col("text"))), capacity = 256, groups = 8)
+        .orderBy("doc_id")
+    },
+
     // TF-IDF keyword extraction — corpus-relative term weighting, the
     // standard "what is this document about" signal for filtering /
     // routing training data.
@@ -390,6 +400,22 @@ object TextQueries {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '33' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_pack_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS INT) AS pack_group,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, pack_group, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, pack_group, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST((cum - n_tokens) // 256 AS INT) AS chunk_id,
+        |  CAST((cum - n_tokens) % 256 AS INT) AS chunk_offset,
+        |  ((cum - 1) // 256) > ((cum - n_tokens) // 256) AS spans_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "t_stratified_sample" ->
       """SELECT lang, doc_id,
