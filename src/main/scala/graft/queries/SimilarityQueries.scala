@@ -119,6 +119,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF-PQ + exact re-rank: the ADC shortlist (codes only) is
+    // re-ranked by exact cosine over fetched vectors — the recipe that
+    // makes PQ recall usable (quantization picks candidates, floats
+    // pick winners). Frozen models feed the oracle's shortlist stage;
+    // the re-rank stage is plain SQL over embeddings.
+    "s_ann_ivfpq_rerank" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+      val pq = graft.operators.Pq.fit(emb, "vec_id", "embedding", m = 8,
+        ksub = 16, iters = 2)
+      ivfModels.put("s_ann_ivfpq_rerank", coarse)
+      pqModels.put("s_ann_ivfpq_rerank", pq)
+      graft.operators.Pq.ivfAdcRerankTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        coarse, pq, k = 3, nProbe = 2, shortlist = 50)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+
     // Embedding near-dup pairs, candidate-bounded by sign bucket.
     "s_embed_neardup" -> { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -333,8 +352,8 @@ object SimilarityQueries {
     * (ivf argmin) AND its PQ codes; queries get their two probe cells
     * AND their LUTs; the equi join on cell + the left-assoc ADC sum
     * mirror the Spark plan clause for clause. */
-  private def ivfPqSql(coarse: Ivf.Model,
-                       model: graft.operators.Pq.Model, k: Int): String = {
+  private def ivfPqRankedCtes(coarse: Ivf.Model,
+                              model: graft.operators.Pq.Model): String = {
     val m = model.m
     val slCols = (0 until m).map(s =>
       s"${pqSubScoreList(s, model)} AS sl$s").mkString(",\n  ")
@@ -348,7 +367,7 @@ object SimilarityQueries {
     val probeList = coarse.centroids.zipWithIndex
       .map { case (c, i) => s"{'d': ${ivfScoreExpr(c)}, 'cell': $i}" }
       .mkString("[", ",\n ", "]")
-    s"""WITH c0 AS (SELECT vec_id AS neighbor_id, ${ivfScoreList(coarse)} AS csl,
+    s"""c0 AS (SELECT vec_id AS neighbor_id, ${ivfScoreList(coarse)} AS csl,
        |  $slCols FROM embeddings),
        |cc AS (SELECT neighbor_id,
        |  CAST(list_position(csl, list_min(csl)) - 1 AS INT) AS cell,
@@ -362,10 +381,42 @@ object SimilarityQueries {
        |                     AND query_id <> neighbor_id),
        |ranked AS (SELECT query_id, neighbor_id, adist,
        |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY adist, neighbor_id) AS INT) AS rnk FROM s)
+       |      ORDER BY adist, neighbor_id) AS INT) AS rnk FROM s)""".stripMargin
+  }
+
+  private def ivfPqSql(coarse: Ivf.Model,
+                       model: graft.operators.Pq.Model, k: Int): String =
+    s"""WITH ${ivfPqRankedCtes(coarse, model)}
        |SELECT query_id, neighbor_id, adist, rnk FROM ranked
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
-  }
+
+  /** DuckDB twin of `Pq.ivfAdcRerankTopK`: the frozen-model ADC ranking
+    * nominates the shortlist, then the same exact-cosine formula as
+    * [[cosineSql]] re-ranks it. */
+  private def ivfPqRerankSql(coarse: Ivf.Model,
+                             model: graft.operators.Pq.Model, k: Int,
+                             shortlist: Int): String =
+    s"""WITH ${ivfPqRankedCtes(coarse, model)},
+       |short AS (SELECT query_id, neighbor_id FROM ranked
+       |          WHERE rnk <= $shortlist),
+       |un2 AS (SELECT sh.query_id, sh.neighbor_id,
+       |          unnest(qe.embedding) AS x, unnest(ce.embedding) AS y
+       |        FROM short sh
+       |        JOIN embeddings qe ON qe.vec_id = sh.query_id
+       |        JOIN embeddings ce ON ce.vec_id = sh.neighbor_id),
+       |ex AS (SELECT query_id, neighbor_id,
+       |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+       |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+       |       FROM un2 GROUP BY 1, 2),
+       |rr AS (SELECT query_id, neighbor_id,
+       |         round(dot / sqrt(nx * ny), 4) AS sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
+       |           AS INT) AS rnk
+       |       FROM ex)
+       |SELECT query_id, neighbor_id, sim, rnk FROM rr
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** recall@k of an approximate ANN result against the exact top-k:
     * mean over queries of |approx ∩ exact| / k. Both frames carry
@@ -391,7 +442,7 @@ object SimilarityQueries {
     val exact = defs("s_ann_topk")(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try Seq("s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf", "s_ann_pq",
-        "s_ann_ivfpq")
+        "s_ann_ivfpq", "s_ann_ivfpq_rerank")
       .map(m => m -> recallAtK(exact, defs(m)(s, dir), k)).toMap
     finally exact.unpersist(blocking = false)
   }
@@ -407,7 +458,12 @@ object SimilarityQueries {
       (for {
         coarse <- Option(ivfModels.get("s_ann_ivfpq"))
         pq <- Option(pqModels.get("s_ann_ivfpq"))
-      } yield "s_ann_ivfpq" -> ivfPqSql(coarse, pq, k = 3))
+      } yield "s_ann_ivfpq" -> ivfPqSql(coarse, pq, k = 3)) ++
+      (for {
+        coarse <- Option(ivfModels.get("s_ann_ivfpq_rerank"))
+        pq <- Option(pqModels.get("s_ann_ivfpq_rerank"))
+      } yield "s_ann_ivfpq_rerank" ->
+        ivfPqRerankSql(coarse, pq, k = 3, shortlist = 50))
 
   /** Shared CTE chain: sign-bucket → candidate pairs → cosine-verified
     * `epairs` (threshold 0.3) — the DuckDB twin of

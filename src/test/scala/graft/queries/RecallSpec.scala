@@ -28,20 +28,25 @@ class RecallSpec extends SparkSpec {
     "s_ann_lsh_probe" -> 0.30,
     "s_ann_ivf" -> 0.40,
     "s_ann_pq" -> 0.05,
-    "s_ann_ivfpq" -> 0.10)
+    "s_ann_ivfpq" -> 0.10,
+    "s_ann_ivfpq_rerank" -> 0.30)
 
   test("recall@3 of every ANN method clears its recorded floor") {
     assume(new java.io.File(s"$fixture/embeddings.parquet").exists(),
       "testdata fixture not present")
     val recall = SimilarityQueries.annRecall(spark, fixture, k = 3)
+    info(recall.toSeq.sortBy(_._1)
+      .map { case (m, r) => f"$m=$r%.3f" }.mkString(", "))
     assert(recall.keySet === floors.keySet)
     floors.foreach { case (m, floor) =>
       assert(recall(m) >= floor,
         s"$m recall ${recall(m)} fell below its floor $floor")
     }
     // the recall levers must actually lever: multi-probe beats
-    // single-bucket LSH, and IVF cell-probe beats code-only PQ
+    // single-bucket LSH, IVF cell-probe beats code-only PQ, and the
+    // exact re-rank beats the raw ADC ranking it shortlists from
     assert(recall("s_ann_lsh_probe") > recall("s_ann_lsh"))
     assert(recall("s_ann_ivf") > recall("s_ann_pq"))
+    assert(recall("s_ann_ivfpq_rerank") > recall("s_ann_ivfpq"))
   }
 }
