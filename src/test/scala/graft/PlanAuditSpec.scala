@@ -300,6 +300,19 @@ class PlanAuditSpec extends SparkSpec {
       "corpus side gained an explode — it must be bucketed once")
   }
 
+  test("ivf-pq rerank: shortlist broadcasts; corpus never sort-merges") {
+    val ns = nodes(SparkEntry.queries("s_ann_ivfpq_rerank")(spark, dir))
+    // the exact re-rank must ride broadcast joins (shortlist ids and
+    // query vectors are tiny); a sort-merge here means the full corpus
+    // shuffled its float vectors for a |Q|·shortlist-row join
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "rerank degraded to a sort-merge join over the corpus")
+    assert(!ns.exists(p => p.nodeName.contains("CartesianProduct")),
+      "rerank planned a cartesian product")
+    assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "shortlist/query sides did not broadcast")
+  }
+
   test("point lookup: one bucket dir, filter pushed below the dedup agg") {
     import org.apache.spark.sql.types._
     import spark.implicits._
