@@ -28,17 +28,32 @@ final class Compactor(
     clock: () => Long = () => System.currentTimeMillis()) {
 
   private val lastRun = mutable.Map.empty[(String, String), Long]
+  private val lastCount = mutable.Map.empty[(String, String), Long]
 
-  /** Compact the least-recently-compacted table whose interval elapsed.
-    * Returns the table compacted, None when everything is fresh. */
+  /** Compact the least-recently-compacted CHANGED table whose interval
+    * elapsed. Returns the table compacted, None when everything is
+    * fresh or idle.
+    *
+    * Churn guard: an idle table's FINAL materialization is exactly what
+    * the last compaction wrote — rewriting it again is pure write
+    * amplification (at 100 TB, a daily full rewrite of a table nobody
+    * touched). One metadata file-count listing decides; a skipped idle
+    * table re-arms its interval, so a quiet table costs one listing per
+    * interval, not one per tick. */
   def tick(): Option[(String, String)] = {
     val now = clock()
     val due = tables()
       .filter(k => now - lastRun.getOrElse(k, Long.MinValue / 2) >= interval)
       .sortBy(k => lastRun.getOrElse(k, Long.MinValue))
-    due.headOption.map { k =>
+    val changed = due.find { k =>
+      val busy = lastCount.get(k).forall(_ != handleOf(k).dataFileCount)
+      if (!busy) lastRun(k) = now
+      busy
+    }
+    changed.map { k =>
       handleOf(k).compact()
       lastRun(k) = now
+      lastCount(k) = handleOf(k).dataFileCount
       k
     }
   }

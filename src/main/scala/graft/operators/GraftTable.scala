@@ -451,6 +451,25 @@ final class GraftTable(
     if (parts.isEmpty) emptyLog else parts.reduce(_ unionByName _)
   }
 
+  /** Parquet data files in the current epoch — the compaction churn
+    * signal: one metadata-only recursive listing, no data read. Appends
+    * and compactions both change it; an unchanged count since the last
+    * compact means the FINAL materialization is unchanged too. */
+  def dataFileCount: Long = {
+    val e = currentEpoch
+    gens.map { g =>
+      val p = new Path(genDataPath(e, g.n))
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext)
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        n
+      }
+    }.sum
+  }
+
   /** Max stamped version (reference version-counter consolidation,
     * clickhouse_api.py:444-467). -1 when empty. */
   def maxVersion: Long = {

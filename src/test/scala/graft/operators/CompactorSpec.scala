@@ -27,12 +27,43 @@ class CompactorSpec extends SparkSpec {
     assert(c.tick() === Some(("db", "b")))
     assert(c.tick() === None)              // everything fresh
     now += 150
-    assert(c.tick() === Some(("db", "a"))) // interval elapsed, oldest first
+    // new churn on both: interval elapsed, oldest-compacted first
+    ta.append(Seq((2L, "c")).toDF("id", "v"), 3)
+    tb.append(Seq((2L, "c")).toDF("id", "v"), 3)
+    assert(c.tick() === Some(("db", "a")))
     // a table created later joins the rotation immediately
     val tc = mk()
     known = known :+ (("db", "c") -> tc)
     assert(c.tick() === Some(("db", "c")))
     assert(c.tick() === Some(("db", "b")))
     assert(c.tick() === None)
+  }
+
+  test("idle tables are never rewritten: churn guard skips unchanged epochs") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val t = GraftTable(spark, tmpDir("graft-cmp-idle"), Seq("id"), schema)
+    t.append(Seq((1L, "a")).toDF("id", "v"), 1)
+    t.append(Seq((1L, "b")).toDF("id", "v"), 2)
+    var now = 1000L
+    val c = new Compactor(() => Seq(("db", "t")), _ => t,
+      interval = 100L, clock = () => now)
+    assert(c.tick() === Some(("db", "t")))
+    def epochs = new java.io.File(t.root).list().toSeq
+      .filter(_.startsWith("data")).sorted
+    val afterFirst = epochs
+    // intervals keep elapsing but nothing was written — no rewrite, no
+    // new epoch dir, ever
+    (1 to 3).foreach { _ =>
+      now += 1000
+      assert(c.tick() === None)
+      assert(epochs === afterFirst)
+    }
+    // churn re-enables compaction at the next elapsed interval
+    t.append(Seq((2L, "c")).toDF("id", "v"), 3)
+    now += 1000
+    assert(c.tick() === Some(("db", "t")))
+    assert(epochs !== afterFirst)
+    assert(t.read.count() === 2)
   }
 }
