@@ -64,6 +64,32 @@ object Sampling {
     if (w >= 1.0) "g"
     else f"${math.floor(math.max(0.0, w) * 4294967296.0).toLong}%08x"
 
+  /** Token-budget mixture sampling — rebalance a corpus to per-source
+    * TOKEN budgets: each source keeps ≈ budget/total of its rows via
+    * the same deterministic hash threshold as [[weightedSample]], with
+    * the keep-fraction DERIVED from the measured per-source token
+    * totals (one tiny aggregation, |sources| rows to the driver)
+    * instead of a hand-tuned weight. Sources at or under budget keep
+    * everything; sources without a budget keep nothing.
+    *
+    * Determinism across engines: the fraction → threshold math is
+    * exact IEEE-754 (`budget / total` division, ×2³² = a pure exponent
+    * shift, floor), so an engine recomputing it from the same totals
+    * lands on the identical hex cut — the SQL twin re-derives the
+    * thresholds rather than receiving them as literals. */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, sourceCol: String,
+                        tokenCount: Column,
+                        budgets: Map[String, Long]): DataFrame = {
+    val totals = docs.groupBy(col(sourceCol))
+      .agg(sum(tokenCount.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = budgets.toSeq.map { case (src, b) =>
+      src -> (if (totals.getOrElse(src, 0L) <= 0L) 1.0
+              else b.toDouble / totals(src))
+    }
+    docs.filter(weightedSample(col(idCol), col(sourceCol), weights))
+  }
+
   /** Deterministic stratified sample: the `k` ids with the smallest
     * [[idHash]] per group — a uniform-without-replacement sample that is
     * reproducible and incrementally stable (a new doc only enters the

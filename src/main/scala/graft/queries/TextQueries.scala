@@ -169,6 +169,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Token-budget rebalancing: each source sampled down to a target
+    // TOKEN count (keep-fraction derived from measured per-source
+    // totals, then the deterministic hash threshold) — the "hit the
+    // mixture spec in tokens, not documents" pass of a data recipe.
+    "t_token_budget" -> { (s, dir) =>
+      Sampling.tokenBudgetSample(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+        "doc_id", "source", col("n_tokens"),
+        budgets = Map("src0" -> 2000L, "src3" -> 100L,
+          "src7" -> 10000000L))
+        .orderBy("doc_id")
+    },
+
     // Sequence packing: the corpus concatenated in a deterministic
     // shuffled order and cut every 256 tokens across 8 parallel packing
     // streams — the concat-and-chunk step that turns cleaned documents
@@ -400,6 +415,30 @@ object TextQueries {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '33' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The oracle RE-DERIVES the per-source hex cut from the same totals
+    // (exact IEEE-754: budget/total division, ×2^32 exponent shift,
+    // floor), mirroring Sampling.weightHex including the w>=1 'g' case.
+    "t_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, SUM(n_tokens) AS t FROM d GROUP BY 1),
+        |thr AS (SELECT source,
+        |    CASE WHEN frac >= 1.0 THEN 'g'
+        |         ELSE printf('%08x',
+        |           CAST(floor(frac * 4294967296.0) AS BIGINT)) END AS cut
+        |  FROM (SELECT source,
+        |          CAST(CASE source WHEN 'src0' THEN 2000
+        |                           WHEN 'src3' THEN 100
+        |                           WHEN 'src7' THEN 10000000
+        |                           ELSE 0 END AS DOUBLE)
+        |            / CAST(t AS DOUBLE) AS frac
+        |        FROM tot))
+        |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
+        |FROM d JOIN thr USING (source)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
+        |ORDER BY doc_id""".stripMargin,
 
     "t_pack_chunks" ->
       """WITH d AS (SELECT doc_id,
