@@ -313,6 +313,19 @@ class PlanAuditSpec extends SparkSpec {
       "shortlist/query sides did not broadcast")
   }
 
+  test("packing: every running-sum window partitions by the pack group") {
+    val ns = nodes(SparkEntry.queries("t_pack_chunks")(spark, dir))
+    val windows = ns.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // an empty partitionSpec means Spark moved the WHOLE corpus through
+    // one window task — the exact serialization the groups split exists
+    // to prevent
+    assert(windows.nonEmpty, "no window exec found")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "global (unpartitioned) window would serialize the corpus")
+  }
+
   test("point lookup: one bucket dir, filter pushed below the dedup agg") {
     import org.apache.spark.sql.types._
     import spark.implicits._

@@ -51,6 +51,25 @@ class CdcPipelineSpec extends SparkSpec {
     assert(got === Set((1, "ann3", 32L), (3, "carl", 22L)))
   }
 
+  test("corrupt spool lines are dropped; surrounding events still apply") {
+    val (pipeline, _) = mkPipeline()
+    val spool = tmpDir("graft-spool-corrupt")
+    // a truncated JSON object, plain garbage, and a valid-JSON event
+    // with no `op` — none may kill the stream or masquerade as DML
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30))),
+      """{"seq":2,"db":"d","table":"users","op":"AD""", // truncated
+      "not json at all",
+      """{"seq":3,"db":"d","table":"users"}""", // no op
+      eventJson(4, "d", "users", OpAdd, row = Some(row(2, "bob", 40)))))
+    val q = pipeline.start(spool, tmpDir("graft-ckpt-corrupt"),
+      Trigger.ProcessingTime("50 milliseconds"))
+    try q.processAllAvailable() finally q.stop()
+    val got = pipeline.table("users").read
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1, "ann", 30L), (2, "bob", 40L)))
+  }
+
   test("DDL mid-stream: flush barrier + schema evolution (D3/D9 order)") {
     val (pipeline, registry) = mkPipeline()
     val spool = tmpDir("graft-spool2")
