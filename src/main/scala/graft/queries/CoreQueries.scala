@@ -405,6 +405,38 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
+    // Strict-order conversion funnel over the event stream: first
+    // signup, first view within 7 days AFTER it, first purchase within
+    // 7 days after THAT view. Each stage is a min-aggregate + re-join
+    // on the user key — the same partitioning every stage reuses; no
+    // window over the whole stream, no event-pair explosion. Stage
+    // math runs on whole-second longs: Spark reads the parquet ns
+    // column exactly while DuckDB truncates it to µs at scan, so
+    // seconds are the finest granularity both engines agree on
+    // bit-for-bit (the package doc's tsSeconds rule, applied to
+    // arithmetic, not just output).
+    "q_funnel_signup_view_purchase" -> { (s, dir) =>
+      val week = 604800L // 7 days in seconds
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000000000").as("ts_s"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_s").as("t_signup"))
+      val view = ev.filter(col("event_type") === "view")
+        .join(signup, "user_id")
+        .filter(col("ts_s") > col("t_signup") &&
+          col("ts_s") <= col("t_signup") + week)
+        .groupBy("user_id").agg(min("ts_s").as("t_view"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .join(view, "user_id")
+        .filter(col("ts_s") > col("t_view") &&
+          col("ts_s") <= col("t_view") + week)
+        .groupBy("user_id").agg(min("ts_s").as("t_purchase"))
+      signup.join(view, Seq("user_id"), "left")
+        .join(purchase, Seq("user_id"), "left")
+        .orderBy("user_id")
+    },
+
     // Discrete median (percentile family) with exact semantics: the
     // lower-median element per group selected by row_number — no
     // interpolation arithmetic, so Spark and DuckDB pick the identical
@@ -688,6 +720,26 @@ object CoreQueries {
          |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
          |HAVING SUM(l_quantity) > 300
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_funnel_signup_view_purchase" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_ns(ts) // 1000000000 AS ts_s
+        |           FROM events),
+        |s AS (SELECT user_id, MIN(ts_s) AS t_signup FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |v AS (SELECT e.user_id, MIN(e.ts_s) AS t_view
+        |      FROM e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'view' AND e.ts_s > s.t_signup
+        |        AND e.ts_s <= s.t_signup + 604800
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts_s) AS t_purchase
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts_s > v.t_view
+        |        AND e.ts_s <= v.t_view + 604800
+        |      GROUP BY 1)
+        |SELECT s.user_id, s.t_signup, v.t_view, p.t_purchase
+        |FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q_median_acctbal_by_segment" ->
       """SELECT c_mktsegment, cnt AS n_customers,
