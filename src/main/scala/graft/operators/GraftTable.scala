@@ -304,8 +304,14 @@ final class GraftTable(
         // collapsing into one writer task; files per batch ≈ buckets ×
         // salt, independent of input parallelism. The shuffle moves the
         // already-collapsed batch once — bounded by |keys|, not |events|.
+        // sortWithinPartitions(pk): parquet row-group min/max stats on
+        // the PK become tight disjoint ranges instead of whole-bucket
+        // spans, so a point lookup's pushed pk predicate skips row
+        // groups INSIDE the bucket file too — a per-partition sort of
+        // the already-collapsed batch, no extra shuffle.
         stamped.withColumn("_bucket", bucketExpr(col(k.name)))
           .repartition(col("_bucket"), pmod(hash(col(k.name)), lit(4)))
+          .sortWithinPartitions(col(k.name))
           .write.partitionBy("_bucket")
       case None => stamped.write
     }
@@ -508,8 +514,17 @@ final class GraftTable(
     // can only ever clobber a partial epoch, never a published one
     val target = (listEpochs() :+ e).max + 1
     val w = bucketKey match {
-      case Some(k) => keep.withColumn("_bucket", bucketExpr(col(k.name)))
-        .write.partitionBy("_bucket")
+      case Some(k) =>
+        // same (bucket, salt) co-location + pk sort as writeBatch: the
+        // FINAL aggregate leaves pk-hash partitioning, and writing THAT
+        // through partitionBy would open tasks × buckets files — the
+        // compacted epoch would carry more files than the appends it
+        // replaced. One extra shuffle of the collapsed image bounds it
+        // at buckets × salt, with tight per-row-group pk stats.
+        keep.withColumn("_bucket", bucketExpr(col(k.name)))
+          .repartition(col("_bucket"), pmod(hash(col(k.name)), lit(4)))
+          .sortWithinPartitions(col(k.name))
+          .write.partitionBy("_bucket")
       case None => keep.write
     }
     w.mode(SaveMode.Overwrite).parquet(genDataPath(target, cur))
