@@ -51,6 +51,40 @@ class ConfigSpec extends AnyFunSuite {
     assert(d.optimizeInterval === 86400 && d.postInitialCommands.isEmpty)
   }
 
+  test("the reference's example_config.yaml loads verbatim") {
+    // the exact shape of the reference repo's example_config.yaml —
+    // connection sections honored/ignored per the loader doc, globs,
+    // spool settings all land
+    val yaml =
+      """mysql:
+        |  host: 'localhost'
+        |  port: 8306
+        |  user: 'root'
+        |  password: 'root'
+        |  charset: 'utf8mb4'
+        |
+        |clickhouse:
+        |  host: 'localhost'
+        |  port: 8323
+        |  user: 'default'
+        |  password: 'default'
+        |
+        |binlog_replicator:
+        |  data_dir: '/home/user/binlog/'
+        |  records_per_file: 100000
+        |
+        |databases: 'database_name_pattern_*'
+        |""".stripMargin
+    val c = GraftConfig.fromYaml(yaml, Map.empty)
+    assert(c.mysql.contains(MySqlConn("localhost", 8306, "root", "root")))
+    assert(c.spoolDir.contains("/home/user/binlog/"))
+    assert(c.spoolRecordsPerFile === 100000)
+    assert(c.spoolRetentionPeriod === 43200) // reference default
+    assert(c.databaseMatches("database_name_pattern_x"))
+    assert(!c.databaseMatches("other_db"))
+    assert(c.tableMatches("anything")) // no tables key = replicate all
+  }
+
   test("binlog_replicator rotation + retention keys parse (config.py:113-114)") {
     val c = GraftConfig.fromYaml(
       """binlog_replicator:
