@@ -326,6 +326,18 @@ class PlanAuditSpec extends SparkSpec {
       "global (unpartitioned) window would serialize the corpus")
   }
 
+  test("funnel: stage joins stay hash joins; no event-pair explosion") {
+    val ns = nodes(
+      SparkEntry.queries("q_funnel_signup_view_purchase")(spark, dir))
+    assert(!ns.exists(p => p.nodeName.contains("BroadcastNestedLoopJoin") ||
+      p.nodeName.contains("CartesianProduct")),
+      "funnel stage degraded to a nested loop")
+    assert(ns.exists {
+      case _: BroadcastHashJoinExec | _: SortMergeJoinExec => true
+      case p => p.nodeName.contains("ShuffledHashJoin")
+    }, "no equi join on the user key")
+  }
+
   test("point lookup: one bucket dir, filter pushed below the dedup agg") {
     import org.apache.spark.sql.types._
     import spark.implicits._

@@ -33,4 +33,15 @@ class SamplingBudgetSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     assert(again.toSet === kept.toSet)
   }
+
+  test("raising a budget only grows the kept set (monotone mixtures)") {
+    def keptIds(budget: Long): Set[Long] =
+      Sampling.tokenBudgetSample(docs(), "id", "src", col("toks"),
+        budgets = Map("a" -> budget)).collect().map(_.getLong(0)).toSet
+    val low = keptIds(100L)
+    val high = keptIds(250L)
+    assert(low.subsetOf(high),
+      s"budget raise dropped ids: ${low -- high}")
+    assert(high.size > low.size) // and actually admitted more
+  }
 }
