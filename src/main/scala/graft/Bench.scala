@@ -133,24 +133,34 @@ object Bench {
         name -> times
     }
 
-    // phase 2 headline: bulk load (initial replication), same medians
-    val bulkTimes = (0 until runs).map(_ => bulkLoad(spark, sfDir, shards = 4))
-    val bulkRows = bulkTimes.headOption.map(_._1).getOrElse(0L)
+    // phase 2 headline: bulk load (initial replication), same medians.
+    // Skipped under SPARK_GRAFT_ONLY (cheap local iteration must not pay
+    // three snapshot loads), and a failed run records -1 like a failed
+    // query — one red phase must not destroy the run's other results.
+    val bulkTimes =
+      if (only.nonEmpty) Seq.empty
+      else (0 until runs).map { _ =>
+        try bulkLoad(spark, sfDir, shards = 4)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] bulk load FAILED: $e"); (0L, -1.0)
+        }
+      }
+    val bulkRows = bulkTimes.collectFirst { case (r, _) if r > 0 => r }
+      .getOrElse(0L)
     val bulkMed = median(bulkTimes.map(_._2))
-    val bulkRate = if (bulkMed > 0) bulkRows / bulkMed else 0.0
+    val bulkRate = if (bulkMed > 0 && bulkRows > 0) bulkRows / bulkMed else 0.0
 
     // ANN recall@3 vs the exact baseline — deterministic, computed once
     val recall =
-      try graft.queries.SimilarityQueries.annRecall(spark, sfDir, k = 3)
+      if (only.nonEmpty) Map.empty[String, Double]
+      else try graft.queries.SimilarityQueries.annRecall(spark, sfDir, k = 3)
       catch { case e: Throwable =>
         System.err.println(s"[bench] recall FAILED: $e"); Map.empty[String, Double]
       }
     spark.catalog.clearCache()
 
-    def fmtD(v: Double): String = {
-      val s = "%.6f".format(v)
-      if (s.contains("nan") || s.contains("inf")) "-1" else s
-    }
+    def fmtD(v: Double): String =
+      if (!java.lang.Double.isFinite(v)) "-1" else "%.6f".format(v)
     val meds = results.map { case (k, v) => k -> median(v) }
     val qs = meds.map { case (k, v) => s"\"$k\":${fmtD(v)}" }
       .mkString("{", ",", "}")

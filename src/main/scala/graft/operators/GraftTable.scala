@@ -172,9 +172,17 @@ final class GraftTable(
     // half-written staging dir the moment its first file lands
     writeEpochPtr(currentEpoch)
     val target = (listEpochs() :+ currentEpoch).max + 1
-    val out = fs.create(stagingMetaPath, true)
+    // tmp-write + rename, same crash contract as writeEpochPtr: a crash
+    // mid-write would otherwise leave an empty meta/staging whose
+    // trim.toInt throws on EVERY later pendingStagedLoad — bricking
+    // both compaction and snapshot resume until manual cleanup
+    val tmp = new Path(s"$metaDir/.staging.tmp")
+    val out = fs.create(tmp, true)
     try out.write(target.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(stagingMetaPath, false)
+    if (!fs.rename(tmp, stagingMetaPath))
+      throw new java.io.IOException(s"cannot reserve staging epoch $target")
     target
   }
 
@@ -511,8 +519,13 @@ final class GraftTable(
       struct(col("_version"), col("_deleted")))
       .filter(!col("_deleted"))
     // past any crashed attempt's leftovers, so SaveMode.Overwrite below
-    // can only ever clobber a partial epoch, never a published one
-    val target = (listEpochs() :+ e).max + 1
+    // can only ever clobber a partial epoch, never a published one.
+    // The pending staged epoch counts even though its DIR may not exist
+    // yet (meta/staging is written before the first staged parquet job):
+    // without it, compact could allocate the reserved number, publish
+    // old data AS the staging epoch, and the load's shards would then
+    // append into a live epoch — a permanently corrupted table.
+    val target = (listEpochs() ++ pendingStagedLoad() :+ e).max + 1
     val w = bucketKey match {
       case Some(k) =>
         // same (bucket, salt) co-location + pk sort as writeBatch: the

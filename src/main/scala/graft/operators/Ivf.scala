@@ -69,9 +69,13 @@ object Ivf {
     * source's embeddings and degrades cell balance corpus-wide. */
   private[operators] def hashSample(vecs: DataFrame, idCol: String,
                                     vecCol: String, target: Int): DataFrame = {
-    val total = vecs.count()
+    // count the rows the sample actually draws from — deriving the
+    // fraction from the raw count would undershoot the target on any
+    // corpus with null vectors (frac applied to fewer rows)
+    val nonNull = vecs.filter(col(vecCol).isNotNull)
+    val total = nonNull.count()
     val frac = if (total <= target) 1.0 else target.toDouble / total
-    vecs.filter(col(vecCol).isNotNull)
+    nonNull
       .select(Sampling.idHash(col(idCol)).as("_h"), col(vecCol))
       .filter(col("_h") < lit(Sampling.weightHex(frac)))
   }

@@ -47,7 +47,10 @@ object Packing {
         Sampling.idHash(col(idCol)).as("_h"))
       .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
       .select(col(idCol), col("pack_group"), col("n_tokens"),
-        floor(start / capacity).cast("int").as("chunk_id"),
+        // chunk_id stays LONG: at the trillions of tokens per group the
+        // scaladoc promises, an int cast would silently clamp the tail
+        // of a group into chunk 2^31-1
+        floor(start / capacity).cast("long").as("chunk_id"),
         (start % capacity).cast("int").as("chunk_offset"),
         (floor((col("cum") - 1) / capacity) >
           floor(start / capacity)).as("spans_boundary"))

@@ -451,7 +451,7 @@ object TextQueries {
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM d)
         |SELECT doc_id, pack_group, CAST(n_tokens AS INT) AS n_tokens,
-        |  CAST((cum - n_tokens) // 256 AS INT) AS chunk_id,
+        |  CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
         |  CAST((cum - n_tokens) % 256 AS INT) AS chunk_offset,
         |  ((cum - 1) // 256) > ((cum - n_tokens) // 256) AS spans_boundary
         |FROM c ORDER BY doc_id""".stripMargin,

@@ -28,7 +28,7 @@ class PackingFuzzSpec extends SparkSpec {
       val df = docs.toDF("id", "toks").repartition(5)
       val got = Packing.packChunks(df, "id", col("toks"), capacity, groups)
         .collect()
-        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3),
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getLong(3),
           r.getInt(4), r.getBoolean(5)))).toMap
       // naive reference: per group, sequential concat-and-chunk
       val expected = docs.groupBy { case (id, _) =>
@@ -39,7 +39,7 @@ class PackingFuzzSpec extends SparkSpec {
           .map { case (id, t) =>
             val start = cum
             cum += t
-            id -> (g.toInt, t, (start / capacity).toInt,
+            id -> (g.toInt, t, start / capacity,
               (start % capacity).toInt,
               (cum - 1) / capacity > start / capacity)
           }

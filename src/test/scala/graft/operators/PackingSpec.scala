@@ -17,7 +17,7 @@ class PackingSpec extends SparkSpec {
     val packed = Packing.packChunks(docs(), "id", col("toks"),
       capacity = 50, groups = 4).collect()
     packed.foreach { r =>
-      val (n, chunk, off, spans) = (r.getInt(2), r.getInt(3), r.getInt(4),
+      val (n, chunk, off, spans) = (r.getInt(2), r.getLong(3), r.getInt(4),
         r.getBoolean(5))
       assert(off >= 0 && off < 50)
       assert(chunk >= 0)
@@ -26,12 +26,11 @@ class PackingSpec extends SparkSpec {
     }
     // gap-free concat per group: doc starts tile the token stream
     packed.groupBy(_.getInt(1)).foreach { case (_, rows) =>
-      val starts = rows.map(r => r.getInt(3) * 50L + r.getInt(4)).sorted
+      val starts = rows.map(r => r.getLong(3) * 50L + r.getInt(4)).sorted
       val total = rows.map(_.getInt(2).toLong).sum
-      val expected = rows.map(_.getInt(2).toLong).sorted // sizes
       // walk: sorted starts must be the running sum of the doc sizes in
       // stream order — i.e. the stream has no holes and no overlaps
-      val sizesInOrder = rows.sortBy(r => r.getInt(3) * 50L + r.getInt(4))
+      val sizesInOrder = rows.sortBy(r => r.getLong(3) * 50L + r.getInt(4))
         .map(_.getInt(2).toLong)
       val cum = sizesInOrder.scanLeft(0L)(_ + _).init
       assert(starts === cum)
