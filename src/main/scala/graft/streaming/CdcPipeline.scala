@@ -129,7 +129,8 @@ final class CdcPipeline(
       // altitude (they mutate driver-side schema state anyway).
       val ddls = batch.filter(col("op") === EventSpool.OpQuery)
         .select("seq", "db", "query").collect()
-        .filter(r => r.isNullAt(1) || config.databaseMatches(r.getString(1)))
+        .filter(r => r.isNullAt(1) || config.databaseMatches(r.getString(1)) ||
+          ddlTargetsAdmittedDb(r.getString(2)))
         .sortBy(_.getLong(0))
 
       val dml = batch.filter(col("op") =!= EventSpool.OpQuery)
@@ -153,6 +154,28 @@ final class CdcPipeline(
     } finally batch.unpersist(blocking = false)
   }
 
+  /** A DDL from a non-replicated session db still applies when its
+    * statement explicitly qualifies a replicated db — migration tools
+    * connect to their own schema and run `ALTER TABLE shop.users ...`,
+    * and the binlog stamps the SESSION db on the Query event, not the
+    * statement target's: filtering on the session db alone would drop
+    * the ALTER and silently freeze the registry schema. Parse failures
+    * → false (the event is dropped exactly as the session filter would
+    * have dropped it). */
+  private def ddlTargetsAdmittedDb(sql: String): Boolean =
+    try DdlParser.parse(sql, config.typesMapping) match {
+      case DdlOp.CreateTable(d0, _) => d0.exists(config.databaseMatches)
+      case DdlOp.CreateTableLike(d0, _, _, _, _) =>
+        d0.exists(config.databaseMatches)
+      case DdlOp.AlterTable(d0, _, _) => d0.exists(config.databaseMatches)
+      case DdlOp.TruncateTable(d0, _) => d0.exists(config.databaseMatches)
+      case DdlOp.DropTable(d0, _, _) => d0.exists(config.databaseMatches)
+      case DdlOp.RenameTable(rs) => rs.exists { case ((fd, _), (td, _)) =>
+        fd.exists(config.databaseMatches) || td.exists(config.databaseMatches)
+      }
+      case _ => false
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Resolve an event's (db, table) to its registry key — exact match
     * first, then the bound default db (see class doc). None = the table
     * is not replicated (never created / filtered at create time). */
@@ -175,19 +198,44 @@ final class CdcPipeline(
   private def version(batchId: Long, segment: Int): Long =
     config.versionInitialValue + (((batchId + 1) << 20) | segment.toLong)
 
+  // one shared daemon pool for per-table parallel flushes — segments are
+  // serial (the micro-batch loop drives them), so every batch reuses it
+  // instead of constructing and tearing down a pool per segment
+  private lazy val flushEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8, (r: Runnable) => {
+        val t = new Thread(r, "graft-flush")
+        t.setDaemon(true)
+        t
+      }))
+
   private def flushSegment(dml: DataFrame, version: Long): Unit = {
     // one driver-side pass to learn which tables have traffic — bounded by
-    // table count, not row count
+    // table count, not row count. A null event db resolves to the bound
+    // default db, the same resolution DDL events get (class doc) — a
+    // producer omitting `db` must not silently lose rows.
     val active = dml.select("db", "table").distinct().collect()
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      .filter(r => config.databaseMatches(r.getString(0)) &&
-        config.tableMatches(r.getString(1)))
-      .flatMap { r =>
-        val (eventDb, tbl) = (r.getString(0), r.getString(1))
-        resolveTable(eventDb, tbl).map(key => key -> eventDb)
+      .filter(r => !r.isNullAt(1))
+      .map(r => (Option(r.getString(0)), r.getString(1)))
+      .filter { case (eventDb, tbl) =>
+        config.databaseMatches(eventDb.getOrElse(registry.defaultDb)) &&
+          config.tableMatches(tbl)
+      }
+      .flatMap { case (eventDb, tbl) =>
+        resolveTable(eventDb.getOrElse(registry.defaultDb), tbl)
+          .map(key => key -> eventDb)
       }
     // several event dbs can resolve to the same bound table — one flush
-    // per resolved key so a single LWW collapse covers the whole segment.
+    // per resolved key so a single LWW collapse covers the whole segment
+    def segmentOf(entries: Seq[Option[String]], tbl: String): DataFrame = {
+      val dbs = entries.flatten
+      val dbPred =
+        if (dbs.isEmpty) col("db").isNull
+        else if (entries.contains(None))
+          col("db").isNull || col("db").isin(dbs: _*)
+        else col("db").isin(dbs: _*)
+      dml.filter(dbPred && col("table") === tbl)
+    }
     // Tables flush CONCURRENTLY (bounded pool): each flush is its own
     // chain of Spark jobs, and with many replicated tables a sequential
     // loop leaves the cluster idle between small per-table stages — the
@@ -197,30 +245,36 @@ final class CdcPipeline(
     val groups = active.groupBy(_._1).toSeq
     if (groups.size <= 1)
       groups.foreach { case ((db, tbl), entries) =>
-        flushTable(dml.filter(col("db").isin(entries.map(_._2).toSeq: _*) &&
-          col("table") === tbl), db, tbl, version)
+        flushTable(segmentOf(entries.map(_._2).toSeq, tbl), db, tbl, version)
       }
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(groups.size, 8))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence(groups.map {
-        case ((db, tbl), entries) => Future {
-          flushTable(dml.filter(col("db").isin(entries.map(_._2).toSeq: _*) &&
-            col("table") === tbl), db, tbl, version)
-        }
-      }), Duration.Inf)
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = flushEc
+      val groupId = s"graft-flush-$version"
+      val futures = groups.map { case ((db, tbl), entries) => Future {
+        // the job group is thread-local: tag this flush's Spark jobs so
+        // a sibling failure can cancel them on the CLUSTER — a driver
+        // thread interrupt alone leaves already-submitted write jobs
+        // running into the directories the retry is about to reuse
+        spark.sparkContext.setJobGroup(groupId, s"flush $db.$tbl",
+          interruptOnCancel = true)
+        try flushTable(segmentOf(entries.map(_._2).toSeq, tbl), db, tbl,
+          version)
+        finally spark.sparkContext.clearJobGroup()
+      } }
+      try Await.result(Future.sequence(futures), Duration.Inf)
       catch { case e: Throwable =>
-        // one flush failed → the batch will be retried; interrupt the
-        // sibling flushes and WAIT for them, or orphan writers would
-        // race the retry's writes into the same table directories
-        pool.shutdownNow()
-        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        // one flush failed → the batch will be retried; cancel the
+        // sibling flushes' jobs and wait for EVERY future to settle, or
+        // orphan writers would race the retry's writes into the same
+        // table directories
+        spark.sparkContext.cancelJobGroup(groupId)
+        futures.foreach(f =>
+          try { Await.result(f, 10.minutes); () }
+          catch { case _: Throwable => () })
         throw e
       }
-      finally pool.shutdown()
     }
   }
 
@@ -243,20 +297,28 @@ final class CdcPipeline(
     // A1: LWW per PK across the whole segment (insert-then-delete of the
     // same key must resolve to the *last* op, db_replicator_realtime.py:123-177):
     // parse first, then collapse on the typed PKs.
+    // Metadata columns carry reserved names: a payload column named
+    // `seq` or `op` is legal MySQL and would otherwise make every
+    // downstream reference AMBIGUOUS; and fields are pulled out of the
+    // parsed struct with r(name) — col("r.name") would treat a dot in a
+    // column name as struct traversal.
+    val mseq = "__graft_seq"
+    val mop = "__graft_op"
     val parsed = events
-      .select(col("seq"), col("op"), from_json(col("row"), wire).as("r"))
-      .select(Seq(col("seq"), col("op")) ++
-        schema.fields.map(f => col(s"r.${f.name}").as(f.name)): _*)
+      .select(col("seq").as(mseq), col("op").as(mop),
+        from_json(col("row"), wire).as("r"))
+      .select(Seq(col(mseq), col(mop)) ++
+        schema.fields.map(f => col("r")(f.name).as(f.name)): _*)
     // persist: the collapse feeds four consumers (two emptiness probes +
     // the image append + the tombstone write) — without it each one
     // re-parses and re-shuffles the whole segment
     val collapsed = FinalView.latestByKey(parsed, schema.primaryKeys,
-      struct(col("seq")))
+      struct(col(mseq)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val adds = collapsed.filter(col("op") === EventSpool.OpAdd)
-        .drop("seq", "op")
-      val removes = collapsed.filter(col("op") === EventSpool.OpRemove)
+      val adds = collapsed.filter(col(mop) === EventSpool.OpAdd)
+        .drop(mseq, mop)
+      val removes = collapsed.filter(col(mop) === EventSpool.OpRemove)
         .select(schema.primaryKeys.map(col): _*)
 
       val converted = RecordConversion.convert(adds, schema,
@@ -281,30 +343,53 @@ final class CdcPipeline(
     * `registry.applyDdl(db, op, seq)` so an at-least-once replayed batch
     * re-applies no ALTER (the crash-loop scenario, ADVICE r2/r3). */
   private def applyDdl(seq: Long, eventDb: String, sql: String): Unit = {
-    val op = DdlParser.parse(sql, config.typesMapping)
+    val op =
+      try DdlParser.parse(sql, config.typesMapping)
+      catch { case scala.util.control.NonFatal(e) =>
+        // an unparseable statement must not kill the stream: the prime
+        // offender is CREATE TABLE without any primary key — a
+        // non-replicable scratch table (the reference's converter
+        // rejects PK-less tables the same way). Without this guard the
+        // parse failure crashes the batch BEFORE any admission check,
+        // and every restart replays the same event: permanent crash
+        // loop on a table that was never replicated. Log loudly; a
+        // replicated table with broken DDL surfaces as divergence, not
+        // as a dead stream.
+        System.err.println(
+          s"[graft] skipping unparseable DDL at seq=$seq: ${e.getMessage}" +
+            s" -- $sql")
+        DdlOp.Ignored
+      }
     // Explicit qualifier wins; else the db the table resolves to — the
     // same event-db resolution DML uses (class doc): an ALTER arriving
     // from an unregistered event db must reach the table it targets
     // under the bound default db, not be silently dropped.
     def resolved(d0: Option[String], t: String): String =
       d0.getOrElse(resolveTable(eventDb, t).map(_._1).getOrElse(eventDb))
-    // Config globs test *source* names. The event db was already admitted
-    // in processBatch; an explicit qualifier is checked here.
-    def admitted(d0: Option[String], t: String): Boolean =
-      d0.forall(config.databaseMatches) && config.tableMatches(t)
+    // Config globs test *source* names; the event db was already
+    // admitted in processBatch, an explicit qualifier is checked here.
+    // Schema TRACKING is deliberately broader than data admission: the
+    // registry records every table of an admitted db (cheap metadata),
+    // so a pt-osc/gh-ost swap can RENAME a ghost table the include-list
+    // filtered INTO an admitted name and carry the right schema with it.
+    // Storage/data operations stay gated on tableMatches.
+    def schemaAdmitted(d0: Option[String]): Boolean =
+      d0.forall(config.databaseMatches)
+    def dataAdmitted(d0: Option[String], t: String): Boolean =
+      schemaAdmitted(d0) && config.tableMatches(t)
 
     op match {
       case DdlOp.Ignored => ()
 
       case DdlOp.CreateTable(d0, s) =>
-        if (admitted(d0, s.name)) {
+        if (schemaAdmitted(d0)) {
           val d = d0.getOrElse(resolveDb(eventDb))
           registry.applyDdl(d, op, seq)
           invalidate(d, s.name)
         }
 
       case DdlOp.CreateTableLike(d0, t, _, _, _) =>
-        if (admitted(d0, t)) {
+        if (schemaAdmitted(d0)) {
           val d = d0.getOrElse(resolveDb(eventDb))
           registry.applyDdl(d, op, seq)
           invalidate(d, t)
@@ -312,7 +397,9 @@ final class CdcPipeline(
 
       case DdlOp.AlterTable(d0, t, _) =>
         val d = resolved(d0, t)
-        if (admitted(d0, t) && registry.contains(d, t)) {
+        // schema-level, not data-level: an ALTER of a filtered ghost
+        // table must be tracked or the post-swap schema is stale
+        if (schemaAdmitted(d0) && registry.contains(d, t)) {
           registry.applyDdl(d, op, seq)
           // schema changed → rebuild the handle; the table reconciles its
           // generation metadata (rename/retype → new gen) on next use
@@ -324,25 +411,31 @@ final class CdcPipeline(
         // data op, deliberately NOT seq-guarded: a replayed batch
         // re-flushes the DML around it, so the truncate must re-run in
         // event order too or earlier re-appended rows would survive it
-        if (admitted(d0, t) && registry.contains(d, t)) table(d, t).truncate()
+        if (dataAdmitted(d0, t) && registry.contains(d, t))
+          table(d, t).truncate()
 
       case DdlOp.DropTable(d0, t, _) =>
         val d = resolved(d0, t)
-        if (admitted(d0, t) && registry.contains(d, t)) {
+        if (schemaAdmitted(d0) && registry.contains(d, t)) {
           // storage first — the handle needs the still-registered schema;
-          // on replay `contains` is already false and the case is skipped
+          // on replay `contains` is already false and the case is skipped.
+          // drop() on a filtered table's never-materialized dir is a no-op.
           table(d, t).drop()
           registry.applyDdl(d, op, seq)
           invalidate(d, t)
         }
 
       case DdlOp.RenameTable(renames) =>
-        // resolve every side up front; keep only pairs whose source is a
-        // replicated table (filtered renames pass through untouched)
+        // resolve every side up front; keep pairs whose source is a
+        // TRACKED table and whose source OR target name is admitted —
+        // the pt-osc swap's second pair (`_users_new TO users`) renames
+        // a filtered ghost into an admitted name and must apply, or the
+        // swapped table silently stops replicating
         val applicable = renames.flatMap { case ((fromDb0, from), (toDb0, to)) =>
           val fromDb = resolved(fromDb0, from)
           val toDb = toDb0.getOrElse(fromDb)
-          if (admitted(fromDb0, from) && registry.contains(fromDb, from))
+          if (schemaAdmitted(fromDb0) && registry.contains(fromDb, from) &&
+              (config.tableMatches(from) || config.tableMatches(to)))
             Some(((fromDb, from), (toDb, to)))
           else None
         }
@@ -388,9 +481,21 @@ final class CdcPipeline(
                   if (!fs.rename(fromPath, toPath))
                     throw new java.io.IOException(
                       s"RENAME: cannot move $fromPath to $toPath")
-                } // else: moved, then crashed inside this pair's tiny
-                  // rename→marker window — later pairs had not run, so
-                  // the source name cannot have been re-created
+                } else if (!config.tableMatches(from) &&
+                    config.tableMatches(to))
+                  // ghost-table swap-in: the source was schema-tracked
+                  // but never materialized (its DML was filtered), so
+                  // the admitted name resumes with schema continuity but
+                  // no replicated history — the backfilled rows need a
+                  // re-run of initial replication; go-forward CDC
+                  // applies immediately either way
+                  System.err.println(s"[graft] RENAME $fromDb.$from -> " +
+                    s"$toDb.$to: swapped-in table has no replicated " +
+                    "history (source was filtered); re-run initial " +
+                    "replication to backfill it")
+                // else: moved, then crashed inside this pair's tiny
+                // rename→marker window — later pairs had not run, so
+                // the source name cannot have been re-created
                 fs.create(done, true).close()
               }
               invalidate(fromDb, from)

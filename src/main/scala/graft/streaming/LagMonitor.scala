@@ -60,6 +60,17 @@ final class LagMonitor extends StreamingQueryListener {
       observedAtMs = System.currentTimeMillis()))
   }
 
+  /** Spark 4 emits QueryIdleEvent (not a zero-row progress event) when a
+    * trigger finds no new data: idle means CAUGHT UP, so the observation
+    * clock must refresh or `lag_seconds` grows without bound on a
+    * healthy quiet stream and pages the on-call for a stall that does
+    * not exist. */
+  override def onQueryIdle(
+      e: StreamingQueryListener.QueryIdleEvent): Unit =
+    latest.computeIfPresent(e.id, (_, p) =>
+      p.copy(numInputRows = 0L,
+        observedAtMs = System.currentTimeMillis()))
+
   override def onQueryTerminated(
       e: StreamingQueryListener.QueryTerminatedEvent): Unit =
     latest.remove(e.id)

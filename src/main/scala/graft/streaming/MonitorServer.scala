@@ -55,11 +55,28 @@ final class MonitorServer(
   server.createContext("/restart_replication", (x: HttpExchange) =>
     restart match {
       case Some(hook) =>
-        hook()
-        reply(x, 200, """{"restarted":true}""")
+        // a throwing hook must still produce an HTTP response — the
+        // built-in server otherwise drops the connection and the ops
+        // client sees an empty reply with no record of the failure
+        try {
+          hook()
+          reply(x, 200, """{"restarted":true}""")
+        } catch {
+          case e: Throwable =>
+            reply(x, 500,
+              s"""{"error":${jsonStr(s"restart failed: ${e.getMessage}")}}""")
+        }
       case None =>
         reply(x, 501, """{"error":"no restart hook registered"}""")
     })
+
+  private def jsonStr(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   server.setExecutor(null) // serve on the dispatch thread; ops-rate traffic
   server.start()

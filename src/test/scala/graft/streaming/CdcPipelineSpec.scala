@@ -390,6 +390,11 @@ class CdcPipelineSpec extends SparkSpec {
 
   test("lag monitor (S12) reports batch progress for the stream") {
     val monitor = LagMonitor.attach(spark)
+    // idle events fire every 10 s by default — shrink so the idle-lag
+    // assertion below can observe one quickly
+    val idleKey = "spark.sql.streaming.noDataProgressEventInterval"
+    val prevIdle = spark.conf.getOption(idleKey)
+    spark.conf.set(idleKey, "200ms")
     try {
       val (pipeline, _) = mkPipeline()
       val spool = tmpDir("graft-spool-lag")
@@ -411,8 +416,22 @@ class CdcPipelineSpec extends SparkSpec {
         assert(p.get.numInputRows >= 1L)
         assert(p.get.batchDurationMs >= 0L)
         assert(p.get.lagSeconds() >= 0.0 && p.get.lagSeconds() < 60.0)
+        // Spark 4 emits QueryIdleEvent (not zero-row progress) when a
+        // trigger sees no data: idle = caught up, so after 3 s of quiet
+        // stream the lag must NOT have grown to ~3 s
+        Thread.sleep(3000)
+        val idle = monitor.progress(q.id).get
+        assert(idle.lagSeconds() < 2.0,
+          s"idle stream reported lag ${idle.lagSeconds()}s — " +
+            "QueryIdleEvent not refreshing the observation clock")
       } finally q.stop()
-    } finally spark.streams.removeListener(monitor)
+    } finally {
+      spark.streams.removeListener(monitor)
+      prevIdle match {
+        case Some(v) => spark.conf.set(idleKey, v)
+        case None => spark.conf.unset(idleKey)
+      }
+    }
   }
 
   test("W6: kill and resume — checkpoint + schema state survive a restart") {
@@ -586,6 +605,105 @@ class CdcPipelineSpec extends SparkSpec {
     assert(pipeline.table("users").read.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet ===
       Set((1, "ann2", 31L)))
+  }
+
+  test("PK-less scratch CREATE does not kill the stream (parse guard)") {
+    val (pipeline, _) = mkPipeline()
+    val spool = tmpDir("graft-spool-nopk")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd, row = Some(row(1, "ann", 30))),
+      // no primary key and no id column: unparseable as a replicated
+      // table — must be skipped, never crash-loop the stream
+      eventJson(2, "d", "scratch_tmp", OpQuery,
+        query = Some("CREATE TABLE scratch_tmp (a int, b varchar(5))")),
+      eventJson(3, "d", "users", OpAdd, row = Some(row(2, "bob", 40)))))
+    val q = pipeline.start(spool, tmpDir("graft-ckpt-nopk"),
+      Trigger.ProcessingTime("50 milliseconds"))
+    try q.processAllAvailable() finally q.stop()
+    assert(pipeline.table("users").read.count() === 2)
+  }
+
+  test("db-qualified DDL from a non-matching session db still applies") {
+    val registry = new SchemaRegistry
+    registry.applySql("prod",
+      "CREATE TABLE users (id int NOT NULL, name varchar(50), PRIMARY KEY(id))")
+    val pipeline = new CdcPipeline(spark,
+      GraftConfig(includeDatabases = Seq("prod")), registry,
+      tmpDir("graft-wh-qd"))
+    // a migration tool's session db is 'migrations' (binlog stamps the
+    // SESSION db on the Query event); the statement targets prod.users
+    val spool = tmpDir("graft-spool-qd")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(2, "migrations", "users", OpQuery,
+        query = Some("ALTER TABLE prod.users ADD COLUMN email varchar(100)"))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    assert(registry("prod", "users").fields.map(_.name).contains("email"),
+      "qualified ALTER was dropped by the session-db filter")
+  }
+
+  test("pt-osc swap under an include-list keeps the table replicating") {
+    val registry = new SchemaRegistry
+    registry.applySql(
+      "CREATE TABLE users (id int NOT NULL, name varchar(50), PRIMARY KEY(id))")
+    val pipeline = new CdcPipeline(spark,
+      GraftConfig(includeTables = Seq("users")), registry,
+      tmpDir("graft-wh-ptoscf"))
+    val spool = tmpDir("graft-spool-ptoscf")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "users", OpAdd,
+        row = Some("""{"id":"1","name":"ann"}""")),
+      // ghost table: a FILTERED name carrying the post-ALTER schema —
+      // its schema must still be tracked for the swap to make sense
+      eventJson(2, "d", "_users_new", OpQuery,
+        query = Some("""CREATE TABLE _users_new (id int NOT NULL,
+          | name varchar(50), email varchar(100),
+          | PRIMARY KEY(id))""".stripMargin)),
+      eventJson(3, "d", "users", OpQuery,
+        query = Some("RENAME TABLE users TO _users_old, _users_new TO users")),
+      // post-swap DML carries the new column and must land
+      eventJson(4, "d", "users", OpAdd,
+        row = Some("""{"id":"2","name":"bob","email":"b@x.io"}"""))))
+    val q = pipeline.start(spool, tmpDir("graft-ckpt-ptoscf"),
+      Trigger.ProcessingTime("50 milliseconds"))
+    try q.processAllAvailable() finally q.stop()
+    val got = pipeline.table("users").read
+    assert(got.columns.contains("email"),
+      "swapped-in schema lost (rename pair with filtered source dropped)")
+    // pre-swap history was archived with the swap; go-forward CDC applies
+    assert(got.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getString(2))).toSet === Set((2, "bob", "b@x.io")))
+  }
+
+  test("payload columns named seq/op replicate (reserved-name collision)") {
+    val registry = new SchemaRegistry
+    registry.applySql(
+      """CREATE TABLE log_entries (id int NOT NULL, seq bigint,
+        | op varchar(10), PRIMARY KEY(id))""".stripMargin)
+    val pipeline = new CdcPipeline(spark, GraftConfig(), registry,
+      tmpDir("graft-wh-seqcol"))
+    val spool = tmpDir("graft-spool-seqcol")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "d", "log_entries", OpAdd,
+        row = Some("""{"id":"1","seq":"99","op":"x"}""")),
+      eventJson(2, "d", "log_entries", OpAdd,
+        row = Some("""{"id":"1","seq":"100","op":"y"}"""))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    val got = pipeline.table("log_entries").read.collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+      === Set((1, 100L, "y")))
+  }
+
+  test("restart hook failure returns HTTP 500, not a dropped connection") {
+    val server = new MonitorServer(new LagMonitor, "127.0.0.1", 0,
+      restart = Some(() => throw new IllegalStateException("boom")))
+    try {
+      val conn = java.net.URI
+        .create(s"http://127.0.0.1:${server.port}/restart_replication")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 500)
+      val body = new String(conn.getErrorStream.readAllBytes(), "UTF-8")
+      assert(body.contains("boom"))
+    } finally server.stop()
   }
 
   test("db/table glob filtering (F1) drops excluded traffic") {
