@@ -160,7 +160,10 @@ object Bench {
     spark.catalog.clearCache()
 
     def fmtD(v: Double): String =
-      if (!java.lang.Double.isFinite(v)) "-1" else "%.6f".format(v)
+      if (!java.lang.Double.isFinite(v)) "-1"
+      // Locale.ROOT: the default-locale format would emit "1,500000" on
+      // comma-decimal JVMs and break every JSON consumer downstream
+      else String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     val meds = results.map { case (k, v) => k -> median(v) }
     val qs = meds.map { case (k, v) => s"\"$k\":${fmtD(v)}" }
       .mkString("{", ",", "}")

@@ -72,14 +72,16 @@ final case class GraftConfig(
       * `binlog_replicator.binlog_retention_period`, default 43 200 =
       * 12 h): fully-rotated spool files older than this are swept after
       * micro-batches (binlog_replicator.py:288-298), the newest files
-      * always preserved as the restart replay window. */
+      * always preserved as the restart replay window. 0 disables the
+      * sweep entirely (keep everything — replay-from-zero deployments). */
     spoolRetentionPeriod: Int = 43200) {
 
-  // the reference validates both keys at load time (config.py:120-130)
+  // the reference validates both keys at load time (config.py:120-130);
+  // retention additionally admits 0 = "never sweep"
   require(spoolRecordsPerFile > 0,
     "binlog_replicator records_per_file should be positive")
-  require(spoolRetentionPeriod > 0,
-    "binlog_replicator binlog_retention_period should be positive")
+  require(spoolRetentionPeriod >= 0,
+    "binlog_replicator binlog_retention_period should be non-negative")
 
   def postCommandsFor(db: String): Seq[String] =
     postInitialCommands.filter(p =>

@@ -28,7 +28,7 @@ final class Compactor(
     clock: () => Long = () => System.currentTimeMillis()) {
 
   private val lastRun = mutable.Map.empty[(String, String), Long]
-  private val lastCount = mutable.Map.empty[(String, String), Long]
+  private val lastSig = mutable.Map.empty[(String, String), Long]
 
   /** Compact the least-recently-compacted CHANGED table whose interval
     * elapsed. Returns the table compacted, None when everything is
@@ -37,8 +37,11 @@ final class Compactor(
     * Churn guard: an idle table's FINAL materialization is exactly what
     * the last compaction wrote — rewriting it again is pure write
     * amplification (at 100 TB, a daily full rewrite of a table nobody
-    * touched). One metadata file-count listing decides; a skipped idle
-    * table re-arms its interval, so a quiet table costs one listing per
+    * touched). One metadata listing decides — the fingerprint of
+    * (epoch, generation, file names + lengths), so TRUNCATE-reloads and
+    * metadata-only generation changes re-arm compaction even when the
+    * bare file COUNT happens to come back equal. A skipped idle table
+    * re-arms its interval, so a quiet table costs one listing per
     * interval, not one per tick. */
   def tick(): Option[(String, String)] = {
     val now = clock()
@@ -46,14 +49,14 @@ final class Compactor(
       .filter(k => now - lastRun.getOrElse(k, Long.MinValue / 2) >= interval)
       .sortBy(k => lastRun.getOrElse(k, Long.MinValue))
     val changed = due.find { k =>
-      val busy = lastCount.get(k).forall(_ != handleOf(k).dataFileCount)
+      val busy = lastSig.get(k).forall(_ != handleOf(k).compactionSignature)
       if (!busy) lastRun(k) = now
       busy
     }
     changed.map { k =>
       handleOf(k).compact()
       lastRun(k) = now
-      lastCount(k) = handleOf(k).dataFileCount
+      lastSig(k) = handleOf(k).compactionSignature
       k
     }
   }

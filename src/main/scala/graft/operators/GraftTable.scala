@@ -80,6 +80,14 @@ final class GraftTable(
   private val metaDir = s"$root/meta"
   val metaCols: Seq[String] = Seq("_version", "_deleted")
 
+  /** Per-table-root monitor serializing epoch allocation and pointer
+    * swaps between `compact()`, staged loads, and live writes. Keyed in
+    * the companion so every handle on the same table shares it — the
+    * deployment unit is one replicator process per source (same as the
+    * reference), so a JVM monitor is the right scope; cross-process
+    * coordination stays the operator's job, as documented on compact. */
+  private val epochLock: Object = GraftTable.epochLockFor(root)
+
   val payloadSchema: StructType = StructType(columns.map(_.toStructField))
 
   private def fs = new Path(root).getFileSystem(
@@ -165,8 +173,16 @@ final class GraftTable(
       finally in.close()).trim.toInt)
     }
 
-  /** Begin (or resume) a staged load; returns the staging epoch. */
-  def beginStagedLoad(): Int = pendingStagedLoad().getOrElse {
+  /** Begin (or resume) a staged load; returns the staging epoch.
+    * Holds the epoch lock so the reservation cannot race a concurrent
+    * `compact()`'s own `max + 1` allocation — without it both can pick
+    * the same number, and compact's Overwrite would clobber the staged
+    * shards (then publish old data AS the load). */
+  def beginStagedLoad(): Int = epochLock.synchronized {
+    beginStagedLoadLocked()
+  }
+
+  private def beginStagedLoadLocked(): Int = pendingStagedLoad().getOrElse {
     // pin the pointer FIRST: with no pointer file, `currentEpoch` falls
     // back to the max epoch dir present — which would resolve to the
     // half-written staging dir the moment its first file lands
@@ -193,8 +209,12 @@ final class GraftTable(
 
   /** Atomically publish a staged load: one pointer swap, then readers
     * resolve the complete staging epoch. Idempotent — a crash between
-    * the swap and the staging-meta delete just re-runs both. */
-  def publishStagedLoad(epoch: Int): Unit = {
+    * the swap and the staging-meta delete just re-runs both. The epoch
+    * lock keeps the swap from interleaving with a concurrent compact's
+    * own pointer swap (which would otherwise revert a just-published
+    * load to compacted PRE-load data and garbage-collect the staged
+    * epoch a cycle later). */
+  def publishStagedLoad(epoch: Int): Unit = epochLock.synchronized {
     writeEpochPtr(epoch)
     fs.delete(stagingMetaPath, false)
   }
@@ -298,8 +318,44 @@ final class GraftTable(
 
   private def currentGen: Int = gens.last.n
 
+  /** Epoch a LIVE write lands in: the pending staging epoch when a
+    * staged (re-)load is in flight, else the current epoch. Routing live
+    * CDC appends into the staging epoch during a load is what keeps the
+    * publish swap lossless — rows written to the soon-to-be-replaced
+    * epoch would become invisible at the swap and be deleted by the next
+    * compact, with the stream checkpoint already past them. Visibility
+    * of those rows is deferred until publish: the same pause the
+    * reference's stage-in-a-temp-db-then-RENAME imposes on readers
+    * (db_replicator_initial.py:149-162). */
+  private def liveWriteEpoch(): Int =
+    epochLock.synchronized(pendingStagedLoad().getOrElse(currentEpoch))
+
   private def writeBatch(df: DataFrame, version: Long, deleted: Boolean,
                          epoch: Option[Int] = None): Unit = {
+    epoch match {
+      case Some(e) => writeBatchTo(df, version, deleted, e)
+      case None =>
+        // resolve → write → re-check: a staged load that BEGAN or
+        // PUBLISHED while the parquet job ran would strand this batch in
+        // an epoch about to lose authority. Re-appending the same batch
+        // into the now-authoritative epoch is safe — exactly one epoch
+        // is ever visible, and identical images at the same version
+        // collapse in the FINAL view. Bounded retries: epoch authority
+        // moves only on begin/publish, not per-row.
+        var e = liveWriteEpoch()
+        var attempts = 0
+        var done = false
+        while (!done) {
+          writeBatchTo(df, version, deleted, e)
+          val now = liveWriteEpoch()
+          if (now == e || attempts >= 3) done = true
+          else { e = now; attempts += 1 }
+        }
+    }
+  }
+
+  private def writeBatchTo(df: DataFrame, version: Long, deleted: Boolean,
+                           epoch: Int): Unit = {
     val stamped = align(df)
       .withColumn("_version", lit(version))
       .withColumn("_deleted", lit(deleted))
@@ -324,7 +380,7 @@ final class GraftTable(
       case None => stamped.write
     }
     w.mode(SaveMode.Append)
-      .parquet(genDataPath(epoch.getOrElse(currentEpoch), currentGen))
+      .parquet(genDataPath(epoch, currentGen))
   }
 
   /** Upsert a batch of row images at `version` (reference insert +
@@ -465,10 +521,8 @@ final class GraftTable(
     if (parts.isEmpty) emptyLog else parts.reduce(_ unionByName _)
   }
 
-  /** Parquet data files in the current epoch — the compaction churn
-    * signal: one metadata-only recursive listing, no data read. Appends
-    * and compactions both change it; an unchanged count since the last
-    * compact means the FINAL materialization is unchanged too. */
+  /** Parquet data files in the current epoch — one metadata-only
+    * recursive listing, no data read. */
   def dataFileCount: Long = {
     val e = currentEpoch
     gens.map { g =>
@@ -482,6 +536,35 @@ final class GraftTable(
         n
       }
     }.sum
+  }
+
+  /** The compaction churn signal: a fingerprint of the current epoch's
+    * file LISTING (name + length per parquet file), mixed with the
+    * epoch and generation numbers. Same metadata-only listing cost as
+    * [[dataFileCount]], but change-complete where a bare count is not:
+    * a TRUNCATE-then-reload that happens to recreate the old file count
+    * still changes the fingerprint (parquet part files carry fresh UUID
+    * names), and a rename/retype ALTER — a new generation with zero new
+    * files — changes the generation component, so the gen-collapse
+    * rewrite compact() exists to perform is never suppressed on a
+    * write-quiet table. */
+  def compactionSignature: Long = {
+    val e = currentEpoch
+    var h = 1125899906842597L * (e + 1) + 31L * currentGen
+    gens.foreach { g =>
+      val p = new Path(genDataPath(e, g.n))
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet"))
+            // order-insensitive mix: listing order is fs-dependent
+            h += s.getPath.getName.hashCode.toLong * 1099511628211L +
+              s.getLen * 16777619L
+        }
+      }
+    }
+    h
   }
 
   /** Max stamped version (reference version-counter consolidation,
@@ -510,8 +593,15 @@ final class GraftTable(
     * so compact-vs-append cannot race by construction); readers need no
     * coordination at all — a plan that resolved the pointer before the
     * swap reads the previous epoch, which outlives it by a full
-    * compaction interval. */
-  def compact(): Unit = {
+    * compaction interval. The epoch lock additionally serializes the
+    * whole rewrite against staged loads in this process: epoch
+    * allocation, the Overwrite into the target dir, and the pointer
+    * swap can never interleave with beginStagedLoad/publishStagedLoad
+    * (a staged load in progress simply waits out the compaction, and
+    * vice versa). */
+  def compact(): Unit = epochLock.synchronized { compactLocked() }
+
+  private def compactLocked(): Unit = {
     if (!exists) return
     val e = currentEpoch
     val cur = currentGen
@@ -566,7 +656,7 @@ final class GraftTable(
 
   /** TRUNCATE: drop all data — every epoch — keep the table
     * (db_replicator_realtime.py:268-302). */
-  def truncate(): Unit = {
+  def truncate(): Unit = epochLock.synchronized {
     listEpochs().foreach(e => fs.delete(new Path(epochDataDir(e)), true))
     fs.delete(epochPtrPath, false)
   }
@@ -576,6 +666,14 @@ final class GraftTable(
 }
 
 object GraftTable {
+  /** One monitor per table root, shared by every handle in the process
+    * (see the field doc in the class). Weak-ish growth is fine: entries
+    * are one Object per distinct table path ever touched. */
+  private val epochLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def epochLockFor(root: String): Object =
+    epochLocks.computeIfAbsent(root, _ => new Object)
+
   /** Positional ids — for tables that never rename columns (snapshots,
     * tests, queries). CDC tables get registry-assigned ids instead. */
   def apply(spark: SparkSession, root: String, keys: Seq[String],

@@ -126,22 +126,39 @@ final class CdcPipeline(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // DDL events are rare and tiny — driver-side is the correct
-      // altitude (they mutate driver-side schema state anyway).
+      // altitude (they mutate driver-side schema state anyway). Each
+      // statement is parsed exactly ONCE here; admission and application
+      // share the same DdlOp, so they can never disagree on parser
+      // behavior (and a multi-tenant source's foreign-session DDL costs
+      // one parse per event, not one per check).
       val ddls = batch.filter(col("op") === EventSpool.OpQuery)
         .select("seq", "db", "query").collect()
-        .filter(r => r.isNullAt(1) || config.databaseMatches(r.getString(1)) ||
-          ddlTargetsAdmittedDb(r.getString(2)))
-        .sortBy(_.getLong(0))
+        .flatMap { r =>
+          val seq = r.getLong(0)
+          val sessionDb = if (r.isNullAt(1)) None else Some(r.getString(1))
+          val op =
+            if (sessionDb.forall(config.databaseMatches))
+              // session-admitted: unparseable → loud Ignored (crash-loop
+              // guard, see applyDdl doc)
+              Some(parseDdl(seq, r.getString(2)))
+            else
+              // foreign session db: admit only when the statement
+              // explicitly qualifies an admitted db; unparseable → drop
+              // silently, same as the session filter would have
+              (try Some(DdlParser.parse(r.getString(2), config.typesMapping))
+              catch { case scala.util.control.NonFatal(_) => None })
+                .filter(ddlTargetsAdmittedDb)
+          op.map(o => (seq, sessionDb.getOrElse(registry.defaultDb), o))
+        }
+        .sortBy(_._1)
 
       val dml = batch.filter(col("op") =!= EventSpool.OpQuery)
       var lo = Long.MinValue
       var segment = 0
-      ddls.foreach { ddl =>
-        val hi = ddl.getLong(0)
+      ddls.foreach { case (hi, eventDb, op) =>
         flushSegment(dml.filter(col("seq") > lo && col("seq") < hi),
           version(batchId, segment))
-        applyDdl(hi, Option(ddl.getString(1)).getOrElse(registry.defaultDb),
-          ddl.getString(2))
+        applyDdl(hi, eventDb, op)
         lo = hi
         segment += 1
       }
@@ -159,11 +176,9 @@ final class CdcPipeline(
     * connect to their own schema and run `ALTER TABLE shop.users ...`,
     * and the binlog stamps the SESSION db on the Query event, not the
     * statement target's: filtering on the session db alone would drop
-    * the ALTER and silently freeze the registry schema. Parse failures
-    * → false (the event is dropped exactly as the session filter would
-    * have dropped it). */
-  private def ddlTargetsAdmittedDb(sql: String): Boolean =
-    try DdlParser.parse(sql, config.typesMapping) match {
+    * the ALTER and silently freeze the registry schema. */
+  private def ddlTargetsAdmittedDb(op: DdlOp): Boolean =
+    op match {
       case DdlOp.CreateTable(d0, _) => d0.exists(config.databaseMatches)
       case DdlOp.CreateTableLike(d0, _, _, _, _) =>
         d0.exists(config.databaseMatches)
@@ -174,7 +189,7 @@ final class CdcPipeline(
         fd.exists(config.databaseMatches) || td.exists(config.databaseMatches)
       }
       case _ => false
-    } catch { case scala.util.control.NonFatal(_) => false }
+    }
 
   /** Resolve an event's (db, table) to its registry key — exact match
     * first, then the bound default db (see class doc). None = the table
@@ -252,23 +267,35 @@ final class CdcPipeline(
       import scala.concurrent.duration._
       implicit val ec: ExecutionContext = flushEc
       val groupId = s"graft-flush-$version"
+      val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
       val futures = groups.map { case ((db, tbl), entries) => Future {
-        // the job group is thread-local: tag this flush's Spark jobs so
-        // a sibling failure can cancel them on the CLUSTER — a driver
-        // thread interrupt alone leaves already-submitted write jobs
-        // running into the directories the retry is about to reuse
-        spark.sparkContext.setJobGroup(groupId, s"flush $db.$tbl",
-          interruptOnCancel = true)
-        try flushTable(segmentOf(entries.map(_._2).toSeq, tbl), db, tbl,
-          version)
-        finally spark.sparkContext.clearJobGroup()
+        // a queued flush must not START once a sibling has failed:
+        // cancelJobGroup reaches only already-running jobs, so with more
+        // groups than pool threads a queued future would otherwise
+        // submit fresh writes into directories the retry is about to
+        // reuse. The flag is checked at dequeue time — the doomed
+        // batch's remaining work is skipped, and the whole segment
+        // re-runs on replay anyway.
+        if (!aborted.get()) {
+          // the job group is thread-local: tag this flush's Spark jobs
+          // so a sibling failure can cancel them on the CLUSTER — a
+          // driver thread interrupt alone leaves already-submitted
+          // write jobs running into the directories the retry is about
+          // to reuse
+          spark.sparkContext.setJobGroup(groupId, s"flush $db.$tbl",
+            interruptOnCancel = true)
+          try flushTable(segmentOf(entries.map(_._2).toSeq, tbl), db, tbl,
+            version)
+          finally spark.sparkContext.clearJobGroup()
+        }
       } }
       try Await.result(Future.sequence(futures), Duration.Inf)
       catch { case e: Throwable =>
-        // one flush failed → the batch will be retried; cancel the
-        // sibling flushes' jobs and wait for EVERY future to settle, or
-        // orphan writers would race the retry's writes into the same
-        // table directories
+        // one flush failed → the batch will be retried; stop queued
+        // flushes from starting, cancel the running ones' jobs, and wait
+        // for EVERY future to settle, or orphan writers would race the
+        // retry's writes into the same table directories
+        aborted.set(true)
         spark.sparkContext.cancelJobGroup(groupId)
         futures.foreach(f =>
           try { Await.result(f, 10.minutes); () }
@@ -335,31 +362,33 @@ final class CdcPipeline(
     } finally collapsed.unpersist(blocking = false)
   }
 
+  /** Parse one session-admitted DDL statement; unparseable → Ignored,
+    * loudly. An unparseable statement must not kill the stream: the
+    * prime offender is CREATE TABLE without any primary key — a
+    * non-replicable scratch table (the reference's converter rejects
+    * PK-less tables the same way). Without this guard the parse failure
+    * crashes the batch BEFORE any admission check, and every restart
+    * replays the same event: permanent crash loop on a table that was
+    * never replicated. A replicated table with broken DDL surfaces as
+    * divergence, not as a dead stream. */
+  private def parseDdl(seq: Long, sql: String): DdlOp =
+    try DdlParser.parse(sql, config.typesMapping)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[graft] skipping unparseable DDL at seq=$seq: ${e.getMessage}" +
+          s" -- $sql")
+      DdlOp.Ignored
+    }
+
   /** Apply one DDL event (at event seq `seq`, from binlog session db
-    * `eventDb`). Mirrors the reference's `matches_config` early-returns
-    * (converter.py:711-724, db_replicator_realtime.py:226-251) — DDL
-    * against filtered or never-created tables must not kill the stream
-    * (ADVICE r1). Schema mutations go through the seq-guarded
-    * `registry.applyDdl(db, op, seq)` so an at-least-once replayed batch
-    * re-applies no ALTER (the crash-loop scenario, ADVICE r2/r3). */
-  private def applyDdl(seq: Long, eventDb: String, sql: String): Unit = {
-    val op =
-      try DdlParser.parse(sql, config.typesMapping)
-      catch { case scala.util.control.NonFatal(e) =>
-        // an unparseable statement must not kill the stream: the prime
-        // offender is CREATE TABLE without any primary key — a
-        // non-replicable scratch table (the reference's converter
-        // rejects PK-less tables the same way). Without this guard the
-        // parse failure crashes the batch BEFORE any admission check,
-        // and every restart replays the same event: permanent crash
-        // loop on a table that was never replicated. Log loudly; a
-        // replicated table with broken DDL surfaces as divergence, not
-        // as a dead stream.
-        System.err.println(
-          s"[graft] skipping unparseable DDL at seq=$seq: ${e.getMessage}" +
-            s" -- $sql")
-        DdlOp.Ignored
-      }
+    * `eventDb`), already parsed by processBatch. Mirrors the reference's
+    * `matches_config` early-returns (converter.py:711-724,
+    * db_replicator_realtime.py:226-251) — DDL against filtered or
+    * never-created tables must not kill the stream (ADVICE r1). Schema
+    * mutations go through the seq-guarded `registry.applyDdl(db, op,
+    * seq)` so an at-least-once replayed batch re-applies no ALTER (the
+    * crash-loop scenario, ADVICE r2/r3). */
+  private def applyDdl(seq: Long, eventDb: String, op: DdlOp): Unit = {
     // Explicit qualifier wins; else the db the table resolves to — the
     // same event-db resolution DML uses (class doc): an ALTER arriving
     // from an unregistered event db must reach the table it targets

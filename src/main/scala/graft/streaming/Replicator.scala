@@ -99,7 +99,8 @@ object Replicator {
     // spool retention (binlog_replicator.binlog_retention_period): sweep
     // fully-rotated spool files past the retention window after a batch,
     // at most once a minute — the reference's remove_old_files cadence
-    // (binlog_replicator.py:288-298) folded into the micro-batch loop
+    // (binlog_replicator.py:288-298) folded into the micro-batch loop.
+    // 0 = retention disabled (keep every spool file — replay-from-zero)
     if (config.spoolRetentionPeriod > 0) {
       var lastSweep = 0L
       pipeline.attachSpoolSweeper { () =>

@@ -107,6 +107,10 @@ class ConfigSpec extends AnyFunSuite {
       GraftConfig.fromYaml(
         "binlog_replicator:\n  binlog_retention_period: -1\n", Map.empty)
     }
+    // retention 0 = sweep disabled (replay-from-zero keeps everything)
+    assert(GraftConfig.fromYaml(
+      "binlog_replicator:\n  binlog_retention_period: 0\n", Map.empty)
+      .spoolRetentionPeriod === 0)
   }
 
   test("version_initial_value parses and offsets the stamp base") {

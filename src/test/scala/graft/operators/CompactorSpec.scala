@@ -66,4 +66,49 @@ class CompactorSpec extends SparkSpec {
     assert(epochs !== afterFirst)
     assert(t.read.count() === 2)
   }
+
+  test("TRUNCATE-then-reload re-arms the churn guard even at equal file count") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val t = GraftTable(spark, tmpDir("graft-cmp-tr"), Seq("id"), schema)
+    t.append(Seq((1L, "a")).toDF("id", "v"), 1)
+    t.append(Seq((1L, "b")).toDF("id", "v"), 2)
+    var now = 1000L
+    val c = new Compactor(() => Seq(("db", "t")), _ => t,
+      interval = 100L, clock = () => now)
+    assert(c.tick() === Some(("db", "t")))
+    val countBefore = t.dataFileCount
+    // truncate + reload recreating the SAME file count: part files carry
+    // fresh names, so the listing fingerprint must still change — a bare
+    // count comparison would declare the table idle forever
+    t.truncate()
+    t.append(Seq((1L, "x")).toDF("id", "v"), 3)
+    assert(t.dataFileCount === countBefore) // the trap this test pins
+    now += 1000
+    assert(c.tick() === Some(("db", "t")))
+    assert(t.read.collect().map(_.getString(1)).toSeq === Seq("x"))
+  }
+
+  test("a metadata-only generation change re-arms the churn guard") {
+    val cols = Seq(
+      GraftColumn(0, "id", LongType, nullable = true),
+      GraftColumn(1, "v", StringType, nullable = true))
+    val dir = tmpDir("graft-cmp-gen")
+    val t = GraftTable(spark, dir, Seq("id"), cols)
+    t.append(Seq((1L, "a")).toDF("id", "v"), 1)
+    var now = 1000L
+    var cur = t
+    val c = new Compactor(() => Seq(("db", "t")), _ => cur,
+      interval = 100L, clock = () => now)
+    assert(c.tick() === Some(("db", "t")))
+    now += 1000
+    assert(c.tick() === None) // idle
+    // RENAME COLUMN: a new generation with ZERO new data files — the
+    // gen-collapse rewrite must still run at the next interval
+    cur = GraftTable(spark, dir, Seq("id"),
+      Seq(cols.head, GraftColumn(1, "w", StringType, nullable = true)))
+    now += 1000
+    assert(c.tick() === Some(("db", "t")))
+    assert(cur.read.columns.toSeq === Seq("id", "w"))
+  }
 }

@@ -126,6 +126,54 @@ class SnapshotSpec extends SparkSpec {
     assert(t3.read.count() === 60)
   }
 
+  test("live CDC appends during a staged re-load survive the publish swap") {
+    val schema = graft.ddl.DdlParser.parse(
+      "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")
+      .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
+    val t = graft.operators.GraftTable(spark, tmpDir("graft-snap-live"),
+      schema.primaryKeys, schema.toStructType)
+    t.append(Seq((1L, "old")).toDF("id", "v"), 1L) // pre-migration state
+    val staging = t.beginStagedLoad()
+    t.appendStaged(Seq((1L, "snap"), (2L, "snap")).toDF("id", "v"), 0L,
+      staging)
+    // realtime flushes landing MID-load: routed into the staging epoch,
+    // not the doomed live epoch — lost forever otherwise (the stream
+    // checkpoint is already past them)
+    t.append(Seq((3L, "live")).toDF("id", "v"), 5L)
+    t.delete(Seq(Tuple1(2L)).toDF("id"), 6L)
+    // mid-load reader still sees exactly the pre-load state
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "old")))
+    t.publishStagedLoad(staging)
+    def state = t.read.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state === Set((1L, "snap"), (3L, "live")))
+    t.compact() // and compaction of the published epoch keeps them
+    assert(state === Set((1L, "snap"), (3L, "live")))
+  }
+
+  test("compact during a pending staged load: distinct epochs, publish wins") {
+    val schema = graft.ddl.DdlParser.parse(
+      "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")
+      .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
+    val t = graft.operators.GraftTable(spark, tmpDir("graft-snap-cmp"),
+      schema.primaryKeys, schema.toStructType)
+    t.append(Seq((1L, "a")).toDF("id", "v"), 1L)
+    t.append(Seq((1L, "b")).toDF("id", "v"), 2L)
+    val staging = t.beginStagedLoad()
+    t.appendStaged(Seq((1L, "snap")).toDF("id", "v"), 0L, staging)
+    // the compactor fires mid-load: must allocate an epoch DISTINCT from
+    // the staged one (same-number allocation would Overwrite the staged
+    // shards and publish old data as the load)
+    t.compact()
+    assert(t.read.collect().map(_.getString(1)).toSeq === Seq("b"))
+    t.publishStagedLoad(staging)
+    assert(t.read.collect().map(_.getString(1)).toSeq === Seq("snap"))
+    // the published epoch survives the next compaction cycle too
+    t.compact()
+    assert(t.read.collect().map(_.getString(1)).toSeq === Seq("snap"))
+  }
+
   test("shardSubPredicates: within-shard parallelism stays inside the shard") {
     val preds = Snapshot.shardSubPredicates(Seq("id"), shards = 4, k = 1,
       subParts = 3)
