@@ -54,9 +54,11 @@ final class Compactor(
       busy
     }
     changed.map { k =>
-      handleOf(k).compact()
+      // compact() returns the signature read under ITS lock: a staged
+      // publish interleaving here must not get folded into the idle
+      // baseline unseen
+      lastSig(k) = handleOf(k).compact()
       lastRun(k) = now
-      lastSig(k) = handleOf(k).compactionSignature
       k
     }
   }

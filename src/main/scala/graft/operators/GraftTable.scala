@@ -80,13 +80,18 @@ final class GraftTable(
   private val metaDir = s"$root/meta"
   val metaCols: Seq[String] = Seq("_version", "_deleted")
 
-  /** Per-table-root monitor serializing epoch allocation and pointer
-    * swaps between `compact()`, staged loads, and live writes. Keyed in
-    * the companion so every handle on the same table shares it — the
-    * deployment unit is one replicator process per source (same as the
-    * reference), so a JVM monitor is the right scope; cross-process
-    * coordination stays the operator's job, as documented on compact. */
-  private val epochLock: Object = GraftTable.epochLockFor(root)
+  /** Per-table-root monitor serializing epoch allocation, pointer
+    * swaps, and live writes between `compact()`, staged loads, and the
+    * realtime flush path. Keyed in the companion so every handle on the
+    * same table shares it — the deployment unit is one replicator
+    * process per source (same as the reference), so a JVM monitor is
+    * the right scope; cross-process coordination stays the operator's
+    * job, as documented on compact. Keyed on the fs-QUALIFIED path:
+    * `/wh/db/t`, `/wh/db/t/`, and `file:/wh/db/t` must share one
+    * monitor, not silently three. */
+  private val epochLock: Object = GraftTable.epochLockFor(
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new Path(root)).toString)
 
   val payloadSchema: StructType = StructType(columns.map(_.toStructField))
 
@@ -163,15 +168,27 @@ final class GraftTable(
     * files must stay where their markers say they are). */
   private def stagingMetaPath = new Path(s"$metaDir/staging")
 
-  /** The unpublished staging epoch of an interrupted load, if any. */
-  def pendingStagedLoad(): Option[Int] =
+  /** `meta/staging` content: line 1 the staging epoch, line 2 the live
+    * table's max `_version` when the load began (the PUBLISH BASELINE —
+    * rows stamped above it arrived after the load started and are
+    * lifted into the staging epoch at publish so the pointer swap loses
+    * nothing). A one-line legacy file parses with an infinite baseline:
+    * publish then lifts nothing, the pre-baseline behavior. */
+  private def stagingMeta(): Option[(Int, Long)] =
     if (!fs.exists(stagingMetaPath)) None
     else {
       val in = fs.open(stagingMetaPath)
-      Some((try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      val txt = (try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8)
-      finally in.close()).trim.toInt)
+      finally in.close()).trim
+      val lines = txt.split("\n").map(_.trim)
+      Some((lines(0).toInt,
+        if (lines.length > 1) lines(1).toLong else Long.MaxValue))
     }
+
+  /** The unpublished staging epoch of an interrupted load, if any. */
+  def pendingStagedLoad(): Option[Int] = stagingMeta().map(_._1)
 
   /** Begin (or resume) a staged load; returns the staging epoch.
     * Holds the epoch lock so the reservation cannot race a concurrent
@@ -188,13 +205,17 @@ final class GraftTable(
     // half-written staging dir the moment its first file lands
     writeEpochPtr(currentEpoch)
     val target = (listEpochs() :+ currentEpoch).max + 1
+    // the publish baseline: rows the live table holds NOW predate the
+    // load and are superseded by it; anything stamped above arrives
+    // during the load and must survive the swap
+    val baseline = maxVersion
     // tmp-write + rename, same crash contract as writeEpochPtr: a crash
     // mid-write would otherwise leave an empty meta/staging whose
-    // trim.toInt throws on EVERY later pendingStagedLoad — bricking
-    // both compaction and snapshot resume until manual cleanup
+    // parse throws on EVERY later pendingStagedLoad — bricking both
+    // compaction and snapshot resume until manual cleanup
     val tmp = new Path(s"$metaDir/.staging.tmp")
     val out = fs.create(tmp, true)
-    try out.write(target.toString.getBytes(StandardCharsets.UTF_8))
+    try out.write(s"$target\n$baseline".getBytes(StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(stagingMetaPath, false)
     if (!fs.rename(tmp, stagingMetaPath))
@@ -207,14 +228,35 @@ final class GraftTable(
   def appendStaged(df: DataFrame, version: Long, epoch: Int): Unit =
     writeBatch(df, version, deleted = false, epoch = Some(epoch))
 
-  /** Atomically publish a staged load: one pointer swap, then readers
-    * resolve the complete staging epoch. Idempotent — a crash between
-    * the swap and the staging-meta delete just re-runs both. The epoch
-    * lock keeps the swap from interleaving with a concurrent compact's
-    * own pointer swap (which would otherwise revert a just-published
-    * load to compacted PRE-load data and garbage-collect the staged
-    * epoch a cycle later). */
+  /** Atomically publish a staged load. Two steps under the epoch lock:
+    *
+    * 1. Lift the post-begin DELTA — every live-epoch row stamped above
+    *    the baseline recorded at [[beginStagedLoad]] — into the staging
+    *    epoch. These are realtime CDC appends/tombstones that landed
+    *    while the load ran; without the lift the pointer swap would
+    *    make them invisible and the next compact would delete them,
+    *    with the stream checkpoint already past their events. Row-level
+    *    (not file-level) so an intervening compact() — which folds
+    *    delta rows into merged files but preserves their `_version` —
+    *    cannot hide them. At scale the filter rides parquet `_version`
+    *    row-group stats: pre-load files prune to footer reads.
+    * 2. Swap the `meta/epoch` pointer; readers flip from the pinned old
+    *    epoch to the complete load atomically.
+    *
+    * Idempotent — a crash between the lift and the staging-meta delete
+    * re-runs both: the re-lifted rows are identical images at identical
+    * versions, collapsed by the FINAL view and swept by compaction. The
+    * epoch lock keeps all of it from interleaving with live writes and
+    * with a concurrent compact's own pointer swap (which would
+    * otherwise revert a just-published load to compacted PRE-load data
+    * and garbage-collect the staged epoch a cycle later). */
   def publishStagedLoad(epoch: Int): Unit = epochLock.synchronized {
+    stagingMeta().foreach { case (e, baseline) =>
+      if (e == epoch && baseline != Long.MaxValue && exists) {
+        val delta = log.filter(col("_version") > baseline)
+        if (!delta.isEmpty) writeStamped(delta, epoch)
+      }
+    }
     writeEpochPtr(epoch)
     fs.delete(stagingMetaPath, false)
   }
@@ -318,47 +360,36 @@ final class GraftTable(
 
   private def currentGen: Int = gens.last.n
 
-  /** Epoch a LIVE write lands in: the pending staging epoch when a
-    * staged (re-)load is in flight, else the current epoch. Routing live
-    * CDC appends into the staging epoch during a load is what keeps the
-    * publish swap lossless — rows written to the soon-to-be-replaced
-    * epoch would become invisible at the swap and be deleted by the next
-    * compact, with the stream checkpoint already past them. Visibility
-    * of those rows is deferred until publish: the same pause the
-    * reference's stage-in-a-temp-db-then-RENAME imposes on readers
-    * (db_replicator_initial.py:149-162). */
-  private def liveWriteEpoch(): Int =
-    epochLock.synchronized(pendingStagedLoad().getOrElse(currentEpoch))
-
   private def writeBatch(df: DataFrame, version: Long, deleted: Boolean,
-                         epoch: Option[Int] = None): Unit = {
+                         epoch: Option[Int] = None): Unit =
     epoch match {
       case Some(e) => writeBatchTo(df, version, deleted, e)
       case None =>
-        // resolve → write → re-check: a staged load that BEGAN or
-        // PUBLISHED while the parquet job ran would strand this batch in
-        // an epoch about to lose authority. Re-appending the same batch
-        // into the now-authoritative epoch is safe — exactly one epoch
-        // is ever visible, and identical images at the same version
-        // collapse in the FINAL view. Bounded retries: epoch authority
-        // moves only on begin/publish, not per-row.
-        var e = liveWriteEpoch()
-        var attempts = 0
-        var done = false
-        while (!done) {
-          writeBatchTo(df, version, deleted, e)
-          val now = liveWriteEpoch()
-          if (now == e || attempts >= 3) done = true
-          else { e = now; attempts += 1 }
+        // LIVE write: epoch resolution and the parquet commit are atomic
+        // under the table's epoch lock, so a concurrent
+        // publishStagedLoad either sees this batch's committed files
+        // when it lifts the post-begin delta into the staging epoch, or
+        // this write blocks and then lands in the published epoch —
+        // never the lost-in-a-doomed-epoch middle. Holding a monitor
+        // across a Spark action serializes only same-table writers,
+        // which are already serial in the pipeline (flush futures are
+        // one-per-table); staged shard appends go to a different
+        // directory and take no lock.
+        epochLock.synchronized {
+          writeBatchTo(df, version, deleted, currentEpoch)
         }
     }
-  }
 
   private def writeBatchTo(df: DataFrame, version: Long, deleted: Boolean,
-                           epoch: Int): Unit = {
-    val stamped = align(df)
+                           epoch: Int): Unit =
+    writeStamped(align(df)
       .withColumn("_version", lit(version))
-      .withColumn("_deleted", lit(deleted))
+      .withColumn("_deleted", lit(deleted)), epoch)
+
+  /** Write an already-stamped frame (payload + `_version` + `_deleted`,
+    * possibly heterogeneous per row — the staged-publish delta) with the
+    * standard bucket+salt co-location. */
+  private def writeStamped(stamped: DataFrame, epoch: Int): Unit = {
     val w = bucketKey match {
       case Some(k) =>
         // co-locate rows by (bucket, salt) before the partitioned write:
@@ -521,21 +552,28 @@ final class GraftTable(
     if (parts.isEmpty) emptyLog else parts.reduce(_ unionByName _)
   }
 
-  /** Parquet data files in the current epoch — one metadata-only
-    * recursive listing, no data read. */
-  def dataFileCount: Long = {
+  /** One metadata-only recursive walk over the current epoch's parquet
+    * files — shared by the two derived signals below. */
+  private def foreachDataFile(
+      f: org.apache.hadoop.fs.LocatedFileStatus => Unit): Unit = {
     val e = currentEpoch
-    gens.map { g =>
+    gens.foreach { g =>
       val p = new Path(genDataPath(e, g.n))
-      if (!fs.exists(p)) 0L
-      else {
+      if (fs.exists(p)) {
         val it = fs.listFiles(p, true)
-        var n = 0L
-        while (it.hasNext)
-          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-        n
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet")) f(s)
+        }
       }
-    }.sum
+    }
+  }
+
+  /** Parquet data files in the current epoch. */
+  def dataFileCount: Long = {
+    var n = 0L
+    foreachDataFile(_ => n += 1)
+    n
   }
 
   /** The compaction churn signal: a fingerprint of the current epoch's
@@ -549,21 +587,11 @@ final class GraftTable(
     * rewrite compact() exists to perform is never suppressed on a
     * write-quiet table. */
   def compactionSignature: Long = {
-    val e = currentEpoch
-    var h = 1125899906842597L * (e + 1) + 31L * currentGen
-    gens.foreach { g =>
-      val p = new Path(genDataPath(e, g.n))
-      if (fs.exists(p)) {
-        val it = fs.listFiles(p, true)
-        while (it.hasNext) {
-          val s = it.next()
-          if (s.getPath.getName.endsWith(".parquet"))
-            // order-insensitive mix: listing order is fs-dependent
-            h += s.getPath.getName.hashCode.toLong * 1099511628211L +
-              s.getLen * 16777619L
-        }
-      }
-    }
+    var h = 1125899906842597L * (currentEpoch + 1) + 31L * currentGen
+    // order-insensitive mix: listing order is fs-dependent
+    foreachDataFile(s =>
+      h += s.getPath.getName.hashCode.toLong * 1099511628211L +
+        s.getLen * 16777619L)
     h
   }
 
@@ -598,16 +626,34 @@ final class GraftTable(
     * allocation, the Overwrite into the target dir, and the pointer
     * swap can never interleave with beginStagedLoad/publishStagedLoad
     * (a staged load in progress simply waits out the compaction, and
-    * vice versa). */
-  def compact(): Unit = epochLock.synchronized { compactLocked() }
+    * vice versa).
+    *
+    * Returns the post-compact [[compactionSignature]], read under the
+    * same lock — the churn guard records THIS value, not a re-listing
+    * taken after the lock drops (where an interleaved publish would get
+    * folded into the baseline and the published load never compacted). */
+  def compact(): Long = epochLock.synchronized {
+    compactLocked()
+    compactionSignature
+  }
 
   private def compactLocked(): Unit = {
     if (!exists) return
     val e = currentEpoch
     val cur = currentGen
-    val keep = FinalView.latestByKey(log, keys,
+    val keep0 = FinalView.latestByKey(log, keys,
       struct(col("_version"), col("_deleted")))
-      .filter(!col("_deleted"))
+    // Tombstones normally die here (applied, then dropped). But with a
+    // staged load pending, publish will lift post-baseline rows —
+    // tombstones included — into the staging epoch: dropping one now
+    // would resurrect its key the moment the load publishes (the
+    // snapshot has the row; the delete that arrived after the load
+    // began is the only thing that removes it). Keep exactly those.
+    val keep = stagingMeta() match {
+      case Some((_, b)) if b != Long.MaxValue =>
+        keep0.filter(!col("_deleted") || col("_version") > b)
+      case _ => keep0.filter(!col("_deleted"))
+    }
     // past any crashed attempt's leftovers, so SaveMode.Overwrite below
     // can only ever clobber a partial epoch, never a published one.
     // The pending staged epoch counts even though its DIR may not exist
@@ -659,6 +705,13 @@ final class GraftTable(
   def truncate(): Unit = epochLock.synchronized {
     listEpochs().foreach(e => fs.delete(new Path(epochDataDir(e)), true))
     fs.delete(epochPtrPath, false)
+    // a pending staged load is ABANDONED — its epoch dir is gone with
+    // the rest, so the reservation must go too, or every later write
+    // path would keep honoring a load nobody will ever publish. (A
+    // loader whose external shard markers survive a concurrent TRUNCATE
+    // is an operator-error corner: in the replicator flow snapshots
+    // complete before the realtime stream — and its TRUNCATEs — start.)
+    fs.delete(stagingMetaPath, false)
   }
 
   /** DROP TABLE. */

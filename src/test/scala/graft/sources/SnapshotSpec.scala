@@ -132,24 +132,51 @@ class SnapshotSpec extends SparkSpec {
       .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
     val t = graft.operators.GraftTable(spark, tmpDir("graft-snap-live"),
       schema.primaryKeys, schema.toStructType)
-    t.append(Seq((1L, "old")).toDF("id", "v"), 1L) // pre-migration state
+    // pre-migration state: key 9 exists ONLY pre-load — a re-load must
+    // replace the table, so it vanishes at publish
+    t.append(Seq((1L, "old"), (9L, "old")).toDF("id", "v"), 1L)
     val staging = t.beginStagedLoad()
-    t.appendStaged(Seq((1L, "snap"), (2L, "snap")).toDF("id", "v"), 0L,
+    t.appendStaged(Seq((1L, "snap"), (2L, "snap")).toDF("id", "v"), 10L,
       staging)
-    // realtime flushes landing MID-load: routed into the staging epoch,
-    // not the doomed live epoch — lost forever otherwise (the stream
-    // checkpoint is already past them)
-    t.append(Seq((3L, "live")).toDF("id", "v"), 5L)
-    t.delete(Seq(Tuple1(2L)).toDF("id"), 6L)
-    // mid-load reader still sees exactly the pre-load state
+    // realtime flushes landing MID-load stay visible in the live epoch;
+    // publish lifts them (they're stamped above the begin baseline) so
+    // the swap loses nothing — the stream checkpoint is already past
+    t.append(Seq((3L, "live")).toDF("id", "v"), 15L)
+    t.delete(Seq(Tuple1(2L)).toDF("id"), 16L)
     assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
-      === Set((1L, "old")))
+      === Set((1L, "old"), (9L, "old"), (3L, "live")))
     t.publishStagedLoad(staging)
     def state = t.read.collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
+    // 1 → snapshot image wins; 2 → mid-load delete wins over the
+    // snapshot; 3 → mid-load insert survives; 9 → replaced away
     assert(state === Set((1L, "snap"), (3L, "live")))
     t.compact() // and compaction of the published epoch keeps them
     assert(state === Set((1L, "snap"), (3L, "live")))
+  }
+
+  test("compact mid-load keeps delta tombstones; publish loses nothing") {
+    val schema = graft.ddl.DdlParser.parse(
+      "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")
+      .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
+    val t = graft.operators.GraftTable(spark, tmpDir("graft-snap-cmpmid"),
+      schema.primaryKeys, schema.toStructType)
+    t.append(Seq((1L, "old"), (9L, "old")).toDF("id", "v"), 1L)
+    val staging = t.beginStagedLoad()
+    t.appendStaged(Seq((1L, "snap"), (2L, "snap")).toDF("id", "v"), 10L,
+      staging)
+    t.append(Seq((3L, "live")).toDF("id", "v"), 15L)
+    t.delete(Seq(Tuple1(2L)).toDF("id"), 16L)
+    // the compactor fires between the mid-load writes and the publish:
+    // it folds the delta rows into merged files (same versions) and —
+    // critically — must NOT drop the post-baseline tombstone for key 2,
+    // or the snapshot's image of 2 resurrects at publish
+    t.compact()
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "old"), (9L, "old"), (3L, "live")))
+    t.publishStagedLoad(staging)
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "snap"), (3L, "live")))
   }
 
   test("compact during a pending staged load: distinct epochs, publish wins") {
