@@ -114,7 +114,13 @@ object Main {
     val server =
       if (config.httpHost.nonEmpty)
         try Some(new MonitorServer(monitor, config.httpHost, config.httpPort,
-          restart = Some(() => restartHook())))
+          restart = Some(() => restartHook()),
+          // stuck-snapshot gauge: staged loads reserved but never
+          // published — nonzero after the resume window means an
+          // operator must resume or abandon (GraftTable doc)
+          gauges = () => Map("pending_staged_loads" ->
+            registry.tableKeys.count { case (d, t) =>
+              pipeline.table(d, t).pendingStagedLoad().nonEmpty }.toLong)))
         catch { case e: Throwable =>
           query.stop()
           spark.streams.removeListener(monitor)

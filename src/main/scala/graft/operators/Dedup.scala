@@ -279,6 +279,50 @@ object Dedup {
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
 
+  /** Exact-substring duplicate pairs: two documents are flagged when
+    * they share at least one VERBATIM window of `w` consecutive tokens
+    * (the shared-window formulation of suffix-array ExactSubstr dedup —
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2021; the suffix array is a single-machine structure, this is
+    * the one-shuffle Spark shape the rest of the dedup family rides).
+    *
+    * Window SELECTION is content-keyed, not position-strided: a window
+    * is kept iff its own md5 falls below `keepBelow` (lexicographic hex
+    * compare), so a span shared verbatim by two documents keeps or
+    * drops the SAME windows in both — an aligned positional stride
+    * would silently miss every shared span whose start offsets differ
+    * mod the stride. Detection probability for a shared span of length
+    * L is 1 − (1 − p)^(L−w+1) with p = keep fraction — certain-ish for
+    * spans a few windows long, tunable via `keepBelow`.
+    *
+    * Scale shape: the dense window explode is filtered MAP-SIDE (only
+    * the kept fraction ever shuffles); one shuffle groups by window
+    * hash; pairs are emitted array-side under the same in-buffer df cap
+    * as [[ngramJaccardPairs]] — a boilerplate window shared by 10⁶ docs
+    * saturates at `maxDf`+1 buffered ids and drops (which is itself the
+    * C4-style boilerplate behavior), never C(10⁶,2) pairs. */
+  def sharedWindowPairs(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int = 16, keepBelow: String = "4",
+                        maxDf: Int = 64): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("t"))
+    val win = tok
+      .select(col("id"), col("t"), explode(
+        when(size(col("t")) >= w, sequence(lit(1), size(col("t")) - w + 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("id"),
+        md5(concat_ws(" ", slice(col("t"), col("i"), lit(w)))).as("h"))
+      .filter(col("h") < lit(keepBelow))
+      .distinct()
+    win.groupBy("h")
+      .agg(call_function("graft_capped_collect_set", col("id"), lit(maxDf))
+        .as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** n-gram Jaccard near-dups without minhash: candidates = pairs sharing
     * at least one shingle with document frequency ≤ `maxDf`. The df cap
     * is the scale guard (drops boilerplate shingles that would explode

@@ -223,6 +223,23 @@ final class GraftTable(
     target
   }
 
+  /** Abandon a pending staged load: delete the unpublished staging
+    * epoch and its reservation. The operator recovery path for a load
+    * whose driver is gone for good (crashed mid-snapshot, restarted
+    * with the table out of the snapshot set): publishing would expose a
+    * partial table, and leaving the reservation keeps the staged dir
+    * and post-baseline tombstones pinned forever — abandoning loses
+    * only unpublished (never-visible) shard data, which a re-run
+    * re-reads from source. No-op when nothing is pending. The caller
+    * must also clear the load's external shard markers, or a resumed
+    * run would skip the "completed" shards of the abandoned epoch. */
+  def abandonStagedLoad(): Unit = epochLock.synchronized {
+    pendingStagedLoad().foreach { e =>
+      fs.delete(new Path(epochDataDir(e)), true)
+      fs.delete(stagingMetaPath, false)
+    }
+  }
+
   /** [[append]] into an unpublished staging epoch — invisible to every
     * reader until [[publishStagedLoad]]. */
   def appendStaged(df: DataFrame, version: Long, epoch: Int): Unit =

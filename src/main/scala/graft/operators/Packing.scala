@@ -55,4 +55,38 @@ object Packing {
         (floor((col("cum") - 1) / capacity) >
           floor(start / capacity)).as("spans_boundary"))
   }
+
+  /** Per-document overlapping chunking — the RAG-indexing sibling of
+    * [[packChunks]]: each document is cut into windows of `window`
+    * tokens advancing by `window − overlap`, so consecutive chunks
+    * share `overlap` tokens of context (retrieval chunking, not
+    * training packing — no cross-document concat, a short tail chunk is
+    * kept as-is rather than padded or merged).
+    *
+    * Map-only: chunk count and slices derive from the token array
+    * per-row (`sequence` + `slice`, all codegen'd) — no shuffle, no
+    * state; at 100 TB this runs at scan speed and the output
+    * partitioning inherits the input's. Chunk count =
+    * ⌈max(n − window, 0) / stride⌉ + 1: every token is covered, the
+    * final chunk starts at most `stride` short of the end, and no chunk
+    * is a pure suffix of its predecessor. */
+  def ragChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int, overlap: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap")
+    val stride = window - overlap
+    val n = size(col("t"))
+    val nChunks =
+      floor((greatest(n - window, lit(0)) + stride - 1) / stride) + 1
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0), (nChunks - 1).cast("int"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
+        slice(col("t"), col("chunk_id") * stride + 1, lit(window)).as("ct"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("ct")).as("n_tokens"),
+        concat_ws(" ", col("ct")).as("chunk"))
+  }
 }

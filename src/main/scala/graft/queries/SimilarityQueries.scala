@@ -72,6 +72,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF multi-probe: same trained quantizer, 4 probed cells instead
+    // of 2 — the recall lever for the cell-probe family (the IVF
+    // analogue of s_ann_lsh_probe). Candidate cost scales linearly in
+    // nProbe (×nProbe/k of the corpus per query), recall climbs toward
+    // the union of the probed cells' contents; at 100 TB this is the
+    // knob a recall/latency trade-off is tuned with, so it is gated as
+    // its own row.
+    "s_ann_ivf_probe" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.Ivf.fit(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      ivfModels.put("s_ann_ivf_probe", model)
+      graft.operators.Ivf.topK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        model, k = 3, nProbe = 4)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+
     // Corpus clustering: every embedding assigned to its k-means cell —
     // the map-only pass a topic-/source-balancing pipeline runs over the
     // whole corpus (one codegen'd argmin per row, no shuffle until the
@@ -123,7 +142,13 @@ object SimilarityQueries {
     // re-ranked by exact cosine over fetched vectors — the recipe that
     // makes PQ recall usable (quantization picks candidates, floats
     // pick winners). Frozen models feed the oracle's shortlist stage;
-    // the re-rank stage is plain SQL over embeddings.
+    // the re-rank stage is plain SQL over embeddings. nProbe=4 +
+    // shortlist=100: the flagship recipe gets the recall budget — the
+    // probe union bounds what CAN be found, and a generous shortlist
+    // absorbs the ADC ranking's quantization noise (a true neighbor
+    // ranked 60th by codes still reaches the exact re-rank); candidate
+    // cost stays nProbe/k of the corpus per query + a k·shortlist
+    // exact-cosine join.
     "s_ann_ivfpq_rerank" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
@@ -133,7 +158,7 @@ object SimilarityQueries {
       pqModels.put("s_ann_ivfpq_rerank", pq)
       graft.operators.Pq.ivfAdcRerankTopK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-        coarse, pq, k = 3, nProbe = 2, shortlist = 50)
+        coarse, pq, k = 3, nProbe = 4, shortlist = 100)
         .select("query_id", "neighbor_id", "sim", "rnk")
         .orderBy("query_id", "rnk")
     },
@@ -279,16 +304,19 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
 
   private def ivfSql(model: Ivf.Model, k: Int, nProbe: Int): String = {
-    require(nProbe == 2, "oracle is generated for the nProbe=2 query shape")
     val scoreList = ivfScoreList(model)
     val probeList = model.centroids.zipWithIndex
       .map { case (c, i) => s"{'d': ${ivfScoreExpr(c)}, 'cell': $i}" }
       .mkString("[", ",\n ", "]")
+    // one UNION ALL branch per probed cell — the DuckDB twin of the
+    // Spark side's explode(slice(sorted_probes, 1, nProbe))
+    val qp = (1 to nProbe)
+      .map(i => s"SELECT query_id, qv, pl[$i].cell AS cell FROM q")
+      .mkString("\n       UNION ALL ")
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
        |        list_sort($probeList) AS pl
        |      FROM embeddings WHERE vec_id < 10),
-       |qp AS (SELECT query_id, qv, pl[1].cell AS cell FROM q
-       |       UNION ALL SELECT query_id, qv, pl[2].cell AS cell FROM q),
+       |qp AS ($qp),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
        |        CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
        |      FROM (SELECT vec_id, embedding, $scoreList AS sl
@@ -349,11 +377,12 @@ object SimilarityQueries {
   }
 
   /** DuckDB twin of `Pq.ivfAdcTopK`: the corpus gets its coarse cell
-    * (ivf argmin) AND its PQ codes; queries get their two probe cells
-    * AND their LUTs; the equi join on cell + the left-assoc ADC sum
-    * mirror the Spark plan clause for clause. */
+    * (ivf argmin) AND its PQ codes; queries get their `nProbe` probe
+    * cells AND their LUTs; the equi join on cell + the left-assoc ADC
+    * sum mirror the Spark plan clause for clause. */
   private def ivfPqRankedCtes(coarse: Ivf.Model,
-                              model: graft.operators.Pq.Model): String = {
+                              model: graft.operators.Pq.Model,
+                              nProbe: Int): String = {
     val m = model.m
     val slCols = (0 until m).map(s =>
       s"${pqSubScoreList(s, model)} AS sl$s").mkString(",\n  ")
@@ -374,8 +403,9 @@ object SimilarityQueries {
        |  $codeCols FROM c0),
        |q0 AS (SELECT vec_id AS query_id, list_sort($probeList) AS pl,
        |  $lutCols FROM embeddings WHERE vec_id < 10),
-       |qp AS (SELECT query_id, pl[1].cell AS cell, $ls FROM q0
-       |  UNION ALL SELECT query_id, pl[2].cell AS cell, $ls FROM q0),
+       |qp AS (${(1 to nProbe)
+          .map(i => s"SELECT query_id, pl[$i].cell AS cell, $ls FROM q0")
+          .mkString("\n  UNION ALL ")}),
        |s AS (SELECT query_id, neighbor_id, round($scoreSum, 4) AS adist
        |      FROM qp JOIN cc ON qp.cell = cc.cell
        |                     AND query_id <> neighbor_id),
@@ -385,8 +415,9 @@ object SimilarityQueries {
   }
 
   private def ivfPqSql(coarse: Ivf.Model,
-                       model: graft.operators.Pq.Model, k: Int): String =
-    s"""WITH ${ivfPqRankedCtes(coarse, model)}
+                       model: graft.operators.Pq.Model, k: Int,
+                       nProbe: Int): String =
+    s"""WITH ${ivfPqRankedCtes(coarse, model, nProbe)}
        |SELECT query_id, neighbor_id, adist, rnk FROM ranked
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
@@ -395,8 +426,8 @@ object SimilarityQueries {
     * [[cosineSql]] re-ranks it. */
   private def ivfPqRerankSql(coarse: Ivf.Model,
                              model: graft.operators.Pq.Model, k: Int,
-                             shortlist: Int): String =
-    s"""WITH ${ivfPqRankedCtes(coarse, model)},
+                             shortlist: Int, nProbe: Int): String =
+    s"""WITH ${ivfPqRankedCtes(coarse, model, nProbe)},
        |short AS (SELECT query_id, neighbor_id FROM ranked
        |          WHERE rnk <= $shortlist),
        |un2 AS (SELECT sh.query_id, sh.neighbor_id,
@@ -441,8 +472,8 @@ object SimilarityQueries {
                 k: Int = 3): Map[String, Double] = {
     val exact = defs("s_ann_topk")(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try Seq("s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf", "s_ann_pq",
-        "s_ann_ivfpq", "s_ann_ivfpq_rerank")
+    try Seq("s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf", "s_ann_ivf_probe",
+        "s_ann_pq", "s_ann_ivfpq", "s_ann_ivfpq_rerank")
       .map(m => m -> recallAtK(exact, defs(m)(s, dir), k)).toMap
     finally exact.unpersist(blocking = false)
   }
@@ -451,6 +482,8 @@ object SimilarityQueries {
     staticOracles ++
       Option(ivfModels.get("s_ann_ivf"))
         .map(m => "s_ann_ivf" -> ivfSql(m, k = 3, nProbe = 2)) ++
+      Option(ivfModels.get("s_ann_ivf_probe"))
+        .map(m => "s_ann_ivf_probe" -> ivfSql(m, k = 3, nProbe = 4)) ++
       Option(ivfModels.get("s_cluster_assign"))
         .map(m => "s_cluster_assign" -> clusterSql(m)) ++
       Option(pqModels.get("s_ann_pq"))
@@ -458,12 +491,12 @@ object SimilarityQueries {
       (for {
         coarse <- Option(ivfModels.get("s_ann_ivfpq"))
         pq <- Option(pqModels.get("s_ann_ivfpq"))
-      } yield "s_ann_ivfpq" -> ivfPqSql(coarse, pq, k = 3)) ++
+      } yield "s_ann_ivfpq" -> ivfPqSql(coarse, pq, k = 3, nProbe = 2)) ++
       (for {
         coarse <- Option(ivfModels.get("s_ann_ivfpq_rerank"))
         pq <- Option(pqModels.get("s_ann_ivfpq_rerank"))
       } yield "s_ann_ivfpq_rerank" ->
-        ivfPqRerankSql(coarse, pq, k = 3, shortlist = 50))
+        ivfPqRerankSql(coarse, pq, k = 3, shortlist = 100, nProbe = 4))
 
   /** Shared CTE chain: sign-bucket → candidate pairs → cosine-verified
     * `epairs` (threshold 0.3) — the DuckDB twin of

@@ -68,6 +68,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Exact-substring dup pairs: documents sharing a VERBATIM 16-token
+    // window (suffix-array ExactSubstr dedup re-shaped to one shuffle;
+    // content-keyed winnowing keeps 1/4 of windows alignment-free, the
+    // df cap drops boilerplate windows in-buffer).
+    "d_substring_dup" -> { (s, dir) =>
+      Dedup.sharedWindowPairs(t(s, dir, "documents"), "doc_id", "text",
+        w = 16, keepBelow = "4", maxDf = 64)
+        .orderBy("id_a", "id_b")
+    },
+
     // Near-dup CLUSTERS: connected components over the verified
     // MinHash-LSH pair graph — the canonical-doc-per-cluster collapse a
     // dedup pipeline actually ships. Oracle = recursive CTE closure.
@@ -192,6 +202,17 @@ object TextQueries {
       graft.operators.Packing.packChunks(t(s, dir, "documents"), "doc_id",
         size(TextAnalysis.tokens(col("text"))), capacity = 256, groups = 8)
         .orderBy("doc_id")
+    },
+
+    // Per-document overlapping chunking — the retrieval-indexing cut
+    // (64-token windows advancing by 48, so consecutive chunks share 16
+    // tokens of context). Map-only, no shuffle; the chunk TEXT itself
+    // is gated, so the slice arithmetic and tail handling are
+    // hash-attested, not just counted.
+    "t_rag_chunks" -> { (s, dir) =>
+      graft.operators.Packing.ragChunks(t(s, dir, "documents"), "doc_id",
+        "text", window = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")
     },
 
     // TF-IDF keyword extraction — corpus-relative term weighting, the
@@ -461,6 +482,34 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
         |FROM documents QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "d_substring_dup" ->
+      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t
+        |  FROM documents),
+        |win AS (SELECT DISTINCT doc_id, h FROM (
+        |    SELECT doc_id, md5(array_to_string(t[i:i+15], ' ')) AS h
+        |    FROM tok, unnest(range(1, greatest(len(t) - 14, 1))) AS g(i))
+        |  WHERE h < '4'),
+        |ok AS (SELECT h FROM win GROUP BY h HAVING count(*) <= 64),
+        |wf AS (SELECT win.doc_id, win.h FROM win JOIN ok USING (h)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS n_shared
+        |  FROM wf a JOIN wf b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    "t_rag_chunks" ->
+      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t,
+        |    (greatest(len(t) - 64, 0) + 47) // 48 + 1 AS nc
+        |  FROM tok),
+        |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |    t[CAST(i AS INT) * 48 + 1 : CAST(i AS INT) * 48 + 64] AS ct
+        |  FROM n, unnest(range(0, nc)) AS g(i))
+        |SELECT doc_id, chunk_id, CAST(len(ct) AS INT) AS n_tokens,
+        |  array_to_string(ct, ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "d_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text,' ')) AS w

@@ -27,7 +27,12 @@ final class MonitorServer(
     monitor: LagMonitor,
     host: String,
     requestedPort: Int,
-    restart: Option[() => Unit] = None) {
+    restart: Option[() => Unit] = None,
+    /** Extra top-level `/metrics` gauges, evaluated per request — e.g.
+      * `pending_staged_loads`, the "a snapshot died and nobody resumed
+      * or abandoned it" signal (its staged epoch stays pinned until an
+      * operator acts; see GraftTable.abandonStagedLoad). */
+    gauges: () => Map[String, Long] = () => Map.empty) {
 
   private val server =
     HttpServer.create(new InetSocketAddress(host, requestedPort), 0)
@@ -49,7 +54,9 @@ final class MonitorServer(
         s""""batch_duration_ms":${p.batchDurationMs},""" +
         s""""lag_seconds":${p.lagSeconds(now)}}"""
     }.mkString("{", ",", "}")
-    reply(x, 200, s"""{"timestamp_ms":$now,"queries":$qs}""")
+    val extra = gauges().toSeq.sortBy(_._1)
+      .map { case (k, v) => s""","$k":$v""" }.mkString
+    reply(x, 200, s"""{"timestamp_ms":$now,"queries":$qs$extra}""")
   })
 
   server.createContext("/restart_replication", (x: HttpExchange) =>

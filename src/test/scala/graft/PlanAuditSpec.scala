@@ -95,6 +95,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(capped, "capped collect_set missing from the candidate plan")
   }
 
+  test("substring dedup keeps its df cap in-plan; chunking is map-only") {
+    val ns = nodes(SparkEntry.queries("d_substring_dup")(spark, dir))
+    // same regression pin as d_ngram_jaccard: the boilerplate-window
+    // bound must live INSIDE the aggregation buffer
+    val capped = ns.collect { case o: ObjectHashAggregateExec => o }
+      .exists(_.aggregateExpressions.exists(
+        _.aggregateFunction.isInstanceOf[graft.functions.CappedCollectSet]))
+    assert(capped, "capped collect_set missing from the window-group plan")
+    // ragChunks: the whole chunking pipeline must stay map-only — any
+    // Exchange here means a refactor introduced a shuffle into an
+    // operator that runs at scan speed at 100 TB. (The gated query adds
+    // an orderBy for the dump; audit the operator itself.)
+    val chunkNs = nodes(graft.operators.Packing.ragChunks(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      window = 64, overlap = 16))
+    assert(!chunkNs.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "ragChunks picked up a shuffle")
+    assert(chunkNs.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      "ragChunks fell out of codegen")
+  }
+
   test("q4: EXISTS stays a semi join on pruned scans") {
     val ns = nodes(SparkEntry.queries("q4_late_shipment")(spark, dir))
     // the correlated EXISTS must not decorrelate into an inner join +

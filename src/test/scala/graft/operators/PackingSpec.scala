@@ -53,4 +53,33 @@ class PackingSpec extends SparkSpec {
     assert(packed.select("id").distinct().count() === 200)
     assert(packed.select("pack_group").distinct().count() === 4)
   }
+
+  test("ragChunks: exact boundaries, overlap content, full coverage") {
+    val toks = (1 to 150).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Packing.ragChunks(df, "doc_id", "text",
+      window = 64, overlap = 16)
+      .orderBy("chunk_id").collect()
+    // 150 tokens, stride 48: chunks at 0, 48, 96 — tail is 54 tokens
+    assert(chunks.map(_.getAs[Int]("chunk_id")).toSeq === Seq(0, 1, 2))
+    assert(chunks.map(_.getAs[Int]("n_tokens")).toSeq === Seq(64, 64, 54))
+    val texts = chunks.map(_.getAs[String]("chunk").split(" ").toSeq)
+    assert(texts(0) === toks.slice(0, 64))
+    assert(texts(1) === toks.slice(48, 112))
+    assert(texts(2) === toks.slice(96, 150))
+    // consecutive chunks share exactly the overlap region
+    assert(texts(0).takeRight(16) === texts(1).take(16))
+    assert(texts(1).takeRight(16) === texts(2).take(16))
+    // every token covered
+    assert(texts.flatten.toSet === toks.toSet)
+  }
+
+  test("ragChunks: a short document is one unpadded chunk") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val c = Packing.ragChunks(df, "doc_id", "text", 64, 16).collect()
+    assert(c.length === 1)
+    assert(c(0).getAs[Int]("chunk_id") === 0)
+    assert(c(0).getAs[Int]("n_tokens") === 3)
+    assert(c(0).getAs[String]("chunk") === "a b c")
+  }
 }

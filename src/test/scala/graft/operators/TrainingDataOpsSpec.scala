@@ -32,6 +32,42 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("sharedWindowPairs: verbatim span found at ANY alignment, df cap holds") {
+    val span = (1 to 40).map(i => s"s$i").mkString(" ")
+    val fillA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val fillB = (1 to 30).map(i => s"b$i").mkString(" ")
+    val other = (1 to 80).map(i => s"c$i").mkString(" ")
+    // the shared span sits at offset 30 in A and offset 0 in B — a
+    // positional stride would only find it when the offsets agree mod
+    // stride; content-keyed selection is alignment-free by construction
+    val docs = Seq((1L, s"$fillA $span"), (2L, s"$span $fillB"),
+      (3L, other)).toDF("doc_id", "text")
+    // keep-all ("g" > every md5 hex): exactly the 40-16+1 in-span windows
+    val all = Dedup.sharedWindowPairs(docs, "doc_id", "text",
+      w = 16, keepBelow = "g").collect()
+    assert(all.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(all(0).getAs[Long]("n_shared") === 25L)
+    // 1/4 winnowing: same pair, a subset of the span's windows
+    val kept = Dedup.sharedWindowPairs(docs, "doc_id", "text",
+      w = 16, keepBelow = "4").collect()
+    assert(kept.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(kept(0).getAs[Long]("n_shared") >= 1L &&
+      kept(0).getAs[Long]("n_shared") <= 25L)
+    // a doc shorter than the window yields no windows and no crash
+    val short = Seq((1L, "just a few tokens")).toDF("doc_id", "text")
+    assert(Dedup.sharedWindowPairs(short, "doc_id", "text", w = 16,
+      keepBelow = "g").count() === 0L)
+    // df cap: a boilerplate window common to 10 docs is dropped at
+    // maxDf=4 (saturated buffer, no pair explosion), kept at maxDf=20
+    val boiler = (1 to 16).map(i => s"w$i").mkString(" ")
+    val many = (1L to 10L).map(i => (i, s"$boiler uniq$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedWindowPairs(many, "doc_id", "text", w = 16,
+      keepBelow = "g", maxDf = 4).count() === 0L)
+    assert(Dedup.sharedWindowPairs(many, "doc_id", "text", w = 16,
+      keepBelow = "g", maxDf = 20).count() === 45L) // C(10,2)
+  }
+
   test("dupClusters: transitive closure over pairs, path graph included") {
     // Two components: a path 1-2-3-4 (tests multi-round propagation —
     // min label must travel the diameter, not just one hop) and a

@@ -21,15 +21,17 @@ class RecallSpec extends SparkSpec {
   private val fixture = "/root/testdata/sf0.001"
 
   // measured on the fixture (r6): lsh 0.100, lsh_probe 0.467, ivf 0.567,
-  // pq 0.100, ivfpq 0.167 — floors sit one notch below to absorb future
-  // re-freezes of the fitted models, and fail loudly on a real collapse
+  // ivf_probe 0.767, pq 0.100, ivfpq 0.167, ivfpq_rerank 0.767 — floors
+  // sit one notch below to absorb future re-freezes of the fitted
+  // models, and fail loudly on a real collapse
   private val floors = Map(
     "s_ann_lsh" -> 0.05,
     "s_ann_lsh_probe" -> 0.30,
     "s_ann_ivf" -> 0.40,
+    "s_ann_ivf_probe" -> 0.60,
     "s_ann_pq" -> 0.05,
     "s_ann_ivfpq" -> 0.10,
-    "s_ann_ivfpq_rerank" -> 0.30)
+    "s_ann_ivfpq_rerank" -> 0.55)
 
   test("recall@3 of every ANN method clears its recorded floor") {
     assume(new java.io.File(s"$fixture/embeddings.parquet").exists(),
@@ -43,9 +45,11 @@ class RecallSpec extends SparkSpec {
         s"$m recall ${recall(m)} fell below its floor $floor")
     }
     // the recall levers must actually lever: multi-probe beats
-    // single-bucket LSH, IVF cell-probe beats code-only PQ, and the
-    // exact re-rank beats the raw ADC ranking it shortlists from
+    // single-bucket LSH, 4-cell IVF probing beats 2-cell, IVF
+    // cell-probe beats code-only PQ, and the exact re-rank beats the
+    // raw ADC ranking it shortlists from
     assert(recall("s_ann_lsh_probe") > recall("s_ann_lsh"))
+    assert(recall("s_ann_ivf_probe") > recall("s_ann_ivf"))
     assert(recall("s_ann_ivf") > recall("s_ann_pq"))
     assert(recall("s_ann_ivfpq_rerank") > recall("s_ann_ivfpq"))
   }

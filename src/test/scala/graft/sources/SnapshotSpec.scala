@@ -201,6 +201,29 @@ class SnapshotSpec extends SparkSpec {
     assert(t.read.collect().map(_.getString(1)).toSeq === Seq("snap"))
   }
 
+  test("abandonStagedLoad: live table untouched, reservation cleared") {
+    val schema = graft.ddl.DdlParser.parse(
+      "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")
+      .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
+    val t = graft.operators.GraftTable(spark, tmpDir("graft-snap-ab"),
+      schema.primaryKeys, schema.toStructType)
+    t.append(Seq((1L, "live")).toDF("id", "v"), 1L)
+    val staging = t.beginStagedLoad()
+    t.appendStaged(Seq((2L, "snap")).toDF("id", "v"), 10L, staging)
+    t.abandonStagedLoad()
+    assert(t.pendingStagedLoad() === None)
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "live")))
+    // a later load starts fresh (and may reuse the freed epoch number)
+    val again = t.beginStagedLoad()
+    t.appendStaged(Seq((3L, "snap2")).toDF("id", "v"), 20L, again)
+    t.publishStagedLoad(again)
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((3L, "snap2")))
+    t.abandonStagedLoad() // nothing pending: no-op
+    assert(t.read.count() === 1)
+  }
+
   test("shardSubPredicates: within-shard parallelism stays inside the shard") {
     val preds = Snapshot.shardSubPredicates(Seq("id"), shards = 4, k = 1,
       subParts = 3)

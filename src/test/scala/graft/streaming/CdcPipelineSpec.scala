@@ -693,6 +693,23 @@ class CdcPipelineSpec extends SparkSpec {
       === Set((1, 100L, "y")))
   }
 
+  test("/metrics carries caller gauges (pending_staged_loads shape)") {
+    var pending = 2L
+    val server = new MonitorServer(new LagMonitor, "127.0.0.1", 0,
+      gauges = () => Map("pending_staged_loads" -> pending))
+    try {
+      def metrics(): String = {
+        val conn = java.net.URI
+          .create(s"http://127.0.0.1:${server.port}/metrics")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      }
+      assert(metrics().contains(""""pending_staged_loads":2"""))
+      pending = 0 // evaluated per request, not captured at bind time
+      assert(metrics().contains(""""pending_staged_loads":0"""))
+    } finally server.stop()
+  }
+
   test("restart hook failure returns HTTP 500, not a dropped connection") {
     val server = new MonitorServer(new LagMonitor, "127.0.0.1", 0,
       restart = Some(() => throw new IllegalStateException("boom")))
