@@ -48,18 +48,29 @@ final class SchemaRegistry(
 
   /** Is any table registered under `db`? (Routing: an event db with no
     * registrations resolves to `defaultDb`, CdcPipeline.) */
-  def hasDb(db: String): Boolean = tables.keysIterator.exists(_._1 == db)
+  // Readers run off the streaming thread too — the monitor server's
+  // per-request gauges and the discovery scheduler both poll while a
+  // micro-batch may be applying DDL. LinkedHashMap is not safe under
+  // concurrent read/mutate, so every access shares one monitor; the map
+  // is tiny (table count) and mutations are rare (DDL events), so the
+  // lock is uncontended in practice.
+  def hasDb(db: String): Boolean =
+    tables.synchronized(tables.keysIterator.exists(_._1 == db))
 
-  def get(db: String, name: String): Option[TableSchema] = tables.get((db, name))
+  def get(db: String, name: String): Option[TableSchema] =
+    tables.synchronized(tables.get((db, name)))
   def get(name: String): Option[TableSchema] = get(defaultDb, name)
   def apply(db: String, name: String): TableSchema =
-    tables.getOrElse((db, name),
-      throw new NoSuchElementException(s"unknown table '$db.$name'"))
+    tables.synchronized(tables.getOrElse((db, name),
+      throw new NoSuchElementException(s"unknown table '$db.$name'")))
   def apply(name: String): TableSchema = apply(defaultDb, name)
-  def contains(db: String, name: String): Boolean = tables.contains((db, name))
+  def contains(db: String, name: String): Boolean =
+    tables.synchronized(tables.contains((db, name)))
   def contains(name: String): Boolean = contains(defaultDb, name)
-  def tableKeys: Seq[(String, String)] = tables.keys.toSeq
-  def tableNames: Seq[String] = tables.keys.map(_._2).toSeq
+  def tableKeys: Seq[(String, String)] =
+    tables.synchronized(tables.keys.toSeq)
+  def tableNames: Seq[String] =
+    tables.synchronized(tables.keys.map(_._2).toSeq)
 
   private def checkpoint(): Unit =
     stateFile.foreach(f =>
@@ -73,22 +84,26 @@ final class SchemaRegistry(
 
   /** Apply one DDL statement in database `eventDb` (ops may carry their
     * own qualified db which wins); returns the affected table names. */
-  def applyDdl(eventDb: String, op: DdlOp): Seq[String] = {
-    val affected = applyDdl0(eventDb, op)
-    if (affected.nonEmpty) checkpoint()
-    affected
-  }
+  def applyDdl(eventDb: String, op: DdlOp): Seq[String] =
+    tables.synchronized {
+      val affected = applyDdl0(eventDb, op)
+      if (affected.nonEmpty) checkpoint()
+      affected
+    }
 
   /** Seq-guarded variant for at-least-once replay (see [[lastDdlSeq]]):
     * a DDL at or below the watermark was already applied — skip it. The
     * watermark advances even for no-op DDLs so it stays monotone. */
-  def applyDdl(eventDb: String, op: DdlOp, seq: Long): Seq[String] = {
-    if (seq <= lastDdlSeqV) return Nil
-    val affected = applyDdl0(eventDb, op)
-    lastDdlSeqV = seq
-    checkpoint()
-    affected
-  }
+  def applyDdl(eventDb: String, op: DdlOp, seq: Long): Seq[String] =
+    tables.synchronized {
+      if (seq <= lastDdlSeqV) Nil
+      else {
+        val affected = applyDdl0(eventDb, op)
+        lastDdlSeqV = seq
+        checkpoint()
+        affected
+      }
+    }
 
   def applyDdl(op: DdlOp): Seq[String] = applyDdl(defaultDb, op)
 

@@ -744,6 +744,30 @@ object GraftTable {
   private def epochLockFor(root: String): Object =
     epochLocks.computeIfAbsent(root, _ => new Object)
 
+  /** Handle carrying the registry's STABLE column ids — what every
+    * writer against a CDC-managed table path must use. A handle built
+    * with positional ids on an evolved schema (any DROP/CHANGE history
+    * leaves id gaps) writes generation metadata under the WRONG ids,
+    * and the realtime handle's by-id re-alias then reads those columns
+    * as NULL. */
+  def fromSchema(spark: SparkSession, root: String,
+                 schema: graft.ddl.TableSchema): GraftTable = {
+    // parser-produced schemas that never passed through the registry
+    // carry id = -1 on every field — positional is the only identity
+    // they have (and matches what the registry WOULD assign at CREATE,
+    // so a later registry-handled handle still reads these files)
+    val ids = schema.fields.map(_.id)
+    val cols =
+      if (ids.forall(_ >= 0) && ids.distinct.length == ids.length)
+        schema.fields.map(f => GraftColumn(f.id, f.name,
+          graft.types.MySqlType.toSpark(f.tpe), f.nullable))
+      else schema.fields.zipWithIndex.map { case (f, i) =>
+        GraftColumn(i, f.name, graft.types.MySqlType.toSpark(f.tpe),
+          f.nullable)
+      }
+    new GraftTable(spark, root, schema.primaryKeys, cols)
+  }
+
   /** Positional ids — for tables that never rename columns (snapshots,
     * tests, queries). CDC tables get registry-assigned ids instead. */
   def apply(spark: SparkSession, root: String, keys: Seq[String],

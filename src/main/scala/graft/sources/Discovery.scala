@@ -33,10 +33,23 @@ object Discovery {
     val fresh = newDatabases(listed, registry, config)
     fresh.foreach { db =>
       createTableSql(db).foreach { sql =>
-        val op = graft.ddl.DdlParser.parse(sql, config.typesMapping)
+        // one unparseable CREATE (PK-less scratch table, exotic form)
+        // must not crash the tick: hasDb would stay false and every
+        // later poll would re-throw on the same statement — a permanent
+        // discovery crash-loop that also skips the db's OTHER tables.
+        // Same guard as the realtime loop's parseDdl: skip loudly.
+        val op =
+          try graft.ddl.DdlParser.parse(sql, config.typesMapping)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] discovery: skipping unparseable CREATE in $db: " +
+                s"${e.getMessage} -- $sql")
+            graft.ddl.DdlOp.Ignored
+          }
         op match {
           case graft.ddl.DdlOp.CreateTable(_, s)
               if !config.tableMatches(s.name) => () // glob-filtered
+          case graft.ddl.DdlOp.Ignored => ()
           case _ => registry.applyDdl(db, op)
         }
       }

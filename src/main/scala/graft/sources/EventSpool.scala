@@ -46,10 +46,15 @@ object EventSpool {
     *                     everything (tests / replay-from-zero). */
   def readStream(spark: SparkSession, spoolDir: String,
                  cleanSource: Option[String] = None,
-                 format: String = FormatJson): DataFrame = {
+                 format: String = FormatJson,
+                 sourceArchiveDir: Option[String] = None): DataFrame = {
+    require(!cleanSource.contains("archive") || sourceArchiveDir.nonEmpty,
+      "cleanSource=archive requires sourceArchiveDir (Spark's " +
+        "FileStreamSource rejects the stream at start() otherwise)")
     val r = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "16")
     cleanSource.foreach(r.option("cleanSource", _))
+    sourceArchiveDir.foreach(r.option("sourceArchiveDir", _))
     format match {
       case FormatJson => r.json(spoolDir)
       case FormatParquet => r.parquet(spoolDir)
@@ -134,17 +139,33 @@ object EventSpool {
     * retention period. The newest `preserve` files plus the in-progress
     * one always survive regardless of age — the replay window a
     * restarted consumer needs (reference PRESERVE_FILES_COUNT = 5 with
-    * the same last-file exclusion). Returns the deleted count. */
+    * the same last-file exclusion). Returns the deleted count.
+    *
+    * Age-based and consumer-UNAWARE, like the reference (and like
+    * MySQL's own binlog expiry): a consumer down longer than the
+    * retention window loses the gap with no error. Size
+    * `binlog_retention_period` to the maximum tolerated outage, or 0 to
+    * disable the sweep entirely.
+    *
+    * Hadoop FS API, not java.io — the spool may live on HDFS/S3 (the
+    * read and parquet-write paths already support that); a java.io
+    * listing there returns nothing and would silently disable
+    * retention while the spool grows without bound. */
   def sweepRetention(spoolDir: String, retentionSeconds: Int,
                      nowMs: Long = System.currentTimeMillis(),
-                     preserve: Int = 5): Int = {
-    val files = Option(new java.io.File(spoolDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .flatMap(f => SpoolFileRe.findFirstMatchIn(f.getName)
-        .map(m => (m.group(1).toLong, f)))
+                     preserve: Int = 5,
+                     hadoopConf: org.apache.hadoop.conf.Configuration =
+                       new org.apache.hadoop.conf.Configuration()): Int = {
+    val dir = new org.apache.hadoop.fs.Path(spoolDir)
+    val fs = dir.getFileSystem(hadoopConf)
+    if (!fs.exists(dir)) return 0
+    val files = fs.listStatus(dir).toSeq
+      .flatMap(st => SpoolFileRe.findFirstMatchIn(st.getPath.getName)
+        .map(m => (m.group(1).toLong, st)))
       .sortBy(_._1)
-    files.dropRight(preserve + 1).count { case (_, f) =>
-      f.lastModified() <= nowMs - retentionSeconds * 1000L && f.delete()
+    files.dropRight(preserve + 1).count { case (_, st) =>
+      st.getModificationTime <= nowMs - retentionSeconds * 1000L &&
+        fs.delete(st.getPath, false)
     }
   }
 

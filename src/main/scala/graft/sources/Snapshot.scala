@@ -128,8 +128,11 @@ object Snapshot {
                  shardSource: Int => DataFrame,
                  config: GraftConfig = GraftConfig(),
                  version: Long = 0L): GraftTable = {
-    val target = GraftTable(spark, tableDir,
-      schema.primaryKeys, schema.toStructType)
+    // registry-id handle: the snapshot writes the SAME generation ids
+    // the realtime pipeline reads by (GraftTable.fromSchema doc) — on a
+    // re-load of an evolved schema, positional ids would strand every
+    // post-evolution column as NULL
+    val target = GraftTable.fromSchema(spark, tableDir, schema)
     val dir = new org.apache.hadoop.fs.Path(markerDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
@@ -174,8 +177,7 @@ object Snapshot {
             version: Long = 0L): GraftTable = {
     val converted = RecordConversion.convert(source, schema,
       config.mysqlTimezone)
-    val target = GraftTable(spark, tableDir,
-      schema.primaryKeys, schema.toStructType)
+    val target = GraftTable.fromSchema(spark, tableDir, schema)
     target.append(converted, version)
     target
   }

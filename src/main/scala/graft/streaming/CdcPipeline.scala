@@ -193,10 +193,18 @@ final class CdcPipeline(
 
   /** Resolve an event's (db, table) to its registry key — exact match
     * first, then the bound default db (see class doc). None = the table
-    * is not replicated (never created / filtered at create time). */
+    * is not replicated (never created / filtered at create time). The
+    * default-db fallback is gated exactly like [[resolveDb]]'s: it
+    * exists for events whose db the registry has never seen (null db,
+    * or a producer binding one source db to a differently-named target).
+    * A REGISTERED db resolves exactly — without the gate, db `b`'s
+    * unregistered `users` traffic would silently merge into the default
+    * db's `users` table (cross-database corruption, and the matching
+    * ALTER/TRUNCATE/DROP would mutate the wrong table's schema). */
   private def resolveTable(eventDb: String, tbl: String): Option[(String, String)] =
     if (registry.contains(eventDb, tbl)) Some((eventDb, tbl))
-    else if (registry.contains(registry.defaultDb, tbl))
+    else if (!registry.hasDb(eventDb) &&
+        registry.contains(registry.defaultDb, tbl))
       Some((registry.defaultDb, tbl))
     else None
 

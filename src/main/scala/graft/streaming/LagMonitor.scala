@@ -64,12 +64,21 @@ final class LagMonitor extends StreamingQueryListener {
     * trigger finds no new data: idle means CAUGHT UP, so the observation
     * clock must refresh or `lag_seconds` grows without bound on a
     * healthy quiet stream and pages the on-call for a stall that does
-    * not exist. */
+    * not exist. `compute` (not `computeIfPresent`): a stream started
+    * against an already-drained spool emits ONLY idle events — with no
+    * seeded entry the query would never appear and /health would report
+    * `queries: 0` for a running stream, indistinguishable from the
+    * stream being down (batchId −1 marks "idle before first batch"). */
   override def onQueryIdle(
       e: StreamingQueryListener.QueryIdleEvent): Unit =
-    latest.computeIfPresent(e.id, (_, p) =>
-      p.copy(numInputRows = 0L,
-        observedAtMs = System.currentTimeMillis()))
+    latest.compute(e.id, (_, prev) => {
+      val now = System.currentTimeMillis()
+      Option(prev) match {
+        case Some(p) => p.copy(numInputRows = 0L, observedAtMs = now)
+        case None => Progress(batchId = -1L, timestampMs = now,
+          numInputRows = 0L, batchDurationMs = 0L, observedAtMs = now)
+      }
+    })
 
   override def onQueryTerminated(
       e: StreamingQueryListener.QueryTerminatedEvent): Unit =

@@ -54,8 +54,16 @@ final class MonitorServer(
         s""""batch_duration_ms":${p.batchDurationMs},""" +
         s""""lag_seconds":${p.lagSeconds(now)}}"""
     }.mkString("{", ",", "}")
-    val extra = gauges().toSeq.sortBy(_._1)
-      .map { case (k, v) => s""","$k":$v""" }.mkString
+    // a throwing gauge must degrade the metric, not drop the connection
+    // (same contract as the /restart_replication guard below): the
+    // built-in server otherwise leaks the exchange and the scraper sees
+    // an empty reply with no record of the failure
+    val extra =
+      try gauges().toSeq.sortBy(_._1)
+        .map { case (k, v) => s""","$k":$v""" }.mkString
+      catch { case scala.util.control.NonFatal(e) =>
+        s""","gauges_error":"${e.getClass.getSimpleName}""""
+      }
     reply(x, 200, s"""{"timestamp_ms":$now,"queries":$qs$extra}""")
   })
 

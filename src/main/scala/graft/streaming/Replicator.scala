@@ -108,12 +108,14 @@ object Replicator {
         if (now - lastSweep >= 60000L) {
           lastSweep = now
           graft.sources.EventSpool.sweepRetention(spoolDir,
-            config.spoolRetentionPeriod, now)
+            config.spoolRetentionPeriod, now,
+            hadoopConf = spark.sparkContext.hadoopConfiguration)
           ()
         }
       }
     }
-    (pipeline, pipeline.start(spoolDir, checkpointDir, trigger))
+    (pipeline, pipeline.start(spoolDir, checkpointDir, trigger,
+      spoolFormat = config.spoolFormat))
   }
 
   /** `post_initial_replication_commands` (db_replicator_initial.py:

@@ -111,6 +111,17 @@ class ConfigSpec extends AnyFunSuite {
     assert(GraftConfig.fromYaml(
       "binlog_replicator:\n  binlog_retention_period: 0\n", Map.empty)
       .spoolRetentionPeriod === 0)
+    // spool format (graft extension): json default, parquet opt-in,
+    // anything else rejected at load
+    assert(GraftConfig.fromYaml("databases: d\n", Map.empty)
+      .spoolFormat === "json")
+    assert(GraftConfig.fromYaml(
+      "binlog_replicator:\n  format: parquet\n", Map.empty)
+      .spoolFormat === "parquet")
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromYaml(
+        "binlog_replicator:\n  format: avro\n", Map.empty)
+    }
   }
 
   test("version_initial_value parses and offsets the stamp base") {

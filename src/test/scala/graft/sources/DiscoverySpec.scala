@@ -36,4 +36,21 @@ class DiscoverySpec extends AnyFunSuite {
     assert(Discovery.tick(Seq("prod1", "staging"), registry, config,
       db => ddl.getOrElse(db, Nil)) === Nil)
   }
+
+  test("one unparseable CREATE skips that table, not the db (no crash loop)") {
+    val registry = new SchemaRegistry("maindb")
+    val config = GraftConfig(includeDatabases = Seq("prod*"))
+    val ddl = Map("prod1" -> Seq(
+      "CREATE TABLE broken AS SELECT 1", // unsupported CREATE form
+      "CREATE TABLE users (id int, PRIMARY KEY(id))"))
+    // the bad statement must not abort the tick: the db registers, the
+    // parseable table lands, and the next poll sees nothing new instead
+    // of re-throwing forever
+    assert(Discovery.tick(Seq("prod1"), registry, config,
+      db => ddl.getOrElse(db, Nil)) === Seq("prod1"))
+    assert(registry.contains("prod1", "users"))
+    assert(!registry.contains("prod1", "broken"))
+    assert(Discovery.tick(Seq("prod1"), registry, config,
+      db => ddl.getOrElse(db, Nil)) === Nil)
+  }
 }

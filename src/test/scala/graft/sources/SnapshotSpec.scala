@@ -201,6 +201,25 @@ class SnapshotSpec extends SparkSpec {
     assert(t.read.collect().map(_.getString(1)).toSeq === Seq("snap"))
   }
 
+  test("snapshot of an evolved schema writes the registry's column ids") {
+    val registry = new graft.ddl.SchemaRegistry
+    registry.applySql(
+      "CREATE TABLE u (id bigint NOT NULL, name varchar(20), PRIMARY KEY(id))")
+    registry.applySql("ALTER TABLE u DROP COLUMN name")
+    registry.applySql("ALTER TABLE u ADD COLUMN email varchar(40)")
+    val schema = registry("u") // ids {id:0, email:2} — positional would say 1
+    val dir = tmpDir("graft-snap-ids")
+    Snapshot.runAt(spark,
+      Seq((1L, "a@x"), (2L, "b@x")).toDF("id", "email"), schema, dir)
+    // the realtime pipeline reads the same path through a registry-id
+    // handle: with positional ids in the gen metadata, email (id 2)
+    // would resolve to NULL in every snapshotted row
+    val realtime = graft.operators.GraftTable.fromSchema(spark, dir, schema)
+    assert(realtime.read.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a@x"), (2L, "b@x")))
+  }
+
   test("abandonStagedLoad: live table untouched, reservation cleared") {
     val schema = graft.ddl.DdlParser.parse(
       "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")

@@ -51,6 +51,31 @@ class CdcPipelineSpec extends SparkSpec {
     assert(got === Set((1, "ann3", 32L), (3, "carl", 22L)))
   }
 
+  test("a registered db's unregistered table never merges into the default db") {
+    val registry = new SchemaRegistry("a")
+    registry.applySql(
+      "CREATE TABLE users (id int NOT NULL, name varchar(50), PRIMARY KEY(id))")
+    registry.applySql("b",
+      "CREATE TABLE orders (id int NOT NULL, PRIMARY KEY(id))")
+    val pipeline = new CdcPipeline(spark, GraftConfig(), registry,
+      tmpDir("graft-wh-xdb"))
+    val spool = tmpDir("graft-spool-xdb")
+    // db `b` IS registered (via orders), so its unregistered `users`
+    // must resolve to NOTHING — not fall through into a.users (cross-db
+    // merge). An event db the registry never saw still falls back.
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "a", "users", OpAdd,
+        row = Some("""{"id":"1","name":"ann"}""")),
+      eventJson(2, "b", "users", OpAdd,
+        row = Some("""{"id":"2","name":"ghost"}""")),
+      eventJson(3, "unseen_db", "users", OpAdd,
+        row = Some("""{"id":"3","name":"carl"}"""))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    assert(pipeline.table("a", "users").read.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+      === Set((1, "ann"), (3, "carl")))
+  }
+
   test("corrupt spool lines are dropped; surrounding events still apply") {
     val (pipeline, _) = mkPipeline()
     val spool = tmpDir("graft-spool-corrupt")
@@ -691,6 +716,36 @@ class CdcPipelineSpec extends SparkSpec {
     val got = pipeline.table("log_entries").read.collect()
     assert(got.map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
       === Set((1, 100L, "y")))
+  }
+
+  test("idle-only stream still registers in the monitor (drained spool start)") {
+    val m = new LagMonitor
+    val id = java.util.UUID.randomUUID()
+    // a stream started against an already-drained spool emits ONLY idle
+    // events — it must still appear (batchId -1), or /health reports
+    // queries:0 for a running stream
+    // QueryIdleEvent's constructor is private[sql] — reflect it
+    val ctor = classOf[org.apache.spark.sql.streaming
+      .StreamingQueryListener.QueryIdleEvent].getDeclaredConstructor(
+      classOf[java.util.UUID], classOf[java.util.UUID], classOf[String])
+    ctor.setAccessible(true)
+    m.onQueryIdle(ctor.newInstance(id, id, "2026-01-01T00:00:00Z"))
+    assert(m.all.contains(id))
+    assert(m.progress(id).get.batchId === -1L)
+    assert(m.progress(id).get.lagSeconds() < 60.0)
+  }
+
+  test("a throwing gauge degrades /metrics, not the connection") {
+    val server = new MonitorServer(new LagMonitor, "127.0.0.1", 0,
+      gauges = () => throw new IllegalStateException("gauge boom"))
+    try {
+      val conn = java.net.URI
+        .create(s"http://127.0.0.1:${server.port}/metrics")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 200)
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body.contains(""""gauges_error":"IllegalStateException""""))
+    } finally server.stop()
   }
 
   test("/metrics carries caller gauges (pending_staged_loads shape)") {
