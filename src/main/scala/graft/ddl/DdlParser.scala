@@ -29,8 +29,10 @@ object DdlParser {
   }
 
   private def parseClean(sql: String): DdlOp = {
-    if (sql.contains(";"))
-      throw ParseError("multi-statement query not supported") // converter.py:673-679
+    // quote-aware: `enum('a;b')` / COMMENT 'x; y' are single statements
+    // (converter.py:673-679 rejects real multi-statement text)
+    if (SqlText.splitTopLevel(sql, ';').count(_.trim.nonEmpty) > 1)
+      throw ParseError("multi-statement query not supported")
     val lower = sql.toLowerCase
     if (lower.startsWith("create table")) parseCreate(sql)
     else if (lower.startsWith("alter table")) parseAlter(sql)
@@ -85,10 +87,21 @@ object DdlParser {
     items.foreach { item =>
       val low = item.toLowerCase
       val firstTok = low.takeWhile(c => !c.isWhitespace && c != '(')
-      if (low.startsWith("primary key")) {
-        val p = item.indexOf('(')
+      // table-level PK, bare or named: PRIMARY KEY (...) and
+      // CONSTRAINT [name] PRIMARY KEY (...) — the name (if any) sits
+      // before any paren, so a "(" ahead of "primary key" rules out a
+      // false match on e.g. CHECK (col <> 'primary key')
+      val pkAt =
+        if (low.startsWith("primary key")) 0
+        else if (firstTok == "constraint") {
+          val idx = low.indexOf("primary key")
+          if (idx >= 0 && !item.substring(0, idx).contains("(")) idx else -1
+        } else -1
+      if (pkAt >= 0) {
+        val sub = item.substring(pkAt)
+        val p = sub.indexOf('(')
         require(p >= 0, s"PRIMARY KEY clause without columns: $item")
-        val cols = item.substring(p + 1, matchParen(item, p))
+        val cols = sub.substring(p + 1, matchParen(sub, p))
         // strip prefix lengths: `name`(10)
         explicitPks = splitTopLevel(cols).map { c =>
           unquoteIdent(c.takeWhile(_ != '(').trim) }
@@ -112,8 +125,19 @@ object DdlParser {
   }
 
   private def parseTableCharset(tail: String): Option[String] = {
+    // blank out quoted strings first: COMMENT='... charset=latin1 ...'
+    // must not read as a table charset clause
+    val sb = new StringBuilder(tail)
+    var i = 0
+    var quote: Char = 0
+    while (i < sb.length) {
+      val c = sb(i)
+      if (quote != 0) { if (c == quote) quote = 0 else sb(i) = ' ' }
+      else if (c == '\'' || c == '"') quote = c
+      i += 1
+    }
     val m = """(?i)(?:default\s+)?(?:charset|character\s+set)\s*=?\s*([a-z0-9_]+)""".r
-    m.findFirstMatchIn(tail).map(_.group(1).toLowerCase)
+    m.findFirstMatchIn(sb.toString).map(_.group(1).toLowerCase)
   }
 
   /** One column definition → (field, isPerColumnPk). */
@@ -132,6 +156,11 @@ object DdlParser {
         Set("precision", "varying", "char", "varchar")
           .exists(w => toks(i).toLowerCase.startsWith(w))) {
       typeSb += ' '; typeSb ++= toks(i); i += 1
+      // third word: NATIONAL CHARACTER VARYING(n) / NATIONAL CHAR VARYING(n)
+      if (lowFirst == "national" && i < toks.length &&
+          toks(i).toLowerCase.startsWith("varying")) {
+        typeSb += ' '; typeSb ++= toks(i); i += 1
+      }
     }
     while (i < toks.length &&
            Set("unsigned", "zerofill").contains(toks(i).toLowerCase)) {
@@ -187,20 +216,29 @@ object DdlParser {
     val (db, table, rest0) = consumeQualified(sql.substring("alter table".length))
     var rest = rest0.trim
 
-    // ALTER TABLE t RENAME [TO|AS] x  → table-level rename
-    val lowRest = rest.toLowerCase
-    if (lowRest.startsWith("rename to ") || lowRest.startsWith("rename as ") ||
-        (lowRest.startsWith("rename ") && !lowRest.startsWith("rename column") &&
-         !lowRest.startsWith("rename index") && !lowRest.startsWith("rename key"))) {
-      var target = rest.substring("rename".length).trim
+    // ALTER TABLE t RENAME [TO|AS] x  → table-level rename. Clause-split
+    // FIRST: previously `RENAME TO t2, ADD c int` swallowed the ADD into
+    // the rename target, and `ADD c int, RENAME TO t2` dropped the
+    // rename as a Noop — both silent. Mixed forms now fail loudly (the
+    // pipeline logs and skips) instead of half-applying.
+    def isTableRename(c: String): Boolean = {
+      val l = c.trim.toLowerCase
+      l.startsWith("rename to ") || l.startsWith("rename as ") ||
+        (l.startsWith("rename ") && !l.startsWith("rename column") &&
+          !l.startsWith("rename index") && !l.startsWith("rename key"))
+    }
+    val clauses = splitTopLevel(rest)
+    if (clauses.exists(isTableRename)) {
+      if (clauses.length > 1)
+        throw ParseError(
+          s"ALTER TABLE mixing RENAME TO with other clauses: $sql")
+      var target = clauses.head.trim.substring("rename".length).trim
       val lowT = target.toLowerCase
       if (lowT.startsWith("to ") || lowT.startsWith("as "))
         target = target.substring(2).trim
       val (newDb, newName, _) = consumeQualified(target)
       return DdlOp.RenameTable(Seq((db, table) -> (newDb.orElse(db), newName)))
     }
-
-    val clauses = splitTopLevel(rest)
     val ops = clauses.map(parseAlterClause)
     DdlOp.AlterTable(db, table, ops)
   }
@@ -273,10 +311,13 @@ object DdlParser {
     var rest = sql.substring("drop table".length).trim
     val ifExists = rest.toLowerCase.startsWith("if exists")
     if (ifExists) rest = rest.substring("if exists".length).trim
-    // strip trailing RESTRICT/CASCADE/TEMPORARY noise; first name only
-    val first = splitTopLevel(rest).head
-    val (db, t, _) = consumeQualified(first)
-    DdlOp.DropTable(db, t, ifExists)
+    // DROP TABLE a, b, c — every listed table drops (trailing
+    // RESTRICT/CASCADE noise survives consumeQualified per name)
+    val tables = splitTopLevel(rest).map { part =>
+      val (db, t, _) = consumeQualified(part)
+      (db, t)
+    }
+    DdlOp.DropTable(tables, ifExists)
   }
 
   private def parseRename(sql: String): DdlOp = {

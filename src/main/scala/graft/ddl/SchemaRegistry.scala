@@ -150,11 +150,13 @@ final class SchemaRegistry(
       tables((db, t)) = schema
       Seq(t)
 
-    case DdlOp.DropTable(d0, t, ifExists) =>
-      val db = d0.getOrElse(eventDb)
-      if (!tables.contains((db, t)) && !ifExists)
-        throw new NoSuchElementException(s"DROP TABLE: unknown '$db.$t'")
-      tables.remove((db, t)).map(_ => t).toSeq
+    case DdlOp.DropTable(ts, ifExists) =>
+      ts.flatMap { case (d0, t) =>
+        val db = d0.getOrElse(eventDb)
+        if (!tables.contains((db, t)) && !ifExists)
+          throw new NoSuchElementException(s"DROP TABLE: unknown '$db.$t'")
+        tables.remove((db, t)).map(_ => t)
+      }
 
     case DdlOp.RenameTable(renames) =>
       renames.flatMap { case ((fromDb0, from), (toDb0, to)) =>

@@ -125,7 +125,10 @@ object DdlOp {
                                    ifNotExists: Boolean) extends DdlOp
   final case class AlterTable(db: Option[String], table: String,
                               ops: Seq[AlterOp]) extends DdlOp
-  final case class DropTable(db: Option[String], table: String,
+  /** DROP TABLE [IF EXISTS] [db.]a[, [db.]b ...] — every listed table
+    * drops (a common binlog statement form; keeping only the head would
+    * leave the rest registered and serving stale data forever). */
+  final case class DropTable(tables: Seq[(Option[String], String)],
                              ifExists: Boolean) extends DdlOp
   /** RENAME TABLE [db.]a TO [db.]b[, ...] — qualifiers kept so a rename
     * arriving from a binlog session whose default db differs still

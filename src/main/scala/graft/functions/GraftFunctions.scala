@@ -12,36 +12,47 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[WkbDecode].getName, null, name, usage, "")
+  // each function's info names ITS expression class (DESCRIBE FUNCTION
+  // shows it), passed explicitly — a probe-build with null children
+  // would NPE the builders that validate a literal argument eagerly
+  private def info(name: String, usage: String,
+                   clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
-  private def one(name: String, usage: String)(build: Expression => Expression)
+  private def one(name: String, usage: String, clazz: Class[_])
+                 (build: Expression => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), info(name, usage), { args =>
+    (FunctionIdentifier(name), info(name, usage, clazz), { args =>
       require(args.length == 1, s"$name expects 1 argument")
       build(args.head)
     })
 
-  private def two(name: String, usage: String)
+  private def two(name: String, usage: String, clazz: Class[_])
                  (build: (Expression, Expression) => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), info(name, usage), { args =>
+    (FunctionIdentifier(name), info(name, usage, clazz), { args =>
       require(args.length == 2, s"$name expects 2 arguments")
       build(args(0), args(1))
     })
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    one("graft_wkb_point", "decode MySQL WKB POINT bytes to struct(x,y)")(
+    one("graft_wkb_point", "decode MySQL WKB POINT bytes to struct(x,y)",
+      classOf[WkbDecode])(
       WkbDecode(_, WkbKind.Point)),
-    one("graft_wkb_polygon", "decode MySQL WKB POLYGON outer ring")(
+    one("graft_wkb_polygon", "decode MySQL WKB POLYGON outer ring",
+      classOf[WkbDecode])(
       WkbDecode(_, WkbKind.Polygon)),
-    one("graft_wkb_multipolygon", "decode MySQL WKB MULTIPOLYGON outer rings")(
+    one("graft_wkb_multipolygon", "decode MySQL WKB MULTIPOLYGON outer rings",
+      classOf[WkbDecode])(
       WkbDecode(_, WkbKind.MultiPolygon)),
-    two("graft_vec_dot", "codegen'd Σ aᵢ·bᵢ over float/double arrays")(
+    two("graft_vec_dot", "codegen'd Σ aᵢ·bᵢ over float/double arrays",
+      classOf[VecDot])(
       VecDot(_, _)),
-    one("graft_vec_norm2", "codegen'd Σ aᵢ² over a float/double array")(
+    one("graft_vec_norm2", "codegen'd Σ aᵢ² over a float/double array",
+      classOf[VecNorm2])(
       VecNorm2(_)),
-    two("graft_shingles", "distinct word-n-gram shingles, one pass")(
+    two("graft_shingles", "distinct word-n-gram shingles, one pass",
+      classOf[Shingles])(
       (text, n) => {
         require(n.foldable, "graft_shingles: n must be a literal")
         val width = n.eval() match {
@@ -52,12 +63,15 @@ object GraftFunctions {
         Shingles(text, width)
       }),
     two("graft_sorted_intersect_count",
-      "|a ∩ b| for sorted distinct string arrays (merge walk)")(
+      "|a ∩ b| for sorted distinct string arrays (merge walk)",
+      classOf[SortedIntersectCount])(
       SortedIntersectCount(_, _)),
-    one("graft_simhash", "32-bit SimHash over distinct tokens, one pass")(
+    one("graft_simhash", "32-bit SimHash over distinct tokens, one pass",
+      classOf[SimHash])(
       SimHash(_)),
     two("graft_capped_collect_set",
-      "collect_set with a hard buffer cap; saturated groups → NULL")(
+      "collect_set with a hard buffer cap; saturated groups → NULL",
+      classOf[CappedCollectSet])(
       (child, cap) => {
         require(cap.foldable,
           "graft_capped_collect_set: cap must be a literal")

@@ -154,11 +154,18 @@ final case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
+    // null elements are skipped (an inferred array<string> schema often
+    // carries containsNull=true even when no null ever appears; a null
+    // here must not NPE the task)
     while (i < na && j < nb) {
-      val cmp = av.getUTF8String(i).compareTo(bv.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      if (av.isNullAt(i)) i += 1
+      else if (bv.isNullAt(j)) j += 1
+      else {
+        val cmp = av.getUTF8String(i).compareTo(bv.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -173,9 +180,13 @@ final case class SortedIntersectCount(left: Expression, right: Expression)
       s"""
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($cmp == 0) { $c++; $i++; $j++; }
-         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($cmp == 0) { $c++; $i++; $j++; }
+         |    else if ($cmp < 0) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

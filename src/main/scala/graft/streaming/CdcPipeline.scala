@@ -184,7 +184,8 @@ final class CdcPipeline(
         d0.exists(config.databaseMatches)
       case DdlOp.AlterTable(d0, _, _) => d0.exists(config.databaseMatches)
       case DdlOp.TruncateTable(d0, _) => d0.exists(config.databaseMatches)
-      case DdlOp.DropTable(d0, _, _) => d0.exists(config.databaseMatches)
+      case DdlOp.DropTable(ts, _) =>
+        ts.exists(_._1.exists(config.databaseMatches))
       case DdlOp.RenameTable(rs) => rs.exists { case ((fd, _), (td, _)) =>
         fd.exists(config.databaseMatches) || td.exists(config.databaseMatches)
       }
@@ -451,15 +452,26 @@ final class CdcPipeline(
         if (dataAdmitted(d0, t) && registry.contains(d, t))
           table(d, t).truncate()
 
-      case DdlOp.DropTable(d0, t, _) =>
-        val d = resolved(d0, t)
-        if (schemaAdmitted(d0) && registry.contains(d, t)) {
-          // storage first — the handle needs the still-registered schema;
-          // on replay `contains` is already false and the case is skipped.
-          // drop() on a filtered table's never-materialized dir is a no-op.
-          table(d, t).drop()
-          registry.applyDdl(d, op, seq)
-          invalidate(d, t)
+      case DdlOp.DropTable(ts, _) =>
+        // resolve + admit every listed table, then ONE seq-guarded
+        // registry call for the whole statement — per-table applyDdl
+        // calls would bump the watermark on the first table and the
+        // guard would silently skip the rest of a multi-table DROP
+        val admitted = ts.flatMap { case (d0, t) =>
+          val d = resolved(d0, t)
+          if (schemaAdmitted(d0) && registry.contains(d, t)) Some((d, t))
+          else None
+        }
+        if (admitted.nonEmpty) {
+          // storage first — the handles need the still-registered
+          // schemas; on replay `contains` is already false and the
+          // whole case is skipped. drop() on a filtered table's
+          // never-materialized dir is a no-op.
+          admitted.foreach { case (d, t) => table(d, t).drop() }
+          registry.applyDdl(eventDb,
+            DdlOp.DropTable(admitted.map { case (d, t) => (Some(d), t) },
+              ifExists = true), seq)
+          admitted.foreach { case (d, t) => invalidate(d, t) }
         }
 
       case DdlOp.RenameTable(renames) =>

@@ -71,7 +71,12 @@ object MySqlType {
     case MBool          => BooleanType
     case MDecimal(p, 0) if p <= 9  => IntegerType  // converter.py:401-436
     case MDecimal(p, 0) if p <= 18 => LongType
-    case MDecimal(p, s) => DecimalType(p, s)
+    case MDecimal(p, s) =>
+      // MySQL DECIMAL precision reaches 65; Spark caps at 38. Keep the
+      // integer digits (losing those corrupts magnitudes silently) and
+      // sacrifice scale — the same policy Spark's JDBC dialects apply.
+      if (p <= 38) DecimalType(p, s)
+      else DecimalType(38, math.min(s, math.max(0, 38 - (p - s))))
     case MDecimalBare   => DoubleType
     case MFloat         => FloatType
     case MDouble        => DoubleType

@@ -39,10 +39,14 @@ object TypeParser {
     if (norm.startsWith("enum(")) return MEnum(parseQuotedList(inner(norm, 4)))
     if (norm.startsWith("set(")) return MSet(parseQuotedList(inner(norm, 3)))
     norm match {
-      case WithParams(base, params, unsigned, _) =>
+      // ZEROFILL implies UNSIGNED in MySQL — a zerofill int column holds
+      // values up to the unsigned max, so dropping the flag would map it
+      // to a too-narrow Spark type and overflow silently
+      case WithParams(base, params, unsigned, zerofill) =>
         withParams(base.trim, params.split(",").map(_.trim).toSeq,
-          unsigned != null)
-      case Plain(base, unsigned, _) => plain(base.trim, unsigned != null)
+          unsigned != null || zerofill != null)
+      case Plain(base, unsigned, zerofill) =>
+        plain(base.trim, unsigned != null || zerofill != null)
       case other => throw new IllegalArgumentException(s"unparseable MySQL type: '$other'")
     }
   }
@@ -76,8 +80,10 @@ object TypeParser {
     case "timestamp" => MTimestamp(params.head.toInt)
     case "time" => MTime
     case "year" => MYear
-    case "char" | "varchar" | "character varying" | "national char" |
-         "national varchar" | "nchar" | "nvarchar" => MString(None)
+    case "char" | "character" | "varchar" | "character varying" |
+         "national char" | "national character" | "national varchar" |
+         "national character varying" | "national char varying" |
+         "nchar" | "nvarchar" => MString(None)
     // binary(n) is NUL-padded to n; varbinary/blob are not
     case "binary" => MBinary(Some(params.head.toInt))
     case "varbinary" => MBinary(None)
@@ -98,7 +104,9 @@ object TypeParser {
     case "timestamp" => MTimestamp(0)
     case "time" => MTime
     case "year" => MYear
-    case "char" | "varchar" | "text" | "tinytext" | "mediumtext" |
+    case "char" | "character" | "varchar" | "national char" |
+         "national character" | "national varchar" | "nchar" |
+         "nvarchar" | "text" | "tinytext" | "mediumtext" |
          "longtext" => MString(None)
     case "binary" => MBinary(Some(1)) // bare `binary` ≡ binary(1)
     case "varbinary" | "blob" | "tinyblob" | "mediumblob" |

@@ -109,7 +109,7 @@ class DdlParserSpec extends AnyFunSuite {
 
   test("DROP / RENAME / TRUNCATE") {
     assert(DdlParser.parse("DROP TABLE IF EXISTS db.t") ===
-      DdlOp.DropTable(Some("db"), "t", ifExists = true))
+      DdlOp.DropTable(Seq((Some("db"), "t")), ifExists = true))
     assert(DdlParser.parse("RENAME TABLE a TO b, `c` TO `d`") ===
       DdlOp.RenameTable(Seq(
         (None, "a") -> (None, "b"), (None, "c") -> (None, "d"))))
@@ -139,7 +139,7 @@ class DdlParserSpec extends AnyFunSuite {
       FieldSchema("price", MDecimal(10, 2), "decimal(10,2)"),
       ColumnPosition.Last)))
     assert(DdlParser.parse("DROP TABLE `shop`.`items`") ===
-      DdlOp.DropTable(Some("shop"), "items", ifExists = false))
+      DdlOp.DropTable(Seq((Some("shop"), "items")), ifExists = false))
     assert(DdlParser.parse("TRUNCATE TABLE `shop`.`items`") ===
       DdlOp.TruncateTable(Some("shop"), "items"))
     assert(DdlParser.parse("RENAME TABLE `shop`.`a` TO `shop`.`b`") ===
@@ -173,5 +173,73 @@ class DdlParserSpec extends AnyFunSuite {
     val DdlOp.CreateTable(_, s) = DdlParser.parse(
       "CREATE TABLE t (id int COMMENT 'the, pk', v varchar(8) COMMENT 'x)y')"): @unchecked
     assert(s.fields.map(_.name) === Vector("id", "v"))
+  }
+
+  test("named CONSTRAINT primary key, semicolons in strings, multi-DROP") {
+    // CONSTRAINT [name] PRIMARY KEY (...) must yield the composite PK,
+    // not fall back to the id-column heuristic
+    val DdlOp.CreateTable(_, s1) = DdlParser.parse(
+      """CREATE TABLE t (id int, ts int, v int,
+        |  CONSTRAINT pk_t PRIMARY KEY (id, ts))""".stripMargin): @unchecked
+    assert(s1.primaryKeys === Seq("id", "ts"))
+    val DdlOp.CreateTable(_, s2) = DdlParser.parse(
+      "CREATE TABLE t (id int, CONSTRAINT PRIMARY KEY (id))"): @unchecked
+    assert(s2.primaryKeys === Seq("id"))
+    // ';' inside a string literal is NOT a statement separator
+    val DdlOp.CreateTable(_, s3) = DdlParser.parse(
+      "CREATE TABLE t (id int, c enum('a;b','c'), PRIMARY KEY(id))"): @unchecked
+    assert(s3.fields.map(_.name) === Seq("id", "c"))
+    val DdlOp.AlterTable(_, _, ops) = DdlParser.parse(
+      "ALTER TABLE t ADD c int COMMENT 'step 1; step 2'"): @unchecked
+    assert(ops.length === 1)
+    intercept[DdlParser.ParseError] {
+      DdlParser.parse("DROP TABLE a; DROP TABLE b")
+    }
+    // multi-table DROP keeps every name
+    assert(DdlParser.parse("DROP TABLE IF EXISTS a, db.b, `c`") ===
+      DdlOp.DropTable(Seq((None, "a"), (Some("db"), "b"), (None, "c")),
+        ifExists = true))
+  }
+
+  test("ALTER mixing RENAME TO with other clauses fails loudly, not silently") {
+    // half-applying either ordering silently corrupts the schema; a
+    // ParseError surfaces in the pipeline log instead
+    intercept[DdlParser.ParseError] {
+      DdlParser.parse("ALTER TABLE t RENAME TO t2, ADD COLUMN c int")
+    }
+    intercept[DdlParser.ParseError] {
+      DdlParser.parse("ALTER TABLE t ADD COLUMN c int, RENAME TO t2")
+    }
+  }
+
+  test("charset clause inside a COMMENT string is not a table charset") {
+    val DdlOp.CreateTable(_, s1) = DdlParser.parse(
+      """CREATE TABLE t (id int, PRIMARY KEY(id))
+        | COMMENT='migrated from charset=latin1 system'""".stripMargin): @unchecked
+    assert(s1.charset === None)
+    val DdlOp.CreateTable(_, s2) = DdlParser.parse(
+      """CREATE TABLE t (id int, PRIMARY KEY(id))
+        | ENGINE=InnoDB DEFAULT CHARSET=latin1 COMMENT='x'""".stripMargin): @unchecked
+    assert(s2.charset === Some("latin1"))
+  }
+
+  test("zerofill implies unsigned; CHARACTER synonyms; decimal>38 clamps") {
+    val DdlOp.CreateTable(_, s1) = DdlParser.parse(
+      """CREATE TABLE t (id int, a int zerofill, b int(10) zerofill,
+        |  c character(10), d national character varying(30),
+        |  e decimal(40,10), PRIMARY KEY(id))""".stripMargin): @unchecked
+    val byName = s1.fields.map(f => f.name -> f.tpe).toMap
+    assert(byName("a") === MInt(4, unsigned = true))
+    assert(byName("b") === MInt(4, unsigned = true))
+    assert(byName("c") === MString(None))
+    assert(byName("d") === MString(None))
+    assert(byName("e") === MDecimal(40, 10))
+    // Spark caps precision at 38: integer digits keep priority
+    assert(graft.types.MySqlType.toSpark(MDecimal(40, 10)) ===
+      org.apache.spark.sql.types.DecimalType(38, 8))
+    assert(graft.types.MySqlType.toSpark(MDecimal(65, 30)) ===
+      org.apache.spark.sql.types.DecimalType(38, 3))
+    assert(graft.types.MySqlType.toSpark(MDecimal(38, 10)) ===
+      org.apache.spark.sql.types.DecimalType(38, 10))
   }
 }

@@ -527,6 +527,28 @@ class CdcPipelineSpec extends SparkSpec {
     assert(registry.lastDdlSeq === 5L)
   }
 
+  test("multi-table DROP drops every listed table under one watermark") {
+    val (pipeline, registry) = mkPipeline()
+    val spool = tmpDir("graft-spool-mdrop")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "default", "a", OpQuery, query = Some(
+        "CREATE TABLE a (id int NOT NULL, PRIMARY KEY(id))")),
+      eventJson(2, "default", "b", OpQuery, query = Some(
+        "CREATE TABLE b (id int NOT NULL, PRIMARY KEY(id))")),
+      eventJson(3, "default", "c", OpQuery, query = Some(
+        "CREATE TABLE c (id int NOT NULL, PRIMARY KEY(id))")),
+      // all three in ONE statement: the seq guard must not skip b and c
+      // after a's registry mutation bumps the watermark
+      eventJson(4, "default", "a", OpQuery, query = Some(
+        "DROP TABLE a, b, c"))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    assert(!registry.contains("default", "a"))
+    assert(!registry.contains("default", "b"))
+    assert(!registry.contains("default", "c"))
+    assert(registry.contains("default", "users")) // untouched
+    assert(registry.lastDdlSeq === 4L)
+  }
+
   test("row images with unregistered extra columns are tolerated (dynamic cols)") {
     // the reference crashed on columns appearing in row data without an
     // ALTER (test_ddl_operations.py test_dynamic_column_addition_*);
