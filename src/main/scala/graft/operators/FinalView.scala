@@ -40,11 +40,16 @@ object FinalView {
     * whose latest image is a delete dropped (reference erase semantics,
     * clickhouse_api.py:368-400 — here tombstones are rows, not statements).
     *
-    * @param isDelete predicate over the *latest* row marking it a tombstone
+    * @param isDelete predicate over the *latest* row marking it a
+    *                  tombstone; NULL counts as "not deleted" — the
+    *                  common CDC shape stamps the flag only on deletes,
+    *                  and `!null` is null, which `filter` would drop
+    *                  (losing every LIVE row, the exact opposite of the
+    *                  documented contract)
     */
   def finalView(log: DataFrame, keys: Seq[String], version: Column,
                 isDelete: Column): DataFrame =
-    latestByKey(log, keys, version).filter(!isDelete)
+    latestByKey(log, keys, version).filter(!coalesce(isDelete, lit(false)))
 
   /** Per-micro-batch last-write-wins collapse (reference A1: the realtime
     * buffer keeps one pending image per PK, later events overwrite —

@@ -167,9 +167,6 @@ object Ivf {
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) /
           sqrt(col("nq") * col("nc")), 4).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
+    Similarity.rankTopK(scored, col("sim").desc_nulls_last, k)
   }
 }

@@ -73,7 +73,12 @@ object Pq {
     * iterations, 6-decimal centroid rounding. */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int,
           iters: Int = 3, sample: Int = 10000): Model = {
-    val dim = vecs.select(size(col(vecCol))).head.getInt(0)
+    // dim probe over non-null vectors only: a null first row would NPE
+    // before training starts, and an empty corpus should say so
+    val dimRow = vecs.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(dimRow.nonEmpty, "Pq.fit: no non-null vectors to train on")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     val sampled = Ivf.hashSample(vecs, idCol, vecCol, sample)
@@ -148,10 +153,7 @@ object Pq {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(score, 4).as("adist"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
+    Similarity.rankTopK(scored, col("adist").asc_nulls_last, k)
   }
 
   /** IVF-PQ with exact re-rank — the production billion-vector recipe
@@ -182,10 +184,7 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) /
           sqrt(col("nq") * col("nc")), 4).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
+    Similarity.rankTopK(scored, col("sim").desc_nulls_last, k)
   }
 
   /** Asymmetric-distance top-k: rank candidates by Σ_s lut_s[code_s]
@@ -208,9 +207,6 @@ object Pq {
     val scored = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(score, 4).as("adist"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
+    Similarity.rankTopK(scored, col("adist").asc_nulls_last, k)
   }
 }

@@ -36,14 +36,17 @@ object RangeJoin {
     val payload = right.columns.filterNot(keys.contains)
     // `div` (integral division) — a double divide would shear the low
     // bits of ns epochs; times are non-negative so trunc == floor
+    // identifiers backtick-quoted into expr (a bare interpolation breaks
+    // on names with spaces/dots/reserved words); struct access via
+    // getField for the same reason
     val lhs = left.withColumn("_bucket", explode(array_distinct(array(
-      expr(s"($leftTime + $lowerNs) div $span"),
-      expr(s"($leftTime + $upperNs) div $span")))))
+      expr(s"(`$leftTime` + $lowerNs) div $span"),
+      expr(s"(`$leftTime` + $upperNs) div $span")))))
     val rhs = right.select(keys.map(col) ++ Seq(
-      expr(s"$rightTime div $span").as("_bucket"),
+      expr(s"`$rightTime` div $span").as("_bucket"),
       struct(payload.map(col): _*).as(matchCol)): _*)
     lhs.join(rhs, keys :+ "_bucket")
-      .filter(col(s"$matchCol.$rightTime")
+      .filter(col(matchCol).getField(rightTime)
         .between(col(leftTime) + lowerNs, col(leftTime) + upperNs))
       .drop("_bucket")
   }

@@ -81,7 +81,7 @@ object Sampling {
                         tokenCount: Column,
                         budgets: Map[String, Long]): DataFrame = {
     val totals = docs.groupBy(col(sourceCol))
-      .agg(sum(tokenCount.cast("long")).as("t"))
+      .agg(coalesce(sum(tokenCount.cast("long")), lit(0L)).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val weights = budgets.toSeq.map { case (src, b) =>
       src -> (if (totals.getOrElse(src, 0L) <= 0L) 1.0

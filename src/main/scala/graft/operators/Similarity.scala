@@ -65,6 +65,21 @@ object Similarity {
       when(proj >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+
+  /** Per-query top-k over a scored pair frame: rank on `order`, then
+    * `neighbor_id`. NULLS LAST explicitly — Spark's bare `.asc` is
+    * NULLS FIRST, so ONE null/ragged vector's null score would occupy
+    * rank 1 for EVERY query (the ADC path scores a null-coded row as
+    * null); DuckDB defaults to NULLS LAST, so the explicit ordering
+    * also keeps the frozen-model oracles rank-identical. Shared by
+    * every ANN path (brute/LSH/IVF/PQ). */
+  private[operators] def rankTopK(scored: DataFrame, order: Column,
+                                  k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(order, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` and `corpus`
     * both need (idCol, vecCol); self-matches dropped. The query side must
     * be small — it broadcasts against every corpus vector (O(|Q|·|C|·d));
@@ -82,10 +97,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) /
           sqrt(col("nq") * col("nc")), 4).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, col("sim").desc_nulls_last, k)
   }
 
   /** LSH-bucketed approximate top-k: probe only the query's sign bucket. */
@@ -104,10 +116,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) /
           sqrt(col("nq") * col("nc")), 4).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, col("sim").desc_nulls_last, k)
   }
 
   /** [[lshTopK]] with multi-probe: each query also probes the `bits`
@@ -135,26 +144,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) /
           sqrt(col("nq") * col("nc")), 4).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, col("sim").desc_nulls_last, k)
   }
 
   /** Embedding near-dup pairs above `threshold`, candidate-bounded by
     * sharing a sign bucket (cosine-LSH property: near vectors agree on
-    * most sign bits). */
+    * most sign bits).
+    *
+    * The self-join is SALTED: a bare join on `bucket` hash-partitions
+    * both sides over only 2^bits distinct keys, capping the quadratic
+    * within-bucket scoring at 2^bits tasks (16 at the default) — one
+    * hot task per bucket at scale. Side `a` carries an id-derived salt,
+    * side `b` replicates ×`salt`, and the join runs on (bucket, salt):
+    * every pair still meets exactly once, parallelism becomes
+    * 2^bits·salt, and the cost is a salt× replication of one side's
+    * shuffle (vectors — bounded, and small next to the pair scoring the
+    * salt exists to spread). Raise `bits` first at 100 TB (more buckets
+    * = fewer candidates AND more parallelism); salt covers the residual
+    * per-bucket skew. */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, bits: Int = 4,
-                   dim: Int = 64): DataFrame = {
+                   dim: Int = 64, salt: Int = 4): DataFrame = {
     val v = spread(vecs).select(col(idCol), col(vecCol),
       norm2(col(vecCol)).as("nn"),
       signBucket(col(vecCol), bits, dim).as("bucket"))
     val a = v.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      col("nn").as("na"), col("bucket"))
+      col("nn").as("na"), col("bucket"),
+      pmod(hash(col(idCol)), lit(salt)).cast("int").as("_salt"))
     val b = v.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      col("nn").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
+      col("nn").as("nb"), col("bucket"),
+      explode(sequence(lit(0), lit(salt - 1))).as("_salt"))
+    a.join(b, Seq("bucket", "_salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) /

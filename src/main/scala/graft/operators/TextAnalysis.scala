@@ -63,7 +63,10 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "he2", "wo3", "ni3", "ta1", "men5"))
 
   /** Predicted language: argmax of profile hits over distinct tokens;
-    * deterministic tie-break by profile order; no hits → 'und'. */
+    * deterministic tie-break by profile order; no hits → 'und'; null
+    * text → null (without the explicit guard, the null score falls
+    * through both `when` branches into `otherwise(best.lang)` and every
+    * null-text row comes back "en" — the first profile). */
   def langId(text: Column): Column = {
     val distinctToks = array_distinct(tokens(text))
     val scored = langProfiles.map { case (lang, words) =>
@@ -76,7 +79,8 @@ object TextAnalysis {
         when(score > acc.getField("score"),
           struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
     }
-    when(best.getField("score") === 0, lit("und"))
+    when(text.isNull, lit(null).cast("string"))
+      .when(best.getField("score") === 0, lit("und"))
       .otherwise(best.getField("lang"))
   }
 
@@ -101,6 +105,9 @@ object TextAnalysis {
     // it instead of re-aggregating (and re-shuffling) the raw token
     // table through a distinct
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // cached because the returned plan reads it twice (tf side + df
+      // side); lives until storage pressure evicts it (unified memory —
+      // not a hard leak) or the caller clearCache()s
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dft, "term")
@@ -158,13 +165,18 @@ object TextAnalysis {
                          textCol: String): DataFrame = {
     val tri = Partitioning.spread(docs)
       .select(col(idCol).as("doc_id"), explode(expr(
-        s"""CASE WHEN length($textCol) >= 3
-           |THEN transform(sequence(1, length($textCol) - 2),
-           |  i -> substr($textCol, i, 3))
+        s"""CASE WHEN length(`$textCol`) >= 3
+           |THEN transform(sequence(1, length(`$textCol`) - 2),
+           |  i -> substr(`$textCol`, i, 3))
            |ELSE array() END""".stripMargin)).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = tri.groupBy("g").agg(count(lit(1)).as("dfc"))
-    tri.join(broadcast(model), "g")
+    // no broadcast HINT: the model is |distinct trigrams|-bounded, which
+    // is tiny on alphabetic corpora but reaches 10^8+ on CJK/multilingual
+    // text — a forced broadcast there collects it to the driver and dies
+    // on the broadcast limit, where AQE left to its own stats broadcasts
+    // the small case and degrades the large one to a shuffle join
+    tri.join(model, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"), sum("dfc").as("sum_dfc"))
       .select(col("doc_id"), col("n_trigrams"),
