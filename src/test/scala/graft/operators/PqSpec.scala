@@ -57,6 +57,26 @@ class PqSpec extends SparkSpec {
       s"cross-cluster neighbor: ${got.mkString(",")}")
   }
 
+  test("a null/ragged corpus vector never enters any top-k (NULLS LAST)") {
+    val vecs = planted()
+    val model = Pq.fit(vecs, "vec_id", "embedding", m = 2, ksub = 4, iters = 4,
+      sample = 100)
+    // poison rows: one null vector, one ragged (wrong-dim) vector — both
+    // encode to null codes and a null ADC distance; Spark's default
+    // ascending sort is NULLS FIRST, which would rank them #1 for EVERY
+    // query without the explicit nulls-last ordering
+    val poisoned = vecs.unionByName(Seq(
+      (9001L, null.asInstanceOf[Array[Float]]),
+      (9002L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    val queries = vecs.filter(col("vec_id").isin(5L, 105L))
+    val got = Pq.adcTopK(queries, poisoned, "vec_id", "embedding", model,
+      k = 5).collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(_.getAs[Long]("neighbor_id") >= 9000L),
+      "null-distance poison row entered a top-k")
+    assert(got.forall(!_.isNullAt(got.head.fieldIndex("adist"))))
+  }
+
   test("fit is order-independent: shuffled/repartitioned input, same model") {
     val vecs = planted()
     val base = Pq.fit(vecs, "vec_id", "embedding", m = 2, ksub = 4,
