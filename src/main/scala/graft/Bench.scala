@@ -56,18 +56,20 @@ object Bench {
     val marks = java.nio.file.Files.createTempDirectory("graft-bulk-mk")
       .toString
     val pks = Seq("l_orderkey", "l_linenumber")
-    val t0 = System.nanoTime()
-    Snapshot.runSharded(spark, registry("lineitem"), s"$wh/lineitem",
-      marks, shards,
-      k => if (shards == 1) src
-           else src.filter(Snapshot.shardPredicate(pks, shards, k)))
-    val sec = (System.nanoTime() - t0) / 1e9
-    // clean the scratch warehouse so repeated runs don't fill /tmp
+    // cleanup in finally: a failed run must not leak a half-written
+    // warehouse into the (tmpfs-backed) scratch dir for the later runs
     def rm(p: java.io.File): Unit = {
       Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
     }
-    rm(new java.io.File(wh)); rm(new java.io.File(marks))
-    (rows, sec)
+    try {
+      val t0 = System.nanoTime()
+      Snapshot.runSharded(spark, registry("lineitem"), s"$wh/lineitem",
+        marks, shards,
+        k => if (shards == 1) src
+             else src.filter(Snapshot.shardPredicate(pks, shards, k)))
+      val sec = (System.nanoTime() - t0) / 1e9
+      (rows, sec)
+    } finally { rm(new java.io.File(wh)); rm(new java.io.File(marks)) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -159,6 +161,16 @@ object Bench {
       }
     spark.catalog.clearCache()
 
+    // env-provided paths are spliced into the JSON — escape them like
+    // every other string field or one quote in a path breaks the
+    // round's whole performance artifact
+    def esc(x: String): String =
+      x.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     def fmtD(v: Double): String =
       if (!java.lang.Double.isFinite(v)) "-1"
       // Locale.ROOT: the default-locale format would emit "1,500000" on
@@ -168,8 +180,13 @@ object Bench {
     val qs = meds.map { case (k, v) => s"\"$k\":${fmtD(v)}" }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, v) =>
-      s"\"$k\":{\"med\":${fmtD(median(v))},\"min\":${fmtD(v.min)}," +
-        s"\"max\":${fmtD(v.max)},\"runs\":[${v.map(fmtD).mkString(",")}]}"
+      // min/max over SUCCESSFUL runs only — the -1 failure sentinel is
+      // not a timing (median() already filters it); all-failed → -1
+      val ok = v.filter(_ >= 0)
+      val mn = if (ok.nonEmpty) ok.min else -1.0
+      val mx = if (ok.nonEmpty) ok.max else -1.0
+      s"\"$k\":{\"med\":${fmtD(median(v))},\"min\":${fmtD(mn)}," +
+        s"\"max\":${fmtD(mx)},\"runs\":[${v.map(fmtD).mkString(",")}]}"
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v.exists(_ < 0) => s"\"$k\"" }
       .mkString("[", ",", "]")
@@ -181,7 +198,10 @@ object Bench {
     val e2e = e2eRuns.sortBy(_.pipelineSec).toSeq match {
       case Seq() => ""
       case rs =>
-        val s = rs(rs.size / 2)
+        // lower-middle run: the median element for odd run counts, and
+        // for even counts the faster of the two middles — never the
+        // slow outlier of a 2-run hiccup (rs.size / 2 picked that)
+        val s = rs((rs.size - 1) / 2)
         s""","events_per_sec":${math.round(s.eventsPerSec)}""" +
           s""","e2e":{"events":${s.events},"fixture_sec":${fmtD(s.fixtureSec)},""" +
           s""""pipeline_sec":${fmtD(s.pipelineSec)},"runs":${rs.size}}"""
@@ -193,8 +213,8 @@ object Bench {
         s""""bulk":{"rows":$bulkRows,"med_sec":${fmtD(bulkMed)},""" +
         s""""runs":[${bulkTimes.map(t => fmtD(t._2)).mkString(",")}]}""" +
         s"""$e2e,"bulk_rows_per_sec":${math.round(bulkRate)},""" +
-        s""""runs_per_query":$runs,"bench_file":"$outPath",""" +
-        s""""metric":"total","value":${fmtD(total)},"unit":"sec","sf":"$sfDir"}"""
+        s""""runs_per_query":$runs,"bench_file":"${esc(outPath)}",""" +
+        s""""metric":"total","value":${fmtD(total)},"unit":"sec","sf":"${esc(sfDir)}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] full JSON written to $outPath")

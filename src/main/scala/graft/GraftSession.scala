@@ -14,7 +14,16 @@ object GraftSession {
     * bursts. A real cluster node gives each executor fast node-local
     * SSDs for `spark.local.dir`; tmpfs is the local-mode equivalent.
     * Falls back to the system default when /dev/shm is absent. The
-    * per-JVM subdir is removed on exit. */
+    * per-JVM subdir is removed on exit.
+    *
+    * Caveat, deliberate: re-pointing `java.io.tmpdir` is JVM-global and
+    * only reaches NIO temp APIs loaded AFTER the first builder call
+    * (the JDK caches the property in its TempFileHelper) — in this
+    * process Bench/Verify construct their session before any temp file,
+    * so the redirect holds; an embedding application that creates temp
+    * files first simply keeps its own tmpdir (slower scratch, still
+    * correct), and the exit-hook delete only touches our per-PID
+    * subdir, never a shared tmpdir. */
   private lazy val scratchDir: Option[String] = {
     val shm = new java.io.File("/dev/shm")
     if (!shm.isDirectory || !shm.canWrite) None

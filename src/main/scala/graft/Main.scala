@@ -100,7 +100,11 @@ object Main {
       restartLock.synchronized { restarting = true }
       try {
         holder.get.stop()
-        holder.set(pipeline.start(spoolDir, checkpointDir))
+        // same spool format as the original start — defaulting to JSON
+        // here would make a routine ops restart read a parquet spool as
+        // JSON and silently stop applying events
+        holder.set(pipeline.start(spoolDir, checkpointDir,
+          spoolFormat = config.spoolFormat))
       } finally restartLock.synchronized {
         restarting = false
         restartLock.notifyAll()

@@ -64,6 +64,8 @@ object Multimodal {
     * metadata-only, no decode (the planner stage of a two-pass pipeline).
     */
   def sampleFramePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame = {
+    // fail on the driver, not as a task-time sequence-step error
+    require(stride > 0, s"stride must be positive, got $stride")
     import features.sparkSession.implicits._
     features.filter(_.kind == "video").toDF()
       .select(col("id"), col("nFrames"),

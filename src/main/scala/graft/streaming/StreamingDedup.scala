@@ -32,6 +32,12 @@ object StreamingDedup {
     val keyed = events.groupByKey(r => r.getAs[String](fpCol))(
       org.apache.spark.sql.Encoders.STRING)
     val seqIdx = events.schema.fieldIndex(seqCol)
+    // fail fast on the driver: getLong inside flatMapGroupsWithState
+    // would otherwise kill the streaming query at runtime on an INT32
+    // fixture column
+    require(events.schema(seqIdx).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$seqCol must be LONG, got ${events.schema(seqIdx).dataType.sql}")
     keyed.flatMapGroupsWithState[Boolean, Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
