@@ -38,6 +38,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Percentile-calibrated length filtering — the "keep the top X% by
+    // score" cut every production quality filter actually ships (a fixed
+    // threshold drifts as the corpus mix changes; a percentile target
+    // does not). The cut is the EXACT 40th percentile of n_chars
+    // (linear interpolation — Spark `percentile` and DuckDB
+    // `quantile_cont` compute the identical formula; n_chars is integer
+    // so the arithmetic is IEEE-identical). The scalar cut is collected
+    // driver-side (one number). At 100 TB the same shape runs on
+    // approx_percentile or a hash-sample — exact global percentile
+    // means a full sort; calibrating on Sampling.hashSample's ~10⁵ rows
+    // bounds that while keeping the cut deterministic.
+    "t_quality_threshold" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val cut = docs.agg(percentile(col("n_chars"), lit(0.4)))
+        .head().getDouble(0)
+      docs.filter(col("n_chars") >= cut)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"))
+        .withColumn("cut", round(lit(cut), 6))
+        .orderBy("lang")
+    },
+
     "t_fingerprint_dups" -> { (s, dir) =>
       t(s, dir, "documents")
         .groupBy(TextAnalysis.prefixFingerprint(col("text"), 8).as("fp"))
@@ -482,6 +504,14 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
         |FROM documents QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "t_quality_threshold" ->
+      """WITH cut AS (SELECT quantile_cont(n_chars, 0.4) AS c
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept,
+        |  round((SELECT c FROM cut), 6) AS cut
+        |FROM documents WHERE n_chars >= (SELECT c FROM cut)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d_substring_dup" ->
       """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t
