@@ -152,12 +152,24 @@ object Bench {
     val bulkMed = median(bulkTimes.map(_._2))
     val bulkRate = if (bulkMed > 0 && bulkRows > 0) bulkRows / bulkMed else 0.0
 
-    // ANN recall@3 vs the exact baseline — deterministic, computed once
+    // ANN recall@3 vs the exact baseline — deterministic, computed once,
+    // on both fixtures: the parquet embeddings (uniform random — the
+    // degenerate worst case) and the clustered synthetic fixture (the
+    // structure the methods are built for; where residual-code quality
+    // is visible)
     val recall =
       if (only.nonEmpty) Map.empty[String, Double]
       else try graft.queries.SimilarityQueries.annRecall(spark, sfDir, k = 3)
       catch { case e: Throwable =>
         System.err.println(s"[bench] recall FAILED: $e"); Map.empty[String, Double]
+      }
+    val recallClustered =
+      if (only.nonEmpty) Map.empty[String, Double]
+      else try graft.queries.SimilarityQueries.annRecallOn(
+        graft.queries.SimilarityQueries.clusteredEmbeddings(spark), k = 3)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] clustered recall FAILED: $e")
+        Map.empty[String, Double]
       }
     spark.catalog.clearCache()
 
@@ -193,6 +205,8 @@ object Bench {
     val total = meds.collect { case (_, v) if v >= 0 => v }.sum
     val recallJson = recall.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${fmtD(v)}" }.mkString("{", ",", "}")
+    val recallClJson = recallClustered.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":${fmtD(v)}" }.mkString("{", ",", "}")
     // realtime headline vs the reference's ~20k events/s claim: median
     // pipeline-time run of cdc_e2e_replicate (fixture synthesis split out)
     val e2e = e2eRuns.sortBy(_.pipelineSec).toSeq match {
@@ -209,7 +223,7 @@ object Bench {
     // summary fields LAST: a tail-truncated stdout capture keeps them
     val json =
       s"""{"queries":$qs,"query_stats":$stats,"errors":$errors,""" +
-        s""""recall":$recallJson,""" +
+        s""""recall":$recallJson,"recall_clustered":$recallClJson,""" +
         s""""bulk":{"rows":$bulkRows,"med_sec":${fmtD(bulkMed)},""" +
         s""""runs":[${bulkTimes.map(t => fmtD(t._2)).mkString(",")}]}""" +
         s"""$e2e,"bulk_rows_per_sec":${math.round(bulkRate)},""" +

@@ -42,8 +42,10 @@ object Ivf {
     typedlit[Seq[Seq[Double]]](model.centroids.map(_.toSeq))
 
   /** Argmin-equivalent scores for all cells: score_i = |cᵢ|² − 2·v·cᵢ
-    * (the |v|² term is constant per row and dropped). */
-  private def cellScores(v: Column, model: Model): Column = {
+    * (the |v|² term is constant per row and dropped). Shared with the
+    * IVF-PQ composition, whose cross-cell ADC ranking re-adds exactly
+    * this term (see [[Pq.ivfAdcTopK]]). */
+  private[operators] def cellScores(v: Column, model: Model): Column = {
     val cents = centroidLit(model)
     val norms = array(model.centroids.map(c => lit(c.map(x => x * x).sum)): _*)
     array((0 until model.k).map(i =>
@@ -58,6 +60,22 @@ object Ivf {
   def assign(v: Column, model: Model): Column = {
     val scores = cellScores(v, model)
     (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** `v − centroid(assign(v))` as a double array — the residual a PQ
+    * codebook is trained on in the classic IVFADC composition (Jégou et
+    * al. 2011): within a coarse cell the residual carries the signal the
+    * cell centroid doesn't, so codes spend their dynamic range on it
+    * instead of re-describing the centroid. Ragged or null vectors map
+    * to null (mirrors [[assign]]'s null propagation). Interpreted HOF —
+    * used only on bounded training samples, never a corpus scan (the
+    * scan-side encode uses the distributed-dot form, see
+    * [[Pq.encodeResidual]]). */
+  def residual(v: Column, model: Model): Column = {
+    val d = model.centroids.head.length
+    when(size(v) === lit(d),
+      zip_with(v, element_at(centroidLit(model), assign(v, model) + 1),
+        (a, b) => a.cast("double") - b))
   }
 
   /** Order-independent uniform training sample of ≈`target` rows: keep

@@ -60,6 +60,57 @@ object Pq {
       (array_position(sc, array_min(sc)) - 1).cast("int")
     }: _*)
 
+  /** Distance scores of the RESIDUAL `(v − coarseCentroid(cell))`'s
+    * subspace `s` against the codebook, without materializing the
+    * residual array: distribute the dot —
+    * `(v−c)_s·cw = v_s·cw − c_s·cw` — and precompute every `c_s·cw`
+    * driver-side into one (k × ksub) literal table per subspace. The
+    * scan stays codegen'd (slice + VecDot + two element_at), and the
+    * SQL oracle mirrors the exact double ops term for term (an
+    * elementwise-subtract-then-dot would be a DIFFERENT float fold).
+    * Score_j = |cw_j|² − 2·((v_s·cw_j) − dcc[cell][j]); the
+    * |(v−c)_s|² term is constant per (row, cell) and drops from both
+    * the encode argmin and — once [[ivfAdcTopK]] re-adds the coarse
+    * ‖q−c‖² term — the cross-cell ranking. */
+  private def residSubScores(v: Column, cellCol: Column, s: Int,
+                             coarse: Ivf.Model, model: Model): Column = {
+    val base = s * model.dsub
+    val dccLit = typedlit[Seq[Seq[Double]]](
+      dccTable(coarse, model)(s).map(_.toSeq))
+    val cents = typedlit[Seq[Seq[Double]]](model.centroids(s).map(_.toSeq))
+    val sub = slice(v, base + 1, model.dsub)
+    array(model.centroids(s).indices.map(j =>
+      lit(model.centroids(s)(j).map(x => x * x).sum) -
+        lit(2.0) * (dot(sub, element_at(cents, j + 1)) -
+          element_at(element_at(dccLit, cellCol + 1), j + 1))): _*)
+  }
+
+  /** Driver-side twin of [[residSubScores]]'s dcc table, shared with the
+    * SQL-oracle generator so both engines embed the same literals. */
+  def dccTable(coarse: Ivf.Model, model: Model): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    (0 until model.m).map { s =>
+      val base = s * model.dsub
+      coarse.centroids.map { cc =>
+        model.centroids(s).map { cw =>
+          var acc = 0.0
+          var i = 0
+          while (i < model.dsub) { acc += cc(base + i) * cw(i); i += 1 }
+          math.rint(acc * 1e9) / 1e9
+        }
+      }
+    }
+
+  /** Residual PQ codes for a vector already assigned to `cellCol` —
+    * map-only and codegen'd like [[encode]], but quantizing
+    * `v − coarseCentroid(cell)` (via the distributed-dot form, no
+    * residual array in the scan). */
+  def encodeResidual(v: Column, cellCol: Column, coarse: Ivf.Model,
+                     model: Model): Column =
+    array((0 until model.m).map { s =>
+      val sc = residSubScores(v, cellCol, s, coarse, model)
+      (array_position(sc, array_min(sc)) - 1).cast("int")
+    }: _*)
+
   /** Train one k-means codebook per subspace — all `m` subspaces JOINTLY,
     * one Spark job per iteration. Running [[Ivf.fit]] per subspace is
     * semantically identical but launches m·(iters+1) small jobs whose
@@ -127,27 +178,63 @@ object Pq {
     } finally sampled.unpersist(blocking = false)
   }
 
-  /** IVF-PQ: the production billion-vector composition — the coarse
-    * quantizer restricts candidates to the query's `nProbe` cells (an
-    * EQUI join on the cell id, no nested loop), and within a cell the
-    * ranking is the codes-only ADC sum. The corpus representation is
-    * (cell, m codes) per vector: both assignments are one map-only
-    * codegen'd pass at ingest. */
+  /** Train the PQ codebook on coarse-cell RESIDUALS — the classic IVFADC
+    * recipe (Jégou et al., "Product quantization for nearest neighbor
+    * search", TPAMI 2011): within a cell, raw vectors all sit near the
+    * cell centroid, so a codebook trained on raw vectors spends its
+    * dynamic range re-describing the centroid (measured here: recall@3
+    * of the raw-ADC ranking was 0.033 before this change). Training on
+    * `v − centroid(assign(v))` centers every cell's population at the
+    * origin and the codes describe only the within-cell offset.
+    * Same determinism contract as [[fit]] (the residual transform is a
+    * deterministic function of the frozen coarse model). */
+  def fitResidual(vecs: DataFrame, idCol: String, vecCol: String,
+                  coarse: Ivf.Model, m: Int, ksub: Int,
+                  iters: Int = 3, sample: Int = 10000): Model =
+    fit(vecs.select(col(idCol),
+        Ivf.residual(col(vecCol), coarse).as(vecCol)),
+      idCol, vecCol, m, ksub, iters, sample)
+
+  /** IVF-PQ (IVFADC): the production billion-vector composition — the
+    * coarse quantizer restricts candidates to the query's `nProbe` cells
+    * (an EQUI join on the cell id, no nested loop), and within a cell
+    * the ranking is the codes-only ADC sum over RESIDUAL codes (`model`
+    * must come from [[fitResidual]] with the same `coarse`).
+    *
+    * Residual scoring changes two things vs the naive composition:
+    *  - the query LUTs are per (query, PROBED CELL) — they score
+    *    `q − c_cell` against the codebook, so they're computed after the
+    *    probe explode (×nProbe work on the broadcast side only);
+    *  - the ADC sum alone is no longer comparable ACROSS cells (each
+    *    cell's LUTs dropped a different `‖q−c_cell‖²`), so the score
+    *    re-adds the coarse term `‖c‖² − 2·q·c` — exactly the probe
+    *    ordering score already computed, carried through the explode as
+    *    `ct`. (`‖q‖²` is constant per query and still drops.)
+    *
+    * The corpus representation is (cell, m codes) per vector: both
+    * assignments remain one map-only codegen'd pass at ingest. */
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, coarse: Ivf.Model, model: Model, k: Int,
                  nProbe: Int = 2): DataFrame = {
     val codes = Partitioning.spread(corpus)
-      .select(col(idCol).as("neighbor_id"),
-        Ivf.assign(col(vecCol), coarse).as("cell"),
-        encode(col(vecCol), model).as("codes"))
-    val lutCols = (0 until model.m).map(s =>
-      subScores(col(vecCol), s, model).as(s"l$s"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+        Ivf.assign(col(vecCol), coarse).as("cell"))
+      .select(col("neighbor_id"), col("cell"),
+        encodeResidual(col("v"), col("cell"), coarse, model).as("codes"))
+    val probes = array_sort(
+      transform(Ivf.cellScores(col(vecCol), coarse),
+        (s, i) => struct(s.as("d"), i.cast("int").as("cell"))))
     val q = queries
-      .select(col(idCol).as("query_id") +: col(vecCol).as("qv") +: lutCols: _*)
-      .select(col("query_id") +: (0 until model.m).map(s => col(s"l$s")) :+
-        explode(Ivf.probeCells(col("qv"), coarse, nProbe)).as("cell"): _*)
-    val score = (0 until model.m).map(s =>
-      element_at(col(s"l$s"), element_at(col("codes"), s + 1) + 1))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(probes, 1, nProbe)).as("p"))
+      .select(col("query_id") +: col("p.cell").as("cell") +:
+        col("p.d").as("ct") +:
+        (0 until model.m).map(s =>
+          residSubScores(col("qv"), col("p.cell"), s, coarse, model)
+            .as(s"l$s")): _*)
+    // ((ct + l0[..]) + l1[..]) + … — the SQL oracle's left-assoc sum
+    val score = (col("ct") +: (0 until model.m).map(s =>
+      element_at(col(s"l$s"), element_at(col("codes"), s + 1) + 1)))
       .reduce(_ + _)
     val scored = codes.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -163,10 +250,11 @@ object Pq {
     * stays code-compressed and never shuffles — the tiny shortlist
     * (|Q|·shortlist ids) broadcasts INTO the corpus scan to surface
     * vectors — so recall becomes shortlist-limited instead of
-    * quantization-limited at the cost of one broadcast join. Measured on
-    * the sf0.1 random-embedding fixture at shortlist=50: recall@3
-    * 0.033 → 0.40, against the 0.47 ceiling the nProbe=2 coarse probe
-    * itself imposes (widen nProbe for more). */
+    * quantization-limited at the cost of one broadcast join. With
+    * residual (IVFADC) codes the shortlist absorbs far less error than
+    * it did over raw-vector codes — the raw ADC ranking is already
+    * probe-bound — but the exact re-rank still fixes the within-
+    * shortlist order for free. */
   def ivfAdcRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                        vecCol: String, coarse: Ivf.Model, model: Model,
                        k: Int, nProbe: Int = 2,

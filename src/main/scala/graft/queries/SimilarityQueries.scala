@@ -122,13 +122,15 @@ object SimilarityQueries {
     },
 
     // IVF-PQ: coarse cells bound the candidates (equi join on cell),
-    // PQ codes carry the ranking — the production billion-vector
-    // composition. Both frozen models feed one combined oracle.
+    // residual PQ codes carry the ranking (classic IVFADC — the codebook
+    // is trained on v − coarseCentroid(cell), so codes describe the
+    // within-cell offset instead of re-describing the centroid). Both
+    // frozen models feed one combined oracle.
     "s_ann_ivfpq" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
-      val pq = graft.operators.Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16,
-        iters = 2)
+      val pq = graft.operators.Pq.fitResidual(emb, "vec_id", "embedding",
+        coarse, m = 8, ksub = 16, iters = 2)
       ivfModels.put("s_ann_ivfpq", coarse)
       pqModels.put("s_ann_ivfpq", pq)
       graft.operators.Pq.ivfAdcTopK(
@@ -152,8 +154,8 @@ object SimilarityQueries {
     "s_ann_ivfpq_rerank" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
-      val pq = graft.operators.Pq.fit(emb, "vec_id", "embedding", m = 8,
-        ksub = 16, iters = 2)
+      val pq = graft.operators.Pq.fitResidual(emb, "vec_id", "embedding",
+        coarse, m = 8, ksub = 16, iters = 2)
       ivfModels.put("s_ann_ivfpq_rerank", coarse)
       pqModels.put("s_ann_ivfpq_rerank", pq)
       graft.operators.Pq.ivfAdcRerankTopK(
@@ -376,38 +378,66 @@ object SimilarityQueries {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** DuckDB twin of `Pq.ivfAdcTopK`: the corpus gets its coarse cell
-    * (ivf argmin) AND its PQ codes; queries get their `nProbe` probe
-    * cells AND their LUTs; the equi join on cell + the left-assoc ADC
-    * sum mirror the Spark plan clause for clause. */
+  /** The residual sub-score list for subspace `s` of a row carrying an
+    * `embedding` and a `cell` column, with the `c_s·cw` table bound as
+    * the one-row `dcc` CTE: per codeword j,
+    * `|cw_j|² − 2·((0.0 + v·cw_j left-assoc) − dcc[s+1][cell+1][j+1])` —
+    * the exact double ops of `Pq.residSubScores` (distributed dot, NOT
+    * subtract-then-dot, which would be a different float fold). */
+  private def pqResidScoreList(s: Int,
+                               model: graft.operators.Pq.Model): String =
+    model.centroids(s).zipWithIndex.map { case (c, j) =>
+      val base = s * model.dsub
+      val dot = c.indices.map(i =>
+        s"CAST(embedding[${base + i + 1}] AS DOUBLE) * (${fmt(c(i))})")
+        .mkString("(0.0 + ", " + ", ")")
+      s"(${fmt(c.map(x => x * x).sum)} - 2.0 * ($dot" +
+        s" - dcc[${s + 1}][cell + 1][${j + 1}]))"
+    }.mkString("[", ",\n ", "]")
+
+  /** DuckDB twin of `Pq.ivfAdcTopK` (residual IVFADC): the corpus gets
+    * its coarse cell (ivf argmin) AND its residual PQ codes; queries get
+    * their `nProbe` probe cells, the coarse comparability term `ct`
+    * (the probe struct's own `d`), and per-cell residual LUTs; the equi
+    * join on cell + the left-assoc `ct + ΣADC` sum mirror the Spark
+    * plan clause for clause. The `c_s·cw` literal table binds once as
+    * the one-row `dcc` CTE (cross-joined), shared by both sides. */
   private def ivfPqRankedCtes(coarse: Ivf.Model,
                               model: graft.operators.Pq.Model,
                               nProbe: Int): String = {
     val m = model.m
+    val dccLit = graft.operators.Pq.dccTable(coarse, model)
+      .map(_.map(_.map(fmt).mkString("[", ", ", "]"))
+        .mkString("[", ",\n   ", "]"))
+      .mkString("[", ",\n  ", "]")
     val slCols = (0 until m).map(s =>
-      s"${pqSubScoreList(s, model)} AS sl$s").mkString(",\n  ")
+      s"${pqResidScoreList(s, model)} AS sl$s").mkString(",\n  ")
     val codeCols = (0 until m).map(s =>
       s"CAST(list_position(sl$s, list_min(sl$s)) - 1 AS INT) AS code$s")
       .mkString(",\n  ")
     val lutCols = (0 until m).map(s =>
-      s"${pqSubScoreList(s, model)} AS l$s").mkString(",\n  ")
-    val ls = (0 until m).map(s => s"l$s").mkString(", ")
+      s"${pqResidScoreList(s, model)} AS l$s").mkString(",\n  ")
     val scoreSum = (0 until m).map(s => s"l$s[code$s + 1]").mkString(" + ")
     val probeList = coarse.centroids.zipWithIndex
       .map { case (c, i) => s"{'d': ${ivfScoreExpr(c)}, 'cell': $i}" }
       .mkString("[", ",\n ", "]")
-    s"""c0 AS (SELECT vec_id AS neighbor_id, ${ivfScoreList(coarse)} AS csl,
-       |  $slCols FROM embeddings),
-       |cc AS (SELECT neighbor_id,
-       |  CAST(list_position(csl, list_min(csl)) - 1 AS INT) AS cell,
-       |  $codeCols FROM c0),
-       |q0 AS (SELECT vec_id AS query_id, list_sort($probeList) AS pl,
-       |  $lutCols FROM embeddings WHERE vec_id < 10),
+    s"""dcc AS (SELECT $dccLit AS dcc),
+       |c0 AS (SELECT vec_id AS neighbor_id, embedding,
+       |  ${ivfScoreList(coarse)} AS csl FROM embeddings),
+       |c1 AS (SELECT neighbor_id, embedding,
+       |  CAST(list_position(csl, list_min(csl)) - 1 AS INT) AS cell
+       |  FROM c0),
+       |cs AS (SELECT neighbor_id, cell, $slCols FROM c1, dcc),
+       |cc AS (SELECT neighbor_id, cell, $codeCols FROM cs),
+       |q0 AS (SELECT vec_id AS query_id, embedding,
+       |  list_sort($probeList) AS pl FROM embeddings WHERE vec_id < 10),
        |qp AS (${(1 to nProbe)
-          .map(i => s"SELECT query_id, pl[$i].cell AS cell, $ls FROM q0")
+          .map(i => s"SELECT query_id, embedding, pl[$i].cell AS cell, " +
+            s"pl[$i].d AS ct FROM q0")
           .mkString("\n  UNION ALL ")}),
-       |s AS (SELECT query_id, neighbor_id, round($scoreSum, 4) AS adist
-       |      FROM qp JOIN cc ON qp.cell = cc.cell
+       |ql AS (SELECT query_id, cell, ct, $lutCols FROM qp, dcc),
+       |s AS (SELECT query_id, neighbor_id, round(ct + $scoreSum, 4) AS adist
+       |      FROM ql JOIN cc ON ql.cell = cc.cell
        |                     AND query_id <> neighbor_id),
        |ranked AS (SELECT query_id, neighbor_id, adist,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -476,6 +506,84 @@ object SimilarityQueries {
         "s_ann_pq", "s_ann_ivfpq", "s_ann_ivfpq_rerank")
       .map(m => m -> recallAtK(exact, defs(m)(s, dir), k)).toMap
     finally exact.unpersist(blocking = false)
+  }
+
+  /** A deterministic clustered embedding fixture — `nClusters` modes on
+    * the unit sphere, each with LOW-RANK within-cluster variation
+    * (rank-`rank` factors, total offset norm ≈ `noise`), L2-normalized.
+    * The parquet fixture's uniform-random vectors are the DEGENERATE
+    * case for ANN (cosines cluster at 0, coarse centroids sit near the
+    * origin, so coarse-cell residuals ≈ the raw vectors and PQ codes
+    * are noise-bound no matter how they're trained); real embedding
+    * corpora are clustered with locally low intrinsic dimension, which
+    * is the structure IVF cells and residual PQ codes exploit —
+    * isotropic full-rank noise would be equally degenerate (no 4-bit
+    * codebook compresses an 8-dim isotropic Gaussian). Recall is
+    * tracked on BOTH fixtures. */
+  def clusteredEmbeddings(s: org.apache.spark.sql.SparkSession,
+                          n: Int = 2000, dim: Int = 64, nClusters: Int = 8,
+                          noise: Double = 0.35, rank: Int = 3,
+                          seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm)
+    }
+    val centers = Array.fill(nClusters)(unit())
+    val factors = Array.fill(nClusters)(Array.fill(rank)(unit()))
+    val sigma = noise / math.sqrt(rank)
+    val rows = (0 until n).map { i =>
+      val cl = i % nClusters
+      val z = Array.fill(rank)(sigma * rnd.nextGaussian())
+      val raw = Array.tabulate(dim) { j =>
+        var x = centers(cl)(j)
+        var r = 0
+        while (r < rank) { x += z(r) * factors(cl)(r)(j); r += 1 }
+        x
+      }
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / nrm).toFloat).toSeq)
+    }
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** [[annRecall]] over an in-memory embeddings frame (same methods,
+    * same parameters as the gated queries) — runs the operators
+    * directly so the frozen-model oracle cache is NOT touched: the
+    * clustered fixture is additive measurement, never gate input. */
+  def annRecallOn(emb: org.apache.spark.sql.DataFrame,
+                  k: Int = 3): Map[String, Double] = {
+    import graft.operators.{Pq, Similarity}
+    val cached = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val q = cached.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, cached, "vec_id", "embedding", k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val coarse = Ivf.fit(cached, "vec_id", "embedding", k = 8, iters = 3)
+        val pq = Pq.fitResidual(cached, "vec_id", "embedding", coarse,
+          m = 8, ksub = 16, iters = 2)
+        val pqRaw = Pq.fit(cached, "vec_id", "embedding", m = 8, ksub = 16,
+          iters = 2)
+        Map(
+          "s_ann_lsh" -> Similarity.lshTopK(q, cached, "vec_id", "embedding",
+            k, bits = 4, dim = 64),
+          "s_ann_lsh_probe" -> Similarity.lshTopKMultiProbe(q, cached,
+            "vec_id", "embedding", k, bits = 4, dim = 64),
+          "s_ann_ivf" -> Ivf.topK(q, cached, "vec_id", "embedding", coarse,
+            k, nProbe = 2),
+          "s_ann_ivf_probe" -> Ivf.topK(q, cached, "vec_id", "embedding",
+            coarse, k, nProbe = 4),
+          "s_ann_pq" -> Pq.adcTopK(q, cached, "vec_id", "embedding", pqRaw, k),
+          "s_ann_ivfpq" -> Pq.ivfAdcTopK(q, cached, "vec_id", "embedding",
+            coarse, pq, k, nProbe = 2),
+          "s_ann_ivfpq_rerank" -> Pq.ivfAdcRerankTopK(q, cached, "vec_id",
+            "embedding", coarse, pq, k, nProbe = 4, shortlist = 100)
+        ).map { case (m, df) => m -> recallAtK(exact, df, k) }
+      } finally exact.unpersist(blocking = false)
+    } finally cached.unpersist(blocking = false)
   }
 
   def oracles: Map[String, String] =
