@@ -211,29 +211,49 @@ object Dedup {
     * comma-joined sorted ids — a string so engines hash identically).
     */
   def dupClusters(pairs: DataFrame): DataFrame = {
-    // localCheckpoint(eager), NOT persist: persist caches rows but keeps
+    // Checkpoint (eager), NOT persist: persist caches rows but keeps
     // the logical plan, and an iterative loop that references `labels`
     // twice per round doubles the plan every iteration — Catalyst
     // re-analysis goes exponential long before the data is the problem.
     // Checkpointing truncates lineage so round N's plan is O(1) deep.
-    // (On a multi-executor cluster prefer a reliable checkpoint dir for
-    // fault tolerance; the loop itself is identical.)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // localCheckpoint blocks live on executors and die with them — when
+    // the session has a reliable checkpoint dir configured
+    // (sc.setCheckpointDir), the loop transparently switches to
+    // fault-tolerant reliable checkpoints for cluster runs.
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // materialize the pair-generation subtree ONCE: `edges` references
+    // `pairs` twice (both orientations), and each round's join would
+    // otherwise re-run the full candidate-pair pipeline per branch
+    val base = ckpt(pairs.select(col("id_a"), col("id_b")))
+    val edges = base.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(base.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var changed = 1L
+    var round = 0
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("comp").as("ncomp"))
-      val updated = labels.join(neighborMin, Seq("id"))
-        .select(col("id"), col("comp"),
-          least(col("comp"), col("ncomp")).as("next"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("next") < col("comp")).count()
-      labels = updated.select(col("id"), col("next").as("comp"))
+      // ONE blocking action per round: the eager checkpoint both
+      // materializes the round and carries the convergence count out
+      // through an observed metric — a separate count() would be a
+      // second driver round-trip over the same rows every round
+      val obs = new org.apache.spark.sql.Observation(s"labelProp_$round")
+      val updated = ckpt(labels.join(neighborMin, Seq("id"))
+        .select(col("id"),
+          least(col("comp"), col("ncomp")).as("comp"),
+          (col("ncomp") < col("comp")).as("chg"))
+        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changed")))
+      changed = obs.get("changed") match {
+        case null => 0L
+        case n: java.lang.Number => n.longValue()
+      }
+      labels = updated.select(col("id"), col("comp"))
+      round += 1
     }
     labels.groupBy(col("comp").as("canonical_id"))
       .agg(count(lit(1)).as("n_members"),
