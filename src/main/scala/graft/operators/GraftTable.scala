@@ -268,13 +268,21 @@ final class GraftTable(
     * otherwise revert a just-published load to compacted PRE-load data
     * and garbage-collect the staged epoch a cycle later). */
   def publishStagedLoad(epoch: Int): Unit = epochLock.synchronized {
-    stagingMeta().foreach { case (e, baseline) =>
-      if (e == epoch && baseline != Long.MaxValue && exists) {
-        val delta = log.filter(col("_version") > baseline)
-        if (!delta.isEmpty) writeStamped(delta, epoch)
+    // replay after a crash BETWEEN the pointer swap and the meta
+    // delete: the pointer already names the staging epoch, so the lift
+    // already ran — and `log` would now resolve to the published
+    // staging epoch itself, making the lift a same-directory
+    // read+append (file-listing-dependent). Skip straight to cleanup.
+    val swapped = currentEpoch == epoch
+    if (!swapped) {
+      stagingMeta().foreach { case (e, baseline) =>
+        if (e == epoch && baseline != Long.MaxValue && exists) {
+          val delta = log.filter(col("_version") > baseline)
+          if (!delta.isEmpty) writeStamped(delta, epoch)
+        }
       }
+      writeEpochPtr(epoch)
     }
-    writeEpochPtr(epoch)
     fs.delete(stagingMetaPath, false)
   }
 

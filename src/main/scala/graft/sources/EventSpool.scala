@@ -105,10 +105,18 @@ object EventSpool {
   private val SpoolFileRe = """^(\d+)\.(?:json|parquet)$""".r
 
   /** Next rotation index: max existing spool file number + 1 (reference
-    * `get_next_file_name`, binlog_replicator.py:276-286). */
-  def nextFileIndex(spoolDir: String): Int = {
-    val names = Option(new java.io.File(spoolDir).list())
-      .getOrElse(Array.empty[String])
+    * `get_next_file_name`, binlog_replicator.py:276-286). Hadoop FS API
+    * like [[sweepRetention]] — a java.io listing of an HDFS/S3 spool
+    * returns nothing, which would restart numbering at 000001 and
+    * overwrite live files. */
+  def nextFileIndex(spoolDir: String,
+                    hadoopConf: org.apache.hadoop.conf.Configuration =
+                      new org.apache.hadoop.conf.Configuration()): Int = {
+    val dir = new org.apache.hadoop.fs.Path(spoolDir)
+    val fs = dir.getFileSystem(hadoopConf)
+    val names =
+      if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath.getName)
+      else Array.empty[String]
     val nums = names.flatMap(n =>
       SpoolFileRe.findFirstMatchIn(n).map(_.group(1).toInt))
     if (nums.isEmpty) 1 else nums.max + 1
@@ -122,13 +130,15 @@ object EventSpool {
     * retention sweep and the consumer's per-file progress granular.
     * Returns the written file names. */
   def writeRotating(spoolDir: String, lines: Seq[String],
-                    recordsPerFile: Int): Seq[String] = {
+                    recordsPerFile: Int,
+                    hadoopConf: org.apache.hadoop.conf.Configuration =
+                      new org.apache.hadoop.conf.Configuration()): Seq[String] = {
     require(recordsPerFile > 0,
       "binlog_replicator records_per_file should be positive")
-    val start = nextFileIndex(spoolDir)
+    val start = nextFileIndex(spoolDir, hadoopConf)
     lines.grouped(recordsPerFile).zipWithIndex.map { case (chunk, i) =>
       val name = f"${start + i}%06d.json"
-      writeFile(spoolDir, name, chunk)
+      writeFile(spoolDir, name, chunk, hadoopConf)
       name
     }.toSeq
   }
@@ -195,15 +205,23 @@ object EventSpool {
     parts.mkString("{", ",", "}")
   }
 
-  /** Append a file of events to the spool (one streaming source unit). */
-  def writeFile(spoolDir: String, fileName: String,
-                lines: Seq[String]): Unit = {
-    val dir = java.nio.file.Paths.get(spoolDir)
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(s".$fileName.tmp")
-    java.nio.file.Files.writeString(tmp, lines.mkString("", "\n", "\n"))
-    // atomic rename so the file source never sees partial files
-    java.nio.file.Files.move(tmp, dir.resolve(fileName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  /** Append a file of events to the spool (one streaming source unit).
+    * Hadoop FS API so producers write wherever the readers read (HDFS/
+    * S3/local): stage dot-prefixed inside the spool (hidden from the
+    * file source), then a same-filesystem rename publishes it whole —
+    * the file source must never see a partial file. */
+  def writeFile(spoolDir: String, fileName: String, lines: Seq[String],
+                hadoopConf: org.apache.hadoop.conf.Configuration =
+                  new org.apache.hadoop.conf.Configuration()): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(spoolDir)
+    val fs = dir.getFileSystem(hadoopConf)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$fileName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, fileName)))
+      throw new java.io.IOException(
+        s"cannot publish spool file $fileName into $spoolDir")
   }
 }

@@ -186,8 +186,13 @@ final class CdcPipeline(
       case DdlOp.TruncateTable(d0, _) => d0.exists(config.databaseMatches)
       case DdlOp.DropTable(ts, _) =>
         ts.exists(_._1.exists(config.databaseMatches))
-      case DdlOp.RenameTable(rs) => rs.exists { case ((fd, _), (td, _)) =>
-        fd.exists(config.databaseMatches) || td.exists(config.databaseMatches)
+      // source db only, matching applyDdl's `schemaAdmitted(fromDb0)`
+      // filter: a cross-db rename INTO a replicated db has an untracked
+      // source (no schema, no history — registry.contains is false), so
+      // admitting it here would only parse a statement applyDdl always
+      // drops; admitted ops should never be no-ops by construction
+      case DdlOp.RenameTable(rs) => rs.exists { case ((fd, _), _) =>
+        fd.exists(config.databaseMatches)
       }
       case _ => false
     }
@@ -306,8 +311,12 @@ final class CdcPipeline(
         // retry's writes into the same table directories
         aborted.set(true)
         spark.sparkContext.cancelJobGroup(groupId)
+        // one shared deadline across the drain — a per-future timeout
+        // would stack to N×10 min with many blocked flush groups and
+        // stall the micro-batch thread long past any useful retry
+        val deadline = 10.minutes.fromNow
         futures.foreach(f =>
-          try { Await.result(f, 10.minutes); () }
+          try { Await.result(f, deadline.timeLeft max Duration.Zero); () }
           catch { case _: Throwable => () })
         throw e
       }

@@ -155,6 +155,47 @@ class SnapshotSpec extends SparkSpec {
     assert(state === Set((1L, "snap"), (3L, "live")))
   }
 
+  test("publish replay after the pointer swap skips the lift (no dup rows)") {
+    val schema = graft.ddl.DdlParser.parse(
+      "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")
+      .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
+    val dir = tmpDir("graft-snap-replay")
+    val t = graft.operators.GraftTable(spark, dir,
+      schema.primaryKeys, schema.toStructType)
+    t.append(Seq((1L, "old")).toDF("id", "v"), 1L)
+    val staging = t.beginStagedLoad()
+    t.appendStaged(Seq((1L, "snap")).toDF("id", "v"), 10L, staging)
+    t.append(Seq((3L, "live")).toDF("id", "v"), 15L)
+    // simulate a crash BETWEEN the epoch-pointer swap and the
+    // staging-meta delete: snapshot the meta file, publish, restore the
+    // meta, publish again (the restart's replay). The replay must see
+    // the already-swapped pointer and skip the delta lift — with the
+    // pointer naming the staging epoch, a re-lift would read from and
+    // append into the SAME parquet directory in one job.
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta/staging")
+    val metaBytes = {
+      val in = fs.open(metaPath)
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    }
+    t.publishStagedLoad(staging)
+    val expected = t.read.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(expected === Set((1L, "snap"), (3L, "live")))
+    val out = fs.create(metaPath, true)
+    try out.write(metaBytes) finally out.close()
+    t.publishStagedLoad(staging) // the replay
+    assert(fs.exists(metaPath) === false, "replay must clean staging meta")
+    assert(t.read.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === expected)
+    // and the underlying log carries no re-lifted duplicate images
+    val liftedLive = t.log.filter($"id" === 3L).count()
+    assert(liftedLive === 1L,
+      s"replay re-ran the delta lift ($liftedLive copies of the live row)")
+  }
+
   test("compact mid-load keeps delta tombstones; publish loses nothing") {
     val schema = graft.ddl.DdlParser.parse(
       "CREATE TABLE s (id bigint NOT NULL, v varchar(20), PRIMARY KEY(id))")
