@@ -36,9 +36,12 @@ object Bench {
   /** Initial-replication throughput: lineitem (the biggest fixture
     * table) pushed through the real snapshot path — CRC32 shard
     * predicates, MySQL-shaped type conversion, versioned bucket+salt
-    * parquet writes — into a throwaway warehouse dir. */
+    * parquet writes — into a throwaway warehouse dir. Also times the
+    * FINAL-view read over the loaded table (the reference's third
+    * observable phase: `SELECT ... FINAL`, the dedup-on-read path every
+    * downstream query pays) → (rows, loadSec, finalReadSec). */
   private def bulkLoad(spark: SparkSession, sfDir: String,
-                       shards: Int): (Long, Double) = {
+                       shards: Int): (Long, Double, Double) = {
     import graft.ddl.SchemaRegistry
     import graft.sources.Snapshot
     val registry = new SchemaRegistry
@@ -63,12 +66,20 @@ object Bench {
     }
     try {
       val t0 = System.nanoTime()
-      Snapshot.runSharded(spark, registry("lineitem"), s"$wh/lineitem",
+      val t = Snapshot.runSharded(spark, registry("lineitem"), s"$wh/lineitem",
         marks, shards,
         k => if (shards == 1) src
              else src.filter(Snapshot.shardPredicate(pks, shards, k)))
       val sec = (System.nanoTime() - t0) / 1e9
-      (rows, sec)
+      val t1 = System.nanoTime()
+      val finalRows = t.read.count() // FinalView dedup-on-read, not raw parquet
+      val finalSec = (System.nanoTime() - t1) / 1e9
+      // the synthetic fixture carries duplicate PKs by design, so FINAL
+      // returns fewer rows than were loaded — the throughput denominator
+      // is the rows SCANNED through the dedup (the work), not the output
+      require(finalRows > 0 && finalRows <= rows,
+        s"FINAL view implausible: $finalRows of $rows")
+      (rows, sec, finalSec)
     } finally { rm(new java.io.File(wh)); rm(new java.io.File(marks)) }
   }
 
@@ -144,13 +155,16 @@ object Bench {
       else (0 until runs).map { _ =>
         try bulkLoad(spark, sfDir, shards = 4)
         catch { case e: Throwable =>
-          System.err.println(s"[bench] bulk load FAILED: $e"); (0L, -1.0)
+          System.err.println(s"[bench] bulk load FAILED: $e"); (0L, -1.0, -1.0)
         }
       }
-    val bulkRows = bulkTimes.collectFirst { case (r, _) if r > 0 => r }
+    val bulkRows = bulkTimes.collectFirst { case (r, _, _) if r > 0 => r }
       .getOrElse(0L)
     val bulkMed = median(bulkTimes.map(_._2))
     val bulkRate = if (bulkMed > 0 && bulkRows > 0) bulkRows / bulkMed else 0.0
+    val finalMed = median(bulkTimes.map(_._3))
+    val finalRate =
+      if (finalMed > 0 && bulkRows > 0) bulkRows / finalMed else 0.0
 
     // ANN recall@3 vs the exact baseline — deterministic, computed once,
     // on both fixtures: the parquet embeddings (uniform random — the
@@ -225,8 +239,11 @@ object Bench {
       s"""{"queries":$qs,"query_stats":$stats,"errors":$errors,""" +
         s""""recall":$recallJson,"recall_clustered":$recallClJson,""" +
         s""""bulk":{"rows":$bulkRows,"med_sec":${fmtD(bulkMed)},""" +
-        s""""runs":[${bulkTimes.map(t => fmtD(t._2)).mkString(",")}]}""" +
+        s""""runs":[${bulkTimes.map(t => fmtD(t._2)).mkString(",")}],""" +
+        s""""final_read_med_sec":${fmtD(finalMed)},""" +
+        s""""final_read_runs":[${bulkTimes.map(t => fmtD(t._3)).mkString(",")}]}""" +
         s"""$e2e,"bulk_rows_per_sec":${math.round(bulkRate)},""" +
+        s""""final_rows_per_sec":${math.round(finalRate)},""" +
         s""""runs_per_query":$runs,"bench_file":"${esc(outPath)}",""" +
         s""""metric":"total","value":${fmtD(total)},"unit":"sec","sf":"${esc(sfDir)}"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

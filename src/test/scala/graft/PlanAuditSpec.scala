@@ -252,6 +252,51 @@ class PlanAuditSpec extends SparkSpec {
       s"version ceiling not pushed: ${scan.metadata("PushedFilters")}")
   }
 
+  test("publishStagedLoad: the delta lift's baseline floor reaches the scan") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // capture the lift's EXECUTED plan via a listener: the lift runs
+    // inside publishStagedLoad (a write, not a returned frame), and the
+    // promise is that `_version > baseline` prunes pre-load files via
+    // parquet row-group stats — the same contract readAsOf pins
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        plans.add(qe.executedPlan); ()
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    val t = graft.operators.GraftTable(spark, tmpDir("plan-staged"),
+      Seq("id"), StructType(Seq(StructField("id", LongType),
+        StructField("v", StringType))))
+    t.append(Seq((1L, "old")).toDF("id", "v"), 1)
+    val staging = t.beginStagedLoad()
+    t.appendStaged(Seq((1L, "snap")).toDF("id", "v"), 10, staging)
+    t.append(Seq((2L, "live")).toDF("id", "v"), 15) // the delta to lift
+    spark.listenerManager.register(listener)
+    try {
+      t.publishStagedLoad(staging)
+      // listener bus is async — poll for the lift plan
+      def liftScan(): Option[FileSourceScanExec] = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.toSeq.flatMap(flatten(_)).collectFirst {
+          case s: FileSourceScanExec
+            if s.metadata.get("PushedFilters")
+              .exists(_.contains("GreaterThan(_version")) => s
+        }
+      }
+      var tries = 20
+      while (liftScan().isEmpty && tries > 0) { Thread.sleep(300); tries -= 1 }
+      assert(liftScan().nonEmpty,
+        "no executed plan pushed GreaterThan(_version,...) to a parquet " +
+          "scan — the staged-load delta lift lost its row-group pruning")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("ivf-pq: candidates ride an equi join on the cell, never a loop") {
     val ns = nodes(SparkEntry.queries("s_ann_ivfpq")(spark, dir))
     // the whole point of the coarse quantizer is replacing the ADC
