@@ -40,6 +40,12 @@ final case class GraftConfig(
       * `optimize_interval`, default 86400); ≤ 0 disables the background
       * compactor entirely. */
     optimizeInterval: Int = 86400,
+    /** Master switch for background OPTIMIZE (config.py:151
+      * `enable_optimize_final`, default true — the reference gates its
+      * db_optimizer process on it, runner.py:162-194). Here it gates the
+      * [[graft.operators.Compactor]] the same way: false = never rewrite
+      * epochs in the background, rely on FINAL dedup-on-read alone. */
+    enableOptimizeFinal: Boolean = true,
     /** HTTP monitoring/control endpoint (config.py:160-161 `http_host` /
       * `http_port`; served by [[graft.streaming.MonitorServer]]); empty
       * host or port 0 with no host disables it, port 0 with a host binds
@@ -145,20 +151,90 @@ final case class MySqlConn(host: String, port: Int, user: String,
 
 object GraftConfig {
 
+  /** The reference's COMPLETE top-level settings surface — every key
+    * `Settings.load` pops from the YAML (config.py:172-238) — split into
+    * the keys this engine parses and the keys it consciously ignores,
+    * each ignore carrying its structural reason. [[ConfigSpec]] asserts
+    * the two sets are disjoint and together cover exactly this
+    * inventory, so a new reference key can't silently fall through, and
+    * [[parseYaml]] rejects anything outside the union the way the
+    * reference rejects "Unsupported config options" (config.py:235-236).
+    */
+  val parsedKeys: Set[String] = Set(
+    "mysql", "databases", "tables", "exclude_databases", "exclude_tables",
+    "target_databases", "target_tables", "types_mapping", "mysql_timezone",
+    "ignore_deletes", "skip_initial_replication", "binlog_replicator",
+    "initial_replication_threads", "initial_replication_batch_size",
+    "optimize_interval", "enable_optimize_final", "http_host", "http_port",
+    "version_initial_value", "post_initial_replication_commands")
+
+  val ignoredKeys: Map[String, String] = Map(
+    "clickhouse" ->
+      ("sink connection + cluster topology: the sink here is the Spark " +
+        "warehouse, not a ClickHouse server — see ignoredSubKeys for the " +
+        "per-field arguments, incl. `cluster`"),
+    "log_level" ->
+      "process logging is Spark's log4j2 config, not an engine setting",
+    "indexes" ->
+      ("ClickHouse physical-DDL override (config.py:154): the skip-index " +
+        "analogue is parquet row-group min/max stats, written always"),
+    "partition_bys" ->
+      ("ClickHouse physical-DDL override (config.py:155): the engine " +
+        "fixes PK bucketing — the reference's default partition " +
+        "expression — for co-located writes and one-bucket point reads"),
+    "order_bys" ->
+      ("ClickHouse physical-DDL override (config.py:156): FINAL ordering " +
+        "is the registry's primary keys, the reference's default ORDER BY"),
+    "auto_restart_interval" ->
+      ("process-supervision cadence (config.py:137): restarts belong to " +
+        "the cluster manager / the HTTP /restart_replication hook"),
+    "check_db_updated_interval" ->
+      ("discovery polling cadence (config.py:136): the tick schedule " +
+        "belongs to Discovery.tick's caller, not the engine"))
+
+  /** Sub-key inventory for the sectioned keys, same contract: parsed ∪
+    * ignored = the reference dataclass's full field list
+    * (MysqlSettings config.py:13-19, ClickhouseSettings config.py:66-74,
+    * BinlogReplicatorSettings config.py:110-113). */
+  val parsedSubKeys: Set[String] = Set(
+    "mysql.host", "mysql.port", "mysql.user", "mysql.password",
+    "binlog_replicator.data_dir", "binlog_replicator.records_per_file",
+    "binlog_replicator.binlog_retention_period",
+    "binlog_replicator.format") // graft extension: spool encoding
+
+  val ignoredSubKeys: Map[String, String] = Map(
+    "mysql.charset" ->
+      ("the JDBC driver negotiates the session charset; per-COLUMN " +
+        "charsets (the data-visible part) are decoded by types/Charsets"),
+    "clickhouse.host" -> "no ClickHouse server: the sink is the warehouse",
+    "clickhouse.port" -> "no ClickHouse server: the sink is the warehouse",
+    "clickhouse.user" -> "no ClickHouse server: the sink is the warehouse",
+    "clickhouse.password" ->
+      "no ClickHouse server: the sink is the warehouse",
+    "clickhouse.cluster" ->
+      ("cluster mode (config.py:71,203) makes the reference create " +
+        "ReplicatedReplacingMergeTree + a Distributed shadow table per " +
+        "table (clickhouse_api.py:233-301) — sharding, replication, and " +
+        "scatter-gather reads. Spark's execution model provides all " +
+        "three structurally: the warehouse is PK-bucketed parquet every " +
+        "executor reads partition-parallel (the Distributed analogue), " +
+        "durability/replication belongs to the storage layer under the " +
+        "warehouse path (HDFS replication / S3), and there is no " +
+        "per-node table to replicate — so the key is consciously a " +
+        "no-op, not silently absent"),
+    "clickhouse.connection_timeout" -> "no ClickHouse connection to time",
+    "clickhouse.send_receive_timeout" -> "no ClickHouse connection to time",
+    "clickhouse.erase_batch_size" ->
+      ("the reference deletes ignored-delete backlogs in batched " +
+        "mutations (clickhouse_api.py erase); deletes here are tombstone " +
+        "rows collapsed by FINAL — no mutation batching exists"))
+
   /** Load the reference's YAML settings file (config.py:133-238,
     * example_config.yaml) — the data-semantics subset. Consciously
-    * ignored keys, each with a structural reason, so a reference user's
-    * config file loads unchanged:
-    *  - `clickhouse:` connection — the sink here is the Spark warehouse;
-    *  - `indexes` / `partition_bys` / `order_bys` (config.py:154-156) —
-    *    ClickHouse physical-DDL overrides; the analogues are fixed by
-    *    the engine (PK bucketing = the reference's default partition
-    *    expression, parquet row-group min/max = skip indexes, FINAL
-    *    ordering = the registry's primary keys);
-    *  - `auto_restart_interval` / `check_db_updated_interval` and other
-    *    process-supervision cadences — restarts belong to the cluster
-    *    manager / the HTTP restart hook, discovery to `Discovery.tick`'s
-    *    caller.
+    * ignored keys are inventoried in [[ignoredKeys]]/[[ignoredSubKeys]]
+    * (completeness-checked against the reference in ConfigSpec), so a
+    * reference user's config file loads unchanged; unknown keys are
+    * rejected like the reference's config.py:235-236.
     */
   def load(path: String): GraftConfig =
     fromYaml(new String(
@@ -191,6 +267,23 @@ object GraftConfig {
       new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
     val root = mapper.readTree(text)
     import scala.jdk.CollectionConverters._
+    // reject unknown keys like the reference (config.py:235-236:
+    // "Unsupported config options") — typos fail at load, not silently
+    val known = parsedKeys ++ ignoredKeys.keySet
+    val unknown = root.fieldNames().asScala.toSeq.filterNot(known)
+    require(unknown.isEmpty, s"Unsupported config options: $unknown")
+    def subUnknown(section: String): Seq[String] = root.get(section) match {
+      case null => Nil
+      case n =>
+        val sk = (parsedSubKeys ++ ignoredSubKeys.keySet)
+          .collect { case k if k.startsWith(section + ".") =>
+            k.drop(section.length + 1) }
+        n.fieldNames().asScala.toSeq.filterNot(sk)
+    }
+    for (s <- Seq("mysql", "clickhouse", "binlog_replicator")) {
+      val u = subUnknown(s)
+      require(u.isEmpty, s"Unsupported config options: ${u.map(s + "." + _)}")
+    }
     // `databases`/`tables` accept a glob string OR a list (config.py:233-234)
     def globs(key: String): Seq[String] = root.get(key) match {
       case null => Nil
@@ -243,6 +336,8 @@ object GraftConfig {
           .map(_.asInt()).getOrElse(0),
       optimizeInterval = Option(root.get("optimize_interval"))
         .map(_.asInt()).getOrElse(86400),
+      enableOptimizeFinal = Option(root.get("enable_optimize_final"))
+        .forall(_.asBoolean(true)),
       httpHost = Option(root.get("http_host")).map(_.asText()).getOrElse(""),
       httpPort = Option(root.get("http_port")).map(_.asInt()).getOrElse(0),
       versionInitialValue = Option(root.get("version_initial_value"))

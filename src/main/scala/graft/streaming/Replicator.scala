@@ -90,7 +90,9 @@ object Replicator {
     // separate OPTIMIZE process (runner.py:162-194); here one tick per
     // micro-batch, interval-guarded per table — see CdcPipeline doc for
     // why in-loop (serialized with the writer) is the Spark-first shape
-    if (config.optimizeInterval > 0)
+    // enable_optimize_final=false (config.py:151) turns the optimizer
+    // off outright, like the reference's db_optimizer gate
+    if (config.optimizeInterval > 0 && config.enableOptimizeFinal)
       pipeline.attachCompactor(new graft.operators.Compactor(
         () => registry.tableKeys.filter { case (d, t) =>
           config.databaseMatches(d) && config.tableMatches(t) },

@@ -187,4 +187,98 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.databaseMatches("db1") && c.databaseMatches("repl_a"))
     assert(!c.databaseMatches("repl_ab") && !c.databaseMatches("db2"))
   }
+
+  test("key inventory covers the reference's settings surface completely") {
+    // every top-level key Settings.load pops from the YAML
+    // (config.py:172-238) — transcribed, not derived, so a reference
+    // upgrade that adds a key forces a conscious decision here
+    val referenceTopLevel = Set(
+      "mysql", "clickhouse", "databases", "tables",
+      "exclude_databases", "exclude_tables", "log_level",
+      "optimize_interval", "enable_optimize_final",
+      "check_db_updated_interval", "auto_restart_interval",
+      "types_mapping", "http_host", "http_port",
+      "target_databases", "target_tables", "initial_replication_threads",
+      "ignore_deletes", "mysql_timezone", "initial_replication_batch_size",
+      "skip_initial_replication", "version_initial_value",
+      "indexes", "partition_bys", "order_bys",
+      "post_initial_replication_commands", "binlog_replicator")
+    // every sectioned sub-key = the reference dataclass fields
+    // (MysqlSettings config.py:13-19, ClickhouseSettings config.py:66-74,
+    // BinlogReplicatorSettings config.py:110-113)
+    val referenceSub = Set(
+      "mysql.host", "mysql.port", "mysql.user", "mysql.password",
+      "mysql.charset",
+      "clickhouse.host", "clickhouse.port", "clickhouse.user",
+      "clickhouse.password", "clickhouse.cluster",
+      "clickhouse.connection_timeout", "clickhouse.send_receive_timeout",
+      "clickhouse.erase_batch_size",
+      "binlog_replicator.data_dir", "binlog_replicator.records_per_file",
+      "binlog_replicator.binlog_retention_period")
+    val graftExtensions = Set("binlog_replicator.format")
+
+    // parsed ∪ ignored = exactly the reference surface, no overlap,
+    // every ignore carrying a non-empty reason
+    assert(GraftConfig.parsedKeys.intersect(
+      GraftConfig.ignoredKeys.keySet).isEmpty)
+    assert(GraftConfig.parsedKeys ++ GraftConfig.ignoredKeys.keySet ===
+      referenceTopLevel)
+    assert(GraftConfig.parsedSubKeys.intersect(
+      GraftConfig.ignoredSubKeys.keySet).isEmpty)
+    assert(GraftConfig.parsedSubKeys ++ GraftConfig.ignoredSubKeys.keySet ===
+      referenceSub ++ graftExtensions)
+    assert(GraftConfig.ignoredKeys.values.forall(_.nonEmpty))
+    assert(GraftConfig.ignoredSubKeys.values.forall(_.nonEmpty))
+    // the ClickHouse cluster key in particular: consciously ignored with
+    // the Spark-is-inherently-distributed argument, not silently absent
+    assert(GraftConfig.ignoredSubKeys("clickhouse.cluster")
+      .contains("Distributed"))
+
+    // a full config exercising every reference key loads unchanged
+    val c = GraftConfig.fromYaml(
+      """mysql: {host: h, port: 3306, user: u, password: p, charset: utf8mb4}
+        |clickhouse: {host: h, port: 9000, user: u, password: p,
+        |  cluster: main, connection_timeout: 30,
+        |  send_receive_timeout: 120, erase_batch_size: 100000}
+        |binlog_replicator: {data_dir: /tmp/spool, records_per_file: 1000,
+        |  binlog_retention_period: 600}
+        |databases: '*'
+        |tables: '*'
+        |exclude_databases: ''
+        |exclude_tables: ''
+        |log_level: info
+        |optimize_interval: 60
+        |enable_optimize_final: false
+        |check_db_updated_interval: 120
+        |auto_restart_interval: 3600
+        |types_mapping: {}
+        |http_host: ''
+        |http_port: 0
+        |target_databases: {}
+        |target_tables: {}
+        |initial_replication_threads: 4
+        |ignore_deletes: false
+        |mysql_timezone: UTC
+        |initial_replication_batch_size: 50000
+        |skip_initial_replication: false
+        |version_initial_value: 0
+        |indexes: []
+        |partition_bys: []
+        |order_bys: []
+        |post_initial_replication_commands: []
+        |""".stripMargin, Map.empty)
+    assert(!c.enableOptimizeFinal) // parsed, not ignored (config.py:151)
+    assert(GraftConfig.fromYaml("databases: d\n", Map.empty)
+      .enableOptimizeFinal) // reference default true
+
+    // unknown keys are rejected like config.py:235-236
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig.fromYaml("dtabases: '*'\n", Map.empty)
+    }
+    assert(e.getMessage.contains("Unsupported config options"))
+    assert(e.getMessage.contains("dtabases"))
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromYaml("binlog_replicator: {data_dirr: x}\n", Map.empty)
+    }
+  }
 }
