@@ -1,0 +1,212 @@
+package graft.sources
+
+import graft.{GraftConfig, SparkSpec}
+
+/** The realtime producer route: Debezium JSON envelopes → [[SourceEvent]]
+  * normalization → [[SpoolProducer]] admission/rotation/resume →
+  * the standard spool the pipeline tails ([[graft.Main]]).
+  */
+class SpoolProducerSpec extends SparkSpec {
+
+  // -------------------------------------------------- envelope parsing
+
+  test("debezium: c/u/r → ADD after-image, d → REMOVE before-image") {
+    val ins = DebeziumJson.parse(
+      """{"payload":{"before":null,"after":{"id":1,"name":"ann"},
+        |"source":{"db":"shop","table":"users","file":"binlog.000003","pos":154},
+        |"op":"c","ts_ms":1}}""".stripMargin.replace("\n", ""))
+    assert(ins.event === Some(SourceEvent("shop", "users", EventSpool.OpAdd,
+      row = Some("""{"id":1,"name":"ann"}"""))))
+    assert(ins.pos === Some("binlog.000003:154"))
+
+    // update: the reference folds UpdateRowsEvent to after_values
+    // (binlog_replicator.py:505-509) — so does the adapter
+    val upd = DebeziumJson.parse(
+      """{"payload":{"before":{"id":1,"name":"ann"},
+        |"after":{"id":1,"name":"bob"},
+        |"source":{"db":"shop","table":"users","file":"binlog.000003","pos":200},
+        |"op":"u"}}""".stripMargin.replace("\n", ""))
+    assert(upd.event.get.op === EventSpool.OpAdd)
+    assert(upd.event.get.row === Some("""{"id":1,"name":"bob"}"""))
+
+    // snapshot read re-emits as ADD (idempotent downstream)
+    assert(DebeziumJson.parse(
+      """{"payload":{"after":{"id":2},"op":"r",
+        |"source":{"db":"shop","table":"users"}}}""".stripMargin
+        .replace("\n", "")).event.get.op === EventSpool.OpAdd)
+
+    val del = DebeziumJson.parse(
+      """{"payload":{"before":{"id":1,"name":"bob"},"after":null,
+        |"source":{"db":"shop","table":"users","file":"binlog.000003","pos":260},
+        |"op":"d"}}""".stripMargin.replace("\n", ""))
+    assert(del.event === Some(SourceEvent("shop", "users",
+      EventSpool.OpRemove, row = Some("""{"id":1,"name":"bob"}"""))))
+  }
+
+  test("debezium: flat envelopes, tombstones, truncate, garbage") {
+    // schemas.enable=false → no payload wrapper; same record
+    val flat = DebeziumJson.parse(
+      """{"before":null,"after":{"id":7},"op":"c",
+        |"source":{"db":"d","table":"t","file":"b.1","pos":9}}"""
+        .stripMargin.replace("\n", ""))
+    assert(flat.event.get === SourceEvent("d", "t", EventSpool.OpAdd,
+      row = Some("""{"id":7}""")))
+    assert(flat.pos === Some("b.1:9"))
+    // Kafka tombstone (null value serialized as empty), truncate, junk:
+    // skipped, never events — like the reference's event-type filter
+    assert(DebeziumJson.parse("").event.isEmpty)
+    assert(DebeziumJson.parse("null").event.isEmpty)
+    assert(DebeziumJson.parse("not json at all").event.isEmpty)
+    val tr = DebeziumJson.parse(
+      """{"payload":{"op":"t","source":{"db":"d","table":"t",
+        |"file":"b.2","pos":11}}}""".stripMargin.replace("\n", ""))
+    assert(tr.event.isEmpty)
+    assert(tr.pos === Some("b.2:11")) // cursor still advances past it
+  }
+
+  test("debezium: schema-history events become QUERY") {
+    val ddl = DebeziumJson.parse(
+      """{"payload":{"source":{"db":"shop","file":"binlog.000003","pos":400},
+        |"databaseName":"shop",
+        |"ddl":"ALTER TABLE users ADD COLUMN age int"}}"""
+        .stripMargin.replace("\n", ""))
+    assert(ddl.event === Some(SourceEvent("shop", "", EventSpool.OpQuery,
+      query = Some("ALTER TABLE users ADD COLUMN age int"))))
+    // older connectors: databaseName absent → source.db
+    assert(DebeziumJson.parse(
+      """{"payload":{"source":{"db":"legacy"},"ddl":"DROP TABLE x"}}""")
+      .event.get.db === "legacy")
+  }
+
+  // ------------------------------------------------------- producer
+
+  private def config(spool: String, extra: String = ""): GraftConfig =
+    GraftConfig.fromYaml(
+      s"""databases: 'shop'
+         |binlog_replicator:
+         |  data_dir: '$spool'
+         |$extra""".stripMargin, Map.empty)
+
+  test("producer: glob admission — rows need both globs, DDL only db") {
+    val spool = tmpDir("producer-admit")
+    val p = new SpoolProducer(spool,
+      config(spool, "tables: 'users'\n"))
+    val written = p.append(Seq(
+      SourceEvent("shop", "users", EventSpool.OpAdd, row = Some("""{"a":1}""")),
+      SourceEvent("shop", "audit", EventSpool.OpAdd, row = Some("""{"a":2}""")),
+      SourceEvent("other", "users", EventSpool.OpAdd, row = Some("""{"a":3}""")),
+      SourceEvent("shop", "", EventSpool.OpQuery,
+        query = Some("CREATE TABLE t2 (id int, PRIMARY KEY(id))")),
+      SourceEvent("other", "", EventSpool.OpQuery,
+        query = Some("DROP TABLE t3"))), Some("cursor-1"))
+    assert(written === Seq("000001.json"))
+    val rows = EventSpool.readBatch(spark, spool).collect()
+    // admitted: the shop.users row + the shop DDL; seq dense from 1
+    assert(rows.map(_.getAs[Long]("seq")).sorted.toSeq === Seq(1L, 2L))
+    assert(rows.map(_.getAs[String]("op")).sorted.toSeq ===
+      Seq(EventSpool.OpAdd, EventSpool.OpQuery))
+    assert(p.sourcePos === Some("cursor-1"))
+  }
+
+  test("producer: seq and cursor survive a restart; rotation honors config") {
+    val spool = tmpDir("producer-resume")
+    val cfg = config(spool, "  records_per_file: 2\n")
+    def ev(i: Int) = SourceEvent("shop", "t", EventSpool.OpAdd,
+      row = Some(s"""{"id":$i}"""))
+    val p1 = new SpoolProducer(spool, cfg)
+    assert(p1.append((1 to 5).map(ev), Some("pos-a")) ===
+      Seq("000001.json", "000002.json", "000003.json"))
+    // a NEW producer instance (process restart) continues both counters
+    val p2 = new SpoolProducer(spool, cfg)
+    assert(p2.peekSeq === 6L)
+    assert(p2.sourcePos === Some("pos-a"))
+    assert(p2.append(Seq(ev(6)), None) === Seq("000004.json"))
+    assert(p2.sourcePos === Some("pos-a")) // None keeps the old cursor
+    val seqs = EventSpool.readBatch(spark, spool)
+      .collect().map(_.getAs[Long]("seq")).sorted.toSeq
+    assert(seqs === (1L to 6L)) // dense, no collision across restart
+    // all-filtered batch still advances the cursor (skipped transactions
+    // must not be re-read forever) and writes no file
+    assert(p2.append(Seq(SourceEvent("other", "t", EventSpool.OpAdd,
+      row = Some("{}"))), Some("pos-b")) === Nil)
+    assert(new SpoolProducer(spool, cfg).sourcePos === Some("pos-b"))
+  }
+
+  test("producer: state recovers from the tmp file after a mid-save crash") {
+    val spool = tmpDir("producer-crash")
+    val cfg = config(spool)
+    val p = new SpoolProducer(spool, cfg)
+    p.append(Seq(SourceEvent("shop", "t", EventSpool.OpAdd,
+      row = Some("{}"))), Some("pos-1"))
+    // simulate the crash window: state deleted, newer tmp left behind
+    val st = new java.io.File(spool, "_producer_state.json")
+    val tmp = new java.io.File(spool, "._producer_state.json.tmp")
+    assert(st.renameTo(tmp))
+    val recovered = new SpoolProducer(spool, cfg)
+    assert(recovered.peekSeq === 2L && recovered.sourcePos === Some("pos-1"))
+  }
+
+  // ---------------------------------------------------------- tailer
+
+  test("tailer: complete lines only, offset resume, new files picked up") {
+    val dump = tmpDir("dbz-dump")
+    val spool = tmpDir("dbz-spool")
+    val p = new SpoolProducer(spool, config(spool))
+    val tail = new DebeziumTail(dump, p)
+    def rec(i: Int, pos: Int) =
+      s"""{"after":{"id":$i},"op":"c","source":{"db":"shop","table":"t","file":"b.1","pos":$pos}}"""
+    val f = new java.io.FileOutputStream(new java.io.File(dump, "a.jsonl"))
+    f.write((rec(1, 10) + "\n" + rec(2, 20) + "\n").getBytes("UTF-8"))
+    f.write(s"""{"after":{"id":3""".getBytes("UTF-8")) // partial record
+    f.flush()
+    assert(tail.tick() === 2) // the partial line is NOT consumed
+    // the partial record completes; only the delta is read
+    f.write(s"""},"op":"c","source":{"db":"shop","table":"t","file":"b.1","pos":30}}""".getBytes("UTF-8"))
+    f.write("\n".getBytes("UTF-8")); f.close()
+    assert(tail.tick() === 1)
+    assert(tail.tick() === 0) // idle: nothing new
+    // a rotated consumer creates a second file — picked up in name order
+    val f2 = new java.io.FileOutputStream(new java.io.File(dump, "b.jsonl"))
+    f2.write((rec(4, 40) + "\n").getBytes("UTF-8")); f2.close()
+    assert(tail.tick() === 1)
+    // a RESTARTED tailer (fresh producer + tail over the same state)
+    // re-reads nothing
+    val tail2 = new DebeziumTail(dump, new SpoolProducer(spool, config(spool)))
+    assert(tail2.tick() === 0)
+    val seqs = EventSpool.readBatch(spark, spool)
+      .collect().map(_.getAs[Long]("seq")).sorted.toSeq
+    assert(seqs === (1L to 4L))
+  }
+
+  // ------------------------------------------------------------- e2e
+
+  test("e2e: debezium dump → tail → spool → pipeline replicates the table") {
+    val dump = tmpDir("dbz-e2e-dump")
+    val spool = tmpDir("dbz-e2e-spool")
+    val wh = tmpDir("dbz-e2e-wh")
+    val cfg = config(spool)
+    def line(s: String) = s + "\n"
+    val out = new java.io.FileOutputStream(new java.io.File(dump, "c.jsonl"))
+    out.write((
+      // DDL from the schema-history stream bootstraps the table
+      line("""{"payload":{"databaseName":"shop","source":{"db":"shop","file":"b.1","pos":4},"ddl":"CREATE TABLE users (id int NOT NULL, name varchar(50), PRIMARY KEY(id))"}}""") +
+        // native JSON types (unquoted ints) must survive the wire parse
+        line("""{"payload":{"after":{"id":1,"name":"ann"},"op":"c","source":{"db":"shop","table":"users","file":"b.1","pos":10}}}""") +
+        line("""{"payload":{"after":{"id":2,"name":"bob"},"op":"c","source":{"db":"shop","table":"users","file":"b.1","pos":20}}}""") +
+        line("""{"payload":{"before":{"id":1,"name":"ann"},"after":{"id":1,"name":"anne"},"op":"u","source":{"db":"shop","table":"users","file":"b.1","pos":30}}}""") +
+        line("""{"payload":{"before":{"id":2,"name":"bob"},"after":null,"op":"d","source":{"db":"shop","table":"users","file":"b.1","pos":40}}}""")
+      ).getBytes("UTF-8"))
+    out.close()
+    val producer = new SpoolProducer(spool, cfg)
+    assert(new DebeziumTail(dump, producer).tick() === 5)
+    assert(producer.sourcePos.exists(_.contains("c.jsonl")))
+
+    val running = graft.Main.run(spark, cfg, "shop", wh, tmpDir("dbz-ckpt"))
+    val query = running.holder.get
+    try query.processAllAvailable() finally query.stop()
+    spark.streams.removeListener(running.monitor)
+    // insert + insert + update-after-image + delete ⇒ one row, updated
+    assert(running.pipeline.table("shop", "users").read.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "anne")))
+  }
+}
