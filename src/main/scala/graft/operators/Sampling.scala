@@ -90,6 +90,66 @@ object Sampling {
     docs.filter(weightedSample(col(idCol), col(sourceCol), weights))
   }
 
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023 — public): score
+    * every document by how much more likely its hashed n-gram features
+    * are under a TARGET distribution (the rows matching `targetPred` —
+    * e.g. a trusted high-quality subset) than under the raw corpus, so a
+    * later resampling pass can pull a target-shaped subset out of bulk
+    * web data. The classic use: target = curated text, corpus = crawl.
+    *
+    * Model shape is the paper's: unigram+bigram occurrences hashed into
+    * a FIXED 256-bucket space (first 2 hex chars of md5 — the same
+    * engine-portable hash family as everything else here), bag-of-
+    * buckets generative models for target and corpus with Laplace
+    * smoothing, and `log w(doc) = Σ_terms [ln p̂_t(b) − ln p̂_r(b)]`.
+    *
+    * Scale: hashing bounds the model at 256 rows REGARDLESS of corpus
+    * size (a raw-vocab model is unbounded — the same reason
+    * charTrigramFluency can't broadcast its table); the llr table
+    * broadcasts into the occurrence stream, so the only full-width
+    * shuffle is the per-doc sum, partially aggregated map-side.
+    * Determinism: counts are exact integers; per-bucket llr rounds to 6
+    * decimals before the per-doc sum rounds to 4 — the cross-engine `ln`
+    * contract t_tfidf_topterms already pins.
+    *
+    * Returns (idCol, n_terms, logw); docs with no terms drop out. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column): DataFrame = {
+    val B = 256 // 2 hex chars; hardwired so bucket = substr(md5, 1, 2)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val tok = Partitioning.spread(docs)
+      .select(col(idCol), targetPred.as("is_t"),
+        explode(concat(toks, bigrams)).as("term"))
+      .filter(col("term") =!= "")
+      .select(col(idCol), col("is_t"),
+        substring(md5(col("term").cast("binary")), 1, 2).as("b"))
+    // bucket counts over the FULL 2-hex domain (an absent bucket still
+    // contributes its smoothed prior to the llr table)
+    val counts = tok.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val domain = docs.sparkSession.range(B)
+      .select(format_string("%02x", col("id")).as("b"))
+    val filled = domain.join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = filled.agg(sum("cr").as("r_tot"), sum("ct").as("t_tot"))
+    // scalar-broadcast cross join (1 row), like the other corpus stats
+    val llr = filled.crossJoin(broadcast(totals))
+      .select(col("b"), round(
+        log((col("ct") + lit(1.0)) / (col("t_tot") + lit(B.toDouble))) -
+          log((col("cr") + lit(1.0)) / (col("r_tot") + lit(B.toDouble))),
+        6).as("llr"))
+    tok.join(broadcast(llr), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), round(sum("llr"), 4).as("logw"))
+  }
+
   /** Deterministic stratified sample: the `k` ids with the smallest
     * [[idHash]] per group — a uniform-without-replacement sample that is
     * reproducible and incrementally stable (a new doc only enters the

@@ -216,6 +216,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR importance resampling (Xie et al. 2023): hashed-ngram
+    // log-likelihood-ratio weights against the English subset as the
+    // target distribution, then Gumbel-top-k — the standard trick that
+    // turns "sample ∝ w" into a deterministic top-k: key = logw + g
+    // where g = −ln(−ln(u)) and u is an exact hash-uniform from md5
+    // chars 9–16 of the id ((h+0.5)/2³² — every step a pure IEEE
+    // exponent shift, so both engines land on the identical double).
+    "t_dsir_sample" -> { (s, dir) =>
+      val w = Sampling.dsirWeights(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en")
+      val u = (conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 9, 8), 16, 10).cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+      w.select(col("doc_id"), col("n_terms"), col("logw"),
+          round(col("logw") + (-log(-log(u))), 6).as("g_key"))
+        .orderBy(col("g_key").desc, col("doc_id")).limit(150)
+        .orderBy("doc_id")
+    },
+
     // Sequence packing: the corpus concatenated in a deterministic
     // shuffled order and cut every 256 tokens across 8 parallel packing
     // streams — the concat-and-chunk step that turns cleaned documents
@@ -306,6 +325,45 @@ object TextQueries {
       |       WHERE len(t) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors Sampling.dsirWeights + the Gumbel-top-k term for term:
+    // integer bucket counts over the full 2-hex domain, 6-decimal llr,
+    // 4-decimal per-doc sum, exact hash-uniform, ln = natural log in
+    // both engines (the t_tfidf_topterms contract).
+    "t_dsir_sample" ->
+      """WITH tok0 AS (SELECT doc_id, lang, str_split(text,' ') AS t
+        |  FROM documents),
+        |uni AS (SELECT doc_id, lang, unnest(t) AS term FROM tok0),
+        |bi AS (SELECT doc_id, lang, array_to_string(t[i:i+1],' ') AS term
+        |  FROM tok0, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        |  WHERE len(t) >= 2),
+        |tok AS (SELECT doc_id, (lang = 'en') AS is_t,
+        |    substr(md5(term), 1, 2) AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |  WHERE term <> ''),
+        |counts AS (SELECT b, COUNT(*) AS cr,
+        |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+        |  FROM tok GROUP BY 1),
+        |dom AS (SELECT printf('%02x', i) AS b
+        |  FROM (SELECT unnest(range(256)) AS i)),
+        |cnt AS (SELECT dom.b, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+        |  FROM dom LEFT JOIN counts USING (b)),
+        |tot AS (SELECT SUM(cr) AS r_tot, SUM(ct) AS t_tot FROM cnt),
+        |llr AS (SELECT b,
+        |    round(ln((ct + 1.0) / (t_tot + 256.0))
+        |        - ln((cr + 1.0) / (r_tot + 256.0)), 6) AS llr
+        |  FROM cnt CROSS JOIN tot),
+        |docw AS (SELECT doc_id, COUNT(*) AS n_terms,
+        |    round(SUM(llr), 4) AS logw
+        |  FROM tok JOIN llr USING (b) GROUP BY 1),
+        |scored AS (SELECT doc_id, n_terms, logw,
+        |    round(logw + (-ln(-ln(
+        |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT
+        |        + 0.5) / 4294967296.0))), 6) AS g_key
+        |  FROM docw),
+        |sel AS (SELECT * FROM scored ORDER BY g_key DESC, doc_id LIMIT 150)
+        |SELECT doc_id, n_terms, logw, g_key FROM sel
+        |ORDER BY doc_id""".stripMargin,
+
     "t_weighted_sample" -> {
       val cases = mixWeights.map { case (src, w) =>
         s"WHEN '$src' THEN '${graft.operators.Sampling.weightHex(w)}'"

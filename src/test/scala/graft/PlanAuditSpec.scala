@@ -297,6 +297,29 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("dsir: llr model broadcasts into the term stream; one real shuffle") {
+    val ns = nodes(SparkEntry.queries("t_dsir_sample")(spark, dir))
+    // the 256-row llr table must broadcast-hash-join the occurrence
+    // stream on the bucket — a sort-merge there shuffles the whole
+    // exploded term table by a 256-value key (hot partitions at scale)
+    assert(ns.exists {
+      case j: BroadcastHashJoinExec =>
+        j.leftKeys.exists(_.references.exists(_.name == "b")) ||
+          j.rightKeys.exists(_.references.exists(_.name == "b"))
+      case _ => false
+    }, "llr model join is not a broadcast hash join on the bucket")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "term stream degraded to a sort-merge join")
+    // the only nested loop is the 1-row totals cross join (scalar
+    // broadcast); the term stream must never cartesian
+    val loops = ns.count(
+      _.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(loops <= 1, s"unexpected nested-loop joins: $loops")
+    // selection is a bounded top-k, not a global sort
+    assert(ns.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "Gumbel top-k selection lost its TakeOrderedAndProject")
+  }
+
   test("ivf-pq: candidates ride an equi join on the cell, never a loop") {
     val ns = nodes(SparkEntry.queries("s_ann_ivfpq")(spark, dir))
     // the whole point of the coarse quantizer is replacing the ADC

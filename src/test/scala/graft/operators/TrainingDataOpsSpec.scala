@@ -164,6 +164,37 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(twice === 0)
   }
 
+  test("dsirWeights: target-like docs outrank off-target; deterministic") {
+    // target = "science" docs; a held-out science-flavored doc must
+    // outscore a sports-flavored one under the target-vs-corpus llr
+    val sci = "the experiment measured the quantum decay rate precisely"
+    val sport = "the team scored late and the crowd cheered the striker"
+    val docs = Seq(
+      (1L, sci + " in the lab", true),
+      (2L, "observed particle collision energy in the detector", true),
+      (3L, sport + " loudly", false),
+      (4L, "the referee booked the striker after the tackle", false),
+      (5L, sci, false),   // held out: science text NOT in the target set
+      (6L, sport, false)) // held out: sports text
+      .toDF("doc_id", "text", "is_target")
+    val w = Sampling.dsirWeights(docs, "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("logw")).toMap
+    assert(w.size === 6) // every doc has terms, none dropped
+    assert(w(5L) > w(6L),
+      s"held-out science ${w(5L)} must outscore held-out sports ${w(6L)}")
+    // deterministic: an identical second run reproduces every weight
+    val w2 = Sampling.dsirWeights(docs, "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("logw")).toMap
+    assert(w2 === w)
+    // a doc with no terms drops out instead of scoring
+    val empty = Seq((1L, "a b", true), (2L, "", false))
+      .toDF("doc_id", "text", "is_target")
+    assert(Sampling.dsirWeights(empty, "doc_id", "text", col("is_target"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("stratifiedTopK: k smallest hashes per group, dense ranks") {
     val df = spark.range(0, 300)
       .select(col("id"), (col("id") % 3).cast("string").as("g"))
