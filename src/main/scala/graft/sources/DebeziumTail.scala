@@ -19,6 +19,14 @@ import graft.GraftConfig
   * exactly like the reference's saved last_seen_transaction
   * (binlog_replicator.py:63-85). Partial trailing lines (a record
   * mid-append) stay unconsumed until their newline arrives.
+  *
+  * Spool file granularity: published spool files are immutable (the
+  * file source's contract), so unlike the reference's FileWriter the
+  * producer cannot append to the current file — each tick with new
+  * events publishes at least one file. Under low traffic that means
+  * file count tracks POLL count, bounded by `pollMs` (≤2 files/s at
+  * the default 500 ms), not event count; the retention sweep keeps the
+  * spool bounded either way.
   */
 final class DebeziumTail(dumpDir: String, producer: SpoolProducer) {
 
