@@ -122,12 +122,16 @@ object Sampling {
       transform(sequence(lit(1), size(toks) - 1), i =>
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+    // persisted: the occurrence stream feeds the bucket-count model AND
+    // the per-doc sum — without it the tokenize+explode runs twice
+    // (same pattern as charTrigramFluency's trigram table)
     val tok = Partitioning.spread(docs)
       .select(col(idCol), targetPred.as("is_t"),
         explode(concat(toks, bigrams)).as("term"))
       .filter(col("term") =!= "")
       .select(col(idCol), col("is_t"),
         substring(md5(col("term").cast("binary")), 1, 2).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket counts over the FULL 2-hex domain (an absent bucket still
     // contributes its smoothed prior to the llr table)
     val counts = tok.groupBy("b").agg(
