@@ -188,6 +188,48 @@ class SpoolProducerSpec extends SparkSpec {
 
   // ------------------------------------------------------------- e2e
 
+  test("e2e: producer crash-replay (same seqs twice) converges, DDL included") {
+    // the documented at-least-once window: spool files published, crash
+    // BEFORE the state save → a restarted producer re-reads the same
+    // transport window and re-emits the same events with the SAME seq
+    // values into new spool files. The pipeline must converge to the
+    // once-applied table: rows via LWW/FINAL collapse, DDL via the
+    // registry's seq guard (a replayed ALTER ADD must not double-add
+    // the column or kill the stream).
+    val spool = tmpDir("replay-spool")
+    val wh = tmpDir("replay-wh")
+    val cfg = config(spool)
+    val batch = Seq(
+      SourceEvent("shop", "", EventSpool.OpQuery, query = Some(
+        "CREATE TABLE users (id int NOT NULL, name varchar(50), PRIMARY KEY(id))")),
+      SourceEvent("shop", "users", EventSpool.OpAdd,
+        row = Some("""{"id":1,"name":"ann"}""")),
+      SourceEvent("shop", "", EventSpool.OpQuery, query = Some(
+        "ALTER TABLE users ADD COLUMN age int")),
+      SourceEvent("shop", "users", EventSpool.OpAdd,
+        row = Some("""{"id":2,"name":"bob","age":30}""")))
+    val p1 = new SpoolProducer(spool, cfg)
+    p1.append(batch, Some("win-1"))
+    // crash window: restore the PRE-append state, so a restarted
+    // producer replays the window with identical seqs
+    val st = new java.io.File(spool, "_producer_state.json")
+    assert(st.delete())
+    val p2 = new SpoolProducer(spool, cfg)
+    assert(p2.peekSeq === 1L) // stale state — the replay scenario
+    p2.append(batch, Some("win-1"))
+    assert(EventSpool.readBatch(spark, spool).count() === 8) // both copies
+
+    val running = graft.Main.run(spark, cfg, "shop", wh, tmpDir("replay-ckpt"))
+    val query = running.holder.get
+    try query.processAllAvailable() finally query.stop()
+    spark.streams.removeListener(running.monitor)
+    val rows = running.pipeline.table("shop", "users").read
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int])))
+    assert(rows.toSeq === Seq((1, "ann", None), (2, "bob", Some(30))))
+  }
+
   test("e2e: debezium dump → tail → spool → pipeline replicates the table") {
     val dump = tmpDir("dbz-e2e-dump")
     val spool = tmpDir("dbz-e2e-spool")
