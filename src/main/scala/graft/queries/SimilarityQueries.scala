@@ -238,6 +238,20 @@ object SimilarityQueries {
         .select(col("id").as("doc_id"), col("nFrames").as("n_frames"),
           explode(col("frameIdx")).as("frame_idx"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // REAL container parsing under the gate: valid BMP/WAV payloads are
+    // synthesized deterministically from n_chars (incl. the top-down
+    // BMP and between-chunks LIST layouts naive parsers break on), the
+    // pure-JVM header parsers extract the metadata back, and the oracle
+    // recomputes every expected field from n_chars with the same
+    // arithmetic — an encode→parse round trip verified cross-engine.
+    // This narrows the codec stub to the entropy-coded formats.
+    "mm_codec_roundtrip" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.mediaFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extract(media).toDF()
+        .orderBy("id")
     }
   )
 
@@ -678,6 +692,33 @@ object SimilarityQueries {
         |SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
         |  CAST(frame_idx AS INT) AS frame_idx
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // The round-trip oracle: every field the parser must read back,
+    // recomputed from n_chars with the synthesizer's arithmetic —
+    // BMP byteLen includes the 4-byte row alignment, WAV byteLen the
+    // optional 12-byte LIST chunk.
+    "mm_codec_roundtrip" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN 54 + ((24 * (1 + n_chars % 64) + 31) // 32) * 4
+        |           * (1 + n_chars % 48)
+        |    ELSE 44 + (CASE WHEN doc_id % 4 = 1 THEN 12 ELSE 0 END)
+        |           + n_chars * 4
+        |             * (CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END) * 2
+        |    END AS INT) AS "byteLen",
+        |  TRUE AS valid,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + n_chars % 64 ELSE 0 END
+        |    AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + n_chars % 48 ELSE 0 END
+        |    AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        |    WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        |    ELSE 8000 + n_chars % 8000 END AS INT) AS "sampleRate",
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE n_chars * 4 END
+        |    AS BIGINT) AS "nSamples"
+        |FROM documents ORDER BY id""".stripMargin,
 
     "mm_decode_stats" ->
       """WITH m AS (SELECT doc_id,

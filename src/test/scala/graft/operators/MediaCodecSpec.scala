@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The real header parsers: encode→parse round trips, the layouts
+  * naive parsers break on (top-down BMPs, chunks between `fmt ` and
+  * `data`, odd-size chunk padding), and corrupt payloads as data.
+  */
+class MediaCodecSpec extends SparkSpec {
+  import MediaCodec._
+
+  test("bmp: round trip, incl. top-down (negative height) encoding") {
+    assert(parseBmp(buildBmp(17, 9, topDown = false)) === Some((17, 9)))
+    assert(parseBmp(buildBmp(17, 9, topDown = true)) === Some((17, 9)))
+    assert(parseBmp(buildBmp(1, 1, topDown = false)) === Some((1, 1)))
+    // row alignment: width 3 at 24bpp = 9 bytes padded to 12 per row
+    val b = buildBmp(3, 2, topDown = false)
+    assert(b.length === 54 + 12 * 2)
+  }
+
+  test("wav: round trip, LIST chunk skipped by size, odd-chunk padding") {
+    assert(parseWav(buildWav(1, 8000, 100, withListChunk = false)) ===
+      Some((1, 8000, 16, 100L)))
+    assert(parseWav(buildWav(2, 44100, 7, withListChunk = true)) ===
+      Some((2, 44100, 16, 7L)))
+    // hand-insert an ODD-size chunk between fmt and data: the RIFF spec
+    // pads it to an even boundary — a parser advancing by raw size
+    // desynchronizes and misses `data`
+    val base = buildWav(1, 8000, 5, withListChunk = false)
+    val odd = java.nio.ByteBuffer
+      .allocate(base.length + 12) // "junk" + size(3) + 3 bytes + 1 pad
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    odd.put(base, 0, 36) // through the end of fmt
+    odd.put("junk".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)) // 3 payload bytes + pad
+    odd.put(base, 36, base.length - 36) // data chunk onward
+    assert(parseWav(odd.array()) === Some((1, 8000, 16, 5L)))
+  }
+
+  test("wav: truncated data chunk clamps instead of overcounting") {
+    val full = buildWav(1, 8000, 100, withListChunk = false)
+    val cut = full.take(full.length - 120) // lose 60 samples
+    assert(parseWav(cut) === Some((1, 8000, 16, 40L)))
+  }
+
+  test("corrupt payloads are invalid data, not failures") {
+    assert(parseBmp(Array.empty[Byte]).isEmpty)
+    assert(parseWav(Array.empty[Byte]).isEmpty)
+    assert(parseBmp("BMnot really a bitmap".getBytes("UTF-8")).isEmpty)
+    assert(parseWav("RIFFxxxxWAVEbut then garbage".getBytes("UTF-8")).isEmpty)
+    assert(parseBmp(buildBmp(4, 4, topDown = false).take(40)).isEmpty)
+    val m = decode(7L, "plain text, no container".getBytes("UTF-8"))
+    assert(!m.valid && m.kind === "unknown" && m.byteLen === 24)
+  }
+
+  test("extract: per-partition decode; a corrupt row is a datum") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> buildBmp(10, 4, topDown = false),
+      2L -> buildWav(2, 16000, 50, withListChunk = true),
+      3L -> "garbage".getBytes("UTF-8"))
+    val out = extract(rows.toDS().repartition(2)).collect()
+      .map(m => m.id -> m).toMap
+    assert(out(1L) === AvMeta(1L, "image", out(1L).byteLen, true,
+      10, 4, 0, 0, 0L))
+    assert(out(2L) === AvMeta(2L, "audio", out(2L).byteLen, true,
+      0, 0, 2, 16000, 50L))
+    assert(!out(3L).valid)
+  }
+}
