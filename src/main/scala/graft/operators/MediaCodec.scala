@@ -55,6 +55,36 @@ object MediaCodec {
       else None
     } else None
 
+  /** PNG: 8-byte signature + IHDR chunk (big-endian, always first).
+    * The IHDR CRC32 is VERIFIED (java.util.zip.CRC32 over type+data, per
+    * the PNG spec) — a bit-flipped header parses invalid instead of
+    * yielding garbage dimensions. */
+  def parsePng(b: Array[Byte]): Option[(Int, Int)] = {
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 33 || !sig.indices.forall(i => (b(i) & 0xff) == sig(i)))
+      return None
+    def be32(off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    if (be32(8) != 13L || tag(b, 12) != "IHDR") return None
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 4 + 13) // chunk type + data
+    if (crc.getValue != be32(29)) return None
+    val w = be32(16); val h = be32(20)
+    if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+      Some((w.toInt, h.toInt))
+    else None
+  }
+
+  /** GIF87a/89a: 6-byte signature + little-endian logical screen size. */
+  def parseGif(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 10) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
   /** RIFF/WAVE PCM: walk the chunk list for `fmt ` and `data` —
     * chunks like `LIST`/`fact` legally sit between them and are
     * skipped by size, not assumed absent (odd-sized chunks pad to an
@@ -86,11 +116,12 @@ object MediaCodec {
     * corrupt payload) yields an invalid row. */
   def decode(id: Long, payload: Array[Byte]): AvMeta = {
     val n = payload.length
-    parseBmp(payload).map { case (w, h) =>
-      AvMeta(id, "image", n, valid = true, w, h, 0, 0, 0L)
-    }.orElse(parseWav(payload).map { case (ch, rate, bits, samples) =>
-      AvMeta(id, "audio", n, valid = true, 0, 0, ch, rate, samples)
-    }).getOrElse(AvMeta(id, "unknown", n, valid = false, 0, 0, 0, 0, 0L))
+    parseBmp(payload).orElse(parsePng(payload)).orElse(parseGif(payload))
+      .map { case (w, h) =>
+        AvMeta(id, "image", n, valid = true, w, h, 0, 0, 0L)
+      }.orElse(parseWav(payload).map { case (ch, rate, bits, samples) =>
+        AvMeta(id, "audio", n, valid = true, 0, 0, ch, rate, samples)
+      }).getOrElse(AvMeta(id, "unknown", n, valid = false, 0, 0, 0, 0, 0L))
   }
 
   /** Per-partition batch decode over (id, payload) rows — the same
@@ -118,6 +149,42 @@ object MediaCodec {
       .putShort(1).putShort(24) // planes, bpp
       .putInt(0).putInt(dataLen).putInt(2835).putInt(2835)
       .putInt(0).putInt(0) // compression..colors
+    b.array()
+  }
+
+  /** A minimal valid PNG: signature + IHDR (with a REAL CRC32) + IEND.
+    * Header fixture — no IDAT; [[parsePng]] reads and verifies IHDR. */
+  def buildPng(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val b = java.nio.ByteBuffer.allocate(45) // 8 sig + 25 IHDR + 12 IEND
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    b.putInt(13)
+    val ihdrAt = b.position()
+    b.put("IHDR".getBytes("US-ASCII"))
+    b.putInt(width).putInt(height)
+    b.put(8.toByte).put(2.toByte) // bit depth, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(b.array(), ihdrAt, 4 + 13)
+    b.putInt(crc.getValue.toInt)
+    b.putInt(0).put("IEND".getBytes("US-ASCII"))
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update("IEND".getBytes("US-ASCII"))
+    b.putInt(crc2.getValue.toInt)
+    b.array()
+  }
+
+  /** A minimal valid GIF89a: signature + logical screen descriptor +
+    * trailer. */
+  def buildGif(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
+    val b = java.nio.ByteBuffer.allocate(14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(width.toShort).putShort(height.toShort)
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // packed, bg, aspect
+    b.put(0x3b.toByte) // trailer
     b.array()
   }
 
@@ -149,9 +216,10 @@ object MediaCodec {
     * `documents` stats, so the REAL parsers run under the oracle gate —
     * the oracle recomputes every expected field from `n_chars` with the
     * same arithmetic and the gate verifies the encode→parse round trip.
-    * Even ids get BMPs (every 4th top-down), odd ids get WAVs (every
-    * 4th with a LIST chunk before `data`). Synthesis is fixture-side
-    * work (like Bench's event synthesis), not the operator under test. */
+    * Even ids cycle image formats — BMP (alternating top-down), PNG
+    * (real IHDR CRC), GIF — odd ids get WAVs (every 4th with a LIST
+    * chunk before `data`). Synthesis is fixture-side work (like Bench's
+    * event synthesis), not the operator under test. */
   def mediaFromDocuments(spark: SparkSession,
                          docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
@@ -159,9 +227,15 @@ object MediaCodec {
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         val payload =
-          if (id % 2 == 0)
-            buildBmp(width = 1 + (nChars % 64).toInt,
-              height = 1 + (nChars % 48).toInt, topDown = id % 4 == 0)
+          if (id % 2 == 0) (id / 2) % 3 match {
+            case 0 => buildBmp(width = 1 + (nChars % 64).toInt,
+              height = 1 + (nChars % 48).toInt,
+              topDown = (id / 2) % 2 == 0)
+            case 1 => buildPng(width = 1 + (nChars % 128).toInt,
+              height = 1 + ((nChars * 3) % 128).toInt)
+            case _ => buildGif(width = 1 + (nChars % 300).toInt,
+              height = 1 + ((nChars * 7) % 200).toInt)
+          }
           else
             buildWav(channels = if (id % 4 == 3) 2 else 1,
               sampleRate = 8000 + (nChars % 8000).toInt,

@@ -698,27 +698,38 @@ object SimilarityQueries {
     // BMP byteLen includes the 4-byte row alignment, WAV byteLen the
     // optional 12-byte LIST chunk.
     "mm_codec_roundtrip" ->
-      """SELECT doc_id AS id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |  CAST(CASE WHEN doc_id % 2 = 0
-        |    THEN 54 + ((24 * (1 + n_chars % 64) + 31) // 32) * 4
-        |           * (1 + n_chars % 48)
+      """WITH m AS (SELECT doc_id, n_chars,
+        |    doc_id % 2 = 0 AS img,
+        |    CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 3 END AS fmt
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CASE WHEN img THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(CASE
+        |    WHEN img AND fmt = 0
+        |      THEN 54 + ((24 * (1 + n_chars % 64) + 31) // 32) * 4
+        |             * (1 + n_chars % 48)
+        |    WHEN img AND fmt = 1 THEN 45
+        |    WHEN img THEN 14
         |    ELSE 44 + (CASE WHEN doc_id % 4 = 1 THEN 12 ELSE 0 END)
         |           + n_chars * 4
         |             * (CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END) * 2
         |    END AS INT) AS "byteLen",
         |  TRUE AS valid,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + n_chars % 64 ELSE 0 END
-        |    AS INT) AS width,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + n_chars % 48 ELSE 0 END
-        |    AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        |  CAST(CASE WHEN img AND fmt = 0 THEN 1 + n_chars % 64
+        |    WHEN img AND fmt = 1 THEN 1 + n_chars % 128
+        |    WHEN img THEN 1 + n_chars % 300
+        |    ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN img AND fmt = 0 THEN 1 + n_chars % 48
+        |    WHEN img AND fmt = 1 THEN 1 + (n_chars * 3) % 128
+        |    WHEN img THEN 1 + (n_chars * 7) % 200
+        |    ELSE 0 END AS INT) AS height,
+        |  CAST(CASE WHEN img THEN 0
         |    WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS INT) AS channels,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        |  CAST(CASE WHEN img THEN 0
         |    ELSE 8000 + n_chars % 8000 END AS INT) AS "sampleRate",
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE n_chars * 4 END
+        |  CAST(CASE WHEN img THEN 0 ELSE n_chars * 4 END
         |    AS BIGINT) AS "nSamples"
-        |FROM documents ORDER BY id""".stripMargin,
+        |FROM m ORDER BY id""".stripMargin,
 
     "mm_decode_stats" ->
       """WITH m AS (SELECT doc_id,

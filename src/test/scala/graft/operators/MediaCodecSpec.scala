@@ -37,6 +37,26 @@ class MediaCodecSpec extends SparkSpec {
     assert(parseWav(odd.array()) === Some((1, 8000, 16, 5L)))
   }
 
+  test("png: round trip; a flipped IHDR bit fails the CRC, not silently") {
+    assert(parsePng(buildPng(640, 480)) === Some((640, 480)))
+    assert(parsePng(buildPng(1, 1)) === Some((1, 1)))
+    val corrupted = buildPng(640, 480)
+    corrupted(17) = (corrupted(17) ^ 0x10).toByte // bit-flip the width
+    assert(parsePng(corrupted).isEmpty) // CRC catches it
+    assert(parsePng(buildPng(9, 9).take(30)).isEmpty) // truncated IHDR
+    assert(parseGif(buildPng(9, 9)).isEmpty) // wrong magic cross-checks
+  }
+
+  test("gif: round trip, both signatures, little-endian dims") {
+    assert(parseGif(buildGif(320, 200)) === Some((320, 200)))
+    val g87 = buildGif(300, 1)
+    "GIF87a".getBytes("US-ASCII").zipWithIndex
+      .foreach { case (c, i) => g87(i) = c }
+    assert(parseGif(g87) === Some((300, 1)))
+    assert(parseGif("GIF99a1234".getBytes("US-ASCII")).isEmpty)
+    assert(parsePng(buildGif(3, 3)).isEmpty)
+  }
+
   test("wav: truncated data chunk clamps instead of overcounting") {
     val full = buildWav(1, 8000, 100, withListChunk = false)
     val cut = full.take(full.length - 120) // lose 60 samples
