@@ -76,6 +76,36 @@ object MediaCodec {
     else None
   }
 
+  /** JPEG: walk the marker segments to the first SOFn frame header
+    * (C0–CF minus C4/C8/CC) — dimension extraction needs the marker
+    * structure only, never the entropy-coded stream. Fill bytes (FF
+    * runs) are skipped per the spec; EOI or SOS before any SOF means
+    * no parseable frame. */
+  def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var off = 2
+    while (off + 4 <= b.length) {
+      if (u8(off) != 0xff) return None // desynchronized
+      var mOff = off + 1
+      while (mOff < b.length && u8(mOff) == 0xff) mOff += 1 // fill bytes
+      if (mOff + 3 > b.length) return None
+      val marker = u8(mOff)
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS
+      val len = (u8(mOff + 1) << 8) | u8(mOff + 2)
+      if (len < 2) return None
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        if (mOff + 8 > b.length) return None
+        val h = (u8(mOff + 4) << 8) | u8(mOff + 5)
+        val w = (u8(mOff + 6) << 8) | u8(mOff + 7)
+        return if (w > 0 && h > 0) Some((w, h)) else None
+      }
+      off = mOff + 1 + len
+    }
+    None
+  }
+
   /** GIF87a/89a: 6-byte signature + little-endian logical screen size. */
   def parseGif(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length < 10) return None
@@ -117,6 +147,7 @@ object MediaCodec {
   def decode(id: Long, payload: Array[Byte]): AvMeta = {
     val n = payload.length
     parseBmp(payload).orElse(parsePng(payload)).orElse(parseGif(payload))
+      .orElse(parseJpeg(payload))
       .map { case (w, h) =>
         AvMeta(id, "image", n, valid = true, w, h, 0, 0, 0L)
       }.orElse(parseWav(payload).map { case (ch, rate, bits, samples) =>
@@ -175,6 +206,25 @@ object MediaCodec {
     b.array()
   }
 
+  /** A minimal valid JPEG header skeleton: SOI + JFIF APP0 + SOF0
+    * (1 component) + EOI — everything [[parseJpeg]]'s marker walk
+    * traverses, no entropy stream. */
+  def buildJpeg(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
+    val b = java.nio.ByteBuffer.allocate(35) // big-endian by default
+    b.putShort(0xffd8.toShort) // SOI
+    b.putShort(0xffe0.toShort).putShort(16) // APP0, len
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    b.putShort(0x0101.toShort).put(0.toByte) // version, units
+    b.putShort(1).putShort(1).put(0.toByte).put(0.toByte) // density, thumb
+    b.putShort(0xffc0.toShort).putShort(11) // SOF0, len = 8 + 3·1
+    b.put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+    b.put(1.toByte) // 1 component
+    b.put(1.toByte).put(0x11.toByte).put(0.toByte) // id, sampling, qtable
+    b.putShort(0xffd9.toShort) // EOI
+    b.array()
+  }
+
   /** A minimal valid GIF89a: signature + logical screen descriptor +
     * trailer. */
   def buildGif(width: Int, height: Int): Array[Byte] = {
@@ -217,9 +267,9 @@ object MediaCodec {
     * the oracle recomputes every expected field from `n_chars` with the
     * same arithmetic and the gate verifies the encode→parse round trip.
     * Even ids cycle image formats — BMP (alternating top-down), PNG
-    * (real IHDR CRC), GIF — odd ids get WAVs (every 4th with a LIST
-    * chunk before `data`). Synthesis is fixture-side work (like Bench's
-    * event synthesis), not the operator under test. */
+    * (real IHDR CRC), GIF, JPEG — odd ids get WAVs (every 4th with a
+    * LIST chunk before `data`). Synthesis is fixture-side work (like
+    * Bench's event synthesis), not the operator under test. */
   def mediaFromDocuments(spark: SparkSession,
                          docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
@@ -227,14 +277,16 @@ object MediaCodec {
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         val payload =
-          if (id % 2 == 0) (id / 2) % 3 match {
+          if (id % 2 == 0) (id / 2) % 4 match {
             case 0 => buildBmp(width = 1 + (nChars % 64).toInt,
               height = 1 + (nChars % 48).toInt,
               topDown = (id / 2) % 2 == 0)
             case 1 => buildPng(width = 1 + (nChars % 128).toInt,
               height = 1 + ((nChars * 3) % 128).toInt)
-            case _ => buildGif(width = 1 + (nChars % 300).toInt,
+            case 2 => buildGif(width = 1 + (nChars % 300).toInt,
               height = 1 + ((nChars * 7) % 200).toInt)
+            case _ => buildJpeg(width = 1 + (nChars % 1000).toInt,
+              height = 1 + ((nChars * 11) % 1000).toInt)
           }
           else
             buildWav(channels = if (id % 4 == 3) 2 else 1,

@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   *  - the decoder is a trait so the container's missing image/audio libs
   *    are STUBBED with [[DeterministicFakeDecoder]] — the schema,
   *    partitioning and batch plumbing are real and tested, the codec is
-  *    swapped in production. The stub covers only entropy-coded formats:
-  *    BMP and RIFF/WAV container headers are parsed for real in
-  *    [[MediaCodec]] (pure JVM, gated by a round-trip oracle).
+  *    swapped in production. The stub covers only pixel/sample decode:
+  *    BMP/PNG/GIF/JPEG and RIFF/WAV container headers are parsed for
+  *    real in [[MediaCodec]] (pure JVM, gated by a round-trip oracle).
   */
 object Multimodal {
 

@@ -700,7 +700,7 @@ object SimilarityQueries {
     "mm_codec_roundtrip" ->
       """WITH m AS (SELECT doc_id, n_chars,
         |    doc_id % 2 = 0 AS img,
-        |    CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 3 END AS fmt
+        |    CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 4 END AS fmt
         |  FROM documents)
         |SELECT doc_id AS id,
         |  CASE WHEN img THEN 'image' ELSE 'audio' END AS kind,
@@ -709,7 +709,8 @@ object SimilarityQueries {
         |      THEN 54 + ((24 * (1 + n_chars % 64) + 31) // 32) * 4
         |             * (1 + n_chars % 48)
         |    WHEN img AND fmt = 1 THEN 45
-        |    WHEN img THEN 14
+        |    WHEN img AND fmt = 2 THEN 14
+        |    WHEN img THEN 35
         |    ELSE 44 + (CASE WHEN doc_id % 4 = 1 THEN 12 ELSE 0 END)
         |           + n_chars * 4
         |             * (CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END) * 2
@@ -717,11 +718,13 @@ object SimilarityQueries {
         |  TRUE AS valid,
         |  CAST(CASE WHEN img AND fmt = 0 THEN 1 + n_chars % 64
         |    WHEN img AND fmt = 1 THEN 1 + n_chars % 128
-        |    WHEN img THEN 1 + n_chars % 300
+        |    WHEN img AND fmt = 2 THEN 1 + n_chars % 300
+        |    WHEN img THEN 1 + n_chars % 1000
         |    ELSE 0 END AS INT) AS width,
         |  CAST(CASE WHEN img AND fmt = 0 THEN 1 + n_chars % 48
         |    WHEN img AND fmt = 1 THEN 1 + (n_chars * 3) % 128
-        |    WHEN img THEN 1 + (n_chars * 7) % 200
+        |    WHEN img AND fmt = 2 THEN 1 + (n_chars * 7) % 200
+        |    WHEN img THEN 1 + (n_chars * 11) % 1000
         |    ELSE 0 END AS INT) AS height,
         |  CAST(CASE WHEN img THEN 0
         |    WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS INT) AS channels,

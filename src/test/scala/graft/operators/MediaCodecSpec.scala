@@ -47,6 +47,23 @@ class MediaCodecSpec extends SparkSpec {
     assert(parseGif(buildPng(9, 9)).isEmpty) // wrong magic cross-checks
   }
 
+  test("jpeg: SOF marker walk, fill bytes, SOS/EOI before SOF, truncation") {
+    assert(parseJpeg(buildJpeg(1024, 768)) === Some((1024, 768)))
+    assert(parseJpeg(buildJpeg(1, 1)) === Some((1, 1)))
+    // progressive (SOF2) parses the same frame header
+    val prog = buildJpeg(50, 40)
+    prog(21) = 0xc2.toByte // SOF0 → SOF2 marker byte (after the FF at 20)
+    assert(parseJpeg(prog) === Some((50, 40)))
+    // a fill byte before the SOF marker is legal and skipped
+    val filled = buildJpeg(9, 9)
+    val withFill = filled.take(20) ++ Array(0xff.toByte) ++ filled.drop(20)
+    assert(parseJpeg(withFill) === Some((9, 9)))
+    // EOI immediately after SOI: no frame to report
+    assert(parseJpeg(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    assert(parseJpeg(buildJpeg(9, 9).take(22)).isEmpty) // truncated SOF
+    assert(parseJpeg("not a jpeg".getBytes("UTF-8")).isEmpty)
+  }
+
   test("gif: round trip, both signatures, little-endian dims") {
     assert(parseGif(buildGif(320, 200)) === Some((320, 200)))
     val g87 = buildGif(300, 1)
