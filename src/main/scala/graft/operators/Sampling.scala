@@ -110,8 +110,13 @@ object Sampling {
     * broadcasts into the occurrence stream, so the only full-width
     * shuffle is the per-doc sum, partially aggregated map-side.
     * Determinism: counts are exact integers; per-bucket llr rounds to 6
-    * decimals before the per-doc sum rounds to 4 — the cross-engine `ln`
-    * contract t_tfidf_topterms already pins.
+    * decimals (the cross-engine `ln` contract t_tfidf_topterms pins),
+    * and the per-doc sum rounds to 6 AS WELL — NOT coarser: the
+    * summands are multiples of 1e-6, so sums land exactly on the
+    * half-way points of any coarser decimal grid (x.xxxx5 for 4
+    * decimals), where HALF_UP diverges across engines on last-ulp
+    * noise; at the summands' own granularity the sum sits ~5e-7 from
+    * every boundary, 6 orders beyond the fold-order error.
     *
     * Returns (idCol, n_terms, logw); docs with no terms drop out. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
@@ -151,7 +156,7 @@ object Sampling {
         6).as("llr"))
     tok.join(broadcast(llr), Seq("b"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_terms"), round(sum("llr"), 4).as("logw"))
+      .agg(count(lit(1)).as("n_terms"), round(sum("llr"), 6).as("logw"))
   }
 
   /** Deterministic stratified sample: the `k` ids with the smallest

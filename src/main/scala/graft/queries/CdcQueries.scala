@@ -153,6 +153,66 @@ object CdcQueries {
       pipeline.table("items").read.orderBy("pk")
     },
 
+    // The live-binlog route, end to end under the oracle: customer rows
+    // rendered as Debezium change-event JSON (inserts + op:u updates +
+    // op:d deletes + the CREATE TABLE as a schema-history event), dumped
+    // to files, tailed through the PRODUCTION chain — DebeziumJson
+    // normalization → SpoolProducer (admission, seq, rotation, resume
+    // state) → spool — then replicated by CdcPipeline and read back
+    // FINAL. The oracle recomputes the expected table from `customer`
+    // directly, so the whole deployment recipe (README "Live binlog
+    // deployment") is hash-verified, not just ScalaTest-covered.
+    "cdc_debezium_ingest" -> { (s, dir) =>
+      import graft.sources.{DebeziumTail, EventSpool, SpoolProducer}
+      import graft.streaming.CdcPipeline
+      import graft.ddl.SchemaRegistry
+      val dump = java.nio.file.Files.createTempDirectory("graft-dbz-dump")
+      val spool = java.nio.file.Files.createTempDirectory("graft-dbz-spool")
+      val wh = java.nio.file.Files.createTempDirectory("graft-dbz-wh")
+      def source(pos: org.apache.spark.sql.Column) =
+        struct(lit("d").as("db"), lit("custs").as("table"),
+          lit("b.1").as("file"), pos.as("pos")).as("source")
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("pk"),
+        col("c_name").as("name"), col("c_mktsegment").as("seg"))
+      def img(seg: org.apache.spark.sql.Column) = struct(
+        col("pk"), col("name"), seg.as("seg"))
+      val ddl = s.range(1).select(lit(0L).as("ord"), to_json(struct(struct(
+        lit("d").as("databaseName"),
+        lit("CREATE TABLE custs (pk bigint NOT NULL, name varchar(40), " +
+          "seg varchar(12), PRIMARY KEY(pk))").as("ddl"),
+        source(lit(0L))).as("payload"))).as("line"))
+      val ins = cust.select((col("pk") * 3).as("ord"), to_json(struct(struct(
+        img(col("seg")).as("after"), lit("c").as("op"),
+        source(col("pk") * 3)).as("payload"))).as("line"))
+      val upd = cust.filter(col("pk") % 5 === 0)
+        .select((col("pk") * 3 + 1).as("ord"), to_json(struct(struct(
+          img(col("seg")).as("before"), img(lit("UPDATED")).as("after"),
+          lit("u").as("op"),
+          source(col("pk") * 3 + 1)).as("payload"))).as("line"))
+      val del = cust.filter(col("pk") % 11 === 0)
+        .select((col("pk") * 3 + 2).as("ord"), to_json(struct(struct(
+          img(col("seg")).as("before"), lit("d").as("op"),
+          source(col("pk") * 3 + 2)).as("payload"))).as("line"))
+      // one ordered dump file, like a console-consumer capture: binlog
+      // order is the line order the tailer must preserve
+      val staging = java.nio.file.Files.createTempDirectory("graft-dbz-st")
+      ddl.unionByName(ins).unionByName(upd).unionByName(del)
+        .orderBy("ord").select("line").coalesce(1)
+        .write.mode("overwrite").text(staging.toString)
+      val part = staging.toFile.listFiles()
+        .find(_.getName.endsWith(".txt")).get
+      assert(part.renameTo(new java.io.File(dump.toFile, "events.jsonl")))
+      // the production chain: tail → normalize → produce → replicate
+      val producer = new SpoolProducer(spool.toString, graft.GraftConfig())
+      new DebeziumTail(dump.toString, producer).tick()
+      val registry = new SchemaRegistry("d")
+      val pipeline = new CdcPipeline(s, graft.GraftConfig(), registry,
+        wh.toString)
+      pipeline.processBatch(EventSpool.readBatch(s, spool.toString),
+        batchId = 0)
+      pipeline.table("custs").read.orderBy("pk")
+    },
+
     // W4: Structured Streaming tumbling-window aggregation — the events
     // fixture replayed through readStream → window(1h) × event_type →
     // complete-mode memory sink (bounded: hours × types rows). Money sums
@@ -439,6 +499,15 @@ object CdcQueries {
         |            FROM lineitem)
         |      GROUP BY pk)
         |WHERE ln % 7 <> 0 ORDER BY pk""".stripMargin,
+
+    // the expected replica, recomputed from the source table: updates
+    // overwrite seg for pk % 5 = 0, deletes drop pk % 11 = 0
+    "cdc_debezium_ingest" ->
+      """SELECT c_custkey AS pk, c_name AS name,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED'
+        |       ELSE c_mktsegment END AS seg
+        |FROM customer WHERE c_custkey % 11 <> 0
+        |ORDER BY pk""".stripMargin,
 
     "cdc_stream_window" ->
       s"""SELECT ${sqlTsSeconds("time_bucket(INTERVAL 1 HOUR, ts)")} AS w_start,

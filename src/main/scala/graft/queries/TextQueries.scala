@@ -353,7 +353,7 @@ object TextQueries {
         |        - ln((cr + 1.0) / (r_tot + 256.0)), 6) AS llr
         |  FROM cnt CROSS JOIN tot),
         |docw AS (SELECT doc_id, COUNT(*) AS n_terms,
-        |    round(SUM(llr), 4) AS logw
+        |    round(SUM(llr), 6) AS logw
         |  FROM tok JOIN llr USING (b) GROUP BY 1),
         |scored AS (SELECT doc_id, n_terms, logw,
         |    round(logw + (-ln(-ln(

@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * naive driver-side reference that replays the model literally —
   * unigram+bigram occurrences, md5 2-hex buckets, Laplace-smoothed
   * target/corpus log-likelihood ratio rounded to 6 decimals, per-doc
-  * sum rounded to 4. Seeded, so failures replay. The fold-order caveat
+  * sum rounded to 6 (see dsirWeights: coarser grids land on HALF_UP
+  * boundaries). Seeded, so failures replay. The fold-order caveat
   * (Spark sums a doc's llr terms in partition order, the reference in
-  * a fixed order) is absorbed the same way the gate absorbs it: both
-  * sides round to 4 decimals, and the per-term values are identical
-  * 6-decimal-rounded doubles whose sums differ at ~1e-13.
+  * a fixed order) is absorbed the same way the gate absorbs it: the
+  * per-term values are identical 6-decimal-rounded doubles whose sums
+  * differ at ~1e-13, far inside the comparison tolerance.
   */
 class DsirFuzzSpec extends SparkSpec {
   import spark.implicits._
@@ -65,14 +66,14 @@ class DsirFuzzSpec extends SparkSpec {
       }.toMap
       val expected = terms.filter(_._3.nonEmpty).map { case (id, _, ts) =>
         id -> (ts.size.toLong,
-          round(ts.map(t => llr(md5hex(t).take(2))).sum, 4))
+          round(ts.map(t => llr(md5hex(t).take(2))).sum, 6))
       }.toMap
       assert(got.keySet === expected.keySet,
         s"round $round0: doc sets differ (n=$n)")
       expected.foreach { case (id, (nt, lw)) =>
         val (gnt, glw) = got(id)
         assert(gnt === nt, s"round $round0 doc $id n_terms")
-        assert(math.abs(glw - lw) <= 1e-4 + 1e-12,
+        assert(math.abs(glw - lw) <= 1e-6 + 1e-12,
           s"round $round0 doc $id logw: got $glw expected $lw")
       }
     }
