@@ -59,8 +59,13 @@ final class DebeziumTail(dumpDir: String, producer: SpoolProducer) {
       .sortBy(_.getName)
     var appended = 0
     for (f <- files) {
-      val start = offsets.getOrElse(f.getName, 0L)
+      val tracked = offsets.getOrElse(f.getName, 0L)
       val len = f.length()
+      // a SHRUNKEN file means the consumer restarted with truncation
+      // (`>` instead of `>>`): restart from 0 rather than skip forever —
+      // re-emitted events are the at-least-once window the pipeline
+      // already converges under (same-seq LWW/FINAL collapse)
+      val start = if (len < tracked) 0L else tracked
       if (len > start) {
         val raf = new java.io.RandomAccessFile(f, "r")
         val bytes =

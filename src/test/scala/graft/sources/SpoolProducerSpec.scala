@@ -186,6 +186,26 @@ class SpoolProducerSpec extends SparkSpec {
     assert(seqs === (1L to 4L))
   }
 
+  test("tailer: a truncated dump file restarts from 0, not silent skip") {
+    val dump = tmpDir("dbz-trunc")
+    val spool = tmpDir("dbz-trunc-spool")
+    val tail = new DebeziumTail(dump, new SpoolProducer(spool, config(spool)))
+    def rec(i: Int) =
+      s"""{"after":{"id":$i},"op":"c","source":{"db":"shop","table":"t","file":"b.1","pos":$i}}"""
+    val f = new java.io.File(dump, "a.jsonl")
+    val w1 = new java.io.FileOutputStream(f)
+    w1.write((rec(1) + "\n" + rec(2) + "\n").getBytes("UTF-8")); w1.close()
+    assert(tail.tick() === 2)
+    // the consumer restarts with `>` — the file is truncated and refilled
+    // with ONE shorter record; the tailer must re-read, not skip forever
+    val w2 = new java.io.FileOutputStream(f) // truncating open
+    w2.write((rec(3) + "\n").getBytes("UTF-8")); w2.close()
+    assert(tail.tick() === 1)
+    val ids = graft.sources.EventSpool.readBatch(spark, spool)
+      .collect().map(_.getAs[String]("row")).sorted.toSeq
+    assert(ids === Seq("""{"id":1}""", """{"id":2}""", """{"id":3}"""))
+  }
+
   // ------------------------------------------------------------- e2e
 
   test("e2e: producer crash-replay (same seqs twice) converges, DDL included") {
