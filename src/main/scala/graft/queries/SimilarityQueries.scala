@@ -120,6 +120,24 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Cluster-balanced sampling: a fixed per-cluster quota drawn by the
+    // deterministic id-hash order — the topic-diversity pass that keeps
+    // a dominant cluster from flooding the corpus (the sampling half of
+    // cluster-based curation à la SemDeDup). Composes the memoized
+    // coarse quantizer (map-only assign) with the salted two-stage
+    // top-k, so no per-cluster hot reducer sees full documents.
+    "s_cluster_balanced" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
+      ivfModels.put("s_cluster_balanced", model)
+      val assigned = emb.select(col("vec_id"),
+        graft.operators.Ivf.assign(col("embedding"), model).as("cell"))
+      graft.operators.Sampling.stratifiedTopK(assigned, "cell", "vec_id",
+        k = 5)
+        .orderBy("cell", "rnk")
+    },
+
     // PQ asymmetric-distance ANN: the corpus compressed to m=8 4-bit-ish
     // codes, queries ranked by LUT sums over codes only — the
     // billion-vector memory/compute path (IVF-PQ's quantization half).
@@ -337,6 +355,22 @@ object SimilarityQueries {
     s"""SELECT vec_id, CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
        |FROM (SELECT vec_id, ${ivfScoreList(model)} AS sl FROM embeddings)
        |ORDER BY vec_id""".stripMargin
+
+  /** The frozen-centroid assign + the md5-rank quota — the SQL twin of
+    * `stratifiedTopK(assign(emb))` (the two-stage salting collapses to
+    * a plain per-group rank in SQL: it changes the plan, not the
+    * ranking). */
+  private def clusterBalancedSql(model: Ivf.Model, k: Int): String =
+    s"""WITH a AS (SELECT vec_id,
+       |    CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
+       |  FROM (SELECT vec_id, ${ivfScoreList(model)} AS sl
+       |        FROM embeddings)),
+       |r AS (SELECT cell, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS rnk
+       |  FROM a)
+       |SELECT cell, vec_id, rnk FROM r WHERE rnk <= $k
+       |ORDER BY cell, rnk""".stripMargin
 
   private def ivfSql(model: Ivf.Model, k: Int, nProbe: Int): String = {
     val scoreList = ivfScoreList(model)
@@ -627,6 +661,8 @@ object SimilarityQueries {
         .map(m => "s_ann_ivf_probe" -> ivfSql(m, k = 3, nProbe = 4)) ++
       Option(ivfModels.get("s_cluster_assign"))
         .map(m => "s_cluster_assign" -> clusterSql(m)) ++
+      Option(ivfModels.get("s_cluster_balanced"))
+        .map(m => "s_cluster_balanced" -> clusterBalancedSql(m, k = 5)) ++
       Option(pqModels.get("s_ann_pq"))
         .map(m => "s_ann_pq" -> pqSql(m, k = 3)) ++
       (for {
