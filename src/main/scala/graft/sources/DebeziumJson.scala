@@ -62,14 +62,16 @@ object DebeziumJson {
       o <- Option(s.get("pos")).map(_.asLong())
     } yield s"$f:$o"
 
-    val ev = Option(p.get("ddl")).filterNot(_.isNull).map(_.asText()) match {
+    // `ddl` must be text and the event must carry a database to route
+    // by (databaseName at the envelope level, falling back to source.db
+    // for older connector versions) — a numeric/contextless shape is a
+    // malformed record to skip, not a statement to apply
+    val ev = Option(p.get("ddl")).filter(_.isTextual).map(_.asText()) match {
       case Some(ddl) =>
-        // schema-history event: databaseName at the envelope level,
-        // falling back to source.db (older connector versions)
-        val db = str(p, "databaseName")
-          .orElse(source.flatMap(str(_, "db"))).getOrElse("")
-        Some(SourceEvent(db, table = "", op = EventSpool.OpQuery,
-          query = Some(ddl)))
+        str(p, "databaseName")
+          .orElse(source.flatMap(str(_, "db")))
+          .map(db => SourceEvent(db, table = "", op = EventSpool.OpQuery,
+            query = Some(ddl)))
       case None =>
         for {
           op <- str(p, "op")

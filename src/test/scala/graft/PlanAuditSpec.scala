@@ -297,6 +297,24 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("stratified/cluster quotas: stage-1 windows partition on the salt") {
+    // the whole point of the two-stage top-k is that NO window sorts a
+    // whole group on one task: stage 1 must partition by (group, salt),
+    // and only the k·salts survivors reach the per-group stage-2 window
+    for (q <- Seq("t_stratified_sample", "s_cluster_balanced")) {
+      val ns = nodes(SparkEntry.queries(q)(spark, dir))
+      val windows = ns.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      }
+      assert(windows.exists(_.exists(_.contains("_salt"))),
+        s"$q: no salted stage-1 window — a hot group funnels through " +
+          "one task at scale")
+      assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+        !ns.exists(_.nodeName.contains("CartesianProduct")), q)
+    }
+  }
+
   test("dsir: llr model broadcasts into the term stream; one real shuffle") {
     val ns = nodes(SparkEntry.queries("t_dsir_sample")(spark, dir))
     // the 256-row llr table must broadcast-hash-join the occurrence

@@ -64,6 +64,31 @@ class SpoolProducerSpec extends SparkSpec {
     assert(tr.pos === Some("b.2:11")) // cursor still advances past it
   }
 
+  test("debezium: arbitrary input never throws — garbage is a skip") {
+    // a poisoned topic record must not kill the producer process: any
+    // byte soup parses to Record(None/Some, _), never an exception
+    val rnd = new scala.util.Random(20260813L)
+    val fragments = Seq("{", "}", "[", "]", "\"", ":", ",", "null",
+      "true", "1e309", "payload", "op", "after", "source", "\\u0000",
+      "😀", "{\"payload\":", "{\"op\":\"c\"", "-", "1.5")
+    (1 to 500).foreach { _ =>
+      val line = Seq.fill(1 + rnd.nextInt(12))(
+        fragments(rnd.nextInt(fragments.size))).mkString
+      DebeziumJson.parse(line) // must not throw
+    }
+    // structurally-valid-but-odd JSON shapes: wrong types everywhere
+    Seq(
+      """{"payload": 42}""",
+      """{"payload": [1,2]}""",
+      """{"payload": {"op": 7, "source": "nope"}}""",
+      """{"payload": {"op": "c", "after": "not an object",
+        | "source": {"db": 1, "table": null}}}""".stripMargin,
+      """{"payload": {"ddl": 42}}""",
+      """{"op": "d", "before": [], "source": {}}""",
+      """{"schema": {"type": "struct"}, "payload": null}""")
+      .foreach(l => assert(DebeziumJson.parse(l).event.isEmpty, l))
+  }
+
   test("debezium: schema-history events become QUERY") {
     val ddl = DebeziumJson.parse(
       """{"payload":{"source":{"db":"shop","file":"binlog.000003","pos":400},
