@@ -123,17 +123,22 @@ object MediaCodec {
   def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
       return None
-    var off = 12
+    // Long offsets + a strictly-positive advance: a crafted chunk size
+    // near 2^32 truncated to Int would otherwise stall the walk (size
+    // -8 → advance 0: infinite loop) or wrap `off` negative (index
+    // crash) — corrupt payloads must stay data, never a hung task
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None
     var dataLen = -1L
     while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
-      val id = tag(b, off)
-      val sz = le32(b, off + 4).toLong & 0xffffffffL
+      val i = off.toInt // safe: off < b.length <= Int.MaxValue
+      val id = tag(b, i)
+      val sz = le32(b, i + 4).toLong & 0xffffffffL
       if (id == "fmt " && off + 8 + 16 <= b.length)
-        fmt = Some((le16(b, off + 10), le32(b, off + 12), le16(b, off + 22)))
+        fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
       else if (id == "data")
-        dataLen = math.min(sz, (b.length - off - 8).toLong)
-      off += 8 + sz.toInt + (sz.toInt & 1) // odd chunks pad one byte
+        dataLen = math.min(sz, b.length - off - 8)
+      off += 8L + sz + (sz & 1L) // odd chunks pad one byte
     }
     for {
       (ch, rate, bits) <- fmt
@@ -146,13 +151,18 @@ object MediaCodec {
     * corrupt payload) yields an invalid row. */
   def decode(id: Long, payload: Array[Byte]): AvMeta = {
     val n = payload.length
-    parseBmp(payload).orElse(parsePng(payload)).orElse(parseGif(payload))
+    // belt-and-braces on the datum contract: even a parser bug on some
+    // adversarial payload must yield an invalid row, not a failed task
+    try parseBmp(payload).orElse(parsePng(payload)).orElse(parseGif(payload))
       .orElse(parseJpeg(payload))
       .map { case (w, h) =>
         AvMeta(id, "image", n, valid = true, w, h, 0, 0, 0L)
       }.orElse(parseWav(payload).map { case (ch, rate, bits, samples) =>
         AvMeta(id, "audio", n, valid = true, 0, 0, ch, rate, samples)
       }).getOrElse(AvMeta(id, "unknown", n, valid = false, 0, 0, 0, 0, 0L))
+    catch { case scala.util.control.NonFatal(_) =>
+      AvMeta(id, "unknown", n, valid = false, 0, 0, 0, 0, 0L)
+    }
   }
 
   /** Per-partition batch decode over (id, payload) rows — the same

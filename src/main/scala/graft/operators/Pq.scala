@@ -73,10 +73,10 @@ object Pq {
     * the encode argmin and — once [[ivfAdcTopK]] re-adds the coarse
     * ‖q−c‖² term — the cross-cell ranking. */
   private def residSubScores(v: Column, cellCol: Column, s: Int,
-                             coarse: Ivf.Model, model: Model): Column = {
+                             dcc: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                             model: Model): Column = {
     val base = s * model.dsub
-    val dccLit = typedlit[Seq[Seq[Double]]](
-      dccTable(coarse, model)(s).map(_.toSeq))
+    val dccLit = typedlit[Seq[Seq[Double]]](dcc(s).map(_.toSeq))
     val cents = typedlit[Seq[Seq[Double]]](model.centroids(s).map(_.toSeq))
     val sub = slice(v, base + 1, model.dsub)
     array(model.centroids(s).indices.map(j =>
@@ -105,11 +105,15 @@ object Pq {
     * `v − coarseCentroid(cell)` (via the distributed-dot form, no
     * residual array in the scan). */
   def encodeResidual(v: Column, cellCol: Column, coarse: Ivf.Model,
-                     model: Model): Column =
+                     model: Model): Column = {
+    // dcc computed ONCE for all m subspaces — per-subspace recomputation
+    // is O(m²) driver work at plan-build time (m·k·ksub·dsub each)
+    val dcc = dccTable(coarse, model)
     array((0 until model.m).map { s =>
-      val sc = residSubScores(v, cellCol, s, coarse, model)
+      val sc = residSubScores(v, cellCol, s, dcc, model)
       (array_position(sc, array_min(sc)) - 1).cast("int")
     }: _*)
+  }
 
   /** Train one k-means codebook per subspace — all `m` subspaces JOINTLY,
     * one Spark job per iteration. Running [[Ivf.fit]] per subspace is
@@ -224,13 +228,14 @@ object Pq {
     val probes = array_sort(
       transform(Ivf.cellScores(col(vecCol), coarse),
         (s, i) => struct(s.as("d"), i.cast("int").as("cell"))))
+    val dcc = dccTable(coarse, model) // once, not once per subspace
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(slice(probes, 1, nProbe)).as("p"))
       .select(col("query_id") +: col("p.cell").as("cell") +:
         col("p.d").as("ct") +:
         (0 until model.m).map(s =>
-          residSubScores(col("qv"), col("p.cell"), s, coarse, model)
+          residSubScores(col("qv"), col("p.cell"), s, dcc, model)
             .as(s"l$s")): _*)
     // ((ct + l0[..]) + l1[..]) + … — the SQL oracle's left-assoc sum
     val score = (col("ct") +: (0 until model.m).map(s =>

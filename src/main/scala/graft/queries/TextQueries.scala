@@ -327,7 +327,8 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     // Mirrors Sampling.dsirWeights + the Gumbel-top-k term for term:
     // integer bucket counts over the full 2-hex domain, 6-decimal llr,
-    // 4-decimal per-doc sum, exact hash-uniform, ln = natural log in
+    // 6-decimal per-doc sum (the summands' own granularity — coarser
+    // grids land on HALF_UP midpoints), exact hash-uniform, ln in
     // both engines (the t_tfidf_topterms contract).
     "t_dsir_sample" ->
       """WITH tok0 AS (SELECT doc_id, lang, str_split(text,' ') AS t

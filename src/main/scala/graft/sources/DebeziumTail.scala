@@ -14,11 +14,27 @@ import graft.GraftConfig
   * assumed append-only (rotate by creating a new file, like the Kafka
   * consumer does on restart).
   *
-  * Resume state is byte offsets per dump file, serialized into the
-  * producer's `source_pos` — so a restarted tailer re-reads nothing,
-  * exactly like the reference's saved last_seen_transaction
-  * (binlog_replicator.py:63-85). Partial trailing lines (a record
-  * mid-append) stay unconsumed until their newline arrives.
+  * Resume state is (byte offset, head signature) per dump file,
+  * serialized into the producer's `source_pos` — so a restarted tailer
+  * re-reads nothing, exactly like the reference's saved
+  * last_seen_transaction (binlog_replicator.py:63-85). The head
+  * signature (CRC32 of the first ≤64 bytes) detects a REWRITTEN file —
+  * a consumer restarted with `>` instead of `>>` — even when the new
+  * content has already grown past the old offset by the next poll; a
+  * length check alone would read from the stale offset and silently
+  * drop the head of the new stream. On rewrite the tailer restarts the
+  * file from 0: re-emitted events are the at-least-once window the
+  * pipeline converges under (same-seq LWW/FINAL collapse). Partial
+  * trailing lines (a record mid-append) stay unconsumed until their
+  * newline arrives. State entries for deleted dump files are pruned,
+  * so rotation doesn't grow the state forever.
+  *
+  * Reads are bounded at `maxBytesPerRead` per file per tick — a
+  * multi-GB initial catch-up drains over successive ticks on a fixed
+  * buffer instead of materializing the whole backlog (where
+  * `(len-start).toInt` would overflow outright past 2 GB). A single
+  * line larger than the cap cannot make progress and is reported
+  * loudly rather than spun on silently.
   *
   * Spool file granularity: published spool files are immutable (the
   * file source's contract), so unlike the reference's FileWriter the
@@ -28,50 +44,80 @@ import graft.GraftConfig
   * the default 500 ms), not event count; the retention sweep keeps the
   * spool bounded either way.
   */
-final class DebeziumTail(dumpDir: String, producer: SpoolProducer) {
+final class DebeziumTail(dumpDir: String, producer: SpoolProducer,
+                         maxBytesPerRead: Int = 16 << 20) {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private var offsets: Map[String, Long] = decode(producer.sourcePos)
+  private case class FileState(off: Long, sig: Long)
+  private val SigUnknown = -1L // legacy offset-only state: accept any head
 
-  private def decode(pos: Option[String]): Map[String, Long] =
+  private var state: Map[String, FileState] = decode(producer.sourcePos)
+  private var warnedStuck = Set.empty[String]
+
+  private def decode(pos: Option[String]): Map[String, FileState] =
     pos.filter(_.startsWith("{")).map { s =>
       import scala.jdk.CollectionConverters._
-      val node = mapper.readTree(s)
-      node.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      mapper.readTree(s).fields().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> (if (v.isNumber) FileState(v.asLong(), SigUnknown)
+                     else FileState(v.get("off").asLong(),
+                       v.get("sig").asLong()))
+      }.toMap
     }.getOrElse(Map.empty)
 
-  private def encode(m: Map[String, Long]): String = {
+  private def encode(m: Map[String, FileState]): String = {
     val node = mapper.createObjectNode()
-    m.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    m.toSeq.sortBy(_._1).foreach { case (k, st) =>
+      val o = node.putObject(k); o.put("off", st.off); o.put("sig", st.sig)
+    }
     node.toString
   }
 
+  /** CRC32 of the first min(64, len) bytes — the file's identity. */
+  private def headSig(f: java.io.File, len: Long): Long = {
+    val n = math.min(64L, len).toInt
+    if (n <= 0) return 0L
+    val raf = new java.io.RandomAccessFile(f, "r")
+    val buf = new Array[Byte](n)
+    try raf.readFully(buf) finally raf.close()
+    val crc = new java.util.zip.CRC32(); crc.update(buf); crc.getValue
+  }
+
   /** One poll: read every dump file's unconsumed bytes (complete lines
-    * only), convert, append to the spool, persist offsets. Returns the
-    * number of events appended (0 = idle, caller sleeps — the
-    * reference's READ_LOG_INTERVAL backoff, binlog_replicator.py:538). */
+    * only, at most `maxBytesPerRead` per file), convert, append to the
+    * spool, persist state. Returns the number of events appended (0 =
+    * idle, caller sleeps — the reference's READ_LOG_INTERVAL backoff,
+    * binlog_replicator.py:538). */
   def tick(): Int = {
     val dir = new java.io.File(dumpDir)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    // a null listing is an IO hiccup, not an empty dir: keep state
+    val listing = dir.listFiles()
+    if (listing == null) return 0
+    val files = listing
       .filter(f => f.isFile && !f.getName.startsWith(".") &&
         (f.getName.endsWith(".json") || f.getName.endsWith(".jsonl")))
       .sortBy(_.getName)
+    // prune state for rotated-away files, or it grows forever
+    val names = files.map(_.getName).toSet
+    state = state.filter { case (k, _) => names.contains(k) }
     var appended = 0
     for (f <- files) {
-      val tracked = offsets.getOrElse(f.getName, 0L)
       val len = f.length()
-      // a SHRUNKEN file means the consumer restarted with truncation
-      // (`>` instead of `>>`): restart from 0 rather than skip forever —
-      // re-emitted events are the at-least-once window the pipeline
-      // already converges under (same-seq LWW/FINAL collapse)
-      val start = if (len < tracked) 0L else tracked
+      val sig = headSig(f, len)
+      val start = state.get(f.getName) match {
+        case Some(FileState(off, s))
+          if len >= off && (s == sig || s == SigUnknown) => off
+        case Some(_) => 0L // shrunk or rewritten: restart the file
+        case None => 0L
+      }
       if (len > start) {
+        val toRead = math.min(len - start, maxBytesPerRead.toLong).toInt
         val raf = new java.io.RandomAccessFile(f, "r")
         val bytes =
           try {
             raf.seek(start)
-            val buf = new Array[Byte]((len - start).toInt)
+            val buf = new Array[Byte](toRead)
             raf.readFully(buf)
             buf
           } finally raf.close()
@@ -83,9 +129,18 @@ final class DebeziumTail(dumpDir: String, producer: SpoolProducer) {
             java.nio.charset.StandardCharsets.UTF_8)
           val records = text.split("\n", -1).toSeq.map(DebeziumJson.parse)
           val events = records.flatMap(_.event)
-          offsets += f.getName -> (start + lastNl + 1)
-          producer.append(events, Some(encode(offsets)))
+          state += f.getName -> FileState(start + lastNl + 1, sig)
+          producer.append(events, Some(encode(state)))
           appended += events.size
+          warnedStuck -= f.getName
+        } else if (toRead == maxBytesPerRead &&
+                   !warnedStuck.contains(f.getName)) {
+          // a single record larger than the read cap can never complete:
+          // say so once instead of re-reading the same bytes forever
+          System.err.println(s"[graft] dump file ${f.getName}: no newline " +
+            s"in $maxBytesPerRead bytes from offset $start — raise " +
+            "maxBytesPerRead or fix the producer's record framing")
+          warnedStuck += f.getName
         }
       }
     }

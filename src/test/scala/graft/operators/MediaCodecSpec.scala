@@ -80,6 +80,25 @@ class MediaCodecSpec extends SparkSpec {
     assert(parseWav(cut) === Some((1, 8000, 16, 40L)))
   }
 
+  test("wav: hostile chunk sizes terminate — no spin, no index crash") {
+    // size 0xFFFFFFF8 truncated to Int is -8: advance would be 0 and
+    // the chunk walk spins forever; size near 2^31 wraps an Int offset
+    // negative and indexes crash. Both must parse invalid, promptly.
+    def hostile(size: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(24)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("JUNK".getBytes("US-ASCII")).putInt(size.toInt)
+      b.put(Array.fill[Byte](8)(0))
+      b.array()
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0x80000000L, 0x7FFFFFFFL, 0xFFFFFFFFL))
+      assert(parseWav(hostile(sz)).isEmpty, f"size 0x$sz%x")
+    // and through decode(): a datum, not an exception
+    assert(!decode(1L, hostile(0xFFFFFFF8L)).valid)
+  }
+
   test("corrupt payloads are invalid data, not failures") {
     assert(parseBmp(Array.empty[Byte]).isEmpty)
     assert(parseWav(Array.empty[Byte]).isEmpty)

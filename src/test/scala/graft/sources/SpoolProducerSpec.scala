@@ -211,6 +211,49 @@ class SpoolProducerSpec extends SparkSpec {
     assert(seqs === (1L to 4L))
   }
 
+  test("tailer: rewritten file that GREW past the old offset is detected") {
+    // the race a length check alone misses: consumer restarts with `>`
+    // and refills past the consumed offset before the next poll — the
+    // head signature must catch the rewrite or the new stream's head is
+    // silently dropped and the read starts mid-record
+    val dump = tmpDir("dbz-rewrite")
+    val spool = tmpDir("dbz-rewrite-spool")
+    val tail = new DebeziumTail(dump, new SpoolProducer(spool, config(spool)))
+    def rec(i: Int) =
+      s"""{"after":{"id":$i},"op":"c","source":{"db":"shop","table":"t","file":"b.1","pos":$i}}"""
+    val f = new java.io.File(dump, "a.jsonl")
+    val w1 = new java.io.FileOutputStream(f)
+    w1.write((rec(1) + "\n").getBytes("UTF-8")); w1.close()
+    assert(tail.tick() === 1)
+    // rewritten LONGER than the consumed offset, different content
+    val w2 = new java.io.FileOutputStream(f)
+    w2.write((rec(7) + "\n" + rec(8) + "\n" + rec(9) + "\n")
+      .getBytes("UTF-8")); w2.close()
+    assert(tail.tick() === 3) // all three, from offset 0
+    val ids = EventSpool.readBatch(spark, spool)
+      .collect().map(_.getAs[String]("row")).sorted.toSeq
+    assert(ids === Seq(1, 7, 8, 9).map(i => s"""{"id":$i}"""))
+  }
+
+  test("tailer: multi-cap backlogs drain across ticks on a bounded buffer") {
+    val dump = tmpDir("dbz-cap")
+    val spool = tmpDir("dbz-cap-spool")
+    def rec(i: Int) =
+      s"""{"after":{"id":$i},"op":"c","source":{"db":"shop","table":"t","file":"b.1","pos":$i}}"""
+    val f = new java.io.FileOutputStream(new java.io.File(dump, "a.jsonl"))
+    (1 to 50).foreach(i => f.write((rec(i) + "\n").getBytes("UTF-8")))
+    f.close()
+    // cap smaller than the backlog: each tick consumes ≤ cap bytes of
+    // complete lines and the backlog drains over successive ticks
+    val tail = new DebeziumTail(dump, new SpoolProducer(spool, config(spool)),
+      maxBytesPerRead = 256)
+    var total = 0
+    var ticks = 0
+    while ({ val n = tail.tick(); total += n; ticks += 1; n > 0 }) ()
+    assert(total === 50 && ticks > 10) // drained, and genuinely chunked
+    assert(EventSpool.readBatch(spark, spool).count() === 50)
+  }
+
   test("tailer: a truncated dump file restarts from 0, not silent skip") {
     val dump = tmpDir("dbz-trunc")
     val spool = tmpDir("dbz-trunc-spool")
