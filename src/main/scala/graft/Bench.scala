@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — the driver's per-round performance gate.
   *
-  * Each query runs `SPARK_GRAFT_RUNS` times (default 3) and reports its
+  * Each query runs `SPARK_GRAFT_RUNS` times (default 5 — 3-run medians
+  * left the e2e headline with ±30% between-invocation swing; five
+  * stabilize it) and reports its
   * MEDIAN (plus min/max and the raw times): a single-shot bench cannot
   * tell an environment hiccup from a real regression — r5's
   * `s_ann_lsh_probe` 0.73→4.53 s "regression" was unadjudicable for
@@ -86,7 +88,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
