@@ -109,6 +109,30 @@ class MediaCodecSpec extends SparkSpec {
     assert(!m.valid && m.kind === "unknown" && m.byteLen === 24)
   }
 
+  test("mutation fuzz: corrupted containers always decode to a datum") {
+    // every parser must terminate and return (valid or not) on any
+    // mutation of a valid file — the WAV chunk-size spin was exactly
+    // this class. Seeded, so failures replay.
+    val rnd = new scala.util.Random(20260813L)
+    val seeds = Seq(
+      buildBmp(31, 17, topDown = true),
+      buildPng(200, 100),
+      buildGif(64, 32),
+      buildJpeg(640, 480),
+      buildWav(2, 44100, 200, withListChunk = true))
+    for (seed <- seeds; _ <- 1 to 100) {
+      val b = seed.clone()
+      (1 to 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      val m = decode(9L, b) // must return, not throw or spin
+      assert(m.byteLen === b.length)
+    }
+    // truncations at every prefix length of each seed
+    for (seed <- seeds; n <- 0 until seed.length by 3)
+      decode(9L, seed.take(n))
+  }
+
   test("extract: per-partition decode; a corrupt row is a datum") {
     import spark.implicits._
     val rows = Seq(
