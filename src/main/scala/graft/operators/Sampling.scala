@@ -159,6 +159,32 @@ object Sampling {
       .agg(count(lit(1)).as("n_terms"), round(sum("llr"), 6).as("logw"))
   }
 
+  /** Deterministic source-weighted interleave — the training-mix
+    * ORDERING problem (a mixture spec says "2 parts web to 1 part
+    * code"; the loader needs one merged stream realizing those rates
+    * without a stateful merger). Each document draws an exponential
+    * arrival clock `-ln(u)/w` from its id hash (u the exact
+    * hash-uniform of md5 chars 9–16, the t_dsir_sample construction);
+    * ascending clock order IS the interleaved stream: source arrival
+    * rates are proportional to their weights (competing exponential
+    * clocks), the order is reproducible across runs and cluster sizes,
+    * and any prefix of the stream realizes the mixture. Weight 0 or an
+    * unlisted source never arrives (clock = +∞, filtered).
+    *
+    * Map-only key assignment; the only wide operation is the caller's
+    * sort (or top-k for a budgeted prefix) — at 100 TB that sort is the
+    * write-side range exchange a training-order materialization pays
+    * anyway, and a bounded prefix rides TakeOrderedAndProject. */
+  def mixInterleaveKey(id: Column, sourceCol: Column,
+                       weights: Seq[(String, Double)]): Column = {
+    val u = (conv(substring(idHash(id), 9, 8), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    val w = weights.foldLeft(lit(0.0)) { case (rest, (src, wt)) =>
+      when(sourceCol === src, lit(wt)).otherwise(rest)
+    }
+    when(w > 0.0, round(-log(u) / w, 6))
+  }
+
   /** Deterministic stratified sample: the `k` ids with the smallest
     * [[idHash]] per group — a uniform-without-replacement sample that is
     * reproducible and incrementally stable (a new doc only enters the

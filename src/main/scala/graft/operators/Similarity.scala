@@ -181,4 +181,42 @@ object Similarity {
           sqrt(col("na") * col("nb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023 — public): semantic deduplication by
+    * coarse k-means cell. Within each cell, a vector with a LOWER-id
+    * neighbor at cosine ≥ `threshold` is dropped; its keeper is the
+    * lowest such neighbor (the paper keeps one representative per
+    * ε-group — lowest id is the deterministic choice, the d_exact_dups
+    * convention). Unlike [[nearDupPairs]]' sign buckets, the cells come
+    * from a FITTED quantizer, so "same cell" already means "same
+    * semantic neighborhood" and the within-cell quadratic is the real
+    * SemDeDup cost model: k caps candidate set size, salt spreads a hot
+    * cell's scoring across `salt` tasks.
+    *
+    * Returns every input id with its cell, `dropped` flag, and
+    * `kept_by` (null for survivors) — the audit-friendly shape; filter
+    * `!dropped` for the surviving corpus. */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+               model: Ivf.Model, threshold: Double,
+               salt: Int = 4): DataFrame = {
+    val v = spread(vecs).select(col(idCol), col(vecCol),
+      norm2(col(vecCol)).as("nn"),
+      Ivf.assign(col(vecCol), model).as("cell"))
+    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("nn").as("na"), col("cell"),
+      pmod(hash(col(idCol)), lit(salt)).cast("int").as("_salt"))
+    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("nn").as("nb"), col("cell"),
+      explode(sequence(lit(0), lit(salt - 1))).as("_salt"))
+    val keepers = a.join(b, Seq("cell", "_salt"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("va"), col("vb")) /
+        sqrt(col("na") * col("nb")), 4) >= threshold)
+      .groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("kept_by"))
+    v.select(col(idCol), col("cell"))
+      .join(keepers, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        col("kept_by").isNotNull.as("dropped"), col("kept_by"))
+  }
 }

@@ -183,6 +183,83 @@ object TextAnalysis {
         round(col("sum_dfc") / col("n_trigrams"), 4).as("avg_tri_df"))
   }
 
+  // ------------------------------------------------------------- PII
+
+  /** PII patterns, kept to the Java-regex ∩ RE2 common subset so the
+    * DuckDB oracle counts and rewrites identically. The three shapes a
+    * web-corpus scrub always starts with (emails, NANP-style phone
+    * numbers, IPv4 addresses); extend the seq for more. */
+  val piiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val piiIpPattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redaction order matters: emails first (their local parts can embed
+    * digits-and-dots an IP pattern would chew on), then IPs, then
+    * phones. Pure chained regexp_replace — map-only, codegen'd. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    piiEmailPattern -> "[EMAIL]",
+    piiIpPattern -> "[IP]",
+    piiPhonePattern -> "[PHONE]")
+
+  def piiEmailCount(text: Column): Column =
+    regexp_count(text, lit(piiEmailPattern)).cast("int")
+  def piiPhoneCount(text: Column): Column =
+    regexp_count(text, lit(piiPhonePattern)).cast("int")
+  def piiIpCount(text: Column): Column =
+    regexp_count(text, lit(piiIpPattern)).cast("int")
+
+  /** All PII spans replaced by their type tags. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (pat, tag)) =>
+      regexp_replace(t, pat, tag)
+    }
+
+  // ---------------------------------------------------- Gopher rules
+
+  /** Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    * public knowledge): the named pass/fail flags a production filter
+    * reports per document, not just raw stats. Every rule is a pure
+    * Column over exact integer counts, so the booleans are
+    * engine-identical; the whole set is one map-only projection (mean
+    * word length via chars-sans-spaces over the token count, duplicate
+    * 2-gram mass via array cardinality — no explode, no shuffle).
+    *
+    * Rules (thresholds from the paper, word-count floor lowered to fit
+    * the fixture's short synthetic docs):
+    *  - `r_wordcount`: 20 ≤ words ≤ 100 000
+    *  - `r_meanwordlen`: 3 ≤ mean word length ≤ 10
+    *  - `r_stopwords`: ≥ 2 distinct stopword hits
+    *  - `r_dup2gram`: duplicate word-2-gram mass ≤ 0.5
+    *  - `pass`: all of the above
+    */
+  def gopherRules(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val nWords = size(t)
+    val meanWl = length(regexp_replace(text, " ", "")).cast("double") /
+      nWords.cast("double")
+    val nStop = size(array_intersect(array_distinct(t),
+      array(stopwords.map(lit): _*)))
+    val grams = wordBigrams(text)
+    // single-word docs have no bigrams: 0 duplicate mass, not 0/0
+    val dup2 = when(size(grams) === 0, lit(0.0)).otherwise(lit(1.0) -
+      size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"))
+    val rWc = nWords >= 20 && nWords <= 100000
+    val rMwl = meanWl >= 3.0 && meanWl <= 10.0
+    val rStop = nStop >= 2
+    val rDup = dup2 <= 0.5
+    struct(
+      nWords.as("n_words"),
+      round(meanWl, 6).as("mean_word_len"),
+      nStop.as("n_stopwords"),
+      round(dup2, 6).as("dup_2gram_frac"),
+      rWc.as("r_wordcount"),
+      rMwl.as("r_meanwordlen"),
+      rStop.as("r_stopwords"),
+      rDup.as("r_dup2gram"),
+      (rWc && rMwl && rStop && rDup).as("pass"))
+  }
+
   /** Content fingerprint: md5 of the normalized text — exact-dup key. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))

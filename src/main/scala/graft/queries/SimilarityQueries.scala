@@ -218,6 +218,21 @@ object SimilarityQueries {
       graft.operators.Dedup.dupClusters(pairs).orderBy("canonical_id")
     },
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup by fitted k-means
+    // cell — within a cell, a vector with a lower-id cosine-0.3
+    // neighbor is dropped and names its keeper. The cluster-curation
+    // sibling of s_embed_neardup (fitted cells, not sign buckets) and
+    // of s_cluster_balanced (prune-by-similarity, not quota). Shares
+    // the memoized k=8 coarse quantizer; frozen-centroid SQL twin.
+    "s_semdedup" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
+      ivfModels.put("s_semdedup", model)
+      Similarity.semDedup(emb, "vec_id", "embedding", model,
+        threshold = 0.3).orderBy("vec_id")
+    },
+
     // Multimodal: binary payload → per-partition stub decode →
     // per-kind stats. Runs the real mapPartitions plumbing; the decode
     // features are deterministic functions of the payload so the SQL
@@ -355,6 +370,29 @@ object SimilarityQueries {
     s"""SELECT vec_id, CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
        |FROM (SELECT vec_id, ${ivfScoreList(model)} AS sl FROM embeddings)
        |ORDER BY vec_id""".stripMargin
+
+  /** DuckDB twin of `Similarity.semDedup`: frozen-centroid cell assign,
+    * within-cell lower-id pairs at cosine ≥ `threshold` (rounded to 4
+    * like every cosine oracle), keeper = min lower id. */
+  private def semDedupSql(model: Ivf.Model, threshold: Double): String =
+    s"""WITH a AS (SELECT vec_id, embedding,
+       |    CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
+       |  FROM (SELECT vec_id, embedding, ${ivfScoreList(model)} AS sl
+       |        FROM embeddings)),
+       |un AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |        unnest(x.embedding) AS xa, unnest(y.embedding) AS yb
+       |       FROM a x JOIN a y ON x.cell = y.cell
+       |                        AND x.vec_id < y.vec_id),
+       |s AS (SELECT id_a, id_b,
+       |        sum(CAST(xa AS DOUBLE) * CAST(yb AS DOUBLE)) AS dot,
+       |        sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS nx,
+       |        sum(CAST(yb AS DOUBLE) * CAST(yb AS DOUBLE)) AS ny
+       |      FROM un GROUP BY 1, 2),
+       |k AS (SELECT id_b AS vec_id, MIN(id_a) AS kept_by FROM s
+       |      WHERE round(dot / sqrt(nx * ny), 4) >= $threshold
+       |      GROUP BY 1)
+       |SELECT a.vec_id, cell, kept_by IS NOT NULL AS dropped, kept_by
+       |FROM a LEFT JOIN k USING (vec_id) ORDER BY vec_id""".stripMargin
 
   /** The frozen-centroid assign + the md5-rank quota — the SQL twin of
     * `stratifiedTopK(assign(emb))` (the two-stage salting collapses to
@@ -663,6 +701,8 @@ object SimilarityQueries {
         .map(m => "s_cluster_assign" -> clusterSql(m)) ++
       Option(ivfModels.get("s_cluster_balanced"))
         .map(m => "s_cluster_balanced" -> clusterBalancedSql(m, k = 5)) ++
+      Option(ivfModels.get("s_semdedup"))
+        .map(m => "s_semdedup" -> semDedupSql(m, threshold = 0.3)) ++
       Option(pqModels.get("s_ann_pq"))
         .map(m => "s_ann_pq" -> pqSql(m, k = 3)) ++
       (for {

@@ -17,6 +17,54 @@ object TextQueries {
   private val mixWeights: Seq[(String, Double)] =
     (0 until 20).map(i => s"src$i" -> Seq(0.1, 0.35, 0.6, 0.85)(i % 4))
 
+  /** The t_mix_interleave mixture — includes weight-0 tiers so the
+    * "unlisted source never arrives" path is under the oracle gate. */
+  private val interleaveWeights: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> Seq(0.0, 0.25, 0.5, 1.0)(i % 4))
+
+  /** The PII fixture: documents.text has no digits or @-signs (by
+    * construction), so the PII queries append deterministic spans
+    * derived from doc_id — 1 in 5 docs an email, 1 in 5 a phone, 1 in 5
+    * an IPv4, 1 in 5 an email AND an IP, 1 in 5 nothing. Identical
+    * integer arithmetic on both engines; the detectors then run against
+    * a corpus where hit/miss is non-trivial per row. */
+  private def piiAugmented: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val s = (c: org.apache.spark.sql.Column) => c.cast("string")
+    concat(col("text"),
+      when(id % 5 === 0,
+        concat(lit(" contact u"), s(id), lit("@example.com")))
+      .when(id % 5 === 1,
+        concat(lit(" call 555-"), lpad(s(id % 1000), 3, "0"), lit("-"),
+          lpad(s((id * 7) % 10000), 4, "0")))
+      .when(id % 5 === 2,
+        concat(lit(" host 10."), s(id % 256), lit("."),
+          s((id * 3) % 256), lit("."), s((id * 7) % 256)))
+      .when(id % 5 === 3,
+        concat(lit(" contact u"), s(id), lit("@mail.example.org from 192.168."),
+          s(id % 256), lit("."), s((id * 11) % 256)))
+      .otherwise(lit("")))
+  }
+
+  /** DuckDB twin of [[piiAugmented]]. No continuation line may START
+    * with `||` — this value is re-interpolated into stripMargin oracle
+    * templates, whose own stripMargin would eat the first pipe. */
+  private val piiAugmentedSql: String =
+    """text || CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) ||
+      |      '@example.com'
+      |    WHEN 1 THEN ' call 555-' ||
+      |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+      |    WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |      '.' || CAST((doc_id * 3) % 256 AS VARCHAR) ||
+      |      '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |    WHEN 3 THEN ' contact u' || CAST(doc_id AS VARCHAR) ||
+      |      '@mail.example.org from 192.168.' ||
+      |      CAST(doc_id % 256 AS VARCHAR) ||
+      |      '.' || CAST((doc_id * 11) % 256 AS VARCHAR)
+      |    ELSE '' END""".stripMargin
+
   val defs: Map[String, QueryFn] = Map(
     "t_token_stats" -> { (s, dir) =>
       val toks = TextAnalysis.tokens(col("text"))
@@ -66,6 +114,69 @@ object TextQueries {
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
         .filter(col("n_dups") > 1)
         .orderBy("fp")
+    },
+
+    // PII detection: regex hit counts per document over the augmented
+    // corpus (emails / phones / IPv4s appended deterministically from
+    // doc_id — see piiAugmented). Map-only, codegen'd regexp_count;
+    // the standard first pass of a web-corpus scrub (Dolma/RefinedWeb
+    // style — public knowledge).
+    "t_pii_stats" -> { (s, dir) =>
+      val aug = piiAugmented
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.piiEmailCount(aug).as("n_email"),
+        TextAnalysis.piiPhoneCount(aug).as("n_phone"),
+        TextAnalysis.piiIpCount(aug).as("n_ip"),
+        (TextAnalysis.piiEmailCount(aug) + TextAnalysis.piiPhoneCount(aug) +
+          TextAnalysis.piiIpCount(aug) > 0).as("has_pii"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction: every span replaced by its type tag ([EMAIL]/
+    // [IP]/[PHONE], email-first order — local parts can embed
+    // digits-and-dots). The output hashes the redacted text so the gate
+    // proves byte-identical rewrites, not just counts.
+    "t_pii_redact" -> { (s, dir) =>
+      val aug = piiAugmented
+      val red = TextAnalysis.redactPii(aug)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(red.cast("binary")).as("red_fp"),
+        (TextAnalysis.piiEmailCount(aug) + TextAnalysis.piiPhoneCount(aug) +
+          TextAnalysis.piiIpCount(aug)).as("n_redactions"),
+        (length(aug) - length(red)).as("chars_delta"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher document-quality rules (Rae et al. 2021): the named
+    // pass/fail flags per document — word-count band, mean word length,
+    // stopword floor, duplicate-2-gram ceiling — as one map-only
+    // projection (no explode: bigram mass via array cardinality).
+    "t_gopher_rules" -> { (s, dir) =>
+      val g = TextAnalysis.gopherRules(col("text"), enStop)
+      t(s, dir, "documents").select(col("doc_id"), g.as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")
+    },
+
+    // Training-mix interleave: the deterministic source-weighted global
+    // ordering (competing exponential clocks; Sampling.mixInterleaveKey)
+    // — first 200 positions of the stream. Weight-0 tiers exercise the
+    // "never arrives" path under the gate.
+    "t_mix_interleave" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val key = Sampling.mixInterleaveKey(col("doc_id"), col("source"),
+        interleaveWeights)
+      val sel = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), key.as("ord_key"))
+        .filter(col("ord_key").isNotNull)
+        .orderBy(col("ord_key"), col("doc_id")).limit(200)
+      // global row_number over the 200 surviving rows only — the full
+      // stream never funnels through one window task
+      sel.withColumn("pos", row_number()
+          .over(Window.orderBy(col("ord_key"), col("doc_id"))).cast("int"))
+        .orderBy("doc_id")
     },
 
     "d_exact_dups" -> { (s, dir) =>
@@ -382,6 +493,87 @@ object TextQueries {
         |    ORDER BY COUNT(*) DESC, term) AS INT) AS rnk
         |FROM (SELECT unnest(str_split(text,' ')) AS term FROM documents)
         |GROUP BY term QUALIFY rnk <= 25 ORDER BY rnk""".stripMargin,
+
+    "t_pii_stats" ->
+      s"""WITH a AS (SELECT doc_id, $piiAugmentedSql AS aug FROM documents),
+         |c AS (SELECT doc_id,
+         |    len(regexp_extract_all(aug,
+         |      '${TextAnalysis.piiEmailPattern}')) AS n_email,
+         |    len(regexp_extract_all(aug,
+         |      '${TextAnalysis.piiPhonePattern}')) AS n_phone,
+         |    len(regexp_extract_all(aug,
+         |      '${TextAnalysis.piiIpPattern}')) AS n_ip
+         |  FROM a)
+         |SELECT doc_id, CAST(n_email AS INT) AS n_email,
+         |  CAST(n_phone AS INT) AS n_phone, CAST(n_ip AS INT) AS n_ip,
+         |  (n_email + n_phone + n_ip > 0) AS has_pii
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t_pii_redact" ->
+      s"""WITH a AS (SELECT doc_id, $piiAugmentedSql AS aug FROM documents),
+         |r AS (SELECT doc_id, aug,
+         |    regexp_replace(regexp_replace(regexp_replace(aug,
+         |      '${TextAnalysis.piiEmailPattern}', '[EMAIL]', 'g'),
+         |      '${TextAnalysis.piiIpPattern}', '[IP]', 'g'),
+         |      '${TextAnalysis.piiPhonePattern}', '[PHONE]', 'g') AS red
+         |  FROM a)
+         |SELECT doc_id, md5(red) AS red_fp,
+         |  CAST(len(regexp_extract_all(aug,
+         |      '${TextAnalysis.piiEmailPattern}'))
+         |    + len(regexp_extract_all(aug,
+         |      '${TextAnalysis.piiPhonePattern}'))
+         |    + len(regexp_extract_all(aug,
+         |      '${TextAnalysis.piiIpPattern}')) AS INT) AS n_redactions,
+         |  CAST(strlen(aug) - strlen(red) AS INT) AS chars_delta
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t_gopher_rules" -> {
+      val stopList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT doc_id, text, str_split(text, ' ') AS t
+         |  FROM documents),
+         |b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM tok,
+         |  LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+         |d AS (SELECT doc_id,
+         |    1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS dup2
+         |  FROM b GROUP BY 1),
+         |m AS (SELECT doc_id, len(t) AS n_words,
+         |    CAST(strlen(replace(text, ' ', '')) AS DOUBLE) / len(t) AS mwl,
+         |    len(list_filter(list_distinct(t),
+         |      x -> list_contains($stopList, x))) AS n_stop
+         |  FROM tok)
+         |SELECT m.doc_id, CAST(n_words AS INT) AS n_words,
+         |  round(mwl, 6) AS mean_word_len,
+         |  CAST(n_stop AS INT) AS n_stopwords,
+         |  round(coalesce(dup2, 0.0), 6) AS dup_2gram_frac,
+         |  (n_words >= 20 AND n_words <= 100000) AS r_wordcount,
+         |  (mwl >= 3.0 AND mwl <= 10.0) AS r_meanwordlen,
+         |  (n_stop >= 2) AS r_stopwords,
+         |  (coalesce(dup2, 0.0) <= 0.5) AS r_dup2gram,
+         |  (n_words >= 20 AND n_words <= 100000
+         |    AND mwl >= 3.0 AND mwl <= 10.0 AND n_stop >= 2
+         |    AND coalesce(dup2, 0.0) <= 0.5) AS pass
+         |FROM m LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    "t_mix_interleave" -> {
+      val cases = interleaveWeights.filter(_._2 > 0).map { case (src, w) =>
+        s"WHEN '$src' THEN $w"
+      }.mkString("\n    ")
+      s"""WITH k AS (SELECT doc_id, source,
+         |    CASE source
+         |    $cases
+         |    ELSE 0.0 END AS w,
+         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT
+         |      + 0.5) / 4294967296.0 AS u
+         |  FROM documents),
+         |o AS (SELECT doc_id, source, round(-ln(u) / w, 6) AS ord_key
+         |  FROM k WHERE w > 0),
+         |sel AS (SELECT doc_id, source, ord_key,
+         |    CAST(row_number() OVER (ORDER BY ord_key, doc_id) AS INT) AS pos
+         |  FROM o ORDER BY ord_key, doc_id LIMIT 200)
+         |SELECT doc_id, source, ord_key, pos FROM sel
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "t_repetition_stats" ->
       """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),

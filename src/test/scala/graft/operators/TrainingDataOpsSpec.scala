@@ -281,6 +281,105 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(plan(0).getSeq[Int](2).forall(_ % 5 === 0))
   }
 
+  test("PII: counts find each shape once; redaction is email-first") {
+    val docs = Seq(
+      (1L, "reach me at jo.doe+x@mail.example.org or 555-123-4567"),
+      (2L, "server 10.0.12.255 and 192.168.1.1 are up"),
+      // digits-and-dots local part: email-first redaction must consume
+      // the whole address — ip-first would chew `1.2.3.4` out of it
+      (3L, "ping a.1.2.3.4@example.com now"),
+      (4L, "no personal data here"),
+      (5L, "phone 555-000-9999 ip 8.8.8.8 mail x@y.io"))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+      TextAnalysis.piiEmailCount($"text").as("e"),
+      TextAnalysis.piiPhoneCount($"text").as("p"),
+      TextAnalysis.piiIpCount($"text").as("i"),
+      TextAnalysis.redactPii($"text").as("red"))
+      .collect().sortBy(_.getLong(0))
+    assert(got.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((1, 1, 0), (0, 0, 2), (1, 0, 1), (0, 0, 0), (1, 1, 1)))
+    assert(got(0).getString(4) === "reach me at [EMAIL] or [PHONE]")
+    assert(got(1).getString(4) === "server [IP] and [IP] are up")
+    assert(got(2).getString(4) === "ping [EMAIL] now")
+    assert(got(3).getString(4) === "no personal data here")
+    assert(got(4).getString(4) === "phone [PHONE] ip [IP] mail [EMAIL]")
+  }
+
+  test("gopher rules: each rule fails on its own pathology") {
+    val stop = TextAnalysis.langProfiles.head._2
+    val good = ((1 to 30).map(i => s"word$i") ++ Seq("the", "of")).mkString(" ")
+    val tooShort = "the of tiny"
+    val looped = (Seq("the", "of") ++ Seq.fill(20)(Seq("spam", "ham")).flatten
+      ++ (1 to 5).map(i => s"w$i")).mkString(" ")
+    val longWords = ((1 to 25).map(i => "x" * 30 + i) ++ Seq("the", "of"))
+      .mkString(" ")
+    val noStop = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, good), (2L, tooShort), (3L, looped),
+      (4L, longWords), (5L, noStop), (6L, "solo")).toDF("doc_id", "text")
+    val g = docs.select($"doc_id",
+      TextAnalysis.gopherRules($"text", stop).as("g"))
+      .select($"doc_id", $"g.*").collect().sortBy(_.getLong(0))
+    def flags(r: org.apache.spark.sql.Row) =
+      (r.getAs[Boolean]("r_wordcount"), r.getAs[Boolean]("r_meanwordlen"),
+        r.getAs[Boolean]("r_stopwords"), r.getAs[Boolean]("r_dup2gram"),
+        r.getAs[Boolean]("pass"))
+    assert(flags(g(0)) === (true, true, true, true, true))
+    assert(flags(g(1))._1 === false && flags(g(1))._5 === false)
+    assert(flags(g(2))._4 === false && flags(g(2))._5 === false)
+    assert(flags(g(3))._2 === false && flags(g(3))._5 === false)
+    assert(flags(g(4))._3 === false && flags(g(4))._5 === false)
+    // single word: no bigrams — dup mass 0 by the explicit guard
+    assert(g(5).getAs[Double]("dup_2gram_frac") === 0.0)
+  }
+
+  test("mix interleave: clocks scale with weight, zero weight never arrives") {
+    val docs = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "c"))
+      .toDF("doc_id", "source")
+    val w = Seq("a" -> 0.5, "b" -> 1.0, "c" -> 0.0)
+    val keys = docs.select($"doc_id", $"source",
+      Sampling.mixInterleaveKey($"doc_id", $"source", w).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val k1a = keys.find(k => k._1 == 1L && k._2 == "a").get._3.get
+    val k1b = keys.find(k => k._1 == 1L && k._2 == "b").get._3.get
+    // same id = same uniform draw; doubling the weight halves the clock
+    assert(math.abs(k1a / k1b - 2.0) < 1e-4)
+    // weight 0 / unlisted source: no arrival
+    assert(keys.find(_._1 == 3L).get._3.isEmpty)
+    // deterministic across evaluations
+    val again = docs.select(
+      Sampling.mixInterleaveKey($"doc_id", $"source", w).as("k"))
+      .collect().flatMap(r => Option(r.get(0)))
+    assert(again.toSet === keys.flatMap(_._3).toSet)
+  }
+
+  test("semDedup drops the higher id within a cell, never across cells") {
+    val model = Ivf.Model(IndexedSeq(
+      IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0)))
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),      // cell 0, keeper
+      (2L, Array(0.99f, 0.01f)),    // cell 0, near id1 -> dropped
+      (3L, Array(0.0f, 1.0f)),      // cell 1, alone near axis
+      (4L, Array(0.1f, 0.9f)),      // cell 1, near id3 -> dropped
+      (5L, Array(0.70f, 0.71f)),    // cell 1 (just)
+      (6L, Array(0.71f, 0.70f)))    // cell 0 (just) - cosine ~1 with id5
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(vecs, "vec_id", "embedding", model,
+      threshold = 0.95).collect().sortBy(_.getLong(0))
+    def row(i: Int) = (got(i).getAs[Boolean]("dropped"),
+      Option(got(i).get(3)).map(_.asInstanceOf[Long]))
+    assert(row(0) === (false, None))
+    assert(row(1) === (true, Some(1L)))
+    assert(row(2) === (false, None))
+    assert(row(3) === (true, Some(3L)))
+    // ids 5 and 6 are near-identical but straddle the cell boundary:
+    // cell-bounded SemDeDup keeps both (the documented recall tradeoff)
+    assert(row(4) === (false, None))
+    assert(row(5) === (false, None))
+    assert(got.map(_.getAs[Int]("cell")).toSeq === Seq(0, 0, 1, 1, 1, 0))
+  }
+
   test("sign bucket is stable, bounded, and matches the hyperplane family") {
     val vecs = Seq((0L, Array(1.0f, -1.0f, 1.0f, -1.0f, 9f)),
       (1L, Array(1.0f, -1.0f, 1.0f, -1.0f, 9f)),
