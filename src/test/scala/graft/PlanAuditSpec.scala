@@ -446,6 +446,43 @@ class PlanAuditSpec extends SparkSpec {
     }, "no equi join on the user key")
   }
 
+  test("pii/gopher: map-only single scan — no shuffle below the sort") {
+    for (q <- Seq("t_pii_stats", "t_pii_redact", "t_gopher_rules")) {
+      val ns = nodes(SparkEntry.queries(q)(spark, dir))
+      // one documents scan, and the only exchange is the output orderBy's
+      // range partitioning: detectors/rules are pure projections
+      assert(scansOf(ns, "documents").size === 1, s"$q re-reads documents")
+      val shuffles = ns.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.forall(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+        s"$q shuffles beyond the output sort: " +
+          shuffles.map(_.outputPartitioning.getClass.getSimpleName)
+            .mkString(","))
+    }
+  }
+
+  test("semDedup: cell equi join, never a nested loop") {
+    val ns = nodes(SparkEntry.queries("s_semdedup")(spark, dir))
+    assert(!ns.exists(p => p.nodeName.contains("BroadcastNestedLoopJoin") ||
+      p.nodeName.contains("CartesianProduct")),
+      "semDedup degraded to a nested loop")
+    assert(ns.exists {
+      case _: BroadcastHashJoinExec | _: SortMergeJoinExec => true
+      case p => p.nodeName.contains("ShuffledHashJoin")
+    }, "no equi join on the cell id")
+  }
+
+  test("mix interleave: bounded prefix rides TakeOrderedAndProject") {
+    val ns = nodes(SparkEntry.queries("t_mix_interleave")(spark, dir))
+    // limit-after-sort must collapse to a streaming top-k: a global Sort
+    // + CollectLimit would materialize the full corpus ordering
+    assert(ns.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "interleave prefix runs a full global sort: " +
+        ns.map(_.nodeName).distinct.mkString(","))
+  }
+
   test("point lookup: one bucket dir, filter pushed below the dedup agg") {
     import org.apache.spark.sql.types._
     import spark.implicits._
