@@ -136,7 +136,10 @@ object TextQueries {
     // PII redaction: every span replaced by its type tag ([EMAIL]/
     // [IP]/[PHONE], email-first order — local parts can embed
     // digits-and-dots). The output hashes the redacted text so the gate
-    // proves byte-identical rewrites, not just counts.
+    // proves byte-identical rewrites, not just counts. n_pii_spans
+    // counts detector hits on the PRE-redaction text — it can exceed
+    // the replacement count when spans nest (an IP inside an email's
+    // local part is consumed by the email rewrite).
     "t_pii_redact" -> { (s, dir) =>
       val aug = piiAugmented
       val red = TextAnalysis.redactPii(aug)
@@ -144,7 +147,7 @@ object TextQueries {
         col("doc_id"),
         md5(red.cast("binary")).as("red_fp"),
         (TextAnalysis.piiEmailCount(aug) + TextAnalysis.piiPhoneCount(aug) +
-          TextAnalysis.piiIpCount(aug)).as("n_redactions"),
+          TextAnalysis.piiIpCount(aug)).as("n_pii_spans"),
         (length(aug) - length(red)).as("chars_delta"))
         .orderBy("doc_id")
     },
@@ -523,7 +526,7 @@ object TextQueries {
          |    + len(regexp_extract_all(aug,
          |      '${TextAnalysis.piiPhonePattern}'))
          |    + len(regexp_extract_all(aug,
-         |      '${TextAnalysis.piiIpPattern}')) AS INT) AS n_redactions,
+         |      '${TextAnalysis.piiIpPattern}')) AS INT) AS n_pii_spans,
          |  CAST(strlen(aug) - strlen(red) AS INT) AS chars_delta
          |FROM r ORDER BY doc_id""".stripMargin,
 
