@@ -24,16 +24,28 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is nanosecond-precision parquet, which Spark only reads as
-    // a long (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    // GraftSession). Keep the exact ns value for ordering (`ts_ns`) and
-    // derive a µs TimestampType `ts` for calendar functions. `div` is
-    // integer division — going through double would shear the low bits of
-    // an ~1.7e18 ns epoch.
-    if (name == "events")
-      df.withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts arrives either as µs timestamp parquet (read as
+    // TIMESTAMP_NTZ — the current fixture generation) or as ns-precision
+    // parquet read as a long (spark.sql.legacy.parquet.nanosAsLong=true —
+    // set by GraftSession; older generations). Normalize both to the
+    // internal contract: `ts_ns` = exact epoch nanos (LONG, the total
+    // order every versioned/as-of query keys on) and `ts` = µs
+    // TimestampType for calendar functions. The session timezone is UTC,
+    // so the NTZ→timestamp cast is instant-preserving and `unix_micros`
+    // matches DuckDB's `epoch_ns(ts)` up to the ×1000 µs→ns pad. The
+    // long path uses `div` integer division — going through double would
+    // shear the low bits of an ~1.7e18 ns epoch.
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts_ns", col("ts"))
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          df.withColumn("ts_ns",
+              expr("unix_micros(cast(ts as timestamp)) * 1000"))
+            .withColumn("ts", col("ts").cast("timestamp"))
+      }
+    } else df
   }
 }

@@ -25,6 +25,19 @@ object CdcQueries {
   // `ORDER BY ts` over DuckDB's native ns timestamps.
   private val eventVersion = struct(col("ts_ns"), col("event_id"))
 
+  /** Streaming twin of Tables.load's events normalization: raw-schema
+    * reads see `ts` either as µs timestamp parquet (TIMESTAMP_NTZ, the
+    * current fixture generation) or ns-precision longs (older
+    * generations under nanosAsLong). Either way the result is a µs
+    * TimestampType `ts` (session tz is UTC, so the NTZ cast is
+    * instant-preserving). */
+  private def eventTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   /** Bench side-channel: the e2e query splits FIXTURE generation from
     * PIPELINE work and counts the replayed events, so the headline
     * events/s vs the reference's ~20k/s single-core realtime claim
@@ -224,7 +237,7 @@ object CdcQueries {
       // the file-stream source wants a directory; glob down to the table
       val stream = s.readStream.schema(raw)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(eventTs)
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
@@ -249,7 +262,7 @@ object CdcQueries {
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(raw)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(eventTs)
         .withWatermark("ts", "2 hours")
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"))
@@ -374,10 +387,11 @@ object CdcQueries {
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       def side(tpe: String, prefix: String) = s.readStream.schema(raw)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .transform(eventTs)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${prefix}_user"),
           col("event_id").as(s"${prefix}_event"),
-          expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+          col("ts").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "48 hours")
       val joined = side("purchase", "p").join(side("click", "c"),
         col("p_user") === col("c_user") &&
@@ -412,7 +426,7 @@ object CdcQueries {
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       val agg = s.readStream.schema(raw)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(eventTs)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
         .select(tsSeconds(col("window.start")).as("w_start"),
