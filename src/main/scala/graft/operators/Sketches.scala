@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketches.
+  *
+  * [[hllDistinct]] is HyperLogLog (Flajolet et al. 2007) built from
+  * first principles on md5 instead of Spark's engine-private
+  * `approx_count_distinct` HLL++, for two reasons that matter here:
+  *
+  *  - **engine-exact replay**: every step — the 60-bit hash, the
+  *    register split, the scaled-integer register sum, the shared
+  *    α·m²·2^(F+1) literal, the linear-counting branch — is plain
+  *    column arithmetic a SQL oracle (DuckDB) reproduces bit for bit,
+  *    so the sketch sits under the same hash-equality gate as every
+  *    exact operator;
+  *  - **order-free exactness**: register sums stay in scaled integers
+  *    (Σ 2^(F+1−M_j) with absent registers contributing 2^(F+1)), so
+  *    no floating summation order exists to differ across engines,
+  *    partitionings, or cluster sizes. The ONLY doubles are one shared
+  *    numerator literal, one division, and the ln of the
+  *    linear-counting branch.
+  *
+  * Scale shape: the register table partial-aggregates map-side, so the
+  * only exchange is ≤ |groups|·2^p rows of (group, bucket, max rho)
+  * no matter the corpus size — this is the estimate a 100 TB dedup
+  * planner buys before paying for an exact COUNT(DISTINCT) shuffle.
+  */
+object Sketches {
+
+  /** α_m from the HLL paper (m ≥ 128 uses the asymptotic form). */
+  def alpha(p: Int): Double = {
+    val m = 1 << p
+    if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+    else if (m == 64) 0.709
+    else if (m == 32) 0.697
+    else 0.673
+  }
+
+  /** α_m·m²·2^(F+1) folded into ONE double so the estimate is a single
+    * division by the integer-exact register sum. Shared with SQL
+    * oracles via interpolation — both engines embed the identical
+    * literal. F = 60 − p is the rho field width. */
+  def scaledAlpha(p: Int): Double = {
+    val m = 1 << p
+    alpha(p) * m * m * math.pow(2.0, 61 - p)
+  }
+
+  /** Per-group HLL distinct estimate of `value` (any column; hashed
+    * internally with md5, so determinism is the operator's own
+    * contract). p ∈ [4, 14] register bits; estimate column `outCol`
+    * rounded to 4 decimals. Groups with no rows simply don't appear
+    * (SQL GROUP BY semantics). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+                  p: Int = 9, outCol: String = "hll_est"): DataFrame = {
+    require(p >= 4 && p <= 14, s"hllDistinct: p=$p outside [4,14]")
+    val m = 1 << p
+    val s = 61 - p // F + 1, the max rho (all F field bits zero)
+    // 60-bit hash: 15 md5 hex chars — fits BIGINT in Spark and DuckDB
+    val fp = md5(value.cast("binary"))
+    val v = conv(substring(fp, 1, 15), 16, 10).cast("long")
+    val wBits = shiftright(v, p)
+    val rho = when(wBits === 0, lit(s)).otherwise(lit(s) - length(bin(wBits)))
+    val reg = df
+      .select(groupCols.map(col) ++ Seq(
+        v.bitwiseAND(lit((m - 1).toLong)).as("_hll_bucket"),
+        rho.as("_hll_rho")): _*)
+      .groupBy((groupCols :+ "_hll_bucket").map(col): _*)
+      .agg(max("_hll_rho").as("_hll_mrho"))
+    val per = reg.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("_hll_present"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $s - _hll_mrho)"))
+        .as("_hll_sumpow"))
+    val zeroRegs = lit(m.toLong) - col("_hll_present")
+    val raw = lit(scaledAlpha(p)) /
+      (col("_hll_sumpow") + zeroRegs * lit(1L << s)).cast("double")
+    val est = when(raw <= lit(2.5 * m) && zeroRegs > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeroRegs.cast("double")))
+      .otherwise(raw)
+    per.select(groupCols.map(col) :+ round(est, 4).as(outCol): _*)
+  }
+}

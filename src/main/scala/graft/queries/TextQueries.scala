@@ -12,6 +12,11 @@ object TextQueries {
 
   private val enStop = TextAnalysis.langProfiles.head._2
 
+  /** t_hll_distinct's p: 512 registers. The oracle interpolates
+    * [[graft.operators.Sketches.scaledAlpha]] so both engines embed the
+    * IDENTICAL α·m²·2⁵² double literal. */
+  private val hllP = 9
+
   /** The t_weighted_sample mixture: four weight tiers cycled over the
     * fixture's 20 sources. */
   private val mixWeights: Seq[(String, Double)] =
@@ -400,7 +405,88 @@ object TextQueries {
       s.table(sink)
         .select(col("fp"), col("seq").as("first_doc_id"))
         .orderBy("fp")
-    }}
+    }},
+
+    // BM25 lexical retrieval ("more like this"): every doc_id % 101 == 0
+    // document becomes a query; its bigram terms probe a (doc, term, tf)
+    // postings table — the distributed inverted-index shape. The probe
+    // side (query terms) broadcasts, only matching postings survive the
+    // map-side join, and the one wide shuffle is the per-(query, doc)
+    // score aggregation. Bigrams, not unigrams: the fixture vocabulary
+    // is ~31 words with median df/N ≈ 0.8 (every term everywhere — no
+    // idf signal and no index selectivity), while bigram df/N ≈ 0.06.
+    // Per-term weights round to 6 decimals and sum in exact decimal so
+    // the engines' summation order cannot matter (package convention).
+    // k1 = 1.2, b = 0.75 (the textbook Robertson defaults), idf in the
+    // ln(1 + (N−df+0.5)/(df+0.5)) always-positive form.
+    "t_bm25_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tk = TextAnalysis.tokens(col("text"))
+      val bigrams = zip_with(
+        slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      val tf = docs.select(col("doc_id"), explode(bigrams).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dl = docs.select(col("doc_id"),
+        greatest(size(tk) - 1, lit(0)).cast("double").as("dl"))
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(greatest(size(tk) - 1, lit(0))).cast("double").as("sdl"))
+      val qterms = tf.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"), col("term"))
+      // only the QUERY terms' document frequencies travel: df over the
+      // full vocabulary is corpus-sized at 100 TB, df of the probe
+      // terms is |Q|-bounded and broadcastable
+      val dfq = tf.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df"))
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      val idf = log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val wTerm = idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / (col("sdl") / col("n"))))
+      val terms = tf.join(broadcast(qterms), Seq("term"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .join(broadcast(dfq), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          round(wTerm, 6).cast("decimal(18,6)").as("w"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("bm25").desc, col("neighbor_id"))
+      terms.groupBy("query_id", "neighbor_id")
+        .agg(round(sum(col("w")), 6).cast("double").as("bm25"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    },
+
+    // HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+    // cardinality estimator a 100 TB dedup planner runs BEFORE paying
+    // for exact distinct: per source, registers are max(rho) over a
+    // 512-bucket split of a 60-bit md5 hash. The whole shuffle is the
+    // partially-aggregated (source, bucket, max rho) register table —
+    // ≤ |sources|·512 rows no matter the corpus size. Built from
+    // first principles on md5 so the SQL oracle replays it exactly
+    // (Spark's own approx_count_distinct HLL++ is engine-private):
+    // register sums stay in scaled integers (Σ 2^(52−M) — exact,
+    // order-free), the α·m²·2⁵² numerator is ONE shared double literal,
+    // and the ≤2.5m linear-counting correction uses the same ln on both
+    // engines. `n_exact` (distinct md5s, exact) rides along so the
+    // estimate's error is visible under the gate; at 100 TB you'd drop
+    // that column — it is the cost the sketch avoids.
+    "t_hll_distinct" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sk = graft.operators.Sketches.hllDistinct(
+        docs, Seq("source"), col("text"), p = hllP)
+      val exact = docs.groupBy("source")
+        .agg(countDistinct(col("text")).as("n_exact"))
+      exact.join(sk, Seq("source"))
+        .select(col("source"), col("n_exact"), col("hll_est"))
+        .orderBy("source")
+    }
   )
 
   /** Shared oracle CTE chain: shingles → minhash → bands → candidate
@@ -680,6 +766,73 @@ object TextQueries {
       """SELECT md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
         |  MIN(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // Mirrors t_bm25_topk term for term: every double op in the same
+    // order, per-term weights rounded to 6 then summed in exact decimal.
+    // Constants touch a DOUBLE operand before any arithmetic matters, so
+    // DuckDB's decimal literals promote instead of computing in decimal.
+    "t_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(t[i:i+1],' ') AS term
+        |       FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        |       WHERE len(t) >= 2),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM bg GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(greatest(len(t) - 1, 0) AS DOUBLE) AS dl
+        |       FROM tok),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              CAST(SUM(greatest(len(t) - 1, 0)) AS DOUBLE) AS sdl
+        |       FROM tok),
+        |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 101 = 0),
+        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT q.query_id, tf.doc_id AS neighbor_id,
+        |        CAST(round(
+        |          ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+        |            * (tf.tf * 2.2)
+        |            / (tf.tf + 1.2 *
+        |               (0.25 + 0.75 * dl.dl / (st.sdl / st.n))),
+        |          6) AS DECIMAL(18,6)) AS w
+        |      FROM tf JOIN q USING (term) JOIN df USING (term)
+        |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |      WHERE tf.doc_id <> q.query_id),
+        |sc AS (SELECT query_id, neighbor_id,
+        |        CAST(round(SUM(w), 6) AS DOUBLE) AS bm25
+        |       FROM w GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, bm25,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY bm25 DESC, neighbor_id) AS INT) AS rnk
+        |       FROM sc)
+        |SELECT query_id, neighbor_id, bm25, rnk FROM rk WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // Mirrors t_hll_distinct register for register: same 60-bit md5
+    // hash, same integer register sums (DuckDB's HUGEINT sum is exact
+    // like Spark's long — both under 2^62), same shared α·m²·2⁵²
+    // literal, same linear-counting branch.
+    "t_hll_distinct" ->
+      s"""WITH h AS (SELECT source, text,
+         |    ('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT AS v
+         |  FROM documents),
+         |r AS (SELECT source, v & 511 AS bucket,
+         |    CASE WHEN (v >> 9) = 0 THEN 52
+         |         ELSE 52 - length(bin(v >> 9)) END AS rho FROM h),
+         |reg AS (SELECT source, bucket, MAX(rho) AS mrho FROM r GROUP BY 1, 2),
+         |per AS (SELECT source, COUNT(*) AS present,
+         |    SUM(CAST(1 AS BIGINT) << (52 - mrho)) AS sumpow
+         |  FROM reg GROUP BY 1),
+         |ex AS (SELECT source, COUNT(DISTINCT text) AS n_exact
+         |  FROM h GROUP BY 1),
+         |est AS (SELECT source, n_exact,
+         |    ${graft.operators.Sketches.scaledAlpha(hllP)} /
+         |      CAST(sumpow + (512 - present) * 4503599627370496 AS DOUBLE)
+         |      AS raw,
+         |    512 - present AS v0
+         |  FROM per JOIN ex USING (source))
+         |SELECT source, n_exact,
+         |  round(CASE WHEN raw <= 1280.0 AND v0 > 0
+         |    THEN 512.0 * ln(512.0 / CAST(v0 AS DOUBLE)) ELSE raw END,
+         |    4) AS hll_est
+         |FROM est ORDER BY source""".stripMargin,
 
     "d_exact_dups" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** HLL sketch: accuracy on both estimator branches, partition
+  * invariance (the determinism the scaled-integer register sums buy),
+  * and the standard-error contract at the default register count.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def estimate(n: Int, p: Int = 9, parts: Int = 5): Double = {
+    val df = (0 until n).map(i => ("g", s"value-$i")).toDF("g", "v")
+      .repartition(parts)
+    Sketches.hllDistinct(df, Seq("g"), col("v"), p)
+      .head().getDouble(1)
+  }
+
+  test("linear-counting branch: small cardinalities are near-exact") {
+    // n ≪ m: most registers empty → the ln(m/V) correction applies and
+    // is accurate to a few percent
+    val est = estimate(100)
+    assert(math.abs(est - 100) / 100.0 < 0.05, s"est=$est for n=100")
+  }
+
+  test("raw branch: large cardinalities within HLL standard error") {
+    // n = 40000 ≫ 2.5m = 1280 forces the raw α·m²/Σ2^-M estimator;
+    // σ = 1.04/√512 ≈ 4.6% — assert 3σ
+    val est = estimate(40000)
+    assert(est > 2.5 * 512, "expected the raw branch, got linear counting")
+    assert(math.abs(est - 40000) / 40000.0 < 0.14, s"est=$est for n=40000")
+  }
+
+  test("estimate is invariant to partitioning and row order") {
+    val a = estimate(5000, parts = 3)
+    val b = estimate(5000, parts = 17)
+    assert(a === b, s"partitioning changed the estimate: $a vs $b")
+  }
+
+  test("duplicates don't move the estimate") {
+    val base = (0 until 1000).map(i => ("g", s"value-$i"))
+    val dup = base ++ base ++ base
+    val est1 = Sketches.hllDistinct(base.toDF("g", "v"), Seq("g"), col("v"))
+      .head().getDouble(1)
+    val est3 = Sketches.hllDistinct(dup.toDF("g", "v"), Seq("g"), col("v"))
+      .head().getDouble(1)
+    assert(est1 === est3, s"duplicates moved the estimate: $est1 vs $est3")
+  }
+
+  test("groups estimate independently") {
+    val df = ((0 until 2000).map(i => ("big", s"v$i")) ++
+      (0 until 50).map(i => ("small", s"v$i"))).toDF("g", "v")
+    val out = Sketches.hllDistinct(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("big") - 2000) / 2000.0 < 0.14, s"big=${out("big")}")
+    assert(math.abs(out("small") - 50) / 50.0 < 0.1, s"small=${out("small")}")
+  }
+
+  test("p outside [4,14] is rejected") {
+    val df = Seq(("g", "v")).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(df, Seq("g"), col("v"), p = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(df, Seq("g"), col("v"), p = 15)
+    }
+  }
+}
