@@ -80,4 +80,48 @@ object Sketches {
       .otherwise(raw)
     per.select(groupCols.map(col) :+ round(est, 4).as(outCol): _*)
   }
+
+  /** Row hash: 60 bits of md5("row|value") modulo width — `depth`
+    * independent hashes from the one md5 both engines share, the seed
+    * riding the string prefix. */
+  private def cmsBucket(row: Column, v: Column, width: Int): Column =
+    conv(substring(md5(concat(concat(row.cast("string"), lit("|")), v)
+      .cast("binary")), 1, 15), 16, 10).cast("long") % width
+
+  /** Count-min sketch counters (Cormode & Muthukrishnan 2005) of the
+    * multiset `value`: depth·width integer counters as a
+    * (_cms_row, _cms_bucket, _cms_count) relation. Everything is
+    * integer sums — deterministic on any partitioning, mergeable by
+    * addition, and exactly replayable by a SQL oracle. The exchange is
+    * the partially-aggregated counter table: ≤ depth·width rows per map
+    * partition no matter the corpus size. */
+  def cmsCounters(df: DataFrame, value: Column,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"cmsCounters: depth=$depth")
+    require(width >= 16, s"cmsCounters: width=$width")
+    df.select(value.as("_cms_v"),
+        explode(typedlit((0 until depth).toList)).as("_cms_row"))
+      .select(col("_cms_row"),
+        cmsBucket(col("_cms_row"), col("_cms_v"), width).as("_cms_bucket"))
+      .groupBy("_cms_row", "_cms_bucket")
+      .agg(count(lit(1)).as("_cms_count"))
+  }
+
+  /** Point-estimate the frequency of each probe value against a counter
+    * table from [[cmsCounters]] (same depth/width): est = min over rows
+    * of the addressed counter — the classic CMS upper bound (never an
+    * underestimate; over by at most εN w.h.p., ε ≈ e/width). The counter
+    * table is ≤ depth·width rows, so it BROADCASTS into the probe side;
+    * probes missing from every counter row get 0 (only possible when the
+    * sketch saw no data). */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, value: Column,
+                  depth: Int = 4, width: Int = 1024,
+                  outCol: String = "cms_est"): DataFrame = {
+    val keyed = probes.select(probes.columns.map(col) :+
+      explode(typedlit((0 until depth).toList)).as("_cms_row"): _*)
+      .withColumn("_cms_bucket", cmsBucket(col("_cms_row"), value, width))
+    keyed.join(broadcast(counters), Seq("_cms_row", "_cms_bucket"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("_cms_count"), lit(0L))).as(outCol))
+  }
 }

@@ -486,6 +486,26 @@ object TextQueries {
       exact.join(sk, Seq("source"))
         .select(col("source"), col("n_exact"), col("hll_est"))
         .orderBy("source")
+    },
+
+    // Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    // 2005) — the heavy-hitter counter a 100 TB vocabulary pass keeps
+    // in 4·1024 integers instead of a |vocab|-sized aggregate. All
+    // integer sums over md5-derived buckets: deterministic on any
+    // partitioning, mergeable by addition, and SQL-replayable, so the
+    // sketch sits under the same hash gate as the exact operators. The
+    // probe set is the exact top-25 vocabulary (the t_vocab_topk
+    // contract) with exact counts alongside — the CMS guarantee
+    // (est ≥ exact, over by ≤ εN) is visible row by row under the gate.
+    "t_cms_freq" -> { (s, dir) =>
+      import graft.operators.Sketches
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val counters = Sketches.cmsCounters(toks, col("term"))
+      val probe = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(25)
+      Sketches.cmsEstimate(counters, probe, col("term"))
+        .orderBy("term")
     }
   )
 
@@ -833,6 +853,29 @@ object TextQueries {
          |    THEN 512.0 * ln(512.0 / CAST(v0 AS DOUBLE)) ELSE raw END,
          |    4) AS hll_est
          |FROM est ORDER BY source""".stripMargin,
+
+    // Mirrors t_cms_freq bucket for bucket: same md5("row|term") % 1024
+    // addressing, integer counter sums, min-over-rows estimate, and the
+    // same deterministic top-25 probe set.
+    "t_cms_freq" ->
+      """WITH tok AS (SELECT unnest(str_split(text,' ')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT i,
+        |    ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || term), 1, 15))
+        |      ::UBIGINT::BIGINT % 1024 AS bucket,
+        |    COUNT(*) AS c
+        |  FROM tok, LATERAL (SELECT unnest([0,1,2,3]) AS i)
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT term, COUNT(*) AS n_exact FROM tok GROUP BY 1),
+        |probe AS (SELECT term, n_exact FROM ex
+        |  ORDER BY n_exact DESC, term LIMIT 25),
+        |keyed AS (SELECT p.term, p.n_exact, r.i,
+        |    ('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' || p.term), 1, 15))
+        |      ::UBIGINT::BIGINT % 1024 AS bucket
+        |  FROM probe p, LATERAL (SELECT unnest([0,1,2,3]) AS i) AS r(i))
+        |SELECT k.term, k.n_exact, MIN(coalesce(c.c, 0)) AS cms_est
+        |FROM keyed k LEFT JOIN cnt c ON c.i = k.i AND c.bucket = k.bucket
+        |GROUP BY 1, 2 ORDER BY term""".stripMargin,
 
     "d_exact_dups" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,

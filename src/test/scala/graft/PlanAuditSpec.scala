@@ -498,4 +498,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.metadata("PushedFilters").contains("EqualTo(id"),
       "pk predicate not pushed below the FINAL aggregate")
   }
+
+  test("bm25: inverted-index probes are broadcast hash joins") {
+    val ns = nodes(SparkEntry.queries("t_bm25_topk")(spark, dir))
+    assert(!ns.exists(_.nodeName.contains("CartesianProduct")),
+      "bm25 degraded to a cartesian")
+    // the one-row stats crossJoin is the ONLY nested-loop-shaped join;
+    // qterms and df probes must stay broadcast hash joins on the term
+    val bnlj =
+      ns.count(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"$bnlj nested-loop joins (scalar stats allows 1)")
+    assert(ns.count { case _: BroadcastHashJoinExec => true
+      case _ => false } >= 2,
+      "term probes are not broadcast hash joins: " +
+        ns.map(_.nodeName).distinct.mkString(","))
+  }
+
+  test("hll sketch: two hash exchanges, nothing else moves") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val ns = nodes(graft.operators.Sketches.hllDistinct(
+      docs, Seq("source"), col("text")))
+    val shuffles = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // register agg on (group, bucket) + estimate agg on (group): the
+    // whole exchanged volume is the ≤ |groups|·512-row register table
+    assert(shuffles.size === 2,
+      s"expected 2 exchanges, got ${shuffles.size}: " +
+        shuffles.map(_.outputPartitioning).mkString(","))
+    assert(shuffles.forall(_.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]),
+      "sketch exchange is not hash-partitioned")
+    assert(!ns.exists(p => p.nodeName.contains("Join") ||
+      p.nodeName.contains("CartesianProduct")),
+      "the sketch path should not join")
+  }
 }

@@ -57,6 +57,37 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(out("small") - 50) / 50.0 < 0.1, s"small=${out("small")}")
   }
 
+  test("cms never underestimates; overestimate stays inside the ε bound") {
+    // skewed multiset: key-j appears 3·(j+1) times, N = 15150
+    val rows = (0 until 100).flatMap(j => Seq.fill(3 * (j + 1))(s"key-$j"))
+    val df = rows.toDF("v").repartition(7)
+    val counters = Sketches.cmsCounters(df, col("v"))
+    val exact = df.groupBy("v").agg(count(lit(1)).as("n"))
+    val out = Sketches.cmsEstimate(counters, exact, col("v")).collect()
+    assert(out.length === 100)
+    out.foreach { r =>
+      val (n, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= n, s"${r.getString(0)}: CMS underestimated $est < $n")
+      // ε ≈ e/width ≈ 0.27% of N=15150 per row; depth-4 min keeps the
+      // realized error well inside 1% of N
+      assert(est - n <= 152, s"${r.getString(0)}: over by ${est - n}")
+    }
+  }
+
+  test("cms counters merge by addition") {
+    val a = (0 until 500).map(i => s"k${i % 37}").toDF("v")
+    val b = (0 until 700).map(i => s"k${i % 53}").toDF("v")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = toMap(Sketches.cmsCounters(a.union(b), col("v")))
+    val parts = toMap(
+      Sketches.cmsCounters(a, col("v"))
+        .union(Sketches.cmsCounters(b, col("v")))
+        .groupBy("_cms_row", "_cms_bucket")
+        .agg(sum("_cms_count").as("_cms_count")))
+    assert(whole === parts, "union-then-sketch != sketch-then-add")
+  }
+
   test("p outside [4,14] is rejected") {
     val df = Seq(("g", "v")).toDF("g", "v")
     intercept[IllegalArgumentException] {
