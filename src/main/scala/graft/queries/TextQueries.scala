@@ -506,6 +506,19 @@ object TextQueries {
         .orderBy(col("n_exact").desc, col("term")).limit(25)
       Sketches.cmsEstimate(counters, probe, col("term"))
         .orderBy("term")
+    },
+
+    // BPE merge learning — the tokenizer-training pass. The corpus-
+    // scale work is ONE word-count shuffle capped to the top-maxVocab
+    // words (TakeOrderedAndProject); the merge loop runs driver-side
+    // over that bounded table (the standard BPE trainer shape), all in
+    // integer counts and string equality, and the oracle UNROLLS the
+    // identical loop as 8 SQL stages — the learning itself is under
+    // the hash gate, not a frozen replay of it.
+    "t_bpe_merges" -> { (s, dir) =>
+      val merges = graft.operators.Bpe.fitOn(
+        t(s, dir, "documents"), "text", k = 8)
+      graft.operators.Bpe.mergesDf(s, merges).orderBy("rnk")
     }
   )
 
@@ -876,6 +889,10 @@ object TextQueries {
         |SELECT k.term, k.n_exact, MIN(coalesce(c.c, 0)) AS cms_est
         |FROM keyed k LEFT JOIN cnt c ON c.i = k.i AND c.bucket = k.bucket
         |GROUP BY 1, 2 ORDER BY term""".stripMargin,
+
+    // The unrolled-loop twin of t_bpe_merges (Bpe.oracleSql) — the
+    // oracle RE-LEARNS the merges, it doesn't replay frozen ones.
+    "t_bpe_merges" -> graft.operators.Bpe.oracleSql(k = 8),
 
     "d_exact_dups" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
