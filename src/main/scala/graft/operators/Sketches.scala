@@ -81,10 +81,10 @@ object Sketches {
     per.select(groupCols.map(col) :+ round(est, 4).as(outCol): _*)
   }
 
-  /** Row hash: 60 bits of md5("row|value") modulo width — `depth`
-    * independent hashes from the one md5 both engines share, the seed
-    * riding the string prefix. */
-  private def cmsBucket(row: Column, v: Column, width: Int): Column =
+  /** Row hash: 60 bits of md5("row|value") modulo width — independent
+    * hashes from the one md5 both engines share, the seed riding the
+    * string prefix. Shared by the CMS counters and the bloom filter. */
+  private def seededBucket(row: Column, v: Column, width: Int): Column =
     conv(substring(md5(concat(concat(row.cast("string"), lit("|")), v)
       .cast("binary")), 1, 15), 16, 10).cast("long") % width
 
@@ -102,7 +102,7 @@ object Sketches {
     df.select(value.as("_cms_v"),
         explode(typedlit((0 until depth).toList)).as("_cms_row"))
       .select(col("_cms_row"),
-        cmsBucket(col("_cms_row"), col("_cms_v"), width).as("_cms_bucket"))
+        seededBucket(col("_cms_row"), col("_cms_v"), width).as("_cms_bucket"))
       .groupBy("_cms_row", "_cms_bucket")
       .agg(count(lit(1)).as("_cms_count"))
   }
@@ -119,9 +119,41 @@ object Sketches {
                   outCol: String = "cms_est"): DataFrame = {
     val keyed = probes.select(probes.columns.map(col) :+
       explode(typedlit((0 until depth).toList)).as("_cms_row"): _*)
-      .withColumn("_cms_bucket", cmsBucket(col("_cms_row"), value, width))
+      .withColumn("_cms_bucket", seededBucket(col("_cms_row"), value, width))
     keyed.join(broadcast(counters), Seq("_cms_row", "_cms_bucket"), "left")
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("_cms_count"), lit(0L))).as(outCol))
+  }
+
+  /** Bloom filter as a relation: the DISTINCT (hash row, bucket) pairs
+    * of `value` under `k` seeded hashes over `bits` buckets — ≤ k·bits
+    * rows however large the reference set, built with one distinct
+    * aggregate (partial map-side). */
+  def bloomSet(df: DataFrame, value: Column,
+               k: Int = 3, bits: Int = 65536): DataFrame = {
+    require(k >= 1 && k <= 8, s"bloomSet: k=$k")
+    require(bits >= 64, s"bloomSet: bits=$bits")
+    df.select(value.as("_bf_v"),
+        explode(typedlit((0 until k).toList)).as("_bf_row"))
+      .select(col("_bf_row"),
+        seededBucket(col("_bf_row"), col("_bf_v"), bits).as("_bf_bucket"))
+      .distinct()
+  }
+
+  /** Membership test against a [[bloomSet]] (same k/bits): true iff ALL
+    * k addressed buckets are present — no false negatives, false
+    * positives at rate ≈ (1 − e^(−kn/bits))^k. The set relation
+    * broadcasts into the probe side; deterministic and SQL-replayable
+    * like the other sketches. */
+  def bloomMightContain(set: DataFrame, probes: DataFrame, value: Column,
+                        k: Int = 3, bits: Int = 65536,
+                        outCol: String = "might_contain"): DataFrame = {
+    val keyed = probes.select(probes.columns.map(col) :+
+      explode(typedlit((0 until k).toList)).as("_bf_row"): _*)
+      .withColumn("_bf_bucket", seededBucket(col("_bf_row"), value, bits))
+    keyed.join(broadcast(set.withColumn("_bf_hit", lit(1))),
+        Seq("_bf_row", "_bf_bucket"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg((sum(coalesce(col("_bf_hit"), lit(0))) === k).as(outCol))
   }
 }

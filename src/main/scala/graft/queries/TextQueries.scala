@@ -426,9 +426,12 @@ object TextQueries {
       val bigrams = zip_with(
         slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
         (a, b) => concat_ws(" ", a, b))
+      // tf feeds three consumers (postings, df, query terms) — persist
+      // or the tokenize+aggregate subtree runs three times
       val tf = docs.select(col("doc_id"), explode(bigrams).as("term"))
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).cast("double").as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dl = docs.select(col("doc_id"),
         greatest(size(tk) - 1, lit(0)).cast("double").as("dl"))
       val stats = docs.agg(
@@ -506,6 +509,31 @@ object TextQueries {
         .orderBy(col("n_exact").desc, col("term")).limit(25)
       Sketches.cmsEstimate(counters, probe, col("term"))
         .orderBy("term")
+    },
+
+    // Bloom-filter decontamination — the sketch-accelerated variant of
+    // t_decontam_ngram for when even the eval shingle set is too big to
+    // broadcast raw: the filter is ≤ k·bits (hash row, bucket) pairs
+    // REGARDLESS of eval size. No false negatives by construction (the
+    // n_bloom_hits ≥ n_exact_hits invariant is visible row by row under
+    // the gate); false positives ≈ (1−e^(−kn/bits))^k ≈ 0.4% here.
+    "d_bloom_decontam" -> { (s, dir) =>
+      import graft.operators.{Dedup, Sketches}
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ev = sh.filter(col("doc_id") % 13 === 0).select("s").distinct()
+      val probe = sh.filter(col("doc_id") % 13 =!= 0)
+      val bloom = Sketches.bloomSet(ev, col("s"))
+      Sketches.bloomMightContain(bloom, probe, col("s"))
+        .join(broadcast(ev.withColumn("_ex", lit(1))), Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("might_contain"), 1).otherwise(0)).cast("long")
+            .as("n_bloom_hits"),
+          sum(coalesce(col("_ex"), lit(0))).cast("long").as("n_exact_hits"))
+        .filter(col("n_bloom_hits") > 0)
+        .orderBy("doc_id")
     },
 
     // BPE merge learning — the tokenizer-training pass. The corpus-
@@ -893,6 +921,34 @@ object TextQueries {
     // The unrolled-loop twin of t_bpe_merges (Bpe.oracleSql) — the
     // oracle RE-LEARNS the merges, it doesn't replay frozen ones.
     "t_bpe_merges" -> graft.operators.Bpe.oracleSql(k = 8),
+
+    // Mirrors d_bloom_decontam bucket for bucket (same seeded md5 %
+    // 65536 addressing as the CMS twin).
+    "d_bloom_decontam" ->
+      s"""WITH $shinglesCte,
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 13 = 0),
+         |bf AS (SELECT DISTINCT i,
+         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15))
+         |      ::UBIGINT::BIGINT % 65536 AS bucket
+         |  FROM ev, LATERAL (SELECT unnest([0,1,2]) AS i)),
+         |pr AS (SELECT doc_id, s FROM sh WHERE doc_id % 13 <> 0),
+         |hits AS (SELECT p.doc_id, p.s,
+         |    SUM(CASE WHEN b.i IS NOT NULL THEN 1 ELSE 0 END) AS nb
+         |  FROM (SELECT doc_id, s, r.i,
+         |      ('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' || s), 1, 15))
+         |        ::UBIGINT::BIGINT % 65536 AS bucket
+         |    FROM pr, LATERAL (SELECT unnest([0,1,2]) AS i) AS r(i)) p
+         |  LEFT JOIN bf b ON b.i = p.i AND b.bucket = p.bucket
+         |  GROUP BY 1, 2),
+         |per AS (SELECT h.doc_id,
+         |    CASE WHEN h.nb = 3 THEN 1 ELSE 0 END AS bh,
+         |    CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END AS eh
+         |  FROM hits h LEFT JOIN ev e ON e.s = h.s)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(bh) AS BIGINT) AS n_bloom_hits,
+         |  CAST(SUM(eh) AS BIGINT) AS n_exact_hits
+         |FROM per GROUP BY 1 HAVING SUM(bh) > 0
+         |ORDER BY doc_id""".stripMargin,
 
     "d_exact_dups" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,

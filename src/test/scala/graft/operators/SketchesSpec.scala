@@ -88,6 +88,27 @@ class SketchesSpec extends SparkSpec {
     assert(whole === parts, "union-then-sketch != sketch-then-add")
   }
 
+  test("bloom: no false negatives, false positives inside the load bound") {
+    val ref = (0 until 2000).map(i => s"member-$i").toDF("v")
+    val set = Sketches.bloomSet(ref, col("v"))
+    val members = (0 until 2000).map(i => s"member-$i")
+    val nonMembers = (0 until 2000).map(i => s"other-$i")
+    val out = Sketches.bloomMightContain(
+      set, (members ++ nonMembers).toDF("v"), col("v")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    members.foreach(m => assert(out(m), s"false negative on $m"))
+    // n=2000, k=3, bits=65536 → fp ≈ (1−e^(−kn/bits))^k ≈ 0.07%,
+    // expectation ~1.3 of 2000 — 20 is a >10× cushion
+    val fps = nonMembers.count(out(_))
+    assert(fps <= 20, s"$fps false positives out of 2000")
+  }
+
+  test("bloom set size is bounded by k·bits, not the reference size") {
+    val ref = (0 until 5000).map(i => s"x-$i").toDF("v")
+    val n = Sketches.bloomSet(ref, col("v"), k = 2, bits = 256).count()
+    assert(n <= 2 * 256, s"bloom relation grew past k·bits: $n")
+  }
+
   test("p outside [4,14] is rejected") {
     val df = Seq(("g", "v")).toDF("g", "v")
     intercept[IllegalArgumentException] {
