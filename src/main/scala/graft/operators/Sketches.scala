@@ -53,8 +53,16 @@ object Sketches {
     * rounded to 4 decimals. Groups with no rows simply don't appear
     * (SQL GROUP BY semantics). */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
-                  p: Int = 9, outCol: String = "hll_est"): DataFrame = {
-    require(p >= 4 && p <= 14, s"hllDistinct: p=$p outside [4,14]")
+                  p: Int = 9, outCol: String = "hll_est"): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, value, p), groupCols, p, outCol)
+
+  /** The register table alone: (group..., _hll_bucket, max rho). A
+    * max-aggregate, so it runs UNCHANGED as a streaming query (complete
+    * mode) with state bounded by |groups|·2^p — sketch a stream live,
+    * then finalize with [[hllEstimate]] on the sink. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column,
+                   p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 14, s"hllRegisters: p=$p outside [4,14]")
     val m = 1 << p
     val s = 61 - p // F + 1, the max rho (all F field bits zero)
     // 60-bit hash: 15 md5 hex chars — fits BIGINT in Spark and DuckDB
@@ -62,12 +70,19 @@ object Sketches {
     val v = conv(substring(fp, 1, 15), 16, 10).cast("long")
     val wBits = shiftright(v, p)
     val rho = when(wBits === 0, lit(s)).otherwise(lit(s) - length(bin(wBits)))
-    val reg = df
-      .select(groupCols.map(col) ++ Seq(
+    df.select(groupCols.map(col) ++ Seq(
         v.bitwiseAND(lit((m - 1).toLong)).as("_hll_bucket"),
         rho.as("_hll_rho")): _*)
       .groupBy((groupCols :+ "_hll_bucket").map(col): _*)
       .agg(max("_hll_rho").as("_hll_mrho"))
+  }
+
+  /** Fold a [[hllRegisters]] table (same p) into the per-group
+    * estimate. */
+  def hllEstimate(reg: DataFrame, groupCols: Seq[String], p: Int = 9,
+                  outCol: String = "hll_est"): DataFrame = {
+    val m = 1 << p
+    val s = 61 - p
     val per = reg.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("_hll_present"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), $s - _hll_mrho)"))

@@ -17,6 +17,32 @@ object TextQueries {
     * IDENTICAL α·m²·2⁵² double literal. */
   private val hllP = 9
 
+  /** Shared CTE chain of the HLL oracles: documents → 60-bit md5 hash →
+    * registers → per-source integer register sums. */
+  private lazy val hllRegCte =
+    """h AS (SELECT source, text,
+      |    ('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT AS v
+      |  FROM documents),
+      |r AS (SELECT source, v & 511 AS bucket,
+      |    CASE WHEN (v >> 9) = 0 THEN 52
+      |         ELSE 52 - length(bin(v >> 9)) END AS rho FROM h),
+      |reg AS (SELECT source, bucket, MAX(rho) AS mrho FROM r GROUP BY 1, 2),
+      |per AS (SELECT source, COUNT(*) AS present,
+      |    SUM(CAST(1 AS BIGINT) << (52 - mrho)) AS sumpow
+      |  FROM reg GROUP BY 1)""".stripMargin
+
+  /** Raw-estimate + zero-register columns over `per` (select-list
+    * fragment) and the linear-counting finalizer over `est`. */
+  private lazy val hllRawSql =
+    s"""${graft.operators.Sketches.scaledAlpha(hllP)} /
+       |      CAST(sumpow + (512 - present) * 4503599627370496 AS DOUBLE)
+       |      AS raw,
+       |    512 - present AS v0""".stripMargin
+  private lazy val hllFinalSql =
+    """round(CASE WHEN raw <= 1280.0 AND v0 > 0
+      |    THEN 512.0 * ln(512.0 / CAST(v0 AS DOUBLE)) ELSE raw END,
+      |    4)""".stripMargin
+
   /** The t_weighted_sample mixture: four weight tiers cycled over the
     * fixture's 20 sources. */
   private val mixWeights: Seq[(String, Double)] =
@@ -491,6 +517,28 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // The same HLL registers maintained as STREAMING state: documents
+    // replayed through readStream, the (source, bucket) max-rho
+    // aggregate runs in complete mode (state ≤ |sources|·512 rows — the
+    // sketch is exactly what makes a streaming distinct-count tractable),
+    // and the estimate finalizes off the sink. The batch oracle passing
+    // IS the stream/batch-invariance claim.
+    "t_hll_stream" -> { (s, dir) => withShufflePartitions(s, 4) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Sketches
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val regs = Sketches.hllRegisters(stream, Seq("source"), col("text"),
+        hllP)
+      val sink = "t_hll_stream_sink"
+      val q = regs.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      Sketches.hllEstimate(s.table(sink), Seq("source"), hllP)
+        .orderBy("source")
+    }},
+
     // Count-min sketch frequency estimation (Cormode & Muthukrishnan
     // 2005) — the heavy-hitter counter a 100 TB vocabulary pass keeps
     // in 4·1024 integers instead of a |vocab|-sized aggregate. All
@@ -871,28 +919,20 @@ object TextQueries {
     // like Spark's long — both under 2^62), same shared α·m²·2⁵²
     // literal, same linear-counting branch.
     "t_hll_distinct" ->
-      s"""WITH h AS (SELECT source, text,
-         |    ('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT AS v
-         |  FROM documents),
-         |r AS (SELECT source, v & 511 AS bucket,
-         |    CASE WHEN (v >> 9) = 0 THEN 52
-         |         ELSE 52 - length(bin(v >> 9)) END AS rho FROM h),
-         |reg AS (SELECT source, bucket, MAX(rho) AS mrho FROM r GROUP BY 1, 2),
-         |per AS (SELECT source, COUNT(*) AS present,
-         |    SUM(CAST(1 AS BIGINT) << (52 - mrho)) AS sumpow
-         |  FROM reg GROUP BY 1),
+      s"""WITH $hllRegCte,
          |ex AS (SELECT source, COUNT(DISTINCT text) AS n_exact
          |  FROM h GROUP BY 1),
-         |est AS (SELECT source, n_exact,
-         |    ${graft.operators.Sketches.scaledAlpha(hllP)} /
-         |      CAST(sumpow + (512 - present) * 4503599627370496 AS DOUBLE)
-         |      AS raw,
-         |    512 - present AS v0
+         |est AS (SELECT source, n_exact, $hllRawSql
          |  FROM per JOIN ex USING (source))
-         |SELECT source, n_exact,
-         |  round(CASE WHEN raw <= 1280.0 AND v0 > 0
-         |    THEN 512.0 * ln(512.0 / CAST(v0 AS DOUBLE)) ELSE raw END,
-         |    4) AS hll_est
+         |SELECT source, n_exact, $hllFinalSql AS hll_est
+         |FROM est ORDER BY source""".stripMargin,
+
+    // t_hll_stream: identical estimate, registers maintained as
+    // streaming state — the batch oracle IS the invariance claim.
+    "t_hll_stream" ->
+      s"""WITH $hllRegCte,
+         |est AS (SELECT source, $hllRawSql FROM per)
+         |SELECT source, $hllFinalSql AS hll_est
          |FROM est ORDER BY source""".stripMargin,
 
     // Mirrors t_cms_freq bucket for bucket: same md5("row|term") % 1024
