@@ -66,17 +66,40 @@ object Bpe {
     out.result()
   }
 
-  /** Learn merges from a text column: whitespace tokens → top-`maxVocab`
-    * word counts (deterministic: count DESC, word) → [[fit]]. */
-  def fitOn(docs: DataFrame, textCol: String, k: Int,
-            maxVocab: Int = 10000): Seq[Merge] = {
-    val wc = docs
-      .select(explode(split(col(textCol), " ")).as("word"))
+  /** Top-`maxVocab` word counts of a text column (deterministic:
+    * count DESC, word) — the bounded trainer input. */
+  def wordCounts(docs: DataFrame, textCol: String,
+                 maxVocab: Int = 10000): Seq[(String, Long)] =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word")).limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    fit(wc, k)
-  }
+
+  /** Learn merges from a text column: [[wordCounts]] → [[fit]]. */
+  def fitOn(docs: DataFrame, textCol: String, k: Int,
+            maxVocab: Int = 10000): Seq[Merge] =
+    fit(wordCounts(docs, textCol, maxVocab), k)
+
+  /** Apply learned merges (in rank order, the same greedy
+    * left-to-right rewrite the trainer uses) to each word → its final
+    * unit count. The tokenize-side model: a vocab-bounded
+    * (word, n_units) table that broadcasts into the token stream. */
+  def segmentCounts(wordCounts: Seq[(String, Long)],
+                    merges: Seq[Merge]): Seq[(String, Int)] =
+    wordCounts.map { case (w, _) =>
+      var u = w.map(_.toString).toVector
+      merges.foreach { m =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < u.length) {
+          if (i < u.length - 1 && u(i) == m.lhs && u(i + 1) == m.rhs) {
+            b += m.lhs + m.rhs; i += 2
+          } else { b += u(i); i += 1 }
+        }
+        u = b.result()
+      }
+      (w, u.length)
+    }
 
   /** The learned merge table as a DataFrame (rnk, lhs, rhs,
     * pair_count) — the gate-facing shape. */
@@ -93,6 +116,33 @@ object Bpe {
     * from the unit list, and each stage's winner is
     * ORDER BY count DESC, lhs, rhs LIMIT 1. */
   def oracleSql(k: Int, maxVocab: Int = 10000): String = {
+    val union = (1 to k).map(i =>
+      s"SELECT $i AS rnk, l AS lhs, r AS rhs, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${oracleCte(k, maxVocab)}
+       |$union
+       |ORDER BY rnk""".stripMargin
+  }
+
+  /** DuckDB twin of the tokenize side: the unrolled learner's final
+    * segmentation table `s_k` joins back into the token stream —
+    * per-doc whitespace word count vs BPE unit count under the learned
+    * merges. Words beyond the top-`maxVocab` cap drop from both
+    * engines identically (the Spark side tokenizes through the same
+    * capped vocab table). */
+  def tokenizeOracleSql(k: Int, maxVocab: Int = 10000): String =
+    s"""WITH ${oracleCte(k, maxVocab)},
+       |doctok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(str_split(trim(s.seg, '|'), '||'))) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM doctok t JOIN s$k s USING (word)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** The shared unrolled-loop CTE chain: word counts → s0 (char
+    * segmentation) → k rounds of (pair counts, winner, rewrite). */
+  private def oracleCte(k: Int, maxVocab: Int): String = {
     val stages = (1 to k).map { i =>
       s"""p$i AS (SELECT u[j] AS l, u[j+1] AS r,
          |    CAST(SUM(n) AS BIGINT) AS c
@@ -101,21 +151,17 @@ object Bpe {
          |  GROUP BY 1, 2),
          |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
          |s$i AS (SELECT word, n,
-         |    replace(seg, '|' || l || '||' || r || '|', '|' || l || r || '|')
-         |      AS seg
-         |  FROM s${i - 1} CROSS JOIN m$i)""".stripMargin
+         |    CASE WHEN m.l IS NULL THEN seg ELSE
+         |      replace(seg, '|' || m.l || '||' || m.r || '|',
+         |              '|' || m.l || m.r || '|') END AS seg
+         |  FROM s${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to k).map(i =>
-      s"SELECT $i AS rnk, l AS lhs, r AS rhs, c AS pair_count FROM m$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH tok AS (SELECT unnest(str_split(text, ' ')) AS word
+    s"""tok AS (SELECT unnest(str_split(text, ' ')) AS word
        |  FROM documents),
        |wc AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY 1
        |  ORDER BY n DESC, word LIMIT $maxVocab),
        |s0 AS (SELECT word, n,
        |    regexp_replace(word, '(.)', '|\\1|', 'g') AS seg FROM wc),
-       |$stages
-       |$union
-       |ORDER BY rnk""".stripMargin
+       |$stages""".stripMargin
   }
 }

@@ -595,6 +595,25 @@ object TextQueries {
       val merges = graft.operators.Bpe.fitOn(
         t(s, dir, "documents"), "text", k = 8)
       graft.operators.Bpe.mergesDf(s, merges).orderBy("rnk")
+    },
+
+    // Tokenize-side of the BPE pass: the learned merges applied back to
+    // the corpus — per-doc whitespace words vs BPE units. The model is
+    // the vocab-bounded (word, n_units) table, broadcast into the token
+    // stream: the tokenizer a packing/budget pass would actually run.
+    "t_bpe_tokenize" -> { (s, dir) =>
+      import graft.operators.Bpe
+      val docs = t(s, dir, "documents")
+      val wc = Bpe.wordCounts(docs, "text")
+      val segs = Bpe.segmentCounts(wc, Bpe.fit(wc, k = 8))
+      import s.implicits._
+      val segDf = segs.toDF("word", "n_units")
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(segDf), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_units").cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
     }
   )
 
@@ -961,6 +980,10 @@ object TextQueries {
     // The unrolled-loop twin of t_bpe_merges (Bpe.oracleSql) — the
     // oracle RE-LEARNS the merges, it doesn't replay frozen ones.
     "t_bpe_merges" -> graft.operators.Bpe.oracleSql(k = 8),
+
+    // Tokenize side: the same unrolled learner's final segmentation
+    // table joined back into the token stream.
+    "t_bpe_tokenize" -> graft.operators.Bpe.tokenizeOracleSql(k = 8),
 
     // Mirrors d_bloom_decontam bucket for bucket (same seeded md5 %
     // 65536 addressing as the CMS twin).

@@ -34,6 +34,16 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.fit(Nil, k = 5).isEmpty)
   }
 
+  test("segmentCounts applies the merges the trainer learned") {
+    val wc = Seq(("aaab", 2L))
+    val merges = Bpe.fit(wc, k = 8) // (a,a), (a,b), (aa,ab) — see above
+    assert(Bpe.segmentCounts(wc, merges) === Seq(("aaab", 1)))
+    // words outside the trainer's alphabet just segment to chars
+    assert(Bpe.segmentCounts(Seq(("xyz", 1L)), merges) === Seq(("xyz", 3)))
+    // a prefix of the merges yields the intermediate segmentation
+    assert(Bpe.segmentCounts(wc, merges.take(1)) === Seq(("aaab", 3)))
+  }
+
   test("frequency weights, not word counts, drive the winner") {
     // 'xy' appears once but weighs 100; 'ab' in three words weighs 3
     val m = Bpe.fit(Seq(("xy", 100L), ("ab", 1L), ("abc", 1L), ("abd", 1L)), 1)
