@@ -514,6 +514,19 @@ class PlanAuditSpec extends SparkSpec {
         ns.map(_.nodeName).distinct.mkString(","))
   }
 
+  test("cms/bloom: sketch relations broadcast into the probe side") {
+    for (q <- Seq("t_cms_freq", "d_bloom_decontam")) {
+      val ns = nodes(SparkEntry.queries(q)(spark, dir))
+      assert(!ns.exists(p => p.nodeName.contains("CartesianProduct") ||
+        p.nodeName.contains("BroadcastNestedLoopJoin")),
+        s"$q degraded to a nested loop")
+      assert(ns.exists { case _: BroadcastHashJoinExec => true
+        case _ => false },
+        s"$q sketch probe is not a broadcast hash join: " +
+          ns.map(_.nodeName).distinct.mkString(","))
+    }
+  }
+
   test("hll sketch: two hash exchanges, nothing else moves") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, dir, "documents")

@@ -49,4 +49,37 @@ class BpeSpec extends AnyFunSuite {
     val m = Bpe.fit(Seq(("xy", 100L), ("ab", 1L), ("abc", 1L), ("abd", 1L)), 1)
     assert(m.head === Bpe.Merge(1, "x", "y", 100))
   }
+
+  test("fit is independent of word-count input order") {
+    // the distributed word-count collect has no canonical order — the
+    // learned merges must not depend on it
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 20) {
+      val wc = (0 until 30).map { i =>
+        (rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString.toLowerCase,
+          1L + rnd.nextInt(50))
+      }.distinctBy(_._1)
+      val a = Bpe.fit(wc, k = 6)
+      val b = Bpe.fit(rnd.shuffle(wc), k = 6)
+      assert(a === b, s"order-dependent merges on $wc")
+    }
+  }
+
+  test("unit counts shrink monotonically and stay in [1, |word|]") {
+    val rnd = new scala.util.Random(7)
+    val wc = (0 until 40).map { i =>
+      (rnd.alphanumeric.take(1 + rnd.nextInt(10)).mkString.toLowerCase,
+        1L + rnd.nextInt(9))
+    }.distinctBy(_._1)
+    val merges = Bpe.fit(wc, k = 10)
+    var prev = wc.map { case (w, _) => w -> w.length }.toMap
+    for (i <- 1 to merges.length) {
+      val cur = Bpe.segmentCounts(wc, merges.take(i)).toMap
+      wc.foreach { case (w, _) =>
+        assert(cur(w) >= 1 && cur(w) <= w.length)
+        assert(cur(w) <= prev(w), s"units grew for $w at merge $i")
+      }
+      prev = cur
+    }
+  }
 }
