@@ -112,6 +112,7 @@ object Bench {
         catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
+      System.gc() // drop the warmup's shuffle/broadcast residue untimed
     }
     // the warmup populated the e2e stats from the TINY fixture — a timed
     // run that then fails must not report the warmup's events/s under
@@ -145,6 +146,15 @@ object Bench {
           graft.queries.CdcQueries.lastE2eStats.foreach(e2eRuns += _)
           if (ok) elapsed else -1.0
         }
+        // Untimed, between queries: shuffle files on the (tmpfs) scratch
+        // dir are only deleted when the ContextCleaner sees their
+        // dependencies collected — without a GC nudge a 32 GiB heap can
+        // go the whole bench without one, and ~1500 runs of shuffle
+        // residue squeeze the page cache the later queries need. The r7
+        // full-surface run showed exactly that shape: conv_scalar_suite
+        // 0.5→8.3 s monotone ACROSS its own runs in-sequence, flat at
+        // ~0.4 s in isolation.
+        System.gc()
         name -> times
     }
 

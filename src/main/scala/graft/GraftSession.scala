@@ -88,6 +88,14 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.rocksdb." +
         "changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // The SQL status listener runs even with the UI off and retains up
+      // to 1000 execution graphs (plans, metrics, physical descriptions)
+      // in driver heap. A long-lived replicator process — or the bench's
+      // ~1500 consecutive executions — accumulates real GC pressure from
+      // state nobody will ever look at; keep a small debugging window.
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
     scratchDir.fold(b)(d => b.config("spark.local.dir", d))
   }
 

@@ -164,6 +164,46 @@ object Ivf {
         (s, i) => struct(s.as("d"), i.cast("int").as("cell")))), 1, nProbe),
       p => p("cell"))
 
+  /** Hard-negative mining for contrastive training: for each labeled
+    * query, the `k` most-similar corpus vectors carrying a DIFFERENT
+    * label — the examples a retrieval/embedding model is most likely to
+    * confuse, and exactly what a triplet/InfoNCE batch wants as
+    * negatives. Label inequality uses the null-propagating `<>`: an
+    * unlabeled corpus row is never nominated (it cannot be verified as a
+    * true negative), matching SQL `<>` so the oracle is clause-identical.
+    *
+    * Same candidate bounding as [[topK]] — the fitted coarse quantizer's
+    * cell equi-join replaces the cross product, queries broadcast with
+    * their `nProbe` probe cells — so at 100 TB the cost is
+    * O(|Q|·nProbe/k·|C|·d), and the label filter prunes BEFORE the
+    * ranking window, map-side of its shuffle. The mined pairs are tiny
+    * (ids + labels + a rounded score); nothing vector-width crosses the
+    * ranking exchange. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, model: Model, k: Int,
+                    nProbe: Int = 2): DataFrame = {
+    val probes = array_sort(
+      transform(cellScores(col(vecCol), model),
+        (s, i) => struct(s.as("d"), i.cast("int").as("cell"))))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"), norm2(col(vecCol)).as("nq"),
+      explode(slice(probes, 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("q_label"), col("nq"),
+        col("p.cell").as("cell"))
+    val c = Partitioning.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("n_label"), norm2(col(vecCol)).as("nc"),
+        assign(col(vecCol), model).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"),
+        round(dot(col("qv"), col("cv")) /
+          sqrt(col("nq") * col("nc")), 4).as("sim"))
+    Similarity.rankTopK(scored, col("sim").desc_nulls_last, k)
+  }
+
   /** Approximate top-k: probe the `nProbe` cells nearest to each query. */
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
            vecCol: String, model: Model, k: Int,

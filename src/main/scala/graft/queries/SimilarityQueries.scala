@@ -23,6 +23,8 @@ object SimilarityQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Ivf.Model]()
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pq.Model]()
+  private val sqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Sq.Model]()
 
   /** Fit memo, keyed by (fixture dir, hyperparameters). Every fit here
     * is a DETERMINISTIC pure function of its inputs (order-independent
@@ -199,6 +201,43 @@ object SimilarityQueries {
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
         coarse, pq, k = 3, nProbe = 4, shortlist = 100)
         .select("query_id", "neighbor_id", "sim", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+
+    // SQ8 scalar quantization: the corpus decoded from per-dimension
+    // 8-bit codes (4× smaller at rest), queries exact — the "almost
+    // lossless" compression tier next to PQ's aggressive one. The gate
+    // query scans all candidates on purpose: it isolates what
+    // quantization alone does to the ranking (compose with IVF cells
+    // for pruning at scale). Frozen min/max oracle, same round-4
+    // cosine contract as the rest of the family.
+    "s_ann_sq8" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = memo(s"sq:$dir:d64")(graft.operators.Sq.fit(
+        emb, "vec_id", "embedding", dim = 64))
+      sqModels.put("s_ann_sq8", model)
+      graft.operators.Sq.adcTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        model, k = 3)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+
+    // Hard-negative mining: for each labeled query, the most-similar
+    // corpus vectors with a DIFFERENT label — the contrastive-training
+    // batch builder (confusable ≠ same class). IVF cells bound the
+    // candidates exactly as in s_ann_ivf_probe; the label filter prunes
+    // before the ranking window.
+    "s_hard_negatives" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = memo(s"ivf:$dir:k8i3")(Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
+      ivfModels.put("s_hard_negatives", model)
+      Ivf.hardNegatives(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        "label", model, k = 3, nProbe = 4)
+        .select("query_id", "q_label", "neighbor_id", "n_label",
+          "sim", "rnk")
         .orderBy("query_id", "rnk")
     },
 
@@ -447,6 +486,87 @@ object SimilarityQueries {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** DuckDB twin of `Ivf.hardNegatives`: the frozen-centroid probe and
+    * assign of [[ivfSql]], plus both sides' labels and the
+    * null-propagating `n_label <> q_label` join condition — clause for
+    * clause the Spark plan's filters. */
+  private def hardNegSql(model: Ivf.Model, k: Int, nProbe: Int): String = {
+    val scoreList = ivfScoreList(model)
+    val probeList = model.centroids.zipWithIndex
+      .map { case (c, i) => s"{'d': ${ivfScoreExpr(c)}, 'cell': $i}" }
+      .mkString("[", ",\n ", "]")
+    val qp = (1 to nProbe)
+      .map(i =>
+        s"SELECT query_id, qv, q_label, pl[$i].cell AS cell FROM q")
+      .mkString("\n       UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+       |        label AS q_label, list_sort($probeList) AS pl
+       |      FROM embeddings WHERE vec_id < 10),
+       |qp AS ($qp),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+       |        label AS n_label,
+       |        CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
+       |      FROM (SELECT vec_id, embedding, label, $scoreList AS sl
+       |            FROM embeddings)),
+       |un AS (SELECT query_id, q_label, neighbor_id, n_label,
+       |         unnest(qv) AS x, unnest(cv) AS y
+       |       FROM qp JOIN c ON qp.cell = c.cell
+       |                     AND qp.query_id <> c.neighbor_id
+       |                     AND c.n_label <> qp.q_label),
+       |s AS (SELECT query_id, q_label, neighbor_id, n_label,
+       |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+       |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+       |      FROM un GROUP BY 1, 2, 3, 4),
+       |ranked AS (SELECT query_id, q_label, neighbor_id, n_label,
+       |        round(dot / sqrt(nx * ny), 4) AS sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
+       |          AS INT) AS rnk
+       |      FROM s)
+       |SELECT query_id, q_label, neighbor_id, n_label, sim, rnk
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** DuckDB twin of `Sq.encode`∘`decode` + `Sq.adcTopK`: per dimension
+    * the decoded value `mn + clamp₀₂₅₅(floor((x−mn)/range·255+0.5))·scale`
+    * with mn/range/scale inlined from the frozen model (a degenerate
+    * dimension decodes straight to its min, gated on non-null like the
+    * Spark side), then the unnest-zip cosine of [[cosineSql]]. */
+  private def sq8Sql(model: graft.operators.Sq.Model, k: Int): String = {
+    val dv = (0 until model.dim).map { j =>
+      val mn = fmt(model.mins(j))
+      val rg = fmt(model.ranges(j))
+      val sc = fmt(model.scales(j))
+      if (model.ranges(j) > 0.0)
+        s"(($mn) + greatest(0.0, least(255.0, floor(" +
+          s"(CAST(embedding[${j + 1}] AS DOUBLE) - ($mn)) / ($rg) * 255.0" +
+          s" + 0.5))) * ($sc))"
+      else
+        s"(CASE WHEN embedding[${j + 1}] IS NOT NULL THEN ($mn) END)"
+    }.mkString("[", ",\n ", "]")
+    s"""WITH c AS (SELECT vec_id AS neighbor_id, $dv AS dv FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < 10),
+       |un AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(dv) AS y
+       |       FROM q JOIN c ON query_id <> neighbor_id),
+       |s AS (SELECT query_id, neighbor_id,
+       |        sum(CAST(x AS DOUBLE) * y) AS dot,
+       |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+       |        sum(y * y) AS ny
+       |      FROM un GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |        round(dot / sqrt(nx * ny), 4) AS sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
+       |          AS INT) AS rnk
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rnk FROM ranked
+       |WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB twin of `Pq.encode` + `Pq.adcTopK` with the fitted codebook
     * inlined: per subspace, the same |c|² − 2·fold(v_s·c) score list
     * (argmin = codes, the query side = LUTs), then the left-assoc
@@ -608,7 +728,7 @@ object SimilarityQueries {
     val exact = defs("s_ann_topk")(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try Seq("s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf", "s_ann_ivf_probe",
-        "s_ann_pq", "s_ann_ivfpq", "s_ann_ivfpq_rerank")
+        "s_ann_pq", "s_ann_ivfpq", "s_ann_ivfpq_rerank", "s_ann_sq8")
       .map(m => m -> recallAtK(exact, defs(m)(s, dir), k)).toMap
     finally exact.unpersist(blocking = false)
   }
@@ -685,7 +805,11 @@ object SimilarityQueries {
           "s_ann_ivfpq" -> Pq.ivfAdcTopK(q, cached, "vec_id", "embedding",
             coarse, pq, k, nProbe = 2),
           "s_ann_ivfpq_rerank" -> Pq.ivfAdcRerankTopK(q, cached, "vec_id",
-            "embedding", coarse, pq, k, nProbe = 4, shortlist = 100)
+            "embedding", coarse, pq, k, nProbe = 4, shortlist = 100),
+          "s_ann_sq8" -> graft.operators.Sq.adcTopK(q, cached, "vec_id",
+            "embedding",
+            graft.operators.Sq.fit(cached, "vec_id", "embedding", dim = 64),
+            k)
         ).map { case (m, df) => m -> recallAtK(exact, df, k) }
       } finally exact.unpersist(blocking = false)
     } finally cached.unpersist(blocking = false)
@@ -703,6 +827,10 @@ object SimilarityQueries {
         .map(m => "s_cluster_balanced" -> clusterBalancedSql(m, k = 5)) ++
       Option(ivfModels.get("s_semdedup"))
         .map(m => "s_semdedup" -> semDedupSql(m, threshold = 0.3)) ++
+      Option(ivfModels.get("s_hard_negatives"))
+        .map(m => "s_hard_negatives" -> hardNegSql(m, k = 3, nProbe = 4)) ++
+      Option(sqModels.get("s_ann_sq8"))
+        .map(m => "s_ann_sq8" -> sq8Sql(m, k = 3)) ++
       Option(pqModels.get("s_ann_pq"))
         .map(m => "s_ann_pq" -> pqSql(m, k = 3)) ++
       (for {

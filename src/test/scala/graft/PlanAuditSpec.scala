@@ -474,6 +474,57 @@ class PlanAuditSpec extends SparkSpec {
     }, "no equi join on the cell id")
   }
 
+  test("hard negatives: cell equi join; label filter below the rank window") {
+    val ns = nodes(SparkEntry.queries("s_hard_negatives")(spark, dir))
+    assert(!ns.exists(p => p.nodeName.contains("BroadcastNestedLoopJoin") ||
+      p.nodeName.contains("CartesianProduct")),
+      "hard-negative mining degraded to a nested loop")
+    assert(ns.exists {
+      case _: BroadcastHashJoinExec | _: SortMergeJoinExec => true
+      case p => p.nodeName.contains("ShuffledHashJoin")
+    }, "no equi join on the cell id")
+    // the label-mismatch filter must prune candidates BEFORE the ranking
+    // window's exchange — as a post-window filter it would ship (and
+    // rank) every same-label pair for nothing
+    val windows = ns.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    val belowWindow = windows.flatMap(w => flatten(w.child))
+    // Catalyst may keep it as a FilterExec or fold it into the join
+    // condition — both prune pre-exchange; only a post-window residual
+    // (absent below) would be wrong
+    assert(belowWindow.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("n_label")
+      case j: BroadcastHashJoinExec =>
+        j.condition.exists(_.toString.contains("n_label"))
+      case j: SortMergeJoinExec =>
+        j.condition.exists(_.toString.contains("n_label"))
+      case _ => false
+    }, "label filter did not stay below the ranking window")
+  }
+
+  test("sq8: corpus decodes ONCE below the scoring join, never per pair") {
+    import org.apache.spark.sql.execution.ProjectExec
+    val ns = nodes(SparkEntry.queries("s_ann_sq8")(spark, dir))
+    def decodes(p: SparkPlan): Boolean = p match {
+      case pr: ProjectExec =>
+        pr.projectList.exists(_.toString.contains("transform("))
+      case _ => false
+    }
+    val joins = ns.filter(_.nodeName.contains("Join"))
+    assert(joins.nonEmpty)
+    val belowJoins = joins.flatMap(j => j.children.flatMap(flatten(_)))
+      .filter(decodes)
+    // decode is a projection inside the corpus scan stage (below the
+    // join) — and nowhere else: a decode ABOVE the join would re-run
+    // the 64-lambda transform once per candidate pair instead of once
+    // per corpus row
+    assert(belowJoins.nonEmpty, "no map-side decode below the join")
+    assert(ns.count(decodes) === belowJoins.size,
+      "decode re-evaluated above the scoring join (per pair)")
+  }
+
   test("mix interleave: bounded prefix rides TakeOrderedAndProject") {
     val ns = nodes(SparkEntry.queries("t_mix_interleave")(spark, dir))
     // limit-after-sort must collapse to a streaming top-k: a global Sort

@@ -34,7 +34,11 @@ class RecallSpec extends SparkSpec {
     "s_ann_ivf_probe" -> 0.60,
     "s_ann_pq" -> 0.05,
     "s_ann_ivfpq" -> 0.05,
-    "s_ann_ivfpq_rerank" -> 0.70)
+    "s_ann_ivfpq_rerank" -> 0.70,
+    // SQ8 is the near-lossless tier: 8 bits per DIMENSION (vs PQ's 4
+    // bits per 8-dim subspace) must essentially reproduce the exact
+    // ranking even on the degenerate uniform fixture
+    "s_ann_sq8" -> 0.90)
 
   // measured on the clustered fixture (r7): lsh 0.767, lsh_probe 1.000,
   // ivf 1.000, ivf_probe 1.000, pq 0.200, ivfpq 0.633, rerank 1.000
@@ -45,7 +49,8 @@ class RecallSpec extends SparkSpec {
     "s_ann_ivf_probe" -> 0.90,
     "s_ann_pq" -> 0.05,
     "s_ann_ivfpq" -> 0.40,
-    "s_ann_ivfpq_rerank" -> 0.90)
+    "s_ann_ivfpq_rerank" -> 0.90,
+    "s_ann_sq8" -> 0.90)
 
   test("recall@3 of every ANN method clears its recorded floor") {
     assume(new java.io.File(s"$fixture/embeddings.parquet").exists(),
@@ -66,6 +71,8 @@ class RecallSpec extends SparkSpec {
     assert(recall("s_ann_ivf_probe") > recall("s_ann_ivf"))
     assert(recall("s_ann_ivf") > recall("s_ann_pq"))
     assert(recall("s_ann_ivfpq_rerank") > recall("s_ann_ivfpq"))
+    // 8 bits/dim must beat 4 bits/8-dim-subspace on any fixture
+    assert(recall("s_ann_sq8") > recall("s_ann_pq"))
   }
 
   test("clustered fixture: floors hold and residual codes beat raw codes") {
