@@ -102,7 +102,11 @@ final class DebeziumTail(dumpDir: String, producer: SpoolProducer,
     val names = files.map(_.getName).toSet
     state = state.filter { case (k, _) => names.contains(k) }
     var appended = 0
-    for (f <- files) {
+    // per-file IO failures skip THIS file for THIS tick, never kill the
+    // producer: a dump file deleted between the listing and the open is
+    // routine when the dump dir runs its own retention, and the state
+    // entry for a vanished file prunes itself next tick
+    for (f <- files) try {
       val len = f.length()
       val sig = headSig(f, len)
       val start = state.get(f.getName) match {
@@ -143,6 +147,12 @@ final class DebeziumTail(dumpDir: String, producer: SpoolProducer,
           warnedStuck += f.getName
         }
       }
+    } catch {
+      case _: java.io.FileNotFoundException => () // raced a delete: skip
+      case e: java.io.IOException =>
+        System.err.println(
+          s"[graft] dump file ${f.getName}: read failed (${e.getMessage}) " +
+            "— will retry next tick")
     }
     appended
   }
