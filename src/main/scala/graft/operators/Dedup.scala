@@ -207,10 +207,12 @@ object Dedup {
     * list is the verified pair set — already a tiny fraction of the
     * corpus — and every round re-shuffles only (node, label) longs.
     *
-    * Returns (canonical_id = component min, n_members, members =
-    * comma-joined sorted ids — a string so engines hash identically).
+    * Returns one row per node that appears in `pairs`: (id, comp) with
+    * comp = the component's minimum id. Nodes with no near-dup edge are
+    * absent — callers treating isolated docs as their own singleton
+    * cluster coalesce the left join (see `leakage-safe split`).
     */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  def componentLabels(pairs: DataFrame): DataFrame = {
     // Checkpoint (eager), NOT persist: persist caches rows but keeps
     // the logical plan, and an iterative loop that references `labels`
     // twice per round doubles the plan every iteration — Catalyst
@@ -255,10 +257,80 @@ object Dedup {
       labels = updated.select(col("id"), col("comp"))
       round += 1
     }
-    labels.groupBy(col("comp").as("canonical_id"))
+    labels
+  }
+
+  /** [[componentLabels]] collapsed to one row per cluster:
+    * (canonical_id = component min, n_members, members = comma-joined
+    * sorted ids — a string so engines hash identically). */
+  def dupClusters(pairs: DataFrame): DataFrame =
+    componentLabels(pairs).groupBy(col("comp").as("canonical_id"))
       .agg(count(lit(1)).as("n_members"),
         array_join(sort_array(collect_list(col("id"))), ",").as("members"))
+
+  /** Corpus-wide duplicated-span removal — the C4-style "discard any
+    * repeated span, keep its first occurrence" cleaning pass (C4 dropped
+    * duplicate three-sentence spans; RefinedWeb's line-level dedup is the
+    * same shape), at non-overlapping `w`-word chunk granularity so
+    * removal is well-defined: every chunk whose fingerprint appears
+    * earlier anywhere in the corpus (or earlier in the same document) is
+    * deleted, and the surviving chunks are reassembled in order.
+    * "Earlier" = smaller (doc, chunk_idx) position, totally ordered via
+    * the scalar key `doc_id·10⁶ + chunk_idx` (chunk_idx < 10⁶ holds for
+    * any document under ~10⁷ words; enforced via the shared constant so
+    * the SQL oracle's key is identical).
+    *
+    * Shape for 100 TB — the document TEXT never rides the SKEWED key:
+    *  - map side reduces each doc to (fp = md5(chunk), key) pairs, so
+    *    everything partitioned by fingerprint is fixed-width;
+    *  - one partial-aggregated groupBy(fp) finds each fingerprint's
+    *    global first occurrence (a corpus-wide boilerplate chunk is a
+    *    hot KEY but map-side combine caps its reduce-side volume at
+    *    one row per map partition);
+    *  - the fp join back is fixed-width (fp, key) rows — AQE's skew
+    *    split handles a hot fp there;
+    *  - kept chunk INDICES collapse to one int-array row per doc, and
+    *    the final join — the only exchange the token arrays cross, and
+    *    it's keyed by doc_id, which is uniform and bounded per row —
+    *    rebuilds the cleaned text map-side by re-slicing the original
+    *    token array.
+    *
+    * Returns (doc_id, n_chunks, n_kept, clean_text), one row per input
+    * doc; a doc whose every chunk was seen earlier keeps an empty
+    * clean_text rather than vanishing (the caller decides whether
+    * empties are dropped — that's a filter, not dedup semantics).
+    */
+  def spanScrub(docs: DataFrame, idCol: String, textCol: String,
+                w: Int): DataFrame = {
+    require(w >= 1, s"spanScrub: chunk width $w must be >= 1")
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil(size(toks).cast("double") / w).cast("int")
+    val chunked = spread(docs).select(
+      col(idCol).as("doc_id"), toks.as("toks"), nChunks.as("n_chunks"))
+    // light relation: text reduced to fingerprints map-side
+    val light = chunked.select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => md5(array_join(slice(col("toks"), i * w + 1, lit(w)), " ")
+            .cast("binary")))).as(Seq("chunk_idx", "fp")))
+      .select(col("doc_id"), col("chunk_idx"), col("fp"),
+        (col("doc_id") * lit(SpanKeyBase) + col("chunk_idx")).as("k"))
+    val winners = light.groupBy("fp").agg(min("k").as("kmin"))
+    val kept = light.join(winners, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(when(col("k") === col("kmin"),
+        col("chunk_idx")))).as("kept_idx"))
+    chunked.join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"),
+        size(col("kept_idx")).as("n_kept"),
+        array_join(transform(col("kept_idx"),
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " ")), " ")
+          .as("clean_text"))
   }
+
+  /** Chunk-position key base shared with the SQL oracle: key =
+    * doc_id·SpanKeyBase + chunk_idx orders (doc, position) pairs as one
+    * long as long as chunk_idx < SpanKeyBase. */
+  val SpanKeyBase = 1000000L
 
   /** Benchmark decontamination: which training docs share at least one
     * word-`n`-gram with an evaluation/benchmark set? The standard

@@ -275,6 +275,39 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Leakage-safe split: near-duplicate documents MUST land in the same
+    // split or held-out eval leaks into train through paraphrases — so
+    // the split hash is taken over each doc's near-dup-cluster
+    // representative (component min id; isolated docs represent
+    // themselves) instead of the doc id. Composes minhashNearDups →
+    // componentLabels → hashSplit; the label relation is |dup-graph
+    // nodes| rows — a tiny fraction of the corpus, so the left join is
+    // broadcast-sized at any scale.
+    "t_leakage_safe_split" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
+      val labels = Dedup.componentLabels(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("rep_id"))
+        .select(col("doc_id"), col("rep_id"),
+          Sampling.hashSplit(col("rep_id"),
+            Seq("val" -> "1a", "test" -> "33"), "train").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // C4-style duplicated-span scrub: every 10-word chunk seen earlier
+    // anywhere in the corpus is removed, first occurrence wins, and the
+    // cleaned text is reassembled — the sub-document dedup pass between
+    // exact dedup (whole doc) and substring winnowing (report-only).
+    "t_span_scrub" -> { (s, dir) =>
+      Dedup.spanScrub(t(s, dir, "documents"), "doc_id", "text", w = 10)
+        .orderBy("doc_id")
+    },
+
     // Source-mixture weighted sampling: each source kept at its mixing
     // weight, deterministically (hash-threshold, map-only) — the
     // dataset-weighting pass of a training pipeline.
@@ -1044,6 +1077,44 @@ object TextQueries {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '33' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Split hash over the near-dup-cluster representative (component min
+    // via the shared recursive-closure CTE), doc_id fallback for
+    // isolated docs.
+    "t_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |${sqlComponentLabelsCte("verified")}
+         |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep_id,
+         |  CASE WHEN md5(CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)) < '1a'
+         |         THEN 'val'
+         |       WHEN md5(CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)) < '33'
+         |         THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Twin of Dedup.spanScrub: same non-overlapping 10-word chunks, the
+    // same doc_id·10⁶+idx first-occurrence key, text rebuilt from kept
+    // chunks. COALESCE: a doc whose every chunk lost keeps '' (DuckDB's
+    // filtered list() over zero rows is NULL; Spark's array_join of an
+    // empty array is '').
+    "t_span_scrub" ->
+      s"""WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t
+         |  FROM documents),
+         |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |    array_to_string(t[i*10+1:i*10+10], ' ') AS chunk
+         |  FROM tok, LATERAL (SELECT unnest(range(0,
+         |    CAST(ceil(len(t) / 10.0) AS BIGINT))) AS i)),
+         |keyed AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS fp,
+         |    doc_id * ${Dedup.SpanKeyBase} + chunk_idx AS key FROM ch),
+         |w AS (SELECT fp, MIN(key) AS kmin FROM keyed GROUP BY 1)
+         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN key = kmin THEN 1 ELSE 0 END) AS INT)
+         |    AS n_kept,
+         |  COALESCE(array_to_string(list(chunk ORDER BY chunk_idx)
+         |    FILTER (WHERE key = kmin), ' '), '') AS clean_text
+         |FROM keyed JOIN w USING (fp)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The oracle RE-DERIVES the per-source hex cut from the same totals
     // (exact IEEE-754: budget/total division, ×2^32 exponent shift,

@@ -47,16 +47,24 @@ package object queries {
     * Shared by every "pairs → canonical clusters" oracle so the closure
     * semantics can't drift between queries. */
   def sqlComponentsOver(rel: String): String =
+    s"""${sqlComponentLabelsCte(rel)}
+       |SELECT comp AS canonical_id, COUNT(*) AS n_members,
+       |  array_to_string(list(id ORDER BY id), ',') AS members
+       |FROM comp GROUP BY comp ORDER BY canonical_id""".stripMargin
+
+  /** The per-node half of [[sqlComponentsOver]] — CTEs ending in
+    * `comp(id, comp)`, the DuckDB twin of
+    * [[graft.operators.Dedup.componentLabels]]. Splice inside a
+    * `WITH RECURSIVE` chain (no trailing comma) and write your own
+    * final SELECT. */
+  def sqlComponentLabelsCte(rel: String): String =
     s"""edges AS (SELECT id_a AS a, id_b AS b FROM $rel
        |  UNION ALL SELECT id_b, id_a FROM $rel),
        |reach(id, r) AS (
        |  SELECT DISTINCT a, a FROM edges
        |  UNION
        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
-       |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
-       |SELECT comp AS canonical_id, COUNT(*) AS n_members,
-       |  array_to_string(list(id ORDER BY id), ',') AS members
-       |FROM comp GROUP BY comp ORDER BY canonical_id""".stripMargin
+       |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)""".stripMargin
 
   /** Scope the session's shuffle-partition count to one query. Stateful
     * streaming pins ONE state-store instance (a RocksDB on disk) per

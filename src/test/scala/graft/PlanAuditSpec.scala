@@ -598,4 +598,33 @@ class PlanAuditSpec extends SparkSpec {
       p.nodeName.contains("CartesianProduct")),
       "the sketch path should not join")
   }
+
+  test("span scrub: token arrays never ride the skewed fingerprint key") {
+    val ns = nodes(SparkEntry.queries("t_span_scrub")(spark, dir))
+    val shuffles = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the fp-keyed exchanges (winner agg + join back) are the skew
+    // hazard — a corpus-wide boilerplate chunk lands on one reducer, so
+    // nothing variable-width may ride them; the token arrays may cross
+    // only doc_id-keyed (uniform) or range (output sort) exchanges
+    val textish = Set("toks", "text", "clean_text", "chunk")
+    shuffles.foreach { e =>
+      val carried = e.output.map(_.name).toSet
+      val byFp = e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "fp"))
+        case _ => false
+      }
+      assert(!(byFp && carried.exists(textish)),
+        s"text rides the fp shuffle: ${carried.mkString(",")}")
+    }
+    assert(shuffles.exists { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "fp"))
+        case _ => false
+      }
+    }, "expected a fingerprint-keyed exchange (winner aggregation)")
+  }
 }

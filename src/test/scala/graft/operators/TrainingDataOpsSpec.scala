@@ -148,6 +148,49 @@ class TrainingDataOpsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("spanScrub: first occurrence wins across and within docs") {
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val boiler = words(1 to 10, "b") // one exact 10-word chunk
+    val docs = Seq(
+      // doc 1: unique chunk + boilerplate chunk (positions 0,1)
+      (1L, words(1 to 10, "u") + " " + boiler),
+      // doc 2: boilerplate FIRST, then unique — loses chunk 0 to doc 1
+      (2L, boiler + " " + words(1 to 10, "v")),
+      // doc 3: the same chunk twice — within-doc dup also collapses
+      (3L, words(1 to 10, "w") + " " + words(1 to 10, "w")),
+      // doc 4: all chunks seen earlier → empty clean_text
+      (4L, boiler),
+      // doc 5: 13 words — a 3-word tail chunk survives as its own unit
+      (5L, words(1 to 13, "t"))).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs, "doc_id", "text", w = 10)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(byId(1L) === ((2, 2, words(1 to 10, "u") + " " + boiler)))
+    assert(byId(2L) === ((2, 1, words(1 to 10, "v"))))
+    assert(byId(3L) === ((2, 1, words(1 to 10, "w"))))
+    assert(byId(4L) === ((1, 0, "")))
+    assert(byId(5L) === ((2, 2, words(1 to 13, "t"))))
+  }
+
+  test("componentLabels + hashSplit: near-dups share a split label") {
+    // path graph 1-2-3 plus isolated 9: all of 1,2,3 must take 1's split
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.componentLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val split = docs
+      .join(Dedup.componentLabels(pairs).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), Sampling.hashSplit(
+        coalesce(col("comp"), col("doc_id")),
+        Seq("val" -> "40", "test" -> "80"), "train").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split(1L) === split(2L) && split(2L) === split(3L),
+      s"cluster members split apart: $split")
+  }
+
   test("hashSplit: deterministic, covers all labels, respects cut order") {
     val ids = spark.range(0, 2000).toDF("id")
     val split = Sampling.hashSplit(col("id"),
