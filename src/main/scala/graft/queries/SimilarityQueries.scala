@@ -25,6 +25,8 @@ object SimilarityQueries {
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pq.Model]()
   private val sqModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Sq.Model]()
+  private val pcaModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pca.Model]()
 
   /** Fit memo, keyed by (fixture dir, hyperparameters). Every fit here
     * is a DETERMINISTIC pure function of its inputs (order-independent
@@ -221,6 +223,22 @@ object SimilarityQueries {
         model, k = 3)
         .select("query_id", "neighbor_id", "sim", "rnk")
         .orderBy("query_id", "rnk")
+    },
+
+    // PCA projection: the corpus projected onto the top-8 principal
+    // axes of a sample-fitted covariance (decorrelation /
+    // dimensionality reduction — the vector-pipeline pre-processing
+    // tier, and the rotation half of the public OPQ recipe). The fit's
+    // only exchange is the moment table; the projection is a map-only
+    // codegen'd literal-array dot per axis. Frozen-eigenvector oracle.
+    "s_pca_project" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = memo(s"pca:$dir:p8")(graft.operators.Pca.fit(
+        emb, "vec_id", "embedding", p = 8))
+      pcaModels.put("s_pca_project", model)
+      emb.select(col("vec_id") +:
+        graft.operators.Pca.projection(col("embedding"), model): _*)
+        .orderBy("vec_id")
     },
 
     // Hard-negative mining: for each labeled query, the most-similar
@@ -831,6 +849,8 @@ object SimilarityQueries {
         .map(m => "s_hard_negatives" -> hardNegSql(m, k = 3, nProbe = 4)) ++
       Option(sqModels.get("s_ann_sq8"))
         .map(m => "s_ann_sq8" -> sq8Sql(m, k = 3)) ++
+      Option(pcaModels.get("s_pca_project"))
+        .map(m => "s_pca_project" -> pcaSql(m)) ++
       Option(pqModels.get("s_ann_pq"))
         .map(m => "s_ann_pq" -> pqSql(m, k = 3)) ++
       (for {
@@ -842,6 +862,24 @@ object SimilarityQueries {
         pq <- Option(pqModels.get("s_ann_ivfpq_rerank"))
       } yield "s_ann_ivfpq_rerank" ->
         ivfPqRerankSql(coarse, pq, k = 3, shortlist = 100, nProbe = 4))
+
+  /** DuckDB twin of `Pca.projection` with the fitted axes inlined:
+    * score_j = round((0.0 + v[1]·e_1 + … + v[d]·e_d) − centerDot_j, 4)
+    * — the identical left-to-right double fold as the codegen'd VecDot,
+    * centering via the SAME driver-computed literal both engines embed
+    * (`Double.toString` round-trips). */
+  private def pcaSql(m: graft.operators.Pca.Model): String = {
+    val cols = m.components.indices.map { j =>
+      val e = m.components(j)
+      val dotE = e.indices.map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * (${fmt(e(i))})")
+        .mkString("(0.0 + ", " + ", ")")
+      s"round($dotE - (${fmt(m.centerDot(j))}), 4) AS pc${j + 1}"
+    }
+    s"""SELECT vec_id,
+       |  ${cols.mkString(",\n  ")}
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
 
   /** Shared CTE chain: sign-bucket → candidate pairs → cosine-verified
     * `epairs` (threshold 0.3) — the DuckDB twin of

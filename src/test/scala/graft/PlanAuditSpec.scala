@@ -599,6 +599,21 @@ class PlanAuditSpec extends SparkSpec {
       "the sketch path should not join")
   }
 
+  test("pca projection: map-only scan — no shuffle below the output sort") {
+    val ns = nodes(SparkEntry.queries("s_pca_project")(spark, dir))
+    assert(scansOf(ns, "embeddings").size === 1,
+      "projection re-reads embeddings")
+    val shuffles = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(_.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      "the frozen-axis projection should not shuffle: " +
+        shuffles.map(_.outputPartitioning).mkString(","))
+    assert(!ns.exists(_.nodeName.contains("Join")),
+      "the projection path should not join")
+  }
+
   test("span scrub: token arrays never ride the skewed fingerprint key") {
     val ns = nodes(SparkEntry.queries("t_span_scrub")(spark, dir))
     val shuffles = ns.collect {
