@@ -71,6 +71,56 @@ object Pca {
     else round((dot(v, typedlit[Seq[Double]](model.components(j).toSeq)) -
       lit(model.centerDot(j))) / lit(math.sqrt(model.eigenvalues(j))), 4)
 
+  /** Unaliased projection scores packed into one double array — the
+    * reduced-space representation [[rerankTopK]] scans. Unrounded: the
+    * rounding happens once, on the final distance. */
+  private def packed(v: Column, model: Model): Column =
+    array(model.components.indices.map(j =>
+      dot(v, typedlit[Seq[Double]](model.components(j).toSeq)) -
+        lit(model.centerDot(j))): _*)
+
+  /** ANN via PCA shortlist + exact re-rank — the "coarse search in low
+    * dimensions" recipe: candidates are scored by squared L2 distance in
+    * the p-dim projected space (p/d of the brute-force flops per pair —
+    * PCA minimizes the L2 distortion of that approximation among all
+    * rank-p projections, and for unit-norm embeddings L2 order IS cosine
+    * order), and only the per-query `shortlist` survivors fetch float
+    * vectors for the exact cosine re-rank. Same scan shapes as the PQ
+    * rerank: the corpus side carries p doubles per row (projected
+    * map-side, inherits partitioning), the query side broadcasts, and
+    * the shortlist broadcasts INTO the full-vector corpus scan — floats
+    * surface only for |Q|·shortlist rows. Compose with [[Ivf]] cells
+    * when |corpus| makes even the reduced scan too wide. */
+  def rerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, model: Model, k: Int,
+                 shortlist: Int): DataFrame = {
+    import Similarity.{norm2, rankTopK}
+    val q = queries.select(col(idCol).as("query_id"),
+        packed(col(vecCol), model).as("pq"))
+      .select(col("query_id"), col("pq"), norm2(col("pq")).as("nq"))
+    val c = Partitioning.spread(corpus)
+      .select(col(idCol).as("neighbor_id"),
+        packed(col(vecCol), model).as("pc"))
+      .select(col("neighbor_id"), col("pc"), norm2(col("pc")).as("nc"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("nq") + col("nc") -
+          lit(2.0) * dot(col("pq"), col("pc")), 4).as("pdist"))
+    val short = rankTopK(scored, col("pdist").asc_nulls_last, shortlist)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2(col(vecCol)).as("nqv"))
+    val cv = Partitioning.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm2(col(vecCol)).as("ncv"))
+    val exact = cv.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) /
+          sqrt(col("nqv") * col("ncv")), 4).as("sim"))
+    rankTopK(exact, col("sim").desc_nulls_last, k)
+  }
+
   /** Fit mean + top-`p` principal axes on a hash-prefix sample.
     *
     * One distributed pass: each sampled row expands to its d mean terms

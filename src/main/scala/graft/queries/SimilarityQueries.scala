@@ -241,6 +241,23 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // PCA-shortlist ANN: candidates scored by squared L2 in the 8-dim
+    // projected space (8/64 of the brute-force flops per pair), exact
+    // cosine re-rank over the shortlist only — the "coarse search in
+    // low dimensions" recipe, sharing the frozen PCA model with
+    // s_pca_project. Recall tracked next to the other ANN methods.
+    "s_ann_pca_rerank" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = memo(s"pca:$dir:p8")(graft.operators.Pca.fit(
+        emb, "vec_id", "embedding", p = 8))
+      pcaModels.put("s_ann_pca_rerank", model)
+      graft.operators.Pca.rerankTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        model, k = 3, shortlist = 20)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+
     // Hard-negative mining: for each labeled query, the most-similar
     // corpus vectors with a DIFFERENT label — the contrastive-training
     // batch builder (confusable ≠ same class). IVF cells bound the
@@ -746,7 +763,8 @@ object SimilarityQueries {
     val exact = defs("s_ann_topk")(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try Seq("s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf", "s_ann_ivf_probe",
-        "s_ann_pq", "s_ann_ivfpq", "s_ann_ivfpq_rerank", "s_ann_sq8")
+        "s_ann_pq", "s_ann_ivfpq", "s_ann_ivfpq_rerank", "s_ann_sq8",
+        "s_ann_pca_rerank")
       .map(m => m -> recallAtK(exact, defs(m)(s, dir), k)).toMap
     finally exact.unpersist(blocking = false)
   }
@@ -827,7 +845,11 @@ object SimilarityQueries {
           "s_ann_sq8" -> graft.operators.Sq.adcTopK(q, cached, "vec_id",
             "embedding",
             graft.operators.Sq.fit(cached, "vec_id", "embedding", dim = 64),
-            k)
+            k),
+          "s_ann_pca_rerank" -> graft.operators.Pca.rerankTopK(q, cached,
+            "vec_id", "embedding",
+            graft.operators.Pca.fit(cached, "vec_id", "embedding", p = 8),
+            k, shortlist = 20)
         ).map { case (m, df) => m -> recallAtK(exact, df, k) }
       } finally exact.unpersist(blocking = false)
     } finally cached.unpersist(blocking = false)
@@ -851,6 +873,9 @@ object SimilarityQueries {
         .map(m => "s_ann_sq8" -> sq8Sql(m, k = 3)) ++
       Option(pcaModels.get("s_pca_project"))
         .map(m => "s_pca_project" -> pcaSql(m)) ++
+      Option(pcaModels.get("s_ann_pca_rerank"))
+        .map(m => "s_ann_pca_rerank" ->
+          pcaRerankSql(m, k = 3, shortlist = 20)) ++
       Option(pqModels.get("s_ann_pq"))
         .map(m => "s_ann_pq" -> pqSql(m, k = 3)) ++
       (for {
@@ -879,6 +904,62 @@ object SimilarityQueries {
     s"""SELECT vec_id,
        |  ${cols.mkString(",\n  ")}
        |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of `Pca.rerankTopK`: frozen-axis projections on both
+    * sides (unrounded, like the Spark scan), squared-L2 shortlist
+    * `round((nq + nc) − 2.0·dot, 4)` mirroring the norm2/VecDot folds,
+    * exact cosine re-rank identical to the PQ rerank tail. */
+  private def pcaRerankSql(m: graft.operators.Pca.Model, k: Int,
+                           shortlist: Int): String = {
+    def pexprs(prefix: String) = m.components.indices.map { j =>
+      val e = m.components(j)
+      val dotE = e.indices.map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * (${fmt(e(i))})")
+        .mkString("(0.0 + ", " + ", ")")
+      s"$dotE - (${fmt(m.centerDot(j))}) AS $prefix${j + 1}"
+    }
+    def sq(prefix: String) = m.components.indices
+      .map(j => s"$prefix${j + 1} * $prefix${j + 1}")
+      .mkString("(0.0 + ", " + ", ")")
+    val dotP = m.components.indices
+      .map(j => s"q.p${j + 1} * c.p${j + 1}")
+      .mkString("(0.0 + ", " + ", ")")
+    s"""WITH q0 AS (SELECT vec_id AS query_id,
+       |    ${pexprs("p").mkString(",\n    ")}
+       |  FROM embeddings WHERE vec_id < 10),
+       |q AS (SELECT *, ${sq("p")} AS nq FROM q0),
+       |c0 AS (SELECT vec_id AS neighbor_id,
+       |    ${pexprs("p").mkString(",\n    ")}
+       |  FROM embeddings),
+       |c AS (SELECT *, ${sq("p")} AS nc FROM c0),
+       |s AS (SELECT query_id, neighbor_id,
+       |    round((q.nq + c.nc) - 2.0 * $dotP, 4) AS pdist
+       |  FROM q JOIN c ON query_id <> neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pdist ASC, neighbor_id) AS INT) AS rnk
+       |  FROM s),
+       |short AS (SELECT query_id, neighbor_id FROM ranked
+       |          WHERE rnk <= $shortlist),
+       |un2 AS (SELECT sh.query_id, sh.neighbor_id,
+       |          unnest(qe.embedding) AS x, unnest(ce.embedding) AS y
+       |        FROM short sh
+       |        JOIN embeddings qe ON qe.vec_id = sh.query_id
+       |        JOIN embeddings ce ON ce.vec_id = sh.neighbor_id),
+       |ex AS (SELECT query_id, neighbor_id,
+       |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+       |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+       |       FROM un2 GROUP BY 1, 2),
+       |rr AS (SELECT query_id, neighbor_id,
+       |         round(dot / sqrt(nx * ny), 4) AS sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
+       |           AS INT) AS rnk
+       |       FROM ex)
+       |SELECT query_id, neighbor_id, sim, rnk FROM rr
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
   /** Shared CTE chain: sign-bucket → candidate pairs → cosine-verified

@@ -421,6 +421,21 @@ class PlanAuditSpec extends SparkSpec {
       "shortlist/query sides did not broadcast")
   }
 
+  test("pca rerank: reduced scan per pair; floats broadcast-join only") {
+    val ns = nodes(SparkEntry.queries("s_ann_pca_rerank")(spark, dir))
+    // the wide float vectors must reach the exact stage via broadcast
+    // joins (shortlist ids + query vectors are tiny); a sort-merge means
+    // the corpus shuffled 64-dim floats for a |Q|·shortlist-row join.
+    // The reduced-space scan is a broadcast nested loop BY DESIGN (8
+    // doubles per pair — the point of projecting first).
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "pca rerank degraded to a sort-merge join over the corpus")
+    assert(!ns.exists(p => p.nodeName.contains("CartesianProduct")),
+      "pca rerank planned a cartesian product")
+    assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "shortlist/query sides did not broadcast")
+  }
+
   test("packing: every running-sum window partitions by the pack group") {
     val ns = nodes(SparkEntry.queries("t_pack_chunks")(spark, dir))
     val windows = ns.collect {

@@ -38,7 +38,11 @@ class RecallSpec extends SparkSpec {
     // SQ8 is the near-lossless tier: 8 bits per DIMENSION (vs PQ's 4
     // bits per 8-dim subspace) must essentially reproduce the exact
     // ranking even on the degenerate uniform fixture
-    "s_ann_sq8" -> 0.90)
+    "s_ann_sq8" -> 0.90,
+    // a rank-8 projection of 64-dim ISOTROPIC data keeps 1/8 of the
+    // variance by construction — 0.20 measured is the honest degenerate
+    // number (the clustered fixture is where the recipe works)
+    "s_ann_pca_rerank" -> 0.10)
 
   // measured on the clustered fixture (r7): lsh 0.767, lsh_probe 1.000,
   // ivf 1.000, ivf_probe 1.000, pq 0.200, ivfpq 0.633, rerank 1.000
@@ -50,7 +54,10 @@ class RecallSpec extends SparkSpec {
     "s_ann_pq" -> 0.05,
     "s_ann_ivfpq" -> 0.40,
     "s_ann_ivfpq_rerank" -> 0.90,
-    "s_ann_sq8" -> 0.90)
+    "s_ann_sq8" -> 0.90,
+    // low-rank within-cluster structure is exactly what a rank-8
+    // projection preserves: measured 1.000
+    "s_ann_pca_rerank" -> 0.90)
 
   test("recall@3 of every ANN method clears its recorded floor") {
     assume(new java.io.File(s"$fixture/embeddings.parquet").exists(),
