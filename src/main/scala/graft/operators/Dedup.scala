@@ -85,16 +85,23 @@ object Dedup {
     * Within a band bucket of m docs the C(m,2) pair fan-out is inherent
     * to LSH output; the join distributes it across tasks, so one hot
     * bucket (a giant dup cluster) cannot pin a single executor. */
-  def lshCandidates(mh: DataFrame, idCol: String, b: Int, r: Int): DataFrame = {
+  /** (id, band, bk) band-key table from a minhash frame — the LSH
+    * "index" relation: self-joined for batch dedup, persisted/bucketed
+    * by (band, bk) as the probe target for incremental ingest. */
+  private def bandTable(mh: DataFrame, idCol: String, b: Int,
+                        r: Int): DataFrame = {
     // band key = plain lane concat — the lanes are already uniform
     // hashes, re-digesting them buys nothing
     val bandKeys = array((0 until b).map(band => concat_ws("|",
       (0 until r).map(row => col(s"h${band * r + row}")): _*)): _*)
+    mh.select(col(idCol).as("id"), posexplode(bandKeys).as(Seq("band", "bk")))
+  }
+
+  def lshCandidates(mh: DataFrame, idCol: String, b: Int, r: Int): DataFrame = {
     // persist: (id, band, key) is the smallest representation of the
     // corpus (b rows/doc, no text) and both self-join sides read it —
     // without it each side re-runs the whole shingle→minhash aggregation
-    val banded = mh.select(col(idCol).as("id"),
-      posexplode(bandKeys).as(Seq("band", "bk")))
+    val banded = bandTable(mh, idCol, b, r)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.select(col("id").as("id_a"), col("band"), col("bk"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("bk")),
@@ -192,6 +199,49 @@ object Dedup {
       .groupBy("id").agg(minhashAggs(k).head, minhashAggs(k).tail: _*)
     val cand = lshCandidates(mh, "id", b, r)
     verifyJaccardSh(sh, cand)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup detection — the production INGEST path: a new
+    * batch of documents is checked against the already-indexed corpus
+    * (and against itself) WITHOUT re-running dedup over the corpus.
+    * Exactly the full pipeline's pairs restricted to "at least one end
+    * in the batch" (minhashes are per-doc, so band keys don't depend on
+    * which docs arrived together — the equivalence the oracle asserts).
+    *
+    * Shape for 100 TB: the corpus side contributes its band-key relation
+    * (b fixed-width rows per doc — in production a persisted table
+    * bucketed by (band, bk), an ingest-time artifact like the ANN
+    * codebooks) and its per-doc shingle arrays surface only for docs a
+    * candidate pair touches (the verify stage's semi-join). The BATCH
+    * side — minhashed fresh — broadcasts into the index probe, so the
+    * index is scanned in place: no corpus shuffle, no self-join. The
+    * within-batch pairs reuse the batch-sized self-join.
+    */
+  def incrementalNearDups(existing: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 6, b: Int = 3, r: Int = 2,
+                          threshold: Double = 0.5): DataFrame = {
+    val shEx = shingleTable(existing, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shNew = shingleTable(batch, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def mhOf(sh: DataFrame) = sh.select(col("id") +: digestCols(k): _*)
+      .groupBy("id").agg(minhashAggs(k).head, minhashAggs(k).tail: _*)
+    val probe = bandTable(mhOf(shNew), "id", b, r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = bandTable(mhOf(shEx), "id", b, r)
+      .join(broadcast(probe.select(col("id").as("id_new"),
+        col("band"), col("bk"))), Seq("band", "bk"))
+      .select(least(col("id"), col("id_new")).as("id_a"),
+        greatest(col("id"), col("id_new")).as("id_b"))
+      .distinct()
+    val within = probe.select(col("id").as("id_a"), col("band"), col("bk"))
+      .join(probe.select(col("id").as("id_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccardSh(shEx.union(shNew), cross.union(within).distinct())
       .filter(col("jaccard") >= threshold)
   }
 

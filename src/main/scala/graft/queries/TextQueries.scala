@@ -139,6 +139,25 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // Per-source quality calibration: a quality score's distribution
+    // shifts across domains, so one global cut over- or under-prunes
+    // every source — the shipped practice is "keep each source's top
+    // half BY ITS OWN distribution". The per-source median is a
+    // partially-aggregated percentile (counts-by-value merge — no
+    // per-source sort, no hot window partition however large one
+    // source is); the |sources|-row cut table broadcasts back.
+    "t_quality_calibrate" -> { (s, dir) =>
+      val q = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text"), enStop).as("quality"))
+      val cuts = q.groupBy("source")
+        .agg(percentile(col("quality"), lit(0.5)).as("cut"))
+      q.join(broadcast(cuts), Seq("source"))
+        .filter(col("quality") >= col("cut"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          round(col("cut"), 6).as("cut"))
+        .orderBy("doc_id")
+    },
+
     "t_fingerprint_dups" -> { (s, dir) =>
       t(s, dir, "documents")
         .groupBy(TextAnalysis.prefixFingerprint(col("text"), 8).as("fp"))
@@ -252,6 +271,20 @@ object TextQueries {
       val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
         "doc_id", "text", n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
       Dedup.dupClusters(pairs).orderBy("canonical_id")
+    },
+
+    // Incremental ingest dedup: every 10th doc plays the "new batch",
+    // checked against the rest as the standing index — the batch
+    // broadcasts into the index probe, the corpus never self-joins.
+    // The oracle is the FULL pipeline restricted to batch-touching
+    // pairs: incremental maintenance must equal recomputation.
+    "d_incremental_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b")
     },
 
     // Benchmark decontamination: training docs sharing any word-4-gram
@@ -1060,6 +1093,14 @@ object TextQueries {
       s"""WITH RECURSIVE $minhashPairsCte,
          |${sqlComponentsOver("verified")}""".stripMargin,
 
+    // Incremental-equals-recompute: the full pipeline's verified pairs,
+    // restricted to pairs touching the batch (doc_id % 10 = 0).
+    "d_incremental_neardup" ->
+      s"""WITH $minhashPairsCte
+         |SELECT id_a, id_b, jaccard FROM verified
+         |WHERE id_a % 10 = 0 OR id_b % 10 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "t_decontam_ngram" ->
       """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
         |sh4 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3],' ') AS s
@@ -1169,6 +1210,26 @@ object TextQueries {
         |  round((SELECT c FROM cut), 6) AS cut
         |FROM documents WHERE n_chars >= (SELECT c FROM cut)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Per-source median cut over the shared quality expression; filter
+    // on the unrounded cut, round only for output (both engines).
+    "t_quality_calibrate" -> {
+      val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH base AS (SELECT doc_id, source, str_split(text,' ') AS tk,
+         |    list_distinct(str_split(text,' ')) AS dt FROM documents),
+         |q AS (SELECT doc_id, source,
+         |    round((LEAST(len(tk)/64.0, 1.0)
+         |      + CAST(len(dt) AS DOUBLE)/len(tk)
+         |      + LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)) / 3.0,
+         |      6) AS quality
+         |  FROM base),
+         |cuts AS (SELECT source, quantile_cont(quality, 0.5) AS cut
+         |  FROM q GROUP BY 1)
+         |SELECT doc_id, source, quality, round(cut, 6) AS cut
+         |FROM q JOIN cuts USING (source)
+         |WHERE quality >= cut
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "d_substring_dup" ->
       """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t

@@ -629,6 +629,19 @@ class PlanAuditSpec extends SparkSpec {
       "the projection path should not join")
   }
 
+  test("incremental dedup: the batch broadcasts into the index probe") {
+    val ns = nodes(SparkEntry.queries("d_incremental_neardup")(spark, dir))
+    // the standing index must be probed in place — a sort-merge join on
+    // the band key would shuffle the whole index per ingest batch
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "index probe degraded to a sort-merge join")
+    assert(!ns.exists(p => p.nodeName.contains("CartesianProduct") ||
+      p.nodeName.contains("BroadcastNestedLoopJoin")),
+      "incremental dedup planned a nested loop")
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "batch side did not broadcast into the index")
+  }
+
   test("span scrub: token arrays never ride the skewed fingerprint key") {
     val ns = nodes(SparkEntry.queries("t_span_scrub")(spark, dir))
     val shuffles = ns.collect {

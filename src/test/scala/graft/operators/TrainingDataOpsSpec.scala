@@ -148,6 +148,31 @@ class TrainingDataOpsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("incrementalNearDups equals full-pipeline pairs touching the batch") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                          // index
+      (2L, (1 to 38).map(i => s"w$i").mkString(" ") + " x y"), // index dup of 1
+      (3L, (100 to 140).map(i => s"v$i").mkString(" ")),   // index, unrelated
+      (10L, base + " z"),                                  // batch dup of 1, 2
+      (20L, (100 to 139).map(i => s"v$i").mkString(" ") + " q"), // batch dup of 3
+      (30L, base + " z z2"),                               // batch dup of 10 too
+      (40L, (200 to 240).map(i => s"u$i").mkString(" "))   // batch, unrelated
+    ).toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") < 10), docs.filter(col("doc_id") >= 10),
+      "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 >= 10 || p._2 >= 10).toSet
+    assert(inc === full, s"incremental ≠ restricted recompute")
+    // sanity: cross-set AND within-batch pairs both present
+    assert(inc.exists(p => p._1 < 10 && p._2 >= 10), "no cross pair found")
+    assert(inc.exists(p => p._1 >= 10 && p._2 >= 10), "no within-batch pair")
+    assert(!inc.exists(p => p._1 < 10 && p._2 < 10), "index-only pair leaked")
+  }
+
   test("spanScrub: first occurrence wins across and within docs") {
     def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
     val boiler = words(1 to 10, "b") // one exact 10-word chunk
