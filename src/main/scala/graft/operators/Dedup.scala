@@ -222,7 +222,14 @@ object Dedup {
                           idCol: String, textCol: String,
                           n: Int = 3, k: Int = 6, b: Int = 3, r: Int = 2,
                           threshold: Double = 0.5): DataFrame = {
+    // UPSERT semantics for an id on both sides (a re-ingested doc): its
+    // index entry is stale by definition, so its shingles come from the
+    // BATCH text only — without the anti-join the union'd shingle table
+    // would hold both generations under one id and every pair touching
+    // it would verify against a doubled array (jaccard biased low —
+    // dups silently missed); the band-level self-pair is dropped below.
     val shEx = shingleTable(existing, idCol, textCol, n)
+      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shNew = shingleTable(batch, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -233,14 +240,16 @@ object Dedup {
     val cross = bandTable(mhOf(shEx), "id", b, r)
       .join(broadcast(probe.select(col("id").as("id_new"),
         col("band"), col("bk"))), Seq("band", "bk"))
+      .filter(col("id") =!= col("id_new"))
       .select(least(col("id"), col("id_new")).as("id_a"),
         greatest(col("id"), col("id_new")).as("id_b"))
-      .distinct()
     val within = probe.select(col("id").as("id_a"), col("band"), col("bk"))
       .join(probe.select(col("id").as("id_b"), col("band"), col("bk")),
         Seq("band", "bk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    // ONE distinct over the union — per-side distincts would add two
+    // extra exchanges only for this one to re-deduplicate the same rows
     verifyJaccardSh(shEx.union(shNew), cross.union(within).distinct())
       .filter(col("jaccard") >= threshold)
   }
@@ -353,26 +362,47 @@ object Dedup {
   def spanScrub(docs: DataFrame, idCol: String, textCol: String,
                 w: Int): DataFrame = {
     require(w >= 1, s"spanScrub: chunk width $w must be >= 1")
+    require({
+      import org.apache.spark.sql.types._
+      docs.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }, s"spanScrub: $idCol must be an integral id (the first-occurrence " +
+      s"key is doc_id*$SpanKeyBase + chunk_idx) — got " +
+      docs.schema(idCol).dataType.simpleString)
     val toks = split(col(textCol), " ")
     val nChunks = ceil(size(toks).cast("double") / w).cast("int")
     val chunked = spread(docs).select(
       col(idCol).as("doc_id"), toks.as("toks"), nChunks.as("n_chunks"))
-    // light relation: text reduced to fingerprints map-side
+    // light relation: text reduced to fingerprints map-side. The key
+    // overflow guard errors LOUDLY: a ≥ w·SpanKeyBase-word document
+    // would otherwise collide into the next doc_id's key space and
+    // silently elect wrong first-occurrence winners.
     val light = chunked.select(col("doc_id"), col("n_chunks"),
         posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
           i => md5(array_join(slice(col("toks"), i * w + 1, lit(w)), " ")
             .cast("binary")))).as(Seq("chunk_idx", "fp")))
       .select(col("doc_id"), col("chunk_idx"), col("fp"),
-        (col("doc_id") * lit(SpanKeyBase) + col("chunk_idx")).as("k"))
+        when(col("chunk_idx") < lit(SpanKeyBase),
+          col("doc_id") * lit(SpanKeyBase) + col("chunk_idx"))
+          .otherwise(raise_error(concat(lit("spanScrub: document "),
+            col("doc_id").cast("string"),
+            lit(s" exceeds $SpanKeyBase chunks — raise SpanKeyBase"))))
+          .as("k"))
     val winners = light.groupBy("fp").agg(min("k").as("kmin"))
     val kept = light.join(winners, Seq("fp"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(when(col("k") === col("kmin"),
         col("chunk_idx")))).as("kept_idx"))
-    chunked.join(kept, Seq("doc_id"))
+    // left join + empty-array fallback: a null-text doc produces no
+    // chunk rows at all, but the contract is one output row per input
+    // doc (n_chunks stays null for it — honest; clean_text is '')
+    chunked.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
-        size(col("kept_idx")).as("n_kept"),
-        array_join(transform(col("kept_idx"),
+        coalesce(size(col("kept_idx")), lit(0)).as("n_kept"),
+        array_join(transform(
+          coalesce(col("kept_idx"), array().cast("array<int>")),
           i => array_join(slice(col("toks"), i * w + 1, lit(w)), " ")), " ")
           .as("clean_text"))
   }

@@ -132,8 +132,12 @@ object Pca {
     */
   def fit(vecs: DataFrame, idCol: String, vecCol: String, p: Int,
           sample: Int = 10000): Model = {
+    // dim probe from the minimum-id row — limit(1) on an unordered frame
+    // would pick a partition-layout-dependent row, and on a
+    // mixed-dimension corpus THAT would decide which rows train the
+    // model (breaking the any-layout determinism the frozen oracle needs)
     val dimRow = vecs.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).limit(1).collect()
+      .orderBy(col(idCol)).select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty, "Pca.fit: no non-null vectors to train on")
     val d = dimRow.head.getInt(0)
     require(p >= 1 && p <= d, s"Pca.fit: p $p out of range 1..$d")

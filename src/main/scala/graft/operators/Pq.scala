@@ -129,9 +129,12 @@ object Pq {
   def fit(vecs: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int,
           iters: Int = 3, sample: Int = 10000): Model = {
     // dim probe over non-null vectors only: a null first row would NPE
-    // before training starts, and an empty corpus should say so
+    // before training starts, and an empty corpus should say so. From
+    // the minimum-id row — an unordered limit(1) is partition-layout-
+    // dependent, and on a mixed-dimension corpus the probed dim decides
+    // which rows train (the any-layout determinism contract)
     val dimRow = vecs.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).limit(1).collect()
+      .orderBy(col(idCol)).select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty, "Pq.fit: no non-null vectors to train on")
     val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")

@@ -893,14 +893,21 @@ object SimilarityQueries {
     * — the identical left-to-right double fold as the codegen'd VecDot,
     * centering via the SAME driver-computed literal both engines embed
     * (`Double.toString` round-trips). */
+  /** SQL text of `Pca.component`'s UNROUNDED axis-j score — one shared
+    * builder for every PCA oracle, so the fold convention (left-to-right
+    * VecDot twin, literal centering subtract) cannot diverge between
+    * them. */
+  private def pcaScoreExpr(m: graft.operators.Pca.Model, j: Int): String = {
+    val e = m.components(j)
+    val dotE = e.indices.map(i =>
+      s"CAST(embedding[${i + 1}] AS DOUBLE) * (${fmt(e(i))})")
+      .mkString("(0.0 + ", " + ", ")")
+    s"$dotE - (${fmt(m.centerDot(j))})"
+  }
+
   private def pcaSql(m: graft.operators.Pca.Model): String = {
-    val cols = m.components.indices.map { j =>
-      val e = m.components(j)
-      val dotE = e.indices.map(i =>
-        s"CAST(embedding[${i + 1}] AS DOUBLE) * (${fmt(e(i))})")
-        .mkString("(0.0 + ", " + ", ")")
-      s"round($dotE - (${fmt(m.centerDot(j))}), 4) AS pc${j + 1}"
-    }
+    val cols = m.components.indices.map(j =>
+      s"round(${pcaScoreExpr(m, j)}, 4) AS pc${j + 1}")
     s"""SELECT vec_id,
        |  ${cols.mkString(",\n  ")}
        |FROM embeddings ORDER BY vec_id""".stripMargin
@@ -912,13 +919,8 @@ object SimilarityQueries {
     * exact cosine re-rank identical to the PQ rerank tail. */
   private def pcaRerankSql(m: graft.operators.Pca.Model, k: Int,
                            shortlist: Int): String = {
-    def pexprs(prefix: String) = m.components.indices.map { j =>
-      val e = m.components(j)
-      val dotE = e.indices.map(i =>
-        s"CAST(embedding[${i + 1}] AS DOUBLE) * (${fmt(e(i))})")
-        .mkString("(0.0 + ", " + ", ")")
-      s"$dotE - (${fmt(m.centerDot(j))}) AS $prefix${j + 1}"
-    }
+    def pexprs(prefix: String) = m.components.indices.map(j =>
+      s"${pcaScoreExpr(m, j)} AS $prefix${j + 1}")
     def sq(prefix: String) = m.components.indices
       .map(j => s"$prefix${j + 1} * $prefix${j + 1}")
       .mkString("(0.0 + ", " + ", ")")

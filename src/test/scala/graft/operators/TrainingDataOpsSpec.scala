@@ -173,6 +173,37 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(!inc.exists(p => p._1 < 10 && p._2 < 10), "index-only pair leaked")
   }
 
+  test("incrementalNearDups: a re-ingested id verifies against its NEW text") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    // doc 5 exists in the index with text UNRELATED to doc 1; the batch
+    // re-ingests doc 5 as a near-dup of doc 1 (an upsert). The old
+    // generation must not dilute the verify: (1, 5) must clear 0.5.
+    val existing = Seq((1L, base), (5L, other)).toDF("doc_id", "text")
+    val batch = Seq((5L, base + " z")).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDups(existing, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 5L)),
+      s"expected exactly the upserted near-dup pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 > 0.8,
+      s"stale index generation diluted jaccard: ${pairs.head._3}")
+  }
+
+  test("spanScrub: null text keeps its row; string ids are rejected") {
+    val docs = Seq((1L, Some("a b c")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs, "doc_id", "text", w = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length === 2, "null-text doc vanished from the output")
+    assert(out(1).getLong(0) === 2L &&
+      out(1).getInt(2) === 0 && out(1).getString(3) === "")
+    val bad = Seq(("x", "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.spanScrub(bad, "doc_id", "text", w = 2)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("spanScrub: first occurrence wins across and within docs") {
     def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
     val boiler = words(1 to 10, "b") // one exact 10-word chunk
