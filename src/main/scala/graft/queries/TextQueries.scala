@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, QualityClassifier, Sampling, TextAnalysis}
 
 /** Training-data text operators over `documents` (SURVEY.md scope
   * extension): token stats, quality + language ID, fingerprint dedup,
@@ -11,6 +11,17 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
 object TextQueries {
 
   private val enStop = TextAnalysis.langProfiles.head._2
+
+  /** Fit memo (keyed by fixture dir + hyperparameters) so the quality
+    * classifier trains once per process however many times its query
+    * runs; the fitted model is stashed for the frozen-weight oracle
+    * (same convention as SimilarityQueries' ANN models). */
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+  private def memo[T <: AnyRef](key: String)(fit: => T): T =
+    fitMemo.computeIfAbsent(key, _ => fit).asInstanceOf[T]
+  private val lrModels =
+    new java.util.concurrent.ConcurrentHashMap[String, QualityClassifier.Model]
 
   /** t_hll_distinct's p: 512 registers. The oracle interpolates
     * [[graft.operators.Sketches.scaledAlpha]] so both engines embed the
@@ -155,6 +166,39 @@ object TextQueries {
         .filter(col("quality") >= col("cut"))
         .select(col("doc_id"), col("source"), col("quality"),
           round(col("cut"), 6).as("cut"))
+        .orderBy("doc_id")
+    },
+
+    // Model-based quality filtering (the GPT-3/LLaMA curation recipe
+    // shape): a logistic-regression classifier over exact
+    // integer-derived text features, trained IN Spark by distributed
+    // IRLS (one gradient+Hessian aggregation per Newton step). The
+    // reference label distills the heuristic quality gate
+    // (qualityScore ≥ 0.5) — the fixture's lang/source columns are
+    // label NOISE by construction (measured: feature means are
+    // identical across langs), so a real corpus's
+    // "reference-membership" label is stood in for by the one signal
+    // the fixture actually carries, and training convergence is
+    // observable (≈0.95 train accuracy, floor-pinned in the spec).
+    // The fitted weights are FROZEN into the DuckDB oracle
+    // (Double.toString round-trip), which replays the identical
+    // feature expressions and IEEE fold — the decision stays in logit
+    // space so no transcendental ever reaches the gate.
+    "t_quality_classifier" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val m = memo(s"lr:$dir:irls8r1e3")(QualityClassifier.fit(
+        docs, col("text"),
+        (TextAnalysis.qualityScore(col("text"), enStop) >= 0.5)
+          .cast("int"),
+        enStop))
+      lrModels.put("t_quality_classifier", m)
+      val lg = QualityClassifier.logit(
+        m, QualityClassifier.features(col("text"), enStop).map(_._2))
+      docs.select(col("doc_id"),
+        when(TextAnalysis.qualityScore(col("text"), enStop) >= 0.5, 1)
+          .otherwise(0).cast("int").as("label"),
+        round(lg, 6).as("logit"),
+        (lg > 0.0).as("pred"))
         .orderBy("doc_id")
     },
 
@@ -718,7 +762,43 @@ object TextQueries {
       |       FROM tok, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)
       |       WHERE len(t) >= 3)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB twin of the frozen quality classifier: the SAME feature
+    * expressions the proven-green t_quality_langid oracle uses (every
+    * feature an exact integer-derived double — the /64 and /4 bands are
+    * power-of-two divisions, so exact on any numeric path), folded
+    * left-to-right through the fitted weight literals exactly as
+    * [[graft.operators.QualityClassifier.logit]] builds the Column.
+    * `pred` compares the UNROUNDED logit on both engines. */
+  private def lrSql(m: QualityClassifier.Model): String = {
+    val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
+    def f(x: Double) = java.lang.Double.toString(x)
+    val lg = s"(${f(m.bias)} + x0 * (${f(m.weights(0))})" +
+      s" + x1 * (${f(m.weights(1))}) + x2 * (${f(m.weights(2))})" +
+      s" + x3 * (${f(m.weights(3))}))"
+    s"""WITH base AS (SELECT doc_id, str_split(text,' ') AS tk,
+       |    list_distinct(str_split(text,' ')) AS dt, length(text) AS lc
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |    CAST(LEAST(len(tk)/64.0, 1.0) AS DOUBLE) AS x0,
+       |    CAST(len(dt) AS DOUBLE)/len(tk) AS x1,
+       |    CAST(LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)
+       |      AS DOUBLE) AS x2,
+       |    CAST(lc - len(tk) + 1 AS DOUBLE)/len(tk) AS x3
+       |  FROM base)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN round((x0 + x1 + x2) / 3.0, 6) >= 0.5
+       |    THEN 1 ELSE 0 END AS INT) AS label,
+       |  round($lg, 6) AS logit,
+       |  ($lg > 0.0) AS pred
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  def oracles: Map[String, String] =
+    staticOracles ++
+      Option(lrModels.get("t_quality_classifier"))
+        .map(m => "t_quality_classifier" -> lrSql(m))
+
+  private val staticOracles: Map[String, String] = Map(
     // Mirrors Sampling.dsirWeights + the Gumbel-top-k term for term:
     // integer bucket counts over the full 2-hex domain, 6-decimal llr,
     // 6-decimal per-doc sum (the summands' own granularity — coarser

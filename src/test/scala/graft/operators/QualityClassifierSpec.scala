@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stop = graft.operators.TextAnalysis.langProfiles.head._2
+  private val fixture = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$fixture/documents.parquet")
+
+  test("distilled fit recovers the heuristic gate (accuracy floor)") {
+    val label =
+      (TextAnalysis.qualityScore(col("text"), stop) >= 0.5).cast("int")
+    val m = QualityClassifier.fit(docs, col("text"), label, stop)
+    val lg = QualityClassifier.logit(
+      m, QualityClassifier.features(col("text"), stop).map(_._2))
+    val scored = docs.select(label.as("y"), (lg > 0.0).as("pred"))
+    val n = scored.count().toDouble
+    val correct =
+      scored.filter(col("pred") === (col("y") === 1)).count().toDouble
+    // the teacher rule is (x0+x1+x2)/3 >= 0.5 — linear in the features,
+    // so IRLS must recover it well above the ~0.72 base rate
+    assert(correct / n >= 0.90, s"train accuracy ${correct / n}")
+    // the band features carry the rule's signal; their weights must be
+    // positive for the model to mean what it claims
+    val byName = m.featureNames.zip(m.weights).toMap
+    assert(byName("f_len") > 0.0 && byName("f_stop") > 0.0, m.toString)
+  }
+
+  test("zero iterations is the null model") {
+    val m = QualityClassifier.fit(docs, col("text"), lit(1), stop, iters = 0)
+    assert(m.bias == 0.0 && m.weights.forall(_ == 0.0))
+  }
+
+  test("IRLS matches a local reference implementation") {
+    // tiny separable-ish dataset, one partition so the aggregation's
+    // fold order is fixed; tolerance absorbs residual FP reordering
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val good = i % 3 != 0
+      val words =
+        if (good) Seq("the", "a", "of", "and") ++ Seq.fill(60)(s"w$i")
+        else Seq.fill(8)(s"w$i")
+      (i.toLong, words.mkString(" "), if (good) 1 else 0)
+    }
+    val df = rows.toDF("doc_id", "text", "y").repartition(1)
+    val m = QualityClassifier.fit(df, col("text"), col("y"), stop,
+      iters = 4)
+
+    // local twin: same features, same ridge-damped Newton steps
+    val feats = rows.map { case (_, text, y) =>
+      val tk = text.split(" ", -1)
+      val dt = tk.distinct
+      val x = Array(1.0,
+        math.min(tk.length / 64.0, 1.0),
+        dt.length.toDouble / tk.length,
+        math.min(dt.count(stop.contains) / 4.0, 1.0),
+        (text.length - tk.length + 1).toDouble / tk.length)
+      (x, y.toDouble)
+    }
+    val d = 5
+    val n = feats.size.toDouble
+    val ridge = 1e-3
+    val w = Array.fill(d)(0.0)
+    for (_ <- 0 until 4) {
+      val g = Array.fill(d)(0.0)
+      val h = Array.ofDim[Double](d, d)
+      feats.foreach { case (x, y) =>
+        val z0 = (0 until d).map(j => x(j) * w(j)).sum
+        val z = math.max(-30.0, math.min(30.0, z0))
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val s = p * (1.0 - p)
+        for (j <- 0 until d) {
+          g(j) += (y - p) * x(j)
+          for (k <- j until d) h(j)(k) += s * x(j) * x(k)
+        }
+      }
+      for (j <- 0 until d) {
+        for (k <- 0 until j) h(j)(k) = h(k)(j)
+        h(j)(j) += ridge * n
+        g(j) -= ridge * n * w(j)
+      }
+      // gaussian elimination, mirroring the operator's solver
+      val a = h.map(_.clone()); val b = g.clone()
+      for (i <- 0 until d) {
+        val p = (i until d).maxBy(r => math.abs(a(r)(i)))
+        val t = a(i); a(i) = a(p); a(p) = t
+        val tb = b(i); b(i) = b(p); b(p) = tb
+        for (r <- i + 1 until d) {
+          val f = a(r)(i) / a(i)(i)
+          for (c <- i until d) a(r)(c) -= f * a(i)(c)
+          b(r) -= f * b(i)
+        }
+      }
+      val x = new Array[Double](d)
+      for (i <- d - 1 to 0 by -1) {
+        var acc = b(i)
+        for (c <- i + 1 until d) acc -= a(i)(c) * x(c)
+        x(i) = acc / a(i)(i)
+      }
+      for (j <- 0 until d) w(j) += x(j)
+    }
+    assert(math.abs(m.bias - w(0)) < 1e-6, s"bias ${m.bias} vs ${w(0)}")
+    m.weights.zipWithIndex.foreach { case (wj, j) =>
+      assert(math.abs(wj - w(j + 1)) < 1e-6, s"w$j $wj vs ${w(j + 1)}")
+    }
+  }
+
+  test("null text rows are dropped from the fit and score to null") {
+    val df = Seq((1L, "the a of and it is for on the a", 1),
+      (2L, null.asInstanceOf[String], 0)).toDF("doc_id", "text", "y")
+    val m = QualityClassifier.fit(df, col("text"), col("y"), stop,
+      iters = 2)
+    assert(m.weights.exists(_ != 0.0))
+    val lg = QualityClassifier.logit(
+      m, QualityClassifier.features(col("text"), stop).map(_._2))
+    val out = df.select(col("doc_id"), lg.as("logit"))
+      .orderBy("doc_id").collect()
+    assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
+  }
+}
