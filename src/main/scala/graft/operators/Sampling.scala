@@ -209,4 +209,31 @@ object Sampling {
       .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
       .select(col(groupCol), col(idCol), col("rnk"))
   }
+
+  /** Deterministic epoch-salted global shuffle + shard assignment — the
+    * training-data WRITER's layout pass: every epoch gets a different
+    * but reproducible permutation (order key = md5 over "epoch:id"),
+    * and each row lands in one of `nShards` hash-balanced output
+    * shards with its within-shard write position.
+    *
+    * Scale shape: the order key and shard are map-only; the position is
+    * a per-SHARD window — nShards parallel sorts that ARE the write
+    * path (repartition by shard + sortWithinPartitions), never one
+    * global-order task. Same-epoch runs are append-stable in ORDER:
+    * adding rows never reorders surviving pairs (their keys don't
+    * change), it only shifts positions.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    val okey = md5(concat(lit(s"$epoch:"), col(idCol).cast("string"))
+      .cast("binary"))
+    val shard = pmod(
+      conv(substring(col("okey"), 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong)).cast("int")
+    df.select(col(idCol), okey.as("okey"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("okey"), col(idCol))).cast("int"))
+  }
 }

@@ -352,6 +352,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic epoch-salted shuffle + shard layout — the pass that
+    // writes a training corpus: every epoch a different reproducible
+    // permutation, rows hash-balanced over output shards, write order =
+    // per-shard position (nShards parallel sorts, never one global
+    // window task — the window partitions on shard, which IS the write
+    // path's repartition key).
+    "t_epoch_shard" -> { (s, dir) =>
+      Sampling.epochShuffle(t(s, dir, "documents"), "doc_id",
+        epoch = 1, nShards = 4)
+        .orderBy("shard", "pos")
+    },
+
     // Leakage-safe split: near-duplicate documents MUST land in the same
     // split or held-out eval leaks into train through paraphrases — so
     // the split hash is taken over each doc's near-dup-cluster
@@ -1198,6 +1210,17 @@ object TextQueries {
         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '33' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_epoch_shard" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('1:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+        |s AS (SELECT doc_id, okey,
+        |    CAST(('0x' || substr(okey, 1, 8))::UBIGINT % 4 AS INT)
+        |      AS shard FROM k)
+        |SELECT doc_id, okey, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY okey, doc_id) AS INT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     // Split hash over the near-dup-cluster representative (component min
     // via the shared recursive-closure CTE), doc_id fallback for

@@ -449,6 +449,18 @@ class PlanAuditSpec extends SparkSpec {
       "global (unpartitioned) window would serialize the corpus")
   }
 
+  test("epoch shard: the position window partitions by shard") {
+    val ns = nodes(SparkEntry.queries("t_epoch_shard")(spark, dir))
+    val windows = ns.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the write-order position must be a per-shard sort (the write
+    // path's repartition key), never one global-order window task
+    assert(windows.nonEmpty, "no window exec found")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "global (unpartitioned) window would serialize the corpus")
+  }
+
   test("funnel: stage joins stay hash joins; no event-pair explosion") {
     val ns = nodes(
       SparkEntry.queries("q_funnel_signup_view_purchase")(spark, dir))
