@@ -352,6 +352,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Classifier-calibrated corpus filter: keep the top 60% by the
+    // FROZEN model's score — the percentile-target composition
+    // (t_quality_threshold's practice) applied to the learned scorer
+    // instead of a raw stat, reporting the per-source survivor mix
+    // (the number a data recipe actually watches: how the classifier
+    // shifts the mixture). Scores are 6-decimal-rounded BEFORE the
+    // percentile on both engines; the filter compares against the
+    // unrounded interpolated cut (identical IEEE interpolation, the
+    // t_quality_calibrate convention).
+    "t_classifier_filter" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val m = memo(s"lr:$dir:irls8r1e3")(QualityClassifier.fit(
+        docs, col("text"),
+        (TextAnalysis.qualityScore(col("text"), enStop) >= 0.5)
+          .cast("int"),
+        enStop))
+      lrModels.put("t_quality_classifier", m)
+      val lg = round(QualityClassifier.logit(
+        m, QualityClassifier.features(col("text"), enStop).map(_._2)), 6)
+      val scored = docs.select(col("doc_id"), col("source"),
+        lg.as("score"))
+      val cut = scored.agg(percentile(col("score"), lit(0.4)))
+        .head().getDouble(0)
+      scored.filter(col("score") >= cut)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .withColumn("cut", round(lit(cut), 6))
+        .orderBy("source")
+    },
+
     // Deterministic epoch-salted shuffle + shard layout — the pass that
     // writes a training corpus: every epoch a different reproducible
     // permutation, rows hash-balanced over output shards, write order =
@@ -781,22 +811,34 @@ object TextQueries {
     * left-to-right through the fitted weight literals exactly as
     * [[graft.operators.QualityClassifier.logit]] builds the Column.
     * `pred` compares the UNROUNDED logit on both engines. */
-  private def lrSql(m: QualityClassifier.Model): String = {
+  /** Shared CTE chain (`base`, `f`) of the frozen-classifier oracles:
+    * documents → the four exact feature doubles, plus `source`. */
+  private def lrFeatureCte: String = {
     val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
-    def f(x: Double) = java.lang.Double.toString(x)
-    val lg = s"(${f(m.bias)} + x0 * (${f(m.weights(0))})" +
-      s" + x1 * (${f(m.weights(1))}) + x2 * (${f(m.weights(2))})" +
-      s" + x3 * (${f(m.weights(3))}))"
-    s"""WITH base AS (SELECT doc_id, str_split(text,' ') AS tk,
+    s"""base AS (SELECT doc_id, source, str_split(text,' ') AS tk,
        |    list_distinct(str_split(text,' ')) AS dt, length(text) AS lc
        |  FROM documents),
-       |f AS (SELECT doc_id,
+       |f AS (SELECT doc_id, source,
        |    CAST(LEAST(len(tk)/64.0, 1.0) AS DOUBLE) AS x0,
        |    CAST(len(dt) AS DOUBLE)/len(tk) AS x1,
        |    CAST(LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)
        |      AS DOUBLE) AS x2,
        |    CAST(lc - len(tk) + 1 AS DOUBLE)/len(tk) AS x3
-       |  FROM base)
+       |  FROM base)""".stripMargin
+  }
+
+  /** The frozen logit over the `f` CTE's columns — the identical IEEE
+    * fold [[graft.operators.QualityClassifier.logit]] builds. */
+  private def lrLogitExpr(m: QualityClassifier.Model): String = {
+    def f(x: Double) = java.lang.Double.toString(x)
+    s"(${f(m.bias)} + x0 * (${f(m.weights(0))})" +
+      s" + x1 * (${f(m.weights(1))}) + x2 * (${f(m.weights(2))})" +
+      s" + x3 * (${f(m.weights(3))}))"
+  }
+
+  private def lrSql(m: QualityClassifier.Model): String = {
+    val lg = lrLogitExpr(m)
+    s"""WITH $lrFeatureCte
        |SELECT doc_id,
        |  CAST(CASE WHEN round((x0 + x1 + x2) / 3.0, 6) >= 0.5
        |    THEN 1 ELSE 0 END AS INT) AS label,
@@ -805,10 +847,26 @@ object TextQueries {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Top-60% survivor mix by frozen classifier score: 6-decimal scores
+    * into an exact interpolated 40th-percentile cut (filter on the
+    * UNROUNDED cut, round only for output — the t_quality_calibrate
+    * convention). */
+  private def lrFilterSql(m: QualityClassifier.Model): String =
+    s"""WITH $lrFeatureCte,
+       |sc AS (SELECT doc_id, source,
+       |    round(${lrLogitExpr(m)}, 6) AS score FROM f),
+       |cut AS (SELECT quantile_cont(score, 0.4) AS c FROM sc)
+       |SELECT source, count(*) AS n_kept,
+       |  round((SELECT c FROM cut), 6) AS cut
+       |FROM sc WHERE score >= (SELECT c FROM cut)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def oracles: Map[String, String] =
     staticOracles ++
       Option(lrModels.get("t_quality_classifier"))
-        .map(m => "t_quality_classifier" -> lrSql(m))
+        .map(m => "t_quality_classifier" -> lrSql(m)) ++
+      Option(lrModels.get("t_quality_classifier"))
+        .map(m => "t_classifier_filter" -> lrFilterSql(m))
 
   private val staticOracles: Map[String, String] = Map(
     // Mirrors Sampling.dsirWeights + the Gumbel-top-k term for term:
