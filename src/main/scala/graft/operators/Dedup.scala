@@ -327,6 +327,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"),
         array_join(sort_array(collect_list(col("id"))), ",").as("members"))
 
+  /** Near-dup collapse with a KEEP-BEST policy: one survivor per
+    * cluster, chosen by the caller's score (ties to the smaller id) —
+    * production dedup keeps the best copy (longest, highest-quality),
+    * not an arbitrary one (min-id is [[dupClusters]]'s convention).
+    * Isolated docs survive as their own singleton cluster.
+    *
+    * Returns one row per SURVIVOR: (idCol, rep_id, score, n_members).
+    *
+    * Scale shape: the winner is a partially-aggregated max over
+    * (rep, struct(score, −id)) — one shuffle of (id, rep, score)
+    * triples, never a per-cluster window over the corpus and never
+    * document text; the label relation from [[componentLabels]] is
+    * |dup-graph nodes| rows, broadcast-sized next to the corpus. */
+  def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+               score: Column): DataFrame = {
+    val labels = componentLabels(pairs)
+    val scored = docs.select(col(idCol).as("id"), score.as("score"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("rep_id"),
+        col("score"))
+    scored.groupBy("rep_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score"), (-col("id")).as("negid"))).as("best"))
+      .select(
+        (-col("best.negid")).as(idCol),
+        col("rep_id"),
+        col("best.score").as("score"),
+        col("n_members"))
+  }
+
   /** Corpus-wide duplicated-span removal — the C4-style "discard any
     * repeated span, keep its first occurrence" cleaning pass (C4 dropped
     * duplicate three-sentence spans; RefinedWeb's line-level dedup is the

@@ -317,6 +317,21 @@ object TextQueries {
       Dedup.dupClusters(pairs).orderBy("canonical_id")
     },
 
+    // Keep-best dedup collapse: one survivor per near-dup cluster,
+    // chosen by quality score (ties to the smaller id) instead of
+    // dupClusters' min-id convention — the canonical-selection policy
+    // a production dedup ships. The winner is a partially-aggregated
+    // max over (rep, struct(score, −id)); document text never crosses
+    // a shuffle.
+    "d_dedup_keep_best" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
+      Dedup.keepBest(docs, "doc_id", pairs,
+        TextAnalysis.qualityScore(col("text"), enStop))
+        .orderBy("rep_id")
+    },
+
     // Incremental ingest dedup: every 10th doc plays the "new batch",
     // checked against the rest as the standing index — the batch
     // broadcasts into the index probe, the corpus never self-joins.
@@ -1242,6 +1257,32 @@ object TextQueries {
     "d_dup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCte,
          |${sqlComponentsOver("verified")}""".stripMargin,
+
+    // Keep-best survivor per cluster: closure labels + quality argmax
+    // (score DESC, doc_id ASC — the struct(score, −id) max's twin).
+    "d_dedup_keep_best" -> {
+      val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |${sqlComponentLabelsCte("verified")},
+         |qb AS (SELECT doc_id, str_split(text,' ') AS tk,
+         |    list_distinct(str_split(text,' ')) AS dt FROM documents),
+         |q AS (SELECT doc_id,
+         |    round((LEAST(len(tk)/64.0, 1.0)
+         |      + CAST(len(dt) AS DOUBLE)/len(tk)
+         |      + LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)) / 3.0,
+         |      6) AS score
+         |  FROM qb),
+         |m AS (SELECT q.doc_id, COALESCE(c.comp, q.doc_id) AS rep_id,
+         |    q.score
+         |  FROM q LEFT JOIN comp c ON c.id = q.doc_id),
+         |sel AS (SELECT doc_id, rep_id, score,
+         |    row_number() OVER (PARTITION BY rep_id
+         |      ORDER BY score DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY rep_id) AS n_members
+         |  FROM m)
+         |SELECT doc_id, rep_id, score, n_members FROM sel
+         |WHERE rn = 1 ORDER BY rep_id""".stripMargin
+    },
 
     // Incremental-equals-recompute: the full pipeline's verified pairs,
     // restricted to pairs touching the batch (doc_id % 10 = 0).
