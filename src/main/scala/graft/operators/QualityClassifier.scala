@@ -82,8 +82,13 @@ object QualityClassifier {
       .na.drop()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = fdf.count().toDouble.max(1.0)
+      val n0 = fdf.count()
       val w = Array.fill(d)(0.0)
+      // no usable rows → the null model (the aggregate sums below would
+      // come back SQL-null and the fit would throw)
+      if (n0 == 0L)
+        return Model(0.0, w.drop(1).toSeq, named.map(_._1))
+      val n = n0.toDouble
       var it = 0
       while (it < iters) {
         val z0 = (0 until d).foldLeft(lit(0.0): Column) { (acc, j) =>

@@ -109,6 +109,16 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("fit on zero usable rows returns the null model") {
+    val empty = Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "y")
+    val m = QualityClassifier.fit(empty, col("text"), col("y"), stop)
+    assert(m.bias == 0.0 && m.weights == Seq(0.0, 0.0, 0.0, 0.0))
+    val allNull = Seq((1L, null.asInstanceOf[String], 1))
+      .toDF("doc_id", "text", "y")
+    val m2 = QualityClassifier.fit(allNull, col("text"), col("y"), stop)
+    assert(m2.bias == 0.0 && m2.weights.forall(_ == 0.0))
+  }
+
   test("null text rows are dropped from the fit and score to null") {
     val df = Seq((1L, "the a of and it is for on the a", 1),
       (2L, null.asInstanceOf[String], 0)).toDF("doc_id", "text", "y")
