@@ -150,6 +150,38 @@ object TextAnalysis {
           .as("dup_2gram_frac"),
         round(col("top_c") / col("n_2grams"), 6).as("top_2gram_frac"))
 
+  /** Corpus-level collocation mining: top-k word bigrams by the PMI
+    * RATIO c(ab)·N / (c(a)·c(b)) — monotone in pointwise mutual
+    * information, so the ranking is the classic collocation ranking
+    * without a transcendental touching the result (exact IEEE
+    * multiply/divide on integer-derived doubles; engine-identical).
+    * `minCount` is the standard low-frequency guard (PMI explodes on
+    * hapax pairs).
+    *
+    * Scale shape: two partial-agg counts (bigrams, unigrams), the
+    * scalar bigram total broadcast via a 1-row cross join, two
+    * key-equi joins of count relations (counts only — text never
+    * re-shuffles), and a top-k TakeOrdered. Skewed common words fan
+    * into at most |vocab| join rows per key. */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long,
+                 k: Int): DataFrame = {
+    val bc = docs.select(explode(wordBigrams(col(textCol))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c_ab"))
+    val uc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val total = bc.agg(sum("c_ab").as("nb"))
+    bc.filter(col("c_ab") >= minCount)
+      .crossJoin(broadcast(total))
+      .join(uc.select(col("w").as("wa"), col("c_w").as("c_a")),
+        element_at(split(col("g"), " "), 1) === col("wa"))
+      .join(uc.select(col("w").as("wb"), col("c_w").as("c_b")),
+        element_at(split(col("g"), " "), 2) === col("wb"))
+      .select(col("g"), col("c_ab"),
+        round(col("c_ab").cast("double") * col("nb") /
+          (col("c_a").cast("double") * col("c_b")), 6).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("g")).limit(k)
+  }
+
   /** Character-trigram fluency proxy: a document's average corpus
     * frequency of its char 3-grams — the cheap stand-in for an n-gram
     * LM perplexity filter (rare-trigram documents are OCR garbage,

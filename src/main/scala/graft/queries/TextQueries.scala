@@ -202,6 +202,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Collocation mining: top-20 bigrams by the PMI ratio (count floor
+    // 30) — the corpus-statistics pass behind phrase vocabularies and
+    // tokenizer seeding. Ranking via the ratio keeps ln out of the
+    // gate; ties break on the bigram text.
+    "t_pmi_bigrams" -> { (s, dir) =>
+      TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
+        minCount = 30, k = 20)
+    },
+
+    // Cross-source contamination audit: for every source pair, how many
+    // content fingerprints they share — the "is dump B re-crawling dump
+    // A" matrix a corpus audit starts from. The per-fp source set is
+    // bounded by |sources|, so the fp self-join fans out at most
+    // C(|sources|,2) per fingerprint — never doc×doc; only
+    // (fp, source) pairs shuffle, never text.
+    "t_source_overlap" -> { (s, dir) =>
+      val fps = t(s, dir, "documents")
+        .select(TextAnalysis.prefixFingerprint(col("text"), 8).as("fp"),
+          col("source"))
+        .distinct()
+      fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(countDistinct(col("a.fp")).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    },
+
     "t_fingerprint_dups" -> { (s, dir) =>
       t(s, dir, "documents")
         .groupBy(TextAnalysis.prefixFingerprint(col("text"), 8).as("fp"))
@@ -1125,6 +1152,32 @@ object TextQueries {
       """SELECT md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
         |  MIN(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "t_pmi_bigrams" ->
+      """WITH tok AS (SELECT str_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT t[i] || ' ' || t[i+1] AS g FROM tok,
+        |  LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |bc AS (SELECT g, COUNT(*) AS c_ab FROM bg GROUP BY 1),
+        |un AS (SELECT unnest(t) AS w FROM tok),
+        |uc AS (SELECT w, COUNT(*) AS c_w FROM un GROUP BY 1),
+        |n AS (SELECT SUM(c_ab) AS nb FROM bc)
+        |SELECT g, c_ab,
+        |  round(CAST(c_ab AS DOUBLE) * (SELECT nb FROM n)
+        |    / (CAST(ua.c_w AS DOUBLE) * ub.c_w), 6) AS pmi_ratio
+        |FROM bc JOIN uc ua ON ua.w = str_split(g,' ')[1]
+        |        JOIN uc ub ON ub.w = str_split(g,' ')[2]
+        |WHERE c_ab >= 30
+        |ORDER BY pmi_ratio DESC, g LIMIT 20""".stripMargin,
+
+    "t_source_overlap" ->
+      """WITH fs AS (SELECT DISTINCT
+        |    md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
+        |    source
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  COUNT(DISTINCT a.fp) AS n_shared
+        |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Mirrors t_bm25_topk term for term: every double op in the same
     // order, per-term weights rounded to 6 then summed in exact decimal.
