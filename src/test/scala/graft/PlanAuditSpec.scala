@@ -449,6 +449,30 @@ class PlanAuditSpec extends SparkSpec {
       "global (unpartitioned) window would serialize the corpus")
   }
 
+  test("pmi bigrams: top-k is TakeOrdered; the total broadcasts") {
+    val ns = nodes(SparkEntry.queries("t_pmi_bigrams")(spark, dir))
+    // the k-row result must come from TakeOrderedAndProject, not a
+    // global sort of the scored bigram relation
+    assert(ns.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "pmi top-k planned a global sort")
+    assert(!ns.exists(p => p.nodeName.contains("CartesianProduct")),
+      "scalar total fell back to a cartesian product")
+  }
+
+  test("source overlap: only (fp, source) pairs shuffle, never text") {
+    val ns = nodes(SparkEntry.queries("t_source_overlap")(spark, dir))
+    val exchanges = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    // no exchange carries the document text — the audit moves
+    // fingerprints and source tags only
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"text crossed a shuffle: ${e.child.output.map(_.name)}")
+    }
+  }
+
   test("epoch shard: the position window partitions by shard") {
     val ns = nodes(SparkEntry.queries("t_epoch_shard")(spark, dir))
     val windows = ns.collect {

@@ -27,4 +27,38 @@ class KeepBestSpec extends SparkSpec {
     val n = Dedup.keepBest(docs, "doc_id", pairs, col("q")).count()
     assert(n == 3)
   }
+
+  test("differential fuzz vs a local union-find keep-best") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val ids = (0L until n.toLong).toSeq
+      val score = ids.map(i => i -> (rnd.nextInt(5) / 10.0)).toMap
+      val edgeList = Seq.fill(25)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // local union-find
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.groupBy(find).map { case (_, members) =>
+        val best = members.minBy(i => (-score(i), i))
+        val rep = members.min
+        (best, rep, score(best), members.size.toLong)
+      }.toSet
+
+      val docsDf = ids.map(i => (i, score(i))).toDF("doc_id", "q")
+      val pairsDf = edgeList.toDF("id_a", "id_b")
+      val got = Dedup.keepBest(docsDf, "doc_id", pairsDf, col("q"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(got == expected, s"trial $trial: ${got.diff(expected)}")
+    }
+  }
 }
