@@ -56,6 +56,35 @@ object Packing {
           floor(start / capacity)).as("spans_boundary"))
   }
 
+  /** Length-bucket padding audit — the batching-efficiency statistic a
+    * training pipeline computes BEFORE choosing between padded batches
+    * and [[packChunks]]-style packing: assign each document to the
+    * smallest configured length bucket that holds it, then report per
+    * bucket how many tokens the batch pads away
+    * (waste = 1 − Σtokens / (n·bucket)).
+    *
+    * `edges` must be ascending; documents longer than the last edge
+    * land in an `overflowEdge` bucket so the waste arithmetic stays
+    * well-defined. Pure CASE-chain integer assignment (no log2 — exact
+    * on any engine) + one partial aggregation; nothing but
+    * (bucket, count, sum) crosses the shuffle. */
+  def lengthBuckets(docs: DataFrame, tokenCount: Column, edges: Seq[Int],
+                    overflowEdge: Int): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted, s"bad edges: $edges")
+    require(overflowEdge >= edges.last, "overflow edge below last edge")
+    val bucket = edges.foldRight(lit(overflowEdge): Column) { (e, acc) =>
+      when(tokenCount <= e, lit(e)).otherwise(acc)
+    }
+    docs.select(bucket.as("bucket"), tokenCount.as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        round(lit(1.0) - col("sum_tokens") /
+          (col("n_docs") * col("bucket")).cast("double"), 6)
+          .as("pad_waste"))
+  }
+
   /** Per-document overlapping chunking — the RAG-indexing sibling of
     * [[packChunks]]: each document is cut into windows of `window`
     * tokens advancing by `window − overlap`, so consecutive chunks

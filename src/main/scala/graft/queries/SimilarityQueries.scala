@@ -28,20 +28,13 @@ object SimilarityQueries {
   private val pcaModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pca.Model]()
 
-  /** Fit memo, keyed by (fixture dir, hyperparameters). Every fit here
-    * is a DETERMINISTIC pure function of its inputs (order-independent
-    * hash-prefix sample, farthest-point seeding, fixed iterations —
-    * the invariant the frozen-literal oracles already rely on), so
-    * caching it is semantics-free: the 3 queries sharing the k=8 coarse
-    * quantizer and the 2 sharing the residual codebook train it once,
-    * which is also the production shape — models are ingest-time
-    * artifacts, not per-query work. Each query stays self-contained
-    * (first caller pays the fit). Driver memory: a model is k·d
-    * doubles, a few KB. */
-  private val fitMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  /** All ANN fits are deterministic pure functions of their inputs
+    * (order-independent hash-prefix sample, farthest-point seeding,
+    * fixed iterations), so they go through the shared
+    * [[graft.queries.memoFit]] — each query stays self-contained (first
+    * caller pays the fit). */
   private def memo[T <: AnyRef](key: String)(fit: => T): T =
-    fitMemo.computeIfAbsent(key, _ => fit).asInstanceOf[T]
+    memoFit(key)(fit)
 
   val defs: Map[String, QueryFn] = Map(
     // Exact ANN baseline: 10 probe vectors × full corpus, broadcast join.

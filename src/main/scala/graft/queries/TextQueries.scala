@@ -16,12 +16,22 @@ object TextQueries {
     * classifier trains once per process however many times its query
     * runs; the fitted model is stashed for the frozen-weight oracle
     * (same convention as SimilarityQueries' ANN models). */
-  private val fitMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
-  private def memo[T <: AnyRef](key: String)(fit: => T): T =
-    fitMemo.computeIfAbsent(key, _ => fit).asInstanceOf[T]
   private val lrModels =
     new java.util.concurrent.ConcurrentHashMap[String, QualityClassifier.Model]
+
+  /** THE classifier instance: every query that scores with the model
+    * and every frozen-weight oracle goes through this one fit (memoized
+    * per fixture dir, published under ONE key) — so the two gated
+    * queries can never silently diverge onto different weights. */
+  private def fittedModel(s: org.apache.spark.sql.SparkSession,
+                          dir: String): QualityClassifier.Model = {
+    val m = memoFit(s"lr:$dir:irls8r1e3")(QualityClassifier.fit(
+      t(s, dir, "documents"), col("text"),
+      (TextAnalysis.qualityScore(col("text"), enStop) >= 0.5).cast("int"),
+      enStop))
+    lrModels.put("lr", m)
+    m
+  }
 
   /** t_hll_distinct's p: 512 registers. The oracle interpolates
     * [[graft.operators.Sketches.scaledAlpha]] so both engines embed the
@@ -186,12 +196,7 @@ object TextQueries {
     // space so no transcendental ever reaches the gate.
     "t_quality_classifier" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val m = memo(s"lr:$dir:irls8r1e3")(QualityClassifier.fit(
-        docs, col("text"),
-        (TextAnalysis.qualityScore(col("text"), enStop) >= 0.5)
-          .cast("int"),
-        enStop))
-      lrModels.put("t_quality_classifier", m)
+      val m = fittedModel(s, dir)
       val lg = QualityClassifier.logit(
         m, QualityClassifier.features(col("text"), enStop).map(_._2))
       docs.select(col("doc_id"),
@@ -200,6 +205,18 @@ object TextQueries {
         round(lg, 6).as("logit"),
         (lg > 0.0).as("pred"))
         .orderBy("doc_id")
+    },
+
+    // Length-bucket padding audit: how many tokens padded batches waste
+    // at each bucket edge — the number that decides padded batching vs
+    // packed sequences. Integer CASE-chain assignment (no log2) + one
+    // partial aggregation.
+    "t_length_buckets" -> { (s, dir) =>
+      graft.operators.Packing.lengthBuckets(
+        t(s, dir, "documents"),
+        size(TextAnalysis.tokens(col("text"))),
+        edges = Seq(16, 32, 64, 96, 128), overflowEdge = 256)
+        .orderBy("bucket")
     },
 
     // Collocation mining: top-20 bigrams by the PMI ratio (count floor
@@ -222,10 +239,13 @@ object TextQueries {
         .select(TextAnalysis.prefixFingerprint(col("text"), 8).as("fp"),
           col("source"))
         .distinct()
+      // plain count: the (fp, source) relation is already distinct, so
+      // each fp contributes at most one row per source pair — a
+      // countDistinct would plan a redundant expand + second aggregate
       fps.as("a").join(fps.as("b"),
           col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-        .agg(countDistinct(col("a.fp")).as("n_shared"))
+        .agg(count(lit(1)).as("n_shared"))
         .orderBy("src_a", "src_b")
     },
 
@@ -405,12 +425,7 @@ object TextQueries {
     // t_quality_calibrate convention).
     "t_classifier_filter" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val m = memo(s"lr:$dir:irls8r1e3")(QualityClassifier.fit(
-        docs, col("text"),
-        (TextAnalysis.qualityScore(col("text"), enStop) >= 0.5)
-          .cast("int"),
-        enStop))
-      lrModels.put("t_quality_classifier", m)
+      val m = fittedModel(s, dir)
       val lg = round(QualityClassifier.logit(
         m, QualityClassifier.features(col("text"), enStop).map(_._2)), 6)
       val scored = docs.select(col("doc_id"), col("source"),
@@ -905,9 +920,9 @@ object TextQueries {
 
   def oracles: Map[String, String] =
     staticOracles ++
-      Option(lrModels.get("t_quality_classifier"))
+      Option(lrModels.get("lr"))
         .map(m => "t_quality_classifier" -> lrSql(m)) ++
-      Option(lrModels.get("t_quality_classifier"))
+      Option(lrModels.get("lr"))
         .map(m => "t_classifier_filter" -> lrFilterSql(m))
 
   private val staticOracles: Map[String, String] = Map(
@@ -1153,6 +1168,17 @@ object TextQueries {
         |  MIN(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
+    "t_length_buckets" ->
+      """WITH n AS (SELECT len(str_split(text,' ')) AS nt FROM documents),
+        |b AS (SELECT CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+        |    WHEN nt <= 64 THEN 64 WHEN nt <= 96 THEN 96
+        |    WHEN nt <= 128 THEN 128 ELSE 256 END AS bucket, nt FROM n)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+        |  round(1.0 - CAST(SUM(nt) AS DOUBLE)
+        |    / CAST(COUNT(*) * bucket AS DOUBLE), 6) AS pad_waste
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "t_pmi_bigrams" ->
       """WITH tok AS (SELECT str_split(text,' ') AS t FROM documents),
         |bg AS (SELECT t[i] || ' ' || t[i+1] AS g FROM tok,
@@ -1175,7 +1201,7 @@ object TextQueries {
         |    source
         |  FROM documents)
         |SELECT a.source AS src_a, b.source AS src_b,
-        |  COUNT(DISTINCT a.fp) AS n_shared
+        |  COUNT(*) AS n_shared
         |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -41,6 +41,19 @@ package object queries {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Process-wide fit memo, keyed by (fixture dir, hyperparameters).
+    * Every fit cached here must be a DETERMINISTIC pure function of its
+    * inputs (the invariant the frozen-literal oracles rely on), so
+    * caching is semantics-free: queries sharing a model train it once —
+    * also the production shape, where models are ingest-time artifacts,
+    * not per-query work. Driver memory per model: k·d doubles, a few
+    * KB. Shared by SimilarityQueries (ANN family) and TextQueries (the
+    * quality classifier) so the keying convention can't drift. */
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private[queries] def memoFit[T <: AnyRef](key: String)(fit: => T): T =
+    fitMemo.computeIfAbsent(key, _ => fit).asInstanceOf[T]
+
   /** DuckDB twin of [[graft.operators.Dedup.dupClusters]]: the recursive
     * closure + component collapse over a pair relation `rel(id_a, id_b)`.
     * Callers splice this after their own `WITH RECURSIVE <pair CTEs>,`.

@@ -82,4 +82,29 @@ class PackingSpec extends SparkSpec {
     assert(c(0).getAs[Int]("n_tokens") === 3)
     assert(c(0).getAs[String]("chunk") === "a b c")
   }
+
+  test("length buckets: boundary inclusive, overflow bucket, exact waste") {
+    val d = Seq(16, 17, 32, 33, 200).zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("id", "toks")
+    val out = Packing.lengthBuckets(d, col("toks"),
+        edges = Seq(16, 32), overflowEdge = 256)
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (16, 1L, 16L, 0.0),                       // exactly-full bucket
+      (32, 2L, 49L, 1.0 - 49.0 / 64.0),          // 17 and 32 share it
+      (256, 2L, 233L,
+        BigDecimal(1.0 - 233.0 / 512.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("length buckets: misordered edges or low overflow are rejected") {
+    val d = Seq((1L, 5)).toDF("id", "toks")
+    intercept[IllegalArgumentException] {
+      Packing.lengthBuckets(d, col("toks"), Seq(32, 16), 256)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.lengthBuckets(d, col("toks"), Seq(16, 32), 8)
+    }
+  }
 }
