@@ -33,10 +33,97 @@ object TextQueries {
     m
   }
 
+  /** BM25 ranked list (query_id, neighbor_id, bm25, rnk ≤ k) over
+    * word-bigram terms, queries = doc_id % 101. Shared by the BM25
+    * gate and the hybrid-RRF fusion so the scoring formula and its
+    * oracle twin can't drift between them. */
+  private def bm25Ranked(s: org.apache.spark.sql.SparkSession,
+                         dir: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val tk = TextAnalysis.tokens(col("text"))
+    val bigrams = zip_with(
+      slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    // tf feeds three consumers (postings, df, query terms) — persist
+    // or the tokenize+aggregate subtree runs three times
+    val tf = docs.select(col("doc_id"), explode(bigrams).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = docs.select(col("doc_id"),
+      greatest(size(tk) - 1, lit(0)).cast("double").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(greatest(size(tk) - 1, lit(0))).cast("double").as("sdl"))
+    val qterms = tf.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("query_id"), col("term"))
+    // only the QUERY terms' document frequencies travel: df over the
+    // full vocabulary is corpus-sized at 100 TB, df of the probe
+    // terms is |Q|-bounded and broadcastable
+    val dfq = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val wTerm = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / (col("sdl") / col("n"))))
+    val terms = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("query_id") =!= col("doc_id"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        round(wTerm, 6).cast("decimal(18,6)").as("w"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("neighbor_id"))
+    terms.groupBy("query_id", "neighbor_id")
+      .agg(round(sum(col("w")), 6).cast("double").as("bm25"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   /** t_hll_distinct's p: 512 registers. The oracle interpolates
     * [[graft.operators.Sketches.scaledAlpha]] so both engines embed the
     * IDENTICAL α·m²·2⁵² double literal. */
   private val hllP = 9
+
+  /** Shared CTE chain of the BM25 oracles, ending in
+    * `rk(query_id, neighbor_id, bm25, rnk)` — the DuckDB twin of
+    * [[bm25Ranked]] (unfiltered rank; callers cut at their own k). */
+  private lazy val bm25Ctes: String =
+    """tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, array_to_string(t[i:i+1],' ') AS term
+      |       FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      |       WHERE len(t) >= 2),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |       FROM bg GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(greatest(len(t) - 1, 0) AS DOUBLE) AS dl
+      |       FROM tok),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |              CAST(SUM(greatest(len(t) - 1, 0)) AS DOUBLE) AS sdl
+      |       FROM tok),
+      |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 101 = 0),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |w AS (SELECT q.query_id, tf.doc_id AS neighbor_id,
+      |        CAST(round(
+      |          ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      |            * (tf.tf * 2.2)
+      |            / (tf.tf + 1.2 *
+      |               (0.25 + 0.75 * dl.dl / (st.sdl / st.n))),
+      |          6) AS DECIMAL(18,6)) AS w
+      |      FROM tf JOIN q USING (term) JOIN df USING (term)
+      |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+      |      WHERE tf.doc_id <> q.query_id),
+      |sc AS (SELECT query_id, neighbor_id,
+      |        CAST(round(SUM(w), 6) AS DOUBLE) AS bm25
+      |       FROM w GROUP BY 1, 2),
+      |rk AS (SELECT query_id, neighbor_id, bm25,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY bm25 DESC, neighbor_id) AS INT) AS rnk
+      |       FROM sc)""".stripMargin
 
   /** Shared CTE chain of the HLL oracles: documents → 60-bit md5 hash →
     * registers → per-source integer register sums. */
@@ -655,49 +742,23 @@ object TextQueries {
     // k1 = 1.2, b = 0.75 (the textbook Robertson defaults), idf in the
     // ln(1 + (N−df+0.5)/(df+0.5)) always-positive form.
     "t_bm25_topk" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val tk = TextAnalysis.tokens(col("text"))
-      val bigrams = zip_with(
-        slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
-        (a, b) => concat_ws(" ", a, b))
-      // tf feeds three consumers (postings, df, query terms) — persist
-      // or the tokenize+aggregate subtree runs three times
-      val tf = docs.select(col("doc_id"), explode(bigrams).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).cast("double").as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dl = docs.select(col("doc_id"),
-        greatest(size(tk) - 1, lit(0)).cast("double").as("dl"))
-      val stats = docs.agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(greatest(size(tk) - 1, lit(0))).cast("double").as("sdl"))
-      val qterms = tf.filter(col("doc_id") % 101 === 0)
-        .select(col("doc_id").as("query_id"), col("term"))
-      // only the QUERY terms' document frequencies travel: df over the
-      // full vocabulary is corpus-sized at 100 TB, df of the probe
-      // terms is |Q|-bounded and broadcastable
-      val dfq = tf.groupBy("term")
-        .agg(count(lit(1)).cast("double").as("df"))
-        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      val idf = log(lit(1.0) +
-        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      val wTerm = idf * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) *
-          (lit(0.25) + lit(0.75) * col("dl") / (col("sdl") / col("n"))))
-      val terms = tf.join(broadcast(qterms), Seq("term"))
-        .filter(col("query_id") =!= col("doc_id"))
-        .join(broadcast(dfq), Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .select(col("query_id"), col("doc_id").as("neighbor_id"),
-          round(wTerm, 6).cast("decimal(18,6)").as("w"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("bm25").desc, col("neighbor_id"))
-      terms.groupBy("query_id", "neighbor_id")
-        .agg(round(sum(col("w")), 6).cast("double").as("bm25"))
-        .withColumn("rnk", row_number().over(w).cast("int"))
-        .filter(col("rnk") <= 3)
+      bm25Ranked(s, dir, k = 3).orderBy("query_id", "rnk")
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // top-20 and the exact-cosine dense top-20 (rrf = Σ 1/(60+rank),
+    // a candidate missing from one list contributes 0 from it) — the
+    // standard two-tower search recipe; queries are the same
+    // doc_id % 101 probe set on both towers, and doc ids with no
+    // embedding degrade to lexical-only ranking.
+    "t_hybrid_rrf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val dense = graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 101 === 0), emb,
+        "vec_id", "embedding", k = 20)
+      graft.operators.Retrieval.rrfFuse(
+        bm25Ranked(s, dir, k = 20), dense, kConst = 60, topK = 5)
+        .select("query_id", "neighbor_id", "rrf", "rnk")
         .orderBy("query_id", "rnk")
     },
 
@@ -1205,42 +1266,51 @@ object TextQueries {
         |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // Mirrors t_bm25_topk term for term: every double op in the same
+    // Mirrors bm25Ranked term for term: every double op in the same
     // order, per-term weights rounded to 6 then summed in exact decimal.
     // Constants touch a DOUBLE operand before any arithmetic matters, so
     // DuckDB's decimal literals promote instead of computing in decimal.
     "t_bm25_topk" ->
-      """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, array_to_string(t[i:i+1],' ') AS term
-        |       FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i)
-        |       WHERE len(t) >= 2),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-        |       FROM bg GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(greatest(len(t) - 1, 0) AS DOUBLE) AS dl
-        |       FROM tok),
-        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |              CAST(SUM(greatest(len(t) - 1, 0)) AS DOUBLE) AS sdl
-        |       FROM tok),
-        |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 101 = 0),
-        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-        |w AS (SELECT q.query_id, tf.doc_id AS neighbor_id,
-        |        CAST(round(
-        |          ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
-        |            * (tf.tf * 2.2)
-        |            / (tf.tf + 1.2 *
-        |               (0.25 + 0.75 * dl.dl / (st.sdl / st.n))),
-        |          6) AS DECIMAL(18,6)) AS w
-        |      FROM tf JOIN q USING (term) JOIN df USING (term)
-        |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-        |      WHERE tf.doc_id <> q.query_id),
-        |sc AS (SELECT query_id, neighbor_id,
-        |        CAST(round(SUM(w), 6) AS DOUBLE) AS bm25
-        |       FROM w GROUP BY 1, 2),
-        |rk AS (SELECT query_id, neighbor_id, bm25,
-        |        CAST(row_number() OVER (PARTITION BY query_id
-        |          ORDER BY bm25 DESC, neighbor_id) AS INT) AS rnk
-        |       FROM sc)
+      s"""WITH $bm25Ctes
         |SELECT query_id, neighbor_id, bm25, rnk FROM rk WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // Twin of Retrieval.rrfFuse over bm25Ranked(k=20) and the exact
+    // dense top-20: same rank lists, same 1/(60+rank) terms in the
+    // same lex-then-dense order, missing-list term coalesced to 0.
+    "t_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+        |lex AS (SELECT query_id, neighbor_id, rnk AS r_lex FROM rk
+        |        WHERE rnk <= 20),
+        |dq AS (SELECT vec_id AS query_id, embedding AS qv
+        |       FROM embeddings WHERE vec_id % 101 = 0),
+        |dc AS (SELECT vec_id AS neighbor_id, embedding AS cv
+        |       FROM embeddings),
+        |dun AS (SELECT query_id, neighbor_id,
+        |          unnest(qv) AS x, unnest(cv) AS y
+        |        FROM dq JOIN dc ON query_id <> neighbor_id),
+        |ds AS (SELECT query_id, neighbor_id,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+        |       FROM dun GROUP BY 1, 2),
+        |dr AS (SELECT query_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
+        |           AS INT) AS r_dense
+        |       FROM ds),
+        |dense AS (SELECT query_id, neighbor_id, r_dense FROM dr
+        |          WHERE r_dense <= 20),
+        |f AS (SELECT query_id, neighbor_id,
+        |        round(COALESCE(1.0 / CAST(60 + r_lex AS DOUBLE), 0.0)
+        |            + COALESCE(1.0 / CAST(60 + r_dense AS DOUBLE), 0.0),
+        |          6) AS rrf
+        |      FROM lex FULL JOIN dense USING (query_id, neighbor_id)),
+        |rr2 AS (SELECT query_id, neighbor_id, rrf,
+        |          CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY rrf DESC, neighbor_id) AS INT) AS rnk
+        |        FROM f)
+        |SELECT query_id, neighbor_id, rrf, rnk FROM rr2 WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
 
     // Mirrors t_hll_distinct register for register: same 60-bit md5
