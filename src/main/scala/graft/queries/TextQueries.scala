@@ -90,6 +90,44 @@ object TextQueries {
     * IDENTICAL α·m²·2⁵² double literal. */
   private val hllP = 9
 
+  /** The composed cleaning pipeline's oracle — quality ≥ 0.5, langid
+    * 'en', min-doc_id canonical per full-text fingerprint, stable hash
+    * split. Shared verbatim by the batch gate (t_pipeline_clean) and
+    * the streaming intake gate (d_stream_intake): the streaming query
+    * must land on the identical kept set. */
+  private lazy val pipelineCleanSql: String = {
+    val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
+    val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
+      lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+    }
+    val scoreCols = profiles.map { case (lang, arr) =>
+      s"len(list_intersect(dt, $arr)) AS s_$lang"
+    }.mkString(", ")
+    val gExpr = profiles.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
+    val predChain = profiles.map { case (lang, _) =>
+      s"WHEN s_$lang = g THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text, str_split(text,' ') AS tk,
+       |         list_distinct(str_split(text,' ')) AS dt FROM documents),
+       |scored AS (SELECT *, $scoreCols FROM base),
+       |g AS (SELECT *, $gExpr AS g FROM scored),
+       |kept AS (SELECT doc_id, source, text FROM g
+       |  WHERE round((LEAST(len(tk)/64.0, 1.0)
+       |      + CAST(len(dt) AS DOUBLE)/len(tk)
+       |      + LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)) / 3.0, 6)
+       |    >= 0.5
+       |  AND (CASE WHEN g = 0 THEN 'und' $predChain END) = 'en'),
+       |dd AS (SELECT *, row_number() OVER (
+       |    PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+       |    ORDER BY doc_id) AS rn FROM kept)
+       |SELECT doc_id, source,
+       |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'val'
+       |       WHEN md5(CAST(doc_id AS VARCHAR)) < '33' THEN 'test'
+       |       ELSE 'train' END AS split
+       |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared CTE chain of the BM25 oracles, ending in
     * `rk(query_id, neighbor_id, bm25, rnk)` — the DuckDB twin of
     * [[bm25Ranked]] (unfiltered rank; callers cut at their own k). */
@@ -729,6 +767,36 @@ object TextQueries {
         .orderBy("fp")
     }},
 
+    // The streaming INTAKE pipeline: t_pipeline_clean's stages (quality
+    // score → language filter → content-fingerprint dedup → stable
+    // split) run as ONE Structured Streaming query — map-only scoring
+    // in the stream, cross-batch first-seen dedup as keyed state, the
+    // split assigned on emit. The gate shares t_pipeline_clean's batch
+    // oracle verbatim: streaming must land on the identical kept set
+    // (with one micro-batch the first-seen winner is the min-doc_id
+    // row, exactly the batch canonical).
+    "d_stream_intake" -> { (s, dir) => withShufflePartitions(s, 4) {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(TextAnalysis.qualityScore(col("text"), enStop) >= 0.5 &&
+          TextAnalysis.langId(col("text")) === "en")
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"),
+          col("doc_id").as("seq"), col("source"))
+      val first = graft.streaming.StreamingDedup.firstSeen(
+        stream, "fp", "seq")
+      val sink = "d_stream_intake_sink"
+      val q = first.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("seq").as("doc_id"), col("source"),
+          Sampling.hashSplit(col("seq"),
+            Seq("val" -> "1a", "test" -> "33"), "train").as("split"))
+        .orderBy("doc_id")
+    }},
+
     // BM25 lexical retrieval ("more like this"): every doc_id % 101 == 0
     // document becomes a query; its bigram terms probe a (doc, term, tf)
     // postings table — the distributed inverted-index shape. The probe
@@ -1186,38 +1254,12 @@ object TextQueries {
          |FROM g ORDER BY doc_id""".stripMargin
     },
 
-    "t_pipeline_clean" -> {
-      val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
-      val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
-        lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
-      }
-      val scoreCols = profiles.map { case (lang, arr) =>
-        s"len(list_intersect(dt, $arr)) AS s_$lang"
-      }.mkString(", ")
-      val gExpr = profiles.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
-      val predChain = profiles.map { case (lang, _) =>
-        s"WHEN s_$lang = g THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH base AS (
-         |  SELECT doc_id, source, text, str_split(text,' ') AS tk,
-         |         list_distinct(str_split(text,' ')) AS dt FROM documents),
-         |scored AS (SELECT *, $scoreCols FROM base),
-         |g AS (SELECT *, $gExpr AS g FROM scored),
-         |kept AS (SELECT doc_id, source, text FROM g
-         |  WHERE round((LEAST(len(tk)/64.0, 1.0)
-         |      + CAST(len(dt) AS DOUBLE)/len(tk)
-         |      + LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)) / 3.0, 6)
-         |    >= 0.5
-         |  AND (CASE WHEN g = 0 THEN 'und' $predChain END) = 'en'),
-         |dd AS (SELECT *, row_number() OVER (
-         |    PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
-         |    ORDER BY doc_id) AS rn FROM kept)
-         |SELECT doc_id, source,
-         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'val'
-         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '33' THEN 'test'
-         |       ELSE 'train' END AS split
-         |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin
-    },
+    "t_pipeline_clean" -> pipelineCleanSql,
+
+    // The streaming intake runs the SAME pipeline as a Structured
+    // Streaming query (score → filter → first-seen dedup → split), so
+    // the batch oracle IS the streaming-equals-batch invariance claim.
+    "d_stream_intake" -> pipelineCleanSql,
 
     "t_fingerprint_dups" ->
       """SELECT md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
