@@ -327,6 +327,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"),
         array_join(sort_array(collect_list(col("id"))), ",").as("members"))
 
+  /** Dump-to-dump corpus diff — the change audit that drives
+    * incremental processing between two crawls/exports of the same
+    * corpus: per id, `added` (new only), `removed` (old only),
+    * `changed` (both, content fingerprint differs after whitespace/case
+    * normalization), `unchanged`. Only (id, fingerprint) pairs cross
+    * the one full-outer id join — document text never shuffles, so the
+    * diff costs two fingerprint scans + one equi join at any corpus
+    * size. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val fp = (c: Column) => TextAnalysis.fingerprint(c)
+    val o = oldDocs.select(col(idCol).as("id"),
+      fp(col(textCol)).as("fp_old"))
+    val n = newDocs.select(col(idCol).as("id"),
+      fp(col(textCol)).as("fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Near-dup collapse with a KEEP-BEST policy: one survivor per
     * cluster, chosen by the caller's score (ties to the smaller id) —
     * production dedup keeps the best copy (longest, highest-quality),

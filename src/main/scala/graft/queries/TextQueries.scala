@@ -489,6 +489,22 @@ object TextQueries {
       Dedup.dupClusters(pairs).orderBy("canonical_id")
     },
 
+    // Dump-to-dump diff: old = every doc except id%10==3, new = every
+    // doc except id%10==7 with id%20==5 texts reversed (a
+    // normalization-surviving edit) — added/removed/changed/unchanged
+    // per id, the audit that scopes incremental processing between two
+    // exports. Fingerprints only through one full-outer id join.
+    "t_corpus_diff" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 20 === 5, reverse(col("text")))
+            .otherwise(col("text")))
+      Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Keep-best dedup collapse: one survivor per near-dup cluster,
     // chosen by quality score (ties to the smaller id) instead of
     // dupClusters' min-id convention — the canonical-selection policy
@@ -1448,6 +1464,22 @@ object TextQueries {
     "d_dup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCte,
          |${sqlComponentsOver("verified")}""".stripMargin,
+
+    "t_corpus_diff" ->
+      """WITH o AS (SELECT doc_id AS id,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_old
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |nn AS (SELECT doc_id AS id,
+        |    md5(lower(regexp_replace(
+        |      CASE WHEN doc_id % 20 = 5 THEN reverse(text) ELSE text END,
+        |      '\s+', ' ', 'g'))) AS fp_new
+        |  FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT id AS doc_id,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |       WHEN fp_new IS NULL THEN 'removed'
+        |       WHEN fp_old <> fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL JOIN nn USING (id) ORDER BY doc_id""".stripMargin,
 
     // Keep-best survivor per cluster: closure labels + quality argmax
     // (score DESC, doc_id ASC — the struct(score, −id) max's twin).

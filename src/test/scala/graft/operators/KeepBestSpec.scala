@@ -28,6 +28,18 @@ class KeepBestSpec extends SparkSpec {
     assert(n == 3)
   }
 
+  test("corpus diff labels all four statuses; normalization absorbed") {
+    val oldSnap = Seq((1L, "a b"), (2L, "x y"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "A  B"), (2L, "y x"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // case + whitespace normalize away; token reorder is a real change
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("differential fuzz vs a local union-find keep-best") {
     val rnd = new scala.util.Random(11)
     for (trial <- 0 until 3) {
