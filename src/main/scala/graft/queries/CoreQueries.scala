@@ -268,6 +268,34 @@ object CoreQueries {
     // orders per customer. Consecutive-gap sums telescope to
     // (max − min), so the result is tie-order independent by
     // construction; integer day arithmetic keeps it engine-exact.
+    // Rolling anomaly score over the event stream: per (type, day)
+    // counts z-scored against the trailing 7-day window — the volume
+    // monitor an ingest pipeline alarms on. Mean/variance are derived
+    // from the window's integer sum/sum-of-squares in a FIXED
+    // arithmetic chain (never an engine's own stddev aggregate, whose
+    // internal algorithm differs across engines), so the score is
+    // IEEE-identical under the oracle. The window partitions by type
+    // over per-DAY rows — the heavy lifting is the count's partial
+    // aggregation; the window relation is days × types, tiny at any
+    // event volume.
+    "q_event_anomaly" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day"))
+      val counts = e.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("c"))
+      val win = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val n = count(lit(1)).over(win)
+      val sD = sum(col("c")).over(win).cast("double")
+      val ssD = sum(col("c") * col("c")).over(win).cast("double")
+      val nD = n.cast("double")
+      val variance = (ssD - sD * sD / nD) / (nD - lit(1.0))
+      val z = when(n >= 3 && variance > 0.0,
+        round((col("c").cast("double") - sD / nD) / sqrt(variance), 6))
+      counts.select(col("event_type"), col("day"), col("c"), z.as("z"))
+        .orderBy("event_type", "day")
+    },
+
     "q_order_gaps" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -663,6 +691,27 @@ object CoreQueries {
          |  ${sqlMoneySum("l_quantity")} AS qty
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_event_anomaly" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT event_type, day, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, c,
+        |    SUM(c) OVER win AS s, SUM(c * c) OVER win AS ss,
+        |    COUNT(*) OVER win AS n
+        |  FROM c WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, c,
+        |  CASE WHEN n >= 3 AND
+        |      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0.0
+        |    THEN round((CAST(c AS DOUBLE)
+        |        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt((CAST(ss AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)), 6)
+        |    ELSE NULL END AS z
+        |FROM w ORDER BY event_type, day""".stripMargin,
 
     "q_order_gaps" ->
       """SELECT o_custkey AS c_custkey, COUNT(*) AS n_gaps,

@@ -473,6 +473,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("corpus diff: only (id, fingerprint) pairs shuffle, never text") {
+    val ns = nodes(SparkEntry.queries("t_corpus_diff")(spark, dir))
+    val exchanges = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"text crossed a shuffle: ${e.child.output.map(_.name)}")
+    }
+  }
+
   test("epoch shard: the position window partitions by shard") {
     val ns = nodes(SparkEntry.queries("t_epoch_shard")(spark, dir))
     val windows = ns.collect {
