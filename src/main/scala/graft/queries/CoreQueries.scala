@@ -268,6 +268,26 @@ object CoreQueries {
     // orders per customer. Consecutive-gap sums telescope to
     // (max − min), so the result is tie-order independent by
     // construction; integer day arithmetic keeps it engine-exact.
+    // Cohort retention over the event stream: users grouped by their
+    // first-activity week, counted at each week offset — the classic
+    // product-analytics triangle. The (user, week) relation is
+    // distinct BEFORE the cohort join, so each user contributes one
+    // row per active week and the per-cell count needs no
+    // count-distinct expand; both aggregations partially aggregate and
+    // the one join is user-keyed.
+    "q_user_retention" -> { (s, dir) =>
+      val uw = t(s, dir, "events")
+        .select(col("user_id"), expr("ts_ns div 604800000000000")
+          .as("week"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("offset_weeks"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    },
+
     // Rolling anomaly score over the event stream: per (type, day)
     // counts z-scored against the trailing 7-day window — the volume
     // monitor an ingest pipeline alarms on. Mean/variance are derived
@@ -691,6 +711,15 @@ object CoreQueries {
          |  ${sqlMoneySum("l_quantity")} AS qty
          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_user_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS offset_weeks,
+        |  COUNT(*) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_event_anomaly" ->
       """WITH e AS (SELECT event_type,
