@@ -116,7 +116,7 @@ object Dedup {
     * stay registered with the session's cache manager afterwards (the
     * standard Spark library pattern — the caller owns cache lifecycle;
     * `spark.catalog.clearCache()` releases them). */
-  private def verifyJaccardSh(sh: DataFrame,
+  private def verifyOverlapSh(sh: DataFrame,
                               candidates0: DataFrame): DataFrame = {
     // persisted: consumed by the touched-doc semi-join below AND as the
     // streamed join side — without it the whole candidate-generation
@@ -176,10 +176,16 @@ object Dedup {
       else (a.hint("shuffle_hash"), bb.hint("shuffle_hash"))
     candidates.join(aSide, "id_a")
       .join(bSide, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(inter.cast("double") / (col("na") + col("nb") - inter), 6)
-          .as("jaccard"))
+      .select(col("id_a"), col("id_b"), inter.as("inter"),
+        col("na"), col("nb"))
   }
+
+  private def verifyJaccardSh(sh: DataFrame,
+                              candidates: DataFrame): DataFrame =
+    verifyOverlapSh(sh, candidates)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
 
   /** Exact Jaccard over word-n-gram shingles for given candidate pairs. */
   def verifyJaccard(docs: DataFrame, candidates: DataFrame, idCol: String,
@@ -615,5 +621,55 @@ object Dedup {
       .select("id_a", "id_b")
     verifyJaccardSh(sh, survivors)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Asymmetric near-dup detection by shingle CONTAINMENT:
+    * C = |A∩B| / min(|A|, |B|) — the measure that catches a short
+    * document quoted or excerpted inside a long one, which symmetric
+    * Jaccard structurally misses (a 50-shingle doc fully contained in a
+    * 1000-shingle doc has J ≈ 0.05 but C = 1.0). Same candidate
+    * machinery as [[ngramJaccardPairs]] (in-buffer df cap, exact
+    * rare-shingle co-count, hot-shingle slack), with the survivor bound
+    * rewritten for containment:
+    *   inter ≤ cc + min(hot_a, hot_b),  C ≥ t ⟺ inter ≥ t·min(|A|,|B|).
+    * Verification reuses the shared merge-walk overlap pass, so only
+    * bound-surviving pairs ever touch a shingle array. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, maxDf: Int = 20,
+                       threshold: Double = 0.9): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = shingleTable(docs, idCol, textCol, n).persist(disk)
+    val groups = sh.groupBy("s")
+      .agg(call_function("graft_capped_collect_set", col("id"), lit(maxDf))
+        .as("ids"), count(lit(1)).as("dfc"))
+      .persist(disk)
+    val docStats = sh
+      .join(groups.filter(col("dfc") > maxDf).select("s"), Seq("s"),
+        "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("hot"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val stats = sizes.join(docStats, Seq("id"), "left")
+      .select(col("id"), col("n"),
+        coalesce(col("hot"), lit(0L)).as("hot"))
+      .persist(disk)
+    val pairCounts = groups
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("cc"))
+    val survivors = pairCounts
+      .join(stats.select(col("id").as("id_a"), col("n").as("na"),
+        col("hot").as("hot_a")), "id_a")
+      .join(stats.select(col("id").as("id_b"), col("n").as("nb"),
+        col("hot").as("hot_b")), "id_b")
+      .filter(col("cc") + least(col("hot_a"), col("hot_b")) >=
+        lit(threshold) * least(col("na"), col("nb")) - lit(1e-9))
+      .select("id_a", "id_b")
+    verifyOverlapSh(sh, survivors)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
   }
 }

@@ -489,6 +489,17 @@ object TextQueries {
       Dedup.dupClusters(pairs).orderBy("canonical_id")
     },
 
+    // Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over word
+    // 3-gram shingles — catches a short document excerpted inside a
+    // long one, which symmetric Jaccard structurally misses. Same
+    // capped-candidate machinery as d_ngram_jaccard, survivor bound
+    // rewritten for containment, shared merge-walk verification.
+    "d_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxDf = 20, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
     // Dump-to-dump diff: old = every doc except id%10==3, new = every
     // doc except id%10==7 with id%20==5 texts reversed (a
     // normalization-surviving edit) — added/removed/changed/unchanged
@@ -1711,6 +1722,25 @@ object TextQueries {
          |FROM cand JOIN shl x ON id_a = x.doc_id JOIN shl y ON id_b = y.doc_id
          |WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
          |      len(list_distinct(list_concat(x.sl, y.sl))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Containment twin of d_ngram_jaccard: same rare-shingle candidate
+    // discovery, min-size normalization instead of union.
+    "d_containment" ->
+      s"""WITH $shinglesCte,
+         |rare AS (SELECT s FROM sh GROUP BY s
+         |         HAVING COUNT(*) <= 20 AND COUNT(*) > 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM (SELECT doc_id, s FROM sh JOIN rare USING (s)) a
+         |  JOIN (SELECT doc_id, s FROM sh JOIN rare USING (s)) b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id),
+         |shl AS (SELECT doc_id, list(s) AS sl FROM sh GROUP BY doc_id)
+         |SELECT id_a, id_b,
+         |  round(CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
+         |        least(len(x.sl), len(y.sl)), 6) AS containment
+         |FROM cand JOIN shl x ON id_a = x.doc_id JOIN shl y ON id_b = y.doc_id
+         |WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
+         |      least(len(x.sl), len(y.sl)) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
     "t_tfidf_topterms" ->
