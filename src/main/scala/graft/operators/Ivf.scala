@@ -227,4 +227,54 @@ object Ivf {
           sqrt(col("nq") * col("nc")), 4).as("sim"))
     Similarity.rankTopK(scored, col("sim").desc_nulls_last, k)
   }
+
+  /** Corpus×corpus k-NN JOIN: every vector is a query against the same
+    * corpus, candidates bounded by the probed coarse cells — the
+    * all-pairs neighbor-graph builder behind SemDeDup-style curation
+    * and mutual-kNN clustering. Identical scoring contract to [[topK]],
+    * but the query side is corpus-sized so it must NOT broadcast (topK
+    * forces a query-side broadcast, correct only for small probe sets):
+    * both sides shuffle on `cell` into a co-partitioned equi join, and
+    * per-cell work is |cell|·nProbe·|cell| — the quantizer's k controls
+    * the skew (at 100 TB, thousands of cells; fit k to keep cells
+    * ~10⁴-10⁵ vectors). */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
+              model: Model, k: Int, nProbe: Int = 2): DataFrame = {
+    val probes = array_sort(
+      transform(cellScores(col(vecCol), model),
+        (s, i) => struct(s.as("d"), i.cast("int").as("cell"))))
+    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2(col(vecCol)).as("nq"),
+      explode(slice(probes, 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("nq"),
+        col("p.cell").as("cell"))
+    val c = Partitioning.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm2(col(vecCol)).as("nc"),
+        assign(col(vecCol), model).as("cell"))
+    val scored = c.hint("shuffle_hash")
+      .join(q.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) /
+          sqrt(col("nq") * col("nc")), 4).as("sim"))
+    Similarity.rankTopK(scored, col("sim").desc_nulls_last, k)
+  }
+
+  /** Mutual-kNN graph edges from [[knnJoin]]'s ranked list: (a, b) kept
+    * iff each appears in the other's top-k — the symmetric neighbor
+    * graph cluster curation builds on. The self-join runs over |C|·k
+    * edge rows, never vectors. */
+  def mutualKnn(corpus: DataFrame, idCol: String, vecCol: String,
+                model: Model, k: Int, nProbe: Int = 2): DataFrame = {
+    val e = knnJoin(corpus, idCol, vecCol, model, k, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.as("a").join(e.as("b"),
+        col("a.query_id") === col("b.neighbor_id") &&
+        col("a.neighbor_id") === col("b.query_id"))
+      .filter(col("a.query_id") < col("a.neighbor_id"))
+      .select(col("a.query_id").as("id_a"),
+        col("a.neighbor_id").as("id_b"))
+  }
 }

@@ -103,6 +103,35 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Corpus×corpus k-NN JOIN: every vector queries the same corpus
+    // through the cell-bounded path — the all-pairs neighbor-graph
+    // builder. Unlike the probe-set gates this must NOT broadcast the
+    // query side (it IS the corpus): both sides shuffle on cell into a
+    // co-partitioned equi join.
+    "s_knn_join" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
+      ivfModels.put("s_knn_join", model)
+      graft.operators.Ivf.knnJoin(emb, "vec_id", "embedding",
+        model, k = 3, nProbe = 2)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+
+    // Mutual-kNN graph: (a, b) kept iff each is in the other's top-3 —
+    // the symmetric neighbor graph cluster curation builds on; the
+    // mutuality self-join runs over |C|·k edge rows, never vectors.
+    "s_mutual_knn" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
+      ivfModels.put("s_mutual_knn", model)
+      graft.operators.Ivf.mutualKnn(emb, "vec_id", "embedding",
+        model, k = 3, nProbe = 2)
+        .orderBy("id_a", "id_b")
+    },
+
     // Corpus clustering: every embedding assigned to its k-means cell —
     // the map-only pass a topic-/source-balancing pipeline runs over the
     // whole corpus (one codegen'd argmin per row, no shuffle until the
@@ -477,7 +506,12 @@ object SimilarityQueries {
        |SELECT cell, vec_id, rnk FROM r WHERE rnk <= $k
        |ORDER BY cell, rnk""".stripMargin
 
-  private def ivfSql(model: Ivf.Model, k: Int, nProbe: Int): String = {
+  /** The frozen-centroid probe/assign/rank CTE chain of the IVF
+    * oracles, ending in `ranked(query_id, neighbor_id, sim, rnk)`.
+    * `queryFilter` selects the query set — "vec_id < 10" for the
+    * probe-set gates, "TRUE" for the corpus-sized k-NN join. */
+  private def ivfRankedCtes(model: Ivf.Model, nProbe: Int,
+                            queryFilter: String): String = {
     val scoreList = ivfScoreList(model)
     val probeList = model.centroids.zipWithIndex
       .map { case (c, i) => s"{'d': ${ivfScoreExpr(c)}, 'cell': $i}" }
@@ -487,9 +521,9 @@ object SimilarityQueries {
     val qp = (1 to nProbe)
       .map(i => s"SELECT query_id, qv, pl[$i].cell AS cell FROM q")
       .mkString("\n       UNION ALL ")
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qv,
        |        list_sort($probeList) AS pl
-       |      FROM embeddings WHERE vec_id < 10),
+       |      FROM embeddings WHERE $queryFilter),
        |qp AS ($qp),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
        |        CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
@@ -508,11 +542,28 @@ object SimilarityQueries {
        |        CAST(row_number() OVER (PARTITION BY query_id
        |          ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
        |          AS INT) AS rnk
-       |      FROM s)
+       |      FROM s)""".stripMargin
+  }
+
+  private def ivfSql(model: Ivf.Model, k: Int, nProbe: Int,
+                     queryFilter: String = "vec_id < 10"): String =
+    s"""WITH ${ivfRankedCtes(model, nProbe, queryFilter)}
        |SELECT query_id, neighbor_id, sim, rnk FROM ranked
        |WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
-  }
+
+  /** Mutual-kNN edges over the corpus-sized ranked list: (a, b) kept
+    * iff each is in the other's top-k — the symmetric graph cluster
+    * curation builds on. */
+  private def mutualKnnSql(model: Ivf.Model, k: Int,
+                           nProbe: Int): String =
+    s"""WITH ${ivfRankedCtes(model, nProbe, "TRUE")},
+       |e AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $k)
+       |SELECT a.query_id AS id_a, a.neighbor_id AS id_b
+       |FROM e a JOIN e b ON a.query_id = b.neighbor_id
+       |                 AND a.neighbor_id = b.query_id
+       |WHERE a.query_id < a.neighbor_id
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** DuckDB twin of `Ivf.hardNegatives`: the frozen-centroid probe and
     * assign of [[ivfSql]], plus both sides' labels and the
@@ -854,6 +905,11 @@ object SimilarityQueries {
         .map(m => "s_ann_ivf" -> ivfSql(m, k = 3, nProbe = 2)) ++
       Option(ivfModels.get("s_ann_ivf_probe"))
         .map(m => "s_ann_ivf_probe" -> ivfSql(m, k = 3, nProbe = 4)) ++
+      Option(ivfModels.get("s_knn_join"))
+        .map(m => "s_knn_join" ->
+          ivfSql(m, k = 3, nProbe = 2, queryFilter = "TRUE")) ++
+      Option(ivfModels.get("s_mutual_knn"))
+        .map(m => "s_mutual_knn" -> mutualKnnSql(m, k = 3, nProbe = 2)) ++
       Option(ivfModels.get("s_cluster_assign"))
         .map(m => "s_cluster_assign" -> clusterSql(m)) ++
       Option(ivfModels.get("s_cluster_balanced"))

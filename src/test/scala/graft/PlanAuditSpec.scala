@@ -473,6 +473,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("knn join: corpus-sized query side does not broadcast") {
+    val ns = nodes(SparkEntry.queries("s_knn_join")(spark, dir))
+    // the cell join must be a shuffled hash join of two corpus-derived
+    // sides — a broadcast here would ship the whole corpus to every
+    // task at scale
+    assert(ns.exists(p => p.nodeName.contains("ShuffledHashJoin")),
+      "cell join did not plan as a shuffled hash join")
+    assert(!ns.exists(p => p.nodeName.contains("BroadcastNestedLoopJoin") ||
+      p.nodeName.contains("CartesianProduct")),
+      "knn join degenerated to a nested loop")
+  }
+
   test("corpus diff: only (id, fingerprint) pairs shuffle, never text") {
     val ns = nodes(SparkEntry.queries("t_corpus_diff")(spark, dir))
     val exchanges = ns.collect {
