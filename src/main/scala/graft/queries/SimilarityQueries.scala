@@ -146,6 +146,29 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Cluster purity: per cell, the majority-label fraction over the
+    // fixture's label column — the clustering-quality check run before
+    // trusting cells for balancing/curation decisions. Outputs the
+    // majority COUNT (not which label), so label ties cannot make the
+    // result engine-dependent; two partial aggregations, map-only
+    // assignment.
+    "s_cluster_purity" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
+      ivfModels.put("s_cluster_purity", model)
+      emb.select(
+          graft.operators.Ivf.assign(col("embedding"), model).as("cell"),
+          col("label"))
+        .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(sum("n").as("n_vecs"), max("n").as("n_majority"))
+        .select(col("cell"), col("n_vecs"), col("n_majority"),
+          round(col("n_majority").cast("double") / col("n_vecs"), 6)
+            .as("purity"))
+        .orderBy("cell")
+    },
+
     // Cluster-balanced sampling: a fixed per-cluster quota drawn by the
     // deterministic id-hash order — the topic-diversity pass that keeps
     // a dominant cluster from flooding the corpus (the sampling half of
@@ -466,6 +489,20 @@ object SimilarityQueries {
     s"""SELECT vec_id, CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
        |FROM (SELECT vec_id, ${ivfScoreList(model)} AS sl FROM embeddings)
        |ORDER BY vec_id""".stripMargin
+
+  /** Per-cell majority-label fraction over the frozen-centroid assign —
+    * emits the majority count, never the winning label, so ties are
+    * engine-neutral. */
+  private def clusterPuritySql(model: Ivf.Model): String =
+    s"""WITH a AS (SELECT label,
+       |    CAST(list_position(sl, list_min(sl)) - 1 AS INT) AS cell
+       |  FROM (SELECT label, ${ivfScoreList(model)} AS sl
+       |        FROM embeddings)),
+       |c AS (SELECT cell, label, COUNT(*) AS n FROM a GROUP BY 1, 2)
+       |SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs,
+       |  CAST(MAX(n) AS BIGINT) AS n_majority,
+       |  round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS purity
+       |FROM c GROUP BY cell ORDER BY cell""".stripMargin
 
   /** DuckDB twin of `Similarity.semDedup`: frozen-centroid cell assign,
     * within-cell lower-id pairs at cosine ≥ `threshold` (rounded to 4
@@ -912,6 +949,8 @@ object SimilarityQueries {
         .map(m => "s_mutual_knn" -> mutualKnnSql(m, k = 3, nProbe = 2)) ++
       Option(ivfModels.get("s_cluster_assign"))
         .map(m => "s_cluster_assign" -> clusterSql(m)) ++
+      Option(ivfModels.get("s_cluster_purity"))
+        .map(m => "s_cluster_purity" -> clusterPuritySql(m)) ++
       Option(ivfModels.get("s_cluster_balanced"))
         .map(m => "s_cluster_balanced" -> clusterBalancedSql(m, k = 5)) ++
       Option(ivfModels.get("s_semdedup"))
