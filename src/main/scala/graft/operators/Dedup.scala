@@ -344,15 +344,19 @@ object Dedup {
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
     val fp = (c: Column) => TextAnalysis.fingerprint(c)
+    // presence is tracked by explicit markers, NOT fingerprint
+    // nullability — a null-text document has a null fingerprint and
+    // would otherwise masquerade as absent; null-safe fingerprint
+    // equality then treats two null-text rows as unchanged
     val o = oldDocs.select(col(idCol).as("id"),
-      fp(col(textCol)).as("fp_old"))
+      fp(col(textCol)).as("fp_old"), lit(true).as("in_old"))
     val n = newDocs.select(col(idCol).as("id"),
-      fp(col(textCol)).as("fp_new"))
+      fp(col(textCol)).as("fp_new"), lit(true).as("in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id").as(idCol),
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "removed")
-          .when(col("fp_old") =!= col("fp_new"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("fp_old") <=> col("fp_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
 
@@ -569,31 +573,49 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = shingleTable(docs, idCol, textCol, n).persist(disk)
-    // The df cap applies INSIDE the aggregation buffer: the native
-    // capped collect_set never holds more than maxDf+1 ids per shingle
-    // (a boilerplate shingle in 10⁶ docs saturates at maxDf+1 and
-    // evaluates to NULL, instead of building a 10⁶-element array in one
-    // buffer — hot task / executor OOM — before being dropped), while
-    // keeping the single-shuffle plan: a count-pass + semi-join variant
-    // bounds the buffers too but measured ~40% slower at sf0.1.
-    // Shingles are distinct per doc, so set size == document frequency.
-    // The exact count rides along: it marks hot (df > maxDf) shingles
-    // for the bound below at zero extra shuffles.
+    // ε slack keeps the bound a strict superset under double rounding;
+    // the exact merge-walk Jaccard below is the real threshold check.
+    // J ≥ t ⟺ inter ≥ t/(1+t)·(|A|+|B|), and inter ≤ cc + min(hot).
+    val need = lit(threshold / (1.0 + threshold))
+    val survivors = boundedPairs(sh, maxDf) { (cc, na, nb, hotA, hotB) =>
+      cc + least(hotA, hotB) >= need * (na + nb) - lit(1e-9)
+    }
+    verifyJaccardSh(sh, survivors)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shared candidate machinery of the shingle-overlap family
+    * (Jaccard and containment): capped-set pair generation + the
+    * per-pair bound inputs, with the caller's `bound` predicate over
+    * (cc, |A|, |B|, hot_a, hot_b) deciding the survivors.
+    *
+    * The df cap applies INSIDE the aggregation buffer: the native
+    * capped collect_set never holds more than maxDf+1 ids per shingle
+    * (a boilerplate shingle in 10⁶ docs saturates at maxDf+1 and
+    * evaluates to NULL, instead of building a 10⁶-element array in one
+    * buffer — hot task / executor OOM — before being dropped), while
+    * keeping the single-shuffle plan: a count-pass + semi-join variant
+    * bounds the buffers too but measured ~40% slower at sf0.1.
+    * Shingles are distinct per doc, so set size == document frequency;
+    * the exact count rides along to mark hot (df > maxDf) shingles at
+    * zero extra shuffles.
+    *
+    * Per pair, cc = |A∩B| restricted to rare shingles (exact, from
+    * counting pair instances — a 16-byte row per instance) and the
+    * unseen hot-shingle overlap is at most min(hot_a, hot_b), so
+    * inter ≤ cc + min(hot_a, hot_b). Pairs whose upper bound misses
+    * the caller's threshold — measured 1 119 477 of 1 119 733 unique
+    * candidates at sf0.1 for Jaccard 0.5 — are dropped BEFORE any
+    * shingle array moves; the KB-scale sorted-array verification only
+    * ever touches the survivors. */
+  private def boundedPairs(sh: DataFrame, maxDf: Int)(
+      bound: (Column, Column, Column, Column, Column) => Column)
+      : DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val groups = sh.groupBy("s")
       .agg(call_function("graft_capped_collect_set", col("id"), lit(maxDf))
         .as("ids"), count(lit(1)).as("dfc"))
       .persist(disk) // consumed by pair generation AND the hot-doc stats
-    // Candidate pruning by Jaccard BOUNDS before any shingle array
-    // moves: per pair, cc = |A∩B| restricted to rare shingles (exact,
-    // from counting pair instances — a 16-byte row per instance), and
-    // the unseen hot-shingle overlap is at most min(hot_a, hot_b), so
-    //   inter ≤ cc + min(hot_a, hot_b),  and  J ≥ t ⟺ inter ≥
-    //   t/(1+t)·(|A|+|B|).
-    // Pairs whose UPPER bound misses the threshold — measured 1 119 477
-    // of 1 119 733 unique candidates at sf0.1 — are dropped here, and
-    // the KB-scale sorted-array verification only ever touches the
-    // survivors. The exchanged candidate volume scales with the slim
-    // pair stream, the array volume with the true near-dup count.
     val docStats = sh
       .join(groups.filter(col("dfc") > maxDf).select("s"), Seq("s"),
         "left_semi")
@@ -608,19 +630,14 @@ object Dedup {
       .select(explode(pairsOf(col("ids"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("cc"))
-    // ε slack keeps the bound a strict superset under double rounding;
-    // the exact merge-walk Jaccard below is the real threshold check
-    val need = lit(threshold / (1.0 + threshold))
-    val survivors = pairCounts
+    pairCounts
       .join(stats.select(col("id").as("id_a"), col("n").as("na"),
         col("hot").as("hot_a")), "id_a")
       .join(stats.select(col("id").as("id_b"), col("n").as("nb"),
         col("hot").as("hot_b")), "id_b")
-      .filter(col("cc") + least(col("hot_a"), col("hot_b")) >=
-        need * (col("na") + col("nb")) - lit(1e-9))
+      .filter(bound(col("cc"), col("na"), col("nb"),
+        col("hot_a"), col("hot_b")))
       .select("id_a", "id_b")
-    verifyJaccardSh(sh, survivors)
-      .filter(col("jaccard") >= threshold)
   }
 
   /** Asymmetric near-dup detection by shingle CONTAINMENT:
@@ -639,32 +656,10 @@ object Dedup {
                        threshold: Double = 0.9): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = shingleTable(docs, idCol, textCol, n).persist(disk)
-    val groups = sh.groupBy("s")
-      .agg(call_function("graft_capped_collect_set", col("id"), lit(maxDf))
-        .as("ids"), count(lit(1)).as("dfc"))
-      .persist(disk)
-    val docStats = sh
-      .join(groups.filter(col("dfc") > maxDf).select("s"), Seq("s"),
-        "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("hot"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val stats = sizes.join(docStats, Seq("id"), "left")
-      .select(col("id"), col("n"),
-        coalesce(col("hot"), lit(0L)).as("hot"))
-      .persist(disk)
-    val pairCounts = groups
-      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("cc"))
-    val survivors = pairCounts
-      .join(stats.select(col("id").as("id_a"), col("n").as("na"),
-        col("hot").as("hot_a")), "id_a")
-      .join(stats.select(col("id").as("id_b"), col("n").as("nb"),
-        col("hot").as("hot_b")), "id_b")
-      .filter(col("cc") + least(col("hot_a"), col("hot_b")) >=
-        lit(threshold) * least(col("na"), col("nb")) - lit(1e-9))
-      .select("id_a", "id_b")
+    val survivors = boundedPairs(sh, maxDf) { (cc, na, nb, hotA, hotB) =>
+      cc + least(hotA, hotB) >=
+        lit(threshold) * least(na, nb) - lit(1e-9)
+    }
     verifyOverlapSh(sh, survivors)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") /

@@ -207,7 +207,25 @@ object Ivf {
   /** Approximate top-k: probe the `nProbe` cells nearest to each query. */
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
            vecCol: String, model: Model, k: Int,
-           nProbe: Int = 2): DataFrame = {
+           nProbe: Int = 2): DataFrame =
+    Similarity.rankTopK(
+      cellScored(queries, corpus, idCol, vecCol, model, nProbe,
+        broadcastQueries = true),
+      col("sim").desc_nulls_last, k)
+
+  /** The shared probe/assign/score core of the cell-bounded family:
+    * queries exploded over their nProbe nearest cells, corpus assigned
+    * map-side, one cell equi join, exact cosine per surviving pair.
+    * `broadcastQueries = true` is the probe-set shape (tiny query side
+    * ships to every task); `false` shuffles BOTH sides on cell into a
+    * co-partitioned hash join — mandatory when the query side is the
+    * corpus itself. One body so the scoring contract (rounding grain,
+    * null handling, self-exclusion) cannot drift between the gates
+    * built on it. */
+  private def cellScored(queries: DataFrame, corpus: DataFrame,
+                         idCol: String, vecCol: String, model: Model,
+                         nProbe: Int,
+                         broadcastQueries: Boolean): DataFrame = {
     // query → its nProbe nearest cells (tiny cross with k literal cells)
     val probes = array_sort(
       transform(cellScores(col(vecCol), model),
@@ -220,12 +238,14 @@ object Ivf {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm2(col(vecCol)).as("nc"),
         assign(col(vecCol), model).as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val joined =
+      if (broadcastQueries) c.join(broadcast(q), Seq("cell"))
+      else c.hint("shuffle_hash").join(q.hint("shuffle_hash"), Seq("cell"))
+    joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) /
           sqrt(col("nq") * col("nc")), 4).as("sim"))
-    Similarity.rankTopK(scored, col("sim").desc_nulls_last, k)
   }
 
   /** Corpus×corpus k-NN JOIN: every vector is a query against the same
@@ -239,27 +259,11 @@ object Ivf {
     * the skew (at 100 TB, thousands of cells; fit k to keep cells
     * ~10⁴-10⁵ vectors). */
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
-              model: Model, k: Int, nProbe: Int = 2): DataFrame = {
-    val probes = array_sort(
-      transform(cellScores(col(vecCol), model),
-        (s, i) => struct(s.as("d"), i.cast("int").as("cell"))))
-    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm2(col(vecCol)).as("nq"),
-      explode(slice(probes, 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qv"), col("nq"),
-        col("p.cell").as("cell"))
-    val c = Partitioning.spread(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        norm2(col(vecCol)).as("nc"),
-        assign(col(vecCol), model).as("cell"))
-    val scored = c.hint("shuffle_hash")
-      .join(q.hint("shuffle_hash"), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) /
-          sqrt(col("nq") * col("nc")), 4).as("sim"))
-    Similarity.rankTopK(scored, col("sim").desc_nulls_last, k)
-  }
+              model: Model, k: Int, nProbe: Int = 2): DataFrame =
+    Similarity.rankTopK(
+      cellScored(corpus, corpus, idCol, vecCol, model, nProbe,
+        broadcastQueries = false),
+      col("sim").desc_nulls_last, k)
 
   /** Mutual-kNN graph edges from [[knnJoin]]'s ranked list: (a, b) kept
     * iff each appears in the other's top-k — the symmetric neighbor

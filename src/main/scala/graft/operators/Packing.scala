@@ -76,6 +76,11 @@ object Packing {
       when(tokenCount <= e, lit(e)).otherwise(acc)
     }
     docs.select(bucket.as("bucket"), tokenCount.as("n_tokens"))
+      // a null token count matches no edge and would otherwise land in
+      // the overflow bucket, inflating its n_docs while contributing
+      // nothing to sum_tokens — rows without a measurable length are
+      // out of scope for a padding audit
+      .filter(col("n_tokens").isNotNull)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("sum_tokens"))

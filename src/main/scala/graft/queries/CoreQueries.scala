@@ -264,10 +264,6 @@ object CoreQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
-    // Offset window function (lag): average days between consecutive
-    // orders per customer. Consecutive-gap sums telescope to
-    // (max − min), so the result is tie-order independent by
-    // construction; integer day arithmetic keeps it engine-exact.
     // Cohort retention over the event stream: users grouped by their
     // first-activity week, counted at each week offset — the classic
     // product-analytics triangle. The (user, week) relation is
@@ -316,6 +312,10 @@ object CoreQueries {
         .orderBy("event_type", "day")
     },
 
+    // Offset window function (lag): average days between consecutive
+    // orders per customer. Consecutive-gap sums telescope to
+    // (max − min), so the result is tie-order independent by
+    // construction; integer day arithmetic keeps it engine-exact.
     "q_order_gaps" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -33,6 +33,30 @@ object TextQueries {
     m
   }
 
+  /** Streaming source over the fixture's documents table (schema probed
+    * from the parquet footer). Shared by every streaming gate. */
+  private def docStream(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** Drain a streaming frame through an AvailableNow memory sink and
+    * return the sink table — the one start/processAllAvailable/stop
+    * protocol for every streaming gate, so a fix to the drain sequence
+    * lands everywhere at once. */
+  private def drainToTable(s: org.apache.spark.sql.SparkSession,
+                           sink: String,
+                           df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = df.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
   /** BM25 ranked list (query_id, neighbor_id, bm25, rnk ≤ k) over
     * word-bigram terms, queries = doc_id % 101. Shared by the BM25
     * gate and the hybrid-RRF fusion so the scoring formula and its
@@ -778,18 +802,11 @@ object TextQueries {
     // fixture in one micro-batch the representative is the min-doc_id row
     // per fp, which is exactly SQL-expressible.
     "d_stream_first_seen" -> { (s, dir) => withShufflePartitions(s, 4) {
-      import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = docStream(s, dir)
         .select(TextAnalysis.prefixFingerprint(col("text"), 8).as("fp"),
           col("doc_id").as("seq"))
-      val first = graft.streaming.StreamingDedup.firstSeen(stream, "fp", "seq")
-      val sink = "d_stream_first_seen_sink"
-      val q = first.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      drainToTable(s, "d_stream_first_seen_sink",
+        graft.streaming.StreamingDedup.firstSeen(stream, "fp", "seq"))
         .select(col("fp"), col("seq").as("first_doc_id"))
         .orderBy("fp")
     }},
@@ -803,21 +820,13 @@ object TextQueries {
     // (with one micro-batch the first-seen winner is the min-doc_id
     // row, exactly the batch canonical).
     "d_stream_intake" -> { (s, dir) => withShufflePartitions(s, 4) {
-      import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = docStream(s, dir)
         .filter(TextAnalysis.qualityScore(col("text"), enStop) >= 0.5 &&
           TextAnalysis.langId(col("text")) === "en")
         .select(TextAnalysis.fingerprint(col("text")).as("fp"),
           col("doc_id").as("seq"), col("source"))
-      val first = graft.streaming.StreamingDedup.firstSeen(
-        stream, "fp", "seq")
-      val sink = "d_stream_intake_sink"
-      val q = first.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      drainToTable(s, "d_stream_intake_sink",
+        graft.streaming.StreamingDedup.firstSeen(stream, "fp", "seq"))
         .select(col("seq").as("doc_id"), col("source"),
           Sampling.hashSplit(col("seq"),
             Seq("val" -> "1a", "test" -> "33"), "train").as("split"))

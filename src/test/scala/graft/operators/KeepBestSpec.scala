@@ -40,6 +40,17 @@ class KeepBestSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("corpus diff classifies null-text docs by presence, not by fp") {
+    val oldSnap = Seq((1L, null.asInstanceOf[String]), (2L, "x"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, null.asInstanceOf[String]), (3L, "y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // null text in both dumps = unchanged, not 'added'
+    assert(out == Map(1L -> "unchanged", 2L -> "removed", 3L -> "added"))
+  }
+
   test("differential fuzz vs a local union-find keep-best") {
     val rnd = new scala.util.Random(11)
     for (trial <- 0 until 3) {
