@@ -146,6 +146,23 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Mutual-kNN clustering: connected components over the mutual-kNN
+    // graph — the graph-based curation clustering (tighter than
+    // cell-assignment clusters: an edge needs RECIPROCAL top-k
+    // membership). Composes knnJoin → mutualKnn → the shared
+    // label-propagation components; oracle = recursive closure over
+    // the frozen-centroid ranked list's mutual edges.
+    "s_knn_components" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3))
+      ivfModels.put("s_knn_components", model)
+      graft.operators.Dedup.dupClusters(
+        graft.operators.Ivf.mutualKnn(emb, "vec_id", "embedding",
+          model, k = 3, nProbe = 2))
+        .orderBy("canonical_id")
+    },
+
     // Cluster purity: per cell, the majority-label fraction over the
     // fixture's label column — the clustering-quality check run before
     // trusting cells for balancing/curation decisions. Outputs the
@@ -589,18 +606,31 @@ object SimilarityQueries {
        |WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
 
-  /** Mutual-kNN edges over the corpus-sized ranked list: (a, b) kept
-    * iff each is in the other's top-k — the symmetric graph cluster
-    * curation builds on. */
+  /** CTE chain ending in `mutual(id_a, id_b)` — the mutual-kNN edges
+    * over the corpus-sized ranked list. */
+  private def mutualKnnCtes(model: Ivf.Model, k: Int,
+                            nProbe: Int): String =
+    s"""${ivfRankedCtes(model, nProbe, "TRUE")},
+       |e AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $k),
+       |mutual AS (SELECT a.query_id AS id_a, a.neighbor_id AS id_b
+       |  FROM e a JOIN e b ON a.query_id = b.neighbor_id
+       |                   AND a.neighbor_id = b.query_id
+       |  WHERE a.query_id < a.neighbor_id)""".stripMargin
+
+  /** Mutual-kNN edges: (a, b) kept iff each is in the other's top-k —
+    * the symmetric graph cluster curation builds on. */
   private def mutualKnnSql(model: Ivf.Model, k: Int,
                            nProbe: Int): String =
-    s"""WITH ${ivfRankedCtes(model, nProbe, "TRUE")},
-       |e AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $k)
-       |SELECT a.query_id AS id_a, a.neighbor_id AS id_b
-       |FROM e a JOIN e b ON a.query_id = b.neighbor_id
-       |                 AND a.neighbor_id = b.query_id
-       |WHERE a.query_id < a.neighbor_id
+    s"""WITH ${mutualKnnCtes(model, k, nProbe)}
+       |SELECT id_a, id_b FROM mutual
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Connected components over the mutual-kNN edges — the DuckDB twin
+    * of `Dedup.dupClusters(Ivf.mutualKnn(...))`. */
+  private def knnComponentsSql(model: Ivf.Model, k: Int,
+                               nProbe: Int): String =
+    s"""WITH RECURSIVE ${mutualKnnCtes(model, k, nProbe)},
+       |${sqlComponentsOver("mutual")}""".stripMargin
 
   /** DuckDB twin of `Ivf.hardNegatives`: the frozen-centroid probe and
     * assign of [[ivfSql]], plus both sides' labels and the
@@ -947,6 +977,9 @@ object SimilarityQueries {
           ivfSql(m, k = 3, nProbe = 2, queryFilter = "TRUE")) ++
       Option(ivfModels.get("s_mutual_knn"))
         .map(m => "s_mutual_knn" -> mutualKnnSql(m, k = 3, nProbe = 2)) ++
+      Option(ivfModels.get("s_knn_components"))
+        .map(m => "s_knn_components" ->
+          knnComponentsSql(m, k = 3, nProbe = 2)) ++
       Option(ivfModels.get("s_cluster_assign"))
         .map(m => "s_cluster_assign" -> clusterSql(m)) ++
       Option(ivfModels.get("s_cluster_purity"))

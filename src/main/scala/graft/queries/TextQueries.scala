@@ -590,6 +590,39 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source Pearson correlation between document length and the
+    // heuristic quality score — the "is my quality signal just a length
+    // proxy" audit. The correlation is built from exact partial sums:
+    // x is integer, y is the 6-decimal score carried as DECIMAL(18,6)
+    // so Σy/Σy²/Σxy are order-free exact decimals (never an engine's
+    // own corr(), whose summation internals differ); the final ratio
+    // runs one fixed double chain. Degenerate sources (zero variance)
+    // emit NULL rather than a NaN.
+    "t_quality_corr" -> { (s, dir) =>
+      val y = TextAnalysis.qualityScore(col("text"), enStop)
+        .cast("decimal(18,6)")
+      val base = t(s, dir, "documents").select(col("source"),
+        col("n_chars").as("x"), y.as("y"))
+      val agg = base.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("sy2"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val sx2D = col("sx2").cast("double")
+      val syD = col("sy").cast("double")
+      val sy2D = col("sy2").cast("double")
+      val sxyD = col("sxy").cast("double")
+      val num = nD * sxyD - sxD * syD
+      val den2 = (nD * sx2D - sxD * sxD) * (nD * sy2D - syD * syD)
+      agg.select(col("source"), col("n"),
+        when(den2 > 0.0, round(num / sqrt(den2), 6)).as("corr_len_quality"))
+        .orderBy("source")
+    },
+
     // Classifier-calibrated corpus filter: keep the top 60% by the
     // FROZEN model's score — the percentile-target composition
     // (t_quality_threshold's practice) applied to the learned scorer
@@ -1306,6 +1339,36 @@ object TextQueries {
       """SELECT md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
         |  MIN(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // Exact-decimal partial sums, one fixed double chain — mirrors the
+    // Spark aggregation term for term.
+    "t_quality_corr" -> {
+      val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH base AS (SELECT source, n_chars AS x,
+         |    CAST(round((LEAST(len(str_split(text,' '))/64.0, 1.0)
+         |      + CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+         |        / len(str_split(text,' '))
+         |      + LEAST(len(list_intersect(list_distinct(str_split(text,' ')),
+         |          $enList))/4.0, 1.0)) / 3.0, 6) AS DECIMAL(18,6)) AS y
+         |  FROM documents),
+         |agg AS (SELECT source, COUNT(*) AS n,
+         |    SUM(x) AS sx, SUM(x * x) AS sx2,
+         |    SUM(y) AS sy, SUM(y * y) AS sy2, SUM(x * y) AS sxy
+         |  FROM base GROUP BY 1)
+         |SELECT source, n,
+         |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+         |    THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |    ELSE NULL END AS corr_len_quality
+         |FROM agg ORDER BY source""".stripMargin
+    },
 
     "t_length_buckets" ->
       """WITH n AS (SELECT len(str_split(text,' ')) AS nt FROM documents),
