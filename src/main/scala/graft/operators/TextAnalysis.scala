@@ -150,6 +150,36 @@ object TextAnalysis {
           .as("dup_2gram_frac"),
         round(col("top_c") / col("n_2grams"), 6).as("top_2gram_frac"))
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009,
+    * public): token counts folded into a FIXED-dim signed integer
+    * vector — bucket and sign both md5-derived, so an unbounded
+    * vocabulary needs no dictionary, no fit, and no driver state; the
+    * classic featurizer in front of a linear classifier (compose with
+    * [[QualityClassifier]]).
+    *
+    * All-integer arithmetic (±1 signs summed per bucket), so the
+    * result is engine-exact with no rounding convention. Scale shape:
+    * map-only hashing + ONE partial-agg shuffle keyed on the doc id;
+    * output width is `dim` ints per document regardless of vocabulary.
+    */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("b|"), col("w"))), 1, 8), 16, 10)
+        .cast("long"), lit(dim.toLong)).cast("int")
+    val sign = when(
+      substring(md5(concat(lit("s|"), col("w"))), 1, 1) < "8", 1)
+      .otherwise(-1)
+    val fCols = (0 until dim).map(j =>
+      sum(when(col("b") === j, col("sgn")).otherwise(0)).cast("int")
+        .as(s"f$j"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), bucket.as("b"), sign.as("sgn"))
+      .groupBy(idCol)
+      .agg(fCols.head, fCols.tail: _*)
+  }
+
   /** Corpus-level collocation mining: top-k word bigrams by the PMI
     * RATIO c(ab)·N / (c(a)·c(b)) — monotone in pointwise mutual
     * information, so the ranking is the classic collocation ranking

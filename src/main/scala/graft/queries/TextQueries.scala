@@ -590,6 +590,15 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Feature hashing: token counts folded into a fixed 8-dim signed
+    // integer vector (md5 bucket + md5 sign) — vocabulary-free
+    // featurization for linear models; all-integer, engine-exact.
+    "t_feature_hash" -> { (s, dir) =>
+      TextAnalysis.featureHash(t(s, dir, "documents"), "doc_id", "text",
+        dim = 8)
+        .orderBy("doc_id")
+    },
+
     // Per-source Pearson correlation between document length and the
     // heuristic quality score — the "is my quality signal just a length
     // proxy" audit. The correlation is built from exact partial sums:
@@ -1339,6 +1348,23 @@ object TextQueries {
       """SELECT md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
         |  MIN(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "t_feature_hash" -> {
+      val fCols = (0 until 8).map(j =>
+        s"CAST(SUM(CASE WHEN b = $j THEN sgn ELSE 0 END) AS INT) AS f$j")
+        .mkString(",\n  ")
+      s"""WITH tok AS (SELECT doc_id, unnest(str_split(text,' ')) AS w
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('b|' || w), 1, 8))::UBIGINT % 8
+         |      AS INT) AS b,
+         |    CASE WHEN substr(md5('s|' || w), 1, 1) < '8' THEN 1
+         |         ELSE -1 END AS sgn
+         |  FROM tok)
+         |SELECT doc_id,
+         |  $fCols
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // Exact-decimal partial sums, one fixed double chain — mirrors the
     // Spark aggregation term for term.
