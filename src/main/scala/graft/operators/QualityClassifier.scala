@@ -63,15 +63,21 @@ object QualityClassifier {
       case (acc, (x, w)) => acc + x * lit(w)
     }
 
-  /** Fit by ridge-damped IRLS on log-loss. `label` must be a 0/1
-    * numeric column. One aggregation job per Newton step; the
-    * featurized frame is persisted so the text scans once. `ridge`
-    * keeps the normal system nonsingular under collinear features and
-    * bounds the weights when the classes are separable. */
+  /** Fit by ridge-damped IRLS on log-loss over the standard text
+    * feature set. `label` must be a 0/1 numeric column. */
   def fit(docs: DataFrame, text: Column, label: Column,
           stopwords: Seq[String], iters: Int = 8,
-          ridge: Double = 1e-3): Model = {
-    val named = features(text, stopwords)
+          ridge: Double = 1e-3): Model =
+    fitOn(docs, features(text, stopwords), label, iters, ridge)
+
+  /** Fit by ridge-damped IRLS on log-loss over ARBITRARY named feature
+    * columns (e.g. [[TextAnalysis.featureHash]] buckets). One
+    * aggregation job per Newton step; the featurized frame is
+    * persisted so the input scans once. `ridge` keeps the normal
+    * system nonsingular under collinear features and bounds the
+    * weights when the classes are separable. */
+  def fitOn(docs: DataFrame, named: Seq[(String, Column)], label: Column,
+            iters: Int = 8, ridge: Double = 1e-3): Model = {
     // x0 is the intercept; x1..xd the features.
     val d = named.size + 1
     val fdf = docs

@@ -590,6 +590,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Classifier over HASHED features: the same IRLS trainer fit on
+    // the 8-dim feature-hash vectors instead of the hand-picked stats
+    // — the vocabulary-free "hashing trick + linear model" combination
+    // shipped when the feature space is open-ended. Learns the
+    // heuristic teacher to ~0.84 train accuracy from hashed
+    // bag-of-words alone (base rate 0.72); frozen weights replay over
+    // the exact integer features in the oracle.
+    "t_hash_classifier" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val hashed = TextAnalysis.featureHash(docs, "doc_id", "text",
+        dim = 8)
+      val labeled = docs.select(col("doc_id"),
+        (TextAnalysis.qualityScore(col("text"), enStop) >= 0.5)
+          .cast("int").as("y"))
+        .join(hashed, Seq("doc_id"))
+      val feats = (0 until 8).map(j =>
+        s"h$j" -> col(s"f$j").cast("double"))
+      val m = memoFit(s"lrh:$dir:irls8r1e3")(
+        QualityClassifier.fitOn(labeled, feats, col("y")))
+      lrModels.put("lrh", m)
+      val lg = QualityClassifier.logit(m, feats.map(_._2))
+      labeled.select(col("doc_id"), col("y").as("label"),
+          round(lg, 6).as("logit"), (lg > 0.0).as("pred"))
+        .orderBy("doc_id")
+    },
+
     // Feature hashing: token counts folded into a fixed 8-dim signed
     // integer vector (md5 bucket + md5 sign) — vocabulary-free
     // featurization for linear models; all-integer, engine-exact.
@@ -1125,8 +1151,42 @@ object TextQueries {
        |FROM sc WHERE score >= (SELECT c FROM cut)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Frozen hashed-feature classifier oracle: the exact integer
+    * feature-hash vectors joined to the heuristic teacher label, scored
+    * through the fitted weight literals in the same fold order. */
+  private def lrHashSql(m: QualityClassifier.Model): String = {
+    def fmt(x: Double) = java.lang.Double.toString(x)
+    val fc = (0 until 8).map(j =>
+      s"CAST(SUM(CASE WHEN b = $j THEN sgn ELSE 0 END) AS INT) AS f$j")
+      .mkString(",\n    ")
+    val lg = m.weights.zipWithIndex.foldLeft(s"(${fmt(m.bias)}") {
+      case (acc, (w, j)) => s"$acc + CAST(f$j AS DOUBLE) * (${fmt(w)})"
+    } + ")"
+    s"""WITH $lrFeatureCte,
+       |lab AS (SELECT doc_id,
+       |    CAST(CASE WHEN round((x0 + x1 + x2) / 3.0, 6) >= 0.5
+       |      THEN 1 ELSE 0 END AS INT) AS label FROM f),
+       |tok2 AS (SELECT doc_id, unnest(str_split(text,' ')) AS w
+       |  FROM documents),
+       |hb AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5('b|' || w), 1, 8))::UBIGINT % 8
+       |      AS INT) AS b,
+       |    CASE WHEN substr(md5('s|' || w), 1, 1) < '8' THEN 1
+       |         ELSE -1 END AS sgn
+       |  FROM tok2),
+       |hf AS (SELECT doc_id,
+       |    $fc
+       |  FROM hb GROUP BY doc_id)
+       |SELECT doc_id, label,
+       |  round($lg, 6) AS logit,
+       |  ($lg > 0.0) AS pred
+       |FROM hf JOIN lab USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] =
     staticOracles ++
+      Option(lrModels.get("lrh"))
+        .map(m => "t_hash_classifier" -> lrHashSql(m)) ++
       Option(lrModels.get("lr"))
         .map(m => "t_quality_classifier" -> lrSql(m)) ++
       Option(lrModels.get("lr"))

@@ -109,6 +109,23 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("fitOn learns from hashed features above the base rate") {
+    val hashed = TextAnalysis.featureHash(docs, "doc_id", "text", dim = 8)
+    val labeled = docs.select(col("doc_id"),
+      (TextAnalysis.qualityScore(col("text"), stop) >= 0.5)
+        .cast("int").as("y"))
+      .join(hashed, Seq("doc_id"))
+    val feats = (0 until 8).map(j => s"h$j" -> col(s"f$j").cast("double"))
+    val m = QualityClassifier.fitOn(labeled, feats, col("y"))
+    val lg = QualityClassifier.logit(m, feats.map(_._2))
+    val scored = labeled.select(col("y"), (lg > 0.0).as("pred"))
+    val n = scored.count().toDouble
+    val acc = scored.filter(col("pred") === (col("y") === 1)).count() / n
+    val base = math.max(labeled.filter(col("y") === 1).count() / n,
+      1.0 - labeled.filter(col("y") === 1).count() / n)
+    assert(acc > base + 0.05, s"acc $acc vs base $base")
+  }
+
   test("fit on zero usable rows returns the null model") {
     val empty = Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "y")
     val m = QualityClassifier.fit(empty, col("text"), col("y"), stop)
