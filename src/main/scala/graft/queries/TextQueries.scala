@@ -616,6 +616,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Self-fitted bigram language model with add-one smoothing: each
+    // document scored by its average P(wᵢ | wᵢ₋₁) = (c(ab)+1)/(c(a)+V)
+    // — the n-gram-LM fluency signal one tier above the char-trigram
+    // proxy. Per-bigram probabilities round to 6 decimals and sum in
+    // exact decimal (the bm25 convention) so the per-doc average is
+    // summation-order-free; corpus counts join on the bigram / first
+    // word, the vocabulary size broadcasts as one scalar row.
+    "t_bigram_lm" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tk = TextAnalysis.tokens(col("text"))
+      val bg = docs.select(col("doc_id"),
+        explode(TextAnalysis.wordBigrams(col("text"))).as("g"))
+      val cAb = bg.groupBy("g").agg(count(lit(1)).as("c_ab"))
+      val uni = docs.select(explode(tk).as("w"))
+      val cA = uni.groupBy("w").agg(count(lit(1)).as("c_a"))
+      val vocab = uni.agg(countDistinct(col("w")).as("v"))
+      val p = (col("c_ab") + 1).cast("double") /
+        (col("c_a") + col("v")).cast("double")
+      bg.join(cAb, Seq("g"))
+        .join(cA, element_at(split(col("g"), " "), 1) === col("w"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round(p, 6).cast("decimal(18,6)").as("pw"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("pw")).cast("double") / count(lit(1)), 6)
+            .as("avg_bigram_p"))
+        .orderBy("doc_id")
+    },
+
     // Feature hashing: token counts folded into a fixed 8-dim signed
     // integer vector (md5 bucket + md5 sign) — vocabulary-free
     // featurization for linear models; all-integer, engine-exact.
@@ -1408,6 +1438,26 @@ object TextQueries {
       """SELECT md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
         |  MIN(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // Per-bigram probabilities at 6-decimal granularity, exact-decimal
+    // per-doc sums — mirrors the Spark plan term for term.
+    "t_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM tok,
+        |  LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        |cab AS (SELECT g, COUNT(*) AS c_ab FROM bg GROUP BY 1),
+        |un AS (SELECT unnest(t) AS w FROM tok),
+        |ca AS (SELECT w, COUNT(*) AS c_a FROM un GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM un),
+        |pw AS (SELECT doc_id,
+        |    CAST(round(CAST(c_ab + 1 AS DOUBLE)
+        |      / CAST(c_a + (SELECT v FROM v) AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS pw
+        |  FROM bg JOIN cab USING (g)
+        |    JOIN ca ON ca.w = str_split(g,' ')[1])
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(CAST(SUM(pw) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_p
+        |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t_feature_hash" -> {
       val fCols = (0 until 8).map(j =>
