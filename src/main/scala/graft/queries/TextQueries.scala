@@ -309,6 +309,35 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // Histogram-calibrated threshold — the GATED version of the
+    // "exact percentile means a full sort; at 100 TB calibrate on a
+    // histogram" path the exact-percentile gates document: the cut is
+    // derived from a 16-char-wide bin table (mergeable, bounded, one
+    // partial-agg shuffle; the cumulative window runs over BINS, never
+    // documents), entirely in integers (5·cum ≥ 2·N ⟺ cum ≥ 0.4·N),
+    // so the approximate path is itself engine-exact and regression-
+    // pinned, not just named in prose.
+    "t_threshold_binned" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      val bins = docs.groupBy((col("n_chars") - (col("n_chars") % 16))
+          .as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val cum = bins.withColumn("cum",
+        sum(col("c")).over(Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cut = cum.crossJoin(broadcast(n))
+        .filter(col("cum") * 5 >= col("n_total") * 2)
+        .agg(min(col("bin") + 16).as("cut"))
+      docs.crossJoin(broadcast(cut))
+        .filter(col("n_chars") >= col("cut"))
+        .groupBy("lang", "cut")
+        .agg(count(lit(1)).as("n_kept"))
+        .select(col("lang"), col("n_kept"), col("cut"))
+        .orderBy("lang")
+    },
+
     // Per-source quality calibration: a quality score's distribution
     // shifts across domains, so one global cut over- or under-prunes
     // every source — the shipped practice is "keep each source's top
@@ -1846,6 +1875,21 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
         |FROM documents QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    // All-integer histogram cut: 16-wide bins, cumulative over bins,
+    // 5·cum ≥ 2·N — mirrors the Spark plan exactly.
+    "t_threshold_binned" ->
+      """WITH n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |bins AS (SELECT n_chars - (n_chars % 16) AS bin, COUNT(*) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bins),
+        |cut AS (SELECT MIN(bin + 16) AS cut FROM cum, n
+        |  WHERE cum * 5 >= n_total * 2)
+        |SELECT lang, COUNT(*) AS n_kept, (SELECT cut FROM cut) AS cut
+        |FROM documents WHERE n_chars >= (SELECT cut FROM cut)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t_quality_threshold" ->
       """WITH cut AS (SELECT quantile_cont(n_chars, 0.4) AS c

@@ -485,6 +485,17 @@ class PlanAuditSpec extends SparkSpec {
       "knn join degenerated to a nested loop")
   }
 
+  test("feature hash: joinless map-side hashing, one agg shuffle") {
+    val ns = nodes(SparkEntry.queries("t_feature_hash")(spark, dir))
+    assert(!ns.exists(p => p.nodeName.contains("Join")),
+      "feature hashing must not join (no dictionary)")
+    val exchanges = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one hash exchange for the doc-id aggregation + the output sort
+    assert(exchanges.size <= 2, s"${exchanges.size} exchanges")
+  }
+
   test("corpus diff: only (id, fingerprint) pairs shuffle, never text") {
     val ns = nodes(SparkEntry.queries("t_corpus_diff")(spark, dir))
     val exchanges = ns.collect {
