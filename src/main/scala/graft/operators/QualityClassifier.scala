@@ -127,7 +127,9 @@ object QualityClassifier {
   }
 
   /** Gaussian elimination with partial pivoting for the d×d Newton
-    * system — d is the feature count (5 here), strictly driver-side. */
+    * system — d is the intercept-extended feature count (5 for the
+    * standard text features, 9 for the hashed set), strictly
+    * driver-side. */
   private def solve(a0: Array[Array[Double]],
                     b0: Array[Double]): Array[Double] = {
     val d = b0.length

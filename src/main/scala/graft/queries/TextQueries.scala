@@ -629,12 +629,12 @@ object TextQueries {
     "t_hash_classifier" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val hashed = TextAnalysis.featureHash(docs, "doc_id", "text",
-        dim = 8)
+        dim = hashDim)
       val labeled = docs.select(col("doc_id"),
         (TextAnalysis.qualityScore(col("text"), enStop) >= 0.5)
           .cast("int").as("y"))
         .join(hashed, Seq("doc_id"))
-      val feats = (0 until 8).map(j =>
+      val feats = (0 until hashDim).map(j =>
         s"h$j" -> col(s"f$j").cast("double"))
       val m = memoFit(s"lrh:$dir:irls8r1e3")(
         QualityClassifier.fitOn(labeled, feats, col("y")))
@@ -655,12 +655,18 @@ object TextQueries {
     "t_bigram_lm" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val tk = TextAnalysis.tokens(col("text"))
+      // bg feeds the count model AND the scoring join — persist, or
+      // the tokenize+explode subtree runs twice (the bm25 convention)
       val bg = docs.select(col("doc_id"),
         explode(TextAnalysis.wordBigrams(col("text"))).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cAb = bg.groupBy("g").agg(count(lit(1)).as("c_ab"))
-      val uni = docs.select(explode(tk).as("w"))
-      val cA = uni.groupBy("w").agg(count(lit(1)).as("c_a"))
-      val vocab = uni.agg(countDistinct(col("w")).as("v"))
+      val cA = docs.select(explode(tk).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_a"))
+      // V = |vocab| = the grouped frame's row count — a countDistinct
+      // over raw token occurrences would re-explode the text and plan
+      // a redundant expand + second aggregate
+      val vocab = cA.agg(count(lit(1)).as("v"))
       val p = (col("c_ab") + 1).cast("double") /
         (col("c_a") + col("v")).cast("double")
       bg.join(cAb, Seq("g"))
@@ -680,7 +686,7 @@ object TextQueries {
     // featurization for linear models; all-integer, engine-exact.
     "t_feature_hash" -> { (s, dir) =>
       TextAnalysis.featureHash(t(s, dir, "documents"), "doc_id", "text",
-        dim = 8)
+        dim = hashDim)
         .orderBy("doc_id")
     },
 
@@ -697,13 +703,19 @@ object TextQueries {
         .cast("decimal(18,6)")
       val base = t(s, dir, "documents").select(col("source"),
         col("n_chars").as("x"), y.as("y"))
+      // x² widens to decimal BEFORE the multiply: a long Σx² wraps
+      // silently past 2⁶³ (≈10⁹ docs at ~10⁵ chars) while the oracle's
+      // HUGEINT sum stays exact — the widened decimal keeps the
+      // "exact partial sums" contract at the documented scale
       val agg = base.groupBy("source").agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sx2"),
+        sum(col("x").cast("decimal(19,0)") * col("x")).as("sx2"),
         sum(col("y")).as("sy"),
         sum(col("y") * col("y")).as("sy2"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x") * col("y")).as("sxy"),
+        min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
       val nD = col("n").cast("double")
       val sxD = col("sx").cast("double")
       val sx2D = col("sx2").cast("double")
@@ -712,8 +724,16 @@ object TextQueries {
       val sxyD = col("sxy").cast("double")
       val num = nD * sxyD - sxD * syD
       val den2 = (nD * sx2D - sxD * sxD) * (nD * sy2D - syD * syD)
+      // degeneracy is decided EXACTLY (min == max per group), never by
+      // the double den2 alone — a constant-y source's den2 lands on a
+      // ±ulp residue about half the time, which would emit a spurious
+      // correlation instead of NULL; den2 > 0 stays as a second guard
+      // against double cancellation on near-degenerate groups
+      val nonDegenerate =
+        col("xmin") < col("xmax") && col("ymin") < col("ymax")
       agg.select(col("source"), col("n"),
-        when(den2 > 0.0, round(num / sqrt(den2), 6)).as("corr_len_quality"))
+        when(nonDegenerate && den2 > 0.0, round(num / sqrt(den2), 6))
+          .as("corr_len_quality"))
         .orderBy("source")
     },
 
@@ -1210,14 +1230,36 @@ object TextQueries {
        |FROM sc WHERE score >= (SELECT c FROM cut)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** The feature-hash dimension — ONE constant shared by the Spark
+    * queries, the static oracle, and the frozen-weight classifier
+    * oracle, so the hash scheme cannot silently desynchronize. */
+  private val hashDim = 8
+
+  /** Shared CTE chain ending in `hf(doc_id, f0..f{hashDim-1})` — the
+    * DuckDB twin of [[graft.operators.TextAnalysis.featureHash]], used
+    * by the feature-hash gate AND the hashed-classifier oracle. */
+  private def hashFeatureCte: String = {
+    val fc = (0 until hashDim).map(j =>
+      s"CAST(SUM(CASE WHEN b = $j THEN sgn ELSE 0 END) AS INT) AS f$j")
+      .mkString(",\n    ")
+    s"""tokfh AS (SELECT doc_id, unnest(str_split(text,' ')) AS w
+       |  FROM documents),
+       |hb AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5('b|' || w), 1, 8))::UBIGINT % $hashDim
+       |      AS INT) AS b,
+       |    CASE WHEN substr(md5('s|' || w), 1, 1) < '8' THEN 1
+       |         ELSE -1 END AS sgn
+       |  FROM tokfh),
+       |hf AS (SELECT doc_id,
+       |    $fc
+       |  FROM hb GROUP BY doc_id)""".stripMargin
+  }
+
   /** Frozen hashed-feature classifier oracle: the exact integer
     * feature-hash vectors joined to the heuristic teacher label, scored
     * through the fitted weight literals in the same fold order. */
   private def lrHashSql(m: QualityClassifier.Model): String = {
     def fmt(x: Double) = java.lang.Double.toString(x)
-    val fc = (0 until 8).map(j =>
-      s"CAST(SUM(CASE WHEN b = $j THEN sgn ELSE 0 END) AS INT) AS f$j")
-      .mkString(",\n    ")
     val lg = m.weights.zipWithIndex.foldLeft(s"(${fmt(m.bias)}") {
       case (acc, (w, j)) => s"$acc + CAST(f$j AS DOUBLE) * (${fmt(w)})"
     } + ")"
@@ -1225,17 +1267,7 @@ object TextQueries {
        |lab AS (SELECT doc_id,
        |    CAST(CASE WHEN round((x0 + x1 + x2) / 3.0, 6) >= 0.5
        |      THEN 1 ELSE 0 END AS INT) AS label FROM f),
-       |tok2 AS (SELECT doc_id, unnest(str_split(text,' ')) AS w
-       |  FROM documents),
-       |hb AS (SELECT doc_id,
-       |    CAST(('0x' || substr(md5('b|' || w), 1, 8))::UBIGINT % 8
-       |      AS INT) AS b,
-       |    CASE WHEN substr(md5('s|' || w), 1, 1) < '8' THEN 1
-       |         ELSE -1 END AS sgn
-       |  FROM tok2),
-       |hf AS (SELECT doc_id,
-       |    $fc
-       |  FROM hb GROUP BY doc_id)
+       |$hashFeatureCte
        |SELECT doc_id, label,
        |  round($lg, 6) AS logit,
        |  ($lg > 0.0) AS pred
@@ -1488,22 +1520,9 @@ object TextQueries {
         |  round(CAST(SUM(pw) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_p
         |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "t_feature_hash" -> {
-      val fCols = (0 until 8).map(j =>
-        s"CAST(SUM(CASE WHEN b = $j THEN sgn ELSE 0 END) AS INT) AS f$j")
-        .mkString(",\n  ")
-      s"""WITH tok AS (SELECT doc_id, unnest(str_split(text,' ')) AS w
-         |  FROM documents),
-         |h AS (SELECT doc_id,
-         |    CAST(('0x' || substr(md5('b|' || w), 1, 8))::UBIGINT % 8
-         |      AS INT) AS b,
-         |    CASE WHEN substr(md5('s|' || w), 1, 1) < '8' THEN 1
-         |         ELSE -1 END AS sgn
-         |  FROM tok)
-         |SELECT doc_id,
-         |  $fCols
-         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "t_feature_hash" ->
+      s"""WITH $hashFeatureCte
+         |SELECT * FROM hf ORDER BY doc_id""".stripMargin,
 
     // Exact-decimal partial sums, one fixed double chain — mirrors the
     // Spark aggregation term for term.
@@ -1517,11 +1536,14 @@ object TextQueries {
          |          $enList))/4.0, 1.0)) / 3.0, 6) AS DECIMAL(18,6)) AS y
          |  FROM documents),
          |agg AS (SELECT source, COUNT(*) AS n,
-         |    SUM(x) AS sx, SUM(x * x) AS sx2,
-         |    SUM(y) AS sy, SUM(y * y) AS sy2, SUM(x * y) AS sxy
+         |    SUM(x) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sx2,
+         |    SUM(y) AS sy, SUM(y * y) AS sy2, SUM(x * y) AS sxy,
+         |    MIN(x) AS xmin, MAX(x) AS xmax,
+         |    MIN(y) AS ymin, MAX(y) AS ymax
          |  FROM base GROUP BY 1)
          |SELECT source, n,
-         |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+         |  CASE WHEN xmin < xmax AND ymin < ymax
+         |    AND (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
          |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
          |      * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
          |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
