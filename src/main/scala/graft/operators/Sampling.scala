@@ -236,4 +236,51 @@ object Sampling {
         Window.partitionBy(col("shard"))
           .orderBy(col("okey"), col(idCol))).cast("int"))
   }
+
+  /** Curriculum mixture schedule — the multi-PHASE generalization of
+    * [[tokenBudgetSample]]: each training phase names its own
+    * per-source token budgets (warmup on curated sources, core on the
+    * broad mix, anneal on a small high-quality slice), and every phase
+    * draws an INDEPENDENT deterministic subset via a phase-salted hash
+    * (md5 over "phase:id" — the [[epochShuffle]] salt convention), so
+    * consecutive phases resample the corpus rather than nesting inside
+    * one another the way a shared unsalted hash would force.
+    *
+    * One row out per (phase, kept doc). Scale shape: the measured
+    * per-source token totals are ONE tiny aggregation (|sources| rows
+    * to the driver, exactly [[tokenBudgetSample]]'s); after that the
+    * pass is map-only — each row evaluates its |phases| literal hex
+    * thresholds inline (an explode over a literal array, no shuffle,
+    * no per-phase rescan of the corpus). Budgets a source doesn't
+    * appear in keep nothing; budgets at or over the source's total
+    * keep everything ([[weightHex]]'s top-edge 'g' contract).
+    *
+    * Determinism across engines: identical to [[tokenBudgetSample]] —
+    * the fraction → threshold math is exact IEEE-754, so the SQL twin
+    * re-derives the cuts from the same totals and budget literals. */
+  def mixSchedule(docs: DataFrame, idCol: String, sourceCol: String,
+                  tokenCount: Column,
+                  phases: Seq[(String, Map[String, Long])]): DataFrame = {
+    val totals = docs.groupBy(col(sourceCol))
+      .agg(coalesce(sum(tokenCount.cast("long")), lit(0L)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val phaseStructs = phases.map { case (phase, budgets) =>
+      val h8 = substring(
+        md5(concat(lit(s"$phase:"), col(idCol).cast("string"))
+          .cast("binary")), 1, 8)
+      val thr = budgets.toSeq.sortBy(_._1)
+        .foldLeft(lit(weightHex(0.0))) { case (rest, (src, b)) =>
+          val w = if (totals.getOrElse(src, 0L) <= 0L) 1.0
+                  else b.toDouble / totals(src)
+          when(col(sourceCol) === src, lit(weightHex(w))).otherwise(rest)
+        }
+      struct(lit(phase).as("phase"), (h8 < thr).as("keep"))
+    }
+    docs.select(col(idCol), col(sourceCol),
+        tokenCount.cast("long").as("n_tokens"),
+        explode(array(phaseStructs: _*)).as("p"))
+      .filter(col("p.keep"))
+      .select(col("p.phase").as("phase"), col(idCol), col(sourceCol),
+        col("n_tokens"))
+  }
 }

@@ -109,6 +109,74 @@ object TextQueries {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-document bigram-LM fluency scores (doc_id, n_bigrams,
+    * avg_bigram_p) — add-one-smoothed P(wᵢ|wᵢ₋₁) averaged per doc,
+    * 6-decimal-rounded probabilities summed in exact decimal so the
+    * average is summation-order-free. THE scoring frame for both
+    * t_bigram_lm and t_ccnet_buckets (one definition, one SQL twin —
+    * the fittedModel convention). Docs with no bigram (single-token)
+    * drop out on both engines. */
+  private def bigramLmScores(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tk = TextAnalysis.tokens(col("text"))
+    // bg feeds the count model AND the scoring join — persist, or
+    // the tokenize+explode subtree runs twice (the bm25 convention)
+    val bg = docs.select(col("doc_id"),
+      explode(TextAnalysis.wordBigrams(col("text"))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cAb = bg.groupBy("g").agg(count(lit(1)).as("c_ab"))
+    val cA = docs.select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_a"))
+    // V = |vocab| = the grouped frame's row count — a countDistinct
+    // over raw token occurrences would re-explode the text and plan
+    // a redundant expand + second aggregate
+    val vocab = cA.agg(count(lit(1)).as("v"))
+    val p = (col("c_ab") + 1).cast("double") /
+      (col("c_a") + col("v")).cast("double")
+    bg.join(cAb, Seq("g"))
+      .join(cA, element_at(split(col("g"), " "), 1) === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(p, 6).cast("decimal(18,6)").as("pw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("pw")).cast("double") / count(lit(1)), 6)
+          .as("avg_bigram_p"))
+  }
+
+  /** The t_mix_schedule curriculum: three phases, each with its own
+    * per-source token budgets — covers an over-budget source (keeps
+    * everything via the weightHex top-edge), a zero budget, and
+    * sources absent from a phase (keep nothing). Shared between the
+    * gated query and the SQL oracle generator. */
+  private val schedulePhases: Seq[(String, Map[String, Long])] = Seq(
+    "p1_warmup" -> Map("src0" -> 3000L, "src1" -> 1500L, "src2" -> 500L),
+    "p2_core" -> Map("src0" -> 500L, "src3" -> 4000L, "src5" -> 2000L,
+      "src7" -> 10000000L),
+    "p3_anneal" -> Map("src2" -> 100L, "src4" -> 0L, "src9" -> 800L))
+
+  /** DuckDB twin of [[bigramLmScores]] — CTE chain ending in
+    * `lm(doc_id, n_bigrams, avg_bigram_p)`. Shared by the t_bigram_lm
+    * and t_ccnet_buckets oracles so the model can't drift. */
+  private val bigramLmSqlCte: String =
+    """tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM tok,
+      |  LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+      |cab AS (SELECT g, COUNT(*) AS c_ab FROM bg GROUP BY 1),
+      |un AS (SELECT unnest(t) AS w FROM tok),
+      |ca AS (SELECT w, COUNT(*) AS c_a FROM un GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM un),
+      |pw AS (SELECT doc_id,
+      |    CAST(round(CAST(c_ab + 1 AS DOUBLE)
+      |      / CAST(c_a + (SELECT v FROM v) AS DOUBLE), 6)
+      |      AS DECIMAL(18,6)) AS pw
+      |  FROM bg JOIN cab USING (g)
+      |    JOIN ca ON ca.w = str_split(g,' ')[1]),
+      |lm AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    round(CAST(SUM(pw) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_p
+      |  FROM pw GROUP BY doc_id)""".stripMargin
+
   /** t_hll_distinct's p: 512 registers. The oracle interpolates
     * [[graft.operators.Sketches.scaledAlpha]] so both engines embed the
     * IDENTICAL α·m²·2⁵² double literal. */
@@ -648,36 +716,40 @@ object TextQueries {
     // Self-fitted bigram language model with add-one smoothing: each
     // document scored by its average P(wᵢ | wᵢ₋₁) = (c(ab)+1)/(c(a)+V)
     // — the n-gram-LM fluency signal one tier above the char-trigram
-    // proxy. Per-bigram probabilities round to 6 decimals and sum in
-    // exact decimal (the bm25 convention) so the per-doc average is
-    // summation-order-free; corpus counts join on the bigram / first
-    // word, the vocabulary size broadcasts as one scalar row.
+    // proxy (scoring shared with t_ccnet_buckets via bigramLmScores).
     "t_bigram_lm" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val tk = TextAnalysis.tokens(col("text"))
-      // bg feeds the count model AND the scoring join — persist, or
-      // the tokenize+explode subtree runs twice (the bm25 convention)
-      val bg = docs.select(col("doc_id"),
-        explode(TextAnalysis.wordBigrams(col("text"))).as("g"))
+      bigramLmScores(s, dir).orderBy("doc_id")
+    },
+
+    // CCNet-style corpus partition (Wenzek et al. 2020, public): per
+    // LANGUAGE, split documents into head / middle / tail thirds by
+    // language-model fluency — the standard pre-filter that routes the
+    // most-fluent third into training and quarantines the tail. The
+    // fluency signal is THE t_bigram_lm score (shared helper, so the
+    // two gates can never drift onto different models; higher avg
+    // bigram probability = more fluent = head). Tertile cuts are exact
+    // interpolated percentiles per language, compared UNROUNDED (the
+    // t_quality_calibrate convention); at 100 TB the exact per-group
+    // percentile becomes approx_percentile or a hash-sample calibration
+    // (the t_quality_threshold scaling note) — the cut derivation is
+    // one |langs|-row aggregate either way, broadcast back.
+    "t_ccnet_buckets" -> { (s, dir) =>
+      val scored = bigramLmScores(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        // feeds the cuts aggregate AND the final bucket join — persist,
+        // or the whole LM scoring subtree runs twice
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cAb = bg.groupBy("g").agg(count(lit(1)).as("c_ab"))
-      val cA = docs.select(explode(tk).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c_a"))
-      // V = |vocab| = the grouped frame's row count — a countDistinct
-      // over raw token occurrences would re-explode the text and plan
-      // a redundant expand + second aggregate
-      val vocab = cA.agg(count(lit(1)).as("v"))
-      val p = (col("c_ab") + 1).cast("double") /
-        (col("c_a") + col("v")).cast("double")
-      bg.join(cAb, Seq("g"))
-        .join(cA, element_at(split(col("g"), " "), 1) === col("w"))
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          round(p, 6).cast("decimal(18,6)").as("pw"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("pw")).cast("double") / count(lit(1)), 6)
-            .as("avg_bigram_p"))
+      val cuts = scored.groupBy("lang").agg(
+        percentile(col("avg_bigram_p"), lit(1.0 / 3)).as("c1"),
+        percentile(col("avg_bigram_p"), lit(2.0 / 3)).as("c2"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("avg_bigram_p"),
+          when(col("avg_bigram_p") >= col("c2"), lit("head"))
+            .when(col("avg_bigram_p") >= col("c1"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"),
+          round(col("c1"), 6).as("cut_lo"),
+          round(col("c2"), 6).as("cut_hi"))
         .orderBy("doc_id")
     },
 
@@ -891,6 +963,20 @@ object TextQueries {
         budgets = Map("src0" -> 2000L, "src3" -> 100L,
           "src7" -> 10000000L))
         .orderBy("doc_id")
+    },
+
+    // Curriculum mixture schedule: three training phases, each with its
+    // own per-source token budgets, each drawing an independent
+    // deterministic subset via a phase-salted hash — the multi-phase
+    // data recipe (warmup → core → anneal) as one map-only pass after
+    // a single per-source totals aggregate.
+    "t_mix_schedule" -> { (s, dir) =>
+      Sampling.mixSchedule(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+        "doc_id", "source", col("n_tokens"), schedulePhases)
+        .orderBy("phase", "doc_id")
     },
 
     // DSIR importance resampling (Xie et al. 2023): hashed-ngram
@@ -1503,22 +1589,27 @@ object TextQueries {
     // Per-bigram probabilities at 6-decimal granularity, exact-decimal
     // per-doc sums — mirrors the Spark plan term for term.
     "t_bigram_lm" ->
-      """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM tok,
-        |  LATERAL (SELECT unnest(range(1, len(t))) AS i)),
-        |cab AS (SELECT g, COUNT(*) AS c_ab FROM bg GROUP BY 1),
-        |un AS (SELECT unnest(t) AS w FROM tok),
-        |ca AS (SELECT w, COUNT(*) AS c_a FROM un GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT w) AS v FROM un),
-        |pw AS (SELECT doc_id,
-        |    CAST(round(CAST(c_ab + 1 AS DOUBLE)
-        |      / CAST(c_a + (SELECT v FROM v) AS DOUBLE), 6)
-        |      AS DECIMAL(18,6)) AS pw
-        |  FROM bg JOIN cab USING (g)
-        |    JOIN ca ON ca.w = str_split(g,' ')[1])
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  round(CAST(SUM(pw) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_p
-        |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $bigramLmSqlCte
+         |SELECT doc_id, n_bigrams, avg_bigram_p FROM lm
+         |ORDER BY doc_id""".stripMargin,
+
+    // The t_bigram_lm scoring CTE verbatim, then per-language exact
+    // interpolated tertile cuts — mirrors the Spark bucket assignment
+    // against the UNROUNDED cuts.
+    "t_ccnet_buckets" ->
+      s"""WITH $bigramLmSqlCte,
+         |sc AS (SELECT lm.doc_id, d.lang, lm.avg_bigram_p
+         |  FROM lm JOIN documents d USING (doc_id)),
+         |cuts AS (SELECT lang,
+         |    quantile_cont(avg_bigram_p, 1.0/3) AS c1,
+         |    quantile_cont(avg_bigram_p, 2.0/3) AS c2
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, lang, avg_bigram_p,
+         |  CASE WHEN avg_bigram_p >= c2 THEN 'head'
+         |       WHEN avg_bigram_p >= c1 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  round(c1, 6) AS cut_lo, round(c2, 6) AS cut_hi
+         |FROM sc JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
 
     "t_feature_hash" ->
       s"""WITH $hashFeatureCte
@@ -1875,6 +1966,35 @@ object TextQueries {
         |FROM d JOIN thr USING (source)
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut
         |ORDER BY doc_id""".stripMargin,
+
+    // Per-(phase, source) thresholds re-derived from the measured
+    // totals and the schedulePhases budget literals; the phase-salted
+    // hash mirrors Sampling.mixSchedule's md5("phase:id").
+    "t_mix_schedule" -> {
+      val budgetRows = schedulePhases.flatMap { case (phase, budgets) =>
+        budgets.toSeq.sortBy(_._1).map { case (src, b) =>
+          s"('$phase', '$src', $b)"
+        }
+      }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT source, SUM(n_tokens) AS t FROM d GROUP BY 1),
+         |b AS (SELECT * FROM (VALUES $budgetRows)
+         |  AS v(phase, source, budget)),
+         |thr AS (SELECT phase, source,
+         |    CASE WHEN frac >= 1.0 THEN 'g'
+         |         ELSE printf('%08x',
+         |           CAST(floor(frac * 4294967296.0) AS BIGINT)) END AS cut
+         |  FROM (SELECT phase, b.source,
+         |          CAST(budget AS DOUBLE) / CAST(t AS DOUBLE) AS frac
+         |        FROM b JOIN tot ON b.source = tot.source))
+         |SELECT phase, doc_id, source, n_tokens
+         |FROM d JOIN thr USING (source)
+         |WHERE substr(md5(phase || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |  < cut
+         |ORDER BY phase, doc_id""".stripMargin
+    },
 
     "t_pack_chunks" ->
       """WITH d AS (SELECT doc_id,
