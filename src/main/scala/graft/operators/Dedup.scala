@@ -289,8 +289,21 @@ object Dedup {
     // fault-tolerant reliable checkpoints for cluster runs.
     val sc = pairs.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // The re-wrap after the eager checkpoint strips the ORIGIN-PLAN
+    // STATISTICS the checkpoint propagates into its LogicalRDD
+    // (SPARK-39748): each round's plan references the previous round's
+    // frame twice (labels in both join inputs; stepped in the hop
+    // self-join), so propagated sizeInBytes SQUARES per round —
+    // measured: the stat's bit-length doubles every iteration, and by
+    // round ~25 the driver spends hours multiplying 10⁸-bit BigInts
+    // inside SizeInBytesOnlyStatsPlanVisitor while planning the next
+    // checkpoint (this wedged the r7 bench on s_knn_components).
+    // createDataFrame over the materialized rows is a plain source
+    // relation with default stats — O(1) planning per round forever.
+    def ckpt(df: DataFrame): DataFrame = {
+      val cp = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
     // materialize the pair-generation subtree ONCE: `edges` references
     // `pairs` twice (both orientations), and each round's join would
     // otherwise re-run the full candidate-pair pipeline per branch
