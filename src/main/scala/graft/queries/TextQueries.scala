@@ -220,6 +220,36 @@ object TextQueries {
        |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality + language-ID CTE chain ending in
+    * `ql(doc_id, source, quality, lang_pred)` — the scoring half of
+    * [[pipelineCleanSql]] exposed for oracles that ROUTE on the scores
+    * instead of filtering (t_stream_route). */
+  private lazy val qualityLangCte: String = {
+    val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
+    val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
+      lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+    }
+    val scoreCols = profiles.map { case (lang, arr) =>
+      s"len(list_intersect(dt, $arr)) AS s_$lang"
+    }.mkString(", ")
+    val gExpr = profiles.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
+    val predChain = profiles.map { case (lang, _) =>
+      s"WHEN s_$lang = g THEN '$lang'"
+    }.mkString(" ")
+    s"""base AS (
+       |  SELECT doc_id, source, str_split(text,' ') AS tk,
+       |         list_distinct(str_split(text,' ')) AS dt FROM documents),
+       |scored AS (SELECT *, $scoreCols FROM base),
+       |g AS (SELECT *, $gExpr AS g FROM scored),
+       |ql AS (SELECT doc_id, source,
+       |    round((LEAST(len(tk)/64.0, 1.0)
+       |      + CAST(len(dt) AS DOUBLE)/len(tk)
+       |      + LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)) / 3.0, 6)
+       |      AS quality,
+       |    CASE WHEN g = 0 THEN 'und' $predChain END AS lang_pred
+       |  FROM g)""".stripMargin
+  }
+
   /** Shared CTE chain of the BM25 oracles, ending in
     * `rk(query_id, neighbor_id, bm25, rnk)` — the DuckDB twin of
     * [[bm25Ranked]] (unfiltered rank; callers cut at their own k). */
@@ -1066,6 +1096,46 @@ object TextQueries {
         .orderBy("doc_id")
     }},
 
+    // Streaming quality ROUTER — the multi-sink demux a production
+    // intake runs: ONE scoring pass per micro-batch, then each route
+    // appends to its own store (kept → training, low-quality and
+    // wrong-language → quarantine for audit/reprocessing). foreachBatch
+    // persists the scored batch so the per-route filtered writes share
+    // one computation (the documented multi-sink pattern — without the
+    // persist each sink would re-score the batch); the gate counts what
+    // landed IN the sinks, so the demux itself is what's attested:
+    // routes must partition the corpus (no drops, no double-sends).
+    "t_stream_route" -> { (s, dir) => withShufflePartitions(s, 4) {
+      import org.apache.spark.sql.streaming.Trigger
+      val routes = Seq("kept", "low_quality", "wrong_lang")
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_route_").toString
+      val scored = docStream(s, dir).select(
+        col("doc_id"), col("source"),
+        when(TextAnalysis.qualityScore(col("text"), enStop) < 0.5,
+          lit("low_quality"))
+          .when(TextAnalysis.langId(col("text")) =!= "en",
+            lit("wrong_lang"))
+          .otherwise(lit("kept")).as("route"))
+      val sinkSchema = scored.schema
+      val q = scored.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.persist()
+          try routes.foreach { r =>
+            batch.filter(col("route") === r)
+              .write.mode("append").parquet(s"$outDir/$r")
+          } finally batch.unpersist()
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      // explicit schema: an all-empty route still reads as zero rows
+      routes.map(r => s.read.schema(sinkSchema).parquet(s"$outDir/$r"))
+        .reduce(_ unionAll _)
+        .groupBy("route", "source").agg(count(lit(1)).as("n"))
+        .orderBy("route", "source")
+    }},
+
     // BM25 lexical retrieval ("more like this"): every doc_id % 101 == 0
     // document becomes a query; its bigram terms probe a (doc, term, tf)
     // postings table — the distributed inverted-index shape. The probe
@@ -1575,6 +1645,19 @@ object TextQueries {
     // Streaming query (score → filter → first-seen dedup → split), so
     // the batch oracle IS the streaming-equals-batch invariance claim.
     "d_stream_intake" -> pipelineCleanSql,
+
+    // Batch twin of the streaming router's classification; counting
+    // per (route, source) over ql attests the demux partitioned the
+    // corpus exactly (no drops, no double-sends across sinks).
+    "t_stream_route" ->
+      s"""WITH $qualityLangCte,
+         |r AS (SELECT source,
+         |    CASE WHEN quality < 0.5 THEN 'low_quality'
+         |         WHEN lang_pred <> 'en' THEN 'wrong_lang'
+         |         ELSE 'kept' END AS route
+         |  FROM ql)
+         |SELECT route, source, COUNT(*) AS n
+         |FROM r GROUP BY 1, 2 ORDER BY route, source""".stripMargin,
 
     "t_fingerprint_dups" ->
       """SELECT md5(array_to_string(str_split(text,' ')[1:8],' ')) AS fp,
