@@ -177,6 +177,20 @@ object TextQueries {
       |    round(CAST(SUM(pw) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_p
       |  FROM pw GROUP BY doc_id)""".stripMargin
 
+  /** nDCG@10 discounts 1/log2(i+1), computed ONCE driver-side and
+    * embedded as the same literals in the Spark plan and the SQL oracle
+    * — neither engine ever evaluates log2, so libm differences can't
+    * split them (the hllP α-literal convention). */
+  private val ndcgDiscounts: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** Ideal DCG@10 for the graded-relevance scale rel(i) = 11−i: the
+    * exact-decimal sum of the same 6-decimal-rounded terms both engines
+    * aggregate, shared as one literal. */
+  private val ndcgIdcg: Double =
+    (1 to 10).map(i => BigDecimal((11 - i).toDouble * ndcgDiscounts(i - 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+
   /** t_hll_distinct's p: 512 registers. The oracle interpolates
     * [[graft.operators.Sketches.scaledAlpha]] so both engines embed the
     * IDENTICAL α·m²·2⁵² double literal. */
@@ -1169,6 +1183,33 @@ object TextQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Offline retrieval-quality eval: nDCG@10 of the BM25 ranking with
+    // graded relevance from the exact dense top-10 (rel = 11 − dense
+    // rank) — the metric a retrieval stack tracks when tuning its
+    // lexical tier against the dense gold standard. Per-position gains
+    // round to 6 decimals and sum in exact decimal (order-free); the
+    // discounts and the ideal-DCG denominator are shared driver-side
+    // literals. Queries whose BM25 list misses the dense top-10
+    // entirely have no gain rows and are absent (nDCG 0).
+    "t_ndcg_eval" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val dense = graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 101 === 0), emb, "vec_id", "embedding",
+        k = 10)
+      val rel = dense.select(col("query_id"), col("neighbor_id"),
+        (lit(11) - col("rnk")).cast("double").as("rel"))
+      val dLit = typedlit[Seq[Double]](ndcgDiscounts)
+      bm25Ranked(s, dir, k = 10)
+        .join(rel, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"),
+          round(col("rel") * element_at(dLit, col("rnk")), 6)
+            .cast("decimal(18,6)").as("g"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).cast("int").as("n_overlap"),
+          round(sum(col("g")).cast("double") / lit(ndcgIdcg), 6).as("ndcg"))
+        .orderBy("query_id")
+    },
+
     // HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
     // cardinality estimator a 100 TB dedup planner runs BEFORE paying
     // for exact distinct: per source, registers are max(rho) over a
@@ -1814,6 +1855,43 @@ object TextQueries {
         |        FROM f)
         |SELECT query_id, neighbor_id, rrf, rnk FROM rr2 WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    // Dense CTEs mirror t_hybrid_rrf's; the discount CASE and the
+    // ideal-DCG denominator are the driver-side literals.
+    "t_ndcg_eval" -> {
+      val discCase = ndcgDiscounts.zipWithIndex
+        .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+      s"""WITH $bm25Ctes,
+        |lex AS (SELECT query_id, neighbor_id, rnk AS r_lex FROM rk
+        |        WHERE rnk <= 10),
+        |dq AS (SELECT vec_id AS query_id, embedding AS qv
+        |       FROM embeddings WHERE vec_id % 101 = 0),
+        |dc AS (SELECT vec_id AS neighbor_id, embedding AS cv
+        |       FROM embeddings),
+        |dun AS (SELECT query_id, neighbor_id,
+        |          unnest(qv) AS x, unnest(cv) AS y
+        |        FROM dq JOIN dc ON query_id <> neighbor_id),
+        |ds AS (SELECT query_id, neighbor_id,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+        |       FROM dun GROUP BY 1, 2),
+        |dr AS (SELECT query_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
+        |           AS INT) AS r_dense
+        |       FROM ds),
+        |rel AS (SELECT query_id, neighbor_id,
+        |          CAST(11 - r_dense AS DOUBLE) AS rel
+        |        FROM dr WHERE r_dense <= 10),
+        |gg AS (SELECT query_id,
+        |         CAST(round(rel * (CASE r_lex $discCase END), 6)
+        |           AS DECIMAL(18,6)) AS g
+        |       FROM lex JOIN rel USING (query_id, neighbor_id))
+        |SELECT query_id, CAST(COUNT(*) AS INT) AS n_overlap,
+        |  round(CAST(SUM(g) AS DOUBLE) / $ndcgIdcg, 6) AS ndcg
+        |FROM gg GROUP BY query_id ORDER BY query_id""".stripMargin
+    },
 
     // Mirrors t_hll_distinct register for register: same 60-bit md5
     // hash, same integer register sums (DuckDB's HUGEINT sum is exact
