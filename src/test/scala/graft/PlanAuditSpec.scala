@@ -740,4 +740,43 @@ class PlanAuditSpec extends SparkSpec {
       }
     }, "expected a fingerprint-keyed exchange (winner aggregation)")
   }
+
+  test("ccnet buckets: cuts broadcast back; the LM scores compute once") {
+    val ns = nodes(SparkEntry.queries("t_ccnet_buckets")(spark, dir))
+    // the |langs|-row cuts relation must broadcast into the bucket
+    // assignment — a sort-merge join on lang would shuffle every score
+    // on a handful of hot language keys
+    assert(ns.exists { case b: BroadcastHashJoinExec =>
+      b.leftKeys.exists(_.references.exists(_.name == "lang")) ||
+        b.rightKeys.exists(_.references.exists(_.name == "lang"))
+      case _ => false },
+      "cuts are not broadcast back on lang: " +
+        ns.map(_.nodeName).distinct.mkString(","))
+    // the scored frame feeds the cuts aggregate AND the final join —
+    // both consumers must read the persisted intermediate, or the
+    // whole bigram-LM subtree (two corpus aggregates) runs twice
+    assert(ns.exists {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.output.exists(_.name == "avg_bigram_p")
+      case _ => false },
+      "LM scoring subtree is not cached across its two consumers")
+  }
+
+  test("mix schedule: selection is one map-only scan after the totals agg") {
+    val ns = nodes(SparkEntry.queries("t_mix_schedule")(spark, dir))
+    // one exchange allowed: the driver-contract output sort; the
+    // phase-threshold selection itself must not shuffle or join
+    assert(!ns.exists(p => p.nodeName.contains("Join") ||
+      p.nodeName.contains("CartesianProduct")),
+      "phase selection planned a join: " +
+        ns.map(_.nodeName).distinct.mkString(","))
+    val shuffles = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(
+      _.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      "a non-sort exchange crept into the selection pass: " +
+        shuffles.map(_.outputPartitioning.toString).mkString(","))
+  }
 }
