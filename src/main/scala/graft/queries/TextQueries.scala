@@ -202,28 +202,9 @@ object TextQueries {
     * the streaming intake gate (d_stream_intake): the streaming query
     * must land on the identical kept set. */
   private lazy val pipelineCleanSql: String = {
-    val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
-    val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
-      lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
-    }
-    val scoreCols = profiles.map { case (lang, arr) =>
-      s"len(list_intersect(dt, $arr)) AS s_$lang"
-    }.mkString(", ")
-    val gExpr = profiles.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
-    val predChain = profiles.map { case (lang, _) =>
-      s"WHEN s_$lang = g THEN '$lang'"
-    }.mkString(" ")
-    s"""WITH base AS (
-       |  SELECT doc_id, source, text, str_split(text,' ') AS tk,
-       |         list_distinct(str_split(text,' ')) AS dt FROM documents),
-       |scored AS (SELECT *, $scoreCols FROM base),
-       |g AS (SELECT *, $gExpr AS g FROM scored),
-       |kept AS (SELECT doc_id, source, text FROM g
-       |  WHERE round((LEAST(len(tk)/64.0, 1.0)
-       |      + CAST(len(dt) AS DOUBLE)/len(tk)
-       |      + LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)) / 3.0, 6)
-       |    >= 0.5
-       |  AND (CASE WHEN g = 0 THEN 'und' $predChain END) = 'en'),
+    s"""WITH $qualityLangCte,
+       |kept AS (SELECT doc_id, source, text FROM ql
+       |  WHERE quality >= 0.5 AND lang_pred = 'en'),
        |dd AS (SELECT *, row_number() OVER (
        |    PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
        |    ORDER BY doc_id) AS rn FROM kept)
@@ -234,10 +215,25 @@ object TextQueries {
        |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** One recursive-delete JVM shutdown hook per scratch dir a lazy
+    * read-back keeps alive past its builder (t_stream_route's route
+    * stores) — bounded: one small dir per builder invocation, all
+    * reclaimed at process exit. */
+  private def cleanupAtExit(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => rm(new java.io.File(dir))))
+    ()
+  }
+
   /** Quality + language-ID CTE chain ending in
-    * `ql(doc_id, source, quality, lang_pred)` — the scoring half of
-    * [[pipelineCleanSql]] exposed for oracles that ROUTE on the scores
-    * instead of filtering (t_stream_route). */
+    * `ql(doc_id, source, text, quality, lang_pred)` — THE scoring SQL
+    * for the quality/langid family: [[pipelineCleanSql]] filters on it,
+    * the t_stream_route oracle routes on it (one definition, so the
+    * batch-pipeline, streaming-intake and router gates can't drift onto
+    * different scores). */
   private lazy val qualityLangCte: String = {
     val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
     val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
@@ -251,11 +247,11 @@ object TextQueries {
       s"WHEN s_$lang = g THEN '$lang'"
     }.mkString(" ")
     s"""base AS (
-       |  SELECT doc_id, source, str_split(text,' ') AS tk,
+       |  SELECT doc_id, source, text, str_split(text,' ') AS tk,
        |         list_distinct(str_split(text,' ')) AS dt FROM documents),
        |scored AS (SELECT *, $scoreCols FROM base),
        |g AS (SELECT *, $gExpr AS g FROM scored),
-       |ql AS (SELECT doc_id, source,
+       |ql AS (SELECT doc_id, source, text,
        |    round((LEAST(len(tk)/64.0, 1.0)
        |      + CAST(len(dt) AS DOUBLE)/len(tk)
        |      + LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)) / 3.0, 6)
@@ -263,6 +259,31 @@ object TextQueries {
        |    CASE WHEN g = 0 THEN 'und' $predChain END AS lang_pred
        |  FROM g)""".stripMargin
   }
+
+  /** Shared dense-ranking CTE chain — the DuckDB twin of
+    * `Similarity.bruteForceTopK` over the `vec_id % 101` probe queries
+    * (unnest-zip dot product, 4-decimal cosine, neighbor_id
+    * tie-break), ending in `dr(query_id, neighbor_id, r_dense)`.
+    * Shared by the t_hybrid_rrf and t_ndcg_eval oracles so the dense
+    * gold-standard ranking can't drift between them. */
+  private lazy val denseRankCtes: String =
+    """dq AS (SELECT vec_id AS query_id, embedding AS qv
+      |       FROM embeddings WHERE vec_id % 101 = 0),
+      |dc AS (SELECT vec_id AS neighbor_id, embedding AS cv
+      |       FROM embeddings),
+      |dun AS (SELECT query_id, neighbor_id,
+      |          unnest(qv) AS x, unnest(cv) AS y
+      |        FROM dq JOIN dc ON query_id <> neighbor_id),
+      |ds AS (SELECT query_id, neighbor_id,
+      |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+      |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+      |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+      |       FROM dun GROUP BY 1, 2),
+      |dr AS (SELECT query_id, neighbor_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
+      |           AS INT) AS r_dense
+      |       FROM ds)""".stripMargin
 
   /** Shared CTE chain of the BM25 oracles, ending in
     * `rk(query_id, neighbor_id, bm25, rnk)` — the DuckDB twin of
@@ -1124,6 +1145,11 @@ object TextQueries {
       val routes = Seq("kept", "low_quality", "wrong_lang")
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_route_").toString
+      // the read-back below is lazy, so the route stores must outlive
+      // this builder — reclaim them at JVM exit instead (the bench
+      // re-invokes this 5+ times per round; unreclaimed dirs would
+      // accumulate a routed corpus copy per invocation on tmpfs)
+      cleanupAtExit(outDir)
       val scored = docStream(s, dir).select(
         col("doc_id"), col("source"),
         when(TextAnalysis.qualityScore(col("text"), enStop) < 0.5,
@@ -1145,7 +1171,7 @@ object TextQueries {
       try q.processAllAvailable() finally q.stop()
       // explicit schema: an all-empty route still reads as zero rows
       routes.map(r => s.read.schema(sinkSchema).parquet(s"$outDir/$r"))
-        .reduce(_ unionAll _)
+        .reduce(_ union _)
         .groupBy("route", "source").agg(count(lit(1)).as("n"))
         .orderBy("route", "source")
     }},
@@ -1654,31 +1680,10 @@ object TextQueries {
         |        / len(str_split(text,' ')), 6) AS ttr
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "t_quality_langid" -> {
-      val enList = enStop.map(w => s"'$w'").mkString("[", ",", "]")
-      val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
-        lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
-      }
-      val scoreCols = profiles.map { case (lang, arr) =>
-        s"len(list_intersect(dt, $arr)) AS s_$lang"
-      }.mkString(", ")
-      val gExpr = profiles.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
-      val predChain = profiles.map { case (lang, _) =>
-        s"WHEN s_$lang = g THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH base AS (
-         |  SELECT doc_id, str_split(text,' ') AS tk,
-         |         list_distinct(str_split(text,' ')) AS dt FROM documents),
-         |scored AS (SELECT doc_id, tk, dt, $scoreCols FROM base),
-         |g AS (SELECT *, $gExpr AS g FROM scored)
-         |SELECT doc_id,
-         |  round((LEAST(len(tk)/64.0, 1.0)
-         |    + CAST(len(dt) AS DOUBLE)/len(tk)
-         |    + LEAST(len(list_intersect(dt, $enList))/4.0, 1.0)) / 3.0, 6)
-         |    AS quality,
-         |  CASE WHEN g = 0 THEN 'und' $predChain END AS lang_pred
-         |FROM g ORDER BY doc_id""".stripMargin
-    },
+    "t_quality_langid" ->
+      s"""WITH $qualityLangCte
+         |SELECT doc_id, quality, lang_pred
+         |FROM ql ORDER BY doc_id""".stripMargin,
 
     "t_pipeline_clean" -> pipelineCleanSql,
 
@@ -1825,23 +1830,7 @@ object TextQueries {
       s"""WITH $bm25Ctes,
         |lex AS (SELECT query_id, neighbor_id, rnk AS r_lex FROM rk
         |        WHERE rnk <= 20),
-        |dq AS (SELECT vec_id AS query_id, embedding AS qv
-        |       FROM embeddings WHERE vec_id % 101 = 0),
-        |dc AS (SELECT vec_id AS neighbor_id, embedding AS cv
-        |       FROM embeddings),
-        |dun AS (SELECT query_id, neighbor_id,
-        |          unnest(qv) AS x, unnest(cv) AS y
-        |        FROM dq JOIN dc ON query_id <> neighbor_id),
-        |ds AS (SELECT query_id, neighbor_id,
-        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
-        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
-        |       FROM dun GROUP BY 1, 2),
-        |dr AS (SELECT query_id, neighbor_id,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |           ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
-        |           AS INT) AS r_dense
-        |       FROM ds),
+        |$denseRankCtes,
         |dense AS (SELECT query_id, neighbor_id, r_dense FROM dr
         |          WHERE r_dense <= 20),
         |f AS (SELECT query_id, neighbor_id,
@@ -1864,23 +1853,7 @@ object TextQueries {
       s"""WITH $bm25Ctes,
         |lex AS (SELECT query_id, neighbor_id, rnk AS r_lex FROM rk
         |        WHERE rnk <= 10),
-        |dq AS (SELECT vec_id AS query_id, embedding AS qv
-        |       FROM embeddings WHERE vec_id % 101 = 0),
-        |dc AS (SELECT vec_id AS neighbor_id, embedding AS cv
-        |       FROM embeddings),
-        |dun AS (SELECT query_id, neighbor_id,
-        |          unnest(qv) AS x, unnest(cv) AS y
-        |        FROM dq JOIN dc ON query_id <> neighbor_id),
-        |ds AS (SELECT query_id, neighbor_id,
-        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
-        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
-        |       FROM dun GROUP BY 1, 2),
-        |dr AS (SELECT query_id, neighbor_id,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |           ORDER BY round(dot / sqrt(nx * ny), 4) DESC, neighbor_id)
-        |           AS INT) AS r_dense
-        |       FROM ds),
+        |$denseRankCtes,
         |rel AS (SELECT query_id, neighbor_id,
         |          CAST(11 - r_dense AS DOUBLE) AS rel
         |        FROM dr WHERE r_dense <= 10),
