@@ -90,6 +90,29 @@ object Packing {
           .as("pad_waste"))
   }
 
+  /** Packing-efficiency report over a [[packChunks]] result — the
+    * companion audit to [[lengthBuckets]]: per pack group, the document
+    * and token counts, the number of fixed-width sequences the group
+    * emits (⌈Σtokens / capacity⌉ — only the final chunk can be
+    * partial), how many documents were split across a sequence
+    * boundary, and the fill ratio of the emitted chunks (what packing
+    * actually achieves vs lengthBuckets' pad_waste for the padded
+    * alternative). One partial aggregation; nothing but
+    * (group, count, sums) crosses the shuffle. */
+  def packEfficiency(chunks: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    chunks.groupBy("pack_group")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(when(col("spans_boundary"), 1L).otherwise(0L)).cast("int")
+          .as("n_spanning"))
+      .withColumn("n_chunks",
+        floor((col("total_tokens") + capacity - 1) / capacity).cast("long"))
+      .withColumn("fill_ratio",
+        round(col("total_tokens").cast("double") /
+          (col("n_chunks") * capacity).cast("double"), 6))
+  }
+
   /** Per-document overlapping chunking — the RAG-indexing sibling of
     * [[packChunks]]: each document is cut into windows of `window`
     * tokens advancing by `window − overlap`, so consecutive chunks

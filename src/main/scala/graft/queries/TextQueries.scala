@@ -1073,6 +1073,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Packing-efficiency audit: per pack group, emitted sequences,
+    // boundary-split docs and the achieved fill ratio — read next to
+    // t_length_buckets' pad_waste to quantify what packing buys.
+    "t_pack_efficiency" -> { (s, dir) =>
+      graft.operators.Packing.packEfficiency(
+        graft.operators.Packing.packChunks(t(s, dir, "documents"),
+          "doc_id", size(TextAnalysis.tokens(col("text"))), capacity = 256,
+          groups = 8),
+        capacity = 256)
+        .orderBy("pack_group")
+    },
+
     // Per-document overlapping chunking — the retrieval-indexing cut
     // (64-token windows advancing by 48, so consecutive chunks share 16
     // tokens of context). Map-only, no shuffle; the chunk TEXT itself
@@ -2145,6 +2157,30 @@ object TextQueries {
         |  CAST((cum - n_tokens) % 256 AS INT) AS chunk_offset,
         |  ((cum - 1) // 256) > ((cum - n_tokens) // 256) AS spans_boundary
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same cum-sum CTE as t_pack_chunks, aggregated per group; chunk
+    // count re-derives as ceil(total/capacity) in exact integers.
+    "t_pack_efficiency" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS INT) AS pack_group,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, pack_group, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d),
+        |x AS (SELECT pack_group, n_tokens,
+        |    ((cum - 1) // 256) > ((cum - n_tokens) // 256) AS sb
+        |  FROM c)
+        |SELECT pack_group, CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN sb THEN 1 ELSE 0 END) AS INT) AS n_spanning,
+        |  CAST((SUM(n_tokens) + 255) // 256 AS BIGINT) AS n_chunks,
+        |  round(CAST(SUM(n_tokens) AS DOUBLE)
+        |    / (CAST((SUM(n_tokens) + 255) // 256 AS BIGINT) * 256.0), 6)
+        |    AS fill_ratio
+        |FROM x GROUP BY pack_group ORDER BY pack_group""".stripMargin,
 
     "t_stratified_sample" ->
       """SELECT lang, doc_id,
