@@ -159,6 +159,63 @@ object Sampling {
       .agg(count(lit(1)).as("n_terms"), round(sum("llr"), 6).as("logw"))
   }
 
+  /** Per-source distribution drift vs the whole corpus: Jensen–Shannon
+    * divergence between each source's hashed-ngram bucket distribution
+    * and the corpus-wide one — the drift monitor a pipeline runs when a
+    * crawl or source refresh lands (JSD is symmetric and bounded by
+    * ln 2, so one alert threshold serves every source).
+    *
+    * Model shape is [[dsirWeights]]'s: unigram+bigram occurrences
+    * hashed into the fixed 256-bucket space, Laplace-smoothed
+    * bag-of-buckets distributions. The per-(source, bucket) count table
+    * is the ONLY full-width aggregation (≤ |sources|·256 rows after the
+    * map-side partial agg); the corpus distribution derives from that
+    * table, so the corpus is scanned once. Determinism: counts are
+    * exact integers, every per-bucket contribution rounds to 6 decimals
+    * and sums in exact decimal over the filled 256-bucket domain
+    * (order-free), leaning on the same cross-engine ln contract as the
+    * llr table.
+    *
+    * Returns (sourceCol, n_terms, jsd). */
+  def sourceDivergence(docs: DataFrame, sourceCol: String,
+                       textCol: String): DataFrame = {
+    val B = 256
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val counts = Partitioning.spread(docs)
+      .select(col(sourceCol), explode(concat(toks, bigrams)).as("term"))
+      .filter(col("term") =!= "")
+      .select(col(sourceCol),
+        substring(md5(col("term").cast("binary")), 1, 2).as("b"))
+      .groupBy(sourceCol, "b").agg(count(lit(1)).as("c"))
+    // fill the full (source × bucket) grid: an absent bucket still
+    // carries its smoothed prior into both distributions
+    val sources = counts.select(sourceCol).distinct()
+    val domain = docs.sparkSession.range(B)
+      .select(format_string("%02x", col("id")).as("b"))
+    val filled = sources.crossJoin(domain)
+      .join(counts, Seq(sourceCol, "b"), "left")
+      .select(col(sourceCol), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val srcTot = filled.groupBy(sourceCol).agg(sum("c").as("n_s"))
+    val bucketTot = filled.groupBy("b").agg(sum("c").as("cc"))
+    val corpusTot = bucketTot.agg(sum("cc").as("n_c"))
+    val joined = filled.join(broadcast(srcTot), Seq(sourceCol))
+      .join(broadcast(bucketTot), Seq("b"))
+      .crossJoin(broadcast(corpusTot)) // scalar row, the llr convention
+    val p = (col("c") + lit(1.0)) / (col("n_s") + lit(B.toDouble))
+    val q = (col("cc") + lit(1.0)) / (col("n_c") + lit(B.toDouble))
+    val m = (p + q) / lit(2.0)
+    val contrib = round((p * log(p / m) + q * log(q / m)) / lit(2.0), 6)
+    joined
+      .select(col(sourceCol), col("c"), contrib.cast("decimal(18,6)").as("j"))
+      .groupBy(sourceCol)
+      .agg(sum(col("c")).as("n_terms"),
+        round(sum(col("j")).cast("double"), 6).as("jsd"))
+  }
+
   /** Deterministic source-weighted interleave — the training-mix
     * ORDERING problem (a mixture spec says "2 parts web to 1 part
     * code"; the loader needs one merged stream realizing those rates

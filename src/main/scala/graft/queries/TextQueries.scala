@@ -1030,6 +1030,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source distribution drift: Jensen–Shannon divergence of each
+    // source's hashed-ngram bucket distribution against the corpus-wide
+    // one — the monitor a pipeline alerts on when a crawl refresh
+    // shifts a source's content mix. 256-bucket DSIR model shape; one
+    // (source, bucket) aggregation, everything after is grid-sized.
+    "t_source_divergence" -> { (s, dir) =>
+      Sampling.sourceDivergence(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    },
+
     // Curriculum mixture schedule: three training phases, each with its
     // own per-source token budgets, each drawing an independent
     // deterministic subset via a phase-salted hash — the multi-phase
@@ -1558,6 +1568,42 @@ object TextQueries {
         |sel AS (SELECT * FROM scored ORDER BY g_key DESC, doc_id LIMIT 150)
         |SELECT doc_id, n_terms, logw, g_key FROM sel
         |ORDER BY doc_id""".stripMargin,
+
+    // Same occurrence CTEs as t_dsir_sample's, counted per (source,
+    // bucket); the JSD expression mirrors the Spark float chain term
+    // for term (p·ln(p/m) + q·ln(q/m), then halve, round, decimal sum).
+    "t_source_divergence" ->
+      """WITH tok0 AS (SELECT source, str_split(text,' ') AS t
+        |  FROM documents),
+        |uni AS (SELECT source, unnest(t) AS term FROM tok0),
+        |bi AS (SELECT source, array_to_string(t[i:i+1],' ') AS term
+        |  FROM tok0, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        |  WHERE len(t) >= 2),
+        |occ AS (SELECT source, substr(md5(term), 1, 2) AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |  WHERE term <> ''),
+        |cnt AS (SELECT source, b, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM cnt),
+        |dom AS (SELECT printf('%02x', i) AS b
+        |  FROM (SELECT unnest(range(256)) AS i)),
+        |filled AS (SELECT srcs.source, dom.b, coalesce(cnt.c, 0) AS c
+        |  FROM srcs CROSS JOIN dom
+        |  LEFT JOIN cnt ON cnt.source = srcs.source AND cnt.b = dom.b),
+        |st AS (SELECT source, SUM(c) AS n_s FROM filled GROUP BY 1),
+        |bt AS (SELECT b, SUM(c) AS cc FROM filled GROUP BY 1),
+        |ct AS (SELECT SUM(cc) AS n_c FROM bt),
+        |pq AS (SELECT f.source, f.c,
+        |    (f.c + 1.0) / (st.n_s + 256.0) AS p,
+        |    (bt.cc + 1.0) / ((SELECT n_c FROM ct) + 256.0) AS q
+        |  FROM filled f JOIN st USING (source) JOIN bt USING (b)),
+        |j AS (SELECT source, c,
+        |    CAST(round((p * ln(p / ((p + q) / 2.0))
+        |      + q * ln(q / ((p + q) / 2.0))) / 2.0, 6)
+        |      AS DECIMAL(18,6)) AS j
+        |  FROM pq)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_terms,
+        |  round(CAST(SUM(j) AS DOUBLE), 6) AS jsd
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "t_weighted_sample" -> {
       val cases = mixWeights.map { case (src, w) =>
