@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -210,6 +211,50 @@ object TextAnalysis {
         round(col("c_ab").cast("double") * col("nb") /
           (col("c_a").cast("double") * col("c_b")), 6).as("pmi_ratio"))
       .orderBy(col("pmi_ratio").desc, col("g")).limit(k)
+  }
+
+  /** Per-source Zipf-law slope — the corpus-health statistic that flags
+    * unnatural text at a glance: natural language sits near slope −1 on
+    * the log-log rank/frequency line, while template spam, boilerplate
+    * floods and synthetic word-soup bend it (flatter = suspiciously
+    * uniform vocabulary use, steeper = a few tokens dominating). Slope
+    * is the closed-form OLS fit over (ln rank, ln freq) per source.
+    *
+    * Scale shape: the only corpus-sized work is the (source, term)
+    * count aggregate (partial map-side); the rank window and the moment
+    * sums run over VOCABULARY rows — bounded, never documents.
+    * Determinism: ranks break ties by term (total order both engines);
+    * ln(rank)/ln(freq) of exact integers lean on the cross-engine ln
+    * contract, round to 6, and the moment sums carry 6-decimal products
+    * in exact decimal (order-free, the quality_corr convention); the
+    * final slope is one fixed double chain. Sources with fewer than two
+    * distinct vocabulary rows have no regression line and emit NULL. */
+  def zipfSlope(docs: DataFrame, sourceCol: String,
+                textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("c").desc, col("term"))
+    val xy = docs
+      .select(col(sourceCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(sourceCol, "term").agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col(sourceCol),
+        round(log(col("rnk").cast("double")), 6).as("x"),
+        round(log(col("c").cast("double")), 6).as("y"))
+    val agg = xy.groupBy(sourceCol).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,6)")).as("sx"),
+      sum(col("y").cast("decimal(18,6)")).as("sy"),
+      sum(round(col("x") * col("y"), 6).cast("decimal(18,6)")).as("sxy"),
+      sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).as("sx2"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = nD * col("sx2").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    agg.select(col(sourceCol), col("n").cast("int").as("n_vocab"),
+      when(col("n") >= 2 && den =!= 0.0, round(num / den, 6))
+        .as("zipf_slope"))
   }
 
   /** Character-trigram fluency proxy: a document's average corpus

@@ -1030,6 +1030,15 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source Zipf-law slope: log-log rank/frequency OLS fit over
+    // the source's vocabulary — natural text sits near −1; template
+    // floods and synthetic word-soup bend it. Vocabulary-sized after
+    // one (source, term) aggregation.
+    "t_zipf_slope" -> { (s, dir) =>
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    },
+
     // Per-source distribution drift: Jensen–Shannon divergence of each
     // source's hashed-ngram bucket distribution against the corpus-wide
     // one — the monitor a pipeline alerts on when a crawl refresh
@@ -1568,6 +1577,36 @@ object TextQueries {
         |sel AS (SELECT * FROM scored ORDER BY g_key DESC, doc_id LIMIT 150)
         |SELECT doc_id, n_terms, logw, g_key FROM sel
         |ORDER BY doc_id""".stripMargin,
+
+    // Rank ties break by term (total order both engines); moment sums
+    // carry 6-decimal products in exact decimal, slope is one fixed
+    // double chain — the quality_corr convention with ln transforms.
+    "t_zipf_slope" ->
+      """WITH tc AS (SELECT source, unnest(str_split(text,' ')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT source, term, COUNT(*) AS c FROM tc
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |xy AS (SELECT source,
+        |    round(ln(CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, term) AS DOUBLE)), 6) AS x,
+        |    round(ln(CAST(c AS DOUBLE)), 6) AS y
+        |  FROM cnt),
+        |agg AS (SELECT source, COUNT(*) AS n,
+        |    SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+        |    SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS sxy,
+        |    SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS sx2
+        |  FROM xy GROUP BY 1)
+        |SELECT source, CAST(n AS INT) AS n_vocab,
+        |  CASE WHEN n >= 2 AND
+        |      (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+        |    THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |    ELSE NULL END AS zipf_slope
+        |FROM agg ORDER BY source""".stripMargin,
 
     // Same occurrence CTEs as t_dsir_sample's, counted per (source,
     // bucket); the JSD expression mirrors the Spark float chain term
