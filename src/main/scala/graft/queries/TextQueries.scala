@@ -1030,6 +1030,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Robust per-source quality monitoring: median + MAD of the shared
+    // quality score — the outlier-resistant pair a corpus dashboard
+    // tracks (means drift with every boilerplate flood; medians don't).
+    // Cuts are exact interpolated percentiles compared/emitted per the
+    // t_quality_calibrate convention; at 100 TB both steps swap to
+    // approx_percentile or the histogram calibration unchanged.
+    "t_quality_mad" -> { (s, dir) =>
+      val q = round(TextAnalysis.qualityScore(col("text"), enStop), 6)
+      val scored = t(s, dir, "documents")
+        .select(col("source"), q.as("quality"))
+        // feeds the median aggregate AND the deviation join — persist,
+        // or the scoring scan runs twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val med = scored.groupBy("source")
+        .agg(percentile(col("quality"), lit(0.5)).as("med"))
+      scored.join(broadcast(med), Seq("source"))
+        .groupBy(col("source"), col("med"))
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          percentile(abs(col("quality") - col("med")), lit(0.5)).as("mad"))
+        .select(col("source"), col("n_docs"),
+          round(col("med"), 6).as("med_quality"),
+          round(col("mad"), 6).as("mad_quality"))
+        .orderBy("source")
+    },
+
     // Per-source Zipf-law slope: log-log rank/frequency OLS fit over
     // the source's vocabulary — natural text sits near −1; template
     // floods and synthetic word-soup bend it. Vocabulary-sized after
@@ -1577,6 +1602,19 @@ object TextQueries {
         |sel AS (SELECT * FROM scored ORDER BY g_key DESC, doc_id LIMIT 150)
         |SELECT doc_id, n_terms, logw, g_key FROM sel
         |ORDER BY doc_id""".stripMargin,
+
+    // The shared ql CTE supplies the identical 6-decimal quality score;
+    // median and MAD are exact interpolated quantiles on both engines.
+    "t_quality_mad" ->
+      s"""WITH $qualityLangCte,
+         |med AS (SELECT source, quantile_cont(quality, 0.5) AS med
+         |  FROM ql GROUP BY 1),
+         |ad AS (SELECT ql.source, med, abs(quality - med) AS ad
+         |  FROM ql JOIN med USING (source))
+         |SELECT source, CAST(COUNT(*) AS INT) AS n_docs,
+         |  round(med, 6) AS med_quality,
+         |  round(quantile_cont(ad, 0.5), 6) AS mad_quality
+         |FROM ad GROUP BY source, med ORDER BY source""".stripMargin,
 
     // Rank ties break by term (total order both engines); moment sums
     // carry 6-decimal products in exact decimal, slope is one fixed
