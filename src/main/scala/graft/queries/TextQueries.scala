@@ -1030,6 +1030,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Dedup threshold sensitivity: verified-pair counts per Jaccard
+    // decile over the rare-shingle candidate graph — the one-pass sweep
+    // a pipeline runs BEFORE committing to a dedup threshold (how many
+    // pairs does each notch admit?). Candidate machinery is
+    // d_ngram_jaccard's with the floor dropped to 0.3; banding runs on
+    // the 6-decimal score through an exact-integer chain.
+    "t_dedup_sweep" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxDf = 20, threshold = 0.3)
+        .select(floor(round(col("jaccard") * 1e6) / 1e5).cast("int")
+          .as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("band")
+    },
+
     // Robust per-source quality monitoring: median + MAD of the shared
     // quality score — the outlier-resistant pair a corpus dashboard
     // tracks (means drift with every boilerplate flood; medians don't).
@@ -1602,6 +1617,27 @@ object TextQueries {
         |sel AS (SELECT * FROM scored ORDER BY g_key DESC, doc_id LIMIT 150)
         |SELECT doc_id, n_terms, logw, g_key FROM sel
         |ORDER BY doc_id""".stripMargin,
+
+    // d_ngram_jaccard's candidate CTEs with the exact Jaccard banded
+    // instead of filtered; the floor compares the 6-decimal score like
+    // the Spark side, and the band chain is the same integer math.
+    "t_dedup_sweep" ->
+      s"""WITH $shinglesCte,
+         |rare AS (SELECT s FROM sh GROUP BY s
+         |         HAVING COUNT(*) <= 20 AND COUNT(*) > 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM (SELECT doc_id, s FROM sh JOIN rare USING (s)) a
+         |  JOIN (SELECT doc_id, s FROM sh JOIN rare USING (s)) b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id),
+         |shl AS (SELECT doc_id, list(s) AS sl FROM sh GROUP BY doc_id),
+         |j AS (SELECT round(CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(x.sl, y.sl))), 6) AS jacc
+         |  FROM cand JOIN shl x ON id_a = x.doc_id
+         |    JOIN shl y ON id_b = y.doc_id)
+         |SELECT CAST(floor(round(jacc * 1000000) / 100000) AS INT) AS band,
+         |  COUNT(*) AS n_pairs
+         |FROM j WHERE jacc >= 0.3
+         |GROUP BY 1 ORDER BY band""".stripMargin,
 
     // The shared ql CTE supplies the identical 6-decimal quality score;
     // median and MAD are exact interpolated quantiles on both engines.
