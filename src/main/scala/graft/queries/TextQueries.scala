@@ -191,6 +191,35 @@ object TextQueries {
     (1 to 10).map(i => BigDecimal((11 - i).toDouble * ndcgDiscounts(i - 1))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
 
+  /** DuckDB twin of [[graft.operators.Sampling.mixSchedule]] on the
+    * [[schedulePhases]] fixture — CTE chain ending in
+    * `sel(phase, doc_id, source, n_tokens)`, the selected set. Shared
+    * by the t_mix_schedule and t_mix_overlap oracles. */
+  private lazy val mixScheduleSqlCore: String = {
+    val budgetRows = schedulePhases.flatMap { case (phase, budgets) =>
+      budgets.toSeq.sortBy(_._1).map { case (src, b) =>
+        s"('$phase', '$src', $b)"
+      }
+    }.mkString(", ")
+    s"""d AS (SELECT doc_id, source,
+       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tot AS (SELECT source, SUM(n_tokens) AS t FROM d GROUP BY 1),
+       |b AS (SELECT * FROM (VALUES $budgetRows)
+       |  AS v(phase, source, budget)),
+       |thr AS (SELECT phase, source,
+       |    CASE WHEN frac >= 1.0 THEN 'g'
+       |         ELSE printf('%08x',
+       |           CAST(floor(frac * 4294967296.0) AS BIGINT)) END AS cut
+       |  FROM (SELECT phase, b.source,
+       |          CAST(budget AS DOUBLE) / CAST(t AS DOUBLE) AS frac
+       |        FROM b JOIN tot ON b.source = tot.source)),
+       |sel AS (SELECT phase, doc_id, source, n_tokens
+       |  FROM d JOIN thr USING (source)
+       |  WHERE substr(md5(phase || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    < cut)""".stripMargin
+  }
+
   /** t_hll_distinct's p: 512 registers. The oracle interpolates
     * [[graft.operators.Sketches.scaledAlpha]] so both engines embed the
     * IDENTICAL α·m²·2⁵² double literal. */
@@ -1101,6 +1130,21 @@ object TextQueries {
             size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
         "doc_id", "source", col("n_tokens"), schedulePhases)
         .orderBy("phase", "doc_id")
+    },
+
+    // Phase-overlap audit over the same schedule: docs per
+    // phase-multiplicity — the quantitative check that the salted
+    // draws behave independently (overlap ≈ product of keep rates)
+    // rather than nesting.
+    "t_mix_overlap" -> { (s, dir) =>
+      Sampling.mixSchedule(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+        "doc_id", "source", col("n_tokens"), schedulePhases)
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_phases"))
+        .groupBy("n_phases").agg(count(lit(1)).as("n_docs"))
+        .orderBy("n_phases")
     },
 
     // DSIR importance resampling (Xie et al. 2023): hashed-ngram
@@ -2275,31 +2319,18 @@ object TextQueries {
     // Per-(phase, source) thresholds re-derived from the measured
     // totals and the schedulePhases budget literals; the phase-salted
     // hash mirrors Sampling.mixSchedule's md5("phase:id").
-    "t_mix_schedule" -> {
-      val budgetRows = schedulePhases.flatMap { case (phase, budgets) =>
-        budgets.toSeq.sortBy(_._1).map { case (src, b) =>
-          s"('$phase', '$src', $b)"
-        }
-      }.mkString(", ")
-      s"""WITH d AS (SELECT doc_id, source,
-         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |tot AS (SELECT source, SUM(n_tokens) AS t FROM d GROUP BY 1),
-         |b AS (SELECT * FROM (VALUES $budgetRows)
-         |  AS v(phase, source, budget)),
-         |thr AS (SELECT phase, source,
-         |    CASE WHEN frac >= 1.0 THEN 'g'
-         |         ELSE printf('%08x',
-         |           CAST(floor(frac * 4294967296.0) AS BIGINT)) END AS cut
-         |  FROM (SELECT phase, b.source,
-         |          CAST(budget AS DOUBLE) / CAST(t AS DOUBLE) AS frac
-         |        FROM b JOIN tot ON b.source = tot.source))
-         |SELECT phase, doc_id, source, n_tokens
-         |FROM d JOIN thr USING (source)
-         |WHERE substr(md5(phase || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
-         |  < cut
-         |ORDER BY phase, doc_id""".stripMargin
-    },
+    "t_mix_schedule" ->
+      s"""WITH $mixScheduleSqlCore
+         |SELECT phase, doc_id, source, n_tokens FROM sel
+         |ORDER BY phase, doc_id""".stripMargin,
+
+    // Same selected set, grouped twice: docs per phase-multiplicity.
+    "t_mix_overlap" ->
+      s"""WITH $mixScheduleSqlCore,
+         |per AS (SELECT doc_id, COUNT(*) AS n_phases FROM sel
+         |  GROUP BY 1)
+         |SELECT CAST(n_phases AS INT) AS n_phases, COUNT(*) AS n_docs
+         |FROM per GROUP BY 1 ORDER BY n_phases""".stripMargin,
 
     "t_pack_chunks" ->
       """WITH d AS (SELECT doc_id,
