@@ -522,6 +522,24 @@ object Dedup {
         countDistinct(col("s")).as("n_shared_shingles"))
   }
 
+  /** Attribution twin of [[contamination]]: the matched (train, eval)
+    * pairs themselves with their shared-shingle counts — the report an
+    * eval owner reads to trace WHICH benchmark items leak into which
+    * training documents (and decide span-scrub vs drop per pair).
+    * Same broadcast shape: eval shingles broadcast, the corpus never
+    * shuffles, and the per-pair aggregate's input is proportional to
+    * the actual contamination. Shingles are distinct per doc on both
+    * sides, so the plain count IS the distinct shared-shingle count. */
+  def contaminationPairs(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val trainSh = shingleTable(train, idCol, textCol, n)
+    val evalSh = shingleTable(eval, idCol, textCol, n)
+      .select(col("id").as("eval_id"), col("s"))
+    trainSh.join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("id").as("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** 32-bit SimHash over distinct tokens: bit i = sign of Σ_tokens
     * (2·parity(md5(token)[i]) − 1). Near-identical docs agree on most
     * bits; grouping by the signature finds clusters in one shuffle.

@@ -772,6 +772,19 @@ object TextQueries {
         .orderBy("train_id")
     },
 
+    // Contamination ATTRIBUTION: the matched (train, eval) pairs with
+    // shared-shingle counts — which benchmark items leak into which
+    // training docs, the per-pair evidence behind t_decontam_ngram's
+    // per-doc flags.
+    "t_decontam_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("train_id", "eval_id")
+    },
+
     // Stable train/val/test split: pure map-side hash assignment —
     // reproducible across runs, engines, and incremental appends.
     "t_hash_split" -> { (s, dir) =>
@@ -2235,6 +2248,19 @@ object TextQueries {
         |SELECT tr.doc_id AS train_id, COUNT(DISTINCT eval_id) AS n_eval_docs,
         |  COUNT(DISTINCT tr.s) AS n_shared_shingles
         |FROM tr JOIN ev USING (s) GROUP BY 1 ORDER BY train_id""".stripMargin,
+
+    // Same shingle CTEs as t_decontam_ngram's, grouped per pair.
+    "t_decontam_pairs" ->
+      """WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents),
+        |sh4 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3],' ') AS s
+        |       FROM tok, LATERAL (SELECT unnest(range(1, len(t)-2)) AS i)
+        |       WHERE len(t) >= 4),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh4 WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, s FROM sh4 WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id AS train_id, eval_id,
+        |  COUNT(*) AS n_shared_shingles
+        |FROM tr JOIN ev USING (s) GROUP BY 1, 2
+        |ORDER BY train_id, eval_id""".stripMargin,
 
     "t_hash_split" ->
       """SELECT doc_id,
