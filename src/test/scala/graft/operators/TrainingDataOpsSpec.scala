@@ -504,4 +504,52 @@ class TrainingDataOpsSpec extends SparkSpec {
     }.sum
     assert(bs(0) === want)
   }
+
+  test("zipfSlope matches a local OLS reference; degenerate source is NULL") {
+    // source "z": freqs 12,6,4,3 = 12/rank — an exact Zipf line
+    // (ln f = ln 12 − ln r), so the fitted slope must land on −1;
+    // the reference recomputes the same rounded-moment OLS locally
+    val docs = Seq(
+      ("z", ("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim),
+      ("one", "only")).toDF("source", "text")
+    val got = TextAnalysis.zipfSlope(docs, "source", "text")
+      .orderBy("source").collect()
+    val pts = Seq((1, 12), (2, 6), (3, 4), (4, 3)).map { case (r, c) =>
+      (math.rint(math.log(r.toDouble) * 1e6) / 1e6,
+        math.rint(math.log(c.toDouble) * 1e6) / 1e6)
+    }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => math.rint(p._1 * p._2 * 1e6) / 1e6).sum
+    val sx2 = pts.map(p => math.rint(p._1 * p._1 * 1e6) / 1e6).sum
+    val want = math.rint((n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e6) / 1e6
+    val z = got.find(_.getString(0) == "z").get
+    assert(z.getInt(1) === 4)
+    assert(math.abs(z.getDouble(2) - want) < 2e-6, s"got ${z.getDouble(2)}, want $want")
+    assert(math.abs(want - (-1.0)) < 1e-4) // exact 12/rank decay → −1
+    // one vocabulary row → no regression line
+    val one = got.find(_.getString(0) == "one").get
+    assert(one.isNullAt(2))
+  }
+
+  test("sourceDivergence: twin sources agree near zero; disjoint vocab diverges") {
+    val rep = (w: String) => (w + " ") * 12
+    val docs = Seq(
+      ("s1", rep("alpha") + rep("beta")),
+      ("s2", rep("alpha") + rep("beta")), // same distribution as s1
+      ("s3", rep("qq") + rep("zz") + rep("kk"))) // disjoint vocabulary
+      .toDF("source", "text")
+    val got = Sampling.sourceDivergence(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got("s1") - got("s2")) < 1e-9) // identical inputs
+    // with a tiny vocabulary the Laplace prior dominates the absolute
+    // level, but the disjoint source must still rank strictly above
+    // the twins — ordering, not magnitude, is the drift signal
+    assert(got("s3") > got("s1") * 1.2,
+      s"disjoint source not flagged: $got")
+    // deterministic under repartition
+    val again = Sampling.sourceDivergence(docs.repartition(5), "source",
+      "text").collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(again === got)
+  }
 }
