@@ -260,6 +260,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Content novelty between two dumps of a corpus — the rate an
+    * incremental-crawl pipeline reads to size its refresh: per group
+    * (source) of the NEW dump, how many of its distinct word-n-gram
+    * shingles never occur anywhere in the OLD dump. Complements
+    * [[corpusDiff]] (id-level added/changed/removed) with a
+    * content-level answer that survives re-chunking and id churn.
+    *
+    * Shape for 100 TB: the one wide operation is the shingle anti-join
+    * (both sides partially aggregated to distinct shingles first, so
+    * only (group, shingle) / (shingle) rows exchange — never text);
+    * when even the old dump's distinct-shingle set is too big to
+    * shuffle comfortably, the gated bloom filter (d_bloom_decontam's
+    * [[graft.operators.Sketches.bloomSet]]) is the drop-in pre-filter
+    * at the cost of a quantified false-positive rate. */
+  def dumpNovelty(oldDump: DataFrame, newDump: DataFrame,
+                  groupCol: String, textCol: String, n: Int): DataFrame = {
+    val oldSh = oldDump
+      .select(explode(shingles(col(textCol), n)).as("s")).distinct()
+    val newSh = newDump
+      .select(col(groupCol), explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+      // feeds the per-group total AND the anti-join — persist, or the
+      // shingle explode runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val novel = newSh.join(oldSh, Seq("s"), "left_anti")
+      .groupBy(groupCol).agg(count(lit(1)).as("n_novel"))
+    newSh.groupBy(groupCol).agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_rate",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Connected components over an undirected near-dup pair graph —
     * the step that turns pairwise dedup into "keep one canonical doc
     * per cluster". Hash-to-min label propagation: every round each

@@ -731,6 +731,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Content novelty between the same two dumps t_corpus_diff
+    // compares: per source, the share of the new dump's distinct
+    // 3-gram shingles never seen in the old dump — the content-level
+    // refresh-size signal that survives re-chunking and id churn.
+    "t_dump_novelty" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 20 === 5, reverse(col("text")))
+            .otherwise(col("text")))
+      Dedup.dumpNovelty(oldSnap, newSnap, "source", "text", n = 3)
+        .orderBy("source")
+    },
+
     // Keep-best dedup collapse: one survivor per near-dup cluster,
     // chosen by quality score (ties to the smaller id) instead of
     // dupClusters' min-id convention — the canonical-selection policy
@@ -2187,6 +2202,32 @@ object TextQueries {
     "d_dup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCte,
          |${sqlComponentsOver("verified")}""".stripMargin,
+
+    // Old-dump shingles are a global distinct set; the new dump's
+    // per-source distinct shingles anti-join it. Shingle window math
+    // mirrors shinglesCte at n = 3.
+    "t_dump_novelty" ->
+      """WITH osh AS (SELECT DISTINCT array_to_string(t[i:i+2],' ') AS s
+        |  FROM (SELECT str_split(text,' ') AS t FROM documents
+        |         WHERE doc_id % 10 <> 3) tok,
+        |    LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)
+        |  WHERE len(t) >= 3),
+        |nd AS (SELECT source,
+        |    CASE WHEN doc_id % 20 = 5 THEN reverse(text) ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |nsh AS (SELECT DISTINCT source, array_to_string(t[i:i+2],' ') AS s
+        |  FROM (SELECT source, str_split(text,' ') AS t FROM nd) tok,
+        |    LATERAL (SELECT unnest(range(1, len(t)-1)) AS i)
+        |  WHERE len(t) >= 3),
+        |nov AS (SELECT source, COUNT(*) AS n_novel FROM nsh
+        |  WHERE s NOT IN (SELECT s FROM osh) GROUP BY 1)
+        |SELECT nsh.source, COUNT(*) AS n_shingles,
+        |  COALESCE(MAX(n_novel), 0) AS n_novel,
+        |  round(CAST(COALESCE(MAX(n_novel), 0) AS DOUBLE) / COUNT(*), 6)
+        |    AS novelty_rate
+        |FROM nsh LEFT JOIN nov ON nsh.source = nov.source
+        |GROUP BY nsh.source ORDER BY nsh.source""".stripMargin,
 
     "t_corpus_diff" ->
       """WITH o AS (SELECT doc_id AS id,
