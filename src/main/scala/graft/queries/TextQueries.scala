@@ -1127,6 +1127,23 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Tokenizer fertility per language: BPE-pre-split tokens per
+    // whitespace word — the metric multilingual data teams watch (high
+    // fertility = the tokenizer fragments that language, inflating its
+    // effective cost per word). Ratio of exact integer sums; one
+    // partial-agg shuffle of |langs| rows.
+    "t_fertility" -> { (s, dir) =>
+      t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+            .as("ws_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text")).cast("long"))
+            .as("bpe_tokens"))
+        .withColumn("fertility",
+          round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6))
+        .orderBy("lang")
+    },
+
     // Per-source Zipf-law slope: log-log rank/frequency OLS fit over
     // the source's vocabulary — natural text sits near −1; template
     // floods and synthetic word-soup bend it. Vocabulary-sized after
@@ -1723,6 +1740,18 @@ object TextQueries {
          |  round(med, 6) AS med_quality,
          |  round(quantile_cont(ad, 0.5), 6) AS mad_quality
          |FROM ad GROUP BY source, med ORDER BY source""".stripMargin,
+
+    // Integer sums on both engines; the bpe count reuses t_token_stats'
+    // regex (constructs Java regex and RE2 agree on).
+    "t_fertility" ->
+      """SELECT lang, CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(SUM(len(str_split(text,' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(SUM(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+        |    / SUM(len(str_split(text,' '))), 6) AS fertility
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Rank ties break by term (total order both engines); moment sums
     // carry 6-decimal products in exact decimal, slope is one fixed
