@@ -1127,6 +1127,29 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Per-document token Shannon entropy — the distribution-aware
+    // repetition/gibberish signal one tier above type-token ratio
+    // (a doc looping three phrases keeps a plausible TTR but its
+    // entropy collapses). H = −Σ p·ln p over the doc's token counts;
+    // per-term contributions round to 6 and sum in exact decimal.
+    "t_token_entropy" -> { (s, dir) =>
+      val c = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+          .as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val n = c.groupBy("doc_id").agg(sum("c").as("n"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      c.join(n, Seq("doc_id"))
+        .select(col("doc_id"), col("n"),
+          round(-p * log(p), 6).cast("decimal(18,6)").as("h"))
+        .groupBy("doc_id", "n")
+        .agg(count(lit(1)).cast("int").as("n_distinct"),
+          round(sum(col("h")).cast("double"), 6).as("entropy"))
+        .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+          col("n_distinct"), col("entropy"))
+        .orderBy("doc_id")
+    },
+
     // Tokenizer fertility per language: BPE-pre-split tokens per
     // whitespace word — the metric multilingual data teams watch (high
     // fertility = the tokenizer fragments that language, inflating its
@@ -1740,6 +1763,23 @@ object TextQueries {
          |  round(med, 6) AS med_quality,
          |  round(quantile_cont(ad, 0.5), 6) AS mad_quality
          |FROM ad GROUP BY source, med ORDER BY source""".stripMargin,
+
+    // Mirrors the Spark float chain: p = c/n in doubles, −p·ln p
+    // rounded to 6, decimal sum, final round.
+    "t_token_entropy" ->
+      """WITH tc AS (SELECT doc_id, unnest(str_split(text,' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+        |n AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY 1),
+        |h AS (SELECT c.doc_id, n.n,
+        |    CAST(round(-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS h
+        |  FROM c JOIN n USING (doc_id))
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(COUNT(*) AS INT) AS n_distinct,
+        |  round(CAST(SUM(h) AS DOUBLE), 6) AS entropy
+        |FROM h GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // Integer sums on both engines; the bpe count reuses t_token_stats'
     // regex (constructs Java regex and RE2 agree on).
