@@ -762,6 +762,37 @@ class PlanAuditSpec extends SparkSpec {
       "LM scoring subtree is not cached across its two consumers")
   }
 
+  test("source divergence: occurrences aggregate before any exchange") {
+    val ns = nodes(SparkEntry.queries("t_source_divergence")(spark, dir))
+    // the term-occurrence stream must partially aggregate map-side —
+    // an exchange carrying raw `term` rows would shuffle the corpus
+    val shuffles = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.name == "term"),
+        s"raw term occurrences ride an exchange: ${e.output.map(_.name)}")
+    }
+    // grid-side joins stay broadcast; no sort-merge anywhere
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "a grid-sized join degraded to sort-merge")
+  }
+
+  test("dump novelty: text never shuffles; the anti-join runs on shingles") {
+    val ns = nodes(SparkEntry.queries("t_dump_novelty")(spark, dir))
+    val shuffles = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text rides an exchange: ${e.output.map(_.name)}")
+    }
+    assert(ns.exists(p => p.nodeName.contains("Join") &&
+      p.toString.contains("LeftAnti")),
+      "expected a left-anti shingle join: " +
+        ns.map(_.nodeName).distinct.mkString(","))
+  }
+
   test("mix schedule: selection is one map-only scan after the totals agg") {
     val ns = nodes(SparkEntry.queries("t_mix_schedule")(spark, dir))
     // one exchange allowed: the driver-contract output sort; the
