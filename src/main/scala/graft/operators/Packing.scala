@@ -90,16 +90,26 @@ object Packing {
           .as("pad_waste"))
   }
 
-  /** Packing-efficiency report over a [[packChunks]] result — the
-    * companion audit to [[lengthBuckets]]: per pack group, the document
-    * and token counts, the number of fixed-width sequences the group
-    * emits (⌈Σtokens / capacity⌉ — only the final chunk can be
-    * partial), how many documents were split across a sequence
-    * boundary, and the fill ratio of the emitted chunks (what packing
-    * actually achieves vs lengthBuckets' pad_waste for the padded
-    * alternative). One partial aggregation; nothing but
-    * (group, count, sums) crosses the shuffle. */
-  def packEfficiency(chunks: DataFrame, capacity: Int): DataFrame = {
+  /** Packing-efficiency report — the companion audit to
+    * [[lengthBuckets]]: per pack group, the document and token counts,
+    * the number of fixed-width sequences the group emits
+    * (⌈Σtokens / capacity⌉ — only the final chunk can be partial), how
+    * many documents were split across a sequence boundary, and the
+    * fill ratio of the emitted chunks (what packing actually achieves
+    * vs lengthBuckets' pad_waste for the padded alternative). Runs
+    * [[packChunks]] itself so the boundary arithmetic and the
+    * chunk-count denominator can never use different capacities. One
+    * partial aggregation; nothing but (group, count, sums) crosses the
+    * shuffle. */
+  def packEfficiency(docs: DataFrame, idCol: String, tokenCount: Column,
+                     capacity: Int, groups: Int = 64): DataFrame =
+    packEfficiencyOf(packChunks(docs, idCol, tokenCount, capacity, groups),
+      capacity)
+
+  /** The aggregation half of [[packEfficiency]]; private so a caller
+    * can't pair a chunks frame with a DIFFERENT capacity than the one
+    * that packed it. */
+  private def packEfficiencyOf(chunks: DataFrame, capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     chunks.groupBy("pack_group")
       .agg(count(lit(1)).cast("int").as("n_docs"),

@@ -185,12 +185,19 @@ object Sampling {
       transform(sequence(lit(1), size(toks) - 1), i =>
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+    // persisted: five consumers (sources, grid fill, both marginals,
+    // the scalar total) hang off this aggregate — without the persist
+    // the "corpus scanned once" contract would rest on ReuseExchange
+    // recognizing five canonically-identical subtrees, which any later
+    // edit to one branch silently breaks. The cached table is at most
+    // |sources|·256 rows.
     val counts = Partitioning.spread(docs)
       .select(col(sourceCol), explode(concat(toks, bigrams)).as("term"))
       .filter(col("term") =!= "")
       .select(col(sourceCol),
         substring(md5(col("term").cast("binary")), 1, 2).as("b"))
       .groupBy(sourceCol, "b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fill the full (source × bucket) grid: an absent bucket still
     // carries its smoothed prior into both distributions
     val sources = counts.select(sourceCol).distinct()

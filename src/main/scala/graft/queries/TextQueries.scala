@@ -1136,6 +1136,9 @@ object TextQueries {
       val c = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
           .as("w"))
+        // empty tokens from irregular whitespace are not vocabulary —
+        // the zipfSlope / sourceDivergence token definition
+        .filter(col("w") =!= "")
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       val n = c.groupBy("doc_id").agg(sum("c").as("n"))
       val p = col("c").cast("double") / col("n").cast("double")
@@ -1153,14 +1156,20 @@ object TextQueries {
     // Tokenizer fertility per language: BPE-pre-split tokens per
     // whitespace word — the metric multilingual data teams watch (high
     // fertility = the tokenizer fragments that language, inflating its
-    // effective cost per word). Ratio of exact integer sums; one
-    // partial-agg shuffle of |langs| rows.
+    // effective cost per word). Runs over the PII-AUGMENTED text (the
+    // established fixture-enrichment trick): the raw fixture is pure
+    // lowercase words, where bpe == ws everywhere and the regex's
+    // digit/punctuation branches would go unexercised — the appended
+    // emails/phones/IPs make fertility > 1 on 4 of 5 docs, so the gate
+    // actually tests the split. Ratio of exact integer sums.
     "t_fertility" -> { (s, dir) =>
-      t(s, dir, "documents").groupBy("lang")
+      t(s, dir, "documents")
+        .select(col("lang"), piiAugmented.as("ptext"))
+        .groupBy("lang")
         .agg(count(lit(1)).cast("int").as("n_docs"),
-          sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          sum(size(TextAnalysis.tokens(col("ptext"))).cast("long"))
             .as("ws_tokens"),
-          sum(TextAnalysis.bpeTokenCount(col("text")).cast("long"))
+          sum(TextAnalysis.bpeTokenCount(col("ptext")).cast("long"))
             .as("bpe_tokens"))
         .withColumn("fertility",
           round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6))
@@ -1248,11 +1257,9 @@ object TextQueries {
     // boundary-split docs and the achieved fill ratio — read next to
     // t_length_buckets' pad_waste to quantify what packing buys.
     "t_pack_efficiency" -> { (s, dir) =>
-      graft.operators.Packing.packEfficiency(
-        graft.operators.Packing.packChunks(t(s, dir, "documents"),
-          "doc_id", size(TextAnalysis.tokens(col("text"))), capacity = 256,
-          groups = 8),
-        capacity = 256)
+      graft.operators.Packing.packEfficiency(t(s, dir, "documents"),
+        "doc_id", size(TextAnalysis.tokens(col("text"))), capacity = 256,
+        groups = 8)
         .orderBy("pack_group")
     },
 
@@ -1769,7 +1776,8 @@ object TextQueries {
     "t_token_entropy" ->
       """WITH tc AS (SELECT doc_id, unnest(str_split(text,' ')) AS w
         |  FROM documents),
-        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM tc
+        |  WHERE w <> '' GROUP BY 1, 2),
         |n AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY 1),
         |h AS (SELECT c.doc_id, n.n,
         |    CAST(round(-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
@@ -1781,17 +1789,18 @@ object TextQueries {
         |  round(CAST(SUM(h) AS DOUBLE), 6) AS entropy
         |FROM h GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
-    // Integer sums on both engines; the bpe count reuses t_token_stats'
-    // regex (constructs Java regex and RE2 agree on).
+    // Integer sums on both engines over the PII-augmented text; the bpe
+    // count reuses t_token_stats' regex (Java regex and RE2 agree).
     "t_fertility" ->
-      """SELECT lang, CAST(COUNT(*) AS INT) AS n_docs,
-        |  CAST(SUM(len(str_split(text,' '))) AS BIGINT) AS ws_tokens,
-        |  CAST(SUM(len(regexp_extract_all(text,
-        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
-        |  round(CAST(SUM(len(regexp_extract_all(text,
-        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
-        |    / SUM(len(str_split(text,' '))), 6) AS fertility
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      s"""WITH p AS (SELECT lang, $piiAugmentedSql AS ptext FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS INT) AS n_docs,
+         |  CAST(SUM(len(str_split(ptext,' '))) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(len(regexp_extract_all(ptext,
+         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(SUM(len(regexp_extract_all(ptext,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE)
+         |    / SUM(len(str_split(ptext,' '))), 6) AS fertility
+         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Rank ties break by term (total order both engines); moment sums
     // carry 6-decimal products in exact decimal, slope is one fixed
