@@ -704,6 +704,20 @@ object TextQueries {
       Dedup.dupClusters(pairs).orderBy("canonical_id")
     },
 
+    // Cluster-size distribution over the same near-dup graph — the
+    // summary a dedup rollout reads first (a long tail of giant
+    // clusters means boilerplate, not true duplicates, and argues for
+    // a higher threshold before any deletion happens).
+    "d_cluster_sizes" -> { (s, dir) =>
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
+      Dedup.componentLabels(pairs.select(col("id_a"), col("id_b")))
+        .groupBy("comp").agg(count(lit(1)).as("m"))
+        .groupBy(col("m").cast("int").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
     // Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over word
     // 3-gram shingles — catches a short document excerpted inside a
     // long one, which symmetric Jaccard structurally misses. Same
@@ -1124,6 +1138,20 @@ object TextQueries {
         .select(col("source"), col("n_docs"),
           round(col("med"), 6).as("med_quality"),
           round(col("mad"), 6).as("mad_quality"))
+        .orderBy("source")
+    },
+
+    // Per-source length profile: p10/p50/p90 of document length — the
+    // dashboard staple read next to the mean (a crawl that starts
+    // truncating pages moves p90 long before it moves the average).
+    // Exact interpolated percentiles on integer n_chars (IEEE-identical
+    // across engines); |sources| rows out of one grouped aggregate.
+    "t_length_percentiles" -> { (s, dir) =>
+      t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          round(percentile(col("n_chars"), lit(0.1)), 6).as("p10"),
+          round(percentile(col("n_chars"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("n_chars"), lit(0.9)), 6).as("p90"))
         .orderBy("source")
     },
 
@@ -1771,6 +1799,13 @@ object TextQueries {
          |  round(quantile_cont(ad, 0.5), 6) AS mad_quality
          |FROM ad GROUP BY source, med ORDER BY source""".stripMargin,
 
+    "t_length_percentiles" ->
+      """SELECT source, CAST(COUNT(*) AS INT) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.1), 6) AS p10,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     // Mirrors the Spark float chain: p = c/n in doubles, −p·ln p
     // rounded to 6, decimal sum, final round.
     "t_token_entropy" ->
@@ -2280,6 +2315,15 @@ object TextQueries {
     "d_dup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCte,
          |${sqlComponentsOver("verified")}""".stripMargin,
+
+    // Same pair relation and closure, collapsed one level further.
+    "d_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |${sqlComponentLabelsCte("verified")},
+         |cs AS (SELECT comp, COUNT(*) AS m FROM comp GROUP BY comp)
+         |SELECT CAST(m AS INT) AS cluster_size,
+         |  COUNT(*) AS n_clusters
+         |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     // Old-dump shingles are a global distinct set; the new dump's
     // per-source distinct shingles anti-join it. Shingle window math
