@@ -1141,6 +1141,43 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Language-ID confusion matrix against the fixture's ground-truth
+    // lang column — the accuracy eval a langid deployment tracks
+    // (which languages bleed into which); |langs|² rows out of one
+    // grouped count.
+    "t_langid_confusion" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    // LSH candidate recall vs the exhaustive rare-shingle pair method
+    // at the same Jaccard floor — the methodological eval run before
+    // trusting banded MinHash at scale: how many true ≥0.5 pairs do 3
+    // bands of 2 lanes actually surface? One full-outer join over two
+    // (id_a, id_b) pair relations; documents never move.
+    "d_lsh_recall" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("lm"))
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, maxDf = 20, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("em"))
+      exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("em").isNotNull && col("lm").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("em").isNotNull && col("lm").isNull, 1L)
+            .otherwise(0L)).as("n_exact_only"),
+          sum(when(col("em").isNull && col("lm").isNotNull, 1L)
+            .otherwise(0L)).as("n_lsh_only"))
+        .withColumn("lsh_recall", round(col("n_both").cast("double") /
+          (col("n_both") + col("n_exact_only")).cast("double"), 6))
+    },
+
     // Per-source length profile: p10/p50/p90 of document length — the
     // dashboard staple read next to the mean (a crawl that starts
     // truncating pages moves p90 long before it moves the average).
@@ -1798,6 +1835,45 @@ object TextQueries {
          |  round(med, 6) AS med_quality,
          |  round(quantile_cont(ad, 0.5), 6) AS mad_quality
          |FROM ad GROUP BY source, med ORDER BY source""".stripMargin,
+
+    // The shared ql CTE supplies lang_pred; ground truth joins back.
+    "t_langid_confusion" ->
+      s"""WITH $qualityLangCte
+         |SELECT d.lang, ql.lang_pred, COUNT(*) AS n
+         |FROM ql JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+
+    // The minhash chain's sh/shl/verified are reused; the exhaustive
+    // rare-shingle pair chain gets fresh names, then one full join.
+    "d_lsh_recall" ->
+      s"""WITH $minhashPairsCte,
+         |rare AS (SELECT s FROM sh GROUP BY s
+         |         HAVING COUNT(*) <= 20 AND COUNT(*) > 1),
+         |ecand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM (SELECT doc_id, s FROM sh JOIN rare USING (s)) a
+         |  JOIN (SELECT doc_id, s FROM sh JOIN rare USING (s)) b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id),
+         |epairs AS (SELECT id_a, id_b, 1 AS em FROM ecand
+         |  JOIN shl x ON id_a = x.doc_id JOIN shl y ON id_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(x.sl, y.sl))) >= 0.5),
+         |lpairs AS (SELECT id_a, id_b, 1 AS lm FROM verified),
+         |f AS (SELECT em, lm
+         |  FROM epairs FULL JOIN lpairs USING (id_a, id_b))
+         |SELECT
+         |  CAST(SUM(CASE WHEN em IS NOT NULL AND lm IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN em IS NOT NULL AND lm IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_only,
+         |  CAST(SUM(CASE WHEN em IS NULL AND lm IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_only,
+         |  round(CAST(SUM(CASE WHEN em IS NOT NULL AND lm IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / (SUM(CASE WHEN em IS NOT NULL AND lm IS NOT NULL
+         |        THEN 1 ELSE 0 END)
+         |      + SUM(CASE WHEN em IS NOT NULL AND lm IS NULL
+         |        THEN 1 ELSE 0 END)), 6) AS lsh_recall
+         |FROM f""".stripMargin,
 
     "t_length_percentiles" ->
       """SELECT source, CAST(COUNT(*) AS INT) AS n_docs,
