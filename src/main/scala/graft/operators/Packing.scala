@@ -65,9 +65,15 @@ object Packing {
     *
     * `edges` must be ascending; documents longer than the last edge
     * land in an `overflowEdge` bucket so the waste arithmetic stays
-    * well-defined. Pure CASE-chain integer assignment (no log2 — exact
-    * on any engine) + one partial aggregation; nothing but
-    * (bucket, count, sum) crosses the shuffle. */
+    * well-defined. A document longer even than `overflowEdge` would be
+    * TRUNCATED by a real batcher, so the waste numerator clamps each
+    * doc's tokens at its bucket width (otherwise sum_tokens > n·bucket
+    * and pad_waste goes negative — nonsense for a padding audit); the
+    * over-edge population is reported explicitly as `n_over` so the
+    * truncation-needed tail is visible rather than silently absorbed.
+    * Pure CASE-chain integer assignment (no log2 — exact on any engine)
+    * + one partial aggregation; nothing but (bucket, count, sums)
+    * crosses the shuffle. */
   def lengthBuckets(docs: DataFrame, tokenCount: Column, edges: Seq[Int],
                     overflowEdge: Int): DataFrame = {
     require(edges.nonEmpty && edges == edges.sorted, s"bad edges: $edges")
@@ -83,9 +89,16 @@ object Packing {
       .filter(col("n_tokens").isNotNull)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens").cast("long")).as("sum_tokens"))
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        // batch-occupancy numerator: tokens the batch actually holds,
+        // i.e. each doc clamped at the bucket width
+        sum(least(col("n_tokens"), col("bucket")).cast("long"))
+          .as("_held"),
+        sum(when(col("n_tokens") > col("bucket"), 1L).otherwise(0L))
+          .as("n_over"))
       .select(col("bucket"), col("n_docs"), col("sum_tokens"),
-        round(lit(1.0) - col("sum_tokens") /
+        col("n_over"),
+        round(lit(1.0) - col("_held") /
           (col("n_docs") * col("bucket")).cast("double"), 6)
           .as("pad_waste"))
   }

@@ -104,17 +104,27 @@ object QualityClassifier {
         val z = least(greatest(z0, lit(-30.0)), lit(30.0))
         val p = lit(1.0) / (lit(1.0) + exp(-z))
         val s = p * (lit(1.0) - p)
+        // Per-row gradient/Hessian contributions are rounded to a fixed
+        // decimal granularity and summed as DECIMAL: decimal addition is
+        // exact integer arithmetic, so the totals — and therefore the
+        // fitted weights — are independent of partition count and row
+        // order, honoring memoFit's pure-function contract (a plain
+        // double sum over distributed partitions is order-dependent).
+        // 12 fractional digits keeps the quantization (≤5e-13/row) far
+        // below the Newton step's meaningful precision.
+        val dec = (c: Column) => sum(c.cast("decimal(26,12)"))
         val gradAggs = (0 until d).map(j =>
-          sum((col("y") - p) * col(s"x$j")).as(s"g_$j"))
+          dec((col("y") - p) * col(s"x$j")).as(s"g_$j"))
         val hessAggs = for { j <- 0 until d; k <- j until d } yield
-          sum(s * col(s"x$j") * col(s"x$k")).as(s"h_${j}_$k")
+          dec(s * col(s"x$j") * col(s"x$k")).as(s"h_${j}_$k")
         val aggs = gradAggs ++ hessAggs
         val row = fdf.agg(aggs.head, aggs.tail: _*).head()
-        val g = Array.tabulate(d)(j => row.getDouble(j) - ridge * n * w(j))
+        val cell = (i: Int) => row.getDecimal(i).doubleValue()
+        val g = Array.tabulate(d)(j => cell(j) - ridge * n * w(j))
         val h = Array.ofDim[Double](d, d)
         var idx = d
         for (j <- 0 until d; k <- j until d) {
-          h(j)(k) = row.getDouble(idx); h(k)(j) = h(j)(k); idx += 1
+          h(j)(k) = cell(idx); h(k)(j) = h(j)(k); idx += 1
         }
         for (j <- 0 until d) h(j)(j) += ridge * n
         val step = solve(h, g)

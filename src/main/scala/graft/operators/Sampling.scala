@@ -82,7 +82,10 @@ object Sampling {
                         budgets: Map[String, Long]): DataFrame = {
     val totals = docs.groupBy(col(sourceCol))
       .agg(coalesce(sum(tokenCount.cast("long")), lit(0L)).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // String.valueOf(r.get(0)), not getString(0): the source column
+      // may be any type (int shard keys are common); the threshold
+      // lookup and the `===` predicate both compare by string form
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val weights = budgets.toSeq.map { case (src, b) =>
       src -> (if (totals.getOrElse(src, 0L) <= 0L) 1.0
               else b.toDouble / totals(src))
@@ -327,7 +330,10 @@ object Sampling {
                   phases: Seq[(String, Map[String, Long])]): DataFrame = {
     val totals = docs.groupBy(col(sourceCol))
       .agg(coalesce(sum(tokenCount.cast("long")), lit(0L)).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // String.valueOf(r.get(0)), not getString(0): the source column
+      // may be any type (int shard keys are common); the threshold
+      // lookup and the `===` predicate both compare by string form
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val phaseStructs = phases.map { case (phase, budgets) =>
       val h8 = substring(
         md5(concat(lit(s"$phase:"), col(idCol).cast("string"))

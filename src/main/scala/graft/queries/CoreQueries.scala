@@ -285,8 +285,10 @@ object CoreQueries {
     },
 
     // Rolling anomaly score over the event stream: per (type, day)
-    // counts z-scored against the trailing 7-day window — the volume
-    // monitor an ingest pipeline alarms on. Mean/variance are derived
+    // counts z-scored against the trailing 7 OBSERVED days (a ROWS
+    // frame over per-day rows — with gaps in the day sequence it spans
+    // more than 7 calendar days; calendar semantics would need a RANGE
+    // frame on day) — the volume monitor an ingest pipeline alarms on. Mean/variance are derived
     // from the window's integer sum/sum-of-squares in a FIXED
     // arithmetic chain (never an engine's own stddev aggregate, whose
     // internal algorithm differs across engines), so the score is

@@ -212,7 +212,9 @@ object TextQueries {
        |         ELSE printf('%08x',
        |           CAST(floor(frac * 4294967296.0) AS BIGINT)) END AS cut
        |  FROM (SELECT phase, b.source,
-       |          CAST(budget AS DOUBLE) / CAST(t AS DOUBLE) AS frac
+       |          CASE WHEN t <= 0 THEN 1.0
+       |               ELSE CAST(budget AS DOUBLE) / CAST(t AS DOUBLE)
+       |          END AS frac
        |        FROM b JOIN tot ON b.source = tot.source)),
        |sel AS (SELECT phase, doc_id, source, n_tokens
        |  FROM d JOIN thr USING (source)
@@ -2209,6 +2211,9 @@ object TextQueries {
          |FROM agg ORDER BY source""".stripMargin
     },
 
+    // pad_waste numerator clamps each doc at the bucket width (a real
+    // batcher truncates over-edge docs; unclamped, waste goes negative)
+    // and n_over reports the truncation-needed tail explicitly.
     "t_length_buckets" ->
       """WITH n AS (SELECT len(str_split(text,' ')) AS nt FROM documents),
         |b AS (SELECT CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
@@ -2216,7 +2221,9 @@ object TextQueries {
         |    WHEN nt <= 128 THEN 128 ELSE 256 END AS bucket, nt FROM n)
         |SELECT bucket, COUNT(*) AS n_docs,
         |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
-        |  round(1.0 - CAST(SUM(nt) AS DOUBLE)
+        |  CAST(SUM(CASE WHEN nt > bucket THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_over,
+        |  round(1.0 - CAST(SUM(least(nt, bucket)) AS DOUBLE)
         |    / CAST(COUNT(*) * bucket AS DOUBLE), 6) AS pad_waste
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
@@ -2427,19 +2434,24 @@ object TextQueries {
         |FROM nsh LEFT JOIN nov ON nsh.source = nov.source
         |GROUP BY nsh.source ORDER BY nsh.source""".stripMargin,
 
+    // Presence tracked by explicit markers (mirrors Dedup.corpusDiff):
+    // a null-text doc has a NULL fingerprint but is still PRESENT, so
+    // classification must branch on in_old/in_new, and the fingerprint
+    // compare must be null-safe (IS NOT DISTINCT FROM) so two null-text
+    // rows are 'unchanged', never 'added'.
     "t_corpus_diff" ->
-      """WITH o AS (SELECT doc_id AS id,
+      """WITH o AS (SELECT doc_id AS id, TRUE AS in_old,
         |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_old
         |  FROM documents WHERE doc_id % 10 <> 3),
-        |nn AS (SELECT doc_id AS id,
+        |nn AS (SELECT doc_id AS id, TRUE AS in_new,
         |    md5(lower(regexp_replace(
         |      CASE WHEN doc_id % 20 = 5 THEN reverse(text) ELSE text END,
         |      '\s+', ' ', 'g'))) AS fp_new
         |  FROM documents WHERE doc_id % 10 <> 7)
         |SELECT id AS doc_id,
-        |  CASE WHEN fp_old IS NULL THEN 'added'
-        |       WHEN fp_new IS NULL THEN 'removed'
-        |       WHEN fp_old <> fp_new THEN 'changed'
+        |  CASE WHEN in_old IS NULL THEN 'added'
+        |       WHEN in_new IS NULL THEN 'removed'
+        |       WHEN NOT (fp_old IS NOT DISTINCT FROM fp_new) THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM o FULL JOIN nn USING (id) ORDER BY doc_id""".stripMargin,
 

@@ -311,13 +311,7 @@ final class CdcPipeline(
         // retry's writes into the same table directories
         aborted.set(true)
         spark.sparkContext.cancelJobGroup(groupId)
-        // one shared deadline across the drain — a per-future timeout
-        // would stack to N×10 min with many blocked flush groups and
-        // stall the micro-batch thread long past any useful retry
-        val deadline = 10.minutes.fromNow
-        futures.foreach(f =>
-          try { Await.result(f, deadline.timeLeft max Duration.Zero); () }
-          catch { case _: Throwable => () })
+        CdcPipeline.drainAll(futures, 10.minutes)
         throw e
       }
     }
@@ -566,5 +560,26 @@ final class CdcPipeline(
           fs.delete(journal, true)
         }
     }
+  }
+}
+
+object CdcPipeline {
+  import scala.concurrent.{Await, Future}
+  import scala.concurrent.duration.{Duration, FiniteDuration}
+
+  /** Wait for every future to settle — success or failure — under ONE
+    * shared deadline. Used by the flush-abort path: a per-future
+    * timeout would stack to N×deadline with many blocked flush groups
+    * and stall the micro-batch thread long past any useful retry, while
+    * a deadline shared across the drain bounds the whole abort at
+    * `total` regardless of group count. Failures are swallowed: the
+    * caller rethrows the ORIGINAL flush failure, and a timed-out future
+    * here is exactly the orphan the bounded wait exists to abandon. */
+  private[streaming] def drainAll(futures: Seq[Future[_]],
+                                  total: FiniteDuration): Unit = {
+    val deadline = total.fromNow
+    futures.foreach(f =>
+      try { Await.result(f, deadline.timeLeft max Duration.Zero); () }
+      catch { case _: Throwable => () })
   }
 }

@@ -89,13 +89,31 @@ class PackingSpec extends SparkSpec {
     val out = Packing.lengthBuckets(d, col("toks"),
         edges = Seq(16, 32), overflowEdge = 256)
       .orderBy("bucket")
-      .as[(Int, Long, Long, Double)].collect().toSeq
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq(
-      (16, 1L, 16L, 0.0),                       // exactly-full bucket
-      (32, 2L, 49L, 1.0 - 49.0 / 64.0),          // 17 and 32 share it
-      (256, 2L, 233L,
+      (16, 1L, 16L, 0L, 0.0),                   // exactly-full bucket
+      (32, 2L, 49L, 0L, 1.0 - 49.0 / 64.0),      // 17 and 32 share it
+      (256, 2L, 233L, 0L,
         BigDecimal(1.0 - 233.0 / 512.0)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("length buckets: docs over the overflow edge clamp, never negative") {
+    // 300 and 500 exceed overflowEdge=256: a real batcher truncates
+    // them, so held tokens clamp at 256 each and waste stays in [0, 1)
+    val d = Seq((1L, 300), (2L, 500), (3L, 100)).toDF("id", "toks")
+    val out = Packing.lengthBuckets(d, col("toks"),
+        edges = Seq(128), overflowEdge = 256)
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (128, 1L, 100L, 0L,
+        BigDecimal(1.0 - 100.0 / 128.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      // sum_tokens keeps the RAW total (800 > 512) for visibility, but
+      // the waste numerator holds 256+256 and n_over reports the tail
+      (256, 2L, 800L, 2L, 0.0)))
+    assert(out.forall { case (_, _, _, _, w) => w >= 0.0 && w < 1.0 })
   }
 
   test("length buckets: misordered edges or low overflow are rejected") {

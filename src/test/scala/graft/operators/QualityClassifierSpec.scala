@@ -126,6 +126,21 @@ class QualityClassifierSpec extends SparkSpec {
     assert(acc > base + 0.05, s"acc $acc vs base $base")
   }
 
+  test("fit is bit-identical across partition layouts (memoFit contract)") {
+    // the gradient/Hessian sums aggregate fixed-decimal contributions,
+    // so partition count / row order cannot perturb the fitted weights
+    // — the property memoFit's pure-function contract relies on
+    val label =
+      (TextAnalysis.qualityScore(col("text"), stop) >= 0.5).cast("int")
+    val m1 = QualityClassifier.fit(
+      docs.repartition(1), col("text"), label, stop, iters = 4)
+    val m7 = QualityClassifier.fit(
+      docs.repartition(7, col("doc_id")), col("text"), label, stop,
+      iters = 4)
+    assert(m1.bias == m7.bias, s"${m1.bias} vs ${m7.bias}")
+    assert(m1.weights == m7.weights, s"${m1.weights} vs ${m7.weights}")
+  }
+
   test("fit on zero usable rows returns the null model") {
     val empty = Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "y")
     val m = QualityClassifier.fit(empty, col("text"), col("y"), stop)

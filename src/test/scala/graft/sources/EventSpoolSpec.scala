@@ -39,6 +39,29 @@ class EventSpoolSpec extends SparkSpec {
     }
   }
 
+  test("producer rotation works through a file:-scheme Hadoop path") {
+    // the producer half honors the same Hadoop-FS contract as the
+    // sweeper: an explicit scheme'd URI (the shape an HDFS/S3 spool dir
+    // takes) must list existing files for numbering, stage+rename
+    // publish, and stay readable by the consumer side
+    val local = tmpDir("graft-spool-hfs")
+    val spool = s"file://$local"
+    val first = EventSpool.writeRotating(spool, lines(6), 4)
+    assert(first === Seq("000001.json", "000002.json"))
+    // numbering continues from the scheme'd listing — a java.io
+    // producer would see nothing here and restart at 000001,
+    // overwriting live files
+    val second = EventSpool.writeRotating(spool, lines(3, from = 6), 4)
+    assert(second === Seq("000003.json"))
+    assert(EventSpool.readBatch(spark, spool).count() === 9)
+    // no staging temp survives the publish renames
+    val leftover = new java.io.File(local).list().filter(_.contains(".tmp"))
+    assert(leftover.isEmpty, leftover.mkString(","))
+    // and the sweeper agrees about the same scheme'd dir
+    assert(EventSpool.sweepRetention(spool, retentionSeconds = 1,
+      nowMs = System.currentTimeMillis() + 3600L * 1000L, preserve = 0) === 2)
+  }
+
   test("sweepRetention deletes aged files, preserves the replay window") {
     val spool = tmpDir("graft-spool-ret")
     val names = EventSpool.writeRotating(spool, lines(40), 4) // 10 files

@@ -818,4 +818,54 @@ class CdcPipelineSpec extends SparkSpec {
     val got = pipeline.table("t1").read.collect().map(_.getInt(0)).toSet
     assert(got === Set(1))
   }
+
+  test("cross-db RENAME with an untracked source is rejected at admission (F4)") {
+    // The reference drops a rename whose SOURCE table doesn't match
+    // config and refuses cross-db renames outright
+    // (db_replicator_realtime.py:249-255) — so admission
+    // (ddlTargetsAdmittedDb) and applyDdl both gate on the source db;
+    // admitted ops are never silent no-ops by construction.
+    val registry = new SchemaRegistry("prod")
+    registry.applySql("prod",
+      "CREATE TABLE users (id int NOT NULL, name varchar(50), PRIMARY KEY(id))")
+    val wh = tmpDir("graft-wh-xrn")
+    val pipeline = new CdcPipeline(spark,
+      GraftConfig(includeDatabases = Seq("prod")), registry, wh)
+    val spool = tmpDir("graft-spool-xrn")
+    writeFile(spool, "000001.json", Seq(
+      eventJson(1, "prod", "users", OpAdd,
+        row = Some("""{"id":"1","name":"ann"}""")),
+      // foreign session db; the statement renames otherdb.src INTO the
+      // replicated db — the source is untracked, so the op is dropped
+      // at the admission filter (never admitted-then-silently-ignored)
+      eventJson(2, "migrations", "src", OpQuery,
+        query = Some("RENAME TABLE otherdb.src TO prod.users2")),
+      eventJson(3, "prod", "users", OpAdd,
+        row = Some("""{"id":"2","name":"bob"}"""))))
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), 0)
+    assert(!registry.contains("prod", "users2"),
+      "untracked-source rename must not register a target table")
+    assert(!new java.io.File(s"$wh/prod/users2").exists(),
+      "untracked-source rename must not materialize a directory")
+    // the rejected DDL neither crashed the batch nor split the segment's
+    // DML away: both inserts applied
+    assert(pipeline.table("prod", "users").read.count() === 2)
+  }
+
+  test("flush abort drains N blocked groups under ONE shared deadline") {
+    import scala.concurrent.{Future, Promise}
+    import scala.concurrent.duration._
+    // 1 already-failed + 5 never-completing futures: the drain must
+    // spend ~one deadline TOTAL (the first pending future exhausts it;
+    // the rest time out instantly on timeLeft <= 0), not 5 deadlines
+    val blocked = Seq.fill(5)(Promise[Unit]().future)
+    val failed = Future.failed[Unit](new RuntimeException("flush boom"))
+    val t0 = System.nanoTime()
+    CdcPipeline.drainAll(failed +: blocked, 300.millis)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 900.0,
+      s"drain took ${elapsedMs}ms — deadlines are stacking per future")
+    assert(elapsedMs >= 250.0,
+      s"drain took ${elapsedMs}ms — never waited for the blocked flush")
+  }
 }
