@@ -270,10 +270,19 @@ object Ivf {
     * graph cluster curation builds on. The self-join runs over |C|·k
     * edge rows, never vectors. */
   def mutualKnn(corpus: DataFrame, idCol: String, vecCol: String,
-                model: Model, k: Int, nProbe: Int = 2): DataFrame = {
-    val e = knnJoin(corpus, idCol, vecCol, model, k, nProbe)
-      .select(col("query_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                model: Model, k: Int, nProbe: Int = 2): DataFrame =
+    mutualKnnOf(knnJoin(corpus, idCol, vecCol, model, k, nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The mutuality self-join over an ALREADY-BUILT [[knnJoin]] ranked
+    * list — split out so callers that compute the neighbor graph once
+    * and feed several consumers (the graph itself, the mutual edges,
+    * their connected components) can share one cached edge relation
+    * instead of re-running the corpus×corpus join per consumer. The
+    * caller owns `ranked`'s persistence: both sides of the self-join
+    * scan it, so an unpersisted input computes the knn join twice. */
+  def mutualKnnOf(ranked: DataFrame): DataFrame = {
+    val e = ranked.select(col("query_id"), col("neighbor_id"))
     e.as("a").join(e.as("b"),
         col("a.query_id") === col("b.neighbor_id") &&
         col("a.neighbor_id") === col("b.query_id"))

@@ -36,6 +36,26 @@ object SimilarityQueries {
   private def memo[T <: AnyRef](key: String)(fit: => T): T =
     memoFit(key)(fit)
 
+  /** THE corpus k-NN edge relation — built once, persisted, and shared
+    * by its three gated consumers (`s_knn_join`, `s_mutual_knn`,
+    * `s_knn_components`): the corpus×corpus cell join is the most
+    * expensive relation in the ANN family, and each consumer
+    * re-deriving it tripled that cost in one bench pass. Keyed by the
+    * session's applicationId as well as the fixture dir because a
+    * cached DataFrame (unlike the pure model fits) is bound to the
+    * SparkSession that built it. */
+  private def sharedKnnRanked(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 3))
+    memo(s"knnjoin:${s.sparkContext.applicationId}:$dir:k8i3:k3p2") {
+      graft.operators.Ivf.knnJoin(emb, "vec_id", "embedding",
+          model, k = 3, nProbe = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
   val defs: Map[String, QueryFn] = Map(
     // Exact ANN baseline: 10 probe vectors × full corpus, broadcast join.
     "s_ann_topk" -> { (s, dir) =>
@@ -113,8 +133,7 @@ object SimilarityQueries {
       val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
         emb, "vec_id", "embedding", k = 8, iters = 3))
       ivfModels.put("s_knn_join", model)
-      graft.operators.Ivf.knnJoin(emb, "vec_id", "embedding",
-        model, k = 3, nProbe = 2)
+      sharedKnnRanked(s, dir)
         .select("query_id", "neighbor_id", "sim", "rnk")
         .orderBy("query_id", "rnk")
     },
@@ -127,8 +146,7 @@ object SimilarityQueries {
       val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
         emb, "vec_id", "embedding", k = 8, iters = 3))
       ivfModels.put("s_mutual_knn", model)
-      graft.operators.Ivf.mutualKnn(emb, "vec_id", "embedding",
-        model, k = 3, nProbe = 2)
+      graft.operators.Ivf.mutualKnnOf(sharedKnnRanked(s, dir))
         .orderBy("id_a", "id_b")
     },
 
@@ -158,8 +176,7 @@ object SimilarityQueries {
         emb, "vec_id", "embedding", k = 8, iters = 3))
       ivfModels.put("s_knn_components", model)
       graft.operators.Dedup.dupClusters(
-        graft.operators.Ivf.mutualKnn(emb, "vec_id", "embedding",
-          model, k = 3, nProbe = 2))
+        graft.operators.Ivf.mutualKnnOf(sharedKnnRanked(s, dir)))
         .orderBy("canonical_id")
     },
 

@@ -54,6 +54,21 @@ package object queries {
   private[queries] def memoFit[T <: AnyRef](key: String)(fit: => T): T =
     fitMemo.computeIfAbsent(key, _ => fit).asInstanceOf[T]
 
+  /** Drop every memoized fit and unpersist any cached DataFrames among
+    * them. The bench harness calls this between query families so one
+    * family's cached models/relations can't skew another family's
+    * timings (and so back-to-back bench runs start from the same cold
+    * state); correctness is unaffected — every fit is a deterministic
+    * pure function, so a re-fit reproduces the same model. */
+  def clearFitMemo(): Unit = {
+    fitMemo.values.forEach {
+      case df: org.apache.spark.sql.Dataset[_] =>
+        df.unpersist(blocking = false); ()
+      case _ => ()
+    }
+    fitMemo.clear()
+  }
+
   /** DuckDB twin of [[graft.operators.Dedup.dupClusters]]: the recursive
     * closure + component collapse over a pair relation `rel(id_a, id_b)`.
     * Callers splice this after their own `WITH RECURSIVE <pair CTEs>,`.

@@ -474,7 +474,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("knn join: corpus-sized query side does not broadcast") {
-    val ns = nodes(SparkEntry.queries("s_knn_join")(spark, dir))
+    // pin the OPERATOR's plan, not the gated query's: s_knn_join serves
+    // from the shared cached edge relation (one computation for three
+    // consumers), so its query plan is an in-memory scan on re-use —
+    // the shape that matters is what the join costs when it DOES run
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val model = graft.operators.Ivf.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 3)
+    val ns = nodes(graft.operators.Ivf.knnJoin(
+      emb, "vec_id", "embedding", model, k = 3, nProbe = 2))
     // the cell join must be a shuffled hash join of two corpus-derived
     // sides — a broadcast here would ship the whole corpus to every
     // task at scale
