@@ -310,8 +310,20 @@ object Dedup {
     * comp = the component's minimum id. Nodes with no near-dup edge are
     * absent — callers treating isolated docs as their own singleton
     * cluster coalesce the left join (see `leakage-safe split`).
+    *
+    * Adaptive strategy, broadcast-threshold style: the edge relation is
+    * materialized first (both paths need that), and when it holds at
+    * most `driverFallbackEdges` rows (default 2²⁰ ≈ 16 MB of id pairs —
+    * the same altitude as a broadcast side) the components are solved
+    * by a driver union-find in one pass: microseconds of CPU instead of
+    * O(log n) loop rounds, each of which costs several scheduler
+    * round-trips regardless of data size. Past the threshold the
+    * distributed loop runs unchanged — at 100 TB a banded near-dup
+    * graph has billions of edges and the loop is the only shape that
+    * scales. Both paths produce the identical (id, comp=min) relation.
     */
-  def componentLabels(pairs: DataFrame): DataFrame = {
+  def componentLabels(pairs: DataFrame,
+                      driverFallbackEdges: Long = 1L << 20): DataFrame = {
     // Checkpoint (eager), NOT persist: persist caches rows but keeps
     // the logical plan, and an iterative loop that references `labels`
     // twice per round doubles the plan every iteration — Catalyst
@@ -342,6 +354,10 @@ object Dedup {
     // `pairs` twice (both orientations), and each round's join would
     // otherwise re-run the full candidate-pair pipeline per branch
     val base = ckpt(pairs.select(col("id_a"), col("id_b")))
+    // counting the checkpointed relation is a metadata-cheap job (no
+    // recompute), and it decides the strategy like AQE decides a join
+    val nEdges = base.count()
+    if (nEdges <= driverFallbackEdges) return driverComponents(base)
     val edges = base.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(base.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
@@ -381,6 +397,55 @@ object Dedup {
       round += 1
     }
     labels
+  }
+
+  /** The small-graph half of [[componentLabels]]: a driver union-find
+    * over an edge relation already proven ≤ the caller's bounded
+    * threshold. Path-halving find + union; labels are then re-resolved
+    * to each component's MINIMUM id, so the output is deterministic and
+    * identical to what the distributed hash-to-min loop converges to.
+    * Output id/comp columns keep the input id type. */
+  private def driverComponents(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val idType = base.schema.fields(0).dataType
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) { // path halving
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    base.collect().foreach { r => // bounded: caller gated on row count
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val a = r.get(0).asInstanceOf[Number].longValue()
+        val b = r.get(1).asInstanceOf[Number].longValue()
+        add(a); add(b)
+        val (ra, rb) = (find(a), find(b))
+        // union toward the smaller root: roots stay component minima,
+        // so no second pass is needed to re-resolve labels
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row](parent.size)
+    parent.keySet().forEach(id =>
+      rows += org.apache.spark.sql.Row(id.longValue(), find(id)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      .select(col("id").cast(idType).as("id"),
+        col("comp").cast(idType).as("comp"))
   }
 
   /** [[componentLabels]] collapsed to one row per cluster:

@@ -254,6 +254,35 @@ class TrainingDataOpsSpec extends SparkSpec {
       s"cluster members split apart: $split")
   }
 
+  test("componentLabels: driver union-find and distributed loop agree") {
+    // two chains, a triangle, and a cross-link — chain shapes are the
+    // pointer-doubling loop's worst case, so both strategies must land
+    // on the identical (id, min-of-component) relation
+    val pairs = Seq(
+      (7L, 3L), (3L, 11L), (11L, 2L),          // chain with min inside
+      (20L, 21L), (21L, 22L), (22L, 20L),      // triangle
+      (30L, 31L),                              // pair
+      (2L, 30L)                                // cross-link: merges chains
+    ).toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = toMap(Dedup.componentLabels(pairs)) // under threshold
+    val viaLoop = toMap(Dedup.componentLabels(pairs, driverFallbackEdges = 0))
+    val expected = Map(7L -> 2L, 3L -> 2L, 11L -> 2L, 2L -> 2L,
+      30L -> 2L, 31L -> 2L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(viaDriver === expected)
+    assert(viaLoop === expected)
+  }
+
+  test("componentLabels: int ids keep their type through the fallback") {
+    val pairs = Seq((5, 9), (9, 4)).toDF("id_a", "id_b")
+    val out = Dedup.componentLabels(pairs)
+    assert(out.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ===
+      Map(5 -> 4, 9 -> 4, 4 -> 4))
+  }
+
   test("hashSplit: deterministic, covers all labels, respects cut order") {
     val ids = spark.range(0, 2000).toDF("id")
     val split = Sampling.hashSplit(col("id"),
