@@ -146,6 +146,66 @@ object MediaCodec {
     } yield (ch, rate, bits, dataLen / (ch.toLong * (bits / 8).max(1)))
   }
 
+  /** Per-image pixel statistics from a REAL decode — means are exact
+    * integer channel sums divided once, so the SQL twin reproduces them
+    * bit-for-bit. `topRowMean` averages all three channels of the
+    * IMAGE-space top row: the one statistic that catches a decoder
+    * mishandling BMP's bottom-up default row order (whole-image means
+    * are row-order invariant). */
+  final case class BmpPixels(id: Long, width: Int, height: Int,
+                             meanR: Double, meanG: Double, meanB: Double,
+                             topRowMean: Double)
+
+  /** Full pixel decode of an uncompressed 24-bpp BMP — the real codec
+    * path (pure JVM: the format is fixed-layout BGR rows, 4-byte
+    * aligned, bottom-up unless biHeight < 0, per the Windows SDK
+    * layout). Returns None for anything that is not a well-formed
+    * uncompressed 24-bpp BMP — palette/compressed/32-bpp variants stay
+    * behind the decoder seam with the entropy-coded formats. */
+  def decodeBmpPixels(id: Long, b: Array[Byte]): Option[BmpPixels] = {
+    if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+        le32(b, 14) >= 40)) return None
+    val off = le32(b, 10) // pixel-array offset from the file header
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30) // BI_RGB = 0 only
+    if (w <= 0 || h <= 0 || hRaw == Int.MinValue || bpp != 24 || comp != 0)
+      return None
+    val stride = ((24 * w + 31) / 32) * 4 // rows pad to 4 bytes
+    if (off < 54 || off.toLong + stride.toLong * h > b.length) return None
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
+    var y = 0
+    while (y < h) { // y is the IMAGE row; map to the stored row
+      val stored = if (topDown) y else h - 1 - y
+      val ro = off + stored * stride
+      var x = 0
+      while (x < w) {
+        val p = ro + 3 * x // BGR order
+        val bl = b(p) & 0xff
+        val g = b(p + 1) & 0xff
+        val r = b(p + 2) & 0xff
+        sumB += bl; sumG += g; sumR += r
+        if (y == 0) top += bl + g + r
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some(BmpPixels(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
+      sumB.toDouble / n, top.toDouble / (3L * w)))
+  }
+
+  /** Per-partition batch pixel decode — payloads never shuffle; only
+    * the eight-column stat rows continue downstream. */
+  def extractBmpPixels(media: Dataset[(Long, Array[Byte])])
+      : Dataset[BmpPixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => decodeBmpPixels(id, p) })
+  }
+
   /** The real header decoder behind the [[Multimodal.MediaDecoder]]-
     * shaped seam: BMP and WAV parse for real; anything else (or a
     * corrupt payload) yields an invalid row. */
@@ -191,6 +251,52 @@ object MediaCodec {
       .putInt(0).putInt(dataLen).putInt(2835).putInt(2835)
       .putInt(0).putInt(0) // compression..colors
     b.array()
+  }
+
+  /** [[buildBmp]] with a deterministic PICTURE: channel values are
+    * linear functions of the IMAGE-space coordinates and the seed
+    * (r = (x+y+2s) mod 255, g = (2x+y+s) mod 253, b = (x+3y+s) mod 251)
+    * laid out in real BGR byte order with real row padding and the real
+    * bottom-up/top-down row placement — so decoding them back checks
+    * the whole pixel path, and an oracle can recompute every statistic
+    * from (w, h, seed) arithmetic alone. */
+  def buildBmpPattern(width: Int, height: Int, topDown: Boolean,
+                      seed: Long): Array[Byte] = {
+    val arr = buildBmp(width, height, topDown)
+    val rowSize = ((24 * width + 31) / 32) * 4
+    var y = 0
+    while (y < height) { // y = image row; place into the stored row
+      val stored = if (topDown) y else height - 1 - y
+      val base = 54 + stored * rowSize
+      var x = 0
+      while (x < width) {
+        val p = base + 3 * x
+        arr(p) = ((x + 3L * y + seed) % 251).toByte       // B
+        arr(p + 1) = ((2L * x + y + seed) % 253).toByte   // G
+        arr(p + 2) = ((x + y + 2L * seed) % 255).toByte   // R
+        x += 1
+      }
+      y += 1
+    }
+    arr
+  }
+
+  /** Fixture adapter for the PIXEL gate: every document becomes a
+    * patterned 24-bpp BMP (dimensions from n_chars, alternating
+    * bottom-up/top-down by id parity, pattern seeded by id), so the
+    * real pixel decoder runs over both row orders under the oracle,
+    * which recomputes the channel means from the same (w, h, seed)
+    * arithmetic. */
+  def bmpFromDocuments(spark: SparkSession,
+                       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildBmpPattern(width = 1 + (nChars % 48).toInt,
+          height = 1 + (nChars % 32).toInt,
+          topDown = id % 2 == 0, seed = id))
+      }
   }
 
   /** A minimal valid PNG: signature + IHDR (with a REAL CRC32) + IEND.

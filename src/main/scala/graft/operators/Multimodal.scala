@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   *  - the decoder is a trait so the container's missing image/audio libs
   *    are STUBBED with [[DeterministicFakeDecoder]] — the schema,
   *    partitioning and batch plumbing are real and tested, the codec is
-  *    swapped in production. The stub covers only pixel/sample decode:
-  *    BMP/PNG/GIF/JPEG and RIFF/WAV container headers are parsed for
-  *    real in [[MediaCodec]] (pure JVM, gated by a round-trip oracle).
+  *    swapped in production. The stub now covers ONLY the entropy-coded
+  *    formats (JPEG pixel data, H.264, compressed audio): BMP/PNG/GIF/
+  *    JPEG and RIFF/WAV container headers parse for real in
+  *    [[MediaCodec]] (pure JVM, gated by a round-trip oracle), and
+  *    uncompressed 24-bpp BMP decodes PIXELS for real
+  *    ([[MediaCodec.decodeBmpPixels]] — BGR order, row padding,
+  *    bottom-up/top-down layout — gated end-to-end by `mm_bmp_pixels`).
   */
 object Multimodal {
 

@@ -438,6 +438,28 @@ object SimilarityQueries {
         s, t(s, dir, "documents"))
       graft.operators.MediaCodec.extract(media).toDF()
         .orderBy("id")
+    },
+
+    // REAL pixel decode under the gate: every doc becomes a patterned
+    // uncompressed 24-bpp BMP (real BGR byte order, real 4-byte row
+    // padding, bottom-up and top-down row orders alternating by id);
+    // the pure-JVM decoder reads the BYTES back into channel means and
+    // the image-space top-row mean (the statistic that catches a
+    // mis-handled bottom-up layout), and the oracle recomputes every
+    // field from (w, h, seed) arithmetic alone. Means are exact integer
+    // sums divided once, so both engines agree bit-for-bit. With this,
+    // the pixel-level stand-in covers only entropy-coded formats
+    // (JPEG/H.264); BMP decodes for real end to end.
+    "mm_bmp_pixels" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.bmpFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractBmpPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1208,6 +1230,32 @@ object SimilarityQueries {
         |SELECT kind, COUNT(*) AS n,
         |  round(avg(width), 6) AS avg_w, round(avg(height), 6) AS avg_h,
         |  CAST(SUM(nFrames) AS BIGINT) AS total_frames
-        |FROM f GROUP BY kind ORDER BY kind""".stripMargin
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Re-derives the decoded channel means from the pattern arithmetic
+    // (never from the bytes): one row per pixel via range() unnest,
+    // exact integer channel sums, one division, round 6 — if the
+    // decoder misreads BGR order, row padding, or the bottom-up layout,
+    // the hash diverges.
+    "mm_bmp_pixels" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 48) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 32) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    (x + y + 2 * id) % 255 AS r,
+        |    (2 * x + y + id) % 253 AS g,
+        |    (x + 3 * y + id) % 251 AS b
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y))
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM px GROUP BY id ORDER BY doc_id""".stripMargin
   )
 }

@@ -133,6 +133,42 @@ class MediaCodecSpec extends SparkSpec {
       decode(9L, seed.take(n))
   }
 
+  test("bmp pixels: patterned decode matches closed-form means, both orders") {
+    // w=5 forces real row padding (15 pixel bytes -> 16-byte stride)
+    for (topDown <- Seq(true, false)) {
+      val w = 5; val h = 3; val seed = 42L
+      val img = buildBmpPattern(w, h, topDown, seed)
+      val px = decodeBmpPixels(7L, img).get
+      // closed-form twins of the pattern arithmetic, IMAGE-space coords
+      def mean(f: (Int, Int) => Long): Double =
+        (for (x <- 0 until w; y <- 0 until h) yield f(x, y)).sum
+          .toDouble / (w * h)
+      assert(px.width === w && px.height === h)
+      assert(px.meanR === mean((x, y) => (x + y + 2 * seed) % 255))
+      assert(px.meanG === mean((x, y) => (2L * x + y + seed) % 253))
+      assert(px.meanB === mean((x, y) => (x + 3L * y + seed) % 251))
+      val top = (0 until w).map(x => (x + 2 * seed) % 255 +
+        (2L * x + seed) % 253 + (x + seed) % 251).sum
+      assert(px.topRowMean === top.toDouble / (3 * w),
+        s"top-row mean wrong for topDown=$topDown — row order mishandled")
+    }
+  }
+
+  test("bmp pixels: only uncompressed 24-bpp decodes; the rest stay out") {
+    val ok = buildBmpPattern(4, 4, topDown = false, seed = 1L)
+    assert(decodeBmpPixels(1L, ok).isDefined)
+    // truncated pixel array
+    assert(decodeBmpPixels(1L, ok.dropRight(5)).isEmpty)
+    // 32-bpp claim
+    val bpp32 = ok.clone(); bpp32(28) = 32.toByte
+    assert(decodeBmpPixels(1L, bpp32).isEmpty)
+    // RLE compression claim
+    val rle = ok.clone(); rle(30) = 1.toByte
+    assert(decodeBmpPixels(1L, rle).isEmpty)
+    // not a BMP at all
+    assert(decodeBmpPixels(1L, "garbage".getBytes("UTF-8")).isEmpty)
+  }
+
   test("extract: per-partition decode; a corrupt row is a datum") {
     import spark.implicits._
     val rows = Seq(
