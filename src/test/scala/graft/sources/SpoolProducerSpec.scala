@@ -318,6 +318,59 @@ class SpoolProducerSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1, "ann", None), (2, "bob", Some(30))))
   }
 
+  test("golden corpus: committed real-shape connector dump replicates") {
+    // src/test/resources/debezium/golden-mysql-connector.jsonl is a
+    // COMMITTED fixture in the exact envelope shapes the public
+    // Debezium MySQL connector documentation specifies — not the
+    // minimal synthesized envelopes of the other cases: a
+    // schema-history CREATE/ALTER pair with position+tableChanges
+    // blocks, a schemas.enable=true record with the full schema
+    // descriptor, snapshot reads with "snapshot":"true"/"last"
+    // markers, streaming c/u/d with complete source blocks (gtid,
+    // sequence, thread, query), decimal.handling.mode=string payloads,
+    // a transaction block, a Kafka tombstone ("null" line), an empty
+    // line, a truncate (op:"t") and a heartbeat-shaped record. Catches
+    // envelope-shape drift the hand-rolled fixtures can't.
+    val dump = tmpDir("dbz-golden-dump")
+    val spool = tmpDir("dbz-golden-spool")
+    val wh = tmpDir("dbz-golden-wh")
+    val cfg = GraftConfig.fromYaml(
+      s"""databases: 'inventory'
+         |binlog_replicator:
+         |  data_dir: '$spool'
+         |""".stripMargin, Map.empty)
+    val res = getClass.getResourceAsStream(
+      "/debezium/golden-mysql-connector.jsonl")
+    assert(res != null, "golden corpus resource missing")
+    val bytes = try res.readAllBytes() finally res.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dump, "golden.jsonl"), bytes)
+
+    val producer = new SpoolProducer(spool, cfg)
+    // 2 schema-history DDLs + 2 snapshot reads + 2 inserts + 1 update +
+    // 1 delete = 8 events; tombstone/empty/truncate/heartbeat skipped
+    assert(new DebeziumTail(dump, producer).tick() === 8)
+    // the transport cursor survived: byte-offset state for the file
+    assert(producer.sourcePos.exists(_.contains("golden.jsonl")))
+
+    val running = graft.Main.run(spark, cfg, "inventory", wh,
+      tmpDir("dbz-golden-ckpt"))
+    val query = running.holder.get
+    try query.processAllAvailable() finally query.stop()
+    spark.streams.removeListener(running.monitor)
+    val rows = running.pipeline.table("inventory", "products").read
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        Option(r.getDecimal(2)).map(_.toPlainString),
+        Option(r.get(3)).map(_.asInstanceOf[Int])))
+    // snapshot 101/102, insert 103, ALTER adds qty, update 102 (price
+    // 81.10 -> 92.00, qty 8), delete 101, insert 104 with the new col
+    assert(rows.toSeq === Seq(
+      (102, "car battery", Some("92.00"), Some(8)),
+      (103, "hammer", Some("12.50"), None),
+      (104, "rocks", Some("1299.99"), Some(44))))
+  }
+
   test("e2e: debezium dump → tail → spool → pipeline replicates the table") {
     val dump = tmpDir("dbz-e2e-dump")
     val spool = tmpDir("dbz-e2e-spool")
