@@ -206,6 +206,82 @@ object MediaCodec {
     media.mapPartitions(_.flatMap { case (id, p) => decodeBmpPixels(id, p) })
   }
 
+  /** Per-clip sample statistics from a REAL PCM decode — integer-exact
+    * sums divided once, like [[BmpPixels]]: `meanSample` catches a
+    * decoder misreading the little-endian int16 layout or the sign,
+    * `meanAbs`/`peakAbs` are the loudness stats an audio-curation
+    * pipeline filters on, and `firstFrameMean` (mean over channels of
+    * frame 0) catches a wrong data-chunk offset. */
+  final case class WavSamples(id: Long, channels: Int, sampleRate: Int,
+                              nSamples: Long, meanSample: Double,
+                              meanAbs: Double, peakAbs: Int,
+                              firstFrameMean: Double)
+
+  /** Full sample decode of an uncompressed 16-bit PCM RIFF/WAVE — the
+    * real audio codec path (pure JVM: little-endian int16 frames,
+    * channel-interleaved, after the chunk walk [[parseWav]] documents).
+    * Returns None for anything that is not well-formed 16-bit PCM —
+    * compressed/float/8-bit variants stay behind the decoder seam. */
+  def decodeWavSamples(id: Long, b: Array[Byte]): Option[WavSamples] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    var off = 12L
+    var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, ch, rate, bits
+    var dataOff = -1L
+    var dataLen = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+      val i = off.toInt
+      val id4 = tag(b, i)
+      val sz = le32(b, i + 4).toLong & 0xffffffffL
+      if (id4 == "fmt " && off + 8 + 16 <= b.length)
+        fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12),
+          le16(b, i + 22)))
+      else if (id4 == "data") {
+        dataOff = off + 8
+        dataLen = math.min(sz, b.length - off - 8)
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    fmt match {
+      case Some((1, ch, rate, 16))
+          if ch > 0 && rate > 0 && dataOff >= 0 && dataLen >= 0 =>
+        val frameBytes = ch * 2
+        val nFrames = dataLen / frameBytes
+        var sum = 0L; var sumAbs = 0L; var peak = 0; var first = 0L
+        var f = 0L
+        while (f < nFrames) {
+          val base = (dataOff + f * frameBytes).toInt
+          var c = 0
+          while (c < ch) {
+            val p = base + 2 * c
+            // little-endian signed 16-bit
+            val v = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort.toInt
+            sum += v
+            val a = math.abs(v)
+            sumAbs += a
+            if (a > peak) peak = a
+            if (f == 0L) first += v
+            c += 1
+          }
+          f += 1
+        }
+        val n = nFrames * ch
+        Some(WavSamples(id, ch, rate, nFrames,
+          if (n > 0) sum.toDouble / n else 0.0,
+          if (n > 0) sumAbs.toDouble / n else 0.0,
+          peak,
+          if (nFrames > 0) first.toDouble / ch else 0.0))
+      case _ => None
+    }
+  }
+
+  /** Per-partition batch sample decode — payloads never shuffle. */
+  def extractWavSamples(media: Dataset[(Long, Array[Byte])])
+      : Dataset[WavSamples] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => decodeWavSamples(id, p) })
+  }
+
   /** The real header decoder behind the [[Multimodal.MediaDecoder]]-
     * shaped seam: BMP and WAV parse for real; anything else (or a
     * corrupt payload) yields an invalid row. */
@@ -376,6 +452,48 @@ object MediaCodec {
     if (withListChunk) { ascii("LIST"); b.putInt(4); ascii("INFO") }
     ascii("data"); b.putInt(dataLen)
     b.array()
+  }
+
+  /** [[buildWav]] with a deterministic SIGNAL: sample value for frame i,
+    * channel c is ((7i + 13c + seed) mod 2003) − 1001 — spans negative
+    * and positive int16 values so a sign/endianness bug in the decoder
+    * is caught, and every statistic is recomputable from
+    * (nSamples, channels, seed) arithmetic alone. */
+  def buildWavPattern(channels: Int, sampleRate: Int, nSamples: Long,
+                      withListChunk: Boolean, seed: Long): Array[Byte] = {
+    val arr = buildWav(channels, sampleRate, nSamples, withListChunk)
+    val dataOff = 44 + (if (withListChunk) 12 else 0)
+    var f = 0L
+    while (f < nSamples) {
+      var c = 0
+      while (c < channels) {
+        val v = ((7 * f + 13 * c + seed) % 2003 - 1001).toInt
+        val p = (dataOff + f * channels * 2 + 2 * c).toInt
+        arr(p) = (v & 0xff).toByte
+        arr(p + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    arr
+  }
+
+  /** Fixture adapter for the SAMPLE gate: every document becomes a
+    * patterned PCM16 WAV (length/rate from n_chars, stereo for odd ids,
+    * every third with a LIST chunk before `data`, signal seeded by id),
+    * so the real sample decoder runs under the oracle, which recomputes
+    * the loudness statistics from the same arithmetic. */
+  def wavFromDocuments(spark: SparkSession,
+                       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildWavPattern(channels = 1 + (id % 2).toInt,
+          sampleRate = 8000 + (nChars % 8000).toInt,
+          nSamples = 1 + nChars % 512,
+          withListChunk = id % 3 == 0, seed = id))
+      }
   }
 
   /** Fixture adapter: deterministically synthesize VALID payloads from

@@ -460,6 +460,28 @@ object SimilarityQueries {
           round(col("meanB"), 6).as("mean_b"),
           round(col("topRowMean"), 6).as("top_row_mean"))
         .orderBy("doc_id")
+    },
+
+    // REAL PCM16 sample decode under the gate — the audio twin of
+    // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
+    // little-endian int16 frames spanning negative values, LIST chunks
+    // before `data` for every third id), the pure-JVM decoder reads the
+    // samples back into the loudness statistics an audio-curation
+    // pipeline filters on, and the oracle recomputes them from
+    // (nSamples, channels, seed) arithmetic alone. Integer-exact sums,
+    // one division.
+    "mm_wav_samples" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.wavFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWavSamples(media).toDF()
+        .select(col("id").as("doc_id"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"),
+          round(col("meanSample"), 6).as("mean_sample"),
+          round(col("meanAbs"), 6).as("mean_abs"),
+          col("peakAbs").as("peak_abs"),
+          round(col("firstFrameMean"), 6).as("first_frame_mean"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1256,6 +1278,34 @@ object SimilarityQueries {
         |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
         |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
         |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
-        |FROM px GROUP BY id ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Audio twin: re-derives the decoded loudness stats from the signal
+    // arithmetic — one row per (frame, channel) via range() unnest,
+    // exact integer sums, one division. A sign/endianness/offset bug in
+    // the sample decoder diverges the hash.
+    "mm_wav_samples" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (doc_id % 2) AS ch,
+        |    8000 + (CAST(n_chars AS BIGINT) % 8000) AS rate,
+        |    1 + (CAST(n_chars AS BIGINT) % 512) AS n
+        |  FROM documents),
+        |sm AS (SELECT id, ch, rate, n, f, c,
+        |    (7 * f + 13 * c + id) % 2003 - 1001 AS v
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(n)) AS f),
+        |    LATERAL (SELECT unnest(range(ch)) AS c))
+        |SELECT id AS doc_id,
+        |  CAST(MAX(ch) AS INT) AS channels,
+        |  CAST(MAX(rate) AS INT) AS sample_rate,
+        |  CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  round(CAST(SUM(v) AS DOUBLE) / (MAX(n) * MAX(ch)), 6)
+        |    AS mean_sample,
+        |  round(CAST(SUM(abs(v)) AS DOUBLE) / (MAX(n) * MAX(ch)), 6)
+        |    AS mean_abs,
+        |  CAST(MAX(abs(v)) AS INT) AS peak_abs,
+        |  round(CAST(SUM(CASE WHEN f = 0 THEN v ELSE 0 END) AS DOUBLE)
+        |    / MAX(ch), 6) AS first_frame_mean
+        |FROM sm GROUP BY id ORDER BY doc_id""".stripMargin
   )
 }

@@ -169,6 +169,43 @@ class MediaCodecSpec extends SparkSpec {
     assert(decodeBmpPixels(1L, "garbage".getBytes("UTF-8")).isEmpty)
   }
 
+  test("wav samples: patterned decode matches closed-form stats, LIST skipped") {
+    for (withList <- Seq(false, true)) {
+      val ch = 2; val n = 9L; val seed = 5L
+      val wav = buildWavPattern(ch, 16000, n, withList, seed)
+      val s = decodeWavSamples(3L, wav).get
+      def v(f: Long, c: Int): Long = (7 * f + 13 * c + seed) % 2003 - 1001
+      val all = for (f <- 0L until n; c <- 0 until ch) yield v(f, c)
+      assert(s.channels === ch && s.sampleRate === 16000 && s.nSamples === n)
+      assert(s.meanSample === all.sum.toDouble / all.size)
+      assert(s.meanAbs === all.map(math.abs).sum.toDouble / all.size)
+      assert(s.peakAbs === all.map(math.abs).max)
+      assert(s.firstFrameMean ===
+        (0 until ch).map(v(0L, _)).sum.toDouble / ch,
+        s"first-frame mean wrong with withList=$withList — data offset off")
+    }
+    // negative samples really occur (sign/endianness is exercised)
+    val wav = buildWavPattern(1, 8000, 64, withListChunk = false, seed = 0L)
+    assert(decodeWavSamples(1L, wav).get.meanSample < 0.0 ||
+      decodeWavSamples(1L, wav).get.peakAbs > 0)
+  }
+
+  test("wav samples: only 16-bit PCM decodes; the rest stay out") {
+    val ok = buildWavPattern(1, 8000, 4, withListChunk = false, seed = 1L)
+    assert(decodeWavSamples(1L, ok).isDefined)
+    // 8-bit claim
+    val bits8 = ok.clone(); bits8(34) = 8.toByte
+    assert(decodeWavSamples(1L, bits8).isEmpty)
+    // non-PCM format code
+    val fmt3 = ok.clone(); fmt3(20) = 3.toByte
+    assert(decodeWavSamples(1L, fmt3).isEmpty)
+    assert(decodeWavSamples(1L, "garbage".getBytes("UTF-8")).isEmpty)
+    // truncated data chunk clamps to whole frames instead of crashing
+    val stereo = buildWavPattern(2, 8000, 4, withListChunk = false, seed = 1L)
+    val cut = stereo.dropRight(3) // 3 bytes shy: last frame incomplete
+    assert(decodeWavSamples(1L, cut).get.nSamples === 3L)
+  }
+
   test("extract: per-partition decode; a corrupt row is a datum") {
     import spark.implicits._
     val rows = Seq(
