@@ -367,6 +367,80 @@ object TextAnalysis {
       (rWc && rMwl && rStop && rDup).as("pass"))
   }
 
+  // ------------------------------------------------- Filter funnel
+
+  /** Filter-funnel audit: the per-rule drop accounting a production
+    * cleaning pipeline publishes (C4, Raffel et al. 2020 §2.2, and
+    * Gopher, Rae et al. 2021 A1, both report exactly this waterfall).
+    * `rules` is an ORDERED list of (name, pass-predicate); a document
+    * is charged to the FIRST rule it fails, so per-stage drops are
+    * disjoint, sum to the total drop, and stages compose like the
+    * sequential pipeline they audit. A predicate that evaluates to
+    * NULL (e.g. over null text) charges no stage — the document falls
+    * through to `kept`, the same three-valued-logic outcome a SQL
+    * `CASE WHEN NOT(rule)` waterfall produces, so both engines agree
+    * on degenerate rows by construction.
+    *
+    * Output, one row per rule in pipeline order: `stage_idx, stage,
+    * n_in, n_dropped, n_out, drop_frac, weight_dropped,
+    * cum_survival`, where `weight_dropped` sums the caller's
+    * `weight` column (word count, byte size, token estimate) over the
+    * stage's casualties.
+    *
+    * Scale shape: ONE map-only projection evaluates every rule flag
+    * and the first-fail label per document — no per-rule corpus
+    * passes — then one aggregation on the stage key, which is bounded
+    * at |rules|+1 groups at ANY corpus size. The running-sum window
+    * that turns per-stage drops into entering counts orders those
+    * |rules| rows, never the corpus; the static rule relation joined
+    * in (so zero-drop stages still report) is |rules| rows; the
+    * totals cross-join is a one-row scalar broadcast. */
+  def filterFunnel(docs: DataFrame, weight: Column,
+                   rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterFunnel needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "filterFunnel rule names must be distinct")
+    require(!rules.exists(_._1 == "kept"),
+      "'kept' is the reserved survivor label")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val firstFail = coalesce(
+      rules.map { case (n, pass) => when(!pass, lit(n)) } :+
+        lit("kept"): _*)
+    // persisted: the |rules|+1-row aggregate feeds BOTH the totals
+    // scalar and the funnel join — without it each consumer re-derives
+    // the aggregate and the corpus is scanned twice (plan-asserted)
+    val perStage = docs
+      .select(firstFail.as("stage"), weight.cast("long").as("wt"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n"), sum("wt").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perStage.agg(sum("n").as("total"))
+    val order = rules.map(_._1).zipWithIndex
+      .map { case (n, i) => (i, n) }.toDF("stage_idx", "stage")
+    // everything below runs over |rules|+1 rows
+    val before = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nIn = col("total") - col("cum_before")
+    order.join(perStage, Seq("stage"), "left")
+      .na.fill(0L, Seq("n", "w"))
+      .crossJoin(broadcast(totals))
+      .withColumn("cum_before", coalesce(sum("n").over(before), lit(0L)))
+      .select(
+        col("stage_idx").cast("int").as("stage_idx"),
+        col("stage"),
+        nIn.as("n_in"),
+        col("n").as("n_dropped"),
+        (nIn - col("n")).as("n_out"),
+        round(when(nIn === 0, lit(0.0))
+          .otherwise(col("n").cast("double") / nIn.cast("double")), 6)
+          .as("drop_frac"),
+        col("w").as("weight_dropped"),
+        round((nIn - col("n")).cast("double") /
+          col("total").cast("double"), 6).as("cum_survival"))
+      .orderBy("stage_idx")
+  }
+
   /** Content fingerprint: md5 of the normalized text — exact-dup key. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))

@@ -33,6 +33,32 @@ object TextQueries {
     m
   }
 
+  /** The gated cleaning pipeline for `t_filter_funnel`: ordered rules,
+    * first-fail-charged. Thresholds chosen so the sf fixtures exercise
+    * multi-stage drops AND a zero-drop stage (`max_words`) — the
+    * static-join path that keeps silent stages visible. Text is
+    * null-guarded to `''` in BOTH engines so degenerate rows stay
+    * engine-identical (see ADVICE r7 on the corpus-diff oracle). */
+  private def funnelRules: Seq[(String, org.apache.spark.sql.Column)] = {
+    val txt = coalesce(col("text"), lit(""))
+    val tks = TextAnalysis.tokens(txt)
+    val nWords = size(tks)
+    val meanWl = length(regexp_replace(txt, " ", "")).cast("double") /
+      nWords.cast("double")
+    val nStop = size(array_intersect(array_distinct(tks),
+      array(enStop.map(lit): _*)))
+    val grams = TextAnalysis.wordBigrams(txt)
+    val dup2 = when(size(grams) === 0, lit(0.0)).otherwise(lit(1.0) -
+      size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"))
+    Seq(
+      "min_words" -> (nWords >= 15),
+      "max_words" -> (nWords <= 5000),
+      "mean_word_len" -> (meanWl >= 4.0 && meanWl <= 10.0),
+      "stopword_floor" -> (nStop >= 2),
+      "dup_2gram" -> (dup2 <= 0.08))
+  }
+
   /** Streaming source over the fixture's documents table (schema probed
     * from the parquet footer). Shared by every streaming gate. */
   private def docStream(s: org.apache.spark.sql.SparkSession,
@@ -644,6 +670,15 @@ object TextQueries {
       t(s, dir, "documents").select(col("doc_id"), g.as("g"))
         .select(col("doc_id"), col("g.*"))
         .orderBy("doc_id")
+    },
+
+    // Filter-funnel audit: per-rule waterfall drop accounting for the
+    // ordered cleaning pipeline (first failing rule is charged; drops
+    // weighted by word count). One corpus scan evaluates every rule;
+    // the funnel itself is |rules|+1 rows end to end.
+    "t_filter_funnel" -> { (s, dir) =>
+      val wt = size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+      TextAnalysis.filterFunnel(t(s, dir, "documents"), wt, funnelRules)
     },
 
     // Training-mix interleave: the deterministic source-weighted global
@@ -2058,6 +2093,51 @@ object TextQueries {
          |    AND mwl >= 3.0 AND mwl <= 10.0 AND n_stop >= 2
          |    AND coalesce(dup2, 0.0) <= 0.5) AS pass
          |FROM m LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    "t_filter_funnel" -> {
+      val stopList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT doc_id, coalesce(text, '') AS text,
+         |    str_split(coalesce(text, ''), ' ') AS t FROM documents),
+         |b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM tok,
+         |  LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+         |d AS (SELECT doc_id,
+         |    1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS dup2
+         |  FROM b GROUP BY 1),
+         |m AS (SELECT doc_id, len(t) AS n_words,
+         |    CAST(strlen(replace(text, ' ', '')) AS DOUBLE) / len(t) AS mwl,
+         |    len(list_filter(list_distinct(t),
+         |      x -> list_contains($stopList, x))) AS n_stop
+         |  FROM tok),
+         |lab AS (SELECT m.doc_id, n_words,
+         |    CASE WHEN NOT (n_words >= 15) THEN 'min_words'
+         |         WHEN NOT (n_words <= 5000) THEN 'max_words'
+         |         WHEN NOT (mwl >= 4.0 AND mwl <= 10.0) THEN 'mean_word_len'
+         |         WHEN NOT (n_stop >= 2) THEN 'stopword_floor'
+         |         WHEN NOT (coalesce(dup2, 0.0) <= 0.08) THEN 'dup_2gram'
+         |         ELSE 'kept' END AS stage
+         |  FROM m LEFT JOIN d USING (doc_id)),
+         |agg AS (SELECT stage, COUNT(*) AS n, SUM(n_words) AS w
+         |  FROM lab GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS total FROM agg),
+         |ord(stage_idx, stage) AS (VALUES (0, 'min_words'),
+         |  (1, 'max_words'), (2, 'mean_word_len'), (3, 'stopword_floor'),
+         |  (4, 'dup_2gram')),
+         |f AS (SELECT stage_idx, o.stage, coalesce(n, 0) AS n,
+         |    coalesce(w, 0) AS w FROM ord o LEFT JOIN agg a
+         |    ON o.stage = a.stage),
+         |r AS (SELECT stage_idx, stage, n, w, total,
+         |    total - coalesce(SUM(n) OVER (ORDER BY stage_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+         |  FROM f CROSS JOIN tot)
+         |SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+         |  CAST(n_in AS BIGINT) AS n_in, CAST(n AS BIGINT) AS n_dropped,
+         |  CAST(n_in - n AS BIGINT) AS n_out,
+         |  round(CASE WHEN n_in = 0 THEN 0.0
+         |    ELSE CAST(n AS DOUBLE) / n_in END, 6) AS drop_frac,
+         |  CAST(w AS BIGINT) AS weight_dropped,
+         |  round(CAST(n_in - n AS DOUBLE) / total, 6) AS cum_survival
+         |FROM r ORDER BY stage_idx""".stripMargin
     },
 
     "t_mix_interleave" -> {

@@ -801,6 +801,27 @@ class PlanAuditSpec extends SparkSpec {
         ns.map(_.nodeName).distinct.mkString(","))
   }
 
+  test("filter funnel: one corpus scan; only bounded stage rows exchange") {
+    val ns = nodes(SparkEntry.queries("t_filter_funnel")(spark, dir))
+    // every rule evaluates in ONE pass over documents — a per-rule
+    // corpus scan would show up as extra FileSourceScans
+    assert(scansOf(ns, "documents").size == 1,
+      "rule evaluation re-scanned the corpus: " +
+        scansOf(ns, "documents").size + " scans")
+    // nothing corpus-sized crosses an exchange: the only shuffled keys
+    // are the |rules|+1 stage aggregate and the tiny funnel sort
+    val shuffles = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      assert(!e.output.exists(a => a.name == "text" || a.name == "doc_id"),
+        s"corpus rows ride an exchange: ${e.output.map(_.name)}")
+    }
+    // the order/totals joins over |rules| rows must never sort-merge
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "a rules-sized join degraded to sort-merge")
+  }
+
   test("mix schedule: selection is one map-only scan after the totals agg") {
     val ns = nodes(SparkEntry.queries("t_mix_schedule")(spark, dir))
     // one exchange allowed: the driver-contract output sort; the
