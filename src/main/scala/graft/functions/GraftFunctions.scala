@@ -48,6 +48,9 @@ object GraftFunctions {
     two("graft_vec_dot", "codegen'd Σ aᵢ·bᵢ over float/double arrays",
       classOf[VecDot])(
       VecDot(_, _)),
+    two("graft_zvalue", "Morton (Z-order) interleave of two 16-bit dims",
+      classOf[ZValue])(
+      ZValue(_, _)),
     one("graft_vec_norm2", "codegen'd Σ aᵢ² over a float/double array",
       classOf[VecNorm2])(
       VecNorm2(_)),

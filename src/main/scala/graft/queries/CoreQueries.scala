@@ -333,6 +333,46 @@ object CoreQueries {
         .orderBy("c_custkey")
     },
 
+    // Z-order layout audit: interleave two min-max-normalized dimensions
+    // into a Morton key (functions/ZValue.scala), bucket the table by the
+    // key's top 6 bits — 64 stand-in "files" — and report each bucket's
+    // per-dimension [min,max] box plus whether a point lookup on either
+    // dimension's global midpoint would have to read that bucket. The
+    // single-pk `sortWithinPartitions` layout prunes one column only; a
+    // z-sorted layout keeps BOTH boxes narrow, and sum(hit_p)/sum(hit_s)
+    // over the output IS the files-touched count that proves it. Plan: a
+    // tiny 1-row min/max aggregate broadcast back onto the scan, ONE
+    // map-only codegen'd projection computing z, then one aggregate whose
+    // key space is bounded at 64 groups at any corpus size.
+    "q_zorder_layout" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      val mm = li.agg(
+        min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+        min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
+      val z = call_function("graft_zvalue",
+        expr("CASE WHEN pmx = pmn THEN 0 ELSE " +
+          "((l_partkey - pmn) * 65535) div (pmx - pmn) END"),
+        expr("CASE WHEN smx = smn THEN 0 ELSE " +
+          "((l_suppkey - smn) * 65535) div (smx - smn) END"))
+      li.crossJoin(broadcast(mm))
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("(pmn + pmx) div 2").as("pmid"),
+          expr("(smn + smx) div 2").as("smid"),
+          z.as("z"))
+        .groupBy(expr("z div 67108864").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
+          min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"),
+          min("pmid").as("pmid"), min("smid").as("smid"))
+        .select(col("bucket"), col("n_rows"),
+          col("p_min"), col("p_max"), col("s_min"), col("s_max"),
+          when(col("p_min") <= col("pmid") && col("pmid") <= col("p_max"),
+            1L).otherwise(0L).as("hit_p"),
+          when(col("s_min") <= col("smid") && col("smid") <= col("s_max"),
+            1L).otherwise(0L).as("hit_s"))
+        .orderBy("bucket")
+    },
+
     // Distinct aggregation.
     "q_distinct_parts_per_brand" -> { (s, dir) =>
       t(s, dir, "part")
@@ -754,6 +794,43 @@ object CoreQueries {
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
         |WHERE gap IS NOT NULL
         |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
+
+    // Mirrors the engine bit-for-bit: same min-max normalization in
+    // integer arithmetic, the same Morton shift-mask cascade (masks
+    // 0x00FF00FF/0x0F0F0F0F/0x33333333/0x55555555 in decimal), stepwise
+    // through REPLACE CTEs.
+    "q_zorder_layout" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx,
+        |         MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx FROM lineitem),
+        |n AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CASE WHEN pmx = pmn THEN 0
+        |      ELSE ((l_partkey - pmn) * 65535) // (pmx - pmn) END AS px,
+        |    CASE WHEN smx = smn THEN 0
+        |      ELSE ((l_suppkey - smn) * 65535) // (smx - smn) END AS sx,
+        |    (pmn + pmx) // 2 AS pmid, (smn + smx) // 2 AS smid
+        |  FROM lineitem, mm),
+        |s1 AS (SELECT * REPLACE (((px | (px << 8)) & 16711935) AS px,
+        |                         ((sx | (sx << 8)) & 16711935) AS sx) FROM n),
+        |s2 AS (SELECT * REPLACE (((px | (px << 4)) & 252645135) AS px,
+        |                         ((sx | (sx << 4)) & 252645135) AS sx) FROM s1),
+        |s3 AS (SELECT * REPLACE (((px | (px << 2)) & 858993459) AS px,
+        |                         ((sx | (sx << 2)) & 858993459) AS sx) FROM s2),
+        |s4 AS (SELECT * REPLACE (((px | (px << 1)) & 1431655765) AS px,
+        |                         ((sx | (sx << 1)) & 1431655765) AS sx) FROM s3),
+        |b AS (
+        |  SELECT (px | (sx << 1)) // 67108864 AS bucket, COUNT(*) AS n_rows,
+        |    MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+        |    MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max,
+        |    MIN(pmid) AS pmid, MIN(smid) AS smid
+        |  FROM s4 GROUP BY 1)
+        |SELECT bucket, n_rows, p_min, p_max, s_min, s_max,
+        |  CAST(CASE WHEN p_min <= pmid AND pmid <= p_max
+        |    THEN 1 ELSE 0 END AS BIGINT) AS hit_p,
+        |  CAST(CASE WHEN s_min <= smid AND smid <= s_max
+        |    THEN 1 ELSE 0 END AS BIGINT) AS hit_s
+        |FROM b ORDER BY bucket""".stripMargin,
 
     "q_distinct_parts_per_brand" ->
       """SELECT p_brand, COUNT(DISTINCT p_type) AS n_types,

@@ -822,6 +822,28 @@ class PlanAuditSpec extends SparkSpec {
       "a rules-sized join degraded to sort-merge")
   }
 
+  test("z-order layout: pruned scans, broadcast stats row, codegen'd z") {
+    val ns = nodes(SparkEntry.queries("q_zorder_layout")(spark, dir))
+    // two lineitem passes by design — the 1-row min/max stats aggregate
+    // and the layout projection — and BOTH must prune to the 2 dims
+    val scans = scansOf(ns, "lineitem")
+    assert(scans.size == 2, s"expected stats + layout scans, got ${scans.size}")
+    scans.foreach { s =>
+      assert(s.schema.fieldNames.toSet.subsetOf(Set("l_partkey", "l_suppkey")),
+        s"scan read ${s.schema.fieldNames.mkString(",")}")
+    }
+    // the stats row joins back by broadcast, never a shuffled join
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "the 1-row stats join degraded to sort-merge")
+    // the Morton projection stays inside whole-stage codegen: the layout
+    // pass IS the 100 TB rewrite, it must run at scan speed
+    val zInCodegen = ns.collect { case w: WholeStageCodegenExec => w }.exists(
+      _.collect { case p: org.apache.spark.sql.execution.ProjectExec => p }
+        .exists(_.projectList.exists(
+          _.exists(_.isInstanceOf[graft.functions.ZValue]))))
+    assert(zInCodegen, "z projection fell out of whole-stage codegen")
+  }
+
   test("mix schedule: selection is one map-only scan after the totals agg") {
     val ns = nodes(SparkEntry.queries("t_mix_schedule")(spark, dir))
     // one exchange allowed: the driver-contract output sort; the
