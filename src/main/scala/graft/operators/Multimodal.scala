@@ -19,13 +19,15 @@ import org.apache.spark.sql.functions._
   *    swapped in production. The stub now covers ONLY the entropy-coded
   *    formats (JPEG pixel data, H.264, compressed audio): BMP/PNG/GIF/
   *    JPEG and RIFF/WAV container headers parse for real in
-  *    [[MediaCodec]] (pure JVM, gated by a round-trip oracle), and the
-  *    uncompressed formats decode CONTENT for real: 24-bpp BMP pixels
+  *    [[MediaCodec]] (pure JVM, gated by a round-trip oracle), and
+  *    three formats decode CONTENT for real: 24-bpp BMP pixels
   *    ([[MediaCodec.decodeBmpPixels]] — BGR order, row padding,
-  *    bottom-up/top-down layout — gated by `mm_bmp_pixels`) and 16-bit
-  *    PCM WAV samples ([[MediaCodec.decodeWavSamples]] — interleaved
-  *    little-endian int16, chunk-walked data offset — gated by
-  *    `mm_wav_samples`).
+  *    bottom-up/top-down layout — gated by `mm_bmp_pixels`), truecolor
+  *    PNG pixels ([[MediaCodec.decodePngPixels]] — CRC-checked chunk
+  *    walk, multi-IDAT inflate, all five scanline filters — gated by
+  *    `mm_png_pixels`) and 16-bit PCM WAV samples
+  *    ([[MediaCodec.decodeWavSamples]] — interleaved little-endian
+  *    int16, chunk-walked data offset — gated by `mm_wav_samples`).
   */
 object Multimodal {
 

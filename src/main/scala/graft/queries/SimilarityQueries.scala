@@ -462,6 +462,28 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL compressed-image decode under the gate: every doc becomes a
+    // patterned truecolor PNG whose scanlines cycle ALL FIVE filter
+    // types (real forward-filter math at encode), every third id split
+    // across two IDAT chunks; the pure-JVM decoder walks chunks with
+    // CRC verification, inflates the DEFLATE stream, reconstructs every
+    // filter type, and reduces to the same channel-mean statistics as
+    // mm_bmp_pixels. The oracle recomputes them from (w, h, seed)
+    // arithmetic alone — a defilter bug in ANY of the five paths (or a
+    // mis-joined IDAT boundary) diverges the hash. With this the pixel
+    // stand-in covers only the entropy-coded formats (JPEG/H.264).
+    "mm_png_pixels" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.pngFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractPngPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL PCM16 sample decode under the gate — the audio twin of
     // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
     // little-endian int16 frames spanning negative values, LIST chunks
@@ -1263,6 +1285,32 @@ object SimilarityQueries {
       """WITH dim AS (SELECT doc_id AS id,
         |    1 + (CAST(n_chars AS BIGINT) % 48) AS w,
         |    1 + (CAST(n_chars AS BIGINT) % 32) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    (x + y + 2 * id) % 255 AS r,
+        |    (2 * x + y + id) % 253 AS g,
+        |    (x + 3 * y + id) % 251 AS b
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y))
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the PNG channel means from the pattern arithmetic
+    // (never from the bytes) — the pipeline under test is inflate +
+    // all-five-filters reconstruction; the expectation is pure (w, h,
+    // seed) math, identical in shape to the BMP oracle but over the
+    // PNG fixture's dimensions.
+    "mm_png_pixels" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 40) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 24) AS h
         |  FROM documents),
         |px AS (SELECT id, w, h, x, y,
         |    (x + y + 2 * id) % 255 AS r,

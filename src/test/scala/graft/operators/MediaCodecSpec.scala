@@ -169,6 +169,81 @@ class MediaCodecSpec extends SparkSpec {
     assert(decodeBmpPixels(1L, "garbage".getBytes("UTF-8")).isEmpty)
   }
 
+  test("png pixels: inflate + all five filters reconstruct the pattern") {
+    // h=7 cycles filter types 0..4 with repeats; split and single IDAT
+    for (split <- Seq(true, false)) {
+      val w = 5; val h = 7; val seed = 42L
+      val img = buildPngPattern(w, h, seed, splitIdat = split)
+      val px = decodePngPixels(7L, img).get
+      def mean(f: (Int, Int) => Long): Double =
+        (for (x <- 0 until w; y <- 0 until h) yield f(x, y)).sum
+          .toDouble / (w * h)
+      assert(px.width === w && px.height === h)
+      assert(px.meanR === mean((x, y) => (x + y + 2 * seed) % 255),
+        s"split=$split")
+      assert(px.meanG === mean((x, y) => (2L * x + y + seed) % 253))
+      assert(px.meanB === mean((x, y) => (x + 3L * y + seed) % 251))
+      val top = (0 until w).map(x => (x + 2 * seed) % 255 +
+        (2L * x + seed) % 253 + (x + seed) % 251).sum
+      assert(px.topRowMean === top.toDouble / (3 * w))
+    }
+    // 1×1 exercises the no-left/no-up degenerate predictors
+    assert(decodePngPixels(1L, buildPngPattern(1, 1, 3L, splitIdat = false))
+      .get.width === 1)
+  }
+
+  test("png pixels == bmp pixels for the same picture") {
+    // the two real image codecs encode the SAME deterministic picture —
+    // decoding either must produce identical statistics
+    for (seed <- Seq(0L, 5L, 99L)) {
+      val (w, h) = (6, 4)
+      val viaPng = decodePngPixels(1L,
+        buildPngPattern(w, h, seed, splitIdat = true)).get
+      val viaBmp = decodeBmpPixels(1L,
+        buildBmpPattern(w, h, topDown = false, seed)).get
+      assert(viaPng.meanR === viaBmp.meanR)
+      assert(viaPng.meanG === viaBmp.meanG)
+      assert(viaPng.meanB === viaBmp.meanB)
+      assert(viaPng.topRowMean === viaBmp.topRowMean)
+    }
+  }
+
+  test("png pixels: corrupt streams are data, not failures") {
+    val ok = buildPngPattern(4, 4, 1L, splitIdat = false)
+    assert(decodePngPixels(1L, ok).isDefined)
+    // a flipped IDAT byte fails that chunk's CRC
+    val flipped = ok.clone()
+    flipped(41) = (flipped(41) ^ 0x40).toByte // inside IDAT payload
+    assert(decodePngPixels(1L, flipped).isEmpty)
+    // truncation mid-chunk
+    assert(decodePngPixels(1L, ok.dropRight(7)).isEmpty)
+    // deflate stream shorter than h*(1+3w): re-chunk a valid zlib
+    // stream of too-few bytes with correct CRCs
+    val short = buildPngPattern(4, 3, 1L, splitIdat = false)
+    val doctored = short.clone()
+    // claim height 4 in IHDR and re-CRC it: inflate then under-runs
+    doctored(23) = 4.toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(doctored, 12, 17)
+    val cv = crc.getValue
+    doctored(29) = ((cv >> 24) & 0xff).toByte
+    doctored(30) = ((cv >> 16) & 0xff).toByte
+    doctored(31) = ((cv >> 8) & 0xff).toByte
+    doctored(32) = (cv & 0xff).toByte
+    assert(decodePngPixels(1L, doctored).isEmpty)
+    // unsupported: palette color type stays behind the decoder seam
+    val pal = ok.clone()
+    pal(25) = 3.toByte
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update(pal, 12, 17)
+    val cv2 = crc2.getValue
+    pal(29) = ((cv2 >> 24) & 0xff).toByte
+    pal(30) = ((cv2 >> 16) & 0xff).toByte
+    pal(31) = ((cv2 >> 8) & 0xff).toByte
+    pal(32) = (cv2 & 0xff).toByte
+    assert(decodePngPixels(1L, pal).isEmpty)
+  }
+
   test("wav samples: patterned decode matches closed-form stats, LIST skipped") {
     for (withList <- Seq(false, true)) {
       val ch = 2; val n = 9L; val seed = 5L
