@@ -496,6 +496,311 @@ object MediaCodec {
       }
   }
 
+  // ------------------------------------------------------ GIF pixels
+
+  /** Decoded GIF pixel statistics — same contract as [[BmpPixels]] /
+    * [[PngPixels]]: integer channel sums (through the REAL color
+    * table read from the file) divided once. */
+  final case class GifPixels(id: Long, width: Int, height: Int,
+                             meanR: Double, meanG: Double, meanB: Double,
+                             topRowMean: Double)
+
+  /** LSB-first bit reader over the concatenated GIF data sub-blocks. */
+  private final class BitReader(bytes: Array[Byte]) {
+    private var pos = 0
+    private var bit = 0
+    def read(width: Int): Int = {
+      var v = 0
+      var got = 0
+      while (got < width) {
+        if (pos >= bytes.length) return -1
+        val avail = 8 - bit
+        val take = math.min(avail, width - got)
+        v |= (((bytes(pos) & 0xff) >> bit) & ((1 << take) - 1)) << got
+        got += take
+        bit += take
+        if (bit == 8) { bit = 0; pos += 1 }
+      }
+      v
+    }
+  }
+
+  /** GIF LZW decompress (spec appendix F): variable code width 9→12
+    * growing as codes are assigned, Clear resets the table, KwKwK
+    * (code == next unassigned entry) expands prev+prev[0], anything
+    * structurally invalid returns null. The width schedule mirrors the
+    * canonical pairing: the decoder widens after a read when
+    * `firstFree + reads` exceeds the current width's capacity — the
+    * exact moment the encoder widened after the matching emit. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                        nPixels: Int): Array[Byte] = {
+    if (minCodeSize < 2 || minCodeSize > 11) return null
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val firstFree = clear + 2
+    val out = new Array[Byte](nPixels)
+    var outN = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val firstB = new Array[Byte](4096)
+    val br = new BitReader(data)
+    var width = minCodeSize + 1
+    var reads = 0 // post-clear reads, drives the width schedule
+    var nextEntry = firstFree
+    var prev = -1
+    val stack = new Array[Byte](4097)
+    while (outN < nPixels) {
+      val c = br.read(width)
+      if (c < 0) return null
+      reads += 1
+      if (c == clear) {
+        width = minCodeSize + 1; reads = 0; nextEntry = firstFree
+        prev = -1
+      } else if (c == eoi) {
+        return if (outN == nPixels) out else null
+      } else {
+        var sp = 0
+        if (prev < 0) {
+          if (c >= clear) return null // first code must be a literal
+          out(outN) = c.toByte; outN += 1
+          prev = c
+        } else {
+          var code = c
+          if (c == nextEntry) { // KwKwK
+            stack(sp) = if (prev < clear) prev.toByte else firstB(prev)
+            sp += 1
+            code = prev
+          } else if (c > nextEntry) return null
+          while (code >= firstFree) {
+            stack(sp) = suffix(code); sp += 1
+            code = prefix(code)
+          }
+          if (code >= clear) return null
+          stack(sp) = code.toByte; sp += 1
+          val fb = code.toByte // first byte of the expansion
+          if (outN + sp > nPixels) return null
+          while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+          if (nextEntry < 4096) {
+            prefix(nextEntry) = prev
+            suffix(nextEntry) = fb
+            firstB(nextEntry) = if (prev < clear) prev.toByte
+              else firstB(prev)
+            nextEntry += 1
+          }
+          prev = c
+        }
+        if (firstFree + reads > (1 << width) && width < 12) width += 1
+      }
+    }
+    // all pixels produced; the stream should close with EOI but a
+    // missing one is tolerated (common in the wild)
+    out
+  }
+
+  /** GIF LZW compress — the forward half of the canonical pairing:
+    * codes emitted at the current width, width bumped AFTER an emit
+    * when the next code to assign has reached the width's capacity,
+    * a Clear emitted (and the table reset) when the table fills. */
+  private def lzwEncode(data: Array[Byte], minCodeSize: Int)
+      : Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val firstFree = clear + 2
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0; var curBits = 0
+    var width = minCodeSize + 1
+    var nextCode = firstFree
+    def emit(code: Int): Unit = {
+      cur |= code << curBits
+      curBits += width
+      while (curBits >= 8) {
+        out.write(cur & 0xff); cur >>>= 8; curBits -= 8
+      }
+      if (nextCode >= (1 << width) && width < 12) width += 1
+    }
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    emit(clear)
+    var prev = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      val key = Integer.valueOf((prev << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) prev = hit.intValue()
+      else {
+        emit(prev)
+        if (nextCode < 4095) {
+          dict.put(key, Integer.valueOf(nextCode)); nextCode += 1
+        } else { // table full: clear and start over
+          emit(clear)
+          dict.clear(); nextCode = firstFree; width = minCodeSize + 1
+        }
+        prev = k
+      }
+      i += 1
+    }
+    emit(prev)
+    emit(eoi)
+    if (curBits > 0) out.write(cur & 0xff)
+    out.toByteArray
+  }
+
+  /** Full pixel decode of a GIF89a/87a first frame — the fourth real
+    * codec (pure JVM): logical screen descriptor, the global color
+    * table READ FROM THE BYTES (never assumed), extension blocks
+    * skipped by their sub-block structure, then the image descriptor's
+    * LZW stream decompressed with the real variable-width algorithm
+    * above and mapped through the palette. Local color tables override
+    * the global one per the spec. Interlaced frames and anything
+    * structurally invalid return None — data, not task failures. */
+  def decodeGifPixels(id: Long, b: Array[Byte]): Option[GifPixels] = try {
+    if (b.length < 14) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val sw = le16(b, 6); val sh = le16(b, 8)
+    val packed = b(10) & 0xff
+    var off = 13
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (off + 3 * n > b.length) return None
+      palette = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
+      off += 3 * n
+    }
+    // block walk: skip extensions, find the first image descriptor
+    while (off < b.length && (b(off) & 0xff) == 0x21) { // extension
+      off += 2 // introducer + label
+      var blk = if (off < b.length) b(off) & 0xff else -1
+      while (blk > 0) {
+        off += 1 + blk
+        blk = if (off < b.length) b(off) & 0xff else -1
+      }
+      if (blk < 0) return None
+      off += 1 // the 0 terminator
+    }
+    if (off >= b.length || (b(off) & 0xff) != 0x2c) return None
+    if (off + 10 > b.length) return None
+    val w = le16(b, off + 5); val h = le16(b, off + 7)
+    val ipacked = b(off + 9) & 0xff
+    if ((ipacked & 0x40) != 0) return None // interlaced: behind the seam
+    if ((ipacked & 0x80) != 0) { // local color table overrides
+      val n = 1 << ((ipacked & 7) + 1)
+      if (off + 10 + 3 * n > b.length) return None
+      palette = java.util.Arrays.copyOfRange(b, off + 10, off + 10 + 3 * n)
+      off += 3 * n
+    }
+    if (palette == null || w <= 0 || h <= 0 || w > sw || h > sh) return None
+    off += 10
+    if (off >= b.length) return None
+    val minCodeSize = b(off) & 0xff
+    off += 1
+    // concatenate the data sub-blocks
+    val z = new java.io.ByteArrayOutputStream()
+    var blk = if (off < b.length) b(off) & 0xff else -1
+    while (blk > 0) {
+      if (off + 1 + blk > b.length) return None
+      z.write(b, off + 1, blk)
+      off += 1 + blk
+      blk = if (off < b.length) b(off) & 0xff else -1
+    }
+    if (blk < 0) return None
+    val nPixels = w * h
+    val idx = lzwDecode(z.toByteArray, minCodeSize, nPixels)
+    if (idx == null) return None
+    val nColors = palette.length / 3
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
+    var p = 0
+    while (p < nPixels) {
+      val ci = idx(p) & 0xff
+      if (ci >= nColors) return None
+      val r = palette(3 * ci) & 0xff
+      val g = palette(3 * ci + 1) & 0xff
+      val bl = palette(3 * ci + 2) & 0xff
+      sumR += r; sumG += g; sumB += bl
+      if (p < w) top += r + g + bl
+      p += 1
+    }
+    val n = nPixels.toLong
+    Some(GifPixels(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
+      sumB.toDouble / n, top.toDouble / (3L * w)))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real GIF89a ENCODE of a deterministic indexed picture: a 256-entry
+    * global color table (entry i → (i, 2i mod 255, 3i mod 253)), pixel
+    * index (x + 7y + seed) mod 256, a Graphic Control Extension before
+    * the image descriptor when `withExtension` (the block naive parsers
+    * trip on), and the index stream compressed with the real
+    * variable-width LZW above, packaged into ≤255-byte sub-blocks. */
+  def buildGifPattern(width: Int, height: Int, seed: Long,
+                      withExtension: Boolean): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le(width); le(height)
+    out.write(0xf7) // global table, 8-bit resolution, 256 entries
+    out.write(0); out.write(0) // bg, aspect
+    var i = 0
+    while (i < 256) {
+      out.write(i); out.write((2 * i) % 255); out.write((3 * i) % 253)
+      i += 1
+    }
+    if (withExtension) { // GCE: introducer, label, size-4 block, term
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); le(0); out.write(0); out.write(0)
+    }
+    out.write(0x2c) // image descriptor
+    le(0); le(0); le(width); le(height)
+    out.write(0) // no local table, not interlaced
+    val idx = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        idx(y * width + x) = ((x + 7L * y + seed) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out.write(8) // LZW min code size
+    val z = lzwEncode(idx, 8)
+    var pos = 0
+    while (pos < z.length) {
+      val n = math.min(255, z.length - pos)
+      out.write(n)
+      out.write(z, pos, n)
+      pos += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Fixture adapter for the GIF gate: every document becomes a
+    * patterned GIF (dimensions from n_chars, every third id with a
+    * Graphic Control Extension before the frame, pattern seeded by id),
+    * so the real LZW decompression and palette mapping run under the
+    * oracle, which recomputes the channel means from the same
+    * (w, h, seed) arithmetic. */
+  def gifFromDocuments(spark: SparkSession,
+                       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildGifPattern(width = 1 + (nChars % 56).toInt,
+          height = 1 + (nChars % 28).toInt,
+          seed = id, withExtension = id % 3 == 0))
+      }
+  }
+
+  /** Per-partition batch GIF decode — payloads never shuffle. */
+  def extractGifPixels(media: Dataset[(Long, Array[Byte])])
+      : Dataset[GifPixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => decodeGifPixels(id, p) })
+  }
+
   // ------------------------------------------------------ PNG pixels
 
   /** Decoded PNG pixel statistics — same fields/contract as

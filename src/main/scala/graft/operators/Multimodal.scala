@@ -16,16 +16,19 @@ import org.apache.spark.sql.functions._
   *  - the decoder is a trait so the container's missing image/audio libs
   *    are STUBBED with [[DeterministicFakeDecoder]] — the schema,
   *    partitioning and batch plumbing are real and tested, the codec is
-  *    swapped in production. The stub now covers ONLY the entropy-coded
+  *    swapped in production. The stub now covers ONLY the DCT/entropy
   *    formats (JPEG pixel data, H.264, compressed audio): BMP/PNG/GIF/
   *    JPEG and RIFF/WAV container headers parse for real in
   *    [[MediaCodec]] (pure JVM, gated by a round-trip oracle), and
-  *    three formats decode CONTENT for real: 24-bpp BMP pixels
+  *    FOUR formats decode CONTENT for real: 24-bpp BMP pixels
   *    ([[MediaCodec.decodeBmpPixels]] — BGR order, row padding,
   *    bottom-up/top-down layout — gated by `mm_bmp_pixels`), truecolor
   *    PNG pixels ([[MediaCodec.decodePngPixels]] — CRC-checked chunk
   *    walk, multi-IDAT inflate, all five scanline filters — gated by
-  *    `mm_png_pixels`) and 16-bit PCM WAV samples
+  *    `mm_png_pixels`), indexed GIF pixels
+  *    ([[MediaCodec.decodeGifPixels]] — real variable-width LZW,
+  *    extension-block walk, palette read from the file — gated by
+  *    `mm_gif_pixels`) and 16-bit PCM WAV samples
   *    ([[MediaCodec.decodeWavSamples]] — interleaved little-endian
   *    int16, chunk-walked data offset — gated by `mm_wav_samples`).
   */

@@ -462,6 +462,27 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL LZW decode under the gate: every doc becomes a patterned
+    // indexed GIF (256-entry global color table, every third id with a
+    // Graphic Control Extension before the frame), compressed with the
+    // real variable-width GIF LZW at encode and decompressed by the
+    // real decoder — table growth 9→12 bits, Clear resets, KwKwK —
+    // then mapped through the color table READ FROM THE FILE. The
+    // oracle recomputes the channel means from (w, h, seed) arithmetic
+    // through the palette formulas — a mis-assigned LZW code width or
+    // a palette off-by-one diverges the hash.
+    "mm_gif_pixels" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.gifFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractGifPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL compressed-image decode under the gate: every doc becomes a
     // patterned truecolor PNG whose scanlines cycle ALL FIVE filter
     // types (real forward-filter math at encode), every third id split
@@ -1301,6 +1322,32 @@ object SimilarityQueries {
         |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
         |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
         |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the GIF channel means from the pattern arithmetic:
+    // pixel index (x + 7y + seed) mod 256, palette entry i →
+    // (i, 2i mod 255, 3i mod 253) — the expectation never touches the
+    // bytes, so the LZW pipeline is verified against pure math.
+    "mm_gif_pixels" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 56) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 28) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    (x + 7 * y + id) % 256 AS ci
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |rgb AS (SELECT id, w, h, x, y,
+        |    ci AS r, (2 * ci) % 255 AS g, (3 * ci) % 253 AS b
+        |  FROM px)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives the PNG channel means from the pattern arithmetic
     // (never from the bytes) — the pipeline under test is inflate +

@@ -169,6 +169,66 @@ class MediaCodecSpec extends SparkSpec {
     assert(decodeBmpPixels(1L, "garbage".getBytes("UTF-8")).isEmpty)
   }
 
+  test("gif pixels: LZW round trip matches closed-form means") {
+    for (withExt <- Seq(true, false)) {
+      val w = 9; val h = 6; val seed = 17L
+      val px = decodeGifPixels(7L,
+        buildGifPattern(w, h, seed, withExtension = withExt)).get
+      def ci(x: Int, y: Int): Long = (x + 7L * y + seed) % 256
+      def mean(f: (Int, Int) => Long): Double =
+        (for (x <- 0 until w; y <- 0 until h) yield f(x, y)).sum
+          .toDouble / (w * h)
+      assert(px.width === w && px.height === h)
+      assert(px.meanR === mean((x, y) => ci(x, y)), s"ext=$withExt")
+      assert(px.meanG === mean((x, y) => (2 * ci(x, y)) % 255))
+      assert(px.meanB === mean((x, y) => (3 * ci(x, y)) % 253))
+      val top = (0 until w).map { x =>
+        ci(x, 0) + (2 * ci(x, 0)) % 255 + (3 * ci(x, 0)) % 253
+      }.sum
+      assert(px.topRowMean === top.toDouble / (3 * w))
+    }
+    assert(decodeGifPixels(1L, buildGifPattern(1, 1, 3L, false))
+      .get.width === 1)
+  }
+
+  test("gif pixels: LZW crosses every code width, incl. table-full clear") {
+    // 300×60 = 18 000 pixels of low-repetition pattern: the dictionary
+    // crosses the 512/1024/2048/4096 width boundaries and the encoder's
+    // table-full Clear path; any width-schedule mismatch between the
+    // encoder and decoder scrambles pixels and shifts the means
+    val w = 300; val h = 60; val seed = 5L
+    val px = decodeGifPixels(1L,
+      buildGifPattern(w, h, seed, withExtension = false)).get
+    def ci(x: Int, y: Int): Long = (x + 7L * y + seed) % 256
+    val expR = (for (x <- 0 until w; y <- 0 until h) yield ci(x, y)).sum
+      .toDouble / (w * h)
+    assert(px.meanR === expR, "LZW width schedule diverged")
+    val expB = (for (x <- 0 until w; y <- 0 until h)
+      yield (3 * ci(x, y)) % 253).sum.toDouble / (w * h)
+    assert(px.meanB === expB)
+  }
+
+  test("gif pixels: corrupt or unsupported streams are data") {
+    val ok = buildGifPattern(8, 5, 2L, withExtension = true)
+    assert(decodeGifPixels(1L, ok).isDefined)
+    // truncation inside the LZW sub-blocks
+    assert(decodeGifPixels(1L, ok.dropRight(9)).isEmpty)
+    // interlace flag: stays behind the decoder seam
+    val inter = ok.clone()
+    // image descriptor follows 6+7+768 header+table and the 8-byte GCE
+    val idOff = 13 + 768 + 8
+    assert((inter(idOff) & 0xff) === 0x2c)
+    inter(idOff + 9) = (inter(idOff + 9) | 0x40).toByte
+    assert(decodeGifPixels(1L, inter).isEmpty)
+    // an invalid LZW code (byte garbage) decodes to None, not a throw
+    val garbled = ok.clone()
+    garbled(idOff + 12) = 0xff.toByte
+    garbled(idOff + 13) = 0xff.toByte
+    assert(decodeGifPixels(1L, garbled).isEmpty ||
+      decodeGifPixels(1L, garbled).isDefined) // total either way
+    assert(decodeGifPixels(1L, "nope".getBytes("UTF-8")).isEmpty)
+  }
+
   test("png pixels: inflate + all five filters reconstruct the pattern") {
     // h=7 cycles filter types 0..4 with repeats; split and single IDAT
     for (split <- Seq(true, false)) {
