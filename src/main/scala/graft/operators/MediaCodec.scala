@@ -496,6 +496,464 @@ object MediaCodec {
       }
   }
 
+  // ----------------------------------------------------- JPEG pixels
+
+  /** Decoded JPEG statistics (grayscale baseline): integer pixel sums
+    * divided once, like the other codecs' stats. */
+  final case class JpegPixels(id: Long, width: Int, height: Int,
+                              meanGray: Double, topRowMean: Double)
+
+  /** Zigzag scan order (JPEG spec Figure 5): zigzag(k) = the block
+    * index (row*8+col) of the k-th coefficient in scan order. */
+  private val zigzag: Array[Int] = {
+    val z = new Array[Int](64)
+    var k = 0
+    var d = 0
+    while (d < 15) { // anti-diagonals
+      val range = math.max(0, d - 7) to math.min(7, d)
+      val cells = range.map(i => (i, d - i)) // (row, col) with row+col=d
+      val ordered = if (d % 2 == 0) cells.reverse else cells
+      ordered.foreach { case (r, c) => z(k) = r * 8 + c; k += 1 }
+      d += 1
+    }
+    z
+  }
+
+  /** Standard luminance Huffman tables (JPEG Annex K.3.3) as
+    * (bits-per-length, symbols). Both sides READ tables from the DHT
+    * segment, so any valid table covering the emitted symbols round
+    * trips; the standard ones are used for interchange fidelity. */
+  private val stdDcBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val stdDcVals = (0 to 11).map(_.toByte).toArray
+  private val stdAcBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val stdAcVals: Array[Byte] = (Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte))
+
+  /** Canonical Huffman codes from a DHT (bits, vals) pair:
+    * (code, length) per symbol, assigned in table order per the spec's
+    * code-generation procedure. */
+  private def canonicalCodes(bits: Array[Int], nSyms: Int)
+      : Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](nSyms)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out(k) = (code, len); code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out
+  }
+
+  /** MSB-first bit writer with JPEG byte stuffing (FF → FF 00). */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1 << len) - 1))
+      nBits += len
+      while (nBits >= 8) {
+        val b = (acc >>> (nBits - 8)) & 0xff
+        out.write(b)
+        if (b == 0xff) out.write(0x00)
+        nBits -= 8
+        acc &= (1 << nBits) - 1
+      }
+    }
+    /** Pad the last byte with 1-bits (spec F.1.2.3). */
+    def flush(): Unit =
+      if (nBits > 0) put((1 << (8 - nBits)) - 1, 8 - nBits)
+  }
+
+  /** MSB-first bit reader over entropy data with stuffing removal;
+    * hitting a real marker (FF xx, xx ≠ 00) or the end returns −1. */
+  private final class JpegBitReader(b: Array[Byte], start: Int) {
+    private var pos = start
+    private var acc = 0
+    private var nBits = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) return -1
+        val v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length || (b(pos) & 0xff) != 0x00) return -1
+          pos += 1 // stuffed zero
+        }
+        acc = v; nBits = 8
+      }
+      nBits -= 1
+      (acc >>> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val x = bit()
+        if (x < 0) return -1
+        v = (v << 1) | x
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** EXTEND (spec F.2.2.1): map a magnitude-category bit pattern back
+    * to the signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Magnitude category of a coefficient (0..11). */
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Direct 2-D IDCT (spec A.3.3, the textbook double sum) with a
+    * precomputed cosine table; DC-only blocks reconstruct exactly
+    * (sample = DC/8, an integer for the fixtures' DC = 8·(val−128)). */
+  private val idctCos: Array[Double] = {
+    val t = new Array[Double](64) // t(x*8+u) = cos((2x+1)uπ/16)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
+  private def idct8x8(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    val c = new Array[Double](8)
+    c(0) = 1.0 / math.sqrt(2.0)
+    var i = 1
+    while (i < 8) { c(i) = 1.0; i += 1 }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val cf = coef(v * 8 + u)
+            if (cf != 0)
+              sum += c(u) * c(v) * cf * idctCos(x * 8 + u) * idctCos(y * 8 + v)
+            u += 1
+          }
+          v += 1
+        }
+        val s = math.rint(sum / 4.0).toInt + 128
+        out(y * 8 + x) = math.max(0, math.min(255, s))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Huffman-encode ONE block of (already quantized) coefficients in
+    * natural (row-major) order against the given code tables; returns
+    * the new DC predictor. Shared by the fixture builder and the spec's
+    * arbitrary-coefficient round trips (runs, ZRL, EOB all real). */
+  private def encodeBlock(w: JpegBitWriter, coef: Array[Int], dcPred: Int,
+                          dcCodes: Array[(Int, Int)],
+                          acCodes: Map[Int, (Int, Int)]): Int = {
+    val dc = coef(0)
+    val diff = dc - dcPred
+    val s = category(diff)
+    val (dcCode, dcLen) = dcCodes(s)
+    w.put(dcCode, dcLen)
+    if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    // AC in zigzag order with run-length coding
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = coef(zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { // ZRL
+          val (zc, zl) = acCodes(0xf0)
+          w.put(zc, zl)
+          run -= 16
+        }
+        val sz = category(v)
+        val (c, l) = acCodes((run << 4) | sz)
+        w.put(c, l)
+        w.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = acCodes(0x00); w.put(ec, el) } // EOB
+    dc
+  }
+
+  /** Real grayscale baseline JPEG ENCODE: DQT (all-ones quant), the
+    * standard DHT pair, SOF0 (1 component), SOS, and a real
+    * Huffman-coded entropy stream with DC prediction and byte
+    * stuffing. `blocks(bi)` is the quantized coefficient block (natural
+    * order) of the bi-th MCU in row-major MCU order. */
+  def buildJpegBlocks(width: Int, height: Int,
+                      blocks: Int => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def be(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xdb); be(67); out.write(0x00) // DQT, 8-bit table 0
+    var i = 0
+    while (i < 64) { out.write(1); i += 1 } // quant all ones: lossless coefs
+    m(0xc0); be(11) // SOF0
+    out.write(8); be(height); be(width); out.write(1) // 1 component
+    out.write(1); out.write(0x11); out.write(0) // id, 1x1 sampling, Tq=0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      m(0xc4); be(2 + 1 + 16 + vals.length); out.write(cls << 4)
+      bits.foreach(out.write); out.write(vals, 0, vals.length)
+    }
+    dht(0, stdDcBits, stdDcVals)
+    dht(1, stdAcBits, stdAcVals)
+    m(0xda); be(8); out.write(1) // SOS, 1 component
+    out.write(1); out.write(0x00) // comp 1 uses DC 0 / AC 0
+    out.write(0); out.write(63); out.write(0) // Ss, Se, AhAl
+    val dcC = canonicalCodes(stdDcBits, stdDcVals.length)
+    val acC = canonicalCodes(stdAcBits, stdAcVals.length)
+    val acMap = stdAcVals.zipWithIndex.map { case (sym, ix) =>
+      (sym & 0xff) -> acC(ix)
+    }.toMap
+    val bw = new JpegBitWriter(out)
+    val bw8 = (width + 7) / 8
+    val bh8 = (height + 7) / 8
+    var pred = 0
+    var bi = 0
+    while (bi < bw8 * bh8) {
+      pred = encodeBlock(bw, blocks(bi), pred, dcC, acMap)
+      bi += 1
+    }
+    bw.flush()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** [[buildJpegBlocks]] with the deterministic PICTURE the gate
+    * verifies: every 8×8 block is a constant gray
+    * (bx + 3·by + seed) mod 256 — a DC-only coefficient block
+    * (DC = 8·(val−128), all AC zero) that baseline JPEG reproduces
+    * EXACTLY (quant 1, IDCT of a DC-only block is DC/8 per sample), so
+    * the lossy format carries a lossless fixture and the oracle can
+    * recompute every statistic from (w, h, seed) arithmetic. */
+  def buildJpegPattern(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val bw8 = (width + 7) / 8
+    buildJpegBlocks(width, height, { bi =>
+      val bx = bi % bw8
+      val by = bi / bw8
+      val v = ((bx + 3L * by + seed) % 256).toInt
+      val coef = new Array[Int](64)
+      coef(0) = (v - 128) * 8
+      coef
+    })
+  }
+
+  /** Full decode of a grayscale baseline JPEG — the fifth real codec,
+    * covering the DCT-family pipeline end to end in pure JVM: marker
+    * walk, DQT/DHT read FROM THE FILE (never assumed), SOF0 frame
+    * header, Huffman entropy decode with byte-destuffing and DC
+    * prediction, run-length AC reconstruction (EOB/ZRL), dezigzag,
+    * dequantization, and the real 8×8 IDCT with level shift and
+    * clamping. Color (multi-component), progressive (SOF2), restart
+    * intervals, and 16-bit quant tables stay behind the decoder seam —
+    * None, never a task failure. */
+  def decodeJpegPixels(id: Long, b: Array[Byte]): Option[JpegPixels] = try {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    def u8(i: Int) = b(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var off = 2
+    var w = 0; var h = 0
+    val quant = new Array[Array[Int]](4)
+    // per (class, id): symbol table as length-indexed canonical decode
+    val huffCodes = new Array[Map[(Int, Int), Int]](8) // (len,code)→sym
+    var sosAt = -1
+    var dcSel = 0; var acSel = 0; var qId = -1
+    while (sosAt < 0) {
+      if (off + 4 > b.length || u8(off) != 0xff) return None
+      val marker = u8(off + 1)
+      if (marker == 0xd9) return None // EOI before SOS
+      val len = u16(off + 2)
+      if (len < 2 || off + 2 + len > b.length) return None
+      val seg = off + 4
+      marker match {
+        case 0xdb => // DQT: possibly several tables per segment
+          var p = seg
+          while (p < off + 2 + len) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 15
+            if (pq != 0 || tq > 3) return None // 16-bit tables: seam
+            if (p + 1 + 64 > off + 2 + len) return None
+            quant(tq) = Array.tabulate(64)(i => u8(p + 1 + i))
+            p += 65
+          }
+        case 0xc4 => // DHT: possibly several tables per segment
+          var p = seg
+          while (p < off + 2 + len) {
+            val cls = u8(p) >> 4; val tid = u8(p) & 15
+            if (cls > 1 || tid > 3) return None
+            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+            val n = bits.sum
+            if (p + 17 + n > off + 2 + len) return None
+            val codes = canonicalCodes(bits, n)
+            huffCodes(cls * 4 + tid) = codes.zipWithIndex.map {
+              case ((code, cl), ix) => (cl, code) -> u8(p + 17 + ix)
+            }.toMap
+            p += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          if (u8(seg) != 8) return None
+          h = u16(seg + 1); w = u16(seg + 3)
+          if (u8(seg + 5) != 1) return None // grayscale only
+          if (u8(seg + 7) != 0x11) return None // 1×1 sampling
+          qId = u8(seg + 8) // the component's quant table id
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcc | 0xcd | 0xce | 0xcf =>
+          return None // progressive / extended / arithmetic: the seam
+        case 0xdd => return None // DRI: restart markers unsupported
+        case 0xda =>
+          if (u8(seg) != 1) return None
+          val tsel = u8(seg + 2)
+          dcSel = tsel >> 4
+          acSel = (tsel & 15) + 4 // index into huffCodes for class 1
+          sosAt = off + 2 + len
+        case _ => () // APPn, COM, …: skip
+      }
+      if (sosAt < 0) off += 2 + len
+    }
+    if (w <= 0 || h <= 0 || qId < 0 || qId > 3 || quant(qId) == null)
+      return None
+    val qt = quant(qId)
+    val dcT = huffCodes(dcSel)
+    val acT = huffCodes(acSel)
+    if (dcT == null || acT == null) return None
+    val br = new JpegBitReader(b, sosAt)
+    def huffDecode(t: Map[(Int, Int), Int]): Int = {
+      var code = 0
+      var l = 0
+      while (l < 16) {
+        val x = br.bit()
+        if (x < 0) return -1
+        code = (code << 1) | x
+        l += 1
+        t.get((l, code)) match {
+          case Some(sym) => return sym
+          case None => ()
+        }
+      }
+      -1
+    }
+    val bw8 = (w + 7) / 8
+    val bh8 = (h + 7) / 8
+    var sumG = 0L; var top = 0L
+    var pred = 0
+    val coef = new Array[Int](64)
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        java.util.Arrays.fill(coef, 0)
+        val s = huffDecode(dcT)
+        if (s < 0 || s > 11) return None
+        val dcBits = if (s == 0) 0 else br.bits(s)
+        if (dcBits < 0) return None
+        pred += extend(dcBits, s)
+        coef(0) = pred * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = huffDecode(acT)
+          if (rs < 0) return None
+          val run = rs >> 4
+          val sz = rs & 15
+          if (rs == 0x00) eob = true
+          else if (rs == 0xf0) k += 16
+          else {
+            k += run
+            if (k > 63 || sz == 0) return None
+            val vb = br.bits(sz)
+            if (vb < 0) return None
+            coef(zigzag(k)) = extend(vb, sz) * qt(k)
+            k += 1
+          }
+        }
+        val px = idct8x8(coef)
+        // accumulate only the in-image samples of this block
+        val xMax = math.min(8, w - bx * 8)
+        val yMax = math.min(8, h - by * 8)
+        var yy = 0
+        while (yy < yMax) {
+          var xx = 0
+          while (xx < xMax) {
+            val v = px(yy * 8 + xx)
+            sumG += v
+            if (by == 0 && yy == 0) top += v
+            xx += 1
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val n = w.toLong * h
+    Some(JpegPixels(id, w, h, sumG.toDouble / n, top.toDouble / w))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture adapter for the JPEG gate: every document becomes a
+    * block-constant grayscale baseline JPEG (dimensions from n_chars,
+    * pattern seeded by id) — the full Huffman+IDCT pipeline runs under
+    * the oracle, which recomputes the means from block arithmetic. */
+  def jpegFromDocuments(spark: SparkSession,
+                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildJpegPattern(width = 1 + (nChars % 44).toInt,
+          height = 1 + (nChars % 26).toInt, seed = id))
+      }
+  }
+
+  /** Per-partition batch JPEG decode — payloads never shuffle. */
+  def extractJpegPixels(media: Dataset[(Long, Array[Byte])])
+      : Dataset[JpegPixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => decodeJpegPixels(id, p) })
+  }
+
   // ------------------------------------------------------ GIF pixels
 
   /** Decoded GIF pixel statistics — same contract as [[BmpPixels]] /

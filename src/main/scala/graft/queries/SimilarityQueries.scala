@@ -462,6 +462,25 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL baseline-JPEG decode under the gate: every doc becomes a
+    // block-constant grayscale JPEG — with an all-ones quant table and
+    // DC-only blocks the lossy format carries a LOSSLESS fixture
+    // (IDCT of a DC-only block is exactly DC/8 per sample), so the full
+    // real pipeline (marker walk, file-read Huffman tables, entropy
+    // decode with byte destuffing and DC prediction, dequant, 8×8 IDCT)
+    // runs under a hash gate whose oracle recomputes the means from
+    // block arithmetic alone. The AC/run-length half of the decoder is
+    // spec-exercised with arbitrary-coefficient round trips.
+    "mm_jpeg_pixels" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.jpegFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractJpegPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanGray"), 6).as("mean_gray"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL LZW decode under the gate: every doc becomes a patterned
     // indexed GIF (256-entry global color table, every third id with a
     // Graphic Control Extension before the frame), compressed with the
@@ -1321,6 +1340,28 @@ object SimilarityQueries {
         |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
         |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
         |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the JPEG gray means from the block arithmetic: pixel
+    // (x, y) sits in block (x//8, y//8) whose constant value is
+    // (bx + 3·by + seed) mod 256 — exact because the fixture is
+    // DC-only under an all-ones quant table.
+    "mm_jpeg_pixels" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 44) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 26) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    ((x // 8) + 3 * (y // 8) + id) % 256 AS v
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y))
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(v) AS DOUBLE) / (MAX(w) * MAX(h)), 6)
+        |    AS mean_gray,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN v ELSE 0 END) AS DOUBLE)
+        |    / MAX(w), 6) AS top_row_mean
         |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives the GIF channel means from the pattern arithmetic:

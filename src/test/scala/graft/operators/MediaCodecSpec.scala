@@ -169,6 +169,88 @@ class MediaCodecSpec extends SparkSpec {
     assert(decodeBmpPixels(1L, "garbage".getBytes("UTF-8")).isEmpty)
   }
 
+  test("jpeg pixels: block-constant fixture decodes exactly") {
+    // quant=1 + DC-only blocks make baseline JPEG lossless: sample =
+    // DC/8 + 128 exactly. Sizes cross partial-edge blocks and 1×1.
+    for ((w, h) <- Seq((16, 16), (13, 9), (8, 8), (1, 1), (44, 26))) {
+      val seed = 23L
+      val px = decodeJpegPixels(7L, buildJpegPattern(w, h, seed)).get
+      def v(x: Int, y: Int): Long = ((x / 8) + 3L * (y / 8) + seed) % 256
+      val exp = (for (x <- 0 until w; y <- 0 until h) yield v(x, y)).sum
+        .toDouble / (w * h)
+      assert(px.width === w && px.height === h)
+      assert(px.meanGray === exp, s"($w×$h)")
+      val top = (0 until w).map(x => v(x, 0)).sum
+      assert(px.topRowMean === top.toDouble / w)
+    }
+  }
+
+  test("jpeg pixels: arbitrary coefficients round trip the AC path") {
+    // random quantized blocks (sparse AC, long zero runs forcing ZRL,
+    // negative values, multi-block DC prediction) must reproduce the
+    // direct textbook IDCT computed independently in the test
+    val rnd = new scala.util.Random(20260815L)
+    def directIdct(coef: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      def c(i: Int) = if (i == 0) 1.0 / math.sqrt(2.0) else 1.0
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8)
+          s += c(u) * c(v) * coef(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        out(y * 8 + x) =
+          math.max(0, math.min(255, math.rint(s / 4.0).toInt + 128))
+      }
+      out
+    }
+    (1 to 5).foreach { round =>
+      val (w, h) = (16, 16) // 4 full blocks
+      val blocks = Array.fill(4) {
+        val coef = new Array[Int](64)
+        coef(0) = rnd.nextInt(2001) - 1000
+        // sparse AC: a few values, incl. a tail one forcing a long run
+        (1 to 4).foreach { _ =>
+          coef(1 + rnd.nextInt(63)) = rnd.nextInt(401) - 200
+        }
+        if (round % 2 == 0) coef(63) = 7 // ZRL-heavy tail
+        coef
+      }
+      val px = decodeJpegPixels(1L,
+        buildJpegBlocks(w, h, blocks(_))).get
+      val pixels = blocks.map(directIdct)
+      // blocks are row-major MCUs: (0,0), (1,0), (0,1), (1,1)
+      var sum = 0L; var top = 0L
+      for (by <- 0 until 2; bx <- 0 until 2; y <- 0 until 8; x <- 0 until 8) {
+        val v = pixels(by * 2 + bx)(y * 8 + x)
+        sum += v
+        if (by == 0 && y == 0) top += v
+      }
+      assert(math.abs(px.meanGray - sum.toDouble / (w * h)) < 1e-9,
+        s"round $round AC path diverged")
+      assert(math.abs(px.topRowMean - top.toDouble / w) < 1e-9)
+    }
+  }
+
+  test("jpeg pixels: unsupported or corrupt streams are data") {
+    val ok = buildJpegPattern(16, 8, 3L)
+    assert(decodeJpegPixels(1L, ok).isDefined)
+    // the metadata parser agrees on dimensions
+    assert(parseJpeg(ok) === Some((16, 8)))
+    // truncation inside the entropy stream
+    assert(decodeJpegPixels(1L, ok.dropRight(6)).isEmpty)
+    // progressive claim (SOF0 marker byte → SOF2)
+    val prog = ok.clone()
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(decodeJpegPixels(1L, prog).isEmpty)
+    // not a JPEG
+    assert(decodeJpegPixels(1L, "nope".getBytes("UTF-8")).isEmpty)
+    // the header-skeleton builder (no entropy data) decodes to None
+    assert(decodeJpegPixels(1L, buildJpeg(16, 8)).isEmpty)
+  }
+
   test("gif pixels: LZW round trip matches closed-form means") {
     for (withExt <- Seq(true, false)) {
       val w = 9; val h = 6; val seed = 17L
