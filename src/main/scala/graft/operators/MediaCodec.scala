@@ -722,7 +722,18 @@ object MediaCodec {
     * stuffing. `blocks(bi)` is the quantized coefficient block (natural
     * order) of the bi-th MCU in row-major MCU order. */
   def buildJpegBlocks(width: Int, height: Int,
-                      blocks: Int => Array[Int]): Array[Byte] = {
+                      blocks: Int => Array[Int]): Array[Byte] =
+    buildJpegMulti(width, height, 1, (bi, _) => blocks(bi))
+
+  /** The 4:4:4 color variant: `blocks(bi, c)` is component c's
+    * quantized block for the bi-th MCU (c = 0/1/2 → Y/Cb/Cr). */
+  def buildJpegColorBlocks(width: Int, height: Int,
+                           blocks: (Int, Int) => Array[Int]): Array[Byte] =
+    buildJpegMulti(width, height, 3, blocks)
+
+  private def buildJpegMulti(width: Int, height: Int, nComp: Int,
+                             blocks: (Int, Int) => Array[Int])
+      : Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
     val out = new java.io.ByteArrayOutputStream()
     def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
@@ -731,17 +742,26 @@ object MediaCodec {
     m(0xdb); be(67); out.write(0x00) // DQT, 8-bit table 0
     var i = 0
     while (i < 64) { out.write(1); i += 1 } // quant all ones: lossless coefs
-    m(0xc0); be(11) // SOF0
-    out.write(8); be(height); be(width); out.write(1) // 1 component
-    out.write(1); out.write(0x11); out.write(0) // id, 1x1 sampling, Tq=0
+    m(0xc0); be(8 + 3 * nComp) // SOF0
+    out.write(8); be(height); be(width); out.write(nComp)
+    var c = 0
+    while (c < nComp) { // ids 1..n, 1×1 sampling, all quant table 0
+      out.write(c + 1); out.write(0x11); out.write(0)
+      c += 1
+    }
     def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
       m(0xc4); be(2 + 1 + 16 + vals.length); out.write(cls << 4)
       bits.foreach(out.write); out.write(vals, 0, vals.length)
     }
     dht(0, stdDcBits, stdDcVals)
     dht(1, stdAcBits, stdAcVals)
-    m(0xda); be(8); out.write(1) // SOS, 1 component
-    out.write(1); out.write(0x00) // comp 1 uses DC 0 / AC 0
+    m(0xda); be(6 + 2 * nComp) // SOS
+    out.write(nComp)
+    c = 0
+    while (c < nComp) { // every component uses DC 0 / AC 0
+      out.write(c + 1); out.write(0x00)
+      c += 1
+    }
     out.write(0); out.write(63); out.write(0) // Ss, Se, AhAl
     val dcC = canonicalCodes(stdDcBits, stdDcVals.length)
     val acC = canonicalCodes(stdAcBits, stdAcVals.length)
@@ -751,15 +771,41 @@ object MediaCodec {
     val bw = new JpegBitWriter(out)
     val bw8 = (width + 7) / 8
     val bh8 = (height + 7) / 8
-    var pred = 0
+    val preds = new Array[Int](nComp)
     var bi = 0
     while (bi < bw8 * bh8) {
-      pred = encodeBlock(bw, blocks(bi), pred, dcC, acMap)
+      c = 0
+      while (c < nComp) { // component-interleaved MCUs
+        preds(c) = encodeBlock(bw, blocks(bi, c), preds(c), dcC, acMap)
+        c += 1
+      }
       bi += 1
     }
     bw.flush()
     m(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** [[buildJpegColorBlocks]] with a block-constant YCbCr picture —
+    * DC-only blocks, exact through the IDCT, so the only arithmetic the
+    * oracle must mirror is the fixed-point color conversion:
+    * Y = (bx + 3·by + s) mod 256, Cb = (2·bx + by + s) mod 256,
+    * Cr = (bx + 7·by + 2·s) mod 256. */
+  def buildJpegColorPattern(width: Int, height: Int,
+                            seed: Long): Array[Byte] = {
+    val bw8 = (width + 7) / 8
+    buildJpegColorBlocks(width, height, { (bi, c) =>
+      val bx = bi % bw8
+      val by = bi / bw8
+      val v = (c match {
+        case 0 => (bx + 3L * by + seed) % 256
+        case 1 => (2L * bx + by + seed) % 256
+        case _ => (bx + 7L * by + 2L * seed) % 256
+      }).toInt
+      val coef = new Array[Int](64)
+      coef(0) = (v - 128) * 8
+      coef
+    })
   }
 
   /** [[buildJpegBlocks]] with the deterministic PICTURE the gate
@@ -790,18 +836,100 @@ object MediaCodec {
     * clamping. Color (multi-component), progressive (SOF2), restart
     * intervals, and 16-bit quant tables stay behind the decoder seam —
     * None, never a task failure. */
-  def decodeJpegPixels(id: Long, b: Array[Byte]): Option[JpegPixels] = try {
+  def decodeJpegPixels(id: Long, b: Array[Byte]): Option[JpegPixels] =
+    decodeJpegPlanes(b) match {
+      case Some((w, h, planes)) if planes.length == 1 =>
+        val plane = planes(0)
+        val pw = ((w + 7) / 8) * 8
+        var sumG = 0L; var top = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = plane(y * pw + x)
+            sumG += v
+            if (y == 0) top += v
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(JpegPixels(id, w, h, sumG.toDouble / n, top.toDouble / w))
+      case _ => None
+    }
+
+  /** Decoded color-JPEG statistics: per-channel integer sums divided
+    * once, `topRowMean` over all three channels of image row 0. */
+  final case class JpegRgb(id: Long, width: Int, height: Int,
+                           meanR: Double, meanG: Double, meanB: Double,
+                           topRowMean: Double)
+
+  /** Fixed-point JFIF YCbCr→RGB (the libjpeg 16-bit constants — public
+    * interchange math): non-negative-biased so truncating and flooring
+    * divisions agree, which lets a SQL oracle mirror it exactly. */
+  private def ycc2rgb(yv: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    val bias = 256 << 16
+    def clamp(v: Int): Int = math.max(0, math.min(255, v))
+    val r = clamp((((yv << 16) + 91881 * (cr - 128) + 32768 + bias) >> 16)
+      - 256)
+    val g = clamp((((yv << 16) - 22554 * (cb - 128) - 46802 * (cr - 128)
+      + 32768 + bias) >> 16) - 256)
+    val bl = clamp((((yv << 16) + 116130 * (cb - 128) + 32768 + bias) >> 16)
+      - 256)
+    (r, g, bl)
+  }
+
+  /** Full decode of a 4:4:4 color baseline JPEG (3 components, 1×1
+    * sampling): the same entropy/IDCT core as grayscale, then the
+    * fixed-point JFIF color conversion per pixel. Subsampled chroma
+    * (4:2:0 etc.) stays behind the decoder seam. */
+  def decodeJpegRgb(id: Long, b: Array[Byte]): Option[JpegRgb] =
+    decodeJpegPlanes(b) match {
+      case Some((w, h, planes)) if planes.length == 3 =>
+        val pw = ((w + 7) / 8) * 8
+        var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = y * pw + x
+            val (r, g, bl) = ycc2rgb(planes(0)(i), planes(1)(i), planes(2)(i))
+            sumR += r; sumG += g; sumB += bl
+            if (y == 0) top += r + g + bl
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(JpegRgb(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
+          sumB.toDouble / n, top.toDouble / (3L * w)))
+      case _ => None
+    }
+
+  /** The shared baseline-sequential core: marker walk, file-read
+    * DQT/DHT, SOF0 with Nf ∈ {1, 3} all-1×1 sampling, component-
+    * interleaved MCU entropy decode with per-component DC prediction,
+    * dequant, IDCT. Returns block-padded planes (stride = ceil(w/8)·8)
+    * in SOF component order. Anything outside that envelope — other
+    * component counts, subsampling, progressive, restart intervals,
+    * 16-bit quant — returns None, never throws. */
+  private def decodeJpegPlanes(b: Array[Byte])
+      : Option[(Int, Int, Array[Array[Int]])] = try {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     def u8(i: Int) = b(i) & 0xff
     def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
     var off = 2
     var w = 0; var h = 0
+    var nf = 0
     val quant = new Array[Array[Int]](4)
     // per (class, id): symbol table as length-indexed canonical decode
     val huffCodes = new Array[Map[(Int, Int), Int]](8) // (len,code)→sym
     var sosAt = -1
-    var dcSel = 0; var acSel = 0; var qId = -1
+    val sofIds = new Array[Int](3) // component ids in SOF order
+    val qIds = new Array[Int](3) // quant table per component
+    val dcSel = new Array[Int](3)
+    val acSel = new Array[Int](3)
     while (sosAt < 0) {
       if (off + 4 > b.length || u8(off) != 0xff) return None
       val marker = u8(off + 1)
@@ -836,29 +964,47 @@ object MediaCodec {
         case 0xc0 => // SOF0 baseline
           if (u8(seg) != 8) return None
           h = u16(seg + 1); w = u16(seg + 3)
-          if (u8(seg + 5) != 1) return None // grayscale only
-          if (u8(seg + 7) != 0x11) return None // 1×1 sampling
-          qId = u8(seg + 8) // the component's quant table id
+          nf = u8(seg + 5)
+          if (nf != 1 && nf != 3) return None // grayscale or 4:4:4
+          var c = 0
+          while (c < nf) {
+            sofIds(c) = u8(seg + 6 + 3 * c)
+            if (u8(seg + 7 + 3 * c) != 0x11) return None // no subsampling
+            qIds(c) = u8(seg + 8 + 3 * c)
+            if (qIds(c) > 3) return None
+            c += 1
+          }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcc | 0xcd | 0xce | 0xcf =>
           return None // progressive / extended / arithmetic: the seam
         case 0xdd => return None // DRI: restart markers unsupported
         case 0xda =>
-          if (u8(seg) != 1) return None
-          val tsel = u8(seg + 2)
-          dcSel = tsel >> 4
-          acSel = (tsel & 15) + 4 // index into huffCodes for class 1
+          if (nf == 0 || u8(seg) != nf) return None
+          var sc = 0
+          while (sc < nf) {
+            val cid = u8(seg + 1 + 2 * sc)
+            val tsel = u8(seg + 2 + 2 * sc)
+            val ci = sofIds.indexOf(cid)
+            if (ci < 0 || ci >= nf) return None
+            dcSel(ci) = tsel >> 4
+            acSel(ci) = (tsel & 15) + 4 // huffCodes index for class 1
+            sc += 1
+          }
           sosAt = off + 2 + len
         case _ => () // APPn, COM, …: skip
       }
       if (sosAt < 0) off += 2 + len
     }
-    if (w <= 0 || h <= 0 || qId < 0 || qId > 3 || quant(qId) == null)
-      return None
-    val qt = quant(qId)
-    val dcT = huffCodes(dcSel)
-    val acT = huffCodes(acSel)
-    if (dcT == null || acT == null) return None
+    if (w <= 0 || h <= 0) return None
+    val qts = Array.tabulate(nf) { c =>
+      if (quant(qIds(c)) == null) return None else quant(qIds(c))
+    }
+    val dcTs = Array.tabulate(nf) { c =>
+      val t = huffCodes(dcSel(c)); if (t == null) return None else t
+    }
+    val acTs = Array.tabulate(nf) { c =>
+      val t = huffCodes(acSel(c)); if (t == null) return None else t
+    }
     val br = new JpegBitReader(b, sosAt)
     def huffDecode(t: Map[(Int, Int), Int]): Int = {
       var code = 0
@@ -877,59 +1023,60 @@ object MediaCodec {
     }
     val bw8 = (w + 7) / 8
     val bh8 = (h + 7) / 8
-    var sumG = 0L; var top = 0L
-    var pred = 0
+    val pw = bw8 * 8
+    val planes = Array.fill(nf)(new Array[Int](pw * bh8 * 8))
+    val preds = new Array[Int](nf)
     val coef = new Array[Int](64)
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
-        java.util.Arrays.fill(coef, 0)
-        val s = huffDecode(dcT)
-        if (s < 0 || s > 11) return None
-        val dcBits = if (s == 0) 0 else br.bits(s)
-        if (dcBits < 0) return None
-        pred += extend(dcBits, s)
-        coef(0) = pred * qt(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = huffDecode(acT)
-          if (rs < 0) return None
-          val run = rs >> 4
-          val sz = rs & 15
-          if (rs == 0x00) eob = true
-          else if (rs == 0xf0) k += 16
-          else {
-            k += run
-            if (k > 63 || sz == 0) return None
-            val vb = br.bits(sz)
-            if (vb < 0) return None
-            coef(zigzag(k)) = extend(vb, sz) * qt(k)
-            k += 1
+        var c = 0
+        while (c < nf) { // one block per component per MCU (all 1×1)
+          java.util.Arrays.fill(coef, 0)
+          val qt = qts(c)
+          val s = huffDecode(dcTs(c))
+          if (s < 0 || s > 11) return None
+          val dcBits = if (s == 0) 0 else br.bits(s)
+          if (dcBits < 0) return None
+          preds(c) += extend(dcBits, s)
+          coef(0) = preds(c) * qt(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = huffDecode(acTs(c))
+            if (rs < 0) return None
+            val run = rs >> 4
+            val sz = rs & 15
+            if (rs == 0x00) eob = true
+            else if (rs == 0xf0) k += 16
+            else {
+              k += run
+              if (k > 63 || sz == 0) return None
+              val vb = br.bits(sz)
+              if (vb < 0) return None
+              coef(zigzag(k)) = extend(vb, sz) * qt(k)
+              k += 1
+            }
           }
-        }
-        val px = idct8x8(coef)
-        // accumulate only the in-image samples of this block
-        val xMax = math.min(8, w - bx * 8)
-        val yMax = math.min(8, h - by * 8)
-        var yy = 0
-        while (yy < yMax) {
-          var xx = 0
-          while (xx < xMax) {
-            val v = px(yy * 8 + xx)
-            sumG += v
-            if (by == 0 && yy == 0) top += v
-            xx += 1
+          val px = idct8x8(coef)
+          val plane = planes(c)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              plane((by * 8 + yy) * pw + bx * 8 + xx) = px(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
           }
-          yy += 1
+          c += 1
         }
         bx += 1
       }
       by += 1
     }
-    val n = w.toLong * h
-    Some(JpegPixels(id, w, h, sumG.toDouble / n, top.toDouble / w))
+    Some((w, h, planes))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Fixture adapter for the JPEG gate: every document becomes a
@@ -945,6 +1092,28 @@ object MediaCodec {
         (id, buildJpegPattern(width = 1 + (nChars % 44).toInt,
           height = 1 + (nChars % 26).toInt, seed = id))
       }
+  }
+
+  /** Fixture adapter for the color-JPEG gate: every document becomes a
+    * block-constant 4:4:4 color baseline JPEG — three interleaved
+    * component streams with independent DC predictors, then the
+    * fixed-point color conversion, all under the oracle. */
+  def jpegColorFromDocuments(spark: SparkSession,
+                             docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildJpegColorPattern(width = 1 + (nChars % 28).toInt,
+          height = 1 + (nChars % 18).toInt, seed = id))
+      }
+  }
+
+  /** Per-partition batch color-JPEG decode — payloads never shuffle. */
+  def extractJpegRgb(media: Dataset[(Long, Array[Byte])])
+      : Dataset[JpegRgb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => decodeJpegRgb(id, p) })
   }
 
   /** Per-partition batch JPEG decode — payloads never shuffle. */

@@ -16,14 +16,16 @@ import org.apache.spark.sql.functions._
   *  - the decoder is a trait so the container's missing image/audio libs
   *    are STUBBED with [[DeterministicFakeDecoder]] — the schema,
   *    partitioning and batch plumbing are real and tested, the codec is
-  *    swapped in production. The stub now covers ONLY color/progressive
-  *    JPEG (chroma subsampling, SOF2), H.264 and compressed audio:
+  *    swapped in production. The stub now covers ONLY subsampled-chroma
+  *    and progressive JPEG (4:2:0, SOF2), H.264 and compressed audio:
   *    BMP/PNG/GIF/JPEG and RIFF/WAV container headers parse for real
   *    in [[MediaCodec]] (pure JVM, gated by a round-trip oracle), and
-  *    FIVE formats decode CONTENT for real: grayscale baseline JPEG
-  *    ([[MediaCodec.decodeJpegPixels]] — file-read Huffman tables,
-  *    entropy decode, dequant, real 8×8 IDCT — gated by
-  *    `mm_jpeg_pixels`), 24-bpp BMP pixels
+  *    FIVE formats decode CONTENT for real: baseline JPEG in both
+  *    grayscale and 4:4:4 color
+  *    ([[MediaCodec.decodeJpegPixels]]/[[MediaCodec.decodeJpegRgb]] —
+  *    file-read Huffman tables, interleaved entropy decode, dequant,
+  *    real 8×8 IDCT, fixed-point YCbCr→RGB — gated by
+  *    `mm_jpeg_pixels` / `mm_jpeg_rgb`), 24-bpp BMP pixels
   *    ([[MediaCodec.decodeBmpPixels]] — BGR order, row padding,
   *    bottom-up/top-down layout — gated by `mm_bmp_pixels`), truecolor
   *    PNG pixels ([[MediaCodec.decodePngPixels]] — CRC-checked chunk

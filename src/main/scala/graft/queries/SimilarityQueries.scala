@@ -462,6 +462,25 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL 4:4:4 COLOR baseline-JPEG decode under the gate: three
+    // component-interleaved entropy streams with independent DC
+    // predictors, each DC-only under an all-ones quant table (exact
+    // through the IDCT), then the fixed-point JFIF YCbCr→RGB with a
+    // non-negative bias so truncating (DuckDB //) and flooring
+    // (JVM >>) divisions agree — the oracle mirrors the conversion
+    // bit-for-bit in SQL integer arithmetic.
+    "mm_jpeg_rgb" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.jpegColorFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractJpegRgb(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL baseline-JPEG decode under the gate: every doc becomes a
     // block-constant grayscale JPEG — with an all-ones quant table and
     // DC-only blocks the lossy format carries a LOSSLESS fixture
@@ -1341,6 +1360,40 @@ object SimilarityQueries {
         |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
         |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
         |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the color-JPEG channel means: block-constant YCbCr
+    // from block coordinates, then EXACTLY the decoder's fixed-point
+    // conversion — libjpeg 16-bit constants, +32768 rounding, and the
+    // 256<<16 bias that makes // (truncation) equal >> (floor).
+    "mm_jpeg_rgb" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 28) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 18) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    ((x // 8) + 3 * (y // 8) + id) % 256 AS yv,
+        |    (2 * (x // 8) + (y // 8) + id) % 256 AS cb,
+        |    ((x // 8) + 7 * (y // 8) + 2 * id) % 256 AS cr
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |rgb AS (SELECT id, w, h, x, y,
+        |    LEAST(255, GREATEST(0, ((yv * 65536 + 91881 * (cr - 128)
+        |      + 32768 + 16777216) // 65536) - 256)) AS r,
+        |    LEAST(255, GREATEST(0, ((yv * 65536 - 22554 * (cb - 128)
+        |      - 46802 * (cr - 128) + 32768 + 16777216) // 65536) - 256))
+        |      AS g,
+        |    LEAST(255, GREATEST(0, ((yv * 65536 + 116130 * (cb - 128)
+        |      + 32768 + 16777216) // 65536) - 256)) AS b
+        |  FROM px)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives the JPEG gray means from the block arithmetic: pixel
     // (x, y) sits in block (x//8, y//8) whose constant value is

@@ -232,6 +232,87 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("jpeg rgb: 4:4:4 color round trip matches the fixed-point math") {
+    for ((w, h) <- Seq((16, 16), (11, 9), (1, 1), (28, 18))) {
+      val seed = 31L
+      val px = decodeJpegRgb(7L, buildJpegColorPattern(w, h, seed)).get
+      // the test's own copy of the fixed-point conversion
+      def conv(yv: Long, cb: Long, cr: Long): (Long, Long, Long) = {
+        def cl(v: Long) = math.max(0L, math.min(255L, v))
+        val r = cl(((yv * 65536 + 91881 * (cr - 128) + 32768
+          + 16777216) >> 16) - 256)
+        val g = cl(((yv * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128)
+          + 32768 + 16777216) >> 16) - 256)
+        val b = cl(((yv * 65536 + 116130 * (cb - 128) + 32768
+          + 16777216) >> 16) - 256)
+        (r, g, b)
+      }
+      def rgbAt(x: Int, y: Int): (Long, Long, Long) = {
+        val bx = x / 8; val by = y / 8
+        conv((bx + 3L * by + seed) % 256, (2L * bx + by + seed) % 256,
+          (bx + 7L * by + 2L * seed) % 256)
+      }
+      val all = for (x <- 0 until w; y <- 0 until h) yield rgbAt(x, y)
+      val n = (w * h).toDouble
+      assert(px.width === w && px.height === h)
+      assert(px.meanR === all.map(_._1).sum / n, s"($w×$h)")
+      assert(px.meanG === all.map(_._2).sum / n)
+      assert(px.meanB === all.map(_._3).sum / n)
+      val top = (0 until w).map { x =>
+        val (r, g, b) = rgbAt(x, 0); r + g + b
+      }.sum
+      assert(px.topRowMean === top.toDouble / (3 * w))
+    }
+    // a grayscale stream is NOT an RGB image and vice versa
+    assert(decodeJpegRgb(1L, buildJpegPattern(8, 8, 1L)).isEmpty)
+    assert(decodeJpegPixels(1L, buildJpegColorPattern(8, 8, 1L)).isEmpty)
+  }
+
+  test("jpeg rgb: interleaved AC blocks with per-component predictors") {
+    val rnd = new scala.util.Random(20260818L)
+    def directIdct(coef: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      def c(i: Int) = if (i == 0) 1.0 / math.sqrt(2.0) else 1.0
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8)
+          s += c(u) * c(v) * coef(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        out(y * 8 + x) =
+          math.max(0, math.min(255, math.rint(s / 4.0).toInt + 128))
+      }
+      out
+    }
+    val (w, h) = (16, 8) // 2 MCUs × 3 components
+    val blocks = Array.fill(2, 3) {
+      val coef = new Array[Int](64)
+      coef(0) = rnd.nextInt(1601) - 800
+      (1 to 3).foreach(_ => coef(1 + rnd.nextInt(63)) = rnd.nextInt(201) - 100)
+      coef
+    }
+    val px = decodeJpegRgb(1L,
+      buildJpegColorBlocks(w, h, (bi, c) => blocks(bi)(c))).get
+    def cl(v: Long) = math.max(0L, math.min(255L, v))
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    for (bx <- 0 until 2; yy <- 0 until 8; xx <- 0 until 8) {
+      val i = yy * 8 + xx
+      val yv = directIdct(blocks(bx)(0))(i).toLong
+      val cb = directIdct(blocks(bx)(1))(i).toLong
+      val cr = directIdct(blocks(bx)(2))(i).toLong
+      sumR += cl(((yv * 65536 + 91881 * (cr - 128) + 32768
+        + 16777216) >> 16) - 256)
+      sumG += cl(((yv * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128)
+        + 32768 + 16777216) >> 16) - 256)
+      sumB += cl(((yv * 65536 + 116130 * (cb - 128) + 32768
+        + 16777216) >> 16) - 256)
+    }
+    val n = (w * h).toDouble
+    assert(math.abs(px.meanR - sumR / n) < 1e-9, "interleave/pred diverged")
+    assert(math.abs(px.meanG - sumG / n) < 1e-9)
+    assert(math.abs(px.meanB - sumB / n) < 1e-9)
+  }
+
   test("jpeg pixels: unsupported or corrupt streams are data") {
     val ok = buildJpegPattern(16, 8, 3L)
     assert(decodeJpegPixels(1L, ok).isDefined)
