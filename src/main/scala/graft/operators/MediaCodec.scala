@@ -723,17 +723,26 @@ object MediaCodec {
     * order) of the bi-th MCU in row-major MCU order. */
   def buildJpegBlocks(width: Int, height: Int,
                       blocks: Int => Array[Int]): Array[Byte] =
-    buildJpegMulti(width, height, 1, (bi, _) => blocks(bi))
+    buildJpegMulti(width, height, Array(0x11), (bi, _, _) => blocks(bi))
 
   /** The 4:4:4 color variant: `blocks(bi, c)` is component c's
     * quantized block for the bi-th MCU (c = 0/1/2 → Y/Cb/Cr). */
   def buildJpegColorBlocks(width: Int, height: Int,
                            blocks: (Int, Int) => Array[Int]): Array[Byte] =
-    buildJpegMulti(width, height, 3, blocks)
+    buildJpegMulti(width, height, Array(0x11, 0x11, 0x11),
+      (bi, c, _) => blocks(bi, c))
 
-  private def buildJpegMulti(width: Int, height: Int, nComp: Int,
-                             blocks: (Int, Int) => Array[Int])
+  /** The 4:2:0 variant: per 16×16 MCU, `blocks(bi, 0, sub)` are the
+    * four Y blocks (sub = v·2 + h, row-major) and `blocks(bi, 1/2, 0)`
+    * the single Cb/Cr block. */
+  def buildJpeg420Blocks(width: Int, height: Int,
+                         blocks: (Int, Int, Int) => Array[Int]): Array[Byte] =
+    buildJpegMulti(width, height, Array(0x22, 0x11, 0x11), blocks)
+
+  private def buildJpegMulti(width: Int, height: Int, samp: Array[Int],
+                             blocks: (Int, Int, Int) => Array[Int])
       : Array[Byte] = {
+    val nComp = samp.length
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
     val out = new java.io.ByteArrayOutputStream()
     def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
@@ -745,8 +754,8 @@ object MediaCodec {
     m(0xc0); be(8 + 3 * nComp) // SOF0
     out.write(8); be(height); be(width); out.write(nComp)
     var c = 0
-    while (c < nComp) { // ids 1..n, 1×1 sampling, all quant table 0
-      out.write(c + 1); out.write(0x11); out.write(0)
+    while (c < nComp) { // ids 1..n, declared sampling, all quant table 0
+      out.write(c + 1); out.write(samp(c)); out.write(0)
       c += 1
     }
     def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
@@ -769,14 +778,22 @@ object MediaCodec {
       (sym & 0xff) -> acC(ix)
     }.toMap
     val bw = new JpegBitWriter(out)
-    val bw8 = (width + 7) / 8
-    val bh8 = (height + 7) / 8
+    val hMax = samp.map(_ >> 4).max
+    val vMax = samp.map(_ & 15).max
+    val mcuW = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcuH = (height + 8 * vMax - 1) / (8 * vMax)
     val preds = new Array[Int](nComp)
     var bi = 0
-    while (bi < bw8 * bh8) {
+    while (bi < mcuW * mcuH) {
       c = 0
-      while (c < nComp) { // component-interleaved MCUs
-        preds(c) = encodeBlock(bw, blocks(bi, c), preds(c), dcC, acMap)
+      while (c < nComp) { // component-interleaved MCUs, Hc×Vc subs each
+        val subs = (samp(c) >> 4) * (samp(c) & 15)
+        var sub = 0
+        while (sub < subs) {
+          preds(c) =
+            encodeBlock(bw, blocks(bi, c, sub), preds(c), dcC, acMap)
+          sub += 1
+        }
         c += 1
       }
       bi += 1
@@ -839,14 +856,13 @@ object MediaCodec {
   def decodeJpegPixels(id: Long, b: Array[Byte]): Option[JpegPixels] =
     decodeJpegPlanes(b) match {
       case Some((w, h, planes)) if planes.length == 1 =>
-        val plane = planes(0)
-        val pw = ((w + 7) / 8) * 8
+        val p = planes(0)
         var sumG = 0L; var top = 0L
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val v = plane(y * pw + x)
+            val v = p.at(x, y)
             sumG += v
             if (y == 0) top += v
             x += 1
@@ -879,21 +895,22 @@ object MediaCodec {
     (r, g, bl)
   }
 
-  /** Full decode of a 4:4:4 color baseline JPEG (3 components, 1×1
-    * sampling): the same entropy/IDCT core as grayscale, then the
-    * fixed-point JFIF color conversion per pixel. Subsampled chroma
-    * (4:2:0 etc.) stays behind the decoder seam. */
+  /** Full decode of a color baseline JPEG — 4:4:4 (all 1×1) or 4:2:0
+    * (Y 2×2, chroma 1×1): the same entropy/IDCT core, subsampled
+    * chroma upsampled by sample replication (the JFIF simple
+    * upsampling — `JpegPlane.at`'s coordinate shifts), then the
+    * fixed-point JFIF color conversion per pixel. */
   def decodeJpegRgb(id: Long, b: Array[Byte]): Option[JpegRgb] =
     decodeJpegPlanes(b) match {
       case Some((w, h, planes)) if planes.length == 3 =>
-        val pw = ((w + 7) / 8) * 8
+        val (py, pcb, pcr) = (planes(0), planes(1), planes(2))
         var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val i = y * pw + x
-            val (r, g, bl) = ycc2rgb(planes(0)(i), planes(1)(i), planes(2)(i))
+            val (r, g, bl) =
+              ycc2rgb(py.at(x, y), pcb.at(x, y), pcr.at(x, y))
             sumR += r; sumG += g; sumB += bl
             if (y == 0) top += r + g + bl
             x += 1
@@ -906,15 +923,25 @@ object MediaCodec {
       case _ => None
     }
 
+  /** One decoded component plane: MCU-padded samples plus the
+    * coordinate shifts that implement JFIF sample-replication
+    * upsampling (shift 0 = full resolution, 1 = half). */
+  private final case class JpegPlane(data: Array[Int], stride: Int,
+                                     shiftX: Int, shiftY: Int) {
+    def at(x: Int, y: Int): Int =
+      data((y >> shiftY) * stride + (x >> shiftX))
+  }
+
   /** The shared baseline-sequential core: marker walk, file-read
-    * DQT/DHT, SOF0 with Nf ∈ {1, 3} all-1×1 sampling, component-
+    * DQT/DHT, SOF0 with Nf ∈ {1, 3} — all-1×1 sampling (grayscale /
+    * 4:4:4) or the 4:2:0 layout (Y 2×2, chroma 1×1) — component-
     * interleaved MCU entropy decode with per-component DC prediction,
-    * dequant, IDCT. Returns block-padded planes (stride = ceil(w/8)·8)
-    * in SOF component order. Anything outside that envelope — other
-    * component counts, subsampling, progressive, restart intervals,
-    * 16-bit quant — returns None, never throws. */
+    * dequant, IDCT. Returns MCU-padded planes in SOF component order.
+    * Anything outside that envelope — other component counts or
+    * sampling layouts, progressive, restart intervals, 16-bit quant —
+    * returns None, never throws. */
   private def decodeJpegPlanes(b: Array[Byte])
-      : Option[(Int, Int, Array[Array[Int]])] = try {
+      : Option[(Int, Int, Array[JpegPlane])] = try {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     def u8(i: Int) = b(i) & 0xff
@@ -928,6 +955,7 @@ object MediaCodec {
     var sosAt = -1
     val sofIds = new Array[Int](3) // component ids in SOF order
     val qIds = new Array[Int](3) // quant table per component
+    val samp = new Array[Int](3) // sampling byte (H << 4 | V)
     val dcSel = new Array[Int](3)
     val acSel = new Array[Int](3)
     while (sosAt < 0) {
@@ -965,15 +993,20 @@ object MediaCodec {
           if (u8(seg) != 8) return None
           h = u16(seg + 1); w = u16(seg + 3)
           nf = u8(seg + 5)
-          if (nf != 1 && nf != 3) return None // grayscale or 4:4:4
+          if (nf != 1 && nf != 3) return None // grayscale or color
           var c = 0
           while (c < nf) {
             sofIds(c) = u8(seg + 6 + 3 * c)
-            if (u8(seg + 7 + 3 * c) != 0x11) return None // no subsampling
+            samp(c) = u8(seg + 7 + 3 * c)
             qIds(c) = u8(seg + 8 + 3 * c)
             if (qIds(c) > 3) return None
             c += 1
           }
+          // supported layouts: all 1×1, or 4:2:0 (Y 2×2 + chroma 1×1)
+          val all11 = (0 until nf).forall(samp(_) == 0x11)
+          val is420 = nf == 3 && samp(0) == 0x22 &&
+            samp(1) == 0x11 && samp(2) == 0x11
+          if (!all11 && !is420) return None
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcc | 0xcd | 0xce | 0xcf =>
           return None // progressive / extended / arithmetic: the seam
@@ -1021,60 +1054,79 @@ object MediaCodec {
       }
       -1
     }
-    val bw8 = (w + 7) / 8
-    val bh8 = (h + 7) / 8
-    val pw = bw8 * 8
-    val planes = Array.fill(nf)(new Array[Int](pw * bh8 * 8))
+    val hs = Array.tabulate(nf)(c => samp(c) >> 4) // horizontal factors
+    val vs = Array.tabulate(nf)(c => samp(c) & 15)
+    val hMax = hs.max
+    val vMax = vs.max
+    val mcuW = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuH = (h + 8 * vMax - 1) / (8 * vMax)
+    val strides = Array.tabulate(nf)(c => mcuW * 8 * hs(c))
+    val planes = Array.tabulate(nf) { c =>
+      JpegPlane(new Array[Int](strides(c) * mcuH * 8 * vs(c)), strides(c),
+        shiftX = if (hs(c) == hMax) 0 else 1,
+        shiftY = if (vs(c) == vMax) 0 else 1)
+    }
     val preds = new Array[Int](nf)
     val coef = new Array[Int](64)
-    var by = 0
-    while (by < bh8) {
-      var bx = 0
-      while (bx < bw8) {
+    var my = 0
+    while (my < mcuH) {
+      var mx = 0
+      while (mx < mcuW) {
         var c = 0
-        while (c < nf) { // one block per component per MCU (all 1×1)
-          java.util.Arrays.fill(coef, 0)
-          val qt = qts(c)
-          val s = huffDecode(dcTs(c))
-          if (s < 0 || s > 11) return None
-          val dcBits = if (s == 0) 0 else br.bits(s)
-          if (dcBits < 0) return None
-          preds(c) += extend(dcBits, s)
-          coef(0) = preds(c) * qt(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = huffDecode(acTs(c))
-            if (rs < 0) return None
-            val run = rs >> 4
-            val sz = rs & 15
-            if (rs == 0x00) eob = true
-            else if (rs == 0xf0) k += 16
-            else {
-              k += run
-              if (k > 63 || sz == 0) return None
-              val vb = br.bits(sz)
-              if (vb < 0) return None
-              coef(zigzag(k)) = extend(vb, sz) * qt(k)
-              k += 1
+        while (c < nf) { // Hc×Vc blocks per component per MCU
+          var sv = 0
+          while (sv < vs(c)) {
+            var sh = 0
+            while (sh < hs(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val qt = qts(c)
+              val s = huffDecode(dcTs(c))
+              if (s < 0 || s > 11) return None
+              val dcBits = if (s == 0) 0 else br.bits(s)
+              if (dcBits < 0) return None
+              preds(c) += extend(dcBits, s)
+              coef(0) = preds(c) * qt(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = huffDecode(acTs(c))
+                if (rs < 0) return None
+                val run = rs >> 4
+                val sz = rs & 15
+                if (rs == 0x00) eob = true
+                else if (rs == 0xf0) k += 16
+                else {
+                  k += run
+                  if (k > 63 || sz == 0) return None
+                  val vb = br.bits(sz)
+                  if (vb < 0) return None
+                  coef(zigzag(k)) = extend(vb, sz) * qt(k)
+                  k += 1
+                }
+              }
+              val px = idct8x8(coef)
+              val plane = planes(c).data
+              val stride = strides(c)
+              val x0 = (mx * hs(c) + sh) * 8
+              val y0 = (my * vs(c) + sv) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((y0 + yy) * stride + x0 + xx) = px(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              sh += 1
             }
-          }
-          val px = idct8x8(coef)
-          val plane = planes(c)
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              plane((by * 8 + yy) * pw + bx * 8 + xx) = px(yy * 8 + xx)
-              xx += 1
-            }
-            yy += 1
+            sv += 1
           }
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     Some((w, h, planes))
   } catch { case scala.util.control.NonFatal(_) => None }
@@ -1091,6 +1143,47 @@ object MediaCodec {
       .map { case (id, nChars) =>
         (id, buildJpegPattern(width = 1 + (nChars % 44).toInt,
           height = 1 + (nChars % 26).toInt, seed = id))
+      }
+  }
+
+  /** [[buildJpeg420Blocks]] with a deterministic picture the oracle can
+    * re-derive: Y constant per 8×8 luma block at global block coords
+    * (bx8 + 3·by8 + s) mod 256, chroma constant per 16×16 MCU —
+    * Cb = (2·mx + my + s) mod 256, Cr = (mx + 7·my + 2·s) mod 256 — so
+    * sample-replication upsampling of the constant chroma block is
+    * exact and every pixel's RGB follows from integer arithmetic. */
+  def buildJpeg420Pattern(width: Int, height: Int,
+                          seed: Long): Array[Byte] = {
+    val mcuW = (width + 15) / 16
+    buildJpeg420Blocks(width, height, { (bi, c, sub) =>
+      val mx = bi % mcuW
+      val my = bi / mcuW
+      val v = (c match {
+        case 0 =>
+          val bx8 = mx * 2 + (sub & 1)
+          val by8 = my * 2 + (sub >> 1)
+          (bx8 + 3L * by8 + seed) % 256
+        case 1 => (2L * mx + my + seed) % 256
+        case _ => (mx + 7L * my + 2L * seed) % 256
+      }).toInt
+      val coef = new Array[Int](64)
+      coef(0) = (v - 128) * 8
+      coef
+    })
+  }
+
+  /** Fixture adapter for the 4:2:0 gate: every document becomes a
+    * block-constant subsampled color JPEG — the wild-web layout: four
+    * interleaved Y blocks + one Cb + one Cr per MCU, chroma replicated
+    * 2× at decode — under the same RGB statistics contract. */
+  def jpeg420FromDocuments(spark: SparkSession,
+                           docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildJpeg420Pattern(width = 1 + (nChars % 52).toInt,
+          height = 1 + (nChars % 34).toInt, seed = id))
       }
   }
 

@@ -16,16 +16,18 @@ import org.apache.spark.sql.functions._
   *  - the decoder is a trait so the container's missing image/audio libs
   *    are STUBBED with [[DeterministicFakeDecoder]] — the schema,
   *    partitioning and batch plumbing are real and tested, the codec is
-  *    swapped in production. The stub now covers ONLY subsampled-chroma
-  *    and progressive JPEG (4:2:0, SOF2), H.264 and compressed audio:
-  *    BMP/PNG/GIF/JPEG and RIFF/WAV container headers parse for real
-  *    in [[MediaCodec]] (pure JVM, gated by a round-trip oracle), and
-  *    FIVE formats decode CONTENT for real: baseline JPEG in both
-  *    grayscale and 4:4:4 color
+  *    swapped in production. The stub now covers ONLY progressive JPEG
+  *    (SOF2), H.264 and compressed audio: BMP/PNG/GIF/JPEG and
+  *    RIFF/WAV container headers parse for real in [[MediaCodec]]
+  *    (pure JVM, gated by a round-trip oracle), and FIVE formats
+  *    decode CONTENT for real: baseline JPEG in grayscale, 4:4:4
+  *    color, and the wild-web 4:2:0 subsampled layout
   *    ([[MediaCodec.decodeJpegPixels]]/[[MediaCodec.decodeJpegRgb]] —
-  *    file-read Huffman tables, interleaved entropy decode, dequant,
-  *    real 8×8 IDCT, fixed-point YCbCr→RGB — gated by
-  *    `mm_jpeg_pixels` / `mm_jpeg_rgb`), 24-bpp BMP pixels
+  *    file-read Huffman tables, MCU-interleaved entropy decode with
+  *    per-component sampling factors, dequant, real 8×8 IDCT,
+  *    replication chroma upsampling, fixed-point YCbCr→RGB — gated by
+  *    `mm_jpeg_pixels` / `mm_jpeg_rgb` / `mm_jpeg_420`), 24-bpp BMP
+  *    pixels
   *    ([[MediaCodec.decodeBmpPixels]] — BGR order, row padding,
   *    bottom-up/top-down layout — gated by `mm_bmp_pixels`), truecolor
   *    PNG pixels ([[MediaCodec.decodePngPixels]] — CRC-checked chunk

@@ -462,6 +462,26 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL 4:2:0 subsampled-JPEG decode under the gate — the dominant
+    // wild-web JPEG layout: each 16×16 MCU carries four interleaved Y
+    // blocks plus one Cb and one Cr, and the decoder replicates the
+    // half-resolution chroma 2× (JFIF simple upsampling) before the
+    // fixed-point color conversion. Chroma is MCU-constant in the
+    // fixture so replication is exact and the oracle re-derives every
+    // pixel from integer arithmetic; a wrong MCU sub-block order or a
+    // chroma coordinate shift off by one diverges the hash.
+    "mm_jpeg_420" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.jpeg420FromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractJpegRgb(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL 4:4:4 COLOR baseline-JPEG decode under the gate: three
     // component-interleaved entropy streams with independent DC
     // predictors, each DC-only under an all-ones quant table (exact
@@ -1360,6 +1380,40 @@ object SimilarityQueries {
         |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
         |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
         |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the 4:2:0 channel means: Y from the 8×8 luma block
+    // coords, chroma from the 16×16 MCU coords (replication upsampling
+    // of an MCU-constant block is the identity), then the same
+    // fixed-point conversion as mm_jpeg_rgb.
+    "mm_jpeg_420" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 52) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 34) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    ((x // 8) + 3 * (y // 8) + id) % 256 AS yv,
+        |    (2 * (x // 16) + (y // 16) + id) % 256 AS cb,
+        |    ((x // 16) + 7 * (y // 16) + 2 * id) % 256 AS cr
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |rgb AS (SELECT id, w, h, x, y,
+        |    LEAST(255, GREATEST(0, ((yv * 65536 + 91881 * (cr - 128)
+        |      + 32768 + 16777216) // 65536) - 256)) AS r,
+        |    LEAST(255, GREATEST(0, ((yv * 65536 - 22554 * (cb - 128)
+        |      - 46802 * (cr - 128) + 32768 + 16777216) // 65536) - 256))
+        |      AS g,
+        |    LEAST(255, GREATEST(0, ((yv * 65536 + 116130 * (cb - 128)
+        |      + 32768 + 16777216) // 65536) - 256)) AS b
+        |  FROM px)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives the color-JPEG channel means: block-constant YCbCr
     // from block coordinates, then EXACTLY the decoder's fixed-point

@@ -313,6 +313,46 @@ class MediaCodecSpec extends SparkSpec {
     assert(math.abs(px.meanB - sumB / n) < 1e-9)
   }
 
+  test("jpeg 4:2:0: subsampled round trip, partial MCUs, upsampling") {
+    // sizes crossing MCU boundaries both ways: 16×16 (1 MCU), 17×9
+    // (2×1 MCUs, both partial), 52×34 (4×3 MCUs, right+bottom partial)
+    for ((w, h) <- Seq((16, 16), (17, 9), (1, 1), (52, 34))) {
+      val seed = 47L
+      val px = decodeJpegRgb(7L, buildJpeg420Pattern(w, h, seed)).get
+      def cl(v: Long) = math.max(0L, math.min(255L, v))
+      def rgbAt(x: Int, y: Int): (Long, Long, Long) = {
+        val yv = ((x / 8) + 3L * (y / 8) + seed) % 256
+        val cb = (2L * (x / 16) + (y / 16) + seed) % 256
+        val cr = ((x / 16) + 7L * (y / 16) + 2L * seed) % 256
+        val r = cl(((yv * 65536 + 91881 * (cr - 128) + 32768
+          + 16777216) >> 16) - 256)
+        val g = cl(((yv * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128)
+          + 32768 + 16777216) >> 16) - 256)
+        val b = cl(((yv * 65536 + 116130 * (cb - 128) + 32768
+          + 16777216) >> 16) - 256)
+        (r, g, b)
+      }
+      val all = for (x <- 0 until w; y <- 0 until h) yield rgbAt(x, y)
+      val n = (w * h).toDouble
+      assert(px.width === w && px.height === h)
+      assert(px.meanR === all.map(_._1).sum / n, s"($w×$h)")
+      assert(px.meanG === all.map(_._2).sum / n, s"($w×$h)")
+      assert(px.meanB === all.map(_._3).sum / n, s"($w×$h)")
+      val top = (0 until w).map { x =>
+        val (r, g, b) = rgbAt(x, 0); r + g + b
+      }.sum
+      assert(px.topRowMean === top.toDouble / (3 * w))
+    }
+    // 4:2:2 (or any other layout) stays behind the seam: flip the Y
+    // sampling byte to 0x21 and re-run — must be None, not garbage
+    val ok = buildJpeg420Pattern(16, 16, 1L)
+    val sof = (0 until ok.length - 1).find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0).get
+    val s422 = ok.clone()
+    s422(sof + 11) = 0x21.toByte // first component's sampling byte
+    assert(decodeJpegRgb(1L, s422).isEmpty)
+  }
+
   test("jpeg pixels: unsupported or corrupt streams are data") {
     val ok = buildJpegPattern(16, 8, 3L)
     assert(decodeJpegPixels(1L, ok).isDefined)
