@@ -662,7 +662,35 @@ final class GraftTable(
     compactionSignature
   }
 
-  private def compactLocked(): Unit = {
+  /** OPTIMIZE … ZORDER: [[compact]], but the compacted epoch is laid
+    * out by the Morton key of two numeric columns (the public
+    * lakehouse multi-dimensional clustering recipe;
+    * [[graft.functions.ZValue]] documents the bit math). The pk-sorted
+    * layout prunes row groups on the pk only; after a z-order rewrite
+    * every file's [min,max] box is narrow in BOTH named columns, so
+    * min/max skipping works for predicates on either (pinned by a
+    * GraftTableSpec files-touched assertion). Analytic (non-bucketed)
+    * tables only — bucketed CDC tables keep their pk-sorted bucket
+    * layout, which the realtime delete path prunes by.
+    *
+    * Scale shape: one extra tiny min/max aggregate over the PERSISTED
+    * collapsed image (4 longs to the driver — table stats, not data),
+    * a codegen'd map-only z projection, and the range exchange any
+    * layout rewrite pays; `files` bounds output file count. */
+  def compactZOrder(colA: String, colB: String, files: Int = 32): Long =
+    epochLock.synchronized {
+      require(bucketKey.isEmpty,
+        "compactZOrder: z-order layout is for non-bucketed (analytic) " +
+          "tables; single-int-pk tables keep the bucketed pk-sorted " +
+          "layout the CDC path prunes by")
+      require(columns.exists(_.name == colA) && columns.exists(_.name == colB),
+        s"compactZOrder: unknown columns ($colA, $colB)")
+      compactLocked(zorder = Some((colA, colB, files)))
+      compactionSignature
+    }
+
+  private def compactLocked(
+      zorder: Option[(String, String, Int)] = None): Unit = {
     if (!exists) return
     val e = currentEpoch
     val cur = currentGen
@@ -687,7 +715,34 @@ final class GraftTable(
     // old data AS the staging epoch, and the load's shards would then
     // append into a live epoch — a permanently corrupted table.
     val target = (listEpochs() ++ pendingStagedLoad() :+ e).max + 1
-    val w = bucketKey match {
+    val w = zorder match {
+      case Some((ca, cb, files)) =>
+        // min-max normalize both dims to 16 bits from a 4-long driver
+        // aggregate (table stats, not data), then range-partition and
+        // sort by the interleaved key: each output file covers one z
+        // range — a narrow [min,max] box in BOTH dims
+        val img = keep.persist()
+        val mm = img.agg(
+          min(col(ca).cast(LongType)), max(col(ca).cast(LongType)),
+          min(col(cb).cast(LongType)), max(col(cb).cast(LongType)))
+          .collect()(0)
+        if (mm.isNullAt(0) || mm.isNullAt(2)) img.write // empty/all-null
+        else {
+          val (mnA, mxA) = (mm.getLong(0), mm.getLong(1))
+          val (mnB, mxB) = (mm.getLong(2), mm.getLong(3))
+          def norm(c: Column, mn: Long, mx: Long): Column =
+            if (mx == mn) lit(0L)
+            else ((coalesce(c.cast(LongType), lit(mn)) - mn) * 65535L)
+              .divide(lit(mx - mn)).cast(LongType)
+          val z = graft.functions.ZValue.zColumn(
+            norm(col(ca), mnA, mxA), norm(col(cb), mnB, mxB))
+          img.withColumn("_zorder", z)
+            .repartitionByRange(files, col("_zorder"))
+            .sortWithinPartitions("_zorder")
+            .drop("_zorder")
+            .write
+        }
+      case None => bucketKey match {
       case Some(k) =>
         // same (bucket, salt) co-location + pk sort as writeBatch: the
         // FINAL aggregate leaves pk-hash partitioning, and writing THAT
@@ -700,8 +755,10 @@ final class GraftTable(
           .sortWithinPartitions(col(k.name))
           .write.partitionBy("_bucket")
       case None => keep.write
+      }
     }
     w.mode(SaveMode.Overwrite).parquet(genDataPath(target, cur))
+    if (zorder.isDefined) keep.unpersist()
     writeEpochPtr(target)
     // previous epoch survives one cycle for in-flight readers; anything
     // older — including partial epochs from crashed attempts — goes now.

@@ -163,6 +163,47 @@ class GraftTableSpec extends SparkSpec {
       s"post-compact lookup leaked outside _bucket=2: ${files2.mkString(",")}")
   }
 
+  test("compactZOrder: per-file boxes narrow in BOTH dims; view kept") {
+    val schema2 = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("payload", StringType)))
+    // composite key → non-bucketed, the analytic-table shape
+    val t = GraftTable(spark, tmpDir("graft-zorder"), Seq("a", "b"), schema2)
+    val rows = for (a <- 0L until 64L; b <- 0L until 64L)
+      yield (a, b, s"p$a-$b")
+    t.append(rows.toDF("a", "b", "payload"), version = 1)
+    t.compactZOrder("a", "b", files = 16)
+    // the FINAL view is untouched by the layout rewrite
+    assert(t.read.count() === 64L * 64L)
+    assert(t.read.filter(col("a") === 5 && col("b") === 9)
+      .collect().map(_.getString(2)).toSeq === Seq("p5-9"))
+    // per-file [min,max] boxes: a point predicate on EITHER dimension's
+    // midpoint must touch a strict minority of files — the property a
+    // single-column sort cannot give for the second column
+    // per-file stats need a RAW scan: input_file_name() does not
+    // survive the FINAL view's aggregate
+    val boxes = spark.read.parquet(t.read.inputFiles: _*)
+      .select(input_file_name().as("f"), col("a"), col("b"))
+      .groupBy("f")
+      .agg(min("a").as("na"), max("a").as("xa"),
+        min("b").as("nb"), max("b").as("xb"))
+      .collect()
+    assert(boxes.length >= 8, s"expected ~16 files, got ${boxes.length}")
+    val hitA = boxes.count(r => r.getLong(1) <= 31 && 31 <= r.getLong(2))
+    val hitB = boxes.count(r => r.getLong(3) <= 31 && 31 <= r.getLong(4))
+    assert(hitA <= boxes.length / 2,
+      s"a-midpoint touches $hitA/${boxes.length} files — no a-locality")
+    assert(hitB <= boxes.length / 2,
+      s"b-midpoint touches $hitB/${boxes.length} files — no b-locality")
+    // bucketed (single-int-pk) tables refuse: their layout is the CDC
+    // delete path's pruning contract
+    val bucketed = mkTable()
+    bucketed.append(Seq((1L, "x")).toDF("id", "v"), version = 1)
+    intercept[IllegalArgumentException] {
+      bucketed.compactZOrder("id", "id")
+    }
+  }
+
   test("truncate clears data, table stays usable") {
     val t = mkTable()
     t.append(Seq((1L, "a")).toDF("id", "v"), version = 1)
