@@ -282,6 +282,137 @@ object MediaCodec {
     media.mapPartitions(_.flatMap { case (id, p) => decodeWavSamples(id, p) })
   }
 
+  // ----------------------------------------------------- µ-law audio
+
+  /** G.711 µ-law expand: one companded byte → linear int16. The
+    * CCITT/G.711 reference formula — complement, 3-bit exponent, 4-bit
+    * mantissa, bias 0x84 — stateless per sample, so a SQL oracle can
+    * mirror it with integer arithmetic. */
+  def ulawDecodeSample(b0: Int): Int = {
+    val u = ~b0 & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 µ-law compress: linear int16 → companded byte (the search
+    * half of the pair; used by the round-trip spec). */
+  def ulawEncodeSample(pcm: Int): Int = {
+    var s = pcm
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    ~(sign | (exp << 4) | ((s >> (exp + 3)) & 0x0f)) & 0xff
+  }
+
+  /** Full sample decode of a µ-law RIFF/WAVE (format tag 7, 8-bit
+    * companded) — the real COMPRESSED-audio codec path, the telephony
+    * G.711 standard: chunk walk, then per-byte expansion to linear
+    * int16 and the same loudness statistics as [[decodeWavSamples]].
+    * Non-µ-law streams return None. */
+  def decodeWavUlaw(id: Long, b: Array[Byte]): Option[WavSamples] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    var off = 12L
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var dataOff = -1L
+    var dataLen = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+      val i = off.toInt
+      val id4 = tag(b, i)
+      val sz = le32(b, i + 4).toLong & 0xffffffffL
+      if (id4 == "fmt " && off + 8 + 16 <= b.length)
+        fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12),
+          le16(b, i + 22)))
+      else if (id4 == "data") {
+        dataOff = off + 8
+        dataLen = math.min(sz, b.length - off - 8)
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    fmt match {
+      case Some((7, ch, rate, 8))
+          if ch > 0 && rate > 0 && dataOff >= 0 && dataLen >= 0 =>
+        val nFrames = dataLen / ch
+        var sum = 0L; var sumAbs = 0L; var peak = 0; var first = 0L
+        var f = 0L
+        while (f < nFrames) {
+          var c = 0
+          while (c < ch) {
+            val v = ulawDecodeSample(b((dataOff + f * ch + c).toInt) & 0xff)
+            sum += v
+            val a = math.abs(v)
+            sumAbs += a
+            if (a > peak) peak = a
+            if (f == 0L) first += v
+            c += 1
+          }
+          f += 1
+        }
+        val n = nFrames * ch
+        Some(WavSamples(id, ch, rate, nFrames,
+          if (n > 0) sum.toDouble / n else 0.0,
+          if (n > 0) sumAbs.toDouble / n else 0.0,
+          peak,
+          if (nFrames > 0) first.toDouble / ch else 0.0))
+      case _ => None
+    }
+  }
+
+  /** A µ-law WAV with a deterministic companded byte pattern
+    * b(f, c) = (5f + 11c + seed) mod 256 — every statistic follows
+    * from the G.711 expansion of that arithmetic. */
+  def buildWavUlawPattern(channels: Int, sampleRate: Int, nSamples: Long,
+                          seed: Long): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && nSamples >= 0)
+    val dataLen = (nSamples * channels).toInt
+    val total = 44 + dataLen
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(s: String): Unit =
+      b.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    ascii("RIFF"); b.putInt(total - 8); ascii("WAVE")
+    ascii("fmt "); b.putInt(16)
+    b.putShort(7) // WAVE_FORMAT_MULAW
+    b.putShort(channels.toShort).putInt(sampleRate)
+    b.putInt(sampleRate * channels) // byte rate (1 byte/sample)
+    b.putShort(channels.toShort) // block align
+    b.putShort(8) // bits per sample
+    ascii("data"); b.putInt(dataLen)
+    var f = 0L
+    while (f < nSamples) {
+      var c = 0
+      while (c < channels) {
+        b.put(((5 * f + 11 * c + seed) % 256).toByte)
+        c += 1
+      }
+      f += 1
+    }
+    b.array()
+  }
+
+  /** Fixture adapter for the µ-law gate. */
+  def wavUlawFromDocuments(spark: SparkSession,
+                           docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildWavUlawPattern(channels = 1 + (id % 2).toInt,
+          sampleRate = 8000, nSamples = 1 + nChars % 400, seed = id))
+      }
+  }
+
+  /** Per-partition batch µ-law decode — payloads never shuffle. */
+  def extractWavUlaw(media: Dataset[(Long, Array[Byte])])
+      : Dataset[WavSamples] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => decodeWavUlaw(id, p) })
+  }
+
   /** The real header decoder behind the [[Multimodal.MediaDecoder]]-
     * shaped seam: BMP and WAV parse for real; anything else (or a
     * corrupt payload) yields an invalid row. */

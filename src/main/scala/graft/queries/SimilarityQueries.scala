@@ -563,6 +563,28 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL COMPRESSED-audio decode under the gate: every doc becomes a
+    // µ-law WAV (G.711, format tag 7 — the telephony standard) with a
+    // deterministic companded byte pattern; the decoder expands each
+    // byte to linear int16 via the CCITT formula (complement, 3-bit
+    // exponent, 4-bit mantissa, bias 0x84) and reduces to the same
+    // loudness statistics as mm_wav_samples. The oracle mirrors the
+    // expansion in SQL integer arithmetic — stateless per sample, so
+    // the full compressed→linear path is hash-gated.
+    "mm_wav_ulaw" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.wavUlawFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWavUlaw(media).toDF()
+        .select(col("id").as("doc_id"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"),
+          round(col("meanSample"), 6).as("mean_sample"),
+          round(col("meanAbs"), 6).as("mean_abs"),
+          col("peakAbs").as("peak_abs"),
+          round(col("firstFrameMean"), 6).as("first_frame_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL PCM16 sample decode under the gate — the audio twin of
     // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
     // little-endian int16 frames spanning negative values, LIST chunks
@@ -1522,6 +1544,39 @@ object SimilarityQueries {
         |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
         |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
         |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the µ-law loudness stats by expanding the companded
+    // byte pattern with the G.711 formula in SQL: u = 255 − b
+    // (complement), t = ((u mod 16)·8 + 132) << ((u ÷ 16) mod 8),
+    // value = ±(t − 132) by the sign bit.
+    "mm_wav_ulaw" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (doc_id % 2) AS ch,
+        |    1 + (CAST(n_chars AS BIGINT) % 400) AS n
+        |  FROM documents),
+        |sm AS (SELECT id, ch, n, f, c,
+        |    255 - ((5 * f + 11 * c + id) % 256) AS u
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(n)) AS f),
+        |    LATERAL (SELECT unnest(range(ch)) AS c)),
+        |pcm AS (SELECT id, ch, n, f, c,
+        |    CASE WHEN u >= 128
+        |      THEN 132 - ((((u % 16) * 8) + 132) << ((u // 16) % 8))
+        |      ELSE ((((u % 16) * 8) + 132) << ((u // 16) % 8)) - 132
+        |    END AS v
+        |  FROM sm)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(ch) AS INT) AS channels,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  round(CAST(SUM(v) AS DOUBLE) / (MAX(n) * MAX(ch)), 6)
+        |    AS mean_sample,
+        |  round(CAST(SUM(abs(v)) AS DOUBLE) / (MAX(n) * MAX(ch)), 6)
+        |    AS mean_abs,
+        |  CAST(MAX(abs(v)) AS INT) AS peak_abs,
+        |  round(CAST(SUM(CASE WHEN f = 0 THEN v ELSE 0 END) AS DOUBLE)
+        |    / MAX(ch), 6) AS first_frame_mean
+        |FROM pcm GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Audio twin: re-derives the decoded loudness stats from the signal
     // arithmetic — one row per (frame, channel) via range() unnest,

@@ -507,6 +507,53 @@ class MediaCodecSpec extends SparkSpec {
     assert(decodePngPixels(1L, pal).isEmpty)
   }
 
+  test("ulaw: G.711 expand/compress pair is self-consistent") {
+    // known anchor points of the standard
+    assert(ulawDecodeSample(0xff) === 0) // +0
+    assert(ulawDecodeSample(0x7f) === 0) // −0
+    assert(ulawDecodeSample(0x00) === -32124) // negative full scale
+    assert(ulawDecodeSample(0x80) === 32124) // positive full scale
+    // decode∘encode is idempotent on the quantization lattice for every
+    // byte (0x7f and 0xff both mean zero, so compare decoded values)
+    (0 until 256).foreach { u =>
+      val v = ulawDecodeSample(u)
+      assert(ulawDecodeSample(ulawEncodeSample(v)) === v, s"byte $u")
+    }
+    // encode maps every int16 onto a byte that decodes within the
+    // segment's quantization step (≤ 1004 at full scale)
+    val rnd = new scala.util.Random(20260820L)
+    (1 to 2000).foreach { _ =>
+      val s = rnd.nextInt(65536) - 32768
+      val back = ulawDecodeSample(ulawEncodeSample(s))
+      assert(math.abs(back - math.max(-32635, math.min(32635, s))) <= 1004)
+    }
+  }
+
+  test("ulaw wav: patterned decode matches the closed-form expansion") {
+    for (ch <- Seq(1, 2)) {
+      val n = 300L; val seed = 9L
+      val px = decodeWavUlaw(7L,
+        buildWavUlawPattern(ch, 8000, n, seed)).get
+      def v(f: Long, c: Int): Long = {
+        val u = 255 - ((5 * f + 11 * c + seed) % 256)
+        val t = (((u % 16) * 8) + 132) << ((u / 16) % 8)
+        if (u >= 128) 132 - t else t - 132
+      }
+      val all = for (f <- 0L until n; c <- 0 until ch) yield v(f, c)
+      assert(px.channels === ch && px.nSamples === n)
+      assert(px.meanSample === all.sum.toDouble / (n * ch))
+      assert(px.meanAbs === all.map(math.abs).sum.toDouble / (n * ch))
+      assert(px.peakAbs === all.map(math.abs).max)
+      assert(px.firstFrameMean ===
+        (0 until ch).map(v(0L, _)).sum.toDouble / ch)
+    }
+    // a PCM16 stream is not µ-law and vice versa
+    assert(decodeWavUlaw(1L,
+      buildWavPattern(1, 8000, 5, withListChunk = false, 1L)).isEmpty)
+    assert(decodeWavSamples(1L,
+      buildWavUlawPattern(1, 8000, 5, 1L)).isEmpty)
+  }
+
   test("wav samples: patterned decode matches closed-form stats, LIST skipped") {
     for (withList <- Seq(false, true)) {
       val ch = 2; val n = 9L; val seed = 5L
