@@ -822,6 +822,31 @@ class PlanAuditSpec extends SparkSpec {
       "a rules-sized join degraded to sort-merge")
   }
 
+  test("media decode: payloads never cross an exchange; sort-only plans") {
+    // the decode runs per-partition where the payload lives; only the
+    // small typed stat rows continue — at 100 TB of media the binary
+    // column must never ride a shuffle, and the only exchange is the
+    // driver-contract output sort
+    for (q <- Seq("mm_bmp_pixels", "mm_png_pixels", "mm_gif_pixels",
+        "mm_jpeg_pixels", "mm_jpeg_rgb", "mm_jpeg_420",
+        "mm_wav_samples", "mm_wav_ulaw")) {
+      val ns = nodes(SparkEntry.queries(q)(spark, dir))
+      val shuffles = ns.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType ==
+          org.apache.spark.sql.types.BinaryType),
+          s"$q: media payload rides an exchange: ${e.output.map(_.name)}")
+        assert(e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+          s"$q: a non-sort exchange crept into the decode pass")
+      }
+      assert(!ns.exists(_.nodeName.contains("Join")),
+        s"$q: decode planned a join")
+    }
+  }
+
   test("z-order layout: pruned scans, broadcast stats row, codegen'd z") {
     val ns = nodes(SparkEntry.queries("q_zorder_layout")(spark, dir))
     // two lineitem passes by design — the 1-row min/max stats aggregate

@@ -133,6 +133,40 @@ class MediaCodecSpec extends SparkSpec {
       decode(9L, seed.take(n))
   }
 
+  test("mutation fuzz: every CONTENT decoder is total on corrupt bytes") {
+    // the pixel/sample decoders run inside mapPartitions over crawl
+    // payloads: any input must produce Some/None, never a throw or a
+    // spin — the same totality contract as the header parsers
+    val rnd = new scala.util.Random(20260821L)
+    val cases: Seq[(Array[Byte], Array[Byte] => Any)] = Seq(
+      (buildBmpPattern(9, 7, topDown = false, 3L),
+        (b: Array[Byte]) => decodeBmpPixels(1L, b)),
+      (buildPngPattern(9, 7, 3L, splitIdat = true),
+        (b: Array[Byte]) => decodePngPixels(1L, b)),
+      (buildGifPattern(9, 7, 3L, withExtension = true),
+        (b: Array[Byte]) => decodeGifPixels(1L, b)),
+      (buildJpegPattern(17, 9, 3L),
+        (b: Array[Byte]) => decodeJpegPixels(1L, b)),
+      (buildJpegColorPattern(17, 9, 3L),
+        (b: Array[Byte]) => decodeJpegRgb(1L, b)),
+      (buildJpeg420Pattern(17, 9, 3L),
+        (b: Array[Byte]) => decodeJpegRgb(1L, b)),
+      (buildWavPattern(2, 8000, 50, withListChunk = true, 3L),
+        (b: Array[Byte]) => decodeWavSamples(1L, b)),
+      (buildWavUlawPattern(2, 8000, 50, 3L),
+        (b: Array[Byte]) => decodeWavUlaw(1L, b)))
+    for ((seed, dec) <- cases) {
+      (1 to 150).foreach { _ =>
+        val b = seed.clone()
+        (1 to 1 + rnd.nextInt(5)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        dec(b) // must return
+      }
+      for (n <- 0 until seed.length by 7) dec(seed.take(n))
+    }
+  }
+
   test("bmp pixels: patterned decode matches closed-form means, both orders") {
     // w=5 forces real row padding (15 pixel bytes -> 16-byte stride)
     for (topDown <- Seq(true, false)) {
