@@ -1262,6 +1262,346 @@ object MediaCodec {
     Some((w, h, planes))
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ------------------------------------------------- progressive JPEG
+
+  /** Grayscale PROGRESSIVE (SOF2) decode, spectral-selection scans:
+    * the coefficient array accumulates across scans — a DC scan
+    * (Ss=0, diff-coded like baseline, values << Al) then AC scans
+    * (Ss..Se bands with EOBRUN runs spanning blocks, per F.2.2 of the
+    * spec). Successive-approximation REFINEMENT scans (Ah > 0) and
+    * multi-component progressive stay behind the decoder seam. After
+    * the last scan every block goes through the same dequant + IDCT
+    * as baseline. */
+  def decodeJpegProgressive(id: Long, b: Array[Byte])
+      : Option[JpegPixels] = try {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    def u8(i: Int) = b(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var off = 2
+    var w = 0; var h = 0; var qId = -1
+    val quant = new Array[Array[Int]](4)
+    val huffCodes = new Array[Map[(Int, Int), Int]](8)
+    var coefs: Array[Array[Int]] = null // per-block natural-order coefs
+    var bw8 = 0; var bh8 = 0
+    var dcPred = 0
+    var sawSof = false
+    while (off + 2 <= b.length) {
+      if (u8(off) != 0xff) return None
+      val marker = u8(off + 1)
+      if (marker == 0xd9) { // EOI: reconstruct
+        if (!sawSof || coefs == null || qId < 0 || quant(qId) == null)
+          return None
+        val qt = quant(qId)
+        var sumG = 0L; var top = 0L
+        var by = 0
+        while (by < bh8) {
+          var bx = 0
+          while (bx < bw8) {
+            val c = coefs(by * bw8 + bx)
+            val dq = new Array[Int](64)
+            var k = 0
+            while (k < 64) { // quant table is in zigzag order, like coefs' source scan positions mapped back
+              dq(zigzag(k)) = c(zigzag(k)) * qt(k)
+              k += 1
+            }
+            val px = idct8x8(dq)
+            val xMax = math.min(8, w - bx * 8)
+            val yMax = math.min(8, h - by * 8)
+            var yy = 0
+            while (yy < yMax) {
+              var xx = 0
+              while (xx < xMax) {
+                val v = px(yy * 8 + xx)
+                sumG += v
+                if (by == 0 && yy == 0) top += v
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val n = w.toLong * h
+        return Some(JpegPixels(id, w, h, sumG.toDouble / n, top.toDouble / w))
+      }
+      if (off + 4 > b.length) return None
+      val len = u16(off + 2)
+      if (len < 2 || off + 2 + len > b.length) return None
+      val seg = off + 4
+      marker match {
+        case 0xdb =>
+          var p = seg
+          while (p < off + 2 + len) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 15
+            if (pq != 0 || tq > 3) return None
+            if (p + 1 + 64 > off + 2 + len) return None
+            quant(tq) = Array.tabulate(64)(i => u8(p + 1 + i))
+            p += 65
+          }
+        case 0xc4 =>
+          var p = seg
+          while (p < off + 2 + len) {
+            val cls = u8(p) >> 4; val tid = u8(p) & 15
+            if (cls > 1 || tid > 3) return None
+            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+            val n = bits.sum
+            if (p + 17 + n > off + 2 + len) return None
+            huffCodes(cls * 4 + tid) =
+              canonicalCodes(bits, n).zipWithIndex.map {
+                case ((code, cl), ix) => (cl, code) -> u8(p + 17 + ix)
+              }.toMap
+            p += 17 + n
+          }
+        case 0xc2 => // SOF2 progressive
+          if (u8(seg) != 8 || u8(seg + 5) != 1) return None // gray only
+          if (u8(seg + 7) != 0x11) return None
+          h = u16(seg + 1); w = u16(seg + 3)
+          qId = u8(seg + 8)
+          if (w <= 0 || h <= 0) return None
+          bw8 = (w + 7) / 8; bh8 = (h + 7) / 8
+          coefs = Array.fill(bw8 * bh8)(new Array[Int](64))
+          sawSof = true
+        case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcc | 0xcd | 0xce | 0xcf =>
+          return None // only SOF2 on this path
+        case 0xdd => return None
+        case 0xda => // one scan: entropy data follows until next marker
+          if (!sawSof || u8(seg) != 1) return None
+          val tsel = u8(seg + 2)
+          val ss = u8(seg + 3); val se = u8(seg + 4)
+          val ah = u8(seg + 5) >> 4; val al = u8(seg + 5) & 15
+          if (ah != 0) return None // refinement: behind the seam
+          if (ss > se || se > 63) return None
+          val br = new JpegBitReader(b, off + 2 + len)
+          def huffDecode(t: Map[(Int, Int), Int]): Int = {
+            var code = 0; var l = 0
+            while (l < 16) {
+              val x = br.bit()
+              if (x < 0) return -1
+              code = (code << 1) | x
+              l += 1
+              t.get((l, code)) match {
+                case Some(sym) => return sym
+                case None => ()
+              }
+            }
+            -1
+          }
+          if (ss == 0) { // DC scan (must have se == 0 per spec)
+            if (se != 0) return None
+            val dcT = huffCodes(tsel >> 4)
+            if (dcT == null) return None
+            dcPred = 0
+            var bi = 0
+            while (bi < coefs.length) {
+              val s = huffDecode(dcT)
+              if (s < 0 || s > 11) return None
+              val bits = if (s == 0) 0 else br.bits(s)
+              if (bits < 0) return None
+              dcPred += extend(bits, s)
+              coefs(bi)(0) = dcPred << al
+              bi += 1
+            }
+          } else { // AC band scan, non-interleaved single component
+            val acT = huffCodes((tsel & 15) + 4)
+            if (acT == null) return None
+            var eobrun = 0
+            var bi = 0
+            while (bi < coefs.length) {
+              if (eobrun > 0) eobrun -= 1
+              else {
+                var k = ss
+                var done = false
+                while (k <= se && !done) {
+                  val rs = huffDecode(acT)
+                  if (rs < 0) return None
+                  val r = rs >> 4
+                  val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) k += 16 // ZRL
+                    else { // EOBn: run of 2^r + extra bits, incl. this
+                      val extra = if (r == 0) 0 else br.bits(r)
+                      if (extra < 0) return None
+                      eobrun = (1 << r) - 1 + extra
+                      done = true
+                    }
+                  } else {
+                    k += r
+                    if (k > se) return None
+                    val vb = br.bits(s)
+                    if (vb < 0) return None
+                    coefs(bi)(zigzag(k)) = extend(vb, s) << al
+                    k += 1
+                  }
+                }
+              }
+              bi += 1
+            }
+          }
+          // skip the entropy bytes to the next marker (destuffed scan)
+          var p = off + 2 + len
+          var found = -1
+          while (found < 0 && p + 1 < b.length) {
+            if (u8(p) == 0xff && u8(p + 1) != 0x00) found = p
+            else p += 1
+          }
+          if (found < 0) return None
+          off = found
+        case _ => ()
+      }
+      if (marker != 0xda) off += 2 + len
+    }
+    None // ran off the end without EOI
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real progressive ENCODE (spectral selection, grayscale): SOF2,
+    * a DC scan, then one AC band scan (1..63) — nonzero bands coded
+    * with the baseline (r, s) pairs and zero tails folded into EOBRUN
+    * runs that span blocks, per the progressive F.2.2 coding model. */
+  def buildJpegProgressive(width: Int, height: Int,
+                           blocks: Int => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def be(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xdb); be(67); out.write(0x00)
+    var i = 0
+    while (i < 64) { out.write(1); i += 1 }
+    m(0xc2); be(11) // SOF2, 1 component
+    out.write(8); be(height); be(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      m(0xc4); be(2 + 1 + 16 + vals.length); out.write(cls << 4)
+      bits.foreach(out.write); out.write(vals, 0, vals.length)
+    }
+    // the BASELINE standard AC table has no EOBn symbols (0x10..0xE0
+    // carry s=0 only in progressive scans), so the AC band scan ships
+    // its own flat 9-bit table covering (r, s) ∀ r, s∈1..10 + EOB runs
+    // + ZRL — 176 symbols, Kraft 176/512, read back from the DHT like
+    // any other table
+    val progAcVals: Array[Byte] =
+      (Seq(0x00, 0xf0) ++ (1 to 14).map(_ << 4) ++
+        (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s))
+        .map(_.toByte).toArray
+    val progAcBits = Array(0, 0, 0, 0, 0, 0, 0, 0, progAcVals.length,
+      0, 0, 0, 0, 0, 0, 0)
+    dht(0, stdDcBits, stdDcVals)
+    dht(1, progAcBits, progAcVals)
+    val dcC = canonicalCodes(stdDcBits, stdDcVals.length)
+    val acC = canonicalCodes(progAcBits, progAcVals.length)
+    val acMap = progAcVals.zipWithIndex.map { case (sym, ix) =>
+      (sym & 0xff) -> acC(ix)
+    }.toMap
+    val bw8 = (width + 7) / 8
+    val bh8 = (height + 7) / 8
+    val nB = bw8 * bh8
+    def sos(ss: Int, se: Int): JpegBitWriter = {
+      m(0xda); be(8); out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write(0)
+      new JpegBitWriter(out)
+    }
+    // scan 1: DC
+    var bw = sos(0, 0)
+    var pred = 0
+    var bi = 0
+    while (bi < nB) {
+      val dc = blocks(bi)(0)
+      val diff = dc - pred
+      pred = dc
+      val s = category(diff)
+      val (c0, l0) = dcC(s)
+      bw.put(c0, l0)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bi += 1
+    }
+    bw.flush()
+    // scan 2: AC band 1..63 with EOBRUN folding across all-zero tails
+    bw = sos(1, 63)
+    var eobrun = 0
+    def flushEobrun(): Unit = if (eobrun > 0) {
+      var r = 0
+      while ((2 << r) <= eobrun && r < 14) r += 1 // largest 2^r <= run
+      val (c1, l1) = acMap(r << 4)
+      bw.put(c1, l1)
+      if (r > 0) bw.put(eobrun - (1 << r), r)
+      eobrun = 0
+    }
+    bi = 0
+    while (bi < nB) {
+      val coef = blocks(bi)
+      val hasAc = (1 to 63).exists(k => coef(zigzag(k)) != 0)
+      if (!hasAc) {
+        eobrun += 1
+        if (eobrun == 32767) flushEobrun()
+      } else {
+        flushEobrun()
+        var run = 0
+        var k = 1
+        var last = 63
+        while (last >= 1 && coef(zigzag(last)) == 0) last -= 1
+        while (k <= last) {
+          val v = coef(zigzag(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) {
+              val (zc, zl) = acMap(0xf0); bw.put(zc, zl); run -= 16
+            }
+            val s = category(v)
+            val (c1, l1) = acMap((run << 4) | s)
+            bw.put(c1, l1)
+            bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (last < 63) eobrun += 1 // EOB for this block's zero tail
+        if (eobrun == 32767) flushEobrun()
+      }
+      bi += 1
+    }
+    flushEobrun()
+    bw.flush()
+    m(0xd9)
+    out.toByteArray
+  }
+
+  /** [[buildJpegProgressive]] with the block-constant gray picture —
+    * DC-only, exact through the IDCT, same arithmetic as the baseline
+    * fixture so the oracle shape is shared. */
+  def buildJpegProgressivePattern(width: Int, height: Int,
+                                  seed: Long): Array[Byte] = {
+    val bw8 = (width + 7) / 8
+    buildJpegProgressive(width, height, { bi =>
+      val v = ((bi % bw8) + 3L * (bi / bw8) + seed) % 256
+      val coef = new Array[Int](64)
+      coef(0) = (v.toInt - 128) * 8
+      coef
+    })
+  }
+
+  /** Fixture adapter for the progressive gate. */
+  def jpegProgressiveFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildJpegProgressivePattern(width = 1 + (nChars % 33).toInt,
+          height = 1 + (nChars % 21).toInt, seed = id))
+      }
+  }
+
+  /** Per-partition batch progressive decode — payloads never shuffle. */
+  def extractJpegProgressive(media: Dataset[(Long, Array[Byte])])
+      : Dataset[JpegPixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) =>
+      decodeJpegProgressive(id, p) })
+  }
+
   /** Fixture adapter for the JPEG gate: every document becomes a
     * block-constant grayscale baseline JPEG (dimensions from n_chars,
     * pattern seeded by id) — the full Huffman+IDCT pipeline runs under

@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   *  - the decoder is a trait so the container's missing image/audio libs
   *    are STUBBED with [[DeterministicFakeDecoder]] — the schema,
   *    partitioning and batch plumbing are real and tested, the codec is
-  *    swapped in production. The stub now covers ONLY progressive JPEG
-  *    (SOF2), H.264 and perceptual audio codecs (MP3/AAC) — G.711
-  *    µ-law, the telephony compressed-audio standard, decodes for real
-  *    ([[MediaCodec.decodeWavUlaw]], gated `mm_wav_ulaw`):
-  *    BMP/PNG/GIF/JPEG and
+  *    swapped in production. The stub now covers ONLY successive-
+  *    approximation progressive JPEG refinement scans, H.264 and
+  *    perceptual audio codecs (MP3/AAC) — spectral-selection
+  *    progressive JPEG ([[MediaCodec.decodeJpegProgressive]], gated
+  *    `mm_jpeg_prog`: multi-scan coefficient accumulation, EOBRUN
+  *    runs) and G.711 µ-law, the telephony compressed-audio standard
+  *    ([[MediaCodec.decodeWavUlaw]], gated `mm_wav_ulaw`), decode for
+  *    real: BMP/PNG/GIF/JPEG and
   *    RIFF/WAV container headers parse for real in [[MediaCodec]]
   *    (pure JVM, gated by a round-trip oracle), and FIVE formats
   *    decode CONTENT for real: baseline JPEG in grayscale, 4:4:4

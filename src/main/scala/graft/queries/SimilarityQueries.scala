@@ -462,6 +462,24 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL progressive-JPEG (SOF2) decode under the gate: the fixture
+    // carries a DC scan plus an AC band scan whose all-zero blocks fold
+    // into EOBRUN runs spanning blocks — the spectral-selection coding
+    // model. The coefficient array accumulates across scans and goes
+    // through the same dequant + IDCT as baseline, so the DC-only
+    // fixture stays exact and the oracle re-derives the means from
+    // block arithmetic. Successive-approximation refinement scans stay
+    // behind the decoder seam (None), pinned in spec.
+    "mm_jpeg_prog" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.jpegProgressiveFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractJpegProgressive(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanGray"), 6).as("mean_gray"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL 4:2:0 subsampled-JPEG decode under the gate — the dominant
     // wild-web JPEG layout: each 16×16 MCU carries four interleaved Y
     // blocks plus one Cb and one Cr, and the decoder replicates the
@@ -1401,6 +1419,27 @@ object SimilarityQueries {
         |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
         |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
         |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Same block arithmetic as mm_jpeg_pixels over the progressive
+    // fixture's dimensions — the pipeline under test is the multi-scan
+    // coefficient accumulation, not the expectation.
+    "mm_jpeg_prog" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 33) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 21) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    ((x // 8) + 3 * (y // 8) + id) % 256 AS v
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y))
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(v) AS DOUBLE) / (MAX(w) * MAX(h)), 6)
+        |    AS mean_gray,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN v ELSE 0 END) AS DOUBLE)
+        |    / MAX(w), 6) AS top_row_mean
         |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives the 4:2:0 channel means: Y from the 8×8 luma block

@@ -828,7 +828,7 @@ class PlanAuditSpec extends SparkSpec {
     // column must never ride a shuffle, and the only exchange is the
     // driver-contract output sort
     for (q <- Seq("mm_bmp_pixels", "mm_png_pixels", "mm_gif_pixels",
-        "mm_jpeg_pixels", "mm_jpeg_rgb", "mm_jpeg_420",
+        "mm_jpeg_pixels", "mm_jpeg_rgb", "mm_jpeg_420", "mm_jpeg_prog",
         "mm_wav_samples", "mm_wav_ulaw")) {
       val ns = nodes(SparkEntry.queries(q)(spark, dir))
       val shuffles = ns.collect {

@@ -151,6 +151,8 @@ class MediaCodecSpec extends SparkSpec {
         (b: Array[Byte]) => decodeJpegRgb(1L, b)),
       (buildJpeg420Pattern(17, 9, 3L),
         (b: Array[Byte]) => decodeJpegRgb(1L, b)),
+      (buildJpegProgressivePattern(17, 9, 3L),
+        (b: Array[Byte]) => decodeJpegProgressive(1L, b)),
       (buildWavPattern(2, 8000, 50, withListChunk = true, 3L),
         (b: Array[Byte]) => decodeWavSamples(1L, b)),
       (buildWavUlawPattern(2, 8000, 50, 3L),
@@ -263,6 +265,57 @@ class MediaCodecSpec extends SparkSpec {
       assert(math.abs(px.meanGray - sum.toDouble / (w * h)) < 1e-9,
         s"round $round AC path diverged")
       assert(math.abs(px.topRowMean - top.toDouble / w) < 1e-9)
+    }
+  }
+
+  test("jpeg progressive: spectral-selection decode == baseline decode") {
+    // the same picture through SOF2 (DC scan + AC band scan) and SOF0
+    // must decode identically — incl. partial edge blocks and 1×1
+    for ((w, h) <- Seq((16, 16), (13, 9), (1, 1), (33, 21))) {
+      val seed = 29L
+      val prog = decodeJpegProgressive(7L,
+        buildJpegProgressivePattern(w, h, seed)).get
+      val base = decodeJpegPixels(7L, buildJpegPattern(w, h, seed)).get
+      assert(prog.width === base.width && prog.height === base.height)
+      assert(prog.meanGray === base.meanGray, s"($w×$h)")
+      assert(prog.topRowMean === base.topRowMean)
+    }
+    // each decoder rejects the other's frame type
+    assert(decodeJpegPixels(1L,
+      buildJpegProgressivePattern(8, 8, 1L)).isEmpty)
+    assert(decodeJpegProgressive(1L, buildJpegPattern(8, 8, 1L)).isEmpty)
+    // successive-approximation refinement (Ah > 0) stays behind the
+    // seam: flip the AC scan's AhAl byte and the stream must be None
+    val ok = buildJpegProgressivePattern(16, 16, 1L)
+    val sos2 = (0 until ok.length - 1).filter(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xda)(1)
+    val refine = ok.clone()
+    refine(sos2 + 9) = 0x10.toByte // Ah=1
+    assert(decodeJpegProgressive(1L, refine).isEmpty)
+  }
+
+  test("jpeg progressive: AC band scan round-trips arbitrary blocks") {
+    // sparse AC across many blocks: EOBRUN runs spanning blocks, ZRL,
+    // negatives, and the all-zero-tail EOB folding all get exercised;
+    // expectation = the same blocks through the BASELINE encoder
+    val rnd = new scala.util.Random(20260822L)
+    (1 to 4).foreach { round =>
+      val (w, h) = (40, 24) // 5×3 = 15 blocks
+      val blocks = Array.fill(15) {
+        val coef = new Array[Int](64)
+        coef(0) = rnd.nextInt(1201) - 600
+        // most blocks all-zero AC → long EOBRUNs; a few dense
+        if (rnd.nextInt(3) == 0)
+          (1 to 3).foreach(_ =>
+            coef(1 + rnd.nextInt(63)) = rnd.nextInt(301) - 150)
+        coef
+      }
+      val prog = decodeJpegProgressive(1L,
+        buildJpegProgressive(w, h, blocks(_))).get
+      val base = decodeJpegPixels(1L,
+        buildJpegBlocks(w, h, blocks(_))).get
+      assert(prog.meanGray === base.meanGray, s"round $round")
+      assert(prog.topRowMean === base.topRowMean, s"round $round")
     }
   }
 
