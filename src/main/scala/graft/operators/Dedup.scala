@@ -357,7 +357,18 @@ object Dedup {
     // counting the checkpointed relation is a metadata-cheap job (no
     // recompute), and it decides the strategy like AQE decides a join
     val nEdges = base.count()
-    if (nEdges <= driverFallbackEdges) return driverComponents(base)
+    // the driver union-find keys a Long hash map, so it only admits
+    // integral id columns; string/decimal/other ids take the
+    // distributed loop regardless of edge count
+    val integralIds = base.schema.fields(0).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (nEdges <= driverFallbackEdges && integralIds)
+      return driverComponents(base)
     val edges = base.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(base.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = ckpt(edges.select(col("src").as("id")).distinct()

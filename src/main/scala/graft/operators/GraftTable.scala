@@ -730,10 +730,19 @@ final class GraftTable(
         else {
           val (mnA, mxA) = (mm.getLong(0), mm.getLong(1))
           val (mnB, mxB) = (mm.getLong(2), mm.getLong(3))
-          def norm(c: Column, mn: Long, mx: Long): Column =
-            if (mx == mn) lit(0L)
-            else ((coalesce(c.cast(LongType), lit(mn)) - mn) * 65535L)
-              .divide(lit(mx - mn)).cast(LongType)
+          // normalize via DOUBLE: integer (c-mn)*65535 overflows Long
+          // once the column's range exceeds ~1.4e14 (and mx-mn itself
+          // can overflow across the sign boundary, e.g. hash-derived
+          // ids), yielding garbage z keys — the layout silently loses
+          // its pruning power. Layout quality doesn't need bit-exact
+          // integer division; clamp to [0, 65535] after the fp math.
+          def norm(c: Column, mn: Long, mx: Long): Column = {
+            val range = mx.toDouble - mn.toDouble
+            if (range <= 0d) lit(0L)
+            else least(lit(65535L), greatest(lit(0L),
+              ((coalesce(c.cast(LongType), lit(mn)).cast("double")
+                - mn.toDouble) * 65535d / range).cast(LongType)))
+          }
           val z = graft.functions.ZValue.zColumn(
             norm(col(ca), mnA, mxA), norm(col(cb), mnB, mxB))
           img.withColumn("_zorder", z)

@@ -162,7 +162,7 @@ object MediaCodec {
     * layout). Returns None for anything that is not a well-formed
     * uncompressed 24-bpp BMP — palette/compressed/32-bpp variants stay
     * behind the decoder seam with the entropy-coded formats. */
-  def decodeBmpPixels(id: Long, b: Array[Byte]): Option[BmpPixels] = {
+  def decodeBmpPixels(id: Long, b: Array[Byte]): Option[BmpPixels] = try {
     if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
         le32(b, 14) >= 40)) return None
     val off = le32(b, 10) // pixel-array offset from the file header
@@ -174,13 +174,16 @@ object MediaCodec {
     val comp = le32(b, 30) // BI_RGB = 0 only
     if (w <= 0 || h <= 0 || hRaw == Int.MinValue || bpp != 24 || comp != 0)
       return None
-    val stride = ((24 * w + 31) / 32) * 4 // rows pad to 4 bytes
-    if (off < 54 || off.toLong + stride.toLong * h > b.length) return None
+    // stride in Long: a crafted w ≥ ~89M overflows the Int expression
+    // to a negative stride that slips past the bounds check below
+    val stride = ((24L * w + 31L) / 32L) * 4L // rows pad to 4 bytes
+    if (off < 54 || off.toLong + stride * h > b.length) return None
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
     var y = 0
     while (y < h) { // y is the IMAGE row; map to the stored row
       val stored = if (topDown) y else h - 1 - y
-      val ro = off + stored * stride
+      // fits Int: off + stride·h ≤ b.length ≤ Int.MaxValue (checked)
+      val ro = (off.toLong + stored * stride).toInt
       var x = 0
       while (x < w) {
         val p = ro + 3 * x // BGR order
@@ -196,6 +199,8 @@ object MediaCodec {
     val n = w.toLong * h
     Some(BmpPixels(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
       sumB.toDouble / n, top.toDouble / (3L * w)))
+  } catch { // corrupt payload is a datum, never a task failure
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Per-partition batch pixel decode — payloads never shuffle; only
@@ -1091,6 +1096,10 @@ object MediaCodec {
     val acSel = new Array[Int](3)
     while (sosAt < 0) {
       if (off + 4 > b.length || u8(off) != 0xff) return None
+      // skip 0xFF fill bytes before the marker (legal padding, T.81
+      // B.1.1.2, mirroring parseJpeg) — without this a padded segment
+      // reads marker 0xFF and a bogus length, silently dropping the row
+      while (off + 4 < b.length && u8(off + 1) == 0xff) off += 1
       val marker = u8(off + 1)
       if (marker == 0xd9) return None // EOI before SOS
       val len = u16(off + 2)
@@ -1288,6 +1297,9 @@ object MediaCodec {
     var sawSof = false
     while (off + 2 <= b.length) {
       if (u8(off) != 0xff) return None
+      // skip 0xFF fill bytes before the marker (T.81 B.1.1.2), like
+      // parseJpeg — padded segments must decode, not silently drop
+      while (off + 2 < b.length && u8(off + 1) == 0xff) off += 1
       val marker = u8(off + 1)
       if (marker == 0xd9) { // EOI: reconstruct
         if (!sawSof || coefs == null || qId < 0 || quant(qId) == null)
@@ -2021,7 +2033,7 @@ object MediaCodec {
     * palette, 16-bit, alpha, interlaced, bad CRC, short stream — parses
     * None, never throws: corrupt crawl payloads are data, not task
     * failures. */
-  def decodePngPixels(id: Long, b: Array[Byte]): Option[PngPixels] = {
+  def decodePngPixels(id: Long, b: Array[Byte]): Option[PngPixels] = try {
     val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     if (b.length < 45 || !sig.indices.forall(i => (b(i) & 0xff) == sig(i)))
       return None
@@ -2051,9 +2063,12 @@ object MediaCodec {
       else if (typ == "IEND") done = true
       off += 12 + len.toInt
     }
-    val stride = 3 * w
-    val expected = h.toLong * (1 + stride)
-    if (expected > Int.MaxValue) return None
+    // stride/expected in Long: a crafted IHDR width ≥ ~715M overflows
+    // 3·w in Int, and h·(1+stride) can exceed Int range either way
+    val strideL = 3L * w
+    val expected = h.toLong * (1L + strideL)
+    if (strideL > Int.MaxValue || expected > Int.MaxValue) return None
+    val stride = strideL.toInt
     val raw = new Array[Byte](expected.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -2061,7 +2076,10 @@ object MediaCodec {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // short stream
+        // needsDictionary: a zlib stream with FDICT set makes inflate
+        // return 0 with needsInput() false — loop forever without this
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // short stream / preset-dictionary stream
         got += n
       }
       if (got < raw.length) return None
@@ -2107,6 +2125,8 @@ object MediaCodec {
     }
     Some(PngPixels(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
       sumB.toDouble / n, top.toDouble / (3L * w)))
+  } catch { // corrupt payload is a datum, never a task failure
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Real PNG ENCODE of the same deterministic picture as

@@ -111,14 +111,34 @@ object QualityClassifier {
         // order, honoring memoFit's pure-function contract (a plain
         // double sum over distributed partitions is order-dependent).
         // 12 fractional digits keeps the quantization (≤5e-13/row) far
-        // below the Newton step's meaningful precision.
-        val dec = (c: Column) => sum(c.cast("decimal(26,12)"))
-        val gradAggs = (0 until d).map(j =>
-          dec((col("y") - p) * col(s"x$j")).as(s"g_$j"))
-        val hessAggs = for { j <- 0 until d; k <- j until d } yield
-          dec(s * col(s"x$j") * col(s"x$k")).as(s"h_${j}_$k")
-        val aggs = gradAggs ++ hessAggs
+        // below the Newton step's meaningful precision; 26 integer
+        // digits keep any plausible contribution (s·xⱼ·xₖ with features
+        // up to ~1e13) in range — decimal(26,12) capped out at 1e14.
+        // Every contribution is range-checked BEFORE the cast: an
+        // out-of-range value must fail the fit loudly in ANY SQL mode —
+        // with ANSI off a raw cast overflow is a silent NULL that sum()
+        // skips (a silently-biased model), with ANSI on it's a cryptic
+        // task-level ArithmeticException. The guard aggregate counts
+        // violations in the same job, so the check costs no extra pass.
+        val bound = 1e26 // decimal(38,12)'s integer-digit capacity
+        val gradTerms = (0 until d).map(j =>
+          (col("y") - p) * col(s"x$j"))
+        val hessTerms = for { j <- 0 until d; k <- j until d } yield
+          s * col(s"x$j") * col(s"x$k")
+        val terms = gradTerms ++ hessTerms
+        val dec = (c: Column) =>
+          sum(when(abs(c) < bound, c.cast("decimal(38,12)")))
+        val aggs = terms.zipWithIndex.map { case (c, i) =>
+          dec(c).as(s"a_$i")
+        } :+ sum(when(greatest(terms.map(abs): _*) >= bound, 1L)
+          .otherwise(0L)).as("n_overflow")
         val row = fdf.agg(aggs.head, aggs.tail: _*).head()
+        if (row.getLong(aggs.size - 1) > 0L)
+          throw new IllegalStateException(
+            s"IRLS contributions overflowed decimal(38,12) on " +
+              s"${row.getLong(aggs.size - 1)} rows — feature magnitudes " +
+              "exceed the fit's numeric envelope; rescale or clamp the " +
+              "feature columns")
         val cell = (i: Int) => row.getDecimal(i).doubleValue()
         val g = Array.tabulate(d)(j => cell(j) - ridge * n * w(j))
         val h = Array.ofDim[Double](d, d)

@@ -773,8 +773,21 @@ object TextQueries {
     // exports. Fingerprints only through one full-outer id join.
     "t_corpus_diff" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
+      // Inject null texts so the gate actually EXERCISES the null
+      // path (the fixture has none): %25==4 null in BOTH dumps — the
+      // explicit presence markers must classify it 'unchanged', a
+      // fingerprint-nullability oracle would call it 'added' — and
+      // %25==11 null in the NEW dump only, which the null-safe compare
+      // must classify 'changed'.
+      val nullBoth = (c: org.apache.spark.sql.Column) =>
+        when(col("doc_id") % 25 === 4, lit(null).cast("string"))
+          .otherwise(c)
       val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text", nullBoth(col("text")))
       val newSnap = docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text", nullBoth(
+          when(col("doc_id") % 25 === 11, lit(null).cast("string"))
+            .otherwise(col("text"))))
         .withColumn("text",
           when(col("doc_id") % 20 === 5, reverse(col("text")))
             .otherwise(col("text")))
@@ -2518,16 +2531,23 @@ object TextQueries {
     // a null-text doc has a NULL fingerprint but is still PRESENT, so
     // classification must branch on in_old/in_new, and the fingerprint
     // compare must be null-safe (IS NOT DISTINCT FROM) so two null-text
-    // rows are 'unchanged', never 'added'.
+    // rows are 'unchanged', never 'added'. The %25 CASEs inject the
+    // null texts the fixture lacks (both-null and new-only-null rows),
+    // so this null handling is exercised, not dead code.
     "t_corpus_diff" ->
       """WITH o AS (SELECT doc_id AS id, TRUE AS in_old,
-        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_old
+        |    md5(lower(regexp_replace(
+        |      CASE WHEN doc_id % 25 = 4 THEN NULL ELSE text END,
+        |      '\s+', ' ', 'g'))) AS fp_old
         |  FROM documents WHERE doc_id % 10 <> 3),
         |nn AS (SELECT doc_id AS id, TRUE AS in_new,
         |    md5(lower(regexp_replace(
-        |      CASE WHEN doc_id % 20 = 5 THEN reverse(text) ELSE text END,
+        |      CASE WHEN doc_id % 20 = 5 THEN reverse(t) ELSE t END,
         |      '\s+', ' ', 'g'))) AS fp_new
-        |  FROM documents WHERE doc_id % 10 <> 7)
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 25 IN (4, 11) THEN NULL
+        |               ELSE text END AS t
+        |        FROM documents WHERE doc_id % 10 <> 7))
         |SELECT id AS doc_id,
         |  CASE WHEN in_old IS NULL THEN 'added'
         |       WHEN in_new IS NULL THEN 'removed'

@@ -692,4 +692,75 @@ class MediaCodecSpec extends SparkSpec {
       0, 0, 2, 16000, 50L))
     assert(!out(3L).valid)
   }
+
+  test("bmp/png pixels: adversarial dimensions overflow to None, not crash") {
+    // BMP: w = 89 478 486 makes 24·w overflow Int to a negative stride
+    // that used to slip past the bounds check into an index crash
+    val bmp = new Array[Byte](128)
+    def le32(off: Int, v: Int): Unit = { // little-endian writer
+      bmp(off) = (v & 0xff).toByte; bmp(off + 1) = ((v >> 8) & 0xff).toByte
+      bmp(off + 2) = ((v >> 16) & 0xff).toByte
+      bmp(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    bmp(0) = 'B'; bmp(1) = 'M'
+    le32(10, 54); le32(14, 40) // pixel offset, DIB header size
+    le32(18, 89478486); le32(22, 1) // w overflows 24·w in Int; h = 1
+    bmp(28) = 24 // bpp
+    le32(30, 0) // BI_RGB
+    assert(decodeBmpPixels(1L, bmp).isEmpty)
+    // PNG: IHDR width 2^30 makes 3·w overflow Int — previously a
+    // NegativeArraySizeException at the inflate buffer
+    val wide = buildPngPattern(4, 4, 1L, splitIdat = false)
+    wide(16) = 0x40.toByte; wide(17) = 0; wide(18) = 0; wide(19) = 0
+    val crc = new java.util.zip.CRC32()
+    crc.update(wide, 12, 17)
+    val cv = crc.getValue
+    wide(29) = ((cv >> 24) & 0xff).toByte
+    wide(30) = ((cv >> 16) & 0xff).toByte
+    wide(31) = ((cv >> 8) & 0xff).toByte
+    wide(32) = (cv & 0xff).toByte
+    assert(decodePngPixels(1L, wide).isEmpty)
+  }
+
+  test("png pixels: a zlib stream with FDICT set is data, not a hang") {
+    // CMF 0x78 / FLG 0x20: FDICT bit set, (CMF·256+FLG) % 31 == 0 —
+    // Inflater returns 0 with needsInput() false forever without the
+    // needsDictionary() guard
+    val ihdrSrc = buildPngPattern(4, 4, 1L, splitIdat = false)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ihdrSrc, 0, 33) // signature + IHDR chunk (valid CRC)
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        (v & 0xff).toByte)
+      out.write(be32(payload.length.toLong))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(payload)
+      val c = new java.util.zip.CRC32()
+      c.update(tb); c.update(payload)
+      out.write(be32(c.getValue))
+    }
+    chunk("IDAT", Array(0x78.toByte, 0x20.toByte, 0, 0, 0, 1))
+    chunk("IEND", Array.emptyByteArray)
+    assert(decodePngPixels(1L, out.toByteArray).isEmpty)
+  }
+
+  test("jpeg pixels: 0xFF fill bytes before markers still decode") {
+    // T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    // bytes; insert one before every segment (after SOI) and the
+    // decode must equal the unpadded picture — not silently drop
+    def pad(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(b(0)); out.write(b(1)) // SOI
+      out.write(0xff) // fill byte before the first segment marker
+      out.write(b, 2, b.length - 2)
+      out.toByteArray
+    }
+    val base = buildJpegPattern(16, 8, 3L)
+    assert(decodeJpegPixels(1L, pad(base)) === decodeJpegPixels(1L, base))
+    val prog = buildJpegProgressivePattern(16, 16, 1L)
+    assert(decodeJpegProgressive(1L, pad(prog)) ===
+      decodeJpegProgressive(1L, prog))
+    assert(decodeJpegProgressive(1L, prog).isDefined)
+  }
 }

@@ -163,4 +163,22 @@ class QualityClassifierSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
   }
+
+  test("large features fit in range; absurd ones fail loudly, not silently") {
+    // features ~2e7 used to overflow the per-row decimal(26,12) cast to
+    // NULL, which sum() silently skipped — the Newton step then fit a
+    // biased model with no error. decimal(38,12) takes them in stride.
+    val big = Seq((1L, 2.0e7, 1), (2L, 1.9e7, 1), (3L, 0.5, 0),
+      (4L, 0.7, 0)).toDF("id", "f", "y")
+    val m = QualityClassifier.fitOn(big, Seq("f" -> col("f")), col("y"),
+      iters = 3)
+    assert(m.weights.head != 0.0 && !m.weights.head.isNaN)
+    // beyond decimal(38,12)'s envelope the fit must throw, not bias
+    val absurd = Seq((1L, 1.0e30, 1), (2L, 0.5, 0)).toDF("id", "f", "y")
+    val ex = intercept[IllegalStateException] {
+      QualityClassifier.fitOn(absurd, Seq("f" -> col("f")), col("y"),
+        iters = 1)
+    }
+    assert(ex.getMessage.contains("overflowed"))
+  }
 }

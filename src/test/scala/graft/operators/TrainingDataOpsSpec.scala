@@ -283,6 +283,19 @@ class TrainingDataOpsSpec extends SparkSpec {
       Map(5 -> 4, 9 -> 4, 4 -> 4))
   }
 
+  test("componentLabels: string ids skip the driver fallback and solve") {
+    // the driver union-find keys a Long map — non-integral ids must
+    // route to the distributed loop even under the edge threshold
+    // (previously a ClassCastException at collect time)
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val out = Dedup.componentLabels(pairs)
+    assert(out.schema("id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("hashSplit: deterministic, covers all labels, respects cut order") {
     val ids = spark.range(0, 2000).toDF("id")
     val split = Sampling.hashSplit(col("id"),
