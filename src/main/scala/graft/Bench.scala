@@ -38,10 +38,11 @@ import org.apache.spark.sql.SparkSession
   *  - per query, the JVM's accumulated GC time across its runs is
   *    reported (`gc_ms` in query_stats) so a slow tail can be
   *    attributed to collection pressure instead of guessed at.
-  * `SPARK_GRAFT_PASSES` (default 1) repeats the whole family loop: with
-  * passes ≥ 2 the JSON gains per-family per-pass totals and a
-  * worst-family agreement ratio — the adjudicability check that two
-  * back-to-back runs of identical code agree.
+  * `SPARK_GRAFT_PASSES` (default 2, so the official artifact carries
+  * the evidence) repeats the whole family loop: with passes ≥ 2 the
+  * JSON gains per-family per-pass totals and a worst-family agreement
+  * ratio — the adjudicability check that two back-to-back runs of
+  * identical code agree. Set 1 for cheap local iteration.
   *
   * Beyond per-query timings it reports the two phase headlines
   * BASELINE.md measures for the reference (tests/test_performance.py):
@@ -181,8 +182,12 @@ object Bench {
     // deterministic (family, name) order: two runs of the same surface
     // see the same cache/GC history, the precondition for comparing them
     val ordered = queries.toSeq.sortBy { case (n, _) => (familyOf(n), n) }
+    // default 2: the official (driver-run) artifact itself must carry
+    // the per-family agreement evidence — the r8 official run executed
+    // one pass and its agreement field was vacuously 1.0, leaving
+    // adjudicability proof only in the builder's committed run
     val passes =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt)
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
 
     // A failed run must NOT masquerade as a timing: it records -1 and the
     // query lands in "errors" (median is over the successful runs only,

@@ -256,16 +256,29 @@ object DdlParser {
         if (Set("index", "key", "constraint", "unique", "fulltext",
                 "spatial", "foreign", "primary").contains(kw)) AlterOp.Noop
         else {
-          val start = dropColKeyword(1)
+          var start = dropColKeyword(1)
+          // MariaDB dialect: ADD [COLUMN] IF NOT EXISTS `c` type
+          val cond = peekAt(low, start) == "if" &&
+            peekAt(low, start + 1) == "not" &&
+            peekAt(low, start + 2) == "exists"
+          if (cond) start += 3
           val (defText, pos) = splitPosition(toks, start)
           val (f, _) = parseColumnDef(defText)
-          AlterOp.AddColumn(f, pos.getOrElse(ColumnPosition.Last))
+          AlterOp.AddColumn(f, pos.getOrElse(ColumnPosition.Last),
+            ifNotExists = cond)
         }
       case Some("drop") =>
         val kw = peekAt(low, 1)
         if (Set("index", "key", "constraint", "foreign", "primary",
                 "check").contains(kw)) AlterOp.Noop
-        else AlterOp.DropColumn(unquoteIdent(toks(dropColKeyword(1))))
+        else {
+          var start = dropColKeyword(1)
+          // MariaDB dialect: DROP [COLUMN] IF EXISTS `c`
+          val cond = peekAt(low, start) == "if" &&
+            peekAt(low, start + 1) == "exists"
+          if (cond) start += 2
+          AlterOp.DropColumn(unquoteIdent(toks(start)), ifExists = cond)
+        }
       case Some("modify") =>
         val start = dropColKeyword(1)
         val (defText, pos) = splitPosition(toks, start)

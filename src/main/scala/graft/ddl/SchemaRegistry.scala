@@ -127,11 +127,17 @@ final class SchemaRegistry(
       val db = d0.getOrElse(eventDb)
       var schema = apply(db, t)
       ops.foreach {
-        case AlterOp.AddColumn(f, pos) =>
-          val id = schema.idCounter + 1
-          schema = schema.addColumn(f.copy(id = id), pos)
-            .copy(idCounter = id)
-        case AlterOp.DropColumn(c) => schema = schema.dropColumn(c)
+        case AlterOp.AddColumn(f, pos, ifNotExists) =>
+          // MariaDB conditional: present column → the clause is a noop
+          if (!(ifNotExists && schema.fields.exists(_.name == f.name))) {
+            val id = schema.idCounter + 1
+            schema = schema.addColumn(f.copy(id = id), pos)
+              .copy(idCounter = id)
+          }
+        case AlterOp.DropColumn(c, ifExists) =>
+          // MariaDB conditional: absent column → the clause is a noop
+          if (!(ifExists && !schema.fields.exists(_.name == c)))
+            schema = schema.dropColumn(c)
         case AlterOp.ModifyColumn(f, pos) =>
           val keep = schema.fields(schema.fieldIndex(f.name)).id
           schema = schema.modifyColumn(f.copy(id = keep), pos)

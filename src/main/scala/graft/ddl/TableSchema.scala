@@ -142,8 +142,13 @@ object DdlOp {
 
 sealed trait AlterOp
 object AlterOp {
-  final case class AddColumn(field: FieldSchema, pos: ColumnPosition) extends AlterOp
-  final case class DropColumn(name: String) extends AlterOp
+  /** `ifNotExists`/`ifExists`: MariaDB's conditional ALTER dialect
+    * (`ADD COLUMN IF NOT EXISTS`, `DROP COLUMN IF EXISTS`) — the apply
+    * side skips the op instead of failing when the condition holds. */
+  final case class AddColumn(field: FieldSchema, pos: ColumnPosition,
+                             ifNotExists: Boolean = false) extends AlterOp
+  final case class DropColumn(name: String,
+                              ifExists: Boolean = false) extends AlterOp
   final case class ModifyColumn(field: FieldSchema, pos: Option[ColumnPosition]) extends AlterOp
   final case class ChangeColumn(from: String, field: FieldSchema,
                                 pos: Option[ColumnPosition]) extends AlterOp

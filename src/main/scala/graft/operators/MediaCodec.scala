@@ -1273,14 +1273,16 @@ object MediaCodec {
 
   // ------------------------------------------------- progressive JPEG
 
-  /** Grayscale PROGRESSIVE (SOF2) decode, spectral-selection scans:
-    * the coefficient array accumulates across scans — a DC scan
-    * (Ss=0, diff-coded like baseline, values << Al) then AC scans
-    * (Ss..Se bands with EOBRUN runs spanning blocks, per F.2.2 of the
-    * spec). Successive-approximation REFINEMENT scans (Ah > 0) and
-    * multi-component progressive stay behind the decoder seam. After
-    * the last scan every block goes through the same dequant + IDCT
-    * as baseline. */
+  /** Grayscale PROGRESSIVE (SOF2) decode: the coefficient array
+    * accumulates across scans. Spectral selection — a DC scan (Ss=0,
+    * diff-coded like baseline, values << Al) then AC band scans
+    * (Ss..Se with EOBRUN runs spanning blocks, per F.2.2) — AND
+    * successive approximation: DC refinement scans (one raw bit per
+    * block ORed into bit Al) and AC refinement scans (correction bits
+    * for already-nonzero coefficients interleaved with newly-visible
+    * ±2^Al ones, per G.1.2.3). Multi-component progressive stays
+    * behind the decoder seam. After the last scan every block goes
+    * through the same dequant + IDCT as baseline. */
   def decodeJpegProgressive(id: Long, b: Array[Byte])
       : Option[JpegPixels] = try {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
@@ -1384,7 +1386,6 @@ object MediaCodec {
           val tsel = u8(seg + 2)
           val ss = u8(seg + 3); val se = u8(seg + 4)
           val ah = u8(seg + 5) >> 4; val al = u8(seg + 5) & 15
-          if (ah != 0) return None // refinement: behind the seam
           if (ss > se || se > 63) return None
           val br = new JpegBitReader(b, off + 2 + len)
           def huffDecode(t: Map[(Int, Int), Int]): Int = {
@@ -1401,7 +1402,7 @@ object MediaCodec {
             }
             -1
           }
-          if (ss == 0) { // DC scan (must have se == 0 per spec)
+          if (ss == 0 && ah == 0) { // DC first scan (se == 0 per spec)
             if (se != 0) return None
             val dcT = huffCodes(tsel >> 4)
             if (dcT == null) return None
@@ -1416,7 +1417,19 @@ object MediaCodec {
               coefs(bi)(0) = dcPred << al
               bi += 1
             }
-          } else { // AC band scan, non-interleaved single component
+          } else if (ss == 0) { // DC refinement: one appended bit/block
+            // successive approximation, T.81 G.1.2.1: the scan is a raw
+            // bit per block ORed into bit Al of the two's-complement DC
+            // (no Huffman table at all)
+            if (se != 0) return None
+            var bi = 0
+            while (bi < coefs.length) {
+              val x = br.bit()
+              if (x < 0) return None
+              if (x == 1) coefs(bi)(0) |= (1 << al)
+              bi += 1
+            }
+          } else if (ah == 0) { // AC band first scan, single component
             val acT = huffCodes((tsel & 15) + 4)
             if (acT == null) return None
             var eobrun = 0
@@ -1448,6 +1461,84 @@ object MediaCodec {
                     k += 1
                   }
                 }
+              }
+              bi += 1
+            }
+          } else { // AC band REFINEMENT scan, T.81 G.1.2.3
+            // Two interleaved streams ride the band: correction bits
+            // (one per already-nonzero coefficient passed, ORing bit Al
+            // toward the value's sign) and newly-visible ±2^Al
+            // coefficients coded as (run, 1) + sign. EOB runs cover
+            // whole blocks, but unlike the first pass their blocks
+            // still carry correction bits for every nonzero
+            // coefficient in the band.
+            val acT = huffCodes((tsel & 15) + 4)
+            if (acT == null) return None
+            val p1 = 1 << al
+            val m1 = -1 << al
+            // read one correction bit for the nonzero coef at zigzag k
+            def correct(blk: Array[Int], z: Int): Boolean = {
+              val cb = br.bit()
+              if (cb < 0) return false
+              if (cb == 1 && (blk(z) & p1) == 0)
+                blk(z) += (if (blk(z) >= 0) p1 else m1)
+              true
+            }
+            var eobrun = 0
+            var bi = 0
+            while (bi < coefs.length) {
+              val blk = coefs(bi)
+              var k = ss
+              if (eobrun == 0) {
+                var break = false
+                while (k <= se && !break) {
+                  val rs = huffDecode(acT)
+                  if (rs < 0) return None
+                  var r = rs >> 4
+                  val s = rs & 15
+                  var newVal = 0
+                  if (s != 0) {
+                    if (s != 1) return None // only ±1 new at this bit
+                    val sb = br.bit()
+                    if (sb < 0) return None
+                    newVal = if (sb == 1) p1 else m1
+                  } else if (r != 15) { // EOBn: current block included
+                    eobrun = 1 << r
+                    if (r > 0) {
+                      val extra = br.bits(r)
+                      if (extra < 0) return None
+                      eobrun += extra
+                    }
+                    break = true
+                  } // r == 15, s == 0: ZRL — skip 16 zero-history slots
+                  if (!break) {
+                    // advance over r zero-HISTORY coefficients (16 for
+                    // ZRL), correcting nonzero ones passed on the way
+                    var placed = false
+                    while (k <= se && !placed) {
+                      val z = zigzag(k)
+                      if (blk(z) != 0) {
+                        if (!correct(blk, z)) return None
+                        k += 1
+                      } else if (r == 0) placed = true
+                      else { r -= 1; k += 1 }
+                    }
+                    if (placed) {
+                      if (newVal != 0) blk(zigzag(k)) = newVal
+                      k += 1
+                    } else if (newVal != 0) return None // ran off band
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                // EOB-run block: correction bits for the remaining
+                // nonzero coefficients, then consume one run slot
+                while (k <= se) {
+                  val z = zigzag(k)
+                  if (blk(z) != 0 && !correct(blk, z)) return None
+                  k += 1
+                }
+                eobrun -= 1
               }
               bi += 1
             }
@@ -1578,6 +1669,217 @@ object MediaCodec {
     bw.flush()
     m(0xd9)
     out.toByteArray
+  }
+
+  /** Real SUCCESSIVE-APPROXIMATION progressive ENCODE (grayscale):
+    * SOF2 and four scans — DC first pass at Al=1 (diffs of the
+    * arithmetic-shifted DC), AC band 1..63 first pass at Al=1
+    * (sign-magnitude point transform), then the two Ah=1→Al=0
+    * refinement scans: raw DC bits, and the AC refinement coding
+    * model of T.81 G.1.2.3 — new ±1 coefficients as (run, 1) + sign
+    * over ZERO-HISTORY run positions, correction bits for
+    * already-nonzero coefficients buffered behind each emitted
+    * symbol, EOB runs carrying their blocks' correction bits. */
+  def buildJpegProgressiveRefined(width: Int, height: Int,
+                                  blocks: Int => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xff); out.write(marker) }
+    def be(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xdb); be(67); out.write(0x00)
+    var i = 0
+    while (i < 64) { out.write(1); i += 1 }
+    m(0xc2); be(11) // SOF2, 1 component
+    out.write(8); be(height); be(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      m(0xc4); be(2 + 1 + 16 + vals.length); out.write(cls << 4)
+      bits.foreach(out.write); out.write(vals, 0, vals.length)
+    }
+    // same flat AC table as buildJpegProgressive: EOBn + ZRL + (r, s)
+    val progAcVals: Array[Byte] =
+      (Seq(0x00, 0xf0) ++ (1 to 14).map(_ << 4) ++
+        (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s))
+        .map(_.toByte).toArray
+    val progAcBits = Array(0, 0, 0, 0, 0, 0, 0, 0, progAcVals.length,
+      0, 0, 0, 0, 0, 0, 0)
+    dht(0, stdDcBits, stdDcVals)
+    dht(1, progAcBits, progAcVals)
+    val dcC = canonicalCodes(stdDcBits, stdDcVals.length)
+    val acC = canonicalCodes(progAcBits, progAcVals.length)
+    val acMap = progAcVals.zipWithIndex.map { case (sym, ix) =>
+      (sym & 0xff) -> acC(ix)
+    }.toMap
+    val bw8 = (width + 7) / 8
+    val bh8 = (height + 7) / 8
+    val nB = bw8 * bh8
+    def sos(ss: Int, se: Int, ah: Int, al: Int): JpegBitWriter = {
+      m(0xda); be(8); out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+      new JpegBitWriter(out)
+    }
+    // scan 1: DC first pass, Al = 1 — diffs of (dc >> 1), arithmetic
+    // shift on the two's-complement value like the refinement expects
+    var bw = sos(0, 0, 0, 1)
+    var pred = 0
+    var bi = 0
+    while (bi < nB) {
+      val dc = blocks(bi)(0) >> 1
+      val diff = dc - pred
+      pred = dc
+      val s = category(diff)
+      val (c0, l0) = dcC(s)
+      bw.put(c0, l0)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bi += 1
+    }
+    bw.flush()
+    // scan 2: AC band 1..63 first pass, Al = 1 — sign-magnitude point
+    // transform t = sgn(v)·(|v| >> 1); |v| == 1 stays invisible here
+    // and surfaces in the refinement scan as a new coefficient
+    bw = sos(1, 63, 0, 1)
+    var eobrun = 0
+    def flushEobrun(extraBits: scala.collection.mutable.ArrayBuffer[Int])
+        : Unit = if (eobrun > 0) {
+      var r = 0
+      while ((2 << r) <= eobrun && r < 14) r += 1
+      val (c1, l1) = acMap(r << 4)
+      bw.put(c1, l1)
+      if (r > 0) bw.put(eobrun - (1 << r), r)
+      eobrun = 0
+      if (extraBits != null) {
+        extraBits.foreach(x => bw.put(x, 1))
+        extraBits.clear()
+      }
+    }
+    bi = 0
+    while (bi < nB) {
+      val coef = blocks(bi)
+      def t(k: Int): Int = {
+        val v = coef(zigzag(k))
+        if (v < 0) -((-v) >> 1) else v >> 1
+      }
+      val hasAc = (1 to 63).exists(k => t(k) != 0)
+      if (!hasAc) {
+        eobrun += 1
+        if (eobrun == 32767) flushEobrun(null)
+      } else {
+        flushEobrun(null)
+        var run = 0
+        var k = 1
+        var last = 63
+        while (last >= 1 && t(last) == 0) last -= 1
+        while (k <= last) {
+          val v = t(k)
+          if (v == 0) run += 1
+          else {
+            while (run > 15) {
+              val (zc, zl) = acMap(0xf0); bw.put(zc, zl); run -= 16
+            }
+            val s = category(v)
+            val (c1, l1) = acMap((run << 4) | s)
+            bw.put(c1, l1)
+            bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (last < 63) eobrun += 1
+        if (eobrun == 32767) flushEobrun(null)
+      }
+      bi += 1
+    }
+    flushEobrun(null)
+    bw.flush()
+    // scan 3: DC refinement, Ah=1 Al=0 — one raw bit per block (the
+    // two's-complement LSB; the decoder ORs it back in)
+    bw = sos(0, 0, 1, 0)
+    bi = 0
+    while (bi < nB) {
+      bw.put(blocks(bi)(0) & 1, 1)
+      bi += 1
+    }
+    bw.flush()
+    // scan 4: AC refinement, Ah=1 Al=0 (T.81 G.1.2.3): walk the band
+    // per block; |v| > 1 coefficients buffer their LSB as a correction
+    // bit behind the next emitted symbol, |v| == 1 coefficients emit
+    // (zero-history run, 1) + sign, trailing zero/correction-only
+    // tails fold into an EOB run that carries its blocks' bits
+    bw = sos(1, 63, 1, 0)
+    eobrun = 0
+    val beBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    bi = 0
+    while (bi < nB) {
+      val coef = blocks(bi)
+      var last = 63 // last |v| != 0 position: ZRLs beyond it fold to EOB
+      while (last >= 1 && coef(zigzag(last)) == 0) last -= 1
+      var r = 0
+      val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var k = 1
+      while (k <= 63) {
+        val v = coef(zigzag(k))
+        val a = math.abs(v)
+        if (a == 0) r += 1
+        else {
+          while (r > 15 && k <= last) {
+            flushEobrun(beBits)
+            val (zc, zl) = acMap(0xf0); bw.put(zc, zl)
+            r -= 16
+            brBits.foreach(x => bw.put(x, 1)); brBits.clear()
+          }
+          if (a > 1) brBits += (a & 1) // history-nonzero: correction bit
+          else { // newly visible ±1
+            flushEobrun(beBits)
+            val (c1, l1) = acMap((r << 4) | 1)
+            bw.put(c1, l1)
+            bw.put(if (v < 0) 0 else 1, 1) // sign bit
+            brBits.foreach(x => bw.put(x, 1)); brBits.clear()
+            r = 0
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || brBits.nonEmpty) {
+        eobrun += 1
+        beBits ++= brBits
+        if (eobrun == 32767 || beBits.length > 900) flushEobrun(beBits)
+      }
+      bi += 1
+    }
+    flushEobrun(beBits)
+    bw.flush()
+    m(0xd9)
+    out.toByteArray
+  }
+
+  /** [[buildJpegProgressiveRefined]] with a picture whose DC values
+    * are 8·(v−128)+5 for v = (bx + 3·by + seed) mod 255 — decoded
+    * pixel rint((8m+5)/8)+128 = v+1 exactly, while a decoder that
+    * skipped the refinement scans would sit on 8m+4 and half-even
+    * rounding would diverge on alternating blocks: the gate catches a
+    * fake refinement pass, not just a missing one. */
+  def buildJpegRefinePattern(width: Int, height: Int,
+                             seed: Long): Array[Byte] = {
+    val bw8 = (width + 7) / 8
+    buildJpegProgressiveRefined(width, height, { bi =>
+      val v = ((bi % bw8) + 3L * (bi / bw8) + seed) % 255
+      val coef = new Array[Int](64)
+      coef(0) = (v.toInt - 128) * 8 + 5
+      coef
+    })
+  }
+
+  /** Fixture adapter for the refinement gate. */
+  def jpegRefineFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildJpegRefinePattern(width = 1 + (nChars % 29).toInt,
+          height = 1 + (nChars % 17).toInt, seed = id))
+      }
   }
 
   /** [[buildJpegProgressive]] with the block-constant gray picture —

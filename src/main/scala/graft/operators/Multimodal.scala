@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   *  - the decoder is a trait so the container's missing image/audio libs
   *    are STUBBED with [[DeterministicFakeDecoder]] — the schema,
   *    partitioning and batch plumbing are real and tested, the codec is
-  *    swapped in production. The stub now covers ONLY successive-
-  *    approximation progressive JPEG refinement scans, H.264 and
-  *    perceptual audio codecs (MP3/AAC) — spectral-selection
-  *    progressive JPEG ([[MediaCodec.decodeJpegProgressive]], gated
-  *    `mm_jpeg_prog`: multi-scan coefficient accumulation, EOBRUN
-  *    runs) and G.711 µ-law, the telephony compressed-audio standard
+  *    swapped in production. The stub now covers ONLY H.264 and
+  *    perceptual audio codecs (MP3/AAC) — formats that genuinely need
+  *    native libraries. Progressive JPEG decodes for real in BOTH
+  *    modes ([[MediaCodec.decodeJpegProgressive]]): spectral
+  *    selection (gated `mm_jpeg_prog`: multi-scan coefficient
+  *    accumulation, EOBRUN runs) and successive-approximation
+  *    refinement (gated `mm_jpeg_refine`: Ah>0 correction-bit scans
+  *    per T.81 G.1.2), plus G.711 µ-law, the telephony standard
   *    ([[MediaCodec.decodeWavUlaw]], gated `mm_wav_ulaw`), decode for
   *    real: BMP/PNG/GIF/JPEG and
   *    RIFF/WAV container headers parse for real in [[MediaCodec]]

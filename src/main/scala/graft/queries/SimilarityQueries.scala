@@ -480,6 +480,23 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL successive-approximation progressive decode under the gate:
+    // four scans (DC/AC first pass at Al=1, then both Ah=1→Al=0
+    // refinements). The fixture's DC values are 8·(v−128)+5, so the
+    // decoded pixel is exactly v+1 ONLY when the refinement scans are
+    // actually applied — a decoder that stopped after the first pass
+    // sits on 8m+4, where half-even rounding diverges on alternating
+    // blocks; the oracle re-derives v+1 from block coordinates.
+    "mm_jpeg_refine" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.jpegRefineFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractJpegProgressive(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanGray"), 6).as("mean_gray"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL 4:2:0 subsampled-JPEG decode under the gate — the dominant
     // wild-web JPEG layout: each 16×16 MCU carries four interleaved Y
     // blocks plus one Cb and one Cr, and the decoder replicates the
@@ -1431,6 +1448,28 @@ object SimilarityQueries {
         |  FROM documents),
         |px AS (SELECT id, w, h, x, y,
         |    ((x // 8) + 3 * (y // 8) + id) % 256 AS v
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y))
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(v) AS DOUBLE) / (MAX(w) * MAX(h)), 6)
+        |    AS mean_gray,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN v ELSE 0 END) AS DOUBLE)
+        |    / MAX(w), 6) AS top_row_mean
+        |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the refinement fixture's pixels from block coords:
+    // v = (bx + 3·by + id) mod 255, decoded pixel = v + 1 exactly
+    // (DC = 8·(v−128)+5 → rint(m + 5/8) = m+1) — only a decoder that
+    // applies the Ah=1 correction scans lands on this arithmetic.
+    "mm_jpeg_refine" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 29) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 17) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    ((x // 8) + 3 * (y // 8) + id) % 255 + 1 AS v
         |  FROM dim,
         |    LATERAL (SELECT unnest(range(w)) AS x),
         |    LATERAL (SELECT unnest(range(h)) AS y))

@@ -31,9 +31,15 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * parses every field as a string and [[graft.operators
   * .RecordConversion]] casts by the table's MySQL type, so Debezium's
   * JSON scalars (numbers, booleans, strings) land unchanged. Deploy the
-  * connector with `decimal.handling.mode=string` and
-  * `time.precision.mode=connect` so DECIMAL/temporal columns arrive as
-  * castable text/epoch values rather than base64 structs.
+  * connector with `time.precision.mode=connect` so temporal columns
+  * arrive as castable epoch values. DECIMAL columns work in BOTH
+  * decimal modes: `decimal.handling.mode=string` rides through as
+  * text, and `precise` — the connector DEFAULT — arrives as base64
+  * big-endian two's-complement unscaled bytes under the Kafka Connect
+  * `Decimal` logical type; when the envelope carries its schema block
+  * (`value.converter.schemas.enable=true`, required for precise mode
+  * to be self-describing), those fields are normalized to plain
+  * decimal strings here, so downstream sees one wire shape either way.
   */
 object DebeziumJson {
 
@@ -80,10 +86,10 @@ object DebeziumJson {
           tbl <- str(s, "table")
           e <- op match {
             case "c" | "u" | "r" =>
-              row(p, "after").map(r =>
+              row(p, root, "after").map(r =>
                 SourceEvent(db, tbl, EventSpool.OpAdd, row = Some(r)))
             case "d" =>
-              row(p, "before").map(r =>
+              row(p, root, "before").map(r =>
                 SourceEvent(db, tbl, EventSpool.OpRemove, row = Some(r)))
             case _ => None // "t" truncate, "m" message, heartbeats
           }
@@ -95,6 +101,62 @@ object DebeziumJson {
   private def str(n: JsonNode, field: String): Option[String] =
     Option(n.get(field)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
 
-  private def row(p: JsonNode, field: String): Option[String] =
-    Option(p.get(field)).filter(_.isObject).map(_.toString)
+  /** Per-field decimal scales for the `before`/`after` struct named
+    * `image`, read from the envelope's schema block: fields whose
+    * logical type is Kafka Connect `Decimal` (what
+    * `decimal.handling.mode=precise` emits), scale from the type's
+    * parameters. Empty without a schema block — string/double decimal
+    * modes need no rewrite. */
+  private def decimalScales(root: JsonNode,
+                            image: String): Map[String, Int] = {
+    val out = Map.newBuilder[String, Int]
+    for {
+      sn <- Option(root.get("schema")).filter(_.isObject)
+      fields <- Option(sn.get("fields")).filter(_.isArray)
+    } {
+      fields.forEach { f =>
+        if (str(f, "field").contains(image)) {
+          Option(f.get("fields")).filter(_.isArray).foreach(_.forEach { c =>
+            if (Option(c.get("name")).exists(_.asText() ==
+                "org.apache.kafka.connect.data.Decimal"))
+              str(c, "field").foreach { name =>
+                val scale = Option(c.get("parameters"))
+                  .flatMap(pp => Option(pp.get("scale")))
+                  .flatMap(v => v.asText().toIntOption)
+                  .getOrElse(0)
+                out += name -> scale
+              }
+          })
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def row(p: JsonNode, root: JsonNode,
+                  field: String): Option[String] =
+    Option(p.get(field)).filter(_.isObject).map { n =>
+      val scales = decimalScales(root, field)
+      if (scales.isEmpty) n.toString
+      else {
+        // precise-mode decimals: base64(big-endian two's-complement
+        // unscaled bytes) → plain decimal string at the declared scale
+        val obj = n.deepCopy[JsonNode]()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        scales.foreach { case (name, scale) =>
+          val v = obj.get(name)
+          if (v != null && v.isTextual) {
+            try {
+              val bytes = java.util.Base64.getDecoder.decode(v.asText())
+              if (bytes.nonEmpty)
+                obj.put(name, new java.math.BigDecimal(
+                  new java.math.BigInteger(bytes), scale).toPlainString)
+            } catch { // not base64 after all: leave the value verbatim
+              case _: IllegalArgumentException => ()
+            }
+          }
+        }
+        obj.toString
+      }
+    }
 }

@@ -829,7 +829,7 @@ class PlanAuditSpec extends SparkSpec {
     // driver-contract output sort
     for (q <- Seq("mm_bmp_pixels", "mm_png_pixels", "mm_gif_pixels",
         "mm_jpeg_pixels", "mm_jpeg_rgb", "mm_jpeg_420", "mm_jpeg_prog",
-        "mm_wav_samples", "mm_wav_ulaw")) {
+        "mm_jpeg_refine", "mm_wav_samples", "mm_wav_ulaw")) {
       val ns = nodes(SparkEntry.queries(q)(spark, dir))
       val shuffles = ns.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

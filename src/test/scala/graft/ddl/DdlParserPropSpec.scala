@@ -71,11 +71,13 @@ object DdlParserPropSpec extends Properties("DdlParser") {
     for { n <- ident; (t, _) <- colType } yield (n, t)) { case (n, t) =>
     (DdlParser.parse(s"ALTER TABLE t ADD COLUMN `$n` $t AFTER `other`") match {
       case DdlOp.AlterTable(None, "t",
-        Seq(AlterOp.AddColumn(f, ColumnPosition.After("other")))) => f.name == n
+        Seq(AlterOp.AddColumn(f, ColumnPosition.After("other"), false))) =>
+        f.name == n
       case _ => false
     }) &&
     (DdlParser.parse(s"ALTER TABLE t DROP COLUMN `$n`") match {
-      case DdlOp.AlterTable(None, "t", Seq(AlterOp.DropColumn(c))) => c == n
+      case DdlOp.AlterTable(None, "t", Seq(AlterOp.DropColumn(c, false))) =>
+        c == n
       case _ => false
     })
   }

@@ -107,6 +107,24 @@ class DdlParserSpec extends AnyFunSuite {
     assert(ops(8) === AlterOp.Noop)
   }
 
+  test("MariaDB conditional ALTER clauses (IF [NOT] EXISTS)") {
+    val DdlOp.AlterTable(None, "t", ops) = DdlParser.parse(
+      """ALTER TABLE t
+        |  ADD COLUMN IF NOT EXISTS `stock` int DEFAULT 0,
+        |  ADD IF NOT EXISTS note varchar(20),
+        |  DROP COLUMN IF EXISTS `legacy`,
+        |  DROP IF EXISTS legacy2""".stripMargin): @unchecked
+    assert(ops(0) === AlterOp.AddColumn(
+      FieldSchema("stock", MInt(4, unsigned = false), "int",
+        defaultExpr = Some("0")),
+      ColumnPosition.Last, ifNotExists = true))
+    assert(ops(1) === AlterOp.AddColumn(
+      FieldSchema("note", MString(None), "varchar(20)"),
+      ColumnPosition.Last, ifNotExists = true))
+    assert(ops(2) === AlterOp.DropColumn("legacy", ifExists = true))
+    assert(ops(3) === AlterOp.DropColumn("legacy2", ifExists = true))
+  }
+
   test("DROP / RENAME / TRUNCATE") {
     assert(DdlParser.parse("DROP TABLE IF EXISTS db.t") ===
       DdlOp.DropTable(Seq((Some("db"), "t")), ifExists = true))

@@ -28,6 +28,23 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(!r("t").fields(1).nullable)
   }
 
+  test("MariaDB conditional ALTER: present/absent columns become noops") {
+    val r = reg()
+    // present column + IF NOT EXISTS → noop, not a duplicate-add error
+    r.applySql("ALTER TABLE t ADD COLUMN IF NOT EXISTS a varchar(99)")
+    assert(r("t").fields.map(_.name) === Vector("id", "a", "b"))
+    assert(r("t").fields(1).sourceType === "varchar(10)") // untouched
+    // absent column + IF NOT EXISTS → applied
+    r.applySql("ALTER TABLE t ADD COLUMN IF NOT EXISTS c int AFTER id")
+    assert(r("t").fields.map(_.name) === Vector("id", "c", "a", "b"))
+    // absent column + IF EXISTS → noop, not an unknown-column error
+    r.applySql("ALTER TABLE t DROP COLUMN IF EXISTS nope")
+    assert(r("t").fields.map(_.name) === Vector("id", "c", "a", "b"))
+    // present column + IF EXISTS → applied
+    r.applySql("ALTER TABLE t DROP COLUMN IF EXISTS c")
+    assert(r("t").fields.map(_.name) === Vector("id", "a", "b"))
+  }
+
   test("rename table / create like / drop") {
     val r = reg()
     r.applySql("CREATE TABLE t2 LIKE t")

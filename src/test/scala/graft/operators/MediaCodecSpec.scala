@@ -153,6 +153,8 @@ class MediaCodecSpec extends SparkSpec {
         (b: Array[Byte]) => decodeJpegRgb(1L, b)),
       (buildJpegProgressivePattern(17, 9, 3L),
         (b: Array[Byte]) => decodeJpegProgressive(1L, b)),
+      (buildJpegRefinePattern(17, 9, 3L),
+        (b: Array[Byte]) => decodeJpegProgressive(1L, b)),
       (buildWavPattern(2, 8000, 50, withListChunk = true, 3L),
         (b: Array[Byte]) => decodeWavSamples(1L, b)),
       (buildWavUlawPattern(2, 8000, 50, 3L),
@@ -284,14 +286,63 @@ class MediaCodecSpec extends SparkSpec {
     assert(decodeJpegPixels(1L,
       buildJpegProgressivePattern(8, 8, 1L)).isEmpty)
     assert(decodeJpegProgressive(1L, buildJpegPattern(8, 8, 1L)).isEmpty)
-    // successive-approximation refinement (Ah > 0) stays behind the
-    // seam: flip the AC scan's AhAl byte and the stream must be None
-    val ok = buildJpegProgressivePattern(16, 16, 1L)
-    val sos2 = (0 until ok.length - 1).filter(i =>
-      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xda)(1)
-    val refine = ok.clone()
-    refine(sos2 + 9) = 0x10.toByte // Ah=1
-    assert(decodeJpegProgressive(1L, refine).isEmpty)
+  }
+
+  test("jpeg refinement: successive-approximation decode == baseline") {
+    // the same picture through four SA scans (DC/AC first pass at
+    // Al=1, then both Ah=1→Al=0 refinements) and through SOF0 must
+    // decode identically — odd DCs force real DC correction bits,
+    // |v|==1 ACs are invisible at Al=1 and only exist via the
+    // refinement's new-coefficient path, |v|>1 ACs need their LSB
+    // correction bits, and sparse blocks drive refinement EOB runs
+    // that carry correction bits
+    def blocks(bi: Int): Array[Int] = {
+      val coef = new Array[Int](64)
+      coef(0) = (bi % 7) * 37 - 111 // mixed-parity, mixed-sign DCs
+      bi % 5 match {
+        case 0 => () // empty band → EOB-run block in both passes
+        case 1 => coef(1) = 1; coef(63) = -1 // new ±1s
+        case 2 => coef(5) = 9; coef(40) = -13 // odd |v|>1
+        case 3 => coef(2) = 12; coef(30) = -8 // even |v|>1
+        case _ => // ZRL territory: long zero gaps around a new ±1
+          coef(3) = 5; coef(24) = 1; coef(50) = -2
+      }
+      coef
+    }
+    for ((w, h) <- Seq((16, 16), (13, 9), (1, 1), (40, 24), (33, 21))) {
+      val ref = decodeJpegProgressive(7L,
+        buildJpegProgressiveRefined(w, h, blocks)).get
+      val base = decodeJpegPixels(7L, buildJpegBlocks(w, h, blocks)).get
+      assert(ref.width === base.width && ref.height === base.height)
+      assert(ref.meanGray === base.meanGray, s"($w×$h)")
+      assert(ref.topRowMean === base.topRowMean, s"($w×$h)")
+    }
+    // the gate pattern: DC = 8m+5, so a decoder that skipped (or
+    // faked) the refinement scans would sit on 8m+4 and diverge
+    val px = decodeJpegProgressive(3L, buildJpegRefinePattern(16, 16, 3L))
+    assert(px.isDefined)
+  }
+
+  test("jpeg refinement: random sparse blocks round-trip the SA path") {
+    val rnd = new scala.util.Random(20260823L)
+    (1 to 4).foreach { round =>
+      val (w, h) = (40, 24) // 5×3 = 15 blocks
+      val blocks = Array.fill(15) {
+        val coef = new Array[Int](64)
+        coef(0) = rnd.nextInt(1201) - 600
+        if (rnd.nextInt(3) == 0)
+          (1 to 4).foreach(_ =>
+            coef(1 + rnd.nextInt(63)) = rnd.nextInt(301) - 150)
+        if (rnd.nextInt(2) == 0) // ±1s: refinement-only coefficients
+          coef(1 + rnd.nextInt(63)) = 1 - 2 * rnd.nextInt(2)
+        coef
+      }
+      val ref = decodeJpegProgressive(1L,
+        buildJpegProgressiveRefined(w, h, blocks(_))).get
+      val base = decodeJpegPixels(1L, buildJpegBlocks(w, h, blocks(_))).get
+      assert(ref.meanGray === base.meanGray, s"round $round")
+      assert(ref.topRowMean === base.topRowMean, s"round $round")
+    }
   }
 
   test("jpeg progressive: AC band scan round-trips arbitrary blocks") {

@@ -43,6 +43,51 @@ class SpoolProducerSpec extends SparkSpec {
       EventSpool.OpRemove, row = Some("""{"id":1,"name":"bob"}"""))))
   }
 
+  test("debezium: decimal.handling.mode=precise base64 values normalize") {
+    // precise mode (the connector DEFAULT) ships DECIMAL columns as
+    // base64 big-endian two's-complement unscaled bytes under the
+    // Connect Decimal logical type; the adapter rewrites them to plain
+    // decimal strings using the schema block's declared scale
+    def valueSchema(image: String) =
+      s"""{"type":"struct","fields":[
+         |{"type":"int32","optional":false,"field":"id"},
+         |{"type":"bytes","optional":true,
+         |"name":"org.apache.kafka.connect.data.Decimal","version":1,
+         |"parameters":{"scale":"2","connect.decimal.precision":"8"},
+         |"field":"price"}],
+         |"optional":true,"field":"$image"}""".stripMargin
+    val schema = s"""{"type":"struct","fields":[
+         |${valueSchema("before")},${valueSchema("after")}]}""".stripMargin
+    // 5555 → 0x15B3 → "FbM=" (55.55); −1234 → 0xFB2E → "+y4=" (−12.34)
+    val upd = DebeziumJson.parse(
+      s"""{"schema":$schema,"payload":{
+         |"before":{"id":1,"price":"FbM="},
+         |"after":{"id":1,"price":"+y4="},
+         |"source":{"db":"shop","table":"p","file":"b.1","pos":4},
+         |"op":"u"}}""".stripMargin.replace("\n", ""))
+    assert(upd.event.get.row === Some("""{"id":1,"price":"-12.34"}"""))
+    // deletes normalize the BEFORE image the same way
+    val del = DebeziumJson.parse(
+      s"""{"schema":$schema,"payload":{
+         |"before":{"id":1,"price":"FbM="},"after":null,
+         |"source":{"db":"shop","table":"p","file":"b.1","pos":9},
+         |"op":"d"}}""".stripMargin.replace("\n", ""))
+    assert(del.event.get.row === Some("""{"id":1,"price":"55.55"}"""))
+    // a NULL decimal stays null; string mode (no schema block) rides
+    // through verbatim
+    val nul = DebeziumJson.parse(
+      s"""{"schema":$schema,"payload":{
+         |"before":null,"after":{"id":2,"price":null},
+         |"source":{"db":"shop","table":"p","file":"b.1","pos":12},
+         |"op":"c"}}""".stripMargin.replace("\n", ""))
+    assert(nul.event.get.row === Some("""{"id":2,"price":null}"""))
+    val stringMode = DebeziumJson.parse(
+      """{"payload":{"before":null,"after":{"id":3,"price":"81.10"},
+        |"source":{"db":"shop","table":"p","file":"b.1","pos":15},
+        |"op":"c"}}""".stripMargin.replace("\n", ""))
+    assert(stringMode.event.get.row === Some("""{"id":3,"price":"81.10"}"""))
+  }
+
   test("debezium: flat envelopes, tombstones, truncate, garbage") {
     // schemas.enable=false → no payload wrapper; same record
     val flat = DebeziumJson.parse(
@@ -348,8 +393,10 @@ class SpoolProducerSpec extends SparkSpec {
 
     val producer = new SpoolProducer(spool, cfg)
     // 2 schema-history DDLs + 2 snapshot reads + 2 inserts + 1 update +
-    // 1 delete = 8 events; tombstone/empty/truncate/heartbeat skipped
-    assert(new DebeziumTail(dump, producer).tick() === 8)
+    // 1 delete = 8 events; tombstone/empty/truncate/heartbeat skipped;
+    // + 2 redelivered duplicates (the connector-restart window) + 2
+    // precise-decimal events = 12
+    assert(new DebeziumTail(dump, producer).tick() === 12)
     // the transport cursor survived: byte-offset state for the file
     assert(producer.sourcePos.exists(_.contains("golden.jsonl")))
 
@@ -364,11 +411,62 @@ class SpoolProducerSpec extends SparkSpec {
         Option(r.getDecimal(2)).map(_.toPlainString),
         Option(r.get(3)).map(_.asInstanceOf[Int])))
     // snapshot 101/102, insert 103, ALTER adds qty, update 102 (price
-    // 81.10 -> 92.00, qty 8), delete 101, insert 104 with the new col
+    // 81.10 -> 92.00, qty 8), delete 101, insert 104 with the new col.
+    // Then the corpus replays the 102 update and 104 insert VERBATIM
+    // (same binlog file:pos — the at-least-once duplicate window a
+    // connector restart produces): the FINAL view must absorb both
+    // without changing a row. Finally two decimal.handling.mode=precise
+    // events (base64 Decimal logical type) insert 105 at 55.55 and
+    // update it to −12.34/qty 9 — the negative pins the
+    // two's-complement unscaled-bytes path end to end.
     assert(rows.toSeq === Seq(
       (102, "car battery", Some("92.00"), Some(8)),
       (103, "hammer", Some("12.50"), None),
-      (104, "rocks", Some("1299.99"), Some(44))))
+      (104, "rocks", Some("1299.99"), Some(44)),
+      (105, "precise bolt", Some("-12.34"), Some(9))))
+  }
+
+  test("golden corpus: MariaDB-dialect envelopes replicate") {
+    // src/test/resources/debezium/golden-mariadb-connector.jsonl: the
+    // MariaDB connector's envelope dialect — connector:"mariadb",
+    // domain-server-sequence GTIDs ("0-1-101"), mariadb-bin binlog
+    // file names, and a schema-history ALTER using MariaDB's
+    // conditional clauses (ADD COLUMN IF NOT EXISTS / DROP COLUMN IF
+    // EXISTS) that MySQL doesn't accept.
+    val dump = tmpDir("dbz-maria-dump")
+    val spool = tmpDir("dbz-maria-spool")
+    val wh = tmpDir("dbz-maria-wh")
+    val cfg = GraftConfig.fromYaml(
+      s"""databases: 'emporium'
+         |binlog_replicator:
+         |  data_dir: '$spool'
+         |""".stripMargin, Map.empty)
+    val res = getClass.getResourceAsStream(
+      "/debezium/golden-mariadb-connector.jsonl")
+    assert(res != null, "mariadb corpus resource missing")
+    val bytes = try res.readAllBytes() finally res.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dump, "maria.jsonl"), bytes)
+
+    val producer = new SpoolProducer(spool, cfg)
+    // CREATE + snapshot read + conditional ALTER + c/u/d = 6 events;
+    // the trailing tombstone is skipped
+    assert(new DebeziumTail(dump, producer).tick() === 6)
+
+    val running = graft.Main.run(spark, cfg, "emporium", wh,
+      tmpDir("dbz-maria-ckpt"))
+    val query = running.holder.get
+    try query.processAllAvailable() finally query.stop()
+    spark.streams.removeListener(running.monitor)
+    val rows = running.pipeline.table("emporium", "widgets").read
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        Option(r.getDecimal(2)).map(_.toPlainString),
+        Option(r.get(3)).map(_.asInstanceOf[Int])))
+    // snapshot 1 (4.20), ALTER adds stock (the IF NOT EXISTS path) and
+    // tolerates dropping a column that never existed (IF EXISTS),
+    // insert 2, update 1 → 4.95/stock 12, delete 2
+    assert(rows.toSeq === Seq((1, "gear", Some("4.95"), Some(12))))
   }
 
   test("e2e: debezium dump → tail → spool → pipeline replicates the table") {
