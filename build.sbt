@@ -32,4 +32,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the run (cdc_e2e_replicate: 21s in-sequence vs 7s alone); 32g on
   // the 128 GiB host keeps every query at its solo timing.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++ {
+  // Throughput collector by default: the r8 official bench attributed
+  // 7.6 s of the CDC family's 27.3 s to GC; an A/B on the mixed set
+  // measured ParallelGC 11.5 s vs G1 13.5 s (cdc_e2e_replicate 2.84 s
+  // vs 4.45 s). A single-JVM local[32] batch bench has no pause-time
+  // SLA, so the compacting throughput collector is strictly better
+  // here; real clusters tune GC per executor as usual. Overridable:
+  // any SPARK_GRAFT_JVM_OPTS that names a collector wins.
+  val opts = sys.env.get("SPARK_GRAFT_JVM_OPTS")
+    .toSeq.flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)
+  (if (opts.exists(_.contains("GC"))) Seq.empty
+   else Seq("-XX:+UseParallelGC")) ++ opts
+}

@@ -511,6 +511,225 @@ object MediaCodec {
       }
   }
 
+  /** 8×8 average-hash of a decoded image — the canonical perceptual
+    * near-dup key for image corpora (aHash, the same family as
+    * pHash/dHash used by LAION-style image dedup). */
+  final case class ImageHash(id: Long, width: Int, height: Int,
+                             ahash: String)
+
+  /** aHash over a REAL 24-bpp BMP decode, integer-exact end to end so
+    * a SQL oracle reproduces it bit-for-bit: per-pixel gray = r+g+b
+    * (a sum, never a division), pixel (x, y) belongs to grid cell
+    * (x·8 div w, y·8 div h), and bit(cell) = 1 iff the cell's mean
+    * gray exceeds the image mean — compared CROSS-MULTIPLIED
+    * (cellSum·totalPixels > totalSum·cellPixels) so no floating point
+    * or rounding convention enters. The 64 bits are emitted row-major
+    * as a '0'/'1' string: images closer than a few bits are
+    * perceptual near-dups; equal strings are the exact-dup key. */
+  def ahashBmp(id: Long, b: Array[Byte]): Option[ImageHash] = try {
+    if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+        le32(b, 14) >= 40)) return None
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30)
+    if (w <= 0 || h <= 0 || hRaw == Int.MinValue || bpp != 24 || comp != 0)
+      return None
+    val stride = ((24L * w + 31L) / 32L) * 4L
+    if (off < 54 || off.toLong + stride * h > b.length) return None
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val stored = if (topDown) y else h - 1 - y
+      val ro = (off.toLong + stored * stride).toInt
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = ro + 3 * x
+        val gray = (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+        val c = cy * 8 + x * 8 / w
+        cellSum(c) += gray
+        cellN(c) += 1
+        total += gray
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val bits = new java.lang.StringBuilder(64)
+    var c = 0
+    while (c < 64) {
+      bits.append(if (cellSum(c) * n > total * cellN(c)) '1' else '0')
+      c += 1
+    }
+    Some(ImageHash(id, w, h, bits.toString))
+  } catch { // corrupt payload is a datum, never a task failure
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** A TEXTURED BMP fixture for the hash gate: large multipliers make
+    * each channel wrap its modulus many times across the image, so the
+    * seed shifts the wrap phase and different seeds produce genuinely
+    * different cell-mean layouts — [[buildBmpPattern]]'s smooth
+    * gradient hashes identically for every seed (the mean-threshold
+    * bits only see the gradient), which would collapse the dedup gate
+    * to one giant group. */
+  def buildBmpTexture(width: Int, height: Int, topDown: Boolean,
+                      seed: Long): Array[Byte] = {
+    val arr = buildBmp(width, height, topDown)
+    val rowSize = ((24 * width + 31) / 32) * 4
+    var y = 0
+    while (y < height) {
+      val stored = if (topDown) y else height - 1 - y
+      val base = 54 + stored * rowSize
+      var x = 0
+      while (x < width) {
+        val p = base + 3 * x
+        arr(p) = ((73L * x + 151L * y + 97L * seed) % 251).toByte   // B
+        arr(p + 1) = ((59L * x + 83L * y + 29L * seed) % 253).toByte // G
+        arr(p + 2) = ((31L * x + 47L * y + 61L * seed) % 255).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    arr
+  }
+
+  /** Fixture adapter for the image-dedup gate: the picture depends on
+    * the doc's DEDUP GROUP (seed = doc_id mod 37), not the doc — so
+    * ~37 distinct pictures recur across the corpus and grouping by
+    * aHash recovers exactly the seed classes. Dimensions ≥ 8 so every
+    * grid cell is populated, derived from the seed so group members
+    * are pixel-identical. */
+  def ahashFromDocuments(spark: SparkSession,
+                         docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val s = id % 37
+        (id, buildBmpTexture(width = 8 + (s % 5).toInt * 4,
+          height = 8 + (s % 3).toInt * 4,
+          topDown = id % 2 == 0, seed = s))
+      }
+  }
+
+  /** Per-partition batch hash — payloads never shuffle; only the
+    * 64-char key rides into the dedup aggregation. */
+  def extractAhash(media: Dataset[(Long, Array[Byte])])
+      : Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => ahashBmp(id, p) })
+  }
+
+  /** Windowed loudness profile of a PCM16 clip — the audio-curation
+    * stats (silence share, energy) a speech-data pipeline filters on.
+    * All fields are exact integer arithmetic. */
+  final case class WavEnergy(id: Long, nWindows: Long, energyTotal: Long,
+                             nSilent: Long, peakWindowEnergy: Long)
+
+  /** Decode 16-bit PCM and profile loudness in fixed windows of
+    * `window` frames (last window may be partial): per window the sum
+    * of squared samples across channels (energy) and the max |sample|;
+    * a window is SILENT when its max |sample| < `threshold`. Returns
+    * exact longs so the SQL oracle reproduces every field. */
+  def wavEnergy(id: Long, b: Array[Byte], window: Int = 100,
+                threshold: Int = 64): Option[WavEnergy] = try {
+    val parsed = decodeWavSamples(id, b).getOrElse(return None)
+    // re-walk the data chunk like decodeWavSamples does
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    var off = 12L
+    var dataOff = -1L
+    while (off + 8 <= b.length && dataOff < 0) {
+      val i = off.toInt
+      val id4 = tag(b, i)
+      val sz = le32(b, i + 4).toLong & 0xffffffffL
+      if (id4 == "data") dataOff = off + 8
+      else off += 8L + sz + (sz & 1L)
+    }
+    if (dataOff < 0) return None
+    val ch = parsed.channels
+    val frames = parsed.nSamples
+    var nWin = 0L; var totalE = 0L; var nSilent = 0L; var peakE = 0L
+    var f = 0L
+    while (f < frames) {
+      val end = math.min(f + window, frames)
+      var we = 0L; var wMax = 0
+      while (f < end) {
+        var c = 0
+        while (c < ch) {
+          val p = (dataOff + f * ch * 2 + 2 * c).toInt
+          val v = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort.toInt
+          we += v.toLong * v
+          val a = math.abs(v)
+          if (a > wMax) wMax = a
+          c += 1
+        }
+        f += 1
+      }
+      nWin += 1
+      totalE += we
+      if (wMax < threshold) nSilent += 1
+      if (we > peakE) peakE = we
+    }
+    Some(WavEnergy(id, nWin, totalE, nSilent, peakE))
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** [[buildWavPattern]] with MUTED STRETCHES the silence detector has
+    * to find: frames in windows where (f div 100 + seed) mod 5 == 0
+    * carry small samples (|v| ≤ 48, under the 64 threshold), all other
+    * windows provably exceed it (100 consecutive frames span ≥ 693 of
+    * the ±1001 range, so some |sample| ≥ 346). */
+  def buildWavEnergyPattern(channels: Int, sampleRate: Int, nSamples: Long,
+                            seed: Long): Array[Byte] = {
+    val arr = buildWav(channels, sampleRate, nSamples, withListChunk = false)
+    val dataOff = 44
+    var f = 0L
+    while (f < nSamples) {
+      val muted = (f / 100 + seed) % 5 == 0
+      var c = 0
+      while (c < channels) {
+        val v =
+          if (muted) ((7 * f + 13 * c + seed) % 97 - 48).toInt
+          else ((7 * f + 13 * c + seed) % 2003 - 1001).toInt
+        val p = (dataOff + f * channels * 2 + 2 * c).toInt
+        arr(p) = (v & 0xff).toByte
+        arr(p + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    arr
+  }
+
+  /** Fixture adapter for the energy gate: mono/stereo by id parity,
+    * clip length from n_chars (several windows incl. a partial one),
+    * muted stretches seeded by id. */
+  def wavEnergyFromDocuments(spark: SparkSession,
+                             docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildWavEnergyPattern(channels = 1 + (id % 2).toInt,
+          sampleRate = 16000, nSamples = 150 + nChars % 873, seed = id))
+      }
+  }
+
+  /** Per-partition batch energy profile — payloads never shuffle. */
+  def extractWavEnergy(media: Dataset[(Long, Array[Byte])])
+      : Dataset[WavEnergy] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => wavEnergy(id, p) })
+  }
+
   /** A minimal valid PNG: signature + IHDR (with a REAL CRC32) + IEND.
     * Header fixture — no IDAT; [[parsePng]] reads and verifies IHDR. */
   def buildPng(width: Int, height: Int): Array[Byte] = {

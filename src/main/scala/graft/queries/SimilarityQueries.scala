@@ -497,6 +497,39 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // Image near-dup dedup via perceptual hash: REAL BMP decode →
+    // integer-exact 8×8 aHash (cross-multiplied mean compare, no fp)
+    // → group by the 64-bit key. The fixture seeds pictures by
+    // doc_id mod 37, so the corpus carries ~37 recurring images and
+    // the groups recover exactly those classes — the LAION-style
+    // image-dedup shape: payloads hash map-side per partition, only
+    // the 64-char key and the count aggregation shuffle.
+    "mm_ahash_dupes" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.ahashFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractAhash(media).toDF()
+        .groupBy("width", "height", "ahash")
+        .agg(count(lit(1)).as("n_docs"), min(col("id")).as("canonical_id"))
+        .orderBy("width", "height", "ahash")
+    },
+
+    // Windowed audio loudness profile: REAL PCM16 decode → per-window
+    // (100 frames) energy and max-|sample|, silence = quiet window —
+    // the speech-curation stats (silence share, clip energy) an audio
+    // pipeline filters on, exact integer arithmetic end to end. The
+    // fixture mutes every 5th window (|v| ≤ 48 vs threshold 64) so the
+    // detector has real silence to find.
+    "mm_wav_energy" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.wavEnergyFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWavEnergy(media).toDF()
+        .select(col("id").as("doc_id"), col("nWindows").as("n_windows"),
+          col("energyTotal").as("energy_total"),
+          col("nSilent").as("n_silent"),
+          col("peakWindowEnergy").as("peak_window_energy"))
+        .orderBy("doc_id")
+    },
+
     // REAL 4:2:0 subsampled-JPEG decode under the gate — the dominant
     // wild-web JPEG layout: each 16×16 MCU carries four interleaved Y
     // blocks plus one Cb and one Cr, and the decoder replicates the
@@ -1458,6 +1491,58 @@ object SimilarityQueries {
         |  round(CAST(SUM(CASE WHEN y = 0 THEN v ELSE 0 END) AS DOUBLE)
         |    / MAX(w), 6) AS top_row_mean
         |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the aHash from the pattern arithmetic: per-pixel gray
+    // = sum of the three channel formulas, cell = (x·8//w, y·8//h),
+    // bit by the same cross-multiplied mean compare, bits string_agg'd
+    // row-major — then dedup groups joined back over seed classes.
+    "mm_ahash_dupes" ->
+      """WITH ds AS (SELECT doc_id, doc_id % 37 AS s FROM documents),
+        |dims AS (SELECT DISTINCT s, 8 + (s % 5) * 4 AS w,
+        |    8 + (s % 3) * 4 AS h FROM ds),
+        |px AS (SELECT s, w, h, x, y,
+        |    (31*x + 47*y + 61*s) % 255 + (59*x + 83*y + 29*s) % 253
+        |      + (73*x + 151*y + 97*s) % 251 AS gray
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |cells AS (SELECT s, w, h, (y*8)//h AS cy, (x*8)//w AS cx,
+        |    SUM(gray) AS cs, COUNT(*) AS cn
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |tot AS (SELECT s, SUM(cs) AS ts, SUM(cn) AS tn
+        |  FROM cells GROUP BY 1),
+        |hashes AS (SELECT s, MAX(w) AS w, MAX(h) AS h,
+        |    string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,
+        |      '' ORDER BY cy, cx) AS ahash
+        |  FROM cells JOIN tot USING (s) GROUP BY s)
+        |SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height, ahash,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+        |FROM ds JOIN hashes USING (s)
+        |GROUP BY 1, 2, 3 ORDER BY width, height, ahash""".stripMargin,
+
+    // Samples re-derived from the muted/loud pattern arithmetic,
+    // windowed by f // 100; every field is an exact BIGINT.
+    "mm_wav_energy" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (doc_id % 2) AS ch,
+        |    150 + (CAST(n_chars AS BIGINT) % 873) AS n
+        |  FROM documents),
+        |sm AS (SELECT id, f // 100 AS w,
+        |    CASE WHEN ((f // 100) + id) % 5 = 0
+        |      THEN (7*f + 13*c + id) % 97 - 48
+        |      ELSE (7*f + 13*c + id) % 2003 - 1001 END AS v
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(n)) AS f),
+        |    LATERAL (SELECT unnest(range(ch)) AS c)),
+        |win AS (SELECT id, w, CAST(SUM(v * v) AS BIGINT) AS e,
+        |    MAX(ABS(v)) AS mx
+        |  FROM sm GROUP BY 1, 2)
+        |SELECT id AS doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(e) AS BIGINT) AS energy_total,
+        |  CAST(SUM(CASE WHEN mx < 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent,
+        |  MAX(e) AS peak_window_energy
+        |FROM win GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives the refinement fixture's pixels from block coords:
     // v = (bx + 3·by + id) mod 255, decoded pixel = v + 1 exactly

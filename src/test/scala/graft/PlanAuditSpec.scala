@@ -845,6 +845,23 @@ class PlanAuditSpec extends SparkSpec {
       assert(!ns.exists(_.nodeName.contains("Join")),
         s"$q: decode planned a join")
     }
+    // the two media ops with a real aggregation (image-hash dedup,
+    // audio energy) may hash-exchange their SMALL keys, but the binary
+    // payload still must never ride any exchange
+    for (q <- Seq("mm_ahash_dupes", "mm_wav_energy")) {
+      val ns = nodes(SparkEntry.queries(q)(spark, dir))
+      val shuffles = ns.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty, s"$q: expected an aggregation exchange")
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType ==
+          org.apache.spark.sql.types.BinaryType),
+          s"$q: media payload rides an exchange: ${e.output.map(_.name)}")
+      }
+      assert(!ns.exists(_.nodeName.contains("Join")),
+        s"$q: decode planned a join")
+    }
   }
 
   test("z-order layout: pruned scans, broadcast stats row, codegen'd z") {

@@ -158,7 +158,11 @@ class MediaCodecSpec extends SparkSpec {
       (buildWavPattern(2, 8000, 50, withListChunk = true, 3L),
         (b: Array[Byte]) => decodeWavSamples(1L, b)),
       (buildWavUlawPattern(2, 8000, 50, 3L),
-        (b: Array[Byte]) => decodeWavUlaw(1L, b)))
+        (b: Array[Byte]) => decodeWavUlaw(1L, b)),
+      (buildBmpTexture(16, 12, topDown = false, 3L),
+        (b: Array[Byte]) => ahashBmp(1L, b)),
+      (buildWavEnergyPattern(2, 8000, 150, 3L),
+        (b: Array[Byte]) => wavEnergy(1L, b)))
     for ((seed, dec) <- cases) {
       (1 to 150).foreach { _ =>
         val b = seed.clone()
@@ -742,6 +746,78 @@ class MediaCodecSpec extends SparkSpec {
     assert(out(2L) === AvMeta(2L, "audio", out(2L).byteLen, true,
       0, 0, 2, 16000, 50L))
     assert(!out(3L).valid)
+  }
+
+  test("ahash: bits match independent arithmetic, row-order invariant") {
+    // independent recomputation of the 8×8 aHash from the pattern
+    // formulas — same cross-multiplied compare, different code path
+    def expected(w: Int, h: Int, seed: Long): String = {
+      val cs = new Array[Long](64); val cn = new Array[Long](64)
+      var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = ((31L * x + 47L * y + 61L * seed) % 255 +
+          (59L * x + 83L * y + 29L * seed) % 253 +
+          (73L * x + 151L * y + 97L * seed) % 251).toInt
+        val c = (y * 8 / h) * 8 + x * 8 / w
+        cs(c) += gray; cn(c) += 1; tot += gray
+      }
+      val n = w.toLong * h
+      (0 until 64).map(c => if (cs(c) * n > tot * cn(c)) '1' else '0')
+        .mkString
+    }
+    for ((w, h, s) <- Seq((8, 8, 0L), (24, 16, 5L), (28, 20, 36L))) {
+      val up = ahashBmp(1L, buildBmpTexture(w, h, topDown = false, s)).get
+      val dn = ahashBmp(2L, buildBmpTexture(w, h, topDown = true, s)).get
+      assert(up.ahash === expected(w, h, s), s"($w×$h,$s)")
+      assert(dn.ahash === up.ahash, "hash must be row-order invariant")
+      assert(up.ahash.length === 64 && up.ahash.forall("01".contains(_)))
+    }
+    // the gate's 37 seed classes must map to 37 DISTINCT dedup keys
+    // within each dimension class — the premise the fixture's texture
+    // (wrap-phase shifts) exists to guarantee, and exactly what the
+    // smooth gradient pattern failed (identical hash for every seed)
+    val keys = (0L until 37L).map { s =>
+      val k = ahashBmp(s, buildBmpTexture(8 + (s % 5).toInt * 4,
+        8 + (s % 3).toInt * 4, topDown = false, s)).get
+      (k.width, k.height, k.ahash)
+    }
+    assert(keys.distinct.size === 37, "seed classes collided")
+    assert(ahashBmp(1L, "junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("wav energy: windows, silence, partial tail match closed form") {
+    def expected(ch: Int, n: Long, seed: Long): (Long, Long, Long, Long) = {
+      var nw = 0L; var te = 0L; var ns = 0L; var pe = 0L
+      var f = 0L
+      while (f < n) {
+        val end = math.min(f + 100, n)
+        var e = 0L; var mx = 0
+        while (f < end) {
+          for (c <- 0 until ch) {
+            val v = (if ((f / 100 + seed) % 5 == 0)
+              (7 * f + 13 * c + seed) % 97 - 48
+            else (7 * f + 13 * c + seed) % 2003 - 1001).toInt
+            e += v.toLong * v; mx = math.max(mx, math.abs(v))
+          }
+          f += 1
+        }
+        nw += 1; te += e; if (mx < 64) ns += 1; pe = math.max(pe, e)
+      }
+      (nw, te, ns, pe)
+    }
+    for ((ch, n, s) <- Seq((1, 250L, 0L), (2, 537L, 3L), (1, 100L, 4L))) {
+      val got = wavEnergy(1L, buildWavEnergyPattern(ch, 16000, n, s)).get
+      val (nw, te, ns, pe) = expected(ch, n, s)
+      assert((got.nWindows, got.energyTotal, got.nSilent,
+        got.peakWindowEnergy) === ((nw, te, ns, pe)), s"($ch,$n,$s)")
+    }
+    // the muted stretches register as real silence (seed 0: window 0)
+    assert(wavEnergy(1L,
+      buildWavEnergyPattern(1, 16000, 250, 0L)).get.nSilent > 0)
+    // an all-loud clip reports zero silence (seed 4, single window)
+    assert(wavEnergy(1L,
+      buildWavEnergyPattern(1, 16000, 100, 4L)).get.nSilent === 0)
+    assert(wavEnergy(1L, Array[Byte](1, 2, 3)).isEmpty)
   }
 
   test("bmp/png pixels: adversarial dimensions overflow to None, not crash") {
