@@ -39,10 +39,14 @@ import org.apache.spark.sql.SparkSession
   *    reported (`gc_ms` in query_stats) so a slow tail can be
   *    attributed to collection pressure instead of guessed at.
   * `SPARK_GRAFT_PASSES` (default 2, so the official artifact carries
-  * the evidence) repeats the whole family loop: with passes ≥ 2 the
-  * JSON gains per-family per-pass totals and a worst-family agreement
-  * ratio — the adjudicability check that two back-to-back runs of
-  * identical code agree. Set 1 for cheap local iteration.
+  * the evidence) repeats each FAMILY back-to-back — family-major, not
+  * pass-major, so a family's two passes see near-identical predecessor
+  * state (pass-major put ~15 min of other families between them, and
+  * the agreement ratio measured heap/page-cache drift instead of
+  * code). With passes ≥ 2 the JSON gains per-family per-pass totals
+  * and a worst-family agreement ratio — the adjudicability check that
+  * two back-to-back runs of identical code agree. Set 1 for cheap
+  * local iteration.
   *
   * Beyond per-query timings it reports the two phase headlines
   * BASELINE.md measures for the reference (tests/test_performance.py):
@@ -174,7 +178,23 @@ object Bench {
       }
       sweep() // drop the warmup's cache/fit/shuffle residue untimed
     }
-    // the warmup populated the e2e stats from the TINY fixture — a timed
+    // One untimed pass at the TARGET sf too (unless SPARK_GRAFT_COLD=1):
+    // the tiny-sf warmup absorbs codegen/JIT for the plan shapes, but
+    // pass 1 still paid page-cache warming of the full-size parquet and
+    // the remaining JIT of data-sized loops — the r9 2-pass run showed
+    // the asymmetry as a 1.285 worst-family agreement (analytic pass 1
+    // 16.7 s vs pass 2 13.0 s on identical code). The bench's contract
+    // is STEADY-STATE medians (class doc); warming the target sf makes
+    // every timed pass measure that, and the agreement ratio compare
+    // like against like. Spark/session state is still swept after.
+    if (!sys.env.get("SPARK_GRAFT_COLD").contains("1")) {
+      queries.values.foreach { fn =>
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+      sweep()
+    }
+    // the warmup populated the e2e stats from a warmup fixture — a timed
     // run that then fails must not report the warmup's events/s under
     // the big sf label
     graft.queries.CdcQueries.lastE2eStats = None
@@ -195,13 +215,23 @@ object Bench {
     // failure is reported).
     val e2eRuns =
       scala.collection.mutable.ArrayBuffer[graft.queries.CdcQueries.E2eStats]()
-    // perPass(p) = (name, family, times, gcMs) in run order
-    val perPass: Seq[Seq[(String, String, Seq[Double], Long)]] =
-      (0 until passes).map { _ =>
-        var lastFam = ""
-        val pass = ordered.map { case (name, fn) =>
-          val fam = familyOf(name)
-          if (fam != lastFam) { sweep(); lastFam = fam }
+    // FAMILY-MAJOR pass order: each family runs all of its passes
+    // back-to-back (sweep between), THEN the next family starts. With
+    // pass-major order the two passes of a family sat ~15 min apart
+    // with different predecessor state (heap shape, tmpfs fill, page
+    // cache), and the agreement ratio measured that drift, not the
+    // code: the r9 pass-major run scored text at 1.46 in-sequence vs
+    // 1.04 for the identical family run alone. Back-to-back passes see
+    // near-identical context, so agreement is a code-determinism
+    // check again. perPass(p) is then reassembled in (family, name)
+    // order for the downstream stats.
+    val famOrder = ordered.map { case (n, _) => familyOf(n) }.distinct
+    val byFam = ordered.groupBy { case (n, _) => familyOf(n) }
+    val cells = scala.collection.mutable.Map
+      .empty[(String, Int), Seq[(String, String, Seq[Double], Long)]]
+    for (fam <- famOrder; p <- 0 until passes) {
+      sweep() // family/pass boundary: every cell starts from the same state
+      cells((fam, p)) = byFam(fam).map { case (name, fn) =>
           val gc0 = gcMs()
           val times = (0 until runs).map { _ =>
             graft.queries.CdcQueries.lastE2eStats = None
@@ -230,11 +260,13 @@ object Bench {
           // 0.5→8.3 s monotone ACROSS its own runs in-sequence, flat at
           // ~0.4 s in isolation.
           System.gc()
-          (name, fam, times, gcMs() - gc0)
-        }
-        sweep() // pass boundary: pass 2 starts from the same cold state
-        pass
+          (name, familyOf(name), times, gcMs() - gc0)
       }
+    }
+    sweep() // exit the timed loops from a clean state
+    // perPass(p) = (name, family, times, gcMs) in (family, name) order
+    val perPass: Seq[Seq[(String, String, Seq[Double], Long)]] =
+      (0 until passes).map(p => famOrder.flatMap(f => cells((f, p))))
     // merged view across passes: all runs concatenated per query
     val results: Seq[(String, Seq[Double])] = ordered.map { case (name, _) =>
       name -> perPass.flatMap(_.collectFirst {

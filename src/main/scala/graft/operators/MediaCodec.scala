@@ -639,6 +639,7 @@ object MediaCodec {
     * exact longs so the SQL oracle reproduces every field. */
   def wavEnergy(id: Long, b: Array[Byte], window: Int = 100,
                 threshold: Int = 64): Option[WavEnergy] = try {
+    if (window <= 0) return None // a 0-frame window would never advance
     val parsed = decodeWavSamples(id, b).getOrElse(return None)
     // re-walk the data chunk like decodeWavSamples does
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
