@@ -659,6 +659,53 @@ object Dedup {
     spread(docs).select(col(idCol),
       call_function("graft_simhash", col(textCol)).as("simhash"))
 
+  /** Near-duplicate pairs under HAMMING distance over an integer
+    * hash column (SimHash signatures, image aHash/dHash keys, any
+    * ≤64-bit sketch): the banded-LSH shape — the hash splits into
+    * `bands` disjoint bit bands, candidates are pairs agreeing on at
+    * least one band (one equi-join on (band, value), never all
+    * pairs), verified with an exact `bit_count(xor)` ≤ `maxDist`.
+    *
+    * Pigeonhole guarantee: two hashes within `maxDist ≤ bands − 1`
+    * bits differ in at most bands−1 bands, so they AGREE on at least
+    * one — recall is exactly 1.0 within the threshold, making the
+    * output equal to the all-pairs filter it replaces.
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b.
+    *
+    * Scale shape: ONE shuffle keyed by (band, value) builds the
+    * candidate set; bucket sizes are data-dependent (heavy EXACT
+    * duplicates share every band — run exact dedup first, as the
+    * image gate does by collapsing to distinct hashes), and the
+    * verify is a codegen'd xor/popcount on two longs — no text, no
+    * arrays, nothing corpus-sized beyond the matching pairs. */
+  def hammingNearDups(hashed: DataFrame, idCol: String, hashCol: String,
+                      nBits: Int, bands: Int, maxDist: Int): DataFrame = {
+    require(nBits > 0 && nBits <= 64 && bands > 0 && nBits % bands == 0,
+      s"nBits=$nBits must be a positive multiple of bands=$bands, ≤ 64")
+    require(maxDist < bands,
+      s"maxDist=$maxDist needs maxDist ≤ bands−1=${bands - 1} for the " +
+        "pigeonhole recall guarantee")
+    val w = nBits / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    val base = hashed.select(col(idCol).as("id"),
+      col(hashCol).cast("long").as("h"))
+    val banded = base.select(col("id"), col("h"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("b"),
+          (shiftrightunsigned(col("h"), b * w)
+            .bitwiseAND(lit(mask))).as("v"))): _*)).as("bv"))
+      .select(col("id"), col("h"), col("bv.b").as("b"), col("bv.v").as("v"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.b") === col("r.b") && col("l.v") === col("r.v") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        expr("bit_count(l.h ^ r.h)").cast("int").as("dist"))
+      .distinct() // a pair may agree on several bands
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Ordered (id_a < id_b) pairs from a sorted id array — C(m,2) structs,
     * generated array-side (no join) for m bounded by the caller. */
   private def pairsOf(ids: Column): Column =

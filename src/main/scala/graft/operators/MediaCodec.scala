@@ -600,6 +600,48 @@ object MediaCodec {
     arr
   }
 
+  /** [[buildBmpTexture]] at a fixed 24×16 with NEAR-DUP TWINS: classes
+    * 30..36 render class s−30's picture with one aHash grid cell
+    * COMPLEMENTED — the 3×2 pixels of cell 0 invert per channel
+    * (250−B, 252−G, 254−R, i.e. gray′ = 756 − gray), which flips that
+    * cell's relation to the image mean while barely moving the mean
+    * itself — a few Hamming bits from the base class, a distinct
+    * exact key. The banded Hamming join has to FIND these pairs;
+    * unrelated classes sit ~30 bits apart. */
+  def buildBmpTwinTexture(s: Long): Array[Byte] = {
+    val width = 24; val height = 16
+    val base = if (s >= 30) s - 30 else s
+    val arr = buildBmp(width, height, topDown = false)
+    val rowSize = ((24 * width + 31) / 32) * 4
+    var y = 0
+    while (y < height) {
+      val stored = height - 1 - y
+      val rowBase = 54 + stored * rowSize
+      var x = 0
+      while (x < width) {
+        val p = rowBase + 3 * x
+        val patched = s >= 30 && x < 3 && y < 2
+        val bb = (73L * x + 151L * y + 97L * base) % 251
+        val gg = (59L * x + 83L * y + 29L * base) % 253
+        val rr = (31L * x + 47L * y + 61L * base) % 255
+        arr(p) = (if (patched) 250L - bb else bb).toByte      // B
+        arr(p + 1) = (if (patched) 252L - gg else gg).toByte  // G
+        arr(p + 2) = (if (patched) 254L - rr else rr).toByte  // R
+        x += 1
+      }
+      y += 1
+    }
+    arr
+  }
+
+  /** Fixture adapter for the image NEAR-dup gate. */
+  def imageNearDupFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, buildBmpTwinTexture(id % 37)))
+  }
+
   /** Fixture adapter for the image-dedup gate: the picture depends on
     * the doc's DEDUP GROUP (seed = doc_id mod 37), not the doc — so
     * ~37 distinct pictures recur across the corpus and grouping by

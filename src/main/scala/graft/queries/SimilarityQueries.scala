@@ -513,6 +513,30 @@ object SimilarityQueries {
         .orderBy("width", "height", "ahash")
     },
 
+    // Image NEAR-dup pairs: REAL decode → aHash → exact-dup collapse
+    // (distinct hashes, carrying the canonical doc) → BANDED Hamming
+    // join (Dedup.hammingNearDups: 8 bands of 8 bits, one equi-join,
+    // pigeonhole recall 1.0 within maxDist ≤ bands−1) → codegen'd
+    // xor/popcount verify. The fixture plants 7 twin classes one
+    // complemented grid cell from their base class (≤ 5 bits);
+    // unrelated classes sit ≥ 7 bits apart (spec-pinned), so the
+    // output IS exactly those pairs at maxDist = 5.
+    "mm_image_neardups" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.imageNearDupFromDocuments(
+        s, t(s, dir, "documents"))
+      val classes = graft.operators.MediaCodec.extractAhash(media).toDF()
+        .groupBy("ahash")
+        .agg(min(col("id")).as("cid"))
+        .withColumn("h",
+          shiftleft(conv(substring(col("ahash"), 1, 32), 2, 10)
+            .cast("long"), 32)
+            .bitwiseOR(conv(substring(col("ahash"), 33, 32), 2, 10)
+              .cast("long")))
+      graft.operators.Dedup.hammingNearDups(
+          classes, "cid", "h", nBits = 64, bands = 8, maxDist = 5)
+        .orderBy("id_a", "id_b")
+    },
+
     // Windowed audio loudness profile: REAL PCM16 decode → per-window
     // (100 frames) energy and max-|sample|, silence = quiet window —
     // the speech-curation stats (silence share, clip energy) an audio
@@ -1519,6 +1543,45 @@ object SimilarityQueries {
         |  COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
         |FROM ds JOIN hashes USING (s)
         |GROUP BY 1, 2, 3 ORDER BY width, height, ahash""".stripMargin,
+
+    // Re-derives the 37 class hashes (twin patch included) with the
+    // same cross-multiplied-mean bits, collapses docs to distinct
+    // hashes, then BRUTE-FORCES class pairs by character Hamming — at
+    // 37 classes the all-pairs filter is exactly what the banded join
+    // computes with recall 1.0 (maxDist 5 < 8 bands).
+    "mm_image_neardups" ->
+      """WITH ds AS (SELECT doc_id, doc_id % 37 AS s FROM documents),
+        |cls AS (SELECT DISTINCT s,
+        |    CASE WHEN s >= 30 THEN s - 30 ELSE s END AS b0,
+        |    CASE WHEN s >= 30 THEN 1 ELSE 0 END AS tw FROM ds),
+        |px AS (SELECT s, x, y,
+        |    CASE WHEN tw = 1 AND x < 3 AND y < 2
+        |      THEN 756 - ((31*x + 47*y + 61*b0) % 255
+        |        + (59*x + 83*y + 29*b0) % 253
+        |        + (73*x + 151*y + 97*b0) % 251)
+        |      ELSE (31*x + 47*y + 61*b0) % 255
+        |        + (59*x + 83*y + 29*b0) % 253
+        |        + (73*x + 151*y + 97*b0) % 251 END AS gray
+        |  FROM cls,
+        |    LATERAL (SELECT unnest(range(24)) AS x),
+        |    LATERAL (SELECT unnest(range(16)) AS y)),
+        |cells AS (SELECT s, (y*8)//16 AS cy, (x*8)//24 AS cx,
+        |    SUM(gray) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT s, SUM(cs) AS ts, SUM(cn) AS tn
+        |  FROM cells GROUP BY 1),
+        |hashes AS (SELECT s,
+        |    string_agg(CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END,
+        |      '' ORDER BY cy, cx) AS ahash
+        |  FROM cells JOIN tot USING (s) GROUP BY s),
+        |cl AS (SELECT ahash, MIN(doc_id) AS cid
+        |  FROM ds JOIN hashes USING (s) GROUP BY 1),
+        |pairs AS (SELECT a.cid AS id_a, b.cid AS id_b,
+        |    (SELECT COUNT(*) FROM range(64) r(i)
+        |     WHERE substr(a.ahash, CAST(i AS INT) + 1, 1)
+        |        <> substr(b.ahash, CAST(i AS INT) + 1, 1)) AS dist
+        |  FROM cl a JOIN cl b ON a.cid < b.cid)
+        |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM pairs
+        |WHERE dist <= 5 ORDER BY id_a, id_b""".stripMargin,
 
     // Samples re-derived from the muted/loud pattern arithmetic,
     // windowed by f // 100; every field is an exact BIGINT.

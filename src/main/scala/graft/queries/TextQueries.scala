@@ -716,6 +716,23 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // SimHash NEAR-dup pairs via the banded Hamming join — the one
+    // equi-join shape that replaces the all-pairs xor/popcount scan
+    // at corpus scale. Exact-duplicate signatures collapse FIRST
+    // (distinct simhash, min-doc canonical — this corpus carries
+    // thousands of signature-identical docs that would otherwise form
+    // quadratic candidate cliques), then 4 bands of 8 bits join the
+    // survivors with pigeonhole recall 1.0 within dist ≤ 3; the
+    // oracle brute-forces every signature pair to prove the banded
+    // join loses nothing.
+    "d_simhash_neardups" -> { (s, dir) =>
+      val sh = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy("simhash").agg(min(col("doc_id")).as("cid"))
+      Dedup.hammingNearDups(sh, "cid", "simhash",
+          nBits = 32, bands = 4, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     "d_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, maxDf = 20, threshold = 0.5)
@@ -2837,6 +2854,28 @@ object TextQueries {
         |SELECT doc_id,
         |  CAST(sum(b * (1::BIGINT << CAST(i AS INT))) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The same signature CTE as d_simhash, collapsed to distinct
+    // signatures (min-doc canonical), then ALL pairs filtered by exact
+    // Hamming distance — the brute force the banded join must equal
+    // (recall 1.0 within maxDist < bands by pigeonhole).
+    "d_simhash_neardups" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text,' ')) AS w
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(w) AS h FROM tok),
+        |bits AS (SELECT doc_id, i,
+        |    CASE WHEN sum(CASE WHEN ascii(substr(h, CAST(i+1 AS INT), 1)) % 2 = 1
+        |                 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
+        |  FROM th, LATERAL (SELECT unnest(range(0,32)) AS i) GROUP BY doc_id, i),
+        |sh AS (SELECT doc_id,
+        |    CAST(sum(b * (1::BIGINT << CAST(i AS INT))) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |cl AS (SELECT simhash, MIN(doc_id) AS cid FROM sh GROUP BY 1)
+        |SELECT a.cid AS id_a, b.cid AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+        |FROM cl a JOIN cl b ON a.cid < b.cid
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d_ngram_jaccard" ->
       s"""WITH $shinglesCte,

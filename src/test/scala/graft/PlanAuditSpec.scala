@@ -862,6 +862,21 @@ class PlanAuditSpec extends SparkSpec {
       assert(!ns.exists(_.nodeName.contains("Join")),
         s"$q: decode planned a join")
     }
+    // banded Hamming near-dup joins (image + simhash): the ONLY join
+    // is the (band, value) equi-join — never a cartesian/nested-loop
+    // all-pairs scan — and no payload bytes ride any exchange
+    for (q <- Seq("mm_image_neardups", "d_simhash_neardups")) {
+      val ns = nodes(SparkEntry.queries(q)(spark, dir))
+      assert(!ns.exists(n => n.nodeName.contains("CartesianProduct") ||
+          n.nodeName.contains("BroadcastNestedLoop")),
+        s"$q: the banded join degraded to an all-pairs scan")
+      ns.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          assert(!e.output.exists(_.dataType ==
+            org.apache.spark.sql.types.BinaryType),
+            s"$q: payload rides an exchange: ${e.output.map(_.name)}")
+      }
+    }
   }
 
   test("z-order layout: pruned scans, broadcast stats row, codegen'd z") {

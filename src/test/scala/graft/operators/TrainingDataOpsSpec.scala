@@ -296,6 +296,61 @@ class TrainingDataOpsSpec extends SparkSpec {
       === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("hammingNearDups == brute force within the pigeonhole threshold") {
+    // random 64-bit hashes + planted near pairs: the banded join must
+    // return EXACTLY the all-pairs Hamming filter (recall 1.0 for
+    // maxDist ≤ bands−1), including pairs that agree on several bands
+    val rnd = new scala.util.Random(20260824L)
+    val baseHashes = (0 until 40).map(i => i.toLong -> rnd.nextLong())
+    val planted = baseHashes.take(6).map { case (id, h) =>
+      // flip 1..7 random bits → guaranteed-found near pair
+      val flips = 1 + rnd.nextInt(7)
+      val h2 = (0 until flips).foldLeft(h)((acc, _) =>
+        acc ^ (1L << rnd.nextInt(64)))
+      (id + 100L) -> h2
+    }
+    val all = baseHashes ++ planted ++ Seq(500L -> baseHashes.head._2) // exact dup
+    val df = all.toDF("id", "h")
+    val got = Dedup.hammingNearDups(df, "id", "h", 64, 8, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (a, b, d)).toSet
+    assert(got === brute)
+    assert(brute.size >= 7, "fixture must contain the planted pairs")
+    // 32-bit path (simhash shape)
+    val df32 = Seq(1L -> 0x0f0f0f0fL, 2L -> 0x0f0f0f0eL, 3L -> 0xf0f0f0f0L)
+      .toDF("id", "h")
+    val got32 = Dedup.hammingNearDups(df32, "id", "h", 32, 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got32 === Set((1L, 2L, 1)))
+    // invalid band configs refuse loudly
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDups(df32, "id", "h", 32, 8, 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDups(df32, "id", "h", 33, 8, 3)
+    }
+  }
+
+  test("ahash twins: perturbed classes sit a few bits from their base") {
+    import graft.operators.MediaCodec
+    val hashes = (0L until 37L).map { s =>
+      s -> MediaCodec.ahashBmp(s, MediaCodec.buildBmpTwinTexture(s)).get.ahash
+    }.toMap
+    def dist(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val twinDists = (30L until 37L).map(s =>
+      s -> dist(hashes(s), hashes(s - 30)))
+    for ((s, d) <- twinDists)
+      assert(d >= 1 && d <= 5, s"twin $s at dist $d; all: $twinDists")
+    // unrelated classes stay outside the gate's maxDist = 5 threshold
+    val far = for {
+      a <- 0L until 30L; b <- 0L until 30L if a < b
+    } yield dist(hashes(a), hashes(b))
+    assert(far.min > 5, s"unrelated classes collide at ${far.min} bits")
+  }
+
   test("hashSplit: deterministic, covers all labels, respects cut order") {
     val ids = spark.range(0, 2000).toDF("id")
     val split = Sampling.hashSplit(col("id"),
