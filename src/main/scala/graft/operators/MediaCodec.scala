@@ -773,6 +773,55 @@ object MediaCodec {
     media.mapPartitions(_.flatMap { case (id, p) => wavEnergy(id, p) })
   }
 
+  /** Zero-crossing profile of a PCM16 clip — with energy, the classic
+    * cheap speech/music/noise discriminator (high ZCR ≈ fricatives/
+    * noise, low ≈ voiced speech/tones). Exact integers throughout. */
+  final case class WavZcr(id: Long, channels: Int, nFrames: Long,
+                          crossings: Long)
+
+  /** Count STRICT sign flips between consecutive frames per channel
+    * (prev·cur < 0 — zero samples break a run rather than crossing),
+    * summed over channels. Exact, so the SQL oracle mirrors it with a
+    * per-channel LAG. */
+  def wavZcr(id: Long, b: Array[Byte]): Option[WavZcr] = try {
+    val parsed = decodeWavSamples(id, b).getOrElse(return None)
+    var off = 12L
+    var dataOff = -1L
+    while (off + 8 <= b.length && dataOff < 0) {
+      val i = off.toInt
+      val sz = le32(b, i + 4).toLong & 0xffffffffL
+      if (tag(b, i) == "data") dataOff = off + 8
+      else off += 8L + sz + (sz & 1L)
+    }
+    if (dataOff < 0) return None
+    val ch = parsed.channels
+    val frames = parsed.nSamples
+    val prev = new Array[Int](ch)
+    var crossings = 0L
+    var f = 0L
+    while (f < frames) {
+      var c = 0
+      while (c < ch) {
+        val p = (dataOff + f * ch * 2 + 2 * c).toInt
+        val v = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort.toInt
+        if (f > 0 && prev(c).toLong * v < 0) crossings += 1
+        prev(c) = v
+        c += 1
+      }
+      f += 1
+    }
+    Some(WavZcr(id, ch, frames, crossings))
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Per-partition batch crossing profile — payloads never shuffle. */
+  def extractWavZcr(media: Dataset[(Long, Array[Byte])])
+      : Dataset[WavZcr] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => wavZcr(id, p) })
+  }
+
   /** A minimal valid PNG: signature + IHDR (with a REAL CRC32) + IEND.
     * Header fixture — no IDAT; [[parsePng]] reads and verifies IHDR. */
   def buildPng(width: Int, height: Int): Array[Byte] = {

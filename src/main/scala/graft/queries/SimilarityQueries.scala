@@ -554,6 +554,19 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // Zero-crossing profile over the same clips as mm_wav_energy —
+    // ZCR + energy is the classic cheap speech/music/noise
+    // discriminator; strict sign flips (prev·cur < 0) per channel,
+    // exact integers, one map-side decode.
+    "mm_wav_zcr" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.wavEnergyFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWavZcr(media).toDF()
+        .select(col("id").as("doc_id"), col("channels"),
+          col("nFrames").as("n_frames"), col("crossings"))
+        .orderBy("doc_id")
+    },
+
     // REAL 4:2:0 subsampled-JPEG decode under the gate — the dominant
     // wild-web JPEG layout: each 16×16 MCU carries four interleaved Y
     // blocks plus one Cb and one Cr, and the decoder replicates the
@@ -1582,6 +1595,29 @@ object SimilarityQueries {
         |  FROM cl a JOIN cl b ON a.cid < b.cid)
         |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM pairs
         |WHERE dist <= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Same derived samples as mm_wav_energy; crossings via a
+    // per-channel LAG with the identical strict prev·cur < 0 rule.
+    "mm_wav_zcr" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (doc_id % 2) AS ch,
+        |    150 + (CAST(n_chars AS BIGINT) % 873) AS n
+        |  FROM documents),
+        |sm AS (SELECT id, ch, n, c, f,
+        |    CASE WHEN ((f // 100) + id) % 5 = 0
+        |      THEN (7*f + 13*c + id) % 97 - 48
+        |      ELSE (7*f + 13*c + id) % 2003 - 1001 END AS v
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(n)) AS f),
+        |    LATERAL (SELECT unnest(range(ch)) AS c)),
+        |lagged AS (SELECT id, ch, n, v,
+        |    LAG(v) OVER (PARTITION BY id, c ORDER BY f) AS pv
+        |  FROM sm)
+        |SELECT id AS doc_id, CAST(MAX(ch) AS INT) AS channels,
+        |  MAX(n) AS n_frames,
+        |  CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS crossings
+        |FROM lagged GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Samples re-derived from the muted/loud pattern arithmetic,
     // windowed by f // 100; every field is an exact BIGINT.

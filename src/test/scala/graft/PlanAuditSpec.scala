@@ -848,7 +848,7 @@ class PlanAuditSpec extends SparkSpec {
     // the two media ops with a real aggregation (image-hash dedup,
     // audio energy) may hash-exchange their SMALL keys, but the binary
     // payload still must never ride any exchange
-    for (q <- Seq("mm_ahash_dupes", "mm_wav_energy")) {
+    for (q <- Seq("mm_ahash_dupes", "mm_wav_energy", "mm_wav_zcr")) {
       val ns = nodes(SparkEntry.queries(q)(spark, dir))
       val shuffles = ns.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

@@ -162,7 +162,9 @@ class MediaCodecSpec extends SparkSpec {
       (buildBmpTexture(16, 12, topDown = false, 3L),
         (b: Array[Byte]) => ahashBmp(1L, b)),
       (buildWavEnergyPattern(2, 8000, 150, 3L),
-        (b: Array[Byte]) => wavEnergy(1L, b)))
+        (b: Array[Byte]) => wavEnergy(1L, b)),
+      (buildWavEnergyPattern(2, 8000, 150, 5L),
+        (b: Array[Byte]) => wavZcr(1L, b)))
     for ((seed, dec) <- cases) {
       (1 to 150).foreach { _ =>
         val b = seed.clone()
@@ -811,6 +813,28 @@ class MediaCodecSpec extends SparkSpec {
       assert((got.nWindows, got.energyTotal, got.nSilent,
         got.peakWindowEnergy) === ((nw, te, ns, pe)), s"($ch,$n,$s)")
     }
+    // zero-crossing profile: same fixtures, LAG-equivalent arithmetic
+    def expZcr(ch: Int, n: Long, seed: Long): Long = {
+      var cr = 0L
+      for (c <- 0 until ch) {
+        var pv = 0L
+        for (f <- 0L until n) {
+          val v = if ((f / 100 + seed) % 5 == 0)
+            (7 * f + 13 * c + seed) % 97 - 48
+          else (7 * f + 13 * c + seed) % 2003 - 1001
+          if (f > 0 && pv * v < 0) cr += 1
+          pv = v
+        }
+      }
+      cr
+    }
+    for ((ch, n, s) <- Seq((1, 250L, 0L), (2, 537L, 3L))) {
+      val z = wavZcr(1L, buildWavEnergyPattern(ch, 16000, n, s)).get
+      assert(z.channels === ch && z.nFrames === n)
+      assert(z.crossings === expZcr(ch, n, s), s"($ch,$n,$s)")
+      assert(z.crossings > 0)
+    }
+    assert(wavZcr(1L, Array[Byte](9)).isEmpty)
     // the muted stretches register as real silence (seed 0: window 0)
     assert(wavEnergy(1L,
       buildWavEnergyPattern(1, 16000, 250, 0L)).get.nSilent > 0)
