@@ -679,22 +679,27 @@ object MediaCodec {
     * of squared samples across channels (energy) and the max |sample|;
     * a window is SILENT when its max |sample| < `threshold`. Returns
     * exact longs so the SQL oracle reproduces every field. */
+  /** Offset of the `data` chunk payload, or −1 — the walk
+    * [[decodeWavSamples]] already validated (its nSamples is clamped
+    * to the bytes actually present after this offset). */
+  private def wavDataOffset(b: Array[Byte]): Long = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return -1L
+    var off = 12L
+    while (off + 8 <= b.length) {
+      val i = off.toInt
+      val sz = le32(b, i + 4).toLong & 0xffffffffL
+      if (tag(b, i) == "data") return off + 8
+      off += 8L + sz + (sz & 1L)
+    }
+    -1L
+  }
+
   def wavEnergy(id: Long, b: Array[Byte], window: Int = 100,
                 threshold: Int = 64): Option[WavEnergy] = try {
     if (window <= 0) return None // a 0-frame window would never advance
     val parsed = decodeWavSamples(id, b).getOrElse(return None)
-    // re-walk the data chunk like decodeWavSamples does
-    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
-      return None
-    var off = 12L
-    var dataOff = -1L
-    while (off + 8 <= b.length && dataOff < 0) {
-      val i = off.toInt
-      val id4 = tag(b, i)
-      val sz = le32(b, i + 4).toLong & 0xffffffffL
-      if (id4 == "data") dataOff = off + 8
-      else off += 8L + sz + (sz & 1L)
-    }
+    val dataOff = wavDataOffset(b)
     if (dataOff < 0) return None
     val ch = parsed.channels
     val frames = parsed.nSamples
@@ -785,14 +790,7 @@ object MediaCodec {
     * per-channel LAG. */
   def wavZcr(id: Long, b: Array[Byte]): Option[WavZcr] = try {
     val parsed = decodeWavSamples(id, b).getOrElse(return None)
-    var off = 12L
-    var dataOff = -1L
-    while (off + 8 <= b.length && dataOff < 0) {
-      val i = off.toInt
-      val sz = le32(b, i + 4).toLong & 0xffffffffL
-      if (tag(b, i) == "data") dataOff = off + 8
-      else off += 8L + sz + (sz & 1L)
-    }
+    val dataOff = wavDataOffset(b)
     if (dataOff < 0) return None
     val ch = parsed.channels
     val frames = parsed.nSamples
