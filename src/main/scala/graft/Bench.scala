@@ -174,7 +174,7 @@ object Bench {
     warmDir.foreach { d =>
       queries.values.foreach { fn =>
         try fn(spark, d.getPath).count()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       sweep() // drop the warmup's cache/fit/shuffle residue untimed
     }
@@ -190,7 +190,7 @@ object Bench {
     if (!sys.env.get("SPARK_GRAFT_COLD").contains("1")) {
       queries.values.foreach { fn =>
         try fn(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       sweep()
     }
@@ -237,7 +237,7 @@ object Bench {
             graft.queries.CdcQueries.lastE2eStats = None
             val t0 = System.nanoTime()
             val ok = try { fn(spark, sfDir).count(); true } catch {
-              case e: Throwable =>
+              case scala.util.control.NonFatal(e) =>
                 System.err.println(s"[bench] $name FAILED: $e"); false
             }
             val elapsed = (System.nanoTime() - t0) / 1e9
@@ -287,7 +287,7 @@ object Bench {
       if (only.nonEmpty) Seq.empty
       else (0 until runs).map { _ =>
         try bulkLoad(spark, sfDir, shards = 4)
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] bulk load FAILED: $e"); (0L, -1.0, -1.0)
         }
       }
@@ -307,14 +307,14 @@ object Bench {
     val recall =
       if (only.nonEmpty) Map.empty[String, Double]
       else try graft.queries.SimilarityQueries.annRecall(spark, sfDir, k = 3)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] recall FAILED: $e"); Map.empty[String, Double]
       }
     val recallClustered =
       if (only.nonEmpty) Map.empty[String, Double]
       else try graft.queries.SimilarityQueries.annRecallOn(
         graft.queries.SimilarityQueries.clusteredEmbeddings(spark), k = 3)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] clustered recall FAILED: $e")
         Map.empty[String, Double]
       }

@@ -111,23 +111,32 @@ object QualityClassifier {
         // order, honoring memoFit's pure-function contract (a plain
         // double sum over distributed partitions is order-dependent).
         // 12 fractional digits keeps the quantization (≤5e-13/row) far
-        // below the Newton step's meaningful precision; 26 integer
-        // digits keep any plausible contribution (s·xⱼ·xₖ with features
-        // up to ~1e13) in range — decimal(26,12) capped out at 1e14.
-        // Every contribution is range-checked BEFORE the cast: an
-        // out-of-range value must fail the fit loudly in ANY SQL mode —
-        // with ANSI off a raw cast overflow is a silent NULL that sum()
-        // skips (a silently-biased model), with ANSI on it's a cryptic
-        // task-level ArithmeticException. The guard aggregate counts
-        // violations in the same job, so the check costs no extra pass.
-        val bound = 1e26 // decimal(38,12)'s integer-digit capacity
+        // below the Newton step's meaningful precision. Per-row terms
+        // are cast to decimal(28,12) (integer capacity 1e16), NOT the
+        // full decimal(38,12): Spark's SUM over decimal(p,s) widens to
+        // decimal(min(38, p+10), s), so the accumulator keeps 10 integer
+        // digits of headroom — 1e10 rows each at the per-row bound
+        // before the SUM itself could overflow. A per-row bound equal to
+        // the accumulator's own capacity (the r9 code's 1e26 against
+        // decimal(38,12)) lets many legal rows overflow the AGGREGATE to
+        // NULL with ANSI off, turning the intended loud failure into an
+        // NPE at getDecimal. Every contribution is range-checked BEFORE
+        // the cast: an out-of-range value must fail the fit loudly in
+        // ANY SQL mode — with ANSI off a raw cast overflow is a silent
+        // NULL that sum() skips (a silently-biased model), with ANSI on
+        // it's a cryptic task-level ArithmeticException. The guard
+        // aggregate counts violations in the same job (no extra pass),
+        // and a belt-and-braces null check on the summed cells raises
+        // the same descriptive error if the accumulator ever overflows
+        // anyway.
+        val bound = 1e16 // decimal(28,12)'s integer-digit capacity
         val gradTerms = (0 until d).map(j =>
           (col("y") - p) * col(s"x$j"))
         val hessTerms = for { j <- 0 until d; k <- j until d } yield
           s * col(s"x$j") * col(s"x$k")
         val terms = gradTerms ++ hessTerms
         val dec = (c: Column) =>
-          sum(when(abs(c) < bound, c.cast("decimal(38,12)")))
+          sum(when(abs(c) < bound, c.cast("decimal(28,12)")))
         val aggs = terms.zipWithIndex.map { case (c, i) =>
           dec(c).as(s"a_$i")
         } :+ sum(when(greatest(terms.map(abs): _*) >= bound, 1L)
@@ -135,11 +144,18 @@ object QualityClassifier {
         val row = fdf.agg(aggs.head, aggs.tail: _*).head()
         if (row.getLong(aggs.size - 1) > 0L)
           throw new IllegalStateException(
-            s"IRLS contributions overflowed decimal(38,12) on " +
+            s"IRLS contributions overflowed decimal(28,12) on " +
               s"${row.getLong(aggs.size - 1)} rows — feature magnitudes " +
               "exceed the fit's numeric envelope; rescale or clamp the " +
               "feature columns")
-        val cell = (i: Int) => row.getDecimal(i).doubleValue()
+        val cell = (i: Int) => {
+          val v = row.getDecimal(i)
+          if (v == null) throw new IllegalStateException(
+            "IRLS contribution SUM overflowed its decimal accumulator — " +
+              "feature magnitudes exceed the fit's numeric envelope; " +
+              "rescale or clamp the feature columns")
+          v.doubleValue()
+        }
         val g = Array.tabulate(d)(j => cell(j) - ridge * n * w(j))
         val h = Array.ofDim[Double](d, d)
         var idx = d

@@ -86,10 +86,10 @@ object DebeziumJson {
           tbl <- str(s, "table")
           e <- op match {
             case "c" | "u" | "r" =>
-              row(p, root, "after").map(r =>
+              row(p, root, "after", db, tbl).map(r =>
                 SourceEvent(db, tbl, EventSpool.OpAdd, row = Some(r)))
             case "d" =>
-              row(p, root, "before").map(r =>
+              row(p, root, "before", db, tbl).map(r =>
                 SourceEvent(db, tbl, EventSpool.OpRemove, row = Some(r)))
             case _ => None // "t" truncate, "m" message, heartbeats
           }
@@ -100,6 +100,50 @@ object DebeziumJson {
 
   private def str(n: JsonNode, field: String): Option[String] =
     Option(n.get(field)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+
+  /** Memo for the per-(db.table, image) decimal-scale map. A topic's
+    * envelopes all carry the same schema block, so re-deriving the
+    * scales on every `row()` call pays an O(schema) walk with per-field
+    * Option/builder allocation on the ingest hot path. The cached entry
+    * keeps the image-struct subschema node it was derived from and every
+    * hit is verified by deep equality against the incoming subschema —
+    * an allocation-free recursive compare over the (small) field list —
+    * so a mid-stream schema change (ALTER through the DDL barrier)
+    * recomputes instead of serving stale scales. Bounded by table count;
+    * cleared wholesale past a generous cap as a leak guard. */
+  private val scalesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), (JsonNode, Map[String, Int])]()
+
+  /** The `image` ("before"/"after") struct's subschema node, or null
+    * when the envelope has no schema block — a top-level scan only. */
+  private def imageSchema(root: JsonNode, image: String): JsonNode = {
+    val sn = root.get("schema")
+    if (sn == null || !sn.isObject) return null
+    val fields = sn.get("fields")
+    if (fields == null || !fields.isArray) return null
+    var found: JsonNode = null
+    fields.forEach { f =>
+      if (found == null && str(f, "field").contains(image)) found = f
+    }
+    found
+  }
+
+  private def memoScales(root: JsonNode, image: String,
+                         db: String, table: String): Map[String, Int] = {
+    val sub = imageSchema(root, image)
+    if (sub == null) Map.empty
+    else {
+      val key = (db, table, image)
+      val hit = scalesMemo.get(key)
+      if (hit != null && hit._1 == sub) hit._2
+      else {
+        val m = decimalScales(root, image)
+        if (scalesMemo.size > 4096) scalesMemo.clear()
+        scalesMemo.put(key, (sub, m))
+        m
+      }
+    }
+  }
 
   /** Per-field decimal scales for the `before`/`after` struct named
     * `image`, read from the envelope's schema block: fields whose
@@ -133,10 +177,10 @@ object DebeziumJson {
     out.result()
   }
 
-  private def row(p: JsonNode, root: JsonNode,
-                  field: String): Option[String] =
+  private def row(p: JsonNode, root: JsonNode, field: String,
+                  db: String, table: String): Option[String] =
     Option(p.get(field)).filter(_.isObject).map { n =>
-      val scales = decimalScales(root, field)
+      val scales = memoScales(root, field, db, table)
       if (scales.isEmpty) n.toString
       else {
         // precise-mode decimals: base64(big-endian two's-complement
