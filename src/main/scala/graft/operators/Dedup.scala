@@ -674,18 +674,35 @@ object Dedup {
     * Returns (id_a, id_b, dist) with id_a < id_b.
     *
     * Scale shape: ONE shuffle keyed by (band, value) builds the
-    * candidate set; bucket sizes are data-dependent (heavy EXACT
-    * duplicates share every band — run exact dedup first, as the
-    * image gate does by collapsing to distinct hashes), and the
-    * verify is a codegen'd xor/popcount on two longs — no text, no
-    * arrays, nothing corpus-sized beyond the matching pairs. */
+    * candidate set, and the verify is a codegen'd xor/popcount on two
+    * longs — no text, no arrays, nothing corpus-sized beyond the
+    * matching pairs. Bucket sizes are data-dependent, so the operator
+    * enforces its own quadratic-proof guard (the file's maxDf
+    * convention): a (band, value) bucket with more than `maxBucket`
+    * members — heavy exact duplicates that skipped exact-dedup
+    * collapse, or a degenerate constant band (all-zero sketches from
+    * empty documents/images) — is DROPPED before the self-join, so no
+    * input can make the candidate set quadratic in the corpus. An
+    * over-cap band is by definition uninformative for its members
+    * (it would pair each of them with thousands of others); pairs can
+    * still surface through their other, discriminative bands. The
+    * pigeonhole recall guarantee is exact among sub-cap buckets; the
+    * cap is the explicit, tunable recall/robustness trade at the
+    * tail. Callers should still collapse exact duplicates first (as
+    * both gates do) — the cap is the backstop, not the plan. The
+    * guard's own cost is one map-side-combined count over (band,
+    * value) plus a broadcast anti-join of the (tiny) over-cap list:
+    * at most |corpus|·bands/maxBucket entries, not corpus-sized. */
   def hammingNearDups(hashed: DataFrame, idCol: String, hashCol: String,
-                      nBits: Int, bands: Int, maxDist: Int): DataFrame = {
+                      nBits: Int, bands: Int, maxDist: Int,
+                      maxBucket: Int = 4096): DataFrame = {
     require(nBits > 0 && nBits <= 64 && bands > 0 && nBits % bands == 0,
       s"nBits=$nBits must be a positive multiple of bands=$bands, ≤ 64")
     require(maxDist < bands,
       s"maxDist=$maxDist needs maxDist ≤ bands−1=${bands - 1} for the " +
         "pigeonhole recall guarantee")
+    require(maxBucket >= 2,
+      s"maxBucket=$maxBucket must be ≥ 2 — a 1-member bucket yields no pairs")
     val w = nBits / bands
     val mask = if (w == 64) -1L else (1L << w) - 1L
     val base = hashed.select(col(idCol).as("id"),
@@ -696,8 +713,12 @@ object Dedup {
           (shiftrightunsigned(col("h"), b * w)
             .bitwiseAND(lit(mask))).as("v"))): _*)).as("bv"))
       .select(col("id"), col("h"), col("bv.b").as("b"), col("bv.v").as("v"))
-    banded.as("l")
-      .join(banded.as("r"),
+    val hot = banded.groupBy("b", "v").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBucket)
+      .select(col("b"), col("v"))
+    val safe = banded.join(broadcast(hot), Seq("b", "v"), "left_anti")
+    safe.as("l")
+      .join(safe.as("r"),
         col("l.b") === col("r.b") && col("l.v") === col("r.v") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

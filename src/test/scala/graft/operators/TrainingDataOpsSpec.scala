@@ -334,6 +334,57 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("hammingNearDups: hot-bucket cap drops degenerate buckets, keeps planted pairs") {
+    // Thousands of sketches agreeing on band 0 (low byte = 0) — the
+    // degenerate shape the operator must survive by construction: an
+    // uncapped join would turn that one (band, value) bucket into
+    // C(5000+,2) ≈ 12.5M candidate pairs. With maxBucket = 64 the hot
+    // bucket is dropped, the join stays linear in the cold buckets,
+    // and recall is preserved for every pair that agrees on at least
+    // one cold band.
+    val rnd = new scala.util.Random(20260815L)
+    val degenerate = (0 until 5000).map { i =>
+      i.toLong -> (rnd.nextLong() << 8) // low byte 0 → all share (0, 0)
+    }
+    // planted twins flip 1..5 bits inside bands 2..7 only, so each
+    // pair still agrees on band 1 — a cold ~5000/256-member bucket —
+    // after the hot band 0 is dropped
+    val planted = degenerate.take(8).map { case (id, h) =>
+      val flips = 1 + rnd.nextInt(5)
+      val h2 = (0 until flips).foldLeft(h)((acc, _) =>
+        acc ^ (1L << (16 + rnd.nextInt(48))))
+      (id + 100000L, id, h, h2)
+    }
+    // sacrificial pair: exactly one flipped bit in EACH of bands 1..7
+    // → its only agreeing band is the hot one, so the capped join must
+    // miss it — direct evidence the bucket was dropped, not just slow
+    val hs = rnd.nextLong() << 8
+    val hs2 = (1 to 7).foldLeft(hs)((acc, b) => acc ^ (1L << (8 * b)))
+    assert(java.lang.Long.bitCount(hs ^ hs2) == 7)
+    val all = degenerate ++ planted.map(p => p._1 -> p._4) ++
+      Seq(900000L -> hs, 900001L -> hs2)
+    val out = Dedup.hammingNearDups(all.toDF("id", "h"), "id", "h",
+        64, 8, 7, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { case (tid, bid, h, h2) =>
+      assert(out.contains((bid, tid)),
+        s"planted pair ($bid, $tid) dist=${java.lang.Long.bitCount(h ^ h2)} lost")
+    }
+    assert(!out.contains((900000L, 900001L)),
+      "hot-band-only pair survived — the over-cap bucket was not dropped")
+    // control: same sacrificial pair in a small corpus stays under the
+    // default cap and IS found — the miss above is the cap, not a bug
+    val small = degenerate.take(50) ++ Seq(900000L -> hs, 900001L -> hs2)
+    val ctrl = Dedup.hammingNearDups(small.toDF("id", "h"), "id", "h",
+        64, 8, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ctrl.contains((900000L, 900001L)))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDups(all.toDF("id", "h"), "id", "h", 64, 8, 7,
+        maxBucket = 1)
+    }
+  }
+
   test("ahash twins: perturbed classes sit a few bits from their base") {
     import graft.operators.MediaCodec
     val hashes = (0L until 37L).map { s =>
