@@ -526,7 +526,36 @@ object MediaCodec {
     * or rounding convention enters. The 64 bits are emitted row-major
     * as a '0'/'1' string: images closer than a few bits are
     * perceptual near-dups; equal strings are the exact-dup key. */
-  def ahashBmp(id: Long, b: Array[Byte]): Option[ImageHash] = try {
+  def ahashBmp(id: Long, b: Array[Byte]): Option[ImageHash] =
+    bmpGray(b).map(g => ImageHash(id, g.width, g.height, ahashGray(g)))
+
+  // ------------------------------------- unified pixel → hash entry
+
+  /** Decoded grayscale matrix, row-major top-down: gray = r + g + b
+    * per pixel (0..765 — a SUM, never a division, so every derived
+    * statistic stays integer-exact). This is the SINGLE pixel →
+    * perceptual-hash representation: every real image decode (BMP,
+    * PNG, GIF, baseline JPEG) lands here via [[decodeGray]], so
+    * aHash / pHash / any future perceptual key hash one matrix
+    * regardless of the container format — the same picture stored as
+    * a BMP and as a PNG produces the same hash bit-for-bit. */
+  final case class GrayImage(width: Int, height: Int, gray: Array[Int])
+
+  /** Format-sniffing gray decode — the one entry point from payload
+    * bytes to the perceptual-hash matrix. Dispatches on magic bytes to
+    * the real decoders (24-bpp BMP, 8-bit truecolor PNG, GIF87a/89a,
+    * baseline grayscale/4:4:4/4:2:0 JPEG); anything else decodes None
+    * (a corrupt crawl payload is a datum, never a task failure). */
+  def decodeGray(b: Array[Byte]): Option[GrayImage] = {
+    if (b.length < 6) None
+    else if (b(0) == 'B' && b(1) == 'M') bmpGray(b)
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P') pngGray(b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') gifGray(b)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) jpegGray(b)
+    else None
+  }
+
+  private def bmpGray(b: Array[Byte]): Option[GrayImage] = try {
     if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
         le32(b, 14) >= 40)) return None
     val off = le32(b, 10)
@@ -540,18 +569,102 @@ object MediaCodec {
       return None
     val stride = ((24L * w + 31L) / 32L) * 4L
     if (off < 54 || off.toLong + stride * h > b.length) return None
+    if (w.toLong * h > Int.MaxValue) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val stored = if (topDown) y else h - 1 - y
+      val ro = (off.toLong + stored * stride).toInt
+      var x = 0
+      while (x < w) {
+        val p = ro + 3 * x
+        gray(y * w + x) =
+          (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(GrayImage(w, h, gray))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def pngGray(b: Array[Byte]): Option[GrayImage] =
+    pngRgbBytes(b).map { case (w, h, img) =>
+      val gray = new Array[Int](w * h)
+      var p = 0
+      var i = 0
+      while (p < img.length) {
+        gray(i) = (img(p) & 0xff) + (img(p + 1) & 0xff) + (img(p + 2) & 0xff)
+        p += 3
+        i += 1
+      }
+      GrayImage(w, h, gray)
+    }
+
+  private def gifGray(b: Array[Byte]): Option[GrayImage] =
+    gifIndexed(b).flatMap { case (w, h, palette, idx) =>
+      val nColors = palette.length / 3
+      val gray = new Array[Int](w * h)
+      var p = 0
+      while (p < gray.length) {
+        val ci = idx(p) & 0xff
+        if (ci >= nColors) return None
+        gray(p) = (palette(3 * ci) & 0xff) + (palette(3 * ci + 1) & 0xff) +
+          (palette(3 * ci + 2) & 0xff)
+        p += 1
+      }
+      Some(GrayImage(w, h, gray))
+    }
+
+  /** Baseline JPEG → gray: color scans convert through the same
+    * fixed-point JFIF YCbCr→RGB as [[decodeJpegRgb]]; a grayscale
+    * (1-component) scan is r = g = b = clamp(Y), so gray = 3·clamp(Y)
+    * — the clamp matters because IDCT output can leave 0..255. */
+  private def jpegGray(b: Array[Byte]): Option[GrayImage] =
+    decodeJpegPlanes(b).flatMap { case (w, h, planes) =>
+      val gray = new Array[Int](w * h)
+      if (planes.length == 1) {
+        val p = planes(0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            gray(y * w + x) = 3 * math.max(0, math.min(255, p.at(x, y)))
+            x += 1
+          }
+          y += 1
+        }
+        Some(GrayImage(w, h, gray))
+      } else if (planes.length == 3) {
+        val (py, pcb, pcr) = (planes(0), planes(1), planes(2))
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, bl) = ycc2rgb(py.at(x, y), pcb.at(x, y), pcr.at(x, y))
+            gray(y * w + x) = r + g + bl
+            x += 1
+          }
+          y += 1
+        }
+        Some(GrayImage(w, h, gray))
+      } else None
+    }
+
+  /** 8×8 average-hash bits over a decoded gray matrix — the exact
+    * arithmetic [[ahashBmp]] always used (cross-multiplied means, no
+    * floating point), now computable for every format [[decodeGray]]
+    * covers. */
+  def ahashGray(img: GrayImage): String = {
+    val w = img.width; val h = img.height
     val cellSum = new Array[Long](64)
     val cellN = new Array[Long](64)
     var total = 0L
     var y = 0
     while (y < h) {
-      val stored = if (topDown) y else h - 1 - y
-      val ro = (off.toLong + stored * stride).toInt
       val cy = y * 8 / h
       var x = 0
       while (x < w) {
-        val p = ro + 3 * x
-        val gray = (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+        val gray = img.gray(y * w + x)
         val c = cy * 8 + x * 8 / w
         cellSum(c) += gray
         cellN(c) += 1
@@ -567,9 +680,202 @@ object MediaCodec {
       bits.append(if (cellSum(c) * n > total * cellN(c)) '1' else '0')
       c += 1
     }
-    Some(ImageHash(id, w, h, bits.toString))
-  } catch { // corrupt payload is a datum, never a task failure
-    case scala.util.control.NonFatal(_) => None
+    bits.toString
+  }
+
+  /** Fixed-point cosine basis for the perceptual DCT hash:
+    * cos(π(2x+1)u/64)·1024, rounded half-even away from the exactness
+    * question entirely — BOTH sides (this kernel and the SQL oracle)
+    * use the same integer table, so the hash is exact by construction
+    * at any precision. u ∈ 1..8 (index 0..7), x ∈ 0..31. */
+  val phashCos: Array[Array[Int]] =
+    Array.tabulate(8, 32)((u0, x) =>
+      math.round(math.cos(math.Pi * (2 * x + 1) * (u0 + 1) / 64.0)
+        * 1024.0).toInt)
+
+  /** 64-bit perceptual DCT hash (the pHash family, LAION-style image
+    * dedup) over any decoded gray matrix, integer-exact end to end so
+    * a SQL oracle re-derives it bit-for-bit:
+    *
+    *  1. 32×32 grid: pixel (x, y) belongs to cell (x·32 div w,
+    *     y·32 div h); per cell keep (sum, count) — integers.
+    *  2. Centered cell quantity q(c) = cellSum(c)·N − totalSum·
+    *     cellN(c) (the aHash cross-multiplied-means trick generalized
+    *     from a comparison to a VALUE): q is N·cellN·(cellMean −
+    *     imageMean) without a single division, and a global
+    *     brightness shift +Δ cancels EXACTLY — (cellSum + Δ·cellN)·N
+    *     − (totalSum + Δ·N)·cellN = q.
+    *  3. 2-D DCT over q with the integer cosine table [[phashCos]]:
+    *     coef(u, v) = Σ_cells q·C[u][cx]·C[v][cy] for u, v ∈ 1..8 —
+    *     the 64 lowest AC frequencies, excluding the u=0/v=0 row and
+    *     column so pure-horizontal/vertical exposure gradients barely
+    *     register (what lets pHash keep matching where aHash flips
+    *     half its bits).
+    *  4. bit((u−1)·8 + (v−1)) = 1 iff coef(u, v) > 0, emitted
+    *     u-major as a '0'/'1' string like [[ahashGray]].
+    *
+    * Long arithmetic is exact up to ~30k-pixel images (|q| ≤
+    * 765·N·max cellN, times 2²⁰ for the two cosine factors, times
+    * 1024 cells); larger images switch to BigInt accumulation —
+    * same integers, same bits, no overflow. */
+  def phashGray(img: GrayImage): String = {
+    val w = img.width; val h = img.height
+    val cs = new Array[Long](1024)
+    val cn = new Array[Long](1024)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = y * 32 / h
+      var x = 0
+      while (x < w) {
+        val c = cy * 32 + x * 32 / w
+        cs(c) += img.gray(y * w + x)
+        cn(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var i = 0
+    while (i < 1024) { total += cs(i); i += 1 }
+    val q = new Array[Long](1024)
+    i = 0
+    while (i < 1024) { q(i) = cs(i) * n - total * cn(i); i += 1 }
+    // Long-exactness bound: |q| ≤ 765·N·max(cellN) and each DCT term
+    // multiplies by two cosine factors ≤ 2¹⁰ over ≤ 1024 cells — switch
+    // to BigInt when the worst case could pass Long.MaxValue
+    var cnMax = 0L
+    i = 0
+    while (i < 1024) { if (cn(i) > cnMax) cnMax = cn(i); i += 1 }
+    val maxQ = 765.0 * n * cnMax // double: the BOUND may overflow Long
+    val fitsLong = maxQ < (Long.MaxValue >> 31).toDouble // 1024 · 2²⁰ · 2
+    val bits = new java.lang.StringBuilder(64)
+    var u = 0
+    while (u < 8) {
+      val cu = phashCos(u)
+      var v = 0
+      while (v < 8) {
+        val cv = phashCos(v)
+        var pos = false
+        if (fitsLong) {
+          var acc = 0L
+          var cy = 0
+          while (cy < 32) {
+            val cvy = cv(cy).toLong
+            var cx = 0
+            while (cx < 32) {
+              acc += q(cy * 32 + cx) * cu(cx) * cvy
+              cx += 1
+            }
+            cy += 1
+          }
+          pos = acc > 0L
+        } else {
+          var acc = BigInt(0)
+          var cy = 0
+          while (cy < 32) {
+            val cvy = cv(cy)
+            var cx = 0
+            while (cx < 32) {
+              val qv = q(cy * 32 + cx)
+              if (qv != 0L) acc += BigInt(qv) * (cu(cx).toLong * cvy)
+              cx += 1
+            }
+            cy += 1
+          }
+          pos = acc.signum > 0
+        }
+        bits.append(if (pos) '1' else '0')
+        v += 1
+      }
+      u += 1
+    }
+    bits.toString
+  }
+
+  /** Perceptual DCT hash of one decoded image. */
+  final case class ImagePhash(id: Long, width: Int, height: Int,
+                              phash: String)
+
+  /** Per-partition batch pHash through the unified entry point —
+    * payloads never shuffle; only the 64-char key rides into the
+    * dedup aggregation, and BMP/PNG/GIF/JPEG payloads all hash
+    * through the same [[decodeGray]] → [[phashGray]] path. */
+  def extractPhash(media: Dataset[(Long, Array[Byte])])
+      : Dataset[ImagePhash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) =>
+      decodeGray(p).map(g => ImagePhash(id, g.width, g.height,
+        phashGray(g)))
+    })
+  }
+
+  /** Real BMP encode of an arbitrary RGB pixel function: the
+    * [[buildBmp]] header + BGR rows with real 4-byte padding and
+    * real bottom-up/top-down placement. */
+  def encodeBmpRgb(width: Int, height: Int, topDown: Boolean,
+                   rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val arr = buildBmp(width, height, topDown)
+    val rowSize = ((24 * width + 31) / 32) * 4
+    var y = 0
+    while (y < height) {
+      val stored = if (topDown) y else height - 1 - y
+      val base = 54 + stored * rowSize
+      var x = 0
+      while (x < width) {
+        val p = base + 3 * x
+        val (r, g, bl) = rgb(x, y)
+        arr(p) = bl.toByte
+        arr(p + 1) = g.toByte
+        arr(p + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    arr
+  }
+
+  /** The 48×32 pHash fixture picture for class `s` ∈ 0..36: classes
+    * 0..29 are the [[buildBmpTexture]]-style channel textures; classes
+    * 30..36 render class s−30's picture with a saturating horizontal
+    * EXPOSURE RAMP (+(80·x div 48) per channel, capped at each
+    * channel's modulus) — the smooth brightness gradient of uneven
+    * lighting / vignetting. The ramp shifts ~half the pixels across
+    * the image mean, so the twin sits 26..33 aHash bits from its base
+    * (aHash can never pair them) — but a near-horizontal gradient
+    * lives in the u≥1, v=0 DCT row that [[phashGray]] EXCLUDES, so
+    * the twin stays 2..4 pHash bits away and the banded Hamming join
+    * finds every planted pair. All arithmetic is closed-form in
+    * (x, y, s), so a SQL oracle re-derives the hash exactly. */
+  def phashTwinRgb(s: Long)(x: Int, y: Int): (Int, Int, Int) = {
+    val b0 = if (s >= 30) s - 30 else s
+    val ramp = if (s >= 30) (80 * x) / 48 else 0
+    (math.min(254, (31L * x + 47L * y + 61L * b0) % 255 + ramp).toInt,
+      math.min(252, (59L * x + 83L * y + 29L * b0) % 253 + ramp).toInt,
+      math.min(250, (73L * x + 151L * y + 97L * b0) % 251 + ramp).toInt)
+  }
+
+  /** Fixture adapter for the pHash near-dup gate: the class picture
+    * rides a REAL container that alternates BY DOC — even ids encode
+    * BMP (both row orders), odd ids encode PNG (IDAT split every
+    * third id) — so the gate only stays green if the unified
+    * [[decodeGray]] entry point hashes both formats to identical
+    * bits (a format-dependent hash would split every class into two
+    * groups and move every canonical id). */
+  def phashFromDocuments(spark: SparkSession,
+                         docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val s = id % 37
+        val payload =
+          if (id % 2 == 0)
+            encodeBmpRgb(48, 32, topDown = (id / 2) % 2 == 0,
+              phashTwinRgb(s))
+          else encodePngRgb(48, 32, phashTwinRgb(s),
+            splitIdat = id % 3 == 0)
+        (id, payload)
+      }
   }
 
   /** A TEXTURED BMP fixture for the hash gate: large multipliers make
@@ -2467,7 +2773,33 @@ object MediaCodec {
     * above and mapped through the palette. Local color tables override
     * the global one per the spec. Interlaced frames and anything
     * structurally invalid return None — data, not task failures. */
-  def decodeGifPixels(id: Long, b: Array[Byte]): Option[GifPixels] = try {
+  def decodeGifPixels(id: Long, b: Array[Byte]): Option[GifPixels] =
+    gifIndexed(b).flatMap { case (w, h, palette, idx) =>
+      val nPixels = w * h
+      val nColors = palette.length / 3
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
+      var p = 0
+      while (p < nPixels) {
+        val ci = idx(p) & 0xff
+        if (ci >= nColors) return None
+        val r = palette(3 * ci) & 0xff
+        val g = palette(3 * ci + 1) & 0xff
+        val bl = palette(3 * ci + 2) & 0xff
+        sumR += r; sumG += g; sumB += bl
+        if (p < w) top += r + g + bl
+        p += 1
+      }
+      val n = nPixels.toLong
+      Some(GifPixels(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
+        sumB.toDouble / n, top.toDouble / (3L * w)))
+    }
+
+  /** The shared GIF decode core: header/palette/block walk + the real
+    * variable-width LZW, returning (w, h, palette, index stream) —
+    * the means path and the perceptual-hash gray path both read this
+    * one decode. */
+  private def gifIndexed(b: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Array[Byte])] = try {
     if (b.length < 14) return None
     val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -2521,22 +2853,7 @@ object MediaCodec {
     val nPixels = w * h
     val idx = lzwDecode(z.toByteArray, minCodeSize, nPixels)
     if (idx == null) return None
-    val nColors = palette.length / 3
-    var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
-    var p = 0
-    while (p < nPixels) {
-      val ci = idx(p) & 0xff
-      if (ci >= nColors) return None
-      val r = palette(3 * ci) & 0xff
-      val g = palette(3 * ci + 1) & 0xff
-      val bl = palette(3 * ci + 2) & 0xff
-      sumR += r; sumG += g; sumB += bl
-      if (p < w) top += r + g + bl
-      p += 1
-    }
-    val n = nPixels.toLong
-    Some(GifPixels(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
-      sumB.toDouble / n, top.toDouble / (3L * w)))
+    Some((w, h, palette, idx))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real GIF89a ENCODE of a deterministic indexed picture: a 256-entry
@@ -2644,7 +2961,29 @@ object MediaCodec {
     * palette, 16-bit, alpha, interlaced, bad CRC, short stream — parses
     * None, never throws: corrupt crawl payloads are data, not task
     * failures. */
-  def decodePngPixels(id: Long, b: Array[Byte]): Option[PngPixels] = try {
+  def decodePngPixels(id: Long, b: Array[Byte]): Option[PngPixels] =
+    pngRgbBytes(b).map { case (w, h, img) =>
+      val stride = 3 * w
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
+      var p = 0
+      val n = w.toLong * h
+      while (p < img.length) {
+        val r = img(p) & 0xff; val g = img(p + 1) & 0xff
+        val bl = img(p + 2) & 0xff
+        sumR += r; sumG += g; sumB += bl
+        if (p < stride) top += r + g + bl // scanline 0 = image top row
+        p += 3
+      }
+      PngPixels(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
+        sumB.toDouble / n, top.toDouble / (3L * w))
+    }
+
+  /** The shared PNG decode core: chunk walk + CRC verification +
+    * inflate + per-scanline defilter, returning the reconstructed RGB
+    * scanlines top-down — the means path and the perceptual-hash gray
+    * path both read this one decode. */
+  private def pngRgbBytes(b: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] = try {
     val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     if (b.length < 45 || !sig.indices.forall(i => (b(i) & 0xff) == sig(i)))
       return None
@@ -2724,18 +3063,7 @@ object MediaCodec {
       }
       y += 1
     }
-    var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
-    var p = 0
-    val n = w.toLong * h
-    while (p < img.length) {
-      val r = img(p) & 0xff; val g = img(p + 1) & 0xff
-      val bl = img(p + 2) & 0xff
-      sumR += r; sumG += g; sumB += bl
-      if (p < stride) top += r + g + bl // scanline 0 = image top row
-      p += 3
-    }
-    Some(PngPixels(id, w, h, sumR.toDouble / n, sumG.toDouble / n,
-      sumB.toDouble / n, top.toDouble / (3L * w)))
+    Some((w, h, img))
   } catch { // corrupt payload is a datum, never a task failure
     case scala.util.control.NonFatal(_) => None
   }
@@ -2750,7 +3078,20 @@ object MediaCodec {
     * `splitIdat` (the mid-stream boundary naive one-chunk decoders
     * break on). */
   def buildPngPattern(width: Int, height: Int, seed: Long,
-                      splitIdat: Boolean): Array[Byte] = {
+                      splitIdat: Boolean): Array[Byte] =
+    encodePngRgb(width, height, (x, y) =>
+      (((x + y + 2L * seed) % 255).toInt,
+        ((2L * x + y + seed) % 253).toInt,
+        ((x + 3L * y + seed) % 251).toInt), splitIdat)
+
+  /** Real PNG encode of an arbitrary RGB pixel function — the format
+    * half of [[buildPngPattern]] factored out so fixtures can encode
+    * the SAME picture as a PNG and as a BMP (the cross-format
+    * exact-dup shape of the unified-gray gate). Row y filtered with
+    * type y mod 5 so all five filter reconstructions run. */
+  def encodePngRgb(width: Int, height: Int,
+                   rgb: (Int, Int) => (Int, Int, Int),
+                   splitIdat: Boolean): Array[Byte] = {
     require(width > 0 && height > 0)
     val stride = 3 * width
     // raw image (recon bytes) in scanline order
@@ -2760,9 +3101,10 @@ object MediaCodec {
       var x = 0
       while (x < width) {
         val p = y * stride + 3 * x
-        img(p) = ((x + y + 2L * seed) % 255).toByte
-        img(p + 1) = ((2L * x + y + seed) % 253).toByte
-        img(p + 2) = ((x + 3L * y + seed) % 251).toByte
+        val (r, g, bl) = rgb(x, y)
+        img(p) = r.toByte
+        img(p + 1) = g.toByte
+        img(p + 2) = bl.toByte
         x += 1
       }
       y += 1

@@ -537,6 +537,33 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Perceptual DCT-hash (pHash) near-dups through the UNIFIED gray
+    // entry point: even docs are REAL BMPs (both row orders), odd docs
+    // REAL PNGs (split IDAT every third id) of the same class picture —
+    // decodeGray → phashGray hashes both containers to identical bits,
+    // so the exact-dup collapse groups ACROSS formats (a
+    // format-dependent hash would split every class in two and move
+    // every canonical id, diverging the gate). Planted exposure-ramp
+    // twins sit 26..33 aHash bits from their base — aHash could never
+    // pair them — but only 2..4 pHash bits away (a near-horizontal
+    // gradient lives in the v=0 DCT column that phashGray excludes),
+    // and the banded Hamming join surfaces exactly those pairs.
+    "mm_phash_dupes" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.phashFromDocuments(
+        s, t(s, dir, "documents"))
+      val classes = graft.operators.MediaCodec.extractPhash(media).toDF()
+        .groupBy("phash")
+        .agg(min(col("id")).as("cid"))
+        .withColumn("h",
+          shiftleft(conv(substring(col("phash"), 1, 32), 2, 10)
+            .cast("long"), 32)
+            .bitwiseOR(conv(substring(col("phash"), 33, 32), 2, 10)
+              .cast("long")))
+      graft.operators.Dedup.hammingNearDups(
+          classes, "cid", "h", nBits = 64, bands = 8, maxDist = 5)
+        .orderBy("id_a", "id_b")
+    },
+
     // Windowed audio loudness profile: REAL PCM16 decode → per-window
     // (100 frames) energy and max-|sample|, silence = quiet window —
     // the speech-curation stats (silence share, clip energy) an audio
@@ -1393,6 +1420,14 @@ object SimilarityQueries {
        |epairs AS (SELECT id_a, id_b, round(dot / sqrt(nx * ny), 4) AS sim
        |  FROM s WHERE round(dot / sqrt(nx * ny), 4) >= 0.3)""".stripMargin
 
+  /** The pHash integer cosine basis as SQL VALUES rows (u, x, c) —
+    * generated from [[graft.operators.MediaCodec.phashCos]] itself, so
+    * the oracle and the kernel share ONE table by construction. */
+  private lazy val phashCosValues: String =
+    (for { u <- 0 until 8; x <- 0 until 32 }
+      yield s"(${u + 1},$x,${graft.operators.MediaCodec.phashCos(u)(x)})")
+      .mkString(", ")
+
   private val staticOracles: Map[String, String] = Map(
     "s_ann_topk" -> cosineSql("vec_id < 10", bucketJoin = false, k = 5, None),
     "s_ann_lsh" -> cosineSql("vec_id < 10", bucketJoin = true, k = 3, None),
@@ -1595,6 +1630,58 @@ object SimilarityQueries {
         |  FROM cl a JOIN cl b ON a.cid < b.cid)
         |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM pairs
         |WHERE dist <= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Re-derives the 48×32 class pictures (exposure-ramp twins
+    // included) from closed-form (x, y, s) arithmetic, then the pHash
+    // pipeline integer-exactly: 32×32 cell sums, centered quantity
+    // q = cs·tn − ts·cn (the cross-multiplied-means trick as a VALUE),
+    // 2-D DCT against the SAME integer cosine table the kernel uses
+    // (embedded below from MediaCodec.phashCos), sign bits u-major,
+    // then brute-forced class pairs by character Hamming — at 37
+    // classes the all-pairs filter is exactly what the banded join
+    // computes with recall 1.0 (maxDist 5 < 8 bands). The container
+    // format never appears: BMP and PNG docs must hash identically
+    // for the doc→class collapse to match.
+    "mm_phash_dupes" ->
+      ("""WITH ds AS (SELECT doc_id, doc_id % 37 AS s FROM documents),
+        |cls AS (SELECT DISTINCT s,
+        |    CASE WHEN s >= 30 THEN s - 30 ELSE s END AS b0,
+        |    CASE WHEN s >= 30 THEN 1 ELSE 0 END AS tw FROM ds),
+        |px AS (SELECT s, x, y,
+        |    LEAST(254, (31*x + 47*y + 61*b0) % 255
+        |      + CASE WHEN tw = 1 THEN (80*x)//48 ELSE 0 END)
+        |    + LEAST(252, (59*x + 83*y + 29*b0) % 253
+        |      + CASE WHEN tw = 1 THEN (80*x)//48 ELSE 0 END)
+        |    + LEAST(250, (73*x + 151*y + 97*b0) % 251
+        |      + CASE WHEN tw = 1 THEN (80*x)//48 ELSE 0 END) AS gray
+        |  FROM cls,
+        |    LATERAL (SELECT unnest(range(48)) AS x),
+        |    LATERAL (SELECT unnest(range(32)) AS y)),
+        |cells AS (SELECT s, (x*32)//48 AS cx, (y*32)//32 AS cy,
+        |    SUM(gray) AS cs, COUNT(*) AS cn FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT s, SUM(cs) AS ts, SUM(cn) AS tn
+        |  FROM cells GROUP BY 1),
+        |q AS (SELECT s, cx, cy, cs * tn - ts * cn AS q
+        |  FROM cells JOIN tot USING (s)),
+        |cosb(u, x, c) AS (VALUES """.stripMargin + phashCosValues +
+      """),
+        |coef AS (SELECT s, cu.u AS u, cv.u AS v,
+        |    SUM(q.q * cu.c * cv.c) AS coef
+        |  FROM q JOIN cosb cu ON cu.x = q.cx
+        |         JOIN cosb cv ON cv.x = q.cy
+        |  GROUP BY 1, 2, 3),
+        |hashes AS (SELECT s,
+        |    string_agg(CASE WHEN coef > 0 THEN '1' ELSE '0' END,
+        |      '' ORDER BY u, v) AS ph FROM coef GROUP BY s),
+        |cl AS (SELECT ph, MIN(doc_id) AS cid
+        |  FROM ds JOIN hashes USING (s) GROUP BY 1),
+        |pairs AS (SELECT a.cid AS id_a, b.cid AS id_b,
+        |    (SELECT COUNT(*) FROM range(64) r(i)
+        |     WHERE substr(a.ph, CAST(i AS INT) + 1, 1)
+        |        <> substr(b.ph, CAST(i AS INT) + 1, 1)) AS dist
+        |  FROM cl a JOIN cl b ON a.cid < b.cid)
+        |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM pairs
+        |WHERE dist <= 5 ORDER BY id_a, id_b""".stripMargin),
 
     // Same derived samples as mm_wav_energy; crossings via a
     // per-channel LAG with the identical strict prev·cur < 0 rule.

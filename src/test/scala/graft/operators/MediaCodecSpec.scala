@@ -914,4 +914,94 @@ class MediaCodecSpec extends SparkSpec {
       decodeJpegProgressive(1L, prog))
     assert(decodeJpegProgressive(1L, prog).isDefined)
   }
+
+  test("decodeGray: one entry point, every container, identical matrices") {
+    // the SAME picture through BMP (both row orders) and PNG (split
+    // and unsplit IDAT) must land on ONE gray matrix, bit for bit —
+    // the contract the cross-format phash gate stands on
+    val pic = MediaCodec.phashTwinRgb(33) _
+    val variants = Seq(
+      encodeBmpRgb(48, 32, topDown = false, pic),
+      encodeBmpRgb(48, 32, topDown = true, pic),
+      encodePngRgb(48, 32, pic, splitIdat = false),
+      encodePngRgb(48, 32, pic, splitIdat = true))
+    val grays = variants.map(decodeGray(_).get)
+    grays.foreach { g =>
+      assert(g.width === 48 && g.height === 32)
+      assert(g.gray.toSeq === grays.head.gray.toSeq)
+    }
+    // direct pixel check against the closed form at a few points
+    val g0 = grays.head
+    for ((x, y) <- Seq((0, 0), (47, 31), (13, 7))) {
+      val (r, gg, b) = pic(x, y)
+      assert(g0.gray(y * 48 + x) === r + gg + b)
+    }
+    // GIF: gray equals the palette-expanded formula the means path
+    // already verifies — cross-check totals against decodeGifPixels
+    val gif = buildGifPattern(19, 11, seed = 5L, withExtension = true)
+    val gg = decodeGray(gif).get
+    val gp = decodeGifPixels(1L, gif).get
+    assert(gg.width === gp.width && gg.height === gp.height)
+    val n = gg.width.toLong * gg.height
+    assert(gg.gray.map(_.toLong).sum ===
+      math.round((gp.meanR + gp.meanG + gp.meanB) * n))
+    // JPEG grayscale: gray = 3·Y exactly (mid-range fixture, no clamp)
+    val jb = buildJpegPattern(24, 16, 5L)
+    val jg = decodeGray(jb).get
+    val jp = decodeJpegPixels(1L, jb).get
+    assert(jg.width === jp.width && jg.height === jp.height)
+    assert(jg.gray.map(_.toLong).sum ===
+      3L * math.round(jp.meanGray * jg.width * jg.height))
+    // JPEG color: gray sums equal the per-channel mean sums
+    val jc = buildJpegColorPattern(16, 16, 2L)
+    val cg = decodeGray(jc).get
+    val cr = decodeJpegRgb(1L, jc).get
+    val cn = cg.width.toLong * cg.height
+    assert(cg.gray.map(_.toLong).sum ===
+      math.round((cr.meanR + cr.meanG + cr.meanB) * cn))
+    // non-image bytes are data
+    assert(decodeGray("not an image".getBytes).isEmpty)
+    assert(decodeGray(Array[Byte](0x42, 0x4d)).isEmpty)
+  }
+
+  test("phash: exposure-ramp twins land within 5 bits where ahash loses 20+") {
+    def grayOf(s: Long) =
+      decodeGray(encodeBmpRgb(48, 32, topDown = false,
+        MediaCodec.phashTwinRgb(s))).get
+    val ph = (0L until 37L).map(s => s -> phashGray(grayOf(s))).toMap
+    val ah = (0L until 37L).map(s => s -> ahashGray(grayOf(s))).toMap
+    def hd(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    for (s <- 30L until 37L) {
+      val dp = hd(ph(s - 30), ph(s))
+      val da = hd(ah(s - 30), ah(s))
+      assert(dp >= 1 && dp <= 5,
+        s"twin $s phash dist $dp outside the planted 1..5 window")
+      assert(da >= 20, s"twin $s ahash dist $da — ahash should MISS it")
+    }
+    // unrelated classes sit far apart in phash: no accidental pairs
+    val cross = for {
+      i <- 0L until 37L; j <- (i + 1) until 37L if j != i + 30
+    } yield hd(ph(i), ph(j))
+    assert(cross.min > 7, s"cross-class floor ${cross.min} ≤ maxDist bound")
+    assert(ph.values.toSet.size === 37, "classes must stay distinct")
+  }
+
+  test("phash: exact global-brightness invariance and Long/BigInt agreement") {
+    val rnd = new scala.util.Random(7L)
+    val base = Array.fill(32 * 32)(100 + rnd.nextInt(400))
+    val small = GrayImage(32, 32, base)
+    // +Δ on every pixel cancels EXACTLY in q = cs·N − S·cn
+    val shifted = GrayImage(32, 32, base.map(_ + 123))
+    assert(phashGray(small) === phashGray(shifted))
+    // blockwise 10× upsample: every cell's (sum, count) scales by 100,
+    // so q scales uniformly and the hash is IDENTICAL — but 320×320
+    // crosses the Long-exactness bound and runs the BigInt path, so
+    // equality here pins the two accumulators to the same integers
+    val big = new Array[Int](320 * 320)
+    for (y <- 0 until 320; x <- 0 until 320)
+      big(y * 320 + x) = base((y / 10) * 32 + (x / 10))
+    assert(phashGray(GrayImage(320, 320, big)) === phashGray(small))
+    val bigShift = GrayImage(320, 320, big.map(_ + 99))
+    assert(phashGray(bigShift) === phashGray(small))
+  }
 }
