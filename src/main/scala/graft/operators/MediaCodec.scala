@@ -418,6 +418,256 @@ object MediaCodec {
     media.mapPartitions(_.flatMap { case (id, p) => decodeWavUlaw(id, p) })
   }
 
+  // ------------------------------------------------ IMA-ADPCM audio
+
+  /** IMA/DVI ADPCM step-size table — the public 89-entry reference
+    * table (IMA Digital Audio Focus Group algorithm, also RFC 3551
+    * §4.5.1 DVI4 and the Microsoft WAVE_FORMAT_IMA_ADPCM layout). */
+  val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+
+  /** Index adaptation per nibble magnitude (nibble & 7). */
+  val imaIndexDelta: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA-ADPCM state step, shared VERBATIM by the encoder and the
+    * decoder (the codec is a delta follower: both sides reconstruct
+    * the same predicted sample from the same nibble, or they drift).
+    * Returns (decodedSample, nextIndex). All arithmetic is integer
+    * shifts and adds, so a SQL oracle mirrors it exactly. */
+  private def imaStep(pred: Int, index: Int, nibble: Int): (Int, Int) = {
+    val step = imaStepTable(index)
+    var dq = step >> 3
+    if ((nibble & 4) != 0) dq += step
+    if ((nibble & 2) != 0) dq += step >> 1
+    if ((nibble & 1) != 0) dq += step >> 2
+    val next = math.max(-32768, math.min(32767,
+      if ((nibble & 8) != 0) pred - dq else pred + dq))
+    val ni = math.max(0, math.min(88, index + imaIndexDelta(nibble & 7)))
+    (next, ni)
+  }
+
+  /** The standard greedy IMA quantizer: pick the nibble whose
+    * reconstruction best tracks `target` from (pred, index). */
+  private def imaEncodeNibble(pred: Int, index: Int, target: Int): Int = {
+    val step = imaStepTable(index)
+    val diff = target - pred
+    var nibble = if (diff < 0) 8 else 0
+    var ad = if (diff < 0) -diff else diff
+    if (ad >= step) { nibble |= 4; ad -= step }
+    if (ad >= (step >> 1)) { nibble |= 2; ad -= step >> 1 }
+    if (ad >= (step >> 2)) nibble |= 1
+    nibble
+  }
+
+  /** Frames per IMA block for a given block align: the per-channel
+    * 4-byte header carries frame 0; every following data byte carries
+    * two nibbles (one frame each per channel). */
+  private def imaFramesPerBlock(blockAlign: Int, ch: Int): Int =
+    (blockAlign - 4 * ch) * 2 / ch + 1
+
+  /** Real WAVE_FORMAT_IMA_ADPCM (tag 0x11) encode of the same
+    * closed-form PCM16 target signal as [[buildWavPattern]]
+    * (v = (7f + 13c + seed) mod 2003 − 1001): per-block per-channel
+    * 4-byte headers (initial sample, step index 0, reserved), then
+    * nibbles packed low-first in per-channel 4-byte groups
+    * (interleaved by channel for stereo — the real block layout naive
+    * mono-stream decoders break on), a `fact` chunk with the true
+    * frame count (mandatory for compressed WAVE), and the final block
+    * zero-padded to a full block align. The encoder runs the REAL
+    * greedy quantizer against its own decoder state, so the decoded
+    * stream is the deterministic fixed point a SQL oracle can simulate
+    * frame by frame. */
+  def buildWavAdpcmPattern(channels: Int, sampleRate: Int, nFrames: Int,
+                           seed: Long): Array[Byte] = {
+    require(channels > 0 && channels <= 2 && sampleRate > 0 && nFrames > 0)
+    val ch = channels
+    val blockAlign = 132 * ch // → 257 frames per block
+    val fpb = imaFramesPerBlock(blockAlign, ch)
+    val nBlocks = (nFrames + fpb - 1) / fpb
+    val dataLen = nBlocks * blockAlign
+    def target(f: Int, c: Int): Int =
+      ((7L * f + 13L * c + seed) % 2003L - 1001L).toInt
+    val total = 12 + (8 + 20) + (8 + 4) + 8 + dataLen
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(s: String): Unit =
+      b.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    ascii("RIFF"); b.putInt(total - 8); ascii("WAVE")
+    ascii("fmt "); b.putInt(20)
+    b.putShort(0x11) // WAVE_FORMAT_IMA_ADPCM
+    b.putShort(ch.toShort).putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign / fpb) // nominal byte rate
+    b.putShort(blockAlign.toShort)
+    b.putShort(4) // bits per (compressed) sample
+    b.putShort(2) // cbSize
+    b.putShort(fpb.toShort) // samplesPerBlock
+    ascii("fact"); b.putInt(4); b.putInt(nFrames)
+    ascii("data"); b.putInt(dataLen)
+    var g = 0
+    while (g < nBlocks) {
+      val f0 = g * fpb
+      val pred = new Array[Int](ch)
+      val index = new Array[Int](ch)
+      var c = 0
+      while (c < ch) { // per-channel block headers
+        pred(c) = target(f0, c)
+        index(c) = 0
+        b.putShort(pred(c).toShort).put(0.toByte).put(0.toByte)
+        c += 1
+      }
+      // nibble payload: per-channel 4-byte groups, 8 frames per round
+      val frames = fpb - 1 // beyond the header frame
+      var base = 0
+      while (base < frames) {
+        c = 0
+        while (c < ch) {
+          var i = 0
+          while (i < 4) {
+            var byte0 = 0
+            var k = 0
+            while (k < 2) {
+              val f = f0 + 1 + base + 2 * i + k
+              val nib =
+                if (f < nFrames && f < f0 + fpb) {
+                  val n0 = imaEncodeNibble(pred(c), index(c), target(f, c))
+                  val (p1, i1) = imaStep(pred(c), index(c), n0)
+                  pred(c) = p1; index(c) = i1
+                  n0
+                } else 0 // zero-pad the final partial block
+              byte0 |= nib << (4 * k)
+              k += 1
+            }
+            b.put(byte0.toByte)
+            i += 1
+          }
+          c += 1
+        }
+        base += 8
+      }
+      g += 1
+    }
+    b.array()
+  }
+
+  /** Full sample decode of a WAVE_FORMAT_IMA_ADPCM RIFF/WAVE — the
+    * real PREDICTIVE-audio codec path (the 4-bit step-adaptive DPCM of
+    * wild-web WAV containers): chunk walk (fmt extension for
+    * samplesPerBlock, `fact` for the true frame count), per-block
+    * per-channel header state, per-channel 4-byte nibble groups, and
+    * the table-driven reconstruction [[imaStep]] — then the same
+    * loudness statistics as [[decodeWavSamples]]. Returns None for
+    * anything that is not well-formed IMA ADPCM. */
+  def decodeWavAdpcm(id: Long, b: Array[Byte]): Option[WavSamples] = try {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    var off = 12L
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None // ch, rate, align, bits, fpb
+    var factFrames = -1L
+    var dataOff = -1L
+    var dataLen = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0 ||
+        factFrames < 0)) {
+      val i = off.toInt
+      val id4 = tag(b, i)
+      val sz = le32(b, i + 4).toLong & 0xffffffffL
+      if (id4 == "fmt " && off + 8 + 20 <= b.length &&
+          le16(b, i + 8) == 0x11)
+        fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 20),
+          le16(b, i + 22), le16(b, i + 26)))
+      else if (id4 == "fact" && off + 12 <= b.length)
+        factFrames = le32(b, i + 8).toLong & 0xffffffffL
+      else if (id4 == "data") {
+        dataOff = off + 8
+        dataLen = math.min(sz, b.length - off - 8)
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    fmt match {
+      case Some((ch, rate, align, 4, fpb))
+          if ch > 0 && ch <= 2 && rate > 0 && align > 4 * ch &&
+            fpb == imaFramesPerBlock(align, ch) && factFrames >= 0 &&
+            dataOff >= 0 && dataLen >= 0 =>
+        val nBlocks = (dataLen / align).toInt
+        val nFrames = math.min(factFrames, nBlocks.toLong * fpb)
+        var sum = 0L; var sumAbs = 0L; var peak = 0; var first = 0L
+        val pred = new Array[Int](ch)
+        val index = new Array[Int](ch)
+        def account(v: Int, f: Long, c: Int): Unit = {
+          sum += v
+          val a = math.abs(v)
+          sumAbs += a
+          if (a > peak) peak = a
+          if (f == 0L) first += v
+        }
+        var g = 0
+        while (g < nBlocks && g.toLong * fpb < nFrames) {
+          val blockOff = (dataOff + g.toLong * align).toInt
+          var c = 0
+          while (c < ch) {
+            val ho = blockOff + 4 * c
+            pred(c) = ((b(ho) & 0xff) | (b(ho + 1) << 8)).toShort.toInt
+            index(c) = math.max(0, math.min(88, b(ho + 2) & 0xff))
+            account(pred(c), g.toLong * fpb, c)
+            c += 1
+          }
+          val frames = math.min(fpb.toLong, nFrames - g.toLong * fpb) - 1
+          val dataBase = blockOff + 4 * ch
+          var f = 0L
+          while (f < frames) {
+            c = 0
+            while (c < ch) {
+              // frame f (0-based past the header) of channel c lives in
+              // the (f/8)-th per-channel 4-byte group, low nibble first
+              val group = (f / 8).toInt
+              val within = (f % 8).toInt
+              val byteOff = dataBase + (group * ch + c) * 4 + within / 2
+              val nib = ((b(byteOff) & 0xff) >> (4 * (within % 2))) & 0xf
+              val (p1, i1) = imaStep(pred(c), index(c), nib)
+              pred(c) = p1; index(c) = i1
+              account(p1, g.toLong * fpb + 1 + f, c)
+              c += 1
+            }
+            f += 1
+          }
+          g += 1
+        }
+        val n = nFrames * ch
+        Some(WavSamples(id, ch, rate, nFrames,
+          if (n > 0) sum.toDouble / n else 0.0,
+          if (n > 0) sumAbs.toDouble / n else 0.0,
+          peak,
+          if (nFrames > 0) first.toDouble / ch else 0.0))
+      case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture adapter for the ADPCM gate. */
+  def wavAdpcmFromDocuments(spark: SparkSession,
+                            docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildWavAdpcmPattern(channels = 1 + (id % 2).toInt,
+          sampleRate = 8000, nFrames = 64 + (nChars % 512).toInt,
+          seed = id))
+      }
+  }
+
+  /** Per-partition batch ADPCM decode — payloads never shuffle. */
+  def extractWavAdpcm(media: Dataset[(Long, Array[Byte])])
+      : Dataset[WavSamples] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => decodeWavAdpcm(id, p) })
+  }
+
   /** The real header decoder behind the [[Multimodal.MediaDecoder]]-
     * shaped seam: BMP and WAV parse for real; anything else (or a
     * corrupt payload) yields an invalid row. */

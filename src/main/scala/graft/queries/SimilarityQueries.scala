@@ -717,6 +717,33 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL IMA-ADPCM decode under the gate — the PREDICTIVE-audio
+    // codec path (4-bit step-adaptive DPCM, the common compressed
+    // WAV of wild-web audio): every doc encodes the closed-form PCM
+    // target through the real greedy quantizer into real multi-block
+    // tag-0x11 WAV (per-channel block headers, interleaved 4-byte
+    // nibble groups, fact chunk, zero-padded final block); the
+    // decoder reconstructs the stream via the public step/index
+    // tables and reduces to the same loudness statistics as
+    // mm_wav_samples. The oracle SIMULATES the full encoder+decoder
+    // state chain frame-by-frame in a recursive CTE over the same
+    // integer arithmetic and the same embedded step table — any
+    // drift in prediction, clamping, index adaptation, nibble
+    // packing, or block-boundary state reset diverges the hash.
+    "mm_wav_adpcm" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.wavAdpcmFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWavAdpcm(media).toDF()
+        .select(col("id").as("doc_id"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"),
+          round(col("meanSample"), 6).as("mean_sample"),
+          round(col("meanAbs"), 6).as("mean_abs"),
+          col("peakAbs").as("peak_abs"),
+          round(col("firstFrameMean"), 6).as("first_frame_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL PCM16 sample decode under the gate — the audio twin of
     // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
     // little-endian int16 frames spanning negative values, LIST chunks
@@ -1428,6 +1455,13 @@ object SimilarityQueries {
       yield s"(${u + 1},$x,${graft.operators.MediaCodec.phashCos(u)(x)})")
       .mkString(", ")
 
+  /** The IMA step table as SQL VALUES rows (index, step) — generated
+    * from [[graft.operators.MediaCodec.imaStepTable]] itself, so the
+    * oracle and the codec share ONE table by construction. */
+  private lazy val imaStepValues: String =
+    graft.operators.MediaCodec.imaStepTable.zipWithIndex
+      .map { case (s, i) => s"($i,$s)" }.mkString(", ")
+
   private val staticOracles: Map[String, String] = Map(
     "s_ann_topk" -> cosineSql("vec_id < 10", bucketJoin = false, k = 5, None),
     "s_ann_lsh" -> cosineSql("vec_id < 10", bucketJoin = true, k = 3, None),
@@ -1682,6 +1716,77 @@ object SimilarityQueries {
         |  FROM cl a JOIN cl b ON a.cid < b.cid)
         |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM pairs
         |WHERE dist <= 5 ORDER BY id_a, id_b""".stripMargin),
+
+    // Simulates the IMA-ADPCM encoder+decoder fixed point in a
+    // recursive CTE: per (doc, channel, block) the state chain
+    // (predictor, step index) advances one frame per recursion step —
+    // the greedy quantizer's nibble decided by the same staged
+    // comparisons (f4/f2/f1 against step, step/2, step/4), the
+    // reconstruction dq = step/8 + f4·step + f2·step/2 + f1·step/4,
+    // int16 clamping, and the index table walk — against the SAME
+    // step table the codec embeds. Block 0 frame of each chain is the
+    // header sample (index resets to 0 per block, matching the
+    // encoder's authoritative per-block headers).
+    "mm_wav_adpcm" ->
+      ("""WITH RECURSIVE dim AS (SELECT doc_id AS id,
+        |    1 + (doc_id % 2) AS ch,
+        |    64 + (CAST(n_chars AS BIGINT) % 512) AS n
+        |  FROM documents),
+        |steps(si, sv) AS (VALUES """.stripMargin + imaStepValues +
+      """),
+        |blocks AS (SELECT id, ch, n, c, g,
+        |    LEAST(257, n - g * 257) AS nfrm
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(ch)) AS c),
+        |    LATERAL (SELECT unnest(range((n + 256) // 257)) AS g)),
+        |chain(id, c, g, nfrm, j, pred, idx) AS (
+        |  SELECT id, c, g, nfrm, CAST(0 AS BIGINT),
+        |    (7 * (g * 257) + 13 * c + id) % 2003 - 1001,
+        |    CAST(0 AS BIGINT)
+        |  FROM blocks
+        |  UNION ALL
+        |  SELECT id, c, g, nfrm, j,
+        |    GREATEST(-32768, LEAST(32767,
+        |      pred + CASE WHEN neg THEN -dq ELSE dq END)),
+        |    GREATEST(0, LEAST(88, idx +
+        |      CASE WHEN f4 = 1 THEN 2 + 2 * (2 * f2 + f1) ELSE -1 END))
+        |  FROM (
+        |    SELECT id, c, g, nfrm, j, pred, idx, neg, f4, f2,
+        |      CASE WHEN r2 - f2 * (sv // 2) >= sv // 4
+        |        THEN 1 ELSE 0 END AS f1,
+        |      sv // 8 + f4 * sv + f2 * (sv // 2)
+        |        + CASE WHEN r2 - f2 * (sv // 2) >= sv // 4
+        |            THEN sv // 4 ELSE 0 END AS dq
+        |    FROM (
+        |      SELECT id, c, g, nfrm, j, pred, idx, sv, neg, f4,
+        |        ad - f4 * sv AS r2,
+        |        CASE WHEN ad - f4 * sv >= sv // 2 THEN 1 ELSE 0 END AS f2
+        |      FROM (
+        |        SELECT c0.id, c0.c, c0.g, c0.nfrm, c0.j + 1 AS j,
+        |          c0.pred, c0.idx, st.sv,
+        |          c0.tgt < c0.pred AS neg,
+        |          abs(c0.tgt - c0.pred) AS ad,
+        |          CASE WHEN abs(c0.tgt - c0.pred) >= st.sv
+        |            THEN 1 ELSE 0 END AS f4
+        |        FROM (SELECT *,
+        |            (7 * (g * 257 + j + 1) + 13 * c + id) % 2003 - 1001
+        |              AS tgt
+        |          FROM chain WHERE j + 1 < nfrm) c0
+        |        JOIN steps st ON st.si = c0.idx) i1) i2) i3
+        |)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(d.ch) AS INT) AS channels,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(MAX(d.n) AS BIGINT) AS n_samples,
+        |  round(CAST(SUM(pred) AS DOUBLE) / (MAX(d.n) * MAX(d.ch)), 6)
+        |    AS mean_sample,
+        |  round(CAST(SUM(abs(pred)) AS DOUBLE) / (MAX(d.n) * MAX(d.ch)), 6)
+        |    AS mean_abs,
+        |  CAST(MAX(abs(pred)) AS INT) AS peak_abs,
+        |  round(CAST(SUM(CASE WHEN g = 0 AND j = 0 THEN pred ELSE 0 END)
+        |    AS DOUBLE) / MAX(d.ch), 6) AS first_frame_mean
+        |FROM chain JOIN dim d USING (id)
+        |GROUP BY id ORDER BY doc_id""".stripMargin),
 
     // Same derived samples as mm_wav_energy; crossings via a
     // per-channel LAG with the identical strict prev·cur < 0 rule.

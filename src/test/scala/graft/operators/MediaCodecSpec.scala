@@ -915,6 +915,45 @@ class MediaCodecSpec extends SparkSpec {
     assert(decodeJpegProgressive(1L, prog).isDefined)
   }
 
+  test("ima adpcm: hand-built nibbles decode to the table arithmetic") {
+    // mono block: header (pred=100, index=0 → step 7), then nibble 2
+    // (dq = 7>>3 + 7>>1 = 3 → 103, index −1 clamped to 0) and nibble
+    // 12 = 8|4 (dq = 7>>3 + 7 = 7, sign → 96, index +2) — decoded
+    // stream 100, 103, 96 pinned against independent hand arithmetic
+    val align = 132
+    val out = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + align)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(s: String): Unit = out.put(s.getBytes("US-ASCII"))
+    ascii("RIFF"); out.putInt(12 + 28 + 12 + 8 + align - 8); ascii("WAVE")
+    ascii("fmt "); out.putInt(20)
+    out.putShort(0x11).putShort(1).putInt(8000)
+    out.putInt(8000 * align / 257).putShort(align.toShort).putShort(4)
+    out.putShort(2).putShort(257)
+    ascii("fact"); out.putInt(4); out.putInt(3)
+    ascii("data"); out.putInt(align)
+    out.putShort(100).put(0.toByte).put(0.toByte) // header: pred, idx
+    out.put(((12 << 4) | 2).toByte) // low nibble first: 2 then 12
+    val wav = out.array()
+    val got = decodeWavAdpcm(9L, wav).get
+    assert(got.channels === 1 && got.nSamples === 3L)
+    assert(got.peakAbs === 103)
+    assert(got.meanSample === (100 + 103 + 96) / 3.0)
+    assert(got.firstFrameMean === 100.0)
+    // non-ADPCM payloads stay out; ADPCM stays out of the PCM decoder
+    val pcm = buildWavPattern(1, 8000, 10, withListChunk = false, 1L)
+    assert(decodeWavAdpcm(1L, pcm).isEmpty)
+    val adpcm = buildWavAdpcmPattern(2, 8000, 300, 5L)
+    assert(decodeWavSamples(1L, adpcm).isEmpty)
+    assert(decodeWavAdpcm(1L, adpcm.take(40).toArray).isEmpty)
+    // multi-block stereo round trip: frame count from fact, partial
+    // final block, and the quantizer tracks the ±1001 target closely
+    // once the step adapts
+    val st = decodeWavAdpcm(7L, buildWavAdpcmPattern(2, 8000, 300, 7L)).get
+    assert(st.channels === 2 && st.nSamples === 300L)
+    assert(st.peakAbs <= 1200, s"tracking lost: peak ${st.peakAbs}")
+    assert(st.meanAbs > 200.0, s"decoded stream collapsed: ${st.meanAbs}")
+  }
+
   test("decodeGray: one entry point, every container, identical matrices") {
     // the SAME picture through BMP (both row orders) and PNG (split
     // and unsplit IDAT) must land on ONE gray matrix, bit for bit —
