@@ -48,8 +48,12 @@ object DebeziumJson {
   /** Parsed line: a spool-able event (None for tombstones/heartbeats/
     * unsupported ops) plus the transport cursor if the envelope carried
     * one (`source.file:source.pos`, the reference's transaction_id
-    * shape, binlog_replicator.py:449-451). */
-  final case class Record(event: Option[SourceEvent], pos: Option[String])
+    * shape, binlog_replicator.py:449-451) and the source GTID when the
+    * connector emits one (MariaDB domain-server-sequence or MySQL
+    * uuid:txid — the resume coordinate the reference seeks by,
+    * binlog_replicator.py:188-219). */
+  final case class Record(event: Option[SourceEvent], pos: Option[String],
+                          gtid: Option[String] = None)
 
   def parse(line: String): Record = {
     val trimmed = line.trim
@@ -67,6 +71,7 @@ object DebeziumJson {
       f <- str(s, "file")
       o <- Option(s.get("pos")).map(_.asLong())
     } yield s"$f:$o"
+    val gtid = source.flatMap(str(_, "gtid"))
 
     // `ddl` must be text and the event must carry a database to route
     // by (databaseName at the envelope level, falling back to source.db
@@ -95,7 +100,7 @@ object DebeziumJson {
           }
         } yield e
     }
-    Record(ev, pos)
+    Record(ev, pos, gtid)
   }
 
   private def str(n: JsonNode, field: String): Option[String] =

@@ -48,6 +48,10 @@ final class DebeziumTail(dumpDir: String, producer: SpoolProducer,
                          maxBytesPerRead: Int = 16 << 20) {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // the shared line-stream → admission seam: this tailer is ONE
+  // transport behind it; a Kafka readStream plugs into the same seam
+  // via EnvelopeIngest.streamSink without touching admission/seq
+  private val ingest = new EnvelopeIngest(producer)
 
   private case class FileState(off: Long, sig: Long)
   private val SigUnknown = -1L // legacy offset-only state: accept any head
@@ -131,11 +135,11 @@ final class DebeziumTail(dumpDir: String, producer: SpoolProducer,
         if (lastNl >= 0) {
           val text = new String(bytes, 0, lastNl + 1,
             java.nio.charset.StandardCharsets.UTF_8)
-          val records = text.split("\n", -1).toSeq.map(DebeziumJson.parse)
-          val events = records.flatMap(_.event)
           state += f.getName -> FileState(start + lastNl + 1, sig)
-          producer.append(events, Some(encode(state)))
-          appended += events.size
+          // this transport's cursor (file offsets + head signatures)
+          // overrides the envelopes' source.file:pos at the seam
+          appended += ingest.ingest(text.split("\n", -1).toSeq,
+            Some(encode(state)))
           warnedStuck -= f.getName
         } else if (toRead == maxBytesPerRead &&
                    !warnedStuck.contains(f.getName)) {

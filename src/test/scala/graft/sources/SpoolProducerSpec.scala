@@ -449,9 +449,10 @@ class SpoolProducerSpec extends SparkSpec {
       java.nio.file.Paths.get(dump, "maria.jsonl"), bytes)
 
     val producer = new SpoolProducer(spool, cfg)
-    // CREATE + snapshot read + conditional ALTER + c/u/d = 6 events;
-    // the trailing tombstone is skipped
-    assert(new DebeziumTail(dump, producer).tick() === 6)
+    // CREATE + snapshot read + conditional ALTER + c/u/d = 6 events,
+    // then the GTID-resume segment (insert 3, update 3) = 8; the
+    // trailing tombstone is skipped
+    assert(new DebeziumTail(dump, producer).tick() === 8)
 
     val running = graft.Main.run(spark, cfg, "emporium", wh,
       tmpDir("dbz-maria-ckpt"))
@@ -465,8 +466,11 @@ class SpoolProducerSpec extends SparkSpec {
         Option(r.get(3)).map(_.asInstanceOf[Int])))
     // snapshot 1 (4.20), ALTER adds stock (the IF NOT EXISTS path) and
     // tolerates dropping a column that never existed (IF EXISTS),
-    // insert 2, update 1 → 4.95/stock 12, delete 2
-    assert(rows.toSeq === Seq((1, "gear", Some("4.95"), Some(12))))
+    // insert 2, update 1 → 4.95/stock 12, delete 2; then the resume
+    // segment inserts 3 (7.77) and updates it to 8.40
+    assert(rows.toSeq === Seq(
+      (1, "gear", Some("4.95"), Some(12)),
+      (3, "cog", Some("8.40"), Some(5))))
   }
 
   test("e2e: debezium dump → tail → spool → pipeline replicates the table") {
@@ -497,5 +501,154 @@ class SpoolProducerSpec extends SparkSpec {
     // insert + insert + update-after-image + delete ⇒ one row, updated
     assert(running.pipeline.table("shop", "users").read.collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "anne")))
+  }
+
+  test("mariadb corpus: GTID cursor resume lands the identical FINAL state") {
+    // the reference's resume contract (binlog_replicator.py:188-219
+    // seek): kill the transport mid-corpus, restart, seek by the SAVED
+    // domain-server-seq GTID — the resumed replay must produce the
+    // byte-identical spool (no duplicate, no gap, seq continuing) and
+    // the identical FINAL table state
+    def corpusLines: Seq[String] = {
+      val res = getClass.getResourceAsStream(
+        "/debezium/golden-mariadb-connector.jsonl")
+      val bytes = try res.readAllBytes() finally res.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n", -1).toSeq
+    }
+    def spoolContents(dir: String): Seq[String] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .sortBy(_.getName)
+      files.toSeq.flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().toList finally src.close()
+      }
+    }
+    def cfgFor(spool: String) = GraftConfig.fromYaml(
+      s"""databases: 'emporium'
+         |binlog_replicator:
+         |  data_dir: '$spool'
+         |""".stripMargin, Map.empty)
+    val all = corpusLines
+    // uninterrupted control replay
+    val spoolC = tmpDir("gtid-spool-ctl")
+    new EnvelopeIngest(new SpoolProducer(spoolC, cfgFor(spoolC)))
+      .ingest(all)
+    // phase 1: the transport dies after delivering through gtid 0-1-102
+    // (the first 5 lines: CREATE, snapshot read, ALTER, insert 2,
+    // update 1)
+    val spool = tmpDir("gtid-spool-resume")
+    val p1 = new SpoolProducer(spool, cfgFor(spool))
+    assert(new EnvelopeIngest(p1).ingest(all.take(5)) === 5)
+    assert(p1.sourcePos === Some("gtid:0-1-102"),
+      s"phase 1 cursor: ${p1.sourcePos}")
+    // phase 2: a NEW producer process recovers the cursor from the
+    // spool's durable state and a restarted transport re-reads the
+    // corpus FROM THE BEGINNING, seeking past the applied GTIDs
+    val p2 = new SpoolProducer(spool, cfgFor(spool))
+    assert(p2.sourcePos === Some("gtid:0-1-102"))
+    assert(p2.peekSeq === p1.peekSeq, "seq counter lost across restart")
+    val resumed = EnvelopeIngest.afterGtidCursor(all, p2.sourcePos)
+    // only the unapplied tail survives the seek: delete 2, insert 3,
+    // update 3 (+ the tombstone line, which parses to no event)
+    assert(new EnvelopeIngest(p2).ingest(resumed) === 3)
+    assert(p2.sourcePos === Some("gtid:0-1-105"))
+    assert(spoolContents(spool) === spoolContents(spoolC),
+      "resumed spool diverged from the uninterrupted replay")
+    // and the FINAL state replicates identically
+    val wh = tmpDir("gtid-wh")
+    val running = graft.Main.run(spark, cfgFor(spool), "emporium", wh,
+      tmpDir("gtid-ckpt"))
+    val query = running.holder.get
+    try query.processAllAvailable() finally query.stop()
+    spark.streams.removeListener(running.monitor)
+    val rows = running.pipeline.table("emporium", "widgets").read
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        Option(r.getDecimal(2)).map(_.toPlainString),
+        Option(r.get(3)).map(_.asInstanceOf[Int])))
+    assert(rows.toSeq === Seq(
+      (1, "gear", Some("4.95"), Some(12)),
+      (3, "cog", Some("8.40"), Some(5))))
+    // seek edge: a cursor past the stream's end replays nothing; a
+    // file:pos cursor (the MySQL path) passes everything through
+    assert(EnvelopeIngest.afterGtidCursor(all, Some("gtid:0-1-105"))
+      .forall(l => DebeziumJson.parse(l).event.isEmpty))
+    assert(EnvelopeIngest.afterGtidCursor(all,
+      Some("mariadb-bin.000002:640")) === all)
+  }
+
+  test("transport seam: a streaming source matches the tailer byte-for-byte") {
+    // the pluggable EnvelopeIngest seam: the SAME corpus through (a)
+    // the file tailer and (b) a MemoryStream-driven foreachBatch sink
+    // (the Kafka readStream shape) must produce BYTE-IDENTICAL spool
+    // files — admission, seq stamping, rotation, and normalization all
+    // live behind the seam, so the transport cannot perturb them
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def corpusText(name: String): String = {
+      val res = getClass.getResourceAsStream(s"/debezium/$name")
+      assert(res != null, s"$name resource missing")
+      val bytes = try res.readAllBytes() finally res.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def spoolContents(dir: String): Seq[String] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .sortBy(_.getName)
+      files.toSeq.flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().toList finally src.close()
+      }
+    }
+    for ((corpus, db) <- Seq(
+        "golden-mysql-connector.jsonl" -> "inventory",
+        "golden-mariadb-connector.jsonl" -> "emporium")) {
+      def cfgFor(spool: String) = GraftConfig.fromYaml(
+        s"""databases: '$db'
+           |binlog_replicator:
+           |  data_dir: '$spool'
+           |""".stripMargin, Map.empty)
+      val text = corpusText(corpus)
+      // path A: the dump-file tailer
+      val dumpA = tmpDir(s"seam-dump-$db")
+      val spoolA = tmpDir(s"seam-spool-a-$db")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dumpA, "c.jsonl"),
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val tailed =
+        new DebeziumTail(dumpA, new SpoolProducer(spoolA, cfgFor(spoolA)))
+          .tick()
+      assert(tailed > 0, s"$corpus: tailer spooled nothing")
+      // path B: the same lines as a streaming source through the seam
+      // (the tailer consumes through the last newline, so feed the
+      // stream the same complete-line prefix, trailing "" included)
+      val spoolB = tmpDir(s"seam-spool-b-$db")
+      val producerB = new SpoolProducer(spoolB, cfgFor(spoolB))
+      val lastNl = text.lastIndexOf('\n')
+      val lines = text.substring(0, lastNl + 1).split("\n", -1).toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[String]
+      ms.addData(lines: _*)
+      val q = ms.toDF().writeStream
+        .foreachBatch(EnvelopeIngest.streamSink(producerB))
+        .option("checkpointLocation", tmpDir(s"seam-ckpt-$db"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(spoolContents(spoolB) === spoolContents(spoolA),
+        s"$corpus: stream-fed spool diverged from the tailer's")
+      // cursor-less transport: the envelope-derived cursor persisted —
+      // MariaDB's domain-server-seq GTID, MySQL's binlog file:pos
+      // (uuid:txid GTID sets are not suffix-ordered, so file:pos stays
+      // the MySQL cursor)
+      val wantCursor =
+        if (db == "emporium") "gtid:0-1-105" else "mysql-bin"
+      assert(producerB.sourcePos.exists(_.contains(wantCursor)),
+        s"$corpus: expected a cursor containing $wantCursor, got " +
+          producerB.sourcePos)
+    }
   }
 }
