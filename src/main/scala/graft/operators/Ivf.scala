@@ -44,14 +44,32 @@ object Ivf {
   /** Argmin-equivalent scores for all cells: score_i = |cᵢ|² − 2·v·cᵢ
     * (the |v|² term is constant per row and dropped). Shared with the
     * IVF-PQ composition, whose cross-cell ADC ranking re-adds exactly
-    * this term (see [[Pq.ivfAdcTopK]]). */
-  private[operators] def cellScores(v: Column, model: Model): Column = {
-    val cents = centroidLit(model)
-    val norms = array(model.centroids.map(c => lit(c.map(x => x * x).sum)): _*)
-    array((0 until model.k).map(i =>
-      element_at(norms, i + 1) -
-        lit(2.0) * dot(v, element_at(cents, i + 1))): _*)
-  }
+    * this term (see [[Pq.ivfAdcTopK]]).
+    *
+    * Two bodies, one arithmetic: small k unrolls the k scores into a
+    * codegen'd array (fastest — stays inside whole-stage codegen);
+    * large k switches to a `zip_with` over the centroid literal, ONE
+    * expression whose size is independent of k — the unrolled form
+    * past k ≈ 100 blows Janino's method-size limit (measured: an
+    * InternalCompilerException + slow interpreted fallback at k = 141,
+    * the √n cell count a 20 k-vector corpus wants), while the HOF form
+    * interprets the same sequential-fold doubles, so the scores — and
+    * every assignment and gate derived from them — are bit-identical
+    * on either path. */
+  private[operators] def cellScores(v: Column, model: Model): Column =
+    if (model.k <= 64) {
+      val cents = centroidLit(model)
+      val norms = array(model.centroids.map(c =>
+        lit(c.map(x => x * x).sum)): _*)
+      array((0 until model.k).map(i =>
+        element_at(norms, i + 1) -
+          lit(2.0) * dot(v, element_at(cents, i + 1))): _*)
+    } else {
+      val cents = centroidLit(model)
+      val norms =
+        typedlit[Seq[Double]](model.centroids.map(_.map(x => x * x).sum))
+      zip_with(cents, norms, (c, n2) => n2 - lit(2.0) * dot(v, c))
+    }
 
   /** Nearest-centroid index for a vector column (map-only, codegen'd).
     * An array of k scores + array_min/array_position — NOT a fold of

@@ -75,4 +75,30 @@ class IvfSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(ivf === brute)
   }
+
+  test("assign: the large-k HOF path matches driver arithmetic exactly") {
+    // k > 64 switches cellScores from the unrolled codegen'd array
+    // (which blows Janino's method-size limit around k ≈ 100 — the
+    // √n cell count real corpora want) to one k-independent zip_with
+    // expression; both fold the same doubles sequentially, so the
+    // assignment must equal a driver-side reference bit-for-bit
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val cents = IndexedSeq.tabulate(100, 4)((_, _) => rnd.nextDouble())
+    val model = Ivf.Model(cents)
+    val vecs = (0L until 200L)
+      .map(i => (i, Seq.fill(4)(rnd.nextDouble())))
+      .toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        Ivf.assign(col("embedding"), model).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byId = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    byId.foreach { case (id, v) =>
+      val scores = cents.map(c =>
+        c.map(x => x * x).sum - 2.0 * c.zip(v).map { case (a, b) =>
+          a * b }.foldLeft(0.0)(_ + _))
+      assert(got(id) === scores.indexOf(scores.min), s"vec $id")
+    }
+  }
 }
