@@ -227,10 +227,18 @@ object Bench {
     // order for the downstream stats.
     val famOrder = ordered.map { case (n, _) => familyOf(n) }.distinct
     val byFam = ordered.groupBy { case (n, _) => familyOf(n) }
+    // per query: (name, family, run times, gc_timed_ms, gc_hygiene_ms)
+    // — gc_timed covers the timed runs (plus the small between-run view
+    // drops); gc_hygiene is the DELIBERATE untimed System.gc() below,
+    // whose cost tracks session-wide heap state, not the query's own
+    // allocation (the r9 artifact folded both into one counter, which
+    // made the cdc family read as 70% GC when its timed share is ~20%)
     val cells = scala.collection.mutable.Map
-      .empty[(String, Int), Seq[(String, String, Seq[Double], Long)]]
+      .empty[(String, Int), Seq[(String, String, Seq[Double], Long, Long)]]
+    val cellWall = scala.collection.mutable.Map.empty[(String, Int), Double]
     for (fam <- famOrder; p <- 0 until passes) {
       sweep() // family/pass boundary: every cell starts from the same state
+      val cell0 = System.nanoTime()
       cells((fam, p)) = byFam(fam).map { case (name, fn) =>
           val gc0 = gcMs()
           val times = (0 until runs).map { _ =>
@@ -259,23 +267,25 @@ object Bench {
           // full-surface run showed exactly that shape: conv_scalar_suite
           // 0.5→8.3 s monotone ACROSS its own runs in-sequence, flat at
           // ~0.4 s in isolation.
+          val gcTimed = gcMs() - gc0
           System.gc()
-          (name, familyOf(name), times, gcMs() - gc0)
+          (name, familyOf(name), times, gcTimed, gcMs() - gc0 - gcTimed)
       }
+      cellWall((fam, p)) = (System.nanoTime() - cell0) / 1e9
     }
     sweep() // exit the timed loops from a clean state
-    // perPass(p) = (name, family, times, gcMs) in (family, name) order
-    val perPass: Seq[Seq[(String, String, Seq[Double], Long)]] =
+    // perPass(p) = (name, family, times, gcTimed, gcHygiene) per cell
+    val perPass: Seq[Seq[(String, String, Seq[Double], Long, Long)]] =
       (0 until passes).map(p => famOrder.flatMap(f => cells((f, p))))
     // merged view across passes: all runs concatenated per query
     val results: Seq[(String, Seq[Double])] = ordered.map { case (name, _) =>
       name -> perPass.flatMap(_.collectFirst {
-        case (n, _, ts, _) if n == name => ts
+        case (n, _, ts, _, _) if n == name => ts
       }.getOrElse(Seq.empty))
     }
     val gcByQuery: Map[String, Long] = ordered.map { case (name, _) =>
       name -> perPass.flatMap(_.collectFirst {
-        case (n, _, _, g) if n == name => g
+        case (n, _, _, g, _) if n == name => g
       }).sum
     }.toMap
 
@@ -354,7 +364,7 @@ object Bench {
     val famNames = perPass.head.map(_._2).distinct
     val famPassTotals: Map[String, Seq[Double]] = famNames.map { fam =>
       fam -> perPass.map(p =>
-        p.collect { case (_, f, ts, _) if f == fam =>
+        p.collect { case (_, f, ts, _, _) if f == fam =>
           math.max(median(ts), 0.0) }.sum)
     }.toMap
     def agreement(ts: Seq[Double]): Double = {
@@ -363,10 +373,16 @@ object Bench {
     }
     val famJson = famNames.map { fam =>
       val totals = famPassTotals(fam)
-      val gc = perPass.flatMap(_.collect { case (_, f, _, g) if f == fam => g }).sum
+      val gc = perPass.flatMap(_.collect {
+        case (_, f, _, g, _) if f == fam => g }).sum
+      val gcHyg = perPass.flatMap(_.collect {
+        case (_, f, _, _, h) if f == fam => h }).sum
+      val wall = (0 until passes)
+        .map(p => cellWall.getOrElse((fam, p), 0.0)).sum
       s"\"$fam\":{\"n\":${perPass.head.count(_._2 == fam)}," +
         s"\"pass_totals\":[${totals.map(fmtD).mkString(",")}]," +
-        s"\"agreement\":${fmtD(agreement(totals))},\"gc_ms\":$gc}"
+        s"\"agreement\":${fmtD(agreement(totals))},\"gc_ms\":$gc," +
+        s"\"gc_hygiene_ms\":$gcHyg,\"wall_sec\":${fmtD(wall)}}"
     }.mkString("{", ",", "}")
     val worstAgreement =
       famPassTotals.values.map(agreement).foldLeft(1.0)(math.max)
