@@ -3209,6 +3209,245 @@ object MediaCodec {
     media.mapPartitions(_.flatMap { case (id, p) => decodeGifPixels(id, p) })
   }
 
+  // ------------------------------------------------ GIF animations
+
+  /** Per-frame canvas statistics of a GIF89a ANIMATION: `frames(f)` is
+    * the total gray (r+g+b summed over every canvas pixel) AFTER frame
+    * f composited — the exact-integer per-frame signal a frame-sampling
+    * pipeline filters on (scene cuts, fades, duplicate frames). */
+  final case class GifAnimStats(width: Int, height: Int,
+                                frames: IndexedSeq[Long])
+
+  /** Full decode of a multi-frame GIF89a — the real ANIMATION path
+    * (the wild-web "video" container that is pure-JVM decodable): block
+    * walk over Graphic Control Extensions (disposal mode, delay),
+    * application extensions (NETSCAPE looping — skipped structurally),
+    * and every image descriptor; each frame's rectangle LZW-decodes
+    * with the shared variable-width decoder and composites onto the
+    * logical-screen canvas at its (left, top) through the active
+    * palette (local table overriding global per frame, per the spec).
+    * Memory is ONE canvas — per-frame totals update incrementally
+    * (`cur += new − old` per composited pixel), so a thousand-frame
+    * clip costs no more than its logical screen. Undrawn canvas is
+    * background gray 0.
+    *
+    * Envelope (everything else decodes None, never throws): disposal
+    * "none"/"do not dispose" only (restore-background/previous stay
+    * behind the seam with transparency and interlace), ≤ `maxFrames`
+    * frames, rectangles inside the logical screen. */
+  def gifAnimStats(b: Array[Byte],
+                   maxFrames: Int = 4096): Option[GifAnimStats] = try {
+    if (b.length < 14) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val sw = le16(b, 6); val sh = le16(b, 8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > Int.MaxValue) return None
+    val packed = b(10) & 0xff
+    var off = 13
+    var global: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (off + 3 * n > b.length) return None
+      global = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
+      off += 3 * n
+    }
+    val canvas = new Array[Int](sw * sh) // gray per pixel, bg = 0
+    var cur = 0L
+    val sums = IndexedSeq.newBuilder[Long]
+    var nFrames = 0
+    var disposal = 0
+    var done = false
+    while (!done) {
+      if (off >= b.length) return None // no trailer
+      (b(off) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: GCE reads disposal, others skip
+          if (off + 2 > b.length) return None
+          val label = b(off + 1) & 0xff
+          off += 2
+          if (label == 0xf9) {
+            if (off + 6 > b.length || (b(off) & 0xff) != 4) return None
+            val gp = b(off + 1) & 0xff
+            if ((gp & 1) != 0) return None // transparency: behind the seam
+            disposal = (gp >> 2) & 7
+            if (disposal > 1) return None // restore-bg/prev: behind the seam
+            off += 6 // size byte + 4 payload + terminator
+          } else {
+            var blk = if (off < b.length) b(off) & 0xff else -1
+            while (blk > 0) {
+              off += 1 + blk
+              blk = if (off < b.length) b(off) & 0xff else -1
+            }
+            if (blk < 0) return None
+            off += 1
+          }
+        case 0x2c => // image descriptor: one frame
+          if (off + 10 > b.length) return None
+          val left = le16(b, off + 1); val top = le16(b, off + 3)
+          val iw = le16(b, off + 5); val ih = le16(b, off + 7)
+          val ipacked = b(off + 9) & 0xff
+          if ((ipacked & 0x40) != 0) return None // interlaced
+          off += 10
+          var palette = global
+          if ((ipacked & 0x80) != 0) {
+            val n = 1 << ((ipacked & 7) + 1)
+            if (off + 3 * n > b.length) return None
+            palette = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
+            off += 3 * n
+          }
+          if (palette == null || iw <= 0 || ih <= 0 ||
+              left + iw > sw || top + ih > sh) return None
+          if (off >= b.length) return None
+          val minCodeSize = b(off) & 0xff
+          off += 1
+          val z = new java.io.ByteArrayOutputStream()
+          var blk = if (off < b.length) b(off) & 0xff else -1
+          while (blk > 0) {
+            if (off + 1 + blk > b.length) return None
+            z.write(b, off + 1, blk)
+            off += 1 + blk
+            blk = if (off < b.length) b(off) & 0xff else -1
+          }
+          if (blk < 0) return None
+          off += 1
+          val idx = lzwDecode(z.toByteArray, minCodeSize, iw * ih)
+          if (idx == null) return None
+          val nColors = palette.length / 3
+          var y = 0
+          while (y < ih) {
+            var x = 0
+            while (x < iw) {
+              val ci = idx(y * iw + x) & 0xff
+              if (ci >= nColors) return None
+              val g = (palette(3 * ci) & 0xff) +
+                (palette(3 * ci + 1) & 0xff) + (palette(3 * ci + 2) & 0xff)
+              val p = (top + y) * sw + (left + x)
+              cur += g - canvas(p)
+              canvas(p) = g
+              x += 1
+            }
+            y += 1
+          }
+          nFrames += 1
+          if (nFrames > maxFrames) return None
+          sums += cur
+        case _ => return None
+      }
+    }
+    if (nFrames == 0) None
+    else Some(GifAnimStats(sw, sh, sums.result()))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real GIF89a ANIMATION encode: the [[buildGifPattern]] global
+    * palette, a NETSCAPE2.0 looping application extension (the block
+    * single-image parsers trip on), then `nFrames` frames each behind
+    * a Graphic Control Extension (disposal = do-not-dispose, 4 cs
+    * delay): frame 0 paints the full canvas with index
+    * (x + 7y + seed) mod 256; frame f ≥ 1 is an 8×8 SUB-RECTANGLE
+    * update at slot f−1 (row-major over the ⌊w/8⌋×⌊h/8⌋ grid) with
+    * index (3x + 5y + 11f + seed) mod 256 in CANVAS coordinates — so
+    * an oracle derives every per-frame canvas total in closed form.
+    * Each frame's rectangle runs through the real LZW encoder. */
+  def buildGifAnimPattern(width: Int, height: Int, nFrames: Int,
+                          seed: Long): Array[Byte] = {
+    require(width >= 8 && height >= 8 && width <= 0xffff &&
+      height <= 0xffff && nFrames >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le(width); le(height)
+    out.write(0xf7) // global table, 8-bit resolution, 256 entries
+    out.write(0); out.write(0) // bg, aspect
+    var i = 0
+    while (i < 256) {
+      out.write(i); out.write((2 * i) % 255); out.write((3 * i) % 253)
+      i += 1
+    }
+    // NETSCAPE2.0 looping extension (loop forever)
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); le(0); out.write(0)
+    val slotsX = width / 8
+    val slotsY = height / 8
+    var f = 0
+    while (f < nFrames) {
+      // GCE: do-not-dispose, 4 cs delay, no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(1 << 2); le(4); out.write(0); out.write(0)
+      val (left, top, iw, ih) =
+        if (f == 0) (0, 0, width, height)
+        else (8 * ((f - 1) % slotsX),
+          8 * (((f - 1) / slotsX) % slotsY), 8, 8)
+      out.write(0x2c)
+      le(left); le(top); le(iw); le(ih)
+      out.write(0) // no local table, not interlaced
+      val idx = new Array[Byte](iw * ih)
+      var y = 0
+      while (y < ih) {
+        var x = 0
+        while (x < iw) {
+          val cx = left + x; val cy = top + y // canvas coordinates
+          idx(y * iw + x) =
+            (if (f == 0) (cx + 7L * cy + seed) % 256
+             else (3L * cx + 5L * cy + 11L * f + seed) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out.write(8) // LZW min code size
+      val z = lzwEncode(idx, 8)
+      var pos = 0
+      while (pos < z.length) {
+        val n = math.min(255, z.length - pos)
+        out.write(n)
+        out.write(z, pos, n)
+        pos += n
+      }
+      out.write(0) // block terminator
+      f += 1
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** One sampled animation frame's exact canvas statistic. */
+  final case class GifFrameStat(id: Long, width: Int, height: Int,
+                                nFrames: Int, frameIdx: Int, graySum: Long)
+
+  /** Fixture adapter for the animation gate: a 40×24 logical screen
+    * (15 sub-rect slots) with 2..14 frames from n_chars — every
+    * sub-rect slot distinct, so frame composition is last-writer-free
+    * and the oracle sums deltas in closed form. */
+  def gifAnimFromDocuments(spark: SparkSession,
+                           docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildGifAnimPattern(width = 40, height = 24,
+          nFrames = 2 + (nChars % 13).toInt, seed = id))
+      }
+  }
+
+  /** Per-partition frame-sample over REAL animation decode: every
+    * `stride`-th frame's exact canvas total — payloads decode map-side,
+    * only (id, frame stats) rows ever shuffle; the planner-only
+    * [[Multimodal.sampleFramePlan]] shape with the decode made real. */
+  def extractGifFrameStats(media: Dataset[(Long, Array[Byte])],
+                           stride: Int): Dataset[GifFrameStat] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) =>
+      gifAnimStats(p).toSeq.flatMap { st =>
+        st.frames.indices.collect {
+          case f if f % stride == 0 =>
+            GifFrameStat(id, st.width, st.height, st.frames.size, f,
+              st.frames(f))
+        }
+      }
+    })
+  }
+
   // ------------------------------------------------------ PNG pixels
 
   /** Decoded PNG pixel statistics — same fields/contract as

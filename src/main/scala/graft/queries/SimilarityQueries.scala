@@ -673,6 +673,26 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL frame sampling over REAL animation decode — the video-shaped
+    // path made concrete: every doc becomes a multi-frame GIF89a
+    // (NETSCAPE loop extension, per-frame Graphic Control Extensions,
+    // frame 0 full-canvas then 8×8 sub-rectangle updates, each frame
+    // LZW-compressed for real), the decoder composites every frame onto
+    // the logical screen and emits the exact canvas gray total for
+    // every 3rd frame. The oracle re-derives each sampled frame's total
+    // from the palette/pattern arithmetic and the non-overlapping
+    // sub-rect delta sums — a composition bug (wrong rect placement,
+    // stale canvas, palette misread, frame miscount) diverges the hash.
+    "mm_gif_frames" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.gifAnimFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractGifFrameStats(media, stride = 3)
+        .toDF()
+        .select(col("id").as("doc_id"), col("nFrames").as("n_frames"),
+          col("frameIdx").as("frame_idx"), col("graySum").as("gray_sum"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // REAL compressed-image decode under the gate: every doc becomes a
     // patterned truecolor PNG whose scanlines cycle ALL FIVE filter
     // types (real forward-filter math at encode), every third id split
@@ -1946,6 +1966,43 @@ object SimilarityQueries {
         |  round(CAST(SUM(CASE WHEN y = 0 THEN v ELSE 0 END) AS DOUBLE)
         |    / MAX(w), 6) AS top_row_mean
         |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives every sampled animation frame's canvas gray total:
+    // base frame (x + 7y + id) mod 256 through the palette, then the
+    // per-frame 8×8 sub-rect deltas (new-pattern gray minus the base
+    // gray it overwrites; slots are disjoint so deltas just SUM) up to
+    // the sampled frame index. Exact BIGINT end to end.
+    "mm_gif_frames" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    2 + (CAST(n_chars AS BIGINT) % 13) AS nf FROM documents),
+        |pal AS (SELECT i, i + (2 * i) % 255 + (3 * i) % 253 AS g
+        |  FROM (SELECT unnest(range(256)) AS i)),
+        |base AS (SELECT id, SUM(p.g) AS total
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(40)) AS x),
+        |    LATERAL (SELECT unnest(range(24)) AS y),
+        |    pal p
+        |  WHERE p.i = (x + 7 * y + id) % 256
+        |  GROUP BY id),
+        |rects AS (SELECT id, j, SUM(pn.g - pb.g) AS delta
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(1, nf)) AS j),
+        |    LATERAL (SELECT unnest(range(8)) AS dx),
+        |    LATERAL (SELECT unnest(range(8)) AS dy),
+        |    LATERAL (SELECT 8 * ((j - 1) % 5) + dx AS x,
+        |                    8 * (((j - 1) // 5) % 3) + dy AS y),
+        |    pal pn, pal pb
+        |  WHERE pn.i = (3 * x + 5 * y + 11 * j + id) % 256
+        |    AND pb.i = (x + 7 * y + id) % 256
+        |  GROUP BY id, j),
+        |frames AS (SELECT id, nf, f
+        |  FROM dim, LATERAL (SELECT unnest(range(0, nf, 3)) AS f))
+        |SELECT f.id AS doc_id, CAST(f.nf AS INT) AS n_frames,
+        |  CAST(f.f AS INT) AS frame_idx,
+        |  CAST(b.total + COALESCE((SELECT SUM(r.delta) FROM rects r
+        |    WHERE r.id = f.id AND r.j <= f.f), 0) AS BIGINT) AS gray_sum
+        |FROM frames f JOIN base b ON b.id = f.id
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // Re-derives the GIF channel means from the pattern arithmetic:
     // pixel index (x + 7y + seed) mod 256, palette entry i →

@@ -954,6 +954,53 @@ class MediaCodecSpec extends SparkSpec {
     assert(st.meanAbs > 200.0, s"decoded stream collapsed: ${st.meanAbs}")
   }
 
+  test("gif animation: composited frame totals match independent arithmetic") {
+    def palGray(i: Long): Long = i + (2 * i) % 255 + (3 * i) % 253
+    // reference composition: canvas of gray values, frame by frame
+    val (w, h, nf, seed) = (40, 24, 6, 9L)
+    val canvas = Array.tabulate(h, w)((y, x) =>
+      palGray((x + 7L * y + seed) % 256))
+    var expect = Vector(canvas.map(_.sum).sum)
+    for (f <- 1 until nf) {
+      val left = 8 * ((f - 1) % 5); val top = 8 * (((f - 1) / 5) % 3)
+      for (dy <- 0 until 8; dx <- 0 until 8)
+        canvas(top + dy)(left + dx) =
+          palGray((3L * (left + dx) + 5L * (top + dy) + 11L * f + seed) % 256)
+      expect :+= canvas.map(_.sum).sum
+    }
+    val st = gifAnimStats(buildGifAnimPattern(w, h, nf, seed)).get
+    assert(st.width === w && st.height === h)
+    assert(st.frames === expect)
+    // single-frame animation stats agree with the means decoder
+    val single = buildGifPattern(19, 11, 5L, withExtension = true)
+    val s1 = gifAnimStats(single).get
+    val gp = decodeGifPixels(1L, single).get
+    assert(s1.frames.size === 1)
+    assert(s1.frames.head ===
+      math.round((gp.meanR + gp.meanG + gp.meanB) * 19 * 11))
+    // out-of-envelope animations are data, not failures: transparency
+    // flag, restore-background disposal, truncated stream, frame cap
+    def patchGce(b: Array[Byte], f: Byte): Array[Byte] = {
+      val out = b.clone()
+      var i = 0
+      var done = false
+      while (!done && i < out.length - 2) {
+        if ((out(i) & 0xff) == 0x21 && (out(i + 1) & 0xff) == 0xf9) {
+          out(i + 3) = f; done = true
+        }
+        i += 1
+      }
+      assert(done, "no GCE found to patch")
+      out
+    }
+    val anim = buildGifAnimPattern(w, h, 3, 1L)
+    assert(gifAnimStats(patchGce(anim, 0x01)).isEmpty) // transparency
+    assert(gifAnimStats(patchGce(anim, 0x08)).isEmpty) // restore-bg
+    assert(gifAnimStats(anim.take(anim.length / 2).toArray).isEmpty)
+    assert(gifAnimStats(anim, maxFrames = 2).isEmpty)
+    assert(gifAnimStats(anim).exists(_.frames.size === 3))
+  }
+
   test("decodeGray: one entry point, every container, identical matrices") {
     // the SAME picture through BMP (both row orders) and PNG (split
     // and unsplit IDAT) must land on ONE gray matrix, bit for bit —
