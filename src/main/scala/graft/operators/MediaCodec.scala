@@ -3511,10 +3511,14 @@ object MediaCodec {
     val wh = parsePng(b).getOrElse(return None)
     val (w, h) = wh
     // IHDR fields beyond dimensions: this codec does 8-bit truecolor
-    // (color type 2), deflate, filter method 0, non-interlaced only
-    if (b(24) != 8 || b(25) != 2 || b(26) != 0 || b(27) != 0 || b(28) != 0)
+    // (color type 2) and 8-bit PALETTE (color type 3, PLTE-indexed) —
+    // deflate, filter method 0, non-interlaced only
+    val colorType = b(25) & 0xff
+    if (b(24) != 8 || (colorType != 2 && colorType != 3) ||
+        b(26) != 0 || b(27) != 0 || b(28) != 0)
       return None
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var off = 33 // after IHDR chunk
     var done = false
     while (!done) {
@@ -3526,12 +3530,19 @@ object MediaCodec {
       crc.update(b, off + 4, 4 + len.toInt)
       if (crc.getValue != be32(off + 8 + len.toInt)) return None
       if (typ == "IDAT") idat.write(b, off + 8, len.toInt)
+      else if (typ == "PLTE") {
+        if (len % 3 != 0 || len > 768 || len == 0) return None
+        plte = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len.toInt)
+      }
+      else if (typ == "tRNS") return None // transparency: behind the seam
       else if (typ == "IEND") done = true
       off += 12 + len.toInt
     }
+    if (colorType == 3 && plte == null) return None
     // stride/expected in Long: a crafted IHDR width ≥ ~715M overflows
     // 3·w in Int, and h·(1+stride) can exceed Int range either way
-    val strideL = 3L * w
+    val bpp = if (colorType == 2) 3 else 1 // filter byte distance
+    val strideL = bpp.toLong * w
     val expected = h.toLong * (1L + strideL)
     if (strideL > Int.MaxValue || expected > Int.MaxValue) return None
     val stride = strideL.toInt
@@ -3564,9 +3575,9 @@ object MediaCodec {
       var i = 0
       while (i < stride) {
         val x = raw(fo + 1 + i) & 0xff
-        val a = if (i >= 3) img(ro + i - 3) & 0xff else 0 // left
+        val a = if (i >= bpp) img(ro + i - bpp) & 0xff else 0 // left
         val up = if (y > 0) img(po + i) & 0xff else 0
-        val ul = if (y > 0 && i >= 3) img(po + i - 3) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) img(po + i - bpp) & 0xff else 0
         val recon = ft match {
           case 0 => x
           case 1 => x + a
@@ -3579,7 +3590,21 @@ object MediaCodec {
       }
       y += 1
     }
-    Some((w, h, img))
+    if (colorType == 2) Some((w, h, img))
+    else { // palette expansion: 1 index byte/pixel through PLTE
+      val nColors = plte.length / 3
+      val rgb = new Array[Byte](3 * w * h)
+      var p = 0
+      while (p < img.length) {
+        val ci = img(p) & 0xff
+        if (ci >= nColors) return None
+        rgb(3 * p) = plte(3 * ci)
+        rgb(3 * p + 1) = plte(3 * ci + 1)
+        rgb(3 * p + 2) = plte(3 * ci + 2)
+        p += 1
+      }
+      Some((w, h, rgb))
+    }
   } catch { // corrupt payload is a datum, never a task failure
     case scala.util.control.NonFatal(_) => None
   }
@@ -3687,6 +3712,113 @@ object MediaCodec {
     } else chunk("IDAT", z, 0, z.length)
     chunk("IEND", Array.emptyByteArray, 0, 0)
     out.toByteArray
+  }
+
+  /** Real encode of an 8-bit PALETTE PNG (color type 3): a PLTE of
+    * `colors` entries (entry i → (i, 2i mod 255, 3i mod 253) — the GIF
+    * fixture palette, so oracles share one arithmetic), pixel index
+    * (x + 7y + seed) mod colors, each 1-byte-per-pixel scanline
+    * forward-filtered with type y mod 5 (left distance = 1 byte, the
+    * bpp the defilter must honor for indexed images), deflated, IDAT
+    * split when `splitIdat`. */
+  def buildPngPalettePattern(width: Int, height: Int, seed: Long,
+                             splitIdat: Boolean,
+                             colors: Int = 256): Array[Byte] = {
+    require(width > 0 && height > 0 && colors >= 1 && colors <= 256)
+    val img = new Array[Byte](height * width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img(y * width + x) = ((x + 7L * y + seed) % colors).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // forward-filter with bpp = 1
+    val filt = new Array[Byte](height * (1 + width))
+    y = 0
+    while (y < height) {
+      val ro = y * width
+      val po = ro - width
+      val fo = y * (1 + width)
+      val ft = y % 5
+      filt(fo) = ft.toByte
+      var i = 0
+      while (i < width) {
+        val x = img(ro + i) & 0xff
+        val a = if (i >= 1) img(ro + i - 1) & 0xff else 0
+        val up = if (y > 0) img(po + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 1) img(po + i - 1) & 0xff else 0
+        val out = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - up
+          case 3 => x - (a + up) / 2
+          case _ => x - paeth(a, up, ul)
+        }
+        filt(fo + 1 + i) = (out & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val zs = new java.io.ByteArrayOutputStream()
+    try {
+      deflater.setInput(filt)
+      deflater.finish()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) zs.write(buf, 0, deflater.deflate(buf))
+    } finally deflater.end()
+    val z = zs.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def chunk(typ: String, data: Array[Byte], from: Int, len: Int): Unit = {
+      val hdr = java.nio.ByteBuffer.allocate(8)
+      hdr.putInt(len).put(typ.getBytes("US-ASCII"))
+      out.write(hdr.array())
+      out.write(data, from, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII"))
+      crc.update(data, from, len)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte).put(3.toByte) // bit depth, palette
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array(), 0, 13)
+    val plte = new Array[Byte](3 * colors)
+    var i = 0
+    while (i < colors) {
+      plte(3 * i) = i.toByte
+      plte(3 * i + 1) = ((2 * i) % 255).toByte
+      plte(3 * i + 2) = ((3 * i) % 253).toByte
+      i += 1
+    }
+    chunk("PLTE", plte, 0, plte.length)
+    if (splitIdat && z.length >= 2) {
+      val cut = z.length / 2
+      chunk("IDAT", z, 0, cut)
+      chunk("IDAT", z, cut, z.length - cut)
+    } else chunk("IDAT", z, 0, z.length)
+    chunk("IEND", Array.emptyByteArray, 0, 0)
+    out.toByteArray
+  }
+
+  /** Fixture adapter for the palette-PNG gate. */
+  def pngPaletteFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildPngPalettePattern(width = 1 + (nChars % 50).toInt,
+          height = 1 + (nChars % 26).toInt,
+          seed = id, splitIdat = id % 3 == 0))
+      }
   }
 
   /** Fixture adapter for the PNG gate: every document becomes a

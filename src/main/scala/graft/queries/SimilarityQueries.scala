@@ -673,6 +673,24 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL indexed-PNG decode under the gate: 8-bit PALETTE PNGs
+    // (color type 3 — the favicon/sprite/chart shape of wild-web
+    // images): PLTE chunk, 1-byte-per-pixel scanlines through all five
+    // filters at the bpp=1 left distance (a defilter that assumes
+    // truecolor's 3-byte distance reconstructs garbage), palette
+    // expansion to channel means. Oracle from index/palette arithmetic.
+    "mm_png_palette" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.pngPaletteFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractPngPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL frame sampling over REAL animation decode — the video-shaped
     // path made concrete: every doc becomes a multi-frame GIF89a
     // (NETSCAPE loop extension, per-frame Graphic Control Extensions,
@@ -2012,6 +2030,32 @@ object SimilarityQueries {
       """WITH dim AS (SELECT doc_id AS id,
         |    1 + (CAST(n_chars AS BIGINT) % 56) AS w,
         |    1 + (CAST(n_chars AS BIGINT) % 28) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    (x + 7 * y + id) % 256 AS ci
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |rgb AS (SELECT id, w, h, x, y,
+        |    ci AS r, (2 * ci) % 255 AS g, (3 * ci) % 253 AS b
+        |  FROM px)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Palette-PNG means from the same index/palette arithmetic as the
+    // GIF oracle (the fixtures share one palette formula), over the
+    // palette fixture's dimensions — the pipeline under test is the
+    // bpp=1 defilter + PLTE expansion.
+    "mm_png_palette" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 50) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 26) AS h
         |  FROM documents),
         |px AS (SELECT id, w, h, x, y,
         |    (x + 7 * y + id) % 256 AS ci

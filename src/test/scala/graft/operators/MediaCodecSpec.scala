@@ -954,6 +954,51 @@ class MediaCodecSpec extends SparkSpec {
     assert(st.meanAbs > 200.0, s"decoded stream collapsed: ${st.meanAbs}")
   }
 
+  test("png palette: indexed decode == the same picture as a GIF") {
+    // the palette-PNG fixture shares the GIF fixture's palette AND
+    // index formula, so the same (w, h, seed) must produce the same
+    // gray matrix through two entirely different real codecs (deflate +
+    // bpp=1 defilter + PLTE vs LZW + global color table)
+    for ((w, h, seed) <- Seq((19, 11, 5L), (50, 26, 123L), (1, 1, 0L))) {
+      val png = decodeGray(
+        buildPngPalettePattern(w, h, seed, splitIdat = true)).get
+      val gif = decodeGray(
+        buildGifPattern(w, h, seed, withExtension = false)).get
+      assert(png.width === w && png.height === h)
+      assert(png.gray.toSeq === gif.gray.toSeq, s"($w,$h,$seed)")
+    }
+    // means path agrees too
+    val pp = decodePngPixels(1L, buildPngPalettePattern(19, 11, 5L,
+      splitIdat = false)).get
+    val gp = decodeGifPixels(1L, buildGifPattern(19, 11, 5L,
+      withExtension = false)).get
+    assert(pp.meanR === gp.meanR && pp.meanG === gp.meanG &&
+      pp.meanB === gp.meanB)
+    // envelope: a small-palette image decodes; a tRNS chunk
+    // (transparency) is data; truecolor PNGs still decode via the core
+    val small = buildPngPalettePattern(8, 4, 2L, splitIdat = false,
+      colors = 8)
+    assert(decodePngPixels(1L, small).isDefined)
+    def insertTrns(b: Array[Byte]): Array[Byte] = {
+      // after IHDR (8 sig + 25 IHDR): a 1-entry tRNS with correct CRC
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(b, 0, 33)
+      val data = Array[Byte](0)
+      out.write(java.nio.ByteBuffer.allocate(8)
+        .putInt(1).put("tRNS".getBytes("US-ASCII")).array())
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update("tRNS".getBytes("US-ASCII")); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+      out.write(b, 33, b.length - 33)
+      out.toByteArray
+    }
+    assert(decodePngPixels(1L, insertTrns(small)).isEmpty)
+    assert(decodePngPixels(1L,
+      buildPngPattern(9, 7, 3L, splitIdat = false)).isDefined)
+  }
+
   test("gif animation: composited frame totals match independent arithmetic") {
     def palGray(i: Long): Long = i + (2 * i) % 255 + (3 * i) % 253
     // reference composition: canvas of gray values, frame by frame
