@@ -3105,7 +3105,7 @@ object MediaCodec {
     if (off + 10 > b.length) return None
     val w = le16(b, off + 5); val h = le16(b, off + 7)
     val ipacked = b(off + 9) & 0xff
-    if ((ipacked & 0x40) != 0) return None // interlaced: behind the seam
+    val interlaced = (ipacked & 0x40) != 0
     if ((ipacked & 0x80) != 0) { // local color table overrides
       val n = 1 << ((ipacked & 7) + 1)
       if (off + 10 + 3 * n > b.length) return None
@@ -3128,8 +3128,26 @@ object MediaCodec {
     }
     if (blk < 0) return None
     val nPixels = w * h
-    val idx = lzwDecode(z.toByteArray, minCodeSize, nPixels)
-    if (idx == null) return None
+    val raw = lzwDecode(z.toByteArray, minCodeSize, nPixels)
+    if (raw == null) return None
+    // GIF 4-pass interlace (spec appendix E): stored row order is
+    // rows 0,8,16…, then 4,12…, then 2,6,10…, then 1,3,5… — remap
+    // back to image order so every consumer sees one layout
+    val idx =
+      if (!interlaced) raw
+      else {
+        val out = new Array[Byte](nPixels)
+        var src = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var y = start
+          while (y < h) {
+            System.arraycopy(raw, src * w, out, y * w, w)
+            src += 1
+            y += step
+          }
+        }
+        out
+      }
     Some((w, h, palette, idx))
   } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -3140,7 +3158,8 @@ object MediaCodec {
     * trip on), and the index stream compressed with the real
     * variable-width LZW above, packaged into ≤255-byte sub-blocks. */
   def buildGifPattern(width: Int, height: Int, seed: Long,
-                      withExtension: Boolean): Array[Byte] = {
+                      withExtension: Boolean,
+                      interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
     val out = new java.io.ByteArrayOutputStream()
     def le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -3159,16 +3178,21 @@ object MediaCodec {
     }
     out.write(0x2c) // image descriptor
     le(0); le(0); le(width); le(height)
-    out.write(0) // no local table, not interlaced
+    out.write(if (interlaced) 0x40 else 0) // no local table
     val idx = new Array[Byte](width * height)
-    var y = 0
-    while (y < height) {
+    // row storage order: image order, or the 4-pass interlace schedule
+    val rowOrder: Seq[Int] =
+      if (!interlaced) 0 until height
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2))
+        .flatMap { case (start, step) => start until height by step }
+    var out0 = 0
+    for (y <- rowOrder) {
       var x = 0
       while (x < width) {
-        idx(y * width + x) = ((x + 7L * y + seed) % 256).toByte
+        idx(out0 * width + x) = ((x + 7L * y + seed) % 256).toByte
         x += 1
       }
-      y += 1
+      out0 += 1
     }
     out.write(8) // LZW min code size
     val z = lzwEncode(idx, 8)
@@ -3198,7 +3222,8 @@ object MediaCodec {
       .map { case (id, nChars) =>
         (id, buildGifPattern(width = 1 + (nChars % 56).toInt,
           height = 1 + (nChars % 28).toInt,
-          seed = id, withExtension = id % 3 == 0))
+          seed = id, withExtension = id % 3 == 0,
+          interlaced = id % 5 == 4))
       }
   }
 

@@ -560,13 +560,19 @@ class MediaCodecSpec extends SparkSpec {
     assert(decodeGifPixels(1L, ok).isDefined)
     // truncation inside the LZW sub-blocks
     assert(decodeGifPixels(1L, ok.dropRight(9)).isEmpty)
-    // interlace flag: stays behind the decoder seam
+    // interlace flag is IN-envelope since r10: flipping it on a
+    // sequentially-stored image reinterprets row order — a pure row
+    // permutation, so the channel means are unchanged (and the decode
+    // must not reject)
     val inter = ok.clone()
     // image descriptor follows 6+7+768 header+table and the 8-byte GCE
     val idOff = 13 + 768 + 8
     assert((inter(idOff) & 0xff) === 0x2c)
     inter(idOff + 9) = (inter(idOff + 9) | 0x40).toByte
-    assert(decodeGifPixels(1L, inter).isEmpty)
+    val ip = decodeGifPixels(1L, inter).get
+    val op = decodeGifPixels(1L, ok).get
+    assert((ip.meanR, ip.meanG, ip.meanB) ===
+      ((op.meanR, op.meanG, op.meanB)))
     // an invalid LZW code (byte garbage) decodes to None, not a throw
     val garbled = ok.clone()
     garbled(idOff + 12) = 0xff.toByte
@@ -997,6 +1003,24 @@ class MediaCodecSpec extends SparkSpec {
     assert(decodePngPixels(1L, insertTrns(small)).isEmpty)
     assert(decodePngPixels(1L,
       buildPngPattern(9, 7, 3L, splitIdat = false)).isDefined)
+  }
+
+  test("gif interlace: 4-pass storage decodes to the same picture") {
+    // interlaced storage reorders ROWS (0,8,16…/4,12…/2,6…/1,3,5…);
+    // the deinterlaced decode must equal the sequential encode of the
+    // same picture — heights crossing each pass boundary
+    for (h <- Seq(1, 2, 3, 5, 8, 9, 17, 28); w <- Seq(1, 7, 56)) {
+      val seq0 = decodeGray(
+        buildGifPattern(w, h, 11L, withExtension = false)).get
+      val il = decodeGray(buildGifPattern(w, h, 11L,
+        withExtension = false, interlaced = true)).get
+      assert(il.gray.toSeq === seq0.gray.toSeq, s"($w,$h)")
+    }
+    val a = decodeGifPixels(1L,
+      buildGifPattern(23, 17, 3L, withExtension = true, interlaced = true))
+    val b = decodeGifPixels(1L,
+      buildGifPattern(23, 17, 3L, withExtension = true))
+    assert(a === b && a.isDefined)
   }
 
   test("gif animation: composited frame totals match independent arithmetic") {
