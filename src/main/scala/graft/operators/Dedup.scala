@@ -727,6 +727,74 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Video near-duplicate pairs from per-frame perceptual hashes — the
+    * frame-sequence generalization of [[hammingNearDups]]: two videos
+    * are near-dups when they have the SAME sampled-frame count and
+    * their frames match index-for-index with MEAN Hamming distance
+    * ≤ `maxAvgDist` (re-encodes and small edits perturb every frame a
+    * little; different content diverges by tens of bits per frame).
+    *
+    * Candidates come from ONE banded equi-join keyed by (frameIdx,
+    * band, value) with the same per-bucket df cap as the single-hash
+    * join. Recall is exact within the criterion by pigeonhole: mean ≤
+    * maxAvgDist ≤ bands−1 forces SOME frame pair within bands−1 bits,
+    * which must agree on at least one band at its own frame index.
+    * The verify join touches only candidate pairs' (frame, hash) rows
+    * — nothing corpus-sized, no payloads.
+    *
+    * Input: one row per (video, sampled frame) with a ≤64-bit hash.
+    * Returns (id_a, id_b, n_frames, total_dist) with id_a < id_b. */
+  def frameNearDupVideos(frames: DataFrame, videoCol: String,
+                         frameCol: String, hashCol: String, nBits: Int,
+                         bands: Int, maxAvgDist: Int,
+                         maxBucket: Int = 4096): DataFrame = {
+    require(nBits > 0 && nBits <= 64 && bands > 0 && nBits % bands == 0,
+      s"nBits=$nBits must be a positive multiple of bands=$bands, ≤ 64")
+    require(maxAvgDist < bands,
+      s"maxAvgDist=$maxAvgDist needs ≤ bands−1=${bands - 1} for the " +
+        "pigeonhole recall guarantee")
+    val w = nBits / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    val base = frames.select(col(videoCol).as("vid"),
+      col(frameCol).cast("int").as("f"), col(hashCol).cast("long").as("h"))
+    val banded = base.select(col("vid"), col("f"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("b"),
+          (shiftrightunsigned(col("h"), b * w)
+            .bitwiseAND(lit(mask))).as("v"))): _*)).as("bv"))
+      .select(col("vid"), col("f"), col("bv.b").as("b"), col("bv.v").as("v"))
+    val hot = banded.groupBy("f", "b", "v").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBucket)
+      .select(col("f"), col("b"), col("v"))
+    val safe = banded.join(broadcast(hot), Seq("f", "b", "v"), "left_anti")
+    val cand = safe.as("l")
+      .join(safe.as("r"),
+        col("l.f") === col("r.f") && col("l.b") === col("r.b") &&
+          col("l.v") === col("r.v") && col("l.vid") < col("r.vid"))
+      .select(col("l.vid").as("id_a"), col("r.vid").as("id_b"))
+      .distinct()
+    val counts = base.groupBy("vid").agg(count(lit(1)).as("n"))
+    val fa = base.select(col("vid").as("id_a"), col("f"),
+      col("h").as("h_a"))
+    val fb = base.select(col("vid").as("id_b"), col("f"),
+      col("h").as("h_b"))
+    cand
+      .join(fa, Seq("id_a"))
+      .join(fb, Seq("id_b", "f"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_matched"),
+        sum(expr("bit_count(h_a ^ h_b)")).cast("long").as("total_dist"))
+      .join(counts.select(col("vid").as("id_a"), col("n").as("n_a")),
+        Seq("id_a"))
+      .join(counts.select(col("vid").as("id_b"), col("n").as("n_b")),
+        Seq("id_b"))
+      .filter(col("n_a") === col("n_b") &&
+        col("n_matched") === col("n_a") &&
+        col("total_dist") <= lit(maxAvgDist.toLong) * col("n_a"))
+      .select(col("id_a"), col("id_b"),
+        col("n_a").cast("int").as("n_frames"), col("total_dist"))
+  }
+
   /** Ordered (id_a < id_b) pairs from a sorted id array — C(m,2) structs,
     * generated array-side (no join) for m bounded by the caller. */
   private def pairsOf(ids: Column): Column =

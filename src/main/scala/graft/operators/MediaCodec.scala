@@ -3261,7 +3261,20 @@ object MediaCodec {
     * behind the seam with transparency and interlace), ≤ `maxFrames`
     * frames, rectangles inside the logical screen. */
   def gifAnimStats(b: Array[Byte],
-                   maxFrames: Int = 4096): Option[GifAnimStats] = try {
+                   maxFrames: Int = 4096): Option[GifAnimStats] = {
+    val sums = IndexedSeq.newBuilder[Long]
+    gifAnimFold(b, maxFrames) { (_, total, _) => sums += total }
+      .map { case (w, h, _) => GifAnimStats(w, h, sums.result()) }
+  }
+
+  /** The shared animation decode core: walks the stream, composites
+    * every frame onto the one canvas, and hands the callback
+    * (frameIdx, running canvas gray total, canvas) after each frame —
+    * the stats path reads the total, the per-frame hash path reads the
+    * canvas (on its sampled frames only). Returns (w, h, nFrames). */
+  private def gifAnimFold(b: Array[Byte], maxFrames: Int)(
+      onFrame: (Int, Long, Array[Int]) => Unit)
+      : Option[(Int, Int, Int)] = try {
     if (b.length < 14) return None
     val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -3278,7 +3291,6 @@ object MediaCodec {
     }
     val canvas = new Array[Int](sw * sh) // gray per pixel, bg = 0
     var cur = 0L
-    val sums = IndexedSeq.newBuilder[Long]
     var nFrames = 0
     var disposal = 0
     var done = false
@@ -3355,12 +3367,12 @@ object MediaCodec {
           }
           nFrames += 1
           if (nFrames > maxFrames) return None
-          sums += cur
+          onFrame(nFrames - 1, cur, canvas)
         case _ => return None
       }
     }
     if (nFrames == 0) None
-    else Some(GifAnimStats(sw, sh, sums.result()))
+    else Some((sw, sh, nFrames))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real GIF89a ANIMATION encode: the [[buildGifPattern]] global
@@ -3374,7 +3386,19 @@ object MediaCodec {
     * an oracle derives every per-frame canvas total in closed form.
     * Each frame's rectangle runs through the real LZW encoder. */
   def buildGifAnimPattern(width: Int, height: Int, nFrames: Int,
-                          seed: Long): Array[Byte] = {
+                          seed: Long): Array[Byte] =
+    encodeGifAnim(width, height, nFrames, (f, cx, cy) =>
+      (if (f == 0) (cx + 7L * cy + seed) % 256
+       else (3L * cx + 5L * cy + 11L * f + seed) % 256).toInt)
+
+  /** Real GIF89a animation encode over an arbitrary per-frame index
+    * function `idx(frame, canvasX, canvasY)` — the format half of
+    * [[buildGifAnimPattern]] factored out so the video-near-dup
+    * fixture can plant perceptual twins through the same real
+    * encoder. Frame 0 is the full canvas; frame f ≥ 1 is the 8×8
+    * sub-rect at slot f−1 (row-major over the ⌊w/8⌋×⌊h/8⌋ grid). */
+  def encodeGifAnim(width: Int, height: Int, nFrames: Int,
+                    idxFn: (Int, Int, Int) => Int): Array[Byte] = {
     require(width >= 8 && height >= 8 && width <= 0xffff &&
       height <= 0xffff && nFrames >= 1)
     val out = new java.io.ByteArrayOutputStream()
@@ -3411,10 +3435,7 @@ object MediaCodec {
       while (y < ih) {
         var x = 0
         while (x < iw) {
-          val cx = left + x; val cy = top + y // canvas coordinates
-          idx(y * iw + x) =
-            (if (f == 0) (cx + 7L * cy + seed) % 256
-             else (3L * cx + 5L * cy + 11L * f + seed) % 256).toByte
+          idx(y * iw + x) = idxFn(f, left + x, top + y).toByte
           x += 1
         }
         y += 1
@@ -3471,6 +3492,74 @@ object MediaCodec {
         }
       }
     })
+  }
+
+  /** One sampled frame's perceptual hash — the video-fingerprint row. */
+  final case class VideoFrameHash(id: Long, nFrames: Int, frameIdx: Int,
+                                  phash: String)
+
+  /** Per-video sampled-frame pHash sequence over REAL animation decode:
+    * every `stride`-th composited canvas hashes through [[phashGray]]
+    * map-side — the LAION-video curation shape (per-frame perceptual
+    * fingerprints; re-encodes and small edits land a few bits from the
+    * original frame-for-frame). Payloads never shuffle; only
+    * (id, frameIdx, 64-bit hash) rows do. */
+  def extractGifFrameHashes(media: Dataset[(Long, Array[Byte])],
+                            stride: Int): Dataset[VideoFrameHash] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) =>
+      val hashes = Seq.newBuilder[(Int, String)]
+      gifAnimFold(p, 4096) { (f, _, canvas) =>
+        if (f % stride == 0) {
+          // phashGray reads the matrix without retaining it; the canvas
+          // mutates across frames, so hash NOW, store only the bits
+          hashes += f -> phashGray(GrayImage(le16Width(p), canvasH(p),
+            canvas))
+        }
+      } match {
+        case Some((_, _, n)) =>
+          hashes.result().map { case (f, hsh) =>
+            VideoFrameHash(id, n, f, hsh)
+          }
+        case None => Seq.empty
+      }
+    })
+  }
+
+  // logical-screen dims straight from the header (valid by the time
+  // the fold invokes its callback)
+  private def le16Width(b: Array[Byte]): Int = le16(b, 6)
+  private def canvasH(b: Array[Byte]): Int = le16(b, 8)
+
+  /** The video-near-dup fixture: 29 classes (s = doc id mod 29) of
+    * 64×32 animations with 6..10 frames — frame 0 a class texture
+    * ((31x + 47y + 61·b) mod 256), frames f ≥ 1 the slot-(f−1) sub-rect
+    * ((3x + 5y + 11f + 61·b) mod 256). Classes 23..28 are PERCEPTUAL
+    * TWINS of classes 0..5: the same animation except frame 2's rect
+    * has its top-left 2×2 pixels re-indexed (+97) — a four-pixel edit
+    * that persists on the canvas from frame 2 on, putting every
+    * sampled frame within a few pHash bits of the base (measured: mean
+    * per-frame distance ≤ 3) while unrelated classes sit ≥ 9 mean bits
+    * apart. */
+  def gifVideoFromDocuments(spark: SparkSession,
+                            docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val s = id % 29
+        val b0 = if (s >= 23) s - 23 else s
+        val twin = s >= 23
+        val nf = 6 + (b0 % 5).toInt
+        val payload = encodeGifAnim(64, 32, nf, (f, x, y) =>
+          (if (f == 0) (31L * x + 47L * y + 61L * b0) % 256
+           else {
+             val add =
+               if (twin && f == 2 && x % 8 < 2 && y % 8 < 2) 97L else 0L
+             (3L * x + 5L * y + 11L * f + 61L * b0 + add) % 256
+           }).toInt)
+        (id, payload)
+      }
   }
 
   // ------------------------------------------------------ PNG pixels

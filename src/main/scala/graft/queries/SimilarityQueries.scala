@@ -673,6 +673,38 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // VIDEO near-dup pairs over REAL animation decode — the video-
+    // curation flagship composed end to end: every doc encodes one of
+    // 29 class animations through the real GIF encoder (classes 23..28
+    // are perceptual twins of 0..5 — a four-pixel edit in frame 2 that
+    // persists on the canvas), every 2nd composited frame pHashes
+    // map-side, identical hash SEQUENCES collapse to one class, and
+    // frameNearDupVideos pairs classes whose frames match
+    // index-for-index with mean distance ≤ 4 bits (banded (frame,
+    // band, value) candidates, pigeonhole recall exact within the
+    // criterion). Twins sit ≤ 3 mean bits from their base; unrelated
+    // classes ≥ 9 — the output IS the six planted twin pairs.
+    "mm_video_neardups" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.gifVideoFromDocuments(
+        s, t(s, dir, "documents"))
+      val fh = graft.operators.MediaCodec
+        .extractGifFrameHashes(media, stride = 2).toDF()
+      val seqs = fh.groupBy("id")
+        .agg(concat_ws("|", transform(
+          sort_array(collect_list(struct(col("frameIdx"), col("phash")))),
+          e => e.getField("phash"))).as("seq_key"))
+      val classes = seqs.groupBy("seq_key").agg(min(col("id")).as("cid"))
+      val frames = fh.join(classes, fh("id") === classes("cid"))
+        .select(col("cid"), col("frameIdx"),
+          shiftleft(conv(substring(col("phash"), 1, 32), 2, 10)
+            .cast("long"), 32)
+            .bitwiseOR(conv(substring(col("phash"), 33, 32), 2, 10)
+              .cast("long")).as("h"))
+      graft.operators.Dedup.frameNearDupVideos(frames, "cid", "frameIdx",
+          "h", nBits = 64, bands = 8, maxAvgDist = 4)
+        .orderBy("id_a", "id_b")
+    },
+
     // REAL indexed-PNG decode under the gate: 8-bit PALETTE PNGs
     // (color type 3 — the favicon/sprite/chart shape of wild-web
     // images): PLTE chunk, 1-byte-per-pixel scanlines through all five
@@ -2047,6 +2079,67 @@ object SimilarityQueries {
         |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
         |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
         |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives every class's sampled-frame pHash sequence from the
+    // composition arithmetic (pixel → last-writer slot CASE → palette
+    // gray → 32×32 cells → centered q → the SAME embedded cosine table
+    // → sign bits), then brute-forces class pairs under the identical
+    // criterion: equal frame counts, frames matched index-for-index,
+    // total distance ≤ 4·n. 29 classes make the all-pairs filter exact.
+    "mm_video_neardups" ->
+      ("""WITH cls AS (SELECT doc_id % 29 AS s, MIN(doc_id) AS cid
+        |  FROM documents GROUP BY 1),
+        |par AS (SELECT s, cid,
+        |    CASE WHEN s >= 23 THEN s - 23 ELSE s END AS b0,
+        |    CASE WHEN s >= 23 THEN 1 ELSE 0 END AS tw FROM cls),
+        |dim AS (SELECT s, cid, b0, tw, 6 + (b0 % 5) AS nf FROM par),
+        |fr AS (SELECT s, cid, b0, tw, nf, f
+        |  FROM dim, LATERAL (SELECT unnest(range(0, nf, 2)) AS f)),
+        |pal AS (SELECT i, i + (2 * i) % 255 + (3 * i) % 253 AS g
+        |  FROM (SELECT unnest(range(256)) AS i)),
+        |pxi AS (SELECT s, f, x, y,
+        |    CASE WHEN (y // 8) * 8 + (x // 8) + 1 <= f
+        |      THEN (3 * x + 5 * y + 11 * ((y // 8) * 8 + x // 8 + 1)
+        |        + 61 * b0
+        |        + CASE WHEN tw = 1 AND (y // 8) * 8 + x // 8 + 1 = 2
+        |            AND x % 8 < 2 AND y % 8 < 2 THEN 97 ELSE 0 END) % 256
+        |      ELSE (31 * x + 47 * y + 61 * b0) % 256 END AS ci
+        |  FROM fr,
+        |    LATERAL (SELECT unnest(range(64)) AS x),
+        |    LATERAL (SELECT unnest(range(32)) AS y)),
+        |cells AS (SELECT s, f, (x * 32) // 64 AS cx, (y * 32) // 32 AS cy,
+        |    SUM(p.g) AS cs, COUNT(*) AS cn
+        |  FROM pxi, pal p WHERE p.i = pxi.ci GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT s, f, SUM(cs) AS ts, SUM(cn) AS tn
+        |  FROM cells GROUP BY 1, 2),
+        |q AS (SELECT s, f, cx, cy, cs * tn - ts * cn AS q
+        |  FROM cells JOIN tot USING (s, f)),
+        |cosb(u, x, c) AS (VALUES """.stripMargin + phashCosValues +
+      """),
+        |coef AS (SELECT s, f, cu.u AS u, cv.u AS v,
+        |    SUM(q.q * cu.c * cv.c) AS coef
+        |  FROM q JOIN cosb cu ON cu.x = q.cx
+        |         JOIN cosb cv ON cv.x = q.cy
+        |  GROUP BY 1, 2, 3, 4),
+        |hashes AS (SELECT s, f,
+        |    string_agg(CASE WHEN coef > 0 THEN '1' ELSE '0' END,
+        |      '' ORDER BY u, v) AS ph FROM coef GROUP BY s, f),
+        |meta AS (SELECT s, cid, (nf + 1) // 2 AS n FROM dim),
+        |pd AS (SELECT ma.cid AS id_a, mb.cid AS id_b, ma.n AS n,
+        |    (SELECT COUNT(*) FROM range(64) r(i)
+        |     WHERE substr(ha.ph, CAST(i AS INT) + 1, 1)
+        |        <> substr(hb.ph, CAST(i AS INT) + 1, 1)) AS dist
+        |  FROM meta ma JOIN meta mb
+        |    ON ma.cid < mb.cid AND ma.n = mb.n
+        |  JOIN hashes ha ON ha.s = ma.s
+        |  JOIN hashes hb ON hb.s = mb.s AND hb.f = ha.f),
+        |agg AS (SELECT id_a, id_b, MAX(n) AS n,
+        |    SUM(dist) AS total_dist
+        |  FROM pd GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n AS INT) AS n_frames,
+        |  CAST(total_dist AS BIGINT) AS total_dist
+        |FROM agg WHERE total_dist <= 4 * n
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // Palette-PNG means from the same index/palette arithmetic as the
     // GIF oracle (the fixtures share one palette formula), over the

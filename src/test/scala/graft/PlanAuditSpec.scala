@@ -866,7 +866,7 @@ class PlanAuditSpec extends SparkSpec {
     // is the (band, value) equi-join — never a cartesian/nested-loop
     // all-pairs scan — and no payload bytes ride any exchange
     for (q <- Seq("mm_image_neardups", "d_simhash_neardups",
-        "mm_phash_dupes")) {
+        "mm_phash_dupes", "mm_video_neardups")) {
       val ns = nodes(SparkEntry.queries(q)(spark, dir))
       assert(!ns.exists(n => n.nodeName.contains("CartesianProduct") ||
           n.nodeName.contains("BroadcastNestedLoop")),

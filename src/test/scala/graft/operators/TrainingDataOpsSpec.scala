@@ -334,6 +334,42 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("frameNearDupVideos: frame-matched pairs under the mean-dist criterion") {
+    // three videos: A and B near-dups (per-frame dists 0,2,3 → total 5
+    // ≤ 2·3), C same length but far, D a different length sharing A's
+    // exact frames (length mismatch must exclude it), E close on two
+    // frames but blown out on one (total over budget)
+    val a0 = 0x0f0f0f0f0f0f0f0fL
+    val rows = Seq(
+      ("A", 0, a0), ("A", 2, a0 ^ 0xf0L), ("A", 4, ~a0),
+      ("B", 0, a0), ("B", 2, a0 ^ 0xf0L ^ 0x3L),
+      ("B", 4, ~a0 ^ 0x1100000001L),
+      ("C", 0, 0x1234567890abcdefL), ("C", 2, 0x0fedcba987654321L),
+      ("C", 4, 0x5555aaaa5555aaaaL),
+      ("D", 0, a0), ("D", 2, a0 ^ 0xf0L),
+      ("E", 0, a0), ("E", 2, a0 ^ 0xf0L),
+      ("E", 4, ~a0 ^ 0x00ffff0000ffff00L))
+    val df = rows.toDF("vid", "f", "h")
+    val got = Dedup.frameNearDupVideos(df, "vid", "f", "h",
+        nBits = 64, bands = 8, maxAvgDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(got === Set(("A", "B", 3, 5L)))
+    // E blows its budget on one frame (dists 0,2,32 → total 34 > 21
+    // even at the loosest legal maxAvg 7) and the far video C never
+    // pairs; the length-mismatched D never pairs at any budget
+    val loose = Dedup.frameNearDupVideos(df, "vid", "f", "h",
+        nBits = 64, bands = 8, maxAvgDist = 7)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(loose.contains(("A", "B")))
+    assert(!loose.exists(p => p._1 == "C" || p._2 == "C"))
+    assert(!loose.exists(p => p._1 == "D" || p._2 == "D"),
+      "length-mismatched video must never pair")
+    intercept[IllegalArgumentException] {
+      Dedup.frameNearDupVideos(df, "vid", "f", "h", 64, 8, maxAvgDist = 8)
+    }
+  }
+
   test("hammingNearDups: hot-bucket cap drops degenerate buckets, keeps planted pairs") {
     // Thousands of sketches agreeing on band 0 (low byte = 0) — the
     // degenerate shape the operator must survive by construction: an
