@@ -164,7 +164,17 @@ class MediaCodecSpec extends SparkSpec {
       (buildWavEnergyPattern(2, 8000, 150, 3L),
         (b: Array[Byte]) => wavEnergy(1L, b)),
       (buildWavEnergyPattern(2, 8000, 150, 5L),
-        (b: Array[Byte]) => wavZcr(1L, b)))
+        (b: Array[Byte]) => wavZcr(1L, b)),
+      (buildWavAdpcmPattern(2, 8000, 300, 3L),
+        (b: Array[Byte]) => decodeWavAdpcm(1L, b)),
+      (buildGifAnimPattern(16, 16, 4, 3L),
+        (b: Array[Byte]) => gifAnimStats(b)),
+      (buildGifPattern(9, 7, 3L, withExtension = true, interlaced = true),
+        (b: Array[Byte]) => decodeGifPixels(1L, b)),
+      (buildPngPalettePattern(9, 7, 3L, splitIdat = true),
+        (b: Array[Byte]) => decodePngPixels(1L, b)),
+      (encodeBmpRgb(16, 12, topDown = true, MediaCodec.phashTwinRgb(33)),
+        (b: Array[Byte]) => decodeGray(b).map(phashGray)))
     for ((seed, dec) <- cases) {
       (1 to 150).foreach { _ =>
         val b = seed.clone()
