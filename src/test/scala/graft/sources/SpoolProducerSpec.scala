@@ -578,6 +578,33 @@ class SpoolProducerSpec extends SparkSpec {
       .forall(l => DebeziumJson.parse(l).event.isEmpty))
     assert(EnvelopeIngest.afterGtidCursor(all,
       Some("mariadb-bin.000002:640")) === all)
+    // multi-domain streams: the seek compares ONLY the cursor's own
+    // domain-server sequence — another domain's (higher) seq numbers
+    // must not satisfy the seek, and once the cursor GTID passes, the
+    // other domain's events replay too
+    def env(gtid: String, id: Int): String =
+      s"""{"payload":{"before":null,"after":{"id":$id},""" +
+        s""""source":{"db":"emporium","table":"widgets","gtid":"$gtid",""" +
+        s""""file":"mariadb-bin.000009","pos":$id},"op":"c"}}"""
+    val multi = Seq(
+      env("1-7-900", 1), // domain 1: high seq, NOT the cursor's stream
+      env("0-1-41", 2), // cursor domain, before the seek point
+      env("1-7-901", 3), // still before the seek point: skipped
+      env("0-1-42", 4), // THE cursor GTID: consumed by the seek
+      env("1-7-902", 5), // after the seek point: replays
+      env("0-1-43", 6))
+    val resumed2 = EnvelopeIngest.afterGtidCursor(multi, Some("gtid:0-1-42"))
+    assert(resumed2 === Seq(env("1-7-902", 5), env("0-1-43", 6)))
+    // an earlier cursor on the same stream: the seek point consumes
+    // its own GTID and replays everything after it, other domains too
+    val resumed3 = EnvelopeIngest.afterGtidCursor(multi, Some("gtid:0-1-41"))
+    assert(resumed3 === Seq(env("1-7-901", 3), env("0-1-42", 4),
+      env("1-7-902", 5), env("0-1-43", 6)))
+    // a cursor GTID that never appears (purged segment): the first
+    // HIGHER seq on the same stream reopens the replay, ITSELF included
+    val resumed4 = EnvelopeIngest.afterGtidCursor(multi, Some("gtid:0-1-40"))
+    assert(resumed4 === Seq(env("0-1-41", 2), env("1-7-901", 3),
+      env("0-1-42", 4), env("1-7-902", 5), env("0-1-43", 6)))
   }
 
   test("transport seam: a streaming source matches the tailer byte-for-byte") {
