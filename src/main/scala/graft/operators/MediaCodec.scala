@@ -163,21 +163,8 @@ object MediaCodec {
     * uncompressed 24-bpp BMP — palette/compressed/32-bpp variants stay
     * behind the decoder seam with the entropy-coded formats. */
   def decodeBmpPixels(id: Long, b: Array[Byte]): Option[BmpPixels] = try {
-    if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
-        le32(b, 14) >= 40)) return None
-    val off = le32(b, 10) // pixel-array offset from the file header
-    val w = le32(b, 18)
-    val hRaw = le32(b, 22)
-    val topDown = hRaw < 0
-    val h = math.abs(hRaw)
-    val bpp = le16(b, 28)
-    val comp = le32(b, 30) // BI_RGB = 0 only
-    if (w <= 0 || h <= 0 || hRaw == Int.MinValue || bpp != 24 || comp != 0)
-      return None
-    // stride in Long: a crafted w ≥ ~89M overflows the Int expression
-    // to a negative stride that slips past the bounds check below
-    val stride = ((24L * w + 31L) / 32L) * 4L // rows pad to 4 bytes
-    if (off < 54 || off.toLong + stride * h > b.length) return None
+    val (w, h, topDown, off, stride, bpp, palette) =
+      bmpLayout(b).getOrElse(return None)
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
     var y = 0
     while (y < h) { // y is the IMAGE row; map to the stored row
@@ -186,10 +173,17 @@ object MediaCodec {
       val ro = (off.toLong + stored * stride).toInt
       var x = 0
       while (x < w) {
-        val p = ro + 3 * x // BGR order
-        val bl = b(p) & 0xff
-        val g = b(p + 1) & 0xff
-        val r = b(p + 2) & 0xff
+        var r = 0; var g = 0; var bl = 0
+        if (bpp == 24) {
+          val p = ro + 3 * x // BGR order
+          bl = b(p) & 0xff; g = b(p + 1) & 0xff; r = b(p + 2) & 0xff
+        } else { // 8-bpp: index through the BGRA color table
+          val ci = b(ro + x) & 0xff
+          if (4 * ci >= palette.length) return None
+          bl = palette(4 * ci) & 0xff
+          g = palette(4 * ci + 1) & 0xff
+          r = palette(4 * ci + 2) & 0xff
+        }
         sumB += bl; sumG += g; sumR += r
         if (y == 0) top += bl + g + r
         x += 1
@@ -203,12 +197,100 @@ object MediaCodec {
     case scala.util.control.NonFatal(_) => None
   }
 
+  /** Shared BMP layout parse: uncompressed 24-bpp truecolor or 8-bpp
+    * PALETTE (BITMAPINFOHEADER color table — BGRA quads, biClrUsed
+    * entries, 0 = 256) — returns (w, h, topDown, pixelOff, stride,
+    * bpp, palette or null). Everything else parses None. */
+  private def bmpLayout(b: Array[Byte])
+      : Option[(Int, Int, Boolean, Int, Long, Int, Array[Byte])] = try {
+    if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+        le32(b, 14) >= 40)) return None
+    val off = le32(b, 10) // pixel-array offset from the file header
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30) // BI_RGB = 0 only
+    if (w <= 0 || h <= 0 || hRaw == Int.MinValue ||
+        (bpp != 24 && bpp != 8) || comp != 0)
+      return None
+    // stride in Long: a crafted w ≥ ~89M overflows the Int expression
+    // to a negative stride that slips past the bounds check below
+    val stride = ((bpp.toLong * w + 31L) / 32L) * 4L // rows pad to 4
+    if (off < 54 || off.toLong + stride * h > b.length) return None
+    val palette =
+      if (bpp == 24) null
+      else {
+        val clrUsed = le32(b, 46)
+        val colors = if (clrUsed == 0) 256 else clrUsed
+        val tableOff = 14 + le32(b, 14) // after the info header
+        if (colors < 0 || colors > 256 ||
+            tableOff.toLong + 4L * colors > b.length) return None
+        java.util.Arrays.copyOfRange(b, tableOff, tableOff + 4 * colors)
+      }
+    Some((w, h, topDown, off, stride, bpp, palette))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Per-partition batch pixel decode — payloads never shuffle; only
     * the eight-column stat rows continue downstream. */
   def extractBmpPixels(media: Dataset[(Long, Array[Byte])])
       : Dataset[BmpPixels] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { case (id, p) => decodeBmpPixels(id, p) })
+  }
+
+  /** Real encode of an 8-bpp PALETTE BMP: the 54-byte headers with a
+    * 256-entry BGRA color table (entry i → (i, 2i mod 255, 3i mod 253)
+    * — the shared palette formula of the GIF and palette-PNG
+    * fixtures), index (x + 7y + seed) mod 256, 1-byte-per-pixel rows
+    * padded to 4 bytes, bottom-up or top-down. */
+  def buildBmpPalettePattern(width: Int, height: Int, topDown: Boolean,
+                             seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = ((8 * width + 31) / 32) * 4
+    val dataLen = rowSize * height
+    val total = 54 + 1024 + dataLen
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(total)
+      .putShort(0).putShort(0).putInt(54 + 1024) // pixel offset
+    b.putInt(40).putInt(width).putInt(if (topDown) -height else height)
+      .putShort(1).putShort(8) // planes, bpp
+      .putInt(0).putInt(dataLen).putInt(2835).putInt(2835)
+      .putInt(256).putInt(0) // biClrUsed, biClrImportant
+    var i = 0
+    while (i < 256) { // BGRA quads
+      b.put(((3 * i) % 253).toByte).put(((2 * i) % 255).toByte)
+        .put(i.toByte).put(0.toByte)
+      i += 1
+    }
+    val arr = b.array()
+    var y = 0
+    while (y < height) {
+      val stored = if (topDown) y else height - 1 - y
+      val base = 54 + 1024 + stored * rowSize
+      var x = 0
+      while (x < width) {
+        arr(base + x) = ((x + 7L * y + seed) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    arr
+  }
+
+  /** Fixture adapter for the palette-BMP gate. */
+  def bmpPaletteFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildBmpPalettePattern(width = 1 + (nChars % 44).toInt,
+          height = 1 + (nChars % 22).toInt,
+          topDown = id % 2 == 0, seed = id))
+      }
   }
 
   /** Per-clip sample statistics from a REAL PCM decode — integer-exact
@@ -806,19 +888,8 @@ object MediaCodec {
   }
 
   private def bmpGray(b: Array[Byte]): Option[GrayImage] = try {
-    if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
-        le32(b, 14) >= 40)) return None
-    val off = le32(b, 10)
-    val w = le32(b, 18)
-    val hRaw = le32(b, 22)
-    val topDown = hRaw < 0
-    val h = math.abs(hRaw)
-    val bpp = le16(b, 28)
-    val comp = le32(b, 30)
-    if (w <= 0 || h <= 0 || hRaw == Int.MinValue || bpp != 24 || comp != 0)
-      return None
-    val stride = ((24L * w + 31L) / 32L) * 4L
-    if (off < 54 || off.toLong + stride * h > b.length) return None
+    val (w, h, topDown, off, stride, bpp, palette) =
+      bmpLayout(b).getOrElse(return None)
     if (w.toLong * h > Int.MaxValue) return None
     val gray = new Array[Int](w * h)
     var y = 0
@@ -827,9 +898,16 @@ object MediaCodec {
       val ro = (off.toLong + stored * stride).toInt
       var x = 0
       while (x < w) {
-        val p = ro + 3 * x
         gray(y * w + x) =
-          (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+          if (bpp == 24) {
+            val p = ro + 3 * x
+            (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+          } else {
+            val ci = b(ro + x) & 0xff
+            if (4 * ci >= palette.length) return None
+            (palette(4 * ci) & 0xff) + (palette(4 * ci + 1) & 0xff) +
+              (palette(4 * ci + 2) & 0xff)
+          }
         x += 1
       }
       y += 1

@@ -673,6 +673,23 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL indexed-BMP decode under the gate: 8-bpp palette BMPs
+    // (BITMAPINFOHEADER BGRA color table, 1-byte-per-pixel rows padded
+    // to 4, both row orders) — the third container sharing the one
+    // palette formula, so a table-offset or BGRA-order bug diverges
+    // while the GIF/PNG paths stay green.
+    "mm_bmp_palette" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.bmpPaletteFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractBmpPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
     // VIDEO near-dup pairs over REAL animation decode — the video-
     // curation flagship composed end to end: every doc encodes one of
     // 29 class animations through the real GIF encoder (classes 23..28
@@ -2140,6 +2157,30 @@ object SimilarityQueries {
         |  CAST(total_dist AS BIGINT) AS total_dist
         |FROM agg WHERE total_dist <= 4 * n
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Palette-BMP means: the same index/palette arithmetic, the BMP
+    // fixture's dimensions.
+    "mm_bmp_palette" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 44) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 22) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    (x + 7 * y + id) % 256 AS ci
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |rgb AS (SELECT id, w, h, x, y,
+        |    ci AS r, (2 * ci) % 255 AS g, (3 * ci) % 253 AS b
+        |  FROM px)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Palette-PNG means from the same index/palette arithmetic as the
     // GIF oracle (the fixtures share one palette formula), over the

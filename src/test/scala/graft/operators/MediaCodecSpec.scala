@@ -174,7 +174,9 @@ class MediaCodecSpec extends SparkSpec {
       (buildPngPalettePattern(9, 7, 3L, splitIdat = true),
         (b: Array[Byte]) => decodePngPixels(1L, b)),
       (encodeBmpRgb(16, 12, topDown = true, MediaCodec.phashTwinRgb(33)),
-        (b: Array[Byte]) => decodeGray(b).map(phashGray)))
+        (b: Array[Byte]) => decodeGray(b).map(phashGray)),
+      (buildBmpPalettePattern(9, 7, topDown = false, 3L),
+        (b: Array[Byte]) => decodeBmpPixels(1L, b)))
     for ((seed, dec) <- cases) {
       (1 to 150).foreach { _ =>
         val b = seed.clone()
@@ -968,6 +970,38 @@ class MediaCodecSpec extends SparkSpec {
     assert(st.channels === 2 && st.nSamples === 300L)
     assert(st.peakAbs <= 1200, s"tracking lost: peak ${st.peakAbs}")
     assert(st.meanAbs > 200.0, s"decoded stream collapsed: ${st.meanAbs}")
+  }
+
+  test("bmp palette: one picture, three containers, one gray matrix") {
+    // BMP (BGRA table, padded index rows, both row orders), PNG (PLTE +
+    // deflate + filters) and GIF (LZW + color table) share one palette
+    // formula: the same (w, h, seed) must decode to IDENTICAL gray
+    // through three entirely different real codecs
+    for ((w, h, seed) <- Seq((19, 11, 5L), (44, 22, 77L), (1, 1, 0L))) {
+      val viaBmpUp = decodeGray(
+        buildBmpPalettePattern(w, h, topDown = false, seed)).get
+      val viaBmpDown = decodeGray(
+        buildBmpPalettePattern(w, h, topDown = true, seed)).get
+      val viaPng = decodeGray(
+        buildPngPalettePattern(w, h, seed, splitIdat = true)).get
+      val viaGif = decodeGray(
+        buildGifPattern(w, h, seed, withExtension = false)).get
+      assert(viaBmpUp.gray.toSeq === viaGif.gray.toSeq, s"bmp^ ($w,$h)")
+      assert(viaBmpDown.gray.toSeq === viaGif.gray.toSeq, s"bmpv ($w,$h)")
+      assert(viaPng.gray.toSeq === viaGif.gray.toSeq, s"png ($w,$h)")
+    }
+    // the means decoder agrees across containers too
+    val bp = decodeBmpPixels(1L,
+      buildBmpPalettePattern(19, 11, topDown = false, 5L)).get
+    val gp = decodeGifPixels(1L,
+      buildGifPattern(19, 11, 5L, withExtension = false)).get
+    assert((bp.meanR, bp.meanG, bp.meanB) ===
+      ((gp.meanR, gp.meanG, gp.meanB)))
+    // truncated color table is data; 24-bpp still decodes via the core
+    val pal = buildBmpPalettePattern(9, 7, topDown = false, 2L)
+    assert(decodeBmpPixels(1L, pal.take(54 + 100).toArray).isEmpty)
+    assert(decodeBmpPixels(1L,
+      buildBmpPattern(9, 7, topDown = false, 2L)).isDefined)
   }
 
   test("png palette: indexed decode == the same picture as a GIF") {
