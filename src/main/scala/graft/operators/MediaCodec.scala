@@ -750,6 +750,456 @@ object MediaCodec {
     media.mapPartitions(_.flatMap { case (id, p) => decodeWavAdpcm(id, p) })
   }
 
+  // ------------------------------------ MP4 / ISO-BMFF container walk
+
+  /** Parsed MP4/ISO-BMFF container metadata — the fields a real video
+    * intake pipeline filters on BEFORE any frame decode (brand, track
+    * layout, dimensions, duration, codec fourcc, payload size). Frame
+    * PIXELS stay behind the decoder seam (H.264 entropy decode needs
+    * native libs); the container grammar is public (ISO/IEC 14496-12)
+    * and pure-JVM arithmetic. */
+  final case class Mp4Meta(id: Long, brand: String, nTracks: Int,
+                           durationMs: Long, width: Int, height: Int,
+                           videoCodec: String, audioCodec: String,
+                           channels: Int, sampleRate: Int, mdatBytes: Long)
+
+  private def be32u(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32u(b, off) << 32) | be32u(b, off + 4)
+
+  private def be16u(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Walk an ISO-BMFF box sequence: `ftyp` major brand, `mvhd`
+    * timescale/duration (v0 and v1), per-`trak` handler + `tkhd`
+    * 16.16 dimensions + `stsd` sample-entry fourcc/fields, `mdat`
+    * payload bytes (32-bit, 64-bit `largesize`, and size-0 to-EOF
+    * forms). Unknown boxes (`free`, `skip`, `uuid`, vendor boxes)
+    * skip by size; container boxes (`moov`/`trak`/`mdia`/`minf`/
+    * `stbl`) recurse. A malformed size that fails to advance aborts
+    * the walk — corrupt payloads parse to None, never a hung task. */
+  def parseMp4Meta(id: Long, b: Array[Byte]): Option[Mp4Meta] = try {
+    if (b.length < 16 || tag(b, 4) != "ftyp") return None
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    var videoCodec = ""
+    var audioCodec = ""
+    var channels = 0
+    var sampleRate = 0
+    var mdatBytes = 0L
+    // per-trak capture, committed when the trak closes
+    var trakHandler = ""
+    var trakW = 0
+    var trakH = 0
+    var trakCodec = ""
+    var trakCh = 0
+    var trakSr = 0
+
+    def walk(from: Long, to: Long, depth: Int): Boolean = {
+      if (depth > 8) return false // no legal file nests this deep
+      var off = from
+      while (off + 8 <= to) {
+        val i = off.toInt
+        val size32 = be32u(b, i)
+        val fourcc = tag(b, i + 4)
+        val (boxSize, hdr) =
+          if (size32 == 1L && off + 16 <= to) (be64(b, i + 8), 16)
+          else if (size32 == 0L) (to - off, 8) // last box: to EOF
+          else (size32, 8)
+        if (boxSize < hdr || off + boxSize > to) return false
+        val body = off + hdr
+        val bodyLen = boxSize - hdr
+        fourcc match {
+          case "ftyp" if bodyLen >= 4 => brand = tag(b, body.toInt)
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            if (!walk(body, off + boxSize, depth + 1)) return false
+          case "trak" =>
+            trakHandler = ""; trakW = 0; trakH = 0; trakCodec = ""
+            trakCh = 0; trakSr = 0
+            if (!walk(body, off + boxSize, depth + 1)) return false
+            nTracks += 1
+            if (trakHandler == "vide") {
+              width = trakW; height = trakH; videoCodec = trakCodec
+            } else if (trakHandler == "soun") {
+              audioCodec = trakCodec; channels = trakCh
+              sampleRate = trakSr
+            }
+          case "mvhd" if bodyLen >= 4 =>
+            val v = b(body.toInt) & 0xff
+            if (v == 1 && bodyLen >= 32) {
+              timescale = be32u(b, body.toInt + 20)
+              duration = be64(b, body.toInt + 24)
+            } else if (v == 0 && bodyLen >= 20) {
+              timescale = be32u(b, body.toInt + 12)
+              duration = be32u(b, body.toInt + 16)
+            }
+          case "tkhd" if bodyLen >= 84 =>
+            val v = b(body.toInt) & 0xff
+            // width/height are the LAST 8 body bytes in v0 and v1
+            val wOff = (body + bodyLen - 8).toInt
+            if (v <= 1) {
+              trakW = (be32u(b, wOff) >>> 16).toInt
+              trakH = (be32u(b, wOff + 4) >>> 16).toInt
+            }
+          case "hdlr" if bodyLen >= 12 =>
+            trakHandler = tag(b, body.toInt + 8)
+          case "stsd" if bodyLen >= 16 =>
+            // fullbox(4) + entry_count(4), then the first sample entry
+            val e = body.toInt + 8
+            val entLen = be32u(b, e)
+            if (entLen >= 16 && e + entLen <= off + boxSize) {
+              trakCodec = tag(b, e + 4)
+              if (trakHandler == "vide" && entLen >= 36) {
+                // sample-entry coded dims at +32/+34 (after 6 reserved
+                // + 2 dref + 16 predefined/reserved bytes)
+                trakW = be16u(b, e + 32)
+                trakH = be16u(b, e + 34)
+              } else if (trakHandler == "soun" && entLen >= 36) {
+                trakCh = be16u(b, e + 24)
+                trakSr = (be32u(b, e + 32) >>> 16).toInt
+              }
+            }
+          case "mdat" => mdatBytes += bodyLen
+          case _ => () // free/skip/uuid/vmhd/smhd/dinf/stts/…: skip
+        }
+        off += boxSize
+      }
+      true
+    }
+    if (!walk(0L, b.length.toLong, 0) || brand.isEmpty || timescale <= 0)
+      None
+    else Some(Mp4Meta(id, brand, nTracks,
+      duration * 1000L / timescale, width, height, videoCodec,
+      audioCodec, channels, sampleRate, mdatBytes))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A deterministic MP4 container from (id, nChars): ftyp + moov
+    * (mvhd v1 for every 6th id, else v0; one `avc1`/`hev1` video trak
+    * with full vmhd/dinf/stbl plumbing and one `mp4a` audio trak) +
+    * mdat (64-bit `largesize` form for every 3rd id). Every 2nd id
+    * carries a `free` box before moov, every 4th uses the
+    * moov-after-mdat (non-faststart) layout, every 5th a trailing
+    * `uuid` box — the structural variants a real crawl contains, so
+    * the box walk is exercised, not pattern-matched. */
+  def buildMp4Pattern(id: Long, nChars: Long): Array[Byte] = {
+    val durMs = 5000L + nChars % 120000L
+    val width = 160 + (id % 8).toInt * 16
+    val height = 96 + (id % 9).toInt * 16
+    val vCodec = if (id % 2 == 0) "avc1" else "hev1"
+    val sr = (id % 3) match {
+      case 0 => 44100; case 1 => 48000; case _ => 32000 }
+    val ch = 1 + (id % 2).toInt
+    val brand = if (id % 2 == 0) "isom" else "mp42"
+    val mdatLen = 50 + (nChars % 200).toInt
+
+    def box(fourcc: String, parts: Array[Byte]*): Array[Byte] = {
+      val len = 8 + parts.map(_.length).sum
+      val out = java.nio.ByteBuffer.allocate(len)
+      out.putInt(len)
+      out.put(fourcc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      parts.foreach(out.put)
+      out.array()
+    }
+    def bytes(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(n); f(buf); buf.array()
+    }
+    val unityMatrix = bytes(36) { m =>
+      m.putInt(0x10000).putInt(0).putInt(0)
+      m.putInt(0).putInt(0x10000).putInt(0)
+      m.putInt(0).putInt(0).putInt(0x40000000)
+    }
+    val ftyp = box("ftyp", bytes(16) { f =>
+      f.put(brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      f.putInt(0x200)
+      f.put("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      f.put("mp41".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    })
+    val mvhd =
+      if (id % 6 == 0) // version 1: 64-bit times
+        box("mvhd", bytes(112) { m =>
+          m.putInt(0x01000000) // version 1, flags 0
+          m.putLong(0L).putLong(0L) // creation, modification
+          m.putInt(1000) // movie timescale: ms
+          m.putLong(durMs)
+          m.putInt(0x10000).putShort(0x100.toShort).putShort(0)
+          m.putLong(0L) // reserved
+          m.put(unityMatrix)
+          m.put(new Array[Byte](24)) // predefined
+          m.putInt(3) // next track id
+        })
+      else
+        box("mvhd", bytes(100) { m =>
+          m.putInt(0) // version 0, flags 0
+          m.putInt(0).putInt(0)
+          m.putInt(1000)
+          m.putInt(durMs.toInt)
+          m.putInt(0x10000).putShort(0x100.toShort).putShort(0)
+          m.putLong(0L)
+          m.put(unityMatrix)
+          m.put(new Array[Byte](24))
+          m.putInt(3)
+        })
+    def tkhd(trackId: Int, volume: Int, w: Int, h: Int): Array[Byte] =
+      box("tkhd", bytes(84) { t =>
+        t.putInt(7) // version 0, flags: enabled | in-movie | in-preview
+        t.putInt(0).putInt(0)
+        t.putInt(trackId).putInt(0)
+        t.putInt(durMs.toInt) // track duration, movie timescale
+        t.putLong(0L)
+        t.putShort(0).putShort(0) // layer, alternate group
+        t.putShort(volume.toShort).putShort(0)
+        t.put(unityMatrix)
+        t.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+      })
+    def mdhd(ts: Long, dur: Long): Array[Byte] =
+      box("mdhd", bytes(24) { m =>
+        m.putInt(0)
+        m.putInt(0).putInt(0)
+        m.putInt(ts.toInt).putInt(dur.toInt)
+        m.putShort(0x55c4.toShort).putShort(0) // 'und', predefined
+      })
+    def hdlr(kind: String, name: String): Array[Byte] =
+      box("hdlr", bytes(24 + name.length + 1) { h =>
+        h.putInt(0)
+        h.putInt(0) // predefined
+        h.put(kind.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        h.put(new Array[Byte](12))
+        h.put(name.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        h.put(0.toByte)
+      })
+    val dinf = box("dinf", box("dref",
+      bytes(8)(d => d.putInt(0).putInt(1)),
+      bytes(12) { u => u.putInt(12)
+        u.put("url ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        u.putInt(1) } )) // self-contained flag
+    def emptyFull(fourcc: String, extraZeros: Int): Array[Byte] =
+      box(fourcc, new Array[Byte](8 + extraZeros))
+    val videoEntry = bytes(86) { e =>
+      e.putInt(86)
+      e.put(vCodec.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      e.put(new Array[Byte](6)).putShort(1) // reserved, dref index
+      e.put(new Array[Byte](16)) // predefined/reserved
+      e.putShort(width.toShort).putShort(height.toShort)
+      e.putInt(0x480000).putInt(0x480000) // 72 dpi
+      e.putInt(0)
+      e.putShort(1) // frame count
+      e.put(new Array[Byte](32)) // compressor name
+      e.putShort(24).putShort(0xffff.toShort) // depth, predefined -1
+    }
+    val audioEntry = bytes(36) { e =>
+      e.putInt(36)
+      e.put("mp4a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      e.put(new Array[Byte](6)).putShort(1)
+      e.putLong(0L) // version/revision/vendor
+      e.putShort(ch.toShort).putShort(16) // channels, sample size
+      e.putInt(0)
+      e.putInt(sr << 16) // 16.16 fixed (truncates for 44100: spec'd)
+    }
+    def stbl(entry: Array[Byte]): Array[Byte] =
+      box("stbl",
+        box("stsd", bytes(8)(s => s.putInt(0).putInt(1)), entry),
+        emptyFull("stts", 0), emptyFull("stsc", 0),
+        emptyFull("stsz", 4), emptyFull("stco", 0))
+    val vTrak = box("trak", tkhd(1, 0, width, height),
+      box("mdia", mdhd(90000L, durMs * 90L), hdlr("vide", "VideoHandler"),
+        box("minf", box("vmhd", bytes(12)(v => v.putInt(1))),
+          dinf, stbl(videoEntry))))
+    val aTrak = box("trak", tkhd(2, 0x100, 0, 0),
+      box("mdia", mdhd(sr.toLong, durMs * sr / 1000L),
+        hdlr("soun", "SoundHandler"),
+        box("minf", box("smhd", new Array[Byte](8)),
+          dinf, stbl(audioEntry))))
+    val moov = box("moov", mvhd, vTrak, aTrak)
+    val mdatPayload = Array.tabulate[Byte](mdatLen)(j =>
+      ((j * 31 + id) % 251).toByte)
+    val mdat =
+      if (id % 3 == 0) { // 64-bit largesize form
+        val out = java.nio.ByteBuffer.allocate(16 + mdatLen)
+        out.putInt(1)
+        out.put("mdat".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        out.putLong(16L + mdatLen)
+        out.put(mdatPayload)
+        out.array()
+      } else box("mdat", mdatPayload)
+    val free = if (id % 2 == 1)
+      Some(box("free", new Array[Byte]((id % 16).toInt))) else None
+    val uuid = if (id % 5 == 0)
+      Some(box("uuid", Array.tabulate[Byte](20)(j => (j + 1).toByte)))
+    else None
+    val parts =
+      if (id % 4 == 0) Seq(ftyp) ++ free ++ Seq(mdat, moov) ++ uuid
+      else Seq(ftyp) ++ free ++ Seq(moov, mdat) ++ uuid
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Fixture adapter for the CONTAINER-metadata gate: every document
+    * becomes a structurally-varied two-track MP4 whose every metadata
+    * field derives from (doc_id, n_chars) arithmetic, so the oracle
+    * re-derives what the box walk must recover from real bytes. */
+  def mp4FromDocuments(spark: SparkSession,
+                       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildMp4Pattern(id, nChars)) }
+  }
+
+  /** Per-partition batch box walk — payloads never shuffle. */
+  def extractMp4Meta(media: Dataset[(Long, Array[Byte])])
+      : Dataset[Mp4Meta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseMp4Meta(id, p) })
+  }
+
+  // ------------------------------------------- MP3 frame-header walk
+
+  /** Parsed MPEG-audio stream metadata from a frame-header walk — the
+    * fields an audio intake pipeline filters on before any sample
+    * decode. Sample PAYLOADS (Huffman-coded granules) stay behind the
+    * decoder seam; the header grammar and bitrate/samplerate tables
+    * are public (ISO/IEC 11172-3). */
+  final case class Mp3Meta(id: Long, hasId3: Boolean, bitrateKbps: Int,
+                           sampleRate: Int, channels: Int, nFrames: Int,
+                           audioBytes: Long, durationMs: Long)
+
+  /** MPEG1 Layer III bitrate table, kbps by 4-bit index (0 = free,
+    * 15 = bad — both rejected). */
+  private val Mp3Bitrates: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+      320, 0)
+
+  /** MPEG1 sample-rate table by 2-bit index (3 = reserved). */
+  private val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000, 0)
+
+  /** Walk a CBR MPEG1 Layer III stream: skip a leading ID3v2 tag
+    * (syncsafe 28-bit size), then advance frame by frame — sync word,
+    * version/layer bits, bitrate/samplerate table lookups, padding
+    * bit — `frameLen = 144·bitrate/sampleRate + padding` per the
+    * public formula. The walk stops at the first non-frame byte;
+    * zero valid frames parses None. Duration is the CBR closed form
+    * `nFrames · 1152 / sampleRate` (1152 samples per MPEG1 L3 frame).
+    */
+  def parseMp3Meta(id: Long, b: Array[Byte]): Option[Mp3Meta] = try {
+    var off = 0L
+    val hasId3 = b.length >= 10 && b(0) == 'I' && b(1) == 'D' &&
+      b(2) == '3'
+    if (hasId3) {
+      // syncsafe size: 4 × 7 bits, high bit of each byte must be 0
+      if ((b(6) | b(7) | b(8) | b(9)) < 0) return None
+      val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10L + tagSize
+    }
+    var nFrames = 0
+    var audioBytes = 0L
+    var bitrate = 0
+    var sampleRate = 0
+    var channels = 0
+    var cbr = true
+    var done = false
+    while (!done && off + 4 <= b.length) {
+      val i = off.toInt
+      val b1 = b(i + 1) & 0xff
+      val valid = (b(i) & 0xff) == 0xff &&
+        (b1 & 0xe0) == 0xe0 && // sync
+        ((b1 >> 3) & 3) == 3 && // MPEG1
+        ((b1 >> 1) & 3) == 1 // Layer III
+      if (!valid) done = true
+      else {
+        val b2 = b(i + 2) & 0xff
+        val brIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 3
+        val pad = (b2 >> 1) & 1
+        val br = Mp3Bitrates(brIdx)
+        val sr = Mp3SampleRates(srIdx)
+        if (br == 0 || sr == 0) done = true
+        else {
+          val mode = ((b(i + 3) & 0xff) >> 6) & 3
+          val frameLen = 144 * br * 1000 / sr + pad
+          if (nFrames == 0) {
+            bitrate = br; sampleRate = sr
+            channels = if (mode == 3) 1 else 2
+          } else if (br != bitrate) cbr = false
+          nFrames += 1
+          audioBytes += frameLen
+          off += frameLen
+        }
+      }
+    }
+    if (nFrames == 0 || !cbr) None
+    else Some(Mp3Meta(id, hasId3, bitrate, sampleRate, channels, nFrames,
+      audioBytes, nFrames * 1152000L / sampleRate))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A deterministic CBR MPEG1 Layer III stream from (id, nChars):
+    * bitrate 128/160/192 kbps by id mod 3, sample rate by (id/3) mod
+    * 3, mono for odd ids, the padding bit alternating per frame as
+    * `(id + frame) mod 2` (so frame SIZES vary and the walk must read
+    * every header, not stride), an ID3v2 tag of id-dependent size for
+    * every 3rd id. Frame payloads are deterministic filler — the
+    * entropy-coded granules stay behind the decoder seam. */
+  def buildMp3Pattern(id: Long, nChars: Long): Array[Byte] = {
+    val brIdx = 9 + (id % 3).toInt // 128, 160, 192 kbps
+    val srIdx = ((id / 3) % 3).toInt
+    val br = Mp3Bitrates(brIdx)
+    val sr = Mp3SampleRates(srIdx)
+    val mode = if (id % 2 == 1) 3 else 0 // mono / stereo
+    val nFrames = 20 + (nChars % 60).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    if (id % 3 == 0) {
+      val tagSize = 20 + (id % 101).toInt
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0) // v2.3, flags 0
+      out.write((tagSize >> 21) & 0x7f); out.write((tagSize >> 14) & 0x7f)
+      out.write((tagSize >> 7) & 0x7f); out.write(tagSize & 0x7f)
+      (0 until tagSize).foreach(j => out.write((j * 17 + 3) % 251))
+    }
+    var i = 0
+    while (i < nFrames) {
+      val pad = ((id + i) % 2).toInt
+      val frameLen = 144 * br * 1000 / sr + pad
+      out.write(0xff); out.write(0xfb) // sync, MPEG1, L3, no CRC
+      out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
+      out.write((mode << 6) | 0x04) // original bit set
+      var j = 4
+      while (j < frameLen) {
+        out.write(((i * 7 + j * 31 + id) % 251).toInt)
+        j += 1
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Fixture adapter for the MP3-metadata gate: every document becomes
+    * a CBR MPEG1 L3 stream whose header fields derive from (doc_id,
+    * n_chars) arithmetic, so the oracle re-derives what the frame walk
+    * must recover — frame count, byte total (padding included),
+    * CBR duration — from real frame headers. */
+  def mp3FromDocuments(spark: SparkSession,
+                       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildMp3Pattern(id, nChars)) }
+  }
+
+  /** Per-partition batch frame walk — payloads never shuffle. */
+  def extractMp3Meta(media: Dataset[(Long, Array[Byte])])
+      : Dataset[Mp3Meta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseMp3Meta(id, p) })
+  }
+
   /** The real header decoder behind the [[Multimodal.MediaDecoder]]-
     * shaped seam: BMP and WAV parse for real; anything else (or a
     * corrupt payload) yields an invalid row. */

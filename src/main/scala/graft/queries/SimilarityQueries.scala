@@ -831,6 +831,55 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL MP4/ISO-BMFF container walk under the gate — the metadata a
+    // video intake pipeline filters on BEFORE any frame decode (ISO/IEC
+    // 14496-12 box grammar, pure-JVM arithmetic): every doc becomes a
+    // structurally-varied two-track MP4 (v0/v1 mvhd, 32/64-bit mdat
+    // sizes, free/uuid boxes, moov-before/after-mdat layouts) and the
+    // walk must recover brand, track count, tkhd/stsd dimensions, mvhd
+    // duration, codec fourccs, mp4a channels + 16.16 sample rate, and
+    // mdat payload bytes from real bytes. The oracle re-derives every
+    // field from the fixture's (doc_id, n_chars) arithmetic — a walk
+    // bug on ANY structural variant diverges the hash. Frame pixels
+    // (H.264 entropy decode) stay behind the decoder seam.
+    "mm_mp4_meta" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.mp4FromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractMp4Meta(media).toDF()
+        .select(col("id").as("doc_id"), col("brand"),
+          col("nTracks").as("n_tracks"),
+          col("durationMs").as("duration_ms"),
+          col("width"), col("height"),
+          col("videoCodec").as("video_codec"),
+          col("audioCodec").as("audio_codec"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("mdatBytes").as("mdat_bytes"))
+        .orderBy("doc_id")
+    },
+
+    // REAL MPEG-audio frame-header walk under the gate — the audio
+    // twin of mm_mp4_meta (ISO/IEC 11172-3 header grammar + public
+    // bitrate/samplerate tables): every doc becomes a CBR MPEG1
+    // Layer III stream with per-frame padding (frame sizes VARY — the
+    // walk must read every header, not stride), an ID3v2 tag to skip
+    // for every 3rd id, and the walk recovers bitrate, sample rate,
+    // channel mode, frame count, exact byte total, and the CBR
+    // duration. The oracle mirrors the frame-length formula
+    // 144·bitrate/rate + padding and the padding-count arithmetic in
+    // SQL. Huffman-coded granules stay behind the decoder seam.
+    "mm_mp3_meta" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.mp3FromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractMp3Meta(media).toDF()
+        .select(col("id").as("doc_id"), col("hasId3").as("has_id3"),
+          col("bitrateKbps").as("bitrate_kbps"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("nFrames").as("n_frames"),
+          col("audioBytes").as("audio_bytes"),
+          col("durationMs").as("duration_ms"))
+        .orderBy("doc_id")
+    },
+
     // REAL PCM16 sample decode under the gate — the audio twin of
     // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
     // little-endian int16 frames spanning negative values, LIST chunks
@@ -1874,6 +1923,53 @@ object SimilarityQueries {
         |    AS DOUBLE) / MAX(d.ch), 6) AS first_frame_mean
         |FROM chain JOIN dim d USING (id)
         |GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    // Re-derives every MP4 box field from the fixture generator's
+    // (doc_id, n_chars) arithmetic: brand/codec by id parity, tkhd
+    // dims by id mod 8/9, mvhd ms duration, mp4a rate by id mod 3,
+    // mdat payload length. The Spark side must recover the same
+    // values from REAL box bytes across all structural variants.
+    "mm_mp4_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(2 AS INT) AS n_tracks,
+        |  CAST(5000 + (CAST(n_chars AS BIGINT) % 120000) AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
+        |  CAST(96 + (doc_id % 9) * 16 AS INT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END
+        |    AS video_codec,
+        |  'mp4a' AS audio_codec,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |    ELSE 32000 END AS INT) AS sample_rate,
+        |  CAST(50 + (CAST(n_chars AS BIGINT) % 200) AS BIGINT)
+        |    AS mdat_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the MPEG1 L3 frame-length formula 144·br/sr + padding:
+    // byte total = nFrames·⌊144·br/sr⌋ + nPadded, with the padding
+    // bit (id + frame) mod 2 giving nPadded = (nFrames + id%2) // 2;
+    // CBR duration = ⌊nFrames·1152000/sr⌋ ms.
+    "mm_mp3_meta" ->
+      """WITH p AS (SELECT doc_id,
+        |    doc_id % 3 = 0 AS has_id3,
+        |    CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 160
+        |      ELSE 192 END AS br,
+        |    CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      ELSE 32000 END AS sr,
+        |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS ch,
+        |    20 + (CAST(n_chars AS BIGINT) % 60) AS nf
+        |  FROM documents)
+        |SELECT doc_id, has_id3,
+        |  CAST(br AS INT) AS bitrate_kbps,
+        |  CAST(sr AS INT) AS sample_rate,
+        |  CAST(ch AS INT) AS channels,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST(nf * ((144 * br * 1000) // sr)
+        |    + (nf + doc_id % 2) // 2 AS BIGINT) AS audio_bytes,
+        |  CAST((nf * 1152000) // sr AS BIGINT) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // Same derived samples as mm_wav_energy; crossings via a
     // per-channel LAG with the identical strict prev·cur < 0 rule.

@@ -119,15 +119,32 @@ object EnvelopeIngest {
     * per-table ordering contract) and by arrival order otherwise, then
     * fed through the one admission/seq path. The persisted cursor is
     * the max offset per partition (JSON) for Kafka frames, else the
-    * envelopes' own `source.file:pos`. The batch collects to the
-    * producer (seq assignment is a total order — the same single-writer
-    * shape as the reference's one binlog reader); bound batch size with
-    * `maxOffsetsPerTrigger`. */
-  def streamSink(producer: SpoolProducer, column: String = "value")
+    * envelopes' own `source.file:pos`.
+    *
+    * Seq assignment is a total order — the same single-writer shape as
+    * the reference's one binlog reader — but the batch does NOT
+    * materialize on the driver in one piece: rows stream through
+    * `toLocalIterator` in slices of `maxLinesPerSlice`, each slice
+    * going through [[EnvelopeIngest.ingest]] with the running
+    * max-offset-per-partition cursor (a valid resume point at every
+    * slice boundary, because the global (partition, offset) sort means
+    * everything not yet ingested is past the running cursor). Driver
+    * memory is bounded by one sort partition plus one slice regardless
+    * of micro-batch size, so a from-`earliest` restart on a fat topic
+    * cannot materialize the whole topic — the cap is enforced in the
+    * seam, not left to the caller's `maxOffsetsPerTrigger` (which
+    * remains the knob for bounding executor-side batch work). A crash
+    * mid-batch re-delivers the micro-batch and re-appends the prefix
+    * with the same at-least-once semantics the spool already has. */
+  def streamSink(producer: SpoolProducer, column: String = "value",
+                 maxLinesPerSlice: Int = 65536)
       : (DataFrame, Long) => Unit = {
+    require(maxLinesPerSlice > 0,
+      s"maxLinesPerSlice should be positive, got $maxLinesPerSlice")
     val ingest = new EnvelopeIngest(producer)
     (df: DataFrame, _: Long) => {
       import org.apache.spark.sql.functions.col
+      import scala.jdk.CollectionConverters._
       val cols = df.columns.toSet
       val kafkaShaped = cols.contains("partition") && cols.contains("offset")
       val ordered =
@@ -137,18 +154,24 @@ object EnvelopeIngest {
               col("offset").cast("long").as("o"))
             .sort(col("p"), col("o"))
         else df.select(col(column).cast("string").as("line"))
-      val rows = ordered.collect()
-      if (rows.nonEmpty) {
-        val cursor =
-          if (kafkaShaped) {
-            val maxByPart = rows.groupBy(_.getInt(1))
-              .map { case (p, rs) => p -> rs.map(_.getLong(2)).max }
-            Some(maxByPart.toSeq.sortBy(_._1)
-              .map { case (p, o) => s""""$p":${o + 1}""" }
-              .mkString("{", ",", "}"))
-          } else None
-        ingest.ingest(rows.map(_.getString(0)).toSeq, cursor)
-      }
+      // running max offset per partition across slices; sorted so the
+      // rendered cursor JSON is deterministic
+      val maxByPart = scala.collection.mutable.SortedMap.empty[Int, Long]
+      ordered.toLocalIterator().asScala.grouped(maxLinesPerSlice)
+        .foreach { slice =>
+          val cursor =
+            if (kafkaShaped) {
+              slice.foreach { r =>
+                val p = r.getInt(1)
+                val o = r.getLong(2)
+                maxByPart.update(p, maxByPart.get(p).fold(o)(math.max(_, o)))
+              }
+              Some(maxByPart.iterator
+                .map { case (p, o) => s""""$p":${o + 1}""" }
+                .mkString("{", ",", "}"))
+            } else None
+          ingest.ingest(slice.map(_.getString(0)), cursor)
+        }
     }
   }
 }

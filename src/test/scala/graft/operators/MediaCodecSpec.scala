@@ -1203,4 +1203,113 @@ class MediaCodecSpec extends SparkSpec {
     val bigShift = GrayImage(320, 320, big.map(_ + 99))
     assert(phashGray(bigShift) === phashGray(small))
   }
+
+  test("mp4: box walk recovers every field across structural variants") {
+    // ids 0..29 cover the full variant cross product: v0/v1 mvhd
+    // (id%6), 32/64-bit mdat (id%3), free box (id%2), moov-after-mdat
+    // (id%4), trailing uuid (id%5), both codecs, all three rates
+    for (id <- 0L until 30L; nChars <- Seq(0L, 137L, 119999L)) {
+      val meta = parseMp4Meta(id, buildMp4Pattern(id, nChars))
+        .getOrElse(fail(s"id=$id nChars=$nChars parsed None"))
+      assert(meta.brand === (if (id % 2 == 0) "isom" else "mp42"))
+      assert(meta.nTracks === 2)
+      assert(meta.durationMs === 5000L + nChars % 120000L)
+      assert(meta.width === 160 + (id % 8).toInt * 16)
+      assert(meta.height === 96 + (id % 9).toInt * 16)
+      assert(meta.videoCodec === (if (id % 2 == 0) "avc1" else "hev1"))
+      assert(meta.audioCodec === "mp4a")
+      assert(meta.channels === 1 + (id % 2).toInt)
+      assert(meta.sampleRate === ((id % 3) match {
+        case 0 => 44100; case 1 => 48000; case _ => 32000 }))
+      assert(meta.mdatBytes === 50L + nChars % 200L)
+    }
+  }
+
+  test("mp4: corrupt payloads parse None, never hang or throw") {
+    val good = buildMp4Pattern(7L, 1000L)
+    assert(parseMp4Meta(1L, Array.empty[Byte]).isEmpty)
+    assert(parseMp4Meta(1L, good.take(20)).isEmpty) // truncated moov
+    assert(parseMp4Meta(1L, "not an mp4 at all, sorry".getBytes("UTF-8"))
+      .isEmpty)
+    // a box size smaller than its header (3 — would re-read the same
+    // offset forever) and a size pointing past EOF must both abort the
+    // walk: corrupt payloads are data, never a hung task
+    for (badSize <- Seq(3, 0x7fffffff)) {
+      val bad = {
+        val bb = java.nio.ByteBuffer.allocate(16 + 12)
+        bb.putInt(16)
+        bb.put("ftyp".getBytes("US-ASCII"))
+        bb.put("isom".getBytes("US-ASCII"))
+        bb.putInt(0)
+        bb.putInt(badSize)
+        bb.put("mdat".getBytes("US-ASCII"))
+        bb.putInt(0)
+        bb.array()
+      }
+      assert(parseMp4Meta(1L, bad).isEmpty, s"size $badSize not rejected")
+    }
+    // a depth bomb: 12 nested moov boxes — the walk refuses past 8
+    val bomb = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0, 0, 0, 16))
+      out.write("ftyp".getBytes("US-ASCII"))
+      out.write("isom".getBytes("US-ASCII"))
+      out.write(new Array[Byte](4))
+      val inner = (0 until 12).foldLeft(Array.empty[Byte]) { (acc, _) =>
+        val b = java.nio.ByteBuffer.allocate(8 + acc.length)
+        b.putInt(8 + acc.length)
+        b.put("moov".getBytes("US-ASCII"))
+        b.put(acc)
+        b.array()
+      }
+      out.write(inner)
+      out.toByteArray
+    }
+    assert(parseMp4Meta(1L, bomb).isEmpty)
+  }
+
+  test("mp3: frame walk recovers rate/bitrate/frames/bytes/duration") {
+    for (id <- 0L until 12L; nChars <- Seq(0L, 59L, 1237L)) {
+      val meta = parseMp3Meta(id, buildMp3Pattern(id, nChars))
+        .getOrElse(fail(s"id=$id nChars=$nChars parsed None"))
+      val br = Seq(128, 160, 192)((id % 3).toInt)
+      val sr = Seq(44100, 48000, 32000)(((id / 3) % 3).toInt)
+      val nf = 20 + (nChars % 60).toInt
+      assert(meta.hasId3 === (id % 3 == 0))
+      assert(meta.bitrateKbps === br)
+      assert(meta.sampleRate === sr)
+      assert(meta.channels === (if (id % 2 == 1) 1 else 2))
+      assert(meta.nFrames === nf)
+      // byte total = nf·⌊144·br/sr⌋ + padded frame count, the padding
+      // bit being (id + i) mod 2 over frames i ∈ [0, nf)
+      val nPad = (nf + (id % 2).toInt) / 2
+      assert(meta.audioBytes === nf.toLong * (144 * br * 1000 / sr) + nPad)
+      assert(meta.durationMs === nf * 1152000L / sr)
+    }
+  }
+
+  test("mp3: ID3 skip, VBR rejection, trailing garbage tolerated") {
+    // the walk stops at the first non-frame byte but keeps the frames
+    // it walked — a truncated tail is data, not a parse failure
+    val clean = buildMp3Pattern(1L, 10L) // no ID3 (id%3 != 0)
+    val garbage = clean ++ "xxxx trailing junk".getBytes("UTF-8")
+    assert(parseMp3Meta(1L, garbage).map(_.nFrames) ===
+      parseMp3Meta(1L, clean).map(_.nFrames))
+    // a VBR stream (second frame at a different bitrate) is rejected —
+    // the CBR duration formula would be a lie
+    val vbr = {
+      val a = buildMp3Pattern(1L, 10L)
+      // id=1 → 160 kbps, 44100 Hz, padding bit set on frame 0
+      val firstLen = 144 * 160 * 1000 / 44100 + 1
+      a(firstLen + 2) = ((12 << 4) | (1 << 2)).toByte // frame 1 → 224 kbps
+      a
+    }
+    assert(parseMp3Meta(1L, vbr).isEmpty)
+    // ID3v2 with a size byte's high bit set is malformed syncsafe
+    val badId3 = buildMp3Pattern(0L, 10L)
+    badId3(6) = 0x80.toByte
+    assert(parseMp3Meta(0L, badId3).isEmpty)
+    assert(parseMp3Meta(1L, Array.empty[Byte]).isEmpty)
+    assert(parseMp3Meta(1L, Array[Byte](0xff.toByte, 0xfb.toByte)).isEmpty)
+  }
 }

@@ -421,6 +421,69 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("frameNearDupVideos: hot-bucket cap drops degenerate frame " +
+      "buckets, keeps planted pairs") {
+    // the video twin of the hammingNearDups cap spec: 3000 videos of
+    // 2 frames whose hashes all share low byte 0, so the (frameIdx,
+    // band 0, value 0) bucket at EVERY frame index holds 3000 members
+    // — an uncapped join would build C(3000,2)·2 ≈ 9M candidates per
+    // degenerate bucket. With maxBucket = 64 those buckets drop, the
+    // join stays linear in the cold buckets, and recall is preserved
+    // for every pair agreeing on at least one cold band at some frame.
+    val rnd = new scala.util.Random(20260815L)
+    val base = (0 until 3000).map { i =>
+      i.toLong -> Array(rnd.nextLong() << 8, rnd.nextLong() << 8)
+    }
+    // planted twins flip 1..3 bits PER FRAME inside bands 2..7 only:
+    // each frame still agrees with its base frame on band 1 — a cold
+    // ~3000/256-member bucket — and mean distance stays ≤ 3 ≤ 7
+    val planted = base.take(8).map { case (id, hs) =>
+      val twin = hs.map { h =>
+        val flips = 1 + rnd.nextInt(3)
+        (0 until flips).foldLeft(h)((acc, _) =>
+          acc ^ (1L << (16 + rnd.nextInt(48))))
+      }
+      (id + 100000L, id, hs, twin)
+    }
+    // sacrificial pair: each frame flips exactly one bit in EACH of
+    // bands 1..7 → mean distance 7, inside maxAvgDist = 7, but every
+    // frame's only agreeing band is the hot band 0 — the capped join
+    // must miss it, direct evidence the degenerate buckets dropped
+    val sacA = Array(rnd.nextLong() << 8, rnd.nextLong() << 8)
+    val sacB = sacA.map(h => (1 to 7).foldLeft(h)((acc, b) =>
+      acc ^ (1L << (8 * b))))
+    assert(sacA.zip(sacB).forall { case (a, c) =>
+      java.lang.Long.bitCount(a ^ c) == 7 })
+    def frameRows(vids: Seq[(Long, Array[Long])]) =
+      vids.flatMap { case (id, hs) =>
+        hs.zipWithIndex.map { case (h, f) => (id, f, h) } }
+        .toDF("vid", "f", "h")
+    val all = base ++ planted.map(p => p._1 -> p._4) ++
+      Seq(900000L -> sacA, 900001L -> sacB)
+    val out = Dedup.frameNearDupVideos(frameRows(all), "vid", "f", "h",
+        nBits = 64, bands = 8, maxAvgDist = 7, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getLong(3))).toList
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    planted.foreach { case (tid, bid, hs, twin) =>
+      assert(pairs.contains((bid, tid)), s"planted pair ($bid, $tid) lost")
+      val want = hs.zip(twin)
+        .map { case (a, c) => java.lang.Long.bitCount(a ^ c).toLong }.sum
+      val row = out.find(p => p._1 == bid && p._2 == tid).get
+      assert(row._3 === 2, "frame count")
+      assert(row._4 === want, "total distance")
+    }
+    assert(!pairs.contains((900000L, 900001L)),
+      "hot-bucket-only pair survived — degenerate buckets not dropped")
+    // control: the same sacrificial pair in a small corpus stays under
+    // the default cap and IS found — the miss above is the cap working
+    val small = base.take(50) ++ Seq(900000L -> sacA, 900001L -> sacB)
+    val ctrl = Dedup.frameNearDupVideos(frameRows(small), "vid", "f",
+        "h", nBits = 64, bands = 8, maxAvgDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ctrl.contains((900000L, 900001L)))
+  }
+
   test("ahash twins: perturbed classes sit a few bits from their base") {
     import graft.operators.MediaCodec
     val hashes = (0L until 37L).map { s =>

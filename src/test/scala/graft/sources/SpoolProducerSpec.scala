@@ -678,4 +678,163 @@ class SpoolProducerSpec extends SparkSpec {
           producerB.sourcePos)
     }
   }
+
+  // shared by the seam tests below
+  private def goldenMysqlText: String = {
+    val res = getClass.getResourceAsStream(
+      "/debezium/golden-mysql-connector.jsonl")
+    assert(res != null, "golden-mysql-connector.jsonl resource missing")
+    val bytes = try res.readAllBytes() finally res.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def spoolDataFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .sortBy(_.getName).toSeq
+
+  private def spoolLines(dir: String): Seq[String] =
+    spoolDataFiles(dir).flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+
+  private def seamCfg(spool: String): GraftConfig = GraftConfig.fromYaml(
+    s"""databases: 'inventory'
+       |binlog_replicator:
+       |  data_dir: '$spool'
+       |""".stripMargin, Map.empty)
+
+  test("transport seam: an oversized micro-batch streams through in " +
+      "bounded slices") {
+    // the batch cap lives IN the seam, not in the caller's
+    // maxOffsetsPerTrigger: one fat micro-batch (the from-`earliest`
+    // restart shape the scaladoc warns about) must flow through
+    // ingest() in maxLinesPerSlice chunks — several producer appends,
+    // bounded driver residency — and still land the identical spool
+    // lines and final cursor as the tailer over the same bytes
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val text = goldenMysqlText
+    // path A: the dump-file tailer, one append for the whole corpus
+    val dumpA = tmpDir("slice-dump")
+    val spoolA = tmpDir("slice-spool-a")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dumpA, "c.jsonl"),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val producerA = new SpoolProducer(spoolA, seamCfg(spoolA))
+    assert(new DebeziumTail(dumpA, producerA).tick() > 0)
+    // path B: the same complete-line prefix as ONE micro-batch, sliced
+    // at 5 lines — 16 corpus lines → at least 4 ingest turns
+    val spoolB = tmpDir("slice-spool-b")
+    val producerB = new SpoolProducer(spoolB, seamCfg(spoolB))
+    val lastNl = text.lastIndexOf('\n')
+    val lines = text.substring(0, lastNl + 1).split("\n", -1).toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData(lines: _*) // one addData call = one micro-batch
+    val q = ms.toDF().writeStream
+      .foreachBatch(
+        EnvelopeIngest.streamSink(producerB, maxLinesPerSlice = 5))
+      .option("checkpointLocation", tmpDir("slice-ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spoolLines(spoolB) === spoolLines(spoolA),
+      "sliced ingest diverged from the tailer's spool")
+    // slicing really happened: each slice is its own append → its own
+    // rotation file, where the tailer's single append wrote one file
+    assert(spoolDataFiles(spoolB).size > spoolDataFiles(spoolA).size,
+      s"expected >${spoolDataFiles(spoolA).size} spool files from " +
+        s"sliced appends, got ${spoolDataFiles(spoolB).size}")
+    // the cursor converges to the LAST envelope's file:pos (the tailer
+    // persists its own byte-offset cursor instead — transport-specific
+    // by design, the spool lines are the shared contract)
+    assert(producerB.sourcePos === Some("mysql-bin.000003:1337"))
+  }
+
+  test("transport seam: Kafka-shaped multi-partition frames restore " +
+      "(partition, offset) order and persist the offset cursor") {
+    // Kafka orders only WITHIN a partition, and a foreachBatch frame
+    // carries rows in arbitrary order: deliver a two-partition frame
+    // fully shuffled; the seam must (a) restore the global (partition,
+    // offset) order, (b) persist the max-offset+1-per-partition cursor
+    // JSON, (c) land the identical spool as the tailer over the same
+    // corpus. Offsets start at distinct non-zero bases per partition to
+    // prove the cursor reads REAL offsets, not row positions.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val text = goldenMysqlText
+    val dumpA = tmpDir("kafka-dump")
+    val spoolA = tmpDir("kafka-spool-a")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dumpA, "c.jsonl"),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val producerA = new SpoolProducer(spoolA, seamCfg(spoolA))
+    assert(new DebeziumTail(dumpA, producerA).tick() > 0)
+    // Kafka records are discrete — no trailing empty line. Partition 0
+    // carries the first half (offsets from 1000), partition 1 the rest
+    // (offsets from 500): sorted by (partition, offset) this is the
+    // original corpus order, so the spool must match the tailer's.
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val half = lines.size / 2
+    val records = lines.zipWithIndex.map { case (l, i) =>
+      if (i < half) (l, 0, 1000L + i) else (l, 1, 500L + (i - half))
+    }
+    val arrival = new scala.util.Random(42).shuffle(records)
+    assert(arrival != records, "shuffle should perturb arrival order")
+    val spoolB = tmpDir("kafka-spool-b")
+    val producerB = new SpoolProducer(spoolB, seamCfg(spoolB))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(String, Int, Long)]
+    ms.addData(arrival: _*)
+    val q = ms.toDF().toDF("value", "partition", "offset").writeStream
+      .foreachBatch(EnvelopeIngest.streamSink(producerB))
+      .option("checkpointLocation", tmpDir("kafka-ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spoolLines(spoolB) === spoolLines(spoolA),
+      "Kafka-shaped frame diverged from the tailer's spool")
+    // the persisted cursor is max offset + 1 per partition, JSON keyed
+    // by partition in ascending order — the seek coordinates a resumed
+    // consumer assigns per TopicPartition
+    val wantCursor = s"""{"0":${1000 + half},"1":${500 + lines.size - half}}"""
+    assert(producerB.sourcePos === Some(wantCursor))
+  }
+
+  test("transport seam: Kafka-shaped slicing persists a safe cursor at " +
+      "every slice boundary") {
+    // with slices smaller than the frame, each ingest turn persists the
+    // RUNNING max-offset cursor: valid resume points mid-batch (the
+    // global sort means everything not yet ingested is past the running
+    // cursor), converging to the full-batch cursor — and the spool is
+    // still byte-identical to the unsliced run
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val text = goldenMysqlText
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val half = lines.size / 2
+    val records = lines.zipWithIndex.map { case (l, i) =>
+      if (i < half) (l, 0, 1000L + i) else (l, 1, 500L + (i - half))
+    }
+    val arrival = new scala.util.Random(7).shuffle(records)
+    def runWith(slice: Int, tag: String): (Seq[String], Option[String]) = {
+      val spool = tmpDir(s"kslice-spool-$tag")
+      val producer = new SpoolProducer(spool, seamCfg(spool))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[(String, Int, Long)]
+      ms.addData(arrival: _*)
+      val q = ms.toDF().toDF("value", "partition", "offset").writeStream
+        .foreachBatch(
+          EnvelopeIngest.streamSink(producer, maxLinesPerSlice = slice))
+        .option("checkpointLocation", tmpDir(s"kslice-ckpt-$tag"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      (spoolLines(spool), producer.sourcePos)
+    }
+    val (wholeLines, wholeCursor) = runWith(Int.MaxValue, "whole")
+    val (slicedLines, slicedCursor) = runWith(3, "sliced")
+    assert(slicedLines === wholeLines)
+    assert(slicedCursor === wholeCursor)
+    assert(wholeCursor ===
+      Some(s"""{"0":${1000 + half},"1":${500 + lines.size - half}}"""))
+  }
 }
