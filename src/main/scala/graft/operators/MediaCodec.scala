@@ -1154,30 +1154,43 @@ object MediaCodec {
     val sr = Mp3SampleRates(srIdx)
     val mode = if (id % 2 == 1) 3 else 0 // mono / stereo
     val nFrames = 20 + (nChars % 60).toInt
-    val out = new java.io.ByteArrayOutputStream()
-    if (id % 3 == 0) {
-      val tagSize = 20 + (id % 101).toInt
-      out.write('I'); out.write('D'); out.write('3')
-      out.write(3); out.write(0); out.write(0) // v2.3, flags 0
-      out.write((tagSize >> 21) & 0x7f); out.write((tagSize >> 14) & 0x7f)
-      out.write((tagSize >> 7) & 0x7f); out.write(tagSize & 0x7f)
-      (0 until tagSize).foreach(j => out.write((j * 17 + 3) % 251))
-    }
+    // exact-size fill (~40 KB/doc): per-byte stream writes here were the
+    // bottleneck of the whole mm_mp3_meta query at sf0.1
+    val baseLen = 144 * br * 1000 / sr
+    val tagSize = if (id % 3 == 0) 20 + (id % 101).toInt else 0
+    val tagLen = if (tagSize > 0) 10 + tagSize else 0
+    var padded = 0
     var i = 0
+    while (i < nFrames) { padded += ((id + i) % 2).toInt; i += 1 }
+    val out = new Array[Byte](tagLen + nFrames * baseLen + padded)
+    var o = 0
+    if (tagSize > 0) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'
+      out(3) = 3; out(4) = 0; out(5) = 0 // v2.3, flags 0
+      out(6) = ((tagSize >> 21) & 0x7f).toByte
+      out(7) = ((tagSize >> 14) & 0x7f).toByte
+      out(8) = ((tagSize >> 7) & 0x7f).toByte
+      out(9) = (tagSize & 0x7f).toByte
+      var j = 0
+      while (j < tagSize) { out(10 + j) = ((j * 17 + 3) % 251).toByte; j += 1 }
+      o = tagLen
+    }
+    i = 0
     while (i < nFrames) {
       val pad = ((id + i) % 2).toInt
-      val frameLen = 144 * br * 1000 / sr + pad
-      out.write(0xff); out.write(0xfb) // sync, MPEG1, L3, no CRC
-      out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
-      out.write((mode << 6) | 0x04) // original bit set
+      val frameLen = baseLen + pad
+      out(o) = 0xff.toByte; out(o + 1) = 0xfb.toByte // sync, MPEG1, L3, no CRC
+      out(o + 2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      out(o + 3) = ((mode << 6) | 0x04).toByte // original bit set
       var j = 4
       while (j < frameLen) {
-        out.write(((i * 7 + j * 31 + id) % 251).toInt)
+        out(o + j) = ((i * 7 + j * 31 + id) % 251).toByte
         j += 1
       }
+      o += frameLen
       i += 1
     }
-    out.toByteArray
+    out
   }
 
   /** Fixture adapter for the MP3-metadata gate: every document becomes

@@ -44,10 +44,21 @@ object CdcQueries {
     * (BASELINE.md) is a first-class per-round bench number instead of
     * being buried inside one query's wall-clock. */
   final case class E2eStats(events: Long, fixtureSec: Double,
-                            pipelineSec: Double) {
+                            pipelineSec: Double, fixtureGcMs: Long = 0L,
+                            pipelineGcMs: Long = 0L) {
     def eventsPerSec: Double = if (pipelineSec > 0) events / pipelineSec else 0
   }
   @volatile var lastE2eStats: Option[E2eStats] = None
+
+  /** Total JVM GC time so far, ms — phase-attribution probe for the e2e
+    * stats (the sf10 spot showed 57% of cdc_e2e_replicate's wall in GC
+    * with no split between fixture synthesis and pipeline work). */
+  private def gcNowMs(): Long = {
+    var s = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach { b => val t = b.getCollectionTime; if (t > 0) s += t }
+    s
+  }
 
   val defs: Map[String, QueryFn] = Map(
     // A4: FINAL view — latest row per PK.
@@ -155,14 +166,17 @@ object CdcQueries {
       // materialize the fixture into cache FIRST, so the timed pipeline
       // pass measures replication work, not fixture synthesis
       val tFix0 = System.nanoTime()
+      val gcFix0 = gcNowMs()
       val batch = inserts.unionByName(updates).unionByName(deletes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nEvents = batch.count()
       val fixtureSec = (System.nanoTime() - tFix0) / 1e9
+      val gcFix = gcNowMs() - gcFix0
       val tPipe0 = System.nanoTime()
+      val gcPipe0 = gcNowMs()
       pipeline.processBatch(batch, batchId = 0)
       lastE2eStats = Some(E2eStats(nEvents, fixtureSec,
-        (System.nanoTime() - tPipe0) / 1e9))
+        (System.nanoTime() - tPipe0) / 1e9, gcFix, gcNowMs() - gcPipe0))
       pipeline.table("items").read.orderBy("pk")
     },
 

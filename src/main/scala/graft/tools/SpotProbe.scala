@@ -1,0 +1,148 @@
+package graft.tools
+
+/** sf10 spot probe, regime-split (VERDICT r10 task 4).
+  *
+  * The r10 sf10 spot ran each query twice and published one median —
+  * which for `t_dedup_sweep` averaged a 22.4 s cold run and a 0.56 s
+  * memoized run: two different execution regimes, not a distribution.
+  * This probe reports the regimes as SEPARATE rows:
+  *
+  *  - cold: full session sweep (cache + fit memo + temp views + GC)
+  *    before EVERY timed run — the "first query of a session" regime;
+  *  - warm: state retained between runs — the production regime where
+  *    shared fits (the dedup MinHash relation, IVF models) are
+  *    ingest-time artifacts computed once.
+  *
+  * Each run also records its own GC delta (ms), and for
+  * `cdc_e2e_replicate` the phase-resolved stats (fixture vs pipeline
+  * wall AND GC) land per-run — the attribution the r10 verdict asked
+  * for on the 57%-GC sf10 flagship run. The JVM config (heap, collector)
+  * is embedded so A/B artifacts are self-describing.
+  *
+  * One untimed pass per query at sf0.001 (when available) absorbs
+  * codegen/JIT, so "cold" means cold CACHES, not a cold JIT — the same
+  * steady-state contract Bench applies.
+  *
+  * Usage: runMain graft.tools.SpotProbe <sfDir> <outJson> \
+  *          [name:coldRuns:warmRuns,...]
+  */
+object SpotProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outJson = args(1)
+    val plan: Seq[(String, Int, Int)] =
+      (if (args.length > 2) args(2)
+       else "cdc_e2e_replicate:3:0,d_cluster_sizes:3:0,t_dedup_sweep:3:3")
+        .split(",").toSeq.map { s =>
+          val p = s.split(":"); (p(0), p(1).toInt, p(2).toInt)
+        }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.local(cpus)
+
+    def gcMs(): Long = {
+      var s = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach { b => val t = b.getCollectionTime; if (t > 0) s += t }
+      s
+    }
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      graft.queries.clearFitMemo()
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      System.gc()
+    }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    def med(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+    // per-run record: (sec, gcMs, e2e phase stats if the query filled them)
+    final case class Run(sec: Double, gc: Long,
+                         e2e: Option[graft.queries.CdcQueries.E2eStats])
+    def timedRun(fn: () => Unit): Run = {
+      graft.queries.CdcQueries.lastE2eStats = None
+      val g0 = gcMs(); val t0 = System.nanoTime()
+      fn()
+      val r = Run((System.nanoTime() - t0) / 1e9, gcMs() - g0,
+        graft.queries.CdcQueries.lastE2eStats)
+      // untimed: memory-sink temp views are driver-heap residents
+      spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      r
+    }
+    def regimeJson(runsList: Seq[Run]): String = {
+      val ts = runsList.map(_.sec)
+      s"""{"med":${fmt(med(ts))},"min":${if (ts.isEmpty) -1 else fmt(ts.min)},""" +
+        s""""max":${if (ts.isEmpty) -1 else fmt(ts.max)},""" +
+        s""""runs":[${ts.map(fmt).mkString(",")}],""" +
+        s""""gc_ms":[${runsList.map(_.gc).mkString(",")}]}"""
+    }
+
+    val warmupDir = new java.io.File(sfDir).getParentFile match {
+      case null => None
+      case p => Some(new java.io.File(p, "sf0.001")).filter(_.isDirectory)
+        .map(_.getPath)
+    }
+    // sf10 fixtures live outside /root/testdata; fall back to the
+    // canonical small fixture for the JIT warmup
+    val jitDir = warmupDir.getOrElse("/root/testdata/sf0.001")
+
+    val queryJsons = plan.map { case (name, coldN, warmN) =>
+      val fn = graft.SparkEntry.queries(name)
+      def once(): Unit = { fn(spark, sfDir).count(); () }
+      // JIT/codegen warmup at the small sf, then sweep its residue
+      try { fn(spark, jitDir).count(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      sweep()
+      val cold = (0 until coldN).map { i =>
+        sweep()
+        val r = timedRun(() => once())
+        println(f"[spot] $name cold#$i ${r.sec}%.2f s gc=${r.gc} ms" +
+          r.e2e.fold("")(e => f" fixture=${e.fixtureSec}%.1f s" +
+            f" (gc ${e.fixtureGcMs} ms) pipeline=${e.pipelineSec}%.1f s" +
+            f" (gc ${e.pipelineGcMs} ms) events=${e.events}"))
+        r
+      }
+      // warm regime: state retained from the last cold run onward
+      val warm = (0 until warmN).map { i =>
+        val r = timedRun(() => once())
+        println(f"[spot] $name warm#$i ${r.sec}%.2f s gc=${r.gc} ms")
+        r
+      }
+      val e2eJson = (cold ++ warm).flatMap(_.e2e) match {
+        case Seq() => ""
+        case es => es.map { e =>
+          s"""{"events":${e.events},"fixture_sec":${fmt(e.fixtureSec)},""" +
+            s""""fixture_gc_ms":${e.fixtureGcMs},""" +
+            s""""pipeline_sec":${fmt(e.pipelineSec)},""" +
+            s""""pipeline_gc_ms":${e.pipelineGcMs},""" +
+            s""""events_per_sec":${math.round(e.eventsPerSec)}}"""
+        }.mkString(""","e2e_runs":[""", ",", "]")
+      }
+      s""""$name":{"cold":${regimeJson(cold)},"warm":${regimeJson(warm)}""" +
+        e2eJson + "}"
+    }
+
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val collectors = {
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(x => b += x.getName)
+      b.map(n => s""""$n"""").mkString("[", ",", "]")
+    }
+    val json =
+      s"""{"sf_dir":"$sfDir","cpus":$cpus,""" +
+        s""""jvm":{"heap_max_mb":$heapMb,"collectors":$collectors},""" +
+        s""""queries":{${queryJsons.mkString(",")}}}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
