@@ -4534,4 +4534,438 @@ object MediaCodec {
         (id, payload)
       }
   }
+
+  // ------------------------------------------------------------------
+  // FLAC — real lossless-audio decode (RFC 9639 / the public FLAC
+  // format spec). Unlike the MP4/MP3 header walks, FLAC's entropy
+  // layer (rice-coded residuals) is plain integer arithmetic, so the
+  // FULL sample decode is pure-JVM feasible: STREAMINFO, frame-header
+  // grammar (blocksize/rate codes, UTF-8 frame numbers, CRC-8),
+  // constant/verbatim/fixed-predictor subframes, partitioned-rice
+  // residuals, and the trailing CRC-16 all decode for real here.
+  // Only LPC subframes (encoder-chosen float coefficients) stay out —
+  // the fixture never emits them and the decoder rejects them.
+  // ------------------------------------------------------------------
+
+  /** MSB-first bit writer (FLAC bit order — the GIF reader above is
+    * LSB-first and unusable here). */
+  private[operators] final class FlacBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def write(v: Long, width: Int): Unit = {
+      var i = width - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt
+        nBits += 1
+        if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def writeUnary(q: Int): Unit = { // q zeros then a one
+      var i = 0
+      while (i < q) { write(0, 1); i += 1 }
+      write(1, 1)
+    }
+    def alignToByte(): Unit = if (nBits > 0) write(0, 8 - nBits)
+    def toBytes: Array[Byte] = { alignToByte(); out.toByteArray }
+  }
+
+  /** MSB-first bit reader; returns -1 past the end (callers treat any
+    * negative as structural corruption). */
+  private[operators] final class FlacBitReader(b: Array[Byte], start: Int) {
+    private var pos = start
+    private var bit = 0
+    def bytePos: Int = pos
+    def aligned: Boolean = bit == 0
+    def read(width: Int): Long = {
+      var v = 0L
+      var got = 0
+      while (got < width) {
+        if (pos >= b.length) return -1L
+        val avail = 8 - bit
+        val take = math.min(avail, width - got)
+        val bits = ((b(pos) & 0xff) >> (avail - take)) & ((1 << take) - 1)
+        v = (v << take) | bits
+        got += take
+        bit += take
+        if (bit == 8) { bit = 0; pos += 1 }
+      }
+      v
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (true) {
+        val x = read(1)
+        if (x < 0) return -1
+        if (x == 1) return q
+        q += 1
+        if (q > (1 << 20)) return -1 // corrupt stream guard
+      }
+      -1
+    }
+    def alignToByte(): Boolean = {
+      if (bit != 0) { if (read(8 - bit) < 0) return false }
+      true
+    }
+  }
+
+  /** CRC-8, poly x^8+x^2+x+1 (0x07), init 0, MSB-first — the FLAC
+    * frame-header checksum. */
+  private[operators] def flacCrc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+              else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0, MSB-first — the
+    * FLAC whole-frame checksum. */
+  private[operators] def flacCrc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Decoded FLAC reduced to exact-integer corpus stats (the
+    * loudness/shape profile an audio intake pipeline computes after
+    * lossless decode); `firstSample` pins frame 0 / channel 0 /
+    * sample 0 so a frame- or channel-order bug can't hide in sums. */
+  final case class FlacMeta(id: Long, channels: Int, sampleRate: Int,
+                            bitsPerSample: Int, nFrames: Int,
+                            totalSamples: Long, sumSamples: Long,
+                            sumAbs: Long, peakAbs: Int, firstSample: Int)
+
+  private val FlacBlockSize = 256
+
+  /** A deterministic FLAC stream from (id, nChars): 2–7 frames of 256
+    * samples, rate 44.1k/22.05k/8k by id mod 3 (every 4th id's frame
+    * headers use rate code 0 = "from STREAMINFO", the rest the
+    * explicit table codes — both grammar paths decode under the gate),
+    * mono/stereo by id parity, and per (id, frame) a rotating subframe
+    * type: CONSTANT, FIXED order-1 with partitioned-rice residuals
+    * (partition order i mod 2, rice k varying per partition so unary
+    * quotients actually occur), or VERBATIM. All sample values derive
+    * from (id, i, c, j) arithmetic the oracle re-derives in SQL; the
+    * order-1 residual pattern sums to zero over each 15-step cycle so
+    * cumulative samples stay 16-bit-safe at any frame count. */
+  def buildFlacPattern(id: Long, nChars: Long): Array[Byte] = {
+    val nFrames = 2 + (nChars % 6).toInt
+    val channels = 1 + (id % 2).toInt
+    val sampleRate = (id % 3) match {
+      case 0 => 44100; case 1 => 22050; case _ => 8000
+    }
+    val totalSamples = nFrames.toLong * FlacBlockSize
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO: last-metadata flag + type 0, 34-byte body
+    val si = new FlacBitWriter
+    si.write(FlacBlockSize, 16); si.write(FlacBlockSize, 16) // min/max block
+    si.write(0, 24); si.write(0, 24) // min/max frame size unknown
+    si.write(sampleRate, 20)
+    si.write(channels - 1, 3)
+    si.write(16 - 1, 5)
+    si.write(totalSamples, 36)
+    var k = 0
+    while (k < 16) { si.write(0, 8); k += 1 } // md5 unknown
+    val siBytes = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes, 0, siBytes.length)
+    var i = 0
+    while (i < nFrames) {
+      val w = new FlacBitWriter
+      w.write(0x3ffe, 14) // sync
+      w.write(0, 1) // reserved
+      w.write(0, 1) // fixed-blocksize stream
+      w.write(8, 4) // blocksize code 8 = 256
+      val srCode =
+        if (id % 4 == 0) 0 // "from STREAMINFO"
+        else sampleRate match {
+          case 44100 => 9; case 22050 => 6; case _ => 4
+        }
+      w.write(srCode, 4)
+      w.write(channels - 1, 4) // independent channel assignment
+      w.write(4, 3) // sample size code 4 = 16-bit
+      w.write(0, 1) // reserved
+      w.write(i, 8) // frame number, single-byte UTF-8 (nFrames ≤ 7)
+      val headBytes = w.toBytes // header is byte-aligned here
+      val fw = new FlacBitWriter
+      headBytes.foreach(b => fw.write(b & 0xffL, 8))
+      fw.write(flacCrc8(headBytes, 0, headBytes.length), 8)
+      var c = 0
+      while (c < channels) {
+        val t = ((id + i) % 3).toInt
+        fw.write(0, 1) // subframe reserved bit
+        t match {
+          case 0 => // CONSTANT
+            fw.write(0, 6); fw.write(0, 1) // type, no wasted bits
+            val v = ((id * 31 + i * 17 + c * 7) % 1001 - 500).toInt
+            fw.write(v.toLong & 0xffff, 16)
+          case 2 => // VERBATIM
+            fw.write(1, 6); fw.write(0, 1)
+            var j = 0
+            while (j < FlacBlockSize) {
+              val s = ((id * 3 + i * 5 + c * 9 + j * 13) % 1201 - 600).toInt
+              fw.write(s.toLong & 0xffff, 16)
+              j += 1
+            }
+          case _ => // FIXED order 1
+            fw.write(0x08 | 1, 6); fw.write(0, 1)
+            val s0 = ((id * 13 + i * 7 + c * 3) % 801 - 400).toInt
+            fw.write(s0.toLong & 0xffff, 16) // warmup
+            val po = i % 2 // partition order 0 or 1
+            fw.write(0, 2) // rice method, 4-bit params
+            fw.write(po, 4)
+            val nParts = 1 << po
+            val partLen = FlacBlockSize >> po
+            var p = 0
+            var j = 1 // residual index = sample index (order 1)
+            while (p < nParts) {
+              val riceK = 2 + ((id + i + p) % 3).toInt
+              fw.write(riceK, 4)
+              val nRes = if (p == 0) partLen - 1 else partLen
+              var r = 0
+              while (r < nRes) {
+                val e = ((id + i * 3 + c * 5 + j) % 15 - 7).toInt
+                val u = if (e >= 0) e << 1 else (-e << 1) - 1 // zigzag
+                fw.writeUnary(u >>> riceK)
+                fw.write(u & ((1 << riceK) - 1), riceK)
+                r += 1; j += 1
+              }
+              p += 1
+            }
+        }
+        c += 1
+      }
+      val frameBytes = fw.toBytes // alignToByte pads the tail
+      out.write(frameBytes, 0, frameBytes.length)
+      val c16 = flacCrc16(frameBytes, 0, frameBytes.length)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** UTF-8-style coded frame/sample number (the FLAC header field —
+    * same prefix grammar as UTF-8 but allowed up to 7 bytes). Returns
+    * -1 on malformed coding. */
+  private[operators] def readFlacUtf8(r: FlacBitReader): Long = {
+    val b0 = r.read(8)
+    if (b0 < 0) return -1
+    if ((b0 & 0x80) == 0) return b0
+    var nCont = 0
+    var mask = 0x40
+    while ((b0 & mask) != 0 && nCont < 7) { nCont += 1; mask >>= 1 }
+    if (nCont == 0 || nCont > 6) return -1
+    var v = b0 & (mask - 1)
+    var i = 0
+    while (i < nCont) {
+      val bc = r.read(8)
+      if (bc < 0 || (bc & 0xc0) != 0x80) return -1
+      v = (v << 6) | (bc & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  /** Real FLAC decode: STREAMINFO walk, per-frame header grammar with
+    * CRC-8 verification, subframe decode (constant / verbatim / fixed
+    * predictors order 0–4, partitioned rice incl. the 5-bit escape-
+    * free path), byte-align, CRC-16 verification, reduced to
+    * [[FlacMeta]]. Any structural violation, unsupported subframe
+    * (LPC), or checksum mismatch yields None — a corrupt file is a
+    * missing row, not a wrong row. */
+  def parseFlacMeta(id: Long, b: Array[Byte]): Option[FlacMeta] = try {
+    if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
+        b(3) != 'C') return None
+    // metadata blocks: need STREAMINFO (type 0) first, skip the rest
+    var pos = 4
+    var last = false
+    var sRate = 0; var channels = 0; var bits = 0
+    var totalSamples = 0L
+    var sawStreamInfo = false
+    while (!last) {
+      if (pos + 4 > b.length) return None
+      val h0 = b(pos) & 0xff
+      last = (h0 & 0x80) != 0
+      val btype = h0 & 0x7f
+      val len = ((b(pos + 1) & 0xff) << 16) | ((b(pos + 2) & 0xff) << 8) |
+        (b(pos + 3) & 0xff)
+      if (pos + 4 + len > b.length) return None
+      if (btype == 0) {
+        if (len != 34) return None
+        val r = new FlacBitReader(b, pos + 4)
+        r.read(16); r.read(16); r.read(24); r.read(24)
+        sRate = r.read(20).toInt
+        channels = r.read(3).toInt + 1
+        bits = r.read(5).toInt + 1
+        totalSamples = r.read(36)
+        sawStreamInfo = true
+      }
+      pos += 4 + len
+    }
+    if (!sawStreamInfo || sRate <= 0 || bits != 16) return None
+    var nFrames = 0
+    var decoded = 0L
+    var sum = 0L; var sumAbs = 0L; var peak = 0
+    var first = 0; var haveFirst = false
+    while (pos < b.length) {
+      val frameStart = pos
+      val r = new FlacBitReader(b, pos)
+      if (r.read(14) != 0x3ffe) return None
+      if (r.read(1) != 0) return None
+      r.read(1) // blocking strategy (fixed/variable both walk the same)
+      val bsCode = r.read(4).toInt
+      val srCode = r.read(4).toInt
+      val chAssign = r.read(4).toInt
+      val ssCode = r.read(3).toInt
+      if (r.read(1) != 0) return None
+      if (readFlacUtf8(r) < 0) return None
+      var blockSize = bsCode match {
+        case 0 => return None
+        case 1 => 192
+        case n if n >= 2 && n <= 5 => 576 << (n - 2)
+        case 6 => -8 // tail byte
+        case 7 => -16 // tail 2 bytes
+        case n => 256 << (n - 8)
+      }
+      if (blockSize == -8) blockSize = r.read(8).toInt + 1
+      else if (blockSize == -16) blockSize = r.read(16).toInt + 1
+      val frameRate = srCode match {
+        case 0 => sRate
+        case 1 => 88200; case 2 => 176400; case 3 => 192000
+        case 4 => 8000; case 5 => 16000; case 6 => 22050; case 7 => 24000
+        case 8 => 32000; case 9 => 44100; case 10 => 48000; case 11 => 96000
+        case 12 => r.read(8).toInt * 1000
+        case 13 => r.read(16).toInt
+        case 14 => r.read(16).toInt * 10
+        case _ => return None
+      }
+      if (frameRate != sRate) return None
+      if (chAssign > 7) return None // stereo-decorrelation unused here
+      val nCh = chAssign + 1
+      if (nCh != channels) return None
+      val frameBits = ssCode match {
+        case 0 => bits // "from STREAMINFO"
+        case 1 => 8; case 2 => 12; case 4 => 16; case 5 => 20; case 6 => 24
+        case 7 => 32; case _ => return None
+      }
+      if (frameBits != bits) return None
+      // header CRC-8: everything from sync through the byte before it
+      val crcPos = r.bytePos
+      if (!r.aligned) return None // header fields are byte-aligned here
+      if (r.read(8).toInt != flacCrc8(b, frameStart, crcPos)) return None
+      var c = 0
+      while (c < nCh) {
+        if (r.read(1) != 0) return None
+        val sfType = r.read(6).toInt
+        if (r.read(1) != 0) return None // wasted bits unsupported
+        def sext(v: Long): Int = ((v << 48) >> 48).toInt // 16-bit sign
+        def record(s: Int): Unit = {
+          if (!haveFirst) { first = s; haveFirst = true }
+          sum += s; sumAbs += math.abs(s)
+          if (math.abs(s) > peak) peak = math.abs(s)
+          decoded += 1
+        }
+        if (sfType == 0) { // CONSTANT
+          val v = sext(r.read(16))
+          var j = 0
+          while (j < blockSize) { record(v); j += 1 }
+        } else if (sfType == 1) { // VERBATIM
+          var j = 0
+          while (j < blockSize) { record(sext(r.read(16))); j += 1 }
+        } else if ((sfType & 0x38) == 0x08 && (sfType & 7) <= 4) { // FIXED
+          val order = sfType & 7
+          val hist = new Array[Int](blockSize)
+          var j = 0
+          while (j < order) { hist(j) = sext(r.read(16)); j += 1 }
+          if (r.read(2) != 0) return None // only 4-bit rice params here
+          val po = r.read(4).toInt
+          if (po < 0 || (blockSize >> po) << po != blockSize) return None
+          val nParts = 1 << po
+          val partLen = blockSize >> po
+          if (partLen <= order && nParts > 1) return None
+          var p = 0
+          while (p < nParts) {
+            val riceK = r.read(4).toInt
+            if (riceK < 0 || riceK == 15) return None // escape unused
+            val nRes = if (p == 0) partLen - order else partLen
+            var t = 0
+            while (t < nRes) {
+              val q = r.readUnary()
+              if (q < 0) return None
+              val rem = r.read(riceK)
+              if (rem < 0) return None
+              val u = (q.toLong << riceK) | rem
+              val e = if ((u & 1) == 0) (u >> 1).toInt
+                      else (-((u + 1) >> 1)).toInt
+              val s = order match {
+                case 0 => e
+                case 1 => hist(j - 1) + e
+                case 2 => 2 * hist(j - 1) - hist(j - 2) + e
+                case 3 => 3 * hist(j - 1) - 3 * hist(j - 2) +
+                  hist(j - 3) + e
+                case _ => 4 * hist(j - 1) - 6 * hist(j - 2) +
+                  4 * hist(j - 3) - hist(j - 4) + e
+              }
+              hist(j) = s
+              j += 1; t += 1
+            }
+            p += 1
+          }
+          if (j != blockSize) return None
+          j = 0
+          while (j < blockSize) { record(hist(j)); j += 1 }
+        } else return None // LPC or reserved
+        c += 1
+      }
+      if (!r.alignToByte()) return None
+      val frameEnd = r.bytePos
+      val c16 = (r.read(16) & 0xffffL).toInt
+      if (c16 != flacCrc16(b, frameStart, frameEnd)) return None
+      nFrames += 1
+      pos = frameEnd + 2
+    }
+    if (nFrames == 0 || decoded != totalSamples * channels) return None
+    Some(FlacMeta(id, channels, sRate, bits, nFrames, totalSamples,
+      sum, sumAbs, peak, first))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture adapter for the FLAC gate: every document becomes a real
+    * multi-frame FLAC stream whose every decoded sample derives from
+    * (doc_id, n_chars) arithmetic — the oracle re-derives the exact
+    * integer sums the full decode must reproduce. */
+  def flacFromDocuments(spark: SparkSession,
+                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildFlacPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch FLAC decode — payloads never shuffle. */
+  def extractFlacMeta(media: Dataset[(Long, Array[Byte])])
+      : Dataset[FlacMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseFlacMeta(id, p) })
+  }
 }

@@ -247,11 +247,7 @@ object CdcQueries {
     // the batch oracle regardless of arrival order.
     "cdc_stream_window" -> { (s, dir) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      // the file-stream source wants a directory; glob down to the table
-      val stream = s.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(eventTs)
+      val stream = streamTable(s, dir, "events").transform(eventTs)
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
@@ -273,10 +269,7 @@ object CdcQueries {
     // max(ts) − 2 h.
     "cdc_watermark_window" -> { (s, dir) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(eventTs)
+      val stream = streamTable(s, dir, "events").transform(eventTs)
         .withWatermark("ts", "2 hours")
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"))
@@ -398,10 +391,8 @@ object CdcQueries {
     // in the fixture, so the streamed pairs hash-match the batch oracle.
     "cdc_stream_join" -> { (s, dir) => withShufflePartitions(s, 4) {
       import org.apache.spark.sql.streaming.Trigger
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      def side(tpe: String, prefix: String) = s.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(eventTs)
+      def side(tpe: String, prefix: String) =
+        streamTable(s, dir, "events").transform(eventTs)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${prefix}_user"),
           col("event_id").as(s"${prefix}_event"),
@@ -437,10 +428,7 @@ object CdcQueries {
           StructField("event_type", StringType),
           StructField("n", LongType),
           StructField("sum_value", DoubleType))))
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val agg = s.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(eventTs)
+      val agg = streamTable(s, dir, "events").transform(eventTs)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
         .select(tsSeconds(col("window.start")).as("w_start"),

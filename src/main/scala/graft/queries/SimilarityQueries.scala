@@ -880,6 +880,33 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL FLAC decode under the gate — the full lossless path, not a
+    // header walk: STREAMINFO, frame-header grammar (rate-code table
+    // AND the code-0 "from STREAMINFO" branch), CRC-8, rotating
+    // constant/verbatim/fixed-order-1 subframes, partitioned rice
+    // residuals (k varies per partition so unary quotients occur),
+    // CRC-16 — reduced to exact-integer loudness stats. The oracle
+    // re-derives every decoded SAMPLE from the fixture's (doc_id,
+    // n_chars, frame, channel, index) arithmetic (the order-1 chain
+    // via a cumulative residual sum), so a rice off-by-one, a zigzag
+    // flip, a predictor drift, or a partition-boundary bug diverges
+    // the hash. Only LPC subframes stay outside — encoder-float
+    // territory the fixture never emits.
+    "mm_flac_pcm" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.flacFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractFlacMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("nFrames").as("n_frames"),
+          col("totalSamples").as("total_samples"),
+          col("sumSamples").as("sum_samples"),
+          col("sumAbs").as("sum_abs"),
+          col("peakAbs").as("peak_abs"),
+          col("firstSample").as("first_sample"))
+        .orderBy("doc_id")
+    },
+
     // REAL PCM16 sample decode under the gate — the audio twin of
     // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
     // little-endian int16 frames spanning negative values, LIST chunks
@@ -1970,6 +1997,46 @@ object SimilarityQueries {
         |    + (nf + doc_id % 2) // 2 AS BIGINT) AS audio_bytes,
         |  CAST((nf * 1152000) // sr AS BIGINT) AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Re-derives every decoded FLAC sample from the fixture grid
+    // (frame i, channel c, index j): CONSTANT and VERBATIM directly,
+    // the FIXED order-1 chain as warmup + cumulative residual sum
+    // (the residual pattern (id + 3i + 5c + j) mod 15 − 7 sums to
+    // zero per 15-step cycle, so the chain is 16-bit-safe). The Spark
+    // side must recover the identical integers from real rice-coded
+    // bits through real CRCs.
+    "mm_flac_pcm" ->
+      """WITH dim AS (SELECT doc_id AS id, 1 + (doc_id % 2) AS ch,
+        |    2 + (CAST(n_chars AS BIGINT) % 6) AS nf
+        |  FROM documents),
+        |grid AS (SELECT id, ch, nf, i, c, j
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(nf)) AS i),
+        |    LATERAL (SELECT unnest(range(ch)) AS c),
+        |    LATERAL (SELECT unnest(range(256)) AS j)),
+        |cum AS (SELECT *, SUM(CASE WHEN j > 0
+        |      THEN (id + i*3 + c*5 + j) % 15 - 7 ELSE 0 END)
+        |    OVER (PARTITION BY id, i, c ORDER BY j) AS ecum
+        |  FROM grid),
+        |samp AS (SELECT id, ch, nf, i, c, j,
+        |    CASE (id + i) % 3
+        |      WHEN 0 THEN (id*31 + i*17 + c*7) % 1001 - 500
+        |      WHEN 2 THEN (id*3 + i*5 + c*9 + j*13) % 1201 - 600
+        |      ELSE (id*13 + i*7 + c*3) % 801 - 400 + ecum
+        |    END AS s
+        |  FROM cum)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(ch) AS INT) AS channels,
+        |  CAST(CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+        |    ELSE 8000 END AS INT) AS sample_rate,
+        |  CAST(MAX(nf) AS INT) AS n_frames,
+        |  CAST(MAX(nf) * 256 AS BIGINT) AS total_samples,
+        |  CAST(SUM(s) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(abs(s)) AS INT) AS peak_abs,
+        |  CAST(SUM(CASE WHEN i = 0 AND c = 0 AND j = 0
+        |    THEN s ELSE 0 END) AS INT) AS first_sample
+        |FROM samp GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Same derived samples as mm_wav_energy; crossings via a
     // per-channel LAG with the identical strict prev·cur < 0 rule.

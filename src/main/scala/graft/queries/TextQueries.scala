@@ -62,11 +62,8 @@ object TextQueries {
   /** Streaming source over the fixture's documents table (schema probed
     * from the parquet footer). Shared by every streaming gate. */
   private def docStream(s: org.apache.spark.sql.SparkSession,
-                        dir: String): org.apache.spark.sql.DataFrame = {
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
-  }
+                        dir: String): org.apache.spark.sql.DataFrame =
+    streamTable(s, dir, "documents")
 
   /** Drain a streaming frame through an AvailableNow memory sink and
     * return the sink table — the one start/processAllAvailable/stop

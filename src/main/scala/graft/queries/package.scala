@@ -41,6 +41,30 @@ package object queries {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Structured-Streaming file source over one fixture table, schema
+    * probed from the batch read. Handles BOTH physical layouts:
+    * `<dir>/<name>.parquet` as a single FILE (the driver's
+    * pyarrow-written fixtures — streamed via a pathGlobFilter on the
+    * parent, since the file source wants a directory) and as a
+    * DIRECTORY of part files (anything Spark itself wrote, e.g. the
+    * ScaleFixture sf1/sf10 replicas — streamed directly). The glob
+    * filter matches no part file in the directory layout, which made
+    * every doc/event stream silently EMPTY at sf≥1 until the sf1
+    * full-surface bench caught t_stream_route reading back a route
+    * store no micro-batch had ever created. */
+  def streamTable(spark: SparkSession, dir: String,
+                  name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
   /** Process-wide fit memo, keyed by (fixture dir, hyperparameters).
     * Every fit cached here must be a DETERMINISTIC pure function of its
     * inputs (the invariant the frozen-literal oracles rely on), so

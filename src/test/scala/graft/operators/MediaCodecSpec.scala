@@ -1312,4 +1312,132 @@ class MediaCodecSpec extends SparkSpec {
     assert(parseMp3Meta(1L, Array.empty[Byte]).isEmpty)
     assert(parseMp3Meta(1L, Array[Byte](0xff.toByte, 0xfb.toByte)).isEmpty)
   }
+
+  // --- FLAC: the full lossless decode (rice residuals, not a header
+  // walk) ---
+
+  /** The fixture's sample grid, re-derived independently of both the
+    * encoder and the decoder (frame i, channel c, index j order). */
+  private def flacExpected(id: Long, nChars: Long): Seq[Long] = {
+    val nf = 2 + (nChars % 6).toInt
+    val ch = 1 + (id % 2).toInt
+    (0 until nf).flatMap { i =>
+      (0 until ch).flatMap { c =>
+        ((id + i) % 3).toInt match {
+          case 0 =>
+            Seq.fill(256)((id * 31 + i * 17 + c * 7) % 1001 - 500)
+          case 2 =>
+            (0 until 256).map(j => (id * 3 + i * 5 + c * 9 + j * 13) % 1201 - 600)
+          case _ =>
+            var s = (id * 13 + i * 7 + c * 3) % 801 - 400
+            Seq(s) ++ (1 until 256).map { j =>
+              s += (id + i * 3 + c * 5 + j) % 15 - 7; s
+            }
+        }
+      }
+    }
+  }
+
+  test("flac: full decode round trip matches the derived sample grid") {
+    for (id <- 0L until 13L; nChars <- Seq(0L, 1L, 5L, 97L, 1234L)) {
+      val meta = parseFlacMeta(id, buildFlacPattern(id, nChars))
+        .getOrElse(fail(s"no parse for id=$id nChars=$nChars"))
+      val exp = flacExpected(id, nChars)
+      assert(meta.channels === 1 + (id % 2).toInt)
+      assert(meta.sampleRate ===
+        Seq(44100, 22050, 8000)((id % 3).toInt))
+      assert(meta.bitsPerSample === 16)
+      assert(meta.nFrames === 2 + (nChars % 6).toInt)
+      assert(meta.totalSamples === meta.nFrames * 256L)
+      assert(meta.sumSamples === exp.sum, s"id=$id nChars=$nChars")
+      assert(meta.sumAbs === exp.map(math.abs).sum)
+      assert(meta.peakAbs === exp.map(math.abs).max.toInt)
+      assert(meta.firstSample === exp.head.toInt)
+    }
+  }
+
+  test("flac: CRC vectors and whole-frame corruption detection") {
+    val nine = "123456789".getBytes("US-ASCII")
+    assert(flacCrc8(nine, 0, 9) === 0xf4) // CRC-8 poly 0x07 check value
+    assert(flacCrc16(nine, 0, 9) === 0xfee8) // CRC-16/UMTS check value
+    val good = buildFlacPattern(5L, 42L)
+    assert(parseFlacMeta(5L, good).isDefined)
+    // every byte from the first frame on is covered by CRC-8 or CRC-16:
+    // any single-byte flip must yield None (a missing row), never a
+    // silently wrong row and never a thrown task
+    for (off <- 42 until good.length) {
+      val bad = good.clone()
+      bad(off) = (bad(off) ^ 0x10).toByte
+      assert(parseFlacMeta(5L, bad).isEmpty, s"flip at $off undetected")
+    }
+  }
+
+  test("flac: UTF-8-style frame numbers across widths") {
+    def roundTrip(bytes: Int*): Long = {
+      val arr = bytes.map(_.toByte).toArray
+      MediaCodec.readFlacUtf8(new MediaCodec.FlacBitReader(arr, 0))
+    }
+    assert(roundTrip(0x44) === 0x44L)
+    assert(roundTrip(0xc4, 0xac) === 300L) // 2-byte
+    assert(roundTrip(0xef, 0xbf, 0xbf) === 65535L) // 3-byte
+    assert(roundTrip(0x80) === -1L) // bare continuation byte
+    assert(roundTrip(0xc4, 0x44) === -1L) // broken continuation
+  }
+
+  test("flac: fixed order-2 subframe decodes via a hand-built frame") {
+    // one frame, mono, 8 kHz, blocksize 256, order-2 with all-zero
+    // residuals: s(j) = 2s(j-1) - s(j-2) -> the arithmetic progression
+    // 10, 13, 16, ... 775 (exercises the predictor order the fixture
+    // generator never emits)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new MediaCodec.FlacBitWriter
+    si.write(256, 16); si.write(256, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(256, 36)
+    (0 until 16).foreach(_ => si.write(0, 8))
+    val siB = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length)
+    out.write(siB, 0, siB.length)
+    val w = new MediaCodec.FlacBitWriter
+    w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
+    w.write(8, 4); w.write(4, 4); w.write(0, 4); w.write(4, 3); w.write(0, 1)
+    w.write(0, 8) // frame 0
+    val head = w.toBytes
+    val fw = new MediaCodec.FlacBitWriter
+    head.foreach(b => fw.write(b & 0xffL, 8))
+    fw.write(MediaCodec.flacCrc8(head, 0, head.length), 8)
+    fw.write(0, 1); fw.write(0x08 | 2, 6); fw.write(0, 1) // FIXED order 2
+    fw.write(10, 16); fw.write(13, 16) // warmups
+    fw.write(0, 2); fw.write(0, 4); fw.write(3, 4) // rice po=0, k=3
+    (0 until 254).foreach { _ => fw.writeUnary(0); fw.write(0, 3) }
+    val frame = fw.toBytes
+    out.write(frame, 0, frame.length)
+    val c16 = MediaCodec.flacCrc16(frame, 0, frame.length)
+    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    val meta = parseFlacMeta(9L, out.toByteArray)
+      .getOrElse(fail("order-2 frame did not parse"))
+    assert(meta.nFrames === 1)
+    assert(meta.totalSamples === 256L)
+    assert(meta.firstSample === 10)
+    assert(meta.peakAbs === 10 + 3 * 255)
+    assert(meta.sumSamples === (0 until 256).map(j => 10L + 3 * j).sum)
+  }
+
+  test("flac: totality on corrupt and truncated payloads") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 0 until 200) {
+      val junk = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(junk)
+      assert(parseFlacMeta(1L, junk).forall(_.nFrames >= 0)) // no throw
+    }
+    val good = buildFlacPattern(7L, 99L)
+    for (cut <- Seq(0, 3, 4, 20, 41, 42, good.length - 1))
+      assert(parseFlacMeta(7L, good.take(cut)).isEmpty)
+    // a stream with LPC (unsupported subframe type) is rejected whole
+    val lpc = good.clone()
+    // find the first subframe header byte and force type LPC (1xxxxx):
+    // frame starts at 42; header 5 bytes + crc8 -> subframe bits at 48
+    lpc(48) = (lpc(48) | 0x40).toByte
+    assert(parseFlacMeta(7L, lpc).isEmpty)
+  }
 }
