@@ -4950,6 +4950,184 @@ object MediaCodec {
       sum, sumAbs, peak, first))
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ------------------------------------------------------------------
+  // Ogg — real page walk (RFC 3533). The container every Vorbis/Opus
+  // stream rides; an intake pipeline reads page structure (stream
+  // serial, packet boundaries from the lacing table, granule
+  // positions, BOS/EOS) and VERIFIES the per-page CRC before any
+  // codec work. All of that is public page grammar + the Ogg CRC-32
+  // (poly 0x04C11DB7, init 0, no reflection, no xor-out — NOT the
+  // zlib CRC), decoded for real here; codec packets (Vorbis/Opus
+  // entropy payloads) stay behind the decoder seam.
+  // ------------------------------------------------------------------
+
+  private val oggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private[operators] def oggCrc(b: Array[Byte], from: Int,
+                                until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ (b(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  /** Ogg reduced to the intake-filter fields: stream serial, page and
+    * packet counts (packets = lacing segments terminated by a < 255
+    * value), payload byte total, and the final granule position. */
+  final case class OggMeta(id: Long, serial: Long, nPages: Int,
+                           nPackets: Int, payloadBytes: Long,
+                           lastGranule: Long)
+
+  /** A deterministic Ogg stream from (id, nChars): 2–5 pages, 1–3
+    * packets per page with sizes from (id, page, k) arithmetic — every
+    * 5th packet sized ≥ 255 so the lacing table carries real
+    * 255-continuation entries — BOS on the first page, EOS on the
+    * last, granule advancing (page+1)·(1000 + id mod 500), and a real
+    * Ogg CRC-32 stamped per page. */
+  def buildOggPattern(id: Long, nChars: Long): Array[Byte] = {
+    val nPages = 2 + (nChars % 4).toInt
+    val serial = (id % 100000).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (p < nPages) {
+      val nPk = 1 + ((id + p) % 3).toInt
+      val sizes = (0 until nPk).map { k =>
+        if ((id + p + k) % 5 == 0) 300 + ((id + k) % 200).toInt
+        else 20 + ((id + p * 7 + k * 13) % 230).toInt
+      }
+      val lacing = sizes.flatMap { sz =>
+        Seq.fill(sz / 255)(255) :+ (sz % 255)
+      }
+      val granule = (p + 1).toLong * (1000 + (id % 500))
+      val payloadLen = sizes.sum
+      val page = new Array[Byte](27 + lacing.length + payloadLen)
+      page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+      page(4) = 0 // version
+      page(5) = (if (p == 0) 0x02 else if (p == nPages - 1) 0x04
+                 else 0x00).toByte // BOS / EOS / body
+      var o = 6
+      var g = granule
+      var k = 0
+      while (k < 8) { page(o) = (g & 0xff).toByte; g >>= 8; o += 1; k += 1 }
+      var sv = serial
+      k = 0
+      while (k < 4) { page(o) = (sv & 0xff).toByte; sv >>= 8; o += 1; k += 1 }
+      var sq = p
+      k = 0
+      while (k < 4) { page(o) = (sq & 0xff).toByte; sq >>= 8; o += 1; k += 1 }
+      o += 4 // CRC placeholder, stays zero while hashing
+      page(o) = lacing.length.toByte; o += 1
+      lacing.foreach { l => page(o) = l.toByte; o += 1 }
+      var j = 0
+      while (j < payloadLen) {
+        page(o + j) = ((j * 31 + id + p) % 251).toByte
+        j += 1
+      }
+      val crc = oggCrc(page, 0, page.length)
+      page(22) = (crc & 0xff).toByte
+      page(23) = ((crc >>> 8) & 0xff).toByte
+      page(24) = ((crc >>> 16) & 0xff).toByte
+      page(25) = ((crc >>> 24) & 0xff).toByte
+      out.write(page, 0, page.length)
+      p += 1
+    }
+    out.toByteArray
+  }
+
+  /** Real Ogg page walk: capture pattern, version 0, little-endian
+    * granule/serial/sequence, CRC-32 verified per page (recomputed
+    * with the CRC field zeroed), lacing table → packet boundaries and
+    * payload length, BOS-first/EOS-last structural checks. Anything
+    * malformed yields None. */
+  def parseOggMeta(id: Long, b: Array[Byte]): Option[OggMeta] = try {
+    var pos = 0
+    var nPages = 0
+    var nPackets = 0
+    var payload = 0L
+    var lastGranule = 0L
+    var serial = -1L
+    var sawEos = false
+    while (pos < b.length) {
+      if (sawEos) return None // data after the EOS page
+      if (pos + 27 > b.length) return None
+      if (b(pos) != 'O' || b(pos + 1) != 'g' || b(pos + 2) != 'g' ||
+          b(pos + 3) != 'S') return None
+      if (b(pos + 4) != 0) return None
+      val flags = b(pos + 5) & 0xff
+      if (nPages == 0 && (flags & 0x02) == 0) return None // BOS first
+      if (nPages > 0 && (flags & 0x02) != 0) return None
+      var granule = 0L
+      var k = 7
+      while (k >= 0) { granule = (granule << 8) | (b(pos + 6 + k) & 0xffL)
+        k -= 1 }
+      var ser = 0L
+      k = 3
+      while (k >= 0) { ser = (ser << 8) | (b(pos + 14 + k) & 0xffL); k -= 1 }
+      if (serial < 0) serial = ser
+      else if (ser != serial) return None // single-stream contract
+      val nSegs = b(pos + 26) & 0xff
+      if (pos + 27 + nSegs > b.length) return None
+      var bodyLen = 0
+      var segSum = 0
+      k = 0
+      while (k < nSegs) {
+        val l = b(pos + 27 + k) & 0xff
+        segSum += l
+        if (l < 255) nPackets += 1
+        k += 1
+      }
+      bodyLen = segSum
+      val pageLen = 27 + nSegs + bodyLen
+      if (pos + pageLen > b.length) return None
+      // CRC: page bytes with the CRC field zeroed
+      val copy = java.util.Arrays.copyOfRange(b, pos, pos + pageLen)
+      val stored = (copy(22) & 0xff) | ((copy(23) & 0xff) << 8) |
+        ((copy(24) & 0xff) << 16) | ((copy(25) & 0xff) << 24)
+      copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
+      if (oggCrc(copy, 0, copy.length) != stored) return None
+      payload += bodyLen
+      lastGranule = granule
+      if ((flags & 0x04) != 0) sawEos = true
+      nPages += 1
+      pos += pageLen
+    }
+    if (nPages == 0 || !sawEos) return None
+    Some(OggMeta(id, serial, nPages, nPackets, payload, lastGranule))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture adapter for the Ogg gate. */
+  def oggFromDocuments(spark: SparkSession,
+                       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildOggPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch page walk — payloads never shuffle. */
+  def extractOggMeta(media: Dataset[(Long, Array[Byte])])
+      : Dataset[OggMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseOggMeta(id, p) })
+  }
+
   /** Fixture adapter for the FLAC gate: every document becomes a real
     * multi-frame FLAC stream whose every decoded sample derives from
     * (doc_id, n_chars) arithmetic — the oracle re-derives the exact

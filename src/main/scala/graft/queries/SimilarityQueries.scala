@@ -907,6 +907,27 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL Ogg page walk under the gate (RFC 3533) — the container
+    // triage an intake pipeline runs before any Vorbis/Opus work:
+    // capture pattern, version, BOS/EOS structure, little-endian
+    // granule/serial, lacing-table packet boundaries (every 5th
+    // packet sized ≥ 255 so real 255-continuation entries occur),
+    // and the Ogg CRC-32 (0x04C11DB7, init 0, unreflected — not the
+    // zlib CRC) verified per page. The oracle re-derives page/packet
+    // counts, payload bytes, and the final granule from the fixture
+    // arithmetic; codec packets stay behind the decoder seam.
+    "mm_ogg_meta" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.oggFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractOggMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("serial"),
+          col("nPages").as("n_pages"),
+          col("nPackets").as("n_packets"),
+          col("payloadBytes").as("payload_bytes"),
+          col("lastGranule").as("last_granule"))
+        .orderBy("doc_id")
+    },
+
     // REAL PCM16 sample decode under the gate — the audio twin of
     // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
     // little-endian int16 frames spanning negative values, LIST chunks
@@ -1997,6 +2018,29 @@ object SimilarityQueries {
         |    + (nf + doc_id % 2) // 2 AS BIGINT) AS audio_bytes,
         |  CAST((nf * 1152000) // sr AS BIGINT) AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the Ogg page grammar from the fixture arithmetic:
+    // packets per page 1 + (id+p) mod 3, packet sizes by the same
+    // every-5th-oversized rule the lacing table encodes, granule
+    // (p+1)·(1000 + id mod 500). The Spark side must recover the
+    // identical counts from real lacing bytes through real CRC-32s.
+    "mm_ogg_meta" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    2 + (CAST(n_chars AS BIGINT) % 4) AS np
+        |  FROM documents),
+        |pages AS (SELECT id, np, p, 1 + (id + p) % 3 AS npk
+        |  FROM dim, LATERAL (SELECT unnest(range(np)) AS p)),
+        |pk AS (SELECT id, np, p, npk, k,
+        |    CASE WHEN (id + p + k) % 5 = 0 THEN 300 + (id + k) % 200
+        |      ELSE 20 + (id + p*7 + k*13) % 230 END AS sz
+        |  FROM pages, LATERAL (SELECT unnest(range(npk)) AS k))
+        |SELECT id AS doc_id,
+        |  CAST(id % 100000 AS BIGINT) AS serial,
+        |  CAST(MAX(np) AS INT) AS n_pages,
+        |  CAST(COUNT(*) AS INT) AS n_packets,
+        |  CAST(SUM(sz) AS BIGINT) AS payload_bytes,
+        |  CAST(MAX(np) * (1000 + id % 500) AS BIGINT) AS last_granule
+        |FROM pk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives every decoded FLAC sample from the fixture grid
     // (frame i, channel c, index j): CONSTANT and VERBATIM directly,
