@@ -4940,7 +4940,9 @@ object MediaCodec {
       }
       if (!r.alignToByte()) return None
       val frameEnd = r.bytePos
-      val c16 = (r.read(16) & 0xffffL).toInt
+      val c16raw = r.read(16)
+      if (c16raw < 0) return None // truncated before the frame CRC
+      val c16 = (c16raw & 0xffffL).toInt
       if (c16 != flacCrc16(b, frameStart, frameEnd)) return None
       nFrames += 1
       pos = frameEnd + 2

@@ -55,10 +55,14 @@ package object queries {
   def streamTable(spark: SparkSession, dir: String,
                   name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    // single Hadoop stat, BEFORE the schema probe: a missing table
+    // surfaces here (FileNotFoundException) and the status is reused
+    // for the layout branch instead of stat-ing the path twice
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val status = fs.getFileStatus(hPath)
     val schema = spark.read.parquet(path).schema
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory)
+    if (status.isDirectory)
       spark.readStream.schema(schema).parquet(path)
     else
       spark.readStream.schema(schema)

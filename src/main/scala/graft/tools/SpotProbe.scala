@@ -109,7 +109,15 @@ object SpotProbe {
             f" (gc ${e.pipelineGcMs} ms) events=${e.events}"))
         r
       }
-      // warm regime: state retained from the last cold run onward
+      // warm regime: state retained from the last cold run onward.
+      // With coldN == 0 there IS no last cold run — the sweep() above
+      // cleared caches/fit memo, so the first "warm" run would really
+      // be a cold-cache run published under the warm label; one
+      // untimed priming pass restores the regime contract.
+      if (coldN == 0 && warmN > 0) {
+        val r = timedRun(() => once())
+        println(f"[spot] $name prime ${r.sec}%.2f s gc=${r.gc} ms (untimed)")
+      }
       val warm = (0 until warmN).map { i =>
         val r = timedRun(() => once())
         println(f"[spot] $name warm#$i ${r.sec}%.2f s gc=${r.gc} ms")

@@ -1448,10 +1448,32 @@ class MediaCodecSpec extends SparkSpec {
     // flip one payload byte on the first page -> its CRC must catch it
     val bad = good.clone(); bad(40) = (bad(40) ^ 1).toByte
     assert(parseOggMeta(3L, bad).isEmpty)
-    // exact-255 packet boundary: size 300 laces as [255, 45] - force a
-    // multiple-of-255 size via a hand-sized stream and confirm the
-    // terminating 0 lacing value still counts one packet (the decoder
-    // counts segments < 255, and 0 is such a segment)
+    // exact-255 packet boundary: hand-build a single BOS+EOS page whose
+    // one packet is exactly 510 bytes, so the lacing table is
+    // [255, 255, 0] — the terminating 0-valued lacing segment must
+    // still count exactly one packet (the decoder counts segments
+    // < 255, and 0 is such a segment)
+    locally {
+      val lacing = Array(255, 255, 0)
+      val page = new Array[Byte](27 + lacing.length + 510)
+      page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+      page(4) = 0; page(5) = 0x06 // BOS + EOS, single page
+      page(14) = 9 // serial = 9, little-endian
+      page(26) = lacing.length.toByte
+      lacing.zipWithIndex.foreach { case (l, k) => page(27 + k) = l.toByte }
+      for (j <- 0 until 510) page(27 + 3 + j) = ((j * 7 + 1) % 251).toByte
+      val crc = MediaCodec.oggCrc(page, 0, page.length)
+      page(22) = (crc & 0xff).toByte
+      page(23) = ((crc >>> 8) & 0xff).toByte
+      page(24) = ((crc >>> 16) & 0xff).toByte
+      page(25) = ((crc >>> 24) & 0xff).toByte
+      val meta = parseOggMeta(9L, page)
+        .getOrElse(fail("zero-lacing page did not parse"))
+      assert(meta.nPages === 1)
+      assert(meta.nPackets === 1) // [255,255,0] is ONE packet, not two
+      assert(meta.payloadBytes === 510L)
+      assert(meta.serial === 9L)
+    }
     for (cut <- Seq(0, 5, 26, 27, good.length - 1))
       assert(parseOggMeta(3L, good.take(cut)).isEmpty)
     assert(parseOggMeta(3L, good ++ Array[Byte](1, 2, 3)).isEmpty)
