@@ -4765,6 +4765,119 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** A deterministic FLAC stream exercising the quantized-LPC subframe
+    * path (RFC 9639 §9.2.6) — the subframe type real encoders emit for
+    * nearly all music. Per (id, frame) a rotating subframe type:
+    * LPC order-1 (coef [1], shift 1 — x[j] = ⌊x[j-1]/2⌋ + e[j], a
+    * leaky integrator), LPC order-2 (coefs [1, 1], shift 2 —
+    * x[j] = ⌊(x[j-1]+x[j-2])/4⌋ + e[j]), or CONSTANT. Both LPC chains
+    * are strictly contractive (Σ|coef|/2^shift ≤ 1/2), so samples stay
+    * bounded by the warmup magnitude at any frame count, and the
+    * floor-division recurrences re-derive exactly in SQL as a
+    * recursive CTE (the `mm_flac_lpc` oracle; DuckDB `//` TRUNCATES,
+    * so the oracle floors explicitly — arithmetic shift IS floor
+    * division). The decoder itself is general (any order ≤ 32, any
+    * precision, any non-negative shift): the spec drives it with
+    * non-SQL-friendly coefficients ([9,-5,2] >> 3) against a direct
+    * recurrence. Residuals reuse the zero-mean mod-15 pattern and the
+    * varying-k partitioned-rice scheme of [[buildFlacPattern]];
+    * headers/STREAMINFO are the same grammar. */
+  def buildFlacLpcPattern(id: Long, nChars: Long): Array[Byte] = {
+    val nFrames = 2 + (nChars % 6).toInt
+    val channels = 1 + (id % 2).toInt
+    val sampleRate = (id % 3) match {
+      case 0 => 44100; case 1 => 22050; case _ => 8000
+    }
+    val totalSamples = nFrames.toLong * FlacBlockSize
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new FlacBitWriter
+    si.write(FlacBlockSize, 16); si.write(FlacBlockSize, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(sampleRate, 20)
+    si.write(channels - 1, 3)
+    si.write(16 - 1, 5)
+    si.write(totalSamples, 36)
+    var k = 0
+    while (k < 16) { si.write(0, 8); k += 1 }
+    val siBytes = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes, 0, siBytes.length)
+    var i = 0
+    while (i < nFrames) {
+      val w = new FlacBitWriter
+      w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
+      w.write(8, 4) // blocksize code 8 = 256
+      val srCode =
+        if (id % 4 == 0) 0
+        else sampleRate match {
+          case 44100 => 9; case 22050 => 6; case _ => 4
+        }
+      w.write(srCode, 4)
+      w.write(channels - 1, 4)
+      w.write(4, 3) // 16-bit
+      w.write(0, 1)
+      w.write(i, 8) // frame number (nFrames ≤ 7 — single UTF-8 byte)
+      val headBytes = w.toBytes
+      val fw = new FlacBitWriter
+      headBytes.foreach(b => fw.write(b & 0xffL, 8))
+      fw.write(flacCrc8(headBytes, 0, headBytes.length), 8)
+      var c = 0
+      while (c < channels) {
+        val t = ((id + i) % 3).toInt
+        fw.write(0, 1)
+        if (t == 2) { // CONSTANT
+          fw.write(0, 6); fw.write(0, 1)
+          val v = ((id * 31 + i * 17 + c * 7) % 1001 - 500).toInt
+          fw.write(v.toLong & 0xffff, 16)
+        } else { // LPC order 1 (t=0) or order 2 (t=1)
+          val order = t + 1
+          fw.write(0x20 | (order - 1), 6); fw.write(0, 1)
+          val x0 = ((id * 13 + i * 7 + c * 3) % 801 - 400).toInt
+          fw.write(x0.toLong & 0xffff, 16) // warmup 0
+          if (order == 2) {
+            val x1 = ((id * 11 + i * 5 + c * 9) % 601 - 300).toInt
+            fw.write(x1.toLong & 0xffff, 16) // warmup 1
+          }
+          // precision-1 (4 bits), shift (5 bits), then the coefs
+          val precision = if (order == 1) 3 else 4
+          fw.write(precision - 1, 4)
+          fw.write(order, 5) // shift: 1 for order-1, 2 for order-2
+          var q = 0
+          while (q < order) { fw.write(1, precision); q += 1 } // coefs all 1
+          val po = i % 2
+          fw.write(0, 2) // rice method, 4-bit params
+          fw.write(po, 4)
+          val nParts = 1 << po
+          val partLen = FlacBlockSize >> po
+          var p = 0
+          var j = order // residual index = sample index
+          while (p < nParts) {
+            val riceK = 2 + ((id + i + p) % 3).toInt
+            fw.write(riceK, 4)
+            val nRes = if (p == 0) partLen - order else partLen
+            var r = 0
+            while (r < nRes) {
+              val e = ((id + i * 3 + c * 5 + j) % 15 - 7).toInt
+              val u = if (e >= 0) e << 1 else (-e << 1) - 1
+              fw.writeUnary(u >>> riceK)
+              fw.write(u & ((1 << riceK) - 1), riceK)
+              r += 1; j += 1
+            }
+            p += 1
+          }
+        }
+        c += 1
+      }
+      val frameBytes = fw.toBytes
+      out.write(frameBytes, 0, frameBytes.length)
+      val c16 = flacCrc16(frameBytes, 0, frameBytes.length)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** UTF-8-style coded frame/sample number (the FLAC header field —
     * same prefix grammar as UTF-8 but allowed up to 7 bytes). Returns
     * -1 on malformed coding. */
@@ -4787,13 +4900,49 @@ object MediaCodec {
     v
   }
 
+  /** Partitioned-rice residual decode (the shared residual grammar of
+    * FIXED and LPC subframes, RFC 9639 §9.2.7): fills
+    * `res(order until blockSize)` in sample order. 4-bit params only —
+    * the 5-bit method and the k=15 escape are rejected, the fixtures
+    * never emit them. Returns false on any structural violation. */
+  private def readRiceResiduals(r: FlacBitReader, blockSize: Int,
+                                order: Int, res: Array[Int]): Boolean = {
+    if (r.read(2) != 0) return false
+    val po = r.read(4).toInt
+    if (po < 0 || (blockSize >> po) << po != blockSize) return false
+    val nParts = 1 << po
+    val partLen = blockSize >> po
+    if (partLen <= order && nParts > 1) return false
+    var j = order
+    var p = 0
+    while (p < nParts) {
+      val riceK = r.read(4).toInt
+      if (riceK < 0 || riceK == 15) return false // escape unused
+      val nRes = if (p == 0) partLen - order else partLen
+      var t = 0
+      while (t < nRes) {
+        val q = r.readUnary()
+        if (q < 0) return false
+        val rem = r.read(riceK)
+        if (rem < 0) return false
+        val u = (q.toLong << riceK) | rem
+        res(j) = if ((u & 1) == 0) (u >> 1).toInt
+                 else (-((u + 1) >> 1)).toInt
+        j += 1; t += 1
+      }
+      p += 1
+    }
+    j == blockSize
+  }
+
   /** Real FLAC decode: STREAMINFO walk, per-frame header grammar with
     * CRC-8 verification, subframe decode (constant / verbatim / fixed
-    * predictors order 0–4, partitioned rice incl. the 5-bit escape-
+    * predictors order 0–4 / quantized LPC any order ≤ 32 with 64-bit
+    * prediction accumulator, partitioned rice incl. the 5-bit escape-
     * free path), byte-align, CRC-16 verification, reduced to
-    * [[FlacMeta]]. Any structural violation, unsupported subframe
-    * (LPC), or checksum mismatch yields None — a corrupt file is a
-    * missing row, not a wrong row. */
+    * [[FlacMeta]]. Any structural violation, reserved subframe type,
+    * negative LPC shift, or checksum mismatch yields None — a corrupt
+    * file is a missing row, not a wrong row. */
   def parseFlacMeta(id: Long, b: Array[Byte]): Option[FlacMeta] = try {
     if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
         b(3) != 'C') return None
@@ -4896,46 +5045,60 @@ object MediaCodec {
         } else if ((sfType & 0x38) == 0x08 && (sfType & 7) <= 4) { // FIXED
           val order = sfType & 7
           val hist = new Array[Int](blockSize)
+          val res = new Array[Int](blockSize)
           var j = 0
           while (j < order) { hist(j) = sext(r.read(16)); j += 1 }
-          if (r.read(2) != 0) return None // only 4-bit rice params here
-          val po = r.read(4).toInt
-          if (po < 0 || (blockSize >> po) << po != blockSize) return None
-          val nParts = 1 << po
-          val partLen = blockSize >> po
-          if (partLen <= order && nParts > 1) return None
-          var p = 0
-          while (p < nParts) {
-            val riceK = r.read(4).toInt
-            if (riceK < 0 || riceK == 15) return None // escape unused
-            val nRes = if (p == 0) partLen - order else partLen
-            var t = 0
-            while (t < nRes) {
-              val q = r.readUnary()
-              if (q < 0) return None
-              val rem = r.read(riceK)
-              if (rem < 0) return None
-              val u = (q.toLong << riceK) | rem
-              val e = if ((u & 1) == 0) (u >> 1).toInt
-                      else (-((u + 1) >> 1)).toInt
-              val s = order match {
-                case 0 => e
-                case 1 => hist(j - 1) + e
-                case 2 => 2 * hist(j - 1) - hist(j - 2) + e
-                case 3 => 3 * hist(j - 1) - 3 * hist(j - 2) +
-                  hist(j - 3) + e
-                case _ => 4 * hist(j - 1) - 6 * hist(j - 2) +
-                  4 * hist(j - 3) - hist(j - 4) + e
-              }
-              hist(j) = s
-              j += 1; t += 1
-            }
-            p += 1
+          if (!readRiceResiduals(r, blockSize, order, res)) return None
+          while (j < blockSize) {
+            hist(j) = (order match {
+              case 0 => 0
+              case 1 => hist(j - 1)
+              case 2 => 2 * hist(j - 1) - hist(j - 2)
+              case 3 => 3 * hist(j - 1) - 3 * hist(j - 2) + hist(j - 3)
+              case _ => 4 * hist(j - 1) - 6 * hist(j - 2) +
+                4 * hist(j - 3) - hist(j - 4)
+            }) + res(j)
+            j += 1
           }
-          if (j != blockSize) return None
           j = 0
           while (j < blockSize) { record(hist(j)); j += 1 }
-        } else return None // LPC or reserved
+        } else if ((sfType & 0x20) != 0) { // LPC, order 1..32
+          val order = (sfType & 0x1f) + 1
+          if (order > blockSize) return None
+          val hist = new Array[Int](blockSize)
+          val res = new Array[Int](blockSize)
+          var j = 0
+          while (j < order) { hist(j) = sext(r.read(16)); j += 1 }
+          val precCode = r.read(4)
+          if (precCode < 0 || precCode == 15) return None // 1111 invalid
+          val precision = precCode.toInt + 1
+          val shiftRaw = r.read(5)
+          if (shiftRaw < 0) return None
+          // 5-bit two's complement; negative shifts are reserved by
+          // RFC 9639 §9.2.6 and no real encoder emits them — reject
+          val shift = ((shiftRaw << 59) >> 59).toInt
+          if (shift < 0) return None
+          val coef = new Array[Long](order)
+          var k = 0
+          while (k < order) {
+            val c0 = r.read(precision)
+            if (c0 < 0) return None
+            coef(k) = (c0 << (64 - precision)) >> (64 - precision)
+            k += 1
+          }
+          if (!readRiceResiduals(r, blockSize, order, res)) return None
+          while (j < blockSize) {
+            // 64-bit accumulator, arithmetic shift (= floor division
+            // by 2^shift — the quantized-LPC prediction, RFC 9639)
+            var acc = 0L
+            k = 0
+            while (k < order) { acc += coef(k) * hist(j - 1 - k); k += 1 }
+            hist(j) = ((acc >> shift) + res(j)).toInt
+            j += 1
+          }
+          j = 0
+          while (j < blockSize) { record(hist(j)); j += 1 }
+        } else return None // reserved subframe type
         c += 1
       }
       if (!r.alignToByte()) return None
@@ -5147,5 +5310,16 @@ object MediaCodec {
       : Dataset[FlacMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { case (id, p) => parseFlacMeta(id, p) })
+  }
+
+  /** Fixture adapter for the FLAC LPC gate — every document becomes a
+    * real FLAC stream whose frames rotate quantized-LPC subframes in
+    * ([[buildFlacLpcPattern]]). */
+  def flacLpcFromDocuments(spark: SparkSession,
+                           docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildFlacLpcPattern(id, nChars)) }
   }
 }

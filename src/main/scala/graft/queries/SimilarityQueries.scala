@@ -890,10 +890,37 @@ object SimilarityQueries {
     // n_chars, frame, channel, index) arithmetic (the order-1 chain
     // via a cumulative residual sum), so a rice off-by-one, a zigzag
     // flip, a predictor drift, or a partition-boundary bug diverges
-    // the hash. Only LPC subframes stay outside — encoder-float
-    // territory the fixture never emits.
+    // the hash. LPC subframes decode under their own gate,
+    // mm_flac_lpc.
     "mm_flac_pcm" -> { (s, dir) =>
       val media = graft.operators.MediaCodec.flacFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractFlacMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("nFrames").as("n_frames"),
+          col("totalSamples").as("total_samples"),
+          col("sumSamples").as("sum_samples"),
+          col("sumAbs").as("sum_abs"),
+          col("peakAbs").as("peak_abs"),
+          col("firstSample").as("first_sample"))
+        .orderBy("doc_id")
+    },
+
+    // REAL quantized-LPC FLAC decode under the gate — the subframe
+    // type real encoders emit for nearly all music (RFC 9639 §9.2.6):
+    // warmup samples, 4-bit coefficient precision, 5-bit shift, the
+    // coefficient table, partitioned-rice residuals, and the 64-bit
+    // multiply-accumulate-shift prediction. The fixture's two LPC
+    // shapes (order-1 [1]>>1, order-2 [1,1]>>2) are contractive
+    // floor-division recurrences the oracle replays exactly as a
+    // recursive CTE — arithmetic shift is FLOOR division, and DuckDB's
+    // `//` truncates, so the oracle floors explicitly; a truncate-vs-
+    // floor confusion in the decoder diverges the hash on the first
+    // odd negative sample. General (non-SQL-friendly) coefficients
+    // are spec-driven against a direct recurrence.
+    "mm_flac_lpc" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.flacLpcFromDocuments(
         s, t(s, dir, "documents"))
       graft.operators.MediaCodec.extractFlacMeta(media).toDF()
         .select(col("id").as("doc_id"), col("channels"),
@@ -2081,6 +2108,51 @@ object SimilarityQueries {
         |  CAST(SUM(CASE WHEN i = 0 AND c = 0 AND j = 0
         |    THEN s ELSE 0 END) AS INT) AS first_sample
         |FROM samp GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives every LPC-decoded sample by replaying the quantized
+    // prediction recurrence as a recursive CTE: order-1
+    // x[j] = ⌊x[j-1]/2⌋ + e[j], order-2 x[j] = ⌊(x[j-1]+x[j-2])/4⌋
+    // + e[j], CONSTANT frames inline. floor() is explicit because
+    // DuckDB's `//` TRUNCATES while the decoder's arithmetic shift
+    // FLOORS — they differ on every odd negative prediction, so a
+    // shift-semantics bug on either side diverges the hash.
+    "mm_flac_lpc" ->
+      """WITH RECURSIVE dim AS (SELECT doc_id AS id,
+        |    1 + (doc_id % 2) AS ch,
+        |    2 + (CAST(n_chars AS BIGINT) % 6) AS nf
+        |  FROM documents),
+        |frames AS (SELECT id, ch, nf, i, c, (id + i) % 3 AS t
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(nf)) AS i),
+        |    LATERAL (SELECT unnest(range(ch)) AS c)),
+        |chain(id, ch, nf, i, c, t, j, x, xp) AS (
+        |  SELECT id, ch, nf, i, c, t, 0,
+        |    CAST(CASE WHEN t = 2 THEN (id*31 + i*17 + c*7) % 1001 - 500
+        |      ELSE (id*13 + i*7 + c*3) % 801 - 400 END AS BIGINT),
+        |    CAST(0 AS BIGINT)
+        |  FROM frames
+        |  UNION ALL
+        |  SELECT id, ch, nf, i, c, t, j + 1,
+        |    CAST(CASE WHEN t = 2 THEN x
+        |      WHEN t = 0 THEN CAST(floor(x / 2.0) AS BIGINT)
+        |        + (id + i*3 + c*5 + (j+1)) % 15 - 7
+        |      WHEN j = 0 THEN (id*11 + i*5 + c*9) % 601 - 300
+        |      ELSE CAST(floor((x + xp) / 4.0) AS BIGINT)
+        |        + (id + i*3 + c*5 + (j+1)) % 15 - 7 END AS BIGINT),
+        |    x
+        |  FROM chain WHERE j < 255)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(ch) AS INT) AS channels,
+        |  CAST(CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+        |    ELSE 8000 END AS INT) AS sample_rate,
+        |  CAST(MAX(nf) AS INT) AS n_frames,
+        |  CAST(MAX(nf) * 256 AS BIGINT) AS total_samples,
+        |  CAST(SUM(x) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(abs(x)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(abs(x)) AS INT) AS peak_abs,
+        |  CAST(SUM(CASE WHEN i = 0 AND c = 0 AND j = 0
+        |    THEN x ELSE 0 END) AS INT) AS first_sample
+        |FROM chain GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Same derived samples as mm_wav_energy; crossings via a
     // per-channel LAG with the identical strict prev·cur < 0 rule.

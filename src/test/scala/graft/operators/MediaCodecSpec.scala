@@ -1423,6 +1423,133 @@ class MediaCodecSpec extends SparkSpec {
     assert(meta.sumSamples === (0 until 256).map(j => 10L + 3 * j).sum)
   }
 
+  /** One-frame mono 8 kHz 16-bit stream with a single LPC subframe —
+    * raw precision/shift fields so malformed values can be planted. */
+  private def lpcStream(warm: Seq[Int], coefs: Seq[Int], precMinus1: Int,
+                        shiftBits: Int, res: Int => Int): Array[Byte] = {
+    val order = coefs.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new MediaCodec.FlacBitWriter
+    si.write(256, 16); si.write(256, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(256, 36)
+    (0 until 16).foreach(_ => si.write(0, 8))
+    val siB = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length)
+    out.write(siB, 0, siB.length)
+    val w = new MediaCodec.FlacBitWriter
+    w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
+    w.write(8, 4); w.write(4, 4); w.write(0, 4); w.write(4, 3); w.write(0, 1)
+    w.write(0, 8) // frame 0
+    val head = w.toBytes
+    val fw = new MediaCodec.FlacBitWriter
+    head.foreach(b => fw.write(b & 0xffL, 8))
+    fw.write(MediaCodec.flacCrc8(head, 0, head.length), 8)
+    fw.write(0, 1); fw.write(0x20 | (order - 1), 6); fw.write(0, 1)
+    warm.foreach(s => fw.write(s.toLong & 0xffff, 16))
+    fw.write(precMinus1, 4)
+    fw.write(shiftBits, 5)
+    coefs.foreach(c => fw.write(c.toLong & ((1L << (precMinus1 + 1)) - 1),
+      precMinus1 + 1))
+    fw.write(0, 2); fw.write(0, 4); fw.write(1, 4) // rice po=0, k=1
+    (order until 256).foreach { j =>
+      val e = res(j)
+      val u = if (e >= 0) e << 1 else (-e << 1) - 1
+      fw.writeUnary(u >>> 1); fw.write(u & 1, 1)
+    }
+    val frame = fw.toBytes
+    out.write(frame, 0, frame.length)
+    val c16 = MediaCodec.flacCrc16(frame, 0, frame.length)
+    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    out.toByteArray
+  }
+
+  test("flac: general quantized-LPC subframe via a hand-built frame") {
+    // order-3, coefs [4,-2,1], shift 3 (contractive — bounded at any
+    // length), nonzero residual pattern: coefficients the SQL oracle
+    // never sees, checked against a direct recurrence
+    val warm = Seq(100, -120, 90)
+    val coefs = Seq(4, -2, 1)
+    def res(j: Int): Int = (j * 3) % 7 - 3
+    val b = lpcStream(warm, coefs, precMinus1 = 4, shiftBits = 3, res)
+    val meta = parseFlacMeta(5L, b)
+      .getOrElse(fail("general LPC frame did not parse"))
+    val xs = new Array[Long](256)
+    warm.zipWithIndex.foreach { case (s, j) => xs(j) = s }
+    for (j <- 3 until 256) {
+      val acc = 4 * xs(j - 1) - 2 * xs(j - 2) + 1 * xs(j - 3)
+      xs(j) = (acc >> 3) + res(j) // arithmetic shift = floor division
+    }
+    assert(meta.nFrames === 1)
+    assert(meta.totalSamples === 256L)
+    assert(meta.firstSample === 100)
+    assert(meta.sumSamples === xs.sum)
+    assert(meta.sumAbs === xs.map(math.abs).sum)
+    assert(meta.peakAbs === xs.map(math.abs).max.toInt)
+    // floor-vs-truncate discriminator: the chain must actually hit odd
+    // negative prediction sums, else the shift semantics were untested
+    var oddNeg = false
+    for (j <- 3 until 256) {
+      val acc = 4 * xs(j - 1) - 2 * xs(j - 2) + 1 * xs(j - 3)
+      if (acc < 0 && (acc & 7) != 0) oddNeg = true
+    }
+    assert(oddNeg, "fixture never exercised floor-division rounding")
+  }
+
+  test("flac: LPC precision escape and negative shift are rejected") {
+    val warm = Seq(10); val coefs = Seq(1)
+    def zero(j: Int): Int = 0
+    // valid control
+    assert(parseFlacMeta(1L,
+      lpcStream(warm, coefs, precMinus1 = 2, shiftBits = 1, zero)).isDefined)
+    // precision code 1111 is forbidden (RFC 9639 §9.2.6)
+    assert(parseFlacMeta(1L,
+      lpcStream(warm, coefs, precMinus1 = 15, shiftBits = 1, zero)).isEmpty)
+    // shift 0b11111 = -1: negative shifts reserved, must reject
+    assert(parseFlacMeta(1L,
+      lpcStream(warm, coefs, precMinus1 = 2, shiftBits = 31, zero)).isEmpty)
+  }
+
+  test("flac: LPC fixture decodes and matches the recurrence") {
+    for (id <- 0L until 17L; nChars <- Seq(0L, 3L, 42L, 97L)) {
+      val meta = parseFlacMeta(id, buildFlacLpcPattern(id, nChars))
+        .getOrElse(fail(s"no LPC parse for id=$id nChars=$nChars"))
+      val nf = 2 + (nChars % 6).toInt
+      val ch = 1 + (id % 2).toInt
+      var sum = 0L; var sumAbs = 0L; var peak = 0L
+      var first = 0L; var haveFirst = false
+      for (i <- 0 until nf; c <- 0 until ch) {
+        val t = ((id + i) % 3).toInt
+        val xs = new Array[Long](256)
+        if (t == 2) {
+          val v = (id * 31 + i * 17 + c * 7) % 1001 - 500
+          java.util.Arrays.fill(xs, v)
+        } else {
+          xs(0) = (id * 13 + i * 7 + c * 3) % 801 - 400
+          if (t == 1) xs(1) = (id * 11 + i * 5 + c * 9) % 601 - 300
+          for (j <- (t + 1) until 256) {
+            val e = (id + i * 3 + c * 5 + j) % 15 - 7
+            val pred = if (t == 0) xs(j - 1) >> 1
+                       else (xs(j - 1) + xs(j - 2)) >> 2
+            xs(j) = pred + e
+          }
+        }
+        xs.foreach { s =>
+          if (!haveFirst) { first = s; haveFirst = true }
+          sum += s; sumAbs += math.abs(s)
+          if (math.abs(s) > peak) peak = math.abs(s)
+        }
+      }
+      assert(meta.channels === ch)
+      assert(meta.nFrames === nf)
+      assert(meta.totalSamples === nf.toLong * 256)
+      assert(meta.firstSample.toLong === first)
+      assert(meta.sumSamples === sum)
+      assert(meta.sumAbs === sumAbs)
+      assert(meta.peakAbs.toLong === peak)
+    }
+  }
+
   test("ogg: page walk matches the fixture arithmetic") {
     for (id <- 0L until 17L; nChars <- Seq(0L, 3L, 42L, 997L)) {
       val meta = parseOggMeta(id, buildOggPattern(id, nChars))
@@ -1495,9 +1622,10 @@ class MediaCodecSpec extends SparkSpec {
     val good = buildFlacPattern(7L, 99L)
     for (cut <- Seq(0, 3, 4, 20, 41, 42, good.length - 1))
       assert(parseFlacMeta(7L, good.take(cut)).isEmpty)
-    // a stream with LPC (unsupported subframe type) is rejected whole
+    // flipping a FIXED subframe's type bit to LPC makes the payload a
+    // garbage LPC subframe (order-10 warmups eat rice bits) — the
+    // decode must fail structurally or on CRC-16, never mis-decode
     val lpc = good.clone()
-    // find the first subframe header byte and force type LPC (1xxxxx):
     // frame starts at 42; header 5 bytes + crc8 -> subframe bits at 48
     lpc(48) = (lpc(48) | 0x40).toByte
     assert(parseFlacMeta(7L, lpc).isEmpty)
