@@ -5277,6 +5277,232 @@ object MediaCodec {
     Some(OggMeta(id, serial, nPages, nPackets, payload, lastGranule))
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** One Ogg page from whole packets (RFC 3533 lacing: 255-runs plus a
+    * terminator < 255, so an exact-multiple-of-255 packet ends in a
+    * 0-valued segment), CRC-32 stamped. */
+  private def oggPage(flags: Int, granule: Long, serial: Int, seq: Int,
+                      packets: Seq[Array[Byte]]): Array[Byte] = {
+    val lacing = packets.flatMap { p =>
+      Seq.fill(p.length / 255)(255) :+ (p.length % 255)
+    }
+    val payloadLen = packets.map(_.length).sum
+    val page = new Array[Byte](27 + lacing.length + payloadLen)
+    page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+    page(4) = 0
+    page(5) = flags.toByte
+    var o = 6
+    var g = granule
+    var k = 0
+    while (k < 8) { page(o) = (g & 0xff).toByte; g >>= 8; o += 1; k += 1 }
+    var sv = serial
+    k = 0
+    while (k < 4) { page(o) = (sv & 0xff).toByte; sv >>= 8; o += 1; k += 1 }
+    var sq = seq
+    k = 0
+    while (k < 4) { page(o) = (sq & 0xff).toByte; sq >>= 8; o += 1; k += 1 }
+    o += 4 // CRC stays zero while hashing
+    page(o) = lacing.length.toByte; o += 1
+    lacing.foreach { l => page(o) = l.toByte; o += 1 }
+    packets.foreach { p => System.arraycopy(p, 0, page, o, p.length)
+      o += p.length }
+    val crc = oggCrc(page, 0, page.length)
+    page(22) = (crc & 0xff).toByte
+    page(23) = ((crc >>> 8) & 0xff).toByte
+    page(24) = ((crc >>> 16) & 0xff).toByte
+    page(25) = ((crc >>> 24) & 0xff).toByte
+    page
+  }
+
+  /** Codec identification recovered from the first packet of an Ogg
+    * stream — the metadata an audio-intake filter routes on before any
+    * entropy decode. preSkip is 0 for Vorbis (an Opus-only field). */
+  final case class OggAudioMeta(id: Long, codec: String, channels: Int,
+                                sampleRate: Long, preSkip: Int,
+                                nPages: Int, nPackets: Int,
+                                payloadBytes: Long)
+
+  /** A deterministic Ogg AUDIO stream: the first page carries exactly
+    * one packet — a real OpusHead (RFC 7845 §5.1, even ids) or Vorbis
+    * identification header (Vorbis I §4.2.2, odd ids) — followed by
+    * 2–4 body pages of opaque packets (entropy-coded audio stays
+    * behind the decoder seam). All header fields derive from id
+    * arithmetic the oracle re-derives in SQL. */
+  def buildOggAudioPattern(id: Long, nChars: Long): Array[Byte] = {
+    val serial = (id % 100000).toInt
+    val header: Array[Byte] =
+      if (id % 2 == 0) {
+        // OpusHead: magic, version 1, channels, pre-skip LE16, input
+        // sample rate LE32, output gain LE16 = 0, mapping family 0
+        val ch = 1 + ((id / 2) % 2).toInt
+        val preSkip = 312 + (id % 100).toInt
+        val rate = (id % 3) match {
+          case 0 => 48000; case 1 => 24000; case _ => 16000
+        }
+        val b = java.nio.ByteBuffer.allocate(19)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("OpusHead".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        b.put(1.toByte).put(ch.toByte)
+        b.putShort(preSkip.toShort)
+        b.putInt(rate)
+        b.putShort(0).put(0.toByte)
+        b.array()
+      } else {
+        // Vorbis id header: 0x01 "vorbis", version LE32 = 0, channels,
+        // rate LE32, bitrate max/nominal/min LE32, blocksizes nibble
+        // pair (2^8, 2^11), framing bit 1
+        val ch = 1 + ((id / 2) % 2).toInt
+        val rate = (id % 3) match {
+          case 0 => 44100; case 1 => 32000; case _ => 11025
+        }
+        val b = java.nio.ByteBuffer.allocate(30)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte)
+        b.put("vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        b.putInt(0).put(ch.toByte)
+        b.putInt(rate)
+        b.putInt(0).putInt(0).putInt(0)
+        b.put(((11 << 4) | 8).toByte) // blocksize_0 = 2^8, _1 = 2^11
+        b.put(1.toByte) // framing
+        b.array()
+      }
+    val nBody = 2 + (nChars % 3).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    val first = oggPage(0x02, 0L, serial, 0, Seq(header))
+    out.write(first, 0, first.length)
+    var p = 1
+    while (p <= nBody) {
+      val nPk = 1 + ((id + p) % 3).toInt
+      val packets = (0 until nPk).map { k =>
+        val sz = if ((id + p + k) % 5 == 0) 300 + ((id + k) % 200).toInt
+                 else 20 + ((id + p * 7 + k * 13) % 230).toInt
+        Array.tabulate[Byte](sz)(j => ((j * 31 + id + p) % 251).toByte)
+      }
+      val flags = if (p == nBody) 0x04 else 0x00
+      val granule = p.toLong * (1000 + (id % 500))
+      val page = oggPage(flags, granule, serial, p, packets)
+      out.write(page, 0, page.length)
+      p += 1
+    }
+    out.toByteArray
+  }
+
+  /** Real Ogg audio identification: the page walk of [[parseOggMeta]]
+    * (capture/version/CRC/lacing/BOS/EOS checks) plus reassembly of
+    * the FIRST packet, parsed as OpusHead (RFC 7845 §5.1: version 1,
+    * channel count, pre-skip, input sample rate) or a Vorbis
+    * identification header (Vorbis I §4.2.2: version 0, channels,
+    * rate, blocksize sanity, framing bit). Unknown first-packet magic,
+    * malformed header fields, or any page-level violation → None. */
+  def parseOggAudioMeta(id: Long, b: Array[Byte]): Option[OggAudioMeta] =
+    try {
+      var pos = 0
+      var nPages = 0
+      var nPackets = 0
+      var payload = 0L
+      var serial = -1L
+      var sawEos = false
+      var firstPacket: Array[Byte] = null
+      while (pos < b.length) {
+        if (sawEos) return None
+        if (pos + 27 > b.length) return None
+        if (b(pos) != 'O' || b(pos + 1) != 'g' || b(pos + 2) != 'g' ||
+            b(pos + 3) != 'S') return None
+        if (b(pos + 4) != 0) return None
+        val flags = b(pos + 5) & 0xff
+        if (nPages == 0 && (flags & 0x02) == 0) return None
+        if (nPages > 0 && (flags & 0x02) != 0) return None
+        var ser = 0L
+        var k = 3
+        while (k >= 0) { ser = (ser << 8) | (b(pos + 14 + k) & 0xffL)
+          k -= 1 }
+        if (serial < 0) serial = ser
+        else if (ser != serial) return None
+        val nSegs = b(pos + 26) & 0xff
+        if (pos + 27 + nSegs > b.length) return None
+        var bodyLen = 0
+        k = 0
+        while (k < nSegs) {
+          val l = b(pos + 27 + k) & 0xff
+          bodyLen += l
+          if (l < 255) nPackets += 1
+          k += 1
+        }
+        val pageLen = 27 + nSegs + bodyLen
+        if (pos + pageLen > b.length) return None
+        val copy = java.util.Arrays.copyOfRange(b, pos, pos + pageLen)
+        val stored = (copy(22) & 0xff) | ((copy(23) & 0xff) << 8) |
+          ((copy(24) & 0xff) << 16) | ((copy(25) & 0xff) << 24)
+        copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
+        if (oggCrc(copy, 0, copy.length) != stored) return None
+        if (nPages == 0) {
+          // reassemble the first packet from the BOS page's lacing
+          var len = 0
+          var seg = 0
+          var done = false
+          while (seg < nSegs && !done) {
+            val l = b(pos + 27 + seg) & 0xff
+            len += l
+            if (l < 255) done = true
+            seg += 1
+          }
+          if (!done) return None // ID header must not span pages
+          firstPacket =
+            java.util.Arrays.copyOfRange(b, pos + 27 + nSegs,
+              pos + 27 + nSegs + len)
+        }
+        payload += bodyLen
+        if ((flags & 0x04) != 0) sawEos = true
+        nPages += 1
+        pos += pageLen
+      }
+      if (nPages == 0 || !sawEos || firstPacket == null) return None
+      val h = firstPacket
+      def le16(o: Int): Int = (h(o) & 0xff) | ((h(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long = (h(o) & 0xffL) | ((h(o + 1) & 0xffL) << 8) |
+        ((h(o + 2) & 0xffL) << 16) | ((h(o + 3) & 0xffL) << 24)
+      val isOpus = h.length >= 19 &&
+        new String(h, 0, 8, java.nio.charset.StandardCharsets.US_ASCII) ==
+          "OpusHead"
+      val isVorbis = h.length >= 30 && h(0) == 1 &&
+        new String(h, 1, 6, java.nio.charset.StandardCharsets.US_ASCII) ==
+          "vorbis"
+      if (isOpus) {
+        if (h(8) != 1) return None // version
+        val ch = h(9) & 0xff
+        if (ch < 1) return None
+        Some(OggAudioMeta(id, "opus", ch, le32(12), le16(10), nPages,
+          nPackets, payload))
+      } else if (isVorbis) {
+        if (le32(7) != 0L) return None // vorbis_version
+        val ch = h(11) & 0xff
+        val rate = le32(12)
+        if (ch < 1 || rate <= 0) return None
+        val bs0 = h(28) & 0x0f
+        val bs1 = (h(28) >> 4) & 0x0f
+        if (bs0 < 6 || bs0 > 13 || bs1 < bs0 || bs1 > 13) return None
+        if ((h(29) & 1) != 1) return None // framing bit
+        Some(OggAudioMeta(id, "vorbis", ch, rate, 0, nPages, nPackets,
+          payload))
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture adapter for the Ogg audio-identification gate. */
+  def oggAudioFromDocuments(spark: SparkSession,
+                            docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildOggAudioPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch identification walk — payloads never shuffle. */
+  def extractOggAudioMeta(media: Dataset[(Long, Array[Byte])])
+      : Dataset[OggAudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) =>
+      parseOggAudioMeta(id, p) })
+  }
+
   /** Fixture adapter for the Ogg gate. */
   def oggFromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {

@@ -955,6 +955,29 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL codec identification behind the Ogg page walk — the first
+    // packet of each stream parsed as OpusHead (RFC 7845 §5.1:
+    // version, channels, pre-skip, input sample rate, all
+    // little-endian) or a Vorbis identification header (Vorbis I
+    // §4.2.2: version 0, channels, rate, blocksize sanity, framing
+    // bit). This retires the decoder seam for audio METADATA: an
+    // intake filter can route/shape on codec, channels, rate, and
+    // pre-skip without any entropy decode. The oracle re-derives
+    // every field from id arithmetic plus the page/packet counts from
+    // the lacing grammar.
+    "mm_opus_meta" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.oggAudioFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractOggAudioMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("codec"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("preSkip").as("pre_skip"),
+          col("nPages").as("n_pages"),
+          col("nPackets").as("n_packets"),
+          col("payloadBytes").as("payload_bytes"))
+        .orderBy("doc_id")
+    },
+
     // REAL PCM16 sample decode under the gate — the audio twin of
     // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
     // little-endian int16 frames spanning negative values, LIST chunks
@@ -2108,6 +2131,38 @@ object SimilarityQueries {
         |  CAST(SUM(CASE WHEN i = 0 AND c = 0 AND j = 0
         |    THEN s ELSE 0 END) AS INT) AS first_sample
         |FROM samp GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the identification-header fields from id arithmetic
+    // (codec by parity, channels/rate/pre-skip by the fixture's mod
+    // formulas) and the page/packet/payload counts from the body-page
+    // lacing grammar plus the 19-byte OpusHead / 30-byte Vorbis
+    // header. The Spark side must recover identical values from real
+    // little-endian header bytes behind real CRC-verified pages.
+    "mm_opus_meta" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    2 + (CAST(n_chars AS BIGINT) % 3) AS nb
+        |  FROM documents),
+        |body AS (SELECT id, nb, p, 1 + (id + p) % 3 AS npk
+        |  FROM dim, LATERAL (SELECT unnest(range(1, nb + 1)) AS p)),
+        |pk AS (SELECT id, nb, p, k,
+        |    CASE WHEN (id + p + k) % 5 = 0 THEN 300 + (id + k) % 200
+        |      ELSE 20 + (id + p*7 + k*13) % 230 END AS sz
+        |  FROM body, LATERAL (SELECT unnest(range(npk)) AS k))
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CAST(1 + (id // 2) % 2 AS INT) AS channels,
+        |  CAST(CASE WHEN id % 2 = 0 THEN
+        |      CASE id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 24000
+        |        ELSE 16000 END
+        |    ELSE CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 32000
+        |      ELSE 11025 END END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN id % 2 = 0 THEN 312 + id % 100 ELSE 0 END
+        |    AS INT) AS pre_skip,
+        |  CAST(MAX(nb) + 1 AS INT) AS n_pages,
+        |  CAST(COUNT(*) + 1 AS INT) AS n_packets,
+        |  CAST(SUM(sz) + CASE WHEN id % 2 = 0 THEN 19 ELSE 30 END
+        |    AS BIGINT) AS payload_bytes
+        |FROM pk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives every LPC-decoded sample by replaying the quantized
     // prediction recurrence as a recursive CTE: order-1

@@ -1612,6 +1612,77 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("ogg audio: OpusHead and Vorbis id headers round-trip") {
+    for (id <- 0L until 18L; nChars <- Seq(0L, 5L, 101L)) {
+      val meta = parseOggAudioMeta(id, buildOggAudioPattern(id, nChars))
+        .getOrElse(fail(s"no audio parse for id=$id nChars=$nChars"))
+      val nb = 2 + (nChars % 3).toInt
+      val expSizes = for {
+        p <- 1 to nb
+        k <- 0 until (1 + ((id + p) % 3).toInt)
+      } yield
+        if ((id + p + k) % 5 == 0) 300 + ((id + k) % 200).toInt
+        else 20 + ((id + p * 7 + k * 13) % 230).toInt
+      assert(meta.codec === (if (id % 2 == 0) "opus" else "vorbis"))
+      assert(meta.channels === 1 + ((id / 2) % 2).toInt)
+      val expRate =
+        if (id % 2 == 0) (id % 3) match {
+          case 0 => 48000L; case 1 => 24000L; case _ => 16000L
+        } else (id % 3) match {
+          case 0 => 44100L; case 1 => 32000L; case _ => 11025L
+        }
+      assert(meta.sampleRate === expRate)
+      assert(meta.preSkip ===
+        (if (id % 2 == 0) 312 + (id % 100).toInt else 0))
+      assert(meta.nPages === nb + 1)
+      assert(meta.nPackets === expSizes.length + 1)
+      val hdrLen = if (id % 2 == 0) 19 else 30
+      assert(meta.payloadBytes === expSizes.map(_.toLong).sum + hdrLen)
+    }
+  }
+
+  test("ogg audio: malformed identification headers are rejected") {
+    val opus = buildOggAudioPattern(2L, 5L) // even id -> OpusHead
+    assert(parseOggAudioMeta(2L, opus).isDefined)
+    // locate the header packet: first page = 27 + 1 lacing + payload;
+    // OpusHead version byte is packet offset 8
+    def corrupt(b: Array[Byte], pktOff: Int, v: Byte): Array[Byte] = {
+      val c = b.clone()
+      val nSegs = c(26) & 0xff
+      c(27 + nSegs + pktOff) = v
+      // restamp the first page's CRC so only the FIELD is wrong
+      val bodyLen = (0 until nSegs).map(k => c(27 + k) & 0xff).sum
+      val pageLen = 27 + nSegs + bodyLen
+      c(22) = 0; c(23) = 0; c(24) = 0; c(25) = 0
+      val crc = MediaCodec.oggCrc(c, 0, pageLen)
+      c(22) = (crc & 0xff).toByte
+      c(23) = ((crc >>> 8) & 0xff).toByte
+      c(24) = ((crc >>> 16) & 0xff).toByte
+      c(25) = ((crc >>> 24) & 0xff).toByte
+      c
+    }
+    // Opus version must be 1
+    assert(parseOggAudioMeta(2L, corrupt(opus, 8, 9)).isEmpty)
+    // unknown magic
+    assert(parseOggAudioMeta(2L, corrupt(opus, 0, 'X')).isEmpty)
+    val vorbis = buildOggAudioPattern(3L, 5L) // odd id -> Vorbis
+    assert(parseOggAudioMeta(3L, vorbis).isDefined)
+    // framing bit must be set (packet offset 29)
+    assert(parseOggAudioMeta(3L, corrupt(vorbis, 29, 0)).isEmpty)
+    // blocksize_1 < blocksize_0 is invalid (packet offset 28)
+    assert(parseOggAudioMeta(3L,
+      corrupt(vorbis, 28, ((6 << 4) | 8).toByte)).isEmpty)
+    // a payload flip WITHOUT restamping must die on the page CRC
+    val bad = vorbis.clone(); bad(40) = (bad(40) ^ 1).toByte
+    assert(parseOggAudioMeta(3L, bad).isEmpty)
+    val rnd = new scala.util.Random(991)
+    for (_ <- 0 until 200) {
+      val junk = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(junk)
+      assert(parseOggAudioMeta(1L, junk).forall(_.nPages >= 0)) // no throw
+    }
+  }
+
   test("flac: totality on corrupt and truncated payloads") {
     val rnd = new scala.util.Random(4242)
     for (_ <- 0 until 200) {
