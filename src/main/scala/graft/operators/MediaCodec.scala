@@ -1041,6 +1041,346 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Sample-table metadata resolved from a real ISO-BMFF stbl — what a
+    * video-intake pipeline uses to sample keyframes WITHOUT decoding:
+    * per-sample sizes (stsz, both the constant-size and per-sample
+    * forms), decode deltas (stts), sync samples (stss), and the
+    * sample→chunk→byte-offset resolution through stsc/stco.
+    * `lastKfRelOffset` is the byte offset (within the mdat payload) of
+    * the LAST keyframe, resolved through the full chain — a real
+    * random-access computation, not a table echo. */
+  final case class Mp4Samples(id: Long, nSamples: Int,
+                              totalSampleBytes: Long, maxSampleSize: Int,
+                              nKeyframes: Int, nChunks: Int,
+                              durationUnits: Long, lastKfRelOffset: Long)
+
+  /** A deterministic single-video-track MP4 with REAL sample tables:
+    * two stts runs, stss keyframes every 5–8 samples, stsc with a
+    * short-tail second entry when the sample count doesn't divide the
+    * chunk size, stco holding TRUE absolute file offsets (moov is
+    * built twice: once to measure, once with the offsets), and an
+    * mdat whose payload is the concatenated samples chunk by chunk.
+    * Every 4th id uses stsz's constant-sample-size form, the rest the
+    * per-sample table. All values derive from (id, nChars) arithmetic
+    * the oracle re-derives in SQL. */
+  def buildMp4SamplesPattern(id: Long, nChars: Long): Array[Byte] = {
+    val n = 20 + (nChars % 60).toInt
+    val constSize = id % 4 == 0
+    def sz(k: Int): Int =
+      if (constSize) 150 + (id % 100).toInt
+      else 100 + ((id * 7 + k * 13) % 900).toInt
+    val d1 = 1000 + (id % 500).toInt
+    val d2 = 2000 + (id % 1000).toInt
+    val n1 = n / 2
+    val durationUnits = n1.toLong * d1 + (n - n1).toLong * d2
+    val g = 5 + (id % 4).toInt
+    val nKf = 1 + (n - 1) / g
+    val spc = 4 + (id % 3).toInt
+    val nChunks = (n + spc - 1) / spc
+    val totalBytes = (0 until n).map(sz).map(_.toLong).sum
+
+    def box(fourcc: String, parts: Array[Byte]*): Array[Byte] = {
+      val len = 8 + parts.map(_.length).sum
+      val out = java.nio.ByteBuffer.allocate(len)
+      out.putInt(len)
+      out.put(fourcc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      parts.foreach(out.put)
+      out.array()
+    }
+    def bytes(nb: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(nb); f(buf); buf.array()
+    }
+    val ftyp = box("ftyp", bytes(16) { f =>
+      f.put("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      f.putInt(0x200)
+      f.put("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      f.put("mp41".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    })
+    val stts = box("stts", bytes(8 + 16) { s =>
+      s.putInt(0).putInt(2)
+      s.putInt(n1).putInt(d1)
+      s.putInt(n - n1).putInt(d2)
+    })
+    val stss = box("stss", bytes(8 + 4 * nKf) { s =>
+      s.putInt(0).putInt(nKf)
+      var k = 0
+      while (k < nKf) { s.putInt(1 + k * g); k += 1 }
+    })
+    val tail = n % spc
+    val stscEntries = if (tail == 0) 1 else 2
+    val stsc = box("stsc", bytes(8 + 12 * stscEntries) { s =>
+      s.putInt(0).putInt(stscEntries)
+      s.putInt(1).putInt(spc).putInt(1)
+      if (tail != 0) { s.putInt(nChunks).putInt(tail).putInt(1) }
+    })
+    val stsz =
+      if (constSize) box("stsz", bytes(12) { s =>
+        s.putInt(0).putInt(sz(0)).putInt(n)
+      })
+      else box("stsz", bytes(12 + 4 * n) { s =>
+        s.putInt(0).putInt(0).putInt(n)
+        var k = 0
+        while (k < n) { s.putInt(sz(k)); k += 1 }
+      })
+    def stco(offsets: Array[Long]): Array[Byte] =
+      box("stco", bytes(8 + 4 * nChunks) { s =>
+        s.putInt(0).putInt(nChunks)
+        offsets.foreach(o => s.putInt(o.toInt))
+      })
+    def moov(chunkOffsets: Array[Long]): Array[Byte] = {
+      val mvhd = box("mvhd", bytes(100) { m =>
+        m.putInt(0)
+        m.putInt(0).putInt(0)
+        m.putInt(90000) // media == movie timescale here
+        m.putInt(durationUnits.toInt)
+        m.putInt(0x10000).putShort(0x100.toShort).putShort(0)
+        m.putLong(0L)
+        m.put(bytes(36) { x =>
+          x.putInt(0x10000).putInt(0).putInt(0)
+          x.putInt(0).putInt(0x10000).putInt(0)
+          x.putInt(0).putInt(0).putInt(0x40000000)
+        })
+        m.put(new Array[Byte](24))
+        m.putInt(2)
+      })
+      val tkhd = box("tkhd", bytes(84) { t =>
+        t.putInt(7)
+        t.putInt(0).putInt(0)
+        t.putInt(1).putInt(0)
+        t.putInt(durationUnits.toInt)
+        t.putLong(0L)
+        t.putShort(0).putShort(0)
+        t.putShort(0).putShort(0)
+        t.put(bytes(36) { x =>
+          x.putInt(0x10000).putInt(0).putInt(0)
+          x.putInt(0).putInt(0x10000).putInt(0)
+          x.putInt(0).putInt(0).putInt(0x40000000)
+        })
+        t.putInt(320 << 16).putInt(240 << 16)
+      })
+      val mdhd = box("mdhd", bytes(24) { m =>
+        m.putInt(0)
+        m.putInt(0).putInt(0)
+        m.putInt(90000).putInt(durationUnits.toInt)
+        m.putShort(0x55c4.toShort).putShort(0)
+      })
+      val hdlr = box("hdlr", bytes(25 + 12) { h =>
+        h.putInt(0); h.putInt(0)
+        h.put("vide".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        h.put(new Array[Byte](12))
+        h.put("VideoHandler".getBytes(
+          java.nio.charset.StandardCharsets.US_ASCII))
+        h.put(0.toByte)
+      })
+      val dinf = box("dinf", box("dref",
+        bytes(8)(d => d.putInt(0).putInt(1)),
+        bytes(12) { u => u.putInt(12)
+          u.put("url ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          u.putInt(1) }))
+      val videoEntry = bytes(86) { e =>
+        e.putInt(86)
+        e.put("avc1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        e.put(new Array[Byte](6)).putShort(1)
+        e.put(new Array[Byte](16))
+        e.putShort(320).putShort(240)
+        e.putInt(0x480000).putInt(0x480000)
+        e.putInt(0)
+        e.putShort(1)
+        e.put(new Array[Byte](32))
+        e.putShort(24).putShort(0xffff.toShort)
+      }
+      val stbl = box("stbl",
+        box("stsd", bytes(8)(s => s.putInt(0).putInt(1)), videoEntry),
+        stts, stsc, stsz, stss, stco(chunkOffsets))
+      box("moov", mvhd,
+        box("trak", tkhd,
+          box("mdia", mdhd, hdlr,
+            box("minf", box("vmhd", bytes(12)(v => v.putInt(1))),
+              dinf, stbl))))
+    }
+    // two-pass: measure moov with placeholder offsets, then stamp the
+    // true absolute chunk offsets (table sizes don't change)
+    val moovLen = moov(new Array[Long](nChunks)).length
+    val mdatPayloadStart = ftyp.length.toLong + moovLen + 8
+    val offsets = new Array[Long](nChunks)
+    var acc = 0L
+    var k = 0
+    var c = 0
+    while (c < nChunks) {
+      offsets(c) = mdatPayloadStart + acc
+      val inChunk = math.min(spc, n - c * spc)
+      var s = 0
+      while (s < inChunk) { acc += sz(k); k += 1; s += 1 }
+      c += 1
+    }
+    val mdatPayload = Array.tabulate[Byte](totalBytes.toInt)(j =>
+      ((j * 31 + id) % 251).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp, 0, ftyp.length)
+    val mv = moov(offsets)
+    require(mv.length == moovLen, "moov size changed between passes")
+    out.write(mv, 0, mv.length)
+    val mdat = box("mdat", mdatPayload)
+    out.write(mdat, 0, mdat.length)
+    out.toByteArray
+  }
+
+  /** Real sample-table walk + resolution (ISO/IEC 14496-12 §8.6–8.7):
+    * parses stts/stsz/stss/stsc/stco from the stbl, cross-checks the
+    * tables against each other AND the actual bytes — Σ stts counts
+    * must equal the stsz count, chunk offsets must be strictly
+    * increasing and land exactly where the chunked sample layout says
+    * inside the real mdat, total sample bytes must equal the mdat
+    * body length — then resolves the last keyframe's byte offset
+    * through stss → stsc → stco → stsz. Any inconsistency → None. */
+  def parseMp4Samples(id: Long, b: Array[Byte]): Option[Mp4Samples] = try {
+    if (b.length < 16 || tag(b, 4) != "ftyp") return None
+    var sttsCounts: Array[Long] = null
+    var sttsDeltas: Array[Long] = null
+    var sizes: Array[Int] = null
+    var constSize = 0
+    var sampleCount = 0
+    var syncs: Array[Int] = null
+    var stscFirst: Array[Int] = null
+    var stscSpc: Array[Int] = null
+    var chunkOffs: Array[Long] = null
+    var mdatStart = -1L
+    var mdatLen = -1L
+
+    def walk(from: Long, to: Long, depth: Int): Boolean = {
+      if (depth > 8) return false
+      var off = from
+      while (off + 8 <= to) {
+        val i = off.toInt
+        val size32 = be32u(b, i)
+        val fourcc = tag(b, i + 4)
+        val (boxSize, hdr) =
+          if (size32 == 1L && off + 16 <= to) (be64(b, i + 8), 16)
+          else if (size32 == 0L) (to - off, 8)
+          else (size32, 8)
+        if (boxSize < hdr || off + boxSize > to) return false
+        val body = off + hdr
+        val e = body.toInt
+        fourcc match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            if (!walk(body, off + boxSize, depth + 1)) return false
+          case "stts" =>
+            val ne = be32u(b, e + 4).toInt
+            sttsCounts = new Array[Long](ne)
+            sttsDeltas = new Array[Long](ne)
+            var j = 0
+            while (j < ne) {
+              sttsCounts(j) = be32u(b, e + 8 + 8 * j)
+              sttsDeltas(j) = be32u(b, e + 12 + 8 * j)
+              j += 1
+            }
+          case "stsz" =>
+            constSize = be32u(b, e + 4).toInt
+            sampleCount = be32u(b, e + 8).toInt
+            if (constSize == 0) {
+              sizes = new Array[Int](sampleCount)
+              var j = 0
+              while (j < sampleCount) {
+                sizes(j) = be32u(b, e + 12 + 4 * j).toInt; j += 1
+              }
+            }
+          case "stss" =>
+            val ne = be32u(b, e + 4).toInt
+            syncs = new Array[Int](ne)
+            var j = 0
+            while (j < ne) { syncs(j) = be32u(b, e + 8 + 4 * j).toInt
+              j += 1 }
+          case "stsc" =>
+            val ne = be32u(b, e + 4).toInt
+            stscFirst = new Array[Int](ne)
+            stscSpc = new Array[Int](ne)
+            var j = 0
+            while (j < ne) {
+              stscFirst(j) = be32u(b, e + 8 + 12 * j).toInt
+              stscSpc(j) = be32u(b, e + 12 + 12 * j).toInt
+              j += 1
+            }
+          case "stco" =>
+            val ne = be32u(b, e + 4).toInt
+            chunkOffs = new Array[Long](ne)
+            var j = 0
+            while (j < ne) { chunkOffs(j) = be32u(b, e + 8 + 4 * j)
+              j += 1 }
+          case "mdat" => mdatStart = body; mdatLen = boxSize - hdr
+          case _ => ()
+        }
+        off += boxSize
+      }
+      true
+    }
+    if (!walk(0L, b.length.toLong, 0)) return None
+    if (sttsCounts == null || sampleCount <= 0 || syncs == null ||
+        stscFirst == null || chunkOffs == null || mdatStart < 0)
+      return None
+    def sizeOf(k: Int): Int = // 0-based
+      if (constSize != 0) constSize else sizes(k)
+    // cross-check 1: stts sample total == stsz count
+    if (sttsCounts.sum != sampleCount.toLong) return None
+    val totalBytes = (0 until sampleCount).map(sizeOf(_).toLong).sum
+    // cross-check 2: samples exactly fill the real mdat body
+    if (totalBytes != mdatLen) return None
+    // expand stsc: samples-per-chunk for each chunk (1-based chunks)
+    val nChunks = chunkOffs.length
+    val spcByChunk = new Array[Int](nChunks)
+    var ei = 0
+    var c = 1
+    while (c <= nChunks) {
+      while (ei + 1 < stscFirst.length && stscFirst(ei + 1) <= c) ei += 1
+      spcByChunk(c - 1) = stscSpc(ei)
+      c += 1
+    }
+    if (spcByChunk.map(_.toLong).sum != sampleCount.toLong) return None
+    // cross-check 3: every chunk offset is exactly where the chunked
+    // layout puts it inside the mdat (strictly increasing follows)
+    var acc = 0L
+    var k = 0
+    c = 0
+    while (c < nChunks) {
+      if (chunkOffs(c) != mdatStart + acc) return None
+      var s = 0
+      while (s < spcByChunk(c)) { acc += sizeOf(k); k += 1; s += 1 }
+      c += 1
+    }
+    // resolve the LAST keyframe through stss -> stsc -> stco -> stsz
+    val lastKf = syncs.last // 1-based sample number
+    if (lastKf < 1 || lastKf > sampleCount) return None
+    var firstInChunk = 1
+    c = 0
+    while (firstInChunk + spcByChunk(c) <= lastKf) {
+      firstInChunk += spcByChunk(c); c += 1
+    }
+    var within = 0L
+    k = firstInChunk - 1
+    while (k < lastKf - 1) { within += sizeOf(k); k += 1 }
+    val absOff = chunkOffs(c) + within
+    val durationUnits =
+      sttsCounts.zip(sttsDeltas).map { case (n0, d) => n0 * d }.sum
+    Some(Mp4Samples(id, sampleCount, totalBytes,
+      (0 until sampleCount).map(sizeOf).max, syncs.length, nChunks,
+      durationUnits, absOff - mdatStart))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture adapter for the sample-table gate. */
+  def mp4SamplesFromDocuments(spark: SparkSession,
+                              docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildMp4SamplesPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch sample-table walk — payloads never shuffle. */
+  def extractMp4Samples(media: Dataset[(Long, Array[Byte])])
+      : Dataset[Mp4Samples] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseMp4Samples(id, p) })
+  }
+
   /** Fixture adapter for the CONTAINER-metadata gate: every document
     * becomes a structurally-varied two-track MP4 whose every metadata
     * field derives from (doc_id, n_chars) arithmetic, so the oracle

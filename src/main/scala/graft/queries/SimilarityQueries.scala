@@ -955,6 +955,30 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL ISO-BMFF sample tables under the gate — the next layer
+    // below mm_mp4_meta's track walk, and what a video intake uses to
+    // sample keyframes WITHOUT decoding: stts decode deltas, stsz in
+    // BOTH forms (constant-size and per-sample), stss sync samples,
+    // and the stsc→stco→stsz chain resolved to the last keyframe's
+    // byte offset inside a real chunked mdat. The parser cross-checks
+    // the tables against the actual bytes (Σstts = stsz count, chunk
+    // offsets exactly where the layout puts them, sample bytes = mdat
+    // length), so the fixture cannot be satisfied by echoing fields.
+    "mm_mp4_samples" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.mp4SamplesFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractMp4Samples(media).toDF()
+        .select(col("id").as("doc_id"),
+          col("nSamples").as("n_samples"),
+          col("totalSampleBytes").as("total_sample_bytes"),
+          col("maxSampleSize").as("max_sample_size"),
+          col("nKeyframes").as("n_keyframes"),
+          col("nChunks").as("n_chunks"),
+          col("durationUnits").as("duration_units"),
+          col("lastKfRelOffset").as("last_kf_rel_offset"))
+        .orderBy("doc_id")
+    },
+
     // REAL codec identification behind the Ogg page walk — the first
     // packet of each stream parsed as OpusHead (RFC 7845 §5.1:
     // version, channels, pre-skip, input sample rate, all
@@ -2131,6 +2155,42 @@ object SimilarityQueries {
         |  CAST(SUM(CASE WHEN i = 0 AND c = 0 AND j = 0
         |    THEN s ELSE 0 END) AS INT) AS first_sample
         |FROM samp GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the sample tables from the fixture arithmetic: sizes
+    // by the per-sample (or every-4th-id constant) formula, keyframe
+    // count from the stride, chunk count from ceil-division, duration
+    // from the two stts runs, and the last keyframe's relative offset
+    // as the prefix sum of the sizes before it — the byte the Spark
+    // side must land on through the real stss→stsc→stco→stsz chain.
+    "mm_mp4_samples" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    20 + (CAST(n_chars AS BIGINT) % 60) AS n,
+        |    5 + (doc_id % 4) AS g,
+        |    4 + (doc_id % 3) AS spc,
+        |    1000 + (doc_id % 500) AS d1,
+        |    2000 + (doc_id % 1000) AS d2
+        |  FROM documents),
+        |szs AS (SELECT id, k,
+        |    CASE WHEN id % 4 = 0 THEN 150 + id % 100
+        |      ELSE 100 + (id*7 + k*13) % 900 END AS sz
+        |  FROM dim, LATERAL (SELECT unnest(range(n)) AS k)),
+        |lk AS (SELECT id, n, g, spc, d1, d2,
+        |    1 + (n - 1) // g AS nkf,
+        |    1 + g * ((n - 1) // g) AS s
+        |  FROM dim)
+        |SELECT l.id AS doc_id,
+        |  CAST(l.n AS INT) AS n_samples,
+        |  CAST(SUM(z.sz) AS BIGINT) AS total_sample_bytes,
+        |  CAST(MAX(z.sz) AS INT) AS max_sample_size,
+        |  CAST(l.nkf AS INT) AS n_keyframes,
+        |  CAST((l.n + l.spc - 1) // l.spc AS INT) AS n_chunks,
+        |  CAST((l.n // 2) * l.d1 + (l.n - l.n // 2) * l.d2 AS BIGINT)
+        |    AS duration_units,
+        |  CAST(SUM(CASE WHEN z.k < l.s - 1 THEN z.sz ELSE 0 END)
+        |    AS BIGINT) AS last_kf_rel_offset
+        |FROM lk l JOIN szs z ON l.id = z.id
+        |GROUP BY l.id, l.n, l.nkf, l.spc, l.d1, l.d2, l.s
+        |ORDER BY doc_id""".stripMargin,
 
     // Re-derives the identification-header fields from id arithmetic
     // (codec by parity, channels/rate/pre-skip by the fixture's mod

@@ -1225,6 +1225,58 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("mp4 samples: tables resolve and match the fixture arithmetic") {
+    for (id <- 0L until 16L; nChars <- Seq(0L, 17L, 259L)) {
+      val meta = parseMp4Samples(id, buildMp4SamplesPattern(id, nChars))
+        .getOrElse(fail(s"no samples parse for id=$id nChars=$nChars"))
+      val n = 20 + (nChars % 60).toInt
+      def sz(k: Int): Int =
+        if (id % 4 == 0) 150 + (id % 100).toInt
+        else 100 + ((id * 7 + k * 13) % 900).toInt
+      val g = 5 + (id % 4).toInt
+      val nKf = 1 + (n - 1) / g
+      val lastKf = 1 + g * (nKf - 1) // 1-based
+      val spc = 4 + (id % 3).toInt
+      val d1 = 1000 + (id % 500); val d2 = 2000 + (id % 1000)
+      assert(meta.nSamples === n)
+      assert(meta.totalSampleBytes === (0 until n).map(sz(_).toLong).sum)
+      assert(meta.maxSampleSize === (0 until n).map(sz).max)
+      assert(meta.nKeyframes === nKf)
+      assert(meta.nChunks === (n + spc - 1) / spc)
+      assert(meta.durationUnits ===
+        (n / 2).toLong * d1 + (n - n / 2).toLong * d2)
+      assert(meta.lastKfRelOffset ===
+        (0 until lastKf - 1).map(sz(_).toLong).sum)
+    }
+  }
+
+  test("mp4 samples: table/byte inconsistencies are rejected") {
+    val good = buildMp4SamplesPattern(5L, 17L)
+    assert(parseMp4Samples(5L, good).isDefined)
+    def flipAt(marker: String, rel: Int, delta: Int): Array[Byte] = {
+      val c = good.clone()
+      // find the box fourcc, bump a table byte after it
+      val idx = c.indices.indexWhere(i => i + 4 <= c.length &&
+        new String(c, i, 4, "US-ASCII") == marker)
+      assert(idx > 0, s"$marker not found")
+      c(idx + rel) = (c(idx + rel) + delta).toByte
+      c
+    }
+    // stco: first chunk offset no longer matches the real layout
+    // (fourcc at idx; body ver/flags+count, first offset low byte +15)
+    assert(parseMp4Samples(5L, flipAt("stco", 15, 1)).isEmpty)
+    // stsz: sample count (low byte at +15) out of sync with stts
+    assert(parseMp4Samples(5L, flipAt("stsz", 15, 1)).isEmpty)
+    // mdat: truncated payload no longer equals the size table total
+    assert(parseMp4Samples(5L, good.dropRight(3)).isEmpty)
+    val rnd = new scala.util.Random(515)
+    for (_ <- 0 until 200) {
+      val junk = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(junk)
+      assert(parseMp4Samples(1L, junk).forall(_.nSamples >= 0)) // no throw
+    }
+  }
+
   test("mp4: corrupt payloads parse None, never hang or throw") {
     val good = buildMp4Pattern(7L, 1000L)
     assert(parseMp4Meta(1L, Array.empty[Byte]).isEmpty)
