@@ -165,6 +165,61 @@ object Bench {
     val queries = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = GraftSession.local(cpus)
+    // The PUBLISHED bulk/FINAL headline comes from a fresh forked JVM
+    // running PhaseProbe (warmup + 10 runs, median): back-to-back
+    // same-HEAD in-sequence samples spread 178k–303k bulk / 696k–1.47M
+    // FINAL (r11, SCALING.md:202-210) — a ±2× session-weather band on
+    // a number published as a headline is not a measurement. The probe
+    // IS the measurement; the in-sequence sample stays in "bulk"/
+    // "final_read" as the session-tax record. The fork runs FIRST,
+    // before this session touches anything: forked at the END of a
+    // 30-min surface run, 3/10 probe runs stalled 6× on the session's
+    // dirty page-cache/writeback legacy (23–30 s walls at 3 s GC) —
+    // start-of-session forking reproduces the standalone-probe
+    // conditions the r11 attribution was measured under. Fork args
+    // replicate this JVM's own flags (add-opens, heap, collector) and
+    // classpath — `run / fork := true` guarantees java.class.path is
+    // the real one.
+    val phaseProbe: Option[String] =
+      if (only.nonEmpty) None
+      else try {
+        val outTmp = java.nio.file.Files
+          .createTempFile("graft-phase", ".json").toString
+        val javaBin = new java.io.File(
+          new java.io.File(System.getProperty("java.home"), "bin"),
+          "java").getAbsolutePath
+        val jvmArgs = new java.util.ArrayList[String]()
+        java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.forEach { a =>
+            if (!a.startsWith("-agentlib")) { jvmArgs.add(a); () }
+          }
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin)
+        cmd.addAll(jvmArgs)
+        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+        cmd.add("graft.tools.PhaseProbe")
+        cmd.add(sfDir); cmd.add(outTmp); cmd.add("10")
+        val pb = new ProcessBuilder(cmd)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { proc.destroyForcibly(); proc.waitFor() }
+        val f = java.nio.file.Paths.get(outTmp)
+        val json =
+          if (done && proc.exitValue() == 0 && java.nio.file.Files.exists(f))
+            Some(new String(java.nio.file.Files.readAllBytes(f),
+              "UTF-8").trim).filter(_.startsWith("{"))
+          else None
+        java.nio.file.Files.deleteIfExists(f)
+        if (json.isEmpty)
+          System.err.println("[bench] phase probe fork FAILED — " +
+            "falling back to the in-sequence headline")
+        json
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] phase probe fork FAILED: $e")
+        None
+      }
     // Untimed warmup at the smallest scale factor (when present next to
     // the bench dir): absorbs one-time JVM costs — Janino codegen
     // compilation, aggregate/join class loading, JIT — so the timed pass
@@ -380,55 +435,6 @@ object Bench {
     val finalRate =
       if (finalMed > 0 && bulkRows > 0) bulkRows / finalMed else 0.0
 
-    // The PUBLISHED bulk/FINAL headline comes from a fresh forked JVM
-    // running PhaseProbe (warmup + 10 runs, median): back-to-back
-    // same-HEAD in-sequence samples spread 178k–303k bulk / 696k–1.47M
-    // FINAL (r11, SCALING.md:202-210) — a ±2× session-weather band on
-    // a number published as a headline is not a measurement. The probe
-    // IS the measurement; the in-sequence sample stays in "bulk"/
-    // "final_read" as the session-tax record. Fork args replicate this
-    // JVM's own flags (add-opens, heap, collector) and classpath —
-    // `run / fork := true` guarantees java.class.path is the real one.
-    val phaseProbe: Option[String] =
-      if (only.nonEmpty) None
-      else try {
-        val outTmp = java.nio.file.Files
-          .createTempFile("graft-phase", ".json").toString
-        val javaBin = new java.io.File(
-          new java.io.File(System.getProperty("java.home"), "bin"),
-          "java").getAbsolutePath
-        val jvmArgs = new java.util.ArrayList[String]()
-        java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments.forEach { a =>
-            if (!a.startsWith("-agentlib")) { jvmArgs.add(a); () }
-          }
-        val cmd = new java.util.ArrayList[String]()
-        cmd.add(javaBin)
-        cmd.addAll(jvmArgs)
-        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
-        cmd.add("graft.tools.PhaseProbe")
-        cmd.add(sfDir); cmd.add(outTmp); cmd.add("10")
-        val pb = new ProcessBuilder(cmd)
-        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-        val proc = pb.start()
-        val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
-        if (!done) { proc.destroyForcibly(); proc.waitFor() }
-        val f = java.nio.file.Paths.get(outTmp)
-        val json =
-          if (done && proc.exitValue() == 0 && java.nio.file.Files.exists(f))
-            Some(new String(java.nio.file.Files.readAllBytes(f),
-              "UTF-8").trim).filter(_.startsWith("{"))
-          else None
-        java.nio.file.Files.deleteIfExists(f)
-        if (json.isEmpty)
-          System.err.println("[bench] phase probe fork FAILED — " +
-            "falling back to the in-sequence headline")
-        json
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] phase probe fork FAILED: $e")
-        None
-      }
     def probeField(name: String): Option[Long] =
       phaseProbe.flatMap { j =>
         (s""""$name":(-?\\d+)""".r).findFirstMatchIn(j)
