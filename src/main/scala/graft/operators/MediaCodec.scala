@@ -5218,6 +5218,105 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** A deterministic STEREO FLAC stream exercising every channel
+    * assignment (RFC 9639 §9.1.3): per (id, frame) a rotating mode —
+    * independent L/R, left-side, right-side, mid-side — over the SAME
+    * target (L, R) sample grids, all subframes verbatim. Because
+    * decorrelation is lossless, the decoded output is the identical
+    * (L, R) whatever rode the wire, so the oracle is pure grid
+    * arithmetic with no mode term — but the Spark side only lands on
+    * it by reading real 17-bit side channels, reconstructing
+    * right = left − side / left = right + side, and restoring mid-side
+    * via the shared-parity trick (mid2 = (mid<<1)|(side&1) = L+R
+    * exactly). The grids make (L−R) hit both parities, so a dropped
+    * parity bit diverges the hash. */
+  def buildFlacStereoPattern(id: Long, nChars: Long): Array[Byte] = {
+    val nFrames = 2 + (nChars % 6).toInt
+    val sampleRate = (id % 3) match {
+      case 0 => 44100; case 1 => 22050; case _ => 8000
+    }
+    val totalSamples = nFrames.toLong * FlacBlockSize
+    def left(i: Int, j: Int): Int =
+      ((id * 3 + i * 5 + j * 7) % 1201 - 600).toInt
+    def right(i: Int, j: Int): Int =
+      ((id * 7 + i * 11 + j * 13) % 1001 - 500).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new FlacBitWriter
+    si.write(FlacBlockSize, 16); si.write(FlacBlockSize, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(sampleRate, 20)
+    si.write(2 - 1, 3) // stereo
+    si.write(16 - 1, 5)
+    si.write(totalSamples, 36)
+    var k = 0
+    while (k < 16) { si.write(0, 8); k += 1 }
+    val siBytes = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes, 0, siBytes.length)
+    var i = 0
+    while (i < nFrames) {
+      // mode rotation covers all four assignments in any 4 frames
+      val chAssign = ((id + i) % 4).toInt match {
+        case 0 => 1  // independent stereo
+        case 1 => 8  // left-side
+        case 2 => 9  // right-side
+        case _ => 10 // mid-side
+      }
+      val w = new FlacBitWriter
+      w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
+      w.write(8, 4) // blocksize code 8 = 256
+      val srCode = sampleRate match {
+        case 44100 => 9; case 22050 => 6; case _ => 4
+      }
+      w.write(srCode, 4)
+      w.write(chAssign, 4)
+      w.write(4, 3) // 16-bit
+      w.write(0, 1)
+      w.write(i, 8)
+      val headBytes = w.toBytes
+      val fw = new FlacBitWriter
+      headBytes.foreach(b => fw.write(b & 0xffL, 8))
+      fw.write(flacCrc8(headBytes, 0, headBytes.length), 8)
+      // channel payloads per mode; side = L − R rides bps+1 = 17 bits
+      def verbatim(width: Int, v: Int => Int): Unit = {
+        fw.write(0, 1); fw.write(1, 6); fw.write(0, 1)
+        var j = 0
+        while (j < FlacBlockSize) {
+          fw.write(v(j).toLong & ((1L << width) - 1), width); j += 1
+        }
+      }
+      chAssign match {
+        case 1 =>
+          verbatim(16, left(i, _)); verbatim(16, right(i, _))
+        case 8 =>
+          verbatim(16, left(i, _))
+          verbatim(17, j => left(i, j) - right(i, j))
+        case 9 =>
+          verbatim(17, j => left(i, j) - right(i, j))
+          verbatim(16, right(i, _))
+        case _ =>
+          verbatim(16, j => (left(i, j) + right(i, j)) >> 1)
+          verbatim(17, j => left(i, j) - right(i, j))
+      }
+      val frameBytes = fw.toBytes
+      out.write(frameBytes, 0, frameBytes.length)
+      val c16 = flacCrc16(frameBytes, 0, frameBytes.length)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Fixture adapter for the FLAC stereo-decorrelation gate. */
+  def flacStereoFromDocuments(spark: SparkSession,
+                              docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildFlacStereoPattern(id, nChars)) }
+  }
+
   /** UTF-8-style coded frame/sample number (the FLAC header field —
     * same prefix grammar as UTF-8 but allowed up to 7 bytes). Returns
     * -1 on malformed coding. */
@@ -5275,14 +5374,89 @@ object MediaCodec {
     j == blockSize
   }
 
+  /** One FLAC subframe decoded into `out` — CONSTANT / VERBATIM /
+    * FIXED order 0–4 / quantized LPC order ≤ 32 — at sample width `w`
+    * bits (the stream bps, +1 on a decorrelated side channel).
+    * Returns false on any structural violation. */
+  private def decodeSubframe(r: FlacBitReader, blockSize: Int, w: Int,
+                             out: Array[Int]): Boolean = {
+    if (r.read(1) != 0) return false
+    val sfType = r.read(6).toInt
+    if (r.read(1) != 0) return false // wasted bits unsupported
+    def sext(v: Long): Int = ((v << (64 - w)) >> (64 - w)).toInt
+    if (sfType == 0) { // CONSTANT
+      val v = sext(r.read(w))
+      java.util.Arrays.fill(out, v)
+      true
+    } else if (sfType == 1) { // VERBATIM
+      var j = 0
+      while (j < blockSize) { out(j) = sext(r.read(w)); j += 1 }
+      true
+    } else if ((sfType & 0x38) == 0x08 && (sfType & 7) <= 4) { // FIXED
+      val order = sfType & 7
+      val res = new Array[Int](blockSize)
+      var j = 0
+      while (j < order) { out(j) = sext(r.read(w)); j += 1 }
+      if (!readRiceResiduals(r, blockSize, order, res)) return false
+      while (j < blockSize) {
+        out(j) = (order match {
+          case 0 => 0
+          case 1 => out(j - 1)
+          case 2 => 2 * out(j - 1) - out(j - 2)
+          case 3 => 3 * out(j - 1) - 3 * out(j - 2) + out(j - 3)
+          case _ => 4 * out(j - 1) - 6 * out(j - 2) +
+            4 * out(j - 3) - out(j - 4)
+        }) + res(j)
+        j += 1
+      }
+      true
+    } else if ((sfType & 0x20) != 0) { // LPC, order 1..32
+      val order = (sfType & 0x1f) + 1
+      if (order > blockSize) return false
+      val res = new Array[Int](blockSize)
+      var j = 0
+      while (j < order) { out(j) = sext(r.read(w)); j += 1 }
+      val precCode = r.read(4)
+      if (precCode < 0 || precCode == 15) return false // 1111 invalid
+      val precision = precCode.toInt + 1
+      val shiftRaw = r.read(5)
+      if (shiftRaw < 0) return false
+      // 5-bit two's complement; negative shifts are reserved by
+      // RFC 9639 §9.2.6 and no real encoder emits them — reject
+      val shift = ((shiftRaw << 59) >> 59).toInt
+      if (shift < 0) return false
+      val coef = new Array[Long](order)
+      var k = 0
+      while (k < order) {
+        val c0 = r.read(precision)
+        if (c0 < 0) return false
+        coef(k) = (c0 << (64 - precision)) >> (64 - precision)
+        k += 1
+      }
+      if (!readRiceResiduals(r, blockSize, order, res)) return false
+      while (j < blockSize) {
+        // 64-bit accumulator, arithmetic shift (= floor division by
+        // 2^shift — the quantized-LPC prediction, RFC 9639)
+        var acc = 0L
+        k = 0
+        while (k < order) { acc += coef(k) * out(j - 1 - k); k += 1 }
+        out(j) = ((acc >> shift) + res(j)).toInt
+        j += 1
+      }
+      true
+    } else false // reserved subframe type
+  }
+
   /** Real FLAC decode: STREAMINFO walk, per-frame header grammar with
     * CRC-8 verification, subframe decode (constant / verbatim / fixed
     * predictors order 0–4 / quantized LPC any order ≤ 32 with 64-bit
     * prediction accumulator, partitioned rice incl. the 5-bit escape-
-    * free path), byte-align, CRC-16 verification, reduced to
-    * [[FlacMeta]]. Any structural violation, reserved subframe type,
-    * negative LPC shift, or checksum mismatch yields None — a corrupt
-    * file is a missing row, not a wrong row. */
+    * free path), stereo decorrelation (left-side / right-side /
+    * mid-side undone losslessly, side channel at bps+1 bits),
+    * byte-align, CRC-16 verification, reduced to [[FlacMeta]]. Any
+    * structural violation, reserved subframe type or channel
+    * assignment, negative LPC shift, or checksum mismatch yields
+    * None — a corrupt file is a missing row, not a wrong row. */
   def parseFlacMeta(id: Long, b: Array[Byte]): Option[FlacMeta] = try {
     if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
         b(3) != 'C') return None
@@ -5350,8 +5524,11 @@ object MediaCodec {
         case _ => return None
       }
       if (frameRate != sRate) return None
-      if (chAssign > 7) return None // stereo-decorrelation unused here
-      val nCh = chAssign + 1
+      // channel assignment (RFC 9639 §9.1.3): 0–7 independent, 8
+      // left/side, 9 right/side, 10 mid/side; 11–15 reserved
+      if (chAssign > 10) return None
+      val decorrelated = chAssign >= 8
+      val nCh = if (decorrelated) 2 else chAssign + 1
       if (nCh != channels) return None
       val frameBits = ssCode match {
         case 0 => bits // "from STREAMINFO"
@@ -5363,82 +5540,51 @@ object MediaCodec {
       val crcPos = r.bytePos
       if (!r.aligned) return None // header fields are byte-aligned here
       if (r.read(8).toInt != flacCrc8(b, frameStart, crcPos)) return None
+      def record(s: Int): Unit = {
+        if (!haveFirst) { first = s; haveFirst = true }
+        sum += s; sumAbs += math.abs(s)
+        if (math.abs(s) > peak) peak = math.abs(s)
+        decoded += 1
+      }
+      val chBufs = Array.ofDim[Int](nCh, blockSize)
       var c = 0
       while (c < nCh) {
-        if (r.read(1) != 0) return None
-        val sfType = r.read(6).toInt
-        if (r.read(1) != 0) return None // wasted bits unsupported
-        def sext(v: Long): Int = ((v << 48) >> 48).toInt // 16-bit sign
-        def record(s: Int): Unit = {
-          if (!haveFirst) { first = s; haveFirst = true }
-          sum += s; sumAbs += math.abs(s)
-          if (math.abs(s) > peak) peak = math.abs(s)
-          decoded += 1
+        // the side channel carries ONE extra bit: the L−R difference
+        // spans one more bit than either operand (RFC 9639 §9.2.1)
+        val isSide = (chAssign == 8 && c == 1) ||
+          (chAssign == 9 && c == 0) || (chAssign == 10 && c == 1)
+        val w = if (isSide) bits + 1 else bits
+        if (!decodeSubframe(r, blockSize, w, chBufs(c))) return None
+        c += 1
+      }
+      // undo stereo decorrelation — lossless integer arithmetic; the
+      // output is always (left, right) whatever rode the wire
+      if (chAssign == 8) { // ch0 = left, ch1 = side: right = left − side
+        var j = 0
+        while (j < blockSize) {
+          chBufs(1)(j) = chBufs(0)(j) - chBufs(1)(j); j += 1
         }
-        if (sfType == 0) { // CONSTANT
-          val v = sext(r.read(16))
-          var j = 0
-          while (j < blockSize) { record(v); j += 1 }
-        } else if (sfType == 1) { // VERBATIM
-          var j = 0
-          while (j < blockSize) { record(sext(r.read(16))); j += 1 }
-        } else if ((sfType & 0x38) == 0x08 && (sfType & 7) <= 4) { // FIXED
-          val order = sfType & 7
-          val hist = new Array[Int](blockSize)
-          val res = new Array[Int](blockSize)
-          var j = 0
-          while (j < order) { hist(j) = sext(r.read(16)); j += 1 }
-          if (!readRiceResiduals(r, blockSize, order, res)) return None
-          while (j < blockSize) {
-            hist(j) = (order match {
-              case 0 => 0
-              case 1 => hist(j - 1)
-              case 2 => 2 * hist(j - 1) - hist(j - 2)
-              case 3 => 3 * hist(j - 1) - 3 * hist(j - 2) + hist(j - 3)
-              case _ => 4 * hist(j - 1) - 6 * hist(j - 2) +
-                4 * hist(j - 3) - hist(j - 4)
-            }) + res(j)
-            j += 1
-          }
-          j = 0
-          while (j < blockSize) { record(hist(j)); j += 1 }
-        } else if ((sfType & 0x20) != 0) { // LPC, order 1..32
-          val order = (sfType & 0x1f) + 1
-          if (order > blockSize) return None
-          val hist = new Array[Int](blockSize)
-          val res = new Array[Int](blockSize)
-          var j = 0
-          while (j < order) { hist(j) = sext(r.read(16)); j += 1 }
-          val precCode = r.read(4)
-          if (precCode < 0 || precCode == 15) return None // 1111 invalid
-          val precision = precCode.toInt + 1
-          val shiftRaw = r.read(5)
-          if (shiftRaw < 0) return None
-          // 5-bit two's complement; negative shifts are reserved by
-          // RFC 9639 §9.2.6 and no real encoder emits them — reject
-          val shift = ((shiftRaw << 59) >> 59).toInt
-          if (shift < 0) return None
-          val coef = new Array[Long](order)
-          var k = 0
-          while (k < order) {
-            val c0 = r.read(precision)
-            if (c0 < 0) return None
-            coef(k) = (c0 << (64 - precision)) >> (64 - precision)
-            k += 1
-          }
-          if (!readRiceResiduals(r, blockSize, order, res)) return None
-          while (j < blockSize) {
-            // 64-bit accumulator, arithmetic shift (= floor division
-            // by 2^shift — the quantized-LPC prediction, RFC 9639)
-            var acc = 0L
-            k = 0
-            while (k < order) { acc += coef(k) * hist(j - 1 - k); k += 1 }
-            hist(j) = ((acc >> shift) + res(j)).toInt
-            j += 1
-          }
-          j = 0
-          while (j < blockSize) { record(hist(j)); j += 1 }
-        } else return None // reserved subframe type
+      } else if (chAssign == 9) { // ch0 = side, ch1 = right: L = R + side
+        var j = 0
+        while (j < blockSize) {
+          chBufs(0)(j) = chBufs(1)(j) + chBufs(0)(j); j += 1
+        }
+      } else if (chAssign == 10) { // ch0 = mid, ch1 = side
+        // mid = (L+R)>>1 dropped side's low bit: restore it — mid2 =
+        // (mid<<1)|(side&1) is exactly L+R (L+R and L−R share parity)
+        var j = 0
+        while (j < blockSize) {
+          val side = chBufs(1)(j)
+          val mid2 = (chBufs(0)(j) << 1) | (side & 1)
+          chBufs(0)(j) = (mid2 + side) >> 1
+          chBufs(1)(j) = (mid2 - side) >> 1
+          j += 1
+        }
+      }
+      c = 0
+      while (c < nCh) {
+        var j = 0
+        while (j < blockSize) { record(chBufs(c)(j)); j += 1 }
         c += 1
       }
       if (!r.alignToByte()) return None

@@ -934,6 +934,30 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL stereo-decorrelation FLAC decode under the gate — the
+    // channel layout real stereo encoders emit (RFC 9639 §9.1.3):
+    // per frame a rotating independent / left-side / right-side /
+    // mid-side assignment over the SAME (L, R) grids. Decorrelation
+    // is lossless, so the oracle is mode-free grid arithmetic — but
+    // the engine only reaches it by reading real 17-bit side
+    // channels and undoing each mode's integer reconstruction, incl.
+    // mid-side's shared-parity bit restore; (L−R) hits both
+    // parities, so a dropped parity bit diverges the hash.
+    "mm_flac_stereo" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.flacStereoFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractFlacMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("nFrames").as("n_frames"),
+          col("totalSamples").as("total_samples"),
+          col("sumSamples").as("sum_samples"),
+          col("sumAbs").as("sum_abs"),
+          col("peakAbs").as("peak_abs"),
+          col("firstSample").as("first_sample"))
+        .orderBy("doc_id")
+    },
+
     // REAL Ogg page walk under the gate (RFC 3533) — the container
     // triage an intake pipeline runs before any Vorbis/Opus work:
     // capture pattern, version, BOS/EOS structure, little-endian
@@ -2268,6 +2292,36 @@ object SimilarityQueries {
         |  CAST(SUM(CASE WHEN i = 0 AND c = 0 AND j = 0
         |    THEN x ELSE 0 END) AS INT) AS first_sample
         |FROM chain GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Mode-free (L, R) grid arithmetic: decorrelation is lossless, so
+    // whatever channel assignment rode the wire, the decoded output is
+    // these exact integers — recovered by the Spark side through real
+    // side-channel reads and per-mode integer reconstruction.
+    "mm_flac_stereo" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    2 + (CAST(n_chars AS BIGINT) % 6) AS nf
+        |  FROM documents),
+        |grid AS (SELECT id, nf, i, c, j
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(nf)) AS i),
+        |    LATERAL (SELECT unnest(range(2)) AS c),
+        |    LATERAL (SELECT unnest(range(256)) AS j)),
+        |samp AS (SELECT id, nf, i, c, j,
+        |    CASE WHEN c = 0 THEN (id*3 + i*5 + j*7) % 1201 - 600
+        |      ELSE (id*7 + i*11 + j*13) % 1001 - 500 END AS s
+        |  FROM grid)
+        |SELECT id AS doc_id,
+        |  CAST(2 AS INT) AS channels,
+        |  CAST(CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+        |    ELSE 8000 END AS INT) AS sample_rate,
+        |  CAST(MAX(nf) AS INT) AS n_frames,
+        |  CAST(MAX(nf) * 256 AS BIGINT) AS total_samples,
+        |  CAST(SUM(s) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(abs(s)) AS INT) AS peak_abs,
+        |  CAST(SUM(CASE WHEN i = 0 AND c = 0 AND j = 0
+        |    THEN s ELSE 0 END) AS INT) AS first_sample
+        |FROM samp GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Same derived samples as mm_wav_energy; crossings via a
     // per-channel LAG with the identical strict prev·cur < 0 rule.

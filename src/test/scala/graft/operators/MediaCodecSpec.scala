@@ -1602,6 +1602,60 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("flac: stereo decorrelation round-trips every channel assignment") {
+    for (id <- 0L until 17L; nChars <- Seq(0L, 3L, 42L, 97L)) {
+      val meta = parseFlacMeta(id, buildFlacStereoPattern(id, nChars))
+        .getOrElse(fail(s"no stereo parse for id=$id nChars=$nChars"))
+      val nf = 2 + (nChars % 6).toInt
+      def l(i: Int, j: Int): Long = (id * 3 + i * 5 + j * 7) % 1201 - 600
+      def r(i: Int, j: Int): Long = (id * 7 + i * 11 + j * 13) % 1001 - 500
+      var sum = 0L; var sumAbs = 0L; var peak = 0L
+      var oddSide = false; var evenSide = false
+      for (i <- 0 until nf; c <- 0 until 2; j <- 0 until 256) {
+        val s = if (c == 0) l(i, j) else r(i, j)
+        sum += s; sumAbs += math.abs(s)
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (((l(i, j) - r(i, j)) & 1) == 1) oddSide = true else evenSide = true
+      }
+      // the parity-restore path must actually be exercised both ways
+      assert(oddSide && evenSide, "side difference parity never varied")
+      assert(meta.channels === 2)
+      assert(meta.nFrames === nf)
+      assert(meta.totalSamples === nf.toLong * 256)
+      assert(meta.firstSample.toLong === l(0, 0))
+      assert(meta.sumSamples === sum)
+      assert(meta.sumAbs === sumAbs)
+      assert(meta.peakAbs.toLong === peak)
+    }
+  }
+
+  test("flac: reserved channel assignments and mono decorrelation reject") {
+    val good = buildFlacStereoPattern(6L, 3L)
+    assert(parseFlacMeta(6L, good).isDefined)
+    // frame 0 starts right after STREAMINFO (4 + 4 + 34 = 42): bytes
+    // [sync][sync+flags][bs|sr][chAssign|ss+res][frameNo][crc8] — the
+    // assignment is the HIGH nibble of byte 45. id=6: frame 0 mode is
+    // (6+0)%4 = 2 -> right-side, chAssign 9.
+    assert(((good(45) >> 4) & 0xf) === 9)
+    // force a reserved assignment (11): first the CRC-8 catches the
+    // flip; then with the CRC-8 restamped the walk must die on the
+    // ASSIGNMENT check itself
+    val reserved = good.clone()
+    reserved(45) = ((11 << 4) | (reserved(45) & 0x0f)).toByte
+    assert(parseFlacMeta(6L, reserved).isEmpty)
+    reserved(47) = MediaCodec.flacCrc8(reserved, 42, 47).toByte
+    assert(parseFlacMeta(6L, reserved).isEmpty)
+    // a MONO stream (STREAMINFO channels=1) whose frame claims a
+    // decorrelated assignment must reject on the channel-count check
+    val mono = buildFlacPattern(2L, 0L) // id=2 -> mono fixture
+    assert(parseFlacMeta(2L, mono).isDefined)
+    assert(((mono(45) >> 4) & 0xf) === 0) // mono: chAssign 0
+    val monoBad = mono.clone()
+    monoBad(45) = ((8 << 4) | (monoBad(45) & 0x0f)).toByte
+    monoBad(47) = MediaCodec.flacCrc8(monoBad, 42, 47).toByte
+    assert(parseFlacMeta(2L, monoBad).isEmpty)
+  }
+
   test("ogg: page walk matches the fixture arithmetic") {
     for (id <- 0L until 17L; nChars <- Seq(0L, 3L, 42L, 997L)) {
       val meta = parseOggMeta(id, buildOggPattern(id, nChars))
