@@ -5308,6 +5308,86 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** A deterministic mono FLAC stream whose every subframe uses WASTED
+    * BITS (RFC 9639 §9.2.2) — the header feature real encoders emit on
+    * shifted/quiet material: per frame k = 1–3 wasted bits (count−1
+    * unary-coded after the flag), the subframe coded at 16−k bits in
+    * the narrowed domain, every decoded sample shifted back left by k.
+    * Frames alternate CONSTANT and VERBATIM; all values are exact
+    * multiples of 2^k by construction, so the oracle is the base
+    * arithmetic times the per-frame power of two. */
+  def buildFlacWastedPattern(id: Long, nChars: Long): Array[Byte] = {
+    val nFrames = 2 + (nChars % 6).toInt
+    val sampleRate = (id % 3) match {
+      case 0 => 44100; case 1 => 22050; case _ => 8000
+    }
+    val totalSamples = nFrames.toLong * FlacBlockSize
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new FlacBitWriter
+    si.write(FlacBlockSize, 16); si.write(FlacBlockSize, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(sampleRate, 20)
+    si.write(0, 3) // mono
+    si.write(16 - 1, 5)
+    si.write(totalSamples, 36)
+    var k = 0
+    while (k < 16) { si.write(0, 8); k += 1 }
+    val siBytes = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes, 0, siBytes.length)
+    var i = 0
+    while (i < nFrames) {
+      val wasted = 1 + ((id + i) % 3).toInt // 1..3
+      val cw = 16 - wasted // coded width
+      val w = new FlacBitWriter
+      w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
+      w.write(8, 4)
+      val srCode = sampleRate match {
+        case 44100 => 9; case 22050 => 6; case _ => 4
+      }
+      w.write(srCode, 4)
+      w.write(0, 4) // mono, independent
+      w.write(4, 3); w.write(0, 1)
+      w.write(i, 8)
+      val headBytes = w.toBytes
+      val fw = new FlacBitWriter
+      headBytes.foreach(b => fw.write(b & 0xffL, 8))
+      fw.write(flacCrc8(headBytes, 0, headBytes.length), 8)
+      fw.write(0, 1) // subframe reserved bit
+      if ((id + i) % 2 == 0) fw.write(0, 6) // CONSTANT
+      else fw.write(1, 6) // VERBATIM
+      fw.write(1, 1) // wasted-bits flag
+      fw.writeUnary(wasted - 1) // count−1 unary
+      if ((id + i) % 2 == 0) {
+        val base = ((id * 31 + i * 17) % 201 - 100).toInt
+        fw.write(base.toLong & ((1L << cw) - 1), cw)
+      } else {
+        var j = 0
+        while (j < FlacBlockSize) {
+          val base = ((id * 3 + i * 5 + j * 7) % 201 - 100).toInt
+          fw.write(base.toLong & ((1L << cw) - 1), cw)
+          j += 1
+        }
+      }
+      val frameBytes = fw.toBytes
+      out.write(frameBytes, 0, frameBytes.length)
+      val c16 = flacCrc16(frameBytes, 0, frameBytes.length)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Fixture adapter for the FLAC wasted-bits gate. */
+  def flacWastedFromDocuments(spark: SparkSession,
+                              docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildFlacWastedPattern(id, nChars)) }
+  }
+
   /** Fixture adapter for the FLAC stereo-decorrelation gate. */
   def flacStereoFromDocuments(spark: SparkSession,
                               docs: DataFrame): Dataset[(Long, Array[Byte])] = {
@@ -5375,14 +5455,35 @@ object MediaCodec {
   }
 
   /** One FLAC subframe decoded into `out` — CONSTANT / VERBATIM /
-    * FIXED order 0–4 / quantized LPC order ≤ 32 — at sample width `w`
-    * bits (the stream bps, +1 on a decorrelated side channel).
-    * Returns false on any structural violation. */
-  private def decodeSubframe(r: FlacBitReader, blockSize: Int, w: Int,
+    * FIXED order 0–4 / quantized LPC order ≤ 32 — at sample width
+    * `wIn` bits (the stream bps, +1 on a decorrelated side channel).
+    * Wasted bits (RFC 9639 §9.2.2: flag bit, then count−1 unary)
+    * narrow the coded width; decoded samples shift back left. Returns
+    * false on any structural violation. */
+  private def decodeSubframe(r: FlacBitReader, blockSize: Int, wIn: Int,
                              out: Array[Int]): Boolean = {
     if (r.read(1) != 0) return false
     val sfType = r.read(6).toInt
-    if (r.read(1) != 0) return false // wasted bits unsupported
+    val wasted =
+      if (r.read(1) == 0) 0
+      else {
+        val u = r.readUnary()
+        if (u < 0) return false
+        u + 1
+      }
+    if (wasted >= wIn) return false
+    val w = wIn - wasted // subframe codes in the narrowed domain
+    if (!decodeSubframeBody(r, blockSize, w, sfType, out)) return false
+    if (wasted > 0) {
+      var j = 0
+      while (j < blockSize) { out(j) = out(j) << wasted; j += 1 }
+    }
+    true
+  }
+
+  private def decodeSubframeBody(r: FlacBitReader, blockSize: Int,
+                                 w: Int, sfType: Int,
+                                 out: Array[Int]): Boolean = {
     def sext(v: Long): Int = ((v << (64 - w)) >> (64 - w)).toInt
     if (sfType == 0) { // CONSTANT
       val v = sext(r.read(w))

@@ -934,6 +934,29 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL wasted-bits FLAC decode under the gate (RFC 9639 §9.2.2) —
+    // the subframe-header feature real encoders emit on shifted
+    // material: per frame 1–3 wasted bits (count−1 unary after the
+    // flag), subframes coded at 16−k bits, samples shifted back left.
+    // The oracle multiplies the base arithmetic by the per-frame
+    // power of two; a decoder that ignores the narrowed width or the
+    // back-shift desynchronizes the bitstream or lands on wrong
+    // magnitudes — either way the hash diverges.
+    "mm_flac_wasted" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.flacWastedFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractFlacMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("channels"),
+          col("sampleRate").as("sample_rate"),
+          col("nFrames").as("n_frames"),
+          col("totalSamples").as("total_samples"),
+          col("sumSamples").as("sum_samples"),
+          col("sumAbs").as("sum_abs"),
+          col("peakAbs").as("peak_abs"),
+          col("firstSample").as("first_sample"))
+        .orderBy("doc_id")
+    },
+
     // REAL stereo-decorrelation FLAC decode under the gate — the
     // channel layout real stereo encoders emit (RFC 9639 §9.1.3):
     // per frame a rotating independent / left-side / right-side /
@@ -2292,6 +2315,37 @@ object SimilarityQueries {
         |  CAST(SUM(CASE WHEN i = 0 AND c = 0 AND j = 0
         |    THEN x ELSE 0 END) AS INT) AS first_sample
         |FROM chain GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Base arithmetic times the per-frame power of two — the exact
+    // integers only a decoder that narrows the coded width AND
+    // restores the shift can produce.
+    "mm_flac_wasted" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    2 + (CAST(n_chars AS BIGINT) % 6) AS nf
+        |  FROM documents),
+        |grid AS (SELECT id, nf, i, j
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(nf)) AS i),
+        |    LATERAL (SELECT unnest(range(256)) AS j)),
+        |samp AS (SELECT id, nf, i, j,
+        |    (CASE WHEN (id + i) % 2 = 0
+        |      THEN (id*31 + i*17) % 201 - 100
+        |      ELSE (id*3 + i*5 + j*7) % 201 - 100 END)
+        |    * (CASE 1 + (id + i) % 3 WHEN 1 THEN 2 WHEN 2 THEN 4
+        |        ELSE 8 END) AS s
+        |  FROM grid)
+        |SELECT id AS doc_id,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+        |    ELSE 8000 END AS INT) AS sample_rate,
+        |  CAST(MAX(nf) AS INT) AS n_frames,
+        |  CAST(MAX(nf) * 256 AS BIGINT) AS total_samples,
+        |  CAST(SUM(s) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(abs(s)) AS INT) AS peak_abs,
+        |  CAST(SUM(CASE WHEN i = 0 AND j = 0 THEN s ELSE 0 END)
+        |    AS INT) AS first_sample
+        |FROM samp GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Mode-free (L, R) grid arithmetic: decorrelation is lossless, so
     // whatever channel assignment rode the wire, the decoded output is

@@ -1629,6 +1629,110 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("flac: wasted bits narrow the coded width and shift back") {
+    for (id <- 0L until 17L; nChars <- Seq(0L, 3L, 42L, 97L)) {
+      val meta = parseFlacMeta(id, buildFlacWastedPattern(id, nChars))
+        .getOrElse(fail(s"no wasted parse for id=$id nChars=$nChars"))
+      val nf = 2 + (nChars % 6).toInt
+      var sum = 0L; var sumAbs = 0L; var peak = 0L; var first = 0L
+      var haveFirst = false
+      for (i <- 0 until nf; j <- 0 until 256) {
+        val mult = 1L << (1 + (id + i) % 3).toInt
+        val s = (if ((id + i) % 2 == 0) (id * 31 + i * 17) % 201 - 100
+                 else (id * 3 + i * 5 + j * 7) % 201 - 100) * mult
+        if (!haveFirst) { first = s; haveFirst = true }
+        sum += s; sumAbs += math.abs(s)
+        if (math.abs(s) > peak) peak = math.abs(s)
+      }
+      assert(meta.channels === 1)
+      assert(meta.nFrames === nf)
+      assert(meta.firstSample.toLong === first)
+      assert(meta.sumSamples === sum)
+      assert(meta.sumAbs === sumAbs)
+      assert(meta.peakAbs.toLong === peak)
+    }
+  }
+
+  test("flac: wasted bits compose with LPC via a hand-built frame") {
+    // order-1 LPC with coef [1] >> 1 in the NARROWED (14-bit) domain,
+    // 2 wasted bits: the decoder must run the whole prediction chain
+    // at 14 bits and shift every sample left by 2 at the end
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new MediaCodec.FlacBitWriter
+    si.write(256, 16); si.write(256, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(256, 36)
+    (0 until 16).foreach(_ => si.write(0, 8))
+    val siB = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length)
+    out.write(siB, 0, siB.length)
+    val w = new MediaCodec.FlacBitWriter
+    w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
+    w.write(8, 4); w.write(4, 4); w.write(0, 4); w.write(4, 3); w.write(0, 1)
+    w.write(0, 8)
+    val head = w.toBytes
+    val fw = new MediaCodec.FlacBitWriter
+    head.foreach(b => fw.write(b & 0xffL, 8))
+    fw.write(MediaCodec.flacCrc8(head, 0, head.length), 8)
+    fw.write(0, 1); fw.write(0x20, 6) // LPC order 1
+    fw.write(1, 1); fw.write(0, 1) // wasted flag, unary(2−1) = "01"
+    fw.write(1, 1)
+    fw.write(77L & 0x3fff, 14) // warmup, 14-bit domain
+    fw.write(2, 4) // precision 3
+    fw.write(1, 5) // shift 1
+    fw.write(1, 3) // coef [1]
+    fw.write(0, 2); fw.write(0, 4); fw.write(2, 4) // rice po=0, k=2
+    def res(j: Int): Int = (j * 5) % 9 - 4
+    (1 until 256).foreach { j =>
+      val e = res(j)
+      val u = if (e >= 0) e << 1 else (-e << 1) - 1
+      fw.writeUnary(u >>> 2); fw.write(u & 3, 2)
+    }
+    val frame = fw.toBytes
+    out.write(frame, 0, frame.length)
+    val c16 = MediaCodec.flacCrc16(frame, 0, frame.length)
+    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    val meta = parseFlacMeta(3L, out.toByteArray)
+      .getOrElse(fail("wasted+LPC frame did not parse"))
+    val xs = new Array[Long](256)
+    xs(0) = 77
+    for (j <- 1 until 256) xs(j) = (xs(j - 1) >> 1) + res(j)
+    val shifted = xs.map(_ << 2) // wasted-bit restore
+    assert(meta.firstSample === 77 << 2)
+    assert(meta.sumSamples === shifted.sum)
+    assert(meta.peakAbs === shifted.map(math.abs).max.toInt)
+  }
+
+  test("flac: degenerate wasted-bit counts are rejected") {
+    // wasted >= width leaves no sample bits: flag + unary(15) on a
+    // 16-bit CONSTANT subframe must reject, not decode a 0-bit sample
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new MediaCodec.FlacBitWriter
+    si.write(256, 16); si.write(256, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(256, 36)
+    (0 until 16).foreach(_ => si.write(0, 8))
+    val siB = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length)
+    out.write(siB, 0, siB.length)
+    val w = new MediaCodec.FlacBitWriter
+    w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
+    w.write(8, 4); w.write(4, 4); w.write(0, 4); w.write(4, 3); w.write(0, 1)
+    w.write(0, 8)
+    val head = w.toBytes
+    val fw = new MediaCodec.FlacBitWriter
+    head.foreach(b => fw.write(b & 0xffL, 8))
+    fw.write(MediaCodec.flacCrc8(head, 0, head.length), 8)
+    fw.write(0, 1); fw.write(0, 6) // CONSTANT
+    fw.write(1, 1); fw.writeUnary(15) // wasted = 16 = full width
+    fw.write(0, 16)
+    val frame = fw.toBytes
+    out.write(frame, 0, frame.length)
+    val c16 = MediaCodec.flacCrc16(frame, 0, frame.length)
+    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    assert(parseFlacMeta(1L, out.toByteArray).isEmpty)
+  }
+
   test("flac: reserved channel assignments and mono decorrelation reject") {
     val good = buildFlacStereoPattern(6L, 3L)
     assert(parseFlacMeta(6L, good).isDefined)
