@@ -1260,12 +1260,24 @@ object MediaCodec {
           else (size32, 8)
         if (boxSize < hdr || off + boxSize > to) return false
         val body = off + hdr
+        val bodyLen = boxSize - hdr
         val e = body.toInt
+        // entry counts are UNTRUSTED 32-bit fields: bound every
+        // count-driven allocation by the bytes the box actually holds,
+        // or a ~60-byte crafted payload could demand a multi-GB array
+        // (OutOfMemoryError escapes the NonFatal catch and would kill
+        // the task instead of yielding None)
+        def entries(headerBytes: Int, entryBytes: Int): Int = {
+          val ne = be32u(b, e + 4)
+          if (ne < 0 || headerBytes + entryBytes * ne > bodyLen) -1
+          else ne.toInt
+        }
         fourcc match {
           case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
             if (!walk(body, off + boxSize, depth + 1)) return false
           case "stts" =>
-            val ne = be32u(b, e + 4).toInt
+            val ne = entries(8, 8)
+            if (ne < 0) return false
             sttsCounts = new Array[Long](ne)
             sttsDeltas = new Array[Long](ne)
             var j = 0
@@ -1276,7 +1288,10 @@ object MediaCodec {
             }
           case "stsz" =>
             constSize = be32u(b, e + 4).toInt
-            sampleCount = be32u(b, e + 8).toInt
+            val n0 = be32u(b, e + 8)
+            if (n0 < 0 || n0 > Int.MaxValue) return false
+            if (constSize == 0 && 12 + 4 * n0 > bodyLen) return false
+            sampleCount = n0.toInt
             if (constSize == 0) {
               sizes = new Array[Int](sampleCount)
               var j = 0
@@ -1285,13 +1300,15 @@ object MediaCodec {
               }
             }
           case "stss" =>
-            val ne = be32u(b, e + 4).toInt
+            val ne = entries(8, 4)
+            if (ne < 0) return false
             syncs = new Array[Int](ne)
             var j = 0
             while (j < ne) { syncs(j) = be32u(b, e + 8 + 4 * j).toInt
               j += 1 }
           case "stsc" =>
-            val ne = be32u(b, e + 4).toInt
+            val ne = entries(8, 12)
+            if (ne < 0) return false
             stscFirst = new Array[Int](ne)
             stscSpc = new Array[Int](ne)
             var j = 0
@@ -1301,7 +1318,8 @@ object MediaCodec {
               j += 1
             }
           case "stco" =>
-            val ne = be32u(b, e + 4).toInt
+            val ne = entries(8, 4)
+            if (ne < 0) return false
             chunkOffs = new Array[Long](ne)
             var j = 0
             while (j < ne) { chunkOffs(j) = be32u(b, e + 8 + 4 * j)

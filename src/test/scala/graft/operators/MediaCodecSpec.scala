@@ -1269,6 +1269,16 @@ class MediaCodecSpec extends SparkSpec {
     assert(parseMp4Samples(5L, flipAt("stsz", 15, 1)).isEmpty)
     // mdat: truncated payload no longer equals the size table total
     assert(parseMp4Samples(5L, good.dropRight(3)).isEmpty)
+    // allocation bomb: an stts entry count of 2^30 in a normal-sized
+    // box must reject on the byte bound, never attempt an 8 GB array
+    // (OutOfMemoryError would escape the NonFatal catch)
+    locally {
+      val bomb = good.clone()
+      val idx = bomb.indices.indexWhere(i => i + 4 <= bomb.length &&
+        new String(bomb, i, 4, "US-ASCII") == "stts")
+      bomb(idx + 8) = 0x40.toByte // count high byte -> 2^30 entries
+      assert(parseMp4Samples(5L, bomb).isEmpty)
+    }
     val rnd = new scala.util.Random(515)
     for (_ <- 0 until 200) {
       val junk = new Array[Byte](rnd.nextInt(300))

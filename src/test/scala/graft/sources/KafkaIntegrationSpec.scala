@@ -157,13 +157,16 @@ class KafkaIntegrationSpec extends SparkSpec {
     val lines = goldenMysqlLines
     val half = lines.size / 2
     // interleave across partitions so (partition, offset) ordering —
-    // not arrival order — reconstructs the corpus: partition 0 gets
-    // the first half, partition 1 the rest, produced alternating
-    val records = lines.zipWithIndex.map { case (l, i) =>
-      if (i < half) (0, l) else (1, l)
-    }
-    val interleaved = records.zipWithIndex
-      .sortBy { case ((p, _), i) => (i % 3, p, i) }.map(_._1)
+    // not arrival order — reconstructs the corpus. Broker offsets are
+    // assigned in PRODUCE order per partition, so each partition's
+    // records must be sent in corpus order (alternating BETWEEN
+    // partitions is what scrambles arrival): p0 = first half in
+    // order, p1 = second half in order, sends zipped alternately.
+    val p0 = lines.take(half).map((0, _))
+    val p1 = lines.drop(half).map((1, _))
+    val interleaved = p0.map(Some(_)).zipAll(p1.map(Some(_)), None, None)
+      .flatMap { case (a, b) => Seq(a, b).flatten }
+    assert(interleaved.map(_._2) != lines, "interleave should reorder sends")
     produce(topic, interleaved)
     // path A: the dump-file tailer over the same corpus
     val dumpA = tmpDir("kafka-it-dump")
