@@ -5782,105 +5782,133 @@ object MediaCodec {
         if ((id + p + k) % 5 == 0) 300 + ((id + k) % 200).toInt
         else 20 + ((id + p * 7 + k * 13) % 230).toInt
       }
-      val lacing = sizes.flatMap { sz =>
-        Seq.fill(sz / 255)(255) :+ (sz % 255)
+      // payload bytes derive from the GLOBAL page-payload position so
+      // the packet split is byte-transparent (frozen oracle contract)
+      var base = 0
+      val packets = sizes.map { sz =>
+        val a = Array.tabulate[Byte](sz)(x =>
+          (((base + x) * 31 + id + p) % 251).toByte)
+        base += sz
+        a
       }
+      val flags = if (p == 0) 0x02 else if (p == nPages - 1) 0x04 else 0x00
       val granule = (p + 1).toLong * (1000 + (id % 500))
-      val payloadLen = sizes.sum
-      val page = new Array[Byte](27 + lacing.length + payloadLen)
-      page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
-      page(4) = 0 // version
-      page(5) = (if (p == 0) 0x02 else if (p == nPages - 1) 0x04
-                 else 0x00).toByte // BOS / EOS / body
-      var o = 6
-      var g = granule
-      var k = 0
-      while (k < 8) { page(o) = (g & 0xff).toByte; g >>= 8; o += 1; k += 1 }
-      var sv = serial
-      k = 0
-      while (k < 4) { page(o) = (sv & 0xff).toByte; sv >>= 8; o += 1; k += 1 }
-      var sq = p
-      k = 0
-      while (k < 4) { page(o) = (sq & 0xff).toByte; sq >>= 8; o += 1; k += 1 }
-      o += 4 // CRC placeholder, stays zero while hashing
-      page(o) = lacing.length.toByte; o += 1
-      lacing.foreach { l => page(o) = l.toByte; o += 1 }
-      var j = 0
-      while (j < payloadLen) {
-        page(o + j) = ((j * 31 + id + p) % 251).toByte
-        j += 1
-      }
-      val crc = oggCrc(page, 0, page.length)
-      page(22) = (crc & 0xff).toByte
-      page(23) = ((crc >>> 8) & 0xff).toByte
-      page(24) = ((crc >>> 16) & 0xff).toByte
-      page(25) = ((crc >>> 24) & 0xff).toByte
+      val page = oggPage(flags, granule, serial, p, packets)
       out.write(page, 0, page.length)
       p += 1
     }
     out.toByteArray
   }
 
-  /** Real Ogg page walk: capture pattern, version 0, little-endian
-    * granule/serial/sequence, CRC-32 verified per page (recomputed
-    * with the CRC field zeroed), lacing table → packet boundaries and
-    * payload length, BOS-first/EOS-last structural checks. Anything
-    * malformed yields None. */
-  def parseOggMeta(id: Long, b: Array[Byte]): Option[OggMeta] = try {
-    var pos = 0
-    var nPages = 0
-    var nPackets = 0
-    var payload = 0L
-    var lastGranule = 0L
-    var serial = -1L
-    var sawEos = false
-    while (pos < b.length) {
-      if (sawEos) return None // data after the EOS page
-      if (pos + 27 > b.length) return None
-      if (b(pos) != 'O' || b(pos + 1) != 'g' || b(pos + 2) != 'g' ||
-          b(pos + 3) != 'S') return None
-      if (b(pos + 4) != 0) return None
-      val flags = b(pos + 5) & 0xff
-      if (nPages == 0 && (flags & 0x02) == 0) return None // BOS first
-      if (nPages > 0 && (flags & 0x02) != 0) return None
-      var granule = 0L
-      var k = 7
-      while (k >= 0) { granule = (granule << 8) | (b(pos + 6 + k) & 0xffL)
-        k -= 1 }
-      var ser = 0L
-      k = 3
-      while (k >= 0) { ser = (ser << 8) | (b(pos + 14 + k) & 0xffL); k -= 1 }
-      if (serial < 0) serial = ser
-      else if (ser != serial) return None // single-stream contract
-      val nSegs = b(pos + 26) & 0xff
-      if (pos + 27 + nSegs > b.length) return None
-      var bodyLen = 0
-      var segSum = 0
-      k = 0
-      while (k < nSegs) {
-        val l = b(pos + 27 + k) & 0xff
-        segSum += l
-        if (l < 255) nPackets += 1
+  /** One validated page from [[walkOggPages]]: header fields, lacing
+    * table, and the absolute payload position in the stream. */
+  private final case class OggPageRef(flags: Int, granule: Long,
+                                      serial: Long, lacing: Array[Int],
+                                      payloadOff: Int, payloadLen: Int)
+
+  /** The validated Ogg page walk shared by every Ogg gate: capture
+    * pattern, version 0, BOS-first/EOS-last ordering, single-serial
+    * contract, lacing/length bounds, and the page CRC-32 recomputed
+    * with the CRC field zeroed (RFC 3533). Returns pages in stream
+    * order, or None on any structural violation. */
+  private def walkOggPages(b: Array[Byte]): Option[Vector[OggPageRef]] =
+    try {
+      var pos = 0
+      var n = 0
+      var serial = -1L
+      var sawEos = false
+      val pages = Vector.newBuilder[OggPageRef]
+      while (pos < b.length) {
+        if (sawEos) return None // data after the EOS page
+        if (pos + 27 > b.length) return None
+        if (b(pos) != 'O' || b(pos + 1) != 'g' || b(pos + 2) != 'g' ||
+            b(pos + 3) != 'S') return None
+        if (b(pos + 4) != 0) return None
+        val flags = b(pos + 5) & 0xff
+        if (n == 0 && (flags & 0x02) == 0) return None // BOS first
+        if (n > 0 && (flags & 0x02) != 0) return None
+        var granule = 0L
+        var k = 7
+        while (k >= 0) { granule = (granule << 8) | (b(pos + 6 + k) & 0xffL)
+          k -= 1 }
+        var ser = 0L
+        k = 3
+        while (k >= 0) { ser = (ser << 8) | (b(pos + 14 + k) & 0xffL)
+          k -= 1 }
+        if (serial < 0) serial = ser
+        else if (ser != serial) return None // single-stream contract
+        val nSegs = b(pos + 26) & 0xff
+        if (pos + 27 + nSegs > b.length) return None
+        val lacing = new Array[Int](nSegs)
+        var bodyLen = 0
+        k = 0
+        while (k < nSegs) {
+          val l = b(pos + 27 + k) & 0xff
+          lacing(k) = l
+          bodyLen += l
+          k += 1
+        }
+        val pageLen = 27 + nSegs + bodyLen
+        if (pos + pageLen > b.length) return None
+        // CRC: page bytes with the CRC field zeroed
+        val copy = java.util.Arrays.copyOfRange(b, pos, pos + pageLen)
+        val stored = (copy(22) & 0xff) | ((copy(23) & 0xff) << 8) |
+          ((copy(24) & 0xff) << 16) | ((copy(25) & 0xff) << 24)
+        copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
+        if (oggCrc(copy, 0, copy.length) != stored) return None
+        pages += OggPageRef(flags, granule, ser, lacing,
+          pos + 27 + nSegs, bodyLen)
+        if ((flags & 0x04) != 0) sawEos = true
+        n += 1
+        pos += pageLen
+      }
+      if (n == 0 || !sawEos) None else Some(pages.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Reassemble the first `n` packets from page-local lacing tables
+    * (a header packet spanning pages is outside this profile → None;
+    * RFC 3533 marks continuation with flag 0x01, which the builders
+    * never emit). */
+  private def firstOggPackets(b: Array[Byte], pages: Vector[OggPageRef],
+                              n: Int): Option[Seq[Array[Byte]]] = {
+    val packets = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var pi = 0
+    while (pi < pages.size && packets.size < n) {
+      val pg = pages(pi)
+      var off = pg.payloadOff
+      var len = 0
+      var open = false
+      var k = 0
+      while (k < pg.lacing.length && packets.size < n) {
+        len += pg.lacing(k)
+        open = pg.lacing(k) == 255
+        if (!open) {
+          packets += java.util.Arrays.copyOfRange(b, off, off + len)
+          off += len
+          len = 0
+        }
         k += 1
       }
-      bodyLen = segSum
-      val pageLen = 27 + nSegs + bodyLen
-      if (pos + pageLen > b.length) return None
-      // CRC: page bytes with the CRC field zeroed
-      val copy = java.util.Arrays.copyOfRange(b, pos, pos + pageLen)
-      val stored = (copy(22) & 0xff) | ((copy(23) & 0xff) << 8) |
-        ((copy(24) & 0xff) << 16) | ((copy(25) & 0xff) << 24)
-      copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
-      if (oggCrc(copy, 0, copy.length) != stored) return None
-      payload += bodyLen
-      lastGranule = granule
-      if ((flags & 0x04) != 0) sawEos = true
-      nPages += 1
-      pos += pageLen
+      if (open && packets.size < n) return None // spans pages
+      pi += 1
     }
-    if (nPages == 0 || !sawEos) return None
-    Some(OggMeta(id, serial, nPages, nPackets, payload, lastGranule))
-  } catch { case scala.util.control.NonFatal(_) => None }
+    if (packets.size < n) None else Some(packets.toSeq)
+  }
+
+  /** Real Ogg page walk reduced to container stats (RFC 3533; the
+    * shared [[walkOggPages]] grammar). Anything malformed yields
+    * None. */
+  def parseOggMeta(id: Long, b: Array[Byte]): Option[OggMeta] =
+    walkOggPages(b).map { pages =>
+      var nPackets = 0
+      var payload = 0L
+      pages.foreach { pg =>
+        pg.lacing.foreach(l => if (l < 255) nPackets += 1)
+        payload += pg.payloadLen
+      }
+      OggMeta(id, pages.head.serial, pages.size, nPackets, payload,
+        pages.last.granule)
+    }
 
   /** One Ogg page from whole packets (RFC 3533 lacing: 255-runs plus a
     * terminator < 255, so an exact-multiple-of-255 packet ends in a
@@ -5932,44 +5960,50 @@ object MediaCodec {
     * 2–4 body pages of opaque packets (entropy-coded audio stays
     * behind the decoder seam). All header fields derive from id
     * arithmetic the oracle re-derives in SQL. */
+  /** A real OpusHead identification header (RFC 7845 §5.1): magic,
+    * version 1, channels, pre-skip LE16, input sample rate LE32,
+    * output gain LE16 = 0, mapping family 0 — fields from id
+    * arithmetic. */
+  private def opusHeadPacket(id: Long): Array[Byte] = {
+    val ch = 1 + ((id / 2) % 2).toInt
+    val preSkip = 312 + (id % 100).toInt
+    val rate = (id % 3) match {
+      case 0 => 48000; case 1 => 24000; case _ => 16000
+    }
+    val b = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("OpusHead".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    b.put(1.toByte).put(ch.toByte)
+    b.putShort(preSkip.toShort)
+    b.putInt(rate)
+    b.putShort(0).put(0.toByte)
+    b.array()
+  }
+
+  /** A real Vorbis identification header (Vorbis I §4.2.2): 0x01
+    * "vorbis", version LE32 = 0, channels, rate LE32, three bitrate
+    * LE32 fields, blocksize nibble pair (2^8, 2^11), framing bit 1. */
+  private def vorbisIdPacket(id: Long): Array[Byte] = {
+    val ch = 1 + ((id / 2) % 2).toInt
+    val rate = (id % 3) match {
+      case 0 => 44100; case 1 => 32000; case _ => 11025
+    }
+    val b = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte)
+    b.put("vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    b.putInt(0).put(ch.toByte)
+    b.putInt(rate)
+    b.putInt(0).putInt(0).putInt(0)
+    b.put(((11 << 4) | 8).toByte) // blocksize_0 = 2^8, _1 = 2^11
+    b.put(1.toByte) // framing
+    b.array()
+  }
+
   def buildOggAudioPattern(id: Long, nChars: Long): Array[Byte] = {
     val serial = (id % 100000).toInt
     val header: Array[Byte] =
-      if (id % 2 == 0) {
-        // OpusHead: magic, version 1, channels, pre-skip LE16, input
-        // sample rate LE32, output gain LE16 = 0, mapping family 0
-        val ch = 1 + ((id / 2) % 2).toInt
-        val preSkip = 312 + (id % 100).toInt
-        val rate = (id % 3) match {
-          case 0 => 48000; case 1 => 24000; case _ => 16000
-        }
-        val b = java.nio.ByteBuffer.allocate(19)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        b.put("OpusHead".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        b.put(1.toByte).put(ch.toByte)
-        b.putShort(preSkip.toShort)
-        b.putInt(rate)
-        b.putShort(0).put(0.toByte)
-        b.array()
-      } else {
-        // Vorbis id header: 0x01 "vorbis", version LE32 = 0, channels,
-        // rate LE32, bitrate max/nominal/min LE32, blocksizes nibble
-        // pair (2^8, 2^11), framing bit 1
-        val ch = 1 + ((id / 2) % 2).toInt
-        val rate = (id % 3) match {
-          case 0 => 44100; case 1 => 32000; case _ => 11025
-        }
-        val b = java.nio.ByteBuffer.allocate(30)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        b.put(1.toByte)
-        b.put("vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        b.putInt(0).put(ch.toByte)
-        b.putInt(rate)
-        b.putInt(0).putInt(0).putInt(0)
-        b.put(((11 << 4) | 8).toByte) // blocksize_0 = 2^8, _1 = 2^11
-        b.put(1.toByte) // framing
-        b.array()
-      }
+      if (id % 2 == 0) opusHeadPacket(id) else vorbisIdPacket(id)
     val nBody = 2 + (nChars % 3).toInt
     val out = new java.io.ByteArrayOutputStream()
     val first = oggPage(0x02, 0L, serial, 0, Seq(header))
@@ -6000,68 +6034,17 @@ object MediaCodec {
     * malformed header fields, or any page-level violation → None. */
   def parseOggAudioMeta(id: Long, b: Array[Byte]): Option[OggAudioMeta] =
     try {
-      var pos = 0
-      var nPages = 0
+      val pages = walkOggPages(b).getOrElse(return None)
+      // the ID header must be whole on the BOS page
+      val h = firstOggPackets(b, pages.take(1), 1)
+        .getOrElse(return None).head
       var nPackets = 0
       var payload = 0L
-      var serial = -1L
-      var sawEos = false
-      var firstPacket: Array[Byte] = null
-      while (pos < b.length) {
-        if (sawEos) return None
-        if (pos + 27 > b.length) return None
-        if (b(pos) != 'O' || b(pos + 1) != 'g' || b(pos + 2) != 'g' ||
-            b(pos + 3) != 'S') return None
-        if (b(pos + 4) != 0) return None
-        val flags = b(pos + 5) & 0xff
-        if (nPages == 0 && (flags & 0x02) == 0) return None
-        if (nPages > 0 && (flags & 0x02) != 0) return None
-        var ser = 0L
-        var k = 3
-        while (k >= 0) { ser = (ser << 8) | (b(pos + 14 + k) & 0xffL)
-          k -= 1 }
-        if (serial < 0) serial = ser
-        else if (ser != serial) return None
-        val nSegs = b(pos + 26) & 0xff
-        if (pos + 27 + nSegs > b.length) return None
-        var bodyLen = 0
-        k = 0
-        while (k < nSegs) {
-          val l = b(pos + 27 + k) & 0xff
-          bodyLen += l
-          if (l < 255) nPackets += 1
-          k += 1
-        }
-        val pageLen = 27 + nSegs + bodyLen
-        if (pos + pageLen > b.length) return None
-        val copy = java.util.Arrays.copyOfRange(b, pos, pos + pageLen)
-        val stored = (copy(22) & 0xff) | ((copy(23) & 0xff) << 8) |
-          ((copy(24) & 0xff) << 16) | ((copy(25) & 0xff) << 24)
-        copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
-        if (oggCrc(copy, 0, copy.length) != stored) return None
-        if (nPages == 0) {
-          // reassemble the first packet from the BOS page's lacing
-          var len = 0
-          var seg = 0
-          var done = false
-          while (seg < nSegs && !done) {
-            val l = b(pos + 27 + seg) & 0xff
-            len += l
-            if (l < 255) done = true
-            seg += 1
-          }
-          if (!done) return None // ID header must not span pages
-          firstPacket =
-            java.util.Arrays.copyOfRange(b, pos + 27 + nSegs,
-              pos + 27 + nSegs + len)
-        }
-        payload += bodyLen
-        if ((flags & 0x04) != 0) sawEos = true
-        nPages += 1
-        pos += pageLen
+      pages.foreach { pg =>
+        pg.lacing.foreach(l => if (l < 255) nPackets += 1)
+        payload += pg.payloadLen
       }
-      if (nPages == 0 || !sawEos || firstPacket == null) return None
-      val h = firstPacket
+      val nPages = pages.size
       def le16(o: Int): Int = (h(o) & 0xff) | ((h(o + 1) & 0xff) << 8)
       def le32(o: Int): Long = (h(o) & 0xffL) | ((h(o + 1) & 0xffL) << 8) |
         ((h(o + 2) & 0xffL) << 16) | ((h(o + 3) & 0xffL) << 24)
@@ -6106,6 +6089,152 @@ object MediaCodec {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { case (id, p) =>
       parseOggAudioMeta(id, p) })
+  }
+
+  /** Comment-header metadata recovered from an Ogg audio stream's
+    * second packet — the tag block (vendor, user comments) an intake
+    * pipeline routes on (language, title, license). `lang` is the
+    * value of the LANG tag (field names are case-insensitive ASCII,
+    * Vorbis I §5.2); empty when absent. */
+  final case class OggTagsMeta(id: Long, codec: String, vendor: String,
+                               nComments: Int, commentBytes: Long,
+                               lang: String)
+
+  /** A deterministic Ogg audio stream with a REAL comment header:
+    * page 0 (BOS) carries the identification header
+    * ([[opusHeadPacket]] / [[vorbisIdPacket]] by id parity), page 1
+    * the OpusTags (RFC 7845 §5.2) or Vorbis comment (Vorbis I §5)
+    * packet — vendor string, LE32-length-prefixed "KEY=value"
+    * comments incl. a LANG tag, Vorbis framing bit — and page 2 (EOS)
+    * one opaque body packet. Every field derives from id arithmetic
+    * the oracle re-derives in SQL (incl. the strings, via chr/repeat
+    * arithmetic). */
+  def buildOggTagsPattern(id: Long, nChars: Long): Array[Byte] = {
+    val serial = (id % 100000).toInt
+    val idPkt = if (id % 2 == 0) opusHeadPacket(id) else vorbisIdPacket(id)
+    val vendor = "graft-" + ('a' + (id % 26).toInt).toChar
+    val nC = 1 + (id % 4).toInt
+    val comments = (0 until nC).map { k =>
+      if (k == 0)
+        "LANG=" + ('a' + (id % 26).toInt).toChar +
+          ('a' + ((id / 26) % 26).toInt).toChar
+      else "K" + k + "=" + ("v" * (1 + ((id + k) % 5).toInt))
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val tagsBody = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      tagsBody.write(v & 0xff); tagsBody.write((v >> 8) & 0xff)
+      tagsBody.write((v >> 16) & 0xff); tagsBody.write((v >> 24) & 0xff)
+    }
+    if (id % 2 == 0)
+      tagsBody.write("OpusTags".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+    else {
+      tagsBody.write(3)
+      tagsBody.write("vorbis".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    val vb = vendor.getBytes(utf8)
+    le32(vb.length); tagsBody.write(vb, 0, vb.length)
+    le32(comments.size)
+    comments.foreach { c =>
+      val cb = c.getBytes(utf8)
+      le32(cb.length); tagsBody.write(cb, 0, cb.length)
+    }
+    if (id % 2 != 0) tagsBody.write(1) // Vorbis framing bit
+    val bodyPkt = Array.tabulate[Byte](40 + (nChars % 60).toInt)(j =>
+      ((j * 31 + id) % 251).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    val p0 = oggPage(0x02, 0L, serial, 0, Seq(idPkt))
+    val p1 = oggPage(0x00, 0L, serial, 1, Seq(tagsBody.toByteArray))
+    val p2 = oggPage(0x04, 1000 + (id % 500), serial, 2, Seq(bodyPkt))
+    out.write(p0, 0, p0.length)
+    out.write(p1, 0, p1.length)
+    out.write(p2, 0, p2.length)
+    out.toByteArray
+  }
+
+  /** Real comment-header parse behind the shared page walk: the
+    * stream's second packet as OpusTags (RFC 7845 §5.2) or a Vorbis
+    * comment header (Vorbis I §5 — packet type 3, framing bit
+    * checked): vendor string, LE32-prefixed "KEY=value" list, LANG
+    * tag extracted with the case-insensitive field-name rule. Any
+    * structural violation (lengths past the packet, a comment with no
+    * '=', a count the packet can't hold) → None. */
+  def parseOggTags(id: Long, b: Array[Byte]): Option[OggTagsMeta] = try {
+    val pages = walkOggPages(b).getOrElse(return None)
+    val pkts = firstOggPackets(b, pages, 2).getOrElse(return None)
+    val idh = pkts(0)
+    val tags = pkts(1)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val isOpus = idh.length >= 19 &&
+      new String(idh, 0, 8, ascii) == "OpusHead"
+    val isVorbis = idh.length >= 30 && idh(0) == 1 &&
+      new String(idh, 1, 6, ascii) == "vorbis"
+    val (codec, headerLen) =
+      if (isOpus) {
+        if (tags.length < 8 || new String(tags, 0, 8, ascii) != "OpusTags")
+          return None
+        ("opus", 8)
+      } else if (isVorbis) {
+        if (tags.length < 7 || tags(0) != 3 ||
+            new String(tags, 1, 6, ascii) != "vorbis") return None
+        ("vorbis", 7)
+      } else return None
+    var o = headerLen
+    def le32(): Long =
+      if (o + 4 > tags.length) -1L
+      else {
+        val v = (tags(o) & 0xffL) | ((tags(o + 1) & 0xffL) << 8) |
+          ((tags(o + 2) & 0xffL) << 16) | ((tags(o + 3) & 0xffL) << 24)
+        o += 4
+        v
+      }
+    val vlen = le32()
+    if (vlen < 0 || o + vlen > tags.length) return None
+    val vendor =
+      new String(tags, o, vlen.toInt, java.nio.charset.StandardCharsets.UTF_8)
+    o += vlen.toInt
+    val n = le32()
+    // bound the loop by what the packet can hold (each comment costs
+    // ≥ 4 length bytes) — an untrusted count must not spin or allocate
+    if (n < 0 || n > (tags.length - o) / 4) return None
+    var lang = ""
+    var commentBytes = 0L
+    var i = 0L
+    while (i < n) {
+      val cl = le32()
+      if (cl < 0 || o + cl > tags.length) return None
+      val c = new String(tags, o, cl.toInt,
+        java.nio.charset.StandardCharsets.UTF_8)
+      o += cl.toInt
+      commentBytes += cl
+      val eq = c.indexOf('=')
+      if (eq <= 0) return None // a field name is required
+      if (c.substring(0, eq)
+            .toUpperCase(java.util.Locale.ROOT) == "LANG")
+        lang = c.substring(eq + 1)
+      i += 1
+    }
+    if (isVorbis && (o >= tags.length || (tags(o) & 1) != 1)) return None
+    Some(OggTagsMeta(id, codec, vendor, n.toInt, commentBytes, lang))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture adapter for the comment-header gate. */
+  def oggTagsFromDocuments(spark: SparkSession,
+                           docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildOggTagsPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch comment-header walk — payloads never
+    * shuffle. */
+  def extractOggTags(media: Dataset[(Long, Array[Byte])])
+      : Dataset[OggTagsMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseOggTags(id, p) })
   }
 
   /** Fixture adapter for the Ogg gate. */

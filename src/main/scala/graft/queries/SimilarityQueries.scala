@@ -1049,6 +1049,25 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL comment-header parse behind the Ogg walk — the tag block
+    // (OpusTags per RFC 7845 §5.2 / Vorbis comment per Vorbis I §5)
+    // an intake pipeline routes on: vendor string, LE32-prefixed
+    // "KEY=value" list, the LANG tag extracted under the
+    // case-insensitive field-name rule, Vorbis framing bit. The
+    // oracle re-derives the STRINGS too (chr/concat/repeat
+    // arithmetic), so a byte-offset slip in the packet walk shows up
+    // as a wrong character, not just a wrong count.
+    "mm_vorbis_tags" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.oggTagsFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractOggTags(media).toDF()
+        .select(col("id").as("doc_id"), col("codec"), col("vendor"),
+          col("nComments").as("n_comments"),
+          col("commentBytes").as("comment_bytes"),
+          col("lang"))
+        .orderBy("doc_id")
+    },
+
     // REAL PCM16 sample decode under the gate — the audio twin of
     // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
     // little-endian int16 frames spanning negative values, LIST chunks
@@ -2202,6 +2221,25 @@ object SimilarityQueries {
         |  CAST(SUM(CASE WHEN i = 0 AND c = 0 AND j = 0
         |    THEN s ELSE 0 END) AS INT) AS first_sample
         |FROM samp GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives vendor/lang STRINGS via chr arithmetic and the
+    // comment byte totals from the per-k length formula ("LANG=xx" is
+    // 7 bytes; "K<k>=v…" is 4 + (id+k) mod 5 for the single-digit k
+    // this fixture emits).
+    "mm_vorbis_tags" ->
+      """WITH dim AS (SELECT doc_id AS id, 1 + (doc_id % 4) AS nc
+        |  FROM documents),
+        |cm AS (SELECT id, nc, k,
+        |    CASE WHEN k = 0 THEN 7 ELSE 4 + (id + k) % 5 END AS clen
+        |  FROM dim, LATERAL (SELECT unnest(range(nc)) AS k))
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  'graft-' || chr(97 + CAST(id % 26 AS INT)) AS vendor,
+        |  CAST(MAX(nc) AS INT) AS n_comments,
+        |  CAST(SUM(clen) AS BIGINT) AS comment_bytes,
+        |  chr(97 + CAST(id % 26 AS INT)) ||
+        |    chr(97 + CAST((id // 26) % 26 AS INT)) AS lang
+        |FROM cm GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives the sample tables from the fixture arithmetic: sizes
     // by the per-sample (or every-4th-id constant) formula, keyframe

@@ -1903,6 +1903,90 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("ogg tags: comment headers round-trip for both codecs") {
+    for (id <- 0L until 18L; nChars <- Seq(0L, 7L, 59L)) {
+      val meta = parseOggTags(id, buildOggTagsPattern(id, nChars))
+        .getOrElse(fail(s"no tags parse for id=$id nChars=$nChars"))
+      val nC = 1 + (id % 4).toInt
+      assert(meta.codec === (if (id % 2 == 0) "opus" else "vorbis"))
+      assert(meta.vendor === "graft-" + ('a' + (id % 26).toInt).toChar)
+      assert(meta.nComments === nC)
+      assert(meta.lang ===
+        "" + ('a' + (id % 26).toInt).toChar +
+          ('a' + ((id / 26) % 26).toInt).toChar)
+      val expBytes = (0 until nC).map { k =>
+        if (k == 0) 7L else 4L + (id + k) % 5
+      }.sum
+      assert(meta.commentBytes === expBytes)
+    }
+  }
+
+  test("ogg tags: malformed comment blocks are rejected") {
+    def pageOffsets(b: Array[Byte]): Seq[Int] = {
+      var pos = 0
+      val offs = Seq.newBuilder[Int]
+      while (pos < b.length) {
+        offs += pos
+        val nSegs = b(pos + 26) & 0xff
+        val body = (0 until nSegs).map(k => b(pos + 27 + k) & 0xff).sum
+        pos += 27 + nSegs + body
+      }
+      offs.result()
+    }
+    def restamp(b: Array[Byte], pageOff: Int): Unit = {
+      val nSegs = b(pageOff + 26) & 0xff
+      val body = (0 until nSegs).map(k => b(pageOff + 27 + k) & 0xff).sum
+      val len = 27 + nSegs + body
+      b(pageOff + 22) = 0; b(pageOff + 23) = 0
+      b(pageOff + 24) = 0; b(pageOff + 25) = 0
+      val crc = MediaCodec.oggCrc(b, pageOff, pageOff + len)
+      b(pageOff + 22) = (crc & 0xff).toByte
+      b(pageOff + 23) = ((crc >>> 8) & 0xff).toByte
+      b(pageOff + 24) = ((crc >>> 16) & 0xff).toByte
+      b(pageOff + 25) = ((crc >>> 24) & 0xff).toByte
+    }
+    val vorbis = buildOggTagsPattern(3L, 7L) // odd id -> Vorbis
+    assert(parseOggTags(3L, vorbis).isDefined)
+    val offs = pageOffsets(vorbis)
+    assert(offs.size === 3)
+    val tagsPayload = offs(1) + 27 + (vorbis(offs(1) + 26) & 0xff)
+    // comment packet type must be 3: flip it (CRC restamped so the
+    // walk passes and the GRAMMAR check does the rejecting)
+    locally {
+      val bad = vorbis.clone()
+      bad(tagsPayload) = 7
+      restamp(bad, offs(1))
+      assert(parseOggTags(3L, bad).isEmpty)
+    }
+    // Vorbis framing bit at the end of the comment packet must be set
+    locally {
+      val bad = vorbis.clone()
+      val nSegs = bad(offs(1) + 26) & 0xff
+      val bodyLen = (0 until nSegs).map(k => bad(offs(1) + 27 + k) & 0xff).sum
+      bad(tagsPayload + bodyLen - 1) = 0
+      restamp(bad, offs(1))
+      assert(parseOggTags(3L, bad).isEmpty)
+    }
+    // a comment-count field larger than the packet can hold must
+    // reject on the byte bound, never loop or allocate
+    locally {
+      val bad = vorbis.clone()
+      // count sits after type+magic(7) + vendorLen(4) + vendor(7)
+      bad(tagsPayload + 7 + 4 + 7 + 3) = 0x7f // count high byte
+      restamp(bad, offs(1))
+      assert(parseOggTags(3L, bad).isEmpty)
+    }
+    // truncation and junk are data, never throws
+    for (cut <- Seq(0, 30, vorbis.length - 2))
+      assert(parseOggTags(3L, vorbis.take(cut)).isEmpty)
+    val rnd = new scala.util.Random(313)
+    for (_ <- 0 until 200) {
+      val junk = new Array[Byte](rnd.nextInt(250))
+      rnd.nextBytes(junk)
+      assert(parseOggTags(1L, junk).forall(_.nComments >= 0)) // no throw
+    }
+  }
+
   test("flac: totality on corrupt and truncated payloads") {
     val rnd = new scala.util.Random(4242)
     for (_ <- 0 until 200) {
