@@ -5015,6 +5015,56 @@ object MediaCodec {
 
   private val FlacBlockSize = 256
 
+  /** fLaC magic + STREAMINFO prelude shared by every FLAC fixture
+    * builder (min/max block = [[FlacBlockSize]], sizes unknown,
+    * 16-bit, md5 zeroed). */
+  private def flacStreamPrelude(out: java.io.ByteArrayOutputStream,
+                                channels: Int, sampleRate: Int,
+                                totalSamples: Long): Unit = {
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new FlacBitWriter
+    si.write(FlacBlockSize, 16); si.write(FlacBlockSize, 16)
+    si.write(0, 24); si.write(0, 24) // min/max frame size unknown
+    si.write(sampleRate, 20)
+    si.write(channels - 1, 3)
+    si.write(16 - 1, 5)
+    si.write(totalSamples, 36)
+    var k = 0
+    while (k < 16) { si.write(0, 8); k += 1 } // md5 unknown
+    val siBytes = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes, 0, siBytes.length)
+  }
+
+  /** One fixture frame, shared framing: header (fixed-blocksize
+    * stream, blocksize code 8 = 256, the given rate code / channel
+    * assignment, 16-bit sample code, single-byte frame number) with
+    * its CRC-8, then the subframe payload written by `body`, then
+    * byte-align + whole-frame CRC-16. */
+  private def flacFrame(out: java.io.ByteArrayOutputStream, srCode: Int,
+                        chAssignCode: Int, frameNo: Int)
+                       (body: FlacBitWriter => Unit): Unit = {
+    val w = new FlacBitWriter
+    w.write(0x3ffe, 14) // sync
+    w.write(0, 1) // reserved
+    w.write(0, 1) // fixed-blocksize stream
+    w.write(8, 4) // blocksize code 8 = 256
+    w.write(srCode, 4)
+    w.write(chAssignCode, 4)
+    w.write(4, 3) // sample size code 4 = 16-bit
+    w.write(0, 1) // reserved
+    w.write(frameNo, 8) // single-byte UTF-8 frame number
+    val headBytes = w.toBytes // header is byte-aligned here
+    val fw = new FlacBitWriter
+    headBytes.foreach(b => fw.write(b & 0xffL, 8))
+    fw.write(flacCrc8(headBytes, 0, headBytes.length), 8)
+    body(fw)
+    val frameBytes = fw.toBytes // alignToByte pads the tail
+    out.write(frameBytes, 0, frameBytes.length)
+    val c16 = flacCrc16(frameBytes, 0, frameBytes.length)
+    out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+  }
+
   /** A deterministic FLAC stream from (id, nChars): 2–7 frames of 256
     * samples, rate 44.1k/22.05k/8k by id mod 3 (every 4th id's frame
     * headers use rate code 0 = "from STREAMINFO", the rest the
@@ -5032,92 +5082,63 @@ object MediaCodec {
     val sampleRate = (id % 3) match {
       case 0 => 44100; case 1 => 22050; case _ => 8000
     }
-    val totalSamples = nFrames.toLong * FlacBlockSize
     val out = new java.io.ByteArrayOutputStream()
-    out.write('f'); out.write('L'); out.write('a'); out.write('C')
-    // STREAMINFO: last-metadata flag + type 0, 34-byte body
-    val si = new FlacBitWriter
-    si.write(FlacBlockSize, 16); si.write(FlacBlockSize, 16) // min/max block
-    si.write(0, 24); si.write(0, 24) // min/max frame size unknown
-    si.write(sampleRate, 20)
-    si.write(channels - 1, 3)
-    si.write(16 - 1, 5)
-    si.write(totalSamples, 36)
-    var k = 0
-    while (k < 16) { si.write(0, 8); k += 1 } // md5 unknown
-    val siBytes = si.toBytes
-    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
-    out.write(siBytes, 0, siBytes.length)
+    flacStreamPrelude(out, channels, sampleRate,
+      nFrames.toLong * FlacBlockSize)
     var i = 0
     while (i < nFrames) {
-      val w = new FlacBitWriter
-      w.write(0x3ffe, 14) // sync
-      w.write(0, 1) // reserved
-      w.write(0, 1) // fixed-blocksize stream
-      w.write(8, 4) // blocksize code 8 = 256
       val srCode =
         if (id % 4 == 0) 0 // "from STREAMINFO"
         else sampleRate match {
           case 44100 => 9; case 22050 => 6; case _ => 4
         }
-      w.write(srCode, 4)
-      w.write(channels - 1, 4) // independent channel assignment
-      w.write(4, 3) // sample size code 4 = 16-bit
-      w.write(0, 1) // reserved
-      w.write(i, 8) // frame number, single-byte UTF-8 (nFrames ≤ 7)
-      val headBytes = w.toBytes // header is byte-aligned here
-      val fw = new FlacBitWriter
-      headBytes.foreach(b => fw.write(b & 0xffL, 8))
-      fw.write(flacCrc8(headBytes, 0, headBytes.length), 8)
-      var c = 0
-      while (c < channels) {
-        val t = ((id + i) % 3).toInt
-        fw.write(0, 1) // subframe reserved bit
-        t match {
-          case 0 => // CONSTANT
-            fw.write(0, 6); fw.write(0, 1) // type, no wasted bits
-            val v = ((id * 31 + i * 17 + c * 7) % 1001 - 500).toInt
-            fw.write(v.toLong & 0xffff, 16)
-          case 2 => // VERBATIM
-            fw.write(1, 6); fw.write(0, 1)
-            var j = 0
-            while (j < FlacBlockSize) {
-              val s = ((id * 3 + i * 5 + c * 9 + j * 13) % 1201 - 600).toInt
-              fw.write(s.toLong & 0xffff, 16)
-              j += 1
-            }
-          case _ => // FIXED order 1
-            fw.write(0x08 | 1, 6); fw.write(0, 1)
-            val s0 = ((id * 13 + i * 7 + c * 3) % 801 - 400).toInt
-            fw.write(s0.toLong & 0xffff, 16) // warmup
-            val po = i % 2 // partition order 0 or 1
-            fw.write(0, 2) // rice method, 4-bit params
-            fw.write(po, 4)
-            val nParts = 1 << po
-            val partLen = FlacBlockSize >> po
-            var p = 0
-            var j = 1 // residual index = sample index (order 1)
-            while (p < nParts) {
-              val riceK = 2 + ((id + i + p) % 3).toInt
-              fw.write(riceK, 4)
-              val nRes = if (p == 0) partLen - 1 else partLen
-              var r = 0
-              while (r < nRes) {
-                val e = ((id + i * 3 + c * 5 + j) % 15 - 7).toInt
-                val u = if (e >= 0) e << 1 else (-e << 1) - 1 // zigzag
-                fw.writeUnary(u >>> riceK)
-                fw.write(u & ((1 << riceK) - 1), riceK)
-                r += 1; j += 1
+      flacFrame(out, srCode, channels - 1, i) { fw =>
+        var c = 0
+        while (c < channels) {
+          val t = ((id + i) % 3).toInt
+          fw.write(0, 1) // subframe reserved bit
+          t match {
+            case 0 => // CONSTANT
+              fw.write(0, 6); fw.write(0, 1) // type, no wasted bits
+              val v = ((id * 31 + i * 17 + c * 7) % 1001 - 500).toInt
+              fw.write(v.toLong & 0xffff, 16)
+            case 2 => // VERBATIM
+              fw.write(1, 6); fw.write(0, 1)
+              var j = 0
+              while (j < FlacBlockSize) {
+                val s = ((id * 3 + i * 5 + c * 9 + j * 13) % 1201 - 600).toInt
+                fw.write(s.toLong & 0xffff, 16)
+                j += 1
               }
-              p += 1
-            }
+            case _ => // FIXED order 1
+              fw.write(0x08 | 1, 6); fw.write(0, 1)
+              val s0 = ((id * 13 + i * 7 + c * 3) % 801 - 400).toInt
+              fw.write(s0.toLong & 0xffff, 16) // warmup
+              val po = i % 2 // partition order 0 or 1
+              fw.write(0, 2) // rice method, 4-bit params
+              fw.write(po, 4)
+              val nParts = 1 << po
+              val partLen = FlacBlockSize >> po
+              var p = 0
+              var j = 1 // residual index = sample index (order 1)
+              while (p < nParts) {
+                val riceK = 2 + ((id + i + p) % 3).toInt
+                fw.write(riceK, 4)
+                val nRes = if (p == 0) partLen - 1 else partLen
+                var r = 0
+                while (r < nRes) {
+                  val e = ((id + i * 3 + c * 5 + j) % 15 - 7).toInt
+                  val u = if (e >= 0) e << 1 else (-e << 1) - 1 // zigzag
+                  fw.writeUnary(u >>> riceK)
+                  fw.write(u & ((1 << riceK) - 1), riceK)
+                  r += 1; j += 1
+                }
+                p += 1
+              }
+          }
+          c += 1
         }
-        c += 1
       }
-      val frameBytes = fw.toBytes // alignToByte pads the tail
-      out.write(frameBytes, 0, frameBytes.length)
-      val c16 = flacCrc16(frameBytes, 0, frameBytes.length)
-      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
       i += 1
     }
     out.toByteArray
@@ -5146,91 +5167,65 @@ object MediaCodec {
     val sampleRate = (id % 3) match {
       case 0 => 44100; case 1 => 22050; case _ => 8000
     }
-    val totalSamples = nFrames.toLong * FlacBlockSize
     val out = new java.io.ByteArrayOutputStream()
-    out.write('f'); out.write('L'); out.write('a'); out.write('C')
-    val si = new FlacBitWriter
-    si.write(FlacBlockSize, 16); si.write(FlacBlockSize, 16)
-    si.write(0, 24); si.write(0, 24)
-    si.write(sampleRate, 20)
-    si.write(channels - 1, 3)
-    si.write(16 - 1, 5)
-    si.write(totalSamples, 36)
-    var k = 0
-    while (k < 16) { si.write(0, 8); k += 1 }
-    val siBytes = si.toBytes
-    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
-    out.write(siBytes, 0, siBytes.length)
+    flacStreamPrelude(out, channels, sampleRate,
+      nFrames.toLong * FlacBlockSize)
     var i = 0
     while (i < nFrames) {
-      val w = new FlacBitWriter
-      w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
-      w.write(8, 4) // blocksize code 8 = 256
       val srCode =
         if (id % 4 == 0) 0
         else sampleRate match {
           case 44100 => 9; case 22050 => 6; case _ => 4
         }
-      w.write(srCode, 4)
-      w.write(channels - 1, 4)
-      w.write(4, 3) // 16-bit
-      w.write(0, 1)
-      w.write(i, 8) // frame number (nFrames ≤ 7 — single UTF-8 byte)
-      val headBytes = w.toBytes
-      val fw = new FlacBitWriter
-      headBytes.foreach(b => fw.write(b & 0xffL, 8))
-      fw.write(flacCrc8(headBytes, 0, headBytes.length), 8)
-      var c = 0
-      while (c < channels) {
-        val t = ((id + i) % 3).toInt
-        fw.write(0, 1)
-        if (t == 2) { // CONSTANT
-          fw.write(0, 6); fw.write(0, 1)
-          val v = ((id * 31 + i * 17 + c * 7) % 1001 - 500).toInt
-          fw.write(v.toLong & 0xffff, 16)
-        } else { // LPC order 1 (t=0) or order 2 (t=1)
-          val order = t + 1
-          fw.write(0x20 | (order - 1), 6); fw.write(0, 1)
-          val x0 = ((id * 13 + i * 7 + c * 3) % 801 - 400).toInt
-          fw.write(x0.toLong & 0xffff, 16) // warmup 0
-          if (order == 2) {
-            val x1 = ((id * 11 + i * 5 + c * 9) % 601 - 300).toInt
-            fw.write(x1.toLong & 0xffff, 16) // warmup 1
-          }
-          // precision-1 (4 bits), shift (5 bits), then the coefs
-          val precision = if (order == 1) 3 else 4
-          fw.write(precision - 1, 4)
-          fw.write(order, 5) // shift: 1 for order-1, 2 for order-2
-          var q = 0
-          while (q < order) { fw.write(1, precision); q += 1 } // coefs all 1
-          val po = i % 2
-          fw.write(0, 2) // rice method, 4-bit params
-          fw.write(po, 4)
-          val nParts = 1 << po
-          val partLen = FlacBlockSize >> po
-          var p = 0
-          var j = order // residual index = sample index
-          while (p < nParts) {
-            val riceK = 2 + ((id + i + p) % 3).toInt
-            fw.write(riceK, 4)
-            val nRes = if (p == 0) partLen - order else partLen
-            var r = 0
-            while (r < nRes) {
-              val e = ((id + i * 3 + c * 5 + j) % 15 - 7).toInt
-              val u = if (e >= 0) e << 1 else (-e << 1) - 1
-              fw.writeUnary(u >>> riceK)
-              fw.write(u & ((1 << riceK) - 1), riceK)
-              r += 1; j += 1
+      flacFrame(out, srCode, channels - 1, i) { fw =>
+        var c = 0
+        while (c < channels) {
+          val t = ((id + i) % 3).toInt
+          fw.write(0, 1)
+          if (t == 2) { // CONSTANT
+            fw.write(0, 6); fw.write(0, 1)
+            val v = ((id * 31 + i * 17 + c * 7) % 1001 - 500).toInt
+            fw.write(v.toLong & 0xffff, 16)
+          } else { // LPC order 1 (t=0) or order 2 (t=1)
+            val order = t + 1
+            fw.write(0x20 | (order - 1), 6); fw.write(0, 1)
+            val x0 = ((id * 13 + i * 7 + c * 3) % 801 - 400).toInt
+            fw.write(x0.toLong & 0xffff, 16) // warmup 0
+            if (order == 2) {
+              val x1 = ((id * 11 + i * 5 + c * 9) % 601 - 300).toInt
+              fw.write(x1.toLong & 0xffff, 16) // warmup 1
             }
-            p += 1
+            // precision-1 (4 bits), shift (5 bits), then the coefs
+            val precision = if (order == 1) 3 else 4
+            fw.write(precision - 1, 4)
+            fw.write(order, 5) // shift: 1 for order-1, 2 for order-2
+            var q = 0
+            while (q < order) { fw.write(1, precision); q += 1 } // coefs all 1
+            val po = i % 2
+            fw.write(0, 2) // rice method, 4-bit params
+            fw.write(po, 4)
+            val nParts = 1 << po
+            val partLen = FlacBlockSize >> po
+            var p = 0
+            var j = order // residual index = sample index
+            while (p < nParts) {
+              val riceK = 2 + ((id + i + p) % 3).toInt
+              fw.write(riceK, 4)
+              val nRes = if (p == 0) partLen - order else partLen
+              var r = 0
+              while (r < nRes) {
+                val e = ((id + i * 3 + c * 5 + j) % 15 - 7).toInt
+                val u = if (e >= 0) e << 1 else (-e << 1) - 1
+                fw.writeUnary(u >>> riceK)
+                fw.write(u & ((1 << riceK) - 1), riceK)
+                r += 1; j += 1
+              }
+              p += 1
+            }
           }
+          c += 1
         }
-        c += 1
       }
-      val frameBytes = fw.toBytes
-      out.write(frameBytes, 0, frameBytes.length)
-      val c16 = flacCrc16(frameBytes, 0, frameBytes.length)
-      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
       i += 1
     }
     out.toByteArray
@@ -5259,19 +5254,7 @@ object MediaCodec {
     def right(i: Int, j: Int): Int =
       ((id * 7 + i * 11 + j * 13) % 1001 - 500).toInt
     val out = new java.io.ByteArrayOutputStream()
-    out.write('f'); out.write('L'); out.write('a'); out.write('C')
-    val si = new FlacBitWriter
-    si.write(FlacBlockSize, 16); si.write(FlacBlockSize, 16)
-    si.write(0, 24); si.write(0, 24)
-    si.write(sampleRate, 20)
-    si.write(2 - 1, 3) // stereo
-    si.write(16 - 1, 5)
-    si.write(totalSamples, 36)
-    var k = 0
-    while (k < 16) { si.write(0, 8); k += 1 }
-    val siBytes = si.toBytes
-    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
-    out.write(siBytes, 0, siBytes.length)
+    flacStreamPrelude(out, 2, sampleRate, totalSamples)
     var i = 0
     while (i < nFrames) {
       // mode rotation covers all four assignments in any 4 frames
@@ -5281,46 +5264,32 @@ object MediaCodec {
         case 2 => 9  // right-side
         case _ => 10 // mid-side
       }
-      val w = new FlacBitWriter
-      w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
-      w.write(8, 4) // blocksize code 8 = 256
       val srCode = sampleRate match {
         case 44100 => 9; case 22050 => 6; case _ => 4
       }
-      w.write(srCode, 4)
-      w.write(chAssign, 4)
-      w.write(4, 3) // 16-bit
-      w.write(0, 1)
-      w.write(i, 8)
-      val headBytes = w.toBytes
-      val fw = new FlacBitWriter
-      headBytes.foreach(b => fw.write(b & 0xffL, 8))
-      fw.write(flacCrc8(headBytes, 0, headBytes.length), 8)
-      // channel payloads per mode; side = L − R rides bps+1 = 17 bits
-      def verbatim(width: Int, v: Int => Int): Unit = {
-        fw.write(0, 1); fw.write(1, 6); fw.write(0, 1)
-        var j = 0
-        while (j < FlacBlockSize) {
-          fw.write(v(j).toLong & ((1L << width) - 1), width); j += 1
+      flacFrame(out, srCode, chAssign, i) { fw =>
+        // channel payloads per mode; side = L−R rides bps+1 = 17 bits
+        def verbatim(width: Int, v: Int => Int): Unit = {
+          fw.write(0, 1); fw.write(1, 6); fw.write(0, 1)
+          var j = 0
+          while (j < FlacBlockSize) {
+            fw.write(v(j).toLong & ((1L << width) - 1), width); j += 1
+          }
+        }
+        chAssign match {
+          case 1 =>
+            verbatim(16, left(i, _)); verbatim(16, right(i, _))
+          case 8 =>
+            verbatim(16, left(i, _))
+            verbatim(17, j => left(i, j) - right(i, j))
+          case 9 =>
+            verbatim(17, j => left(i, j) - right(i, j))
+            verbatim(16, right(i, _))
+          case _ =>
+            verbatim(16, j => (left(i, j) + right(i, j)) >> 1)
+            verbatim(17, j => left(i, j) - right(i, j))
         }
       }
-      chAssign match {
-        case 1 =>
-          verbatim(16, left(i, _)); verbatim(16, right(i, _))
-        case 8 =>
-          verbatim(16, left(i, _))
-          verbatim(17, j => left(i, j) - right(i, j))
-        case 9 =>
-          verbatim(17, j => left(i, j) - right(i, j))
-          verbatim(16, right(i, _))
-        case _ =>
-          verbatim(16, j => (left(i, j) + right(i, j)) >> 1)
-          verbatim(17, j => left(i, j) - right(i, j))
-      }
-      val frameBytes = fw.toBytes
-      out.write(frameBytes, 0, frameBytes.length)
-      val c16 = flacCrc16(frameBytes, 0, frameBytes.length)
-      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
       i += 1
     }
     out.toByteArray
@@ -5339,59 +5308,33 @@ object MediaCodec {
     val sampleRate = (id % 3) match {
       case 0 => 44100; case 1 => 22050; case _ => 8000
     }
-    val totalSamples = nFrames.toLong * FlacBlockSize
     val out = new java.io.ByteArrayOutputStream()
-    out.write('f'); out.write('L'); out.write('a'); out.write('C')
-    val si = new FlacBitWriter
-    si.write(FlacBlockSize, 16); si.write(FlacBlockSize, 16)
-    si.write(0, 24); si.write(0, 24)
-    si.write(sampleRate, 20)
-    si.write(0, 3) // mono
-    si.write(16 - 1, 5)
-    si.write(totalSamples, 36)
-    var k = 0
-    while (k < 16) { si.write(0, 8); k += 1 }
-    val siBytes = si.toBytes
-    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
-    out.write(siBytes, 0, siBytes.length)
+    flacStreamPrelude(out, 1, sampleRate, nFrames.toLong * FlacBlockSize)
     var i = 0
     while (i < nFrames) {
       val wasted = 1 + ((id + i) % 3).toInt // 1..3
       val cw = 16 - wasted // coded width
-      val w = new FlacBitWriter
-      w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
-      w.write(8, 4)
       val srCode = sampleRate match {
         case 44100 => 9; case 22050 => 6; case _ => 4
       }
-      w.write(srCode, 4)
-      w.write(0, 4) // mono, independent
-      w.write(4, 3); w.write(0, 1)
-      w.write(i, 8)
-      val headBytes = w.toBytes
-      val fw = new FlacBitWriter
-      headBytes.foreach(b => fw.write(b & 0xffL, 8))
-      fw.write(flacCrc8(headBytes, 0, headBytes.length), 8)
-      fw.write(0, 1) // subframe reserved bit
-      if ((id + i) % 2 == 0) fw.write(0, 6) // CONSTANT
-      else fw.write(1, 6) // VERBATIM
-      fw.write(1, 1) // wasted-bits flag
-      fw.writeUnary(wasted - 1) // count−1 unary
-      if ((id + i) % 2 == 0) {
-        val base = ((id * 31 + i * 17) % 201 - 100).toInt
-        fw.write(base.toLong & ((1L << cw) - 1), cw)
-      } else {
-        var j = 0
-        while (j < FlacBlockSize) {
-          val base = ((id * 3 + i * 5 + j * 7) % 201 - 100).toInt
+      flacFrame(out, srCode, 0, i) { fw =>
+        fw.write(0, 1) // subframe reserved bit
+        if ((id + i) % 2 == 0) fw.write(0, 6) // CONSTANT
+        else fw.write(1, 6) // VERBATIM
+        fw.write(1, 1) // wasted-bits flag
+        fw.writeUnary(wasted - 1) // count−1 unary
+        if ((id + i) % 2 == 0) {
+          val base = ((id * 31 + i * 17) % 201 - 100).toInt
           fw.write(base.toLong & ((1L << cw) - 1), cw)
-          j += 1
+        } else {
+          var j = 0
+          while (j < FlacBlockSize) {
+            val base = ((id * 3 + i * 5 + j * 7) % 201 - 100).toInt
+            fw.write(base.toLong & ((1L << cw) - 1), cw)
+            j += 1
+          }
         }
       }
-      val frameBytes = fw.toBytes
-      out.write(frameBytes, 0, frameBytes.length)
-      val c16 = flacCrc16(frameBytes, 0, frameBytes.length)
-      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
       i += 1
     }
     out.toByteArray
