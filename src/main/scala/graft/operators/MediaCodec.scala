@@ -6180,6 +6180,208 @@ object MediaCodec {
     media.mapPartitions(_.flatMap { case (id, p) => parseOggTags(id, p) })
   }
 
+  /** EXIF fields recovered from a JPEG's APP1 segment — what an image
+    * intake pipeline rotates and filters on before any pixel decode:
+    * TIFF byte order, orientation (1–8), pixel dimensions, the Make
+    * string, and ISO from the chained Exif sub-IFD. */
+  final case class ExifMeta(id: Long, byteOrder: String, orientation: Int,
+                            width: Long, height: Long, make: String,
+                            iso: Int)
+
+  /** A deterministic JPEG carrying a REAL EXIF block (TIFF 6.0 inside
+    * APP1 per EXIF 2.3): SOI, a JFIF APP0 for every 3rd id and a COM
+    * segment sized by nChars (both must be SKIPPED to find the Exif
+    * APP1), then the TIFF structure — "II" little-endian for even
+    * ids, "MM" big-endian for odd (the walk must handle BOTH), magic
+    * 42, IFD0 with width/height (LONG), Make (ASCII via data-area
+    * offset), orientation (SHORT, left-justified inline value), and
+    * an Exif sub-IFD pointer (0x8769) whose single entry carries
+    * ISOSpeedRatings — then EOI. All values from id arithmetic. */
+  def buildJpegExifPattern(id: Long, nChars: Long): Array[Byte] = {
+    val le = id % 2 == 0
+    val orientation = 1 + (id % 8).toInt
+    val width = 640 + (id % 1280)
+    val height = 360 + (id % 720)
+    val make = "CAM" + ('A' + (id % 26).toInt).toChar
+    val iso = 50 + (id % 3150).toInt
+    // --- TIFF block ---
+    val t = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (le) { t.write(v & 0xff); t.write((v >> 8) & 0xff) }
+      else { t.write((v >> 8) & 0xff); t.write(v & 0xff) }
+    def u32(v: Long): Unit =
+      if (le) { t.write((v & 0xff).toInt); t.write(((v >> 8) & 0xff).toInt)
+        t.write(((v >> 16) & 0xff).toInt); t.write(((v >> 24) & 0xff).toInt) }
+      else { t.write(((v >> 24) & 0xff).toInt)
+        t.write(((v >> 16) & 0xff).toInt)
+        t.write(((v >> 8) & 0xff).toInt); t.write((v & 0xff).toInt) }
+    // entry: tag, type, count, then a 4-byte value field; SHORT values
+    // are LEFT-justified in the field (TIFF 6.0 §2)
+    def entryLong(tag: Int, v: Long): Unit = {
+      u16(tag); u16(4); u32(1); u32(v)
+    }
+    def entryShort(tag: Int, v: Int): Unit = {
+      u16(tag); u16(3); u32(1); u16(v); u16(0)
+    }
+    def entryAsciiOff(tag: Int, len: Int, off: Long): Unit = {
+      u16(tag); u16(2); u32(len); u32(off)
+    }
+    t.write(if (le) 'I' else 'M'); t.write(if (le) 'I' else 'M')
+    u16(42)
+    u32(8) // IFD0 directly after the header
+    // IFD0: 5 entries sorted by tag, next-IFD = 0; layout:
+    //   header 8 | IFD0 8..74 | ExifIFD 74..92 | make string 92..97
+    u16(5)
+    entryLong(0x0100, width)
+    entryLong(0x0101, height)
+    entryAsciiOff(0x010f, make.length + 1, 92)
+    entryShort(0x0112, orientation)
+    entryLong(0x8769, 74) // Exif sub-IFD pointer
+    u32(0)
+    u16(1)
+    entryShort(0x8827, iso) // ISOSpeedRatings
+    u32(0)
+    t.write(make.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    t.write(0)
+    val tiff = t.toByteArray
+    // --- JPEG wrapper ---
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    if (id % 3 == 0) { // a JFIF APP0 the walk must skip
+      val app0 = "JFIF".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0)
+      out.write(0xff); out.write(0xe0)
+      out.write(0); out.write(app0.length + 2)
+      out.write(app0, 0, app0.length)
+    }
+    val com = Array.tabulate[Byte]((nChars % 40).toInt)(j =>
+      ((j + id) % 120 + 1).toByte)
+    out.write(0xff); out.write(0xfe) // COM, also skipped
+    out.write(0); out.write(com.length + 2)
+    out.write(com, 0, com.length)
+    val exifHdr = "Exif".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++ Array[Byte](0, 0)
+    val app1Len = 2 + exifHdr.length + tiff.length
+    out.write(0xff); out.write(0xe1) // APP1
+    out.write((app1Len >> 8) & 0xff); out.write(app1Len & 0xff)
+    out.write(exifHdr, 0, exifHdr.length)
+    out.write(tiff, 0, tiff.length)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Real EXIF walk (EXIF 2.3 over TIFF 6.0): JPEG marker loop to the
+    * "Exif\0\0" APP1 (other APPn/COM segments skipped by length),
+    * then the TIFF structure in EITHER byte order — magic 42, IFD0
+    * entries (SHORT values left-justified inline, ASCII via bounded
+    * data-area offsets), and the 0x8769 Exif sub-IFD chain for ISO.
+    * Every offset/count is bounds-checked against the segment (an
+    * untrusted entry count or offset must reject, not allocate or
+    * read wild); orientation outside 1–8 rejects. None on anything
+    * malformed. */
+  def parseExifMeta(id: Long, b: Array[Byte]): Option[ExifMeta] = try {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    // marker walk to APP1/Exif
+    var pos = 2
+    var tiff: Array[Byte] = null
+    while (tiff == null) {
+      if (pos + 4 > b.length) return None
+      if ((b(pos) & 0xff) != 0xff) return None
+      val marker = b(pos + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no Exif
+      val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+      if (len < 2 || pos + 2 + len > b.length) return None
+      if (marker == 0xe1 && len >= 8 &&
+          b(pos + 4) == 'E' && b(pos + 5) == 'x' && b(pos + 6) == 'i' &&
+          b(pos + 7) == 'f' && b(pos + 8) == 0 && b(pos + 9) == 0)
+        tiff = java.util.Arrays.copyOfRange(b, pos + 10, pos + 2 + len)
+      pos += 2 + len
+    }
+    if (tiff.length < 8) return None
+    val le =
+      if (tiff(0) == 'I' && tiff(1) == 'I') true
+      else if (tiff(0) == 'M' && tiff(1) == 'M') false
+      else return None
+    def u16(o: Int): Int =
+      if (o < 0 || o + 2 > tiff.length) -1
+      else if (le) (tiff(o) & 0xff) | ((tiff(o + 1) & 0xff) << 8)
+      else ((tiff(o) & 0xff) << 8) | (tiff(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < 0 || o + 4 > tiff.length) -1L
+      else if (le) (tiff(o) & 0xffL) | ((tiff(o + 1) & 0xffL) << 8) |
+        ((tiff(o + 2) & 0xffL) << 16) | ((tiff(o + 3) & 0xffL) << 24)
+      else ((tiff(o) & 0xffL) << 24) | ((tiff(o + 1) & 0xffL) << 16) |
+        ((tiff(o + 2) & 0xffL) << 8) | (tiff(o + 3) & 0xffL)
+    if (u16(2) != 42) return None
+    var orientation = 0
+    var width = -1L
+    var height = -1L
+    var make = ""
+    var iso = 0
+    var exifIfd = -1L
+    def walkIfd(off: Long): Boolean = {
+      if (off < 0 || off + 2 > tiff.length) return false
+      val n = u16(off.toInt)
+      // each entry is 12 bytes: an untrusted count must fit the block
+      if (n < 0 || off + 2 + 12L * n + 4 > tiff.length) return false
+      var k = 0
+      while (k < n) {
+        val e = (off + 2 + 12 * k).toInt
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val count = u32(e + 4)
+        if (count < 0) return false
+        tag match {
+          case 0x0100 if typ == 4 => width = u32(e + 8)
+          case 0x0100 if typ == 3 => width = u16(e + 8).toLong
+          case 0x0101 if typ == 4 => height = u32(e + 8)
+          case 0x0101 if typ == 3 => height = u16(e + 8).toLong
+          case 0x0112 if typ == 3 =>
+            orientation = u16(e + 8) // left-justified inline SHORT
+          case 0x010f if typ == 2 =>
+            // ASCII: inline when ≤ 4 bytes, else a bounded offset
+            val cnt = count.toInt
+            val start = if (count <= 4) e + 8 else u32(e + 8).toInt
+            if (cnt <= 0 || start < 0 || start + cnt > tiff.length)
+              return false
+            // NUL-terminated per TIFF; trim the terminator
+            val raw = new String(tiff, start, cnt,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            make = raw.takeWhile(_ != '\u0000')
+          case 0x8769 if typ == 4 => exifIfd = u32(e + 8)
+          case 0x8827 if typ == 3 => iso = u16(e + 8)
+          case _ => ()
+        }
+        k += 1
+      }
+      true
+    }
+    if (!walkIfd(u32(4))) return None
+    if (exifIfd >= 0 && !walkIfd(exifIfd)) return None
+    if (orientation < 1 || orientation > 8) return None
+    if (width <= 0 || height <= 0 || iso <= 0) return None
+    Some(ExifMeta(id, if (le) "II" else "MM", orientation, width, height,
+      make, iso))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture adapter for the EXIF gate. */
+  def exifFromDocuments(spark: SparkSession,
+                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildJpegExifPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch EXIF walk — payloads never shuffle. */
+  def extractExifMeta(media: Dataset[(Long, Array[Byte])])
+      : Dataset[ExifMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseExifMeta(id, p) })
+  }
+
   /** Fixture adapter for the Ogg gate. */
   def oggFromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {

@@ -1049,6 +1049,25 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL EXIF walk under the gate (EXIF 2.3 over TIFF 6.0) — the
+    // metadata an image intake rotates and filters on before any
+    // pixel decode: the JPEG marker loop skips APP0/COM to the
+    // "Exif\0\0" APP1, then the TIFF IFD walk runs in BOTH byte
+    // orders (II for even ids, MM for odd — an endianness slip flips
+    // every field), reading LONG dims, the left-justified inline
+    // SHORT orientation, the Make string through a bounded data-area
+    // offset, and ISO through the chained 0x8769 sub-IFD.
+    "mm_exif_meta" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.exifFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractExifMeta(media).toDF()
+        .select(col("id").as("doc_id"),
+          col("byteOrder").as("byte_order"),
+          col("orientation"), col("width"), col("height"),
+          col("make"), col("iso"))
+        .orderBy("doc_id")
+    },
+
     // REAL comment-header parse behind the Ogg walk — the tag block
     // (OpusTags per RFC 7845 §5.2 / Vorbis comment per Vorbis I §5)
     // an intake pipeline routes on: vendor string, LE32-prefixed
@@ -2221,6 +2240,19 @@ object SimilarityQueries {
         |  CAST(SUM(CASE WHEN i = 0 AND c = 0 AND j = 0
         |    THEN s ELSE 0 END) AS INT) AS first_sample
         |FROM samp GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Every EXIF field re-derived from id arithmetic — the Spark side
+    // must land on the identical values through real TIFF bytes in
+    // both byte orders.
+    "mm_exif_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+        |  CAST(640 + doc_id % 1280 AS BIGINT) AS width,
+        |  CAST(360 + doc_id % 720 AS BIGINT) AS height,
+        |  'CAM' || chr(65 + CAST(doc_id % 26 AS INT)) AS make,
+        |  CAST(50 + doc_id % 3150 AS INT) AS iso
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Re-derives vendor/lang STRINGS via chr arithmetic and the
     // comment byte totals from the per-k length formula ("LANG=xx" is

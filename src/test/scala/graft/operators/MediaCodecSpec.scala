@@ -1903,6 +1903,59 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("exif: both byte orders round-trip through the TIFF walk") {
+    for (id <- 0L until 18L; nChars <- Seq(0L, 13L, 77L)) {
+      val meta = parseExifMeta(id, buildJpegExifPattern(id, nChars))
+        .getOrElse(fail(s"no exif parse for id=$id nChars=$nChars"))
+      assert(meta.byteOrder === (if (id % 2 == 0) "II" else "MM"))
+      assert(meta.orientation === 1 + (id % 8).toInt)
+      assert(meta.width === 640 + id % 1280)
+      assert(meta.height === 360 + id % 720)
+      assert(meta.make === "CAM" + ('A' + (id % 26).toInt).toChar)
+      assert(meta.iso === 50 + (id % 3150).toInt)
+    }
+  }
+
+  test("exif: malformed TIFF structures are rejected, totality holds") {
+    val good = buildJpegExifPattern(4L, 13L) // II, no APP0 (4%3!=0)
+    assert(parseExifMeta(4L, good).isDefined)
+    // the TIFF block starts after SOI + COM + APP1 header; find it
+    val tiffOff = {
+      val i = good.indices.indexWhere(i => i + 6 <= good.length &&
+        good(i) == 'E' && good(i + 1) == 'x' && good(i + 2) == 'i' &&
+        good(i + 3) == 'f' && good(i + 4) == 0 && good(i + 5) == 0)
+      assert(i > 0); i + 6
+    }
+    // wrong magic (42 -> 43)
+    locally {
+      val bad = good.clone(); bad(tiffOff + 2) = 43
+      assert(parseExifMeta(4L, bad).isEmpty)
+    }
+    // entry-count bomb: 0xFFFF entries cannot fit the segment — must
+    // reject on the bound, not read wild
+    locally {
+      val bad = good.clone()
+      bad(tiffOff + 8) = 0xff.toByte; bad(tiffOff + 9) = 0xff.toByte
+      assert(parseExifMeta(4L, bad).isEmpty)
+    }
+    // make-string offset pointing past the segment
+    locally {
+      val bad = good.clone()
+      // entry 3 (0x010f) value field = IFD0 base + 2 + 2*12 + 8
+      val e = tiffOff + 8 + 2 + 2 * 12 + 8
+      bad(e) = 0xf0.toByte // offset 0xf0 > tiff length (~97)
+      assert(parseExifMeta(4L, bad).isEmpty)
+    }
+    val rnd = new scala.util.Random(808)
+    for (_ <- 0 until 200) {
+      val junk = new Array[Byte](rnd.nextInt(250))
+      rnd.nextBytes(junk)
+      assert(parseExifMeta(1L, junk).forall(_.iso >= 0)) // no throw
+    }
+    for (cut <- Seq(0, 1, 2, 8, good.length - 3))
+      assert(parseExifMeta(4L, good.take(cut)).isEmpty)
+  }
+
   test("ogg tags: comment headers round-trip for both codecs") {
     for (id <- 0L until 18L; nChars <- Seq(0L, 7L, 59L)) {
       val meta = parseOggTags(id, buildOggTagsPattern(id, nChars))
