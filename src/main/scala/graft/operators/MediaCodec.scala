@@ -1551,6 +1551,163 @@ object MediaCodec {
     out
   }
 
+  /** Xing/Info VBR-header metadata, cross-checked against the real
+    * frame walk — the duration/bitrate source a real intake uses for
+    * VBR MP3s (a CBR formula over the first frame's bitrate is wrong
+    * for them). tocSum pins all 100 seek-table bytes. */
+  final case class Mp3VbrMeta(id: Long, isVbr: Boolean, nFrames: Int,
+                              audioBytes: Long, quality: Int,
+                              tocSum: Long, durationMs: Long)
+
+  /** A deterministic VBR MPEG1-L3 stream: frame 0 carries a real
+    * Xing (VBR; every id except multiples of 5) or Info (CBR) header
+    * at the correct post-side-info offset (17 bytes mono / 32
+    * stereo), flags 0x0F, frame/byte totals, the 100-byte TOC, and a
+    * quality field; frames 1..n then ROTATE bitrates 128/160/192/224
+    * (constant 160 for Info) with per-frame padding — so the byte
+    * total is only reachable by walking every variable-size frame.
+    * All fields derive from (id, nChars) arithmetic. */
+  def buildMp3VbrPattern(id: Long, nChars: Long): Array[Byte] = {
+    val srIdx = (id % 3).toInt
+    val sr = Mp3SampleRates(srIdx)
+    val mono = id % 2 == 1
+    val mode = if (mono) 3 else 0
+    val nF = 20 + (nChars % 60).toInt
+    val info = id % 5 == 0
+    def brIdx(k: Int): Int = if (info) 10 else 9 + ((id + k) % 4).toInt
+    def frameLen(k: Int): Int =
+      144 * Mp3Bitrates(brIdx(k)) * 1000 / sr + ((id + k) % 2).toInt
+    val audioBytes = (1 to nF).map(frameLen(_).toLong).sum
+    val xingFrameLen = 144 * Mp3Bitrates(12) * 1000 / sr // 224k, no pad
+    val out = new Array[Byte](xingFrameLen +
+      (1 to nF).map(frameLen).sum)
+    def header(o: Int, bi: Int, pad: Int): Unit = {
+      out(o) = 0xff.toByte; out(o + 1) = 0xfb.toByte
+      out(o + 2) = ((bi << 4) | (srIdx << 2) | (pad << 1)).toByte
+      out(o + 3) = ((mode << 6) | 0x04).toByte
+    }
+    header(0, 12, 0)
+    val side = if (mono) 17 else 32 // MPEG1 L3 side-info bytes
+    var o = 4 + side
+    val tag = if (info) "Info" else "Xing"
+    tag.foreach { c => out(o) = c.toByte; o += 1 }
+    def be32(v: Long): Unit = {
+      out(o) = ((v >> 24) & 0xff).toByte; out(o + 1) = ((v >> 16) & 0xff).toByte
+      out(o + 2) = ((v >> 8) & 0xff).toByte; out(o + 3) = (v & 0xff).toByte
+      o += 4
+    }
+    be32(0x0f) // frames | bytes | toc | quality
+    be32(nF)
+    be32(audioBytes)
+    var k = 0
+    while (k < 100) { out(o) = ((2 * k + id) % 256).toByte; o += 1; k += 1 }
+    be32(id % 101)
+    // rest of the Xing frame is filler
+    o = xingFrameLen
+    var i = 1
+    while (i <= nF) {
+      val len = frameLen(i)
+      header(o, brIdx(i), ((id + i) % 2).toInt)
+      var j = 4
+      while (j < len) { out(o + j) = ((i * 7 + j * 31 + id) % 251).toByte
+        j += 1 }
+      o += len
+      i += 1
+    }
+    out
+  }
+
+  /** Real Xing/Info parse + VBR frame walk (the Xing SDK/LAME layout,
+    * public): frame 0's header decoded for mode/rate, the tag read at
+    * the post-side-info offset, flags honored, then EVERY following
+    * frame header walked (bitrates may differ per frame — the VBR
+    * point) and the walked frame/byte totals CROSS-CHECKED against
+    * the Xing fields; a mismatch, a bad header, or a truncated TOC →
+    * None. Duration derives from the Xing frame count — the correct
+    * VBR formula. */
+  def parseMp3Vbr(id: Long, b: Array[Byte]): Option[Mp3VbrMeta] = try {
+    if (b.length < 4) return None
+    def frameHeader(o: Int): Option[(Int, Int, Int, Int)] = {
+      // (bitrateKbps, sampleRate, mode, frameLen)
+      if (o + 4 > b.length) return None
+      if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xfe) != 0xfa) return None
+      val bi = (b(o + 2) >> 4) & 0xf
+      val si = (b(o + 2) >> 2) & 0x3
+      val pad = (b(o + 2) >> 1) & 0x1
+      if (bi == 0 || bi == 15 || si == 3) return None
+      val br = Mp3Bitrates(bi)
+      val sr = Mp3SampleRates(si)
+      Some((br, sr, (b(o + 3) >> 6) & 0x3, 144 * br * 1000 / sr + pad))
+    }
+    val (_, sr, mode, len0) = frameHeader(0).getOrElse(return None)
+    val side = if (mode == 3) 17 else 32
+    var o = 4 + side
+    if (o + 8 > b.length) return None
+    val tag = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val isVbr = tag match {
+      case "Xing" => true
+      case "Info" => false
+      case _ => return None
+    }
+    o += 4
+    def be32(): Long = {
+      val v = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      o += 4
+      v
+    }
+    val flags = be32()
+    // the cross-check needs frame and byte totals; a header without
+    // them carries nothing to verify the walk against
+    if ((flags & 0x3) != 0x3) return None
+    if (o + 8 > b.length) return None
+    val xFrames = be32()
+    val xBytes = be32()
+    var tocSum = 0L
+    if ((flags & 0x4) != 0) {
+      if (o + 100 > b.length) return None
+      var k = 0
+      while (k < 100) { tocSum += b(o + k) & 0xff; k += 1 }
+      o += 100
+    }
+    val quality =
+      if ((flags & 0x8) != 0) { if (o + 4 > b.length) return None
+        be32().toInt }
+      else 0
+    // the VBR walk: every frame after the Xing frame, variable sizes
+    var pos = len0
+    var frames = 0L
+    var bytes = 0L
+    while (pos < b.length) {
+      val (_, fsr, fmode, flen) = frameHeader(pos).getOrElse(return None)
+      if (fsr != sr || fmode != mode) return None
+      frames += 1
+      bytes += flen
+      pos += flen
+    }
+    if (pos != b.length) return None
+    // the header's totals must match what the walk measured
+    if (frames != xFrames || bytes != xBytes) return None
+    Some(Mp3VbrMeta(id, isVbr, xFrames.toInt, xBytes, quality, tocSum,
+      xFrames * 1152000L / sr))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixture adapter for the VBR gate. */
+  def mp3VbrFromDocuments(spark: SparkSession,
+                          docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildMp3VbrPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch VBR walk — payloads never shuffle. */
+  def extractMp3Vbr(media: Dataset[(Long, Array[Byte])])
+      : Dataset[Mp3VbrMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseMp3Vbr(id, p) })
+  }
+
   /** Fixture adapter for the MP3-metadata gate: every document becomes
     * a CBR MPEG1 L3 stream whose header fields derive from (doc_id,
     * n_chars) arithmetic, so the oracle re-derives what the frame walk

@@ -907,6 +907,25 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL Xing/Info VBR-header parse + variable-bitrate frame walk —
+    // how a real intake derives duration for VBR MP3s (the CBR
+    // formula over the first frame's bitrate is simply wrong there).
+    // Frames rotate four bitrates with per-frame padding, so the byte
+    // total is only reachable by walking every variable-size frame,
+    // and the parser CROSS-CHECKS the walked totals against the Xing
+    // fields; the 100-byte seek TOC is pinned via its sum.
+    "mm_mp3_vbr" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.mp3VbrFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractMp3Vbr(media).toDF()
+        .select(col("id").as("doc_id"), col("isVbr").as("is_vbr"),
+          col("nFrames").as("n_frames"),
+          col("audioBytes").as("audio_bytes"),
+          col("quality"), col("tocSum").as("toc_sum"),
+          col("durationMs").as("duration_ms"))
+        .orderBy("doc_id")
+    },
+
     // REAL quantized-LPC FLAC decode under the gate — the subframe
     // type real encoders emit for nearly all music (RFC 9639 §9.2.6):
     // warmup samples, 4-bit coefficient precision, 5-bit shift, the
@@ -2340,6 +2359,37 @@ object SimilarityQueries {
         |  CAST(SUM(sz) + CASE WHEN id % 2 = 0 THEN 19 ELSE 30 END
         |    AS BIGINT) AS payload_bytes
         |FROM pk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the per-frame variable sizes (144·br·1000 // rate +
+    // padding over the rotating bitrate table), the TOC byte sum, and
+    // the Xing-frame-count duration — the numbers the Spark side must
+    // reach through the real header fields AND the real walk.
+    "mm_mp3_vbr" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    20 + (CAST(n_chars AS BIGINT) % 60) AS nf,
+        |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      ELSE 32000 END AS sr
+        |  FROM documents),
+        |fr AS (SELECT id, nf, sr, k,
+        |    CASE WHEN id % 5 = 0 THEN 160
+        |      ELSE CASE (id + k) % 4 WHEN 0 THEN 128 WHEN 1 THEN 160
+        |        WHEN 2 THEN 192 ELSE 224 END END AS br,
+        |    (id + k) % 2 AS pad
+        |  FROM dim, LATERAL (SELECT unnest(range(1, nf + 1)) AS k)),
+        |toc AS (SELECT id, SUM((2*k + id) % 256) AS tsum
+        |  FROM dim, LATERAL (SELECT unnest(range(100)) AS k)
+        |  GROUP BY id)
+        |SELECT f.id AS doc_id,
+        |  f.id % 5 <> 0 AS is_vbr,
+        |  CAST(MAX(f.nf) AS INT) AS n_frames,
+        |  CAST(SUM((144 * f.br * 1000) // f.sr + f.pad) AS BIGINT)
+        |    AS audio_bytes,
+        |  CAST(f.id % 101 AS INT) AS quality,
+        |  CAST(MAX(t.tsum) AS BIGINT) AS toc_sum,
+        |  CAST((MAX(f.nf) * 1152000) // MAX(f.sr) AS BIGINT)
+        |    AS duration_ms
+        |FROM fr f JOIN toc t ON f.id = t.id
+        |GROUP BY f.id ORDER BY doc_id""".stripMargin,
 
     // Re-derives every LPC-decoded sample by replaying the quantized
     // prediction recurrence as a recursive CTE: order-1

@@ -1903,6 +1903,62 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("mp3 vbr: Xing/Info headers cross-check against the frame walk") {
+    for (id <- 0L until 16L; nChars <- Seq(0L, 23L, 99L)) {
+      val meta = parseMp3Vbr(id, buildMp3VbrPattern(id, nChars))
+        .getOrElse(fail(s"no vbr parse for id=$id nChars=$nChars"))
+      val nF = 20 + (nChars % 60).toInt
+      val sr = (id % 3) match {
+        case 0 => 44100; case 1 => 48000; case _ => 32000
+      }
+      def br(k: Int): Int =
+        if (id % 5 == 0) 160
+        else ((id + k) % 4).toInt match {
+          case 0 => 128; case 1 => 160; case 2 => 192; case _ => 224
+        }
+      val bytes = (1 to nF)
+        .map(k => (144 * br(k) * 1000 / sr + (id + k) % 2).toLong).sum
+      assert(meta.isVbr === (id % 5 != 0))
+      assert(meta.nFrames === nF)
+      assert(meta.audioBytes === bytes)
+      assert(meta.quality === (id % 101).toInt)
+      assert(meta.tocSum === (0 until 100).map(k => (2 * k + id) % 256).sum)
+      assert(meta.durationMs === nF * 1152000L / sr)
+    }
+  }
+
+  test("mp3 vbr: header/walk disagreements are rejected") {
+    val good = buildMp3VbrPattern(2L, 23L) // stereo, Xing
+    assert(parseMp3Vbr(2L, good).isDefined)
+    // Xing frame-count field off by one -> cross-check must fail
+    // (frames u32 sits at 4 + 32 side + 4 tag + 4 flags)
+    locally {
+      val bad = good.clone()
+      bad(4 + 32 + 8 + 3) = (bad(4 + 32 + 8 + 3) + 1).toByte
+      assert(parseMp3Vbr(2L, bad).isEmpty)
+    }
+    // dropping the last frame breaks BOTH totals
+    locally {
+      val lastLen = {
+        // recompute the last frame's length from the fixture formula
+        val nF = 20 + (23 % 60)
+        val sr = 32000 // id=2 -> srIdx 2
+        144 * (((2 + nF) % 4) match {
+          case 0 => 128; case 1 => 160; case 2 => 192; case _ => 224
+        }) * 1000 / sr + ((2 + nF) % 2)
+      }
+      assert(parseMp3Vbr(2L, good.dropRight(lastLen)).isEmpty)
+    }
+    // truncation mid-frame and junk are data
+    assert(parseMp3Vbr(2L, good.dropRight(7)).isEmpty)
+    val rnd = new scala.util.Random(606)
+    for (_ <- 0 until 200) {
+      val junk = new Array[Byte](rnd.nextInt(250))
+      rnd.nextBytes(junk)
+      assert(parseMp3Vbr(1L, junk).forall(_.nFrames >= 0)) // no throw
+    }
+  }
+
   test("exif: both byte orders round-trip through the TIFF walk") {
     for (id <- 0L until 18L; nChars <- Seq(0L, 13L, 77L)) {
       val meta = parseExifMeta(id, buildJpegExifPattern(id, nChars))
