@@ -460,6 +460,73 @@ object CdcQueries {
         .orderBy("user_id", "s_start")
     },
 
+    // S5 — REAL binary binlog decode under the gate: every document
+    // becomes a standalone v4 binlog FILE (CRC32-checksummed FDE, GTID,
+    // BEGIN, TABLE_MAP with SIGNEDNESS + COLUMN_NAME TLVs, v2
+    // WRITE/UPDATE/DELETE rows events, XID, ROTATE) over a 22-column
+    // table exercising every supported wire type — signed/unsigned ints
+    // of all five widths, float/double, 1- and 2-byte VARCHAR lengths,
+    // packed CHAR metadata, BLOB, the DATE bitfield (incl. the
+    // 0000-00-00 → NULL sentinel), DATETIME2/TIMESTAMP2/TIME2 with
+    // odd/even fsp packing, YEAR, NEWDECIMAL compressed groups with the
+    // complement sign encoding, BIT, ENUM/SET via STRING metadata, and
+    // binary-JSON columns — decoded map-side through real CRC checks.
+    // The oracle re-derives all 22 values per image from the seed grid
+    // s = doc_id*5 + k, so a bitfield off-by-one, a complement slip, or
+    // a null-bitmap misindex diverges the hash.
+    "cdc_binlog_decode" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap(graft.sources.BinlogFixture.gateRowsFor _)
+        .toDF()
+        .orderBy("doc_id", "img")
+    },
+
+    // S5 end to end: customer rows encoded into rotated BINARY binlog
+    // segments (range-sharded, one segment per shard, DDL in the first
+    // segment like a schema-history bootstrap), tailed through the
+    // PRODUCTION chain — BinlogTail (decode, CRC verify, normalize) →
+    // SpoolProducer → spool → CdcPipeline — and read back FINAL. Same
+    // change pattern as cdc_debezium_ingest (update pk%5, delete
+    // pk%11), so the binary-file transport is hash-verified to converge
+    // on the identical replica the JSON transport produces.
+    "cdc_binlog_ingest" -> { (s, dir) =>
+      import graft.sources.{BinlogFixture, BinlogTail, EventSpool,
+        SpoolProducer}
+      import graft.streaming.CdcPipeline
+      import graft.ddl.SchemaRegistry
+      val dump = java.nio.file.Files.createTempDirectory("graft-blg-dump")
+      val spool = java.nio.file.Files.createTempDirectory("graft-blg-spool")
+      val wh = java.nio.file.Files.createTempDirectory("graft-blg-wh")
+      java.nio.file.Files.write(dump.resolve("b.000001.bin"),
+        BinlogFixture.custSegment(Seq.empty, withDdl = true,
+          nextFile = "b.000002.bin"))
+      val dumpPath = dump.toString
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("pk"), col("c_name").as("name"),
+          col("c_mktsegment").as("seg"))
+        .repartitionByRange(4, col("pk"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val rows = it.map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+          if (rows.nonEmpty) {
+            val idx = org.apache.spark.TaskContext.getPartitionId() + 2
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dumpPath, f"b.$idx%06d.bin"),
+              BinlogFixture.custSegment(rows, withDdl = false,
+                nextFile = f"b.${idx + 1}%06d.bin"))
+          }
+          ()
+        }
+      val producer = new SpoolProducer(spool.toString, graft.GraftConfig())
+      new BinlogTail(dumpPath, producer, consumeActive = true).tick()
+      val pipeline = new CdcPipeline(s, graft.GraftConfig(),
+        new SchemaRegistry("d"), wh.toString)
+      pipeline.processBatch(EventSpool.readBatch(s, spool.toString),
+        batchId = 0)
+      pipeline.table("custs").read.orderBy("pk")
+    },
+
     // S1/S3: deterministic worker sharding of a snapshot scan —
     // pmod(crc32(concat_ws('|', pk)), W) = w (reference mysql_api.py:124-133).
     // Spark's crc32 has no DuckDB twin, so the oracle checks shard *sizes*
@@ -515,6 +582,69 @@ object CdcQueries {
         |            FROM lineitem)
         |      GROUP BY pk)
         |WHERE ln % 7 <> 0 ORDER BY pk""".stripMargin,
+
+    // Re-derives all 22 decoded wire values per row image from the
+    // fixture's seed grid s = doc_id*5 + k (k: w0,w1,ub,ua,d) — string
+    // contents by chr() arithmetic, temporals by printf of the same
+    // field math the bitfields pack, the decimal canonical text by
+    // lpad, the negative-TIME2 sign by the same s%5 rule the two's
+    // complement encodes.
+    "cdc_binlog_decode" ->
+      """WITH g AS (SELECT doc_id, k, doc_id*5 + k AS s,
+        |    CASE k WHEN 0 THEN 'w0' WHEN 1 THEN 'w1' WHEN 2 THEN 'ub'
+        |      WHEN 3 THEN 'ua' ELSE 'd' END AS img
+        |  FROM documents, LATERAL (SELECT unnest(range(5)) AS k))
+        |SELECT doc_id, img,
+        |  CAST(s*1000003 - 500000000 AS BIGINT) AS pk,
+        |  CAST(s % 256 - 128 AS INT) AS ti,
+        |  CAST((s*7) % 65536 - 32768 AS INT) AS sh,
+        |  CAST((s*131) % 16777216 - 8388608 AS INT) AS i24,
+        |  CAST((s*2654435) % 4294967296 - 2147483648 AS BIGINT) AS i32,
+        |  CAST((s*40503) % 4294967296 AS BIGINT) AS u32,
+        |  CAST((s % 1000) / 4.0 AS DOUBLE) AS fl,
+        |  CAST((s % 100000) / 8.0 AS DOUBLE) AS db,
+        |  CASE WHEN s % 7 = 3 THEN NULL ELSE 'v' || s || '-' ||
+        |    coalesce(array_to_string(list_transform(range(s % 20),
+        |      k2 -> chr(CAST(97 + (s + k2) % 26 AS INT))), ''), '') END
+        |    AS vc,
+        |  array_to_string(list_transform(range(200 + s % 90),
+        |    j -> chr(CAST(97 + (s + 3*j) % 26 AS INT))), '') AS vl,
+        |  'c' || (s % 1000) AS ch,
+        |  array_to_string(list_transform(range(10 + s % 40),
+        |    j -> chr(CAST(97 + (s + 17*j) % 26 AS INT))), '') AS bl,
+        |  CASE WHEN s % 13 = 12 THEN NULL ELSE printf('%04d-%02d-%02d',
+        |    1990 + s % 40, 1 + s % 12, 1 + s % 28) END AS dt,
+        |  printf('%04d-%02d-%02d %02d:%02d:%02d.%03d', 2000 + s % 30,
+        |    1 + s % 12, 1 + (s*11) % 28, s % 24, (s*3) % 60, (s*7) % 60,
+        |    s % 1000) AS dt2,
+        |  CAST(1400000000 + (s*97) % 500000000 AS BIGINT) AS ts2,
+        |  CAST((CASE WHEN s % 5 = 0 THEN -1 ELSE 1 END) *
+        |    (((1 + s % 199)*3600 + ((s*13) % 60)*60 + (s*17) % 60)
+        |      * 1000000 + (s % 100) * 10000) AS BIGINT) AS tm,
+        |  CAST(1901 + s % 155 AS INT) AS yr,
+        |  (CASE WHEN s % 3 = 0 AND ((s*7919123) % 10000000000 > 0
+        |      OR (s*37) % 10000 > 0) THEN '-' ELSE '' END)
+        |    || CAST((s*7919123) % 10000000000 AS VARCHAR) || '.'
+        |    || lpad(CAST((s*37) % 10000 AS VARCHAR), 4, '0') AS dc,
+        |  CAST(s % 4096 AS INT) AS bt,
+        |  CAST(1 + s % 3 AS INT) AS en,
+        |  CAST(s % 16 AS INT) AS st,
+        |  CASE WHEN s % 11 = 7 THEN NULL ELSE
+        |    '{"a":' || (s % 1000 - 500) || ',"b":"t' || (s % 7) ||
+        |    '","c":[' || (s % 5) || ',' ||
+        |    (CASE s % 3 WHEN 0 THEN 'true' WHEN 1 THEN 'false'
+        |      ELSE 'null' END) || '],"d":' ||
+        |    CAST((s % 200) / 2.0 AS VARCHAR) || '}' END AS js
+        |FROM g ORDER BY doc_id, img""".stripMargin,
+
+    // same expected replica as cdc_debezium_ingest: the two transports
+    // (binary binlog files vs Debezium JSON) must converge
+    "cdc_binlog_ingest" ->
+      """SELECT c_custkey AS pk, c_name AS name,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED'
+        |       ELSE c_mktsegment END AS seg
+        |FROM customer WHERE c_custkey % 11 <> 0
+        |ORDER BY pk""".stripMargin,
 
     // the expected replica, recomputed from the source table: updates
     // overwrite seg for pk % 5 = 0, deletes drop pk % 11 = 0

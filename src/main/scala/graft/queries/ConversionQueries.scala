@@ -80,9 +80,63 @@ object ConversionQueries {
           col("pt.y").cast("double").as("y"))
       pts.unionByName(poly).unionByName(multi)
         .orderBy("gid", "poly", "idx")
+    },
+
+    // S6 — REAL MySQL binary-JSON (JSONB) decode under the gate: per
+    // document a JSONB tree with every scalar type (auto-sized
+    // int16/int32/int64, uint64 above Long.MaxValue, double, literals,
+    // 2-byte-varlen strings), a nested object/array, and — every 20th
+    // id — a filler array forcing the 4-byte LARGE container layout.
+    // Encoded to real JSONB bytes, decoded back through the tree walk,
+    // rendered canonical; the oracle rebuilds the exact text by string
+    // arithmetic (HUGEINT for the unsigned 64-bit tail) and compares
+    // its md5, so an offset slip, an inline/offset confusion, or a
+    // small/large misselection diverges the hash. `was_large` pins the
+    // format-selection rule itself.
+    "conv_jsonb_decode" -> { (s, _2) =>
+      import s.implicits._
+      t(s, _2, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val (text, wasLarge) = graft.sources.BinlogFixture.jsonbGateDoc(id)
+          (id, text, wasLarge)
+        }
+        .toDF("doc_id", "js_text", "was_large")
+        .select(col("doc_id"), length(col("js_text")).as("text_len"),
+          md5(col("js_text").cast("binary")).as("text_md5"),
+          col("was_large"))
+        .orderBy("doc_id")
     })
 
   val oracles: Map[String, String] = Map(
+    // rebuilds the canonical JSONB text per document and hashes it:
+    // keys in MySQL storage order (length, then bytes), doubles as
+    // halves (shortest-round-trip-stable in both engines), u64 via
+    // HUGEINT arithmetic
+    "conv_jsonb_decode" ->
+      """WITH j AS (SELECT doc_id, '{' ||
+        |  CASE WHEN doc_id % 20 = 0 THEN '"big":[' ||
+        |    array_to_string(list_transform(range(230), i -> '"' ||
+        |      array_to_string(list_transform(range(300),
+        |        j2 -> chr(CAST(97 + (doc_id + i + j2) % 26 AS INT))), '')
+        |      || '"'), ',') || '],' ELSE '' END ||
+        |  '"dbl":' || CAST((doc_id % 1000) / 2.0 AS VARCHAR) ||
+        |  ',"i16":' || (doc_id % 30000 - 15000) ||
+        |  ',"i32":' || ((doc_id * 98765) % 2000000000 - 1000000000) ||
+        |  ',"i64":' || (doc_id * 1000000007 + 3000000000) ||
+        |  ',"lit":' || (CASE doc_id % 3 WHEN 0 THEN 'true'
+        |    WHEN 1 THEN 'false' ELSE 'null' END) ||
+        |  ',"obj":{"k":' || (doc_id % 10) || ',"m":[' || (doc_id % 4) ||
+        |    ',"z' || (doc_id % 6) || '"]}' ||
+        |  ',"str":"' || array_to_string(list_transform(
+        |    range(100 + doc_id % 200),
+        |    j2 -> chr(CAST(97 + (doc_id + 2*j2) % 26 AS INT))), '') || '"' ||
+        |  ',"u64":' || CAST(CAST(9223372036854775807 AS HUGEINT) + 1
+        |    + doc_id % 100 AS VARCHAR) ||
+        |  '}' AS text FROM documents)
+        |SELECT doc_id, CAST(length(text) AS INT) AS text_len,
+        |  md5(text) AS text_md5,
+        |  doc_id % 20 = 0 AS was_large
+        |FROM j ORDER BY doc_id""".stripMargin,
     "conv_scalar_suite" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CASE WHEN signed < 0 THEN signed + 4294967296 ELSE signed END AS BIGINT)

@@ -1,0 +1,499 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import BinlogBinary._
+
+/** Deterministic MySQL binlog ENCODER — the paired fixture builder for
+  * [[BinlogBinary]], in the codebase's codec-gate style (the MediaCodec
+  * encoders): every byte derives from seed arithmetic the DuckDB oracle
+  * replays, so the decoder is verified against re-derived values, not
+  * against itself. Emits real v4 binlog files: magic, CRC32-checksummed
+  * FORMAT_DESCRIPTION, GTID / QUERY / XID / ROTATE, TABLE_MAP with
+  * binlog_row_metadata=FULL TLVs (SIGNEDNESS, COLUMN_NAME), and v2
+  * WRITE/UPDATE/DELETE rows events over a 22-column table exercising
+  * every supported wire type.
+  *
+  * The per-image seed grid: image k of document id uses s = id*5 + k,
+  * k = 0,1 (write rows), 2/3 (update before/after), 4 (delete) —
+  * `oracleSql` for `cdc_binlog_decode` re-derives every column from the
+  * same grid.
+  */
+object BinlogFixture {
+
+  val ServerVersion = "8.0.36-graft-fixture"
+
+  // ------------------------------------------------------------ writer
+
+  private final class W {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): this.type = { out.write(v & 0xff); this }
+    def le(v: Long, width: Int): this.type = {
+      var i = 0
+      while (i < width) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+      this
+    }
+    def be(v: Long, width: Int): this.type = {
+      var i = width - 1
+      while (i >= 0) { out.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
+      this
+    }
+    def bytes(b: Array[Byte]): this.type = { out.write(b, 0, b.length); this }
+    def str(s: String): this.type = bytes(s.getBytes(UTF_8))
+    def lenenc(v: Long): this.type =
+      if (v < 0xfb) u8(v.toInt)
+      else if (v <= 0xffff) { u8(0xfc); le(v, 2) }
+      else if (v <= 0xffffff) { u8(0xfd); le(v, 3) }
+      else { u8(0xfe); le(v, 8) }
+    def result(): Array[Byte] = out.toByteArray
+  }
+
+  // ------------------------------------------------------ column spec
+
+  /** One fixture column: TABLE_MAP type byte, metadata bytes, the
+    * signedness-TLV participation, and the per-seed value encoder
+    * (None = SQL NULL via the row null bitmap). */
+  private final case class Col(name: String, typeByte: Int,
+      meta: Array[Byte], nullable: Boolean, numeric: Boolean,
+      unsigned: Boolean, enc: Long => Option[Array[Byte]])
+
+  private def le(v: Long, width: Int): Array[Byte] =
+    Array.tabulate(width)(i => ((v >>> (8 * i)) & 0xff).toByte)
+  private def be(v: Long, width: Int): Array[Byte] =
+    Array.tabulate(width)(i => ((v >>> (8 * (width - 1 - i))) & 0xff).toByte)
+
+  private def letters(n: Long, f: Long => Long): Array[Byte] =
+    Array.tabulate(n.toInt)(k => ('a' + f(k.toLong) % 26).toByte)
+
+  private def pascal(width: Int, payload: Array[Byte]): Array[Byte] =
+    le(payload.length.toLong, width) ++ payload
+
+  /** NEWDECIMAL(14,4) wire bytes: 1-byte compressed integral digit +
+    * one 4-byte base-10^9 group + 2-byte compressed 4-digit fraction;
+    * first byte XOR 0x80, all bytes complemented when negative
+    * (row_event.py:492-539 decoded shape). */
+  private def decimalBytes(neg: Boolean, ipart: Long,
+                           frac: Long): Array[Byte] = {
+    val raw = be(ipart / 1000000000L, 1) ++ be(ipart % 1000000000L, 4) ++
+      be(frac, 2)
+    raw(0) = (raw(0) ^ 0x80).toByte
+    if (neg) raw.map(b => (~b).toByte) else raw
+  }
+
+  /** The 22-column decode-gate table: every wire type [[BinlogBinary]]
+    * supports, with seed arithmetic the oracle replays. */
+  private val gateCols: IndexedSeq[Col] = IndexedSeq(
+    Col("pk", LONGLONG, Array.empty, nullable = false, numeric = true,
+      unsigned = false, s => Some(le(s * 1000003L - 500000000L, 8))),
+    Col("t", TINY, Array.empty, nullable = false, numeric = true,
+      unsigned = false, s => Some(le((s % 256) - 128, 1))),
+    Col("sh", SHORT, Array.empty, nullable = false, numeric = true,
+      unsigned = false, s => Some(le((s * 7) % 65536 - 32768, 2))),
+    Col("i24", INT24, Array.empty, nullable = false, numeric = true,
+      unsigned = false, s => Some(le((s * 131) % 16777216L - 8388608L, 3))),
+    Col("i32", LONG, Array.empty, nullable = false, numeric = true,
+      unsigned = false,
+      s => Some(le((s * 2654435L) % 4294967296L - 2147483648L, 4))),
+    Col("u32", LONG, Array.empty, nullable = false, numeric = true,
+      unsigned = true, s => Some(le((s * 40503L) % 4294967296L, 4))),
+    Col("f", FLOAT, Array(4.toByte), nullable = false, numeric = true,
+      unsigned = false, s => Some(le(java.lang.Float.floatToIntBits(
+        ((s % 1000) / 4.0).toFloat).toLong & 0xffffffffL, 4))),
+    Col("d", DOUBLE, Array(8.toByte), nullable = false, numeric = true,
+      unsigned = false, s => Some(le(java.lang.Double.doubleToLongBits(
+        (s % 100000) / 8.0), 8))),
+    Col("vc", VARCHAR, le(60, 2), nullable = true, numeric = false,
+      unsigned = false, s =>
+        if (s % 7 == 3) None
+        else Some(pascal(1, (s"v$s-" + new String(
+          letters(s % 20, k => s + k), UTF_8)).getBytes(UTF_8)))),
+    Col("vl", VARCHAR, le(400, 2), nullable = false, numeric = false,
+      unsigned = false,
+      s => Some(pascal(2, letters(200 + s % 90, k => s + 3 * k)))),
+    Col("ch", STRING, Array(STRING.toByte, 40.toByte), nullable = false,
+      numeric = false, unsigned = false,
+      s => Some(pascal(1, s"c${s % 1000}".getBytes(UTF_8)))),
+    Col("bl", BLOB, Array(2.toByte), nullable = false, numeric = false,
+      unsigned = false,
+      s => Some(pascal(2, letters(10 + s % 40, k => s + 17 * k)))),
+    Col("dt", DATE, Array.empty, nullable = false, numeric = false,
+      unsigned = false, s =>
+        if (s % 13 == 12) Some(le(0, 3)) // the 0000-00-00 sentinel
+        else Some(le(((1990 + s % 40) << 9) | ((1 + s % 12) << 5) |
+          (1 + s % 28), 3))),
+    Col("dt2", DATETIME2, Array(3.toByte), nullable = false,
+      numeric = false, unsigned = false, s => {
+        val ym = (2000 + s % 30) * 13 + (1 + s % 12)
+        val packed = (1L << 39) | (ym.toLong << 22) |
+          ((1 + (s * 11) % 28) << 17) | ((s % 24) << 12) |
+          (((s * 3) % 60) << 6) | ((s * 7) % 60)
+        Some(be(packed, 5) ++ be((s % 1000) * 10, 2)) // fsp=3 frac
+      }),
+    Col("ts2", TIMESTAMP2, Array(0.toByte), nullable = false,
+      numeric = false, unsigned = false,
+      s => Some(be(1400000000L + (s * 97) % 500000000L, 4))),
+    Col("tm", TIME2, Array(2.toByte), nullable = false, numeric = false,
+      unsigned = false, s => {
+        val packed = (1L << 23) | ((1 + s % 199) << 12) |
+          (((s * 13) % 60) << 6) | ((s * 17) % 60)
+        val stored =
+          if (s % 5 == 0) ((~packed) + 1) & 0xffffffL else packed
+        Some(be(stored, 3) ++ be(s % 100, 1)) // fsp=2 frac
+      }),
+    Col("yr", YEAR, Array.empty, nullable = false, numeric = true,
+      unsigned = false, s => Some(le(1 + s % 155, 1))),
+    Col("dec", NEWDECIMAL, Array(14.toByte, 4.toByte), nullable = false,
+      numeric = true, unsigned = false, s => {
+        val ipart = (s * 7919123L) % 10000000000L
+        val frac = (s * 37) % 10000
+        Some(decimalBytes(s % 3 == 0 && (ipart > 0 || frac > 0),
+          ipart, frac))
+      }),
+    Col("bt", BIT, Array(4.toByte, 1.toByte), nullable = false,
+      numeric = false, unsigned = false, s => Some(be(s % 4096, 2))),
+    Col("en", STRING, Array(ENUM.toByte, 1.toByte), nullable = false,
+      numeric = false, unsigned = false, s => Some(le(1 + s % 3, 1))),
+    Col("st", STRING, Array(SET.toByte, 1.toByte), nullable = false,
+      numeric = false, unsigned = false, s => Some(le(s % 16, 1))),
+    Col("js", JSON, Array(4.toByte), nullable = true, numeric = false,
+      unsigned = false, s =>
+        if (s % 11 == 7) None
+        else {
+          import JsonBinary._
+          val payload = encode(JObject(Seq(
+            "a" -> JLong(s % 1000 - 500),
+            "b" -> JString(s"t${s % 7}"),
+            "c" -> JArray(Seq(JLong(s % 5), (s % 3) match {
+              case 0 => JBool(true); case 1 => JBool(false); case _ => JNull
+            })),
+            "d" -> JDouble((s % 200) / 2.0))))
+          Some(le(payload.length.toLong, 4) ++ payload)
+        }))
+
+  // ----------------------------------------------------- event frames
+
+  /** v4 header + body + CRC32, advancing `pos`. */
+  private def event(ts: Long, evType: Int, body: Array[Byte],
+                    pos: Long): (Array[Byte], Long) = {
+    val size = 19 + body.length + 4
+    val nextPos = pos + size
+    val w = new W
+    w.le(ts, 4).u8(evType).le(1L, 4).le(size.toLong, 4)
+      .le(nextPos, 4).le(0L, 2).bytes(body)
+    val head = w.result()
+    val crc = new java.util.zip.CRC32(); crc.update(head)
+    (head ++ le(crc.getValue, 4), nextPos)
+  }
+
+  /** FDE is special: its own CRC and the checksum-algorithm byte are
+    * part of the body it declares. */
+  private def fdeEvent(ts: Long, pos: Long): (Array[Byte], Long) = {
+    val body = new W
+    body.le(4L, 2) // binlog version
+    val ver = ServerVersion.getBytes(UTF_8)
+    body.bytes(java.util.Arrays.copyOf(ver, 50)) // NUL-padded 50 bytes
+    body.le(ts, 4)
+    body.u8(19) // event header length
+    // post-header length table for event types 1..39 (we only rely on
+    // the sniffed checksum byte, but emit honest values for our types)
+    val lens = new Array[Byte](39)
+    lens(EvQuery - 1) = 13; lens(EvRotate - 1) = 8
+    lens(EvFormatDescription - 1) = (2 + 50 + 4 + 1 + 39).toByte
+    lens(EvXid - 1) = 0; lens(EvTableMap - 1) = 8
+    lens(EvWriteRowsV2 - 1) = 10; lens(EvUpdateRowsV2 - 1) = 10
+    lens(EvDeleteRowsV2 - 1) = 10; lens(EvGtid - 1) = 42
+    body.bytes(lens)
+    body.u8(1) // checksum algorithm: CRC32
+    event(ts, EvFormatDescription, body.result(), pos)
+  }
+
+  private def gtidEvent(ts: Long, seed: Long, pos: Long)
+      : (Array[Byte], Long) = {
+    val body = new W
+    body.u8(1) // flags
+    val sid = Array.tabulate[Byte](16)(i => ((seed * 31 + i * 7) % 251).toByte)
+    body.bytes(sid).le(seed + 1, 8)
+    event(ts, EvGtid, body.result(), pos)
+  }
+
+  private def queryEvent(ts: Long, db: String, sql: String, pos: Long)
+      : (Array[Byte], Long) = {
+    val body = new W
+    body.le(7L, 4).le(0L, 4) // thread id, exec time
+    val dbBytes = db.getBytes(UTF_8)
+    body.u8(dbBytes.length).le(0L, 2).le(0L, 2) // error code, status len
+    body.bytes(dbBytes).u8(0).str(sql)
+    event(ts, EvQuery, body.result(), pos)
+  }
+
+  private def xidEvent(ts: Long, xid: Long, pos: Long)
+      : (Array[Byte], Long) = event(ts, EvXid, le(xid, 8), pos)
+
+  private def rotateEvent(ts: Long, nextFile: String, pos: Long)
+      : (Array[Byte], Long) =
+    event(ts, EvRotate, le(4L, 8) ++ nextFile.getBytes(UTF_8), pos)
+
+  private def tableMapEvent(ts: Long, tableId: Long, db: String,
+      table: String, cols: IndexedSeq[Col], pos: Long)
+      : (Array[Byte], Long) = {
+    val w = new W
+    w.le(tableId, 6).le(1L, 2)
+    val dbB = db.getBytes(UTF_8); val tbB = table.getBytes(UTF_8)
+    w.u8(dbB.length).bytes(dbB).u8(0)
+    w.u8(tbB.length).bytes(tbB).u8(0)
+    w.lenenc(cols.size.toLong)
+    cols.foreach(c => w.u8(c.typeByte))
+    val meta = cols.flatMap(_.meta).toArray
+    w.lenenc(meta.length.toLong).bytes(meta)
+    val nullBitmap = new Array[Byte]((cols.size + 7) / 8)
+    cols.zipWithIndex.foreach { case (c, i) =>
+      if (c.nullable)
+        nullBitmap(i / 8) = (nullBitmap(i / 8) | (1 << (i % 8))).toByte
+    }
+    w.bytes(nullBitmap)
+    // SIGNEDNESS TLV: MSB-first bits over numeric columns only
+    val numeric = cols.filter(_.numeric)
+    val signBits = new Array[Byte]((numeric.size + 7) / 8)
+    numeric.zipWithIndex.foreach { case (c, i) =>
+      if (c.unsigned)
+        signBits(i / 8) = (signBits(i / 8) | (0x80 >>> (i % 8))).toByte
+    }
+    w.u8(1).lenenc(signBits.length.toLong).bytes(signBits)
+    // COLUMN_NAME TLV: lenenc-prefixed names
+    val names = new W
+    cols.foreach { c =>
+      val nb = c.name.getBytes(UTF_8)
+      names.lenenc(nb.length.toLong).bytes(nb)
+    }
+    val nameBytes = names.result()
+    w.u8(4).lenenc(nameBytes.length.toLong).bytes(nameBytes)
+    event(ts, EvTableMap, w.result(), pos)
+  }
+
+  /** images: per row, the per-column wire values (None = NULL). For
+    * update events pass (before, after) pairs flattened in order. */
+  private def rowsEvent(ts: Long, evType: Int, tableId: Long,
+      cols: IndexedSeq[Col], images: Seq[IndexedSeq[Option[Array[Byte]]]],
+      pos: Long): (Array[Byte], Long) = {
+    val w = new W
+    w.le(tableId, 6).le(1L, 2).le(2L, 2) // flags, extra-data length (v2)
+    w.lenenc(cols.size.toLong)
+    val present = Array.fill[Byte]((cols.size + 7) / 8)(0)
+    cols.indices.foreach(i =>
+      present(i / 8) = (present(i / 8) | (1 << (i % 8))).toByte)
+    w.bytes(present)
+    if (evType == EvUpdateRowsV2) w.bytes(present) // after-image bitmap
+    images.foreach { img =>
+      val nullBitmap = new Array[Byte]((cols.size + 7) / 8)
+      img.zipWithIndex.foreach { case (v, i) =>
+        if (v.isEmpty)
+          nullBitmap(i / 8) = (nullBitmap(i / 8) | (1 << (i % 8))).toByte
+      }
+      w.bytes(nullBitmap)
+      img.foreach(_.foreach(w.bytes))
+    }
+    event(ts, evType, w.result(), pos)
+  }
+
+  // -------------------------------------------------------- gate file
+
+  /** One standalone binlog file for document `id`: FDE, GTID, BEGIN,
+    * TABLE_MAP, WRITE (2 rows, seeds 5id+0/1), UPDATE (before 5id+2 →
+    * after 5id+3), DELETE (seed 5id+4), XID, ROTATE. */
+  def gateFile(id: Long): Array[Byte] = {
+    val ts = 1700000000L + id
+    val tableId = 100 + (id % 50)
+    def img(s: Long) = gateCols.map(_.enc(s))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xfe.toByte, 'b', 'i', 'n'), 0, 4)
+    var pos = 4L
+    def emit(f: Long => (Array[Byte], Long)): Unit = {
+      val (bytes, next) = f(pos); out.write(bytes, 0, bytes.length)
+      pos = next
+    }
+    emit(fdeEvent(ts, _))
+    emit(gtidEvent(ts, id, _))
+    emit(queryEvent(ts, "d", "BEGIN", _))
+    emit(tableMapEvent(ts, tableId, "d", "wide", gateCols, _))
+    emit(rowsEvent(ts, EvWriteRowsV2, tableId, gateCols,
+      Seq(img(id * 5), img(id * 5 + 1)), _))
+    emit(rowsEvent(ts, EvUpdateRowsV2, tableId, gateCols,
+      Seq(img(id * 5 + 2), img(id * 5 + 3)), _))
+    emit(rowsEvent(ts, EvDeleteRowsV2, tableId, gateCols,
+      Seq(img(id * 5 + 4)), _))
+    emit(xidEvent(ts, id + 7, _))
+    emit(rotateEvent(ts, "graft-bin.000002", _))
+    out.toByteArray
+  }
+
+  /** Decode a gate file into its flat image rows for the
+    * `cdc_binlog_decode` gate: (imgKind, values) in binlog order, with
+    * imgKind ∈ w0, w1, ub, ua, d. */
+  def gateImages(id: Long): Seq[(String, RowImage)] =
+    BinlogBinary.decodeFile(gateFile(id)).collect {
+      case Rows(_, _, 'w', _, rows) =>
+        rows.zipWithIndex.map { case ((_, after), i) => (s"w$i", after.get) }
+      case Rows(_, _, 'u', _, rows) =>
+        rows.flatMap { case (b, a) => Seq(("ub", b.get), ("ua", a.get)) }
+      case Rows(_, _, 'd', _, rows) =>
+        rows.map { case (before, _) => ("d", before.get) }
+    }.flatten
+
+  /** One decoded gate image as a typed row for `cdc_binlog_decode`
+    * (column names are the oracle's aliases; `ti`/`fl`/`db`/`dc` dodge
+    * SQL keywords). */
+  final case class GateRow(doc_id: Long, img: String, pk: Long, ti: Int,
+      sh: Int, i24: Int, i32: Long, u32: Long, fl: Double, db: Double,
+      vc: Option[String], vl: String, ch: String, bl: String,
+      dt: Option[String], dt2: String, ts2: Long, tm: Long, yr: Int,
+      dc: String, bt: Int, en: Int, st: Int, js: Option[String])
+
+  /** Build, decode, and type the five gate images of one document —
+    * the executor-side body of the `cdc_binlog_decode` gate. */
+  def gateRowsFor(id: Long): Seq[GateRow] =
+    gateImages(id).map { case (kind, v) =>
+      GateRow(id, kind,
+        pk = v(0).get.toLong, ti = v(1).get.toInt, sh = v(2).get.toInt,
+        i24 = v(3).get.toInt, i32 = v(4).get.toLong, u32 = v(5).get.toLong,
+        fl = v(6).get.toDouble, db = v(7).get.toDouble,
+        vc = v(8), vl = v(9).get, ch = v(10).get, bl = v(11).get,
+        dt = v(12), dt2 = v(13).get, ts2 = v(14).get.toLong,
+        tm = v(15).get.toLong, yr = v(16).get.toInt, dc = v(17).get,
+        bt = v(18).get.toInt, en = v(19).get.toInt, st = v(20).get.toInt,
+        js = v(21))
+    }
+
+  /** The JSONB-focused gate document for `conv_jsonb_decode`: every
+    * scalar type (int16/int32/int64 auto-sized, uint64 above
+    * Long.MaxValue, double, literals, long strings with 2-byte
+    * varlens), a nested object/array, and — every 20th id — a filler
+    * array pushing the container past the 16-bit small format into the
+    * 4-byte LARGE layout. Returns (decoded canonical text, wasLarge). */
+  def jsonbGateDoc(id: Long): (String, Boolean) = {
+    import JsonBinary._
+    val entries = Seq.newBuilder[(String, JValue)]
+    if (id % 20 == 0)
+      entries += "big" -> JArray((0 until 230).map(i => JString(
+        new String(letters(300, j => id + i + j), UTF_8))))
+    entries += "dbl" -> JDouble((id % 1000) / 2.0)
+    entries += "i16" -> JLong(id % 30000 - 15000)
+    entries += "i32" -> JLong((id * 98765L) % 2000000000L - 1000000000L)
+    entries += "i64" -> JLong(id * 1000000007L + 3000000000L)
+    entries += "lit" -> ((id % 3) match {
+      case 0 => JBool(true); case 1 => JBool(false); case _ => JNull })
+    entries += "obj" -> JObject(Seq("k" -> JLong(id % 10),
+      "m" -> JArray(Seq(JLong(id % 4), JString(s"z${id % 6}")))))
+    entries += "str" -> JString(
+      new String(letters(100 + id % 200, j => id + 2 * j), UTF_8))
+    entries += "u64" -> JULong(Long.MinValue + id % 100)
+    val bytes = encode(JObject(entries.result()))
+    (render(decode(bytes)), (bytes(0) & 0xff) == TLargeObj)
+  }
+
+  // --------------------------------------------- replication segments
+
+  private val custCols: IndexedSeq[Col] = IndexedSeq(
+    Col("pk", LONGLONG, Array.empty, nullable = false, numeric = true,
+      unsigned = false, _ => None),
+    Col("name", VARCHAR, le(64, 2), nullable = false, numeric = false,
+      unsigned = false, _ => None),
+    Col("seg", VARCHAR, le(16, 2), nullable = false, numeric = false,
+      unsigned = false, _ => None))
+
+  private def custImg(pk: Long, name: String, seg: String)
+      : IndexedSeq[Option[Array[Byte]]] =
+    IndexedSeq(Some(le(pk, 8)),
+      Some(pascal(1, name.getBytes(UTF_8))),
+      Some(pascal(1, seg.getBytes(UTF_8))))
+
+  /** One rotated binlog segment holding a shard of customer rows for
+    * the `cdc_binlog_ingest` gate: inserts for every row, the seg
+    * update for pk%5==0, the delete for pk%11==0 — the same change
+    * pattern `cdc_debezium_ingest` replays over the JSON route, so the
+    * two transports are oracle-verified to converge on the same FINAL
+    * table. `withDdl` embeds the CREATE TABLE query event (segment 0,
+    * like the connector's schema-history bootstrap). */
+  def custSegment(rows: Seq[(Long, String, String)], withDdl: Boolean,
+                  nextFile: String): Array[Byte] = {
+    val ts = 1700000000L
+    val tableId = 7L
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xfe.toByte, 'b', 'i', 'n'), 0, 4)
+    var pos = 4L
+    def emit(f: Long => (Array[Byte], Long)): Unit = {
+      val (bytes, next) = f(pos); out.write(bytes, 0, bytes.length)
+      pos = next
+    }
+    emit(fdeEvent(ts, _))
+    if (withDdl)
+      emit(queryEvent(ts, "d",
+        "CREATE TABLE custs (pk bigint NOT NULL, name varchar(40), " +
+          "seg varchar(12), PRIMARY KEY(pk))", _))
+    var txn = 0L
+    def transaction(body: => Unit): Unit = {
+      emit(gtidEvent(ts, txn, _)); txn += 1
+      emit(queryEvent(ts, "d", "BEGIN", _))
+      emit(tableMapEvent(ts, tableId, "d", "custs", custCols, _))
+      body
+      emit(xidEvent(ts, txn, _))
+    }
+    // inserts in chunks of ≤100 rows per event (real servers split on
+    // binlog_row_event_max_size the same way)
+    rows.grouped(100).foreach { chunk =>
+      transaction {
+        emit(rowsEvent(ts, EvWriteRowsV2, tableId, custCols,
+          chunk.map { case (pk, name, seg) => custImg(pk, name, seg) }, _))
+      }
+    }
+    val updates = rows.filter(_._1 % 5 == 0)
+    if (updates.nonEmpty) transaction {
+      emit(rowsEvent(ts, EvUpdateRowsV2, tableId, custCols,
+        updates.flatMap { case (pk, name, seg) =>
+          Seq(custImg(pk, name, seg), custImg(pk, name, "UPDATED")) }, _))
+    }
+    val deletes = rows.filter(_._1 % 11 == 0)
+    if (deletes.nonEmpty) transaction {
+      emit(rowsEvent(ts, EvDeleteRowsV2, tableId, custCols,
+        deletes.map { case (pk, name, seg) =>
+          custImg(pk, name, if (pk % 5 == 0) "UPDATED" else seg) }, _))
+    }
+    emit(rotateEvent(ts, nextFile, _))
+    out.toByteArray
+  }
+}
+
+/** Tails a directory of rotated binlog segment files (`*.bin`, name
+  * order) through [[BinlogBinary.decodeFile]] →
+  * [[BinlogBinary.toSourceEvents]] → the [[SpoolProducer]] — the
+  * binlog-file twin of [[DebeziumTail]], playing the reference's
+  * binlog_replicator role over `mysqlbinlog`-style rotated logs.
+  * Segments are immutable once rotated (the server appends only to the
+  * newest), so resume state is simply the last fully-processed file
+  * name, serialized into the producer's `source_pos`; the newest file
+  * is only consumed once a later file exists or `consumeActive` is set
+  * (a half-written active segment would fail its trailing CRC). */
+final class BinlogTail(dumpDir: String, producer: SpoolProducer,
+                       consumeActive: Boolean = false) {
+
+  private var lastDone: Option[String] = producer.sourcePos
+
+  /** Process newly-rotated segments; returns events appended. */
+  def tick(): Int = {
+    val dir = new java.io.File(dumpDir)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".bin"))
+      .sortBy(_.getName)
+    val pending = files.filter(f => lastDone.forall(_ < f.getName))
+    val ready =
+      if (consumeActive) pending
+      else pending.dropRight(1) // newest may still be mid-append
+    var appended = 0
+    ready.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val events = BinlogBinary.toSourceEvents(BinlogBinary.decodeFile(bytes))
+      producer.append(events, Some(f.getName))
+      appended += events.size
+      lastDone = Some(f.getName)
+    }
+    appended
+  }
+}
