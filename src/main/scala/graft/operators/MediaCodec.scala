@@ -6584,4 +6584,546 @@ object MediaCodec {
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildFlacLpcPattern(id, nChars)) }
   }
+
+  // ------------------------------------------------- H.264 / AVC SPS
+
+  /** Parsed Annex-B stream summary for the `mm_avc_sps` gate. */
+  final case class AvcMeta(id: Long, profile: Int, level: Int,
+      pocType: Int, refFrames: Int, width: Int, height: Int,
+      nNals: Int, nIdr: Int, sliceBytes: Long, initQp: Int)
+
+  /** Exp-Golomb on the MSB-first bit reader (ITU-T H.264 §9.1):
+    * ue(v) = leadingZeroBits zeros, a 1, then leadingZeroBits info
+    * bits; codeNum = 2^lz + info − 1. Negative on corruption. */
+  private def readUe(r: FlacBitReader): Long = {
+    var lz = 0
+    while (true) {
+      val b = r.read(1)
+      if (b < 0) return -1L
+      if (b == 1) {
+        if (lz == 0) return 0L
+        if (lz > 31) return -1L
+        val info = r.read(lz)
+        if (info < 0) return -1L
+        return (1L << lz) + info - 1
+      }
+      lz += 1
+      if (lz > 31) return -1L
+    }
+    -1L
+  }
+
+  /** se(v) mapping (§9.1.1): codeNum k → (−1)^(k+1)·⌈k/2⌉. Returns
+    * Long.MinValue on corruption (0 is a valid se value). */
+  private def readSe(r: FlacBitReader): Long = {
+    val k = readUe(r)
+    if (k < 0) Long.MinValue
+    else if (k % 2 == 1) (k + 1) / 2
+    else -(k / 2)
+  }
+
+  private def writeUe(w: FlacBitWriter, v: Long): Unit = {
+    val k = v + 1
+    val bits = 63 - java.lang.Long.numberOfLeadingZeros(k)
+    w.write(0L, bits)
+    w.write(k, bits + 1)
+  }
+
+  private def writeSe(w: FlacBitWriter, v: Long): Unit =
+    writeUe(w, if (v > 0) 2 * v - 1 else -2 * v)
+
+  /** RBSP → EBSP: insert the 0x03 emulation-prevention byte after any
+    * 00 00 that precedes 00/01/02/03 (§7.4.1.1), so NAL payloads can
+    * never fake a start code. */
+  private[operators] def ebspEscape(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val b = rbsp(i) & 0xff
+      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** EBSP → RBSP: strip 00 00 03 → 00 00. */
+  private[operators] def ebspUnescape(ebsp: Array[Byte], from: Int,
+                                      until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(until - from)
+    var zeros = 0
+    var i = from
+    while (i < until) {
+      val b = ebsp(i) & 0xff
+      if (zeros >= 2 && b == 3) zeros = 0 // emulation-prevention byte
+      else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Real Annex-B walk: split on 3-/4-byte start codes, unescape each
+    * NAL to RBSP, parse the SPS (§7.3.2.1 — profile-conditional chroma
+    * branch, poc-type branches, frame cropping with 4:2:0 crop units)
+    * and the PPS through its signed-Golomb QP fields; count slice NALs
+    * and their RBSP payload bytes. Returns None on any structural
+    * violation (no SPS, bad forbidden bit, truncated Golomb). Slice
+    * GUTS (CAVLC/CABAC entropy) stay behind the decoder seam — this is
+    * the stream-intake metadata layer, like the MP4/MP3/Ogg walks. */
+  def parseAvcMeta(id: Long, b: Array[Byte]): Option[AvcMeta] = {
+    // collect NAL (start, end) spans between 3-/4-byte start codes; a
+    // NAL's RBSP never ends in 0x00 (the stop bit shares the last
+    // byte), so a zero before `00 00 01` is the 4-byte code's own
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    var cur = -1
+    while (i + 2 < b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
+        if (cur >= 0) {
+          val e = if (i > cur && b(i - 1) == 0) i - 1 else i
+          spans += ((cur, e))
+        }
+        cur = i + 3
+        i += 3
+      } else i += 1
+    }
+    if (cur >= 0) spans += ((cur, b.length))
+    if (spans.isEmpty) return None
+    var profile = -1; var level = -1; var pocType = -1
+    var refFrames = -1; var width = -1; var height = -1
+    var initQp = Int.MinValue
+    var nIdr = 0
+    var sliceBytes = 0L
+    spans.foreach { case (s, e) =>
+      if (e <= s) return None
+      val hdr = b(s) & 0xff
+      if ((hdr & 0x80) != 0) return None // forbidden_zero_bit
+      val nalType = hdr & 0x1f
+      val rbsp = ebspUnescape(b, s + 1, e)
+      nalType match {
+        case 7 => // SPS
+          if (rbsp.length < 4) return None
+          profile = rbsp(0) & 0xff
+          level = rbsp(2) & 0xff
+          val r = new FlacBitReader(rbsp, 3)
+          if (readUe(r) < 0) return None // seq_parameter_set_id
+          if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile)) {
+            val chroma = readUe(r) // chroma_format_idc
+            if (chroma < 0 || chroma > 3) return None
+            if (chroma == 3 && r.read(1) < 0) return None // separate planes
+            if (readUe(r) < 0) return None // bit_depth_luma_minus8
+            if (readUe(r) < 0) return None // bit_depth_chroma_minus8
+            if (r.read(1) < 0) return None // qpprime_y_zero_transform
+            val scaling = r.read(1) // seq_scaling_matrix_present_flag
+            if (scaling != 0) return None // fixture never emits matrices
+          }
+          if (readUe(r) < 0) return None // log2_max_frame_num_minus4
+          pocType = readUe(r).toInt
+          pocType match {
+            case 0 => if (readUe(r) < 0) return None // log2_max_poc_lsb
+            case 2 => ()
+            case _ => return None // type-1 (cyclic) not in fixture scope
+          }
+          refFrames = readUe(r).toInt
+          if (refFrames < 0) return None
+          if (r.read(1) < 0) return None // gaps_in_frame_num_allowed
+          val mbW = readUe(r) + 1
+          val mbH = readUe(r) + 1
+          if (mbW <= 0 || mbH <= 0) return None
+          val frameMbsOnly = r.read(1)
+          if (frameMbsOnly < 0) return None
+          if (frameMbsOnly == 0 && r.read(1) < 0) return None // mbaff
+          if (r.read(1) < 0) return None // direct_8x8_inference
+          val cropping = r.read(1)
+          if (cropping < 0) return None
+          var cl = 0L; var cr = 0L; var ct = 0L; var cb = 0L
+          if (cropping == 1) {
+            cl = readUe(r); cr = readUe(r); ct = readUe(r); cb = readUe(r)
+            if (cl < 0 || cr < 0 || ct < 0 || cb < 0) return None
+          }
+          // 4:2:0 crop units: x2, and y2·(2−frame_mbs_only_flag)
+          val cropY = 2 * (2 - frameMbsOnly)
+          width = (mbW * 16 - 2 * (cl + cr)).toInt
+          height = ((2 - frameMbsOnly) * mbH * 16 - cropY * (ct + cb)).toInt
+        case 8 => // PPS: walk to the signed QP fields
+          val r = new FlacBitReader(rbsp, 0)
+          if (readUe(r) < 0 || readUe(r) < 0) return None // pps id, sps id
+          if (r.read(2) < 0) return None // entropy mode + bottom-field-poc
+          if (readUe(r) != 0) return None // num_slice_groups_minus1
+          if (readUe(r) < 0 || readUe(r) < 0) return None // ref idx l0/l1
+          if (r.read(3) < 0) return None // weighted pred + bipred idc
+          val qp = readSe(r)
+          if (qp == Long.MinValue) return None
+          initQp = (26 + qp).toInt
+        case 5 => nIdr += 1; sliceBytes += rbsp.length.toLong
+        case 1 => sliceBytes += rbsp.length.toLong
+        case _ => return None
+      }
+    }
+    if (profile < 0 || initQp == Int.MinValue) return None
+    Some(AvcMeta(id, profile, level, pocType, refFrames, width, height,
+      spans.size, nIdr, sliceBytes, initQp))
+  }
+
+  /** Deterministic Annex-B fixture: SPS (profile rotates Baseline /
+    * Main / High — the High branch carries the chroma/bit-depth
+    * fields), PPS with signed-Golomb QP offsets, then alternating
+    * IDR / non-IDR slice stubs whose payload bytes are ≥0x80 (no fake
+    * start codes; slice entropy stays behind the decoder seam). SPS
+    * and PPS RBSPs go through real emulation-prevention escaping. */
+  def buildAvcPattern(id: Long, nChars: Long): Array[Byte] = {
+    val profile = (id % 3) match {
+      case 0 => 66; case 1 => 77; case _ => 100 }
+    val level = 30 + (id % 22).toInt
+    val pocType = ((id % 2) * 2).toInt
+    val refFrames = 1 + (id % 4)
+    val mbW = 2 + (id % 40)
+    val mbH = 2 + (id % 23)
+    val cropping = id % 2 == 0
+    val cr = if (cropping) id % 3 else 0
+    val cb = if (cropping) (id / 3) % 2 else 0
+    val sps = {
+      val w = new FlacBitWriter
+      w.write(profile.toLong, 8)
+      w.write(0L, 8) // constraint flags + reserved
+      w.write(level.toLong, 8)
+      writeUe(w, 0) // seq_parameter_set_id
+      if (profile == 100) {
+        writeUe(w, 1) // chroma_format_idc 4:2:0
+        writeUe(w, 0); writeUe(w, 0) // bit depths
+        w.write(0L, 1) // qpprime
+        w.write(0L, 1) // no scaling matrices
+      }
+      writeUe(w, id % 5) // log2_max_frame_num_minus4
+      writeUe(w, pocType.toLong)
+      if (pocType == 0) writeUe(w, id % 5) // log2_max_poc_lsb_minus4
+      writeUe(w, refFrames)
+      w.write(0L, 1) // gaps_in_frame_num
+      writeUe(w, mbW - 1)
+      writeUe(w, mbH - 1)
+      w.write(1L, 1) // frame_mbs_only_flag
+      w.write(1L, 1) // direct_8x8_inference
+      if (cropping) {
+        w.write(1L, 1)
+        writeUe(w, 0); writeUe(w, cr); writeUe(w, 0); writeUe(w, cb)
+      } else w.write(0L, 1)
+      w.write(0L, 1) // vui_parameters_present
+      w.write(1L, 1) // rbsp stop bit
+      w.toBytes
+    }
+    val pps = {
+      val w = new FlacBitWriter
+      writeUe(w, 0); writeUe(w, 0) // pps id, sps id
+      w.write((id % 2), 1) // entropy_coding_mode (CABAC/CAVLC)
+      w.write(0L, 1) // bottom_field_pic_order_in_frame_present
+      writeUe(w, 0) // num_slice_groups_minus1
+      writeUe(w, id % 3); writeUe(w, 0) // default ref idx l0/l1
+      w.write(0L, 1) // weighted_pred
+      w.write(0L, 2) // weighted_bipred_idc
+      writeSe(w, (id % 11) - 5) // pic_init_qp_minus26
+      writeSe(w, 0) // pic_init_qs_minus26
+      writeSe(w, (id % 5) - 2) // chroma_qp_index_offset
+      w.write(1L, 1) // deblocking_filter_control_present
+      w.write(0L, 1) // constrained_intra_pred
+      w.write(0L, 1) // redundant_pic_cnt_present
+      w.write(1L, 1) // rbsp stop bit
+      w.toBytes
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte],
+            fourByte: Boolean): Unit = {
+      if (fourByte) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+      out.write((refIdc << 5) | nalType)
+      val e = ebspEscape(rbsp)
+      out.write(e, 0, e.length)
+    }
+    nal(3, 7, sps, fourByte = true)
+    nal(3, 8, pps, fourByte = true)
+    val nFrames = (3 + nChars % 6).toInt
+    var k = 0
+    while (k < nFrames) {
+      val len = (50 + (id + k * 7) % 100).toInt
+      val payload = Array.tabulate[Byte](len)(j =>
+        (0x80 | ((id + k + j) % 0x7f)).toByte)
+      nal(if (k % 2 == 0) 3 else 2, if (k % 2 == 0) 5 else 1, payload,
+        fourByte = false)
+      k += 1
+    }
+    out.toByteArray
+  }
+
+  def avcFromDocuments(spark: SparkSession,
+                       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildAvcPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch walk — payloads never shuffle. */
+  def extractAvcMeta(media: Dataset[(Long, Array[Byte])])
+      : Dataset[AvcMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseAvcMeta(id, p) })
+  }
+
+  // --------------------------------------------------- AAC ADTS walk
+
+  /** ADTS frame-walk summary for the `mm_aac_adts` gate. */
+  final case class AdtsMeta(id: Long, profile: Int, sampleRate: Int,
+      channels: Int, nFrames: Int, aacBytes: Long, durationMs: Long)
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** Real ADTS header walk (ISO/IEC 14496-3 §1.A.2.2): 12-bit sync,
+    * MPEG-4 ID, the 13-bit frame length that makes every frame
+    * variable-size (the walk must read each header, not stride),
+    * profile / sampling-frequency-index / channel-configuration pinned
+    * consistent across frames. Raw AAC payloads are entropy-coded and
+    * stay behind the decoder seam. Duration: 1024 PCM samples per
+    * frame at the table rate. */
+  def parseAdtsMeta(id: Long, b: Array[Byte]): Option[AdtsMeta] = {
+    var pos = 0
+    var profile = -1; var rate = -1; var channels = -1
+    var nFrames = 0
+    var total = 0L
+    while (pos < b.length) {
+      if (pos + 7 > b.length) return None // truncated header
+      val h0 = b(pos) & 0xff; val h1 = b(pos + 1) & 0xff
+      if (h0 != 0xff || (h1 & 0xf0) != 0xf0) return None // sync
+      if ((h1 & 0x08) != 0) return None // ID: MPEG-4 only in fixture
+      if ((h1 & 0x06) != 0) return None // layer must be 00
+      val protectionAbsent = h1 & 1
+      if (protectionAbsent != 1) return None // fixture: no CRC variant
+      val h2 = b(pos + 2) & 0xff
+      val prof = (h2 >> 6) & 0x3
+      val sfIdx = (h2 >> 2) & 0xf
+      if (sfIdx >= AdtsRates.length) return None
+      val ch = (((h2 & 1) << 2) | ((b(pos + 3) & 0xc0) >>> 6)) & 0x7
+      val frameLen = (((b(pos + 3) & 0x03) << 11) |
+        ((b(pos + 4) & 0xff) << 3) | ((b(pos + 5) & 0xe0) >>> 5)) & 0x1fff
+      if (frameLen < 7 || pos + frameLen > b.length) return None
+      if (profile < 0) { profile = prof; rate = AdtsRates(sfIdx); channels = ch }
+      else if (prof != profile || AdtsRates(sfIdx) != rate ||
+        ch != channels) return None // mid-stream parameter change
+      nFrames += 1
+      total += frameLen
+      pos += frameLen
+    }
+    if (nFrames == 0) return None
+    Some(AdtsMeta(id, profile, rate, channels, nFrames, total,
+      nFrames.toLong * 1024L * 1000L / rate))
+  }
+
+  /** Deterministic ADTS fixture: every frame re-encodes the full
+    * header (profile id%4, rate rotating 48k/44.1k/16k, 1-2 channels,
+    * VBR buffer-fullness marker) over a variable-length opaque payload
+    * whose bytes avoid 0xFF (no fake syncwords). */
+  def buildAdtsPattern(id: Long, nChars: Long): Array[Byte] = {
+    val prof = (id % 4).toInt
+    val sfIdx = (id % 3) match { case 0 => 3; case 1 => 4; case _ => 8 }
+    val ch = 1 + (id % 2).toInt
+    val nFrames = (20 + nChars % 40).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    var k = 0
+    while (k < nFrames) {
+      val payloadLen = (30 + (id + 11L * k) % 200).toInt
+      val frameLen = 7 + payloadLen
+      out.write(0xff)
+      out.write(0xf1) // MPEG-4, layer 0, protection_absent=1
+      out.write((prof << 6) | (sfIdx << 2) | ((ch >> 2) & 1))
+      out.write(((ch & 0x3) << 6) | ((frameLen >> 11) & 0x3))
+      out.write((frameLen >> 3) & 0xff)
+      out.write(((frameLen & 0x7) << 5) | 0x1f) // fullness high bits
+      out.write(0xfc) // fullness low 6 bits = all ones, 0 extra blocks
+      var j = 0
+      while (j < payloadLen) {
+        out.write(0x40 | ((id + k + j) % 0x3f).toInt)
+        j += 1
+      }
+      k += 1
+    }
+    out.toByteArray
+  }
+
+  def adtsFromDocuments(spark: SparkSession,
+                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildAdtsPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch walk — payloads never shuffle. */
+  def extractAdtsMeta(media: Dataset[(Long, Array[Byte])])
+      : Dataset[AdtsMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseAdtsMeta(id, p) })
+  }
+
+  // -------------------------------------------------------- WebP/RIFF
+
+  /** RIFF/WebP container summary for the `mm_webp_meta` gate. */
+  final case class WebpMeta(id: Long, format: String, width: Int,
+      height: Int, riffBytes: Long, hasAlpha: Boolean)
+
+  /** Real RIFF chunk walk + the three WebP bitstream headers (public
+    * container spec + VP8 RFC 6386 §9.1 / VP8L lossless format): the
+    * lossy keyframe start code and 14-bit dimensions, the lossless
+    * 0x2f signature with packed 14-bit dimensions and the alpha hint,
+    * and the VP8X extended header with 24-bit canvas fields and the
+    * alpha flag. Chunk padding (odd sizes) honored; the VP8X variant
+    * must find dimensions in VP8X, not the embedded VP8 frame. */
+  def parseWebpMeta(id: Long, b: Array[Byte]): Option[WebpMeta] = {
+    if (b.length < 12) return None
+    def tag(p: Int): String = new String(b, p, 4, "US-ASCII")
+    def u32(p: Int): Long = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    if (tag(0) != "RIFF") return None
+    val riffSize = u32(4)
+    if (riffSize + 8 != b.length) return None
+    if (tag(8) != "WEBP") return None
+    var pos = 12
+    var format: String = null
+    var width = -1; var height = -1; var hasAlpha = false
+    while (pos + 8 <= b.length) {
+      val fourcc = tag(pos)
+      val size = u32(pos + 4).toInt
+      val body = pos + 8
+      if (body + size > b.length) return None
+      fourcc match {
+        case "VP8 " =>
+          if (format == null) {
+            if (size < 10) return None
+            // 3-byte frame tag, then the keyframe start code 9D 01 2A
+            if ((b(body) & 1) != 0) return None // must be a keyframe
+            if ((b(body + 3) & 0xff) != 0x9d ||
+              (b(body + 4) & 0xff) != 0x01 ||
+              (b(body + 5) & 0xff) != 0x2a) return None
+            width = (((b(body + 7) & 0x3f) << 8) | (b(body + 6) & 0xff))
+            height = (((b(body + 9) & 0x3f) << 8) | (b(body + 8) & 0xff))
+            format = "lossy"
+          }
+        case "VP8L" =>
+          if (size < 5 || (b(body) & 0xff) != 0x2f) return None
+          val bits = u32(body + 1)
+          width = ((bits & 0x3fff) + 1).toInt
+          height = (((bits >> 14) & 0x3fff) + 1).toInt
+          hasAlpha = ((bits >> 28) & 1) == 1
+          format = "lossless"
+        case "VP8X" =>
+          if (size < 10) return None
+          hasAlpha = (b(body) & 0x10) != 0
+          width = (((b(body + 4) & 0xffL) | ((b(body + 5) & 0xffL) << 8) |
+            ((b(body + 6) & 0xffL) << 16)) + 1).toInt
+          height = (((b(body + 7) & 0xffL) | ((b(body + 8) & 0xffL) << 8) |
+            ((b(body + 9) & 0xffL) << 16)) + 1).toInt
+          format = "extended"
+        case "ALPH" => () // alpha payload: entropy-coded, seam
+        case _ => return None
+      }
+      pos = body + size + (size & 1) // RIFF pads odd chunks
+    }
+    if (pos != b.length || format == null || width <= 0) return None
+    Some(WebpMeta(id, format, width, height, riffSize, hasAlpha))
+  }
+
+  /** Deterministic WebP fixture rotating the three layouts; the
+    * extended variant embeds an ALPH chunk (when flagged) and a lossy
+    * VP8 frame whose tag dimensions deliberately differ from the VP8X
+    * canvas (a parser reading the wrong header diverges). Odd payload
+    * sizes exercise RIFF padding. */
+  def buildWebpPattern(id: Long): Array[Byte] = {
+    val w = 16 + (id % 1000).toInt
+    val h = 16 + ((id * 7) % 800).toInt
+    def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(fourcc.getBytes("US-ASCII"), 0, 4)
+      val n = body.length
+      out.write(n & 0xff); out.write((n >> 8) & 0xff)
+      out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+      out.write(body, 0, n)
+      if ((n & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+    def vp8Body(wd: Int, ht: Int): Array[Byte] = {
+      val fill = (11 + id % 30).toInt // odd sizes occur
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0x00); o.write(0x00); o.write(0x00) // frame tag: keyframe
+      o.write(0x9d); o.write(0x01); o.write(0x2a)
+      o.write(wd & 0xff); o.write((wd >> 8) & 0x3f)
+      o.write(ht & 0xff); o.write((ht >> 8) & 0x3f)
+      var j = 0
+      while (j < fill) { o.write(0x20 | ((id + j) % 0x5f).toInt); j += 1 }
+      o.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val payload: Array[Byte] = (id % 3) match {
+      case 0 => chunk("VP8 ", vp8Body(w, h))
+      case 1 =>
+        val bits = ((w - 1) & 0x3fff).toLong |
+          (((h - 1) & 0x3fff).toLong << 14) |
+          ((id % 2) << 28)
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(0x2f)
+        o.write((bits & 0xff).toInt); o.write(((bits >> 8) & 0xff).toInt)
+        o.write(((bits >> 16) & 0xff).toInt)
+        o.write(((bits >> 24) & 0xff).toInt)
+        val fill = (10 + id % 31).toInt
+        var j = 0
+        while (j < fill) { o.write(0x20 | ((id + j) % 0x5f).toInt); j += 1 }
+        chunk("VP8L", o.toByteArray)
+      case _ =>
+        val alpha = id % 2 == 0
+        val x = new java.io.ByteArrayOutputStream()
+        x.write(if (alpha) 0x10 else 0x00)
+        x.write(0); x.write(0); x.write(0) // reserved
+        val wm1 = w - 1; val hm1 = h - 1
+        x.write(wm1 & 0xff); x.write((wm1 >> 8) & 0xff)
+        x.write((wm1 >> 16) & 0xff)
+        x.write(hm1 & 0xff); x.write((hm1 >> 8) & 0xff)
+        x.write((hm1 >> 16) & 0xff)
+        val parts = new java.io.ByteArrayOutputStream()
+        val cx = chunk("VP8X", x.toByteArray)
+        parts.write(cx, 0, cx.length)
+        if (alpha) {
+          val a = chunk("ALPH",
+            Array.tabulate[Byte]((5 + id % 10).toInt)(j =>
+              (0x20 | ((id + j) % 0x5f)).toByte))
+          parts.write(a, 0, a.length)
+        }
+        // embedded frame carries DIFFERENT dims than the canvas
+        val cv = chunk("VP8 ", vp8Body(w / 2 + 1, h / 2 + 1))
+        parts.write(cv, 0, cv.length)
+        parts.toByteArray
+    }
+    val riffSize = 4 + payload.length
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    out.write(riffSize & 0xff); out.write((riffSize >> 8) & 0xff)
+    out.write((riffSize >> 16) & 0xff); out.write((riffSize >> 24) & 0xff)
+    out.write("WEBP".getBytes("US-ASCII"), 0, 4)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  def webpFromDocuments(spark: SparkSession,
+                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, buildWebpPattern(id)))
+  }
+
+  /** Per-partition batch walk — payloads never shuffle. */
+  def extractWebpMeta(media: Dataset[(Long, Array[Byte])])
+      : Dataset[WebpMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseWebpMeta(id, p) })
+  }
 }

@@ -1106,6 +1106,62 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL H.264/AVC parameter-set parse under the gate — the video
+    // twin of mm_mp4_meta at the bitstream layer (ITU-T H.264
+    // §7.3.2.1/§9.1): Annex-B start-code walk (3- and 4-byte), real
+    // emulation-prevention unescaping, exp-Golomb ue(v)/se(v) reads
+    // through the SPS (profile-conditional High-profile chroma branch,
+    // poc-type branches, frame cropping with 4:2:0 crop units → pixel
+    // dimensions) and the PPS (signed-Golomb init QP), IDR/non-IDR
+    // slice counting. Slice entropy (CAVLC/CABAC) stays behind the
+    // decoder seam. The oracle re-derives profile/level/dims/QP and the
+    // per-slice byte sum from the fixture grid.
+    "mm_avc_sps" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.avcFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractAvcMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("profile"), col("level"),
+          col("pocType").as("poc_type"),
+          col("refFrames").as("ref_frames"),
+          col("width"), col("height"), col("nNals").as("n_nals"),
+          col("nIdr").as("n_idr"), col("sliceBytes").as("slice_bytes"),
+          col("initQp").as("init_qp"))
+        .orderBy("doc_id")
+    },
+
+    // REAL AAC ADTS frame walk under the gate — the MPEG-4 audio twin
+    // of mm_mp3_meta (ISO/IEC 14496-3 §1.A.2.2): 12-bit sync, the
+    // 13-bit per-frame length (frames vary, the walk reads every
+    // header), profile / sampling-frequency-index / channel-config
+    // consistency pinned across frames, duration from 1024 samples per
+    // frame. Raw AAC payloads stay behind the decoder seam.
+    "mm_aac_adts" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.adtsFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractAdtsMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("profile"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("nFrames").as("n_frames"), col("aacBytes").as("aac_bytes"),
+          col("durationMs").as("duration_ms"))
+        .orderBy("doc_id")
+    },
+
+    // REAL WebP/RIFF walk under the gate: chunk framing with odd-size
+    // padding, and all three bitstream headers — lossy VP8 (keyframe
+    // start code, 14-bit dims), lossless VP8L (0x2f signature, packed
+    // dims + alpha hint), extended VP8X (24-bit canvas + alpha flag,
+    // where the embedded VP8 frame deliberately carries DIFFERENT
+    // dims — reading the wrong header diverges the hash).
+    "mm_webp_meta" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.webpFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWebpMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("format"),
+          col("width"), col("height"), col("riffBytes").as("riff_bytes"),
+          col("hasAlpha").as("has_alpha"))
+        .orderBy("doc_id")
+    },
+
     // REAL PCM16 sample decode under the gate — the audio twin of
     // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
     // little-endian int16 frames spanning negative values, LIST chunks
@@ -2390,6 +2446,73 @@ object SimilarityQueries {
         |    AS duration_ms
         |FROM fr f JOIN toc t ON f.id = t.id
         |GROUP BY f.id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the SPS/PPS fields and the per-slice RBSP byte sum
+    // from the fixture grid: dims from the macroblock counts minus the
+    // 4:2:0 crop arithmetic, init QP from the signed-Golomb offset.
+    "mm_avc_sps" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    3 + (CAST(n_chars AS BIGINT) % 6) AS nf
+        |  FROM documents),
+        |sl AS (SELECT id, SUM(50 + (id + 7*k) % 100) AS sbytes
+        |  FROM dim, LATERAL (SELECT unnest(range(nf)) AS k)
+        |  GROUP BY id)
+        |SELECT d.id AS doc_id,
+        |  CAST(CASE d.id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+        |    ELSE 100 END AS INT) AS profile,
+        |  CAST(30 + d.id % 22 AS INT) AS level,
+        |  CAST((d.id % 2) * 2 AS INT) AS poc_type,
+        |  CAST(1 + d.id % 4 AS INT) AS ref_frames,
+        |  CAST((2 + d.id % 40) * 16 - CASE WHEN d.id % 2 = 0
+        |    THEN 2 * (d.id % 3) ELSE 0 END AS INT) AS width,
+        |  CAST((2 + d.id % 23) * 16 - CASE WHEN d.id % 2 = 0
+        |    THEN 2 * ((d.id // 3) % 2) ELSE 0 END AS INT) AS height,
+        |  CAST(2 + d.nf AS INT) AS n_nals,
+        |  CAST((d.nf + 1) // 2 AS INT) AS n_idr,
+        |  CAST(s.sbytes AS BIGINT) AS slice_bytes,
+        |  CAST(21 + d.id % 11 AS INT) AS init_qp
+        |FROM dim d JOIN sl s ON d.id = s.id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the 13-bit frame-length arithmetic: every frame is
+    // 7 header bytes + a 30..229 payload, summed over the walk.
+    "mm_aac_adts" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    20 + (CAST(n_chars AS BIGINT) % 40) AS nf,
+        |    CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+        |      ELSE 16000 END AS sr
+        |  FROM documents),
+        |fr AS (SELECT id, SUM(37 + (id + 11*k) % 200) AS abytes
+        |  FROM dim, LATERAL (SELECT unnest(range(nf)) AS k)
+        |  GROUP BY id)
+        |SELECT d.id AS doc_id,
+        |  CAST(d.id % 4 AS INT) AS profile,
+        |  CAST(d.sr AS INT) AS sample_rate,
+        |  CAST(1 + d.id % 2 AS INT) AS channels,
+        |  CAST(d.nf AS INT) AS n_frames,
+        |  CAST(f.abytes AS BIGINT) AS aac_bytes,
+        |  CAST((d.nf * 1024 * 1000) // d.sr AS BIGINT) AS duration_ms
+        |FROM dim d JOIN fr f ON d.id = f.id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the RIFF size from the chunk-layout arithmetic
+    // (headers + bodies + odd-size pad bytes) per format variant, and
+    // dims/alpha from the same rotation the three headers encode.
+    "mm_webp_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+        |    ELSE 'extended' END AS format,
+        |  CAST(16 + doc_id % 1000 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 800 AS INT) AS height,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 12 + (21 + doc_id % 30) + (1 + doc_id % 30) % 2
+        |    WHEN 1 THEN 12 + (15 + doc_id % 31) + (1 + doc_id % 31) % 2
+        |    ELSE 22 + CASE WHEN doc_id % 2 = 0
+        |        THEN 8 + (5 + doc_id % 10) + (1 + doc_id % 10) % 2
+        |        ELSE 0 END
+        |      + 8 + (21 + doc_id % 30) + (1 + doc_id % 30) % 2
+        |    END AS BIGINT) AS riff_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN FALSE WHEN 1 THEN doc_id % 2 = 1
+        |    ELSE doc_id % 2 = 0 END AS has_alpha
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Re-derives every LPC-decoded sample by replaying the quantized
     // prediction recurrence as a recursive CTE: order-1

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import MediaCodec._
+
+/** The round-12 bitstream walks: H.264 Annex-B SPS/PPS (exp-Golomb +
+  * emulation prevention), AAC ADTS frame walk, WebP/RIFF chunk walk —
+  * verified against hand-built streams and hand-computed field values,
+  * not just the paired builders.
+  */
+class BitstreamWalkSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------ AVC
+
+  test("avc: emulation prevention escape/unescape round-trips") {
+    val rbsp = Array[Byte](0, 0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 7, 0, 0)
+    val ebsp = ebspEscape(rbsp)
+    // every 00 00 before 00/01/02/03 gained a 03
+    assert(ebsp.length > rbsp.length)
+    // no unescaped start-code-able span remains
+    (0 until ebsp.length - 2).foreach { i =>
+      assert(!(ebsp(i) == 0 && ebsp(i + 1) == 0 &&
+        (ebsp(i + 2) & 0xff) <= 2))
+    }
+    assert(ebspUnescape(ebsp, 0, ebsp.length).toSeq === rbsp.toSeq)
+  }
+
+  test("avc: hand-computed SPS fields for baseline and high profiles") {
+    // id=6: profile 66 (id%3=0), cropping on (id even): cr=0, cb=0
+    val m6 = parseAvcMeta(6, buildAvcPattern(6, 100)).get
+    assert(m6.profile === 66)
+    assert(m6.level === 30 + 6 % 22)
+    assert(m6.pocType === 0)
+    assert(m6.refFrames === 1 + 6 % 4)
+    assert(m6.width === (2 + 6 % 40) * 16 - 2 * (6 % 3))
+    assert(m6.height === (2 + 6 % 23) * 16 - 2 * ((6 / 3) % 2))
+    assert(m6.initQp === 26 + (6 % 11) - 5)
+    // id=5: profile 100 (High) exercises the chroma branch; odd → no crop
+    val m5 = parseAvcMeta(5, buildAvcPattern(5, 100)).get
+    assert(m5.profile === 100)
+    assert(m5.pocType === 2)
+    assert(m5.width === (2 + 5 % 40) * 16)
+    assert(m5.height === (2 + 5 % 23) * 16)
+    // nChars=100 → nf = 3 + 100%6 = 7 → 9 NALs, 4 IDR
+    assert(m5.nNals === 9)
+    assert(m5.nIdr === 4)
+    assert(m5.sliceBytes ===
+      (0 until 7).map(k => 50 + (5 + k * 7) % 100).sum.toLong)
+  }
+
+  test("avc: corruption rejected, not misparsed") {
+    val good = buildAvcPattern(9, 50)
+    // forbidden_zero_bit set on the SPS NAL header
+    val bad = good.clone()
+    val spsHdr = 4 // after the 4-byte start code
+    bad(spsHdr) = (bad(spsHdr) | 0x80).toByte
+    assert(parseAvcMeta(9, bad).isEmpty)
+    // truncated mid-SPS
+    assert(parseAvcMeta(9, good.take(8)).isEmpty)
+    // no start code at all
+    assert(parseAvcMeta(9, Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("avc: exp-golomb se(v) negative mapping decodes exactly") {
+    // id=4: pic_init_qp_minus26 = 4%11-5 = -1 → initQp 25
+    assert(parseAvcMeta(4, buildAvcPattern(4, 10)).get.initQp === 25)
+    // id=10: 10%11-5 = 5 → 31
+    assert(parseAvcMeta(10, buildAvcPattern(10, 10)).get.initQp === 31)
+  }
+
+  // ----------------------------------------------------------- ADTS
+
+  test("adts: walk recovers frame count, byte total, duration") {
+    val m = parseAdtsMeta(7, buildAdtsPattern(7, 33)).get
+    val nf = 20 + 33 % 40
+    assert(m.profile === (7 % 4))
+    assert(m.sampleRate === 44100) // 7 % 3 == 1
+    assert(m.channels === 2)
+    assert(m.nFrames === nf)
+    assert(m.aacBytes ===
+      (0 until nf).map(k => 37 + (7 + 11 * k) % 200).sum.toLong)
+    assert(m.durationMs === nf.toLong * 1024 * 1000 / 44100)
+  }
+
+  test("adts: bad sync, truncation, mid-stream change all rejected") {
+    val good = buildAdtsPattern(3, 20)
+    val bad = good.clone(); bad(0) = 0x12
+    assert(parseAdtsMeta(3, bad).isEmpty)
+    assert(parseAdtsMeta(3, good.take(good.length - 2)).isEmpty)
+    // flip the second frame's profile bits → inconsistent stream
+    val firstLen = 37 + (3 % 200)
+    val flipped = good.clone()
+    flipped(firstLen + 2) = (flipped(firstLen + 2) ^ 0xc0).toByte
+    assert(parseAdtsMeta(3, flipped).isEmpty)
+  }
+
+  // ----------------------------------------------------------- WebP
+
+  test("webp: all three layouts parse to the same dims arithmetic") {
+    Seq(0L, 1L, 2L, 30L, 31L, 32L).foreach { id =>
+      val m = parseWebpMeta(id, buildWebpPattern(id)).get
+      assert(m.width === 16 + (id % 1000).toInt, s"id=$id")
+      assert(m.height === 16 + ((id * 7) % 800).toInt, s"id=$id")
+      val fmt = (id % 3) match {
+        case 0 => "lossy"; case 1 => "lossless"; case _ => "extended" }
+      assert(m.format === fmt)
+      assert(m.riffBytes + 8 === buildWebpPattern(id).length.toLong)
+    }
+  }
+
+  test("webp: VP8X canvas wins over the embedded frame dims") {
+    val id = 2L // extended variant
+    val m = parseWebpMeta(id, buildWebpPattern(id)).get
+    assert(m.format === "extended")
+    assert(m.hasAlpha === (id % 2 == 0))
+    // the embedded VP8 chunk carries w/2+1 — parser must NOT use it
+    assert(m.width === 16 + (id % 1000).toInt)
+  }
+
+  test("webp: size mismatch and unknown chunks rejected") {
+    val good = buildWebpPattern(4)
+    val bad = good.clone(); bad(4) = (bad(4) + 1).toByte // RIFF size
+    assert(parseWebpMeta(4, bad).isEmpty)
+    val wrongTag = good.clone(); wrongTag(12) = 'Z'
+    assert(parseWebpMeta(4, wrongTag).isEmpty)
+    assert(parseWebpMeta(4, good.take(11)).isEmpty)
+  }
+}
