@@ -7126,4 +7126,260 @@ object MediaCodec {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { case (id, p) => parseWebpMeta(id, p) })
   }
+
+  // --------------------------------------------------- Matroska/EBML
+
+  /** Matroska container summary for the `mm_mkv_meta` gate. */
+  final case class MkvMeta(id: Long, docType: String, tsScale: Long,
+      durationMs: Long, nTracks: Int, vCodec: String, width: Int,
+      height: Int, aCodec: String, channels: Int, sampleRate: Int,
+      nBlocks: Int, blockBytes: Long)
+
+  // EBML / Matroska element IDs (public: RFC 8794 + matroska.org spec)
+  private object Mkv {
+    val EBML = 0x1A45DFA3L; val DocType = 0x4282L
+    val Segment = 0x18538067L
+    val Info = 0x1549A966L; val TimestampScale = 0x2AD7B1L
+    val Duration = 0x4489L; val MuxingApp = 0x4D80L
+    val WritingApp = 0x5741L
+    val Tracks = 0x1654AE6BL; val TrackEntry = 0xAEL
+    val TrackNumber = 0xD7L; val TrackUID = 0x73C5L
+    val TrackType = 0x83L; val CodecID = 0x86L
+    val Video = 0xE0L; val PixelWidth = 0xB0L; val PixelHeight = 0xBAL
+    val Audio = 0xE1L; val SamplingFrequency = 0xB5L; val Channels = 0x9FL
+    val Cluster = 0x1F43B675L; val Timestamp = 0xE7L
+    val SimpleBlock = 0xA3L
+  }
+
+  /** Real EBML walk (RFC 8794 vints: the ID keeps its marker bits, the
+    * size strips them) over the Matroska document grammar a video
+    * intake filters on: DocType, Info (TimestampScale + float
+    * Duration), both TrackEntry branches (codec ids, video pixel dims,
+    * audio float rate + channels), and the Cluster's SimpleBlocks
+    * (whose frame payloads are entropy-coded and stay behind the
+    * decoder seam — only their sizes are walked). Unknown elements
+    * skip by size; unknown-size (all-ones) vints, truncation, or a
+    * missing required element reject the stream. */
+  def parseMkvMeta(id: Long, b: Array[Byte]): Option[MkvMeta] = {
+    var pos = 0
+    def readId(): Long = {
+      if (pos >= b.length) return -1
+      val first = b(pos) & 0xff
+      val width = Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (width < 1 || width > 4 || pos + width > b.length) return -1
+      var v = 0L
+      var i = 0
+      while (i < width) { v = (v << 8) | (b(pos + i) & 0xffL); i += 1 }
+      pos += width
+      v
+    }
+    def readSize(): Long = {
+      if (pos >= b.length) return -1
+      val first = b(pos) & 0xff
+      val width = Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (width < 1 || width > 8 || pos + width > b.length) return -1
+      var v = (first & (0xff >>> width)).toLong
+      var i = 1
+      while (i < width) { v = (v << 8) | (b(pos + i) & 0xffL); i += 1 }
+      pos += width
+      // all-ones payload = "unknown size": not valid in this profile
+      if (v == (1L << (7 * width)) - 1) return -1
+      v
+    }
+    def uintAt(from: Int, until: Int): Long = {
+      var v = 0L; var i = from
+      while (i < until) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+    def floatAt(from: Int, until: Int): Double = (until - from) match {
+      case 4 => java.lang.Float.intBitsToFloat(uintAt(from, until).toInt)
+        .toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintAt(from, until))
+      case _ => Double.NaN
+    }
+    var docType: String = null
+    var tsScale = -1L; var duration = Double.NaN
+    var nTracks = 0
+    var vCodec: String = null; var width = -1; var height = -1
+    var aCodec: String = null; var channels = -1; var sampleRate = -1.0
+    var nBlocks = 0; var blockBytes = 0L
+    var sawEbml = false; var sawSegment = false
+
+    /** Walk one master element's children up to `end`; `ctx` selects
+      * which child IDs are interpreted. Returns false on corruption. */
+    def walk(end: Int, ctx: Long): Boolean = {
+      var trackType = -1L // per-TrackEntry state
+      while (pos < end) {
+        val eid = readId()
+        if (eid < 0) return false
+        val size = readSize()
+        if (size < 0) return false
+        val body = pos
+        val bodyEnd = body + size.toInt
+        if (bodyEnd > end) return false
+        (ctx, eid) match {
+          case (0L, Mkv.EBML) =>
+            sawEbml = true
+            if (!walk(bodyEnd, Mkv.EBML)) return false
+          case (0L, Mkv.Segment) =>
+            sawSegment = true
+            if (!walk(bodyEnd, Mkv.Segment)) return false
+          case (Mkv.EBML, Mkv.DocType) =>
+            docType = new String(b, body, size.toInt, "US-ASCII")
+            pos = bodyEnd
+          case (Mkv.Segment, Mkv.Info) | (Mkv.Segment, Mkv.Tracks) |
+               (Mkv.Segment, Mkv.Cluster) =>
+            if (!walk(bodyEnd, eid)) return false
+          case (Mkv.Info, Mkv.TimestampScale) =>
+            tsScale = uintAt(body, bodyEnd); pos = bodyEnd
+          case (Mkv.Info, Mkv.Duration) =>
+            duration = floatAt(body, bodyEnd); pos = bodyEnd
+          case (Mkv.Tracks, Mkv.TrackEntry) =>
+            nTracks += 1
+            if (!walk(bodyEnd, Mkv.TrackEntry)) return false
+          case (Mkv.TrackEntry, Mkv.TrackType) =>
+            trackType = uintAt(body, bodyEnd); pos = bodyEnd
+          case (Mkv.TrackEntry, Mkv.CodecID) =>
+            val c = new String(b, body, size.toInt, "US-ASCII")
+            if (trackType == 1) vCodec = c else aCodec = c
+            pos = bodyEnd
+          case (Mkv.TrackEntry, Mkv.Video) =>
+            if (!walk(bodyEnd, Mkv.Video)) return false
+          case (Mkv.TrackEntry, Mkv.Audio) =>
+            if (!walk(bodyEnd, Mkv.Audio)) return false
+          case (Mkv.Video, Mkv.PixelWidth) =>
+            width = uintAt(body, bodyEnd).toInt; pos = bodyEnd
+          case (Mkv.Video, Mkv.PixelHeight) =>
+            height = uintAt(body, bodyEnd).toInt; pos = bodyEnd
+          case (Mkv.Audio, Mkv.SamplingFrequency) =>
+            sampleRate = floatAt(body, bodyEnd); pos = bodyEnd
+          case (Mkv.Audio, Mkv.Channels) =>
+            channels = uintAt(body, bodyEnd).toInt; pos = bodyEnd
+          case (Mkv.Cluster, Mkv.SimpleBlock) =>
+            // block header: track vint + 2-byte ts + flags, then frame
+            if (size < 4) return false
+            nBlocks += 1
+            blockBytes += size - 4
+            pos = bodyEnd
+          case _ =>
+            pos = bodyEnd // unknown / uninterpreted: skip by size
+        }
+      }
+      pos == end
+    }
+    if (!walk(b.length, 0L)) return None
+    if (!sawEbml || !sawSegment || docType == null || tsScale <= 0 ||
+      duration.isNaN || vCodec == null || aCodec == null ||
+      width <= 0 || height <= 0 || channels <= 0 || sampleRate <= 0)
+      return None
+    // Duration is in TimestampScale units; scale 1e6 ns → milliseconds
+    val durMs = math.round(duration * (tsScale / 1000000.0))
+    Some(MkvMeta(id, docType, tsScale, durMs, nTracks, vCodec, width,
+      height, aCodec, channels, sampleRate.toInt, nBlocks, blockBytes))
+  }
+
+  /** Deterministic Matroska fixture: EBML header (DocType rotates
+    * webm/matroska), Segment with Info (scale 1 ms, float64 Duration),
+    * a video + an audio TrackEntry, and one Cluster of SimpleBlocks
+    * with opaque frame payloads. Sizes are minimal-width vints, so
+    * element offsets vary with every field — a vint-width bug shifts
+    * everything after it. */
+  def buildMkvPattern(id: Long, nChars: Long): Array[Byte] = {
+    def vintSize(v: Long): Array[Byte] = {
+      var width = 1
+      while (width <= 8 && v >= (1L << (7 * width)) - 1) width += 1
+      Array.tabulate[Byte](width) { i =>
+        val shifted = v >>> (8 * (width - 1 - i))
+        val byte = if (i == 0) (0x100 >>> width) | shifted else shifted
+        (byte & 0xff).toByte
+      }
+    }
+    def idBytes(eid: Long): Array[Byte] = {
+      val width = if (eid <= 0xffL) 1 else if (eid <= 0xffffL) 2
+        else if (eid <= 0xffffffL) 3 else 4
+      Array.tabulate[Byte](width)(i =>
+        ((eid >>> (8 * (width - 1 - i))) & 0xff).toByte)
+    }
+    def el(eid: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(eid) ++ vintSize(body.length.toLong) ++ body
+    def uintBody(v: Long): Array[Byte] = {
+      var width = 1
+      while (width < 8 && (v >>> (8 * width)) != 0) width += 1
+      Array.tabulate[Byte](width)(i =>
+        ((v >>> (8 * (width - 1 - i))) & 0xff).toByte)
+    }
+    def floatBody(d: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      Array.tabulate[Byte](8)(i => ((bits >>> (8 * (7 - i))) & 0xff).toByte)
+    }
+    def strBody(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    val docType = if (id % 2 == 0) "webm" else "matroska"
+    val durationMs = (1000 + id % 9000).toDouble
+    val vCodec = (id % 3) match {
+      case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_MPEG4/ISO/AVC" }
+    val aCodec = if (id % 2 == 0) "A_OPUS" else "A_VORBIS"
+    val w = 320 + (id % 640).toInt
+    val h = 240 + (id % 480).toInt
+    val rate = if (id % 2 == 0) 48000.0 else 44100.0
+    val nBlocks = (3 + nChars % 5).toInt
+
+    val ebml = el(Mkv.EBML,
+      el(0x4286L, uintBody(1)) ++ el(0x42F7L, uintBody(1)) ++
+        el(0x42F2L, uintBody(4)) ++ el(0x42F3L, uintBody(8)) ++
+        el(Mkv.DocType, strBody(docType)) ++
+        el(0x4287L, uintBody(4)) ++ el(0x4285L, uintBody(2)))
+    val info = el(Mkv.Info,
+      el(Mkv.TimestampScale, uintBody(1000000L)) ++
+        el(Mkv.Duration, floatBody(durationMs)) ++
+        el(Mkv.MuxingApp, strBody("graft")) ++
+        el(Mkv.WritingApp, strBody("graft")))
+    val videoTrack = el(Mkv.TrackEntry,
+      el(Mkv.TrackNumber, uintBody(1)) ++
+        el(Mkv.TrackUID, uintBody(id + 1)) ++
+        el(Mkv.TrackType, uintBody(1)) ++
+        el(Mkv.CodecID, strBody(vCodec)) ++
+        el(Mkv.Video, el(Mkv.PixelWidth, uintBody(w.toLong)) ++
+          el(Mkv.PixelHeight, uintBody(h.toLong))))
+    val audioTrack = el(Mkv.TrackEntry,
+      el(Mkv.TrackNumber, uintBody(2)) ++
+        el(Mkv.TrackUID, uintBody(id + 2)) ++
+        el(Mkv.TrackType, uintBody(2)) ++
+        el(Mkv.CodecID, strBody(aCodec)) ++
+        el(Mkv.Audio, el(Mkv.SamplingFrequency, floatBody(rate)) ++
+          el(Mkv.Channels, uintBody(1 + id % 2))))
+    val tracks = el(Mkv.Tracks, videoTrack ++ audioTrack)
+    val blocks = (0 until nBlocks).flatMap { k =>
+      val payloadLen = (20 + (id + 13L * k) % 100).toInt
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0x81) // track 1 as a 1-byte vint
+      val ts = k * 40
+      body.write((ts >> 8) & 0xff); body.write(ts & 0xff)
+      body.write(0x80) // keyframe flag
+      var j = 0
+      while (j < payloadLen) {
+        body.write(0x20 | ((id + k + j) % 0x5f).toInt); j += 1
+      }
+      el(Mkv.SimpleBlock, body.toByteArray)
+    }.toArray
+    val cluster = el(Mkv.Cluster,
+      el(Mkv.Timestamp, uintBody(0)) ++ blocks)
+    val segment = el(Mkv.Segment, info ++ tracks ++ cluster)
+    ebml ++ segment
+  }
+
+  def mkvFromDocuments(spark: SparkSession,
+                       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildMkvPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch walk — payloads never shuffle. */
+  def extractMkvMeta(media: Dataset[(Long, Array[Byte])])
+      : Dataset[MkvMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseMkvMeta(id, p) })
+  }
 }

@@ -1162,6 +1162,28 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL Matroska/EBML walk under the gate (RFC 8794 vints + the
+    // public Matroska element grammar): DocType, Info (TimestampScale,
+    // float64 Duration), both TrackEntry branches (codec ids, pixel
+    // dims, float sampling rate, channels), and the Cluster's
+    // SimpleBlock sizes. Sizes are minimal-width vints, so a
+    // vint-width bug shifts every later offset and diverges the hash.
+    // Block frame payloads are entropy-coded and stay behind the seam.
+    "mm_mkv_meta" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.mkvFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractMkvMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("docType").as("doc_type"),
+          col("tsScale").as("ts_scale"),
+          col("durationMs").as("duration_ms"),
+          col("nTracks").as("n_tracks"), col("vCodec").as("v_codec"),
+          col("width"), col("height"), col("aCodec").as("a_codec"),
+          col("channels"), col("sampleRate").as("sample_rate"),
+          col("nBlocks").as("n_blocks"),
+          col("blockBytes").as("block_bytes"))
+        .orderBy("doc_id")
+    },
+
     // REAL PCM16 sample decode under the gate — the audio twin of
     // mm_bmp_pixels: every doc becomes a patterned WAV (interleaved
     // little-endian int16 frames spanning negative values, LIST chunks
@@ -2513,6 +2535,34 @@ object SimilarityQueries {
         |  CASE doc_id % 3 WHEN 0 THEN FALSE WHEN 1 THEN doc_id % 2 = 1
         |    ELSE doc_id % 2 = 0 END AS has_alpha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the Matroska fields from the fixture rotation and the
+    // SimpleBlock payload-size sum the vint walk must recover.
+    "mm_mkv_meta" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    3 + (CAST(n_chars AS BIGINT) % 5) AS nb
+        |  FROM documents),
+        |bl AS (SELECT id, SUM(20 + (id + 13*k) % 100) AS bbytes
+        |  FROM dim, LATERAL (SELECT unnest(range(nb)) AS k)
+        |  GROUP BY id)
+        |SELECT d.id AS doc_id,
+        |  CASE WHEN d.id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+        |    AS doc_type,
+        |  CAST(1000000 AS BIGINT) AS ts_scale,
+        |  CAST(1000 + d.id % 9000 AS BIGINT) AS duration_ms,
+        |  CAST(2 AS INT) AS n_tracks,
+        |  CASE d.id % 3 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9'
+        |    ELSE 'V_MPEG4/ISO/AVC' END AS v_codec,
+        |  CAST(320 + d.id % 640 AS INT) AS width,
+        |  CAST(240 + d.id % 480 AS INT) AS height,
+        |  CASE WHEN d.id % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+        |    AS a_codec,
+        |  CAST(1 + d.id % 2 AS INT) AS channels,
+        |  CAST(CASE WHEN d.id % 2 = 0 THEN 48000 ELSE 44100 END AS INT)
+        |    AS sample_rate,
+        |  CAST(d.nb AS INT) AS n_blocks,
+        |  CAST(b.bbytes AS BIGINT) AS block_bytes
+        |FROM dim d JOIN bl b ON d.id = b.id ORDER BY doc_id""".stripMargin,
 
     // Re-derives every LPC-decoded sample by replaying the quantized
     // prediction recurrence as a recursive CTE: order-1

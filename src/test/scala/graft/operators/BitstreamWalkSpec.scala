@@ -125,4 +125,52 @@ class BitstreamWalkSpec extends AnyFunSuite {
     assert(parseWebpMeta(4, wrongTag).isEmpty)
     assert(parseWebpMeta(4, good.take(11)).isEmpty)
   }
+
+  // ------------------------------------------------------------ MKV
+
+  test("mkv: ebml walk recovers all fields hand-computed") {
+    val id = 14L
+    val m = parseMkvMeta(id, buildMkvPattern(id, 77)).get
+    assert(m.docType === "webm")
+    assert(m.tsScale === 1000000L)
+    assert(m.durationMs === 1000 + 14 % 9000)
+    assert(m.nTracks === 2)
+    assert(m.vCodec === "V_MPEG4/ISO/AVC") // 14 % 3 == 2
+    assert(m.width === 320 + 14 % 640)
+    assert(m.height === 240 + 14 % 480)
+    assert(m.aCodec === "A_OPUS")
+    assert(m.channels === 1)
+    assert(m.sampleRate === 48000)
+    val nb = 3 + 77 % 5
+    assert(m.nBlocks === nb)
+    assert(m.blockBytes ===
+      (0 until nb).map(k => 20 + (14 + 13 * k) % 100).sum.toLong)
+  }
+
+  test("mkv: vint widths round-trip across the 1/2-byte size boundary") {
+    // a block payload of 107 bytes sits near the 127-byte 1-byte-vint
+    // cap with its 4-byte header; sizes on both sides parse
+    Seq(0L, 63L, 64L, 127L).foreach { id =>
+      assert(parseMkvMeta(id, buildMkvPattern(id, id)).isDefined, s"id=$id")
+    }
+  }
+
+  test("mkv: truncation, unknown-size vints, missing tracks rejected") {
+    val good = buildMkvPattern(5, 20)
+    assert(parseMkvMeta(5, good.take(good.length / 2)).isEmpty)
+    assert(parseMkvMeta(5, good.take(30)).isEmpty)
+    // corrupt the Segment size vint into the all-ones "unknown size"
+    val bad = good.clone()
+    // EBML header comes first; find the Segment ID 0x18538067
+    val segAt = (0 until bad.length - 4).find(i =>
+      (bad(i) & 0xff) == 0x18 && (bad(i + 1) & 0xff) == 0x53 &&
+        (bad(i + 2) & 0xff) == 0x80 && (bad(i + 3) & 0xff) == 0x67).get
+    val sizeAt = segAt + 4
+    val width = Integer.numberOfLeadingZeros(bad(sizeAt) & 0xff) - 24 + 1
+    (0 until width).foreach { i =>
+      bad(sizeAt + i) = (if (i == 0) ((0x100 >>> width) - 1) | (0x100 >>> width)
+        else 0xff).toByte
+    }
+    assert(parseMkvMeta(5, bad).isEmpty)
+  }
 }
