@@ -72,6 +72,11 @@ object GraftFunctions {
     one("graft_simhash", "32-bit SimHash over distinct tokens, one pass",
       classOf[SimHash])(
       SimHash(_)),
+    one("graft_url_canon",
+      "RFC 3986 §6 URL normalization (case, %-escapes, dot segments, " +
+        "default ports) + sorted query params, dropped fragment",
+      classOf[UrlCanonicalize])(
+      UrlCanonicalize(_)),
     two("graft_capped_collect_set",
       "collect_set with a hard buffer cap; saturated groups → NULL",
       classOf[CappedCollectSet])(

@@ -466,6 +466,29 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // REAL RFC 3986 §6 URL canonicalization under the gate — the
+    // web-corpus identity primitive (graft_url_canon, a native
+    // expression). Every doc PAIR (2k, 2k+1) carries the same URL
+    // content through two DIFFERENT messes: shuffled case, reordered
+    // query params, mixed %2d/%2D escape case, different dot-segment
+    // detours, a default port present on one side only. The gate
+    // groups by the canonical URL, so n=2 per pair IS the correctness
+    // claim: both messes collapsed to the oracle's exact string, and
+    // nothing else collapsed with them.
+    "t_url_canon" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.queries.messyUrl(id)))
+        .toDF("doc_id", "raw")
+        .withColumn("url", call_function("graft_url_canon", col("raw")))
+        .groupBy(((col("doc_id") / 2).cast("long") * 2).as("pair"),
+          col("url"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("pair"), col("url"), col("n"),
+          call_function("parse_url", col("url"), lit("HOST")).as("host"))
+        .orderBy("pair")
+    },
+
     "t_quality_langid" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2220,6 +2243,25 @@ object TextQueries {
         |  round(CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
         |        / len(str_split(text,' ')), 6) AS ttr
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Builds the expected CANONICAL url per pair directly from the
+    // seed arithmetic (the clean pieces, never the mess): lowercase
+    // scheme+host, default port dropped / :8080 kept, dot segments
+    // gone, %2d→'-' decoded, %3F escape kept uppercase, params sorted,
+    // fragment dropped. n=2 per pair = both mess variants collapsed.
+    "t_url_canon" ->
+      """WITH p AS (SELECT doc_id AS s FROM documents WHERE doc_id % 2 = 0)
+        |SELECT s AS pair,
+        |  (CASE WHEN s % 4 < 2 THEN 'http' ELSE 'https' END) ||
+        |  '://www.site' || (s % 40) || '.example.com' ||
+        |  (CASE WHEN s % 3 = 1 THEN ':8080' ELSE '' END) ||
+        |  '/a' || (s % 5) || '/b' || (s % 7) || '/d-e%3F' ||
+        |  (CASE WHEN s % 5 = 0 THEN '' ELSE
+        |    '?a=' || (s % 3) || '&m=k' || (s % 4) || '&z=' || (s % 10)
+        |  END) AS url,
+        |  CAST(2 AS BIGINT) AS n,
+        |  'www.site' || (s % 40) || '.example.com' AS host
+        |FROM p ORDER BY pair""".stripMargin,
 
     "t_quality_langid" ->
       s"""WITH $qualityLangCte

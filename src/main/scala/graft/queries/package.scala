@@ -135,4 +135,38 @@ package object queries {
     s.conf.set(key, n.toString)
     try f finally s.conf.set(key, prev)
   }
+
+  /** Fixture for `t_url_canon`: doc pair (2k, 2k+1) carries the same
+    * URL content through two different messes — case shuffles, query
+    * reorder, %2d/%2D escape case, distinct dot-segment detours, a
+    * default port on the even side only — so the gate's per-pair group
+    * count proves the canonicalizer collapsed them. Path LETTER case
+    * is pair-invariant on purpose: path case is significant and must
+    * survive canonicalization. */
+  def messyUrl(id: Long): String = {
+    val s = id - id % 2
+    val scheme = if (s % 4 < 2) "http" else "https"
+    val host = s"www.site${s % 40}.example.com"
+    val extraPort = if (s % 3 == 1) ":8080" else ""
+    val queryParts =
+      if (s % 5 == 0) None
+      else Some((s"a=${s % 3}", s"m=k${s % 4}", s"z=${s % 10}"))
+    if (id % 2 == 0) {
+      val defaultPort =
+        if (s % 3 == 0) { if (scheme == "http") ":80" else ":443" }
+        else extraPort
+      val q = queryParts.map { case (a, m, z) => s"?$z&$a&$m" }
+        .getOrElse("")
+      scheme.toUpperCase(java.util.Locale.ROOT) + "://" +
+        host.toUpperCase(java.util.Locale.ROOT) + defaultPort +
+        s"/a${s % 5}/./x/../b${s % 7}/d%2de%3f" + q + "#frag"
+    } else {
+      val mixed = host.zipWithIndex.map { case (c, i) =>
+        if (i % 2 == 0) c.toUpper else c }.mkString
+      val q = queryParts.map { case (a, m, z) => s"?$m&$z&$a" }
+        .getOrElse("")
+      s"$scheme://$mixed$extraPort/y/../a${s % 5}/b${s % 7}/d%2De%3F" +
+        q + s"#x$id"
+    }
+  }
 }
