@@ -7382,4 +7382,262 @@ object MediaCodec {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { case (id, p) => parseMkvMeta(id, p) })
   }
+
+  // ------------------------------------------------ Opus packet TOCs
+
+  /** Opus packet-TOC walk summary for the `mm_opus_toc` gate. */
+  final case class OpusTocMeta(id: Long, nPackets: Int, nFrames: Int,
+      durationUs: Long, stereoPackets: Int, paddingBytes: Long,
+      frameBytes: Long, maxFrame: Int)
+
+  /** Frame duration in µs per TOC config (RFC 6716 §3.1 Table 2):
+    * SILK configs 0-11 run 10/20/40/60 ms, hybrid 12-15 run 10/20 ms,
+    * CELT 16-31 run 2.5/5/10/20 ms. */
+  private def opusFrameDurUs(config: Int): Long =
+    if (config < 12) (config % 4) match {
+      case 0 => 10000L; case 1 => 20000L; case 2 => 40000L; case _ => 60000L
+    } else if (config < 16) { if (config % 2 == 0) 10000L else 20000L }
+    else ((config - 16) % 4) match {
+      case 0 => 2500L; case 1 => 5000L; case 2 => 10000L; case _ => 20000L
+    }
+
+  /** Real per-packet TOC parse (RFC 6716 §3): config/stereo/code bits,
+    * the four frame-packing codes — code 1's equal split (odd payload
+    * rejected), code 2's 1/2-byte length encoding, code 3's
+    * count/VBR/padding byte with per-frame lengths and trailing
+    * padding, the M·duration ≤ 120 ms limit — reduced to the counts an
+    * audio intake needs. Frame payloads (CELT/SILK entropy ranges)
+    * stay behind the decoder seam; only their SIZES are walked.
+    * Returns (nFrames, durUs, stereo, paddingBytes, frameLens). */
+  private def parseOpusPacket(pkt: Array[Byte])
+      : Option[(Int, Long, Boolean, Int, Seq[Int])] = {
+    if (pkt.length < 1) return None
+    val toc = pkt(0) & 0xff
+    val config = toc >>> 3
+    val stereo = ((toc >>> 2) & 1) == 1
+    val code = toc & 3
+    val dur = opusFrameDurUs(config)
+    def twoByteLen(at: Int): Option[(Int, Int)] = { // (len, bytesUsed)
+      if (at >= pkt.length) return None
+      val b1 = pkt(at) & 0xff
+      if (b1 < 252) Some((b1, 1))
+      else if (at + 1 >= pkt.length) None
+      else Some((4 * (pkt(at + 1) & 0xff) + b1, 2))
+    }
+    code match {
+      case 0 =>
+        Some((1, dur, stereo, 0, Seq(pkt.length - 1)))
+      case 1 =>
+        val body = pkt.length - 1
+        if (body % 2 != 0) return None
+        if (2 * dur > 120000L) return None
+        Some((2, 2 * dur, stereo, 0, Seq(body / 2, body / 2)))
+      case 2 =>
+        val (len1, used) = twoByteLen(1).getOrElse(return None)
+        val len2 = pkt.length - 1 - used - len1
+        if (len2 < 0) return None
+        if (2 * dur > 120000L) return None
+        Some((2, 2 * dur, stereo, 0, Seq(len1, len2)))
+      case _ =>
+        if (pkt.length < 2) return None
+        val cnt = pkt(1) & 0xff
+        val vbr = (cnt & 0x80) != 0
+        val hasPadding = (cnt & 0x40) != 0
+        val m = cnt & 0x3f
+        if (m < 1 || m > 48 || m * dur > 120000L) return None
+        var pos = 2
+        var padding = 0
+        if (hasPadding) {
+          var more = true
+          while (more) {
+            if (pos >= pkt.length) return None
+            val pb = pkt(pos) & 0xff; pos += 1
+            if (pb == 255) padding += 254
+            else { padding += pb; more = false }
+          }
+        }
+        val dataEnd = pkt.length - padding
+        if (dataEnd < pos) return None
+        if (vbr) {
+          val lens = new Array[Int](m)
+          var i = 0
+          while (i < m - 1) {
+            val (l, used) = twoByteLen(pos).getOrElse(return None)
+            lens(i) = l; pos += used; i += 1
+          }
+          var sum = 0
+          i = 0
+          while (i < m - 1) { sum += lens(i); i += 1 }
+          val last = dataEnd - pos - sum
+          if (last < 0) return None
+          lens(m - 1) = last
+          Some((m, m * dur, stereo, padding, lens.toSeq))
+        } else {
+          val body = dataEnd - pos
+          if (body % m != 0) return None
+          Some((m, m * dur, stereo, padding, Seq.fill(m)(body / m)))
+        }
+    }
+  }
+
+  /** Reassemble EVERY packet of a single-serial stream from the
+    * validated page walk (page-spanning packets are outside the
+    * builders' profile → None). */
+  private def allOggPackets(b: Array[Byte], pages: Vector[OggPageRef])
+      : Option[Seq[Array[Byte]]] = {
+    val packets = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var pi = 0
+    while (pi < pages.size) {
+      val pg = pages(pi)
+      var off = pg.payloadOff
+      var len = 0
+      var open = false
+      var k = 0
+      while (k < pg.lacing.length) {
+        len += pg.lacing(k)
+        open = pg.lacing(k) == 255
+        if (!open) {
+          packets += java.util.Arrays.copyOfRange(b, off, off + len)
+          off += len
+          len = 0
+        }
+        k += 1
+      }
+      if (open) return None
+      pi += 1
+    }
+    Some(packets.toSeq)
+  }
+
+  /** Ogg walk → OpusHead/OpusTags headers verified → every audio
+    * packet's TOC parsed — total frames, exact duration in µs (2.5 ms
+    * CELT frames make ms lossy), stereo-flag count, padding data
+    * bytes, frame byte totals. */
+  def parseOpusToc(id: Long, b: Array[Byte]): Option[OpusTocMeta] = {
+    val pages = walkOggPages(b).getOrElse(return None)
+    val packets = allOggPackets(b, pages).getOrElse(return None)
+    if (packets.size < 3) return None
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    if (packets(0).length < 8 ||
+      new String(packets(0), 0, 8, ascii) != "OpusHead") return None
+    if (packets(1).length < 8 ||
+      new String(packets(1), 0, 8, ascii) != "OpusTags") return None
+    var nFrames = 0; var durUs = 0L; var stereoN = 0
+    var padBytes = 0L; var frameBytes = 0L; var maxFrame = 0
+    packets.drop(2).foreach { pkt =>
+      val (m, d, st, pad, lens) = parseOpusPacket(pkt).getOrElse(return None)
+      nFrames += m; durUs += d
+      if (st) stereoN += 1
+      padBytes += pad
+      lens.foreach { l => frameBytes += l; if (l > maxFrame) maxFrame = l }
+    }
+    Some(OpusTocMeta(id, packets.size - 2, nFrames, durUs, stereoN,
+      padBytes, frameBytes, maxFrame))
+  }
+
+  /** Deterministic Opus stream exercising all four TOC codes: per
+    * packet k (seed u = id + 3k) code k%4 — code 0 single frame,
+    * code 1 equal split, code 2 with a length that crosses the
+    * 1-byte/2-byte encoding boundary, code 3 with VBR and CBR
+    * variants, padding, and the CELT config range (so the 120 ms cap
+    * holds at M ≤ 4). Odd-k packets use SILK/hybrid configs for table
+    * coverage. */
+  def buildOpusTocPattern(id: Long, nChars: Long): Array[Byte] = {
+    val serial = (id % 100000).toInt
+    val np = (6 + nChars % 8).toInt
+    def fill(n: Int, seed: Long): Array[Byte] =
+      Array.tabulate[Byte](n)(j => (0x11 + (seed + j) % 200).toByte)
+    def lenBytes(l: Int): Array[Byte] =
+      if (l < 252) Array(l.toByte)
+      else {
+        val b1 = 252 + ((l - 252) % 4)
+        Array(b1.toByte, ((l - b1) / 4).toByte)
+      }
+    val audio = (0 until np).map { k =>
+      val u = id + 3L * k
+      val code = k % 4
+      val config =
+        if (code == 3 || k % 2 == 0) 16 + (u % 16).toInt
+        else (u % 16).toInt // SILK/hybrid side of the table
+      val stereo = ((u >> 1) % 2).toInt
+      val toc = (config << 3) | (stereo << 2) | code
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(toc)
+      code match {
+        case 0 =>
+          out.write(fill((10 + u % 60).toInt, u))
+        case 1 =>
+          val l = (8 + u % 30).toInt
+          out.write(fill(2 * l, u))
+        case 2 =>
+          val len1 = (200 + u % 300).toInt
+          val lb = lenBytes(len1)
+          out.write(lb, 0, lb.length)
+          out.write(fill(len1, u))
+          out.write(fill((7 + u % 40).toInt, u + 1))
+        case _ =>
+          val vbr = u % 2 == 1
+          val pad = u % 3 == 0
+          val m = (2 + u % 3).toInt
+          val padLen = (u % 20).toInt
+          out.write((if (vbr) 0x80 else 0) | (if (pad) 0x40 else 0) | m)
+          if (pad) out.write(padLen)
+          if (vbr) {
+            (0 until m - 1).foreach { i =>
+              out.write((6 + (u + i) % 80).toInt)
+            }
+            (0 until m - 1).foreach { i =>
+              out.write(fill((6 + (u + i) % 80).toInt, u + i))
+            }
+            out.write(fill((9 + u % 33).toInt, u + m))
+          } else {
+            out.write(fill(m * (9 + u % 25).toInt, u))
+          }
+          if (pad) out.write(new Array[Byte](padLen))
+      }
+      out.toByteArray
+    }
+    val bytes = new java.io.ByteArrayOutputStream()
+    val first = oggPage(0x02, 0L, serial, 0, Seq(opusHeadPacket(id)))
+    bytes.write(first, 0, first.length)
+    val tags = {
+      val t = new java.io.ByteArrayOutputStream()
+      t.write("OpusTags".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      t.write(5); t.write(0); t.write(0); t.write(0)
+      t.write("graft".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      t.write(0); t.write(0); t.write(0); t.write(0) // zero comments
+      t.toByteArray
+    }
+    val second = oggPage(0x00, 0L, serial, 1, Seq(tags))
+    bytes.write(second, 0, second.length)
+    // audio packets across pages of 1-3 packets each
+    var seq = 2
+    var i = 0
+    while (i < audio.size) {
+      val take = math.min(audio.size - i, 1 + ((id + i) % 3).toInt)
+      val flags = if (i + take >= audio.size) 0x04 else 0x00
+      val page = oggPage(flags, (i + take).toLong * 960L, serial, seq,
+        audio.slice(i, i + take))
+      bytes.write(page, 0, page.length)
+      i += take
+      seq += 1
+    }
+    bytes.toByteArray
+  }
+
+  def opusTocFromDocuments(spark: SparkSession,
+                           docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) => (id, buildOpusTocPattern(id, nChars)) }
+  }
+
+  /** Per-partition batch walk — payloads never shuffle. */
+  def extractOpusToc(media: Dataset[(Long, Array[Byte])])
+      : Dataset[OpusTocMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseOpusToc(id, p) })
+  }
 }

@@ -1162,6 +1162,29 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL Opus packet-TOC walk under the gate (RFC 6716 §3, behind
+    // the validated Ogg page walk + OpusHead/OpusTags verification):
+    // all four frame-packing codes — single frame, equal split, the
+    // 1-/2-byte length encoding (the fixture crosses the 252
+    // boundary), code-3 count bytes with VBR per-frame lengths, CBR
+    // equal division, and trailing padding — under the M·duration ≤
+    // 120 ms rule, with exact µs durations (CELT's 2.5 ms frames make
+    // ms lossy). Frame payloads stay behind the decoder seam; their
+    // SIZES are the walk.
+    "mm_opus_toc" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.opusTocFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractOpusToc(media).toDF()
+        .select(col("id").as("doc_id"), col("nPackets").as("n_packets"),
+          col("nFrames").as("n_frames"),
+          col("durationUs").as("duration_us"),
+          col("stereoPackets").as("stereo_packets"),
+          col("paddingBytes").as("padding_bytes"),
+          col("frameBytes").as("frame_bytes"),
+          col("maxFrame").as("max_frame"))
+        .orderBy("doc_id")
+    },
+
     // REAL Matroska/EBML walk under the gate (RFC 8794 vints + the
     // public Matroska element grammar): DocType, Info (TimestampScale,
     // float64 Duration), both TrackEntry branches (codec ids, pixel
@@ -2535,6 +2558,65 @@ object SimilarityQueries {
         |  CASE doc_id % 3 WHEN 0 THEN FALSE WHEN 1 THEN doc_id % 2 = 1
         |    ELSE doc_id % 2 = 0 END AS has_alpha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Re-derives every packet's TOC arithmetic from the (id, k) grid:
+    // config → µs duration through the full RFC table (SILK, hybrid,
+    // CELT branches), per-code frame counts and byte sums (the code-3
+    // VBR sum expanded with M-guards), padding, and the max frame len.
+    "mm_opus_toc" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    6 + (CAST(n_chars AS BIGINT) % 8) AS np
+        |  FROM documents),
+        |pk AS (SELECT id, k, id + 3*k AS u, k % 4 AS code,
+        |    CASE WHEN k % 4 = 3 OR k % 2 = 0 THEN 16 + (id + 3*k) % 16
+        |      ELSE (id + 3*k) % 16 END AS config,
+        |    2 + (id + 3*k) % 3 AS m
+        |  FROM dim, LATERAL (SELECT unnest(range(np)) AS k)),
+        |pd AS (SELECT *,
+        |    CASE WHEN config < 12 THEN
+        |        CASE config % 4 WHEN 0 THEN 10000 WHEN 1 THEN 20000
+        |          WHEN 2 THEN 40000 ELSE 60000 END
+        |      WHEN config < 16 THEN
+        |        CASE WHEN config % 2 = 0 THEN 10000 ELSE 20000 END
+        |      ELSE CASE (config - 16) % 4 WHEN 0 THEN 2500
+        |        WHEN 1 THEN 5000 WHEN 2 THEN 10000 ELSE 20000 END
+        |    END AS dur,
+        |    CASE code WHEN 0 THEN 1 WHEN 3 THEN m ELSE 2 END AS frames,
+        |    (u // 2) % 2 AS stereo,
+        |    CASE WHEN code = 3 AND u % 3 = 0 THEN u % 20 ELSE 0 END
+        |      AS pad,
+        |    CASE code
+        |      WHEN 0 THEN 10 + u % 60
+        |      WHEN 1 THEN 2 * (8 + u % 30)
+        |      WHEN 2 THEN 200 + u % 300 + 7 + u % 40
+        |      ELSE CASE WHEN u % 2 = 1 THEN
+        |          (6 + u % 80)
+        |          + CASE WHEN m >= 3 THEN 6 + (u + 1) % 80 ELSE 0 END
+        |          + CASE WHEN m >= 4 THEN 6 + (u + 2) % 80 ELSE 0 END
+        |          + 9 + u % 33
+        |        ELSE m * (9 + u % 25) END
+        |    END AS fbytes,
+        |    CASE code
+        |      WHEN 0 THEN 10 + u % 60
+        |      WHEN 1 THEN 8 + u % 30
+        |      WHEN 2 THEN 200 + u % 300
+        |      ELSE CASE WHEN u % 2 = 1 THEN GREATEST(
+        |          6 + u % 80,
+        |          CASE WHEN m >= 3 THEN 6 + (u + 1) % 80 ELSE -1 END,
+        |          CASE WHEN m >= 4 THEN 6 + (u + 2) % 80 ELSE -1 END,
+        |          9 + u % 33)
+        |        ELSE 9 + u % 25 END
+        |    END AS fmax
+        |  FROM pk)
+        |SELECT id AS doc_id,
+        |  CAST(COUNT(*) AS INT) AS n_packets,
+        |  CAST(SUM(frames) AS INT) AS n_frames,
+        |  CAST(SUM(frames * dur) AS BIGINT) AS duration_us,
+        |  CAST(SUM(stereo) AS INT) AS stereo_packets,
+        |  CAST(SUM(pad) AS BIGINT) AS padding_bytes,
+        |  CAST(SUM(fbytes) AS BIGINT) AS frame_bytes,
+        |  CAST(MAX(fmax) AS INT) AS max_frame
+        |FROM pd GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives the Matroska fields from the fixture rotation and the
     // SimpleBlock payload-size sum the vint walk must recover.

@@ -173,4 +173,70 @@ class BitstreamWalkSpec extends AnyFunSuite {
     }
     assert(parseMkvMeta(5, bad).isEmpty)
   }
+
+  // ----------------------------------------------------------- Opus
+
+  test("opus toc: all four codes hand-computed for one doc") {
+    val id = 9L
+    val np = 6 + 50 % 8 // nChars = 50 → np = 6
+    val m = parseOpusToc(id, buildOpusTocPattern(id, 50)).get
+    assert(m.nPackets === np)
+    def u(k: Int) = id + 3L * k
+    def cfg(k: Int) =
+      if (k % 4 == 3 || k % 2 == 0) 16 + (u(k) % 16).toInt
+      else (u(k) % 16).toInt
+    def dur(c: Int): Long =
+      if (c < 12) Seq(10000L, 20000L, 40000L, 60000L)(c % 4)
+      else if (c < 16) { if (c % 2 == 0) 10000L else 20000L }
+      else Seq(2500L, 5000L, 10000L, 20000L)((c - 16) % 4)
+    val frames = (0 until np).map { k =>
+      k % 4 match { case 0 => 1; case 3 => (2 + u(k) % 3).toInt; case _ => 2 }
+    }
+    assert(m.nFrames === frames.sum)
+    assert(m.durationUs === (0 until np).map(k =>
+      frames(k) * dur(cfg(k))).sum)
+    assert(m.stereoPackets === (0 until np).count(k => (u(k) >> 1) % 2 == 1))
+    assert(m.paddingBytes === (0 until np).map { k =>
+      if (k % 4 == 3 && u(k) % 3 == 0) u(k) % 20 else 0L }.sum)
+  }
+
+  test("opus toc: code-2 crosses the 252-byte length-encoding boundary") {
+    // find a doc where some code-2 packet has len1 >= 252 AND one < 252
+    val metas = (0L until 30L).map(id =>
+      (id, parseOpusToc(id, buildOpusTocPattern(id, 99)).get))
+    // every doc parses; frame_bytes match the grid arithmetic
+    metas.foreach { case (id, m) =>
+      val np = 6 + (99 % 8)
+      val expect = (0 until np).map { k =>
+        val u = id + 3L * k
+        (k % 4) match {
+          case 0 => 10 + u % 60
+          case 1 => 2 * (8 + u % 30)
+          case 2 => 200 + u % 300 + 7 + u % 40
+          case _ =>
+            val mm = (2 + u % 3).toInt
+            if (u % 2 == 1)
+              (0 until mm - 1).map(i => 6 + (u + i) % 80).sum + 9 + u % 33
+            else mm * (9 + u % 25)
+        }
+      }.sum
+      assert(m.frameBytes === expect, s"id=$id")
+    }
+    // and the boundary is actually exercised somewhere in the range
+    val len1s = for (id <- 0L until 30L; k <- 2 until 14 by 4)
+      yield 200 + (id + 3L * k) % 300
+    assert(len1s.exists(_ >= 252) && len1s.exists(_ < 252))
+  }
+
+  test("opus toc: corrupt packets rejected") {
+    val good = buildOpusTocPattern(3, 20)
+    // truncate inside the last page → page walk fails
+    assert(parseOpusToc(3, good.take(good.length - 5)).isEmpty)
+    // CBR body not divisible by M: flip a lacing byte would break CRC;
+    // instead parse a synthetic bad packet directly through the gate
+    // by rebuilding with a corrupted CRC
+    val bad = good.clone()
+    bad(good.length - 1) = (bad(good.length - 1) ^ 1).toByte
+    assert(parseOpusToc(3, bad).isEmpty)
+  }
 }
