@@ -489,6 +489,20 @@ object TextQueries {
         .orderBy("pair")
     },
 
+    // REAL crawl-archive intake under the gate — the Common Crawl
+    // layout end to end: per doc a .warc.gz with one gzip MEMBER per
+    // record (RFC 1952 headers rotating FEXTRA/FNAME/FCOMMENT/FHCRC,
+    // raw DEFLATE, CRC-32 + ISIZE trailers verified), records parsed
+    // through the WARC/1.0 grammar (Content-Length framing, CRLF CRLF
+    // separators) and the HTTP response envelope — and the recovered
+    // body IS the document text, pinned by md5 against the oracle, so
+    // a one-byte slip anywhere in the deflate→WARC→HTTP chain
+    // diverges the hash.
+    "t_warc_ingest" -> { (s, dir) =>
+      graft.operators.ArchiveCodec.warcIngest(s, t(s, dir, "documents"))
+        .toDF().orderBy("doc_id")
+    },
+
     "t_quality_langid" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2262,6 +2276,21 @@ object TextQueries {
         |  CAST(2 AS BIGINT) AS n,
         |  'www.site' || (s % 40) || '.example.com' AS host
         |FROM p ORDER BY pair""".stripMargin,
+
+    // Re-derives the WARC response framing from the text itself: the
+    // HTTP head is 63 fixed bytes + the Content-Length digits, the
+    // body is the document verbatim (md5-pinned through the chain).
+    "t_warc_ingest" ->
+      """SELECT doc_id,
+        |  CAST(3 AS INT) AS n_members, CAST(3 AS INT) AS n_records,
+        |  'https://www.site' || (doc_id % 40) || '.example.com/doc/'
+        |    || doc_id AS uri,
+        |  CAST(200 AS INT) AS status,
+        |  CAST(63 + length(CAST(strlen(text) AS VARCHAR))
+        |    + strlen(text) AS BIGINT) AS response_block,
+        |  CAST(strlen(text) AS BIGINT) AS body_len,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_quality_langid" ->
       s"""WITH $qualityLangCte
