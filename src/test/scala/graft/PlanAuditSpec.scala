@@ -924,4 +924,37 @@ class PlanAuditSpec extends SparkSpec {
       "a non-sort exchange crept into the selection pass: " +
         shuffles.map(_.outputPartitioning.toString).mkString(","))
   }
+
+  test("round-12 intake gates: decode rides the scan, no stray exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    // binlog files, JSONB docs, warc.gz archives, EBML containers, Opus
+    // TOCs: all build+decode map-side; the ONLY exchange each plan may
+    // carry is the driver-contract output sort (range partitioning)
+    Seq("cdc_binlog_decode", "conv_jsonb_decode", "t_warc_ingest",
+      "mm_mkv_meta", "mm_opus_toc").foreach { q =>
+      val ns = nodes(SparkEntry.queries(q)(spark, dir))
+      assert(!ns.exists(p => p.nodeName.contains("Join") ||
+        p.nodeName.contains("CartesianProduct")),
+        s"$q planned a join: " + ns.map(_.nodeName).distinct.mkString(","))
+      val shuffles = ns.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.forall(
+        _.outputPartitioning.isInstanceOf[RangePartitioning]),
+        s"$q: a non-sort exchange crept in: " +
+          shuffles.map(_.outputPartitioning.toString).mkString(","))
+    }
+    // t_url_canon groups by the canonical URL: the aggregation must be
+    // partial (map-side combine before its one hash exchange)
+    val ns = nodes(SparkEntry.queries("t_url_canon")(spark, dir))
+    assert(!ns.exists(p => p.nodeName.contains("Join")))
+    val aggs = ns.collect { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2,
+      "expected partial+final aggregation pair, got " + aggs.size)
+    val hashShuffles = ns.collect {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(hashShuffles.size == 1,
+      s"expected exactly the group-by exchange, got ${hashShuffles.size}")
+  }
 }
