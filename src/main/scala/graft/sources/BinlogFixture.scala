@@ -52,7 +52,7 @@ object BinlogFixture {
   /** One fixture column: TABLE_MAP type byte, metadata bytes, the
     * signedness-TLV participation, and the per-seed value encoder
     * (None = SQL NULL via the row null bitmap). */
-  private final case class Col(name: String, typeByte: Int,
+  private[sources] final case class Col(name: String, typeByte: Int,
       meta: Array[Byte], nullable: Boolean, numeric: Boolean,
       unsigned: Boolean, enc: Long => Option[Array[Byte]])
 
@@ -172,7 +172,7 @@ object BinlogFixture {
   // ----------------------------------------------------- event frames
 
   /** v4 header + body + CRC32, advancing `pos`. */
-  private def event(ts: Long, evType: Int, body: Array[Byte],
+  private[sources] def event(ts: Long, evType: Int, body: Array[Byte],
                     pos: Long): (Array[Byte], Long) = {
     val size = 19 + body.length + 4
     val nextPos = pos + size
@@ -186,7 +186,7 @@ object BinlogFixture {
 
   /** FDE is special: its own CRC and the checksum-algorithm byte are
     * part of the body it declares. */
-  private def fdeEvent(ts: Long, pos: Long): (Array[Byte], Long) = {
+  private[sources] def fdeEvent(ts: Long, pos: Long): (Array[Byte], Long) = {
     val body = new W
     body.le(4L, 2) // binlog version
     val ver = ServerVersion.getBytes(UTF_8)
@@ -206,7 +206,7 @@ object BinlogFixture {
     event(ts, EvFormatDescription, body.result(), pos)
   }
 
-  private def gtidEvent(ts: Long, seed: Long, pos: Long)
+  private[sources] def gtidEvent(ts: Long, seed: Long, pos: Long)
       : (Array[Byte], Long) = {
     val body = new W
     body.u8(1) // flags
@@ -215,7 +215,7 @@ object BinlogFixture {
     event(ts, EvGtid, body.result(), pos)
   }
 
-  private def queryEvent(ts: Long, db: String, sql: String, pos: Long)
+  private[sources] def queryEvent(ts: Long, db: String, sql: String, pos: Long)
       : (Array[Byte], Long) = {
     val body = new W
     body.le(7L, 4).le(0L, 4) // thread id, exec time
@@ -225,14 +225,14 @@ object BinlogFixture {
     event(ts, EvQuery, body.result(), pos)
   }
 
-  private def xidEvent(ts: Long, xid: Long, pos: Long)
+  private[sources] def xidEvent(ts: Long, xid: Long, pos: Long)
       : (Array[Byte], Long) = event(ts, EvXid, le(xid, 8), pos)
 
-  private def rotateEvent(ts: Long, nextFile: String, pos: Long)
+  private[sources] def rotateEvent(ts: Long, nextFile: String, pos: Long)
       : (Array[Byte], Long) =
     event(ts, EvRotate, le(4L, 8) ++ nextFile.getBytes(UTF_8), pos)
 
-  private def tableMapEvent(ts: Long, tableId: Long, db: String,
+  private[sources] def tableMapEvent(ts: Long, tableId: Long, db: String,
       table: String, cols: IndexedSeq[Col], pos: Long)
       : (Array[Byte], Long) = {
     val w = new W
@@ -271,7 +271,7 @@ object BinlogFixture {
 
   /** images: per row, the per-column wire values (None = NULL). For
     * update events pass (before, after) pairs flattened in order. */
-  private def rowsEvent(ts: Long, evType: Int, tableId: Long,
+  private[sources] def rowsEvent(ts: Long, evType: Int, tableId: Long,
       cols: IndexedSeq[Col], images: Seq[IndexedSeq[Option[Array[Byte]]]],
       pos: Long): (Array[Byte], Long) = {
     val w = new W

@@ -228,4 +228,74 @@ class BinlogBinarySpec extends SparkSpec {
       (pk, n, if (pk % 5 == 0) "UPDATED" else s) }.toSet
     assert(got === expect)
   }
+
+  test("schema evolution mid-binlog: ALTER between two TABLE_MAP generations") {
+    import BinlogFixture._
+    def le(v: Long, w: Int): Array[Byte] =
+      Array.tabulate(w)(i => ((v >>> (8 * i)) & 0xff).toByte)
+    def str1(s: String): Array[Byte] =
+      Array(s.length.toByte) ++ s.getBytes("UTF-8")
+    val pkC = Col("pk", BinlogBinary.LONGLONG, Array.empty,
+      nullable = false, numeric = true, unsigned = false, _ => None)
+    val aC = Col("a", BinlogBinary.VARCHAR, le(20, 2),
+      nullable = false, numeric = false, unsigned = false, _ => None)
+    val bC = Col("b", BinlogBinary.LONGLONG, Array.empty,
+      nullable = true, numeric = true, unsigned = false, _ => None)
+    val colsV1 = IndexedSeq(pkC, aC)
+    val colsV2 = IndexedSeq(pkC, aC, bC)
+    def img2(pk: Long, a: String) =
+      IndexedSeq[Option[Array[Byte]]](Some(le(pk, 8)), Some(str1(a)))
+    def img3(pk: Long, a: String, b: Option[Long]) =
+      IndexedSeq[Option[Array[Byte]]](Some(le(pk, 8)), Some(str1(a)),
+        b.map(le(_, 8)))
+    val ts = 1700000000L
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xfe.toByte, 'b', 'i', 'n'), 0, 4)
+    var pos = 4L
+    def emit(f: Long => (Array[Byte], Long)): Unit = {
+      val (bs, next) = f(pos); out.write(bs, 0, bs.length); pos = next
+    }
+    emit(fdeEvent(ts, _))
+    emit(queryEvent(ts, "d",
+      "CREATE TABLE evo (pk bigint NOT NULL, a varchar(20), " +
+        "PRIMARY KEY(pk))", _))
+    emit(gtidEvent(ts, 1, _))
+    emit(queryEvent(ts, "d", "BEGIN", _))
+    emit(tableMapEvent(ts, 50, "d", "evo", colsV1, _))
+    emit(rowsEvent(ts, BinlogBinary.EvWriteRowsV2, 50, colsV1,
+      Seq(img2(1, "a1"), img2(2, "a2")), _))
+    emit(xidEvent(ts, 1, _))
+    // the ALTER arrives mid-stream; the next generation maps a NEW
+    // table id with three columns (exactly what a real server logs)
+    emit(queryEvent(ts, "d", "ALTER TABLE evo ADD COLUMN b bigint", _))
+    emit(gtidEvent(ts, 2, _))
+    emit(queryEvent(ts, "d", "BEGIN", _))
+    emit(tableMapEvent(ts, 51, "d", "evo", colsV2, _))
+    emit(rowsEvent(ts, BinlogBinary.EvWriteRowsV2, 51, colsV2,
+      Seq(img3(3, "a3", Some(77))), _))
+    emit(rowsEvent(ts, BinlogBinary.EvUpdateRowsV2, 51, colsV2,
+      Seq(img3(1, "a1", None), img3(1, "upd", Some(88))), _))
+    emit(xidEvent(ts, 2, _))
+    emit(rotateEvent(ts, "evo.000002.bin", _))
+    val dump = tmpDir("graft-evo-dump")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dump, "evo.000001.bin"), out.toByteArray)
+    val spool = tmpDir("graft-evo-spool")
+    val wh = tmpDir("graft-evo-wh")
+    val producer = new SpoolProducer(spool, graft.GraftConfig())
+    new BinlogTail(dump, producer, consumeActive = true).tick()
+    val pipeline = new graft.streaming.CdcPipeline(spark,
+      graft.GraftConfig(), new graft.ddl.SchemaRegistry("d"), wh)
+    pipeline.processBatch(EventSpool.readBatch(spark, spool), batchId = 0)
+    val rows = pipeline.table("evo").read
+      .select("pk", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // pre-ALTER rows land with b NULL; the post-ALTER insert and the
+    // update's after-image carry their b values
+    assert(rows === Set(
+      (1L, "upd", Some(88L)),
+      (2L, "a2", None),
+      (3L, "a3", Some(77L))))
+  }
 }
