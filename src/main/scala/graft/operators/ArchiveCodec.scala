@@ -311,4 +311,187 @@ object ArchiveCodec {
         }
       })
   }
+
+  // ------------------------------------------------------------- ZIP
+
+  /** One parsed ZIP entry: name, method, extracted bytes. */
+  final case class ZipEntry(name: String, method: Int, data: Array[Byte])
+
+  /** Real ZIP walk (PKWARE APPNOTE grammar): EOCD found by the
+    * backward signature scan (comments make its position variable),
+    * central directory entries validated against their local headers
+    * (signature, name), payloads extracted (STORED copied, DEFLATED
+    * inflated raw) and verified against the central CRC-32 and
+    * uncompressed size. Any signature/count/bounds/CRC violation →
+    * None. */
+  def unzipEntries(b: Array[Byte]): Option[Seq[ZipEntry]] = {
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    if (b.length < 22) return None
+    // EOCD: PK\x05\x06, somewhere in the last 64 KB + 22 bytes
+    var eocd = -1
+    var i = b.length - 22
+    val floor = math.max(0, b.length - 22 - 0xffff)
+    while (eocd < 0 && i >= floor) {
+      if (b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 5 && b(i + 3) == 6 &&
+        i + 22 + u16(i + 20) == b.length) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return None
+    val count = u16(eocd + 10)
+    if (count != u16(eocd + 8)) return None // this-disk vs total
+    val cdSize = u32(eocd + 12)
+    val cdOff = u32(eocd + 16)
+    if (cdOff + cdSize != eocd.toLong) return None
+    val entries = Seq.newBuilder[ZipEntry]
+    var p = cdOff.toInt
+    var n = 0
+    try {
+      while (n < count) {
+        if (p + 46 > eocd) return None
+        if (!(b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 &&
+          b(p + 3) == 2)) return None
+        val method = u16(p + 10)
+        val crc = u32(p + 16)
+        val compSize = u32(p + 20).toInt
+        val uncompSize = u32(p + 24).toInt
+        val nameLen = u16(p + 28)
+        val extraLen = u16(p + 30)
+        val commentLen = u16(p + 32)
+        val localOff = u32(p + 42).toInt
+        val name = new String(b, p + 46, nameLen, UTF_8)
+        p += 46 + nameLen + extraLen + commentLen
+        // local header cross-check
+        if (localOff + 30 > b.length) return None
+        if (!(b(localOff) == 'P' && b(localOff + 1) == 'K' &&
+          b(localOff + 2) == 3 && b(localOff + 3) == 4)) return None
+        val lNameLen = u16(localOff + 26)
+        val lExtraLen = u16(localOff + 28)
+        val lName = new String(b, localOff + 30, lNameLen, UTF_8)
+        if (lName != name) return None
+        val dataOff = localOff + 30 + lNameLen + lExtraLen
+        if (dataOff + compSize > b.length) return None
+        val data: Array[Byte] = method match {
+          case 0 => // STORED
+            if (compSize != uncompSize) return None
+            java.util.Arrays.copyOfRange(b, dataOff, dataOff + compSize)
+          case 8 => // DEFLATED (raw)
+            val inf = new java.util.zip.Inflater(true)
+            inf.setInput(b, dataOff, compSize)
+            val out = new java.io.ByteArrayOutputStream(uncompSize)
+            val buf = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val got = inf.inflate(buf)
+              if (got == 0 && !inf.finished()) return None
+              out.write(buf, 0, got)
+            }
+            inf.end()
+            out.toByteArray
+          case _ => return None
+        }
+        if (data.length != uncompSize) return None
+        val c = new java.util.zip.CRC32(); c.update(data)
+        if (c.getValue != crc) return None
+        entries += ZipEntry(name, method, data)
+        n += 1
+      }
+      Some(entries.result())
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Deterministic ZIP writer: STORED and DEFLATED entries, real
+    * CRC-32s, DOS timestamps from the seed, an EOCD comment on every
+    * third id (so the backward scan is position-variable). */
+  def buildZip(id: Long, text: String): Array[Byte] = {
+    final case class Spec(name: String, method: Int, data: Array[Byte])
+    val meta = s"""{"id":$id}""".getBytes(UTF_8)
+    val pad = Array.tabulate[Byte]((10 + id % 30).toInt)(j =>
+      ('a' + (id + 7 * j) % 26).toByte)
+    val specs = Seq(Spec("meta.json", 0, meta),
+      Spec("doc.txt", 8, text.getBytes(UTF_8)),
+      Spec("pad.bin", 0, pad))
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = (0 until 4).foreach(i =>
+      out.write(((v >>> (8 * i)) & 0xff).toInt))
+    val dosTime = ((id % 24) << 11 | (id % 60) << 5 | (id % 30)).toInt
+    val dosDate = (((20 + id % 20) << 9) | ((1 + id % 12) << 5) |
+      (1 + id % 28)).toInt
+    val central = new java.io.ByteArrayOutputStream()
+    def c16(v: Int): Unit = { central.write(v & 0xff)
+      central.write((v >>> 8) & 0xff) }
+    def c32(v: Long): Unit = (0 until 4).foreach(i =>
+      central.write(((v >>> (8 * i)) & 0xff).toInt))
+    specs.foreach { sp =>
+      val crc = new java.util.zip.CRC32(); crc.update(sp.data)
+      val comp: Array[Byte] =
+        if (sp.method == 0) sp.data
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.BEST_SPEED, true)
+          d.setInput(sp.data); d.finish()
+          val o = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+          d.end()
+          o.toByteArray
+        }
+      val localOff = out.size()
+      val nb = sp.name.getBytes(UTF_8)
+      out.write('P'); out.write('K'); out.write(3); out.write(4)
+      w16(20); w16(0); w16(sp.method); w16(dosTime); w16(dosDate)
+      w32(crc.getValue); w32(comp.length.toLong); w32(sp.data.length.toLong)
+      w16(nb.length); w16(0)
+      out.write(nb, 0, nb.length)
+      out.write(comp, 0, comp.length)
+      central.write('P'); central.write('K'); central.write(1)
+      central.write(2)
+      c16(20); c16(20); c16(0); c16(sp.method); c16(dosTime); c16(dosDate)
+      c32(crc.getValue); c32(comp.length.toLong)
+      c32(sp.data.length.toLong)
+      c16(nb.length); c16(0); c16(0); c16(0); c16(0); c32(0L)
+      c32(localOff.toLong)
+      central.write(nb, 0, nb.length)
+    }
+    val cdOff = out.size()
+    val cd = central.toByteArray
+    out.write(cd, 0, cd.length)
+    val comment =
+      if (id % 3 == 0) s"c$id".getBytes(US_ASCII) else Array.empty[Byte]
+    out.write('P'); out.write('K'); out.write(5); out.write(6)
+    w16(0); w16(0); w16(specs.size); w16(specs.size)
+    w32(cd.length.toLong); w32(cdOff.toLong)
+    w16(comment.length)
+    out.write(comment, 0, comment.length)
+    out.toByteArray
+  }
+
+  /** Flattened gate row for `t_zip_ingest`. */
+  final case class ZipIngest(doc_id: Long, n_entries: Int,
+      meta_text: String, text_len: Long, text_md5: String,
+      pad_len: Long, has_comment: Boolean)
+
+  def zipIngest(spark: SparkSession, docs: DataFrame)
+      : Dataset[ZipIngest] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val zip = buildZip(id, text)
+        unzipEntries(zip).map { entries =>
+          val byName = entries.map(e => e.name -> e).toMap
+          val doc = byName("doc.txt").data
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(doc).map(x => f"$x%02x").mkString
+          ZipIngest(id, entries.size,
+            new String(byName("meta.json").data, UTF_8),
+            doc.length.toLong, hex,
+            byName("pad.bin").data.length.toLong, id % 3 == 0)
+        }
+      })
+  }
 }

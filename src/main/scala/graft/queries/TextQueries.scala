@@ -503,6 +503,17 @@ object TextQueries {
         .toDF().orderBy("doc_id")
     },
 
+    // REAL ZIP walk under the gate (PKWARE APPNOTE grammar): EOCD via
+    // the backward signature scan (comments on every 3rd id move it),
+    // central directory entries cross-checked against local headers,
+    // STORED copied and DEFLATED inflated with CRC-32 + size
+    // verification. doc.txt's content is the document text, md5-pinned
+    // through the deflate round-trip.
+    "t_zip_ingest" -> { (s, dir) =>
+      graft.operators.ArchiveCodec.zipIngest(s, t(s, dir, "documents"))
+        .toDF().orderBy("doc_id")
+    },
+
     "t_quality_langid" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2290,6 +2301,18 @@ object TextQueries {
         |    + strlen(text) AS BIGINT) AS response_block,
         |  CAST(strlen(text) AS BIGINT) AS body_len,
         |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the extracted entries re-derived: meta.json text by concat, the
+    // document by md5/strlen, the pad entry's length arithmetic
+    "t_zip_ingest" ->
+      """SELECT doc_id,
+        |  CAST(3 AS INT) AS n_entries,
+        |  '{"id":' || doc_id || '}' AS meta_text,
+        |  CAST(strlen(text) AS BIGINT) AS text_len,
+        |  md5(text) AS text_md5,
+        |  CAST(10 + doc_id % 30 AS BIGINT) AS pad_len,
+        |  doc_id % 3 = 0 AS has_comment
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_quality_langid" ->

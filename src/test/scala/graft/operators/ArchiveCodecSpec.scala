@@ -86,4 +86,43 @@ class ArchiveCodecSpec extends AnyFunSuite {
       "Content-Length: 99999")
     assert(parseWarcRecords(inflated.getBytes("UTF-8")).isEmpty)
   }
+
+  test("zip: stored + deflated entries round-trip with EOCD comments") {
+    (0L until 9L).foreach { id =>
+      val doc = s"document $id body " * (10 + id.toInt)
+      val entries = unzipEntries(buildZip(id, doc)).get
+      assert(entries.map(_.name) === Seq("meta.json", "doc.txt", "pad.bin"))
+      assert(new String(entries(0).data, "UTF-8") === s"""{"id":$id}""")
+      assert(entries(0).method === 0)
+      assert(entries(1).method === 8)
+      assert(new String(entries(1).data, "UTF-8") === doc)
+      assert(entries(2).data.length === (10 + id % 30).toInt)
+    }
+  }
+
+  test("zip: corrupted CRC, truncation, wrong local name all rejected") {
+    val zip = buildZip(5, "payload text " * 30)
+    // find the central directory and corrupt the doc.txt CRC there
+    val s = zip.indexOfSlice("doc.txt".getBytes("UTF-8"))
+    assert(s > 0)
+    // the SECOND occurrence is in the central directory
+    val s2 = zip.indexOfSlice("doc.txt".getBytes("UTF-8"), s + 1)
+    assert(s2 > s)
+    val badCrc = zip.clone()
+    badCrc(s2 - 46 + 16) = (badCrc(s2 - 46 + 16) ^ 1).toByte
+    assert(unzipEntries(badCrc).isEmpty)
+    // EOCD count mismatch
+    val badCount = zip.clone()
+    val eocd = {
+      var i = zip.length - 22
+      while (!(zip(i) == 'P' && zip(i + 1) == 'K' && zip(i + 2) == 5 &&
+        zip(i + 3) == 6)) i -= 1
+      i
+    }
+    badCount(eocd + 10) = 9
+    assert(unzipEntries(badCount).isEmpty)
+    // truncation
+    assert(unzipEntries(zip.take(zip.length / 2)).isEmpty)
+    assert(unzipEntries(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
