@@ -7640,4 +7640,171 @@ object MediaCodec {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { case (id, p) => parseOpusToc(id, p) })
   }
+
+  // ------------------------------------------------------- ID3v2 tags
+
+  /** Parsed ID3v2 tag summary for the `mm_id3_tags` gate. */
+  final case class Id3Meta(id: Long, version: Int, tagBytes: Int,
+      nFrames: Int, title: String, artist: String, album: String,
+      track: Int, year: Int, comment: String)
+
+  /** Real ID3v2.3/2.4 frame walk (id3.org informal standard): the
+    * 10-byte header with the SYNCSAFE tag size (7 bits per byte — a
+    * plain-int reader overruns on any tag ≥ 128 bytes), frame headers
+    * with plain-int (v2.3) vs syncsafe (v2.4) frame sizes — the
+    * version split real parsers get wrong — text frames in
+    * ISO-8859-1 (encoding 0) and UTF-8 (encoding 3, v2.4), the COMM
+    * frame's language + short-description prefix, and zero-byte
+    * padding after the last frame. */
+  def parseId3(id: Long, b: Array[Byte]): Option[Id3Meta] = {
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
+      return None
+    val version = b(3) & 0xff
+    if (version != 3 && version != 4) return None
+    if ((b(4) & 0xff) != 0) return None // revision
+    if ((b(5) & 0xff) != 0) return None // no unsync/extended/footer
+    def syncsafe(p: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < 4) {
+        val byte = b(p + i) & 0xff
+        if ((byte & 0x80) != 0) return -1
+        v = (v << 7) | byte
+        i += 1
+      }
+      v
+    }
+    val tagSize = syncsafe(6)
+    if (tagSize < 0 || 10 + tagSize > b.length) return None
+    var pos = 10
+    val end = 10 + tagSize
+    var title = ""; var artist = ""; var album = ""; var comment = ""
+    var track = 0; var year = 0
+    var nFrames = 0
+    var done = false
+    while (!done && pos + 10 <= end) {
+      if (b(pos) == 0) done = true // padding reached
+      else {
+        val frameId = new String(b, pos, 4, "US-ASCII")
+        if (!frameId.forall(c => (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9'))) return None
+        val size =
+          if (version == 4) syncsafe(pos + 4)
+          else ((b(pos + 4) & 0xff) << 24) | ((b(pos + 5) & 0xff) << 16) |
+            ((b(pos + 6) & 0xff) << 8) | (b(pos + 7) & 0xff)
+        if (size < 0 || pos + 10 + size > end) return None
+        // frame flags (2 bytes) must be clear in this profile
+        if (b(pos + 8) != 0 || b(pos + 9) != 0) return None
+        val body = pos + 10
+        def text(): Option[String] = {
+          if (size < 1) return Some("")
+          (b(body) & 0xff) match {
+            case 0 => Some(new String(b, body + 1, size - 1, "ISO-8859-1"))
+            case 3 if version == 4 =>
+              Some(new String(b, body + 1, size - 1, "UTF-8"))
+            case _ => None
+          }
+        }
+        frameId match {
+          case "TIT2" => title = text().getOrElse(return None)
+          case "TPE1" => artist = text().getOrElse(return None)
+          case "TALB" => album = text().getOrElse(return None)
+          case "TRCK" =>
+            track = try text().getOrElse(return None).toInt
+            catch { case _: NumberFormatException => return None }
+          case "TYER" | "TDRC" =>
+            val t = text().getOrElse(return None)
+            year = try t.take(4).toInt
+            catch { case _: NumberFormatException => return None }
+          case "COMM" =>
+            // encoding byte, 3-char language, short description, 0, text
+            if (size < 5) return None
+            if ((b(body) & 0xff) != 0) return None // latin1 profile
+            val z = {
+              var i = body + 4
+              while (i < body + size && b(i) != 0) i += 1
+              if (i >= body + size) return None
+              i
+            }
+            comment = new String(b, z + 1, body + size - z - 1,
+              "ISO-8859-1")
+          case _ => () // unknown frames skip by size
+        }
+        nFrames += 1
+        pos = body + size
+      }
+    }
+    // everything after the last frame must be zero padding
+    var i = pos
+    while (i < end) { if (b(i) != 0) return None; i += 1 }
+    Some(Id3Meta(id, version, tagSize, nFrames, title, artist, album,
+      track, year, comment))
+  }
+
+  /** Deterministic ID3v2 builder: v2.3 (plain-int frame sizes, latin1)
+    * for even ids, v2.4 (SYNCSAFE frame sizes, UTF-8 text, TDRC) for
+    * odd — tag sizes cross the 128-byte syncsafe carry so a plain-int
+    * tag-size reader diverges — plus an unknown frame to skip, a COMM
+    * frame, and deterministic padding. */
+  def buildId3Pattern(id: Long): Array[Byte] = {
+    val v4 = id % 2 == 1
+    val enc = if (v4) 3 else 0
+    def frame(fid: String, body: Array[Byte]): Array[Byte] = {
+      val hdr = new java.io.ByteArrayOutputStream()
+      hdr.write(fid.getBytes("US-ASCII"), 0, 4)
+      val n = body.length
+      if (v4) {
+        hdr.write((n >>> 21) & 0x7f); hdr.write((n >>> 14) & 0x7f)
+        hdr.write((n >>> 7) & 0x7f); hdr.write(n & 0x7f)
+      } else {
+        hdr.write((n >>> 24) & 0xff); hdr.write((n >>> 16) & 0xff)
+        hdr.write((n >>> 8) & 0xff); hdr.write(n & 0xff)
+      }
+      hdr.write(0); hdr.write(0)
+      hdr.toByteArray ++ body
+    }
+    def textBody(s: String): Array[Byte] =
+      Array(enc.toByte) ++ s.getBytes(if (v4) "UTF-8" else "ISO-8859-1")
+    val title = s"Title ${('A' + id % 26).toChar}${id % 100}" +
+      ("x" * (id % 120).toInt) // crosses the 128-byte syncsafe carry
+    val artist = s"Artist ${id % 40}"
+    val album = s"Album ${id % 15}"
+    val track = s"${1 + id % 20}"
+    val yearStr = s"${1970 + id % 55}"
+    val comm = Array(0.toByte) ++ "eng".getBytes("US-ASCII") ++
+      s"d${id % 9}".getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+      s"note ${id % 7}".getBytes("ISO-8859-1")
+    val frames = frame("TIT2", textBody(title)) ++
+      frame("TPE1", textBody(artist)) ++
+      frame("TALB", textBody(album)) ++
+      frame("TRCK", textBody(track)) ++
+      frame(if (v4) "TDRC" else "TYER", textBody(yearStr)) ++
+      frame("COMM", comm) ++
+      frame("WXXX", Array(0.toByte) ++ // unknown frame: skipped by size
+        s"u${id % 5}".getBytes("ISO-8859-1"))
+    val padding = new Array[Byte]((id % 40).toInt)
+    val tagSize = frames.length + padding.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(if (v4) 4 else 3); out.write(0); out.write(0)
+    out.write((tagSize >>> 21) & 0x7f); out.write((tagSize >>> 14) & 0x7f)
+    out.write((tagSize >>> 7) & 0x7f); out.write(tagSize & 0x7f)
+    out.write(frames, 0, frames.length)
+    out.write(padding, 0, padding.length)
+    out.toByteArray
+  }
+
+  def id3FromDocuments(spark: SparkSession,
+                       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, buildId3Pattern(id)))
+  }
+
+  /** Per-partition batch walk — payloads never shuffle. */
+  def extractId3(media: Dataset[(Long, Array[Byte])])
+      : Dataset[Id3Meta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseId3(id, p) })
+  }
 }

@@ -1185,6 +1185,25 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL ID3v2 frame walk under the gate — the tag block mm_mp3_meta
+    // only SKIPS: the SYNCSAFE tag size (titles cross the 128-byte
+    // carry, so a plain-int reader diverges), the v2.3 plain-int vs
+    // v2.4 syncsafe FRAME-size split real parsers get wrong, latin1 vs
+    // UTF-8 text encodings, the COMM language + description prefix,
+    // unknown frames skipped by size, and zero padding verified to the
+    // declared end. The oracle re-derives the strings AND the byte
+    // arithmetic of the whole layout.
+    "mm_id3_tags" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.id3FromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractId3(media).toDF()
+        .select(col("id").as("doc_id"), col("version"),
+          col("tagBytes").as("tag_bytes"), col("nFrames").as("n_frames"),
+          col("title"), col("artist"), col("album"), col("track"),
+          col("year"), col("comment"))
+        .orderBy("doc_id")
+    },
+
     // REAL Matroska/EBML walk under the gate (RFC 8794 vints + the
     // public Matroska element grammar): DocType, Info (TimestampScale,
     // float64 Duration), both TrackEntry branches (codec ids, pixel
@@ -2557,6 +2576,29 @@ object SimilarityQueries {
         |    END AS BIGINT) AS riff_bytes,
         |  CASE doc_id % 3 WHEN 0 THEN FALSE WHEN 1 THEN doc_id % 2 = 1
         |    ELSE doc_id % 2 = 0 END AS has_alpha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the tag strings by concat AND the full tag-size byte
+    // arithmetic (7 frame headers + per-frame text lengths + padding).
+    "mm_id3_tags" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INT)
+        |    AS version,
+        |  CAST(70
+        |    + 8 + length(CAST(doc_id % 100 AS VARCHAR)) + doc_id % 120
+        |    + 8 + length(CAST(doc_id % 40 AS VARCHAR))
+        |    + 7 + length(CAST(doc_id % 15 AS VARCHAR))
+        |    + 1 + length(CAST(1 + doc_id % 20 AS VARCHAR))
+        |    + 5 + 13 + 3 + doc_id % 40 AS INT) AS tag_bytes,
+        |  CAST(7 AS INT) AS n_frames,
+        |  'Title ' || chr(CAST(65 + doc_id % 26 AS INT))
+        |    || (doc_id % 100) || repeat('x', CAST(doc_id % 120 AS INT))
+        |    AS title,
+        |  'Artist ' || (doc_id % 40) AS artist,
+        |  'Album ' || (doc_id % 15) AS album,
+        |  CAST(1 + doc_id % 20 AS INT) AS track,
+        |  CAST(1970 + doc_id % 55 AS INT) AS year,
+        |  'note ' || (doc_id % 7) AS comment
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Re-derives every packet's TOC arithmetic from the (id, k) grid:

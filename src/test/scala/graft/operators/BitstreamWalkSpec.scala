@@ -239,4 +239,40 @@ class BitstreamWalkSpec extends AnyFunSuite {
     bad(good.length - 1) = (bad(good.length - 1) ^ 1).toByte
     assert(parseOpusToc(3, bad).isEmpty)
   }
+
+  // ------------------------------------------------------------ ID3
+
+  test("id3: v2.3 and v2.4 walk with syncsafe carries and encodings") {
+    // id=129: v2.4 (odd), title pad 129%120=9... pick an id where the
+    // tag crosses 128 bytes so the syncsafe carry matters: any id with
+    // id%120 > 30 or so; id=100 (v2.3) and id=101 (v2.4)
+    val m3 = parseId3(100, buildId3Pattern(100)).get
+    assert(m3.version === 3)
+    assert(m3.title === "Title " + ('A' + 100 % 26).toChar + "0" +
+      "x" * 100)
+    assert(m3.artist === "Artist 20")
+    assert(m3.album === "Album 10")
+    assert(m3.track === 1)
+    assert(m3.year === 1970 + 100 % 55)
+    assert(m3.comment === "note 2")
+    assert(m3.nFrames === 7)
+    val m4 = parseId3(101, buildId3Pattern(101)).get
+    assert(m4.version === 4)
+    assert(m4.year === 1970 + 101 % 55) // TDRC on the v2.4 side
+    // the tag size itself round-trips (syncsafe carry exercised)
+    assert(m4.tagBytes > 128)
+  }
+
+  test("id3: corrupt frames, bad sizes, dirty padding rejected") {
+    val good = buildId3Pattern(8)
+    // frame id with a lowercase char
+    val bad = good.clone(); bad(10) = 'q'
+    assert(parseId3(8, bad).isEmpty)
+    // non-zero byte in the padding region (id=8 → 8 bytes of padding)
+    val dirty = good.clone(); dirty(good.length - 1) = 7
+    assert(parseId3(8, dirty).isEmpty)
+    // truncated tag (header claims more than present)
+    assert(parseId3(8, good.take(good.length - 20)).isEmpty)
+    assert(parseId3(8, "ID3".getBytes).isEmpty)
+  }
 }
