@@ -7807,4 +7807,181 @@ object MediaCodec {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { case (id, p) => parseId3(id, p) })
   }
+
+  // ------------------------------------------------------ TIFF pixels
+
+  /** Decoded TIFF content stats for the `mm_tiff_pixels` gate. */
+  final case class TiffPixels(id: Long, byteOrder: String, width: Int,
+      height: Int, nStrips: Int, sumPix: Long, peak: Int, firstPix: Int)
+
+  /** Real TIFF 6.0 baseline-grayscale decode: the header + IFD walk in
+    * BOTH byte orders (the EXIF gate walks metadata; this one reads
+    * CONTENT), strip geometry from RowsPerStrip with the
+    * StripOffsets/StripByteCounts arrays pulled from the data area
+    * (SHORT or LONG entry types), uncompressed 8-bit samples
+    * reassembled across strips into the intake loudness-style stats.
+    * Any bounds/type/geometry violation → None. */
+  def parseTiffPixels(id: Long, b: Array[Byte]): Option[TiffPixels] = {
+    if (b.length < 8) return None
+    val little = b(0) == 'I' && b(1) == 'I'
+    val big = b(0) == 'M' && b(1) == 'M'
+    if (!little && !big) return None
+    def u16(p: Int): Int = {
+      if (p + 2 > b.length) return -1
+      if (little) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    }
+    def u32(p: Int): Long = {
+      if (p + 4 > b.length) return -1
+      if (little) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    }
+    if (u16(2) != 42) return None
+    val ifd = u32(4).toInt
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd)
+    if (n <= 0) return None
+    var width = -1; var height = -1; var bits = -1; var compression = -1
+    var rowsPerStrip = -1L
+    var offsets: IndexedSeq[Long] = IndexedSeq.empty
+    var counts: IndexedSeq[Long] = IndexedSeq.empty
+    var samplesPerPixel = 1
+    (0 until n).foreach { k =>
+      val e = ifd + 2 + 12 * k
+      if (e + 12 > b.length) return None
+      val tag = u16(e); val tpe = u16(e + 2); val count = u32(e + 4)
+      def scalar(): Long = tpe match {
+        case 3 => u16(e + 8).toLong // SHORT inline
+        case 4 => u32(e + 8)        // LONG inline
+        case _ => -1L
+      }
+      def array(): IndexedSeq[Long] = {
+        val width = if (tpe == 3) 2 else if (tpe == 4) 4 else return null
+        val total = width * count
+        val base = if (total <= 4) e + 8 else u32(e + 8).toInt
+        if (base < 0 || base + total > b.length) return null
+        (0L until count).map { i =>
+          if (tpe == 3) u16(base + 2 * i.toInt).toLong
+          else u32(base + 4 * i.toInt)
+        }
+      }
+      tag match {
+        case 256 => width = scalar().toInt
+        case 257 => height = scalar().toInt
+        case 258 => bits = scalar().toInt
+        case 259 => compression = scalar().toInt
+        case 277 => samplesPerPixel = scalar().toInt
+        case 278 => rowsPerStrip = scalar()
+        case 273 =>
+          val a = array(); if (a == null) return None; offsets = a
+        case 279 =>
+          val a = array(); if (a == null) return None; counts = a
+        case _ => () // uninterpreted tags skip (entries are fixed-size)
+      }
+    }
+    if (width <= 0 || height <= 0 || bits != 8 || compression != 1 ||
+      samplesPerPixel != 1 || rowsPerStrip <= 0 ||
+      offsets.isEmpty || offsets.size != counts.size) return None
+    val expectStrips = ((height + rowsPerStrip - 1) / rowsPerStrip).toInt
+    if (offsets.size != expectStrips) return None
+    var sum = 0L; var peak = 0; var first = -1
+    var row = 0L
+    offsets.indices.foreach { s =>
+      val rows = math.min(rowsPerStrip, height - row)
+      if (counts(s) != rows * width) return None
+      val off = offsets(s).toInt
+      if (off < 0 || off + counts(s) > b.length) return None
+      var i = 0
+      while (i < counts(s)) {
+        val v = b(off + i) & 0xff
+        sum += v
+        if (v > peak) peak = v
+        if (first < 0) first = v
+        i += 1
+      }
+      row += rows
+    }
+    if (row != height) return None
+    Some(TiffPixels(id, if (little) "II" else "MM", width, height,
+      offsets.size, sum, peak, first))
+  }
+
+  /** Deterministic baseline-gray TIFF: byte order rotates II/MM, strip
+    * geometry from RowsPerStrip 1-4 (multi-strip offset/count arrays in
+    * the data area), pixel(x,y) = (id + 3x + 7y) mod 251. */
+  def buildTiffPattern(id: Long): Array[Byte] = {
+    val little = id % 2 == 0
+    val w = 8 + (id % 40).toInt
+    val h = 6 + (id % 30).toInt
+    val rps = 1 + (id % 4).toInt
+    val nStrips = (h + rps - 1) / rps
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (little) { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      else { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (little) (0 until 4).foreach(i =>
+        out.write(((v >>> (8 * i)) & 0xff).toInt))
+      else (3 to 0 by -1).foreach(i =>
+        out.write(((v >>> (8 * i)) & 0xff).toInt))
+    out.write(if (little) 'I' else 'M'); out.write(if (little) 'I' else 'M')
+    w16(42)
+    w32(8) // IFD right after the header
+    val nEntries = 9
+    // layout: IFD at 8, entries 12B each + count(2) + next(4); then the
+    // offsets/counts arrays (LONG), then pixel strips
+    val ifdEnd = 8 + 2 + 12 * nEntries + 4
+    val offArrayAt = ifdEnd
+    val cntArrayAt = offArrayAt + 4 * nStrips
+    val pixAt = cntArrayAt + 4 * nStrips
+    val stripOffsets = (0 until nStrips).map { s =>
+      pixAt.toLong + (0 until s).map(t =>
+        math.min(rps, h - t * rps).toLong * w).sum
+    }
+    w16(nEntries)
+    def entry(tag: Int, tpe: Int, count: Long, value: Long): Unit = {
+      w16(tag); w16(tpe); w32(count)
+      if (tpe == 3) { w16(value.toInt); w16(0) } else w32(value)
+    }
+    entry(256, 4, 1, w.toLong)  // ImageWidth
+    entry(257, 4, 1, h.toLong)  // ImageLength
+    entry(258, 3, 1, 8)         // BitsPerSample
+    entry(259, 3, 1, 1)         // Compression: none
+    entry(262, 3, 1, 1)         // Photometric: BlackIsZero
+    entry(273, 4, nStrips.toLong, // StripOffsets
+      if (nStrips == 1) stripOffsets.head else offArrayAt.toLong)
+    entry(277, 3, 1, 1)         // SamplesPerPixel
+    entry(278, 4, 1, rps.toLong) // RowsPerStrip
+    entry(279, 4, nStrips.toLong, // StripByteCounts
+      if (nStrips == 1) math.min(rps, h).toLong * w else cntArrayAt.toLong)
+    w32(0) // next IFD
+    // data-area arrays are written even when nStrips == 1 (harmless
+    // dead bytes) so the strip offsets above stay layout-stable
+    stripOffsets.foreach(w32)
+    (0 until nStrips).foreach { s =>
+      w32(math.min(rps, h - s * rps).toLong * w)
+    }
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        out.write(((id + 3 * x + 7 * y) % 251).toInt)
+      }
+    }
+    out.toByteArray
+  }
+
+  def tiffFromDocuments(spark: SparkSession,
+                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, buildTiffPattern(id)))
+  }
+
+  /** Per-partition batch decode — payloads never shuffle. */
+  def extractTiffPixels(media: Dataset[(Long, Array[Byte])])
+      : Dataset[TiffPixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) => parseTiffPixels(id, p) })
+  }
 }

@@ -1185,6 +1185,23 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL TIFF content decode under the gate — the EXIF gate walks
+    // IFD metadata; this one reads PIXELS: baseline 8-bit grayscale in
+    // both byte orders, strip geometry from RowsPerStrip with the
+    // StripOffsets/StripByteCounts arrays pulled from the data area,
+    // samples reassembled across 2-30 strips into loudness-style
+    // stats the oracle re-derives per (x, y).
+    "mm_tiff_pixels" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.tiffFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractTiffPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("byteOrder").as("byte_order"),
+          col("width"), col("height"), col("nStrips").as("n_strips"),
+          col("sumPix").as("sum_pix"), col("peak"),
+          col("firstPix").as("first_pix"))
+        .orderBy("doc_id")
+    },
+
     // REAL ID3v2 frame walk under the gate — the tag block mm_mp3_meta
     // only SKIPS: the SYNCSAFE tag size (titles cross the 128-byte
     // carry, so a plain-int reader diverges), the v2.3 plain-int vs
@@ -2577,6 +2594,28 @@ object SimilarityQueries {
         |  CASE doc_id % 3 WHEN 0 THEN FALSE WHEN 1 THEN doc_id % 2 = 1
         |    ELSE doc_id % 2 = 0 END AS has_alpha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Re-derives every pixel from the (x, y) grid — the Spark side must
+    // reach the identical integers through the real strip reassembly.
+    "mm_tiff_pixels" ->
+      """WITH dim AS (SELECT doc_id AS id, 8 + doc_id % 40 AS w,
+        |    6 + doc_id % 30 AS h, 1 + doc_id % 4 AS rps
+        |  FROM documents),
+        |px AS (SELECT id, w, h, rps, x, y,
+        |    (id + 3*x + 7*y) % 251 AS v
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(h)) AS y),
+        |    LATERAL (SELECT unnest(range(w)) AS x))
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(MAX(w) AS INT) AS width,
+        |  CAST(MAX(h) AS INT) AS height,
+        |  CAST((MAX(h) + MAX(rps) - 1) // MAX(rps) AS INT) AS n_strips,
+        |  CAST(SUM(v) AS BIGINT) AS sum_pix,
+        |  CAST(MAX(v) AS INT) AS peak,
+        |  CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN v ELSE 0 END) AS INT)
+        |    AS first_pix
+        |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Re-derives the tag strings by concat AND the full tag-size byte
     // arithmetic (7 frame headers + per-frame text lengths + padding).

@@ -275,4 +275,33 @@ class BitstreamWalkSpec extends AnyFunSuite {
     assert(parseId3(8, good.take(good.length - 20)).isEmpty)
     assert(parseId3(8, "ID3".getBytes).isEmpty)
   }
+
+  // ----------------------------------------------------------- TIFF
+
+  test("tiff: both byte orders decode hand-computed pixels across strips") {
+    Seq(4L, 7L).foreach { id => // II and MM
+      val m = parseTiffPixels(id, buildTiffPattern(id)).get
+      val w = 8 + (id % 40).toInt; val h = 6 + (id % 30).toInt
+      val rps = 1 + (id % 4).toInt
+      assert(m.byteOrder === (if (id % 2 == 0) "II" else "MM"))
+      assert(m.width === w)
+      assert(m.height === h)
+      assert(m.nStrips === (h + rps - 1) / rps)
+      val pix = for (y <- 0 until h; x <- 0 until w)
+        yield ((id + 3 * x + 7 * y) % 251).toInt
+      assert(m.sumPix === pix.map(_.toLong).sum)
+      assert(m.peak === pix.max)
+      assert(m.firstPix === pix.head)
+    }
+  }
+
+  test("tiff: geometry and bounds violations rejected") {
+    val good = buildTiffPattern(10)
+    // truncate inside the last strip
+    assert(parseTiffPixels(10, good.take(good.length - 3)).isEmpty)
+    // corrupt the magic 42
+    val bad = good.clone(); bad(2) = 41
+    assert(parseTiffPixels(10, bad).isEmpty)
+    assert(parseTiffPixels(10, "II".getBytes).isEmpty)
+  }
 }
