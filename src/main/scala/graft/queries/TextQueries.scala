@@ -514,6 +514,34 @@ object TextQueries {
         .toDF().orderBy("doc_id")
     },
 
+    // REAL robots.txt evaluation under the gate (RFC 9309) — the
+    // respect-robots filter of a crawl-derived corpus: per doc a
+    // robots file (CRLF/LF rotating, BOM every 7th, comments, unknown
+    // directives, an empty Disallow, mixed-case directive names) and
+    // six probes pinning the rules real parsers get wrong — group
+    // exclusivity (a specific-UA group hides the * group entirely),
+    // UA product-token prefix selection, the $ end anchor beating a
+    // shorter Disallow, * wildcards, and longest-match-wins. One probe
+    // varies with doc_id so the hash can't constant-fold.
+    "t_robots_rules" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Robots
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = Robots.parse(graft.queries.robotsText(id))
+          (id,
+            Robots.allowed(g, "graftbot/1.0", s"/private${id % 5}/x"),
+            Robots.allowed(g, "graftbot", s"/private${(id * 3) % 5}/y"),
+            Robots.allowed(g, "graftbot", s"/private${id % 5}/pub"),
+            Robots.allowed(g, "graftbot", "/tmp/z"),
+            Robots.allowed(g, "otherbot", "/tmp/z"),
+            Robots.allowed(g, "otherbot", s"/private${id % 5}/x"))
+        }
+        .toDF("doc_id", "p_own_dis", "p_other_dir", "p_anchor_allow",
+          "p_group_excl", "p_star_wild", "p_star_root")
+        .orderBy("doc_id")
+    },
+
     "t_quality_langid" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2313,6 +2341,19 @@ object TextQueries {
         |  md5(text) AS text_md5,
         |  CAST(10 + doc_id % 30 AS BIGINT) AS pad_len,
         |  doc_id % 3 = 0 AS has_comment
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the six decisions re-derived: only p_other_dir depends on data
+    // (the probe digit differs from the rule digit unless id%5=0);
+    // the constants pin group selection, anchors, and wildcards
+    "t_robots_rules" ->
+      """SELECT doc_id,
+        |  FALSE AS p_own_dis,
+        |  doc_id % 5 <> 0 AS p_other_dir,
+        |  TRUE AS p_anchor_allow,
+        |  TRUE AS p_group_excl,
+        |  FALSE AS p_star_wild,
+        |  TRUE AS p_star_root
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_quality_langid" ->

@@ -169,4 +169,23 @@ package object queries {
         q + s"#x$id"
     }
   }
+
+  /** Fixture for `t_robots_rules`: a deterministic robots.txt with a
+    * specific-UA group and a `*` group, rotating newline conventions,
+    * a BOM every 7th id, comments, an unknown directive, an empty
+    * Disallow, and mixed-case directive names. */
+  def robotsText(id: Long): String = {
+    val nl = if (id % 2 == 0) "\r\n" else "\n"
+    val bom = if (id % 7 == 0) "\uFEFF" else ""
+    bom + Seq(
+      "User-Agent: graftbot # our crawler",
+      s"DISALLOW: /private${id % 5}/",
+      s"Allow: /private${id % 5}/pub$$",
+      s"Crawl-delay: ${id % 30}",
+      "",
+      "User-agent: *",
+      "Disallow: /tmp*",
+      "Disallow:",
+      "Allow: /").mkString(nl)
+  }
 }

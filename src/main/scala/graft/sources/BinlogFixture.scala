@@ -271,19 +271,32 @@ object BinlogFixture {
 
   /** images: per row, the per-column wire values (None = NULL). For
     * update events pass (before, after) pairs flattened in order. */
+  /** `presentMask`: null = FULL row image (every column present); a
+    * mask emits binlog_row_image=MINIMAL-style events — absent columns
+    * appear in neither the per-row null bitmap (which indexes PRESENT
+    * columns only) nor the value stream, and the images must carry
+    * values only for masked-in columns. */
   private[sources] def rowsEvent(ts: Long, evType: Int, tableId: Long,
       cols: IndexedSeq[Col], images: Seq[IndexedSeq[Option[Array[Byte]]]],
-      pos: Long): (Array[Byte], Long) = {
+      pos: Long,
+      presentMask: IndexedSeq[Boolean] = null): (Array[Byte], Long) = {
+    val mask =
+      if (presentMask == null) IndexedSeq.fill(cols.size)(true)
+      else presentMask
+    require(mask.size == cols.size)
     val w = new W
     w.le(tableId, 6).le(1L, 2).le(2L, 2) // flags, extra-data length (v2)
     w.lenenc(cols.size.toLong)
     val present = Array.fill[Byte]((cols.size + 7) / 8)(0)
-    cols.indices.foreach(i =>
+    cols.indices.foreach(i => if (mask(i))
       present(i / 8) = (present(i / 8) | (1 << (i % 8))).toByte)
     w.bytes(present)
     if (evType == EvUpdateRowsV2) w.bytes(present) // after-image bitmap
+    val presentIdx = cols.indices.filter(mask)
     images.foreach { img =>
-      val nullBitmap = new Array[Byte]((cols.size + 7) / 8)
+      require(img.size == presentIdx.size,
+        "image must carry exactly the present columns")
+      val nullBitmap = new Array[Byte]((presentIdx.size + 7) / 8)
       img.zipWithIndex.foreach { case (v, i) =>
         if (v.isEmpty)
           nullBitmap(i / 8) = (nullBitmap(i / 8) | (1 << (i % 8))).toByte

@@ -298,4 +298,47 @@ class BinlogBinarySpec extends SparkSpec {
       (2L, "a2", None),
       (3L, "a3", Some(77L))))
   }
+
+  test("MINIMAL row images: absent columns decode as None, nulls index right") {
+    import BinlogFixture._
+    def le(v: Long, w: Int): Array[Byte] =
+      Array.tabulate(w)(i => ((v >>> (8 * i)) & 0xff).toByte)
+    def str1(s: String): Array[Byte] =
+      Array(s.length.toByte) ++ s.getBytes("UTF-8")
+    val cols = IndexedSeq(
+      Col("pk", BinlogBinary.LONGLONG, Array.empty, nullable = false,
+        numeric = true, unsigned = false, _ => None),
+      Col("a", BinlogBinary.VARCHAR, le(20, 2), nullable = true,
+        numeric = false, unsigned = false, _ => None),
+      Col("b", BinlogBinary.LONGLONG, Array.empty, nullable = true,
+        numeric = true, unsigned = false, _ => None))
+    val ts = 1700000000L
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xfe.toByte, 'b', 'i', 'n'), 0, 4)
+    var pos = 4L
+    def emit(f: Long => (Array[Byte], Long)): Unit = {
+      val (bs, next) = f(pos); out.write(bs, 0, bs.length); pos = next
+    }
+    emit(fdeEvent(ts, _))
+    emit(tableMapEvent(ts, 9, "d", "m", cols, _))
+    // MINIMAL delete before-image: only the PK column present
+    emit(rowsEvent(ts, BinlogBinary.EvDeleteRowsV2, 9, cols,
+      Seq(IndexedSeq(Some(le(42, 8)))), _,
+      presentMask = IndexedSeq(true, false, false)))
+    // MINIMAL write: pk + b present, a absent; b NULL in one row —
+    // the null bitmap indexes PRESENT columns (pk=0, b=1), so a
+    // full-width indexer would misread bit 2 vs bit 1
+    emit(rowsEvent(ts, BinlogBinary.EvWriteRowsV2, 9, cols,
+      Seq(IndexedSeq(Some(le(1, 8)), Some(le(7, 8))),
+        IndexedSeq(Some(le(2, 8)), None)), _,
+      presentMask = IndexedSeq(true, false, true)))
+    emit(rotateEvent(ts, "m.000002.bin", _))
+    val events = BinlogBinary.decodeFile(out.toByteArray)
+    val del = events.collect { case r: Rows if r.kind == 'd' => r }.head
+    assert(del.rows.head._1.get ===
+      IndexedSeq(Some("42"), None, None)) // absent → None
+    val wr = events.collect { case r: Rows if r.kind == 'w' => r }.head
+    assert(wr.rows(0)._2.get === IndexedSeq(Some("1"), None, Some("7")))
+    assert(wr.rows(1)._2.get === IndexedSeq(Some("2"), None, None))
+  }
 }
