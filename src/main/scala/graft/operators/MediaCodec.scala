@@ -2675,6 +2675,19 @@ object MediaCodec {
     private var pos = start
     private var acc = 0
     private var nBits = 0
+    /** §F.2.1.3.1 restart sync: discard the current byte's remaining
+      * pad bits, skip a stuffed FF 00 pad byte if the 1-bit padding
+      * formed one, then consume exactly the expected RSTn marker. */
+    def restartSync(expect: Int): Boolean = {
+      acc = 0; nBits = 0
+      while (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+        (b(pos + 1) & 0xff) == 0x00) pos += 2
+      if (pos + 1 >= b.length) return false
+      if ((b(pos) & 0xff) != 0xff ||
+        (b(pos + 1) & 0xff) != 0xd0 + (expect % 8)) return false
+      pos += 2
+      true
+    }
     def bit(): Int = {
       if (nBits == 0) {
         if (pos >= b.length) return -1
@@ -2806,25 +2819,31 @@ object MediaCodec {
     * stuffing. `blocks(bi)` is the quantized coefficient block (natural
     * order) of the bi-th MCU in row-major MCU order. */
   def buildJpegBlocks(width: Int, height: Int,
-                      blocks: Int => Array[Int]): Array[Byte] =
-    buildJpegMulti(width, height, Array(0x11), (bi, _, _) => blocks(bi))
+                      blocks: Int => Array[Int],
+                      restartInterval: Int = 0): Array[Byte] =
+    buildJpegMulti(width, height, Array(0x11), (bi, _, _) => blocks(bi),
+      restartInterval)
 
   /** The 4:4:4 color variant: `blocks(bi, c)` is component c's
     * quantized block for the bi-th MCU (c = 0/1/2 → Y/Cb/Cr). */
   def buildJpegColorBlocks(width: Int, height: Int,
-                           blocks: (Int, Int) => Array[Int]): Array[Byte] =
+                           blocks: (Int, Int) => Array[Int],
+                           restartInterval: Int = 0): Array[Byte] =
     buildJpegMulti(width, height, Array(0x11, 0x11, 0x11),
-      (bi, c, _) => blocks(bi, c))
+      (bi, c, _) => blocks(bi, c), restartInterval)
 
   /** The 4:2:0 variant: per 16×16 MCU, `blocks(bi, 0, sub)` are the
     * four Y blocks (sub = v·2 + h, row-major) and `blocks(bi, 1/2, 0)`
     * the single Cb/Cr block. */
   def buildJpeg420Blocks(width: Int, height: Int,
-                         blocks: (Int, Int, Int) => Array[Int]): Array[Byte] =
-    buildJpegMulti(width, height, Array(0x22, 0x11, 0x11), blocks)
+                         blocks: (Int, Int, Int) => Array[Int],
+                         restartInterval: Int = 0): Array[Byte] =
+    buildJpegMulti(width, height, Array(0x22, 0x11, 0x11), blocks,
+      restartInterval)
 
   private def buildJpegMulti(width: Int, height: Int, samp: Array[Int],
-                             blocks: (Int, Int, Int) => Array[Int])
+                             blocks: (Int, Int, Int) => Array[Int],
+                             restartInterval: Int = 0)
       : Array[Byte] = {
     val nComp = samp.length
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
@@ -2848,6 +2867,7 @@ object MediaCodec {
     }
     dht(0, stdDcBits, stdDcVals)
     dht(1, stdAcBits, stdAcVals)
+    if (restartInterval > 0) { m(0xdd); be(4); be(restartInterval) }
     m(0xda); be(6 + 2 * nComp) // SOS
     out.write(nComp)
     c = 0
@@ -2867,6 +2887,7 @@ object MediaCodec {
     val mcuW = (width + 8 * hMax - 1) / (8 * hMax)
     val mcuH = (height + 8 * vMax - 1) / (8 * vMax)
     val preds = new Array[Int](nComp)
+    var rst = 0
     var bi = 0
     while (bi < mcuW * mcuH) {
       c = 0
@@ -2880,6 +2901,12 @@ object MediaCodec {
         }
         c += 1
       }
+      if (restartInterval > 0 && (bi + 1) % restartInterval == 0 &&
+        bi + 1 < mcuW * mcuH) {
+        bw.flush() // 1-bit padding (stuffed by the writer if it forms FF)
+        m(0xd0 + rst); rst = (rst + 1) % 8
+        java.util.Arrays.fill(preds, 0)
+      }
       bi += 1
     }
     bw.flush()
@@ -2892,10 +2919,11 @@ object MediaCodec {
     * oracle must mirror is the fixed-point color conversion:
     * Y = (bx + 3·by + s) mod 256, Cb = (2·bx + by + s) mod 256,
     * Cr = (bx + 7·by + 2·s) mod 256. */
-  def buildJpegColorPattern(width: Int, height: Int,
-                            seed: Long): Array[Byte] = {
+  def buildJpegColorPattern(width: Int, height: Int, seed: Long,
+                            restartInterval: Int = 0): Array[Byte] = {
     val bw8 = (width + 7) / 8
-    buildJpegColorBlocks(width, height, { (bi, c) =>
+    buildJpegColorBlocks(width, height, restartInterval = restartInterval,
+      blocks = { (bi, c) =>
       val bx = bi % bw8
       val by = bi / bw8
       val v = (c match {
@@ -2916,9 +2944,11 @@ object MediaCodec {
     * EXACTLY (quant 1, IDCT of a DC-only block is DC/8 per sample), so
     * the lossy format carries a lossless fixture and the oracle can
     * recompute every statistic from (w, h, seed) arithmetic. */
-  def buildJpegPattern(width: Int, height: Int, seed: Long): Array[Byte] = {
+  def buildJpegPattern(width: Int, height: Int, seed: Long,
+                       restartInterval: Int = 0): Array[Byte] = {
     val bw8 = (width + 7) / 8
-    buildJpegBlocks(width, height, { bi =>
+    buildJpegBlocks(width, height, restartInterval = restartInterval,
+      blocks = { bi =>
       val bx = bi % bw8
       val by = bi / bw8
       val v = ((bx + 3L * by + seed) % 256).toInt
@@ -3037,6 +3067,7 @@ object MediaCodec {
     // per (class, id): symbol table as length-indexed canonical decode
     val huffCodes = new Array[Map[(Int, Int), Int]](8) // (len,code)→sym
     var sosAt = -1
+    var restartInterval = 0
     val sofIds = new Array[Int](3) // component ids in SOF order
     val qIds = new Array[Int](3) // quant table per component
     val samp = new Array[Int](3) // sampling byte (H << 4 | V)
@@ -3098,7 +3129,9 @@ object MediaCodec {
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcc | 0xcd | 0xce | 0xcf =>
           return None // progressive / extended / arithmetic: the seam
-        case 0xdd => return None // DRI: restart markers unsupported
+        case 0xdd => // DRI: restart interval in MCUs
+          if (len != 4) return None
+          restartInterval = u16(seg)
         case 0xda =>
           if (nf == 0 || u8(seg) != nf) return None
           var sc = 0
@@ -3156,6 +3189,8 @@ object MediaCodec {
     }
     val preds = new Array[Int](nf)
     val coef = new Array[Int](64)
+    var mcuIdx = 0
+    var rstN = 0
     var my = 0
     while (my < mcuH) {
       var mx = 0
@@ -3211,6 +3246,13 @@ object MediaCodec {
             sv += 1
           }
           c += 1
+        }
+        mcuIdx += 1
+        if (restartInterval > 0 && mcuIdx % restartInterval == 0 &&
+          mcuIdx < mcuW * mcuH) {
+          if (!br.restartSync(rstN)) return None
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(preds, 0) // DC predictors reset per RSTn
         }
         mx += 1
       }
@@ -3875,7 +3917,9 @@ object MediaCodec {
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildJpegPattern(width = 1 + (nChars % 44).toInt,
-          height = 1 + (nChars % 26).toInt, seed = id))
+          height = 1 + (nChars % 26).toInt, seed = id,
+          // every 3rd doc carries real RSTn markers (DRI 1-4 MCUs)
+          restartInterval = if (id % 3 == 1) 1 + (id % 4).toInt else 0))
       }
   }
 
@@ -3885,10 +3929,11 @@ object MediaCodec {
     * Cb = (2·mx + my + s) mod 256, Cr = (mx + 7·my + 2·s) mod 256 — so
     * sample-replication upsampling of the constant chroma block is
     * exact and every pixel's RGB follows from integer arithmetic. */
-  def buildJpeg420Pattern(width: Int, height: Int,
-                          seed: Long): Array[Byte] = {
+  def buildJpeg420Pattern(width: Int, height: Int, seed: Long,
+                          restartInterval: Int = 0): Array[Byte] = {
     val mcuW = (width + 15) / 16
-    buildJpeg420Blocks(width, height, { (bi, c, sub) =>
+    buildJpeg420Blocks(width, height, restartInterval = restartInterval,
+      blocks = { (bi, c, sub) =>
       val mx = bi % mcuW
       val my = bi / mcuW
       val v = (c match {
@@ -3916,7 +3961,8 @@ object MediaCodec {
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildJpeg420Pattern(width = 1 + (nChars % 52).toInt,
-          height = 1 + (nChars % 34).toInt, seed = id))
+          height = 1 + (nChars % 34).toInt, seed = id,
+          restartInterval = if (id % 3 == 1) 1 + (id % 4).toInt else 0))
       }
   }
 
@@ -3931,7 +3977,8 @@ object MediaCodec {
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildJpegColorPattern(width = 1 + (nChars % 28).toInt,
-          height = 1 + (nChars % 18).toInt, seed = id))
+          height = 1 + (nChars % 18).toInt, seed = id,
+          restartInterval = if (id % 3 == 1) 1 + (id % 4).toInt else 0))
       }
   }
 

@@ -304,4 +304,36 @@ class BitstreamWalkSpec extends AnyFunSuite {
     assert(parseTiffPixels(10, bad).isEmpty)
     assert(parseTiffPixels(10, "II".getBytes).isEmpty)
   }
+
+  // --------------------------------------------------- JPEG restarts
+
+  test("jpeg: restart markers decode identically to the unmarked stream") {
+    // same picture with and without DRI must decode to the same pixels;
+    // interval 1 maximizes marker count and forces DC-predictor resets
+    Seq(1, 2, 3).foreach { ri =>
+      val plain = decodeJpegPixels(7, buildJpegPattern(40, 24, 7)).get
+      val marked = decodeJpegPixels(7,
+        buildJpegPattern(40, 24, 7, restartInterval = ri)).get
+      assert(marked === plain, s"ri=$ri")
+    }
+    // color + 4:2:0 paths too
+    val cPlain = decodeJpegRgb(9, buildJpegColorPattern(24, 16, 9)).get
+    val cMarked = decodeJpegRgb(9,
+      buildJpegColorPattern(24, 16, 9, restartInterval = 2)).get
+    assert(cMarked === cPlain)
+    val sPlain = decodeJpegRgb(11, buildJpeg420Pattern(33, 18, 11)).get
+    val sMarked = decodeJpegRgb(11,
+      buildJpeg420Pattern(33, 18, 11, restartInterval = 1)).get
+    assert(sMarked === sPlain)
+  }
+
+  test("jpeg: wrong RSTn sequence and truncated markers rejected") {
+    val good = buildJpegPattern(40, 24, 5, restartInterval = 1)
+    // find the first RST0 (FF D0) in the entropy stream and break its n
+    val at = (2 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xd0).get
+    val bad = good.clone()
+    bad(at + 1) = 0xd5.toByte // out-of-sequence restart number
+    assert(decodeJpegPixels(5, bad).isEmpty)
+  }
 }
