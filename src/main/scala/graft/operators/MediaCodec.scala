@@ -7183,7 +7183,7 @@ object MediaCodec {
       nBlocks: Int, blockBytes: Long)
 
   // EBML / Matroska element IDs (public: RFC 8794 + matroska.org spec)
-  private object Mkv {
+  private[operators] object Mkv {
     val EBML = 0x1A45DFA3L; val DocType = 0x4282L
     val Segment = 0x18538067L
     val Info = 0x1549A966L; val TimestampScale = 0x2AD7B1L
@@ -7252,10 +7252,16 @@ object MediaCodec {
     var nBlocks = 0; var blockBytes = 0L
     var sawEbml = false; var sawSegment = false
 
+    // per-TrackEntry state, buffered across the whole entry walk: EBML
+    // fixes no child order, so a file ordering CodecID before TrackType
+    // must still classify the codec — assignment happens AFTER the
+    // TrackEntry's walk completes, not at the CodecID element
+    var trackType = -1L
+    var pendingCodec: String = null
+
     /** Walk one master element's children up to `end`; `ctx` selects
       * which child IDs are interpreted. Returns false on corruption. */
     def walk(end: Int, ctx: Long): Boolean = {
-      var trackType = -1L // per-TrackEntry state
       while (pos < end) {
         val eid = readId()
         if (eid < 0) return false
@@ -7283,12 +7289,16 @@ object MediaCodec {
             duration = floatAt(body, bodyEnd); pos = bodyEnd
           case (Mkv.Tracks, Mkv.TrackEntry) =>
             nTracks += 1
+            trackType = -1L; pendingCodec = null
             if (!walk(bodyEnd, Mkv.TrackEntry)) return false
+            if (pendingCodec != null) {
+              if (trackType == 1) vCodec = pendingCodec
+              else aCodec = pendingCodec
+            }
           case (Mkv.TrackEntry, Mkv.TrackType) =>
             trackType = uintAt(body, bodyEnd); pos = bodyEnd
           case (Mkv.TrackEntry, Mkv.CodecID) =>
-            val c = new String(b, body, size.toInt, "US-ASCII")
-            if (trackType == 1) vCodec = c else aCodec = c
+            pendingCodec = new String(b, body, size.toInt, "US-ASCII")
             pos = bodyEnd
           case (Mkv.TrackEntry, Mkv.Video) =>
             if (!walk(bodyEnd, Mkv.Video)) return false

@@ -5,9 +5,11 @@ package graft.operators
   * before a document is even eligible. Implemented from the RFC:
   *
   *  - groups: consecutive `User-agent` lines share the rule block that
-  *    follows; a crawler obeys ONLY its selected group — the most
-  *    specific matching product token, falling back to `*` — never a
-  *    union (group exclusivity is the rule real parsers get wrong);
+  *    follows; a crawler obeys ONLY the groups naming its own product
+  *    token (case-insensitive identity, §2.2.1), falling back to `*` —
+  *    never a union across DIFFERENT tokens (group exclusivity is the
+  *    rule real parsers get wrong), but all groups naming the SAME
+  *    token merge into one effective rule set;
   *  - rule matching: `Allow`/`Disallow` patterns match path prefixes
   *    with `*` wildcards and the `$` end anchor; the LONGEST matching
   *    pattern (in octets) wins; at equal length Allow wins;
@@ -91,27 +93,39 @@ object Robots {
     walk(0, 0)
   }
 
-  /** Select the crawler's group: the longest agent token that is a
-    * substring-at-word-level match of `agent` (RFC: product-token
-    * prefix comparison, case-insensitive), else the `*` group. */
-  private def selectGroup(groups: Seq[Group],
-                          agent: String): Option[Group] = {
-    val a = agent.toLowerCase(java.util.Locale.ROOT)
-    val specific = groups.flatMap { g =>
-      g.agents.filter(t => t != "*" && a.startsWith(t)).map(t =>
-        (t.length, g))
+  /** The product token of a user-agent string: the portion before the
+    * first '/' (the version separator), trimmed and lowercased —
+    * RFC 9309 §2.2.1 matches on case-insensitive product-token
+    * IDENTITY, not raw string prefix ("graftbot2/1.0" must NOT select
+    * a "graftbot" group, and a robots token carrying its own version
+    * suffix still matches the crawler it names). */
+  private def productToken(s: String): String =
+    s.takeWhile(_ != '/').trim.toLowerCase(java.util.Locale.ROOT)
+
+  /** Select the crawler's rules per RFC 9309 §2.2.1: the rules of ALL
+    * groups whose agent token equals the crawler's product token are
+    * MERGED into one effective group (repeated `User-agent: x` blocks
+    * are one group, not first-wins); on no specific match, all `*`
+    * groups merge the same way; None = no group governs this crawler. */
+  private def selectRules(groups: Seq[Group],
+                          agent: String): Option[Seq[(Boolean, String)]] = {
+    val a = productToken(agent)
+    val specific = groups.filter(
+      _.agents.exists(t => t != "*" && productToken(t) == a))
+    if (specific.nonEmpty) Some(specific.flatMap(_.rules))
+    else {
+      val stars = groups.filter(_.agents.contains("*"))
+      if (stars.nonEmpty) Some(stars.flatMap(_.rules)) else None
     }
-    if (specific.nonEmpty) Some(specific.maxBy(_._1)._2)
-    else groups.find(_.agents.contains("*"))
   }
 
   /** The RFC decision: longest matching pattern wins, Allow on ties,
     * empty patterns never match as disallow, no rule → allowed. */
   def allowed(groups: Seq[Group], agent: String, path: String): Boolean =
-    selectGroup(groups, agent) match {
+    selectRules(groups, agent) match {
       case None => true
-      case Some(g) =>
-        val matches = g.rules.filter { case (_, pat) =>
+      case Some(rules) =>
+        val matches = rules.filter { case (_, pat) =>
           pat.nonEmpty && patternMatches(pat, path)
         }
         if (matches.isEmpty) true

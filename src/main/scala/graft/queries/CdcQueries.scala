@@ -60,6 +60,74 @@ object CdcQueries {
     s
   }
 
+  /** E2E fixture generation, split from replay so callers (the gated
+    * query AND [[graft.tools.PhaseProbe]]) can build it ONCE outside
+    * the timed region: insert/update/delete events derived from
+    * lineitem, persisted and counted. Returns
+    * (batch, nEvents, fixtureSec, fixtureGcMs). */
+  def e2eFixture(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Long, Double, Long) = {
+    import graft.sources.EventSpool
+    // (orderkey, linenumber) is not unique in the synthetic fixture —
+    // collapse to one source row per pk so every event has a unique seq
+    // (real binlogs give every event a distinct position)
+    // persisted: all three event branches AND processBatch's two passes
+    // (DDL scan, DML cache) read it — this is fixture generation, not
+    // pipeline cost
+    val li = t(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+      col("l_quantity").cast("int").as("qty"),
+      col("l_returnflag").as("flag"),
+      col("l_linenumber").as("ln"))
+      .groupBy("pk").agg(max("qty").as("qty"), max("flag").as("flag"),
+        max("ln").as("ln"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ev(seq: org.apache.spark.sql.Column, op: String,
+           row: org.apache.spark.sql.Column) = Seq(
+      seq.as("seq"), lit("d").as("db"), lit("items").as("table"),
+      lit(op).as("op"), lit(null).cast("string").as("query"), row.as("row"))
+    def img(qty: org.apache.spark.sql.Column) = to_json(struct(
+      col("pk").cast("string").as("pk"), qty.cast("string").as("qty"),
+      col("flag").as("flag")))
+    val inserts = li.select(ev(col("pk") * 3, EventSpool.OpAdd,
+      img(col("qty"))): _*)
+    val updates = li.filter(col("ln") % 3 === 0)
+      .select(ev(col("pk") * 3 + 1, EventSpool.OpAdd,
+        img(col("qty") + 100)): _*)
+    val deletes = li.filter(col("ln") % 7 === 0)
+      .select(ev(col("pk") * 3 + 2, EventSpool.OpRemove,
+        to_json(struct(col("pk").cast("string").as("pk")))): _*)
+    // materialize the fixture into cache FIRST, so the timed pipeline
+    // pass measures replication work, not fixture synthesis
+    val tFix0 = System.nanoTime()
+    val gcFix0 = gcNowMs()
+    val batch = inserts.unionByName(updates).unionByName(deletes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEvents = batch.count()
+    ((batch, nEvents, (System.nanoTime() - tFix0) / 1e9,
+      gcNowMs() - gcFix0))
+  }
+
+  /** One timed replication of the e2e fixture through a FRESH pipeline
+    * (new registry, new warehouse at `wh`): wire-JSON parse → LWW
+    * collapse → type conversion → versioned bucketed storage. Returns
+    * (pipeline, pipelineSec, pipelineGcMs) — the caller reads
+    * `pipeline.table("items")` and owns `wh` cleanup. */
+  def e2eReplay(s: org.apache.spark.sql.SparkSession,
+                batch: org.apache.spark.sql.DataFrame, wh: String)
+      : (graft.streaming.CdcPipeline, Double, Long) = {
+    import graft.ddl.SchemaRegistry
+    import graft.streaming.CdcPipeline
+    val registry = new SchemaRegistry
+    registry.applySql(
+      "CREATE TABLE items (pk bigint NOT NULL, qty int, flag varchar(1), PRIMARY KEY(pk))")
+    val pipeline = new CdcPipeline(s, graft.GraftConfig(), registry, wh)
+    val tPipe0 = System.nanoTime()
+    val gcPipe0 = gcNowMs()
+    pipeline.processBatch(batch, batchId = 0)
+    (pipeline, (System.nanoTime() - tPipe0) / 1e9, gcNowMs() - gcPipe0)
+  }
+
   val defs: Map[String, QueryFn] = Map(
     // A4: FINAL view — latest row per PK.
     "cdc_final_view" -> { (s, dir) =>
@@ -126,57 +194,10 @@ object CdcQueries {
     // headline vs the reference's ~20k events/s single-core realtime
     // claim (BASELINE.md): at sf0.1 it replays ~900k events.
     "cdc_e2e_replicate" -> { (s, dir) =>
-      import graft.ddl.SchemaRegistry
-      import graft.sources.EventSpool
-      import graft.streaming.CdcPipeline
-      val registry = new SchemaRegistry
-      registry.applySql(
-        "CREATE TABLE items (pk bigint NOT NULL, qty int, flag varchar(1), PRIMARY KEY(pk))")
+      val (batch, nEvents, fixtureSec, gcFix) = e2eFixture(s, dir)
       val wh = java.nio.file.Files.createTempDirectory("graft-e2e").toString
-      val pipeline = new CdcPipeline(s, graft.GraftConfig(), registry, wh)
-      // (orderkey, linenumber) is not unique in the synthetic fixture —
-      // collapse to one source row per pk so every event has a unique seq
-      // (real binlogs give every event a distinct position)
-      // persisted: all three event branches AND processBatch's two passes
-      // (DDL scan, DML cache) read it — this is fixture generation, not
-      // pipeline cost
-      val li = t(s, dir, "lineitem").select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
-        col("l_quantity").cast("int").as("qty"),
-        col("l_returnflag").as("flag"),
-        col("l_linenumber").as("ln"))
-        .groupBy("pk").agg(max("qty").as("qty"), max("flag").as("flag"),
-          max("ln").as("ln"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def ev(seq: org.apache.spark.sql.Column, op: String,
-             row: org.apache.spark.sql.Column) = Seq(
-        seq.as("seq"), lit("d").as("db"), lit("items").as("table"),
-        lit(op).as("op"), lit(null).cast("string").as("query"), row.as("row"))
-      def img(qty: org.apache.spark.sql.Column) = to_json(struct(
-        col("pk").cast("string").as("pk"), qty.cast("string").as("qty"),
-        col("flag").as("flag")))
-      val inserts = li.select(ev(col("pk") * 3, EventSpool.OpAdd,
-        img(col("qty"))): _*)
-      val updates = li.filter(col("ln") % 3 === 0)
-        .select(ev(col("pk") * 3 + 1, EventSpool.OpAdd,
-          img(col("qty") + 100)): _*)
-      val deletes = li.filter(col("ln") % 7 === 0)
-        .select(ev(col("pk") * 3 + 2, EventSpool.OpRemove,
-          to_json(struct(col("pk").cast("string").as("pk")))): _*)
-      // materialize the fixture into cache FIRST, so the timed pipeline
-      // pass measures replication work, not fixture synthesis
-      val tFix0 = System.nanoTime()
-      val gcFix0 = gcNowMs()
-      val batch = inserts.unionByName(updates).unionByName(deletes)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nEvents = batch.count()
-      val fixtureSec = (System.nanoTime() - tFix0) / 1e9
-      val gcFix = gcNowMs() - gcFix0
-      val tPipe0 = System.nanoTime()
-      val gcPipe0 = gcNowMs()
-      pipeline.processBatch(batch, batchId = 0)
-      lastE2eStats = Some(E2eStats(nEvents, fixtureSec,
-        (System.nanoTime() - tPipe0) / 1e9, gcFix, gcNowMs() - gcPipe0))
+      val (pipeline, pipeSec, gcPipe) = e2eReplay(s, batch, wh)
+      lastE2eStats = Some(E2eStats(nEvents, fixtureSec, pipeSec, gcFix, gcPipe))
       pipeline.table("items").read.orderBy("pk")
     },
 
@@ -482,6 +503,24 @@ object CdcQueries {
         .orderBy("doc_id", "img")
     },
 
+    // S5 + binlog_row_value_options=PARTIAL_JSON: per document, a
+    // binlog file whose JSON column is updated through a
+    // PARTIAL_UPDATE_ROWS_EVENT (39) — a serialized DIFF SEQUENCE
+    // (REPLACE/INSERT/REMOVE over member, nested-member and
+    // array-element paths, the reference's json_binary.py JsonDiff
+    // grammar) the decoder must MATERIALIZE against the before-image
+    // document. The oracle re-derives both the before and the
+    // materialized after text from the same seed arithmetic, so the
+    // path walk, MySQL key ordering on insert, and array
+    // insert-at-clamped-index semantics are all hash-pinned.
+    "cdc_binlog_partial" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(graft.sources.BinlogFixture.partialGateRowFor _)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     // S5 end to end: customer rows encoded into rotated BINARY binlog
     // segments (range-sharded, one segment per shard, DDL in the first
     // segment like a schema-history bootstrap), tailed through the
@@ -515,6 +554,51 @@ object CdcQueries {
               java.nio.file.Paths.get(dumpPath, f"b.$idx%06d.bin"),
               BinlogFixture.custSegment(rows, withDdl = false,
                 nextFile = f"b.${idx + 1}%06d.bin"))
+          }
+          ()
+        }
+      val producer = new SpoolProducer(spool.toString, graft.GraftConfig())
+      new BinlogTail(dumpPath, producer, consumeActive = true).tick()
+      val pipeline = new CdcPipeline(s, graft.GraftConfig(),
+        new SchemaRegistry("d"), wh.toString)
+      pipeline.processBatch(EventSpool.readBatch(s, spool.toString),
+        batchId = 0)
+      pipeline.table("custs").read.orderBy("pk")
+    },
+
+    // S4/S5, MariaDB dialect: the same customer change pattern through
+    // MariaDB-flavored binlog segments — v1 rows events (no extra-data
+    // field), binlog_checksum=NONE framing, MariaDB GTID (162) /
+    // GTID_LIST / BINLOG_CHECKPOINT / ANNOTATE_ROWS control events —
+    // tailed through the identical production chain, so BOTH server
+    // dialects are hash-verified to converge on the replica the
+    // Debezium JSON route produces (the reference speaks this dialect
+    // natively: binlogstream.py:186, 396-397, constants/BINLOG.py:47).
+    "cdc_binlog_mariadb" -> { (s, dir) =>
+      import graft.sources.{BinlogFixture, BinlogTail, EventSpool,
+        SpoolProducer}
+      import graft.streaming.CdcPipeline
+      import graft.ddl.SchemaRegistry
+      val dump = java.nio.file.Files.createTempDirectory("graft-mdb-dump")
+      val spool = java.nio.file.Files.createTempDirectory("graft-mdb-spool")
+      val wh = java.nio.file.Files.createTempDirectory("graft-mdb-wh")
+      java.nio.file.Files.write(dump.resolve("maria-bin.000001.bin"),
+        BinlogFixture.mariaSegment(Seq.empty, withDdl = true,
+          nextFile = "maria-bin.000002.bin"))
+      val dumpPath = dump.toString
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("pk"), col("c_name").as("name"),
+          col("c_mktsegment").as("seg"))
+        .repartitionByRange(4, col("pk"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val rows = it.map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+          if (rows.nonEmpty) {
+            val idx = org.apache.spark.TaskContext.getPartitionId() + 2
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dumpPath, f"maria-bin.$idx%06d.bin"),
+              BinlogFixture.mariaSegment(rows, withDdl = false,
+                nextFile = f"maria-bin.${idx + 1}%06d.bin"))
           }
           ()
         }
@@ -645,6 +729,38 @@ object CdcQueries {
         |       ELSE c_mktsegment END AS seg
         |FROM customer WHERE c_custkey % 11 <> 0
         |ORDER BY pk""".stripMargin,
+
+    // the MariaDB-dialect transport converges on the identical replica
+    "cdc_binlog_mariadb" ->
+      """SELECT c_custkey AS pk, c_name AS name,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED'
+        |       ELSE c_mktsegment END AS seg
+        |FROM customer WHERE c_custkey % 11 <> 0
+        |ORDER BY pk""".stripMargin,
+
+    // the materialized after-image re-derived by string arithmetic:
+    // REPLACE $.a / $.b / $.c[1] / $.d.y, INSERT $.c[3] (array append)
+    // and $.e (new member, sorted into key order), REMOVE $.b (every
+    // 3rd id) and $.d.y (every 4th) — canonical text, keys in MySQL
+    // (length, bytes) order, no whitespace
+    "cdc_binlog_partial" ->
+      """SELECT doc_id, doc_id AS pk, 6 AS n_diffs,
+        |  '{"a":' || (doc_id % 1000 - 500) ||
+        |    ',"b":"t' || (doc_id % 7) ||
+        |    '","c":[' || (doc_id % 5) || ',' || (doc_id % 11) || ',' ||
+        |    (doc_id % 17) ||
+        |    '],"d":{"x":' || (doc_id % 13) ||
+        |    ',"y":"u' || (doc_id % 3) || '"}}' AS before_js,
+        |  '{"a":' || (doc_id % 100 - 50) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ''
+        |         ELSE ',"b":"r' || (doc_id % 19) || '"' END ||
+        |    ',"c":[' || (doc_id % 5) || ',' || (doc_id % 9) || ',' ||
+        |    (doc_id % 17) || ',' || (doc_id % 23) ||
+        |    '],"d":{"x":' || (doc_id % 13) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ''
+        |         ELSE ',"y":"w' || (doc_id % 5) || '"' END ||
+        |    '},"e":"n' || (doc_id % 7) || '"}' AS after_js
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the expected replica, recomputed from the source table: updates
     // overwrite seg for pk % 5 = 0, deletes drop pk % 11 = 0

@@ -60,6 +60,17 @@ object BinlogBinary {
   val EvQuery = 2; val EvRotate = 4; val EvFormatDescription = 15
   val EvXid = 16; val EvTableMap = 19; val EvWriteRowsV2 = 30
   val EvUpdateRowsV2 = 31; val EvDeleteRowsV2 = 32; val EvGtid = 33
+  // v1 rows events (no post-header extra-data field) — what MariaDB
+  // servers write (MariaDB keeps the pre-5.6 rows format; the reference
+  // consumes both dialects, binlogstream.py:186, 396-397)
+  val EvWriteRowsV1 = 23; val EvUpdateRowsV1 = 24; val EvDeleteRowsV1 = 25
+  // MySQL 8 partial-JSON updates (binlog_row_value_options=PARTIAL_JSON;
+  // the reference's packet.py:51 / json_binary.py JsonDiff)
+  val EvPartialUpdateRows = 39
+  // MariaDB control events (public constants, MariaDB sql/log_event.h:
+  // ANNOTATE_ROWS=160, BINLOG_CHECKPOINT=161, GTID=162, GTID_LIST=163)
+  val EvMariaAnnotateRows = 160; val EvMariaBinlogCheckpoint = 161
+  val EvMariaGtid = 162; val EvMariaGtidList = 163
 
   private val NumericTypes: Set[Int] =
     Set(TINY, SHORT, INT24, LONG, LONGLONG, NEWDECIMAL, FLOAT, DOUBLE, YEAR)
@@ -101,6 +112,24 @@ object BinlogBinary {
       xid: Long) extends BinlogEvent
   final case class Rotate(timestamp: Long, nextPos: Long,
       position: Long, nextFile: String) extends BinlogEvent
+  /** MariaDB GTID (event 162): transaction marker rendered
+    * `domain-server-seqno` (the dialect's GTID text form). */
+  final case class MariaGtid(timestamp: Long, nextPos: Long,
+      domainId: Long, serverId: Long, seqNo: Long) extends BinlogEvent {
+    def text: String = s"$domainId-$serverId-$seqNo"
+  }
+  /** MariaDB GTID_LIST (event 163): the replication state at log
+    * open — one (domain, server, seqno) triple per domain. */
+  final case class MariaGtidList(timestamp: Long, nextPos: Long,
+      gtids: Seq[(Long, Long, Long)]) extends BinlogEvent
+  /** MariaDB ANNOTATE_ROWS (event 160): the original statement text
+    * logged ahead of its row events (informational). */
+  final case class MariaAnnotate(timestamp: Long, nextPos: Long,
+      sql: String) extends BinlogEvent
+  /** MariaDB BINLOG_CHECKPOINT (event 161): oldest log still needed
+    * for crash recovery. */
+  final case class MariaCheckpoint(timestamp: Long, nextPos: Long,
+      file: String) extends BinlogEvent
 
   final class BinlogFormatException(msg: String)
       extends IllegalArgumentException(msg)
@@ -320,6 +349,183 @@ object BinlogBinary {
       if (obj) JObject(keys.zip(values)) else JArray(values)
     }
 
+    // ------------------------------------------------- JSON diffs
+
+    /** Partial-JSON update support (binlog_row_value_options=
+      * PARTIAL_JSON): a partial column value is a SEQUENCE of diffs,
+      * each `operation(1) + lenenc path + [lenenc value-length + JSONB
+      * value]` (REMOVE carries no value) — the format the reference
+      * decodes in json_binary.py's JsonDiff. Operations are MySQL
+      * sql/json_diff.h: REPLACE=0, INSERT=1, REMOVE=2. Paths are the
+      * diff subset of JSON-path: `$`, `.member` (identifier or
+      * double-quoted), `[N]` — no wildcards. */
+    val DiffReplace = 0; val DiffInsert = 1; val DiffRemove = 2
+
+    sealed trait Leg
+    final case class Member(key: String) extends Leg
+    final case class Index(i: Int) extends Leg
+
+    /** Parse a diff path. Fails on anything outside the diff subset. */
+    def parsePath(path: String): Seq[Leg] = {
+      if (path.isEmpty || path.charAt(0) != '$') fail(s"bad JSON path: $path")
+      val legs = Seq.newBuilder[Leg]
+      var p = 1
+      while (p < path.length) {
+        path.charAt(p) match {
+          case '.' =>
+            p += 1
+            if (p < path.length && path.charAt(p) == '"') {
+              p += 1
+              val sb = new StringBuilder
+              var closed = false
+              while (!closed) {
+                if (p >= path.length) fail(s"unterminated quoted key: $path")
+                path.charAt(p) match {
+                  case '"' => closed = true; p += 1
+                  case '\\' =>
+                    if (p + 1 >= path.length) fail(s"bad escape: $path")
+                    sb.append(path.charAt(p + 1)); p += 2
+                  case c => sb.append(c); p += 1
+                }
+              }
+              legs += Member(sb.toString)
+            } else {
+              val start = p
+              while (p < path.length && path.charAt(p) != '.' &&
+                path.charAt(p) != '[') p += 1
+              if (p == start) fail(s"empty member in path: $path")
+              legs += Member(path.substring(start, p))
+            }
+          case '[' =>
+            p += 1
+            val start = p
+            while (p < path.length && path.charAt(p) != ']') p += 1
+            if (p >= path.length || p == start)
+              fail(s"bad array index in path: $path")
+            val digits = path.substring(start, p)
+            if (!digits.forall(_.isDigit))
+              fail(s"non-numeric array index in path: $path")
+            legs += Index(digits.toInt)
+            p += 1
+          case c => fail(s"unexpected '$c' in path: $path")
+        }
+      }
+      legs.result()
+    }
+
+    /** Insert keeping MySQL object key order (length, then bytes) —
+      * the order [[render]] emits and the server stores. */
+    private def insertSorted(entries: Seq[(String, JValue)], k: String,
+                             v: JValue): Seq[(String, JValue)] = {
+      def keyLt(a: String, b: String): Boolean = {
+        val al = a.getBytes(UTF_8).length; val bl = b.getBytes(UTF_8).length
+        al < bl || (al == bl && a < b)
+      }
+      val at = entries.indexWhere { case (ek, _) => keyLt(k, ek) }
+      if (at < 0) entries :+ (k -> v)
+      else entries.patch(at, Seq(k -> v), 0)
+    }
+
+    /** Apply one diff. Semantics follow the server functions the diffs
+      * serialize: REPLACE requires the target to exist; INSERT on an
+      * object is a no-op when the key exists (JSON_INSERT), on an array
+      * inserts at the index clamped to the end (JSON_ARRAY_INSERT);
+      * REMOVE of a missing target is a no-op. */
+    def applyDiff(doc: JValue, op: Int, legs: Seq[Leg],
+                  value: Option[JValue]): JValue = legs match {
+      case Seq() =>
+        if (op == DiffReplace)
+          value.getOrElse(fail("REPLACE diff without a value"))
+        else fail(s"diff op $op cannot target the document root")
+      case _ =>
+        val leg = legs.head; val rest = legs.tail
+        (doc, leg) match {
+          case (JObject(entries), Member(k)) =>
+            val idx = entries.indexWhere(_._1 == k)
+            if (rest.isEmpty) op match {
+              case DiffReplace =>
+                if (idx < 0) fail(s"REPLACE of missing member $k")
+                JObject(entries.updated(idx,
+                  k -> value.getOrElse(fail("REPLACE without value"))))
+              case DiffInsert =>
+                if (idx >= 0) doc
+                else JObject(insertSorted(entries, k,
+                  value.getOrElse(fail("INSERT without value"))))
+              case DiffRemove =>
+                if (idx < 0) doc else JObject(entries.patch(idx, Nil, 1))
+              case other => fail(s"unknown diff operation $other")
+            } else {
+              if (idx < 0) fail(s"diff path descends into missing member $k")
+              JObject(entries.updated(idx,
+                k -> applyDiff(entries(idx)._2, op, rest, value)))
+            }
+          case (JArray(items), Index(i)) =>
+            if (rest.isEmpty) op match {
+              case DiffReplace =>
+                if (i >= items.size) fail(s"REPLACE of missing element $i")
+                JArray(items.updated(i,
+                  value.getOrElse(fail("REPLACE without value"))))
+              case DiffInsert =>
+                val at = math.min(i, items.size)
+                JArray(items.patch(at,
+                  Seq(value.getOrElse(fail("INSERT without value"))), 0))
+              case DiffRemove =>
+                if (i >= items.size) doc else JArray(items.patch(i, Nil, 1))
+              case other => fail(s"unknown diff operation $other")
+            } else {
+              if (i >= items.size)
+                fail(s"diff path descends into missing element $i")
+              JArray(items.updated(i, applyDiff(items(i), op, rest, value)))
+            }
+          case _ => fail("diff path shape does not match the document")
+        }
+    }
+
+    /** Decode a serialized diff sequence and materialize the
+      * after-image from `before`. Returns (after, diffCount). */
+    def applyDiffs(before: JValue, payload: Array[Byte]): (JValue, Int) = {
+      val r = new Reader(payload, 0, payload.length)
+      var doc = before
+      var n = 0
+      while (r.remaining > 0) {
+        val op = r.u8("diff operation")
+        val pathLen = r.lenenc("diff path length").toInt
+        val legs = parsePath(r.utf8(pathLen, "diff path"))
+        val value =
+          if (op == DiffRemove) None
+          else {
+            val vlen = r.lenenc("diff value length").toInt
+            Some(decode(r.bytes(vlen, "diff value")))
+          }
+        doc = applyDiff(doc, op, legs, value)
+        n += 1
+      }
+      (doc, n)
+    }
+
+    /** Serialize diffs (fixture side), the encoder twin of
+      * [[applyDiffs]]. */
+    def encodeDiffs(diffs: Seq[(Int, String, Option[JValue])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def lenenc(v: Long): Unit =
+        if (v < 0xfb) out.write(v.toInt)
+        else if (v <= 0xffff) {
+          out.write(0xfc); out.write(le(v, 2), 0, 2)
+        } else {
+          out.write(0xfd); out.write(le(v, 3), 0, 3)
+        }
+      diffs.foreach { case (op, path, value) =>
+        out.write(op)
+        val pb = path.getBytes(UTF_8)
+        lenenc(pb.length.toLong); out.write(pb, 0, pb.length)
+        value.foreach { v =>
+          val enc = encode(v)
+          lenenc(enc.length.toLong); out.write(enc, 0, enc.length)
+        }
+      }
+      out.toByteArray
+    }
+
     // ---------------------------------------------------- encoder
 
     /** Deterministic JSONB encoder (fixture side): object keys are
@@ -449,7 +655,7 @@ object BinlogBinary {
       val hdr = new Reader(bytes, pos, bytes.length)
       val ts = hdr.uintLE(4, "timestamp")
       val evType = hdr.u8("event type")
-      hdr.uintLE(4, "server id")
+      val serverId = hdr.uintLE(4, "server id")
       val evSize = hdr.uintLE(4, "event size").toInt
       val nextPos = hdr.uintLE(4, "log pos")
       hdr.uintLE(2, "flags")
@@ -517,8 +723,34 @@ object BinlogBinary {
           val tm = decodeTableMap(r)
           tableMaps(tm.tableId) = tm
           events += TableMapEv(ts, nextPos, tm)
-        case EvWriteRowsV2 | EvUpdateRowsV2 | EvDeleteRowsV2 =>
+        case EvWriteRowsV2 | EvUpdateRowsV2 | EvDeleteRowsV2 |
+             EvWriteRowsV1 | EvUpdateRowsV1 | EvDeleteRowsV1 |
+             EvPartialUpdateRows =>
           events += decodeRows(r, evType, ts, nextPos, tableMaps)
+        case EvMariaGtid =>
+          // MariaDB GTID post-header: u64 seqno, u32 domain, u8 flags2
+          // (conditional trailing fields ride flags2 we don't need)
+          val seqNo = r.uintLE(8, "mariadb gtid seqno")
+          val domain = r.uintLE(4, "mariadb gtid domain")
+          r.u8("mariadb gtid flags2")
+          events += MariaGtid(ts, nextPos, domain, serverId, seqNo)
+        case EvMariaGtidList =>
+          val header = r.uintLE(4, "gtid list count")
+          val count = (header & 0x0fffffffL).toInt // top 4 bits are flags
+          val gtids = (0 until count).map { _ =>
+            val domain = r.uintLE(4, "gtid list domain")
+            val server = r.uintLE(4, "gtid list server")
+            val seq = r.uintLE(8, "gtid list seqno")
+            (domain, server, seq)
+          }
+          events += MariaGtidList(ts, nextPos, gtids)
+        case EvMariaAnnotateRows =>
+          events += MariaAnnotate(ts, nextPos,
+            r.utf8(r.remaining, "annotate text"))
+        case EvMariaBinlogCheckpoint =>
+          val len = r.uintLE(4, "checkpoint name length").toInt
+          events += MariaCheckpoint(ts, nextPos,
+            r.utf8(len, "checkpoint name"))
         case other =>
           fail(s"unsupported binlog event type $other at offset $pos")
       }
@@ -618,51 +850,108 @@ object BinlogBinary {
       maps: scala.collection.Map[Long, TableMapInfo]): Rows = {
     val tableId = r.uintLE(6, "rows table id")
     r.uintLE(2, "rows flags")
-    val extraLen = r.uintLE(2, "extra data length").toInt
-    if (extraLen < 2) fail("rows extra-data length < 2")
-    r.skip(extraLen - 2, "extra data")
+    // v1 events (the MariaDB dialect) have no extra-data field
+    val isV1 = evType == EvWriteRowsV1 || evType == EvUpdateRowsV1 ||
+      evType == EvDeleteRowsV1
+    if (!isV1) {
+      val extraLen = r.uintLE(2, "extra data length").toInt
+      if (extraLen < 2) fail("rows extra-data length < 2")
+      r.skip(extraLen - 2, "extra data")
+    }
     val map = maps.getOrElse(tableId,
       fail(s"ROWS event references unmapped table id $tableId"))
     val n = r.lenenc("rows column count").toInt
     if (n != map.cols.size)
       fail(s"rows column count $n != table map ${map.cols.size}")
-    val isUpdate = evType == EvUpdateRowsV2
+    val isPartial = evType == EvPartialUpdateRows
+    val isUpdate = evType == EvUpdateRowsV2 || evType == EvUpdateRowsV1 ||
+      isPartial
     val present1 = r.bytes((n + 7) / 8, "columns-present bitmap")
     val present2 =
       if (isUpdate) r.bytes((n + 7) / 8, "after-image bitmap") else present1
+    // partial_bits carries one bit per JSON column PRESENT in the
+    // after image (consumed null or not; a diff against a NULL before
+    // is invalid anyway)
+    val nJsonAfter = map.cols.zipWithIndex.count { case (c, i) =>
+      c.tpe == JSON && bitGet(present2, i) }
     val rows = Seq.newBuilder[(Option[RowImage], Option[RowImage])]
     while (r.remaining > 0) {
-      val img1 = decodeImage(r, map, present1)
+      val jsonCap =
+        if (isPartial)
+          scala.collection.mutable.Map.empty[Int, JsonBinary.JValue]
+        else null
+      val img1 = decodeImage(r, map, present1, jsonCapture = jsonCap)
       if (isUpdate) {
-        val img2 = decodeImage(r, map, present2)
+        val partialBits =
+          if (isPartial) {
+            val vopt = r.lenenc("value options")
+            if ((vopt & 1L) != 0)
+              r.bytes((nJsonAfter + 7) / 8, "partial bits")
+            else new Array[Byte]((nJsonAfter + 7) / 8) // full after-image
+          } else null
+        val img2 = decodeImage(r, map, present2,
+          partialBits = partialBits, jsonBefore = jsonCap)
         rows += ((Some(img1), Some(img2)))
-      } else if (evType == EvWriteRowsV2) rows += ((None, Some(img1)))
+      } else if (evType == EvWriteRowsV2 || evType == EvWriteRowsV1)
+        rows += ((None, Some(img1)))
       else rows += ((Some(img1), None))
     }
-    val kind = evType match {
-      case EvWriteRowsV2 => 'w'
-      case EvUpdateRowsV2 => 'u'
-      case _ => 'd'
-    }
+    val kind =
+      if (evType == EvWriteRowsV2 || evType == EvWriteRowsV1) 'w'
+      else if (isUpdate) 'u'
+      else 'd'
     Rows(ts, nextPos, kind, map, rows.result())
   }
 
   private def bitGet(bitmap: Array[Byte], i: Int): Boolean =
     (bitmap(i / 8) & (1 << (i % 8))) != 0
 
+  /** Decode one row image. `jsonCapture` (non-null on the BEFORE image
+    * of a partial update) collects decoded JSON trees by column index;
+    * `partialBits`/`jsonBefore` (non-null on the AFTER image) mark
+    * which present JSON columns carry diff sequences to materialize
+    * against the captured before-image documents. */
   private def decodeImage(r: Reader, map: TableMapInfo,
-                          present: Array[Byte]): RowImage = {
+      present: Array[Byte],
+      jsonCapture: scala.collection.mutable.Map[Int, JsonBinary.JValue] = null,
+      partialBits: Array[Byte] = null,
+      jsonBefore: scala.collection.Map[Int, JsonBinary.JValue] = null)
+      : RowImage = {
     val presentCount = map.cols.indices.count(bitGet(present, _))
     val nullBitmap = r.bytes((presentCount + 7) / 8, "row null bitmap")
     var nullIdx = 0
+    var jsonIdx = 0
     map.cols.zipWithIndex.map { case (col, i) =>
       if (!bitGet(present, i)) None // binlog_row_image=MINIMAL omission
       else {
         val isNull = bitGet(nullBitmap, nullIdx)
         nullIdx += 1
+        if (col.tpe == JSON) {
+          val isPartial =
+            partialBits != null && bitGet(partialBits, jsonIdx)
+          jsonIdx += 1
+          if (isNull) None
+          else {
+            val len = r.uintLE(col.lengthSize, "json length").toInt
+            if (len == 0) None // NULL-valued JSON (packet.py:347-350)
+            else if (isPartial) {
+              val before = jsonBefore.getOrElse(i,
+                fail(s"partial JSON diff on column $i without a " +
+                  "before-image document"))
+              val (after, _) =
+                JsonBinary.applyDiffs(before, r.bytes(len, "json diffs"))
+              Some(JsonBinary.render(after))
+            } else {
+              val v = JsonBinary.decode(r.bytes(len, "json value"))
+              if (jsonCapture != null) jsonCapture(i) = v
+              Some(JsonBinary.render(v))
+            }
+          }
+        }
         // Option(…): zero dates decode to null (the X11 semantic), so a
         // stored non-NULL can still surface as SQL NULL
-        if (isNull) None else Option(decodeValue(r, col))
+        else if (isNull) None
+        else Option(decodeValue(r, col))
       }
     }
   }
@@ -769,10 +1058,8 @@ object BinlogBinary {
       r.uintLE(col.packSize, "enum").toString
     case SET =>
       r.uintLE(col.packSize, "set").toString
-    case JSON =>
-      val len = r.uintLE(col.lengthSize, "json length").toInt
-      if (len == 0) null // NULL-valued JSON (packet.py:347-350)
-      else JsonBinary.render(JsonBinary.decode(r.bytes(len, "json value")))
+    // JSON is handled in decodeImage (partial-diff materialization
+    // needs the before-image tree, which scalar decode can't see)
     case other => fail(s"unsupported column type $other")
   }
 

@@ -171,17 +171,23 @@ object BinlogFixture {
 
   // ----------------------------------------------------- event frames
 
-  /** v4 header + body + CRC32, advancing `pos`. */
+  /** v4 header + body [+ CRC32], advancing `pos`. `crc = false` emits
+    * the binlog_checksum=NONE framing (the MariaDB fixture dialect);
+    * `serverId` rides the header (MariaDB GTIDs render it). */
   private[sources] def event(ts: Long, evType: Int, body: Array[Byte],
-                    pos: Long): (Array[Byte], Long) = {
-    val size = 19 + body.length + 4
+                    pos: Long, crc: Boolean = true,
+                    serverId: Long = 1L): (Array[Byte], Long) = {
+    val size = 19 + body.length + (if (crc) 4 else 0)
     val nextPos = pos + size
     val w = new W
-    w.le(ts, 4).u8(evType).le(1L, 4).le(size.toLong, 4)
+    w.le(ts, 4).u8(evType).le(serverId, 4).le(size.toLong, 4)
       .le(nextPos, 4).le(0L, 2).bytes(body)
     val head = w.result()
-    val crc = new java.util.zip.CRC32(); crc.update(head)
-    (head ++ le(crc.getValue, 4), nextPos)
+    if (!crc) (head, nextPos)
+    else {
+      val c = new java.util.zip.CRC32(); c.update(head)
+      (head ++ le(c.getValue, 4), nextPos)
+    }
   }
 
   /** FDE is special: its own CRC and the checksum-algorithm byte are
@@ -215,26 +221,27 @@ object BinlogFixture {
     event(ts, EvGtid, body.result(), pos)
   }
 
-  private[sources] def queryEvent(ts: Long, db: String, sql: String, pos: Long)
-      : (Array[Byte], Long) = {
+  private[sources] def queryEvent(ts: Long, db: String, sql: String, pos: Long,
+      crc: Boolean = true): (Array[Byte], Long) = {
     val body = new W
     body.le(7L, 4).le(0L, 4) // thread id, exec time
     val dbBytes = db.getBytes(UTF_8)
     body.u8(dbBytes.length).le(0L, 2).le(0L, 2) // error code, status len
     body.bytes(dbBytes).u8(0).str(sql)
-    event(ts, EvQuery, body.result(), pos)
+    event(ts, EvQuery, body.result(), pos, crc)
   }
 
-  private[sources] def xidEvent(ts: Long, xid: Long, pos: Long)
-      : (Array[Byte], Long) = event(ts, EvXid, le(xid, 8), pos)
+  private[sources] def xidEvent(ts: Long, xid: Long, pos: Long,
+      crc: Boolean = true): (Array[Byte], Long) =
+    event(ts, EvXid, le(xid, 8), pos, crc)
 
-  private[sources] def rotateEvent(ts: Long, nextFile: String, pos: Long)
-      : (Array[Byte], Long) =
-    event(ts, EvRotate, le(4L, 8) ++ nextFile.getBytes(UTF_8), pos)
+  private[sources] def rotateEvent(ts: Long, nextFile: String, pos: Long,
+      crc: Boolean = true): (Array[Byte], Long) =
+    event(ts, EvRotate, le(4L, 8) ++ nextFile.getBytes(UTF_8), pos, crc)
 
   private[sources] def tableMapEvent(ts: Long, tableId: Long, db: String,
-      table: String, cols: IndexedSeq[Col], pos: Long)
-      : (Array[Byte], Long) = {
+      table: String, cols: IndexedSeq[Col], pos: Long,
+      crc: Boolean = true): (Array[Byte], Long) = {
     val w = new W
     w.le(tableId, 6).le(1L, 2)
     val dbB = db.getBytes(UTF_8); val tbB = table.getBytes(UTF_8)
@@ -266,7 +273,7 @@ object BinlogFixture {
     }
     val nameBytes = names.result()
     w.u8(4).lenenc(nameBytes.length.toLong).bytes(nameBytes)
-    event(ts, EvTableMap, w.result(), pos)
+    event(ts, EvTableMap, w.result(), pos, crc)
   }
 
   /** images: per row, the per-column wire values (None = NULL). For
@@ -279,19 +286,24 @@ object BinlogFixture {
   private[sources] def rowsEvent(ts: Long, evType: Int, tableId: Long,
       cols: IndexedSeq[Col], images: Seq[IndexedSeq[Option[Array[Byte]]]],
       pos: Long,
-      presentMask: IndexedSeq[Boolean] = null): (Array[Byte], Long) = {
+      presentMask: IndexedSeq[Boolean] = null,
+      crc: Boolean = true): (Array[Byte], Long) = {
     val mask =
       if (presentMask == null) IndexedSeq.fill(cols.size)(true)
       else presentMask
     require(mask.size == cols.size)
+    val isV1 = evType == EvWriteRowsV1 || evType == EvUpdateRowsV1 ||
+      evType == EvDeleteRowsV1
     val w = new W
-    w.le(tableId, 6).le(1L, 2).le(2L, 2) // flags, extra-data length (v2)
+    w.le(tableId, 6).le(1L, 2) // flags
+    if (!isV1) w.le(2L, 2)     // extra-data length (v2 framing only)
     w.lenenc(cols.size.toLong)
     val present = Array.fill[Byte]((cols.size + 7) / 8)(0)
     cols.indices.foreach(i => if (mask(i))
       present(i / 8) = (present(i / 8) | (1 << (i % 8))).toByte)
     w.bytes(present)
-    if (evType == EvUpdateRowsV2) w.bytes(present) // after-image bitmap
+    if (evType == EvUpdateRowsV2 || evType == EvUpdateRowsV1)
+      w.bytes(present) // after-image bitmap
     val presentIdx = cols.indices.filter(mask)
     images.foreach { img =>
       require(img.size == presentIdx.size,
@@ -304,7 +316,7 @@ object BinlogFixture {
       w.bytes(nullBitmap)
       img.foreach(_.foreach(w.bytes))
     }
-    event(ts, evType, w.result(), pos)
+    event(ts, evType, w.result(), pos, crc)
   }
 
   // -------------------------------------------------------- gate file
@@ -472,6 +484,262 @@ object BinlogFixture {
     emit(rotateEvent(ts, nextFile, _))
     out.toByteArray
   }
+
+  // ------------------------------------------- MariaDB dialect segment
+
+  val MariaServerVersion = "10.11.6-MariaDB-log"
+
+  /** MariaDB FDE: same v4 grammar with a MariaDB server-version string,
+    * a post-header length table long enough to describe the MariaDB
+    * control events (160-163), checksum algorithm NONE — and, like a
+    * checksum-aware server, the FDE itself still carries the alg byte
+    * at end-5 (readers sniff it there; with alg=0 the 4 trailing bytes
+    * are unverified padding and every FOLLOWING event is CRC-less). */
+  private[sources] def mariaFdeEvent(ts: Long, pos: Long)
+      : (Array[Byte], Long) = {
+    val body = new W
+    body.le(4L, 2)
+    val ver = MariaServerVersion.getBytes(UTF_8)
+    body.bytes(java.util.Arrays.copyOf(ver, 50))
+    body.le(ts, 4)
+    body.u8(19)
+    val lens = new Array[Byte](EvMariaGtidList) // types 1..163
+    lens(EvQuery - 1) = 13; lens(EvRotate - 1) = 8
+    lens(EvFormatDescription - 1) = (2 + 50 + 4 + 1 + lens.length).toByte
+    lens(EvXid - 1) = 0; lens(EvTableMap - 1) = 8
+    lens(EvWriteRowsV1 - 1) = 8; lens(EvUpdateRowsV1 - 1) = 8
+    lens(EvDeleteRowsV1 - 1) = 8
+    lens(EvMariaAnnotateRows - 1) = 0; lens(EvMariaBinlogCheckpoint - 1) = 4
+    lens(EvMariaGtid - 1) = 13; lens(EvMariaGtidList - 1) = 4
+    body.bytes(lens)
+    body.u8(0)      // checksum algorithm: NONE
+    body.le(0L, 4)  // alg-byte offset convention keeps these 4 bytes
+    event(ts, EvFormatDescription, body.result(), pos, crc = false)
+  }
+
+  private[sources] def mariaGtidEvent(ts: Long, domain: Long, seqNo: Long,
+      serverId: Long, pos: Long): (Array[Byte], Long) = {
+    val body = new W
+    body.le(seqNo, 8).le(domain, 4).u8(0) // flags2: no optional fields
+    event(ts, EvMariaGtid, body.result(), pos, crc = false, serverId)
+  }
+
+  private[sources] def mariaGtidListEvent(ts: Long,
+      gtids: Seq[(Long, Long, Long)], pos: Long): (Array[Byte], Long) = {
+    val body = new W
+    body.le(gtids.size.toLong, 4) // top 4 bits (flags) zero
+    gtids.foreach { case (domain, server, seq) =>
+      body.le(domain, 4).le(server, 4).le(seq, 8)
+    }
+    event(ts, EvMariaGtidList, body.result(), pos, crc = false)
+  }
+
+  private[sources] def mariaCheckpointEvent(ts: Long, file: String,
+      pos: Long): (Array[Byte], Long) = {
+    val nb = file.getBytes(UTF_8)
+    event(ts, EvMariaBinlogCheckpoint, le(nb.length.toLong, 4) ++ nb,
+      pos, crc = false)
+  }
+
+  private[sources] def mariaAnnotateEvent(ts: Long, sql: String, pos: Long)
+      : (Array[Byte], Long) =
+    event(ts, EvMariaAnnotateRows, sql.getBytes(UTF_8), pos, crc = false)
+
+  /** One MariaDB-dialect binlog segment over the SAME customer change
+    * pattern as [[custSegment]] (inserts all, update seg for pk%5==0,
+    * delete pk%11==0), so the `cdc_binlog_mariadb` gate verifies the
+    * dialect converges on the identical replica: v1 rows events (no
+    * extra-data field), binlog_checksum=NONE (no per-event CRC), and
+    * the MariaDB control chatter a real 10.x log carries — GTID_LIST +
+    * BINLOG_CHECKPOINT after the FDE, then per transaction the MariaDB
+    * GTID (162) and ANNOTATE_ROWS ahead of each rows event
+    * (reference dialect handling: binlogstream.py:186, 396-397,
+    * constants/BINLOG.py:47). TABLE_MAP still carries the FULL
+    * metadata TLVs (MariaDB 10.5+ binlog_row_metadata=FULL — without
+    * COLUMN_NAME a file-only consumer cannot key rows). */
+  def mariaSegment(rows: Seq[(Long, String, String)], withDdl: Boolean,
+                   nextFile: String): Array[Byte] = {
+    val ts = 1700000100L
+    val tableId = 9L
+    val serverId = 3L
+    val domain = 0L
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xfe.toByte, 'b', 'i', 'n'), 0, 4)
+    var pos = 4L
+    def emit(f: Long => (Array[Byte], Long)): Unit = {
+      val (bytes, next) = f(pos); out.write(bytes, 0, bytes.length)
+      pos = next
+    }
+    emit(mariaFdeEvent(ts, _))
+    emit(mariaGtidListEvent(ts, Seq((domain, serverId, 0L)), _))
+    emit(mariaCheckpointEvent(ts, "maria-bin.000001", _))
+    if (withDdl)
+      emit(queryEvent(ts, "d",
+        "CREATE TABLE custs (pk bigint NOT NULL, name varchar(40), " +
+          "seg varchar(12), PRIMARY KEY(pk))", _, crc = false))
+    var txn = 1L
+    def transaction(annotate: String)(body: => Unit): Unit = {
+      emit(mariaGtidEvent(ts, domain, txn, serverId, _)); txn += 1
+      emit(mariaAnnotateEvent(ts, annotate, _))
+      emit(tableMapEvent(ts, tableId, "d", "custs", custCols, _,
+        crc = false))
+      body
+      emit(xidEvent(ts, txn, _, crc = false))
+    }
+    rows.grouped(100).foreach { chunk =>
+      transaction("INSERT INTO custs VALUES (...)") {
+        emit(rowsEvent(ts, EvWriteRowsV1, tableId, custCols,
+          chunk.map { case (pk, name, seg) => custImg(pk, name, seg) }, _,
+          crc = false))
+      }
+    }
+    val updates = rows.filter(_._1 % 5 == 0)
+    if (updates.nonEmpty)
+      transaction("UPDATE custs SET seg = 'UPDATED' WHERE pk % 5 = 0") {
+        emit(rowsEvent(ts, EvUpdateRowsV1, tableId, custCols,
+          updates.flatMap { case (pk, name, seg) =>
+            Seq(custImg(pk, name, seg), custImg(pk, name, "UPDATED")) }, _,
+          crc = false))
+      }
+    val deletes = rows.filter(_._1 % 11 == 0)
+    if (deletes.nonEmpty)
+      transaction("DELETE FROM custs WHERE pk % 11 = 0") {
+        emit(rowsEvent(ts, EvDeleteRowsV1, tableId, custCols,
+          deletes.map { case (pk, name, seg) =>
+            custImg(pk, name, if (pk % 5 == 0) "UPDATED" else seg) }, _,
+          crc = false))
+      }
+    emit(rotateEvent(ts, nextFile, _, crc = false))
+    out.toByteArray
+  }
+
+  // ------------------------------------------ partial-JSON gate file
+
+  /** The before-image JSON document of the partial-update gate:
+    * single-character keys so MySQL key order (length, then bytes) is
+    * plain lexicographic and the oracle can build the text by concat. */
+  private def partialBefore(s: Long): JsonBinary.JValue = {
+    import JsonBinary._
+    JObject(Seq(
+      "a" -> JLong(s % 1000 - 500),
+      "b" -> JString(s"t${s % 7}"),
+      "c" -> JArray(Seq(JLong(s % 5), JLong(s % 11), JLong(s % 17))),
+      "d" -> JObject(Seq("x" -> JLong(s % 13),
+        "y" -> JString(s"u${s % 3}")))))
+  }
+
+  /** The gate's diff sequence: REPLACE on a member / nested member /
+    * array element, INSERT of a new member and an array append, REMOVE
+    * of a member (top-level every 3rd id, nested every 4th) — every
+    * path shape and operation of the diff grammar. */
+  private def partialDiffs(s: Long)
+      : Seq[(Int, String, Option[JsonBinary.JValue])] = {
+    import JsonBinary._
+    Seq(
+      (DiffReplace, "$.a", Some(JLong(s % 100 - 50))),
+      if (s % 3 == 0) (DiffRemove, "$.b", None)
+      else (DiffReplace, "$.b", Some(JString(s"r${s % 19}"))),
+      (DiffReplace, "$.c[1]", Some(JLong(s % 9))),
+      (DiffInsert, "$.c[3]", Some(JLong(s % 23))),
+      (DiffInsert, "$.e", Some(JString(s"n${s % 7}"))),
+      if (s % 4 == 0) (DiffRemove, "$.d.y", None)
+      else (DiffReplace, "$.d.y", Some(JString(s"w${s % 5}"))))
+  }
+
+  private val partialCols: IndexedSeq[Col] = IndexedSeq(
+    Col("pk", LONGLONG, Array.empty, nullable = false, numeric = true,
+      unsigned = false, _ => None),
+    Col("js", JSON, Array(4.toByte), nullable = true, numeric = false,
+      unsigned = false, _ => None))
+
+  /** PARTIAL_UPDATE_ROWS_EVENT (39): v2 framing, and each AFTER image
+    * is prefixed by lenenc value_options (bit 0 = PARTIAL_JSON) and
+    * partial_bits (one bit per JSON column present in the after
+    * image); a partial JSON column's value is a length-prefixed DIFF
+    * SEQUENCE instead of a JSONB document. */
+  private[sources] def partialUpdateEvent(ts: Long, tableId: Long,
+      cols: IndexedSeq[Col],
+      rows: Seq[(IndexedSeq[Option[Array[Byte]]],
+                 IndexedSeq[Option[Array[Byte]]], Array[Byte])],
+      pos: Long): (Array[Byte], Long) = {
+    val w = new W
+    w.le(tableId, 6).le(1L, 2).le(2L, 2)
+    w.lenenc(cols.size.toLong)
+    val present = Array.fill[Byte]((cols.size + 7) / 8)(0)
+    cols.indices.foreach(i =>
+      present(i / 8) = (present(i / 8) | (1 << (i % 8))).toByte)
+    w.bytes(present); w.bytes(present)
+    val nJson = cols.count(_.typeByte == JSON)
+    rows.foreach { case (before, after, partialBits) =>
+      require(partialBits.length == (nJson + 7) / 8)
+      def image(img: IndexedSeq[Option[Array[Byte]]]): Unit = {
+        val nullBitmap = new Array[Byte]((cols.size + 7) / 8)
+        img.zipWithIndex.foreach { case (v, i) =>
+          if (v.isEmpty)
+            nullBitmap(i / 8) = (nullBitmap(i / 8) | (1 << (i % 8))).toByte
+        }
+        w.bytes(nullBitmap)
+        img.foreach(_.foreach(w.bytes))
+      }
+      image(before)
+      w.lenenc(1L) // value_options: PARTIAL_JSON
+      w.bytes(partialBits)
+      image(after)
+    }
+    event(ts, EvPartialUpdateRows, w.result(), pos)
+  }
+
+  /** One gate file for document `id`: WRITE of (pk, full JSONB doc),
+    * then a PARTIAL_UPDATE whose after image carries the diff sequence
+    * of [[partialDiffs]]. MySQL framing (CRC32, v2, GTID/BEGIN/XID). */
+  def partialGateFile(id: Long): Array[Byte] = {
+    import JsonBinary._
+    val ts = 1700000000L + id
+    val tableId = 200 + (id % 50)
+    val doc = partialBefore(id)
+    val docBytes = encode(doc)
+    val fullJs = le(docBytes.length.toLong, 4) ++ docBytes
+    val diffBytes = encodeDiffs(partialDiffs(id))
+    val diffJs = le(diffBytes.length.toLong, 4) ++ diffBytes
+    def img(js: Array[Byte]) =
+      IndexedSeq[Option[Array[Byte]]](Some(le(id, 8)), Some(js))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xfe.toByte, 'b', 'i', 'n'), 0, 4)
+    var pos = 4L
+    def emit(f: Long => (Array[Byte], Long)): Unit = {
+      val (bytes, next) = f(pos); out.write(bytes, 0, bytes.length)
+      pos = next
+    }
+    emit(fdeEvent(ts, _))
+    emit(gtidEvent(ts, id, _))
+    emit(queryEvent(ts, "d", "BEGIN", _))
+    emit(tableMapEvent(ts, tableId, "d", "jdoc", partialCols, _))
+    emit(rowsEvent(ts, EvWriteRowsV2, tableId, partialCols,
+      Seq(img(fullJs)), _))
+    emit(partialUpdateEvent(ts, tableId, partialCols,
+      Seq((img(fullJs), img(diffJs), Array(1.toByte))), _))
+    emit(xidEvent(ts, id + 3, _))
+    emit(rotateEvent(ts, "graft-bin.000002", _))
+    out.toByteArray
+  }
+
+  /** Decoded gate row for `cdc_binlog_partial`: the WRITE image is the
+    * before document, the partial UPDATE's materialized after image is
+    * the after document. */
+  final case class PartialGateRow(doc_id: Long, pk: Long, n_diffs: Int,
+      before_js: String, after_js: String)
+
+  def partialGateRowFor(id: Long): PartialGateRow = {
+    val events = BinlogBinary.decodeFile(partialGateFile(id))
+    val before = events.collectFirst {
+      case Rows(_, _, 'w', _, rs) => rs.head._2.get
+    }.getOrElse(sys.error(s"gate file $id: no write image"))
+    val after = events.collectFirst {
+      case Rows(_, _, 'u', _, rs) => rs.head._2.get
+    }.getOrElse(sys.error(s"gate file $id: no update image"))
+    PartialGateRow(id, after(0).get.toLong, partialDiffs(id).size,
+      before(1).get, after(1).get)
+  }
 }
 
 /** Tails a directory of rotated binlog segment files (`*.bin`, name
@@ -492,10 +760,17 @@ final class BinlogTail(dumpDir: String, producer: SpoolProducer,
   /** Process newly-rotated segments; returns events appended. */
   def tick(): Int = {
     val dir = new java.io.File(dumpDir)
+    // Segments order by their NUMERIC rotation suffix, not raw name:
+    // plain string order skips the b.999999 → b.1000000 rollover (and
+    // mis-sorts non-zero-padded logs), replaying or dropping segments
+    // at exactly the moment a long-lived server wraps its counter.
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".bin"))
-      .sortBy(_.getName)
-    val pending = files.filter(f => lastDone.forall(_ < f.getName))
+      .sortBy(f => BinlogTail.segmentOrder(f.getName))
+    val ord = implicitly[Ordering[(String, Long)]]
+    val pending = files.filter(f => lastDone.forall(done =>
+      ord.lt(BinlogTail.segmentOrder(done),
+        BinlogTail.segmentOrder(f.getName))))
     val ready =
       if (consumeActive) pending
       else pending.dropRight(1) // newest may still be mid-append
@@ -508,5 +783,21 @@ final class BinlogTail(dumpDir: String, producer: SpoolProducer,
       lastDone = Some(f.getName)
     }
     appended
+  }
+}
+
+object BinlogTail {
+  /** Sort key for rotated segment names: (base name, numeric suffix) —
+    * MySQL/MariaDB name segments `<base>.<NNNNNN>` where the counter
+    * can outgrow its zero-padding, so `b.999999` must precede
+    * `b.1000000`. Names with no numeric suffix order by raw name with
+    * suffix -1 (before any numbered sibling of the same base). */
+  private[sources] def segmentOrder(name: String): (String, Long) = {
+    val stem = if (name.endsWith(".bin")) name.dropRight(4) else name
+    val dot = stem.lastIndexOf('.')
+    val suffix = if (dot < 0) "" else stem.substring(dot + 1)
+    if (suffix.nonEmpty && suffix.forall(_.isDigit) && suffix.length <= 18)
+      (stem.substring(0, dot), suffix.toLong)
+    else (stem, -1L)
   }
 }

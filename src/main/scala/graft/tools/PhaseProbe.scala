@@ -1,19 +1,27 @@
 package graft.tools
 
-/** Isolated fresh-JVM profile of the two phase headlines BASELINE.md
+/** Isolated fresh-JVM profile of the THREE phase headlines BASELINE.md
   * names (the reference's own measurement protocol,
   * tests/test_performance.py): `bulk_rows_per_sec` (initial
-  * replication through the sharded snapshot path) and
+  * replication through the sharded snapshot path),
   * `final_rows_per_sec` (the FINAL dedup-on-read over the loaded
   * table) — the exact [[graft.Bench.bulkLoad]] code the full bench
-  * times, with NOTHING in front of it.
+  * times — and `events_per_sec` (realtime CDC through
+  * `CdcPipeline.processBatch`), with NOTHING in front of them.
   *
-  * Why it exists (VERDICT r10 task 1): in the full bench these phases
-  * run AFTER 183 queries × 2 passes in the same JVM, so a headline
-  * dip can be session drift (heap shape, page cache, shuffle-dir
-  * fill) rather than code. The r8 events/s question was settled by
-  * exactly this method — a fresh-JVM isolated run is the code's
-  * number; the in-sequence number carries the session tax.
+  * Why it exists (VERDICT r10 task 1; r12 task 1 added events): in
+  * the full bench these phases run AFTER ~200 queries × 2 passes in
+  * the same JVM, so a headline dip can be session drift (heap shape,
+  * page cache, shuffle-dir fill) rather than code. The r8 events/s
+  * question was settled by exactly this method — a fresh-JVM isolated
+  * run is the code's number; the in-sequence number carries the
+  * session tax. r12's official artifact published 121 681 events/s
+  * while the SAME HEAD measured 279 592 the same day — the events
+  * headline was still the in-sequence sample. Here the event fixture
+  * is built ONCE, outside the timed loop (official runs also showed
+  * `fixture_sec` riding the weather, 3.19 vs 0.35 steady), and each
+  * timed run replays the full durable pipeline into a fresh
+  * warehouse.
   *
   * Usage: runMain graft.tools.PhaseProbe <sfDir> <outJson> [runs]
   */
@@ -48,6 +56,29 @@ object PhaseProbe {
     }
     val loadTs = timed.map(_._2)
     val finalTs = timed.map(_._3)
+
+    // e2e/events phase: fixture built ONCE (untimed), then `runs` timed
+    // replays of the full durable pipeline, each into a fresh warehouse
+    // (a replay into a warm table would measure merge-into-existing, a
+    // different phase than the realtime-loop headline).
+    val (batch, nEvents, fixtureSec, _) =
+      graft.queries.CdcQueries.e2eFixture(spark, sfDir)
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+    }
+    def replayOnce(): Double = {
+      val wh = java.nio.file.Files.createTempDirectory("graft-probe-e2e")
+      try {
+        val (_, sec, _) =
+          graft.queries.CdcQueries.e2eReplay(spark, batch, wh.toString)
+        sec
+      } finally rm(wh.toFile)
+    }
+    replayOnce() // untimed warmup, same contract as bulk
+    val gcE0 = gcMs()
+    val e2eTs = (0 until runs).map(_ => replayOnce())
+    val gcE2e = gcMs() - gcE0
+
     val json =
       s"""{"sf_dir":"$sfDir","rows":$rows,"runs":$runs,""" +
         s""""bulk_sec":[${loadTs.map(t => f"$t%.6f").mkString(",")}],""" +
@@ -56,6 +87,11 @@ object PhaseProbe {
         s""""final_med_sec":${f"${med(finalTs)}%.6f"},""" +
         s""""bulk_rows_per_sec":${math.round(rows / med(loadTs))},""" +
         s""""final_rows_per_sec":${math.round(rows / med(finalTs))},""" +
+        s""""events":$nEvents,"fixture_sec":${f"$fixtureSec%.6f"},""" +
+        s""""e2e_sec":[${e2eTs.map(t => f"$t%.6f").mkString(",")}],""" +
+        s""""e2e_med_sec":${f"${med(e2eTs)}%.6f"},""" +
+        s""""events_per_sec":${math.round(nEvents / med(e2eTs))},""" +
+        s""""gc_ms_e2e":$gcE2e,""" +
         s""""gc_ms_timed":$gc}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),

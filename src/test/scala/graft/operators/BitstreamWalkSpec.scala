@@ -155,6 +155,66 @@ class BitstreamWalkSpec extends AnyFunSuite {
     }
   }
 
+  test("mkv: CodecID before TrackType still classifies the codec") {
+    // EBML fixes no child order inside a TrackEntry: a muxer may emit
+    // CodecID first, and the walk must still file it as the VIDEO codec
+    import graft.operators.MediaCodec.Mkv
+    def vintSize(v: Long): Array[Byte] = {
+      var width = 1
+      while (width <= 8 && v >= (1L << (7 * width)) - 1) width += 1
+      Array.tabulate[Byte](width) { i =>
+        val shifted = v >>> (8 * (width - 1 - i))
+        (((if (i == 0) (0x100 >>> width) | shifted else shifted)) & 0xff).toByte
+      }
+    }
+    def idBytes(eid: Long): Array[Byte] = {
+      val width = if (eid <= 0xffL) 1 else if (eid <= 0xffffL) 2
+        else if (eid <= 0xffffffL) 3 else 4
+      Array.tabulate[Byte](width)(i =>
+        ((eid >>> (8 * (width - 1 - i))) & 0xff).toByte)
+    }
+    def el(eid: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(eid) ++ vintSize(body.length.toLong) ++ body
+    def uintBody(v: Long): Array[Byte] = {
+      var width = 1
+      while (width < 8 && (v >>> (8 * width)) != 0) width += 1
+      Array.tabulate[Byte](width)(i =>
+        ((v >>> (8 * (width - 1 - i))) & 0xff).toByte)
+    }
+    def floatBody(d: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      Array.tabulate[Byte](8)(i => ((bits >>> (8 * (7 - i))) & 0xff).toByte)
+    }
+    val ebml = el(Mkv.EBML, el(Mkv.DocType, "webm".getBytes("US-ASCII")))
+    val info = el(Mkv.Info,
+      el(Mkv.TimestampScale, uintBody(1000000L)) ++
+        el(Mkv.Duration, floatBody(2000.0)))
+    // CodecID FIRST, TrackType after — the order under test
+    val videoTrack = el(Mkv.TrackEntry,
+      el(Mkv.CodecID, "V_VP9".getBytes("US-ASCII")) ++
+        el(Mkv.TrackType, uintBody(1)) ++
+        el(Mkv.Video, el(Mkv.PixelWidth, uintBody(640)) ++
+          el(Mkv.PixelHeight, uintBody(360))))
+    val audioTrack = el(Mkv.TrackEntry,
+      el(Mkv.CodecID, "A_OPUS".getBytes("US-ASCII")) ++
+        el(Mkv.TrackType, uintBody(2)) ++
+        el(Mkv.Audio, el(Mkv.SamplingFrequency, floatBody(48000.0)) ++
+          el(Mkv.Channels, uintBody(2))))
+    val block = {
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0x81); body.write(0); body.write(0); body.write(0x80)
+      (0 until 10).foreach(j => body.write(0x20 + j))
+      el(Mkv.SimpleBlock, body.toByteArray)
+    }
+    val cluster = el(Mkv.Cluster, el(Mkv.Timestamp, uintBody(0)) ++ block)
+    val segment = el(Mkv.Segment,
+      info ++ el(Mkv.Tracks, videoTrack ++ audioTrack) ++ cluster)
+    val m = parseMkvMeta(1, ebml ++ segment).get
+    assert(m.vCodec === "V_VP9")  // not misfiled as the audio codec
+    assert(m.aCodec === "A_OPUS")
+    assert(m.width === 640 && m.channels === 2)
+  }
+
   test("mkv: truncation, unknown-size vints, missing tracks rejected") {
     val good = buildMkvPattern(5, 20)
     assert(parseMkvMeta(5, good.take(good.length / 2)).isEmpty)

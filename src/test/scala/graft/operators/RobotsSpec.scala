@@ -54,6 +54,43 @@ class RobotsSpec extends AnyFunSuite {
     assert(allowed(parse("# nothing here"), "any", "/x"))
   }
 
+  test("same-token groups merge; product-token identity, not prefix") {
+    // RFC 9309 §2.2.1: repeated blocks naming the same token are ONE
+    // group — the second * block's rules must not be dropped
+    val g = parse(
+      """User-agent: *
+        |Disallow: /a/
+        |
+        |User-agent: *
+        |Disallow: /b/
+        |""".stripMargin)
+    assert(!allowed(g, "anybot", "/a/x"))
+    assert(!allowed(g, "anybot", "/b/x")) // merged, not first-wins
+    // specific-token merge too
+    val s = parse(
+      """User-agent: graftbot
+        |Disallow: /one/
+        |
+        |User-agent: graftbot
+        |Allow: /one/ok
+        |""".stripMargin)
+    assert(!allowed(s, "graftbot/3.0", "/one/x"))
+    assert(allowed(s, "graftbot/3.0", "/one/ok-page"))
+    // token identity: graftbot2 is a DIFFERENT product token
+    val t = parse(
+      """User-agent: graftbot
+        |Disallow: /priv/
+        |
+        |User-agent: *
+        |Disallow: /star/
+        |""".stripMargin)
+    assert(allowed(t, "graftbot2/1.0", "/priv/x")) // not the graftbot group
+    assert(!allowed(t, "graftbot2/1.0", "/star/x")) // falls to *
+    // a robots token carrying a version still names the same product
+    val v = parse("User-agent: graftbot/1.2\nDisallow: /v/\n")
+    assert(!allowed(v, "graftbot/9.9", "/v/x"))
+  }
+
   test("fixture probes match the oracle's arithmetic") {
     (0L until 20L).foreach { id =>
       val g = parse(graft.queries.robotsText(id))

@@ -205,6 +205,106 @@ class BinlogBinarySpec extends SparkSpec {
     assert(!rows.exists(_.contains(""""pk":"3"""")))
   }
 
+  test("MariaDB dialect: v1 rows, no checksum, control events") {
+    val rows = Seq((1L, "n1", "s1"), (5L, "n5", "s5"), (11L, "n11", "s11"))
+    val events = BinlogBinary.decodeFile(BinlogFixture.mariaSegment(
+      rows, withDdl = true, nextFile = "maria-bin.000002.bin"))
+    // the FDE declares the MariaDB server and no checksums
+    val fde = events.collectFirst {
+      case f: BinlogBinary.FormatDescription => f }.get
+    assert(fde.serverVersion === BinlogFixture.MariaServerVersion)
+    assert(!fde.checksummed)
+    // control events decode: GTID_LIST, BINLOG_CHECKPOINT, per-txn
+    // GTID (domain-server-seqno) and ANNOTATE_ROWS
+    val gl = events.collectFirst {
+      case g: BinlogBinary.MariaGtidList => g }.get
+    assert(gl.gtids === Seq((0L, 3L, 0L)))
+    val cp = events.collectFirst {
+      case c: BinlogBinary.MariaCheckpoint => c }.get
+    assert(cp.file === "maria-bin.000001")
+    val gtids = events.collect { case g: BinlogBinary.MariaGtid => g }
+    assert(gtids.nonEmpty && gtids.head.text === "0-3-1")
+    val ann = events.collect { case a: BinlogBinary.MariaAnnotate => a }
+    assert(ann.exists(_.sql.startsWith("INSERT INTO custs")))
+    // the v1 rows events fold to the SAME source events as the v2
+    // MySQL segment over the same rows (dialects converge)
+    val mariaSrc = BinlogBinary.toSourceEvents(events)
+    val mysqlSrc = BinlogBinary.toSourceEvents(BinlogBinary.decodeFile(
+      BinlogFixture.custSegment(rows, withDdl = true,
+        nextFile = "b.000002.bin")))
+    assert(mariaSrc.map(e => (e.db, e.table, e.op, e.row, e.query)) ===
+      mysqlSrc.map(e => (e.db, e.table, e.op, e.row, e.query)))
+  }
+
+  test("JSON diff grammar: paths, semantics, key ordering") {
+    import BinlogBinary.JsonBinary._
+    assert(parsePath("$.a.b[2]") ===
+      Seq(Member("a"), Member("b"), Index(2)))
+    assert(parsePath("$.\"a b\"[0].c") ===
+      Seq(Member("a b"), Index(0), Member("c")))
+    val doc = JObject(Seq("a" -> JLong(1),
+      "c" -> JArray(Seq(JLong(1), JLong(2)))))
+    // INSERT of an existing member is a no-op (JSON_INSERT semantics)
+    assert(applyDiff(doc, DiffInsert, Seq(Member("a")),
+      Some(JLong(9))) === doc)
+    // INSERT of a new member lands in MySQL (length, bytes) key order
+    assert(render(applyDiff(doc, DiffInsert, Seq(Member("b")),
+      Some(JLong(7)))) === """{"a":1,"b":7,"c":[1,2]}""")
+    // array INSERT clamps to the end (JSON_ARRAY_INSERT)
+    assert(render(applyDiff(doc, DiffInsert, Seq(Member("c"), Index(99)),
+      Some(JLong(3)))) === """{"a":1,"c":[1,2,3]}""")
+    // REMOVE of a missing target is a no-op
+    assert(applyDiff(doc, DiffRemove, Seq(Member("zz")), None) === doc)
+    // REPLACE of a missing member fails loudly
+    intercept[IllegalArgumentException] {
+      applyDiff(doc, DiffReplace, Seq(Member("zz")), Some(JLong(0)))
+    }
+    // a longer key sorts AFTER all 1-byte keys regardless of bytes
+    assert(render(applyDiff(doc, DiffInsert, Seq(Member("aa")),
+      Some(JLong(5)))) === """{"a":1,"c":[1,2],"aa":5}""")
+  }
+
+  test("partial-JSON update materializes the after image") {
+    // id=7: 7%3=1 (b replaced), 7%4=3 (d.y replaced)
+    val r7 = BinlogFixture.partialGateRowFor(7)
+    assert(r7.before_js ===
+      """{"a":-493,"b":"t0","c":[2,7,7],"d":{"x":7,"y":"u1"}}""")
+    assert(r7.after_js ===
+      """{"a":-43,"b":"r7","c":[2,7,7,7],"d":{"x":7,"y":"w2"},"e":"n0"}""")
+    // id=12: 12%3=0 → $.b REMOVEd; 12%4=0 → $.d.y REMOVEd
+    val r12 = BinlogFixture.partialGateRowFor(12)
+    assert(r12.before_js ===
+      """{"a":-488,"b":"t5","c":[2,1,12],"d":{"x":12,"y":"u0"}}""")
+    assert(r12.after_js ===
+      """{"a":-38,"c":[2,3,12,12],"d":{"x":12},"e":"n5"}""")
+    assert(r12.n_diffs === 6 && r12.pk === 12L)
+  }
+
+  test("BinlogTail: counter rollover orders numerically, not lexically") {
+    // b.999999 → b.1000000 sorts lexically BACKWARD; the tailer must
+    // consume the rollover segment instead of skipping it as done
+    val dump = tmpDir("graft-binlog-roll")
+    val spool = tmpDir("graft-binlog-roll-spool")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dump, name), bytes)
+    put("b.999999.bin", BinlogFixture.custSegment(
+      Seq((1L, "n1", "s1")), withDdl = true, nextFile = "b.1000000.bin"))
+    put("b.1000000.bin", BinlogFixture.custSegment(
+      Seq((2L, "n2", "s2")), withDdl = false, nextFile = "b.1000001.bin"))
+    put("b.1000001.bin", BinlogFixture.custSegment(
+      Seq((3L, "n3", "s3")), withDdl = false, nextFile = "b.1000002.bin"))
+    val producer = new SpoolProducer(spool, graft.GraftConfig())
+    assert(new BinlogTail(dump, producer).tick() > 0)
+    // two rotated segments consumed IN NUMERIC ORDER; newest held back
+    assert(producer.sourcePos === Some("b.1000000.bin"))
+    val rows = EventSpool.readBatch(spark, spool)
+      .filter("op = 'ADD'").select("row").collect().map(_.getString(0))
+    assert(rows.count(_.contains(""""pk":"1"""")) === 1)
+    assert(rows.count(_.contains(""""pk":"2"""")) === 1)
+    assert(!rows.exists(_.contains(""""pk":"3"""")))
+  }
+
   test("binlog route and Debezium route converge on the same table") {
     import graft.streaming.CdcPipeline
     import graft.ddl.SchemaRegistry
