@@ -7174,6 +7174,488 @@ object MediaCodec {
     media.mapPartitions(_.flatMap { case (id, p) => parseWebpMeta(id, p) })
   }
 
+  // ------------------------------------------- VP8L lossless pixels
+
+  /** REAL WebP-lossless (VP8L) pixel decode — the entropy-coded layer
+    * behind what [[parseWebpMeta]] stops at. Implemented from the
+    * public "WebP Lossless Bitstream Specification": LSB-first bit
+    * reading, canonical prefix codes read MSB-of-code-first — both the
+    * code-length-coded form (3-bit code-length-code lengths in the
+    * fixed symbol order, repeat codes 16/17/18, the optional
+    * max_symbol short-circuit) and the 1/2-symbol "simple" form — the
+    * five-tree group (green+length+cache / red / blue / alpha /
+    * distance), LZ77 backward references with the shared prefix-coded
+    * value scheme and the 120-entry 2D distance neighborhood map, the
+    * color cache (0x1e35a7bd multiplicative hash), and the
+    * subtract-green transform. Out of the builders' profile (→ None):
+    * the predictor / cross-color / color-indexing transforms and the
+    * meta-prefix (entropy image) path — the fixture never emits them,
+    * and a file carrying them fails loudly instead of drifting. */
+  final case class WebplPixels(id: Long, width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double, topRowMean: Double)
+
+  private[operators] object Vp8l {
+    /** Code-length-code symbol order (spec §"Decoding the Code Lengths"). */
+    val CodeLengthOrder: Array[Int] =
+      Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+    /** Distance codes 1..120 map to 2D pixel-neighborhood offsets
+      * (dx, dy); plain distances continue above 120. Table from the
+      * spec's distance-mapping section (dist = dy·xsize + dx, min 1).
+      * The gate fixture pins plain codes; entries 0-1 are additionally
+      * spec-pinned in ScalaTest via hand-built streams. */
+    val DistanceMap: Array[(Int, Int)] = Array(
+      (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+      (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+      (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+      (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+      (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+      (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+      (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+      (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+      (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+      (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+      (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+      (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+      (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+      (-6, 6), (2, 8), (-2, 8), (8, 3), (-8, 3), (5, 7), (-5, 7), (7, 5),
+      (-7, 5), (8, 4), (3, 8), (-3, 8), (8, 5), (4, 8), (-4, 8), (8, 6),
+      (5, 8), (-5, 8))
+
+    /** The shared length/distance prefix-value scheme: code < 4 →
+      * value code+1; else extra = (code-2)>>1 bits follow the code. */
+    def prefixExtraBits(code: Int): Int = if (code < 4) 0 else (code - 2) >> 1
+    def prefixOffset(code: Int): Int =
+      if (code < 4) code + 1 else ((2 + (code & 1)) << prefixExtraBits(code)) + 1
+    /** Encoder side: value → (code, extraBits, extraValue). */
+    def prefixEncode(v: Int): (Int, Int, Int) = {
+      require(v >= 1)
+      val t = v - 1
+      if (t < 4) (t, 0, 0)
+      else {
+        val hb = 31 - Integer.numberOfLeadingZeros(t)
+        val eb = hb - 1
+        val second = (t >>> eb) & 1 // t ∈ [2·2^eb, 4·2^eb): selects 2 vs 3
+        val code = 2 * eb + second + 2
+        (code, eb, t - ((2 + second) << eb))
+      }
+    }
+
+    def cacheHash(argb: Int, cacheBits: Int): Int =
+      (((0x1e35a7bdL * (argb & 0xffffffffL)) & 0xffffffffL) >>>
+        (32 - cacheBits)).toInt
+
+    /** LSB-first bit reader over a VP8L stream. */
+    final class BitReader(b: Array[Byte], start: Int) {
+      private var bit: Long = start.toLong * 8
+      private val end: Long = b.length.toLong * 8
+      def read(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) {
+          val bp = bit + i
+          if (bp >= end) throw new IllegalArgumentException("VP8L overrun")
+          v |= ((b((bp >> 3).toInt) >>> (bp & 7).toInt) & 1) << i
+          i += 1
+        }
+        bit += n; v
+      }
+    }
+
+    /** LSB-first bit writer; prefix-code bits go MSB-of-code-first. */
+    final class BitWriter {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0L; private var nbits = 0
+      def write(v: Long, n: Int): Unit = {
+        acc |= (v & ((1L << n) - 1)) << nbits; nbits += n
+        while (nbits >= 8) {
+          out.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8
+        }
+      }
+      def writeCode(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) { write((code >>> i) & 1L, 1); i -= 1 }
+      }
+      def result(): Array[Byte] = {
+        if (nbits > 0) { out.write((acc & 0xff).toInt); acc = 0; nbits = 0 }
+        out.toByteArray
+      }
+    }
+
+    /** Canonical prefix code from code lengths (DEFLATE-style
+      * assignment: codes increase in (length, symbol) order); decoding
+      * descends bit-by-bit from the code's MSB. Kraft completeness is
+      * enforced — except the degenerate single-symbol tree, which
+      * consumes zero bits per read (spec: simple codes may carry one
+      * symbol). */
+    final class Prefix(lengths: Array[Int]) {
+      private val maxLen = lengths.max
+      val singleSymbol: Int = {
+        val nz = lengths.indices.filter(lengths(_) > 0)
+        if (nz.size == 1) nz.head else -1
+      }
+      private val table = new scala.collection.mutable.LongMap[Int]()
+      val codes = new Array[Int](lengths.length) // encoder view
+      if (singleSymbol < 0) {
+        if (maxLen <= 0)
+          throw new IllegalArgumentException("empty prefix code")
+        var kraft = 0L // in units of 2^-maxLen
+        var code = 0
+        var len = 1
+        while (len <= maxLen) {
+          code <<= 1
+          var s = 0
+          while (s < lengths.length) {
+            if (lengths(s) == len) {
+              table.update((len.toLong << 32) | code.toLong, s)
+              codes(s) = code
+              kraft += 1L << (maxLen - len)
+              code += 1
+            }
+            s += 1
+          }
+          len += 1
+        }
+        if (kraft != (1L << maxLen))
+          throw new IllegalArgumentException("prefix code not complete")
+      }
+      def read(br: BitReader): Int = {
+        if (singleSymbol >= 0) return singleSymbol
+        var code = 0; var len = 0
+        while (len < maxLen) {
+          code = (code << 1) | br.read(1); len += 1
+          val hit = table.get((len.toLong << 32) | code.toLong)
+          if (hit.isDefined) return hit.get
+        }
+        throw new IllegalArgumentException("bad prefix code word")
+      }
+    }
+
+    /** Read one tree: the simple form or the code-length-coded form
+      * (spec §"Decoding of Meta Prefix Codes"). */
+    def readTree(br: BitReader, alphabetSize: Int): Prefix = {
+      val lengths = new Array[Int](alphabetSize)
+      if (br.read(1) == 1) { // simple
+        val numSymbols = br.read(1) + 1
+        val first8 = br.read(1) == 1
+        val s0 = if (first8) br.read(8) else br.read(1)
+        if (s0 >= alphabetSize)
+          throw new IllegalArgumentException("simple symbol out of range")
+        if (numSymbols == 1) lengths(s0) = 1
+        else {
+          val s1 = br.read(8)
+          if (s1 >= alphabetSize || s1 == s0)
+            throw new IllegalArgumentException("bad simple pair")
+          lengths(s0) = 1; lengths(s1) = 1
+        }
+      } else {
+        val clLens = new Array[Int](19)
+        val numCl = 4 + br.read(4)
+        var i = 0
+        while (i < numCl) {
+          clLens(CodeLengthOrder(i)) = br.read(3); i += 1
+        }
+        val clCode = new Prefix(clLens)
+        var maxSymbol =
+          if (br.read(1) == 1) { // use_max_symbol
+            val nbits = 2 + 2 * br.read(3)
+            2 + br.read(nbits)
+          } else alphabetSize
+        var sym = 0
+        var prev = 8 // spec: initial previous code length
+        while (sym < alphabetSize && maxSymbol > 0) {
+          maxSymbol -= 1
+          val s = clCode.read(br)
+          if (s < 16) {
+            lengths(sym) = s; sym += 1
+            if (s != 0) prev = s
+          } else {
+            val (repeat, value) = s match {
+              case 16 => (3 + br.read(2), prev)
+              case 17 => (3 + br.read(3), 0)
+              case _ => (11 + br.read(7), 0)
+            }
+            if (sym + repeat > alphabetSize)
+              throw new IllegalArgumentException("length repeat overrun")
+            var j = 0
+            while (j < repeat) { lengths(sym) = value; sym += 1; j += 1 }
+          }
+        }
+      }
+      new Prefix(lengths)
+    }
+  }
+
+  /** Decode one VP8L stream (the body of a VP8L RIFF chunk, signature
+    * byte included) to ARGB pixels, or None when the file is corrupt
+    * or uses an out-of-profile feature. */
+  private[operators] def decodeVp8l(b: Array[Byte])
+      : Option[(Int, Int, Array[Int])] =
+    try {
+      import Vp8l.{readTree, prefixOffset, prefixExtraBits, cacheHash,
+        DistanceMap}
+      if (b.length < 5 || (b(0) & 0xff) != 0x2f) return None
+      val br = new Vp8l.BitReader(b, 1)
+      val w = br.read(14) + 1
+      val h = br.read(14) + 1
+      br.read(1) // alpha hint
+      if (br.read(3) != 0) return None // version must be 0
+      // transforms: only subtract-green is in profile
+      var subtractGreen = false
+      while (br.read(1) == 1) {
+        br.read(2) match {
+          case 2 => subtractGreen = true
+          case _ => return None // predictor/cross-color/indexing: seam
+        }
+      }
+      val cacheBits = if (br.read(1) == 1) br.read(4) else 0
+      if (cacheBits > 11) return None
+      if (br.read(1) == 1) return None // meta-prefix image: out of profile
+      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+      val green = readTree(br, 256 + 24 + cacheSize)
+      val red = readTree(br, 256)
+      val blue = readTree(br, 256)
+      val alpha = readTree(br, 256)
+      val dist = readTree(br, 40)
+      val n = w * h
+      val px = new Array[Int](n)
+      val cache = new Array[Int](math.max(cacheSize, 1))
+      def insert(argb: Int): Unit =
+        if (cacheBits > 0) cache(cacheHash(argb, cacheBits)) = argb
+      var pos = 0
+      while (pos < n) {
+        val s = green.read(br)
+        if (s < 256) {
+          val r = red.read(br); val bl = blue.read(br)
+          val a = alpha.read(br)
+          val argb = (a << 24) | (r << 16) | (s << 8) | bl
+          px(pos) = argb; insert(argb); pos += 1
+        } else if (s < 280) {
+          val lc = s - 256
+          // prefix value = offset (already includes the +1) + extra bits
+          val length = prefixOffset(lc) + br.read(prefixExtraBits(lc))
+          val ds = dist.read(br)
+          val distCode = prefixOffset(ds) + br.read(prefixExtraBits(ds))
+          val d0 =
+            if (distCode > 120) distCode - 120
+            else {
+              val (dx, dy) = DistanceMap(distCode - 1)
+              math.max(1, dy * w + dx)
+            }
+          if (d0 > pos || length < 1 || pos + length > n) return None
+          var j = 0
+          while (j < length) {
+            val v = px(pos - d0)
+            px(pos) = v; insert(v); pos += 1; j += 1
+          }
+        } else {
+          val idx = s - 280
+          if (idx >= cacheSize) return None
+          val v = cache(idx)
+          px(pos) = v; pos += 1
+        }
+      }
+      if (subtractGreen) {
+        var i = 0
+        while (i < n) {
+          val p = px(i)
+          val g = (p >>> 8) & 0xff
+          val r = (((p >>> 16) & 0xff) + g) & 0xff
+          val bl = ((p & 0xff) + g) & 0xff
+          px(i) = (p & 0xff00ff00) | (r << 16) | bl
+          i += 1
+        }
+      }
+      Some((w, h, px))
+    } catch { case _: IllegalArgumentException => None }
+
+  /** Full-file VP8L pixel walk: RIFF → VP8L chunk → [[decodeVp8l]] →
+    * channel means (the same reduction every image gate publishes). */
+  def parseWebplPixels(id: Long, b: Array[Byte]): Option[WebplPixels] = {
+    val meta = parseWebpMeta(id, b).getOrElse(return None)
+    if (meta.format != "lossless") return None
+    // locate the VP8L chunk body
+    var pos = 12
+    var body: Array[Byte] = null
+    while (body == null && pos + 8 <= b.length) {
+      val fourcc = new String(b, pos, 4, "US-ASCII")
+      val size = ((b(pos + 4) & 0xffL) | ((b(pos + 5) & 0xffL) << 8) |
+        ((b(pos + 6) & 0xffL) << 16) | ((b(pos + 7) & 0xffL) << 24)).toInt
+      if (fourcc == "VP8L")
+        body = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + size)
+      pos += 8 + size + (size & 1)
+    }
+    if (body == null) return None
+    val (w, h, px) = decodeVp8l(body).getOrElse(return None)
+    if (w != meta.width || h != meta.height) return None
+    var sr = 0L; var sg = 0L; var sb = 0L; var top = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val r = (p >>> 16) & 0xff; val g = (p >>> 8) & 0xff
+      val bl = p & 0xff
+      sr += r; sg += g; sb += bl
+      if (i < w) top += r + g + bl
+      i += 1
+    }
+    val n = (w * h).toDouble
+    Some(WebplPixels(id, w, h, sr / n, sg / n, sb / n, top / (3.0 * w)))
+  }
+
+  /** Deterministic VP8L encoder (fixture side): pixel (x, y) has
+    * ci = (x + 7y + id) mod 256 → ARGB (255, (5ci) mod 251, ci,
+    * (3ci) mod 253), stored with the subtract-green transform. Row 0
+    * is literal/cache-coded; every later row is one LZ77 copy of
+    * length w-7 at distance w-7 (pixel (x, y) equals (x+7, y-1) under
+    * the pattern) followed by 7 literal/cache pixels — so literals,
+    * backward references with extra bits, and color-cache hits all
+    * occur in every image. Trees: green is code-length-coded over the
+    * full 344-symbol alphabet (168×8 + 176×9 bits, repeat-16 runs),
+    * red/blue are code-length-coded 256×8, alpha and distance are
+    * 1-symbol simple codes. */
+  def buildWebplPixelFile(id: Long, nChars: Long): Array[Byte] = {
+    import Vp8l._
+    val w = 10 + (nChars % 40).toInt
+    val h = 2 + (nChars % 20).toInt
+    val cacheBits = 6
+    def argbAt(x: Int, y: Int): Int = {
+      val ci = ((x + 7 * y + id) % 256).toInt
+      val r = (5 * ci) % 251; val g = ci; val b = (3 * ci) % 253
+      // subtract-green stored form
+      (0xff << 24) | (((r - g) & 0xff) << 16) | (g << 8) | ((b - g) & 0xff)
+    }
+    val greenLens = Array.tabulate(256 + 24 + (1 << cacheBits))(i =>
+      if (i < 168) 8 else 9)
+    val byteLens = Array.fill(256)(8)
+    val greenTree = new Prefix(greenLens)
+    val byteTree = new Prefix(byteLens)
+    val bw = new BitWriter
+    bw.write((w - 1).toLong, 14); bw.write((h - 1).toLong, 14)
+    bw.write(0, 1); bw.write(0, 3) // no alpha hint, version 0
+    bw.write(1, 1); bw.write(2, 2) // transform: subtract-green
+    bw.write(0, 1)                 // no more transforms
+    bw.write(1, 1); bw.write(cacheBits.toLong, 4)
+    bw.write(0, 1)                 // no meta-prefix image
+    /** code-length-coded tree whose lengths form runs of ≤2 distinct
+      * values — written with the {lengths, 16} code-length code. */
+    def writeLens(lens: Array[Int]): Unit = {
+      bw.write(0, 1) // not simple
+      val used = lens.distinct.sorted
+      require(used.nonEmpty && used.size <= 2 && used.forall(_ > 0))
+      // code-length code: single value → {v:1, 16:1}; two → {16:1, v:2...}
+      val clLens = new Array[Int](19)
+      clLens(16) = 1
+      if (used.size == 1) clLens(used.head) = 1
+      else { clLens(used(0)) = 2; clLens(used(1)) = 2 }
+      val clTree = new Prefix(clLens)
+      val maxPos = CodeLengthOrder.indices
+        .filter(i => clLens(CodeLengthOrder(i)) > 0).max
+      val total = math.max(4, maxPos + 1)
+      bw.write((total - 4).toLong, 4)
+      (0 until total).foreach(i =>
+        bw.write(clLens(CodeLengthOrder(i)).toLong, 3))
+      bw.write(0, 1) // no max_symbol
+      var i = 0
+      var prev = -1
+      while (i < lens.length) {
+        if (lens(i) == prev) {
+          var run = 0
+          while (i + run < lens.length && lens(i + run) == prev && run < 6)
+            run += 1
+          if (run >= 3) {
+            bw.writeCode(clTree.codes(16), clLens(16))
+            bw.write((run - 3).toLong, 2)
+            i += run
+          } else {
+            bw.writeCode(clTree.codes(lens(i)), clLens(lens(i)))
+            i += 1
+          }
+        } else {
+          prev = lens(i)
+          bw.writeCode(clTree.codes(lens(i)), clLens(lens(i)))
+          i += 1
+        }
+      }
+    }
+    def writeSimple1(sym: Int): Unit = {
+      bw.write(1, 1) // simple
+      bw.write(0, 1) // one symbol
+      bw.write(1, 1) // 8-bit symbol
+      bw.write(sym.toLong, 8)
+    }
+    writeLens(greenLens)
+    writeLens(byteLens); writeLens(byteLens) // red, blue
+    val (dCode, dBits, dExtra) = prefixEncode((w - 7) + 120)
+    writeSimple1(255)   // alpha
+    writeSimple1(dCode) // distance: the one code every copy uses
+    // pixel stream
+    val cache = new Array[Int](1 << cacheBits)
+    val seen = new Array[Boolean](1 << cacheBits)
+    def emitPixel(argb: Int): Unit = {
+      val hsh = cacheHash(argb, cacheBits)
+      if (seen(hsh) && cache(hsh) == argb) {
+        val sym = 280 + hsh
+        bw.writeCode(greenTree.codes(sym), greenLens(sym))
+      } else {
+        val g = (argb >>> 8) & 0xff
+        bw.writeCode(greenTree.codes(g), greenLens(g))
+        bw.writeCode(byteTree.codes((argb >>> 16) & 0xff), 8)
+        bw.writeCode(byteTree.codes(argb & 0xff), 8)
+        // alpha: single-symbol tree, zero bits
+        cache(hsh) = argb; seen(hsh) = true
+      }
+    }
+    def insertOnly(argb: Int): Unit = {
+      val hsh = cacheHash(argb, cacheBits)
+      cache(hsh) = argb; seen(hsh) = true
+    }
+    val (lCode, lBits, lExtra) = prefixEncode(w - 7)
+    for (y <- 0 until h) {
+      if (y == 0) (0 until w).foreach(x => emitPixel(argbAt(x, 0)))
+      else {
+        // one backward reference: length w-7 at distance w-7
+        val sym = 256 + lCode
+        bw.writeCode(greenTree.codes(sym), greenLens(sym))
+        bw.write(lExtra.toLong, lBits)
+        // distance: single-symbol tree (zero bits) + extra bits
+        bw.write(dExtra.toLong, dBits)
+        (0 until (w - 7)).foreach(x => insertOnly(argbAt(x, y)))
+        ((w - 7) until w).foreach(x => emitPixel(argbAt(x, y)))
+      }
+    }
+    val stream = bw.result()
+    // RIFF container
+    val chunkLen = 1 + stream.length
+    val riffSize = 4 + 8 + chunkLen + (chunkLen & 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4); u32(riffSize.toLong)
+    out.write("WEBP".getBytes("US-ASCII"), 0, 4)
+    out.write("VP8L".getBytes("US-ASCII"), 0, 4); u32(chunkLen.toLong)
+    out.write(0x2f)
+    out.write(stream, 0, stream.length)
+    if ((chunkLen & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  def webplFromDocuments(spark: SparkSession,
+                         docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, buildWebplPixelFile(id, n)) }
+  }
+
+  /** Per-partition batch walk — payloads never shuffle. */
+  def extractWebplPixels(media: Dataset[(Long, Array[Byte])])
+      : Dataset[WebplPixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) =>
+      parseWebplPixels(id, p) })
+  }
+
   // --------------------------------------------------- Matroska/EBML
 
   /** Matroska container summary for the `mm_mkv_meta` gate. */

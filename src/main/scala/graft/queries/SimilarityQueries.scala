@@ -673,6 +673,27 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // REAL VP8L (WebP-lossless) decode under the gate: every doc
+    // becomes a real VP8L bitstream — subtract-green transform,
+    // code-length-coded canonical prefix trees (repeat-16 runs) plus
+    // 1-symbol simple trees, LZ77 backward references with prefix-coded
+    // lengths and extra bits (one per row), and a 64-entry color cache
+    // hit on revisited colors — decoded by the full spec walk back to
+    // ARGB. The oracle recomputes the channel means from the (x + 7y +
+    // id) mod 256 pattern, so a bit-order, canonical-assignment,
+    // cache-hash, or transform-inverse bug diverges the hash.
+    "mm_webpl_pixels" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.webplFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWebplPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
     // REAL indexed-BMP decode under the gate: 8-bpp palette BMPs
     // (BITMAPINFOHEADER BGRA color table, 1-byte-per-pixel rows padded
     // to 4, both row orders) — the third container sharing the one
@@ -3045,6 +3066,32 @@ object SimilarityQueries {
         |    LATERAL (SELECT unnest(range(h)) AS y)),
         |rgb AS (SELECT id, w, h, x, y,
         |    ci AS r, (2 * ci) % 255 AS g, (3 * ci) % 253 AS b
+        |  FROM px)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Re-derives the VP8L channel means from the pattern arithmetic:
+    // ci = (x + 7y + id) mod 256 → (r, g, b) = ((5ci) mod 251, ci,
+    // (3ci) mod 253) — the whole entropy-coded pipeline (trees, LZ77,
+    // cache, subtract-green inverse) is verified against pure math.
+    "mm_webpl_pixels" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    10 + (CAST(n_chars AS BIGINT) % 40) AS w,
+        |    2 + (CAST(n_chars AS BIGINT) % 20) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    (x + 7 * y + id) % 256 AS ci
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |rgb AS (SELECT id, w, h, x, y,
+        |    (5 * ci) % 251 AS r, ci AS g, (3 * ci) % 253 AS b
         |  FROM px)
         |SELECT id AS doc_id,
         |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,

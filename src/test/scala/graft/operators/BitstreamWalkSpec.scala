@@ -126,6 +126,103 @@ class BitstreamWalkSpec extends AnyFunSuite {
     assert(parseWebpMeta(4, good.take(11)).isEmpty)
   }
 
+  // ----------------------------------------------------------- VP8L
+
+  test("vp8l: pixel decode matches the pattern arithmetic") {
+    Seq((3L, 17L), (0L, 0L), (41L, 39L), (255L, 19L), (1000L, 7L))
+      .foreach { case (id, n) =>
+        val f = buildWebplPixelFile(id, n)
+        // the meta walk still sees a plain lossless WebP
+        val meta = parseWebpMeta(id, f).get
+        assert(meta.format === "lossless")
+        val px = parseWebplPixels(id, f).get
+        val w = 10 + (n % 40).toInt; val h = 2 + (n % 20).toInt
+        assert(px.width === w && px.height === h)
+        // recompute the channel means from ci = (x + 7y + id) mod 256
+        var sr = 0L; var sg = 0L; var sb = 0L; var top = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val ci = ((x + 7 * y + id) % 256).toInt
+          val r = (5 * ci) % 251; val b = (3 * ci) % 253
+          sr += r; sg += ci; sb += b
+          if (y == 0) top += r + ci + b
+        }
+        val np = (w * h).toDouble
+        assert(px.meanR === sr / np, s"id=$id")
+        assert(px.meanG === sg / np)
+        assert(px.meanB === sb / np)
+        assert(px.topRowMean === top / (3.0 * w))
+      }
+  }
+
+  test("vp8l: truncation and out-of-profile features rejected") {
+    val good = buildWebplPixelFile(9, 23)
+    assert(parseWebplPixels(9, good.take(good.length - 6)).isEmpty)
+    assert(parseWebplPixels(9, good.take(24)).isEmpty)
+    // flip a bit inside the entropy stream: either a tree goes
+    // incomplete or the pixel loop overruns — never a silent wrong image
+    val bad = good.clone()
+    bad(40) = (bad(40) ^ 0x10).toByte
+    val decoded = parseWebplPixels(9, bad)
+    val reference = parseWebplPixels(9, good).get
+    assert(decoded.isEmpty || decoded.get != reference)
+  }
+
+  /** Hand-built minimal VP8L stream: green tree code-length-coded with
+    * exactly {literal 100, length-symbol 256} at depth 1, simple
+    * 1-symbol red/blue/alpha/distance trees, no transform, no cache. */
+  private def tinyVp8l(w: Int, h: Int, distSym: Int,
+                       emits: Seq[Boolean]): Array[Byte] = {
+    import MediaCodec.Vp8l._
+    val bw = new BitWriter
+    bw.write((w - 1).toLong, 14); bw.write((h - 1).toLong, 14)
+    bw.write(0, 1); bw.write(0, 3)
+    bw.write(0, 1) // no transforms
+    bw.write(0, 1) // no color cache
+    bw.write(0, 1) // no meta-prefix image
+    // green tree, normal form: lengths over 280 symbols, 1 at {100, 256}
+    bw.write(0, 1) // not simple
+    bw.write(0, 4) // num_code_lengths = 4: order 17, 18, 0, 1
+    bw.write(2, 3); bw.write(1, 3); bw.write(0, 3); bw.write(2, 3)
+    // canonical cl codes: 18 -> 0 (len 1), 1 -> 10, 17 -> 11
+    bw.write(0, 1) // no max_symbol
+    def cl18(repeat: Int): Unit = { // 11..138 zeros
+      bw.writeCode(0, 1); bw.write((repeat - 11).toLong, 7) }
+    def cl17(repeat: Int): Unit = { // 3..10 zeros
+      bw.writeCode(3, 2); bw.write((repeat - 3).toLong, 3) }
+    def cl1(): Unit = bw.writeCode(2, 2)
+    cl18(100); cl1()           // zeros 0..99, then symbol 100 at len 1
+    cl18(138); cl17(10); cl17(7); cl1() // 155 zeros, symbol 256 len 1
+    cl18(23)                   // trailing zeros to 280
+    def simple1(sym: Int): Unit = {
+      bw.write(1, 1); bw.write(0, 1); bw.write(1, 1)
+      bw.write(sym.toLong, 8)
+    }
+    simple1(7); simple1(9); simple1(255) // red, blue, alpha
+    simple1(distSym)                     // distance prefix code
+    // canonical green codes at len 1: 100 -> 0, 256 -> 1
+    emits.foreach { isCopy =>
+      if (isCopy) bw.writeCode(1, 1) // length code 0 -> length 1, dist 0 bits
+      else bw.writeCode(0, 1)        // literal green=100 (r/b/a zero bits)
+    }
+    val s = bw.result()
+    Array(0x2f.toByte) ++ s
+  }
+
+  test("vp8l: distance map entry 0 is (0,1) -> the pixel above") {
+    // 4x2: row 0 literal, row 1 four copies at distance map[0] = width
+    val px = MediaCodec.decodeVp8l(tinyVp8l(4, 2, distSym = 0,
+      Seq(false, false, false, false, true, true, true, true))).get._3
+    val lit = (0xff << 24) | (7 << 16) | (100 << 8) | 9
+    assert(px.toSeq === Seq.fill(8)(lit))
+  }
+
+  test("vp8l: distance map entry 1 is (1,0) -> the previous pixel") {
+    val px = MediaCodec.decodeVp8l(tinyVp8l(4, 2, distSym = 1,
+      Seq(false) ++ Seq.fill(7)(true))).get._3
+    val lit = (0xff << 24) | (7 << 16) | (100 << 8) | 9
+    assert(px.toSeq === Seq.fill(8)(lit))
+  }
+
   // ------------------------------------------------------------ MKV
 
   test("mkv: ebml walk recovers all fields hand-computed") {

@@ -71,6 +71,46 @@ class SnapshotSpec extends SparkSpec {
       === (1 to 120).map(i => (i.toLong, s"v$i")).toSet)
   }
 
+  test("string PKs with quotes/pipes/unicode shard and resume cleanly") {
+    // The reference's keyset pagination quotes string PKs into SQL
+    // literals (mysql_api.py:117-136, db_replicator_initial.py:210-218)
+    // — a quoting bug there corrupts resume. Our shard membership is a
+    // CRC32 Column (no SQL string splice), so hostile PK content must
+    // be a non-event: embedded single/double quotes, backslashes, the
+    // CONCAT_WS separator '|' itself, unicode, and the empty string all
+    // shard disjoint-and-complete and survive a mid-snapshot restart.
+    val pks = Seq("it's", "a|b", "a\\'b", "\"q\"", "naïve—日本",
+      "", "plain", "x'); DROP TABLE s; --", "🙂|'", "ünïcödé")
+    val rows = pks.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("sk", "v")
+    val n = 3
+    // disjoint and complete
+    val matched = rows.select(
+      (0 until n).map(w =>
+        when(Snapshot.shardPredicate(Seq("sk"), n, w), 1)
+          .otherwise(0)).reduce(_ + _).as("m"))
+    assert(matched.filter(col("m") === 1).count() === pks.size.toLong)
+    // crash while snapshotting shard 1, then resume: every PK lands
+    // exactly once, byte-identical
+    val schema = graft.ddl.DdlParser.parse(
+      "CREATE TABLE s (sk varchar(40) NOT NULL, v bigint, PRIMARY KEY(sk))")
+      .asInstanceOf[graft.ddl.DdlOp.CreateTable].schema
+    val dir = tmpDir("graft-snap-q")
+    val markers = tmpDir("graft-snap-qmk")
+    var failAt = 1
+    def src(k: Int) = {
+      if (k == failAt) throw new RuntimeException("simulated driver death")
+      rows.filter(Snapshot.shardPredicate(Seq("sk"), n, k))
+    }
+    intercept[RuntimeException] {
+      Snapshot.runSharded(spark, schema, dir, markers, n, src)
+    }
+    failAt = -1
+    val t = Snapshot.runSharded(spark, schema, dir, markers, n, src)
+    assert(t.log.count() === pks.size.toLong) // no duplicate images
+    assert(t.read.collect().map(_.getString(0)).toSet === pks.toSet)
+  }
+
   test("atomic publish: a reader mid-snapshot sees empty, then everything") {
     val rows = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val schema = graft.ddl.DdlParser.parse(
