@@ -932,7 +932,11 @@ class PlanAuditSpec extends SparkSpec {
     // TOCs: all build+decode map-side; the ONLY exchange each plan may
     // carry is the driver-contract output sort (range partitioning)
     Seq("cdc_binlog_decode", "conv_jsonb_decode", "t_warc_ingest",
-      "mm_mkv_meta", "mm_opus_toc").foreach { q =>
+      "mm_mkv_meta", "mm_opus_toc",
+      // round 13: partial-JSON binlog materialization and the VP8L
+      // entropy decode are the same shape — map-side build+decode,
+      // output sort is the only exchange
+      "cdc_binlog_partial", "mm_webpl_pixels").foreach { q =>
       val ns = nodes(SparkEntry.queries(q)(spark, dir))
       assert(!ns.exists(p => p.nodeName.contains("Join") ||
         p.nodeName.contains("CartesianProduct")),
