@@ -234,9 +234,7 @@ object Bench {
     def sweep(): Unit = {
       spark.catalog.clearCache()
       graft.queries.clearFitMemo()
-      spark.catalog.listTables().collect()
-        .filter(_.isTemporary)
-        .foreach(t => spark.catalog.dropTempView(t.name))
+      graft.GraftSession.dropTempViews(spark)
       System.gc()
     }
     warmDir.foreach { d =>
@@ -348,9 +346,7 @@ object Bench {
               // driver-heap residents that accumulate; drop those per run.
               // Spark-level caches deliberately SURVIVE within the family
               // (see class doc): shared fits compute once per family pass.
-              spark.catalog.listTables().collect()
-                .filter(_.isTemporary)
-                .foreach(t => spark.catalog.dropTempView(t.name))
+              graft.GraftSession.dropTempViews(spark)
               graft.queries.CdcQueries.lastE2eStats.foreach(e2eRuns += _)
               (if (ok) elapsed else -1.0, gcd)
             }

@@ -104,4 +104,17 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Drop every local temp view without running a Spark job.
+    * `spark.catalog.listTables()` builds and EXECUTES a Dataset plan,
+    * which races with concurrent streaming-query teardown (observed
+    * once per ~10 bench runs as an NPE from `SparkPlan.session()`
+    * inside the between-run hygiene — killing the whole artifact).
+    * The session catalog's listLocalTempViews is a pure metadata read,
+    * so harness hygiene can never lose a run to a planner race. */
+  def dropTempViews(spark: SparkSession): Unit =
+    try
+      spark.sessionState.catalog.listLocalTempViews("*")
+        .foreach(id => spark.catalog.dropTempView(id.table))
+    catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -4729,10 +4729,11 @@ object MediaCodec {
     val (w, h) = wh
     // IHDR fields beyond dimensions: this codec does 8-bit truecolor
     // (color type 2) and 8-bit PALETTE (color type 3, PLTE-indexed) —
-    // deflate, filter method 0, non-interlaced only
+    // deflate, filter method 0, sequential OR Adam7-interlaced
     val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
     if (b(24) != 8 || (colorType != 2 && colorType != 3) ||
-        b(26) != 0 || b(27) != 0 || b(28) != 0)
+        b(26) != 0 || b(27) != 0 || interlace > 1)
       return None
     val idat = new java.io.ByteArrayOutputStream()
     var plte: Array[Byte] = null
@@ -4759,10 +4760,25 @@ object MediaCodec {
     // stride/expected in Long: a crafted IHDR width ≥ ~715M overflows
     // 3·w in Int, and h·(1+stride) can exceed Int range either way
     val bpp = if (colorType == 2) 3 else 1 // filter byte distance
-    val strideL = bpp.toLong * w
-    val expected = h.toLong * (1L + strideL)
-    if (strideL > Int.MaxValue || expected > Int.MaxValue) return None
-    val stride = strideL.toInt
+    if (bpp.toLong * w > Int.MaxValue) return None
+    // Adam7: seven reduced images, each with its own filter bytes and
+    // its own "prior row" (spec: passes defilter independently); an
+    // EMPTY pass (zero width or height) contributes no bytes at all.
+    // Sequential decode is the one-pass special case of the same walk.
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val dims = passes.map { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      (x0, y0, dx, dy, pw, ph)
+    }
+    val expected = dims.map { case (_, _, _, _, pw, ph) =>
+      if (pw == 0 || ph == 0) 0L
+      else ph.toLong * (1L + bpp.toLong * pw)
+    }.sum
+    if (expected > Int.MaxValue || expected == 0) return None
     val raw = new Array[Byte](expected.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -4780,32 +4796,54 @@ object MediaCodec {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // defilter scanlines in place into `img` (recon bytes, RGB rows)
-    val img = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val fo = y * (1 + stride) // filter byte offset in raw
-      val ro = y * stride // recon row offset in img
-      val po = ro - stride // prior recon row
-      val ft = raw(fo) & 0xff
-      if (ft > 4) return None
-      var i = 0
-      while (i < stride) {
-        val x = raw(fo + 1 + i) & 0xff
-        val a = if (i >= bpp) img(ro + i - bpp) & 0xff else 0 // left
-        val up = if (y > 0) img(po + i) & 0xff else 0
-        val ul = if (y > 0 && i >= bpp) img(po + i - bpp) & 0xff else 0
-        val recon = ft match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + up
-          case 3 => x + (a + up) / 2
-          case _ => x + paeth(a, up, ul)
+    // defilter each pass, scatter into the full recon image
+    val img = new Array[Byte](bpp * w * h)
+    var rawOff = 0
+    dims.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      if (pw > 0 && ph > 0) {
+        val rowBytes = bpp * pw
+        val recon = new Array[Byte](ph * rowBytes)
+        var y = 0
+        while (y < ph) {
+          val fo = rawOff + y * (1 + rowBytes) // filter byte in raw
+          val ro = y * rowBytes
+          val po = ro - rowBytes
+          val ft = raw(fo) & 0xff
+          if (ft > 4) return None
+          var i = 0
+          while (i < rowBytes) {
+            val x = raw(fo + 1 + i) & 0xff
+            val a = if (i >= bpp) recon(ro + i - bpp) & 0xff else 0
+            val up = if (y > 0) recon(po + i) & 0xff else 0
+            val ul = if (y > 0 && i >= bpp) recon(po + i - bpp) & 0xff
+              else 0
+            val rv = ft match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + up
+              case 3 => x + (a + up) / 2
+              case _ => x + paeth(a, up, ul)
+            }
+            recon(ro + i) = (rv & 0xff).toByte
+            i += 1
+          }
+          y += 1
         }
-        img(ro + i) = (recon & 0xff).toByte
-        i += 1
+        var j = 0
+        while (j < ph) {
+          var i2 = 0
+          while (i2 < pw) {
+            val dst = ((y0 + j * dy) * w + (x0 + i2 * dx)) * bpp
+            var c = 0
+            while (c < bpp) {
+              img(dst + c) = recon(j * rowBytes + i2 * bpp + c); c += 1
+            }
+            i2 += 1
+          }
+          j += 1
+        }
+        rawOff += ph * (1 + rowBytes)
       }
-      y += 1
     }
     if (colorType == 2) Some((w, h, img))
     else { // palette expansion: 1 index byte/pixel through PLTE
@@ -4929,6 +4967,117 @@ object MediaCodec {
     } else chunk("IDAT", z, 0, z.length)
     chunk("IEND", Array.emptyByteArray, 0, 0)
     out.toByteArray
+  }
+
+  /** Real encode of an ADAM7-INTERLACED truecolor PNG: the seven
+    * reduced images in pass order, each row forward-filtered with a
+    * rotating type (global row counter mod 5, so every filter hits
+    * every pass shape), empty passes emitting nothing — the
+    * progressive layout early-web images and many icon pipelines
+    * still carry. */
+  def encodePngRgbAdam7(width: Int, height: Int,
+                        rgb: (Int, Int) => (Int, Int, Int),
+                        splitIdat: Boolean): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+      (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val filt = new java.io.ByteArrayOutputStream()
+    var rowCounter = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val rowBytes = 3 * pw
+        val sub = new Array[Byte](ph * rowBytes)
+        (0 until ph).foreach { j =>
+          (0 until pw).foreach { i =>
+            val (r, g, bl) = rgb(x0 + i * dx, y0 + j * dy)
+            val p = j * rowBytes + 3 * i
+            sub(p) = r.toByte; sub(p + 1) = g.toByte
+            sub(p + 2) = bl.toByte
+          }
+        }
+        (0 until ph).foreach { y =>
+          val ro = y * rowBytes; val po = ro - rowBytes
+          val ft = rowCounter % 5; rowCounter += 1
+          filt.write(ft)
+          var i = 0
+          while (i < rowBytes) {
+            val x = sub(ro + i) & 0xff
+            val a = if (i >= 3) sub(ro + i - 3) & 0xff else 0
+            val up = if (y > 0) sub(po + i) & 0xff else 0
+            val ul = if (y > 0 && i >= 3) sub(po + i - 3) & 0xff else 0
+            val v = ft match {
+              case 0 => x
+              case 1 => x - a
+              case 2 => x - up
+              case 3 => x - (a + up) / 2
+              case _ => x - paeth(a, up, ul)
+            }
+            filt.write(v & 0xff)
+            i += 1
+          }
+        }
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    val zs = new java.io.ByteArrayOutputStream()
+    try {
+      deflater.setInput(filt.toByteArray)
+      deflater.finish()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) zs.write(buf, 0, deflater.deflate(buf))
+    } finally deflater.end()
+    val z = zs.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def chunk(typ: String, data: Array[Byte], from: Int, len: Int): Unit = {
+      val hdr = java.nio.ByteBuffer.allocate(8)
+      hdr.putInt(len).put(typ.getBytes("US-ASCII"))
+      out.write(hdr.array())
+      out.write(data, from, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII"))
+      crc.update(data, from, len)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte) // bit depth, truecolor
+      .put(0.toByte).put(0.toByte).put(1.toByte) // Adam7
+    chunk("IHDR", ihdr.array(), 0, 13)
+    if (splitIdat && z.length >= 2) {
+      val cut = z.length / 2
+      chunk("IDAT", z, 0, cut)
+      chunk("IDAT", z, cut, z.length - cut)
+    } else chunk("IDAT", z, 0, z.length)
+    chunk("IEND", Array.emptyByteArray, 0, 0)
+    out.toByteArray
+  }
+
+  /** Deterministic Adam7 fixture: r = (2x+5y+s) mod 255,
+    * g = (x+3y+2s) mod 253, b = (4x+y+3s) mod 251; widths/heights
+    * start at 1 so EMPTY passes (w < 5 or h < 5 kill passes 2/3)
+    * are in-corpus, not just spec-covered. */
+  def buildPngAdam7Pattern(width: Int, height: Int, seed: Long,
+                           splitIdat: Boolean): Array[Byte] =
+    encodePngRgbAdam7(width, height, (x, y) =>
+      (((2L * x + 5L * y + seed) % 255).toInt,
+        ((x + 3L * y + 2L * seed) % 253).toInt,
+        ((4L * x + y + 3L * seed) % 251).toInt), splitIdat)
+
+  def pngAdam7FromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, buildPngAdam7Pattern(width = 1 + (nChars % 38).toInt,
+          height = 1 + (nChars % 19).toInt,
+          seed = id, splitIdat = id % 3 == 0))
+      }
   }
 
   /** Real encode of an 8-bit PALETTE PNG (color type 3): a PLTE of
@@ -7245,6 +7394,81 @@ object MediaCodec {
       (((0x1e35a7bdL * (argb & 0xffffffffL)) & 0xffffffffL) >>>
         (32 - cacheBits)).toInt
 
+    // ---- predictor-transform arithmetic (spec pseudocode, exact) ----
+
+    /** Per-channel modular add / subtract of two packed ARGB pixels. */
+    def addPixels(a: Int, b: Int): Int =
+      (((a & 0xff00ff00) + (b & 0xff00ff00)) & 0xff00ff00.toInt) |
+        (((a & 0x00ff00ff) + (b & 0x00ff00ff)) & 0x00ff00ff)
+    def subPixels(a: Int, b: Int): Int = {
+      def ch(sh: Int): Int =
+        ((((a >>> sh) & 0xff) - ((b >>> sh) & 0xff)) & 0xff) << sh
+      ch(24) | ch(16) | ch(8) | ch(0)
+    }
+
+    /** Per-byte floor average (the spec's Average2). */
+    def average2(a: Int, b: Int): Int =
+      (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+    private def clamp255(v: Int): Int =
+      if (v < 0) 0 else if (v > 255) 255 else v
+
+    private def select(l: Int, t: Int, tl: Int): Int = {
+      // Manhattan distance of L and T to the L+T-TL estimate
+      var pL = 0; var pT = 0
+      var sh = 0
+      while (sh < 32) {
+        val cl = (l >>> sh) & 0xff; val ct = (t >>> sh) & 0xff
+        val p = cl + ct - ((tl >>> sh) & 0xff)
+        pL += math.abs(p - cl); pT += math.abs(p - ct)
+        sh += 8
+      }
+      if (pL < pT) l else t
+    }
+
+    private def clampAddSubtractFull(a: Int, b: Int, c: Int): Int = {
+      def ch(sh: Int): Int = clamp255(((a >>> sh) & 0xff) +
+        ((b >>> sh) & 0xff) - ((c >>> sh) & 0xff)) << sh
+      ch(24) | ch(16) | ch(8) | ch(0)
+    }
+
+    private def clampAddSubtractHalf(a: Int, b: Int): Int = {
+      // per channel: clamp(a + (a - b) / 2), division truncating to 0
+      def ch(sh: Int): Int = {
+        val av = (a >>> sh) & 0xff; val bv = (b >>> sh) & 0xff
+        clamp255(av + (av - bv) / 2) << sh
+      }
+      ch(24) | ch(16) | ch(8) | ch(0)
+    }
+
+    /** Predictor mode 0-13 at flat index `i` (interior pixels: x > 0,
+      * y > 0). Neighbors address the FLAT array, so the top-right of a
+      * rightmost pixel is the current row's first pixel — the spec's
+      * one-dimensional addressing. Shared verbatim by the encoder (on
+      * true pixels) and the decoder (on reconstructed ones). */
+    def predictPixel(px: Array[Int], i: Int, w: Int, mode: Int): Int = {
+      def L = px(i - 1); def T = px(i - w)
+      def TL = px(i - w - 1); def TR = px(i - w + 1)
+      mode match {
+        case 0 => 0xff000000
+        case 1 => L
+        case 2 => T
+        case 3 => TR
+        case 4 => TL
+        case 5 => average2(average2(L, TR), T)
+        case 6 => average2(L, TL)
+        case 7 => average2(L, T)
+        case 8 => average2(TL, T)
+        case 9 => average2(T, TR)
+        case 10 => average2(average2(L, TL), average2(T, TR))
+        case 11 => select(L, T, TL)
+        case 12 => clampAddSubtractFull(L, T, TL)
+        case 13 => clampAddSubtractHalf(average2(L, T), TL)
+        case _ =>
+          throw new IllegalArgumentException(s"bad predictor mode $mode")
+      }
+    }
+
     /** LSB-first bit reader over a VP8L stream. */
     final class BitReader(b: Array[Byte], start: Int) {
       private var bit: Long = start.toLong * 8
@@ -7330,6 +7554,65 @@ object MediaCodec {
       }
     }
 
+    /** Encoder side: a 1-symbol simple tree (8-bit symbol form). */
+    def writeSimple1(bw: BitWriter, sym: Int): Unit = {
+      bw.write(1, 1) // simple
+      bw.write(0, 1) // one symbol
+      bw.write(1, 1) // 8-bit symbol
+      bw.write(sym.toLong, 8)
+    }
+
+    /** Encoder side: a code-length-coded tree whose lengths form runs
+      * of ≤ 2 distinct nonzero values — written with the {lengths, 16}
+      * code-length code and repeat-16 runs. */
+    def writeLens(bw: BitWriter, lens: Array[Int]): Unit = {
+      bw.write(0, 1) // not simple
+      val used = lens.distinct.sorted
+      require(used.nonEmpty && used.size <= 2 && used.forall(_ > 0))
+      val clLens = new Array[Int](19)
+      clLens(16) = 1
+      if (used.size == 1) clLens(used.head) = 1
+      else { clLens(used(0)) = 2; clLens(used(1)) = 2 }
+      val clTree = new Prefix(clLens)
+      val maxPos = CodeLengthOrder.indices
+        .filter(i => clLens(CodeLengthOrder(i)) > 0).max
+      val total = math.max(4, maxPos + 1)
+      bw.write((total - 4).toLong, 4)
+      (0 until total).foreach(i =>
+        bw.write(clLens(CodeLengthOrder(i)).toLong, 3))
+      bw.write(0, 1) // no max_symbol
+      var i = 0
+      var prev = -1
+      while (i < lens.length) {
+        if (lens(i) == prev) {
+          var run = 0
+          while (i + run < lens.length && lens(i + run) == prev && run < 6)
+            run += 1
+          if (run >= 3) {
+            bw.writeCode(clTree.codes(16), clLens(16))
+            bw.write((run - 3).toLong, 2)
+            i += run
+          } else {
+            bw.writeCode(clTree.codes(lens(i)), clLens(lens(i)))
+            i += 1
+          }
+        } else {
+          prev = lens(i)
+          bw.writeCode(clTree.codes(lens(i)), clLens(lens(i)))
+          i += 1
+        }
+      }
+    }
+
+    /** A complete two-level length split over `n` symbols: as many
+      * `short`-bit codes as Kraft allows, the rest one bit longer. */
+    def splitLens(n: Int, short: Int): Array[Int] = {
+      // a codes at `short`, b at short+1: a·2 + b = 2^(short+1), a+b = n
+      val a = (1 << (short + 1)) - n
+      require(a >= 0 && a <= n, s"no complete ($short, ${short + 1}) split for $n")
+      Array.tabulate(n)(i => if (i < a) short else short + 1)
+    }
+
     /** Read one tree: the simple form or the code-length-coded form
       * (spec §"Decoding of Meta Prefix Codes"). */
     def readTree(br: BitReader, alphabetSize: Int): Prefix = {
@@ -7385,85 +7668,225 @@ object MediaCodec {
     }
   }
 
+  /** One entropy-coded VP8L image (the spec's "spatially-coded image"):
+    * its own color-cache bit, the meta-prefix bit when `level0` (a
+    * meta-prefix entropy image selecting one of N five-tree groups per
+    * block), the tree groups, then the literal / backward-reference /
+    * cache-hit pixel loop. Used for the main ARGB image AND for
+    * transform sub-images (predictor modes, cross-color elements, the
+    * color-indexing palette). Throws IllegalArgumentException on
+    * corruption; returns null on an out-of-profile construct. */
+  private def decodeVp8lImage(br: Vp8l.BitReader, w: Int, h: Int,
+                              level0: Boolean): Array[Int] = {
+    import Vp8l.{readTree, prefixOffset, prefixExtraBits, cacheHash,
+      DistanceMap}
+    val cacheBits = if (br.read(1) == 1) br.read(4) else 0
+    if (cacheBits > 11) return null
+    // meta-prefix: a sub-image whose (red<<8|green) picks the tree
+    // group for each `metaBits`-sized block of the main image
+    var metaBits = 0; var metaTw = 0
+    var metaIdx: Array[Int] = null
+    if (level0 && br.read(1) == 1) {
+      metaBits = br.read(3) + 2
+      metaTw = (w + (1 << metaBits) - 1) >> metaBits
+      val mh = (h + (1 << metaBits) - 1) >> metaBits
+      val sub = decodeVp8lImage(br, metaTw, mh, level0 = false)
+      if (sub == null) return null
+      metaIdx = sub.map(p => (p >>> 8) & 0xffff)
+    }
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    final class Group {
+      val green = readTree(br, 256 + 24 + cacheSize)
+      val red = readTree(br, 256)
+      val blue = readTree(br, 256)
+      val alpha = readTree(br, 256)
+      val dist = readTree(br, 40)
+    }
+    val numGroups = if (metaIdx == null) 1 else metaIdx.max + 1
+    if (numGroups > 256) return null // sanity: fixture profile bound
+    val groups = Array.fill(numGroups)(new Group)
+    val n = w * h
+    val px = new Array[Int](n)
+    val cache = new Array[Int](math.max(cacheSize, 1))
+    def insert(argb: Int): Unit =
+      if (cacheBits > 0) cache(cacheHash(argb, cacheBits)) = argb
+    var pos = 0
+    while (pos < n) {
+      val g =
+        if (metaIdx == null) groups(0)
+        else groups(metaIdx(
+          ((pos / w) >> metaBits) * metaTw + ((pos % w) >> metaBits)))
+      val green = g.green; val red = g.red; val blue = g.blue
+      val alpha = g.alpha; val dist = g.dist
+      val s = green.read(br)
+      if (s < 256) {
+        val r = red.read(br); val bl = blue.read(br)
+        val a = alpha.read(br)
+        val argb = (a << 24) | (r << 16) | (s << 8) | bl
+        px(pos) = argb; insert(argb); pos += 1
+      } else if (s < 280) {
+        val lc = s - 256
+        // prefix value = offset (already includes the +1) + extra bits
+        val length = prefixOffset(lc) + br.read(prefixExtraBits(lc))
+        val ds = dist.read(br)
+        val distCode = prefixOffset(ds) + br.read(prefixExtraBits(ds))
+        val d0 =
+          if (distCode > 120) distCode - 120
+          else {
+            val (dx, dy) = DistanceMap(distCode - 1)
+            math.max(1, dy * w + dx)
+          }
+        if (d0 > pos || length < 1 || pos + length > n)
+          throw new IllegalArgumentException("VP8L bad backward reference")
+        var j = 0
+        while (j < length) {
+          val v = px(pos - d0)
+          px(pos) = v; insert(v); pos += 1; j += 1
+        }
+      } else {
+        val idx = s - 280
+        if (idx >= cacheSize)
+          throw new IllegalArgumentException("VP8L bad cache index")
+        val v = cache(idx)
+        px(pos) = v; pos += 1
+      }
+    }
+    px
+  }
+
   /** Decode one VP8L stream (the body of a VP8L RIFF chunk, signature
-    * byte included) to ARGB pixels, or None when the file is corrupt
-    * or uses an out-of-profile feature. */
+    * byte included) to ARGB pixels, or None when the file is corrupt.
+    * Full spec coverage: all FOUR transforms — subtract-green,
+    * predictor (all 14 modes, spec edge rules, flat-array top-right
+    * addressing), cross-color (signed 3.5 fixed-point per-block
+    * multipliers) and color-indexing (delta-coded palette, pixel
+    * bundling at 1/2/4/8 px per byte) — plus the meta-prefix entropy
+    * image (per-block five-tree group selection). */
   private[operators] def decodeVp8l(b: Array[Byte])
       : Option[(Int, Int, Array[Int])] =
     try {
-      import Vp8l.{readTree, prefixOffset, prefixExtraBits, cacheHash,
-        DistanceMap}
+      import Vp8l._
       if (b.length < 5 || (b(0) & 0xff) != 0x2f) return None
       val br = new Vp8l.BitReader(b, 1)
       val w = br.read(14) + 1
       val h = br.read(14) + 1
       br.read(1) // alpha hint
       if (br.read(3) != 0) return None // version must be 0
-      // transforms: only subtract-green is in profile
-      var subtractGreen = false
-      while (br.read(1) == 1) {
-        br.read(2) match {
-          case 2 => subtractGreen = true
-          case _ => return None // predictor/cross-color/indexing: seam
-        }
-      }
-      val cacheBits = if (br.read(1) == 1) br.read(4) else 0
-      if (cacheBits > 11) return None
-      if (br.read(1) == 1) return None // meta-prefix image: out of profile
-      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-      val green = readTree(br, 256 + 24 + cacheSize)
-      val red = readTree(br, 256)
-      val blue = readTree(br, 256)
-      val alpha = readTree(br, 256)
-      val dist = readTree(br, 40)
-      val n = w * h
-      val px = new Array[Int](n)
-      val cache = new Array[Int](math.max(cacheSize, 1))
-      def insert(argb: Int): Unit =
-        if (cacheBits > 0) cache(cacheHash(argb, cacheBits)) = argb
-      var pos = 0
-      while (pos < n) {
-        val s = green.read(br)
-        if (s < 256) {
-          val r = red.read(br); val bl = blue.read(br)
-          val a = alpha.read(br)
-          val argb = (a << 24) | (r << 16) | (s << 8) | bl
-          px(pos) = argb; insert(argb); pos += 1
-        } else if (s < 280) {
-          val lc = s - 256
-          // prefix value = offset (already includes the +1) + extra bits
-          val length = prefixOffset(lc) + br.read(prefixExtraBits(lc))
-          val ds = dist.read(br)
-          val distCode = prefixOffset(ds) + br.read(prefixExtraBits(ds))
-          val d0 =
-            if (distCode > 120) distCode - 120
-            else {
-              val (dx, dy) = DistanceMap(distCode - 1)
-              math.max(1, dy * w + dx)
+      // transforms, in read order; inverses apply in REVERSE read order
+      sealed trait T
+      case object SubGreen extends T
+      final case class Pred(sizeBits: Int, tw: Int, modes: Array[Int])
+        extends T
+      final case class Cross(sizeBits: Int, tw: Int, elems: Array[Int])
+        extends T
+      final case class ColorIdx(palette: Array[Int], widthBits: Int)
+        extends T
+      val transforms = scala.collection.mutable.ListBuffer.empty[T]
+      var imgW = w // color-indexing bundles pixels: the coded width shrinks
+      var reading = true
+      while (reading) {
+        if (br.read(1) == 0) reading = false
+        else br.read(2) match {
+          case 0 => // predictor: block-size bits + a mode sub-image
+            val sizeBits = br.read(3) + 2
+            val tw = (imgW + (1 << sizeBits) - 1) >> sizeBits
+            val th = (h + (1 << sizeBits) - 1) >> sizeBits
+            val sub = decodeVp8lImage(br, tw, th, level0 = false)
+            if (sub == null) return None
+            transforms += Pred(sizeBits, tw, sub.map(p => (p >>> 8) & 0xff))
+          case 1 => // cross-color: block-size bits + element sub-image
+            val sizeBits = br.read(3) + 2
+            val tw = (imgW + (1 << sizeBits) - 1) >> sizeBits
+            val th = (h + (1 << sizeBits) - 1) >> sizeBits
+            val sub = decodeVp8lImage(br, tw, th, level0 = false)
+            if (sub == null) return None
+            transforms += Cross(sizeBits, tw, sub)
+          case 2 => transforms += SubGreen
+          case 3 => // color indexing: delta-coded palette row
+            val nColors = br.read(8) + 1
+            val stored = decodeVp8lImage(br, nColors, 1, level0 = false)
+            if (stored == null) return None
+            val pal = new Array[Int](nColors)
+            var i = 0
+            var prev = 0
+            while (i < nColors) { // per-channel cumulative sum
+              val s0 = stored(i)
+              val v = (((prev & 0xff00ff00) + (s0 & 0xff00ff00)) &
+                0xff00ff00) |
+                (((prev & 0x00ff00ff) + (s0 & 0x00ff00ff)) & 0x00ff00ff)
+              pal(i) = v; prev = v; i += 1
             }
-          if (d0 > pos || length < 1 || pos + length > n) return None
-          var j = 0
-          while (j < length) {
-            val v = px(pos - d0)
-            px(pos) = v; insert(v); pos += 1; j += 1
-          }
-        } else {
-          val idx = s - 280
-          if (idx >= cacheSize) return None
-          val v = cache(idx)
-          px(pos) = v; pos += 1
+            val wb =
+              if (nColors <= 2) 3 else if (nColors <= 4) 2
+              else if (nColors <= 16) 1 else 0
+            transforms += ColorIdx(pal, wb)
+            imgW = (w + (1 << wb) - 1) >> wb
+          case _ => return None // cross-color: out of profile
         }
       }
-      if (subtractGreen) {
-        var i = 0
-        while (i < n) {
-          val p = px(i)
-          val g = (p >>> 8) & 0xff
-          val r = (((p >>> 16) & 0xff) + g) & 0xff
-          val bl = ((p & 0xff) + g) & 0xff
-          px(i) = (p & 0xff00ff00) | (r << 16) | bl
-          i += 1
-        }
+      var px = decodeVp8lImage(br, imgW, h, level0 = true)
+      if (px == null) return None
+      var curW = imgW
+      transforms.reverseIterator.foreach {
+        case ColorIdx(pal, wb) =>
+          val bitsPp = 8 >> wb
+          val mask = (1 << bitsPp) - 1
+          val full = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val packed = (px(y * curW + (x >> wb)) >>> 8) & 0xff
+              val idx = (packed >>> ((x & ((1 << wb) - 1)) * bitsPp)) & mask
+              full(y * w + x) = if (idx < pal.length) pal(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          px = full; curW = w
+        case SubGreen =>
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val g = (p >>> 8) & 0xff
+            val r = (((p >>> 16) & 0xff) + g) & 0xff
+            val bl = ((p & 0xff) + g) & 0xff
+            px(i) = (p & 0xff00ff00) | (r << 16) | bl
+            i += 1
+          }
+        case Cross(sizeBits, tw, elems) =>
+          // Element pixel channels (spec): blue = green_to_red,
+          // green = green_to_blue, red = red_to_blue. Deltas are
+          // SIGNED 3.5 fixed-point products: (int8 * int8) >> 5.
+          var i = 0
+          while (i < px.length) {
+            val m = elems(((i / curW) >> sizeBits) * tw +
+              ((i % curW) >> sizeBits))
+            val g2r = (m & 0xff).toByte
+            val g2b = ((m >>> 8) & 0xff).toByte
+            val r2b = ((m >>> 16) & 0xff).toByte
+            val p = px(i)
+            val g = ((p >>> 8) & 0xff).toByte
+            val nr = (((p >>> 16) & 0xff) + ((g2r * g) >> 5)) & 0xff
+            val nb = ((p & 0xff) + ((g2b * g) >> 5) +
+              ((r2b * nr.toByte) >> 5)) & 0xff
+            px(i) = (p & 0xff00ff00) | (nr << 16) | nb
+            i += 1
+          }
+        case Pred(sizeBits, tw, modes) =>
+          var i = 0
+          val n = px.length
+          while (i < n) {
+            val x = i % curW; val y = i / curW
+            val pred =
+              if (i == 0) 0xff000000
+              else if (y == 0) px(i - 1)    // row 0: left
+              else if (x == 0) px(i - curW) // column 0: top
+              else predictPixel(px, i, curW,
+                modes((y >> sizeBits) * tw + (x >> sizeBits)))
+            px(i) = addPixels(px(i), pred)
+            i += 1
+          }
       }
       Some((w, h, px))
     } catch { case _: IllegalArgumentException => None }
@@ -7523,8 +7946,7 @@ object MediaCodec {
       // subtract-green stored form
       (0xff << 24) | (((r - g) & 0xff) << 16) | (g << 8) | ((b - g) & 0xff)
     }
-    val greenLens = Array.tabulate(256 + 24 + (1 << cacheBits))(i =>
-      if (i < 168) 8 else 9)
+    val greenLens = splitLens(256 + 24 + (1 << cacheBits), 8)
     val byteLens = Array.fill(256)(8)
     val greenTree = new Prefix(greenLens)
     val byteTree = new Prefix(byteLens)
@@ -7535,58 +7957,11 @@ object MediaCodec {
     bw.write(0, 1)                 // no more transforms
     bw.write(1, 1); bw.write(cacheBits.toLong, 4)
     bw.write(0, 1)                 // no meta-prefix image
-    /** code-length-coded tree whose lengths form runs of ≤2 distinct
-      * values — written with the {lengths, 16} code-length code. */
-    def writeLens(lens: Array[Int]): Unit = {
-      bw.write(0, 1) // not simple
-      val used = lens.distinct.sorted
-      require(used.nonEmpty && used.size <= 2 && used.forall(_ > 0))
-      // code-length code: single value → {v:1, 16:1}; two → {16:1, v:2...}
-      val clLens = new Array[Int](19)
-      clLens(16) = 1
-      if (used.size == 1) clLens(used.head) = 1
-      else { clLens(used(0)) = 2; clLens(used(1)) = 2 }
-      val clTree = new Prefix(clLens)
-      val maxPos = CodeLengthOrder.indices
-        .filter(i => clLens(CodeLengthOrder(i)) > 0).max
-      val total = math.max(4, maxPos + 1)
-      bw.write((total - 4).toLong, 4)
-      (0 until total).foreach(i =>
-        bw.write(clLens(CodeLengthOrder(i)).toLong, 3))
-      bw.write(0, 1) // no max_symbol
-      var i = 0
-      var prev = -1
-      while (i < lens.length) {
-        if (lens(i) == prev) {
-          var run = 0
-          while (i + run < lens.length && lens(i + run) == prev && run < 6)
-            run += 1
-          if (run >= 3) {
-            bw.writeCode(clTree.codes(16), clLens(16))
-            bw.write((run - 3).toLong, 2)
-            i += run
-          } else {
-            bw.writeCode(clTree.codes(lens(i)), clLens(lens(i)))
-            i += 1
-          }
-        } else {
-          prev = lens(i)
-          bw.writeCode(clTree.codes(lens(i)), clLens(lens(i)))
-          i += 1
-        }
-      }
-    }
-    def writeSimple1(sym: Int): Unit = {
-      bw.write(1, 1) // simple
-      bw.write(0, 1) // one symbol
-      bw.write(1, 1) // 8-bit symbol
-      bw.write(sym.toLong, 8)
-    }
-    writeLens(greenLens)
-    writeLens(byteLens); writeLens(byteLens) // red, blue
+    writeLens(bw, greenLens)
+    writeLens(bw, byteLens); writeLens(bw, byteLens) // red, blue
     val (dCode, dBits, dExtra) = prefixEncode((w - 7) + 120)
-    writeSimple1(255)   // alpha
-    writeSimple1(dCode) // distance: the one code every copy uses
+    writeSimple1(bw, 255)   // alpha
+    writeSimple1(bw, dCode) // distance: the one code every copy uses
     // pixel stream
     val cache = new Array[Int](1 << cacheBits)
     val seen = new Array[Boolean](1 << cacheBits)
@@ -7646,6 +8021,309 @@ object MediaCodec {
     docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
       .as[(Long, Long)]
       .map { case (id, n) => (id, buildWebplPixelFile(id, n)) }
+  }
+
+  /** Wrap a raw VP8L entropy stream into RIFF/WEBP/VP8L framing. */
+  private def webplContainer(stream: Array[Byte]): Array[Byte] = {
+    val chunkLen = 1 + stream.length
+    val riffSize = 4 + 8 + chunkLen + (chunkLen & 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4); u32(riffSize.toLong)
+    out.write("WEBP".getBytes("US-ASCII"), 0, 4)
+    out.write("VP8L".getBytes("US-ASCII"), 0, 4); u32(chunkLen.toLong)
+    out.write(0x2f)
+    out.write(stream, 0, stream.length)
+    if ((chunkLen & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** One literal-coded entropy image: green channel from `greens`
+    * through a code-length-coded tree over `alphabet` symbols; red /
+    * blue / alpha per pixel from the given channel functions, each
+    * either a 1-symbol simple tree (when constant) or the 256×8
+    * table. Writes trees + pixels ONLY — the cache bit (and, for the
+    * main image, the meta-prefix bit) belongs to the caller. */
+  private def writeLiteralImage(bw: Vp8l.BitWriter, greens: Array[Int],
+      alphabet: Int, red: Int => Int, blue: Int => Int,
+      alpha: Int => Int, constRba: Option[(Int, Int, Int)]): Unit = {
+    import Vp8l._
+    val greenLens = splitLens(alphabet, 8)
+    val greenTree = new Prefix(greenLens)
+    val byteLens = Array.fill(256)(8)
+    val byteTree = new Prefix(byteLens)
+    writeLens(bw, greenLens)
+    constRba match {
+      case Some((r, b, a)) =>
+        writeSimple1(bw, r); writeSimple1(bw, b); writeSimple1(bw, a)
+        writeSimple1(bw, 0) // distance: never used (literals only)
+        greens.foreach(g => bw.writeCode(greenTree.codes(g), greenLens(g)))
+      case None =>
+        writeLens(bw, byteLens); writeLens(bw, byteLens)
+        writeLens(bw, byteLens)
+        writeSimple1(bw, 0)
+        greens.indices.foreach { i =>
+          val g = greens(i)
+          bw.writeCode(greenTree.codes(g), greenLens(g))
+          bw.writeCode(byteTree.codes(red(i)), 8)
+          bw.writeCode(byteTree.codes(blue(i)), 8)
+          bw.writeCode(byteTree.codes(alpha(i)), 8)
+        }
+    }
+  }
+
+  /** Deterministic VP8L COLOR-INDEXING fixture: K = 2 + id mod 15
+    * palette colors (so the bundled widths 8/4/2 px-per-byte all
+    * rotate), palette entry j = (255, (37j+id) mod 256,
+    * (11j+3id) mod 256, (53j+7id) mod 256), pixel index
+    * (x + 7y + id) mod K. The palette row is DELTA-coded per spec;
+    * the packed index image stores 1 << widthBits indices per green
+    * byte. */
+  def buildWebplPaletteFile(id: Long, nChars: Long): Array[Byte] = {
+    import Vp8l._
+    val w = 7 + (nChars % 29).toInt
+    val h = 2 + (nChars % 13).toInt
+    val k = 2 + (id % 15).toInt
+    def palR(j: Int): Int = ((37 * j + id) % 256).toInt
+    def palG(j: Int): Int = ((11 * j + 3 * id) % 256).toInt
+    def palB(j: Int): Int = ((53 * j + 7 * id) % 256).toInt
+    val palette = Array.tabulate(k)(j =>
+      (0xff << 24) | (palR(j) << 16) | (palG(j) << 8) | palB(j))
+    val wb = if (k <= 2) 3 else if (k <= 4) 2 else 1 // k ≤ 16 always
+    val bitsPp = 8 >> wb
+    val subW = (w + (1 << wb) - 1) >> wb
+    val bw = new BitWriter
+    bw.write((w - 1).toLong, 14); bw.write((h - 1).toLong, 14)
+    bw.write(0, 1); bw.write(0, 3)
+    bw.write(1, 1); bw.write(3, 2)        // transform: color indexing
+    bw.write((k - 1).toLong, 8)
+    // the delta-coded palette row as its own literal entropy image
+    val deltas = Array.tabulate(k)(j =>
+      if (j == 0) palette(0) else subPixels(palette(j), palette(j - 1)))
+    bw.write(0, 1) // palette sub-image: no cache
+    writeLiteralImage(bw, deltas.map(p => (p >>> 8) & 0xff), 280,
+      i => (deltas(i) >>> 16) & 0xff, i => deltas(i) & 0xff,
+      i => (deltas(i) >>> 24) & 0xff, constRba = None)
+    bw.write(0, 1) // no more transforms
+    // the packed index image (greens carry the bundled indices)
+    val packed = new Array[Int](subW * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = ((x + 7 * y + id) % k).toInt
+      val p = y * subW + (x >> wb)
+      packed(p) |= idx << ((x & ((1 << wb) - 1)) * bitsPp)
+    }
+    bw.write(0, 1) // main image: no cache
+    bw.write(0, 1) // no meta-prefix image
+    writeLiteralImage0(bw, packed, 280)
+    webplContainer(bw.result())
+  }
+
+  /** Literal image with constant r=0, b=0, a=255 channels — the packed
+    * index / predictor-mode sub-image shape (only green carries data).
+    * NOTE: writes trees + pixels only (cache/meta bits are the
+    * caller's, since sub-images have no meta bit). */
+  private def writeLiteralImage0(bw: Vp8l.BitWriter, greens: Array[Int],
+                                 alphabet: Int): Unit = {
+    import Vp8l._
+    val greenLens = splitLens(alphabet, 8)
+    val greenTree = new Prefix(greenLens)
+    writeLens(bw, greenLens)
+    writeSimple1(bw, 0); writeSimple1(bw, 0) // red, blue
+    writeSimple1(bw, 255)                    // alpha
+    writeSimple1(bw, 0)                      // distance (unused)
+    greens.foreach(g => bw.writeCode(greenTree.codes(g), greenLens(g)))
+  }
+
+  /** Deterministic VP8L PREDICTOR fixture: the mm_webpl_pixels pattern
+    * stored as per-pixel residuals against a 4×4-block predictor image
+    * whose mode rotates (bx + by + id) mod 14 — every one of the 14
+    * spec predictors appears across the corpus, with the spec edge
+    * rules (top-left black, row 0 left, column 0 top) and flat-array
+    * top-right addressing exercised on every image. */
+  def buildWebplPredictFile(id: Long, nChars: Long): Array[Byte] = {
+    import Vp8l._
+    val w = 8 + (nChars % 21).toInt
+    val h = 3 + (nChars % 17).toInt
+    val sizeBits = 2 // 4×4 blocks
+    val tw = (w + 3) >> 2; val th = (h + 3) >> 2
+    val truth = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val ci = ((x + 7 * y + id) % 256).toInt
+      (0xff << 24) | (((5 * ci) % 251) << 16) | (ci << 8) | ((3 * ci) % 253)
+    }
+    val modes = Array.tabulate(tw * th) { bi =>
+      ((bi % tw + bi / tw + id) % 14).toInt
+    }
+    val residuals = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val pred =
+        if (i == 0) 0xff000000
+        else if (y == 0) truth(i - 1)
+        else if (x == 0) truth(i - w)
+        else predictPixel(truth, i, w,
+          modes((y >> sizeBits) * tw + (x >> sizeBits)))
+      subPixels(truth(i), pred)
+    }
+    val bw = new BitWriter
+    bw.write((w - 1).toLong, 14); bw.write((h - 1).toLong, 14)
+    bw.write(0, 1); bw.write(0, 3)
+    bw.write(1, 1); bw.write(0, 2)          // transform: predictor
+    bw.write((sizeBits - 2).toLong, 3)
+    bw.write(0, 1) // mode sub-image: no cache
+    writeLiteralImage0(bw, modes, 280)
+    bw.write(0, 1) // no more transforms
+    bw.write(0, 1) // main image: no cache
+    bw.write(0, 1) // no meta-prefix image
+    writeLiteralImage(bw, residuals.map(p => (p >>> 8) & 0xff), 280,
+      i => (residuals(i) >>> 16) & 0xff, i => residuals(i) & 0xff,
+      i => (residuals(i) >>> 24) & 0xff, constRba = None)
+    webplContainer(bw.result())
+  }
+
+  def webplPaletteFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, buildWebplPaletteFile(id, n)) }
+  }
+
+  def webplPredictFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, buildWebplPredictFile(id, n)) }
+  }
+
+  /** Deterministic VP8L CROSS-COLOR fixture: the truth pattern
+    * ci = (x + 3y + id) mod 256 → (255, (11ci) mod 255, ci,
+    * (7ci) mod 249) is stored as residuals under per-4×4-block
+    * ColorTransformElements that sweep the FULL signed byte range —
+    * g2r = (13·bi + id) mod 256, g2b = (19·bi + 3id) mod 256,
+    * r2b = (23·bi + 7id) mod 256 — so the signed 3.5 fixed-point
+    * products ((int8·int8) >> 5, arithmetic shift on negatives) are
+    * exercised in every image; the element sub-image is its own
+    * entropy image per spec (blue = g2r, green = g2b, red = r2b). */
+  def buildWebplCrossFile(id: Long, nChars: Long): Array[Byte] = {
+    import Vp8l._
+    val w = 6 + (nChars % 23).toInt
+    val h = 3 + (nChars % 19).toInt
+    val sizeBits = 2
+    val tw = (w + 3) >> 2; val th = (h + 3) >> 2
+    def ctDelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+    val truth = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val ci = ((x + 3 * y + id) % 256).toInt
+      (0xff << 24) | (((11 * ci) % 255) << 16) | (ci << 8) |
+        ((7 * ci) % 249)
+    }
+    def g2r(bi: Int): Int = ((13 * bi + id) % 256).toInt
+    def g2b(bi: Int): Int = ((19 * bi + 3 * id) % 256).toInt
+    def r2b(bi: Int): Int = ((23 * bi + 7 * id) % 256).toInt
+    // forward transform (spec encoder): subtract deltas, original red
+    // feeds the red_to_blue term so decode's use of the RECOVERED red
+    // round-trips exactly
+    val residuals = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val bi = ((y >> sizeBits) * tw) + (x >> sizeBits)
+      val p = truth(i)
+      val g = (p >>> 8) & 0xff; val r = (p >>> 16) & 0xff
+      val nr = (r - ctDelta(g2r(bi), g)) & 0xff
+      val nb = ((p & 0xff) - ctDelta(g2b(bi), g) -
+        ctDelta(r2b(bi), r)) & 0xff
+      (p & 0xff00ff00) | (nr << 16) | nb
+    }
+    val bw = new BitWriter
+    bw.write((w - 1).toLong, 14); bw.write((h - 1).toLong, 14)
+    bw.write(0, 1); bw.write(0, 3)
+    bw.write(1, 1); bw.write(1, 2)          // transform: cross-color
+    bw.write((sizeBits - 2).toLong, 3)
+    bw.write(0, 1) // element sub-image: no cache
+    val elems = Array.tabulate(tw * th)(bi =>
+      (0xff << 24) | (r2b(bi) << 16) | (g2b(bi) << 8) | g2r(bi))
+    writeLiteralImage(bw, elems.map(p => (p >>> 8) & 0xff), 280,
+      i => (elems(i) >>> 16) & 0xff, i => elems(i) & 0xff,
+      i => 0xff, constRba = None)
+    bw.write(0, 1) // no more transforms
+    bw.write(0, 1) // main image: no cache
+    bw.write(0, 1) // no meta-prefix image
+    writeLiteralImage(bw, residuals.map(p => (p >>> 8) & 0xff), 280,
+      i => (residuals(i) >>> 16) & 0xff, i => residuals(i) & 0xff,
+      i => 0xff, constRba = None)
+    webplContainer(bw.result())
+  }
+
+  /** Deterministic VP8L META-PREFIX fixture: 2 + id mod 3 five-tree
+    * groups, the entropy image rotating the group index per 4×4 block
+    * ((bx + by + id) mod N), each group's green code a DIFFERENT
+    * rotation of the (8, 9)-bit split — decoding any block with the
+    * wrong group's tree desynchronizes the stream, so the pattern
+    * oracle is only reachable through correct per-block group
+    * selection. Pattern: ci = (x + 11y + id) mod 256 →
+    * (255, (7ci) mod 251, ci, (5ci) mod 241). */
+  def buildWebplMetaFile(id: Long, nChars: Long): Array[Byte] = {
+    import Vp8l._
+    val w = 9 + (nChars % 19).toInt
+    val h = 4 + (nChars % 11).toInt
+    val metaBits = 2
+    val tw = (w + 3) >> 2; val th = (h + 3) >> 2
+    val numGroups = (2 + id % 3).toInt
+    val groupOf = Array.tabulate(tw * th)(bi =>
+      ((bi % tw + bi / tw + id) % numGroups).toInt)
+    val base = splitLens(280, 8)
+    // group g's green lengths: the same Kraft-complete length multiset,
+    // rotated — different canonical codes per group
+    val greenLens = Array.tabulate(numGroups)(g =>
+      Array.tabulate(280)(sym => base((sym + 37 * g) % 280)))
+    val greenTrees = greenLens.map(new Prefix(_))
+    val byteLens = Array.fill(256)(8)
+    val byteTree = new Prefix(byteLens)
+    val bw = new BitWriter
+    bw.write((w - 1).toLong, 14); bw.write((h - 1).toLong, 14)
+    bw.write(0, 1); bw.write(0, 3)
+    bw.write(0, 1) // no transforms
+    bw.write(0, 1) // no color cache
+    bw.write(1, 1) // meta-prefix image present
+    bw.write((metaBits - 2).toLong, 3)
+    bw.write(0, 1) // entropy sub-image: no cache
+    writeLiteralImage0(bw, groupOf, 280)
+    // the N five-tree groups, in index order
+    for (g <- 0 until numGroups) {
+      writeLens(bw, greenLens(g))
+      writeLens(bw, byteLens); writeLens(bw, byteLens) // red, blue
+      writeSimple1(bw, 255)                            // alpha
+      writeSimple1(bw, 0)                              // distance
+    }
+    for (i <- 0 until w * h) {
+      val x = i % w; val y = i / w
+      val g = groupOf((y >> metaBits) * tw + (x >> metaBits))
+      val ci = ((x + 11 * y + id) % 256).toInt
+      val green = ci
+      bw.writeCode(greenTrees(g).codes(green), greenLens(g)(green))
+      bw.writeCode(byteTree.codes((7 * ci) % 251), 8)
+      bw.writeCode(byteTree.codes((5 * ci) % 241), 8)
+    }
+    webplContainer(bw.result())
+  }
+
+  def webplCrossFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, buildWebplCrossFile(id, n)) }
+  }
+
+  def webplMetaFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, buildWebplMetaFile(id, n)) }
   }
 
   /** Per-partition batch walk — payloads never shuffle. */
@@ -8353,13 +9031,187 @@ object MediaCodec {
   final case class TiffPixels(id: Long, byteOrder: String, width: Int,
       height: Int, nStrips: Int, sumPix: Long, peak: Int, firstPix: Int)
 
+  /** TIFF 6.0 strip codecs (public spec, §9 PackBits + §13 LZW).
+    * TIFF LZW is the MSB-first variant with the EARLY-CHANGE rule:
+    * the encoder widens the code size after the add that makes the
+    * next free entry 511/1023/2047, the decoder — whose table lags
+    * the encoder's by exactly one add — after 510/1022/2046; the
+    * encoder emits ClearCode when the table reaches 4094 so entry
+    * 4095 is never allocated. Matched encoder (fixture) + decoder
+    * (engine) pairs; the decoder is defensive against corrupt input
+    * (returns null, the caller maps it to a skipped payload). */
+  private[operators] object TiffCodec {
+    def lzwDecode(b: Array[Byte], off: Int, len: Int,
+                  expect: Int): Array[Byte] = {
+      val out = new Array[Byte](expect)
+      var outPos = 0
+      var bitPos = 0L
+      val endBit = len.toLong * 8
+      var width = 9
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val strLen = new Array[Int](4096)
+      var next = 258
+      var prev = -1
+      def read(): Int = {
+        if (bitPos + width > endBit) return -1
+        var v = 0; var i = 0
+        while (i < width) {
+          val p = off + (bitPos >> 3).toInt
+          v = (v << 1) | ((b(p) >> (7 - (bitPos & 7).toInt)) & 1)
+          bitPos += 1; i += 1
+        }
+        v
+      }
+      def lenOf(c: Int): Int = if (c < 256) 1 else strLen(c)
+      def firstByte(c0: Int): Byte = {
+        var c = c0; while (c >= 256) c = prefix(c); c.toByte
+      }
+      def emit(code: Int): Boolean = {
+        val l = lenOf(code)
+        if (outPos + l > expect) return false
+        var i = outPos + l - 1; var c = code
+        while (c >= 256) { out(i) = suffix(c); i -= 1; c = prefix(c) }
+        out(i) = c.toByte
+        outPos += l
+        true
+      }
+      while (true) {
+        val code = read()
+        if (code < 0) return null
+        if (code == 256) { next = 258; width = 9; prev = -1 }
+        else if (code == 257) return if (outPos == expect) out else null
+        else if (prev < 0) {
+          if (code >= 256) return null
+          if (!emit(code)) return null
+          prev = code
+        } else {
+          if (code < next && code != 256 && code != 257) {
+            if (!emit(code)) return null
+            if (next < 4096) {
+              prefix(next) = prev; suffix(next) = firstByte(code)
+              strLen(next) = lenOf(prev) + 1; next += 1
+            }
+          } else if (code == next && next < 4096) { // KwKwK
+            prefix(next) = prev; suffix(next) = firstByte(prev)
+            strLen(next) = lenOf(prev) + 1; next += 1
+            if (!emit(code)) return null
+          } else return null
+          prev = code
+          if (next == 510 || next == 1022 || next == 2046) width += 1
+        }
+      }
+      null
+    }
+
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      var width = 9
+      def put(code: Int): Unit = {
+        acc = (acc << width) | code.toLong; nbits += width
+        while (nbits >= 8) {
+          out.write(((acc >> (nbits - 8)) & 0xff).toInt); nbits -= 8
+        }
+      }
+      val table = new java.util.HashMap[Integer, Integer]()
+      var next = 258
+      put(256) // initial Clear per spec
+      var prev = -1
+      var i = 0
+      while (i < data.length) {
+        val c = data(i) & 0xff
+        if (prev < 0) prev = c
+        else {
+          val key = Integer.valueOf((prev << 8) | c)
+          val hit = table.get(key)
+          if (hit != null) prev = hit.intValue()
+          else {
+            put(prev)
+            table.put(key, Integer.valueOf(next)); next += 1
+            if (next == 511 || next == 1023 || next == 2047) width += 1
+            else if (next == 4094) {
+              put(256); table.clear(); next = 258; width = 9
+            }
+            prev = c
+          }
+        }
+        i += 1
+      }
+      if (prev >= 0) put(prev)
+      put(257) // EOI
+      if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+      out.toByteArray
+    }
+
+    def packBitsDecode(b: Array[Byte], off: Int, len: Int,
+                       expect: Int): Array[Byte] = {
+      val out = new Array[Byte](expect)
+      var outPos = 0
+      var p = off; val end = off + len
+      while (p < end && outPos < expect) {
+        val n = b(p); p += 1
+        if (n >= 0) { // literal run of n+1
+          val l = n + 1
+          if (p + l > end || outPos + l > expect) return null
+          System.arraycopy(b, p, out, outPos, l)
+          p += l; outPos += l
+        } else if (n != -128) { // replicate next byte 1-n times
+          val l = 1 - n
+          if (p >= end || outPos + l > expect) return null
+          java.util.Arrays.fill(out, outPos, outPos + l, b(p))
+          p += 1; outPos += l
+        } // -128: no-op
+      }
+      if (outPos == expect && p == end) out else null
+    }
+
+    /** Per-row PackBits (the spec's recommendation: rows compress
+      * independently, runs never cross a row boundary). */
+    def packBitsEncode(data: Array[Byte], rowBytes: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var rowStart = 0
+      while (rowStart < data.length) {
+        val rowEnd = math.min(rowStart + rowBytes, data.length)
+        var p = rowStart
+        while (p < rowEnd) {
+          // measure the run at p
+          var run = 1
+          while (p + run < rowEnd && data(p + run) == data(p) && run < 128)
+            run += 1
+          if (run >= 2) {
+            out.write(1 - run); out.write(data(p) & 0xff); p += run
+          } else {
+            // literal until the next run of >= 3 (or 128 bytes)
+            var q = p + 1
+            var stop = false
+            while (q < rowEnd && q - p < 128 && !stop) {
+              var r = 1
+              while (q + r < rowEnd && data(q + r) == data(q) && r < 3)
+                r += 1
+              if (r >= 3) stop = true else q += 1
+            }
+            out.write(q - p - 1)
+            out.write(data, p, q - p)
+            p = q
+          }
+        }
+        rowStart = rowEnd
+      }
+      out.toByteArray
+    }
+  }
+
   /** Real TIFF 6.0 baseline-grayscale decode: the header + IFD walk in
     * BOTH byte orders (the EXIF gate walks metadata; this one reads
     * CONTENT), strip geometry from RowsPerStrip with the
     * StripOffsets/StripByteCounts arrays pulled from the data area
-    * (SHORT or LONG entry types), uncompressed 8-bit samples
-    * reassembled across strips into the intake loudness-style stats.
-    * Any bounds/type/geometry violation → None. */
+    * (SHORT or LONG entry types), 8-bit samples in the three wild
+    * compressions — none (1), LZW (5, MSB-first early-change variant,
+    * optionally under Predictor 2 horizontal differencing) and
+    * PackBits (32773) — reassembled across strips into the intake
+    * loudness-style stats. Any bounds/type/geometry violation →
+    * None. */
   def parseTiffPixels(id: Long, b: Array[Byte]): Option[TiffPixels] = {
     if (b.length < 8) return None
     val little = b(0) == 'I' && b(1) == 'I'
@@ -8387,6 +9239,7 @@ object MediaCodec {
     var offsets: IndexedSeq[Long] = IndexedSeq.empty
     var counts: IndexedSeq[Long] = IndexedSeq.empty
     var samplesPerPixel = 1
+    var predictor = 1
     (0 until n).foreach { k =>
       val e = ifd + 2 + 12 * k
       if (e + 12 > b.length) return None
@@ -8413,6 +9266,7 @@ object MediaCodec {
         case 259 => compression = scalar().toInt
         case 277 => samplesPerPixel = scalar().toInt
         case 278 => rowsPerStrip = scalar()
+        case 317 => predictor = scalar().toInt
         case 273 =>
           val a = array(); if (a == null) return None; offsets = a
         case 279 =>
@@ -8420,21 +9274,71 @@ object MediaCodec {
         case _ => () // uninterpreted tags skip (entries are fixed-size)
       }
     }
-    if (width <= 0 || height <= 0 || bits != 8 || compression != 1 ||
+    if (width <= 0 || height <= 0 || bits != 8 ||
+      (compression != 1 && compression != 5 && compression != 8 &&
+        compression != 32946 && compression != 32773) ||
       samplesPerPixel != 1 || rowsPerStrip <= 0 ||
+      (predictor != 1 && predictor != 2) ||
       offsets.isEmpty || offsets.size != counts.size) return None
     val expectStrips = ((height + rowsPerStrip - 1) / rowsPerStrip).toInt
     if (offsets.size != expectStrips) return None
     var sum = 0L; var peak = 0; var first = -1
     var row = 0L
     offsets.indices.foreach { s =>
-      val rows = math.min(rowsPerStrip, height - row)
-      if (counts(s) != rows * width) return None
+      val rows = math.min(rowsPerStrip, height - row).toInt
+      val expected = rows * width
       val off = offsets(s).toInt
-      if (off < 0 || off + counts(s) > b.length) return None
+      if (off < 0 || off + counts(s) > b.length || counts(s) < 0)
+        return None
+      val raw: Array[Byte] = compression match {
+        case 1 =>
+          if (counts(s) != expected) return None
+          java.util.Arrays.copyOfRange(b, off, off + expected)
+        case 5 =>
+          val d = TiffCodec.lzwDecode(b, off, counts(s).toInt, expected)
+          if (d == null) return None
+          d
+        case 8 | 32946 => // Adobe deflate / legacy deflate: zlib strips
+          val out = new Array[Byte](expected)
+          val inf = new java.util.zip.Inflater()
+          try {
+            inf.setInput(b, off, counts(s).toInt)
+            var got = 0
+            while (got < expected && !inf.finished()) {
+              val n = inf.inflate(out, got, expected - got)
+              if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+                return None
+              got += n
+            }
+            if (got < expected) return None
+          } catch {
+            case _: java.util.zip.DataFormatException => return None
+          } finally inf.end()
+          out
+        case _ => // 32773 PackBits
+          val d = TiffCodec.packBitsDecode(b, off, counts(s).toInt,
+            expected)
+          if (d == null) return None
+          d
+      }
+      // Predictor 2 (horizontal differencing): each row is stored as
+      // deltas; the first column is absolute
+      if (predictor == 2) {
+        var r = 0
+        while (r < rows) {
+          var x = 1
+          while (x < width) {
+            raw(r * width + x) =
+              ((raw(r * width + x) + raw(r * width + x - 1)) & 0xff)
+                .toByte
+            x += 1
+          }
+          r += 1
+        }
+      }
       var i = 0
-      while (i < counts(s)) {
-        val v = b(off + i) & 0xff
+      while (i < expected) {
+        val v = raw(i) & 0xff
         sum += v
         if (v > peak) peak = v
         if (first < 0) first = v
@@ -8515,6 +9419,111 @@ object MediaCodec {
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long]
       .map(id => (id, buildTiffPattern(id)))
+  }
+
+  /** Deterministic COMPRESSED grayscale TIFF rotating the THREE wild
+    * compressions by id mod 3 — LZW (5), PackBits (32773), Adobe
+    * deflate (8) — LZW/deflate alternating Predictor 2 horizontal
+    * differencing; pixel(x,y) = (id + 5·(x div 4) + 3y) mod 256
+    * (runs of 4 so PackBits exercises replicate AND literal packets,
+    * LZW builds real multi-byte phrases); strip geometry and byte
+    * order rotate like the baseline fixture, StripByteCounts carry
+    * the VARIABLE compressed sizes. */
+  def buildTiffCompressedPattern(id: Long): Array[Byte] = {
+    val little = id % 2 == 0
+    val compression = (id % 3) match {
+      case 0 => 5; case 1 => 32773; case _ => 8
+    }
+    val predictor =
+      if (compression != 32773 && (id / 3) % 2 == 1) 2 else 1
+    val w = 8 + (id % 37).toInt
+    val h = 5 + (id % 23).toInt
+    val rps = 2 + (id % 5).toInt
+    val nStrips = (h + rps - 1) / rps
+    def pix(x: Int, y: Int): Int = ((id + 5 * (x / 4) + 3 * y) % 256).toInt
+    // per-strip compressed payloads
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      val raw = new Array[Byte](rows * w)
+      var i = 0
+      (0 until rows).foreach { r =>
+        (0 until w).foreach { x =>
+          raw(i) = pix(x, s * rps + r).toByte; i += 1
+        }
+      }
+      if (predictor == 2) { // forward horizontal differencing
+        (0 until rows).foreach { r =>
+          var x = w - 1
+          while (x >= 1) {
+            raw(r * w + x) =
+              ((raw(r * w + x) - raw(r * w + x - 1)) & 0xff).toByte
+            x -= 1
+          }
+        }
+      }
+      compression match {
+        case 5 => TiffCodec.lzwEncode(raw)
+        case 32773 => TiffCodec.packBitsEncode(raw, w)
+        case _ =>
+          val d = new java.util.zip.Deflater()
+          val zs = new java.io.ByteArrayOutputStream()
+          try {
+            d.setInput(raw); d.finish()
+            val buf = new Array[Byte](4096)
+            while (!d.finished()) zs.write(buf, 0, d.deflate(buf))
+          } finally d.end()
+          zs.toByteArray
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (little) { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+      else { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (little) (0 until 4).foreach(i =>
+        out.write(((v >>> (8 * i)) & 0xff).toInt))
+      else (3 to 0 by -1).foreach(i =>
+        out.write(((v >>> (8 * i)) & 0xff).toInt))
+    out.write(if (little) 'I' else 'M'); out.write(if (little) 'I' else 'M')
+    w16(42)
+    w32(8)
+    val nEntries = if (predictor == 2) 10 else 9
+    val ifdEnd = 8 + 2 + 12 * nEntries + 4
+    val offArrayAt = ifdEnd
+    val cntArrayAt = offArrayAt + 4 * nStrips
+    val pixAt = cntArrayAt + 4 * nStrips
+    val stripOffsets = strips.indices.map { s =>
+      pixAt.toLong + strips.take(s).map(_.length.toLong).sum
+    }
+    w16(nEntries)
+    def entry(tag: Int, tpe: Int, count: Long, value: Long): Unit = {
+      w16(tag); w16(tpe); w32(count)
+      if (tpe == 3) { w16(value.toInt); w16(0) } else w32(value)
+    }
+    entry(256, 4, 1, w.toLong)
+    entry(257, 4, 1, h.toLong)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, compression.toLong)
+    entry(262, 3, 1, 1)
+    entry(273, 4, nStrips.toLong,
+      if (nStrips == 1) stripOffsets.head else offArrayAt.toLong)
+    entry(277, 3, 1, 1)
+    entry(278, 4, 1, rps.toLong)
+    entry(279, 4, nStrips.toLong,
+      if (nStrips == 1) strips.head.length.toLong else cntArrayAt.toLong)
+    if (predictor == 2) entry(317, 3, 1, 2)
+    w32(0)
+    stripOffsets.foreach(w32)
+    strips.foreach(s => w32(s.length.toLong))
+    strips.foreach(s => out.write(s, 0, s.length))
+    out.toByteArray
+  }
+
+  def tiffCompressedFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, buildTiffCompressedPattern(id)))
   }
 
   /** Per-partition batch decode — payloads never shuffle. */

@@ -521,6 +521,22 @@ object CdcQueries {
         .orderBy("doc_id")
     },
 
+    // MySQL 8 binlog_transaction_compression=ON: the decode
+    // transaction WRAPPED in a TRANSACTION_PAYLOAD event (40) — TLV
+    // codec header, ZSTD for even ids / compression NONE for odd,
+    // checksum-free inner events sharing the outer TABLE_MAP state —
+    // a layout the reference's vendored decoder cannot read at all.
+    // match_plain compares every unwrapped row image against the
+    // plain route's (hash-pinned by cdc_binlog_decode), so the
+    // payload path carries full value correctness.
+    "cdc_binlog_tpayload" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(graft.sources.BinlogFixture.tpayloadRowFor _)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     // S5 end to end: customer rows encoded into rotated BINARY binlog
     // segments (range-sharded, one segment per shard, DDL in the first
     // segment like a schema-history bootstrap), tailed through the
@@ -760,6 +776,16 @@ object CdcQueries {
         |    CASE WHEN doc_id % 4 = 0 THEN ''
         |         ELSE ',"y":"w' || (doc_id % 5) || '"' END ||
         |    '},"e":"n' || (doc_id % 7) || '"}' AS after_js
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // six inner events (BEGIN, TABLE_MAP, 3 rows events, XID), seven
+    // row images, and the codec the fixture chose by parity; the
+    // decompression + unwrap correctness rides match_plain
+    "cdc_binlog_tpayload" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ZSTD' ELSE 'NONE' END
+        |    AS compression,
+        |  6 AS inner_events, 5 AS n_rows, TRUE AS match_plain
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the expected replica, recomputed from the source table: updates

@@ -694,6 +694,72 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // VP8L COLOR-INDEXING transform under the gate: a delta-coded
+    // palette row (its own entropy image), pixel BUNDLING at 8/4/2
+    // indices per green byte (k = 2 + id mod 15 rotates all widths),
+    // and the out-of-range-index rule — the palette-WebP shape most
+    // icon/UI crawl media actually has.
+    "mm_webpl_palette" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.webplPaletteFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWebplPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"))
+        .orderBy("doc_id")
+    },
+
+    // VP8L PREDICTOR transform under the gate: per-4×4-block modes
+    // rotating through ALL 14 spec predictors (averages, Select,
+    // ClampAddSubtractFull/Half), spec edge rules and flat-array
+    // top-right addressing — the residual coding real photographic
+    // lossless WebPs use. The oracle sees only the reconstructed
+    // pattern: any predictor bug diverges the means.
+    "mm_webpl_predict" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.webplPredictFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWebplPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
+    // VP8L CROSS-COLOR transform under the gate: per-4×4-block signed
+    // 3.5 fixed-point ColorTransformElements sweeping the full byte
+    // range — the residual channel correlation real photographic
+    // lossless WebPs carry. With this the decoder covers ALL FOUR
+    // spec transforms.
+    "mm_webpl_cross" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.webplCrossFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWebplPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"))
+        .orderBy("doc_id")
+    },
+
+    // VP8L META-PREFIX entropy image under the gate: 2-4 five-tree
+    // groups selected per 4×4 block, each group's green code a
+    // different rotation of the canonical length split — the
+    // multi-entropy-group layout cwebp emits for any non-trivial
+    // photo. One wrong group pick desynchronizes the stream.
+    "mm_webpl_meta" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.webplMetaFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractWebplPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"))
+        .orderBy("doc_id")
+    },
+
     // REAL indexed-BMP decode under the gate: 8-bpp palette BMPs
     // (BITMAPINFOHEADER BGRA color table, 1-byte-per-pixel rows padded
     // to 4, both row orders) — the third container sharing the one
@@ -793,6 +859,22 @@ object SimilarityQueries {
     // stand-in covers only the entropy-coded formats (JPEG/H.264).
     "mm_png_pixels" -> { (s, dir) =>
       val media = graft.operators.MediaCodec.pngFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractPngPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("topRowMean"), 6).as("top_row_mean"))
+        .orderBy("doc_id")
+    },
+
+    // ADAM7-INTERLACED PNG under the gate: the seven reduced images
+    // defiltered independently and scattered back, with EMPTY passes
+    // (images narrower/shorter than 5) in-corpus — the progressive
+    // layout early-web crawl media still carries.
+    "mm_png_adam7" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.pngAdam7FromDocuments(
         s, t(s, dir, "documents"))
       graft.operators.MediaCodec.extractPngPixels(media).toDF()
         .select(col("id").as("doc_id"), col("width"), col("height"),
@@ -1214,6 +1296,23 @@ object SimilarityQueries {
     // stats the oracle re-derives per (x, y).
     "mm_tiff_pixels" -> { (s, dir) =>
       val media = graft.operators.MediaCodec.tiffFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractTiffPixels(media).toDF()
+        .select(col("id").as("doc_id"), col("byteOrder").as("byte_order"),
+          col("width"), col("height"), col("nStrips").as("n_strips"),
+          col("sumPix").as("sum_pix"), col("peak"),
+          col("firstPix").as("first_pix"))
+        .orderBy("doc_id")
+    },
+
+    // COMPRESSED TIFF under the gate: LZW (the MSB-first early-change
+    // variant), PackBits, and Adobe-deflate strips — the three
+    // compressions nearly every wild TIFF uses — LZW/deflate
+    // alternating Predictor-2 horizontal differencing, with VARIABLE
+    // StripByteCounts; same decoded-content stats, so the oracle is
+    // only reachable through correct decompression.
+    "mm_tiff_lzw" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.tiffCompressedFromDocuments(
         s, t(s, dir, "documents"))
       graft.operators.MediaCodec.extractTiffPixels(media).toDF()
         .select(col("id").as("doc_id"), col("byteOrder").as("byte_order"),
@@ -2638,6 +2737,29 @@ object SimilarityQueries {
         |    AS first_pix
         |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // Compressed-TIFF oracle: the LZW phrase table, early-change
+    // widths, predictor reconstruction and PackBits packets all sit
+    // between the file bytes and these sums.
+    "mm_tiff_lzw" ->
+      """WITH dim AS (SELECT doc_id AS id, 8 + doc_id % 37 AS w,
+        |    5 + doc_id % 23 AS h, 2 + doc_id % 5 AS rps
+        |  FROM documents),
+        |px AS (SELECT id, w, h, rps, x, y,
+        |    (id + 5*(x // 4) + 3*y) % 256 AS v
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(h)) AS y),
+        |    LATERAL (SELECT unnest(range(w)) AS x))
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(MAX(w) AS INT) AS width,
+        |  CAST(MAX(h) AS INT) AS height,
+        |  CAST((MAX(h) + MAX(rps) - 1) // MAX(rps) AS INT) AS n_strips,
+        |  CAST(SUM(v) AS BIGINT) AS sum_pix,
+        |  CAST(MAX(v) AS INT) AS peak,
+        |  CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN v ELSE 0 END) AS INT)
+        |    AS first_pix
+        |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
     // Re-derives the tag strings by concat AND the full tag-size byte
     // arithmetic (7 frame headers + per-frame text lengths + padding).
     "mm_id3_tags" ->
@@ -3102,6 +3224,103 @@ object SimilarityQueries {
         |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
         |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // Palette formulas replayed over the index pattern: ci = (x + 7y +
+    // id) mod k, entry j = ((37j+id), (11j+3id), (53j+7id)) mod 256 —
+    // the delta coding, bundling widths and palette walk all sit
+    // between the file bytes and these means.
+    "mm_webpl_palette" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    7 + (CAST(n_chars AS BIGINT) % 29) AS w,
+        |    2 + (CAST(n_chars AS BIGINT) % 13) AS h,
+        |    2 + (doc_id % 15) AS k
+        |  FROM documents),
+        |px AS (SELECT id, w, h, k, x, y,
+        |    (x + 7 * y + id) % k AS ci
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |rgb AS (SELECT id, w, h, x, y,
+        |    (37 * ci + id) % 256 AS r,
+        |    (11 * ci + 3 * id) % 256 AS g,
+        |    (53 * ci + 7 * id) % 256 AS b
+        |  FROM px)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b
+        |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // The predictor gate reconstructs the SAME pattern as
+    // mm_webpl_pixels (different dims), so the oracle is the identical
+    // arithmetic — wrong predictor → wrong reconstruction → hash miss.
+    "mm_webpl_predict" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    8 + (CAST(n_chars AS BIGINT) % 21) AS w,
+        |    3 + (CAST(n_chars AS BIGINT) % 17) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    (x + 7 * y + id) % 256 AS ci
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |rgb AS (SELECT id, w, h, x, y,
+        |    (5 * ci) % 251 AS r, ci AS g, (3 * ci) % 253 AS b
+        |  FROM px)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Cross-color oracle: the block multipliers, signed products and
+    // residual coding all sit between the file bytes and these means —
+    // the pattern is only reachable through a correct inverse.
+    "mm_webpl_cross" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    6 + (CAST(n_chars AS BIGINT) % 23) AS w,
+        |    3 + (CAST(n_chars AS BIGINT) % 19) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    (x + 3 * y + id) % 256 AS ci
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |rgb AS (SELECT id, w, h,
+        |    (11 * ci) % 255 AS r, ci AS g, (7 * ci) % 249 AS b
+        |  FROM px)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b
+        |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Meta-prefix oracle: same shape — the per-block group selection
+    // and the rotated canonical codes sit between bytes and means.
+    "mm_webpl_meta" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    9 + (CAST(n_chars AS BIGINT) % 19) AS w,
+        |    4 + (CAST(n_chars AS BIGINT) % 11) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    (x + 11 * y + id) % 256 AS ci
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y)),
+        |rgb AS (SELECT id, w, h,
+        |    (7 * ci) % 251 AS r, ci AS g, (5 * ci) % 241 AS b
+        |  FROM px)
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b
+        |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
+
     // Re-derives every class's sampled-frame pHash sequence from the
     // composition arithmetic (pixel → last-writer slot CASE → palette
     // gray → 32×32 cells → centered q → the SAME embedded cosine table
@@ -3227,6 +3446,30 @@ object SimilarityQueries {
         |    (x + y + 2 * id) % 255 AS r,
         |    (2 * x + y + id) % 253 AS g,
         |    (x + 3 * y + id) % 251 AS b
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(w)) AS x),
+        |    LATERAL (SELECT unnest(range(h)) AS y))
+        |SELECT id AS doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  round(CAST(SUM(r) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_r,
+        |  round(CAST(SUM(g) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_g,
+        |  round(CAST(SUM(b) AS DOUBLE) / (MAX(w) * MAX(h)), 6) AS mean_b,
+        |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+        |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
+        |FROM px GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Adam7 oracle: pass decomposition, per-pass defiltering and the
+    // scatter all sit between the file bytes and these means — a
+    // wrong pass geometry or shared-prior-row bug diverges them.
+    "mm_png_adam7" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 38) AS w,
+        |    1 + (CAST(n_chars AS BIGINT) % 19) AS h
+        |  FROM documents),
+        |px AS (SELECT id, w, h, x, y,
+        |    (2 * x + 5 * y + id) % 255 AS r,
+        |    (x + 3 * y + 2 * id) % 253 AS g,
+        |    (4 * x + y + 3 * id) % 251 AS b
         |  FROM dim,
         |    LATERAL (SELECT unnest(range(w)) AS x),
         |    LATERAL (SELECT unnest(range(h)) AS y))

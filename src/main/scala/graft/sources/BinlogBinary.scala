@@ -71,6 +71,10 @@ object BinlogBinary {
   // ANNOTATE_ROWS=160, BINLOG_CHECKPOINT=161, GTID=162, GTID_LIST=163)
   val EvMariaAnnotateRows = 160; val EvMariaBinlogCheckpoint = 161
   val EvMariaGtid = 162; val EvMariaGtidList = 163
+  // MySQL 8.0.20+ compressed transactions
+  // (binlog_transaction_compression=ON): one TRANSACTION_PAYLOAD
+  // event wraps the transaction's whole event stream, ZSTD-compressed
+  val EvTransactionPayload = 40
 
   private val NumericTypes: Set[Int] =
     Set(TINY, SHORT, INT24, LONG, LONGLONG, NEWDECIMAL, FLOAT, DOUBLE, YEAR)
@@ -130,6 +134,12 @@ object BinlogBinary {
     * for crash recovery. */
   final case class MariaCheckpoint(timestamp: Long, nextPos: Long,
       file: String) extends BinlogEvent
+  /** TRANSACTION_PAYLOAD wrapper (event 40): marker preceding the
+    * UNWRAPPED inner events in the decoded stream — records what the
+    * codec did (zstd/none, sizes, how many events the payload held). */
+  final case class PayloadWrap(timestamp: Long, nextPos: Long,
+      compression: String, compressedBytes: Int, uncompressedBytes: Int,
+      innerEvents: Int) extends BinlogEvent
 
   final class BinlogFormatException(msg: String)
       extends IllegalArgumentException(msg)
@@ -639,7 +649,10 @@ object BinlogBinary {
 
   /** Decode one binlog file. Verifies the magic, the v4 header grammar,
     * and every event's CRC-32 when the FORMAT_DESCRIPTION declares the
-    * CRC32 algorithm. Throws [[BinlogFormatException]] on any
+    * CRC32 algorithm. TRANSACTION_PAYLOAD events are unwrapped in
+    * place: the zstd stream decodes and its inner events land in the
+    * output after a [[PayloadWrap]] marker, sharing the outer stream's
+    * TABLE_MAP state. Throws [[BinlogFormatException]] on any
     * truncation, bad checksum, or unsupported construct. */
   def decodeFile(bytes: Array[Byte]): Seq[BinlogEvent] = {
     if (bytes.length < 4 || !java.util.Arrays.equals(
@@ -647,21 +660,36 @@ object BinlogBinary {
       fail("bad binlog magic")
     val events = Seq.newBuilder[BinlogEvent]
     val tableMaps = scala.collection.mutable.Map.empty[Long, TableMapInfo]
+    decodeEvents(bytes, 4, bytes.length, topLevel = true, events,
+      tableMaps)
+    events.result()
+  }
+
+  /** One event stream: the file body (topLevel — FDE first, CRC per
+    * the FDE's algorithm byte) or a decompressed transaction payload
+    * (inner events carry NO checksums and no FDE, per the MySQL
+    * Transaction_payload format). */
+  private def decodeEvents(bytes: Array[Byte], startPos: Int,
+      endPos: Int, topLevel: Boolean,
+      events: scala.collection.mutable.Builder[BinlogEvent,
+        Seq[BinlogEvent]],
+      tableMaps: scala.collection.mutable.Map[Long, TableMapInfo])
+      : Unit = {
     var checksummed = false
-    var pos = 4
+    var pos = startPos
     var first = true
-    while (pos < bytes.length) {
-      if (bytes.length - pos < 19) fail("truncated event header")
-      val hdr = new Reader(bytes, pos, bytes.length)
+    while (pos < endPos) {
+      if (endPos - pos < 19) fail("truncated event header")
+      val hdr = new Reader(bytes, pos, endPos)
       val ts = hdr.uintLE(4, "timestamp")
       val evType = hdr.u8("event type")
       val serverId = hdr.uintLE(4, "server id")
       val evSize = hdr.uintLE(4, "event size").toInt
       val nextPos = hdr.uintLE(4, "log pos")
       hdr.uintLE(2, "flags")
-      if (evSize < 19 || pos + evSize > bytes.length)
+      if (evSize < 19 || pos + evSize > endPos)
         fail(s"event size $evSize overruns file at offset $pos")
-      if (first && evType != EvFormatDescription)
+      if (first && topLevel && evType != EvFormatDescription)
         fail(s"first event is type $evType, not FORMAT_DESCRIPTION")
       // FDE: sniff the checksum algorithm byte before CRC verification
       if (evType == EvFormatDescription) {
@@ -751,13 +779,73 @@ object BinlogBinary {
           val len = r.uintLE(4, "checkpoint name length").toInt
           events += MariaCheckpoint(ts, nextPos,
             r.utf8(len, "checkpoint name"))
+        case EvTransactionPayload =>
+          // TLV header (libbinlogevents codec grammar, all public):
+          // (type vint, length vint, value) fields; type 0 = end mark
+          // (no length), 1 = payload size, 2 = compression type
+          // (0 ZSTD, 255 NONE), 3 = uncompressed size; integer values
+          // are themselves vint-encoded inside the field
+          var compression = 255L
+          var uncompressedSize = -1L
+          var payloadSize = -1L
+          var reading = true
+          while (reading) {
+            val t = r.lenenc("tp field type")
+            if (t == 0) reading = false
+            else {
+              val len = r.lenenc("tp field length").toInt
+              val vEnd = r.pos + len
+              if (vEnd > r.end) fail("tp field overruns event")
+              val vr = new Reader(bytes, r.pos, vEnd)
+              t match {
+                case 1 => payloadSize = vr.lenenc("tp payload size")
+                case 2 => compression = vr.lenenc("tp compression")
+                case 3 =>
+                  uncompressedSize = vr.lenenc("tp uncompressed size")
+                case _ => () // unknown optional field: skip by length
+              }
+              r.skip(len, "tp field value")
+            }
+          }
+          val compLen =
+            if (payloadSize >= 0) payloadSize.toInt else r.remaining
+          if (compLen > r.remaining) fail("tp payload overruns event")
+          val comp = r.bytes(compLen, "tp payload")
+          val inner: Array[Byte] = compression match {
+            case 255 => comp // NONE
+            case 0 => // ZSTD (the only algorithm MySQL ships)
+              if (uncompressedSize < 0 ||
+                  uncompressedSize > Int.MaxValue - 8)
+                fail("tp zstd payload without uncompressed size")
+              val out = new Array[Byte](uncompressedSize.toInt)
+              val n =
+                try com.github.luben.zstd.Zstd.decompress(out, comp)
+                catch {
+                  case e: com.github.luben.zstd.ZstdException =>
+                    fail("tp zstd decompression failed: " + e.getMessage)
+                }
+              if (n != uncompressedSize)
+                fail(s"tp zstd decompressed $n of $uncompressedSize")
+              out
+            case other => fail(s"unsupported tp compression $other")
+          }
+          // inner events: no magic, no FDE, no checksums; TABLE_MAP
+          // state is SHARED with the outer stream (MySQL writes the
+          // transaction's own TABLE_MAPs inside the payload)
+          val innerBuilder = Seq.newBuilder[BinlogEvent]
+          decodeEvents(inner, 0, inner.length, topLevel = false,
+            innerBuilder, tableMaps)
+          val innerEvents = innerBuilder.result()
+          events += PayloadWrap(ts, nextPos,
+            if (compression == 0) "ZSTD" else "NONE",
+            compLen, inner.length, innerEvents.size)
+          innerEvents.foreach(events += _)
         case other =>
           fail(s"unsupported binlog event type $other at offset $pos")
       }
       pos += evSize
       first = false
     }
-    events.result()
   }
 
   // TABLE_MAP optional-metadata TLV types (binlog_row_metadata=FULL)

@@ -354,7 +354,10 @@ object BinlogFixture {
     * `cdc_binlog_decode` gate: (imgKind, values) in binlog order, with
     * imgKind ∈ w0, w1, ub, ua, d. */
   def gateImages(id: Long): Seq[(String, RowImage)] =
-    BinlogBinary.decodeFile(gateFile(id)).collect {
+    imagesOf(BinlogBinary.decodeFile(gateFile(id)))
+
+  private def imagesOf(evs: Seq[BinlogEvent]): Seq[(String, RowImage)] =
+    evs.collect {
       case Rows(_, _, 'w', _, rows) =>
         rows.zipWithIndex.map { case ((_, after), i) => (s"w$i", after.get) }
       case Rows(_, _, 'u', _, rows) =>
@@ -362,6 +365,87 @@ object BinlogFixture {
       case Rows(_, _, 'd', _, rows) =>
         rows.map { case (before, _) => ("d", before.get) }
     }.flatten
+
+  // ---------------------------------------------- transaction payload
+
+  /** TRANSACTION_PAYLOAD (event 40) writer: TLV fields per the
+    * libbinlogevents codec grammar — compression type (2),
+    * uncompressed size (3, compressed payloads only), payload size
+    * (1), end mark (0) — then the payload bytes, zstd-compressed when
+    * `zstd` (the only algorithm MySQL ships; NONE = 255 otherwise). */
+  private[sources] def tpayloadEvent(ts: Long, inner: Array[Byte],
+      zstd: Boolean, pos: Long): (Array[Byte], Long) = {
+    val payload =
+      if (zstd) com.github.luben.zstd.Zstd.compress(inner, 3) else inner
+    val body = new W
+    def field(tpe: Long, value: Long): Unit = {
+      val vw = new W; vw.lenenc(value)
+      val vb = vw.result()
+      body.lenenc(tpe).lenenc(vb.length.toLong).bytes(vb)
+    }
+    field(2, if (zstd) 0L else 255L)
+    if (zstd) field(3, inner.length.toLong)
+    field(1, payload.length.toLong)
+    body.lenenc(0) // end mark
+    body.bytes(payload)
+    event(ts, EvTransactionPayload, body.result(), pos)
+  }
+
+  /** The cdc_binlog_decode transaction, WRAPPED: FDE + GTID outside
+    * (as MySQL writes them), the BEGIN / TABLE_MAP / rows / XID
+    * stream inside one TRANSACTION_PAYLOAD — ZSTD for even ids,
+    * compression NONE for odd; inner events carry no checksums per
+    * the format. */
+  def tpayloadGateFile(id: Long): Array[Byte] = {
+    val ts = 1700000000L + id
+    val tableId = 100 + (id % 50)
+    def img(s: Long) = gateCols.map(_.enc(s))
+    val innerOut = new java.io.ByteArrayOutputStream()
+    var ipos = 0L
+    def iemit(f: Long => (Array[Byte], Long)): Unit = {
+      val (bytes, next) = f(ipos); innerOut.write(bytes, 0, bytes.length)
+      ipos = next
+    }
+    iemit(queryEvent(ts, "d", "BEGIN", _, crc = false))
+    iemit(tableMapEvent(ts, tableId, "d", "wide", gateCols, _,
+      crc = false))
+    iemit(rowsEvent(ts, EvWriteRowsV2, tableId, gateCols,
+      Seq(img(id * 5), img(id * 5 + 1)), _, crc = false))
+    iemit(rowsEvent(ts, EvUpdateRowsV2, tableId, gateCols,
+      Seq(img(id * 5 + 2), img(id * 5 + 3)), _, crc = false))
+    iemit(rowsEvent(ts, EvDeleteRowsV2, tableId, gateCols,
+      Seq(img(id * 5 + 4)), _, crc = false))
+    iemit(xidEvent(ts, id + 7, _, crc = false))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xfe.toByte, 'b', 'i', 'n'), 0, 4)
+    var pos = 4L
+    def emit(f: Long => (Array[Byte], Long)): Unit = {
+      val (bytes, next) = f(pos); out.write(bytes, 0, bytes.length)
+      pos = next
+    }
+    emit(fdeEvent(ts, _))
+    emit(gtidEvent(ts, id, _))
+    emit(tpayloadEvent(ts, innerOut.toByteArray, id % 2 == 0, _))
+    emit(rotateEvent(ts, "graft-bin.000002", _))
+    out.toByteArray
+  }
+
+  /** One decoded wrapped-transaction summary for `cdc_binlog_tpayload`:
+    * the wrap marker's codec facts plus `match_plain` — the unwrapped
+    * row images compared 1:1 against the PLAIN gate file's (whose 22
+    * values per image `cdc_binlog_decode` already hash-pins), so the
+    * payload route carries the full value-correctness weight without
+    * re-deriving the images. */
+  final case class TpayloadRow(doc_id: Long, compression: String,
+      inner_events: Int, n_rows: Int, match_plain: Boolean)
+
+  def tpayloadRowFor(id: Long): TpayloadRow = {
+    val evs = BinlogBinary.decodeFile(tpayloadGateFile(id))
+    val wrap = evs.collectFirst { case p: PayloadWrap => p }.get
+    val imgs = imagesOf(evs)
+    TpayloadRow(id, wrap.compression, wrap.innerEvents, imgs.size,
+      imgs == gateImages(id))
+  }
 
   /** One decoded gate image as a typed row for `cdc_binlog_decode`
     * (column names are the oracle's aliases; `ti`/`fl`/`db`/`dc` dodge

@@ -48,9 +48,7 @@ object SpotProbe {
     def sweep(): Unit = {
       spark.catalog.clearCache()
       graft.queries.clearFitMemo()
-      spark.catalog.listTables().collect()
-        .filter(_.isTemporary)
-        .foreach(t => spark.catalog.dropTempView(t.name))
+      graft.GraftSession.dropTempViews(spark)
       System.gc()
     }
     def fmt(v: Double): String =
@@ -72,8 +70,7 @@ object SpotProbe {
       val r = Run((System.nanoTime() - t0) / 1e9, gcMs() - g0,
         graft.queries.CdcQueries.lastE2eStats)
       // untimed: memory-sink temp views are driver-heap residents
-      spark.catalog.listTables().collect().filter(_.isTemporary)
-        .foreach(t => spark.catalog.dropTempView(t.name))
+      graft.GraftSession.dropTempViews(spark)
       r
     }
     def regimeJson(runsList: Seq[Run]): String = {

@@ -936,7 +936,10 @@ class PlanAuditSpec extends SparkSpec {
       // round 13: partial-JSON binlog materialization and the VP8L
       // entropy decode are the same shape — map-side build+decode,
       // output sort is the only exchange
-      "cdc_binlog_partial", "mm_webpl_pixels").foreach { q =>
+      "cdc_binlog_partial", "cdc_binlog_tpayload",
+      "mm_webpl_pixels", "mm_webpl_palette",
+      "mm_webpl_predict", "mm_webpl_cross", "mm_webpl_meta",
+      "mm_tiff_lzw", "mm_png_adam7").foreach { q =>
       val ns = nodes(SparkEntry.queries(q)(spark, dir))
       assert(!ns.exists(p => p.nodeName.contains("Join") ||
         p.nodeName.contains("CartesianProduct")),

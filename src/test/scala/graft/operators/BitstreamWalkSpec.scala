@@ -208,6 +208,92 @@ class BitstreamWalkSpec extends AnyFunSuite {
     Array(0x2f.toByte) ++ s
   }
 
+  test("vp8l color-indexing: palette, deltas, all three bundle widths") {
+    // k = 2 + id%15 rotates 8/4/2-px-per-byte bundling across ids
+    Seq((0L, 5L), (2L, 11L), (7L, 20L), (14L, 33L), (9L, 0L))
+      .foreach { case (id, n) =>
+        val f = buildWebplPaletteFile(id, n)
+        val px = parseWebplPixels(id, f).get
+        val w = 7 + (n % 29).toInt; val h = 2 + (n % 13).toInt
+        val k = 2 + (id % 15).toInt
+        assert(px.width === w && px.height === h)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val ci = ((x + 7 * y + id) % k).toInt
+          sr += ((37 * ci + id) % 256).toInt
+          sg += ((11 * ci + 3 * id) % 256).toInt
+          sb += ((53 * ci + 7 * id) % 256).toInt
+        }
+        val np = (w * h).toDouble
+        assert(px.meanR === sr / np, s"id=$id k=$k")
+        assert(px.meanG === sg / np)
+        assert(px.meanB === sb / np)
+      }
+  }
+
+  test("vp8l predictor: all 14 modes reconstruct the pattern exactly") {
+    // block modes rotate (bx+by+id) mod 14; ids 0..13 guarantee every
+    // mode appears in SOME image; reconstruction must be bit-exact
+    (0L until 14L).foreach { id =>
+      val n = 20L // w=20x? w=8+(20%21)=28, h=3+(20%17)=6 -> 7x2 blocks
+      val f = buildWebplPredictFile(id, n)
+      val px = parseWebplPixels(id, f).get
+      val w = 8 + (n % 21).toInt; val h = 3 + (n % 17).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val ci = ((x + 7 * y + id) % 256).toInt
+        sr += (5 * ci) % 251; sg += ci; sb += (3 * ci) % 253
+      }
+      val np = (w * h).toDouble
+      assert(px.meanR === sr / np, s"id=$id")
+      assert(px.meanG === sg / np, s"id=$id")
+      assert(px.meanB === sb / np, s"id=$id")
+    }
+  }
+
+  test("vp8l cross-color: signed 3.5 multipliers round-trip exactly") {
+    // multipliers sweep the full signed byte range with id; ids pick
+    // negative g2r/g2b/r2b (>=128 as int8) so the arithmetic-shift
+    // floor on negative products is exercised, not just positives
+    Seq((0L, 5L), (3L, 14L), (130L, 7L), (200L, 21L), (255L, 0L))
+      .foreach { case (id, n) =>
+        val f = buildWebplCrossFile(id, n)
+        val px = parseWebplPixels(id, f).get
+        val w = 6 + (n % 23).toInt; val h = 3 + (n % 19).toInt
+        assert(px.width === w && px.height === h)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val ci = ((x + 3 * y + id) % 256).toInt
+          sr += (11 * ci) % 255; sg += ci; sb += (7 * ci) % 249
+        }
+        val np = (w * h).toDouble
+        assert(px.meanR === sr / np, s"id=$id")
+        assert(px.meanG === sg / np, s"id=$id")
+        assert(px.meanB === sb / np, s"id=$id")
+      }
+  }
+
+  test("vp8l meta-prefix: per-block tree groups select correctly") {
+    // 2..4 groups, each green tree a different rotation of the same
+    // length multiset — one wrong group pick desyncs the stream
+    Seq((0L, 5L), (1L, 12L), (2L, 18L), (5L, 3L), (100L, 9L))
+      .foreach { case (id, n) =>
+        val f = buildWebplMetaFile(id, n)
+        val px = parseWebplPixels(id, f).get
+        val w = 9 + (n % 19).toInt; val h = 4 + (n % 11).toInt
+        assert(px.width === w && px.height === h)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val ci = ((x + 11 * y + id) % 256).toInt
+          sr += (7 * ci) % 251; sg += ci; sb += (5 * ci) % 241
+        }
+        val np = (w * h).toDouble
+        assert(px.meanR === sr / np, s"id=$id")
+        assert(px.meanG === sg / np, s"id=$id")
+        assert(px.meanB === sb / np, s"id=$id")
+      }
+  }
+
   test("vp8l: distance map entry 0 is (0,1) -> the pixel above") {
     // 4x2: row 0 literal, row 1 four copies at distance map[0] = width
     val px = MediaCodec.decodeVp8l(tinyVp8l(4, 2, distSym = 0,
@@ -460,6 +546,64 @@ class BitstreamWalkSpec extends AnyFunSuite {
     val bad = good.clone(); bad(2) = 41
     assert(parseTiffPixels(10, bad).isEmpty)
     assert(parseTiffPixels(10, "II".getBytes).isEmpty)
+  }
+
+  test("tiff lzw/packbits/deflate: compressed fixtures decode to the " +
+    "pattern") {
+    // id mod 3 rotates LZW / PackBits / deflate; LZW+deflate take
+    // Predictor 2 on (id/3) odd — ids cover all six combinations
+    Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 13L, 36L).foreach { id =>
+      val m = parseTiffPixels(id, buildTiffCompressedPattern(id)).get
+      val w = 8 + (id % 37).toInt; val h = 5 + (id % 23).toInt
+      val rps = 2 + (id % 5).toInt
+      assert(m.width === w && m.height === h)
+      assert(m.nStrips === (h + rps - 1) / rps)
+      val pix = for (y <- 0 until h; x <- 0 until w)
+        yield ((id + 5 * (x / 4) + 3 * y) % 256).toInt
+      assert(m.sumPix === pix.map(_.toLong).sum, s"id=$id")
+      assert(m.peak === pix.max, s"id=$id")
+      assert(m.firstPix === pix.head, s"id=$id")
+    }
+  }
+
+  test("tiff lzw: deep-table round-trip crosses every early-change " +
+    "width and the 4094-entry Clear") {
+    import MediaCodec.TiffCodec._
+    // LCG bytes: low compressibility -> the phrase table fills fast;
+    // 60k bytes force 9->10->11->12-bit switches AND the table-full
+    // ClearCode reset, none of which small fixture strips reach
+    var s = 12345L
+    val data = Array.fill(60000) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 0xff).toByte
+    }
+    val enc = lzwEncode(data)
+    val dec = lzwDecode(enc, 0, enc.length, data.length)
+    assert(dec != null && java.util.Arrays.equals(dec, data))
+    // and a highly repetitive buffer (KwKwK-heavy, long phrases)
+    val rep = Array.tabulate(20000)(i => ((i / 7) % 5).toByte)
+    val enc2 = lzwEncode(rep)
+    assert(enc2.length < rep.length / 3) // it actually compresses
+    val dec2 = lzwDecode(enc2, 0, enc2.length, rep.length)
+    assert(dec2 != null && java.util.Arrays.equals(dec2, rep))
+    // truncation rejects
+    assert(lzwDecode(enc, 0, enc.length / 2, data.length) == null)
+  }
+
+  test("tiff packbits: -128 noop, 128-byte packets, boundary runs") {
+    import MediaCodec.TiffCodec._
+    // hand-built stream with a -128 noop between packets
+    val hand = Array[Byte](2, 10, 20, 30, -128, -3, 7, 0, 9)
+    val out = packBitsDecode(hand, 0, hand.length, 8)
+    assert(out != null &&
+      out.toSeq === Seq[Byte](10, 20, 30, 7, 7, 7, 7, 9))
+    // long literal (no runs) forces the 128-byte packet split
+    val lit = Array.tabulate(300)(i => (i % 251).toByte)
+    val e = packBitsEncode(lit, 300)
+    val d = packBitsDecode(e, 0, e.length, 300)
+    assert(d != null && java.util.Arrays.equals(d, lit))
+    // truncated replicate packet rejects
+    assert(packBitsDecode(Array[Byte](-3), 0, 1, 4) == null)
   }
 
   // --------------------------------------------------- JPEG restarts

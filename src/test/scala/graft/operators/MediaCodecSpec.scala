@@ -617,6 +617,38 @@ class MediaCodecSpec extends SparkSpec {
       .get.width === 1)
   }
 
+  test("png adam7: all seven passes reconstruct; empty passes handled") {
+    // sizes straddle the pass-existence boundaries: 1x1 (only pass 1),
+    // 4x4 (passes 2/3 empty), 5x5 (all seven), 17x9, 40x19
+    for ((w, h) <- Seq((1, 1), (4, 4), (3, 7), (5, 5), (8, 3), (17, 9),
+        (40, 19)); split <- Seq(true, false)) {
+      val seed = 7L + w + h
+      val px = decodePngPixels(1L,
+        buildPngAdam7Pattern(w, h, seed, splitIdat = split)).get
+      def mean(f: (Int, Int) => Long): Double =
+        (for (x <- 0 until w; y <- 0 until h) yield f(x, y)).sum
+          .toDouble / (w * h)
+      assert(px.width === w && px.height === h, s"$w x $h")
+      assert(px.meanR === mean((x, y) => (2L * x + 5L * y + seed) % 255),
+        s"$w x $h split=$split")
+      assert(px.meanG === mean((x, y) => (x + 3L * y + 2L * seed) % 253))
+      assert(px.meanB === mean((x, y) => (4L * x + y + 3L * seed) % 251))
+    }
+    // interlaced and sequential encodes of the SAME picture agree
+    val seqPx = decodePngPixels(1L,
+      MediaCodec.encodePngRgb(13, 11, (x, y) =>
+        ((x + y) % 255, (2 * x) % 253, (3 * y) % 251), splitIdat = false))
+      .get
+    val adamPx = decodePngPixels(1L,
+      MediaCodec.encodePngRgbAdam7(13, 11, (x, y) =>
+        ((x + y) % 255, (2 * x) % 253, (3 * y) % 251), splitIdat = false))
+      .get
+    assert(adamPx === seqPx.copy())
+    // truncated interlaced stream is data, not a failure
+    val good = buildPngAdam7Pattern(10, 10, 3L, splitIdat = false)
+    assert(decodePngPixels(1L, good.take(good.length - 20)).isEmpty)
+  }
+
   test("png pixels == bmp pixels for the same picture") {
     // the two real image codecs encode the SAME deterministic picture —
     // decoding either must produce identical statistics

@@ -236,6 +236,44 @@ class BinlogBinarySpec extends SparkSpec {
       mysqlSrc.map(e => (e.db, e.table, e.op, e.row, e.query)))
   }
 
+  test("transaction payload: zstd + none unwrap to the plain images") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 40L)) { // even = ZSTD, odd = NONE
+      val evs = BinlogBinary.decodeFile(BinlogFixture.tpayloadGateFile(id))
+      val wrap = evs.collectFirst {
+        case p: BinlogBinary.PayloadWrap => p }.get
+      assert(wrap.compression === (if (id % 2 == 0) "ZSTD" else "NONE"))
+      assert(wrap.innerEvents === 6)
+      if (id % 2 == 0) // the event stream is repetitive; zstd shrinks it
+        assert(wrap.compressedBytes < wrap.uncompressedBytes, s"id=$id")
+      val row = BinlogFixture.tpayloadRowFor(id)
+      // 5 images: w0, w1, the update's (ub, ua) pair, d
+      assert(row.n_rows === 5 && row.match_plain, s"id=$id")
+    }
+    // a corrupted zstd payload fails loudly, not silently — the CRC is
+    // RECOMPUTED after the flip so the corruption reaches the
+    // decompressor itself, not just the checksum wall
+    val f = BinlogFixture.tpayloadGateFile(2L)
+    var pos = 4; var payloadAt = -1; var payloadSize = -1
+    while (payloadAt < 0) {
+      val evType = f(pos + 4) & 0xff
+      val size = (f(pos + 9) & 0xff) | ((f(pos + 10) & 0xff) << 8) |
+        ((f(pos + 11) & 0xff) << 16) | ((f(pos + 12) & 0xff) << 24)
+      if (evType == BinlogBinary.EvTransactionPayload) {
+        payloadAt = pos; payloadSize = size
+      } else pos += size
+    }
+    val bad = f.clone()
+    bad(payloadAt + 40) = (bad(payloadAt + 40) ^ 0x55).toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(bad, payloadAt, payloadSize - 4)
+    val cv = crc.getValue
+    (0 until 4).foreach(i =>
+      bad(payloadAt + payloadSize - 4 + i) = ((cv >> (8 * i)) & 0xff).toByte)
+    intercept[BinlogBinary.BinlogFormatException] {
+      BinlogBinary.decodeFile(bad)
+    }
+  }
+
   test("JSON diff grammar: paths, semantics, key ordering") {
     import BinlogBinary.JsonBinary._
     assert(parsePath("$.a.b[2]") ===
