@@ -869,6 +869,28 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // VP8 keyframe bitstream mechanics under the gate (RFC 6386): the
+    // boolean arithmetic decoder, frame/partition headers, mode trees,
+    // token trees with nonzero contexts, dequant, exact integer
+    // inverse WHT + 4x4 IDCT, and all four 16x16 intra predictors
+    // with spec edge rows. DC-only residuals keep each MB's
+    // reconstruction uniform, so the oracle replays prediction + the
+    // two DC transform paths as floor-shift arithmetic over the MB
+    // grid — any bool-coder, context, tree, or predictor slip
+    // diverges the means. (Default prob/quant TABLE VALUES are
+    // documented stand-ins — see Vp8Codec's doc.)
+    "mm_vp8_pixels" -> { (s, dir) =>
+      val media = graft.operators.Vp8Codec.vp8FromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.Vp8Codec.extractVp8Pixels(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("qindex"),
+          round(col("meanY"), 6).as("mean_y"),
+          round(col("meanU"), 6).as("mean_u"),
+          round(col("meanV"), 6).as("mean_v"))
+        .orderBy("doc_id")
+    },
+
     // ADAM7-INTERLACED PNG under the gate: the seven reduced images
     // defiltered independently and scattered back, with EMPTY passes
     // (images narrower/shorter than 5) in-corpus — the progressive
@@ -1928,8 +1950,78 @@ object SimilarityQueries {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** Generated oracle for `mm_vp8_pixels`: the DC-only keyframe
+    * reconstruction replayed as exact integer arithmetic over the
+    * ≤3×3 MB grid, UNROLLED in anti-diagonal stages (cell (i,j)
+    * depends on its above/left/diag neighbors — all in earlier
+    * stages). Floor shifts use the floor-division idiom so negative
+    * Y2 products round like the JVM's arithmetic >>. */
+  private def vp8OracleSql: String = {
+    def fs3(x: String) = s"CAST(floor(($x) / 8.0) AS BIGINT)"
+    def clamp(x: String) = s"LEAST(255, GREATEST(0, $x))"
+    def rY(i: Int, j: Int) = {
+      val l = s"((($i + ${2 * j} + id) % 9) - 4)"
+      fs3(s"${fs3(s"$l * (2 * (4 + q)) + 3")} + 4")
+    }
+    def rU(i: Int, j: Int) =
+      fs3(s"(((${2 * i} + $j + id) % 7) - 3) * (4 + q) + 4")
+    def rV(i: Int, j: Int) =
+      fs3(s"((($i + ${3 * j} + 2 * id) % 7) - 3) * (4 + q) + 4")
+    def cell(p: Char, i: Int, j: Int, mode: String, r: String): String = {
+      val above = s"v${p}_${i - 1}_$j"
+      val left = s"v${p}_${i}_${j - 1}"
+      val diag = s"v${p}_${i - 1}_${j - 1}"
+      val dcPred =
+        if (i == 0 && j == 0) "128"
+        else if (i == 0) left
+        else if (j == 0) above
+        else s"((16 * $above + 16 * $left + 16) // 32)"
+      val vPred = if (i == 0) "127" else above
+      val hPred = if (j == 0) "129" else left
+      val tmL = if (j == 0) "129" else left
+      val tmA = if (i == 0) "127" else above
+      val tmC = if (i == 0) "127" else if (j == 0) "129" else diag
+      val pred = s"(CASE $mode WHEN 0 THEN $dcPred WHEN 1 THEN $vPred" +
+        s" WHEN 2 THEN $hPred ELSE ${clamp(s"$tmL + $tmA - $tmC")} END)"
+      s"${clamp(s"$pred + $r")} AS v${p}_${i}_$j"
+    }
+    def cells(i: Int, j: Int): String = {
+      val ym = s"(($i + $j + id) % 4)"
+      val um = s"(($i + ${2 * j} + id) % 4)"
+      Seq(cell('y', i, j, ym, rY(i, j)),
+        cell('u', i, j, um, rU(i, j)),
+        cell('v', i, j, um, rV(i, j))).mkString(",\n    ")
+    }
+    val diags = (0 to 4).map { d =>
+      (0 to 2).flatMap { i =>
+        val j = d - i
+        if (j >= 0 && j <= 2) Some(cells(i, j)) else None
+      }.mkString(",\n    ")
+    }
+    val stages = diags.zipWithIndex.map { case (cs, d) =>
+      val from = if (d == 0) "dim" else s"s${d - 1}"
+      s"s$d AS (SELECT *,\n    $cs\n  FROM $from)"
+    }.mkString(",\n")
+    def sum(p: Char) = (for (i <- 0 to 2; j <- 0 to 2) yield
+      s"CASE WHEN $i < mh AND $j < mw THEN v${p}_${i}_$j ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH dim AS (SELECT doc_id AS id,
+       |    1 + (CAST(n_chars AS BIGINT) % 3) AS mw,
+       |    1 + ((CAST(n_chars AS BIGINT) // 3) % 3) AS mh,
+       |    doc_id % 32 AS q
+       |  FROM documents),
+       |$stages
+       |SELECT id AS doc_id,
+       |  CAST(16 * mw AS INT) AS width, CAST(16 * mh AS INT) AS height,
+       |  CAST(q AS INT) AS qindex,
+       |  round(CAST(${sum('y')} AS DOUBLE) / (mw * mh), 6) AS mean_y,
+       |  round(CAST(${sum('u')} AS DOUBLE) / (mw * mh), 6) AS mean_u,
+       |  round(CAST(${sum('v')} AS DOUBLE) / (mw * mh), 6) AS mean_v
+       |FROM s4 ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] =
-    staticOracles ++
+    staticOracles + ("mm_vp8_pixels" -> vp8OracleSql) ++
       Option(ivfModels.get("s_ann_ivf"))
         .map(m => "s_ann_ivf" -> ivfSql(m, k = 3, nProbe = 2)) ++
       Option(ivfModels.get("s_ann_ivf_probe"))
