@@ -693,4 +693,219 @@ object Vp8Codec {
     media.mapPartitions(_.flatMap { case (id, p) =>
       parseVp8Pixels(id, p) })
   }
+
+  // ------------------------------------------- lossy WebP container
+
+  /** Wrap a raw VP8 frame in RIFF/WEBP/'VP8 ' framing — the layout of
+    * virtually every lossy WebP on the web. */
+  def buildWebpLossy(id: Long, nChars: Long): Array[Byte] = {
+    val frame = buildVp8Frame(2 * id + 1, nChars + 5)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt)
+    }
+    val riffSize = 4 + 8 + frame.length + (frame.length & 1)
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4); u32(riffSize.toLong)
+    out.write("WEBP".getBytes("US-ASCII"), 0, 4)
+    out.write("VP8 ".getBytes("US-ASCII"), 0, 4); u32(frame.length.toLong)
+    out.write(frame, 0, frame.length)
+    if ((frame.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** RIFF walk to the 'VP8 ' chunk (sizes verified), then
+    * [[decodeFrame]]. The frame's own dims must agree with nothing
+    * here — lossy WebP carries dims only inside the VP8 frame. */
+  def parseWebpLossy(id: Long, b: Array[Byte]): Option[Vp8Pixels] = {
+    if (b.length < 20) return None
+    def tag(p: Int) = new String(b, p, 4, "US-ASCII")
+    def u32(p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "WEBP") return None
+    if (u32(4) != b.length - 8) return None
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val t = tag(pos); val len = u32(pos + 4)
+      if (len > Int.MaxValue - 8 || pos + 8 + len > b.length) return None
+      if (t == "VP8 ")
+        return parseVp8Pixels(id,
+          java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len.toInt))
+      pos += 8 + len.toInt + (len.toInt & 1)
+    }
+    None
+  }
+
+  // --------------------------------------------------- WebM container
+
+  final case class WebmFrames(id: Long, nFrames: Int, width: Int,
+      height: Int, sumY: Long, sumU: Long, sumV: Long)
+
+  /** A real WebM layout: EBML header (DocType webm), Segment → Info +
+    * a V_VP8 TrackEntry + one Cluster whose SimpleBlocks each carry a
+    * REAL VP8 keyframe (frame k seeded id + 31k, constant dims like
+    * actual video). Element sizes are minimal-width vints via the
+    * same arithmetic the Matroska metadata fixture uses. */
+  def buildWebmVideo(id: Long, nChars: Long): Array[Byte] = {
+    def vintSize(v: Long): Array[Byte] = {
+      var width = 1
+      while (width <= 8 && v >= (1L << (7 * width)) - 1) width += 1
+      Array.tabulate[Byte](width) { i =>
+        val shifted = v >>> (8 * (width - 1 - i))
+        val byte = if (i == 0) (0x100 >>> width) | shifted else shifted
+        (byte & 0xff).toByte
+      }
+    }
+    def idBytes(eid: Long): Array[Byte] = {
+      val width = if (eid <= 0xffL) 1 else if (eid <= 0xffffL) 2
+        else if (eid <= 0xffffffL) 3 else 4
+      Array.tabulate[Byte](width)(i =>
+        ((eid >>> (8 * (width - 1 - i))) & 0xff).toByte)
+    }
+    def el(eid: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(eid) ++ vintSize(body.length.toLong) ++ body
+    def uintBody(v: Long): Array[Byte] = {
+      var width = 1
+      while (width < 8 && (v >>> (8 * width)) != 0) width += 1
+      Array.tabulate[Byte](width)(i =>
+        ((v >>> (8 * (width - 1 - i))) & 0xff).toByte)
+    }
+    def strBody(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val nFrames = (3 + nChars % 5).toInt
+    val mbW = 1 + (nChars % 3).toInt; val mbH = 1 + ((nChars / 3) % 3).toInt
+    val ebml = el(0x1A45DFA3L,
+      el(0x4286L, uintBody(1)) ++ el(0x42F7L, uintBody(1)) ++
+        el(0x42F2L, uintBody(4)) ++ el(0x42F3L, uintBody(8)) ++
+        el(0x4282L, strBody("webm")) ++
+        el(0x4287L, uintBody(4)) ++ el(0x4285L, uintBody(2)))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintBody(1000000L)))
+    val track = el(0x1654AE6BL, el(0xAEL,
+      el(0xD7L, uintBody(1)) ++ el(0x73C5L, uintBody(id + 1)) ++
+        el(0x83L, uintBody(1)) ++ el(0x86L, strBody("V_VP8")) ++
+        el(0xE0L, el(0xB0L, uintBody(16L * mbW)) ++
+          el(0xBAL, uintBody(16L * mbH)))))
+    val blocks = (0 until nFrames).flatMap { k =>
+      val frame = buildVp8Frame(id + 31 * k, nChars)
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0x81) // track 1 as a 1-byte vint
+      val ts = k * 33
+      body.write((ts >> 8) & 0xff); body.write(ts & 0xff)
+      body.write(0x80) // keyframe flag
+      body.write(frame, 0, frame.length)
+      el(0xA3L, body.toByteArray)
+    }.toArray
+    val cluster = el(0x1F43B675L, el(0xE7L, uintBody(0)) ++ blocks)
+    ebml ++ el(0x18538067L, info ++ track ++ cluster)
+  }
+
+  /** EBML walk to the V_VP8 track's SimpleBlocks, each payload
+    * decoded as a VP8 keyframe; per-doc EXACT integer pixel sums
+    * across frames. Any EBML, block-header, or frame violation →
+    * None. */
+  def parseWebmFrames(id: Long, b: Array[Byte]): Option[WebmFrames] = {
+    def vint(p: Int, keepMarker: Boolean): (Long, Int) = {
+      if (p >= b.length) return (-1L, 0)
+      val first = b(p) & 0xff
+      if (first == 0) return (-1L, 0)
+      var width = 1
+      while ((first & (0x100 >>> width)) == 0) width += 1
+      if (p + width > b.length) return (-1L, 0)
+      var v = if (keepMarker) first.toLong
+        else (first & ((0x100 >>> width) - 1)).toLong
+      var i = 1
+      while (i < width) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+      (v, width)
+    }
+    // locate the V_VP8 track number, then collect SimpleBlocks
+    var vp8Track = -1L
+    var blocks = List.empty[Array[Byte]]
+    def walk(from: Int, to: Int, inTrackEntry: Boolean,
+             inCluster: Boolean): Boolean = {
+      var p = from
+      var curTrackNum = -1L; var curType = -1L; var curCodec = ""
+      while (p < to) {
+        val (eid, iw) = vint(p, keepMarker = true)
+        if (iw == 0) return false
+        val (sz, sw) = vint(p + iw, keepMarker = false)
+        if (sw == 0) return false
+        val bodyAt = p + iw + sw
+        if (sz < 0 || bodyAt + sz > to) return false
+        val end = bodyAt + sz.toInt
+        eid match {
+          case 0x18538067L | 0x1654AE6BL => // Segment, Tracks
+            if (!walk(bodyAt, end, false, false)) return false
+          case 0xAEL => // TrackEntry
+            if (!walk(bodyAt, end, true, false)) return false
+          case 0x1F43B675L => // Cluster
+            if (!walk(bodyAt, end, false, true)) return false
+          case 0xD7L if inTrackEntry => // uint body (not a vint)
+            var v = 0L; var i = bodyAt
+            while (i < end) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+            curTrackNum = v
+          case 0x83L if inTrackEntry =>
+            var v = 0L; var i = bodyAt
+            while (i < end) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+            curType = v
+          case 0x86L if inTrackEntry =>
+            curCodec = new String(b, bodyAt, sz.toInt, "US-ASCII")
+          case 0xA3L if inCluster => // SimpleBlock
+            val (tn, tw) = vint(bodyAt, keepMarker = false)
+            if (tw == 0 || bodyAt + tw + 3 > end) return false
+            if (tn == vp8Track)
+              blocks ::= java.util.Arrays.copyOfRange(
+                b, bodyAt + tw + 3, end)
+          case _ => () // skip by size
+        }
+        p = end
+      }
+      if (inTrackEntry && curType == 1L && curCodec == "V_VP8")
+        vp8Track = curTrackNum
+      true
+    }
+    if (!walk(0, b.length, false, false)) return None
+    if (vp8Track < 0 || blocks.isEmpty) return None
+    val frames = blocks.reverse.map(decodeFrame)
+    if (frames.exists(_.isEmpty)) return None
+    val fs = frames.map(_.get)
+    val (w, h) = (fs.head._1, fs.head._2)
+    if (fs.exists(f => f._1 != w || f._2 != h)) return None
+    def sum(sel: ((Int, Int, Int, Array[Int], Array[Int], Array[Int]))
+        => Array[Int]): Long =
+      fs.foldLeft(0L)((acc, f) => acc + sel(f).foldLeft(0L)(_ + _))
+    Some(WebmFrames(id, fs.size, w, h,
+      sum(_._4), sum(_._5), sum(_._6)))
+  }
+
+  def webmFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, buildWebmVideo(id, n)) }
+  }
+
+  def extractWebmFrames(media: Dataset[(Long, Array[Byte])])
+      : Dataset[WebmFrames] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) =>
+      parseWebmFrames(id, p) })
+  }
+
+  def webpLossyFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, buildWebpLossy(id, n)) }
+  }
+
+  def extractWebpLossy(media: Dataset[(Long, Array[Byte])])
+      : Dataset[Vp8Pixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) =>
+      parseWebpLossy(id, p) })
+  }
 }

@@ -891,6 +891,38 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // WebM VIDEO CONTENT under the gate: the EBML walk to the V_VP8
+    // track's SimpleBlocks, every block payload decoded as a real VP8
+    // keyframe through the RFC 6386 path — container walk + codec
+    // decode end-to-end, the wild .webm shape. Exact integer pixel
+    // sums across frames, no float averaging on either side.
+    "mm_webm_frames" -> { (s, dir) =>
+      val media = graft.operators.Vp8Codec.webmFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.Vp8Codec.extractWebmFrames(media).toDF()
+        .select(col("id").as("doc_id"), col("nFrames").as("n_frames"),
+          col("width"), col("height"),
+          col("sumY").as("sum_y"), col("sumU").as("sum_u"),
+          col("sumV").as("sum_v"))
+        .orderBy("doc_id")
+    },
+
+    // LOSSY WebP under the gate: the RIFF/'VP8 ' container walked to
+    // the embedded VP8 keyframe (the wild web's dominant webp
+    // layout), decoded through the same RFC 6386 path as
+    // mm_vp8_pixels — with shifted seeds so the two oracles differ.
+    "mm_webp_lossy" -> { (s, dir) =>
+      val media = graft.operators.Vp8Codec.webpLossyFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.Vp8Codec.extractWebpLossy(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("qindex"),
+          round(col("meanY"), 6).as("mean_y"),
+          round(col("meanU"), 6).as("mean_u"),
+          round(col("meanV"), 6).as("mean_v"))
+        .orderBy("doc_id")
+    },
+
     // ADAM7-INTERLACED PNG under the gate: the seven reduced images
     // defiltered independently and scattered back, with EMPTY passes
     // (images narrower/shorter than 5) in-corpus — the progressive
@@ -1956,9 +1988,18 @@ object SimilarityQueries {
     * depends on its above/left/diag neighbors — all in earlier
     * stages). Floor shifts use the floor-division idiom so negative
     * Y2 products round like the JVM's arithmetic >>. */
-  private def vp8OracleSql: String = {
-    def fs3(x: String) = s"CAST(floor(($x) / 8.0) AS BIGINT)"
-    def clamp(x: String) = s"LEAST(255, GREATEST(0, $x))"
+  private def vp8OracleSql: String = vp8OracleSqlFor("doc_id",
+    "CAST(n_chars AS BIGINT)")
+
+  private def vp8Fs3(x: String) = s"CAST(floor(($x) / 8.0) AS BIGINT)"
+  private def vp8Clamp(x: String) = s"LEAST(255, GREATEST(0, $x))"
+
+  /** The anti-diagonal cell stages over a `dim` relation with columns
+    * (id, mw, mh, q) — shared by the single-frame and the per-WebM-
+    * frame oracles. Returns the "s0 AS (...), ..., s4 AS (...)"
+    * chain; [[vp8SumSql]] gives the present-cell sum for one plane. */
+  private def vp8StagesSql: String = {
+    val fs3 = vp8Fs3 _; val clamp = vp8Clamp _
     def rY(i: Int, j: Int) = {
       val l = s"((($i + ${2 * j} + id) % 9) - 4)"
       fs3(s"${fs3(s"$l * (2 * (4 + q)) + 3")} + 4")
@@ -1998,30 +2039,60 @@ object SimilarityQueries {
         if (j >= 0 && j <= 2) Some(cells(i, j)) else None
       }.mkString(",\n    ")
     }
-    val stages = diags.zipWithIndex.map { case (cs, d) =>
+    diags.zipWithIndex.map { case (cs, d) =>
       val from = if (d == 0) "dim" else s"s${d - 1}"
       s"s$d AS (SELECT *,\n    $cs\n  FROM $from)"
     }.mkString(",\n")
-    def sum(p: Char) = (for (i <- 0 to 2; j <- 0 to 2) yield
-      s"CASE WHEN $i < mh AND $j < mw THEN v${p}_${i}_$j ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH dim AS (SELECT doc_id AS id,
-       |    1 + (CAST(n_chars AS BIGINT) % 3) AS mw,
-       |    1 + ((CAST(n_chars AS BIGINT) // 3) % 3) AS mh,
-       |    doc_id % 32 AS q
-       |  FROM documents),
-       |$stages
-       |SELECT id AS doc_id,
-       |  CAST(16 * mw AS INT) AS width, CAST(16 * mh AS INT) AS height,
-       |  CAST(q AS INT) AS qindex,
-       |  round(CAST(${sum('y')} AS DOUBLE) / (mw * mh), 6) AS mean_y,
-       |  round(CAST(${sum('u')} AS DOUBLE) / (mw * mh), 6) AS mean_u,
-       |  round(CAST(${sum('v')} AS DOUBLE) / (mw * mh), 6) AS mean_v
-       |FROM s4 ORDER BY doc_id""".stripMargin
   }
 
+  private def vp8SumSql(p: Char): String =
+    (for (i <- 0 to 2; j <- 0 to 2) yield
+      s"CASE WHEN $i < mh AND $j < mw THEN v${p}_${i}_$j ELSE 0 END")
+      .mkString(" + ")
+
+  private def vp8OracleSqlFor(idExpr: String, nExpr: String): String =
+    s"""WITH dim AS (SELECT doc_id, ($idExpr) AS id,
+       |    1 + (($nExpr) % 3) AS mw,
+       |    1 + ((($nExpr) // 3) % 3) AS mh,
+       |    ($idExpr) % 32 AS q
+       |  FROM documents),
+       |$vp8StagesSql
+       |SELECT doc_id,
+       |  CAST(16 * mw AS INT) AS width, CAST(16 * mh AS INT) AS height,
+       |  CAST(q AS INT) AS qindex,
+       |  round(CAST(${vp8SumSql('y')} AS DOUBLE) / (mw * mh), 6) AS mean_y,
+       |  round(CAST(${vp8SumSql('u')} AS DOUBLE) / (mw * mh), 6) AS mean_u,
+       |  round(CAST(${vp8SumSql('v')} AS DOUBLE) / (mw * mh), 6) AS mean_v
+       |FROM s4 ORDER BY doc_id""".stripMargin
+
+  /** WebM oracle: one grid row per (doc, frame k), frame id shifted by
+    * 31k, then EXACT integer pixel sums across frames (x256 luma / x64
+    * chroma pixels per uniform MB) — no float averaging on either
+    * side. */
+  private def webmOracleSql: String =
+    s"""WITH frames AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n,
+       |    unnest(range(3 + CAST(n_chars AS BIGINT) % 5)) AS k
+       |  FROM documents),
+       |dim AS (SELECT doc_id, doc_id + 31 * k AS id,
+       |    1 + (n % 3) AS mw, 1 + ((n // 3) % 3) AS mh,
+       |    (doc_id + 31 * k) % 32 AS q
+       |  FROM frames),
+       |$vp8StagesSql
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS INT) AS n_frames,
+       |  CAST(MAX(16 * mw) AS INT) AS width,
+       |  CAST(MAX(16 * mh) AS INT) AS height,
+       |  CAST(SUM(${vp8SumSql('y')}) * 256 AS BIGINT) AS sum_y,
+       |  CAST(SUM(${vp8SumSql('u')}) * 64 AS BIGINT) AS sum_u,
+       |  CAST(SUM(${vp8SumSql('v')}) * 64 AS BIGINT) AS sum_v
+       |FROM s4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] =
-    staticOracles + ("mm_vp8_pixels" -> vp8OracleSql) ++
+    staticOracles +
+      ("mm_vp8_pixels" -> vp8OracleSql) +
+      ("mm_webp_lossy" -> vp8OracleSqlFor("2 * doc_id + 1",
+        "CAST(n_chars AS BIGINT) + 5")) +
+      ("mm_webm_frames" -> webmOracleSql) ++
       Option(ivfModels.get("s_ann_ivf"))
         .map(m => "s_ann_ivf" -> ivfSql(m, k = 3, nProbe = 2)) ++
       Option(ivfModels.get("s_ann_ivf_probe"))

@@ -124,6 +124,45 @@ class Vp8CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("lossy webp: RIFF walk finds the VP8 frame; sizes verified") {
+    for (id <- Seq(0L, 3L, 9L); n <- Seq(2L, 6L)) {
+      val f = buildWebpLossy(id, n)
+      val px = parseWebpLossy(id, f).get
+      // the embedded frame uses shifted seeds
+      val inner = parseVp8Pixels(id, buildVp8Frame(2 * id + 1, n + 5)).get
+      assert(px === inner)
+    }
+    val good = buildWebpLossy(1L, 2L)
+    val badSize = good.clone(); badSize(4) = (badSize(4) + 1).toByte
+    assert(parseWebpLossy(1L, badSize).isEmpty)
+    val badTag = good.clone(); badTag(12) = 'X'
+    assert(parseWebpLossy(1L, badTag).isEmpty)
+    assert(parseWebpLossy(1L, good.take(30)).isEmpty)
+  }
+
+  test("webm: EBML walk decodes every V_VP8 SimpleBlock frame") {
+    for (id <- Seq(0L, 2L, 11L); n <- Seq(0L, 4L, 7L)) {
+      val wf = parseWebmFrames(id, buildWebmVideo(id, n)).get
+      val nFrames = (3 + n % 5).toInt
+      assert(wf.nFrames === nFrames, s"id=$id n=$n")
+      // per-frame sums equal the standalone frames' plane sums
+      var sy = 0L; var su = 0L; var sv = 0L
+      for (k <- 0 until nFrames) {
+        val (_, _, _, y, u, v) =
+          decodeFrame(buildVp8Frame(id + 31 * k, n)).get
+        sy += y.foldLeft(0L)(_ + _)
+        su += u.foldLeft(0L)(_ + _)
+        sv += v.foldLeft(0L)(_ + _)
+      }
+      assert(wf.sumY === sy && wf.sumU === su && wf.sumV === sv)
+    }
+    // a corrupted EBML size or block header is data, not a failure
+    val good = buildWebmVideo(1L, 3L)
+    assert(parseWebmFrames(1L, good.take(good.length / 2)).isEmpty)
+    val bad = good.clone(); bad(5) = (bad(5) ^ 0x7f).toByte
+    parseWebmFrames(1L, bad) // totality
+  }
+
   test("out-of-profile and corrupt frames are data, not failures") {
     val good = buildVp8Frame(5L, 4L)
     assert(parseVp8Pixels(5L, good).isDefined)
