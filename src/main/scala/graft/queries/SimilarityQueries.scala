@@ -891,6 +891,23 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
+    // H.264 I_PCM IDR slices under the gate: the REAL slice-layer
+    // decode (ITU-T H.264 §7.3.3-7.3.5) — full IDR slice header,
+    // macroblock loop with mb_type = I_PCM, pcm alignment, and raw
+    // 4:2:0 samples placed per MB — byte-exact on conforming
+    // streams, no stand-in tables; emulation-prevention is
+    // load-bearing (PCM bytes hit 00 00 0x runs).
+    "mm_avc_islice" -> { (s, dir) =>
+      val media = graft.operators.MediaCodec.avcIsliceFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.MediaCodec.extractAvcIslice(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("nMbs").as("n_mbs"), col("qpY").as("qp_y"),
+          col("sumY").as("sum_y"), col("sumCb").as("sum_cb"),
+          col("sumCr").as("sum_cr"), col("firstY").as("first_y"))
+        .orderBy("doc_id")
+    },
+
     // WebM VIDEO CONTENT under the gate: the EBML walk to the V_VP8
     // track's SimpleBlocks, every block payload decoded as a real VP8
     // keyframe through the RFC 6386 path — container walk + codec
@@ -3386,6 +3403,40 @@ object SimilarityQueries {
         |  round(CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
         |      AS DOUBLE) / (3 * MAX(w)), 6) AS top_row_mean
         |FROM rgb GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // The I_PCM oracle is pure pattern arithmetic on the PCM samples —
+    // the slice header walk, mb_type parse, byte alignment, and
+    // emulation-prevention unescape all sit between file bytes and
+    // these sums; qp_y re-derives the PPS + slice-delta chain.
+    "mm_avc_islice" ->
+      """WITH dim AS (SELECT doc_id AS id,
+        |    1 + (CAST(n_chars AS BIGINT) % 3) AS mw,
+        |    1 + ((CAST(n_chars AS BIGINT) // 3) % 2) AS mh
+        |  FROM documents),
+        |luma AS (SELECT id, SUM((id + 3 * x + 5 * yy) % 256) AS sy
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(16 * mw)) AS x),
+        |    LATERAL (SELECT unnest(range(16 * mh)) AS yy)
+        |  GROUP BY id),
+        |chroma AS (SELECT id,
+        |    SUM((id + 2 * x + 7 * yy) % 256) AS scb,
+        |    SUM((3 * id + x + yy) % 256) AS scr
+        |  FROM dim,
+        |    LATERAL (SELECT unnest(range(8 * mw)) AS x),
+        |    LATERAL (SELECT unnest(range(8 * mh)) AS yy)
+        |  GROUP BY id)
+        |SELECT d.id AS doc_id,
+        |  CAST(16 * d.mw AS INT) AS width,
+        |  CAST(16 * d.mh AS INT) AS height,
+        |  CAST(d.mw * d.mh AS INT) AS n_mbs,
+        |  CAST(18 + d.id % 11 + d.id % 7 AS INT) AS qp_y,
+        |  CAST(l.sy AS BIGINT) AS sum_y,
+        |  CAST(c.scb AS BIGINT) AS sum_cb,
+        |  CAST(c.scr AS BIGINT) AS sum_cr,
+        |  CAST(d.id % 256 AS INT) AS first_y
+        |FROM dim d JOIN luma l ON d.id = l.id
+        |  JOIN chroma c ON d.id = c.id
+        |ORDER BY doc_id""".stripMargin,
 
     // Palette formulas replayed over the index pattern: ci = (x + 7y +
     // id) mod k, entry j = ((37j+id), (11j+3id), (53j+7id)) mod 256 —

@@ -940,7 +940,7 @@ class PlanAuditSpec extends SparkSpec {
       "mm_webpl_pixels", "mm_webpl_palette",
       "mm_webpl_predict", "mm_webpl_cross", "mm_webpl_meta",
       "mm_tiff_lzw", "mm_png_adam7", "mm_vp8_pixels",
-      "mm_webp_lossy", "mm_webm_frames").foreach { q =>
+      "mm_webp_lossy", "mm_webm_frames", "mm_avc_islice").foreach { q =>
       val ns = nodes(SparkEntry.queries(q)(spark, dir))
       assert(!ns.exists(p => p.nodeName.contains("Join") ||
         p.nodeName.contains("CartesianProduct")),

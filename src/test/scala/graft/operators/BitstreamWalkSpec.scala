@@ -606,6 +606,31 @@ class BitstreamWalkSpec extends AnyFunSuite {
     assert(packBitsDecode(Array[Byte](-3), 0, 1, 4) == null)
   }
 
+  test("avc i_pcm: slice decode reproduces the raw samples exactly") {
+    for (id <- Seq(0L, 1L, 7L, 85L, 255L); n <- Seq(0L, 2L, 5L)) {
+      val m = parseAvcIslice(id, buildAvcIslicePattern(id, n)).get
+      val mw = 1 + (n % 3).toInt; val mh = 1 + ((n / 3) % 2).toInt
+      assert(m.width === 16 * mw && m.height === 16 * mh)
+      assert(m.nMbs === mw * mh)
+      assert(m.qpY === (18 + id % 11 + id % 7).toInt)
+      var sy = 0L; var scb = 0L; var scr = 0L
+      for (y <- 0 until 16 * mh; x <- 0 until 16 * mw)
+        sy += ((id + 3 * x + 5 * y) % 256).toInt
+      for (y <- 0 until 8 * mh; x <- 0 until 8 * mw) {
+        scb += ((id + 2 * x + 7 * y) % 256).toInt
+        scr += ((3 * id + x + y) % 256).toInt
+      }
+      assert(m.sumY === sy, s"id=$id n=$n")
+      assert(m.sumCb === scb && m.sumCr === scr)
+      assert(m.firstY === (id % 256).toInt)
+    }
+    // truncated slice data and a broken mb_type reject, never throw
+    val good = buildAvcIslicePattern(3L, 4L)
+    assert(parseAvcIslice(3L, good.take(good.length - 40)).isEmpty)
+    (0 until good.length by 13).foreach(c =>
+      parseAvcIslice(3L, good.take(c))) // totality
+  }
+
   // --------------------------------------------------- JPEG restarts
 
   test("jpeg: restart markers decode identically to the unmarked stream") {
