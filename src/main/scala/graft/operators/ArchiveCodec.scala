@@ -293,7 +293,7 @@ object ArchiveCodec {
   def warcIngest(spark: SparkSession, docs: DataFrame)
       : Dataset[WarcIngest] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val gz = buildWarcGz(id, text)
@@ -478,7 +478,7 @@ object ArchiveCodec {
   def zipIngest(spark: SparkSession, docs: DataFrame)
       : Dataset[ZipIngest] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val zip = buildZip(id, text)

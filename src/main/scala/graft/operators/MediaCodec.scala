@@ -284,7 +284,7 @@ object MediaCodec {
   def bmpPaletteFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildBmpPalettePattern(width = 1 + (nChars % 44).toInt,
@@ -485,7 +485,7 @@ object MediaCodec {
   def wavUlawFromDocuments(spark: SparkSession,
                            docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildWavUlawPattern(channels = 1 + (id % 2).toInt,
@@ -734,7 +734,7 @@ object MediaCodec {
   def wavAdpcmFromDocuments(spark: SparkSession,
                             docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildWavAdpcmPattern(channels = 1 + (id % 2).toInt,
@@ -1387,7 +1387,7 @@ object MediaCodec {
   def mp4SamplesFromDocuments(spark: SparkSession,
                               docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildMp4SamplesPattern(id, nChars)) }
   }
@@ -1406,7 +1406,7 @@ object MediaCodec {
   def mp4FromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildMp4Pattern(id, nChars)) }
   }
@@ -1696,7 +1696,7 @@ object MediaCodec {
   def mp3VbrFromDocuments(spark: SparkSession,
                           docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildMp3VbrPattern(id, nChars)) }
   }
@@ -1716,7 +1716,7 @@ object MediaCodec {
   def mp3FromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildMp3Pattern(id, nChars)) }
   }
@@ -1812,7 +1812,7 @@ object MediaCodec {
   def bmpFromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildBmpPattern(width = 1 + (nChars % 48).toInt,
@@ -2198,7 +2198,7 @@ object MediaCodec {
   def phashFromDocuments(spark: SparkSession,
                          docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id").cast("long"))).as[Long]
       .map { id =>
         val s = id % 37
         val payload =
@@ -2277,7 +2277,7 @@ object MediaCodec {
   def imageNearDupFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id").cast("long"))).as[Long]
       .map(id => (id, buildBmpTwinTexture(id % 37)))
   }
 
@@ -2290,7 +2290,7 @@ object MediaCodec {
   def ahashFromDocuments(spark: SparkSession,
                          docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id").cast("long"))).as[Long]
       .map { id =>
         val s = id % 37
         (id, buildBmpTexture(width = 8 + (s % 5).toInt * 4,
@@ -2402,7 +2402,7 @@ object MediaCodec {
   def wavEnergyFromDocuments(spark: SparkSession,
                              docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildWavEnergyPattern(channels = 1 + (id % 2).toInt,
@@ -2570,7 +2570,7 @@ object MediaCodec {
   def wavFromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildWavPattern(channels = 1 + (id % 2).toInt,
@@ -3864,7 +3864,7 @@ object MediaCodec {
   def jpegRefineFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildJpegRefinePattern(width = 1 + (nChars % 29).toInt,
@@ -3890,7 +3890,7 @@ object MediaCodec {
   def jpegProgressiveFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildJpegProgressivePattern(width = 1 + (nChars % 33).toInt,
@@ -3913,7 +3913,7 @@ object MediaCodec {
   def jpegFromDocuments(spark: SparkSession,
                         docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildJpegPattern(width = 1 + (nChars % 44).toInt,
@@ -3957,7 +3957,7 @@ object MediaCodec {
   def jpeg420FromDocuments(spark: SparkSession,
                            docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildJpeg420Pattern(width = 1 + (nChars % 52).toInt,
@@ -3973,7 +3973,7 @@ object MediaCodec {
   def jpegColorFromDocuments(spark: SparkSession,
                              docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildJpegColorPattern(width = 1 + (nChars % 28).toInt,
@@ -4320,7 +4320,7 @@ object MediaCodec {
   def gifFromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildGifPattern(width = 1 + (nChars % 56).toInt,
@@ -4570,7 +4570,7 @@ object MediaCodec {
   def gifAnimFromDocuments(spark: SparkSession,
                            docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildGifAnimPattern(width = 40, height = 24,
@@ -4648,7 +4648,7 @@ object MediaCodec {
   def gifVideoFromDocuments(spark: SparkSession,
                             docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id").cast("long"))).as[Long]
       .map { id =>
         val s = id % 29
         val b0 = if (s >= 23) s - 23 else s
@@ -5071,7 +5071,7 @@ object MediaCodec {
   def pngAdam7FromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildPngAdam7Pattern(width = 1 + (nChars % 38).toInt,
@@ -5178,7 +5178,7 @@ object MediaCodec {
   def pngPaletteFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildPngPalettePattern(width = 1 + (nChars % 50).toInt,
@@ -5196,7 +5196,7 @@ object MediaCodec {
   def pngFromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, buildPngPattern(width = 1 + (nChars % 40).toInt,
@@ -5223,7 +5223,7 @@ object MediaCodec {
   def mediaFromDocuments(spark: SparkSession,
                          docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         val payload =
@@ -5697,7 +5697,7 @@ object MediaCodec {
   def flacWastedFromDocuments(spark: SparkSession,
                               docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildFlacWastedPattern(id, nChars)) }
   }
@@ -5706,7 +5706,7 @@ object MediaCodec {
   def flacStereoFromDocuments(spark: SparkSession,
                               docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildFlacStereoPattern(id, nChars)) }
   }
@@ -6374,7 +6374,7 @@ object MediaCodec {
   def oggAudioFromDocuments(spark: SparkSession,
                             docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildOggAudioPattern(id, nChars)) }
   }
@@ -6520,7 +6520,7 @@ object MediaCodec {
   def oggTagsFromDocuments(spark: SparkSession,
                            docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildOggTagsPattern(id, nChars)) }
   }
@@ -6723,7 +6723,7 @@ object MediaCodec {
   def exifFromDocuments(spark: SparkSession,
                         docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildJpegExifPattern(id, nChars)) }
   }
@@ -6739,7 +6739,7 @@ object MediaCodec {
   def oggFromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildOggPattern(id, nChars)) }
   }
@@ -6758,7 +6758,7 @@ object MediaCodec {
   def flacFromDocuments(spark: SparkSession,
                         docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildFlacPattern(id, nChars)) }
   }
@@ -6776,7 +6776,7 @@ object MediaCodec {
   def flacLpcFromDocuments(spark: SparkSession,
                            docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildFlacLpcPattern(id, nChars)) }
   }
@@ -7057,7 +7057,7 @@ object MediaCodec {
   def avcFromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildAvcPattern(id, nChars)) }
   }
@@ -7298,7 +7298,7 @@ object MediaCodec {
   def avcIsliceFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, n) => (id, buildAvcIslicePattern(id, n)) }
   }
@@ -7394,7 +7394,7 @@ object MediaCodec {
   def adtsFromDocuments(spark: SparkSession,
                         docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildAdtsPattern(id, nChars)) }
   }
@@ -7554,7 +7554,7 @@ object MediaCodec {
   def webpFromDocuments(spark: SparkSession,
                         docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id").cast("long"))).as[Long]
       .map(id => (id, buildWebpPattern(id)))
   }
 
@@ -8260,7 +8260,7 @@ object MediaCodec {
   def webplFromDocuments(spark: SparkSession,
                          docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, n) => (id, buildWebplPixelFile(id, n)) }
   }
@@ -8428,7 +8428,7 @@ object MediaCodec {
   def webplPaletteFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, n) => (id, buildWebplPaletteFile(id, n)) }
   }
@@ -8436,7 +8436,7 @@ object MediaCodec {
   def webplPredictFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, n) => (id, buildWebplPredictFile(id, n)) }
   }
@@ -8555,7 +8555,7 @@ object MediaCodec {
   def webplCrossFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, n) => (id, buildWebplCrossFile(id, n)) }
   }
@@ -8563,7 +8563,7 @@ object MediaCodec {
   def webplMetaFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, n) => (id, buildWebplMetaFile(id, n)) }
   }
@@ -8830,7 +8830,7 @@ object MediaCodec {
   def mkvFromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildMkvPattern(id, nChars)) }
   }
@@ -9088,7 +9088,7 @@ object MediaCodec {
   def opusTocFromDocuments(spark: SparkSession,
                            docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, nChars) => (id, buildOpusTocPattern(id, nChars)) }
   }
@@ -9256,7 +9256,7 @@ object MediaCodec {
   def id3FromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id").cast("long"))).as[Long]
       .map(id => (id, buildId3Pattern(id)))
   }
 
@@ -9659,7 +9659,7 @@ object MediaCodec {
   def tiffFromDocuments(spark: SparkSession,
                         docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id").cast("long"))).as[Long]
       .map(id => (id, buildTiffPattern(id)))
   }
 
@@ -9764,7 +9764,7 @@ object MediaCodec {
   def tiffCompressedFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id").cast("long"))).as[Long]
       .map(id => (id, buildTiffCompressedPattern(id)))
   }
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 
-private[operators] object Partitioning {
+private[graft] object Partitioning {
   /** Re-spread an under-partitioned input across the cluster. A tiny
     * parquet (one row group) arrives as ONE split, so every expensive
     * map-side stage downstream (shingle explode, per-pair set ops,

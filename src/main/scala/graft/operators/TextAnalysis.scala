@@ -70,19 +70,22 @@ object TextAnalysis {
     * null-text row comes back "en" — the first profile). */
   def langId(text: Column): Column = {
     val distinctToks = array_distinct(tokens(text))
-    val scored = langProfiles.map { case (lang, words) =>
-      (lang, size(array_intersect(distinctToks, array(words.map(lit): _*))))
-    }
-    // fold: keep the best (score, lang) pair, earlier profile wins ties
-    val best = scored.tail.foldLeft(
-      struct(scored.head._2.as("score"), lit(scored.head._1).as("lang"))) {
-      case (acc, (lang, score)) =>
-        when(score > acc.getField("score"),
-          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
-    }
+    // argmax via array_position(scores, max): each profile's intersect
+    // is evaluated ONCE. The previous when-fold referenced the
+    // accumulator twice per level (condition + otherwise), doubling the
+    // intersect subtrees per profile — 2⁴ copies of the score
+    // expressions survived to the physical plan and dominated the
+    // per-row cost of every langId consumer. array_position returns the
+    // FIRST index of the max, which is exactly the old fold's
+    // earlier-profile-wins tie-break.
+    val scores = array(langProfiles.map { case (_, words) =>
+      size(array_intersect(distinctToks, array(words.map(lit): _*)))
+    }: _*)
+    val names = array(langProfiles.map { case (lang, _) => lit(lang) }: _*)
+    val mx = array_max(scores)
     when(text.isNull, lit(null).cast("string"))
-      .when(best.getField("score") === 0, lit("und"))
-      .otherwise(best.getField("lang"))
+      .when(mx === 0, lit("und"))
+      .otherwise(element_at(names, array_position(scores, mx).cast("int")))
   }
 
   /** TF-IDF keyword extraction: the `k` highest-scoring terms per
@@ -196,9 +199,10 @@ object TextAnalysis {
     * into at most |vocab| join rows per key. */
   def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long,
                  k: Int): DataFrame = {
-    val bc = docs.select(explode(wordBigrams(col(textCol))).as("g"))
+    val d = Partitioning.spread(docs.select(col(textCol)))
+    val bc = d.select(explode(wordBigrams(col(textCol))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c_ab"))
-    val uc = docs.select(explode(tokens(col(textCol))).as("w"))
+    val uc = d.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
     val total = bc.agg(sum("c_ab").as("nb"))
     bc.filter(col("c_ab") >= minCount)

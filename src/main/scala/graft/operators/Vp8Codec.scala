@@ -674,7 +674,7 @@ object Vp8Codec {
   def vp8FromDocuments(spark: SparkSession,
                        docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, n) => (id, buildVp8Frame(id, n)) }
   }
@@ -882,7 +882,7 @@ object Vp8Codec {
   def webmFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, n) => (id, buildWebmVideo(id, n)) }
   }
@@ -897,7 +897,7 @@ object Vp8Codec {
   def webpLossyFromDocuments(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    Partitioning.spread(docs.select(col("doc_id").cast("long"), col("n_chars").cast("long")))
       .as[(Long, Long)]
       .map { case (id, n) => (id, buildWebpLossy(id, n)) }
   }

@@ -497,7 +497,8 @@ object CdcQueries {
     // a null-bitmap misindex diverges the hash.
     "cdc_binlog_decode" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      graft.operators.Partitioning.spread(
+          t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .flatMap(graft.sources.BinlogFixture.gateRowsFor _)
         .toDF()
         .orderBy("doc_id", "img")
@@ -515,7 +516,8 @@ object CdcQueries {
     // insert-at-clamped-index semantics are all hash-pinned.
     "cdc_binlog_partial" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      graft.operators.Partitioning.spread(
+          t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map(graft.sources.BinlogFixture.partialGateRowFor _)
         .toDF()
         .orderBy("doc_id")
@@ -531,7 +533,8 @@ object CdcQueries {
     // payload path carries full value correctness.
     "cdc_binlog_tpayload" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      graft.operators.Partitioning.spread(
+          t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map(graft.sources.BinlogFixture.tpayloadRowFor _)
         .toDF()
         .orderBy("doc_id")

@@ -88,13 +88,18 @@ object TextQueries {
                          dir: String, k: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, dir, "documents")
+    val docs = graft.operators.Partitioning.spread(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
     val tk = TextAnalysis.tokens(col("text"))
     val bigrams = zip_with(
       slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
       (a, b) => concat_ws(" ", a, b))
     // tf feeds three consumers (postings, df, query terms) — persist
-    // or the tokenize+aggregate subtree runs three times
+    // or the tokenize+aggregate subtree runs three times. (A cross-query
+    // memo of this cache was tried in the r13 optimization round and
+    // REVERTED: AQE coalesces the aggregate to one partition, so the
+    // memoized cache serializes every downstream join of all three
+    // consumer queries — recomputing the spread 32-way plan is faster.)
     val tf = docs.select(col("doc_id"), explode(bigrams).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
@@ -1095,12 +1100,17 @@ object TextQueries {
     // unrounded interpolated cut (identical IEEE interpolation, the
     // t_quality_calibrate convention).
     "t_classifier_filter" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = graft.operators.Partitioning.spread(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")))
       val m = fittedModel(s, dir)
       val lg = round(QualityClassifier.logit(
         m, QualityClassifier.features(col("text"), enStop).map(_._2)), 6)
+      // feeds the percentile action AND the filtered aggregate — persist,
+      // or the feature+logit scoring pass runs twice
       val scored = docs.select(col("doc_id"), col("source"),
         lg.as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cut = scored.agg(percentile(col("score"), lit(0.4)))
         .head().getDouble(0)
       scored.filter(col("score") >= cut)
@@ -1706,7 +1716,8 @@ object TextQueries {
     // the gate); false positives ≈ (1−e^(−kn/bits))^k ≈ 0.4% here.
     "d_bloom_decontam" -> { (s, dir) =>
       import graft.operators.{Dedup, Sketches}
-      val sh = t(s, dir, "documents")
+      val sh = graft.operators.Partitioning.spread(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ev = sh.filter(col("doc_id") % 13 === 0).select("s").distinct()

@@ -822,11 +822,27 @@ class PlanAuditSpec extends SparkSpec {
       "a rules-sized join degraded to sort-merge")
   }
 
+  /** An exchange the decode plans are ALLOWED to carry besides the
+    * driver-contract output sort: the round-robin spread of the bare
+    * seed columns (doc_id/n_chars longs) that parallelizes the
+    * map-side build+decode over a single-split local fixture
+    * ([[graft.operators.Partitioning.spread]] — a no-op at real scale,
+    * where the input already has ≥ cores splits). It must sit BELOW
+    * the decode: only fixed-width numeric seeds may ride it, never a
+    * payload or text column. */
+  private def isSeedSpread(
+      e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec)
+      : Boolean =
+    e.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] &&
+      e.output.forall(a => a.dataType ==
+        org.apache.spark.sql.types.LongType)
+
   test("media decode: payloads never cross an exchange; sort-only plans") {
     // the decode runs per-partition where the payload lives; only the
     // small typed stat rows continue — at 100 TB of media the binary
-    // column must never ride a shuffle, and the only exchange is the
-    // driver-contract output sort
+    // column must never ride a shuffle, and the only exchanges are the
+    // driver-contract output sort and the seed spread below the decode
     for (q <- Seq("mm_bmp_pixels", "mm_png_pixels", "mm_gif_pixels",
         "mm_jpeg_pixels", "mm_jpeg_rgb", "mm_jpeg_420", "mm_jpeg_prog",
         "mm_jpeg_refine", "mm_wav_samples", "mm_wav_ulaw")) {
@@ -839,7 +855,8 @@ class PlanAuditSpec extends SparkSpec {
           org.apache.spark.sql.types.BinaryType),
           s"$q: media payload rides an exchange: ${e.output.map(_.name)}")
         assert(e.outputPartitioning.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] ||
+          isSeedSpread(e),
           s"$q: a non-sort exchange crept into the decode pass")
       }
       assert(!ns.exists(_.nodeName.contains("Join")),
@@ -929,13 +946,17 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     // binlog files, JSONB docs, warc.gz archives, EBML containers, Opus
-    // TOCs: all build+decode map-side; the ONLY exchange each plan may
-    // carry is the driver-contract output sort (range partitioning)
-    Seq("cdc_binlog_decode", "conv_jsonb_decode", "t_warc_ingest",
+    // TOCs: all build+decode map-side; the exchanges each plan may
+    // carry are the driver-contract output sort (range partitioning)
+    // and the long-only seed spread below the decode (isSeedSpread) —
+    // payload bytes still never ride any exchange. t_warc_ingest
+    // spreads (doc_id, text) because the text IS the archive content
+    // being packed; its exchange is checked separately.
+    Seq("cdc_binlog_decode", "conv_jsonb_decode",
       "mm_mkv_meta", "mm_opus_toc",
       // round 13: partial-JSON binlog materialization and the VP8L
       // entropy decode are the same shape — map-side build+decode,
-      // output sort is the only exchange
+      // output sort + seed spread are the only exchanges
       "cdc_binlog_partial", "cdc_binlog_tpayload",
       "mm_webpl_pixels", "mm_webpl_palette",
       "mm_webpl_predict", "mm_webpl_cross", "mm_webpl_meta",
@@ -946,10 +967,32 @@ class PlanAuditSpec extends SparkSpec {
         p.nodeName.contains("CartesianProduct")),
         s"$q planned a join: " + ns.map(_.nodeName).distinct.mkString(","))
       val shuffles = ns.collect { case e: ShuffleExchangeExec => e }
-      assert(shuffles.forall(
-        _.outputPartitioning.isInstanceOf[RangePartitioning]),
+      assert(shuffles.forall(e =>
+        e.outputPartitioning.isInstanceOf[RangePartitioning] ||
+          isSeedSpread(e)),
         s"$q: a non-sort exchange crept in: " +
           shuffles.map(_.outputPartitioning.toString).mkString(","))
+    }
+    // t_warc_ingest's spread carries (doc_id, text) — the source text
+    // is the bytes being packed into the archive, so it rides the
+    // round-robin spread ONCE, before the gzip members exist; the
+    // decoded archive payload itself still never crosses an exchange
+    locally {
+      val ns = nodes(SparkEntry.queries("t_warc_ingest")(spark, dir))
+      assert(!ns.exists(p => p.nodeName.contains("Join")),
+        "t_warc_ingest planned a join")
+      val shuffles = ns.collect { case e: ShuffleExchangeExec => e }
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType ==
+          org.apache.spark.sql.types.BinaryType),
+          s"t_warc_ingest: archive bytes ride an exchange: " +
+            e.output.map(_.name))
+        assert(e.outputPartitioning.isInstanceOf[RangePartitioning] ||
+          e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical
+              .RoundRobinPartitioning],
+          "t_warc_ingest: unexpected exchange kind")
+      }
     }
     // t_url_canon groups by the canonical URL: the aggregation must be
     // partial (map-side combine before its one hash exchange)
