@@ -89,7 +89,28 @@ object GraftFunctions {
             s"graft_capped_collect_set: cap must be an integer, got $other")
         }
         CappedCollectSet(child, n)
-      }))
+      }),
+    variadic("graft_pq_codes",
+      "PQ code array: per-subspace argmin over a literal codebook " +
+        "(vec, cents, norms, m, dsub, ksub)",
+      classOf[PqKernel])(PqKernel.codes),
+    variadic("graft_pq_codes_resid",
+      "residual-PQ (IVFADC) code array via the distributed-dot form " +
+        "(vec, cell, cents, norms, dcc, m, dsub, ksub, k)",
+      classOf[PqKernel])(PqKernel.codesResid),
+    variadic("graft_pq_lut",
+      "per-subspace ADC lookup table for a query vector " +
+        "(vec, cents, norms, s, m, dsub, ksub)",
+      classOf[PqKernel])(PqKernel.lut),
+    variadic("graft_pq_lut_resid",
+      "per-subspace residual-ADC lookup table " +
+        "(vec, cell, cents, norms, dcc, s, m, dsub, ksub, k)",
+      classOf[PqKernel])(PqKernel.lutResid))
+
+  private def variadic(name: String, usage: String, clazz: Class[_])
+                      (build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage, clazz), build)
 
   def register(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

@@ -39,26 +39,41 @@ object Pq {
 
   import Similarity.dot
 
+  /** Model literals for the native [[graft.functions.PqKernel]]
+    * scoring expressions: flattened codebook
+    * (cents((s·ksub + j)·dsub + i)) and the per-codeword ‖cw‖² table
+    * (norms(s·ksub + j)), the latter summed with the EXACT fold the
+    * old per-branch `lit(….map(x => x*x).sum)` literals used — the SQL
+    * oracle embeds the same values. */
+  private def centsLit(model: Model): Column =
+    typedlit[Seq[Double]](for {
+      s <- 0 until model.m; j <- 0 until model.ksub
+      i <- 0 until model.dsub
+    } yield model.centroids(s)(j)(i))
+  private def normsLit(model: Model): Column =
+    typedlit[Seq[Double]](for { s <- 0 until model.m; j <- 0 until model.ksub }
+      yield model.centroids(s)(j).map(x => x * x).sum)
+  private def dccLit(dcc: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                     model: Model, k: Int): Column =
+    typedlit[Seq[Double]](for {
+      s <- 0 until model.m; cell <- 0 until k; j <- 0 until model.ksub
+    } yield dcc(s)(cell)(j))
+
   /** Distance scores of a vector's subspace `s` against that subspace's
     * codebook: score_j = |c_j|² − 2·v_s·c_j (the |v_s|² term is constant
     * per row/subspace and drops from both argmin and ranking SUMS —
-    * constant per query across candidates). One typed literal per
-    * codebook, same Janino-size rationale as [[Ivf]].centroidLit. */
-  private def subScores(v: Column, s: Int, model: Model): Column = {
-    val cents = typedlit[Seq[Seq[Double]]](model.centroids(s).map(_.toSeq))
-    val sub = slice(v, s * model.dsub + 1, model.dsub)
-    array(model.centroids(s).indices.map(j =>
-      lit(model.centroids(s)(j).map(x => x * x).sum) -
-        lit(2.0) * dot(sub, element_at(cents, j + 1))): _*)
-  }
+    * constant per query across candidates). One native kernel node —
+    * the expression-tree form built m·ksub dot branches whose plan
+    * weight dominated the gates' runtime (see PqKernel doc). */
+  private def subScores(v: Column, s: Int, model: Model): Column =
+    call_function("graft_pq_lut", v, centsLit(model), normsLit(model),
+      lit(s), lit(model.m), lit(model.dsub), lit(model.ksub))
 
   /** PQ code array (m small ints) for a vector column — map-only,
-    * codegen'd, first index wins ties. */
+    * one native kernel node, first index wins ties. */
   def encode(v: Column, model: Model): Column =
-    array((0 until model.m).map { s =>
-      val sc = subScores(v, s, model)
-      (array_position(sc, array_min(sc)) - 1).cast("int")
-    }: _*)
+    call_function("graft_pq_codes", v, centsLit(model), normsLit(model),
+      lit(model.m), lit(model.dsub), lit(model.ksub))
 
   /** Distance scores of the RESIDUAL `(v − coarseCentroid(cell))`'s
     * subspace `s` against the codebook, without materializing the
@@ -74,16 +89,11 @@ object Pq {
     * ‖q−c‖² term — the cross-cell ranking. */
   private def residSubScores(v: Column, cellCol: Column, s: Int,
                              dcc: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
-                             model: Model): Column = {
-    val base = s * model.dsub
-    val dccLit = typedlit[Seq[Seq[Double]]](dcc(s).map(_.toSeq))
-    val cents = typedlit[Seq[Seq[Double]]](model.centroids(s).map(_.toSeq))
-    val sub = slice(v, base + 1, model.dsub)
-    array(model.centroids(s).indices.map(j =>
-      lit(model.centroids(s)(j).map(x => x * x).sum) -
-        lit(2.0) * (dot(sub, element_at(cents, j + 1)) -
-          element_at(element_at(dccLit, cellCol + 1), j + 1))): _*)
-  }
+                             model: Model): Column =
+    call_function("graft_pq_lut_resid", v, cellCol.cast("int"),
+      centsLit(model), normsLit(model), dccLit(dcc, model, dcc(0).length),
+      lit(s), lit(model.m), lit(model.dsub), lit(model.ksub),
+      lit(dcc(0).length))
 
   /** Driver-side twin of [[residSubScores]]'s dcc table, shared with the
     * SQL-oracle generator so both engines embed the same literals. */
@@ -109,10 +119,9 @@ object Pq {
     // dcc computed ONCE for all m subspaces — per-subspace recomputation
     // is O(m²) driver work at plan-build time (m·k·ksub·dsub each)
     val dcc = dccTable(coarse, model)
-    array((0 until model.m).map { s =>
-      val sc = residSubScores(v, cellCol, s, dcc, model)
-      (array_position(sc, array_min(sc)) - 1).cast("int")
-    }: _*)
+    call_function("graft_pq_codes_resid", v, cellCol.cast("int"),
+      centsLit(model), normsLit(model), dccLit(dcc, model, coarse.k),
+      lit(model.m), lit(model.dsub), lit(model.ksub), lit(coarse.k))
   }
 
   /** Train one k-means codebook per subspace — all `m` subspaces JOINTLY,
