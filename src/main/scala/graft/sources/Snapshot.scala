@@ -143,6 +143,11 @@ object Snapshot {
       // completed shards' files must stay where their markers claim
       val staging = target.beginStagedLoad()
       missing.foreach { k =>
+        // NOT spread (r13 optimization round, measured): repartitioning
+        // the single-split local shard source to parallelize the
+        // parquet encode costs more in shuffle + small-file overhead
+        // than the parallel write saves (bulkLoad 2.85 -> 3.5 s at
+        // sf0.1); real-scale shard sources are multi-split already
         target.appendStaged(RecordConversion.convert(shardSource(k), schema,
           config.mysqlTimezone), version, staging)
         fs.create(new org.apache.hadoop.fs.Path(s"$markerDir/shard-$k"),

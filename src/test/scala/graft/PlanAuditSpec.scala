@@ -363,8 +363,13 @@ class PlanAuditSpec extends SparkSpec {
         Some(j.leftKeys.map(_.toString))
       case _ => None
     }
-    val bandJoins = ns.flatMap(keysOf).filter(ks =>
-      ks.exists(_.startsWith("band#")) && ks.exists(_.startsWith("bk#")))
+    // dedup by NODE IDENTITY: the shared-pairs cache (r13) nests the
+    // join under an InMemoryRelation whose adaptive plan surfaces the
+    // same join node along several flatten paths; b SEPARATE joins (the
+    // regression this pins) would be distinct nodes with distinct keys
+    val bandJoins = ns.filter(p => keysOf(p).exists(ks =>
+        ks.exists(_.startsWith("band#")) && ks.exists(_.startsWith("bk#"))))
+      .map(System.identityHashCode).distinct
     assert(bandJoins.size === 1,
       s"expected ONE (band, key) self-join, got ${bandJoins.size}")
     // both self-join sides must read the SAME cached (id, band, bk)
