@@ -793,16 +793,29 @@ object SimilarityQueries {
         s, t(s, dir, "documents"))
       val fh = graft.operators.MediaCodec
         .extractGifFrameHashes(media, stride = 2).toDF()
-      val seqs = fh.groupBy("id")
-        .agg(concat_ws("|", transform(
-          sort_array(collect_list(struct(col("frameIdx"), col("phash")))),
-          e => e.getField("phash"))).as("seq_key"))
-      val classes = seqs.groupBy("seq_key").agg(min(col("id")).as("cid"))
-      val frames = fh.join(classes, fh("id") === classes("cid"))
-        .select(col("cid"), col("frameIdx"),
-          shiftleft(conv(substring(col("phash"), 1, 32), 2, 10)
+      // ONE aggregate over the decode output carries BOTH downstream
+      // shapes: the per-doc sorted (frameIdx, phash) list yields the
+      // sequence key (collapse) AND, via min_by, the representative
+      // doc's frame rows (verify input) — the previous sequence-collapse
+      // + verify-JOIN consumed `fh` twice, re-running the whole GIF
+      // decode per consumer (persisting the hashes was measured worse:
+      // the cache build serialized the decode — r13 reverted list).
+      // min_by is deterministic here (doc ids are unique per group), so
+      // the exploded frames are exactly the min-id doc's rows — the
+      // same rows the old `fh.join(classes, id === cid)` surfaced.
+      val perDoc = fh.groupBy("id")
+        .agg(sort_array(collect_list(struct(col("frameIdx"), col("phash"))))
+          .as("fr"))
+      val classes = perDoc
+        .groupBy(concat_ws("|",
+          transform(col("fr"), e => e.getField("phash"))).as("seq_key"))
+        .agg(min(col("id")).as("cid"), min_by(col("fr"), col("id")).as("fr"))
+      val frames = classes
+        .select(col("cid"), explode(col("fr")).as("e"))
+        .select(col("cid"), col("e.frameIdx").as("frameIdx"),
+          shiftleft(conv(substring(col("e.phash"), 1, 32), 2, 10)
             .cast("long"), 32)
-            .bitwiseOR(conv(substring(col("phash"), 33, 32), 2, 10)
+            .bitwiseOR(conv(substring(col("e.phash"), 33, 32), 2, 10)
               .cast("long")).as("h"))
       graft.operators.Dedup.frameNearDupVideos(frames, "cid", "frameIdx",
           "h", nBits = 64, bands = 8, maxAvgDist = 4)

@@ -153,16 +153,42 @@ final class CdcPipeline(
         .sortBy(_._1)
 
       val dml = batch.filter(col("op") =!= EventSpool.OpQuery)
+      // ONE segment manifest job for the whole batch: per (segment, db,
+      // table), the add/remove event counts. This replaces one
+      // active-tables collect PER SEGMENT and (via the counts) the two
+      // per-table isEmpty probe jobs — each was its own Spark job over
+      // the cached batch, and at the bench's batch sizes the fixed job
+      // round-trips were a measurable slice of the e2e wall (r13 VERDICT
+      // item 4). A DML row's segment is the number of DDL barriers below
+      // its seq (DDL and DML share one unique seq space, so equality
+      // cannot occur).
+      val segOf = ddls.map(_._1).foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("seq") > b, 1).otherwise(0)
+      }
+      val manifest = dml
+        .groupBy(segOf.as("seg"), col("db"), col("table"))
+        .agg(sum(when(col("op") === EventSpool.OpAdd, 1L).otherwise(0L))
+            .as("n_add"),
+          sum(when(col("op") === EventSpool.OpRemove, 1L).otherwise(0L))
+            .as("n_rem"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (seg, rows) =>
+          seg -> rows.map(r => (Option(r.getString(1)),
+            Option(r.getString(2)), r.getLong(3), r.getLong(4))).toSeq
+        }
       var lo = Long.MinValue
       var segment = 0
       ddls.foreach { case (hi, eventDb, op) =>
         flushSegment(dml.filter(col("seq") > lo && col("seq") < hi),
-          version(batchId, segment))
+          version(batchId, segment),
+          manifest.getOrElse(segment, Seq.empty))
         applyDdl(hi, eventDb, op)
         lo = hi
         segment += 1
       }
-      flushSegment(dml.filter(col("seq") > lo), version(batchId, segment))
+      flushSegment(dml.filter(col("seq") > lo), version(batchId, segment),
+        manifest.getOrElse(segment, Seq.empty))
       // after the batch's writes land: a tick failure fails the batch and
       // the replay re-runs both — appends restamp the same versions and
       // compact is idempotent, so retry is safe
@@ -238,21 +264,23 @@ final class CdcPipeline(
         t
       }))
 
-  private def flushSegment(dml: DataFrame, version: Long): Unit = {
-    // one driver-side pass to learn which tables have traffic — bounded by
-    // table count, not row count. A null event db resolves to the bound
-    // default db, the same resolution DDL events get (class doc) — a
-    // producer omitting `db` must not silently lose rows.
-    val active = dml.select("db", "table").distinct().collect()
-      .filter(r => !r.isNullAt(1))
-      .map(r => (Option(r.getString(0)), r.getString(1)))
-      .filter { case (eventDb, tbl) =>
+  private def flushSegment(dml: DataFrame, version: Long,
+      traffic: Seq[(Option[String], Option[String], Long, Long)]): Unit = {
+    // which tables have traffic comes from the batch-wide manifest (one
+    // job per BATCH, not one distinct().collect() per segment) — bounded
+    // by table count, not row count. A null event db resolves to the
+    // bound default db, the same resolution DDL events get (class doc) —
+    // a producer omitting `db` must not silently lose rows.
+    val active = traffic
+      .collect { case (eventDb, Some(tbl), nAdd, nRem) =>
+        (eventDb, tbl, nAdd, nRem) }
+      .filter { case (eventDb, tbl, _, _) =>
         config.databaseMatches(eventDb.getOrElse(registry.defaultDb)) &&
           config.tableMatches(tbl)
       }
-      .flatMap { case (eventDb, tbl) =>
+      .flatMap { case (eventDb, tbl, nAdd, nRem) =>
         resolveTable(eventDb.getOrElse(registry.defaultDb), tbl)
-          .map(key => key -> eventDb)
+          .map(key => key -> (eventDb, nAdd, nRem))
       }
     // several event dbs can resolve to the same bound table — one flush
     // per resolved key so a single LWW collapse covers the whole segment
@@ -272,9 +300,19 @@ final class CdcPipeline(
     // 324-374) because each upload is one INSERT; here parallel driver
     // threads let the scheduler interleave the per-table stages.
     val groups = active.groupBy(_._1).toSeq
+    // several event dbs can resolve to one key — sum their counts so the
+    // emptiness decisions below cover the whole flushed segment
+    def dbsOf(entries: Seq[(Option[String], Long, Long)]) =
+      entries.map(_._1)
+    def addsOf(entries: Seq[(Option[String], Long, Long)]) =
+      entries.map(_._2).sum
+    def remsOf(entries: Seq[(Option[String], Long, Long)]) =
+      entries.map(_._3).sum
     if (groups.size <= 1)
-      groups.foreach { case ((db, tbl), entries) =>
-        flushTable(segmentOf(entries.map(_._2).toSeq, tbl), db, tbl, version)
+      groups.foreach { case ((db, tbl), entries0) =>
+        val entries = entries0.map(_._2)
+        flushTable(segmentOf(dbsOf(entries), tbl), db, tbl, version,
+          addsOf(entries), remsOf(entries))
       }
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -282,7 +320,8 @@ final class CdcPipeline(
       implicit val ec: ExecutionContext = flushEc
       val groupId = s"graft-flush-$version"
       val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val futures = groups.map { case ((db, tbl), entries) => Future {
+      val futures = groups.map { case ((db, tbl), entries0) => Future {
+        val entries = entries0.map(_._2)
         // a queued flush must not START once a sibling has failed:
         // cancelJobGroup reaches only already-running jobs, so with more
         // groups than pool threads a queued future would otherwise
@@ -298,8 +337,8 @@ final class CdcPipeline(
           // to reuse
           spark.sparkContext.setJobGroup(groupId, s"flush $db.$tbl",
             interruptOnCancel = true)
-          try flushTable(segmentOf(entries.map(_._2).toSeq, tbl), db, tbl,
-            version)
+          try flushTable(segmentOf(dbsOf(entries), tbl), db, tbl,
+            version, addsOf(entries), remsOf(entries))
           finally spark.sparkContext.clearJobGroup()
         }
       } }
@@ -318,7 +357,7 @@ final class CdcPipeline(
   }
 
   private def flushTable(events0: DataFrame, db: String, tbl: String,
-                         version: Long): Unit = {
+                         version: Long, nAdd: Long, nRem: Long): Unit = {
     // ignore_deletes (config.py): REMOVEs are dropped BEFORE the LWW
     // collapse — an insert-then-delete pair must keep the insert, not
     // collapse to a dropped delete (tests/test_mysql_ch_replicator.py:572-641)
@@ -326,6 +365,8 @@ final class CdcPipeline(
       if (config.ignoreDeletes)
         events0.filter(col("op") =!= EventSpool.OpRemove)
       else events0
+    val effRem = if (config.ignoreDeletes) 0L else nRem
+    if (nAdd == 0L && effRem == 0L) return
     val schema = registry(db, tbl)
     val target = table(db, tbl)
     // wire schema: every field as string; RecordConversion casts/decodes.
@@ -360,10 +401,27 @@ final class CdcPipeline(
       val removes = collapsed.filter(col(mop) === EventSpool.OpRemove)
         .select(schema.primaryKeys.map(col): _*)
 
-      val converted = RecordConversion.convert(adds, schema,
-        config.mysqlTimezone)
-      if (!converted.isEmpty) target.append(converted, version)
-      if (!removes.isEmpty) {
+      // Post-collapse emptiness from the manifest counts where they are
+      // conclusive (one-sided segments: the collapse cannot invent the
+      // other op), and from ONE aggregate job where they are not — the
+      // previous two per-table isEmpty probes were a Spark job each
+      // (r13 VERDICT item 4). A mixed segment CAN collapse to one side
+      // (a PK's add followed by its remove), so raw counts alone must
+      // not drive the append/delete decisions there.
+      val (hasAdds, hasRemoves) =
+        if (effRem == 0L) (nAdd > 0L, false)
+        else if (nAdd == 0L) (false, effRem > 0L)
+        else {
+          val c = collapsed.agg(
+            sum(when(col(mop) === EventSpool.OpAdd, 1L).otherwise(0L)),
+            sum(when(col(mop) === EventSpool.OpRemove, 1L).otherwise(0L)))
+            .head()
+          (c.getLong(0) > 0L, c.getLong(1) > 0L)
+        }
+      if (hasAdds)
+        target.append(RecordConversion.convert(adds, schema,
+          config.mysqlTimezone), version)
+      if (hasRemoves) {
         // REMOVE payloads carry PKs only (converter.py:575-583); convert
         // just the key columns so typed keys match the stored images.
         val keySchema = schema.copy(fields =
