@@ -48,6 +48,17 @@ object Dedup {
     spread(docs).select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
 
+  /** [[shingleTable]] for callers that build the exploded (id, s) table
+    * ONCE per (corpus, n) and share it across the whole shingle family
+    * (minhash-LSH, rare-shingle Jaccard, containment, sweeps,
+    * incremental ingest) — the production shape, where the shingle
+    * index is an ingest-time artifact, not per-query work. Shingling is
+    * per-document, so any per-doc restriction of the corpus is exactly
+    * a filter of this table. */
+  def shingleTableOf(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    shingleTable(docs, idCol, textCol, n)
+
   /** The k minhash lanes are carved out of ⌈k/4⌉ md5 digests — four
     * 32-bit (8-hex-char) lanes per digest — instead of one full digest
     * per lane: measured, the md5 evaluations per shingle instance were
@@ -198,9 +209,18 @@ object Dedup {
     * both fold over it. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 6, b: Int = 3, r: Int = 2,
-                      threshold: Double = 0.5): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                      threshold: Double = 0.5): DataFrame =
+    minhashNearDupsSh(
+      shingleTable(docs, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      k = k, b = b, r = r, threshold = threshold)
+
+  /** [[minhashNearDups]] over a pre-built (and caller-cached) shingle
+    * table — the shape query wiring uses to share ONE shingle pass
+    * across the whole dedup family instead of re-exploding the corpus
+    * per pipeline. */
+  def minhashNearDupsSh(sh: DataFrame, k: Int, b: Int, r: Int,
+                        threshold: Double): DataFrame = {
     val mh = sh.select(col("id") +: digestCols(k): _*)
       .groupBy("id").agg(minhashAggs(k).head, minhashAggs(k).tail: _*)
     val cand = lshCandidates(mh, "id", b, r)
@@ -227,17 +247,32 @@ object Dedup {
   def incrementalNearDups(existing: DataFrame, batch: DataFrame,
                           idCol: String, textCol: String,
                           n: Int = 3, k: Int = 6, b: Int = 3, r: Int = 2,
-                          threshold: Double = 0.5): DataFrame = {
+                          threshold: Double = 0.5): DataFrame =
+    incrementalNearDupsSh(
+      shingleTable(existing, idCol, textCol, n),
+      shingleTable(batch, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      batch.select(col(idCol).as("id")),
+      k = k, b = b, r = r, threshold = threshold)
+
+  /** [[incrementalNearDups]] over pre-built shingle tables — the shape
+    * query wiring uses when the corpus shingle table is already cached
+    * (both sides are then plain filters of it; shingling is per-doc).
+    * `batchIds` must be the FULL batch id set (including docs whose
+    * text yields no shingles): the upsert anti-join below must drop a
+    * re-ingested doc's stale index shingles even when its new text is
+    * empty/null. */
+  def incrementalNearDupsSh(shEx0: DataFrame, shNew: DataFrame,
+                            batchIds: DataFrame, k: Int, b: Int, r: Int,
+                            threshold: Double): DataFrame = {
     // UPSERT semantics for an id on both sides (a re-ingested doc): its
     // index entry is stale by definition, so its shingles come from the
     // BATCH text only — without the anti-join the union'd shingle table
     // would hold both generations under one id and every pair touching
     // it would verify against a doubled array (jaccard biased low —
     // dups silently missed); the band-level self-pair is dropped below.
-    val shEx = shingleTable(existing, idCol, textCol, n)
-      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shNew = shingleTable(batch, idCol, textCol, n)
+    val shEx = shEx0
+      .join(batchIds, Seq("id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def mhOf(sh: DataFrame) = sh.select(col("id") +: digestCols(k): _*)
       .groupBy("id").agg(minhashAggs(k).head, minhashAggs(k).tail: _*)
@@ -861,11 +896,21 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = shingleTable(docs, idCol, textCol, n).persist(disk)
+    ngramJaccardPairsSh(sh, pairStats(sh, maxDf), threshold)
+  }
+
+  /** [[ngramJaccardPairs]] over a pre-built shingle table and its
+    * pre-built candidate [[pairStats]] — the df-capped candidate
+    * machinery is threshold-INDEPENDENT, so query wiring computes it
+    * once and every Jaccard/containment consumer only re-applies its
+    * own survivor bound + verification. */
+  def ngramJaccardPairsSh(sh: DataFrame, stats: DataFrame,
+                          threshold: Double): DataFrame = {
     // ε slack keeps the bound a strict superset under double rounding;
     // the exact merge-walk Jaccard below is the real threshold check.
     // J ≥ t ⟺ inter ≥ t/(1+t)·(|A|+|B|), and inter ≤ cc + min(hot).
     val need = lit(threshold / (1.0 + threshold))
-    val survivors = boundedPairs(sh, maxDf) { (cc, na, nb, hotA, hotB) =>
+    val survivors = boundedPairs(stats) { (cc, na, nb, hotA, hotB) =>
       cc + least(hotA, hotB) >= need * (na + nb) - lit(1e-9)
     }
     verifyJaccardSh(sh, survivors)
@@ -874,8 +919,11 @@ object Dedup {
 
   /** Shared candidate machinery of the shingle-overlap family
     * (Jaccard and containment): capped-set pair generation + the
-    * per-pair bound inputs, with the caller's `bound` predicate over
-    * (cc, |A|, |B|, hot_a, hot_b) deciding the survivors.
+    * per-pair bound inputs — one row per candidate pair,
+    * (id_a, id_b, cc, na, nb, hot_a, hot_b). THRESHOLD-INDEPENDENT
+    * (the caller's survivor bound is a plain filter over this
+    * relation), so query wiring computes it once per (corpus, n,
+    * maxDf) and every Jaccard/containment/sweep consumer shares it.
     *
     * The df cap applies INSIDE the aggregation buffer: the native
     * capped collect_set never holds more than maxDf+1 ids per shingle
@@ -896,9 +944,7 @@ object Dedup {
     * candidates at sf0.1 for Jaccard 0.5 — are dropped BEFORE any
     * shingle array moves; the KB-scale sorted-array verification only
     * ever touches the survivors. */
-  private def boundedPairs(sh: DataFrame, maxDf: Int)(
-      bound: (Column, Column, Column, Column, Column) => Column)
-      : DataFrame = {
+  def pairStats(sh: DataFrame, maxDf: Int): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val groups = sh.groupBy("s")
       .agg(call_function("graft_capped_collect_set", col("id"), lit(maxDf))
@@ -923,10 +969,15 @@ object Dedup {
         col("hot").as("hot_a")), "id_a")
       .join(stats.select(col("id").as("id_b"), col("n").as("nb"),
         col("hot").as("hot_b")), "id_b")
+  }
+
+  private def boundedPairs(stats: DataFrame)(
+      bound: (Column, Column, Column, Column, Column) => Column)
+      : DataFrame =
+    stats
       .filter(bound(col("cc"), col("na"), col("nb"),
         col("hot_a"), col("hot_b")))
       .select("id_a", "id_b")
-  }
 
   /** Asymmetric near-dup detection by shingle CONTAINMENT:
     * C = |A∩B| / min(|A|, |B|) — the measure that catches a short
@@ -944,7 +995,14 @@ object Dedup {
                        threshold: Double = 0.9): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = shingleTable(docs, idCol, textCol, n).persist(disk)
-    val survivors = boundedPairs(sh, maxDf) { (cc, na, nb, hotA, hotB) =>
+    containmentPairsSh(sh, pairStats(sh, maxDf), threshold)
+  }
+
+  /** [[containmentPairs]] over a pre-built shingle table + shared
+    * [[pairStats]] (see [[ngramJaccardPairsSh]]). */
+  def containmentPairsSh(sh: DataFrame, stats: DataFrame,
+                         threshold: Double): DataFrame = {
+    val survivors = boundedPairs(stats) { (cc, na, nb, hotA, hotB) =>
       cc + least(hotA, hotB) >=
         lit(threshold) * least(na, nb) - lit(1e-9)
     }

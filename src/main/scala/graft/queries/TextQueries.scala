@@ -100,8 +100,35 @@ object TextQueries {
   private def sharedMinhashPairs(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame =
     memoFit(s"mhpairs:${s.sparkContext.applicationId}:$dir:n3k6b3r2t05") {
-      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
+      Dedup.minhashNearDupsSh(sharedShingleTable(s, dir),
+          k = 6, b = 3, r = 2, threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** THE exploded (doc_id, 3-gram shingle) table, memoized + persisted
+    * per (session, fixture) — the shared upstream of the whole shingle
+    * family: minhash-LSH, rare-shingle Jaccard (both thresholds),
+    * containment, and the incremental-ingest gate (whose existing/batch
+    * corpora are per-doc filters of it). Before r14 each pipeline
+    * re-ran the shingle explode over the corpus; in production the
+    * shingle index is an ingest-time artifact. Same memo conventions as
+    * [[sharedMinhashPairs]]. */
+  private def sharedShingleTable(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    memoFit(s"shingles:${s.sparkContext.applicationId}:$dir:n3") {
+      Dedup.shingleTableOf(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The df-capped candidate pair stats (id_a, id_b, cc, na, nb, hot_a,
+    * hot_b) over [[sharedShingleTable]] at maxDf = 20 — THRESHOLD-
+    * independent, so the Jaccard-0.5 memo, the 0.3 sweep and the 0.8
+    * containment gate all share one candidate-generation pass and only
+    * re-apply their own survivor bound + verification. */
+  private def sharedPairStats(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    memoFit(s"pstats:${s.sparkContext.applicationId}:$dir:n3df20") {
+      Dedup.pairStats(sharedShingleTable(s, dir), maxDf = 20)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -110,8 +137,41 @@ object TextQueries {
   private def sharedJaccardPairs(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame =
     memoFit(s"njpairs:${s.sparkContext.applicationId}:$dir:n3df20t05") {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, maxDf = 20, threshold = 0.5)
+      Dedup.ngramJaccardPairsSh(sharedShingleTable(s, dir),
+          sharedPairStats(s, dir), threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** THE BM25 ranked list at the family's maximum depth (k = 20),
+    * memoized + persisted per (session, fixture) — shared by its three
+    * gated consumers (t_bm25_topk k=3, t_hybrid_rrf k=20, t_ndcg_eval
+    * k=10): `rnk` is a row_number over (bm25 DESC, neighbor_id), so a
+    * shallower top-k is EXACTLY `filter(rnk <= k)` of this relation —
+    * each consumer previously rebuilt the whole postings/idf/score
+    * tower from scratch. Unlike the reverted r13 bm25-POSTINGS memo,
+    * this caches only the ranked output (|Q|·20 rows — broadcast-sized),
+    * so its post-AQE partition count cannot serialize corpus-sized
+    * work downstream. */
+  private def sharedBm25Ranked(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame =
+    memoFit(s"bm25rank:${s.sparkContext.applicationId}:$dir:k20") {
+      bm25Ranked(s, dir, k = 20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** THE exact-cosine dense top-20 over the `vec_id % 101` probe set,
+    * memoized + persisted like [[sharedBm25Ranked]] — shared by
+    * t_hybrid_rrf (k=20) and t_ndcg_eval (k=10, = `rnk <= 10` of this
+    * relation; `rnk` is a row_number with a neighbor_id tie-break, so
+    * the prefix property is exact). Each consumer previously re-ran
+    * the full |Q|×corpus brute-force scan. */
+  private def sharedDenseTopK(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    memoFit(s"densetopk:${s.sparkContext.applicationId}:$dir:q101k20") {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 101 === 0), emb,
+          "vec_id", "embedding", k = 20)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -882,8 +942,8 @@ object TextQueries {
     // capped-candidate machinery as d_ngram_jaccard, survivor bound
     // rewritten for containment, shared merge-walk verification.
     "d_containment" -> { (s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, maxDf = 20, threshold = 0.8)
+      Dedup.containmentPairsSh(sharedShingleTable(s, dir),
+        sharedPairStats(s, dir), threshold = 0.8)
         .orderBy("id_a", "id_b")
     },
 
@@ -951,11 +1011,15 @@ object TextQueries {
     // The oracle is the FULL pipeline restricted to batch-touching
     // pairs: incremental maintenance must equal recomputation.
     "d_incremental_neardup" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      Dedup.incrementalNearDups(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0),
-        "doc_id", "text", n = 3, k = 6, b = 3, r = 2, threshold = 0.5)
+      // shingling is per-doc, so both sides are plain filters of the
+      // family's shared cached shingle table — no re-shingling
+      val sh = sharedShingleTable(s, dir)
+      Dedup.incrementalNearDupsSh(
+        sh.filter(col("id") % 10 =!= 0),
+        sh.filter(col("id") % 10 === 0),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("id")),
+        k = 6, b = 3, r = 2, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
 
@@ -1132,10 +1196,17 @@ object TextQueries {
       val lg = round(QualityClassifier.logit(
         m, QualityClassifier.features(col("text"), enStop).map(_._2)), 6)
       // feeds the percentile action AND the filtered aggregate — persist,
-      // or the feature+logit scoring pass runs twice
-      val scored = docs.select(col("doc_id"), col("source"),
-        lg.as("score"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // or the feature+logit scoring pass runs twice. Registered through
+      // the fit memo (the sharedMinhashPairs convention) so clearFitMemo
+      // unpersists it between bench families: a bare per-invocation
+      // persist() re-created the cache on every call and never released
+      // it — an unbounded InMemoryRelation leak across bench runs
+      // (r13 VERDICT item 8 / ADVICE).
+      val scored = memoFit(
+          s"clfscored:${s.sparkContext.applicationId}:$dir") {
+        docs.select(col("doc_id"), col("source"), lg.as("score"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
       val cut = scored.agg(percentile(col("score"), lit(0.4)))
         .head().getDouble(0)
       scored.filter(col("score") >= cut)
@@ -1282,8 +1353,8 @@ object TextQueries {
     // d_ngram_jaccard's with the floor dropped to 0.3; banding runs on
     // the 6-decimal score through an exact-integer chain.
     "t_dedup_sweep" -> { (s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, maxDf = 20, threshold = 0.3)
+      Dedup.ngramJaccardPairsSh(sharedShingleTable(s, dir),
+        sharedPairStats(s, dir), threshold = 0.3)
         .select(floor(round(col("jaccard") * 1e6) / 1e5).cast("int")
           .as("band"))
         .groupBy("band").agg(count(lit(1)).as("n_pairs"))
@@ -1615,7 +1686,8 @@ object TextQueries {
     // k1 = 1.2, b = 0.75 (the textbook Robertson defaults), idf in the
     // ln(1 + (N−df+0.5)/(df+0.5)) always-positive form.
     "t_bm25_topk" -> { (s, dir) =>
-      bm25Ranked(s, dir, k = 3).orderBy("query_id", "rnk")
+      sharedBm25Ranked(s, dir).filter(col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
     },
 
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
@@ -1625,12 +1697,9 @@ object TextQueries {
     // doc_id % 101 probe set on both towers, and doc ids with no
     // embedding degrade to lexical-only ranking.
     "t_hybrid_rrf" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val dense = graft.operators.Similarity.bruteForceTopK(
-        emb.filter(col("vec_id") % 101 === 0), emb,
-        "vec_id", "embedding", k = 20)
       graft.operators.Retrieval.rrfFuse(
-        bm25Ranked(s, dir, k = 20), dense, kConst = 60, topK = 5)
+        sharedBm25Ranked(s, dir), sharedDenseTopK(s, dir),
+        kConst = 60, topK = 5)
         .select("query_id", "neighbor_id", "rrf", "rnk")
         .orderBy("query_id", "rnk")
     },
@@ -1644,14 +1713,11 @@ object TextQueries {
     // literals. Queries whose BM25 list misses the dense top-10
     // entirely have no gain rows and are absent (nDCG 0).
     "t_ndcg_eval" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val dense = graft.operators.Similarity.bruteForceTopK(
-        emb.filter(col("vec_id") % 101 === 0), emb, "vec_id", "embedding",
-        k = 10)
+      val dense = sharedDenseTopK(s, dir).filter(col("rnk") <= 10)
       val rel = dense.select(col("query_id"), col("neighbor_id"),
         (lit(11) - col("rnk")).cast("double").as("rel"))
       val dLit = typedlit[Seq[Double]](ndcgDiscounts)
-      bm25Ranked(s, dir, k = 10)
+      sharedBm25Ranked(s, dir).filter(col("rnk") <= 10)
         .join(rel, Seq("query_id", "neighbor_id"))
         .select(col("query_id"),
           round(col("rel") * element_at(dLit, col("rnk")), 6)
