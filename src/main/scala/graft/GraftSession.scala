@@ -96,6 +96,19 @@ object GraftSession {
       .config("spark.sql.ui.retainedExecutions", "16")
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
+      // Every action stringifies its physical plan for the SQL-listener
+      // event (SQLExecution.withNewExecutionId → explainString) and AQE
+      // re-stringifies on every plan update — for the dedup family's
+      // nested cached plans that is a ~1 MB, 10k-line string built 3-4×
+      // PER ACTION, measured (r14 JobProbe driver stack samples:
+      // StringConcat.toString / generateTreeString / explainString) as
+      // ~0.6 s of driver wall wrapped around a 40 ms warm query. Cap
+      // the string: the event keeps its head, the work stops at the
+      // cap. The same cap is what protects a production driver's heap
+      // and latency when plans grow with pipeline depth — it is not a
+      // local-mode tune (results and plans are unaffected; only the
+      // diagnostic string length changes).
+      .config("spark.sql.maxPlanStringLength", "32768")
     scratchDir.fold(b)(d => b.config("spark.local.dir", d))
   }
 

@@ -49,10 +49,14 @@ object SimilarityQueries {
     val emb = t(s, dir, "embeddings")
     val model = memo(s"ivf:$dir:k8i3")(graft.operators.Ivf.fit(
       emb, "vec_id", "embedding", k = 8, iters = 3))
-    memo(s"knnjoin:${s.sparkContext.applicationId}:$dir:k8i3:k3p2") {
+    // memoCkpt, not persist: consumers get a one-leaf plan instead of
+    // the full cell-join pipeline nested under an InMemoryRelation —
+    // every action stringifies its plan for the SQL listener and AQE
+    // walks it per stage (see graft.queries.memoCkpt)
+    graft.queries.memoCkpt(
+        s"knnjoin:${s.sparkContext.applicationId}:$dir:k8i3:k3p2") {
       graft.operators.Ivf.knnJoin(emb, "vec_id", "embedding",
-          model, k = 3, nProbe = 2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        model, k = 3, nProbe = 2)
     }
   }
 

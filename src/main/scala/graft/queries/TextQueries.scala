@@ -99,10 +99,9 @@ object TextQueries {
     * corpus-sized. */
   private def sharedMinhashPairs(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame =
-    memoFit(s"mhpairs:${s.sparkContext.applicationId}:$dir:n3k6b3r2t05") {
+    memoCkpt(s"mhpairs:${s.sparkContext.applicationId}:$dir:n3k6b3r2t05") {
       Dedup.minhashNearDupsSh(sharedShingleTable(s, dir),
-          k = 6, b = 3, r = 2, threshold = 0.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        k = 6, b = 3, r = 2, threshold = 0.5)
     }
 
   /** THE exploded (doc_id, 3-gram shingle) table, memoized + persisted
@@ -115,9 +114,8 @@ object TextQueries {
     * [[sharedMinhashPairs]]. */
   private def sharedShingleTable(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame =
-    memoFit(s"shingles:${s.sparkContext.applicationId}:$dir:n3") {
+    memoCkpt(s"shingles:${s.sparkContext.applicationId}:$dir:n3") {
       Dedup.shingleTableOf(t(s, dir, "documents"), "doc_id", "text", n = 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** The df-capped candidate pair stats (id_a, id_b, cc, na, nb, hot_a,
@@ -127,19 +125,23 @@ object TextQueries {
     * re-apply their own survivor bound + verification. */
   private def sharedPairStats(s: org.apache.spark.sql.SparkSession,
                               dir: String): org.apache.spark.sql.DataFrame =
-    memoFit(s"pstats:${s.sparkContext.applicationId}:$dir:n3df20") {
+    memoCkpt(s"pstats:${s.sparkContext.applicationId}:$dir:n3df20") {
+      // repartition before the checkpoint: the candidate set is ~1M rows
+      // at sf0.1 but AQE coalesces its final exchange to 1-2 partitions
+      // (tiny bytes), and a 1-partition leaf would serialize every
+      // downstream bound/verify scan (the reverted r13 bm25-memo failure
+      // mode). Scale-adaptive, not a local constant.
       Dedup.pairStats(sharedShingleTable(s, dir), maxDf = 20)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .repartition(s.sparkContext.defaultParallelism)
     }
 
   /** The exact rare-shingle Jaccard pair relation at the same floor —
     * shared by d_ngram_jaccard and d_lsh_recall's exact side. */
   private def sharedJaccardPairs(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame =
-    memoFit(s"njpairs:${s.sparkContext.applicationId}:$dir:n3df20t05") {
+    memoCkpt(s"njpairs:${s.sparkContext.applicationId}:$dir:n3df20t05") {
       Dedup.ngramJaccardPairsSh(sharedShingleTable(s, dir),
-          sharedPairStats(s, dir), threshold = 0.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sharedPairStats(s, dir), threshold = 0.5)
     }
 
   /** THE BM25 ranked list at the family's maximum depth (k = 20),
@@ -154,9 +156,8 @@ object TextQueries {
     * work downstream. */
   private def sharedBm25Ranked(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame =
-    memoFit(s"bm25rank:${s.sparkContext.applicationId}:$dir:k20") {
+    memoCkpt(s"bm25rank:${s.sparkContext.applicationId}:$dir:k20") {
       bm25Ranked(s, dir, k = 20)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** THE exact-cosine dense top-20 over the `vec_id % 101` probe set,
@@ -167,12 +168,11 @@ object TextQueries {
     * the full |Q|×corpus brute-force scan. */
   private def sharedDenseTopK(s: org.apache.spark.sql.SparkSession,
                               dir: String): org.apache.spark.sql.DataFrame =
-    memoFit(s"densetopk:${s.sparkContext.applicationId}:$dir:q101k20") {
+    memoCkpt(s"densetopk:${s.sparkContext.applicationId}:$dir:q101k20") {
       val emb = t(s, dir, "embeddings")
       graft.operators.Similarity.bruteForceTopK(
-          emb.filter(col("vec_id") % 101 === 0), emb,
-          "vec_id", "embedding", k = 20)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.filter(col("vec_id") % 101 === 0), emb,
+        "vec_id", "embedding", k = 20)
     }
 
   private def bm25Ranked(s: org.apache.spark.sql.SparkSession,
@@ -1202,10 +1202,9 @@ object TextQueries {
       // persist() re-created the cache on every call and never released
       // it — an unbounded InMemoryRelation leak across bench runs
       // (r13 VERDICT item 8 / ADVICE).
-      val scored = memoFit(
+      val scored = memoCkpt(
           s"clfscored:${s.sparkContext.applicationId}:$dir") {
         docs.select(col("doc_id"), col("source"), lg.as("score"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       val cut = scored.agg(percentile(col("score"), lit(0.4)))
         .head().getDouble(0)

@@ -79,8 +79,48 @@ package object queries {
     * quality classifier) so the keying convention can't drift. */
   private val fitMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private[queries] def memoFit[T <: AnyRef](key: String)(fit: => T): T =
-    fitMemo.computeIfAbsent(key, _ => fit).asInstanceOf[T]
+  private[queries] def memoFit[T <: AnyRef](key: String)(fit: => T): T = {
+    val existing = fitMemo.get(key)
+    if (existing != null) return existing.asInstanceOf[T]
+    // NOT computeIfAbsent: memo builders legitimately NEST (the pair
+    // memos build over the shingle memo), and a nested computeIfAbsent
+    // on the same map is unspecified — IllegalStateException "Recursive
+    // update" whenever the inner key happens to land in the outer key's
+    // bin. get/putIfAbsent keeps reentrancy; the worst case is two
+    // threads racing to build the same DETERMINISTIC fit, where the
+    // loser's copy is discarded (and unpersisted, so no cache leak).
+    val v = fit
+    val prev = fitMemo.putIfAbsent(key, v)
+    if (prev == null) v
+    else {
+      v match {
+        case df: org.apache.spark.sql.Dataset[_] =>
+          df.unpersist(blocking = false); ()
+        case _ => ()
+      }
+      prev.asInstanceOf[T]
+    }
+  }
+
+  /** Memoize a deterministic relation with a TRUNCATED plan: eager
+    * `localCheckpoint` materializes the rows once (internal-row blocks,
+    * MEMORY_AND_DISK — persist-equivalent storage) and hands consumers
+    * a single LogicalRDD leaf instead of the builder's full pipeline.
+    * For the dedup memos the un-truncated plans nested every upstream
+    * cache into 9–18k-line trees, and EVERY action stringifies its plan
+    * for the SQL-listener event while AQE walks it per stage — measured
+    * (r14 JobProbe driver stack samples) as ~0.5–0.8 s of driver wall
+    * around 40 ms of task work on each warm dedup query. Plan-shape
+    * audits of the builder pipelines live at the OPERATOR level
+    * (PlanAuditSpec builds them directly); statistics propagate into
+    * the leaf, so consumer join strategies are unchanged. Block
+    * lifecycle: clearFitMemo drops the reference and the bench sweep's
+    * System.gc() lets the ContextCleaner free the blocks — the same
+    * deferred release the componentLabels checkpoint loop relies on. */
+  private[queries] def memoCkpt(key: String)(
+      fit: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    memoFit(key) { fit.localCheckpoint(true) }
 
   /** Drop every memoized fit and unpersist any cached DataFrames among
     * them. The bench harness calls this between query families so one

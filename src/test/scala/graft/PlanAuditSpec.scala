@@ -86,7 +86,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup candidate aggregation keeps its df cap in-plan") {
-    val ns = nodes(SparkEntry.queries("d_ngram_jaccard")(spark, dir))
+    // operator-level: the gated d_ngram_jaccard reads a memoized,
+    // plan-truncated relation (r14), so the pipeline shape is audited
+    // on the operator the memo builder runs
+    val ns = nodes(graft.operators.Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      n = 3, maxDf = 20, threshold = 0.5))
     // a regression to plain collect_set + post-filter would reintroduce
     // the unbounded hot-shingle aggregation buffer
     val capped = ns.collect { case o: ObjectHashAggregateExec => o }
@@ -353,16 +358,17 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("minhash: ONE banded self-join, band relation cached and read twice") {
-    // Deterministic COLD build: d_minhash_lsh reads the shared-pairs
-    // memo, and a warm memo nests this plan under cache layers whose
-    // clone structure depends on which sibling query materialized them
-    // first — the r13 driver run surfaced 3 structurally-identical
-    // clones of the one band join along different cache paths. The pin
-    // targets the cold plan the bench pays for (its family sweep clears
-    // the memo too), so clear and build fresh.
+    // Operator-level, deterministic COLD build: the gated d_minhash_lsh
+    // reads a memoized plan-truncated relation (r14), and even before
+    // that, pinning through the warm memo surfaced 3 structurally-
+    // identical clones of the one band join along different cache paths
+    // (the r13 driver failure). The builder pipeline — what the memo
+    // executes once per session — is audited directly.
     graft.queries.clearFitMemo()
     spark.sharedState.cacheManager.clearCache()
-    val ns = nodes(SparkEntry.queries("d_minhash_lsh")(spark, dir))
+    val ns = nodes(graft.operators.Dedup.minhashNearDups(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      n = 3, k = 6, b = 3, r = 2, threshold = 0.5))
     // the b band keys are packed into one array and exploded — b separate
     // joins would re-read (and re-aggregate) the minhash input b times
     def keysOf(p: SparkPlan): Option[Seq[String]] = p match {

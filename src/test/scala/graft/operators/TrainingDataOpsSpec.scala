@@ -180,6 +180,46 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(!inc.exists(p => p._1 < 10 && p._2 < 10), "index-only pair leaked")
   }
 
+  test("shared shingle/pairStats variants reproduce the standalone pipelines") {
+    // the r14 sharing refactor: one cached shingle table + one
+    // threshold-independent pairStats relation feed every shingle
+    // pipeline — each *Sh variant must be bit-equal to the standalone
+    // entry point it replaces, at thresholds on BOTH sides of the memo's
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, (1 to 38).map(i => s"w$i").mkString(" ") + " x y"),
+      (3L, (1 to 20).map(i => s"w$i").mkString(" ")), // contained in 1
+      (4L, (100 to 140).map(i => s"v$i").mkString(" ")),
+      (5L, base + " z")).toDF("doc_id", "text")
+    val sh = Dedup.shingleTableOf(docs, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = Dedup.pairStats(sh, maxDf = 20)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    for (t <- Seq(0.3, 0.5))
+      assert(set(Dedup.ngramJaccardPairsSh(sh, stats, t)) ===
+        set(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, maxDf = 20, threshold = t)), s"jaccard@$t diverged")
+    for (t <- Seq(0.8, 0.9))
+      assert(set(Dedup.containmentPairsSh(sh, stats, t)) ===
+        set(Dedup.containmentPairs(docs, "doc_id", "text",
+          n = 3, maxDf = 20, threshold = t)), s"containment@$t diverged")
+    assert(set(Dedup.minhashNearDupsSh(sh, k = 6, b = 3, r = 2,
+        threshold = 0.5)) ===
+      set(Dedup.minhashNearDups(docs, "doc_id", "text")),
+      "minhash diverged")
+    // incremental over filters of the shared table == over raw corpora
+    val exDocs = docs.filter(col("doc_id") <= 3)
+    val batch = docs.filter(col("doc_id") > 3)
+    assert(set(Dedup.incrementalNearDupsSh(
+        sh.filter(col("id") <= 3), sh.filter(col("id") > 3),
+        batch.select(col("doc_id").as("id")),
+        k = 6, b = 3, r = 2, threshold = 0.5)) ===
+      set(Dedup.incrementalNearDups(exDocs, batch, "doc_id", "text")),
+      "incremental diverged")
+  }
+
   test("incrementalNearDups: a re-ingested id verifies against its NEW text") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val other = (100 to 140).map(i => s"v$i").mkString(" ")
